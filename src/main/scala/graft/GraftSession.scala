@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with scale-oriented defaults: AQE (runtime re-plan +
+  * skew-join splitting), shuffle partitions sized to the deployment (32
+  * for local[32]; set to ~2-3x total cores on a real cluster), UTC
+  * session time for deterministic event-time semantics, and graft's
+  * SQL extensions (custom expressions) installed.
+  */
+object GraftSession {
+  def builder(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", classOf[graft.plans.GraftExtensions].getName)
+
+  /** Local session for tests / exploration. */
+  def local(cores: Int = 4): SparkSession = {
+    val s = builder(s"local[$cores]", math.max(cores, 4)).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graftshim.SparkShims
+
+/** Column-API wrappers for graft's native expressions, plus SQL
+  * registration for sessions built without `GraftExtensions`
+  * (`ensureRegistered` is idempotent).
+  */
+object GraftFunctions {
+  private def toExpr(c: Column): Expression = SparkShims.expression(c)
+  private def toCol(e: Expression): Column = SparkShims.column(e)
+
+  /** Reference UDF (TimestampToString.java:9-16) as a codegen'd expression. */
+  def timestamp_to_string(c: Column): Column = toCol(TimestampToString(toExpr(c)))
+
+  def cosine_similarity(a: Column, b: Column): Column =
+    toCol(CosineSimilarity(toExpr(a), toExpr(b)))
+
+  def simhash64(c: Column): Column = toCol(SimHash64(toExpr(c)))
+
+  def minhash_signature(c: Column, shingleWords: Int, numHashes: Int): Column =
+    toCol(MinHashSignature(toExpr(c), shingleWords, numHashes))
+
+  def rolling_hash(c: Column): Column = toCol(RollingHash(toExpr(c)))
+
+  /** (name, builder) pairs — single source of truth for SQL registration. */
+  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "timestamp_to_string" -> (es => TimestampToString(es.head)),
+    "cosine_similarity" -> (es => CosineSimilarity(es(0), es(1))),
+    "simhash64" -> (es => SimHash64(es.head)),
+    "minhash_signature" -> (es => MinHashSignature(es.head,
+      es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
+    "rolling_hash" -> (es => RollingHash(es.head)),
+  )
+
+  /** Register into an existing session (e.g. one built by the driver
+    * without extensions). Safe to call repeatedly. */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val registry = SparkShims.functionRegistry(spark)
+    builders.foreach { case (name, b) =>
+      registry.createOrReplaceTempFunction(name, b, "builtin")
+    }
+  }
+}

@@ -1,0 +1,248 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions (codegen-friendly: each `doGenCode`
+  * emits a call to a static Java-compatible helper, so the expression
+  * stays inside whole-stage codegen instead of falling back to
+  * interpreted UDF dispatch).
+  *
+  * `TimestampToString` re-expresses the reference's scalar UDF
+  * (reference: TimestampToString.java:9-16, registered in
+  * StreamingJob.java:90). The rest back the LLM-pipeline operators.
+  */
+
+/** Timestamp -> "yyyy-MM-dd HH:mm:ss.SSS" (UTC). The reference UDF
+  * formats with java.sql.Timestamp.toString; we fix the fractional
+  * part at milliseconds so output is canonical across engines. */
+case class TimestampToString(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    GraftHash.formatTimestampMicros(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.formatTimestampMicros($c)")
+  override protected def withNewChildInternal(c: Expression): TimestampToString = copy(child = c)
+  override def prettyName: String = "timestamp_to_string"
+}
+
+/** Cosine similarity between two float/double vectors, accumulated in
+  * double in index order (deterministic across runs and engines). */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftHash.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftHash.cosine($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_similarity"
+}
+
+/** 64-bit SimHash over whitespace tokens (FNV-1a feature hashes,
+  * bit-vote aggregation). Near-duplicate docs land within a small
+  * Hamming distance. One pass over the string, no allocation per
+  * token beyond the tokenizer. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    GraftHash.simhash64(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.simhash64($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  override def prettyName: String = "simhash64"
+}
+
+/** MinHash signature: `numHashes` min-wise hashes over `shingleWords`-
+  * word shingles, using the standard two-hash family h1 + i*h2.
+  * Returns array<bigint> of length numHashes; single pass over the
+  * shingle set. */
+case class MinHashSignature(child: Expression, shingleWords: Int, numHashes: Int)
+    extends UnaryExpression {
+  require(shingleWords > 0 && numHashes > 0)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    GraftHash.minhashSignature(v.asInstanceOf[UTF8String], shingleWords, numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GraftHash.minhashSignature($c, $shingleWords, $numHashes)")
+  override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
+  override def prettyName: String = "minhash_signature"
+}
+
+/** Polynomial rolling-hash fingerprint of a document (base-1000003,
+  * mod 2^64, over UTF-16 code units). Stable content fingerprint for
+  * exact-dup detection and shard-stable sampling. */
+case class RollingHash(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    GraftHash.rollingHash(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.rollingHash($c)")
+  override protected def withNewChildInternal(c: Expression): RollingHash = copy(child = c)
+  override def prettyName: String = "rolling_hash"
+}
+
+/** Static helpers referenced from generated code (must be public,
+  * static-reachable, and JVM-name stable). */
+object GraftHash {
+  private val FNV_OFFSET = 0xcbf29ce484222325L
+  private val FNV_PRIME = 0x100000001b3L
+
+  /** FNV-1a over a UTF8String's bytes, finalized with a xorshift-
+    * multiply avalanche (splitmix64 finalizer). */
+  def fnv1a(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = FNV_OFFSET
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= FNV_PRIME
+      i += 1
+    }
+    mix(h)
+  }
+
+  def mix(v: Long): Long = {
+    var z = v + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def formatTimestampMicros(micros: Long): UTF8String = {
+    val secs = Math.floorDiv(micros, 1000000L)
+    val frac = Math.floorMod(micros, 1000000L)
+    val ldt = java.time.LocalDateTime.ofEpochSecond(secs, (frac * 1000L).toInt,
+      java.time.ZoneOffset.UTC)
+    val ms = frac / 1000L
+    val sb = new java.lang.StringBuilder(23)
+    pad(sb, ldt.getYear, 4); sb.append('-')
+    pad(sb, ldt.getMonthValue, 2); sb.append('-')
+    pad(sb, ldt.getDayOfMonth, 2); sb.append(' ')
+    pad(sb, ldt.getHour, 2); sb.append(':')
+    pad(sb, ldt.getMinute, 2); sb.append(':')
+    pad(sb, ldt.getSecond, 2); sb.append('.')
+    pad(sb, ms.toInt, 3)
+    UTF8String.fromString(sb.toString)
+  }
+
+  private def pad(sb: java.lang.StringBuilder, v: Int, width: Int): Unit = {
+    val s = Integer.toString(v)
+    var i = s.length
+    while (i < width) { sb.append('0'); i += 1 }
+    sb.append(s)
+  }
+
+  /** Double-accumulated cosine over float arrays, index order. */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def simhash64(text: UTF8String): Long = {
+    val votes = new Array[Int](64)
+    val s = text.toString
+    var start = 0
+    val len = s.length
+    while (start < len) {
+      while (start < len && Character.isWhitespace(s.charAt(start))) start += 1
+      var end = start
+      while (end < len && !Character.isWhitespace(s.charAt(end))) end += 1
+      if (end > start) {
+        val h = hashRange(s, start, end)
+        var bit = 0
+        while (bit < 64) {
+          if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+          bit += 1
+        }
+      }
+      start = end
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (votes(bit) > 0) out |= (1L << bit)
+      bit += 1
+    }
+    out
+  }
+
+  private def hashRange(s: String, from: Int, until: Int): Long = {
+    var h = FNV_OFFSET
+    var i = from
+    while (i < until) {
+      val c = s.charAt(i)
+      h ^= (c & 0xffL); h *= FNV_PRIME
+      h ^= ((c >>> 8) & 0xffL); h *= FNV_PRIME
+      i += 1
+    }
+    mix(h)
+  }
+
+  /** MinHash over word shingles. Signature slot i takes
+    * min over shingles of (h1 + (i+1)*h2) where (h1, h2) are two
+    * independent mixes of the shingle hash. */
+  def minhashSignature(text: UTF8String, shingleWords: Int, numHashes: Int): ArrayData = {
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val s = text.toString
+    // tokenize: offsets of word starts/ends
+    val starts = new scala.collection.mutable.ArrayBuffer[Int]()
+    val ends = new scala.collection.mutable.ArrayBuffer[Int]()
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      val st = i
+      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > st) { starts += st; ends += i }
+    }
+    val nTok = starts.length
+    val nShingles = math.max(nTok - shingleWords + 1, if (nTok > 0) 1 else 0)
+    var k = 0
+    while (k < nShingles) {
+      // hash the span from start of token k to end of token k+w-1
+      val last = math.min(k + shingleWords - 1, nTok - 1)
+      val h = hashRange(s, starts(k), ends(last))
+      val h1 = mix(h)
+      val h2 = mix(h ^ 0x5851f42d4c957f2dL) | 1L
+      var j = 0
+      while (j < numHashes) {
+        val g = h1 + (j + 1).toLong * h2
+        if (g < sig(j)) sig(j) = g
+        j += 1
+      }
+      k += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  def rollingHash(text: UTF8String): Long = {
+    val s = text.toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      h = h * 1000003L + s.charAt(i)
+      i += 1
+    }
+    h
+  }
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import java.time.Duration
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join: for each left row, attach the single latest
+  * right row with right.time <= left.time on the same key (optionally
+  * within a staleness tolerance). This is the *intent* of the
+  * reference's enrichment query ("the exchange rate which was
+  * applicable at the time of the transaction", README use-case;
+  * StreamingJob.java:94-105 approximates it with a 5 s interval join).
+  *
+  * Plan: tag both sides, union, one shuffle on the key, then an
+  * ordered window carries the last right-side value forward onto each
+  * left row. No n x m pair blow-up, no driver state; cost is one
+  * shuffle + sort, independent of how many right rows precede a left
+  * row. For low-cardinality keys at extreme scale, prefer
+  * `backwardBounded`, which reuses the time-bucketed interval join
+  * (high-cardinality shuffle keys) and takes the latest match per
+  * left row.
+  */
+object AsOfJoin {
+  /** Exact backward as-of join via union + ordered window.
+    *
+    * @param key common equality-key column name (same name both sides)
+    * @param valueCols right-side columns to attach
+    * @param tolerance if set, matches older than left.time - tolerance
+    *                  are nulled out
+    */
+  def backward(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTime: String, rightTime: String,
+      valueCols: Seq[String],
+      tolerance: Option[Duration] = None): DataFrame = {
+    val lCols = left.columns.toSeq
+    require(valueCols.forall(!lCols.contains(_)),
+      "right value columns must not collide with left column names")
+    val rightTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
+
+    val lPart = left
+      .withColumn("__g_t", col(leftTime))
+      .withColumn("__g_side", lit(1))
+      .withColumn("__g_rt", lit(null).cast(right.schema(rightTime).dataType))
+      .select((Seq(col("__g_t"), col("__g_side"), col("__g_rt")) ++
+        lCols.map(col) ++
+        valueCols.map(c => lit(null).cast(rightTypes(c)).as(c))): _*)
+    val rPart = right
+      .withColumn("__g_t", col(rightTime))
+      .withColumn("__g_side", lit(0))
+      .withColumn("__g_rt", col(rightTime))
+      .select((Seq(col("__g_t"), col("__g_side"), col("__g_rt")) ++
+        lCols.map(c => if (c == key) col(key)
+                       else lit(null).cast(left.schema(c).dataType).as(c)) ++
+        valueCols.map(col)): _*)
+
+    // Right rows sort before left rows at equal timestamps, so a rate
+    // stamped exactly at order time is visible (matches <=).
+    val w = Window.partitionBy(key).orderBy(col("__g_t"), col("__g_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lastRt = last(col("__g_rt"), ignoreNulls = true).over(w)
+    val withVals = lPart.unionByName(rPart)
+      .withColumn("__g_lastrt", lastRt)
+      .withColumns(valueCols.map(c =>
+        c -> last(col(c), ignoreNulls = true).over(w)).toMap)
+      .where(col("__g_side") === 1)
+
+    val guarded = tolerance match {
+      case Some(tol) =>
+        val tolUs = tol.toMillis * 1000L
+        val fresh: Column = unix_micros(col("__g_lastrt")) >
+          unix_micros(col("__g_t")) - tolUs
+        withVals.withColumns(valueCols.map(c =>
+          c -> when(fresh, col(c))).toMap)
+      case None => withVals
+    }
+    guarded.select((lCols ++ valueCols).map(col): _*)
+  }
+
+  /** Skew-resistant as-of join with a hard staleness bound: bucketed
+    * interval join (see IntervalJoin) then latest-match-per-left-row.
+    * Requires a unique left row id for the argmax. */
+  def backwardBounded(
+      left: DataFrame, right: DataFrame,
+      key: String, leftId: String, leftTime: String, rightTime: String,
+      tolerance: Duration, joinType: String = "left_outer"): DataFrame = {
+    val joined = IntervalJoin.bucketed(
+      left, right.withColumnRenamed(key, "__g_rkey"),
+      key, "__g_rkey", leftTime, rightTime, tolerance, joinType)
+    val w = Window.partitionBy(col(leftId))
+      .orderBy(col(rightTime).desc_nulls_last)
+    joined.withColumn("__g_rn", row_number().over(w))
+      .where(col("__g_rn") === 1)
+      .drop("__g_rn", "__g_rkey")
+  }
+}

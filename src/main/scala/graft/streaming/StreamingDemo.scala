@@ -1,0 +1,52 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import graft.GraftSession
+
+/** Runnable end-to-end demo of the reference pipeline: writes a batch
+  * of Order / ExchangeRate JSON lines (the reference's Kinesis Data
+  * Generator shapes, README "Generate the Sample Data"), streams them
+  * through `OrderEnrichmentJob.run` (file source -> watermarked
+  * stream-stream interval join -> JSON-line sink), and prints the
+  * enriched output.
+  *
+  * Usage: runMain graft.streaming.StreamingDemo /tmp/graft_demo
+  */
+object StreamingDemo {
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/tmp/graft_demo")
+    val ordersDir = s"$base/orders"; val ratesDir = s"$base/rates"
+    val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    Seq(ordersDir, ratesDir).foreach(d => Files.createDirectories(Paths.get(d)))
+
+    val orders = Seq(
+      """{"id": 1, "orderTime": "2024-01-01T00:00:03.000Z", "amount": 100, "currency": "EUR"}""",
+      """{"id": 2, "orderTime": "2024-01-01T00:00:04.500Z", "amount": 250, "currency": "USD"}""",
+      """{"id": 3, "orderTime": "2024-01-01T00:00:07.000Z", "amount": 40, "currency": "GBP"}""",
+      """this line is not json at all""",
+      """{"id": 4, "orderTime": "2024-01-01T00:00:09.000Z", "amount": 75, "currency": "EUR"}""",
+      // heartbeat far in the future: advances the watermark past the
+      // join window so unmatched left rows (id=3) can emit their
+      // null-extended result before shutdown
+      """{"id": 999, "orderTime": "2024-01-01T01:00:00.000Z", "amount": 0, "currency": "XXX"}""")
+    val rates = Seq(
+      """{"exchangeRateTime": "2024-01-01T00:00:00.000Z", "currency": "EUR", "rate": 2}""",
+      """{"exchangeRateTime": "2024-01-01T00:00:01.000Z", "currency": "USD", "rate": 3}""",
+      """{"exchangeRateTime": "2024-01-01T00:00:06.000Z", "currency": "EUR", "rate": 5}""",
+      """{"exchangeRateTime": "2024-01-01T01:00:00.000Z", "currency": "XXX", "rate": 1}""")
+    Files.write(Paths.get(s"$ordersDir/part0.json"),
+      orders.mkString("\n").getBytes("UTF-8"))
+    Files.write(Paths.get(s"$ratesDir/part0.json"),
+      rates.mkString("\n").getBytes("UTF-8"))
+
+    val spark = GraftSession.local(4)
+    val q = OrderEnrichmentJob.run(spark, ordersDir, ratesDir, outDir, ckpt)
+    q.processAllAvailable()
+    q.stop()
+
+    println("=== enriched output ===")
+    spark.read.text(outDir).collect().foreach(r => println(r.getString(0)))
+    spark.stop()
+  }
+}

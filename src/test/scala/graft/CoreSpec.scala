@@ -1,0 +1,88 @@
+package graft
+
+import java.time.Duration
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftHash
+import graft.operators.{AsOfJoin, IntervalJoin}
+import graft.sources.RefTables
+
+class CoreSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local(4)
+  val dir = "/root/testdata/sf0.001"
+
+  test("entry smoke: rows > 0") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query has an oracle or is rows-only, and runs") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, dir)
+      assert(df.count() >= 0, s"$name failed")
+    }
+  }
+
+  test("timestamp_to_string formats UTC millis") {
+    assert(GraftHash.formatTimestampMicros(1704067198778549L).toString ==
+      "2023-12-31 23:59:58.778")
+    assert(GraftHash.formatTimestampMicros(0L).toString == "1970-01-01 00:00:00.000")
+    assert(GraftHash.formatTimestampMicros(1500000L).toString == "1970-01-01 00:00:01.500")
+  }
+
+  test("bucketed interval join == naive interval join (inner and left)") {
+    val e = graft.sources.Tables.load(spark, dir, "events")
+    val o = RefTables.orders(e)
+    val r = RefTables.rates(e).withColumnRenamed("currency", "r_currency")
+    for (jt <- Seq("inner", "left_outer")) {
+      val b = IntervalJoin.bucketed(o, r, "currency", "r_currency",
+        "orderTime", "exchangeRateTime", Duration.ofHours(6), jt)
+      val n = IntervalJoin.naive(o, r, "currency", "r_currency",
+        "orderTime", "exchangeRateTime", Duration.ofHours(6), jt)
+      assert(b.count() == n.count(), s"count mismatch for $jt")
+      assert(b.exceptAll(n).isEmpty && n.exceptAll(b).isEmpty, s"rows mismatch for $jt")
+    }
+  }
+
+  test("as-of join: every matched rate is the latest one <= order time") {
+    val e = graft.sources.Tables.load(spark, dir, "events")
+    val o = RefTables.orders(e)
+    val r = RefTables.rates(e)
+    val res = AsOfJoin.backward(o, r, "currency", "orderTime", "exchangeRateTime",
+      Seq("rate", "exchangeRateTime"))
+    assert(res.count() == o.count(), "as-of must preserve left cardinality")
+    // no matched rate may be after the order time
+    assert(res.filter(col("exchangeRateTime") > col("orderTime")).count() == 0)
+    // cross-check one order against a brute-force lookup
+    val sample = res.filter(col("exchangeRateTime").isNotNull).orderBy("id").limit(1)
+      .collect().head
+    val cur = sample.getAs[String]("currency")
+    val ot = sample.getAs[java.sql.Timestamp]("orderTime")
+    val expect = r.filter(col("currency") === cur &&
+        col("exchangeRateTime") <= lit(ot))
+      .orderBy(col("exchangeRateTime").desc).limit(1).collect().head
+    assert(sample.getAs[Int]("rate") == expect.getAs[Int]("rate"))
+  }
+
+  test("minhash signature is deterministic and length-k") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val a = GraftHash.minhashSignature(UTF8String.fromString("a b c d e f g"), 3, 16)
+    val b = GraftHash.minhashSignature(UTF8String.fromString("a b c d e f g"), 3, 16)
+    assert(a.toLongArray().toSeq == b.toLongArray().toSeq)
+    assert(a.numElements() == 16)
+    // similar docs share signature slots; disjoint docs shouldn't match everywhere
+    val c = GraftHash.minhashSignature(UTF8String.fromString("x y z w q r s"), 3, 16)
+    assert(a.toLongArray().toSeq != c.toLongArray().toSeq)
+  }
+
+  test("cosine similarity: identical=1, orthogonal=0") {
+    import graft.functions.GraftFunctions._
+    val df = spark.createDataFrame(Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)))).toDF("a", "b")
+    val sims = df.select(cosine_similarity(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(math.abs(sims(0) - 1.0) < 1e-12)
+    assert(math.abs(sims(1)) < 1e-12)
+  }
+}
