@@ -3,6 +3,7 @@ package graft
 import java.time.Duration
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -118,6 +119,110 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    "q4_multijoin_star" -> ((s, dir) => {
+      val o = T(s, dir, "orders"); val c = T(s, dir, "customer")
+      val n = T(s, dir, "nation"); val r = T(s, dir, "region")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy("r_name", "n_name")
+    }),
+    "q5_semi_anti" -> ((s, dir) => {
+      val c = T(s, dir, "customer"); val o = T(s, dir, "orders")
+      val withO = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n")).withColumn("kind", lit("with_orders"))
+      val noO = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n")).withColumn("kind", lit("without_orders"))
+      withO.unionByName(noO).select("kind", "n").orderBy("kind")
+    }),
+    "q7_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      T(s, dir, "orders")
+        .withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+        .select(col("o_orderpriority"), col("rank"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_orderpriority", "rank")
+    }),
+    "q8_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      T(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("o_totalprice"),
+          sum(col("o_totalprice").cast(d2))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("running_spent"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+    "q9_distinct_dedup" -> ((s, dir) =>
+      T(s, dir, "events").select("user_id", "event_type").distinct()
+        .orderBy("user_id", "event_type")),
+    "q10_setops" -> ((s, dir) => {
+      val c = T(s, dir, "customer"); val o = T(s, dir, "orders")
+      val a = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val b = o.select(col("o_custkey").as("c_custkey")).distinct()
+      a.intersect(b).withColumn("kind", lit("both"))
+        .unionByName(a.except(b).withColumn("kind", lit("building_only")))
+        .unionByName(b.except(a).withColumn("kind", lit("orders_only")))
+        .select("kind", "c_custkey").orderBy("kind", "c_custkey")
+    }),
+    "q11_sort_limit" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(50)
+        .select("o_orderkey", "o_totalprice")),
+    "q12_scalar_funcs" -> ((s, dir) =>
+      T(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        substring(col("p_name"), 1, 10).as("name10"),
+        length(col("p_name")).as("name_len"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        floor(col("p_retailprice")).as("price_floor"),
+        when(col("p_size") < 10, "S").when(col("p_size") < 30, "M")
+          .otherwise("L").as("size_class"),
+        abs(col("p_size") - 25).as("size_dist"))
+        .orderBy("p_partkey")),
+    "q13_json_props" -> ((s, dir) =>
+      T(s, dir, "events")
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type")),
+    "q14_grouping_sets" -> ((s, dir) => {
+      val c = T(s, dir, "customer"); val n = T(s, dir, "nation")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .rollup(col("c_mktsegment"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"))
+        .select(coalesce(col("c_mktsegment"), lit("ALL")).as("seg"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"), col("n_cust"))
+        .orderBy("seg", "nation")
+    }),
+    "q15_having_subquery" -> ((s, dir) => {
+      val c = T(s, dir, "customer"); val n = T(s, dir, "nation")
+      val j = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      val g = j.agg((dsum(col("c_acctbal")) / count(lit(1))).as("g"))
+      val p = j.groupBy("n_name")
+        .agg((dsum(col("c_acctbal")) / count(lit(1))).as("avg_bal"),
+          count(lit(1)).as("n_cust"))
+      p.crossJoin(g).where(col("avg_bal") > col("g"))
+        .select("n_name", "avg_bal", "n_cust").orderBy("n_name")
+    }),
+    "q16_cond_agg" -> ((s, dir) =>
+      T(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        sum(when(col("l_discount") > 0.05, col("l_quantity").cast(d2))
+          .otherwise(lit(0).cast(d2))).cast("double").as("qty_highdisc"),
+        count(when(col("l_tax") === 0, 1)).as("n_notax"),
+        sum(when(col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")),
+          col("l_extendedprice").cast(d2)).otherwise(lit(0).cast(d2)))
+          .cast("double").as("early_rev"),
+        count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
     // ---- §2.3 event/time-series -------------------------------------
     "t1_tumble" -> ((s, dir) =>
       T(s, dir, "events")
@@ -126,6 +231,124 @@ object SparkEntry {
         .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
           col("event_type"), col("n"), col("total_value"))
         .orderBy("window_start", "event_type")),
+    "t2_hop" -> ((s, dir) =>
+      T(s, dir, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("n"), col("total_value"))
+        .orderBy("window_start")),
+    "t3_session" -> ((s, dir) =>
+      SessionWindow.aggregate(T(s, dir, "events"), "user_id", "ts", "event_id",
+          Duration.ofMinutes(30))
+        .select(col("user_id"), col("session_id"),
+          timestamp_to_string(col("session_start")).as("session_start"),
+          col("n_events"), col("duration_us"))
+        .orderBy("user_id", "session_id")),
+    "t4_stream_dedup" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      T(s, dir, "events")
+        .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          timestamp_to_string(col("ts")).as("first_ts"))
+        .orderBy("user_id", "event_type")
+    }),
+    "t5_funnel" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      val su = e.filter(col("event_type") === "signup").groupBy(col("user_id"))
+        .agg(min(col("ts")).as("signup_ts"))
+      val pu = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      su.join(pu, su("user_id") === col("p_user") && col("p_ts") >= col("signup_ts"),
+          "left_outer")
+        .groupBy(su("user_id"), col("signup_ts"))
+        .agg(min(col("p_ts")).as("first_purchase_ts"),
+          count(col("p_ts")).as("n_purchases_after"))
+        .select(col("user_id"),
+          timestamp_to_string(col("signup_ts")).as("signup_time"),
+          timestamp_to_string(col("first_purchase_ts")).as("first_purchase_time"),
+          col("n_purchases_after"),
+          col("first_purchase_ts").isNotNull.as("converted"))
+        .orderBy("user_id")
+    }),
+
+    // ---- §2.4 dedup -------------------------------------------------
+    "d1_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(T(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
+    "d2_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLsh(T(s, dir, "documents"), "doc_id", "text",
+        shingleWords = 3, numHashes = 64, bands = 16, threshold = 0.5)
+        .orderBy("id_a", "id_b")),
+    "d3_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(T(s, dir, "documents"), "doc_id", "text",
+        bands = 8, maxHamming = 7)
+        .orderBy("id_a", "id_b")),
+    "d4_ngram_jaccard" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val a = docs.select(col("doc_id").as("id_a"), col("lang").as("lang_a"),
+        Dedup.shingles(col("text"), 2).as("sh_a"))
+      val b = docs.select(col("doc_id").as("id_b"), col("lang").as("lang_b"),
+        Dedup.shingles(col("text"), 2).as("sh_b"))
+      a.join(b, col("lang_a") === col("lang_b") && col("id_a") < col("id_b"))
+        .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
+        .where(col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "jaccard").orderBy("id_a", "id_b")
+    }),
+    "d5_embed_neardup" -> ((s, dir) =>
+      Similarity.nearDupPairs(T(s, dir, "embeddings"), 0.45)
+        .orderBy("id_a", "id_b")),
+
+    // ---- §2.5 similarity search -------------------------------------
+    "s1_ann_bruteforce" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.bruteForceTopK(q, emb, 5).orderBy("query_id", "rank")
+    }),
+    "s2_ann_lsh" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.lshTopK(q, emb, 5, bits = 8, tables = 4).orderBy("query_id", "rank")
+    }),
+    "s3_knn_join" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.knnJoin(emb.filter(col("label") === 0),
+          emb.filter(col("label") >= 5), 3,
+          "vec_id", "embedding", "vec_id", "embedding")
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- §2.6 text analysis -----------------------------------------
+    "x1_langid" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), col("lang").as("lang_actual"),
+          TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+    "x2_quality" -> ((s, dir) =>
+      TextAnalysis.withQualityMetrics(T(s, dir, "documents"), "text")
+        .select("doc_id", "n_tokens", "punct_ratio", "upper_ratio",
+          "stopword_hits", "avg_token_len", "quality_score")
+        .orderBy("doc_id")),
+    "x3_tokens" -> ((s, dir) =>
+      TextAnalysis.withTokenCounts(T(s, dir, "documents"), "text")
+        .select("doc_id", "ws_tokens", "bpe_ish_tokens")
+        .orderBy("doc_id")),
+    "x4_fingerprint" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.rolling_hash(col("text")).as("fingerprint"),
+          graft.functions.GraftFunctions.simhash64(col("text")).as("content_simhash"))
+        .orderBy("doc_id")),
+
+    // ---- §2.7 multimodal --------------------------------------------
+    "m1_multimodal" -> ((s, dir) =>
+      Multimodal.extractFeatures(s, Multimodal.fromDocuments(T(s, dir, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("byte_len"), col("mean_byte"), col("checksum"),
+          size(col("frame_hashes")).as("n_frames"))
+        .orderBy("doc_id")),
   )
 
   /** DuckDB-dialect oracle for each query above. */
@@ -205,5 +428,220 @@ object SparkEntry {
         |  event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q4_multijoin_star" ->
+      """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q5_semi_anti" ->
+      """SELECT 'with_orders' AS kind, CAST(count(*) AS BIGINT) AS n FROM customer
+        |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT 'without_orders' AS kind, CAST(count(*) AS BIGINT) AS n FROM customer
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY kind""".stripMargin,
+    "q7_window_rank" ->
+      """SELECT o_orderpriority,
+        |  CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS "rank",
+        |  o_orderkey, o_totalprice
+        |FROM orders QUALIFY "rank" <= 3 ORDER BY o_orderpriority, "rank"""".stripMargin,
+    "q8_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_totalprice,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spent,
+        |  lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS prev_price,
+        |  lead(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS next_price
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q9_distinct_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+    "q10_setops" ->
+      """SELECT 'both' AS kind, c_custkey FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  INTERSECT SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT 'building_only' AS kind, c_custkey FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  EXCEPT SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT 'orders_only' AS kind, c_custkey FROM (
+        |  SELECT o_custkey AS c_custkey FROM orders
+        |  EXCEPT SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY kind, c_custkey""".stripMargin,
+    "q11_sort_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50""".stripMargin,
+    "q12_scalar_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u,
+        |  substring(p_name, 1, 10) AS name10, length(p_name) AS name_len,
+        |  concat_ws('-', p_brand, p_type) AS brand_type,
+        |  CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+        |  CASE WHEN p_size < 10 THEN 'S' WHEN p_size < 30 THEN 'M'
+        |    ELSE 'L' END AS size_class,
+        |  abs(p_size - 25) AS size_dist
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q13_json_props" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q14_grouping_sets" ->
+      """SELECT coalesce(c_mktsegment, 'ALL') AS seg,
+        |  coalesce(n_name, 'ALL') AS nation, CAST(count(*) AS BIGINT) AS n_cust
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(c_mktsegment, n_name)
+        |ORDER BY seg, nation""".stripMargin,
+    "q15_having_subquery" ->
+      """WITH j AS (SELECT n_name, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |g AS (SELECT CAST(sum(bal) AS DOUBLE) / count(*) AS g FROM j),
+        |p AS (SELECT n_name, CAST(sum(bal) AS DOUBLE) / count(*) AS avg_bal,
+        |  CAST(count(*) AS BIGINT) AS n_cust FROM j GROUP BY n_name)
+        |SELECT n_name, avg_bal, n_cust FROM p, g WHERE avg_bal > g
+        |ORDER BY n_name""".stripMargin,
+    "q16_cond_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN l_discount > 0.05 THEN CAST(l_quantity AS DECIMAL(18,2))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_highdisc,
+        |  CAST(count(CASE WHEN l_tax = 0 THEN 1 END) AS BIGINT) AS n_notax,
+        |  CAST(sum(CASE WHEN l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS early_rev,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "t2_hop" ->
+      """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM (SELECT unnest([date_trunc('hour', CAST(ts AS TIMESTAMP)),
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR]) AS ws,
+        |    value FROM events)
+        |GROUP BY ws ORDER BY ws""".stripMargin,
+    "t3_session" ->
+      s"""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         |s AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+         |    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         |    THEN 1 ELSE 0 END AS is_new
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |t AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
+         |    ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM s)
+         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+         |  strftime(min(ts), '$FMT') AS session_start,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+         |FROM t GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin,
+    "t4_stream_dedup" ->
+      s"""SELECT user_id, event_type, event_id,
+         |  strftime(CAST(ts AS TIMESTAMP), '$FMT') AS first_ts
+         |FROM events
+         |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+         |  ORDER BY CAST(ts AS TIMESTAMP), event_id) = 1
+         |ORDER BY user_id, event_type""".stripMargin,
+    "t5_funnel" ->
+      s"""WITH su AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS signup_ts
+         |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+         |pu AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS p_ts
+         |  FROM events WHERE event_type = 'purchase')
+         |SELECT su.user_id, strftime(su.signup_ts, '$FMT') AS signup_time,
+         |  strftime(min(pu.p_ts), '$FMT') AS first_purchase_time,
+         |  CAST(count(pu.p_ts) AS BIGINT) AS n_purchases_after,
+         |  (min(pu.p_ts) IS NOT NULL) AS converted
+         |FROM su LEFT JOIN pu ON pu.user_id = su.user_id AND pu.p_ts >= su.signup_ts
+         |GROUP BY su.user_id, su.signup_ts ORDER BY su.user_id""".stripMargin,
+    "d1_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY lower(trim(text)) ORDER BY doc_id""".stripMargin,
+    "d4_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, lang,
+        |  list_distinct(CASE WHEN len(sp) < 2 THEN [array_to_string(sp, ' ')]
+        |    ELSE list_transform(generate_series(1, len(sp) - 1),
+        |      i -> sp[i] || ' ' || sp[i+1]) END) AS sh
+        |  FROM (SELECT doc_id, lang,
+        |    string_split_regex(trim(text), '\s+') AS sp FROM documents))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.sh, b.sh)) /
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |FROM w a JOIN w b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.sh, b.sh)) /
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "d5_embed_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
+    "s1_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |s AS (SELECT q.query_id, c.vec_id, list_cosine_similarity(qv, cv) AS sim
+        |  FROM q JOIN c ON q.query_id <> c.vec_id)
+        |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, vec_id ASC) AS INT) AS "rank",
+        |  vec_id AS neighbor_id, sim
+        |FROM s QUALIFY "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+    "s3_knn_join" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE label = 0),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE label >= 5),
+        |s AS (SELECT q.query_id, c.vec_id, list_cosine_similarity(qv, cv) AS sim
+        |  FROM q JOIN c ON q.query_id <> c.vec_id)
+        |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, vec_id ASC) AS INT) AS "rank",
+        |  vec_id AS neighbor_id, sim
+        |FROM s QUALIFY "rank" <= 3 ORDER BY query_id, "rank"""".stripMargin,
+    "x1_langid" ->
+      """WITH t AS (SELECT doc_id, lang AS lang_actual,
+        |  list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |sc AS (SELECT doc_id, lang_actual,
+        |  len(list_intersect(w, ['der','die','das','und','nicht','ist'])) AS s_de,
+        |  len(list_intersect(w, ['the','and','of','is','to','in'])) AS s_en,
+        |  len(list_intersect(w, ['el','la','de','que','los','una'])) AS s_es,
+        |  len(list_intersect(w, ['le','la','et','les','des','une'])) AS s_fr
+        |  FROM t)
+        |SELECT doc_id, lang_actual,
+        |  CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+        |    WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+        |    WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+        |    WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+        |    ELSE 'fr' END AS lang_pred
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "x2_quality" ->
+      """WITH m AS (SELECT doc_id, length(text) AS nc,
+        |  len(string_split_regex(trim(text), '\s+')) AS nt,
+        |  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS np,
+        |  length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS nu,
+        |  len(list_intersect(list_distinct(string_split_regex(trim(text), '\s+')),
+        |    ['the','and','of','is','to','in','a','that','it','for'])) AS st
+        |  FROM documents)
+        |SELECT doc_id, CAST(nt AS INT) AS n_tokens,
+        |  np / nc AS punct_ratio, nu / nc AS upper_ratio,
+        |  CAST(st AS INT) AS stopword_hits,
+        |  (nc - (nt - 1)) / nt AS avg_token_len,
+        |  least(nt / 100.0, 1.0) * 0.5 + least(st / 5.0, 1.0) * 0.3 +
+        |    (CASE WHEN np / nc < 0.1 THEN 0.2 ELSE 0.0 END) AS quality_score
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "x3_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT)
+        |    AS bpe_ish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -25,6 +25,9 @@ object GraftFunctions {
 
   def rolling_hash(c: Column): Column = toCol(RollingHash(toExpr(c)))
 
+  def hyperplane_lsh(vec: Column, bits: Int, table: Column): Column =
+    toCol(HyperplaneLsh(toExpr(vec), toExpr(table), bits))
+
   /** (name, builder) pairs — single source of truth for SQL registration. */
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "timestamp_to_string" -> (es => TimestampToString(es.head)),

@@ -91,6 +91,23 @@ case class RollingHash(child: Expression)
   override def prettyName: String = "rolling_hash"
 }
 
+/** Random-hyperplane LSH signature: `bits` sign-bits of dot products
+  * with deterministic Rademacher (+-1) hyperplanes, parameterized by a
+  * table index so multiple independent hash tables come from one
+  * expression. Packed into a long. */
+case class HyperplaneLsh(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression {
+  require(bits > 0 && bits <= 63)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(vec: Any, table: Any): Any =
+    GraftHash.hyperplaneSig(vec.asInstanceOf[ArrayData], bits, table.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, t) => s"graft.functions.GraftHash.hyperplaneSig($v, $bits, $t)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HyperplaneLsh =
+    copy(left = l, right = r)
+  override def prettyName: String = "hyperplane_lsh"
+}
+
 /** Static helpers referenced from generated code (must be public,
   * static-reachable, and JVM-name stable). */
 object GraftHash {
@@ -233,6 +250,29 @@ object GraftHash {
       k += 1
     }
     new GenericArrayData(sig)
+  }
+
+  /** Sign-bit signature of `bits` Rademacher hyperplane projections;
+    * hyperplane element (table, bit, j) is +-1 from a splitmix of the
+    * three indices — deterministic, no stored model. */
+  def hyperplaneSig(vec: ArrayData, bits: Int, table: Int): Long = {
+    val n = vec.numElements()
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      var dot = 0.0
+      var j = 0
+      while (j < n) {
+        val h = mix(table.toLong * 0x9e3779b97f4a7c15L +
+          b.toLong * 0xc2b2ae3d27d4eb4fL + j.toLong)
+        val r = if ((h & 1L) == 0L) 1.0 else -1.0
+        dot += r * vec.getFloat(j)
+        j += 1
+      }
+      if (dot >= 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
   }
 
   def rollingHash(text: UTF8String): Long = {

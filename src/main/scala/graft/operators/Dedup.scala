@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions.{minhash_signature, simhash64}
+
+/** Document deduplication operators for LLM-scale corpora.
+  *
+  * Scale notes (SURVEY §4): every variant here is linear-ish — dup
+  * candidates come from equality joins on hash buckets (LSH bands /
+  * simhash bands / exact normalized hash), never from an n^2
+  * similarity join. The only quadratic step is the *verify* pass,
+  * which runs per-bucket on candidate pairs only.
+  */
+object Dedup {
+  /** Exact dedup on normalized text: one surviving row (min id) per
+    * distinct normalized content + the copy count. At scale this is
+    * one hash-partitioned aggregation; grouping by the 64-bit
+    * xxhash of the text (instead of the full text) keeps shuffle rows
+    * small — collision probability at 10^11 docs is ~1e-3 and the
+    * min-id winner is unaffected by which copy wins. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = lower(trim(col(textCol)))
+    df.groupBy(xxhash64(norm).as("__g_key"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .drop("__g_key")
+  }
+
+  /** Word-shingle set of a text column (distinct `w`-grams), built
+    * from codegen'd collection functions — no UDF. */
+  def shingles(textCol: Column, w: Int): Column = {
+    val words = split(trim(textCol), "\\s+")
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(words) - w, lit(0))),
+      i => concat_ws(" ", slice(words, i + 1, lit(w)))))
+  }
+
+  /** Exact Jaccard similarity of two shingle-set columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - size(array_intersect(a, b)))
+  }
+
+  /** MinHash + LSH near-dup pairs.
+    *
+    * shingle -> `numHashes`-slot MinHash signature (single-pass native
+    * expression) -> `bands` bands of numHashes/bands rows -> explode ->
+    * equality self-join on (band, bandHash) -> distinct candidate
+    * pairs -> *exact* shingle-Jaccard verify >= `threshold`.
+    *
+    * Detection guarantee: a pair with Jaccard j collides in >= 1 band
+    * with prob 1-(1-j^r)^b (r = rows/band). The band join is an
+    * equi-join on a high-cardinality 64-bit key: fully parallel,
+    * skew only where true near-dup clusters exist (AQE splits those).
+    */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sigs = df.select(col(idCol), col(textCol),
+      minhash_signature(col(textCol), shingleWords, numHashes).as("__g_sig"))
+    val banded = sigs.select(col(idCol), col(textCol),
+      explode(array((0 until bands).map(b => struct(lit(b).as("band"),
+        xxhash64(lit(b), slice(col("__g_sig"), b * r + 1, r)).as("bh"))): _*)).as("__g_b"))
+      .select(col(idCol), col(textCol),
+        col("__g_b.band").as("__g_band"), col("__g_b.bh").as("__g_bh"))
+    val l = banded.select(col("__g_band"), col("__g_bh"),
+      col(idCol).as("id_a"), col(textCol).as("text_a"))
+    val rt = banded.select(col("__g_band").as("__g_band2"), col("__g_bh").as("__g_bh2"),
+      col(idCol).as("id_b"), col(textCol).as("text_b"))
+    val cand = l.join(rt,
+        l("__g_band") === rt("__g_band2") && l("__g_bh") === rt("__g_bh2") &&
+          l("id_a") < rt("id_b"))
+      .select("id_a", "id_b", "text_a", "text_b")
+      .dropDuplicates("id_a", "id_b")
+    cand.withColumn("jaccard",
+        jaccard(shingles(col("text_a"), shingleWords), shingles(col("text_b"), shingleWords)))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash near-dup pairs: 64-bit simhash, split into `bands` bit
+    * slices; pairs agreeing on >= 1 slice are candidates; keep pairs
+    * with Hamming distance <= maxHamming (guaranteed found when
+    * maxHamming < bands). Same equality-join scale shape as MinHash. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 8, maxHamming: Int = 7): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    val w = 64 / bands
+    val sigs = df.select(col(idCol), simhash64(col(textCol)).as("__g_sh"))
+    val banded = sigs.select(col(idCol), col("__g_sh"),
+      explode(array((0 until bands).map(b => struct(lit(b).as("band"),
+        shiftrightunsigned(col("__g_sh"), b * w)
+          .bitwiseAND(lit((1L << w) - 1)).as("bv"))): _*)).as("__g_b"))
+      .select(col(idCol), col("__g_sh"),
+        col("__g_b.band").as("__g_band"), col("__g_b.bv").as("__g_bv"))
+    val l = banded.select(col("__g_band"), col("__g_bv"),
+      col(idCol).as("id_a"), col("__g_sh").as("sh_a"))
+    val rt = banded.select(col("__g_band").as("__g_band2"), col("__g_bv").as("__g_bv2"),
+      col(idCol).as("id_b"), col("__g_sh").as("sh_b"))
+    l.join(rt, l("__g_band") === rt("__g_band2") && l("__g_bv") === rt("__g_bv2") &&
+        l("id_a") < rt("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(l("sh_a").bitwiseXOR(rt("sh_b"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .where(col("hamming") <= maxHamming)
+  }
+}

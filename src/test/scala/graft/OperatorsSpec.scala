@@ -1,0 +1,108 @@
+package graft
+
+import java.time.Duration
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local(4)
+  import spark.implicits._
+
+  val base = "the quick brown fox jumps over the lazy dog and runs far away into the green forest tonight"
+
+  test("minhash LSH finds a planted near-duplicate and skips unrelated docs") {
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("lazy", "sleepy")), // one-word edit: high jaccard
+      (3L, "completely different content about databases and distributed query engines at scale"),
+      (4L, "yet another unrelated document concerning maritime navigation and celestial charts")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      shingleWords = 2, numHashes = 64, bands = 16, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L)))
+  }
+
+  test("simhash pairs finds near-dup, hamming 0 for identical") {
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, base.replace("lazy", "sleepy")),
+      (4L, "orthogonal subject matter entirely: volcanic geology and tectonic plate dynamics")
+    ).toDF("doc_id", "text")
+    val res = Dedup.simhashPairs(docs, "doc_id", "text", bands = 8, maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val identical = res.find(p => p._1 == 1L && p._2 == 2L)
+    assert(identical.exists(_._3 == 0), s"identical docs must have hamming 0, got $res")
+    assert(res.exists(p => (p._1, p._2) == (1L, 3L) || (p._1, p._2) == (2L, 3L)),
+      s"near-dup must be found, got $res")
+    assert(!res.exists(p => p._2 == 4L), s"unrelated doc must not pair, got $res")
+  }
+
+  test("exact dedup keeps min id and counts copies") {
+    val docs = Seq((5L, "AAA"), (2L, "aaa "), (9L, "bbb")).toDF("doc_id", "text")
+    val res = Dedup.exact(docs, "doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(res.toSeq == Seq((2L, 2L), (9L, 1L)))
+  }
+
+  test("LSH ANN results are a subset of brute-force candidates with exact sims") {
+    val emb = sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val bf = Similarity.bruteForceTopK(q, emb, 50).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val lsh = Similarity.lshTopK(q, emb, 5, bits = 6, tables = 8).collect()
+    assert(lsh.nonEmpty, "LSH should return candidates at bits=6")
+    // every LSH sim equals the exact sim brute force computed
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      bf.get(key).foreach(exact => assert(exact == r.getDouble(3)))
+    }
+  }
+
+  test("sessionize splits on gaps, session aggregate is consistent") {
+    def ts(m: Int) = new java.sql.Timestamp(m * 60000L)
+    val e = Seq((1L, 1L, ts(0)), (2L, 1L, ts(10)), (3L, 1L, ts(60)),
+      (4L, 2L, ts(5))).toDF("event_id", "user_id", "ts")
+    val s = SessionWindow.sessionize(e, "user_id", "ts", "event_id", Duration.ofMinutes(30))
+      .orderBy("event_id").collect().map(_.getAs[Long]("session_id")).toSeq
+    assert(s == Seq(1L, 1L, 2L, 1L))
+    val agg = SessionWindow.aggregate(e, "user_id", "ts", "event_id", Duration.ofMinutes(30))
+    assert(agg.count() == 3)
+    val first = agg.filter(col("user_id") === 1 && col("session_id") === 1).collect().head
+    assert(first.getAs[Long]("n_events") == 2)
+    assert(first.getAs[Long]("duration_us") == 10L * 60 * 1000000)
+  }
+
+  test("multimodal plumbing: schema, determinism, frame count") {
+    val docs = sources.Tables.load(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    val media = Multimodal.fromDocuments(docs)
+    assert(media.schema("media").dataType.typeName == "binary")
+    val f1 = Multimodal.extractFeatures(spark, media, batchSize = 7, frames = 4)
+      .collect().sortBy(_.doc_id)
+    val f2 = Multimodal.extractFeatures(spark, media, batchSize = 64, frames = 4)
+      .collect().sortBy(_.doc_id)
+    assert(f1.length == 50)
+    // batch size must not change results (pure per-record codec)
+    assert(f1.map(f => (f.doc_id, f.byte_len, f.checksum)).toSeq ==
+      f2.map(f => (f.doc_id, f.byte_len, f.checksum)).toSeq)
+    assert(f1.forall(_.frame_hashes.length == 4))
+    assert(f1.forall(f => f.mean_byte > 0 && f.byte_len > 0))
+  }
+
+  test("text analysis: langId picks marker language, token counts sane") {
+    val docs = Seq(
+      (1L, "the cat and the dog of the house is to be in"),
+      (2L, "el perro de la casa que los gatos una vez"),
+      (3L, "xyzzy plugh qwerty")).toDF("doc_id", "text")
+    val langs = docs.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .orderBy("doc_id").collect().map(_.getString(1)).toSeq
+    assert(langs == Seq("en", "es", "und"))
+    val counts = TextAnalysis.withTokenCounts(docs, "text").orderBy("doc_id")
+      .select("ws_tokens", "bpe_ish_tokens").collect()
+    assert(counts(2).getInt(0) == 3 && counts(2).getInt(1) == 3)
+  }
+}
