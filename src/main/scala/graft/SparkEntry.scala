@@ -284,17 +284,10 @@ object SparkEntry {
       Dedup.simhashPairs(T(s, dir, "documents"), "doc_id", "text",
         bands = 8, maxHamming = 7)
         .orderBy("id_a", "id_b")),
-    "d4_ngram_jaccard" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      val a = docs.select(col("doc_id").as("id_a"), col("lang").as("lang_a"),
-        Dedup.shingles(col("text"), 2).as("sh_a"))
-      val b = docs.select(col("doc_id").as("id_b"), col("lang").as("lang_b"),
-        Dedup.shingles(col("text"), 2).as("sh_b"))
-      a.join(b, col("lang_a") === col("lang_b") && col("id_a") < col("id_b"))
-        .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
-        .where(col("jaccard") >= 0.5)
-        .select("id_a", "id_b", "jaccard").orderBy("id_a", "id_b")
-    }),
+    "d4_ngram_jaccard" -> ((s, dir) =>
+      Dedup.jaccardJoin(T(s, dir, "documents"), "doc_id", "text",
+        shingleWords = 2, threshold = 0.5)
+        .orderBy("id_a", "id_b")),
     "d5_embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(T(s, dir, "embeddings"), 0.45)
         .orderBy("id_a", "id_b")),
@@ -563,18 +556,19 @@ object SparkEntry {
       """SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY lower(trim(text)) ORDER BY doc_id""".stripMargin,
     "d4_ngram_jaccard" ->
-      """WITH w AS (SELECT doc_id, lang,
+      """WITH w AS (SELECT doc_id,
         |  list_distinct(CASE WHEN len(sp) < 2 THEN [array_to_string(sp, ' ')]
         |    ELSE list_transform(generate_series(1, len(sp) - 1),
         |      i -> sp[i] || ' ' || sp[i+1]) END) AS sh
-        |  FROM (SELECT doc_id, lang,
-        |    string_split_regex(trim(text), '\s+') AS sp FROM documents))
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  len(list_intersect(a.sh, b.sh)) /
-        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-        |FROM w a JOIN w b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |WHERE len(list_intersect(a.sh, b.sh)) /
-        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+        |  FROM (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS sp FROM documents)),
+        |ww AS (SELECT doc_id, sh, len(sh) AS n FROM w),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.sh, b.sh)) AS inter, a.n AS na, b.n AS nb
+        |  FROM ww a JOIN ww b ON a.doc_id < b.doc_id
+        |    AND a.n <= b.n * 2.0 AND b.n <= a.n * 2.0)
+        |SELECT id_a, id_b, inter / (na + nb - inter) AS jaccard
+        |FROM p WHERE inter / (na + nb - inter) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
     "d5_embed_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -28,6 +28,12 @@ object GraftFunctions {
   def hyperplane_lsh(vec: Column, bits: Int, table: Column): Column =
     toCol(HyperplaneLsh(toExpr(vec), toExpr(table), bits))
 
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    toCol(SortedIntersectCount(toExpr(a), toExpr(b)))
+
+  def shingle_hashes(text: Column, shingleWords: Int): Column =
+    toCol(ShingleHashes(toExpr(text), shingleWords))
+
   /** (name, builder) pairs — single source of truth for SQL registration. */
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "timestamp_to_string" -> (es => TimestampToString(es.head)),

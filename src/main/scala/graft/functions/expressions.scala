@@ -91,6 +91,39 @@ case class RollingHash(child: Expression)
   override def prettyName: String = "rolling_hash"
 }
 
+/** Sorted distinct 64-bit hashes of a document's `shingleWords`-word
+  * shingles — the whole shingle pipeline (tokenize, window, hash,
+  * distinct, sort) in one pass with no intermediate string arrays.
+  * Pairs with SortedIntersectCount for exact set-similarity joins. */
+case class ShingleHashes(child: Expression, shingleWords: Int)
+    extends UnaryExpression {
+  require(shingleWords > 0)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    GraftHash.shingleHashes(v.asInstanceOf[UTF8String], shingleWords)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.shingleHashes($c, $shingleWords)")
+  override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
+  override def prettyName: String = "shingle_hashes"
+}
+
+/** Intersection size of two SORTED long arrays (linear merge, no
+  * allocation). Backs the exact set-similarity join: shingle sets are
+  * hashed to sorted long arrays once per document, so the O(pairs)
+  * verify costs ~(|a|+|b|) long comparisons per pair instead of
+  * building a hash table per probe. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftHash.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftHash.sortedIntersectCount($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectCount =
+    copy(left = l, right = r)
+  override def prettyName: String = "sorted_intersect_count"
+}
+
 /** Random-hyperplane LSH signature: `bits` sign-bits of dot products
   * with deterministic Rademacher (+-1) hyperplanes, parameterized by a
   * table index so multiple independent hash tables come from one
@@ -250,6 +283,51 @@ object GraftHash {
       k += 1
     }
     new GenericArrayData(sig)
+  }
+
+  /** Single-pass sorted distinct shingle hashes (see ShingleHashes). */
+  def shingleHashes(text: UTF8String, shingleWords: Int): ArrayData = {
+    val s = text.toString
+    val starts = new scala.collection.mutable.ArrayBuffer[Int]()
+    val ends = new scala.collection.mutable.ArrayBuffer[Int]()
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      val st = i
+      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > st) { starts += st; ends += i }
+    }
+    val nTok = starts.length
+    val nShingles = math.max(nTok - shingleWords + 1, if (nTok > 0) 1 else 0)
+    val hs = new Array[Long](nShingles)
+    var k = 0
+    while (k < nShingles) {
+      val last = math.min(k + shingleWords - 1, nTok - 1)
+      hs(k) = hashRange(s, starts(k), ends(last))
+      k += 1
+    }
+    java.util.Arrays.sort(hs)
+    // in-place dedup of the sorted hashes
+    var out = 0
+    var j = 0
+    while (j < nShingles) {
+      if (out == 0 || hs(j) != hs(out - 1)) { hs(out) = hs(j); out += 1 }
+      j += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, out))
+  }
+
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements(); val m = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < n && j < m) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
   }
 
   /** Sign-bit signature of `bits` Rademacher hyperplane projections;

@@ -42,6 +42,56 @@ object Dedup {
     inter / (size(a) + size(b) - size(array_intersect(a, b)))
   }
 
+  /** Exact n-gram Jaccard similarity join: ALL doc pairs with
+    * shingle-Jaccard >= threshold (no blocking that could miss
+    * cross-block dups).
+    *
+    * Pruning is exact: jaccard >= t implies the shingle-set sizes have
+    * ratio <= 1/t (inter <= min, union >= max => j <= min/max), so the
+    * size predicates drop pairs *before* any set intersection, and the
+    * intersection is computed once per surviving pair. The small side
+    * is broadcast, so parallelism is the streamed side's partitioning —
+    * no low-cardinality shuffle key (a lang-blocked equi-join would
+    * put the whole corpus on a handful of shuffle partitions).
+    *
+    * This is the exact/verify-grade operator: it is quadratic by
+    * definition. At 100 TB run `minhashLsh` (linear-ish candidates)
+    * and use this only as the verify stage on candidates. */
+  def jaccardJoin(df: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int = 2, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0 && threshold <= 1)
+    import graft.functions.GraftFunctions.{shingle_hashes, sorted_intersect_count}
+    val ratio = 1.0 / threshold
+    // One custom-expression pass per document: tokenize -> shingle ->
+    // hash64 -> distinct -> sort. The per-pair verify is then a linear
+    // merge over sorted longs instead of a per-pair string-set build.
+    // 64-bit hashing cannot create false positives at any realistic
+    // corpus size (expected collisions ~ pairs * |sh|^2 / 2^64).
+    val base = df.select(col(idCol),
+        shingle_hashes(col(textCol), shingleWords).as("shh"))
+      .withColumn("n", size(col("shh")))
+    // small corpora arrive as ONE parquet partition; the streamed side
+    // of a broadcast join inherits that, serializing the whole O(n^2)
+    // verify onto one core — spread it first
+    val a = base.select(col(idCol).as("id_a"), col("shh").as("shh_a"), col("n").as("n_a"))
+      .repartition(col("id_a"))
+    val b = base.select(col(idCol).as("id_b"), col("shh").as("shh_b"), col("n").as("n_b"))
+    val cheap = col("id_a") < col("id_b") &&
+      col("n_a") <= col("n_b") * ratio && col("n_b") <= col("n_a") * ratio
+    // j >= t  <=>  inter*(1+t) >= t*(na+nb); the when() guard keeps the
+    // merge from running on pairs the cheap predicates already killed
+    // (Catalyst pushes this filter into the join condition, where it
+    // would otherwise be evaluated FIRST on every cross pair)
+    val interCond = sorted_intersect_count(col("shh_a"), col("shh_b")).cast("double") *
+      (1.0 + threshold) >= lit(threshold) * (col("n_a") + col("n_b"))
+    a.join(broadcast(b), cheap)
+      .where(when(cheap, interCond).otherwise(lit(false)))
+      .withColumn("inter", sorted_intersect_count(col("shh_a"), col("shh_b")))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** MinHash + LSH near-dup pairs.
     *
     * shingle -> `numHashes`-slot MinHash signature (single-pass native
@@ -58,25 +108,29 @@ object Dedup {
       shingleWords: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    import graft.functions.GraftFunctions.{shingle_hashes, sorted_intersect_count}
     val r = numHashes / bands
-    val sigs = df.select(col(idCol), col(textCol),
+    val sigs = df.select(col(idCol),
+      shingle_hashes(col(textCol), shingleWords).as("shh"),
       minhash_signature(col(textCol), shingleWords, numHashes).as("__g_sig"))
-    val banded = sigs.select(col(idCol), col(textCol),
+    val banded = sigs.select(col(idCol), col("shh"),
       explode(array((0 until bands).map(b => struct(lit(b).as("band"),
         xxhash64(lit(b), slice(col("__g_sig"), b * r + 1, r)).as("bh"))): _*)).as("__g_b"))
-      .select(col(idCol), col(textCol),
+      .select(col(idCol), col("shh"),
         col("__g_b.band").as("__g_band"), col("__g_b.bh").as("__g_bh"))
     val l = banded.select(col("__g_band"), col("__g_bh"),
-      col(idCol).as("id_a"), col(textCol).as("text_a"))
+      col(idCol).as("id_a"), col("shh").as("shh_a"))
     val rt = banded.select(col("__g_band").as("__g_band2"), col("__g_bh").as("__g_bh2"),
-      col(idCol).as("id_b"), col(textCol).as("text_b"))
+      col(idCol).as("id_b"), col("shh").as("shh_b"))
     val cand = l.join(rt,
         l("__g_band") === rt("__g_band2") && l("__g_bh") === rt("__g_bh2") &&
           l("id_a") < rt("id_b"))
-      .select("id_a", "id_b", "text_a", "text_b")
+      .select("id_a", "id_b", "shh_a", "shh_b")
       .dropDuplicates("id_a", "id_b")
-    cand.withColumn("jaccard",
-        jaccard(shingles(col("text_a"), shingleWords), shingles(col("text_b"), shingleWords)))
+    // exact verify on the sorted hash sets (same merge as jaccardJoin)
+    cand.withColumn("inter", sorted_intersect_count(col("shh_a"), col("shh_b")))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("shh_a")) + size(col("shh_b")) - col("inter")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
