@@ -223,6 +223,21 @@ object SparkEntry {
         count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
 
+    "q17_distinct_agg" -> ((s, dir) =>
+      T(s, dir, "orders").groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("n_customers"),
+          countDistinct(col("o_orderstatus")).as("n_statuses"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")),
+    // approximate aggregates: sketch outputs differ across engines by
+    // design -> rows-only here; the spec asserts error bounds vs exact
+    "a1_approx_agg" -> ((s, dir) =>
+      T(s, dir, "events").groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"),
+          percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95_value"))
+        .orderBy("event_type")),
+
     // ---- §2.3 event/time-series -------------------------------------
     "t1_tumble" -> ((s, dir) =>
       T(s, dir, "events")
@@ -510,6 +525,12 @@ object SparkEntry {
         |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS early_rev,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q17_distinct_agg" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+        |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "t2_hop" ->
       """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
         |  CAST(count(*) AS BIGINT) AS n,

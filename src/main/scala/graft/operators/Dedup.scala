@@ -158,7 +158,10 @@ object Dedup {
         l("id_a") < rt("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(l("sh_a").bitwiseXOR(rt("sh_b"))).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
+      // hamming is pair-deterministic: filter BEFORE the distinct so the
+      // dedup shuffle only carries surviving pairs, not every band
+      // collision (word-soup corpora collide heavily)
       .where(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
   }
 }

@@ -93,6 +93,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(f1.forall(f => f.mean_byte > 0 && f.byte_len > 0))
   }
 
+  test("approximate aggregates land within error bounds of exact") {
+    val dir = "/root/testdata/sf0.01"
+    val approx = SparkEntry.queries("a1_approx_agg")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val e = sources.Tables.load(spark, dir, "events")
+    val exact = e.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("u"),
+        expr("percentile(value, 0.5)").as("p50"),
+        min("value").as("lo"), max("value").as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    exact.foreach { case (k, (u, p50, lo, hi)) =>
+      val (au, ap50, ap95) = approx(k)
+      assert(math.abs(au - u).toDouble / u <= 0.1, s"$k: approx users $au vs exact $u")
+      assert(math.abs(ap50 - p50) / (hi - lo) <= 0.05, s"$k: p50 $ap50 vs $p50")
+      assert(ap95 >= ap50 && ap95 <= hi, s"$k: p95 $ap95 out of range")
+    }
+  }
+
   test("text analysis: langId picks marker language, token counts sane") {
     val docs = Seq(
       (1L, "the cat and the dog of the house is to be in"),
