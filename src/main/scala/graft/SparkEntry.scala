@@ -306,6 +306,11 @@ object SparkEntry {
     "d5_embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(T(s, dir, "embeddings"), 0.45)
         .orderBy("id_a", "id_b")),
+    // cross-source content overlap via mergeable MinHash aggregate
+    // (estimator; rows-only, spec-validated against exact Jaccard)
+    "d6_corpus_overlap" -> ((s, dir) =>
+      Dedup.corpusOverlap(T(s, dir, "documents"), "source", "text")
+        .orderBy("group_a", "group_b")),
 
     // ---- §2.5 similarity search -------------------------------------
     "s1_ann_bruteforce" -> ((s, dir) => {

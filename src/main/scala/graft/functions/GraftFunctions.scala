@@ -34,6 +34,9 @@ object GraftFunctions {
   def shingle_hashes(text: Column, shingleWords: Int): Column =
     toCol(ShingleHashes(toExpr(text), shingleWords))
 
+  def minhash_merge(sig: Column): Column =
+    toCol(MinHashMerge(toExpr(sig)).toAggregateExpression())
+
   /** (name, builder) pairs — single source of truth for SQL registration. */
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "timestamp_to_string" -> (es => TimestampToString(es.head)),

@@ -135,6 +135,30 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Cross-group content-overlap estimation: per-doc MinHash
+    * signatures reduce (map-side partial, slot-wise min) to ONE
+    * signature per group; pairwise slot agreement then estimates the
+    * Jaccard similarity of the groups' distinct-shingle sets.
+    * Cost at 100 TB: one linear scan + a tiny per-group shuffle —
+    * never touches doc pairs. */
+  def corpusOverlap(df: DataFrame, groupCol: String, textCol: String,
+      shingleWords: Int = 3, numHashes: Int = 128): DataFrame = {
+    import graft.functions.GraftFunctions.{minhash_merge, minhash_signature}
+    val groups = df.groupBy(col(groupCol))
+      .agg(minhash_merge(
+        minhash_signature(col(textCol), shingleWords, numHashes)).as("gsig"),
+        count(lit(1)).as("n_docs"))
+    val a = groups.select(col(groupCol).as("group_a"), col("gsig").as("sig_a"),
+      col("n_docs").as("docs_a"))
+    val b = groups.select(col(groupCol).as("group_b"), col("gsig").as("sig_b"),
+      col("n_docs").as("docs_b"))
+    a.join(b, col("group_a") < col("group_b"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          b => b)) / lit(numHashes.toDouble))
+      .select("group_a", "group_b", "docs_a", "docs_b", "est_jaccard")
+  }
+
   /** SimHash near-dup pairs: 64-bit simhash, split into `bands` bit
     * slices; pairs agreeing on >= 1 slice are candidates; keep pairs
     * with Hamming distance <= maxHamming (guaranteed found when

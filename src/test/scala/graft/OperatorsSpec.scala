@@ -112,6 +112,56 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("salted join is result-identical to the plain join") {
+    val c = sources.Tables.load(spark, "/root/testdata/sf0.001", "customer")
+    val n = sources.Tables.load(spark, "/root/testdata/sf0.001", "nation")
+    val plain = c.join(n, c("c_nationkey") === n("n_nationkey"))
+      .select("c_custkey", "n_name")
+    val salted = SkewJoin.saltedJoin(c, n, "c_nationkey", "n_nationkey", salts = 8)
+      .select("c_custkey", "n_name")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("minhash_merge corpus overlap tracks exact group Jaccard") {
+    import graft.functions.GraftFunctions.shingle_hashes
+    // group A and B share half their docs' content; C is disjoint
+    val mk = (i: Int) => s"token$i alpha token$i beta token$i gamma delta$i epsilon$i"
+    val docs = ((0 until 20).map(i => ("A", mk(i))) ++
+      (10 until 30).map(i => ("B", mk(i))) ++
+      (100 until 120).map(i => ("C", mk(i)))).toDF("source", "text")
+    val est = Dedup.corpusOverlap(docs, "source", "text", shingleWords = 3, numHashes = 256)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    // exact jaccard of the groups' distinct shingle sets
+    val sets = docs.select(col("source"), explode(shingle_hashes(col("text"), 3)).as("h"))
+      .distinct().collect().groupBy(_.getString(0))
+      .map { case (g, rows) => g -> rows.map(_.getLong(1)).toSet }
+    def j(x: Set[Long], y: Set[Long]) = (x & y).size.toDouble / (x | y).size
+    val jAB = j(sets("A"), sets("B")); val jAC = j(sets("A"), sets("C"))
+    assert(math.abs(est(("A", "B")) - jAB) < 0.12, s"est ${est(("A", "B"))} vs exact $jAB")
+    assert(est(("A", "C")) == jAC && jAC == 0.0)
+  }
+
+  test("replay source emits batch rows as a rate-limited stream") {
+    val docs = sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .limit(30).select("doc_id", "text")
+    val stream = sources.Replay.stream(spark, docs, "doc_id", rowsPerSecond = 100)
+    val q = stream.writeStream.format("memory").queryName("replayed")
+      .outputMode("append").start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      var n = 0L
+      while (n < 30 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250)
+        q.processAllAvailable()
+        n = spark.sql("SELECT count(*) FROM replayed").collect().head.getLong(0)
+      }
+      assert(n == 30, s"expected all 30 rows replayed, got $n")
+      assert(spark.sql("SELECT count(DISTINCT doc_id) FROM replayed")
+        .collect().head.getLong(0) == 30)
+    } finally q.stop()
+  }
+
   test("text analysis: langId picks marker language, token counts sane") {
     val docs = Seq(
       (1L, "the cat and the dog of the house is to be in"),
