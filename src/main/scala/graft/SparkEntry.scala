@@ -67,6 +67,21 @@ object SparkEntry {
           timestamp_to_string(col("exchangeRateTime")).as("rate_time"))
         .orderBy("id")
     }),
+    // same semantics as ref_asof_join but through graft's custom
+    // whole-operator path (AsOfJoinPlan -> AsOfJoinStrategy ->
+    // AsOfMergeJoinExec) -- checked against the same DuckDB oracle
+    "ref_asof_merge" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      val o = RefTables.orders(e)
+      val r = RefTables.rates(e).withColumnRenamed("currency", "r_currency")
+      AsOfJoin.merge(o, r, "currency", "r_currency", "orderTime", "exchangeRateTime")
+        .select(col("id"),
+          col("amount").as("original_amount"),
+          col("rate"),
+          (col("amount") * col("rate")).as("converted_amount"),
+          timestamp_to_string(col("exchangeRateTime")).as("rate_time"))
+        .orderBy("id")
+    }),
     "ref_timestamp_to_string" -> ((s, dir) =>
       T(s, dir, "events")
         .select(col("event_id"), timestamp_to_string(col("ts")).as("ts_str"))
@@ -381,6 +396,16 @@ object SparkEntry {
          |  AND r.rate_ts > o.order_ts - INTERVAL 6 HOUR
          |ORDER BY id ASC, rate_time ASC NULLS FIRST""".stripMargin,
     "ref_asof_join" ->
+      s"""WITH o AS (${RefTables.ordersSql}), r AS (${RefTables.ratesSql})
+         |SELECT o.id, o.amount AS original_amount, rr.rate,
+         |  o.amount * rr.rate AS converted_amount,
+         |  strftime(rr.rate_ts, '$FMT') AS rate_time
+         |FROM o LEFT JOIN LATERAL (
+         |  SELECT r.rate, r.rate_ts FROM r
+         |  WHERE r.currency = o.currency AND r.rate_ts <= o.order_ts
+         |  ORDER BY r.rate_ts DESC LIMIT 1) rr ON TRUE
+         |ORDER BY id""".stripMargin,
+    "ref_asof_merge" ->
       s"""WITH o AS (${RefTables.ordersSql}), r AS (${RefTables.ratesSql})
          |SELECT o.id, o.amount AS original_amount, rr.rate,
          |  o.amount * rr.rate AS converted_amount,

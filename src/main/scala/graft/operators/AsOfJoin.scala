@@ -79,6 +79,34 @@ object AsOfJoin {
     guarded.select((lCols ++ valueCols).map(col): _*)
   }
 
+  /** Backward as-of join through graft's custom operator
+    * (`plans.AsOfJoinPlan` -> `AsOfMergeJoinExec`): one hash exchange +
+    * sort per side, then a single forward merge pass per partition —
+    * no union-schema widening, no window frame. Requires
+    * `AsOfJoinStrategy` to be registered (GraftExtensions, or any
+    * GraftSession). Output = left columns ++ right columns
+    * (null-extended when no match). Null keys compare equal to each
+    * other (ordering semantics), unlike SQL equality. */
+  def merge(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.SparkShims
+    val spark = left.sparkSession
+    // self-register the strategy for sessions built without
+    // GraftExtensions (e.g. the driver's plain builder)
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(graft.plans.AsOfJoinStrategy)) {
+      exp.extraStrategies = exp.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    }
+    val plan = graft.plans.AsOfJoinPlan(
+      SparkShims.logicalPlan(left), SparkShims.logicalPlan(right),
+      Seq(SparkShims.expression(left(leftKey))),
+      Seq(SparkShims.expression(right(rightKey))),
+      SparkShims.expression(left(leftTime)),
+      SparkShims.expression(right(rightTime)))
+    SparkShims.ofRows(spark, plan)
+  }
+
   /** Skew-resistant as-of join with a hard staleness bound: bucketed
     * interval join (see IntervalJoin) then latest-match-per-left-row.
     * Requires a unique left row id for the argmax. */

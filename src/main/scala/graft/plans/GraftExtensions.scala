@@ -20,5 +20,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     ext.injectOptimizerRule(_ => RewriteIntervalJoin)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
