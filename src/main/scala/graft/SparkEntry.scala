@@ -253,6 +253,27 @@ object SparkEntry {
           percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95_value"))
         .orderBy("event_type")),
 
+    "q18_pivot" -> ((s, dir) =>
+      T(s, dir, "orders").groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("o_orderpriority")),
+    "q19_collections" -> ((s, dir) =>
+      T(s, dir, "events").groupBy("user_id")
+        .agg(sort_array(collect_list(col("event_type"))).as("event_types"),
+          size(collect_set(col("event_type"))).as("n_distinct_types"))
+        .orderBy("user_id")),
+    "q20_edit_distance" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val a = d.select(col("doc_id"), substring(col("text"), 1, 80).as("t_a"))
+      val b = d.select((col("doc_id") - 1).as("doc_id"),
+        substring(col("text"), 1, 80).as("t_b"))
+      a.join(b, "doc_id")
+        .select(col("doc_id"), levenshtein(col("t_a"), col("t_b")).as("edit_dist"))
+        .orderBy("doc_id")
+    }),
+
     // ---- §2.3 event/time-series -------------------------------------
     "t1_tumble" -> ((s, dir) =>
       T(s, dir, "events")
@@ -561,6 +582,21 @@ object SparkEntry {
         |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses,
         |  CAST(count(*) AS BIGINT) AS n_orders
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q18_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS "F",
+        |  CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS "O",
+        |  CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q19_collections" ->
+      """SELECT user_id, list_sort(list(event_type)) AS event_types,
+        |  CAST(len(list_distinct(list(event_type))) AS INT) AS n_distinct_types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q20_edit_distance" ->
+      """SELECT a.doc_id, CAST(levenshtein(substring(a.text, 1, 80),
+        |    substring(b.text, 1, 80)) AS INT) AS edit_dist
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |ORDER BY a.doc_id""".stripMargin,
     "t2_hop" ->
       """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
         |  CAST(count(*) AS BIGINT) AS n,
