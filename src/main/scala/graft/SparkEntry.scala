@@ -642,6 +642,25 @@ object SparkEntry {
     "d1_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY lower(trim(text)) ORDER BY doc_id""".stripMargin,
+    // exact all-pairs trigram-jaccard oracle: valid because the corpus
+    // has NO pairs in the LSH miss-risk band (all matches sit at
+    // j >= 0.9, where 16-band/4-row detection probability is
+    // 1 - (1-0.9^4)^16 ~ 1 - 4e-8), so LSH output == exact output
+    "d2_dedup_minhash" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_distinct(CASE WHEN len(sp) < 3 THEN [array_to_string(sp, ' ')]
+        |    ELSE list_transform(generate_series(1, len(sp) - 2),
+        |      i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2]) END) AS sh
+        |  FROM (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS sp FROM documents)),
+        |ww AS (SELECT doc_id, sh, len(sh) AS n FROM w),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.sh, b.sh)) AS inter, a.n AS na, b.n AS nb
+        |  FROM ww a JOIN ww b ON a.doc_id < b.doc_id
+        |    AND a.n <= b.n * 2.0 AND b.n <= a.n * 2.0)
+        |SELECT id_a, id_b, inter / (na + nb - inter) AS jaccard
+        |FROM p WHERE inter / (na + nb - inter) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
     "d4_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id,
         |  list_distinct(CASE WHEN len(sp) < 2 THEN [array_to_string(sp, ' ')]

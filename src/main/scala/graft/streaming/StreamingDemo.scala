@@ -47,6 +47,31 @@ object StreamingDemo {
 
     println("=== enriched output ===")
     spark.read.text(outDir).collect().foreach(r => println(r.getString(0)))
+
+    // Part 2: the reference README's full workflow — a rate-controlled
+    // generator (Kinesis Data Generator analogue) driving the same
+    // enrichment join: replay parquet-derived orders at 100 rec/s and
+    // rates at 20 rec/s, join them live, count enriched rows.
+    println("=== rate-controlled replay through the streaming join ===")
+    import graft.sources.{Replay, RefTables, Tables}
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val liveOrders = Replay.stream(spark, RefTables.orders(events).limit(200), "orderTime", 100)
+      .drop("replay_time").withWatermark("orderTime", "10 seconds")
+    val liveRates = Replay.stream(spark, RefTables.rates(events).limit(40), "exchangeRateTime", 20)
+      .drop("replay_time").withWatermark("exchangeRateTime", "10 seconds")
+    val enriched = OrderEnrichmentJob.enrich(liveOrders, liveRates, java.time.Duration.ofHours(6))
+    val q2 = enriched.writeStream.format("memory").queryName("live")
+      .outputMode("append").start()
+    val deadline = System.currentTimeMillis() + 30000
+    var n = 0L
+    while (n < 40 && System.currentTimeMillis() < deadline) {
+      Thread.sleep(500); q2.processAllAvailable()
+      n = spark.sql("SELECT count(DISTINCT id) FROM live").collect().head.getLong(0)
+    }
+    q2.stop()
+    println(s"live-enriched distinct orders: $n; matched rows: " +
+      spark.sql("SELECT count(*) FROM live WHERE converted_amount IS NOT NULL")
+        .collect().head.getLong(0))
     spark.stop()
   }
 }
