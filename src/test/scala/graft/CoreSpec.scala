@@ -17,6 +17,15 @@ class CoreSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("driver contract consistency: oracles reference real queries, no dropped keys") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
+    // a duplicated key in the Map literal would silently drop an entry
+    assert(q.size == 47, s"expected 47 queries, got ${q.size}: check for duplicate keys")
+    assert(o.size == 41, s"expected 41 oracle-checked queries, got ${o.size}")
+  }
+
   test("every declared query has an oracle or is rows-only, and runs") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, dir)
