@@ -135,6 +135,94 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Exact n-gram Jaccard join via PREFIX FILTERING (PPJoin-style) —
+    * same results as `jaccardJoin`, but shaped for 100 TB:
+    *
+    * With shingle hashes sorted ascending (a global canonical order),
+    * any pair with overlap >= t shares its MINIMAL common element
+    * within the first |x| - t + 1 elements of each side (if the
+    * smallest common element were outside the prefix, fewer than t
+    * elements of the set could be >= it). Since j >= tau implies
+    * overlap >= ceil(tau*|x|) for both sides, indexing only each
+    * doc's first |x| - ceil(tau*|x|) + 1 hashes is lossless.
+    *
+    * Plan shape: explode prefixes -> equi-join on the 64-bit hash
+    * (high-cardinality, fully parallel, no broadcast requirement) ->
+    * distinct candidate pairs -> re-join signatures by id -> exact
+    * merge verify. Every stage is a shuffle equi-join or aggregation:
+    * no O(n^2) scan anywhere, so it survives corpus scale the
+    * broadcast variant cannot. */
+  def jaccardJoinPrefix(df: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int = 2, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0 && threshold <= 1)
+    import graft.functions.GraftFunctions.{shingle_hashes, sorted_intersect_count}
+    val ratio = 1.0 / threshold
+    val base = df.select(col(idCol).as("id"),
+        shingle_hashes(col(textCol), shingleWords).as("shh"))
+      .withColumn("n", size(col("shh")))
+    val prefixLen = (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int")
+    val posts = base.select(col("id"), col("n"),
+      explode(slice(col("shh"), lit(1), prefixLen)).as("h"))
+    val pa = posts.select(col("h").as("ha"), col("id").as("id_a"), col("n").as("na"))
+    val pb = posts.select(col("h").as("hb"), col("id").as("id_b"), col("n").as("nb"))
+    val cand = pa.join(pb, col("ha") === col("hb") && col("id_a") < col("id_b") &&
+        col("na") <= col("nb") * ratio && col("nb") <= col("na") * ratio)
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    val joined = cand
+      .join(base.select(col("id").as("id_a"), col("shh").as("shh_a"), col("n").as("n_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("shh").as("shh_b"), col("n").as("n_b")), "id_b")
+    joined
+      .withColumn("inter", sorted_intersect_count(col("shh_a"), col("shh_b")))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** `jaccardJoinPrefix` with FREQUENCY-ORDERED prefixes — the full
+    * PPJoin recipe. The canonical order becomes (doc-frequency, hash)
+    * ascending, so each doc's indexed prefix holds its *rarest*
+    * shingles and candidate buckets stay small even when the corpus
+    * shares a dense common vocabulary (where hash-ordered prefixes
+    * degrade into fat buckets of ubiquitous shingles). Costs one extra
+    * aggregation (global doc-frequency) and a per-doc re-sort; every
+    * stage is still a shuffle equi-join/agg — nothing quadratic,
+    * nothing broadcast. */
+  def jaccardJoinPrefixRare(df: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int = 2, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0 && threshold <= 1)
+    import graft.functions.GraftFunctions.{shingle_hashes, sorted_intersect_count}
+    val ratio = 1.0 / threshold
+    val base = df.select(col(idCol).as("id"),
+        shingle_hashes(col(textCol), shingleWords).as("shh"))
+      .withColumn("n", size(col("shh")))
+    val posts = base.select(col("id"), explode(col("shh")).as("h"))
+    val dfreq = posts.groupBy("h").agg(count(lit(1)).as("df"))
+    // per-doc shingles re-ordered by (global df, hash): struct sort is
+    // lexicographic, so sort_array gives exactly the canonical order
+    val ordered = posts.join(dfreq, "h")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
+      .join(base.select("id", "n"), "id")
+    val prefixLen = (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int")
+    val pfx = ordered.select(col("id"), col("n"),
+      explode(slice(col("ord"), lit(1), prefixLen)).as("e"))
+      .select(col("id"), col("n"), col("e.h").as("h"))
+    val pa = pfx.select(col("h").as("ha"), col("id").as("id_a"), col("n").as("na"))
+    val pb = pfx.select(col("h").as("hb"), col("id").as("id_b"), col("n").as("nb"))
+    val cand = pa.join(pb, col("ha") === col("hb") && col("id_a") < col("id_b") &&
+        col("na") <= col("nb") * ratio && col("nb") <= col("na") * ratio)
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    cand
+      .join(base.select(col("id").as("id_a"), col("shh").as("shh_a"), col("n").as("n_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("shh").as("shh_b"), col("n").as("n_b")), "id_b")
+      .withColumn("inter", sorted_intersect_count(col("shh_a"), col("shh_b")))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Cross-group content-overlap estimation: per-doc MinHash
     * signatures reduce (map-side partial, slot-wise min) to ONE
     * signature per group; pairwise slot agreement then estimates the

@@ -112,6 +112,20 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("prefix-filter jaccard join == broadcast jaccard join (both SFs)") {
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val docs = sources.Tables.load(spark, s"/root/testdata/$sf", "documents")
+      val bnl = Dedup.jaccardJoin(docs, "doc_id", "text", 2, 0.5)
+      val ppj = Dedup.jaccardJoinPrefix(docs, "doc_id", "text", 2, 0.5)
+      val rare = Dedup.jaccardJoinPrefixRare(docs, "doc_id", "text", 2, 0.5)
+      assert(ppj.count() == bnl.count(), s"$sf: counts differ")
+      assert(ppj.exceptAll(bnl).isEmpty && bnl.exceptAll(ppj).isEmpty,
+        s"$sf: result sets differ")
+      assert(rare.exceptAll(bnl).isEmpty && bnl.exceptAll(rare).isEmpty,
+        s"$sf: frequency-ordered variant differs")
+    }
+  }
+
   test("salted join is result-identical to the plain join") {
     val c = sources.Tables.load(spark, "/root/testdata/sf0.001", "customer")
     val n = sources.Tables.load(spark, "/root/testdata/sf0.001", "nation")
