@@ -361,6 +361,13 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       Similarity.lshTopK(q, emb, 5, bits = 8, tables = 4).orderBy("query_id", "rank")
     }),
+    "s4_ann_ivf" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.ivfTopK(q, emb, 5, clusters = 16, nprobe = 4)
+        .orderBy("query_id", "rank")
+    }),
     "s3_knn_join" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       Similarity.knnJoin(emb.filter(col("label") === 0),

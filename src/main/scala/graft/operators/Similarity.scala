@@ -61,6 +61,55 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** IVF (inverted-file) ANN index: partition the corpus into
+    * `clusters` Voronoi cells around centroids (deterministic seeds =
+    * lowest-id vectors, refined by one Lloyd iteration — enough to
+    * spread seeds; more iterations are a drop-in), then answer queries
+    * by exact search over only the `nprobe` nearest cells.
+    *
+    * Scale: centroids are tiny and broadcast; cell assignment is one
+    * linear scan; a query touches ~corpus*nprobe/clusters vectors.
+    * Everything is DataFrame ops (posexplode/avg/max_by), so the
+    * index build is shuffle-shaped, not driver-side. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      clusters: Int = 16, nprobe: Int = 4,
+      queryId: String = "query_id", queryVec: String = "query_vec",
+      corpusId: String = "vec_id", corpusVec: String = "embedding"): DataFrame = {
+    require(nprobe <= clusters)
+    // deterministic seeds: the `clusters` lowest-id vectors
+    val seeds = corpus.orderBy(col(corpusId)).limit(clusters)
+      .select(col(corpusId).as("cid0"), col(corpusVec).as("cvec0"))
+      .withColumn("cid", row_number().over(Window.orderBy(col("cid0"))) - 1)
+      .select("cid", "cvec0")
+    // one Lloyd iteration: elementwise mean per cell -> new centroids
+    val assigned0 = corpus.crossJoin(broadcast(seeds))
+      .withColumn("__sim", cosine_similarity(col(corpusVec), col("cvec0")))
+      .groupBy(col(corpusId), col(corpusVec))
+      .agg(max_by(col("cid"), col("__sim")).as("cid"))
+    val centroids = assigned0
+      .select(col("cid"), posexplode(col(corpusVec)).as(Seq("pos", "v")))
+      .groupBy("cid", "pos").agg(avg("v").as("m"))
+      .groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m").cast("float")).as("cvec"))
+    val indexed = corpus.crossJoin(broadcast(centroids))
+      .withColumn("__sim", cosine_similarity(col(corpusVec), col("cvec")))
+      .groupBy(col(corpusId), col(corpusVec))
+      .agg(max_by(col("cid"), col("__sim")).as("cid"))
+    // probe: each query searches its nprobe nearest cells
+    val pw = Window.partitionBy(col(queryId)).orderBy(col("__csim").desc, col("cid").asc)
+    val probes = broadcast(queries).crossJoin(broadcast(centroids))
+      .withColumn("__csim", cosine_similarity(col(queryVec), col("cvec")))
+      .withColumn("__pr", row_number().over(pw)).where(col("__pr") <= nprobe)
+      .select(col(queryId), col(queryVec), col("cid"))
+    val w = Window.partitionBy(col(queryId)).orderBy(col("sim").desc, col(corpusId).asc)
+    probes.join(indexed, Seq("cid"))
+      .where(col(queryId) =!= col(corpusId))
+      .withColumn("sim", cosine_similarity(col(queryVec), col(corpusVec)))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col(queryId), col("rank"), col(corpusId).as("neighbor_id"), col("sim"))
+  }
+
   /** Approximate top-k via random-hyperplane LSH: `tables` independent
     * `bits`-bit signatures; a corpus vector is a candidate for a query
     * if any signature matches exactly; candidates are re-ranked by

@@ -22,7 +22,7 @@ class CoreSpec extends AnyFunSuite {
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
     // a duplicated key in the Map literal would silently drop an entry
-    assert(q.size == 47, s"expected 47 queries, got ${q.size}: check for duplicate keys")
+    assert(q.size == 48, s"expected 48 queries, got ${q.size}: check for duplicate keys")
     assert(o.size == 41, s"expected 41 oracle-checked queries, got ${o.size}")
   }
 

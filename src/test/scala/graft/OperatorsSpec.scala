@@ -63,6 +63,26 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF ANN: exact sims, reasonable recall vs brute force") {
+    val emb = sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val bfTop = Similarity.bruteForceTopK(q, emb, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val bfAll = Similarity.bruteForceTopK(q, emb, 500).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val ivf = Similarity.ivfTopK(q, emb, 5, clusters = 16, nprobe = 8).collect()
+    assert(ivf.nonEmpty)
+    // every IVF sim must equal the exact sim
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(bfAll(key) == r.getDouble(3), s"sim mismatch for $key")
+    }
+    val recall = ivf.map(r => (r.getLong(0), r.getLong(2)))
+      .count(bfTop.contains).toDouble / bfTop.size
+    assert(recall >= 0.4, s"recall $recall too low for nprobe=8/16")
+  }
+
   test("sessionize splits on gaps, session aggregate is consistent") {
     def ts(m: Int) = new java.sql.Timestamp(m * 60000L)
     val e = Seq((1L, 1L, ts(0)), (2L, 1L, ts(10)), (3L, 1L, ts(60)),
