@@ -24,6 +24,88 @@ object StatefulOps {
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
 
+  // ---- streaming as-of join (event-time temporal join) --------------
+
+  /** Union-tagged event for the keyed co-processing stream. */
+  case class AsOfEvent(key: String, isRate: Boolean, ts: java.sql.Timestamp,
+      rate: Int, id: Int, amount: Int)
+  case class AsOfState(rates: List[(Long, Int)], pending: List[(Long, Int, Int)])
+  case class AsOfEnriched(id: Int, key: String, order_time: java.sql.Timestamp,
+      amount: Int, rate: Option[Int], converted: Option[Int])
+
+  /** Streaming backward as-of join with full event-time correctness:
+    * orders are held in keyed state until the watermark passes their
+    * event time (so every rate that could precede them has arrived),
+    * then matched against the latest rate <= order time and emitted —
+    * the streaming analogue of Flink's event-time temporal join, which
+    * the reference's interval join approximates (StreamingJob.java:
+    * 94-105).
+    *
+    * State is bounded: the rate buffer keeps only rates newer than the
+    * watermark plus the single latest rate at-or-before it (any older
+    * rate can never again be "the latest <= some future order");
+    * pending orders drain as the watermark advances (flushed by
+    * event-time timeout when a key receives no further traffic).
+    *
+    * `orders` and `rates` must each carry a watermark on their time
+    * column before being tagged into `events` (see `asOfEnrich`). */
+  def asOfEnrichStream(events: Dataset[AsOfEvent]): Dataset[AsOfEnriched] = {
+    implicit val outEnc = Encoders.product[AsOfEnriched]
+    implicit val stEnc = Encoders.product[AsOfState]
+
+    def flush(key: String, st: AsOfState, wm: Long): (AsOfState, List[AsOfEnriched]) = {
+      val (ready, hold) = st.pending.partition(_._1 <= wm)
+      val out = ready.sortBy(_._1).map { case (ts, id, amount) =>
+        val m = st.rates.filter(_._1 <= ts).lastOption
+        AsOfEnriched(id, key, new java.sql.Timestamp(ts), amount,
+          m.map(_._2), m.map(amount * _._2))
+      }
+      // prune: latest rate <= wm plus everything after it
+      val keepFrom = st.rates.lastIndexWhere(_._1 <= wm)
+      val rates = if (keepFrom <= 0) st.rates else st.rates.drop(keepFrom)
+      (AsOfState(rates, hold), out)
+    }
+
+    def fn(key: String, it: Iterator[AsOfEvent],
+        state: GroupState[AsOfState]): Iterator[AsOfEnriched] = {
+      val wm = state.getCurrentWatermarkMs()
+      val st0 = state.getOption.getOrElse(AsOfState(Nil, Nil))
+      val st1 = if (state.hasTimedOut) st0 else {
+        val evs = it.toSeq
+        val newRates = evs.filter(_.isRate).map(e => (e.ts.getTime, e.rate))
+        val newOrders = evs.filterNot(_.isRate).map(e => (e.ts.getTime, e.id, e.amount))
+        AsOfState((st0.rates ++ newRates).sortBy(_._1),
+          st0.pending ++ newOrders)
+      }
+      val (st2, out) = flush(key, st1, wm)
+      if (st2.rates.isEmpty && st2.pending.isEmpty) state.remove()
+      else {
+        state.update(st2)
+        if (st2.pending.nonEmpty) {
+          // wake when the watermark can release the oldest held order
+          state.setTimeoutTimestamp(math.max(st2.pending.map(_._1).min, wm + 1))
+        }
+      }
+      out.iterator
+    }
+
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Convenience wrapper from the reference's two POJO streams; the
+    * watermark is set on the unified tag stream's `ts`. */
+  def asOfEnrich(orders: Dataset[OrderEnrichmentJob.Order],
+      rates: Dataset[OrderEnrichmentJob.ExchangeRate],
+      watermark: String = "10 seconds"): Dataset[AsOfEnriched] = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val o = orders.map(x => AsOfEvent(x.currency, isRate = false, x.orderTime, 0, x.id, x.amount))
+    val r = rates.map(x => AsOfEvent(x.currency, isRate = true, x.exchangeRateTime, x.rate, 0, 0))
+    asOfEnrichStream(o.union(r).withWatermark("ts", watermark))
+  }
+
   /** Requires `events` to already carry a watermark on `ts`. */
   def sessionize(events: Dataset[Evt], gap: Duration): Dataset[SessionOut] = {
     val gapMs = gap.toMillis

@@ -66,6 +66,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming as-of join: watermark-correct matching incl. late rates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val orders = MemoryStream[OrderEnrichmentJob.Order]
+    val rates = MemoryStream[OrderEnrichmentJob.ExchangeRate]
+    val out = StatefulOps.asOfEnrich(orders.toDS(), rates.toDS(), "5 seconds")
+    val q = out.writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    try {
+      // rate@100, order@110 arrive; order NOT emitted yet (wm behind)
+      rates.addData(OrderEnrichmentJob.ExchangeRate(ts(100), "EUR", 3))
+      orders.addData(OrderEnrichmentJob.Order(1, ts(110), 10, "EUR"))
+      q.processAllAvailable()
+      // a LATE rate@107 (above the watermark of 110-5=105, so not
+      // dropped) arrives before the watermark passes 110 -> must win
+      rates.addData(OrderEnrichmentJob.ExchangeRate(ts(107), "EUR", 7))
+      q.processAllAvailable()
+      // advance the watermark well past 110 via a later rate tick
+      rates.addData(OrderEnrichmentJob.ExchangeRate(ts(500), "EUR", 9))
+      q.processAllAvailable()
+      rates.addData(OrderEnrichmentJob.ExchangeRate(ts(900), "EUR", 11))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT id, rate, converted FROM asof_stream").collect()
+      assert(rows.length == 1, s"expected exactly one enriched order, got ${rows.toSeq}")
+      assert(rows(0).getInt(1) == 7 && rows(0).getInt(2) == 70,
+        s"late rate@107 must win: ${rows(0)}")
+      // order on a key with no prior rate (ts above current watermark
+      // so it is not dropped as late) -> null-extended once wm passes
+      orders.addData(OrderEnrichmentJob.Order(2, ts(1000), 5, "GBP"))
+      q.processAllAvailable()
+      rates.addData(OrderEnrichmentJob.ExchangeRate(ts(2000), "GBP", 2))
+      q.processAllAvailable()
+      rates.addData(OrderEnrichmentJob.ExchangeRate(ts(3000), "GBP", 2))
+      q.processAllAvailable()
+      val gbp = spark.sql("SELECT rate FROM asof_stream WHERE id = 2").collect()
+      assert(gbp.length == 1 && gbp(0).isNullAt(0), s"no-prior-rate order must null-extend: ${gbp.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming tumbling-window aggregation with watermark (append mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
