@@ -21,9 +21,10 @@ object Multimodal {
   case class MediaRecord(doc_id: Long, media: Array[Byte], width: Int,
       height: Int, fmt: String)
 
-  /** Extracted features for one record. */
+  /** Extracted features for one record. `detected_fmt` comes from the
+    * REAL header parser (imageDimensions); the rest from the stub. */
   case class MediaFeatures(doc_id: Long, byte_len: Int, mean_byte: Double,
-      checksum: Long, frame_hashes: Seq[Long])
+      checksum: Long, frame_hashes: Seq[Long], detected_fmt: Option[String])
 
   /** Build a media table from `documents`: the UTF-8 payload of the
     * text stands in for an encoded image; metadata is derived
@@ -35,6 +36,37 @@ object Multimodal {
       (col("n_chars") % 640 + 16).cast("int").as("width"),
       ((col("n_chars") * 7) % 480 + 16).cast("int").as("height"),
       when(col("source") < "src5", "png").otherwise("jpg").as("fmt"))
+
+  /** REAL header parsing (not stubbed): container metadata lives in
+    * the first bytes of the payload and needs no codec library.
+    * Returns (format, width, height) for PNG (IHDR chunk) and
+    * baseline/progressive JPEG (SOF0/SOF2 frame headers), or None for
+    * unrecognized payloads. This is the piece of multimodal ingest
+    * that is pure byte plumbing — exactly what a 100 TB media crawl
+    * runs *before* deciding what to decode. */
+  def imageDimensions(bytes: Array[Byte]): Option[(String, Int, Int)] = {
+    def u8(i: Int) = bytes(i) & 0xff
+    def u16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int) = (u16(i).toLong << 16 | u16(i + 2)).toInt
+    if (bytes.length >= 24 &&
+        u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G' &&
+        bytes.slice(12, 16).map(_.toChar).mkString == "IHDR") {
+      Some(("png", u32(16), u32(20)))
+    } else if (bytes.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      // walk JPEG markers to the start-of-frame segment
+      var i = 2
+      while (i + 9 < bytes.length) {
+        if (u8(i) != 0xff) return None
+        val marker = u8(i + 1)
+        if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2) {
+          return Some(("jpg", u16(i + 7), u16(i + 5)))
+        }
+        if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9)) { i += 2 }
+        else i += 2 + u16(i + 2)
+      }
+      None
+    } else None
+  }
 
   /** STUB decoder =========================================== STUB ===
     * Stands in for image decode + feature extraction (no codec libs in
@@ -62,7 +94,7 @@ object Multimodal {
     MediaFeatures(rec.doc_id,
       bytes.length,
       if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length,
-      ck, fh)
+      ck, fh, imageDimensions(bytes).map(_._1))
   }
 
   /** Partition-parallel batched decode: records are pulled in batches

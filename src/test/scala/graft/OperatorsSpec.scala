@@ -196,6 +196,23 @@ class OperatorsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("image header parsing: PNG IHDR and JPEG SOF dimensions, no codec libs") {
+    // hand-crafted minimal PNG header: signature + IHDR 640x480
+    val png = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 2, 0x80, /* width 640 */ 0, 0, 1, 0xe0 /* height 480 */
+    ).map(_.toByte)
+    assert(Multimodal.imageDimensions(png).contains(("png", 640, 480)))
+    // minimal JPEG: SOI, APP0 (len 4), SOF0 with height 0x0100=256, width 0x0140=320
+    val jpg = Array[Int](0xff, 0xd8, 0xff, 0xe0, 0x00, 0x04, 0x00, 0x00,
+      0xff, 0xc0, 0x00, 0x0b, 0x08, 0x01, 0x00, 0x01, 0x40, 0x03, 0, 0, 0
+    ).map(_.toByte)
+    assert(Multimodal.imageDimensions(jpg).contains(("jpg", 320, 256)))
+    // garbage bytes: recognized as neither
+    assert(Multimodal.imageDimensions("not an image at all".getBytes).isEmpty)
+    assert(Multimodal.imageDimensions(Array[Byte]()).isEmpty)
+  }
+
   test("text analysis: langId picks marker language, token counts sane") {
     val docs = Seq(
       (1L, "the cat and the dog of the house is to be in"),
