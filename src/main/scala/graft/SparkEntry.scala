@@ -274,6 +274,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q21_window_dist" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      T(s, dir, "orders").select(
+          col("o_orderpriority"), col("o_orderkey"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("o_orderpriority", "o_orderkey")
+    }),
+    "q22_datetime" -> ((s, dir) =>
+      T(s, dir, "events").select(
+          col("event_id"),
+          year(col("ts")).as("y"), month(col("ts")).as("m"),
+          dayofmonth(col("ts")).as("d"), hour(col("ts")).as("h"),
+          datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).as("days_since"))
+        .orderBy("event_id")),
+    "q23_null_semantics" -> ((s, dir) =>
+      T(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          nullif(col("l_tax"), lit(0.0)).as("tax_or_null"),
+          coalesce(nullif(col("l_tax"), lit(0.0)), lit(-1.0)).as("tax_filled"),
+          nullif(col("l_tax"), lit(0.0)).eqNullSafe(
+            nullif(col("l_discount"), lit(0.0))).as("tax_eq_disc"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
     // ---- §2.3 event/time-series -------------------------------------
     "t1_tumble" -> ((s, dir) =>
       T(s, dir, "events")
@@ -604,6 +630,30 @@ object SparkEntry {
         |    substring(b.text, 1, 80)) AS INT) AS edit_dist
         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
         |ORDER BY a.doc_id""".stripMargin,
+    "q21_window_dist" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    "q22_datetime" ->
+      """SELECT event_id,
+        |  CAST(year(CAST(ts AS TIMESTAMP)) AS INT) AS y,
+        |  CAST(month(CAST(ts AS TIMESTAMP)) AS INT) AS m,
+        |  CAST(day(CAST(ts AS TIMESTAMP)) AS INT) AS d,
+        |  CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS h,
+        |  CAST(date_diff('day', DATE '2024-01-01',
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS INT) AS days_since
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q23_null_semantics" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  nullif(l_tax, 0.0) AS tax_or_null,
+        |  coalesce(nullif(l_tax, 0.0), CAST(-1 AS DOUBLE)) AS tax_filled,
+        |  (nullif(l_tax, 0.0) IS NOT DISTINCT FROM nullif(l_discount, 0.0))
+        |    AS tax_eq_disc
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "t2_hop" ->
       """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
         |  CAST(count(*) AS BIGINT) AS n,
