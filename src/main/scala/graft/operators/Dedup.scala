@@ -67,9 +67,12 @@ object Dedup {
     // merge over sorted longs instead of a per-pair string-set build.
     // 64-bit hashing cannot create false positives at any realistic
     // corpus size (expected collisions ~ pairs * |sh|^2 / 2^64).
+    // cache: the plan references base on BOTH join sides; without it
+    // the scan + shingle pass runs twice
     val base = df.select(col(idCol),
         shingle_hashes(col(textCol), shingleWords).as("shh"))
       .withColumn("n", size(col("shh")))
+      .cache()
     // small corpora arrive as ONE parquet partition; the streamed side
     // of a broadcast join inherits that, serializing the whole O(n^2)
     // verify onto one core — spread it first

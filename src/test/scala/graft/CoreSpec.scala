@@ -85,6 +85,18 @@ class CoreSpec extends AnyFunSuite {
     assert(a.toLongArray().toSeq != c.toLongArray().toSeq)
   }
 
+  test("custom functions are callable from SQL via GraftExtensions") {
+    val rows = spark.sql("""
+      SELECT timestamp_to_string(TIMESTAMP '2024-01-01 00:00:01.5') AS t,
+             simhash64('hello world') AS sh,
+             rolling_hash('abc') AS rh,
+             size(minhash_signature('a b c d', 2, 8)) AS k""").collect().head
+    assert(rows.getString(0) == "2024-01-01 00:00:01.500")
+    assert(rows.getLong(1) != 0L)
+    assert(rows.getLong(2) == (('a' * 1000003L + 'b') * 1000003L + 'c'))
+    assert(rows.getInt(3) == 8)
+  }
+
   test("cosine similarity: identical=1, orthogonal=0") {
     import graft.functions.GraftFunctions._
     val df = spark.createDataFrame(Seq(
