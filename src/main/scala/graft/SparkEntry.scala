@@ -244,6 +244,14 @@ object SparkEntry {
           countDistinct(col("o_orderstatus")).as("n_statuses"),
           count(lit(1)).as("n_orders"))
         .orderBy("o_orderpriority")),
+    // graft's own KMV TypedImperativeAggregate sketch (mergeable
+    // bounded state; spec asserts error bounds vs exact)
+    "a2_kmv_distinct" -> ((s, dir) =>
+      T(s, dir, "events").groupBy("event_type")
+        .agg(graft.functions.GraftFunctions.kmv_distinct(col("user_id"), 256)
+          .as("kmv_users"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")),
     // approximate aggregates: sketch outputs differ across engines by
     // design -> rows-only here; the spec asserts error bounds vs exact
     "a1_approx_agg" -> ((s, dir) =>

@@ -37,6 +37,9 @@ object GraftFunctions {
   def minhash_merge(sig: Column): Column =
     toCol(MinHashMerge(toExpr(sig)).toAggregateExpression())
 
+  def kmv_distinct(c: Column, k: Int): Column =
+    toCol(KmvDistinct(toExpr(c), k).toAggregateExpression())
+
   /** (name, builder) pairs — single source of truth for SQL registration. */
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "timestamp_to_string" -> (es => TimestampToString(es.head)),

@@ -196,6 +196,24 @@ class OperatorsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("KMV distinct sketch: exact below k, within 15% above k, mergeable") {
+    import graft.functions.GraftFunctions.kmv_distinct
+    val li = sources.Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
+    val got = li.groupBy("l_returnflag")
+      .agg(kmv_distinct(col("l_orderkey"), 256).as("est"),
+        countDistinct(col("l_orderkey")).as("exact"))
+      .collect()
+    got.foreach { r =>
+      val est = r.getDouble(1); val exact = r.getLong(2).toDouble
+      assert(math.abs(est - exact) / exact <= 0.15,
+        s"${r.getString(0)}: est $est vs exact $exact")
+    }
+    // below k: exact
+    val small = li.limit(100).agg(kmv_distinct(col("l_orderkey"), 256),
+      countDistinct(col("l_orderkey"))).collect().head
+    assert(small.getDouble(0) == small.getLong(1).toDouble)
+  }
+
   test("image header parsing: PNG IHDR and JPEG SOF dimensions, no codec libs") {
     // hand-crafted minimal PNG header: signature + IHDR 640x480
     val png = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,

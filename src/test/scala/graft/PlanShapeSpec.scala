@@ -41,6 +41,17 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("bucketed tables join with zero exchanges") {
     spark.sparkContext.setLogLevel("ERROR")
+    // the session may be shared across suites (getOrCreate) with a
+    // CWD warehouse; clear catalog entries AND stale on-disk locations
+    // left by previous forked runs
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val d = new java.io.File(wh, t)
+      if (d.exists()) {
+        d.listFiles().foreach(_.delete()); d.delete()
+      }
+    }
     Bucketing.writeBucketed(Tables.load(spark, dir, "orders"), "b_orders",
       "o_orderkey", 4)
     Bucketing.writeBucketed(
