@@ -432,6 +432,10 @@ object SparkEntry {
           graft.functions.GraftFunctions.simhash64(col("text")).as("content_simhash"))
         .orderBy("doc_id")),
 
+    // single-pass column profiler (KMV-backed distinct estimates)
+    "p1_profile" -> ((s, dir) =>
+      Profile.profile(T(s, dir, "events")).orderBy("column")),
+
     // ---- §2.7 multimodal --------------------------------------------
     "m1_multimodal" -> ((s, dir) =>
       Multimodal.extractFeatures(s, Multimodal.fromDocuments(T(s, dir, "documents")))

@@ -22,7 +22,7 @@ class CoreSpec extends AnyFunSuite {
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
     // a duplicated key in the Map literal would silently drop an entry
-    assert(q.size == 52, s"expected 52 queries, got ${q.size}: check for duplicate keys")
+    assert(q.size == 53, s"expected 53 queries, got ${q.size}: check for duplicate keys")
     assert(o.size == 44, s"expected 44 oracle-checked queries, got ${o.size}")
   }
 

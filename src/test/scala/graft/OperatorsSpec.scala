@@ -196,6 +196,18 @@ class OperatorsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("profile: single-pass audit with sane stats") {
+    val e = sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val p = Profile.profile(e).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p.size == e.columns.length)
+    assert(p("event_type").getLong(3) == 0)          // no nulls
+    assert(p("event_type").getLong(4) == 5)          // 5 types, below k -> exact
+    assert(p("event_id").getLong(2) == e.count())    // n_rows
+    assert(p("event_type").getString(5) == "click")  // min
+    assert(p("event_type").getString(6) == "view")   // max
+  }
+
   test("KMV distinct sketch: exact below k, within 15% above k, mergeable") {
     import graft.functions.GraftFunctions.kmv_distinct
     val li = sources.Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
