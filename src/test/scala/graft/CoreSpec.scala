@@ -74,6 +74,24 @@ class CoreSpec extends AnyFunSuite {
     assert(sample.getAs[Int]("rate") == expect.getAs[Int]("rate"))
   }
 
+  test("backwardBounded as-of == backward with tolerance (matched rows)") {
+    val e = graft.sources.Tables.load(spark, dir, "events")
+    val o = RefTables.orders(e)
+    val r = RefTables.rates(e)
+    val tol = Duration.ofHours(6)
+    val viaWindow = AsOfJoin.backward(o, r, "currency", "orderTime",
+        "exchangeRateTime", Seq("rate", "exchangeRateTime"), Some(tol))
+      .select(col("id"), col("rate"), col("exchangeRateTime"))
+    val viaBucketed = AsOfJoin.backwardBounded(o,
+        r.select(col("currency"), col("exchangeRateTime"), col("rate")),
+        "currency", "id", "orderTime", "exchangeRateTime", tol)
+      .select(col("id"), col("rate"), col("exchangeRateTime"))
+    assert(viaBucketed.count() == o.count(), "left cardinality preserved")
+    assert(viaWindow.exceptAll(viaBucketed).isEmpty &&
+      viaBucketed.exceptAll(viaWindow).isEmpty,
+      "bounded (bucketed) and window formulations must agree")
+  }
+
   test("minhash signature is deterministic and length-k") {
     import org.apache.spark.unsafe.types.UTF8String
     val a = GraftHash.minhashSignature(UTF8String.fromString("a b c d e f g"), 3, 16)
