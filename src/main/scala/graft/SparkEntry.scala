@@ -282,6 +282,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // correlated subquery through the SQL surface (Tables.registerAll)
+    "q24_correlated_subquery" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice > (SELECT 2 * CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+                              FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        ORDER BY o_custkey, o_orderkey""")
+    }),
     "q21_window_dist" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_orderpriority"))
         .orderBy(col("o_totalprice"), col("o_orderkey"))
@@ -642,6 +652,12 @@ object SparkEntry {
         |    substring(b.text, 1, 80)) AS INT) AS edit_dist
         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
         |ORDER BY a.doc_id""".stripMargin,
+    "q24_correlated_subquery" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > (SELECT 2 * CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |                      FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q21_window_dist" ->
       """SELECT o_orderpriority, o_orderkey,
         |  CAST(ntile(4) OVER w AS INT) AS quartile,

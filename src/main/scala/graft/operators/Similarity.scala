@@ -72,26 +72,28 @@ object Similarity {
     * Everything is DataFrame ops (posexplode/avg/max_by), so the
     * index build is shuffle-shaped, not driver-side. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      clusters: Int = 16, nprobe: Int = 4,
+      clusters: Int = 16, nprobe: Int = 4, iterations: Int = 1,
       queryId: String = "query_id", queryVec: String = "query_vec",
       corpusId: String = "vec_id", corpusVec: String = "embedding"): DataFrame = {
-    require(nprobe <= clusters)
+    require(nprobe <= clusters && iterations >= 1)
     // deterministic seeds: the `clusters` lowest-id vectors
     val seeds = corpus.orderBy(col(corpusId)).limit(clusters)
       .select(col(corpusId).as("cid0"), col(corpusVec).as("cvec0"))
       .withColumn("cid", row_number().over(Window.orderBy(col("cid0"))) - 1)
       .select("cid", "cvec0")
-    // one Lloyd iteration: elementwise mean per cell -> new centroids
-    val assigned0 = corpus.crossJoin(broadcast(seeds))
-      .withColumn("__sim", cosine_similarity(col(corpusVec), col("cvec0")))
-      .groupBy(col(corpusId), col(corpusVec))
-      .agg(max_by(col("cid"), col("__sim")).as("cid"))
-    val centroids = assigned0
-      .select(col("cid"), posexplode(col(corpusVec)).as(Seq("pos", "v")))
-      .groupBy("cid", "pos").agg(avg("v").as("m"))
-      .groupBy("cid")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-        s => s.getField("m").cast("float")).as("cvec"))
+    // Lloyd iterations: assign -> elementwise mean per cell -> repeat
+    def recenter(cents: DataFrame, vecCol: String): DataFrame =
+      corpus.crossJoin(broadcast(cents))
+        .withColumn("__sim", cosine_similarity(col(corpusVec), col(vecCol)))
+        .groupBy(col(corpusId), col(corpusVec))
+        .agg(max_by(col("cid"), col("__sim")).as("cid"))
+        .select(col("cid"), posexplode(col(corpusVec)).as(Seq("pos", "v")))
+        .groupBy("cid", "pos").agg(avg("v").as("m"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m").cast("float")).as("cvec"))
+    var centroids = recenter(seeds, "cvec0")
+    for (_ <- 1 until iterations) centroids = recenter(centroids, "cvec")
     val indexed = corpus.crossJoin(broadcast(centroids))
       .withColumn("__sim", cosine_similarity(col(corpusVec), col("cvec")))
       .groupBy(col(corpusId), col(corpusVec))

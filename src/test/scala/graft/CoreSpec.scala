@@ -22,8 +22,8 @@ class CoreSpec extends AnyFunSuite {
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
     // a duplicated key in the Map literal would silently drop an entry
-    assert(q.size == 53, s"expected 53 queries, got ${q.size}: check for duplicate keys")
-    assert(o.size == 44, s"expected 44 oracle-checked queries, got ${o.size}")
+    assert(q.size == 54, s"expected 54 queries, got ${q.size}: check for duplicate keys")
+    assert(o.size == 45, s"expected 45 oracle-checked queries, got ${o.size}")
   }
 
   test("every declared query has an oracle or is rows-only, and runs") {
