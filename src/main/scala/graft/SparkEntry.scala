@@ -246,6 +246,10 @@ object SparkEntry {
         .orderBy("o_orderpriority")),
     // graft's own KMV TypedImperativeAggregate sketch (mergeable
     // bounded state; spec asserts error bounds vs exact)
+    // oracle-checkable because KMV is EXACT below k: each event_type
+    // has ~150 distinct users at the verify SF, under k=256, so the
+    // sketch must return exactly count(DISTINCT). The estimating
+    // (n > k) regime is spec-bounded separately (OperatorsSpec).
     "a2_kmv_distinct" -> ((s, dir) =>
       T(s, dir, "events").groupBy("event_type")
         .agg(graft.functions.GraftFunctions.kmv_distinct(col("user_id"), 256)
@@ -267,9 +271,11 @@ object SparkEntry {
         .agg(count(lit(1)))
         .na.fill(0L)
         .orderBy("o_orderpriority")),
+    // array output stringified on BOTH sides: the driver's pandas compare
+    // can't hash array cells, so emit the sorted list as a CSV string
     "q19_collections" -> ((s, dir) =>
       T(s, dir, "events").groupBy("user_id")
-        .agg(sort_array(collect_list(col("event_type"))).as("event_types"),
+        .agg(array_join(sort_array(collect_list(col("event_type"))), ",").as("event_types"),
           size(collect_set(col("event_type"))).as("n_distinct_types"))
         .orderBy("user_id")),
     "q20_edit_distance" -> ((s, dir) => {
@@ -379,12 +385,19 @@ object SparkEntry {
       Dedup.simhashPairs(T(s, dir, "documents"), "doc_id", "text",
         bands = 8, maxHamming = 7)
         .orderBy("id_a", "id_b")),
+    // scale-safe entry: frequency-ordered prefix filter (PPJoin) — pure
+    // shuffle equi-joins, no broadcast, no quadratic scan. The
+    // broadcast variant (jaccardJoin) remains the verify-grade op and
+    // is equivalence-spec'd against this one.
     "d4_ngram_jaccard" -> ((s, dir) =>
-      Dedup.jaccardJoin(T(s, dir, "documents"), "doc_id", "text",
+      Dedup.jaccardJoinPrefixRare(T(s, dir, "documents"), "doc_id", "text",
         shingleWords = 2, threshold = 0.5)
         .orderBy("id_a", "id_b")),
+    // scale-safe entry: LSH-banded candidate blocking + exact cosine
+    // verify on collisions (tables derived from the threshold; output
+    // deterministic). The all-pairs form (nearDupPairs) is verify-only.
     "d5_embed_neardup" -> ((s, dir) =>
-      Similarity.nearDupPairs(T(s, dir, "embeddings"), 0.45)
+      Similarity.nearDupPairsBlocked(T(s, dir, "embeddings"), 0.45)
         .orderBy("id_a", "id_b")),
     // cross-source content overlap via mergeable MinHash aggregate
     // (estimator; rows-only, spec-validated against exact Jaccard)
@@ -399,11 +412,16 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       Similarity.bruteForceTopK(q, emb, 5).orderBy("query_id", "rank")
     }),
+    // table count derived from (minSim=0.2, maxMiss=1e-4): any true
+    // neighbor at cosine >= 0.2 is found w.p. >= 1-1e-4, so on this
+    // corpus (all true top-5 sims > 0.2) the output equals exact
+    // brute-force top-k — which is exactly what the oracle checks
     "s2_ann_lsh" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-      Similarity.lshTopK(q, emb, 5, bits = 8, tables = 4).orderBy("query_id", "rank")
+      Similarity.lshTopK(q, emb, 5, bits = 4, minSim = 0.2, maxMissProb = 1e-4)
+        .orderBy("query_id", "rank")
     }),
     "s4_ann_ivf" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
@@ -457,6 +475,12 @@ object SparkEntry {
 
   /** DuckDB-dialect oracle for each query above. */
   def oracleSql: Map[String, String] = Map(
+    // valid in the exact (distinct < k) regime the verify SF sits in;
+    // the estimating regime is covered by the KMV error-bound spec
+    "a2_kmv_distinct" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS DOUBLE) AS kmv_users,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "ref_json_ingest" ->
       s"""WITH o AS (${RefTables.ordersSql})
          |SELECT currency, CAST(count(*) AS BIGINT) AS n_orders,
@@ -644,7 +668,7 @@ object SparkEntry {
         |  CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS "P"
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q19_collections" ->
-      """SELECT user_id, list_sort(list(event_type)) AS event_types,
+      """SELECT user_id, array_to_string(list_sort(list(event_type)), ',') AS event_types,
         |  CAST(len(list_distinct(list(event_type))) AS INT) AS n_distinct_types
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q20_edit_distance" ->
@@ -770,6 +794,20 @@ object SparkEntry {
         |    CAST(b.embedding AS DOUBLE[])) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
     "s1_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |s AS (SELECT q.query_id, c.vec_id, list_cosine_similarity(qv, cv) AS sim
+        |  FROM q JOIN c ON q.query_id <> c.vec_id)
+        |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, vec_id ASC) AS INT) AS "rank",
+        |  vec_id AS neighbor_id, sim
+        |FROM s QUALIFY "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+    // s2's LSH table count guarantees recall >= 1-1e-4 per neighbor at
+    // cosine >= 0.2 (all true top-5 sims here exceed that), so the
+    // approximate operator must reproduce exact brute-force top-k —
+    // the strongest check an ANN op can get from a SQL oracle
+    "s2_ann_lsh" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
         |  FROM embeddings WHERE vec_id < 10),
         |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),

@@ -40,43 +40,47 @@ object AsOfJoin {
       "right value columns must not collide with left column names")
     val rightTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
 
+    // All right-side fields travel as ONE struct so the carried values
+    // always come from the same right row: carrying each column through
+    // its own last(ignoreNulls) would mix fields across right rows
+    // whenever a value column is null, and the staleness guard would
+    // check a timestamp the values didn't come from.
+    val packType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__g_rt", right.schema(rightTime).dataType) +:
+        valueCols.map(c => org.apache.spark.sql.types.StructField(c, rightTypes(c))))
     val lPart = left
       .withColumn("__g_t", col(leftTime))
       .withColumn("__g_side", lit(1))
-      .withColumn("__g_rt", lit(null).cast(right.schema(rightTime).dataType))
-      .select((Seq(col("__g_t"), col("__g_side"), col("__g_rt")) ++
-        lCols.map(col) ++
-        valueCols.map(c => lit(null).cast(rightTypes(c)).as(c))): _*)
+      .withColumn("__g_pack", lit(null).cast(packType))
+      .select((Seq(col("__g_t"), col("__g_side"), col("__g_pack")) ++
+        lCols.map(col)): _*)
     val rPart = right
       .withColumn("__g_t", col(rightTime))
       .withColumn("__g_side", lit(0))
-      .withColumn("__g_rt", col(rightTime))
-      .select((Seq(col("__g_t"), col("__g_side"), col("__g_rt")) ++
+      .withColumn("__g_pack",
+        struct(col(rightTime).as("__g_rt") +: valueCols.map(col): _*))
+      .select((Seq(col("__g_t"), col("__g_side"), col("__g_pack")) ++
         lCols.map(c => if (c == key) col(key)
-                       else lit(null).cast(left.schema(c).dataType).as(c)) ++
-        valueCols.map(col)): _*)
+                       else lit(null).cast(left.schema(c).dataType).as(c))): _*)
 
     // Right rows sort before left rows at equal timestamps, so a rate
     // stamped exactly at order time is visible (matches <=).
     val w = Window.partitionBy(key).orderBy(col("__g_t"), col("__g_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val lastRt = last(col("__g_rt"), ignoreNulls = true).over(w)
     val withVals = lPart.unionByName(rPart)
-      .withColumn("__g_lastrt", lastRt)
-      .withColumns(valueCols.map(c =>
-        c -> last(col(c), ignoreNulls = true).over(w)).toMap)
+      .withColumn("__g_last", last(col("__g_pack"), ignoreNulls = true).over(w))
       .where(col("__g_side") === 1)
 
-    val guarded = tolerance match {
+    val matched: Column = tolerance match {
       case Some(tol) =>
         val tolUs = tol.toMillis * 1000L
-        val fresh: Column = unix_micros(col("__g_lastrt")) >
-          unix_micros(col("__g_t")) - tolUs
-        withVals.withColumns(valueCols.map(c =>
-          c -> when(fresh, col(c))).toMap)
-      case None => withVals
+        unix_micros(col("__g_last.__g_rt")) > unix_micros(col("__g_t")) - tolUs
+      case None => col("__g_last").isNotNull
     }
-    guarded.select((lCols ++ valueCols).map(col): _*)
+    withVals
+      .withColumns(valueCols.map(c =>
+        c -> when(matched, col(s"__g_last.$c"))).toMap)
+      .select((lCols ++ valueCols).map(col): _*)
   }
 
   /** Backward as-of join through graft's custom operator

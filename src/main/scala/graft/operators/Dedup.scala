@@ -56,9 +56,15 @@ object Dedup {
     *
     * This is the exact/verify-grade operator: it is quadratic by
     * definition. At 100 TB run `minhashLsh` (linear-ish candidates)
-    * and use this only as the verify stage on candidates. */
+    * and use this only as the verify stage on candidates.
+    *
+    * @param cacheBase cache the per-doc shingle table (the plan scans
+    *   it on BOTH join sides). Off by default: the caller owns the
+    *   cache's lifetime and repeated invocations would otherwise leak
+    *   storage memory; opt in for iterate-in-session use. */
   def jaccardJoin(df: DataFrame, idCol: String, textCol: String,
-      shingleWords: Int = 2, threshold: Double = 0.5): DataFrame = {
+      shingleWords: Int = 2, threshold: Double = 0.5,
+      cacheBase: Boolean = false): DataFrame = {
     require(threshold > 0 && threshold <= 1)
     import graft.functions.GraftFunctions.{shingle_hashes, sorted_intersect_count}
     val ratio = 1.0 / threshold
@@ -67,12 +73,10 @@ object Dedup {
     // merge over sorted longs instead of a per-pair string-set build.
     // 64-bit hashing cannot create false positives at any realistic
     // corpus size (expected collisions ~ pairs * |sh|^2 / 2^64).
-    // cache: the plan references base on BOTH join sides; without it
-    // the scan + shingle pass runs twice
-    val base = df.select(col(idCol),
+    val base0 = df.select(col(idCol),
         shingle_hashes(col(textCol), shingleWords).as("shh"))
       .withColumn("n", size(col("shh")))
-      .cache()
+    val base = if (cacheBase) base0.cache() else base0
     // small corpora arrive as ONE parquet partition; the streamed side
     // of a broadcast join inherits that, serializing the whole O(n^2)
     // verify onto one core — spread it first

@@ -26,6 +26,17 @@ import org.apache.spark.sql.functions._
   * duplicated).
   */
 object IntervalJoin {
+  /** Exact integer floor-div bucket — `(x - pmod(x, d)) div d` — the
+    * SAME formulation as `plans.RewriteIntervalJoin.bucket`, so the
+    * operator and the optimizer rewrite can never disagree on a
+    * boundary row. `floor(x / d)` over doubles loses exactness past
+    * 2^52 µs and can misbucket a boundary timestamp. */
+  private[graft] def bucketCol(t: org.apache.spark.sql.Column, deltaUs: Long) = {
+    val x = unix_micros(t)
+    val d = lit(deltaUs)
+    call_function("div", x - pmod(x, d), d)
+  }
+
   /** Time-bucketed interval join (the 100 TB plan).
     *
     * @param joinType "inner" or "left_outer" (left side never duplicated)
@@ -39,18 +50,17 @@ object IntervalJoin {
       delta: Duration, joinType: String = "inner"): DataFrame = {
     val deltaUs = delta.toMillis * 1000L
     require(deltaUs > 0, "delta must be positive")
-    val lb = left.withColumn("__g_bucket",
-      floor(unix_micros(col(leftTime)) / deltaUs))
+    val lb = left.withColumn("__graft_bucket_op", bucketCol(col(leftTime), deltaUs))
     val rb = right
-      .withColumn("__g_rb", floor(unix_micros(col(rightTime)) / deltaUs))
-      .withColumn("__g_bucket", explode(array(col("__g_rb"), col("__g_rb") + 1)))
-      .drop("__g_rb")
+      .withColumn("__graft_bucket_rb", bucketCol(col(rightTime), deltaUs))
+      .withColumn("__graft_bucket_op", explode(array(col("__graft_bucket_rb"), col("__graft_bucket_rb") + 1)))
+      .drop("__graft_bucket_rb")
     val cond = lb(leftKey) === rb(rightKey) &&
-      lb("__g_bucket") === rb("__g_bucket") &&
+      lb("__graft_bucket_op") === rb("__graft_bucket_op") &&
       unix_micros(rb(rightTime)) <= unix_micros(lb(leftTime)) &&
       unix_micros(rb(rightTime)) > unix_micros(lb(leftTime)) - deltaUs
     lb.join(rb, cond, joinType)
-      .drop(lb("__g_bucket")).drop(rb("__g_bucket"))
+      .drop(lb("__graft_bucket_op")).drop(rb("__graft_bucket_op"))
   }
 
   /** Naive plan (equi-join on key + range filter). Correct, and fine

@@ -48,14 +48,63 @@ object Similarity {
       left.select(col(leftId).as("query_id"), col(leftVec).as("query_vec")),
       right.select(col(rightId).as("vec_id"), col(rightVec).as("embedding")), k)
 
-  /** Embedding-cosine near-duplicate pairs above a threshold.
-    * Exact (all-pairs within length-balanced blocks); use for modest
-    * corpora or as the verify stage after `lshTopK` bucketing. */
+  /** Embedding-cosine near-duplicate pairs above a threshold —
+    * VERIFY-STAGE-ONLY: this is an all-pairs nested-loop join (O(n^2),
+    * broadcast of one whole side). Use `nearDupPairsBlocked` as the
+    * pipeline operator; keep this for candidate verification or
+    * corpora that fit one executor. */
   def nearDupPairs(df: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
     a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", cosine_similarity(col("vec_a"), col("vec_b")))
+      .where(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** LSH-blocked near-duplicate pairs: candidates come from an
+    * EQUALITY self-join on (table, hyperplane-signature) buckets —
+    * shuffle-partitioned, no broadcast, no nested loop — then only
+    * bucket collisions get the exact cosine verify.
+    *
+    * The table count is DERIVED from the threshold: a pair at cosine t
+    * collides on one sign-bit with prob p = 1 - acos(t)/pi, on one
+    * `bits`-bit table with p^bits, and is missed by all tables with
+    * (1 - p^bits)^tables <= maxMissProb. Signatures are deterministic
+    * (hash-seeded hyperplanes), so output is stable run to run.
+    *
+    * Cost model (honest): at production thresholds (0.85+) buckets
+    * prune aggressively and this is strictly the 100 TB shape. At
+    * permissive thresholds (~0.45, near-random in high dims) blocking
+    * cannot prune much — the win is distribution: work partitions by
+    * 64-bit bucket key across the cluster instead of broadcasting the
+    * corpus into one executor's nested loop. Raising `bits` lowers
+    * candidate volume per table but raises the derived table count
+    * (signature cost); 4 bits balances the two around t~0.5. */
+  def nearDupPairsBlocked(df: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      bits: Int = 4, maxMissProb: Double = 1e-6): DataFrame = {
+    require(threshold > 0.0 && threshold < 1.0, "threshold must be in (0, 1)")
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val pBand = math.pow(p, bits)
+    val tables = math.max(1,
+      math.ceil(math.log(maxMissProb) / math.log1p(-pBand)).toInt)
+    val ids = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val sigs = ids
+      .withColumn("t", explode(sequence(lit(0), lit(tables - 1))))
+      .select(col("id"), col("t"),
+        hyperplane_lsh(col("vec"), bits, col("t")).as("sig"))
+    val a = sigs.select(col("t").as("ta"), col("sig").as("siga"), col("id").as("id_a"))
+    val b = sigs.select(col("t").as("tb"), col("sig").as("sigb"), col("id").as("id_b"))
+    // ids only through the band join + dedup; vectors re-attached to
+    // the (much smaller) distinct candidate set by equi-join
+    val cand = a.join(b, col("ta") === col("tb") && col("siga") === col("sigb") &&
+        col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    cand
+      .join(ids.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(ids.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
       .withColumn("sim", cosine_similarity(col("vec_a"), col("vec_b")))
       .where(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
@@ -72,7 +121,7 @@ object Similarity {
     * Everything is DataFrame ops (posexplode/avg/max_by), so the
     * index build is shuffle-shaped, not driver-side. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      clusters: Int = 16, nprobe: Int = 4, iterations: Int = 1,
+      clusters: Int = 16, nprobe: Int = 4, iterations: Int = 5,
       queryId: String = "query_id", queryVec: String = "query_vec",
       corpusId: String = "vec_id", corpusVec: String = "embedding"): DataFrame = {
     require(nprobe <= clusters && iterations >= 1)
@@ -81,23 +130,28 @@ object Similarity {
       .select(col(corpusId).as("cid0"), col(corpusVec).as("cvec0"))
       .withColumn("cid", row_number().over(Window.orderBy(col("cid0"))) - 1)
       .select("cid", "cvec0")
-    // Lloyd iterations: assign -> elementwise mean per cell -> repeat
-    def recenter(cents: DataFrame, vecCol: String): DataFrame =
+    // Lloyd iterations: assign -> elementwise mean per cell -> repeat.
+    // Means accumulate in DECIMAL so the distributed sum is exact and
+    // order-independent — double summation order varies run to run and
+    // a perturbed centroid can flip a borderline cell assignment,
+    // making the whole index nondeterministic. Ties on assignment
+    // break to the lowest cell id for the same reason.
+    val dm = org.apache.spark.sql.types.DecimalType(27, 12)
+    def assign(vecCol: String)(cents: DataFrame): DataFrame =
       corpus.crossJoin(broadcast(cents))
         .withColumn("__sim", cosine_similarity(col(corpusVec), col(vecCol)))
         .groupBy(col(corpusId), col(corpusVec))
-        .agg(max_by(col("cid"), col("__sim")).as("cid"))
+        .agg(max_by(col("cid"), struct(col("__sim"), -col("cid"))).as("cid"))
+    def recenter(cents: DataFrame, vecCol: String): DataFrame =
+      assign(vecCol)(cents)
         .select(col("cid"), posexplode(col(corpusVec)).as(Seq("pos", "v")))
-        .groupBy("cid", "pos").agg(avg("v").as("m"))
+        .groupBy("cid", "pos").agg(avg(col("v").cast(dm)).as("m"))
         .groupBy("cid")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m").cast("float")).as("cvec"))
     var centroids = recenter(seeds, "cvec0")
     for (_ <- 1 until iterations) centroids = recenter(centroids, "cvec")
-    val indexed = corpus.crossJoin(broadcast(centroids))
-      .withColumn("__sim", cosine_similarity(col(corpusVec), col("cvec")))
-      .groupBy(col(corpusId), col(corpusVec))
-      .agg(max_by(col("cid"), col("__sim")).as("cid"))
+    val indexed = assign("cvec")(centroids)
     // probe: each query searches its nprobe nearest cells
     val pw = Window.partitionBy(col(queryId)).orderBy(col("__csim").desc, col("cid").asc)
     val probes = broadcast(queries).crossJoin(broadcast(centroids))
@@ -112,15 +166,36 @@ object Similarity {
       .select(col(queryId), col("rank"), col(corpusId).as("neighbor_id"), col("sim"))
   }
 
-  /** Approximate top-k via random-hyperplane LSH: `tables` independent
+  /** Number of `bits`-bit LSH tables needed so a pair at cosine
+    * `minSim` is missed by ALL tables with probability <= maxMissProb:
+    * per-bit collision p = 1 - acos(s)/pi, per-table p^bits, miss
+    * (1-p^bits)^T. This is the actual LSH guarantee — data-independent,
+    * unlike an IVF index whose recall depends on cluster structure. */
+  def lshTablesFor(minSim: Double, bits: Int, maxMissProb: Double): Int = {
+    require(minSim > 0.0 && minSim < 1.0 && maxMissProb > 0.0 && maxMissProb < 1.0)
+    val p = 1.0 - math.acos(minSim) / math.Pi
+    val pBand = math.pow(p, bits)
+    math.max(1, math.ceil(math.log(maxMissProb) / math.log1p(-pBand)).toInt)
+  }
+
+  /** Approximate top-k via random-hyperplane LSH: independent
     * `bits`-bit signatures; a corpus vector is a candidate for a query
     * if any signature matches exactly; candidates are re-ranked by
-    * exact cosine. Recall grows with tables, cost with bucket size
-    * (corpus/2^bits per table in expectation). */
+    * exact cosine. The table count is DERIVED from (`minSim`,
+    * `maxMissProb`) via `lshTablesFor` — any true neighbor with cosine
+    * >= minSim is found with prob >= 1 - maxMissProb, whatever the
+    * corpus looks like (signatures are hash-seeded, so the output is
+    * deterministic). Pruning pays when true-neighbor sims are high
+    * (real embedding corpora); on isotropic data the candidate set
+    * approaches the corpus and this degrades gracefully into a
+    * *distributed* brute force — still equality-join shaped, never a
+    * broadcast nested loop. Pass `tablesOverride` to pin the count. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      bits: Int = 12, tables: Int = 4,
+      bits: Int = 4, minSim: Double = 0.2, maxMissProb: Double = 1e-4,
+      tablesOverride: Option[Int] = None,
       queryId: String = "query_id", queryVec: String = "query_vec",
       corpusId: String = "vec_id", corpusVec: String = "embedding"): DataFrame = {
+    val tables = tablesOverride.getOrElse(lshTablesFor(minSim, bits, maxMissProb))
     def sig(df: DataFrame, vec: String, pfx: String): DataFrame =
       df.withColumn(s"${pfx}t", explode(sequence(lit(0), lit(tables - 1))))
         .withColumn(s"${pfx}sig", hyperplane_lsh(col(vec), bits, col(s"${pfx}t")))

@@ -30,6 +30,21 @@ case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression) extends BinaryNode {
+  // input contract, enforced at construction (the API hands us
+  // already-resolved expressions): the merge exec reads times as long
+  // micros, so anything but TimestampType/LongType would silently
+  // produce wrong matches rather than an analysis error
+  private def timeOk(e: Expression): Boolean =
+    !e.resolved || e.dataType == org.apache.spark.sql.types.TimestampType ||
+      e.dataType == org.apache.spark.sql.types.LongType
+  require(timeOk(leftTime) && timeOk(rightTime),
+    s"as-of time columns must be TIMESTAMP or BIGINT, got " +
+      s"${leftTime.dataType} / ${rightTime.dataType}")
+  require(leftKeys.length == rightKeys.length &&
+    leftKeys.zip(rightKeys).forall { case (l, r) =>
+      !l.resolved || !r.resolved || l.dataType == r.dataType },
+    "as-of join keys must match in count and type")
+
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(l: LogicalPlan, r: LogicalPlan): AsOfJoinPlan =
@@ -78,24 +93,36 @@ case class AsOfMergeJoinExec(
 
       lIter.map { lRow =>
         val lKey = lKeyProj(lRow)
-        val lT = lTimeProj(lRow).getLong(0)
-        // invalidate the held row if the key moved on
-        if (lastKey == null || keyOrd.compare(lastKey, lKey) != 0) {
-          lastKey = lKey.copy(); lastRight = null
+        val lTimeRow = lTimeProj(lRow)
+        // null-time policy: a left row with null time matches nothing
+        // (null-extend); right rows with null time are skipped. Reading
+        // a null slot as getLong would silently mean "epoch 0".
+        if (lTimeRow.isNullAt(0)) {
+          joined(lRow, nullRight)
+        } else {
+          val lT = lTimeRow.getLong(0)
+          // invalidate the held row if the key moved on
+          if (lastKey == null || keyOrd.compare(lastKey, lKey) != 0) {
+            lastKey = lKey.copy(); lastRight = null
+          }
+          // advance the right cursor: skip smaller keys, absorb rows of
+          // this key with time <= lT (keeping the latest), stop otherwise
+          var advance = true
+          while (advance && rBuf.hasNext) {
+            val rKey = rKeyProj(rBuf.head)
+            val c = keyOrd.compare(rKey, lKey)
+            if (c < 0) { rBuf.next() }
+            else if (c == 0) {
+              val rTimeRow = rTimeProj(rBuf.head)
+              if (rTimeRow.isNullAt(0)) { rBuf.next() }
+              else if (rTimeRow.getLong(0) <= lT) {
+                lastRight = rBuf.next().copy()
+              } else advance = false
+            } else advance = false
+          }
+          if (lastRight != null) joined(lRow, lastRight)
+          else joined(lRow, nullRight)
         }
-        // advance the right cursor: skip smaller keys, absorb rows of
-        // this key with time <= lT (keeping the latest), stop otherwise
-        var advance = true
-        while (advance && rBuf.hasNext) {
-          val rKey = rKeyProj(rBuf.head)
-          val c = keyOrd.compare(rKey, lKey)
-          if (c < 0) { rBuf.next() }
-          else if (c == 0 && rTimeProj(rBuf.head).getLong(0) <= lT) {
-            lastRight = rBuf.next().copy()
-          } else advance = false
-        }
-        if (lastRight != null) joined(lRow, lastRight)
-        else joined(lRow, nullRight)
       }
     }
   }

@@ -41,15 +41,25 @@ object StatefulOps {
     * the reference's interval join approximates (StreamingJob.java:
     * 94-105).
     *
-    * State is bounded: the rate buffer keeps only rates newer than the
-    * watermark plus the single latest rate at-or-before it (any older
-    * rate can never again be "the latest <= some future order");
-    * pending orders drain as the watermark advances (flushed by
-    * event-time timeout when a key receives no further traffic).
+    * State is bounded per key: the rate buffer keeps only rates newer
+    * than the watermark plus the single latest rate at-or-before it
+    * (any older rate can never again be "the latest <= some future
+    * order"); pending orders drain as the watermark advances (flushed
+    * by event-time timeout when a key receives no further traffic).
+    *
+    * Across keys, by DEFAULT the latest rate per key is retained
+    * indefinitely — that IS the temporal-join contract (an order
+    * arriving years later still matches the last known rate), so total
+    * state grows with key cardinality. For unbounded key domains pass
+    * `idleTtl`: a key with no pending orders whose watermark-idle time
+    * exceeds the TTL is dropped entirely; orders arriving after that
+    * see no rate until a fresh rate arrives. Pick per workload —
+    * correctness-forever vs bounded state.
     *
     * `orders` and `rates` must each carry a watermark on their time
     * column before being tagged into `events` (see `asOfEnrich`). */
-  def asOfEnrichStream(events: Dataset[AsOfEvent]): Dataset[AsOfEnriched] = {
+  def asOfEnrichStream(events: Dataset[AsOfEvent],
+      idleTtl: Option[Duration] = None): Dataset[AsOfEnriched] = {
     implicit val outEnc = Encoders.product[AsOfEnriched]
     implicit val stEnc = Encoders.product[AsOfState]
 
@@ -70,6 +80,12 @@ object StatefulOps {
         state: GroupState[AsOfState]): Iterator[AsOfEnriched] = {
       val wm = state.getCurrentWatermarkMs()
       val st0 = state.getOption.getOrElse(AsOfState(Nil, Nil))
+      // an idle-TTL wakeup with nothing pending means the key went
+      // quiescent for the whole TTL: drop its state
+      if (state.hasTimedOut && st0.pending.isEmpty && idleTtl.isDefined) {
+        state.remove()
+        return Iterator.empty
+      }
       val st1 = if (state.hasTimedOut) st0 else {
         val evs = it.toSeq
         val newRates = evs.filter(_.isRate).map(e => (e.ts.getTime, e.rate))
@@ -84,6 +100,9 @@ object StatefulOps {
         if (st2.pending.nonEmpty) {
           // wake when the watermark can release the oldest held order
           state.setTimeoutTimestamp(math.max(st2.pending.map(_._1).min, wm + 1))
+        } else idleTtl.foreach { ttl =>
+          // wake after TTL of watermark-idleness to GC the key
+          state.setTimeoutTimestamp(math.max(wm, 0L) + ttl.toMillis)
         }
       }
       out.iterator

@@ -48,22 +48,64 @@ class OperatorsSpec extends AnyFunSuite {
     assert(res.toSeq == Seq((2L, 2L), (9L, 1L)))
   }
 
-  test("LSH ANN results are a subset of brute-force candidates with exact sims") {
+  test("LSH ANN with derived table count matches brute force exactly") {
+    // the LSH guarantee is data-independent: tables derived so any
+    // neighbor at cosine >= 0.2 is missed with prob <= 1e-4 -> on this
+    // corpus (true top-5 sims all >= 0.2) output == brute force
     val emb = sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val q = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-    val bf = Similarity.bruteForceTopK(q, emb, 50).collect()
+    val bf = Similarity.bruteForceTopK(q, emb, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val lsh = Similarity.lshTopK(q, emb, 5, bits = 4, minSim = 0.2,
+        maxMissProb = 1e-4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(lsh.sorted == bf.sorted,
+      "derived-table LSH must reproduce exact top-k (sims bit-equal)")
+    // an explicit small table count still returns exact-sim subsets
+    val few = Similarity.lshTopK(q, emb, 5, bits = 6,
+      tablesOverride = Some(8)).collect()
+    val bfAll = Similarity.bruteForceTopK(q, emb, 200).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
-    val lsh = Similarity.lshTopK(q, emb, 5, bits = 6, tables = 8).collect()
-    assert(lsh.nonEmpty, "LSH should return candidates at bits=6")
-    // every LSH sim equals the exact sim brute force computed
-    lsh.foreach { r =>
+    assert(few.nonEmpty)
+    few.foreach { r =>
       val key = (r.getLong(0), r.getLong(2))
-      bf.get(key).foreach(exact => assert(exact == r.getDouble(3)))
+      bfAll.get(key).foreach(exact => assert(exact == r.getDouble(3)))
     }
   }
 
-  test("IVF ANN: exact sims, reasonable recall vs brute force") {
+  /** Deterministic planted-cluster corpus: `clusters` near-orthogonal
+    * unit directions, members = direction + small index-seeded noise.
+    * True nearest neighbors are within-cluster, so an ANN index that
+    * respects the structure wins at small nprobe. */
+  private def plantedClusters(n: Int, clusters: Int, dim: Int) = {
+    def noise(i: Int, j: Int): Float =
+      (math.sin(i * 37.0 + j * 101.0) * 0.15).toFloat
+    (0 until n).map { i =>
+      val c = i % clusters
+      val v = Array.tabulate(dim)(j => (if (j == c) 1.0f else 0.0f) + noise(i, j))
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("IVF ANN: exact sims; prunes hard on clustered data, honest on isotropic") {
+    // (a) clustered corpus: nprobe=2 of 16 cells (12.5% of the corpus
+    // scanned) must still recover >= 90% of true neighbors
+    val planted = plantedClusters(320, 16, 32)
+    val pq = planted.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val pTop = Similarity.bruteForceTopK(pq, planted, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pIvf = Similarity.ivfTopK(pq, planted, 5, clusters = 16, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val pRecall = pIvf.count(pTop.contains).toDouble / pTop.size
+    assert(pRecall >= 0.9, s"clustered recall $pRecall < 0.9 at nprobe=2/16")
+
+    // (b) the real testdata embeddings are ISOTROPIC (no cluster
+    // structure exists — measured: same-label avg cosine 0.0016 vs
+    // 0.0003 cross-label), so no index can beat the probed fraction;
+    // recall >= 0.9 is still reached by probing enough cells, and
+    // every reported sim must be the exact cosine
     val emb = sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val q = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
@@ -71,16 +113,36 @@ class OperatorsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val bfAll = Similarity.bruteForceTopK(q, emb, 500).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
-    val ivf = Similarity.ivfTopK(q, emb, 5, clusters = 16, nprobe = 8).collect()
+    val ivf = Similarity.ivfTopK(q, emb, 5, clusters = 16, nprobe = 14).collect()
     assert(ivf.nonEmpty)
-    // every IVF sim must equal the exact sim
     ivf.foreach { r =>
       val key = (r.getLong(0), r.getLong(2))
       assert(bfAll(key) == r.getDouble(3), s"sim mismatch for $key")
     }
     val recall = ivf.map(r => (r.getLong(0), r.getLong(2)))
       .count(bfTop.contains).toDouble / bfTop.size
-    assert(recall >= 0.4, s"recall $recall too low for nprobe=8/16")
+    assert(recall >= 0.9, s"isotropic recall $recall < 0.9 at nprobe=14/16")
+  }
+
+  test("LSH-blocked near-dup pairs == exact all-pairs, finds planted dup") {
+    // equality with the exact operator on real data (both SFs)
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val emb = sources.Tables.load(spark, s"/root/testdata/$sf", "embeddings")
+      val exact = Similarity.nearDupPairs(emb, 0.45).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val blocked = Similarity.nearDupPairsBlocked(emb, 0.45).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(blocked == exact, s"$sf: blocked pairs differ from exact")
+    }
+    // planted near-identical pair: vec 1000 = vec 0 with its noise
+    // scaled by 0.99 -> cosine ~1
+    val planted = plantedClusters(100, 16, 32)
+      .union(Seq((1000L, Array.tabulate(32)(j =>
+        (if (j == 0) 1.0f else 0.0f) + (math.sin(j * 101.0) * 0.15 * 0.99).toFloat)))
+        .toDF("vec_id", "embedding"))
+    val pairs = Similarity.nearDupPairsBlocked(planted, 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 1000L)), s"planted near-dup not found: ${pairs.toSeq}")
   }
 
   test("sessionize splits on gaps, session aggregate is consistent") {
