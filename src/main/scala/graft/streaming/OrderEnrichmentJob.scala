@@ -72,18 +72,61 @@ object OrderEnrichmentJob {
     Json.toJsonLines(enrich(orders, rates, delta))
   }
 
-  /** Start the pipeline against file-based JSON directories (swap for
-    * kafka options in production; Spark's source API is uniform). */
-  def run(spark: SparkSession, ordersDir: String, ratesDir: String,
+  /** Pluggable stream-source config — the Spark analogue of the
+    * reference's Kinesis consumers (StreamingJob.java:31-41). Every
+    * variant yields a one-column `value: string` JSON-lines frame, so
+    * the pipeline is source-agnostic downstream.
+    *
+    *  - `FileSource`: JSON-lines files dropped into a directory
+    *    (exactly-once with a checkpoint; used by tests and the demo).
+    *  - `KafkaSource`: the public `spark-sql-kafka-0-10` connector —
+    *    what a production Spark user runs; needs the connector jar on
+    *    the classpath (`--packages org.apache.spark:
+    *    spark-sql-kafka-0-10_2.13:<spark-version>`).
+    *  - `MemorySource`: a caller-supplied frame (MemoryStream in
+    *    specs). */
+  sealed trait SourceConfig
+  final case class FileSource(dir: String) extends SourceConfig
+  final case class KafkaSource(bootstrapServers: String, topic: String,
+      startingOffsets: String = "earliest") extends SourceConfig
+  final case class MemorySource(frame: DataFrame) extends SourceConfig
+
+  /** Raw JSON-lines stream for a source config. */
+  def source(spark: SparkSession, conf: SourceConfig): DataFrame = conf match {
+    case FileSource(dir) =>
+      spark.readStream.format("text").load(dir).select(col("value").cast("string"))
+    case KafkaSource(bootstrap, topic, offsets) =>
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", offsets)
+        .load()
+        // kafka frames carry (key, value: binary, topic, partition, …);
+        // the pipeline wants only the JSON payload
+        .select(col("value").cast("string").as("value"))
+    case MemorySource(df) => df.select(col("value").cast("string"))
+  }
+
+  /** Start the full pipeline from two configured sources — the
+    * reference job's shape (two streams in, one out) with the source
+    * kind swappable per deployment. */
+  def runFromSources(spark: SparkSession,
+      orders: SourceConfig, rates: SourceConfig,
       outDir: String, checkpointDir: String,
-      delta: Duration = Duration.ofSeconds(5)): StreamingQuery = {
-    val rawOrders = spark.readStream.format("text").load(ordersDir)
-    val rawRates = spark.readStream.format("text").load(ratesDir)
-    pipeline(rawOrders, rawRates, delta)
+      delta: Duration = Duration.ofSeconds(5),
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    pipeline(source(spark, orders), source(spark, rates), delta)
       .writeStream.format("text")
       .option("path", outDir)
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.ProcessingTime("5 seconds"))
+      .trigger(trigger)
       .start()
-  }
+
+  /** Start the pipeline against file-based JSON directories (swap for
+    * kafka config in production; see `runFromSources`). */
+  def run(spark: SparkSession, ordersDir: String, ratesDir: String,
+      outDir: String, checkpointDir: String,
+      delta: Duration = Duration.ofSeconds(5)): StreamingQuery =
+    runFromSources(spark, FileSource(ordersDir), FileSource(ratesDir),
+      outDir, checkpointDir, delta)
 }

@@ -50,4 +50,59 @@ class AsOfMergeJoinSpec extends AnyFunSuite {
       .map(x => x.getInt(0) -> (if (x.isNullAt(1)) -1 else x.getInt(1))).toMap
     assert(res == Map(1 -> -1, 2 -> 9, 3 -> -1), s"got $res")
   }
+
+  test("null times: left null-extends, right rows with null time are skipped") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val l = Seq((1, "EUR", Some(ts(100))), (2, "EUR", None))
+      .toDF("id", "k", "t")
+    val r = Seq(("EUR", Option(ts(50)), 7), ("EUR", Option.empty[java.sql.Timestamp], 99))
+      .toDF("rk", "rt", "rate")
+    val res = AsOfJoin.merge(l, r, "k", "rk", "t", "rt")
+      .select("id", "rate").collect()
+      .map(x => x.getInt(0) -> (if (x.isNullAt(1)) -1 else x.getInt(1))).toMap
+    // id 1 matches the ts(50) rate; the null-time rate 99 never matches;
+    // id 2 (null order time) is null-extended, NOT treated as epoch 0
+    assert(res == Map(1 -> 7, 2 -> -1), s"got $res")
+  }
+
+  test("non-time-typed time column is rejected at construction") {
+    import spark.implicits._
+    val l = Seq((1, "EUR", "not-a-time")).toDF("id", "k", "t")
+    val r = Seq(("EUR", "also-not", 7)).toDF("rk", "rt", "rate")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.merge(l, r, "k", "rk", "t", "rt")
+    }
+    assert(e.getMessage.contains("TIMESTAMP"))
+  }
+
+  test("window as-of join keeps all right fields from the SAME matched row") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    // the later right row carries a NULL aux value: a per-column
+    // last(ignoreNulls) carry would pair rate=9 with aux="a" (from the
+    // older row); the struct carry must yield (9, null)
+    val l = Seq((1, "EUR", ts(100))).toDF("id", "currency", "t")
+    val r = Seq(("EUR", ts(10), Some(7), Some("a")),
+        ("EUR", ts(90), Some(9), Option.empty[String]))
+      .toDF("currency", "rt", "rate", "aux")
+    val res = AsOfJoin.backward(l, r, "currency", "t", "rt", Seq("rate", "aux"))
+      .select("id", "rate", "aux").collect().head
+    assert(res.getInt(1) == 9 && res.isNullAt(2),
+      s"expected (9, null) from the matched row, got $res")
+  }
+
+  test("window as-of tolerance checks the matched row's own timestamp") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val l = Seq((1, "EUR", ts(100))).toDF("id", "currency", "t")
+    // latest rate is 80s stale; with 10s tolerance nothing matches
+    val r = Seq(("EUR", ts(20), 7)).toDF("currency", "rt", "rate")
+    val res = AsOfJoin.backward(l, r, "currency", "t", "rt", Seq("rate"),
+      tolerance = Some(java.time.Duration.ofSeconds(10))).collect().head
+    assert(res.isNullAt(res.fieldIndex("rate")), s"stale rate must be nulled: $res")
+    val res2 = AsOfJoin.backward(l, r, "currency", "t", "rt", Seq("rate"),
+      tolerance = Some(java.time.Duration.ofSeconds(90))).collect().head
+    assert(res2.getInt(res2.fieldIndex("rate")) == 7, s"fresh rate must attach: $res2")
+  }
 }

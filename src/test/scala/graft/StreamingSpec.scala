@@ -105,6 +105,115 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming as-of join idle TTL drops quiescent keys' state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StatefulOps.AsOfEvent]
+    val out = StatefulOps.asOfEnrichStream(
+      in.toDS().withWatermark("ts", "0 seconds"),
+      idleTtl = Some(Duration.ofSeconds(60)))
+    val q = out.writeStream.format("memory").queryName("asof_ttl")
+      .outputMode("append").start()
+    try {
+      def rate(k: String, sec: Long, r: Int) =
+        StatefulOps.AsOfEvent(k, isRate = true, ts(sec), r, 0, 0)
+      def ord(k: String, sec: Long, id: Int) =
+        StatefulOps.AsOfEvent(k, isRate = false, ts(sec), 0, id, 10)
+      // EUR rate, then EUR goes quiescent while CHF traffic pushes the
+      // watermark far beyond the 60 s TTL
+      in.addData(rate("EUR", 100, 3)); q.processAllAvailable()
+      for (t <- Seq(200L, 400L, 800L)) {
+        in.addData(rate("CHF", t, 1)); q.processAllAvailable()
+      }
+      // EUR order long after the TTL: state was GC'd, so no rate attaches
+      in.addData(ord("EUR", 900, 1)); q.processAllAvailable()
+      in.addData(rate("CHF", 2000, 1)); q.processAllAvailable()
+      in.addData(rate("CHF", 4000, 1)); q.processAllAvailable()
+      val rows = spark.sql("SELECT id, rate FROM asof_ttl WHERE id = 1").collect()
+      assert(rows.length == 1, s"order must flush: ${rows.toSeq}")
+      assert(rows(0).isNullAt(1),
+        s"EUR state should have been TTL-dropped, got rate ${rows(0)}")
+    } finally q.stop()
+  }
+
+  test("checkpoint recovery: stop mid-stream, restart, exactly-once output") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_ckpt").toString
+    val ordersDir = s"$root/orders"; val ratesDir = s"$root/rates"
+    val outDir = s"$root/out"; val ckpt = s"$root/ckpt"
+    new java.io.File(ordersDir).mkdirs(); new java.io.File(ratesDir).mkdirs()
+    def put(dir: String, name: String, lines: String*): Unit = {
+      // write outside the watched dir, then atomic-move in
+      val tmp = Paths.get(root, name)
+      Files.write(tmp, lines.mkString("\n").getBytes)
+      Files.move(tmp, Paths.get(dir, name))
+    }
+    def order(id: Int, t: String, amount: Int, cur: String) =
+      s"""{"id": $id, "orderTime": "$t", "amount": $amount, "currency": "$cur"}"""
+    def rate(t: String, cur: String, r: Int) =
+      s"""{"exchangeRateTime": "$t", "currency": "$cur", "rate": $r}"""
+
+    // ---- phase 1: one matched order, one order with no rate yet ----
+    put(ratesDir, "r1.json", rate("2024-01-01T00:00:00Z", "EUR", 2))
+    put(ordersDir, "o1.json",
+      order(1, "2024-01-01T00:00:02Z", 100, "EUR"),
+      order(2, "2024-01-01T00:00:03Z", 50, "GBP"))
+    val q1 = streaming.OrderEnrichmentJob.run(spark, ordersDir, ratesDir, outDir, ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+
+    // ---- phase 2: restart from the checkpoint; new currency matches,
+    // heartbeats on BOTH streams push the global watermark far past
+    // phase-1 event times so order 2's left-outer null row can flush —
+    // which only happens if the join state survived the restart ----
+    put(ratesDir, "r2.json",
+      rate("2024-01-01T00:00:04Z", "JPY", 5),
+      rate("2024-01-01T01:00:00Z", "EUR", 9))
+    put(ordersDir, "o2.json",
+      order(3, "2024-01-01T00:00:06Z", 10, "JPY"),
+      order(99, "2024-01-01T01:00:00Z", 1, "EUR"))
+    val q2 = streaming.OrderEnrichmentJob.run(spark, ordersDir, ratesDir, outDir, ckpt)
+    try {
+      q2.processAllAvailable()
+      // second data batch at even later event time: the now-advanced
+      // watermark takes effect and flushes held state
+      put(ratesDir, "r3.json", rate("2024-01-01T02:00:00Z", "EUR", 9))
+      put(ordersDir, "o3.json", order(98, "2024-01-01T02:00:00Z", 1, "EUR"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val out = spark.read.text(outDir).collect().map(_.getString(0)).toSeq
+    def rowsFor(id: Int) = out.filter(_.contains(s""""id":$id"""))
+    assert(rowsFor(1).length == 1, s"order 1 must appear exactly once: $out")
+    assert(rowsFor(1).head.contains("\"converted_amount\":200"))
+    assert(rowsFor(3).length == 1, s"order 3 must appear exactly once: $out")
+    assert(rowsFor(3).head.contains("\"converted_amount\":50"))
+    val gbp = rowsFor(2)
+    assert(gbp.length == 1, s"unmatched GBP order must flush exactly once: $out")
+    assert(!gbp.head.contains("converted_amount"),
+      s"GBP order has no rate -> null (dropped by to_json): ${gbp.head}")
+  }
+
+  test("source config: file and memory wired; kafka reaches the connector lookup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[String]
+    val mdf = streaming.OrderEnrichmentJob.source(spark,
+      streaming.OrderEnrichmentJob.MemorySource(ms.toDF().toDF("value")))
+    assert(mdf.isStreaming && mdf.columns.toSeq == Seq("value"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_src").toString
+    val fdf = streaming.OrderEnrichmentJob.source(spark,
+      streaming.OrderEnrichmentJob.FileSource(dir))
+    assert(fdf.isStreaming && fdf.columns.toSeq == Seq("value"))
+    // the kafka path is code-complete up to the DataSource lookup; this
+    // sandbox has no spark-sql-kafka-0-10 jar, so the lookup must fail
+    // with the standard deploy-the-connector guidance
+    val e = intercept[Exception] {
+      streaming.OrderEnrichmentJob.source(spark,
+        streaming.OrderEnrichmentJob.KafkaSource("localhost:9092", "orders"))
+    }
+    assert(e.getMessage.toLowerCase.contains("kafka"), s"got: ${e.getMessage}")
+  }
+
   test("streaming tumbling-window aggregation with watermark (append mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
