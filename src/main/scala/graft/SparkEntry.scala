@@ -386,18 +386,24 @@ object SparkEntry {
         bands = 8, maxHamming = 7)
         .orderBy("id_a", "id_b")),
     // scale-safe entry: frequency-ordered prefix filter (PPJoin) — pure
-    // shuffle equi-joins, no broadcast, no quadratic scan. The
-    // broadcast variant (jaccardJoin) remains the verify-grade op and
-    // is equivalence-spec'd against this one.
+    // shuffle equi-joins, no broadcast, no quadratic scan. 3-gram
+    // shingles (the standard dedup setting, same as d2/d6): this corpus
+    // has a tiny vocabulary, so 2-gram postings collapse to ~900
+    // distinct shingles and ANY prefix index degenerates; 3-grams keep
+    // the posting lists selective. The broadcast variant (jaccardJoin)
+    // remains the verify-grade op and is equivalence-spec'd against
+    // this one at both widths.
     "d4_ngram_jaccard" -> ((s, dir) =>
       Dedup.jaccardJoinPrefixRare(T(s, dir, "documents"), "doc_id", "text",
-        shingleWords = 2, threshold = 0.5)
+        shingleWords = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")),
-    // scale-safe entry: LSH-banded candidate blocking + exact cosine
-    // verify on collisions (tables derived from the threshold; output
-    // deterministic). The all-pairs form (nearDupPairs) is verify-only.
+    // scale-safe entry: exact grid theta-join (1-Bucket-Theta) — the
+    // pair space shards evenly over block-pair equi-join keys, no
+    // broadcast, no nested loop, zero miss risk at any threshold. The
+    // LSH-blocked variant is the high-threshold path; the plain
+    // all-pairs form (nearDupPairs) is verify-only.
     "d5_embed_neardup" -> ((s, dir) =>
-      Similarity.nearDupPairsBlocked(T(s, dir, "embeddings"), 0.45)
+      Similarity.nearDupPairsGrid(T(s, dir, "embeddings"), 0.45)
         .orderBy("id_a", "id_b")),
     // cross-source content overlap via mergeable MinHash aggregate
     // (estimator; rows-only, spec-validated against exact Jaccard)
@@ -772,9 +778,9 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
     "d4_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id,
-        |  list_distinct(CASE WHEN len(sp) < 2 THEN [array_to_string(sp, ' ')]
-        |    ELSE list_transform(generate_series(1, len(sp) - 1),
-        |      i -> sp[i] || ' ' || sp[i+1]) END) AS sh
+        |  list_distinct(CASE WHEN len(sp) < 3 THEN [array_to_string(sp, ' ')]
+        |    ELSE list_transform(generate_series(1, len(sp) - 2),
+        |      i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2]) END) AS sh
         |  FROM (SELECT doc_id,
         |    string_split_regex(trim(text), '\s+') AS sp FROM documents)),
         |ww AS (SELECT doc_id, sh, len(sh) AS n FROM w),

@@ -63,6 +63,46 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** EXACT all-pairs near-duplicate join via GRID sharding (the
+    * 1-Bucket-Theta shape from the published theta-join literature):
+    * rows hash into `blocks` groups; every unordered block pair (i,j)
+    * becomes one equi-join key, the left side replicating each row to
+    * its keys (i, j>=i) and the right to (i<=j, j). The join is a plain
+    * shuffle equi-join on the block-pair key — NO broadcast, NO nested
+    * loop — and every id pair is examined exactly once (diagonal blocks
+    * order by id; off-diagonal pairs meet at exactly one key).
+    *
+    * Exact O(n^2) compute is unavoidable for a guaranteed-complete
+    * similarity join at permissive thresholds; what scale demands is
+    * that the n^2 work be SHARDED EVENLY with bounded memory, which the
+    * grid gives: each task holds two blocks (~2n/blocks rows) and
+    * shuffle volume is n*(blocks+1)/2 rows. Pick blocks ~ a small
+    * multiple of sqrt(cluster cores) (task count grows as blocks^2/2).
+    * At high thresholds prefer `nearDupPairsBlocked`, whose LSH buckets
+    * actually prune. */
+  def nearDupPairsGrid(df: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      blocks: Int = 16): DataFrame = {
+    require(blocks >= 1)
+    val ids = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("blk", pmod(xxhash64(col("id")), lit(blocks)).cast("int"))
+    val a = ids.withColumn("bj", explode(sequence(col("blk"), lit(blocks - 1))))
+      .select(col("blk").as("bi"), col("bj"),
+        col("id").as("id_x"), col("vec").as("vec_x"))
+    val b = ids.withColumn("bi2", explode(sequence(lit(0), col("blk"))))
+      .select(col("bi2"), col("blk").as("bj2"),
+        col("id").as("id_y"), col("vec").as("vec_y"))
+    // diagonal keys see both orderings of an in-block pair: keep one.
+    // off-diagonal pairs meet at exactly one key, either ordering.
+    val once = (col("bi") =!= col("bj")) || (col("id_x") < col("id_y"))
+    a.join(b, col("bi") === col("bi2") && col("bj") === col("bj2") &&
+        col("id_x") =!= col("id_y") && once)
+      .withColumn("sim", cosine_similarity(col("vec_x"), col("vec_y")))
+      .where(col("sim") >= threshold)
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"), col("sim"))
+  }
+
   /** LSH-blocked near-duplicate pairs: candidates come from an
     * EQUALITY self-join on (table, hyperplane-signature) buckets —
     * shuffle-partitioned, no broadcast, no nested loop — then only
