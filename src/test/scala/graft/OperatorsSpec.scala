@@ -145,6 +145,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 1000L)), s"planted near-dup not found: ${pairs.toSeq}")
   }
 
+  test("grid theta-join near-dup == exact all-pairs, shuffle-only plan") {
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val emb = sources.Tables.load(spark, s"/root/testdata/$sf", "embeddings")
+      val exact = Similarity.nearDupPairs(emb, 0.45).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val grid = Similarity.nearDupPairsGrid(emb, 0.45).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // every pair examined exactly once: no duplicate (id_a, id_b)
+      assert(grid.map(p => (p._1, p._2)).distinct.length == grid.length,
+        s"$sf: grid emitted duplicate pairs")
+      assert(grid.toSet == exact, s"$sf: grid pairs differ from exact")
+    }
+    // block counts that don't divide the corpus evenly still cover all pairs
+    val emb = sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val ref = Similarity.nearDupPairsGrid(emb, 0.45, blocks = 16).collect().length
+    for (blocks <- Seq(1, 3, 7)) {
+      val n = Similarity.nearDupPairsGrid(emb, 0.45, blocks = blocks).collect().length
+      assert(n == ref, s"blocks=$blocks: $n pairs vs $ref")
+    }
+    // the whole point: a plain shuffle join, never a broadcast nested loop
+    val plan = Similarity.nearDupPairsGrid(emb, 0.45)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"grid plan fell back to a non-shuffle join:\n$plan")
+  }
+
   test("sessionize splits on gaps, session aggregate is consistent") {
     def ts(m: Int) = new java.sql.Timestamp(m * 60000L)
     val e = Seq((1L, 1L, ts(0)), (2L, 1L, ts(10)), (3L, 1L, ts(60)),
@@ -194,17 +220,17 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
-  test("prefix-filter jaccard join == broadcast jaccard join (both SFs)") {
-    for (sf <- Seq("sf0.001", "sf0.01")) {
+  test("prefix-filter jaccard join == broadcast jaccard join (both SFs, both widths)") {
+    for (sf <- Seq("sf0.001", "sf0.01"); w <- Seq(2, 3)) {
       val docs = sources.Tables.load(spark, s"/root/testdata/$sf", "documents")
-      val bnl = Dedup.jaccardJoin(docs, "doc_id", "text", 2, 0.5)
-      val ppj = Dedup.jaccardJoinPrefix(docs, "doc_id", "text", 2, 0.5)
-      val rare = Dedup.jaccardJoinPrefixRare(docs, "doc_id", "text", 2, 0.5)
-      assert(ppj.count() == bnl.count(), s"$sf: counts differ")
+      val bnl = Dedup.jaccardJoin(docs, "doc_id", "text", w, 0.5)
+      val ppj = Dedup.jaccardJoinPrefix(docs, "doc_id", "text", w, 0.5)
+      val rare = Dedup.jaccardJoinPrefixRare(docs, "doc_id", "text", w, 0.5)
+      assert(ppj.count() == bnl.count(), s"$sf w=$w: counts differ")
       assert(ppj.exceptAll(bnl).isEmpty && bnl.exceptAll(ppj).isEmpty,
-        s"$sf: result sets differ")
+        s"$sf w=$w: result sets differ")
       assert(rare.exceptAll(bnl).isEmpty && bnl.exceptAll(rare).isEmpty,
-        s"$sf: frequency-ordered variant differs")
+        s"$sf w=$w: frequency-ordered variant differs")
     }
   }
 
