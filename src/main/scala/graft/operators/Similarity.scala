@@ -151,55 +151,80 @@ object Similarity {
   }
 
   /** IVF (inverted-file) ANN index: partition the corpus into
-    * `clusters` Voronoi cells around centroids (deterministic seeds =
-    * lowest-id vectors, refined by one Lloyd iteration — enough to
-    * spread seeds; more iterations are a drop-in), then answer queries
-    * by exact search over only the `nprobe` nearest cells.
+    * `clusters` Voronoi cells around centroids (trained by Lloyd
+    * iterations on a bounded deterministic sample), then answer
+    * queries by exact search over only the `nprobe` nearest cells.
     *
-    * Scale: centroids are tiny and broadcast; cell assignment is one
-    * linear scan; a query touches ~corpus*nprobe/clusters vectors.
-    * Everything is DataFrame ops (posexplode/avg/max_by), so the
-    * index build is shuffle-shaped, not driver-side. */
+    * Scale: the index is clusters x dim floats and the training set is
+    * capped at `trainSample` vectors — BOTH independent of corpus size
+    * — so training happens driver-side on the sample (the standard IVF
+    * practice: FAISS trains coarse quantizers on a subsample of
+    * 39..256 points per centroid, not the full corpus). The cluster
+    * only does the two scans that must see all data: one TakeOrdered
+    * pass to draw the hash-ordered sample, and the map-only assignment
+    * projection, where the trained centroids are embedded as LITERALS
+    * in a codegen'd argmax — no join, no shuffle keyed on the embedding
+    * array. The probe is a broadcast hash join of the (small) query set
+    * against the assigned corpus; a query touches
+    * ~corpus*nprobe/clusters vectors.
+    *
+    * Determinism: the sample is drawn by (xxhash64(id), id) order and
+    * driver-side Lloyd accumulates sequentially in that order, so the
+    * centroids — and hence every assignment — are identical run to run
+    * at any parallelism. Ties on assignment break to the lowest cell
+    * id both in training and in the literal argmax. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       clusters: Int = 16, nprobe: Int = 4, iterations: Int = 5,
+      trainSample: Int = 8192,
       queryId: String = "query_id", queryVec: String = "query_vec",
       corpusId: String = "vec_id", corpusVec: String = "embedding"): DataFrame = {
-    require(nprobe <= clusters && iterations >= 1)
-    // deterministic seeds: the `clusters` lowest-id vectors
-    val seeds = corpus.orderBy(col(corpusId)).limit(clusters)
-      .select(col(corpusId).as("cid0"), col(corpusVec).as("cvec0"))
-      .withColumn("cid", row_number().over(Window.orderBy(col("cid0"))) - 1)
-      .select("cid", "cvec0")
-    // Lloyd iterations: assign -> elementwise mean per cell -> repeat.
-    // Means accumulate in DECIMAL so the distributed sum is exact and
-    // order-independent — double summation order varies run to run and
-    // a perturbed centroid can flip a borderline cell assignment,
-    // making the whole index nondeterministic. Ties on assignment
-    // break to the lowest cell id for the same reason.
-    val dm = org.apache.spark.sql.types.DecimalType(27, 12)
-    def assign(vecCol: String)(cents: DataFrame): DataFrame =
-      corpus.crossJoin(broadcast(cents))
-        .withColumn("__sim", cosine_similarity(col(corpusVec), col(vecCol)))
-        .groupBy(col(corpusId), col(corpusVec))
-        .agg(max_by(col("cid"), struct(col("__sim"), -col("cid"))).as("cid"))
-    def recenter(cents: DataFrame, vecCol: String): DataFrame =
-      assign(vecCol)(cents)
-        .select(col("cid"), posexplode(col(corpusVec)).as(Seq("pos", "v")))
-        .groupBy("cid", "pos").agg(avg(col("v").cast(dm)).as("m"))
-        .groupBy("cid")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m").cast("float")).as("cvec"))
-    var centroids = recenter(seeds, "cvec0")
-    for (_ <- 1 until iterations) centroids = recenter(centroids, "cvec")
-    val indexed = assign("cvec")(centroids)
-    // probe: each query searches its nprobe nearest cells
-    val pw = Window.partitionBy(col(queryId)).orderBy(col("__csim").desc, col("cid").asc)
-    val probes = broadcast(queries).crossJoin(broadcast(centroids))
-      .withColumn("__csim", cosine_similarity(col(queryVec), col("cvec")))
-      .withColumn("__pr", row_number().over(pw)).where(col("__pr") <= nprobe)
-      .select(col(queryId), col(queryVec), col("cid"))
+    require(nprobe <= clusters && iterations >= 1 && trainSample >= clusters)
+    // bounded deterministic sample: hash order spreads it uniformly
+    // over the corpus regardless of storage layout
+    val sample: Array[Array[Float]] = corpus
+      .orderBy(xxhash64(col(corpusId)), col(corpusId)).limit(trainSample)
+      .select(col(corpusVec)).collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "ivfTopK: empty corpus")
+    val dim = sample.head.length
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dim) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    val nc = math.min(clusters, sample.length)
+    var cents: Array[Array[Float]] = sample.take(nc).map(_.clone())
+    for (_ <- 0 until iterations) {
+      val sums = Array.fill(nc)(new Array[Double](dim))
+      val counts = new Array[Long](nc)
+      sample.foreach { v =>
+        var best = 0; var bs = -2.0; var c = 0
+        while (c < nc) { val s = cos(v, cents(c)); if (s > bs) { bs = s; best = c }; c += 1 }
+        counts(best) += 1
+        val su = sums(best); var i = 0
+        while (i < dim) { su(i) += v(i); i += 1 }
+      }
+      // empty cells keep their previous centroid
+      for (c <- 0 until nc if counts(c) > 0; i <- 0 until dim)
+        cents(c)(i) = (sums(c)(i) / counts(c)).toFloat
+    }
+    // map-only assignment against the trained centroid literals:
+    // argmax by (sim, -cid) via lexicographic array_max over structs
+    def cidOf(vec: Column): Column = array_max(array(
+      cents.zipWithIndex.map { case (cv, i) =>
+        struct(cosine_similarity(vec, lit(cv)).as("sim"),
+          lit(-i).as("negcid"), lit(i).as("cid"))
+      }: _*)).getField("cid")
+    val indexed = corpus.withColumn("__g_cid", cidOf(col(corpusVec)))
+    // probe: each query searches its nprobe nearest cells (sim desc,
+    // cid asc ties — encoded as ascending (-sim, cid) struct sort)
+    val probes = queries.withColumn("__g_pc", explode(slice(array_sort(array(
+        cents.zipWithIndex.map { case (cv, i) =>
+          struct((-cosine_similarity(col(queryVec), lit(cv))).as("negsim"),
+            lit(i).as("cid"))
+        }: _*)), 1, nprobe)))
+      .select(col(queryId), col(queryVec), col("__g_pc.cid").as("__g_cid"))
     val w = Window.partitionBy(col(queryId)).orderBy(col("sim").desc, col(corpusId).asc)
-    probes.join(indexed, Seq("cid"))
+    broadcast(probes).join(indexed, Seq("__g_cid"))
       .where(col(queryId) =!= col(corpusId))
       .withColumn("sim", cosine_similarity(col(queryVec), col(corpusVec)))
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
