@@ -1,12 +1,22 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.graftshim.SparkShims
 
 /** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR
   * and prints ONE JSON line. A warmup pass first touches every table
   * and runs each query once (parquet footer reads, codegen, JIT), then
   * each query is timed twice and the best run reported — steady-state
   * throughput, which is what a long-running cluster job sees.
+  *
+  * Besides wall time, per-query shuffle WRITE bytes (and read, spill)
+  * are recorded from task metrics for the second timed run: shuffle
+  * volume is the number that predicts cluster-scale cost, and a plan
+  * regression (a lost broadcast, a new exchange) shows up here even
+  * when local wall time barely moves.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -22,11 +32,32 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    val wBytes = new AtomicLong; val rBytes = new AtomicLong
+    val spill = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          wBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          rBytes.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          spill.addAndGet(m.diskBytesSpilled)
+        }
+      }
+    })
+
     def run(name: String): Double = {
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
       catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
+    }
+    /** (seconds, shuffle write, shuffle read, disk spill) of one run. */
+    def runMetered(name: String): (Double, Long, Long, Long) = {
+      SparkShims.drainListenerBus(spark)
+      val (w0, r0, s0) = (wBytes.get, rBytes.get, spill.get)
+      val t = run(name)
+      SparkShims.drainListenerBus(spark)
+      (t, wBytes.get - w0, rBytes.get - r0, spill.get - s0)
     }
 
     // warmup: table scans + one untimed pass per query
@@ -38,13 +69,20 @@ object Bench {
     names.foreach(run)
 
     val results = names.map { n =>
-      val a = run(n); val b = run(n)
-      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val a = run(n)
+      val (b, w, r, sp) = runMetered(n)
+      val best = if (a < 0 || b < 0) -1.0 else math.min(a, b)
+      (n, best, w, r, sp)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def obj(f: ((String, Double, Long, Long, Long)) => String): String =
+      results.map(t => "\"" + t._1 + "\":" + f(t)).mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec"""" +
+      s""","queries":${obj(_._2.toString)}""" +
+      s""","shuffle_write_bytes":${obj(_._3.toString)}""" +
+      s""","shuffle_read_bytes":${obj(_._4.toString)}""" +
+      s""","disk_spill_bytes":${obj(_._5.toString)}""" +
+      s""","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -24,4 +24,10 @@ object SparkShims {
   def ofRows(spark: SparkSession, plan: LogicalPlan): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Block until all queued listener events are delivered, so task
+    * metrics accumulated by a SparkListener are complete for the jobs
+    * that have already finished (the bus is async). */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }
