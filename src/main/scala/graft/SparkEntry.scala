@@ -466,6 +466,33 @@ object SparkEntry {
           graft.functions.GraftFunctions.simhash64(col("text")).as("content_simhash"))
         .orderBy("doc_id")),
 
+    // ---- corpus prep (training-data pipeline) -----------------------
+    // deterministic md5-range train/val/test split: engine- and
+    // cluster-independent assignment, zero shuffle for the assignment
+    "x5_split" -> ((s, dir) =>
+      CorpusOps.hashSplit(T(s, dir, "documents"), "doc_id")
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy("split", "lang")),
+    // vocabulary build: global top-k via TakeOrdered over partial aggs
+    "x6_vocab" -> ((s, dir) =>
+      CorpusOps.vocabTopK(T(s, dir, "documents"), "text", 100)
+        .orderBy("rank")),
+    // MassiveText-style repetition quality rule, one codegen'd pass
+    "x7_repetition" -> ((s, dir) =>
+      CorpusOps.repetitionStats(T(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "total_ngrams", "distinct_ngrams", "dup_ratio")
+        .orderBy("doc_id")),
+    // benchmark decontamination: distinct 3-gram overlap counts against
+    // the held-out source, shuffle equi-join on the gram string
+    "d7_decontam" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      CorpusOps.decontaminationOverlap(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // single-pass column profiler (KMV-backed distinct estimates)
     "p1_profile" -> ((s, dir) =>
       Profile.profile(T(s, dir, "events")).orderBy("column")),
@@ -872,5 +899,42 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT)
         |    AS bpe_ish_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x5_split" ->
+      s"""SELECT ${operators.CorpusOps.hashSplitSql("doc_id::VARCHAR")} AS "split",
+        |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "x6_vocab" ->
+      """WITH tok AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |    AS token FROM documents),
+        |f AS (SELECT token, count(*) AS freq FROM tok WHERE token <> ''
+        |  GROUP BY token),
+        |r AS (SELECT token, freq, CAST(row_number() OVER
+        |    (ORDER BY freq DESC, token ASC) AS INT) AS "rank" FROM f)
+        |SELECT token, freq, "rank" FROM r WHERE "rank" <= 100
+        |ORDER BY "rank"""".stripMargin,
+    "x7_repetition" ->
+      """WITH g AS (SELECT doc_id,
+        |  CASE WHEN len(sp) < 3 THEN [array_to_string(sp, ' ')]
+        |    ELSE list_transform(generate_series(1, len(sp) - 2),
+        |      i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2]) END AS grams
+        |  FROM (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS sp FROM documents))
+        |SELECT doc_id, CAST(len(grams) AS BIGINT) AS total_ngrams,
+        |  CAST(len(list_distinct(grams)) AS BIGINT) AS distinct_ngrams,
+        |  (len(grams) - len(list_distinct(grams))) / CAST(len(grams) AS DOUBLE)
+        |    AS dup_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "d7_decontam" ->
+      """WITH g AS (SELECT doc_id, source,
+        |  CASE WHEN len(sp) < 3 THEN [array_to_string(sp, ' ')]
+        |    ELSE list_transform(generate_series(1, len(sp) - 2),
+        |      i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2]) END AS grams
+        |  FROM (SELECT doc_id, source,
+        |    string_split_regex(trim(text), '\s+') AS sp FROM documents)),
+        |b AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE source = 'src0'),
+        |c AS (SELECT doc_id, unnest(list_distinct(grams)) AS gram FROM g
+        |  WHERE source <> 'src0')
+        |SELECT c.doc_id, count(*) AS n_overlap FROM c JOIN b USING (gram)
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
   )
 }

@@ -34,6 +34,9 @@ object GraftFunctions {
   def shingle_hashes(text: Column, shingleWords: Int): Column =
     toCol(ShingleHashes(toExpr(text), shingleWords))
 
+  def shingle_strings(text: Column, shingleWords: Int): Column =
+    toCol(ShingleStrings(toExpr(text), shingleWords))
+
   def minhash_merge(sig: Column): Column =
     toCol(MinHashMerge(toExpr(sig)).toAggregateExpression())
 

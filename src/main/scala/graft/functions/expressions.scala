@@ -107,6 +107,26 @@ case class ShingleHashes(child: Expression, shingleWords: Int)
   override def prettyName: String = "shingle_hashes"
 }
 
+/** Word n-gram STRINGS in document order, splitting the text exactly
+  * once per row. The declarative formulation — transform(sequence(...),
+  * i -> array_join(slice(split(trim(text)), i+1, n))) — inlines the
+  * split into the lambda, so Catalyst re-splits the whole text for
+  * every gram: O(words^2) per document (measured 3.4 s vs 0.3 s on the
+  * sf0.1 corpus). Semantics match split(trim(text), '\s+') with
+  * single-space joins, so DuckDB's string_split_regex mirror is exact;
+  * a doc shorter than n words yields its whole text as one gram. */
+case class ShingleStrings(child: Expression, shingleWords: Int)
+    extends UnaryExpression {
+  require(shingleWords > 0)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    GraftHash.shingleStrings(v.asInstanceOf[UTF8String], shingleWords)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.shingleStrings($c, $shingleWords)")
+  override protected def withNewChildInternal(c: Expression): ShingleStrings = copy(child = c)
+  override def prettyName: String = "shingle_strings"
+}
+
 /** Intersection size of two SORTED long arrays (linear merge, no
   * allocation). Backs the exact set-similarity join: shingle sets are
   * hashed to sorted long arrays once per document, so the O(pairs)
@@ -316,6 +336,34 @@ object GraftHash {
       j += 1
     }
     new GenericArrayData(java.util.Arrays.copyOf(hs, out))
+  }
+
+  private val WS = java.util.regex.Pattern.compile("\\s+")
+
+  /** See ShingleStrings: trim spaces (SQL trim), split \s+ once, emit
+    * n-gram strings joined by single spaces. */
+  def shingleStrings(text: UTF8String, n: Int): ArrayData = {
+    var s = text.toString
+    var b = 0; var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    s = s.substring(b, e)
+    val words = WS.split(s, -1)
+    if (words.length < n) {
+      new GenericArrayData(Array[Any](UTF8String.fromString(words.mkString(" "))))
+    } else {
+      val out = new Array[Any](words.length - n + 1)
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i <= words.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) { if (j > 0) sb.append(' '); sb.append(words(i + j)); j += 1 }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
   }
 
   def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators a training-data pipeline runs after
+  * cleaning: deterministic train/val/test splits, vocabulary building,
+  * intra-document repetition scoring (the MassiveText/Gopher-style
+  * quality rule), and benchmark decontamination via n-gram overlap.
+  *
+  * All pure codegen'd column expressions and shuffle equi-joins; every
+  * operator has an exact SQL mirror (md5 and IEEE division behave
+  * identically in DuckDB), so all four are oracle-checkable.
+  */
+object CorpusOps {
+  /** Word n-grams of `text` as strings; a doc shorter than `n` words
+    * contributes its whole text as one gram (same convention as the
+    * Jaccard-join shingles, so oracles share one mirror formula).
+    * Backed by the ShingleStrings expression — one split per row; the
+    * split/transform/slice formulation re-splits per gram (O(words^2)
+    * per doc, 10x slower on the test corpus). */
+  def wordGrams(text: Column, n: Int): Column =
+    graft.functions.GraftFunctions.shingle_strings(text, n)
+
+  /** 32-hex-digit boundary string for cumulative weight w: an md5 hex
+    * digest is uniform over [0, 16^32), so `md5 < boundary(w)` selects
+    * a w-fraction of keys, identically in any engine that compares
+    * lowercase hex strings lexicographically. */
+  private def hexBoundary(w: Double): String = {
+    require(w >= 0.0 && w <= 1.0)
+    if (w >= 1.0) "g" // lexicographically above every hex digest
+    else {
+      val scaled = (BigDecimal(w) * BigDecimal(BigInt(1) << 128)).toBigInt
+      val s = scaled.toString(16)
+      "0" * (32 - s.length) + s
+    }
+  }
+
+  /** Deterministic hash split: each row lands in exactly one named
+    * split with the given weight, decided by md5(id:salt) — stable
+    * across runs, engines, partitionings, and cluster sizes, which is
+    * what makes held-out sets trustworthy. The assignment expression is
+    * a pure codegen'd CASE over one md5 call (no shuffle at all). */
+  def hashSplit(df: DataFrame, idCol: String, salt: String = "graft",
+      weights: Seq[(String, Double)] =
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)): DataFrame = {
+    require(weights.nonEmpty && math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      "split weights must sum to 1")
+    val h = md5(concat(col(idCol).cast("string"), lit(":" + salt)))
+    val cum = weights.map(_._1).zip(weights.scanLeft(0.0)(_ + _._2).tail)
+    val assign = cum.init.foldRight(lit(cum.last._1): Column) {
+      case ((name, upper), acc) => when(h < lit(hexBoundary(upper)), name).otherwise(acc)
+    }
+    df.withColumn("split", assign)
+  }
+
+  /** SQL mirror of `hashSplit`'s assignment for a DuckDB oracle. */
+  def hashSplitSql(idExpr: String, salt: String = "graft",
+      weights: Seq[(String, Double)] =
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)): String = {
+    val h = s"md5($idExpr || ':$salt')"
+    val cum = weights.map(_._1).zip(weights.scanLeft(0.0)(_ + _._2).tail)
+    cum.init.map { case (name, upper) =>
+      s"WHEN $h < '${hexBoundary(upper)}' THEN '$name'"
+    }.mkString("CASE ", " ", s" ELSE '${cum.last._1}' END")
+  }
+
+  /** Top-k vocabulary by token frequency (whitespace tokens,
+    * lowercased). The global top-k is a TakeOrdered over the
+    * partially-aggregated (token, freq) pairs — never a single-
+    * partition sort of the full vocabulary; ranks are then assigned
+    * among just the k winners. Ties break alphabetically. */
+  def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val winners = df
+      .select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc).limit(k)
+    winners.withColumn("rank",
+      row_number().over(Window.orderBy(col("freq").desc, col("token").asc)))
+  }
+
+  /** Per-document repetition stats on word n-grams: total grams,
+    * distinct grams, and the duplicate fraction — the published
+    * repetition quality filter (heavily repeated passages predict
+    * low-quality/boilerplate text). One codegen'd pass, no shuffle. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val grams = wordGrams(col(textCol), n)
+    df.withColumn("total_ngrams", size(grams).cast("long"))
+      .withColumn("distinct_ngrams", size(array_distinct(grams)).cast("long"))
+      .withColumn("dup_ratio",
+        (col("total_ngrams") - col("distinct_ngrams")).cast("double") /
+          col("total_ngrams").cast("double"))
+  }
+
+  /** Benchmark decontamination: for each corpus doc, how many of its
+    * distinct word n-grams appear anywhere in `benchmark`. Corpus docs
+    * with overlap 0 don't appear (inner join) — callers anti-join to
+    * drop contaminated docs. Both sides explode to (gram) rows and
+    * meet in a shuffle equi-join on the gram string: the exact shape
+    * this runs at 100 TB (benchmark side is usually small enough to
+    * broadcast, which Catalyst/AQE decides from its size). */
+  def decontaminationOverlap(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val cg = corpus.select(col(idCol),
+      explode(array_distinct(wordGrams(col(textCol), n))).as("gram"))
+    val bg = benchmark.select(explode(wordGrams(col(textCol), n)).as("gram"))
+      .distinct()
+    cg.join(bg, "gram")
+      .groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
+  }
+}

@@ -171,6 +171,55 @@ class OperatorsSpec extends AnyFunSuite {
       s"grid plan fell back to a non-shuffle join:\n$plan")
   }
 
+  test("corpus prep: hash split, vocab, repetition, decontamination") {
+    val docs = sources.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    // hash split: exhaustive, disjoint, deterministic, near the weights
+    val sp = CorpusOps.hashSplit(docs, "doc_id")
+    val counts = sp.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    assert(total == docs.count(), "every doc lands in exactly one split")
+    assert(math.abs(counts("train").toDouble / total - 0.9) < 0.03, s"$counts")
+    assert(math.abs(counts("val").toDouble / total - 0.05) < 0.03, s"$counts")
+    val again = CorpusOps.hashSplit(docs, "doc_id")
+      .select("doc_id", "split").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    sp.select("doc_id", "split").collect()
+      .foreach(r => assert(again(r.getLong(0)) == r.getString(1), "assignment drifted"))
+    // a different salt reshuffles the assignment
+    val salted = CorpusOps.hashSplit(docs, "doc_id", salt = "other")
+      .select("doc_id", "split").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(salted.exists { case (id, s) => again(id) != s }, "salt had no effect")
+
+    // vocab: k rows (the corpus vocabulary is ~31 tokens, so k=20
+    // exercises the cutoff), ranks 1..k, frequencies non-increasing
+    val vocab = CorpusOps.vocabTopK(docs, "text", 20).orderBy("rank").collect()
+    assert(vocab.length == 20)
+    assert(vocab.map(_.getAs[Int]("rank")).toSeq == (1 to 20))
+    val freqs = vocab.map(_.getAs[Long]("freq")).toSeq
+    assert(freqs == freqs.sorted.reverse, "freq not non-increasing by rank")
+
+    // repetition: planted repeated doc scores high, unique doc scores 0
+    val planted = Seq((1L, "spam spam spam spam spam spam"),
+      (2L, "each word here is used exactly once"),
+      (3L, "ab")).toDF("doc_id", "text") // shorter than n -> one gram
+    val rep = CorpusOps.repetitionStats(planted, "doc_id", "text", 3)
+      .orderBy("doc_id").collect()
+    assert(rep(0).getAs[Double]("dup_ratio") > 0.7, "repeated text must score high")
+    assert(rep(1).getAs[Double]("dup_ratio") == 0.0)
+    assert(rep(2).getAs[Long]("total_ngrams") == 1L)
+
+    // decontamination: doc sharing a 3-gram with the benchmark is
+    // flagged with the exact distinct-overlap count; clean doc is not
+    val bench = Seq((100L, "the quick brown fox jumps over")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "we say the quick brown fox appears the quick brown fox again"),
+      (2L, "completely different words entirely")).toDF("doc_id", "text")
+    val overlap = CorpusOps.decontaminationOverlap(corpus, bench, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // distinct shared grams: "the quick brown", "quick brown fox"
+    assert(overlap == Map(1L -> 2L), s"got $overlap")
+  }
+
   test("sessionize splits on gaps, session aggregate is consistent") {
     def ts(m: Int) = new java.sql.Timestamp(m * 60000L)
     val e = Seq((1L, 1L, ts(0)), (2L, 1L, ts(10)), (3L, 1L, ts(60)),
