@@ -483,6 +483,17 @@ object SparkEntry {
       CorpusOps.repetitionStats(T(s, dir, "documents"), "doc_id", "text")
         .select("doc_id", "total_ngrams", "distinct_ngrams", "dup_ratio")
         .orderBy("doc_id")),
+    // PII scrub: staged email/phone/IPv4 masking + per-stage counts;
+    // md5 of the masked text is the engine-parity checksum (the
+    // corpus itself is clean, so the planted-PII spec carries the
+    // positive cases; this entry proves the full replace pipeline
+    // agrees byte-for-byte with the oracle)
+    "x8_pii" -> ((s, dir) =>
+      CorpusOps.maskPii(T(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+          md5(col("masked")).as("masked_md5"))
+        .orderBy("doc_id")),
+
     // benchmark decontamination: distinct 3-gram overlap counts against
     // the held-out source, shuffle equi-join on the gram string
     "d7_decontam" -> ((s, dir) => {
@@ -924,6 +935,24 @@ object SparkEntry {
         |  (len(grams) - len(list_distinct(grams))) / CAST(len(grams) AS DOUBLE)
         |    AS dup_ratio
         |FROM g ORDER BY doc_id""".stripMargin,
+    "x8_pii" ->
+      s"""WITH s1 AS (SELECT doc_id, text,
+        |  CAST(len(regexp_extract_all(text, '${operators.CorpusOps.EmailRe}')) AS INT)
+        |    AS n_emails,
+        |  regexp_replace(text, '${operators.CorpusOps.EmailRe}', '[EMAIL]', 'g') AS t1
+        |  FROM documents),
+        |s2 AS (SELECT doc_id, n_emails,
+        |  CAST(len(regexp_extract_all(t1, '${operators.CorpusOps.PhoneRe}')) AS INT)
+        |    AS n_phones,
+        |  regexp_replace(t1, '${operators.CorpusOps.PhoneRe}', '[PHONE]', 'g') AS t2
+        |  FROM s1),
+        |s3 AS (SELECT doc_id, n_emails, n_phones,
+        |  CAST(len(regexp_extract_all(t2, '${operators.CorpusOps.Ipv4Re}')) AS INT)
+        |    AS n_ips,
+        |  regexp_replace(t2, '${operators.CorpusOps.Ipv4Re}', '[IP]', 'g') AS t3
+        |  FROM s2)
+        |SELECT doc_id, n_emails, n_phones, n_ips, md5(t3) AS masked_md5
+        |FROM s3 ORDER BY doc_id""".stripMargin,
     "d7_decontam" ->
       """WITH g AS (SELECT doc_id, source,
         |  CASE WHEN len(sp) < 3 THEN [array_to_string(sp, ' ')]

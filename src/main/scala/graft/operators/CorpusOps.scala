@@ -95,6 +95,28 @@ object CorpusOps {
           col("total_ngrams").cast("double"))
   }
 
+  // PII patterns restricted to the Java-regex/RE2 common subset (no
+  // lookaround, no backreferences) so Spark and DuckDB agree exactly
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\d{3}[-.]\\d{3}[-.]\\d{4}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII scrub: mask emails, then phone numbers, then IPv4 addresses
+    * (staged in that order — an email can contain digits and dots, so
+    * later patterns run on the already-masked text), counting matches
+    * at each stage. Pure codegen'd regexp expressions, no shuffle;
+    * masking is the standard pre-training scrub for web corpora. */
+  def maskPii(df: DataFrame, textCol: String): DataFrame = {
+    val t1 = regexp_replace(col(textCol), EmailRe, "[EMAIL]")
+    val t2 = regexp_replace(t1, PhoneRe, "[PHONE]")
+    val t3 = regexp_replace(t2, Ipv4Re, "[IP]")
+    df.withColumn("n_emails",
+        size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0))))
+      .withColumn("n_phones", size(regexp_extract_all(t1, lit(PhoneRe), lit(0))))
+      .withColumn("n_ips", size(regexp_extract_all(t2, lit(Ipv4Re), lit(0))))
+      .withColumn("masked", t3)
+  }
+
   /** Benchmark decontamination: for each corpus doc, how many of its
     * distinct word n-grams appear anywhere in `benchmark`. Corpus docs
     * with overlap 0 don't appear (inner join) — callers anti-join to

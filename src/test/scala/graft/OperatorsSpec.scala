@@ -220,6 +220,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(overlap == Map(1L -> 2L), s"got $overlap")
   }
 
+  test("pii masking: planted email/phone/ip masked and counted, clean text untouched") {
+    val docs = Seq(
+      (1L, "contact alice.smith+x@example.co.uk or call 555-123-4567 today"),
+      (2L, "server at 192.168.1.254 answered; backup 10.0.0.1 did not"),
+      (3L, "no personal information in this sentence at all"),
+      (4L, "two mails a@b.io c@d.org and dotted phone 555.987.6543")
+    ).toDF("doc_id", "text")
+    val m = CorpusOps.maskPii(docs, "text").orderBy("doc_id").collect()
+    assert(m(0).getAs[Int]("n_emails") == 1 && m(0).getAs[Int]("n_phones") == 1)
+    assert(m(0).getAs[String]("masked") ==
+      "contact [EMAIL] or call [PHONE] today")
+    assert(m(1).getAs[Int]("n_ips") == 2)
+    assert(m(1).getAs[String]("masked") ==
+      "server at [IP] answered; backup [IP] did not")
+    assert(m(2).getAs[String]("masked") == m(2).getAs[String]("text"))
+    assert(m(2).getAs[Int]("n_emails") + m(2).getAs[Int]("n_phones") +
+      m(2).getAs[Int]("n_ips") == 0)
+    assert(m(3).getAs[Int]("n_emails") == 2 && m(3).getAs[Int]("n_phones") == 1)
+  }
+
   test("sessionize splits on gaps, session aggregate is consistent") {
     def ts(m: Int) = new java.sql.Timestamp(m * 60000L)
     val e = Seq((1L, 1L, ts(0)), (2L, 1L, ts(10)), (3L, 1L, ts(60)),
