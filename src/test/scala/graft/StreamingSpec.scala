@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.{OrderEnrichmentJob, StatefulOps}
+import graft.streaming.{CorpusIngest, OrderEnrichmentJob, StatefulOps}
 
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = GraftSession.local(4)
@@ -31,6 +31,44 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.exists(r => r.contains("\"id\":7") && r.contains("\"converted_amount\":30")),
         s"expected enriched order, got ${rows.mkString("; ")}")
     } finally q.stop()
+  }
+
+  test("streaming corpus ingest: cross-batch dedup, pii masked, analysis columns") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[CorpusIngest.Doc]
+    val out = CorpusIngest.pipeline(in.toDF(), Duration.ofMinutes(10))
+    val q = out.writeStream.format("memory").queryName("corpus_ingest")
+      .outputMode("append").start()
+    try {
+      val textA = "the quick brown fox is seen to run and the dog is in the barn"
+      in.addData(
+        CorpusIngest.Doc(1, ts(0), textA),
+        CorpusIngest.Doc(2, ts(1), textA), // exact dup inside one batch
+        CorpusIngest.Doc(3, ts(2), "ping admin@example.com and el la de que los una"))
+      q.processAllAvailable()
+      in.addData(CorpusIngest.Doc(4, ts(30), textA)) // dup in a later batch
+      q.processAllAvailable()
+      val rows = spark.sql("select * from corpus_ingest").collect()
+      val ids = rows.map(_.getAs[Long]("doc_id")).toSet
+      assert(!ids.contains(4L), "cross-batch duplicate must be dropped")
+      assert((ids & Set(1L, 2L)).size == 1, s"same-batch dup must collapse: $ids")
+      val r3 = rows.find(_.getAs[Long]("doc_id") == 3L).get
+      assert(r3.getAs[String]("masked").contains("[EMAIL]"))
+      assert(r3.getAs[Int]("n_emails") == 1)
+      assert(r3.getAs[String]("lang_pred") == "es")
+      val rA = rows.find(r => Set(1L, 2L).contains(r.getAs[Long]("doc_id"))).get
+      assert(rA.getAs[String]("lang_pred") == "en")
+      assert(rA.getAs[Int]("n_tokens") > 0 && rA.getAs[Double]("quality_score") > 0)
+    } finally q.stop()
+    // the same pipeline runs in batch mode, and throughput aggregates it
+    val batch = Seq(CorpusIngest.Doc(1, ts(0), "alpha beta gamma"),
+      CorpusIngest.Doc(2, ts(1), "alpha beta gamma"),
+      CorpusIngest.Doc(3, ts(2), "delta epsilon zeta")).toDF()
+    val accepted = CorpusIngest.pipeline(batch, Duration.ofMinutes(10))
+    assert(accepted.count() == 2)
+    val thr = CorpusIngest.throughput(accepted, Duration.ofMinutes(1)).collect()
+    assert(thr.map(_.getAs[Long]("n_docs")).sum == 2)
   }
 
   test("stateful sessionization emits finalized sessions via event-time timeout") {
