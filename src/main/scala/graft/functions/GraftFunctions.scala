@@ -51,6 +51,8 @@ object GraftFunctions {
     "minhash_signature" -> (es => MinHashSignature(es.head,
       es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
     "rolling_hash" -> (es => RollingHash(es.head)),
+    "shingle_strings" -> (es => ShingleStrings(es.head,
+      es(1).eval().asInstanceOf[Int])),
   )
 
   /** Register into an existing session (e.g. one built by the driver

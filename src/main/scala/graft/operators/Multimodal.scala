@@ -68,6 +68,42 @@ object Multimodal {
     } else None
   }
 
+  /** Parsed RIFF/WAVE container metadata (no codec needed for PCM). */
+  case class AudioMeta(format_code: Int, channels: Int, sample_rate: Int,
+      bits_per_sample: Int, duration_ms: Long)
+
+  /** REAL audio container parsing (not stubbed): RIFF/WAVE chunk walk
+    * reading the 'fmt ' header (format code, channels, sample rate,
+    * bits/sample) and the 'data' chunk size, from which PCM duration
+    * follows arithmetically. Like `imageDimensions`, this is the pure
+    * byte plumbing a media crawl runs before deciding what to decode.
+    * Returns None for payloads that aren't well-formed WAVE. */
+  def audioMetadata(bytes: Array[Byte]): Option[AudioMeta] = {
+    def u8(i: Int) = bytes(i) & 0xff
+    def u16le(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def u32le(i: Int) = u16le(i).toLong | (u16le(i + 2).toLong << 16)
+    if (bytes.length < 36 ||
+        !(u8(0) == 'R' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == 'F') ||
+        !(u8(8) == 'W' && u8(9) == 'A' && u8(10) == 'V' && u8(11) == 'E'))
+      return None
+    var fmt: Option[(Int, Int, Long, Int)] = None
+    var dataLen = -1L
+    var i = 12
+    while (i + 8 <= bytes.length) {
+      val id = new String(bytes, i, 4, "US-ASCII")
+      val sz = u32le(i + 4)
+      if (id == "fmt " && i + 24 <= bytes.length)
+        fmt = Some((u16le(i + 8), u16le(i + 10), u32le(i + 12), u16le(i + 22)))
+      if (id == "data") dataLen = sz
+      i += 8 + sz.toInt + (sz.toInt & 1) // chunks are 16-bit aligned
+    }
+    fmt.collect { case (code, ch, rate, bits)
+        if dataLen >= 0 && ch > 0 && rate > 0 && bits > 0 =>
+      AudioMeta(code, ch, rate.toInt, bits,
+        dataLen * 8000L / (ch.toLong * bits * rate))
+    }
+  }
+
   /** STUB decoder =========================================== STUB ===
     * Stands in for image decode + feature extraction (no codec libs in
     * this environment). Deterministic byte statistics + "frame sample"
@@ -94,7 +130,8 @@ object Multimodal {
     MediaFeatures(rec.doc_id,
       bytes.length,
       if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length,
-      ck, fh, imageDimensions(bytes).map(_._1))
+      ck, fh, imageDimensions(bytes).map(_._1)
+        .orElse(audioMetadata(bytes).map(_ => "wav")))
   }
 
   /** Partition-parallel batched decode: records are pulled in batches

@@ -398,6 +398,24 @@ class OperatorsSpec extends AnyFunSuite {
     // garbage bytes: recognized as neither
     assert(Multimodal.imageDimensions("not an image at all".getBytes).isEmpty)
     assert(Multimodal.imageDimensions(Array[Byte]()).isEmpty)
+
+    // hand-crafted WAVE: RIFF/WAVE + PCM fmt chunk (stereo 44100 Hz,
+    // 16-bit) + data chunk of 1 second (176400 bytes declared)
+    def le16(v: Int) = Seq(v & 0xff, (v >> 8) & 0xff)
+    def le32(v: Long) = Seq((v & 0xff).toInt, ((v >> 8) & 0xff).toInt,
+      ((v >> 16) & 0xff).toInt, ((v >> 24) & 0xff).toInt)
+    val wav = ("RIFF".map(_.toInt) ++ le32(36 + 176400) ++ "WAVE".map(_.toInt) ++
+      "fmt ".map(_.toInt) ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++
+      le32(176400) ++ le16(4) ++ le16(16) ++
+      "data".map(_.toInt) ++ le32(176400)).map(_.toByte).toArray
+    val meta = Multimodal.audioMetadata(wav)
+    assert(meta.contains(Multimodal.AudioMeta(1, 2, 44100, 16, 1000L)),
+      s"got $meta")
+    assert(Multimodal.audioMetadata("RIFFxxxxNOPE".getBytes).isEmpty)
+    assert(Multimodal.audioMetadata(png).isEmpty)
+    // the stub decoder tags wav payloads via the real parser
+    assert(Multimodal.decodeStub(
+      Multimodal.MediaRecord(9L, wav, 0, 0, "wav"), 2).detected_fmt.contains("wav"))
   }
 
   test("text analysis: langId picks marker language, token counts sane") {
