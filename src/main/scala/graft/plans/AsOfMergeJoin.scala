@@ -4,9 +4,10 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
 /** Whole-operator as-of join: logical node + planner strategy +
   * physical sort-merge exec, registered through GraftExtensions
@@ -75,7 +76,20 @@ case class AsOfMergeJoinExec(
     (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
     (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
 
+  // every output row is a left row (possibly null-extended), produced
+  // in place: the left child's hash partitioning and (key, time) sort
+  // survive, so a downstream aggregation or window on the same key
+  // plans with ZERO additional Exchange/Sort (asserted in
+  // PlanShapeSpec) — at scale that's a whole shuffle saved per
+  // enrich-then-aggregate pipeline
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
   override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
     val keyTypes = leftKeys.map(_.dataType)
     val nRight = right.output.size
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
@@ -92,6 +106,7 @@ case class AsOfMergeJoinExec(
       var lastRight: InternalRow = null
 
       lIter.map { lRow =>
+        numOutputRows += 1
         val lKey = lKeyProj(lRow)
         val lTimeRow = lTimeProj(lRow)
         // null-time policy: a left row with null time matches nothing

@@ -8,7 +8,7 @@ import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.{Bucketing, Tables}
+import graft.sources.{Bucketing, RefTables, Tables}
 
 /** Locks in the SURVEY §4 plan claims: predicate pushdown reaches the
   * parquet scan, dims broadcast, and bucketed tables join without a
@@ -37,6 +37,29 @@ class PlanShapeSpec extends AnyFunSuite {
     df.count() // let AQE finalize
     assert(plan(df).toString.contains("BroadcastHashJoin"),
       s"expected broadcast join in:\n${plan(df)}")
+  }
+
+  test("as-of merge join preserves partitioning: downstream agg adds no exchange") {
+    val e = Tables.load(spark, dir, "events")
+    val orders = RefTables.orders(e)
+    val rates = RefTables.rates(e)
+    val joined = graft.operators.AsOfJoin.merge(
+      orders, rates.withColumnRenamed("currency", "r_currency"),
+      "currency", "r_currency", "orderTime", "exchangeRateTime")
+    // aggregate on the join key: the merge output is already hash
+    // partitioned by it, so only the join's own two input shuffles
+    // may appear
+    val agg = joined.groupBy("currency").agg(count(lit(1)).as("n"), avg("rate").as("r"))
+    agg.collect() // force the final AQE plan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def shuffles(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+      case q: QueryStageExec => shuffles(q.plan)
+      case e: ShuffleExchangeLike => 1 + e.children.map(shuffles).sum
+      case other => other.children.map(shuffles).sum
+    }
+    val n = shuffles(plan(agg))
+    assert(n == 2, s"expected only the 2 join-input exchanges, got $n:\n${plan(agg)}")
   }
 
   test("bucketed tables join with zero exchanges") {
