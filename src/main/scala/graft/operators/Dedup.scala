@@ -283,4 +283,65 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")
   }
+
+  /** Connected components over an undirected pair list — the step that
+    * turns near-dup PAIRS (minhashLsh / jaccardJoin* / simhashPairs /
+    * embedding near-dups) into dedup GROUPS a survivor can be picked
+    * from. Hash-min label propagation: each round every node takes the
+    * min label among itself and its neighbors (one shuffle join + one
+    * min-aggregate), converging in O(component diameter) rounds — the
+    * classic MapReduce connected-components recipe. Near-dup clusters
+    * are dense (diameter 1-2), so 2-3 rounds settle real corpora;
+    * `maxIterations` bounds adversarial chain graphs, and each round is
+    * localCheckpoint'ed so lineage stays flat and prior rounds are
+    * reclaimed by the context cleaner.
+    *
+    * Returns (id, component) for every node appearing in `pairs`,
+    * where component = the minimum id reachable from the node. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .union(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIterations) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("b"), col("comp").as("bcomp")), "b")
+        .groupBy(col("a").as("id")).agg(min("bcomp").as("nmin"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
+          (coalesce(col("nmin"), col("comp")) < col("comp")).as("__g_ch"))
+        .localCheckpoint(true)
+      changed = next.where(col("__g_ch")).count()
+      labels = next.select("id", "comp")
+      it += 1
+    }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIterations rounds " +
+        "(component diameter exceeds the bound; raise maxIterations)")
+    labels
+  }
+
+  /** Dedup groups with sizes: every doc that belongs to a multi-doc
+    * near-dup component, labeled by its group (min member id). */
+  def groups(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol)
+    val sizes = comp.groupBy("comp").agg(count(lit(1)).as("group_size"))
+    comp.join(sizes, "comp")
+      .select(col("id").as("doc_id"), col("comp").as("group_id"),
+        col("group_size"))
+  }
+
+  /** Drop every non-survivor: keep each component's min-id member plus
+    * all docs that never appeared in a pair. */
+  def dropNearDuplicates(docs: DataFrame, pairs: DataFrame,
+      idCol: String, aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val losers = connectedComponents(pairs, aCol, bCol)
+      .where(col("id") =!= col("comp")).select(col("id"))
+    docs.join(losers, docs(idCol) === losers("id"), "left_anti")
+  }
 }

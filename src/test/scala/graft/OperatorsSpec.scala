@@ -220,6 +220,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(overlap == Map(1L -> 2L), s"got $overlap")
   }
 
+  test("connected components: chains, disjoint groups, survivor selection") {
+    // chain 1-2-3-4 (diameter 3 forces multiple propagation rounds),
+    // clique 10-11-12, isolated pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    val g = Dedup.groups(pairs, "id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(g.count(_._2 == 1L) == 4 && g.filter(_._2 == 1L).forall(_._3 == 4L))
+    // survivor selection: min id per component + untouched docs remain
+    val docs = (1L to 30L).map(i => (i, s"doc $i")).toDF("doc_id", "body")
+    val kept = Dedup.dropNearDuplicates(docs, pairs, "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == (1L to 30L).toSet -- Set(2L, 3L, 4L, 11L, 12L, 21L))
+    // convergence guard trips on a long chain with too few rounds
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, "id_a", "id_b", maxIterations = 3).count()
+    }
+    // and succeeds with enough rounds (min label walks the chain)
+    val c40 = Dedup.connectedComponents(chain, "id_a", "id_b", maxIterations = 45)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(c40 == Set(1L))
+  }
+
   test("pii masking: planted email/phone/ip masked and counted, clean text untouched") {
     val docs = Seq(
       (1L, "contact alice.smith+x@example.co.uk or call 555-123-4567 today"),
