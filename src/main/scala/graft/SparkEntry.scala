@@ -256,6 +256,22 @@ object SparkEntry {
           .as("kmv_users"),
           count(lit(1)).as("n"))
         .orderBy("event_type")),
+    // audience overlap: per-group KMV sketches -> pairwise set-operation
+    // estimates (KMV multiset synopses). k=1024 >> any pair's distinct
+    // union at verify scale, so the oracle checks the EXACT regime;
+    // the estimating regime is spec-bounded
+    "a3_kmv_overlap" -> ((s, dir) => {
+      import graft.functions.GraftFunctions.{kmv_values, kmv_overlap}
+      val sk = T(s, dir, "events").groupBy("event_type")
+        .agg(kmv_values(col("user_id"), 1024).as("sk"))
+      val a = sk.select(col("event_type").as("type_a"), col("sk").as("ska"))
+      val b = sk.select(col("event_type").as("type_b"), col("sk").as("skb"))
+      a.join(b, col("type_a") < col("type_b"))
+        .withColumn("ov", kmv_overlap(col("ska"), col("skb"), 1024))
+        .select(col("type_a"), col("type_b"), col("ov.jaccard_est"),
+          col("ov.intersect_est"), col("ov.union_est"))
+        .orderBy("type_a", "type_b")
+    }),
     // approximate aggregates: sketch outputs differ across engines by
     // design -> rows-only here; the spec asserts error bounds vs exact
     "a1_approx_agg" -> ((s, dir) =>
@@ -944,6 +960,27 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT)
         |    AS bpe_ish_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // exact below k=1024: every pair's distinct-union fits the sketch
+    "a3_kmv_overlap" ->
+      """WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+        |t AS (SELECT DISTINCT event_type FROM events),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+        |  FROM t a JOIN t b ON a.event_type < b.event_type),
+        |i AS (SELECT ua.event_type AS ta, ub.event_type AS tb,
+        |    count(*) AS inter
+        |  FROM u ua JOIN u ub ON ua.user_id = ub.user_id
+        |    AND ua.event_type < ub.event_type
+        |  GROUP BY 1, 2),
+        |c AS (SELECT event_type, count(*) AS n FROM u GROUP BY 1)
+        |SELECT p.type_a, p.type_b,
+        |  COALESCE(i.inter, 0) / (ca.n + cb.n - COALESCE(i.inter, 0))
+        |    AS jaccard_est,
+        |  CAST(COALESCE(i.inter, 0) AS DOUBLE) AS intersect_est,
+        |  CAST(ca.n + cb.n - COALESCE(i.inter, 0) AS DOUBLE) AS union_est
+        |FROM p LEFT JOIN i ON p.type_a = i.ta AND p.type_b = i.tb
+        |JOIN c ca ON ca.event_type = p.type_a
+        |JOIN c cb ON cb.event_type = p.type_b
+        |ORDER BY 1, 2""".stripMargin,
     "x5_split" ->
       s"""SELECT ${operators.CorpusOps.hashSplitSql("doc_id::VARCHAR")} AS "split",
         |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars

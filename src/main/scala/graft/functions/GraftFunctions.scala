@@ -37,6 +37,12 @@ object GraftFunctions {
   def shingle_strings(text: Column, shingleWords: Int): Column =
     toCol(ShingleStrings(toExpr(text), shingleWords))
 
+  def kmv_values(c: Column, k: Int): Column =
+    toCol(KmvValues(toExpr(c), k).toAggregateExpression())
+
+  def kmv_overlap(a: Column, b: Column, k: Int): Column =
+    toCol(KmvOverlap(toExpr(a), toExpr(b), k))
+
   def minhash_merge(sig: Column): Column =
     toCol(MinHashMerge(toExpr(sig)).toAggregateExpression())
 

@@ -9,20 +9,18 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
-/** KMV (k-minimum-values) distinct-count sketch as a
-  * TypedImperativeAggregate: the buffer keeps the k smallest distinct
-  * 64-bit hashes seen; the estimator is (k-1)/fraction(kth-min), and
-  * below k distinct values the count is exact. Buffers merge by
-  * set-union-then-truncate, so partial aggregation works map-side and
-  * the shuffle carries <= k longs per group regardless of corpus size
-  * — the sketch shape (mergeable bounded state) a 100 TB
-  * distinct-count needs. Standard error ~ 1/sqrt(k-2).
+/** KMV (k-minimum-values) sketch machinery shared by the aggregates
+  * below: the buffer keeps the k smallest distinct 64-bit hashes seen.
+  * Buffers merge by set-union-then-truncate, so partial aggregation
+  * works map-side and the shuffle carries <= k longs per group
+  * regardless of corpus size — the sketch shape (mergeable bounded
+  * state) a 100 TB distinct-count needs. Standard error ~ 1/sqrt(k-2).
   */
-case class KmvDistinct(child: Expression, k: Int,
-    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+abstract class KmvAggBase
   extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
   with UnaryLike[Expression] {
-  require(k >= 16, "k >= 16 for a meaningful estimate")
+  def child: Expression
+  def k: Int
 
   @transient private lazy val hasher = XxHash64(Seq(child), 42L)
 
@@ -47,18 +45,6 @@ case class KmvDistinct(child: Expression, k: Int,
     a
   }
 
-  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
-    val n = buf.size
-    if (n < k) n.toDouble
-    else {
-      // stored values are sign-flipped, so signed order == unsigned
-      // hash order; fraction of the hash space = stored/2^64 + 0.5
-      val kth = buf.last().longValue()
-      val frac = (kth.toDouble / 2.0) / 9.223372036854776e18 + 0.5
-      if (frac <= 0.0) n.toDouble else (k - 1).toDouble / frac
-    }
-  }
-
   override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream(); val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
@@ -75,8 +61,29 @@ case class KmvDistinct(child: Expression, k: Int,
     s
   }
 
-  override def dataType: DataType = DoubleType
   override def nullable: Boolean = false
+}
+
+/** Distinct-count estimate: (k-1)/fraction(kth-min); EXACT below k
+  * distinct values. */
+case class KmvDistinct(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends KmvAggBase {
+  require(k >= 16, "k >= 16 for a meaningful estimate")
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val n = buf.size
+    if (n < k) n.toDouble
+    else {
+      // stored values are sign-flipped, so signed order == unsigned
+      // hash order; fraction of the hash space = stored/2^64 + 0.5
+      val kth = buf.last().longValue()
+      val frac = (kth.toDouble / 2.0) / 9.223372036854776e18 + 0.5
+      if (frac <= 0.0) n.toDouble else (k - 1).toDouble / frac
+    }
+  }
+
+  override def dataType: DataType = DoubleType
   override def withNewMutableAggBufferOffset(o: Int): KmvDistinct =
     copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): KmvDistinct =
@@ -84,4 +91,33 @@ case class KmvDistinct(child: Expression, k: Int,
   override protected def withNewChildInternal(c: Expression): KmvDistinct =
     copy(child = c)
   override def prettyName: String = "kmv_distinct"
+}
+
+/** The raw sketch (ascending sign-flipped k-min hashes) as an
+  * array<bigint> column, for downstream SET-OPERATION estimates
+  * (intersection / union / Jaccard across groups via `kmv_overlap`) —
+  * the multiset-operation side of the published KMV synopses work. */
+case class KmvValues(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends KmvAggBase {
+  require(k >= 16, "k >= 16 for a meaningful estimate")
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Long](buf.size)
+    var i = 0
+    val it = buf.iterator()
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def withNewMutableAggBufferOffset(o: Int): KmvValues =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvValues =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): KmvValues =
+    copy(child = c)
+  override def prettyName: String = "kmv_values"
 }

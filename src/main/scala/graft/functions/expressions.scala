@@ -144,6 +144,30 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def prettyName: String = "sorted_intersect_count"
 }
 
+/** Set-operation estimates from two KMV sketches (ascending k-min hash
+  * arrays from `kmv_values`): combine to the k smallest union hashes L,
+  * count members of L present in both sketches (K∩), and estimate
+  * Jaccard = K∩/|L|, union = (|L|-1)/frac(max L), intersection =
+  * Jaccard x union — the standard KMV multiset estimators. When the
+  * combined sketch holds fewer than k values, ALL distinct hashes were
+  * seen and every output is EXACT (hash collisions aside), which is
+  * what lets the oracle check this query at verification scale. */
+case class KmvOverlap(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  require(k >= 16)
+  override def dataType: DataType = StructType(Seq(
+    StructField("jaccard_est", DoubleType, nullable = false),
+    StructField("intersect_est", DoubleType, nullable = false),
+    StructField("union_est", DoubleType, nullable = false)))
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftHash.kmvOverlap(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftHash.kmvOverlap($a, $b, $k)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): KmvOverlap =
+    copy(left = l, right = r)
+  override def prettyName: String = "kmv_overlap"
+}
+
 /** Random-hyperplane LSH signature: `bits` sign-bits of dot products
   * with deterministic Rademacher (+-1) hyperplanes, parameterized by a
   * table index so multiple independent hash tables come from one
@@ -363,6 +387,31 @@ object GraftHash {
         i += 1
       }
       new GenericArrayData(out)
+    }
+  }
+
+  /** See KmvOverlap. Inputs are ascending sign-flipped k-min hashes. */
+  def kmvOverlap(a: ArrayData, b: ArrayData, k: Int): InternalRow = {
+    val n = a.numElements(); val m = b.numElements()
+    var i = 0; var j = 0; var kk = 0; var inter = 0; var last = 0L
+    while (kk < k && (i < n || j < m)) {
+      val x = if (i < n) a.getLong(i) else Long.MaxValue
+      val y = if (j < m) b.getLong(j) else Long.MaxValue
+      if (x == y) { inter += 1; last = x; i += 1; j += 1 }
+      else if (x < y) { last = x; i += 1 }
+      else { last = y; j += 1 }
+      kk += 1
+    }
+    if (kk == 0) return new GenericInternalRow(Array[Any](0.0, 0.0, 0.0))
+    val jac = inter.toDouble / kk.toDouble
+    if (kk < k) {
+      // combined sketch below capacity: every distinct hash was seen,
+      // all three outputs are exact (no estimator rounding)
+      new GenericInternalRow(Array[Any](jac, inter.toDouble, kk.toDouble))
+    } else {
+      val frac = (last.toDouble / 2.0) / 9.223372036854776e18 + 0.5
+      val unionEst = if (frac <= 0.0) kk.toDouble else (kk - 1).toDouble / frac
+      new GenericInternalRow(Array[Any](jac, jac * unionEst, unionEst))
     }
   }
 

@@ -411,6 +411,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(small.getDouble(0) == small.getLong(1).toDouble)
   }
 
+  test("KMV overlap: exact below k, within bounds estimating above k") {
+    import graft.functions.GraftFunctions.{kmv_overlap, kmv_values}
+    // two groups of 10k distinct values with 50% overlap: g0 = [0,10k),
+    // g1 = [5k,15k) -> jaccard 1/3, inter 5k, union 15k
+    val rows = (0 until 10000).map(i => (0, i.toLong)) ++
+      (0 until 10000).map(i => (1, 5000L + i))
+    val df = rows.toDF("g", "v")
+    val sk = df.groupBy("g").agg(kmv_values(col("v"), 256).as("sk")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(sk(0).length == 256 && sk(0) == sk(0).sorted)
+    val ovDf = df.groupBy("g").agg(kmv_values(col("v"), 256).as("sk"))
+    val pair = ovDf.select(col("g"), col("sk")).as("a")
+      .crossJoin(ovDf.select(col("g").as("g2"), col("sk").as("sk2")).as("b"))
+      .where(col("g") < col("g2"))
+      .select(kmv_overlap(col("sk"), col("sk2"), 256).as("ov"))
+      .select("ov.jaccard_est", "ov.intersect_est", "ov.union_est")
+      .collect().head
+    // se ~ 1/sqrt(k-2) ~ 6%; allow 4 sigma on each estimate
+    assert(math.abs(pair.getDouble(0) - 1.0 / 3) < 0.12, s"jaccard ${pair.getDouble(0)}")
+    assert(math.abs(pair.getDouble(1) - 5000) / 5000 < 0.3, s"inter ${pair.getDouble(1)}")
+    assert(math.abs(pair.getDouble(2) - 15000) / 15000 < 0.25, s"union ${pair.getDouble(2)}")
+    // exact regime: tiny disjoint and identical sets
+    val tiny = Seq((0, 1L), (0, 2L), (1, 3L), (1, 4L), (2, 1L), (2, 2L))
+      .toDF("g", "v").groupBy("g").agg(kmv_values(col("v"), 256).as("sk"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    def ov(a: Seq[Long], b: Seq[Long]) = {
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      graft.functions.GraftHash.kmvOverlap(
+        new GenericArrayData(a.toArray), new GenericArrayData(b.toArray), 256)
+    }
+    val disjoint = ov(tiny(0), tiny(1))
+    assert(disjoint.getDouble(0) == 0.0 && disjoint.getDouble(1) == 0.0 &&
+      disjoint.getDouble(2) == 4.0)
+    val same = ov(tiny(0), tiny(2))
+    assert(same.getDouble(0) == 1.0 && same.getDouble(1) == 2.0 &&
+      same.getDouble(2) == 2.0)
+  }
+
   test("image header parsing: PNG IHDR and JPEG SOF dimensions, no codec libs") {
     // hand-crafted minimal PNG header: signature + IHDR 640x480
     val png = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
