@@ -59,6 +59,12 @@ object GraftFunctions {
     "rolling_hash" -> (es => RollingHash(es.head)),
     "shingle_strings" -> (es => ShingleStrings(es.head,
       es(1).eval().asInstanceOf[Int])),
+    "kmv_distinct" -> (es => KmvDistinct(es.head,
+      es(1).eval().asInstanceOf[Int]).toAggregateExpression()),
+    "kmv_values" -> (es => KmvValues(es.head,
+      es(1).eval().asInstanceOf[Int]).toAggregateExpression()),
+    "kmv_overlap" -> (es => KmvOverlap(es(0), es(1),
+      es(2).eval().asInstanceOf[Int])),
   )
 
   /** Register into an existing session (e.g. one built by the driver

@@ -113,6 +113,18 @@ class CoreSpec extends AnyFunSuite {
     assert(rows.getLong(1) != 0L)
     assert(rows.getLong(2) == (('a' * 1000003L + 'b') * 1000003L + 'c'))
     assert(rows.getInt(3) == 8)
+    // aggregates and the sketch-overlap scalar through pure SQL
+    spark.sql("SELECT explode(sequence(1, 40)) AS v").createOrReplaceTempView("nums")
+    val kmv = spark.sql("""
+      WITH s AS (SELECT v % 2 AS g, kmv_values(v, 64) AS sk,
+                        kmv_distinct(v, 64) AS est
+                 FROM nums GROUP BY v % 2)
+      SELECT a.est, kmv_overlap(a.sk, b.sk, 64).union_est AS u
+      FROM s a JOIN s b ON a.g < b.g""").collect().head
+    assert(kmv.getDouble(0) == 20.0) // exact below k
+    assert(kmv.getDouble(1) == 40.0) // disjoint union, exact below k
+    assert(spark.sql("SELECT size(shingle_strings('a b c', 2)) AS n")
+      .head().getInt(0) == 2)
   }
 
   test("cosine similarity: identical=1, orthogonal=0") {
