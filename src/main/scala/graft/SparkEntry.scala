@@ -314,6 +314,19 @@ object SparkEntry {
                               FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
         ORDER BY o_custkey, o_orderkey""")
     }),
+    // correlated TABLE subquery (LATERAL): top-2 customers per nation.
+    // Catalyst decorrelates the lateral limit into a ranked window —
+    // one shuffle by nation, no per-row subquery execution
+    "q25_lateral" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT n.n_name, c.c_name, c.c_acctbal
+        FROM nation n, LATERAL (
+          SELECT c_name, c_acctbal FROM customer
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+        ORDER BY n.n_name, c.c_acctbal DESC, c.c_name""")
+    }),
     "q21_window_dist" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_orderpriority"))
         .orderBy(col("o_totalprice"), col("o_orderkey"))
@@ -960,6 +973,13 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT)
         |    AS bpe_ish_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q25_lateral" ->
+      """SELECT n.n_name, c.c_name, c.c_acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer
+        |  WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+        |ORDER BY n.n_name, c.c_acctbal DESC, c.c_name""".stripMargin,
     // exact below k=1024: every pair's distinct-union fits the sketch
     "a3_kmv_overlap" ->
       """WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
