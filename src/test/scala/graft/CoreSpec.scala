@@ -33,6 +33,19 @@ class CoreSpec extends AnyFunSuite {
     }
   }
 
+  test("csv mirror round-trips documents exactly (quotes, commas, newlines)") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      // make the payload hostile: embedded commas, quotes, newline
+      .withColumn("text", concat(col("text"), lit(", \"quoted\"\nnext line")))
+    val out = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    graft.sources.Csv.write(docs, out)
+    val back = graft.sources.Csv.read(spark, out, docs.schema)
+    assert(back.count() == docs.count())
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty,
+      "csv round-trip must be lossless")
+  }
+
   test("timestamp_to_string formats UTC millis") {
     assert(GraftHash.formatTimestampMicros(1704067198778549L).toString ==
       "2023-12-31 23:59:58.778")
