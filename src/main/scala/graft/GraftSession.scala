@@ -19,6 +19,12 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // streaming state that spills: the default provider keeps every
+      // key on-heap (executor-memory-bound); RocksDB keeps working
+      // state off-heap/on-disk with incremental checkpoints — the
+      // provider a long-running large-state stream needs
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.sql.extensions", classOf[graft.plans.GraftExtensions].getName)
 
   /** Local session for tests / exploration. */
