@@ -93,7 +93,8 @@ object AsOfJoin {
     * other (ordering semantics), unlike SQL equality. */
   def merge(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String,
+      tolerance: Option[java.time.Duration] = None): DataFrame = {
     import org.apache.spark.sql.graftshim.SparkShims
     val spark = left.sparkSession
     // self-register the strategy for sessions built without
@@ -107,7 +108,8 @@ object AsOfJoin {
       Seq(SparkShims.expression(left(leftKey))),
       Seq(SparkShims.expression(right(rightKey))),
       SparkShims.expression(left(leftTime)),
-      SparkShims.expression(right(rightTime)))
+      SparkShims.expression(right(rightTime)),
+      tolerance.map(_.toMillis * 1000L))
     SparkShims.ofRows(spark, plan)
   }
 

@@ -30,7 +30,9 @@ import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    toleranceUs: Option[Long] = None) extends BinaryNode {
+  require(toleranceUs.forall(_ >= 0), "as-of tolerance must be >= 0")
   // input contract, enforced at construction (the API hands us
   // already-resolved expressions): the merge exec reads times as long
   // micros, so anything but TimestampType/LongType would silently
@@ -54,8 +56,8 @@ case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfMergeJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tol) =>
+      AsOfMergeJoinExec(lk, rk, lt, rt, planLater(l), planLater(r), tol) :: Nil
     case _ => Nil
   }
 }
@@ -64,7 +66,8 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfMergeJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+    left: SparkPlan, right: SparkPlan,
+    toleranceUs: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -102,8 +105,10 @@ case class AsOfMergeJoinExec(
       val nullRight = new GenericInternalRow(nRight)
       val rBuf = rIter.buffered
 
+      val tolUs = toleranceUs.getOrElse(Long.MaxValue)
       var lastKey: UnsafeRow = null
       var lastRight: InternalRow = null
+      var lastRightT = Long.MinValue
 
       lIter.map { lRow =>
         numOutputRows += 1
@@ -131,11 +136,18 @@ case class AsOfMergeJoinExec(
               val rTimeRow = rTimeProj(rBuf.head)
               if (rTimeRow.isNullAt(0)) { rBuf.next() }
               else if (rTimeRow.getLong(0) <= lT) {
+                lastRightT = rTimeRow.getLong(0)
                 lastRight = rBuf.next().copy()
               } else advance = false
             } else advance = false
           }
-          if (lastRight != null) joined(lRow, lastRight)
+          // staleness bound: the matched right row must be within
+          // tolerance of THIS left row's time (checked per left row —
+          // a held row can be fresh for one order and stale for the
+          // next). Strict (<) to agree with backward()'s rt > lt - tol
+          // — i.e. the (t - tol, t] validity window of the reference's
+          // interval join.
+          if (lastRight != null && lT - lastRightT < tolUs) joined(lRow, lastRight)
           else joined(lRow, nullRight)
         }
       }

@@ -24,6 +24,25 @@ class AsOfMergeJoinSpec extends AnyFunSuite {
     assert(viaExec.exceptAll(viaWindow).isEmpty &&
       viaWindow.exceptAll(viaExec).isEmpty,
       "custom exec and window formulation must agree row-for-row")
+    // and with a staleness bound: matches older than the tolerance
+    // null-extend identically in both formulations
+    val tol = java.time.Duration.ofMinutes(10)
+    val execTol = AsOfJoin.merge(o, r, "currency", "r_currency",
+        "orderTime", "exchangeRateTime", tolerance = Some(tol))
+      .select(col("id"), col("rate"), col("exchangeRateTime"))
+    val windowTol = AsOfJoin.backward(o, RefTables.rates(e), "currency",
+        "orderTime", "exchangeRateTime", Seq("rate", "exchangeRateTime"),
+        tolerance = Some(tol))
+      .select(col("id"), col("rate"), col("exchangeRateTime"))
+    assert(execTol.count() == o.count())
+    assert(execTol.where(col("rate").isNull).count() > 0,
+      "tolerance must actually null-extend some stale matches")
+    assert(execTol.where(col("rate").isNull).count() <
+      viaExec.where(col("rate").isNull).count() + o.count(),
+      "sanity: not everything nulled")
+    assert(execTol.exceptAll(windowTol).isEmpty &&
+      windowTol.exceptAll(execTol).isEmpty,
+      "tolerance semantics must agree between exec and window forms")
   }
 
   test("physical plan contains the custom exec node") {
