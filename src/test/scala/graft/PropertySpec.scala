@@ -71,6 +71,21 @@ object PropertySpec extends Properties("graft.kernels") {
       s1 == s2 && s1 >= 0 && s1 < (1L << bits)
     }
 
+  property("kmvOverlap is exact below capacity, for any two sets") =
+    forAll(Gen.listOf(Gen.choose(-40L, 40L)), Gen.listOf(Gen.choose(-40L, 40L))) {
+      (a, b) =>
+        val sa = a.distinct.sorted; val sb = b.distinct.sorted
+        def arr(xs: List[Long]) = new GenericArrayData(xs.toArray)
+        // capacity 256 > |union| always here -> exact regime
+        val r = GraftHash.kmvOverlap(arr(sa), arr(sb), 256)
+        val inter = sa.toSet.intersect(sb.toSet).size
+        val union = sa.toSet.union(sb.toSet).size
+        val jacOk =
+          if (union == 0) r.getDouble(0) == 0.0
+          else r.getDouble(0) == inter.toDouble / union.toDouble
+        jacOk && r.getDouble(1) == inter.toDouble && r.getDouble(2) == union.toDouble
+    }
+
   private def be32(v: Long) =
     Seq((v >> 24) & 0xff, (v >> 16) & 0xff, (v >> 8) & 0xff, v & 0xff).map(_.toInt)
   private def be16(v: Int) = Seq((v >> 8) & 0xff, v & 0xff)
