@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.{CorpusIngest, OrderEnrichmentJob, StatefulOps}
+import graft.streaming.{CorpusIngest, OrderEnrichmentJob, StatefulOps, StreamingDedup}
 
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = GraftSession.local(4)
@@ -69,6 +69,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(accepted.count() == 2)
     val thr = CorpusIngest.throughput(accepted, Duration.ofMinutes(1)).collect()
     assert(thr.map(_.getAs[Long]("n_docs")).sum == 2)
+  }
+
+  test("streaming near-dup: LSH-band state finds cross-batch pairs, batch parity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the green forest tonight"
+    val in = MemoryStream[CorpusIngest.Doc]
+    val pairs = StreamingDedup.nearDupStream(
+      in.toDF(), Duration.ofSeconds(5), Duration.ofMinutes(10), threshold = 0.4)
+    val q = pairs.writeStream.format("memory").queryName("ndp")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        CorpusIngest.Doc(1, ts(1), base),
+        CorpusIngest.Doc(3, ts(2), "completely different content about databases and distributed query engines at scale"))
+      q.processAllAvailable()
+      assert(spark.sql("select * from ndp").count() == 0, "no pairs yet")
+      // the near-dup arrives in a LATER micro-batch: bucket state must
+      // still hold doc 1
+      in.addData(CorpusIngest.Doc(2, ts(8), base.replace("lazy", "sleepy")))
+      q.processAllAvailable()
+      val got = spark.sql("select id_a, id_b from ndp").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 2L)), s"got $got")
+    } finally q.stop()
+    // batch mode: identical pair set (after cross-band dedup) to the
+    // batch minhashLsh operator on the same corpus
+    val docs = sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), lit(ts(0)).as("ingest_ts"), col("text"))
+    val stream = StreamingDedup.nearDupStream(docs, Duration.ofSeconds(5),
+        Duration.ofMinutes(10)).toDF()
+      .select("id_a", "id_b", "jaccard").distinct()
+    val batch = operators.Dedup.minhashLsh(
+      sources.Tables.load(spark, "/root/testdata/sf0.001", "documents"),
+      "doc_id", "text")
+    assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty,
+      "streaming band-state pairs must equal the batch LSH pairs")
   }
 
   test("stateful sessionization emits finalized sessions via event-time timeout") {
