@@ -410,6 +410,16 @@ object SparkEntry {
       Dedup.minhashLsh(T(s, dir, "documents"), "doc_id", "text",
         shingleWords = 3, numHashes = 64, bands = 16, threshold = 0.5)
         .orderBy("id_a", "id_b")),
+    // the streaming LSH-band near-dup operator, exercised through its
+    // batch path — must equal the batch minhashLsh pair set exactly
+    // (same oracle as d2)
+    "t6_stream_neardup" -> ((s, dir) =>
+      graft.streaming.StreamingDedup.nearDupStream(
+          T(s, dir, "documents").select(col("doc_id"),
+            to_timestamp(lit("2024-01-01 00:00:00")).as("ingest_ts"), col("text")),
+          java.time.Duration.ofSeconds(5), java.time.Duration.ofMinutes(10))
+        .toDF().select("id_a", "id_b", "jaccard").distinct()
+        .orderBy("id_a", "id_b")),
     // pairs -> GROUPS: connected components over the minhash near-dup
     // pairs (hash-min label propagation), with group sizes
     "d8_dedup_groups" -> ((s, dir) =>
@@ -832,6 +842,23 @@ object SparkEntry {
     "d1_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY lower(trim(text)) ORDER BY doc_id""".stripMargin,
+    // streaming band-state operator, batch path: same exact-jaccard
+    // oracle as d2 (pair set identical by construction)
+    "t6_stream_neardup" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_distinct(CASE WHEN len(sp) < 3 THEN [array_to_string(sp, ' ')]
+        |    ELSE list_transform(generate_series(1, len(sp) - 2),
+        |      i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2]) END) AS sh
+        |  FROM (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS sp FROM documents)),
+        |ww AS (SELECT doc_id, sh, len(sh) AS n FROM w),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.sh, b.sh)) AS inter, a.n AS na, b.n AS nb
+        |  FROM ww a JOIN ww b ON a.doc_id < b.doc_id
+        |    AND a.n <= b.n * 2.0 AND b.n <= a.n * 2.0)
+        |SELECT id_a, id_b, inter / (na + nb - inter) AS jaccard
+        |FROM p WHERE inter / (na + nb - inter) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
     // exact all-pairs trigram-jaccard oracle: valid because the corpus
     // has NO pairs in the LSH miss-risk band (all matches sit at
     // j >= 0.9, where 16-band/4-row detection probability is
