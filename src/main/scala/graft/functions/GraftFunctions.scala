@@ -25,6 +25,11 @@ object GraftFunctions {
 
   def rolling_hash(c: Column): Column = toCol(RollingHash(toExpr(c)))
 
+  def md5_simhash64(c: Column): Column = toCol(Md5SimHash(toExpr(c)))
+
+  def md5_minhash_signature(c: Column, shingleWords: Int, numHashes: Int): Column =
+    toCol(Md5MinHash(toExpr(c), shingleWords, numHashes))
+
   def hyperplane_lsh(vec: Column, bits: Int, table: Column): Column =
     toCol(HyperplaneLsh(toExpr(vec), toExpr(table), bits))
 
@@ -49,6 +54,18 @@ object GraftFunctions {
   def kmv_distinct(c: Column, k: Int): Column =
     toCol(KmvDistinct(toExpr(c), k).toAggregateExpression())
 
+  /** Build a bloom filter over pre-hashed 64-bit keys (binary result). */
+  def bloom_agg(hashed: Column, numBits: Int, numHashes: Int): Column =
+    toCol(BloomAgg(toExpr(hashed), numBits, numHashes).toAggregateExpression())
+
+  /** Probe a bloom filter with a pre-hashed 64-bit key. */
+  def bloom_might_contain(bloom: Column, hashed: Column, numHashes: Int): Column =
+    toCol(BloomMightContain(toExpr(bloom), toExpr(hashed), numHashes))
+
+  /** Grouped quantile sketch: array<double>, one slot per prob. */
+  def kll_quantiles(c: Column, k: Int, probs: Seq[Double]): Column =
+    toCol(KllQuantiles(toExpr(c), k, probs).toAggregateExpression())
+
   /** (name, builder) pairs — single source of truth for SQL registration. */
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "timestamp_to_string" -> (es => TimestampToString(es.head)),
@@ -57,6 +74,9 @@ object GraftFunctions {
     "minhash_signature" -> (es => MinHashSignature(es.head,
       es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
     "rolling_hash" -> (es => RollingHash(es.head)),
+    "md5_simhash64" -> (es => Md5SimHash(es.head)),
+    "md5_minhash_signature" -> (es => Md5MinHash(es.head,
+      es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
     "shingle_strings" -> (es => ShingleStrings(es.head,
       es(1).eval().asInstanceOf[Int])),
     "kmv_distinct" -> (es => KmvDistinct(es.head,
@@ -64,6 +84,10 @@ object GraftFunctions {
     "kmv_values" -> (es => KmvValues(es.head,
       es(1).eval().asInstanceOf[Int]).toAggregateExpression()),
     "kmv_overlap" -> (es => KmvOverlap(es(0), es(1),
+      es(2).eval().asInstanceOf[Int])),
+    "bloom_agg" -> (es => BloomAgg(es.head, es(1).eval().asInstanceOf[Int],
+      es(2).eval().asInstanceOf[Int]).toAggregateExpression()),
+    "bloom_might_contain" -> (es => BloomMightContain(es(0), es(1),
       es(2).eval().asInstanceOf[Int])),
   )
 

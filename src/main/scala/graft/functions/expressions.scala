@@ -185,6 +185,45 @@ case class HyperplaneLsh(left: Expression, right: Expression, bits: Int)
   override def prettyName: String = "hyperplane_lsh"
 }
 
+/** 64-bit SimHash like [[SimHash64]] but with md5-derived token
+  * hashes (lower 64 bits of the digest): ~10x slower than the FNV
+  * path but ENGINE-MIRRORABLE — any engine with an md5() function
+  * reproduces the signature bit-for-bit (DuckDB:
+  * `('0x' || substr(md5(tok),17,16))::UBIGINT`), which is what lets
+  * the driver's oracle hash-check the simhash pipeline end to end.
+  * Use [[SimHash64]] in latency-critical paths, this one when the
+  * fingerprint must be portable across engines. */
+case class Md5SimHash(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    GraftHash.md5SimHash(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.md5SimHash($c)")
+  override protected def withNewChildInternal(c: Expression): Md5SimHash = copy(child = c)
+  override def prettyName: String = "md5_simhash64"
+}
+
+/** MinHash signature like [[MinHashSignature]] but engine-mirrorable:
+  * shingle hash basis (h1, h2) = (upper, lower|1) 64 bits of
+  * md5(gram string), slot j = min over grams of (h1 + (j+1)*h2)
+  * mod 2^63 (kept below 2^63 so signed and unsigned minima agree
+  * across engines). Grams are the canonical single-space-joined word
+  * n-grams of `shingleStrings`, so DuckDB's
+  * `string_split_regex + list_transform` mirror is exact. */
+case class Md5MinHash(child: Expression, shingleWords: Int, numHashes: Int)
+    extends UnaryExpression {
+  require(shingleWords > 0 && numHashes > 0)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    GraftHash.md5MinHashSignature(v.asInstanceOf[UTF8String], shingleWords, numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GraftHash.md5MinHashSignature($c, $shingleWords, $numHashes)")
+  override protected def withNewChildInternal(c: Expression): Md5MinHash = copy(child = c)
+  override def prettyName: String = "md5_minhash_signature"
+}
+
 /** Static helpers referenced from generated code (must be public,
   * static-reachable, and JVM-name stable). */
 object GraftHash {
@@ -448,6 +487,107 @@ object GraftHash {
       b += 1
     }
     sig
+  }
+
+  /** Set the double-hashed bit positions of `key` (see BloomBits). */
+  def bloomSet(buf: Array[Long], key: Long, numHashes: Int): Unit = {
+    val numBits = buf.length * 64
+    var i = 0
+    while (i < numHashes) {
+      val p = BloomBits.position(key, i, numBits)
+      buf(p >>> 6) |= (1L << (p & 63))
+      i += 1
+    }
+  }
+
+  /** Probe a serialized (big-endian longs) bloom filter. */
+  def bloomMightContain(bloom: Array[Byte], key: Long, numHashes: Int): Boolean = {
+    val numBits = bloom.length * 8
+    var i = 0
+    while (i < numHashes) {
+      val p = BloomBits.position(key, i, numBits)
+      val byteIdx = (p >>> 6) * 8 + 7 - ((p & 63) >>> 3)
+      if (((bloom(byteIdx) >>> (p & 7)) & 1) == 0) return false
+      i += 1
+    }
+    true
+  }
+
+  private val MD5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** (upper 64, lower 64) bits of md5(s as UTF-8), big-endian — the
+    * same split DuckDB's `substr(md5(x), 1, 16)` / `substr(.., 17, 16)`
+    * hex halves decode to. */
+  private def md5Halves(bytes: Array[Byte]): (Long, Long) = {
+    val d = MD5.get()
+    d.reset()
+    val dig = d.digest(bytes)
+    var hi = 0L; var lo = 0L
+    var i = 0
+    while (i < 8) { hi = (hi << 8) | (dig(i) & 0xffL); i += 1 }
+    while (i < 16) { lo = (lo << 8) | (dig(i) & 0xffL); i += 1 }
+    (hi, lo)
+  }
+
+  /** See Md5SimHash: bit votes over whitespace tokens, token hash =
+    * lower 64 bits of md5(token). Empty tokens are skipped (so an
+    * all-whitespace doc hashes to 0 on both engines). */
+  def md5SimHash(text: UTF8String): Long = {
+    val votes = new Array[Int](64)
+    val s = text.toString
+    var start = 0
+    val len = s.length
+    while (start < len) {
+      while (start < len && Character.isWhitespace(s.charAt(start))) start += 1
+      var end = start
+      while (end < len && !Character.isWhitespace(s.charAt(end))) end += 1
+      if (end > start) {
+        val h = md5Halves(
+          s.substring(start, end).getBytes(java.nio.charset.StandardCharsets.UTF_8))._2
+        var bit = 0
+        while (bit < 64) {
+          if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+          bit += 1
+        }
+      }
+      start = end
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (votes(bit) > 0) out |= (1L << bit)
+      bit += 1
+    }
+    out
+  }
+
+  /** See Md5MinHash: slot j = min over canonical gram strings of
+    * (h1 + (j+1)*h2) mod 2^63, (h1, h2) = md5 halves (h2 forced odd).
+    * Values stay in [0, 2^63), so the signed-long minima here equal
+    * DuckDB's unsigned HUGEINT minima. */
+  def md5MinHashSignature(text: UTF8String, shingleWords: Int, numHashes: Int): ArrayData = {
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val grams = shingleStrings(text, shingleWords)
+    val n = grams.numElements()
+    var k = 0
+    while (k < n) {
+      val g = grams.getUTF8String(k)
+      val (h1, h2raw) = md5Halves(g.getBytes)
+      val h2 = h2raw | 1L
+      var j = 0
+      while (j < numHashes) {
+        // (h1 + (j+1)*h2) mod 2^63 == drop the sign bit of the wrapped sum
+        val v = (h1 + (j + 1).toLong * h2) & Long.MaxValue
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      k += 1
+    }
+    new GenericArrayData(sig)
   }
 
   def rollingHash(text: UTF8String): Long = {

@@ -66,6 +66,81 @@ object CorpusOps {
     }.mkString("CASE ", " ", s" ELSE '${cum.last._1}' END")
   }
 
+  /** Deterministic STRATIFIED sampling: each row survives iff
+    * md5(id:salt) falls below its stratum's rate boundary — a per-
+    * stratum Bernoulli sample that is exact-in-expectation, stable
+    * across runs/engines/cluster sizes, and pure map-side (no shuffle,
+    * no RNG state). The workhorse for corpus mixture re-weighting
+    * ("keep 50% of en, 10% of everything else") at any scale: the
+    * filter is a codegen'd CASE over one md5 and pushes down to the
+    * scan. Unlisted strata use `defaultRate`. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      rates: Seq[(String, Double)], defaultRate: Double,
+      salt: String = "graft-sample"): DataFrame = {
+    require((defaultRate +: rates.map(_._2)).forall(r => r >= 0.0 && r <= 1.0))
+    val h = md5(concat(col(idCol).cast("string"), lit(":" + salt)))
+    val boundary = rates.foldRight(lit(hexBoundary(defaultRate)): Column) {
+      case ((stratum, rate), acc) =>
+        when(col(strataCol) === stratum, lit(hexBoundary(rate))).otherwise(acc)
+    }
+    df.where(h < boundary)
+  }
+
+  /** SQL mirror of `stratifiedSample`'s predicate for a DuckDB oracle. */
+  def stratifiedSampleSql(idExpr: String, strataExpr: String,
+      rates: Seq[(String, Double)], defaultRate: Double,
+      salt: String = "graft-sample"): String = {
+    val cases = rates.map { case (stratum, rate) =>
+      s"WHEN $strataExpr = '$stratum' THEN '${hexBoundary(rate)}'"
+    }.mkString(" ")
+    s"md5($idExpr || ':$salt') < (CASE $cases ELSE '${hexBoundary(defaultRate)}' END)"
+  }
+
+  /** Sliding-window CHUNKING for context-length-bounded training/RAG:
+    * each doc yields token windows of `size` starting every `stride`
+    * tokens (overlap = size - stride), tail windows included. Pure
+    * per-row codegen'd collection expressions + one posexplode — no
+    * shuffle, embarrassingly parallel at any corpus size. Output rows
+    * carry the window's token count and text md5 (checksum keeps the
+    * verify payload narrow; callers wanting the text select it). */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size)
+    val toks = split(trim(col(textCol)), "\\s+")
+    val chunks = transform(
+      sequence(lit(0), greatest(org.apache.spark.sql.functions.size(toks) - 1, lit(0)),
+        lit(stride)),
+      st => array_join(slice(toks, st + 1, lit(size)), " "))
+    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_id", "chunk")))
+      .select(col(idCol), col("chunk_id"),
+        org.apache.spark.sql.functions.size(split(col("chunk"), "\\s+"))
+          .as("n_tokens"),
+        md5(col("chunk")).as("chunk_md5"))
+  }
+
+  /** Token-budget PACKING: stream docs (ordered by `idCol` within each
+    * `partitionCol` shard) into consecutive packs of ~`budget` tokens —
+    * the sequence-packing step that batches variable-length docs into
+    * fixed context windows. A doc joins the pack its exclusive prefix
+    * sum lands in (`floor(prefix/budget)`), so assignment is a closed
+    * form over ONE window cumsum: deterministic, one shuffle by the
+    * shard key, no iterative bin-packing driver loop. Packing is
+    * per-shard by design (shards = splits/languages/workers), which is
+    * also what keeps the window partition-parallel at 100 TB. */
+  def packByBudget(df: DataFrame, idCol: String, textCol: String,
+      partitionCol: String, budget: Long): DataFrame = {
+    require(budget > 0)
+    val w = Window.partitionBy(col(partitionCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nTokens = org.apache.spark.sql.functions.size(
+      split(trim(col(textCol)), "\\s+")).cast("long")
+    df.select(col(partitionCol), col(idCol), nTokens.as("n_tokens"))
+      .withColumn("__g_cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id",
+        floor((col("__g_cum") - col("n_tokens")) / budget).cast("long"))
+      .drop("__g_cum")
+  }
+
   /** Top-k vocabulary by token frequency (whitespace tokens,
     * lowercased). The global top-k is a TakeOrdered over the
     * partially-aggregated (token, freq) pairs — never a single-

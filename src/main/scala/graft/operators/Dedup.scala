@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.GraftFunctions.{minhash_signature, simhash64}
+import graft.functions.GraftFunctions.{md5_minhash_signature, md5_simhash64, minhash_signature, simhash64}
 
 /** Document deduplication operators for LLM-scale corpora.
   *
@@ -236,12 +236,19 @@ object Dedup {
     * Jaccard similarity of the groups' distinct-shingle sets.
     * Cost at 100 TB: one linear scan + a tiny per-group shuffle —
     * never touches doc pairs. */
+  /** @param md5Hash hash the grams with the engine-mirrorable md5
+    *   basis (`Md5MinHash`) instead of the faster FNV family — lets an
+    *   external engine reproduce the signatures bit-for-bit, which is
+    *   how the driver's DuckDB oracle checks this estimator. */
   def corpusOverlap(df: DataFrame, groupCol: String, textCol: String,
-      shingleWords: Int = 3, numHashes: Int = 128): DataFrame = {
-    import graft.functions.GraftFunctions.{minhash_merge, minhash_signature}
+      shingleWords: Int = 3, numHashes: Int = 128,
+      md5Hash: Boolean = false): DataFrame = {
+    import graft.functions.GraftFunctions.minhash_merge
+    val docSig =
+      if (md5Hash) md5_minhash_signature(col(textCol), shingleWords, numHashes)
+      else minhash_signature(col(textCol), shingleWords, numHashes)
     val groups = df.groupBy(col(groupCol))
-      .agg(minhash_merge(
-        minhash_signature(col(textCol), shingleWords, numHashes)).as("gsig"),
+      .agg(minhash_merge(docSig).as("gsig"),
         count(lit(1)).as("n_docs"))
     val a = groups.select(col(groupCol).as("group_a"), col("gsig").as("sig_a"),
       col("n_docs").as("docs_a"))
@@ -259,10 +266,12 @@ object Dedup {
     * with Hamming distance <= maxHamming (guaranteed found when
     * maxHamming < bands). Same equality-join scale shape as MinHash. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      bands: Int = 8, maxHamming: Int = 7): DataFrame = {
+      bands: Int = 8, maxHamming: Int = 7,
+      md5Hash: Boolean = false): DataFrame = {
     require(64 % bands == 0, "bands must divide 64")
     val w = 64 / bands
-    val sigs = df.select(col(idCol), simhash64(col(textCol)).as("__g_sh"))
+    val sh = if (md5Hash) md5_simhash64(col(textCol)) else simhash64(col(textCol))
+    val sigs = df.select(col(idCol), sh.as("__g_sh"))
     val banded = sigs.select(col(idCol), col("__g_sh"),
       explode(array((0 until bands).map(b => struct(lit(b).as("band"),
         shiftrightunsigned(col("__g_sh"), b * w)
