@@ -583,7 +583,9 @@ object SparkEntry {
     "m1_multimodal" -> ((s, dir) =>
       Multimodal.extractFeatures(s, Multimodal.fromDocuments(T(s, dir, "documents")))
         .toDF()
-        .select(col("doc_id"), col("byte_len"), col("mean_byte"), col("checksum"),
+        .select(col("doc_id"), col("byte_len"), col("mean_byte"),
+          col("detected_fmt"), col("width"), col("height"),
+          col("sample_rate"), col("duration_ms"),
           size(col("frame_hashes")).as("n_frames"))
         .orderBy("doc_id")),
   )
@@ -1123,6 +1125,49 @@ object SparkEntry {
         |  vec_id AS neighbor_id, sim
         |FROM s QUALIFY "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
     "p1_profile" -> p1OracleSql,
+    // m1: the Spark side ASSEMBLES real PNG/JPEG/WAVE containers around
+    // the text payload and then PARSES the metadata back out of the raw
+    // bytes; the oracle recomputes the same numbers arithmetically from
+    // `documents` (header constants + byte sums via hex-pair extraction),
+    // so a parse that read the wrong offset/endianness would hash-mismatch
+    "m1_multimodal" ->
+      """WITH b AS (SELECT doc_id,
+        |  CASE WHEN source < 'src4' THEN 'png'
+        |       WHEN source < 'src8' THEN 'jpg' ELSE 'wav' END AS fmt,
+        |  CAST(n_chars % 640 + 16 AS INT) AS w,
+        |  CAST((n_chars * 7) % 480 + 16 AS INT) AS h,
+        |  CAST(n_chars % 2 + 1 AS INT) AS ch,
+        |  CAST(n_chars % 8 * 1000 + 8000 AS INT) AS rate,
+        |  octet_length(encode(text)) AS plen,
+        |  CAST(list_sum(list_transform(range(1, octet_length(encode(text)) + 1),
+        |    i -> CAST('0x' || substr(hex(encode(text)), 2*i-1, 2) AS INT)))
+        |    AS BIGINT) AS psum
+        |  FROM documents),
+        |s AS (SELECT *,
+        |  CAST(CASE fmt WHEN 'png' THEN 29 WHEN 'jpg' THEN 21 ELSE 44 END
+        |    + plen AS INT) AS blen,
+        |  (w % 256) + (w // 256 % 256) AS wsum,
+        |  (h % 256) + (h // 256 % 256) AS hsum,
+        |  ((plen+36) % 256) + ((plen+36) // 256 % 256) + ((plen+36) // 65536 % 256) AS rlensum,
+        |  (plen % 256) + (plen // 256 % 256) + (plen // 65536 % 256) AS dlensum,
+        |  (rate % 256) + (rate // 256 % 256) AS ratesum,
+        |  ((rate*ch*2) % 256) + ((rate*ch*2) // 256 % 256) AS bratesum
+        |  FROM b)
+        |SELECT doc_id, blen AS byte_len,
+        |  (CASE fmt
+        |     WHEN 'png' THEN 747 + wsum + hsum
+        |     WHEN 'jpg' THEN 1583 + wsum + hsum
+        |     ELSE 1404 + rlensum + ch + ratesum + bratesum + ch*2 + dlensum
+        |   END + psum) / blen AS mean_byte,
+        |  fmt AS detected_fmt,
+        |  CASE WHEN fmt = 'wav' THEN NULL ELSE w END AS width,
+        |  CASE WHEN fmt = 'wav' THEN NULL ELSE h END AS height,
+        |  CASE WHEN fmt = 'wav' THEN rate ELSE NULL END AS sample_rate,
+        |  CASE WHEN fmt = 'wav'
+        |    THEN CAST((plen * 8000) // (ch * 16 * rate) AS BIGINT)
+        |    ELSE NULL END AS duration_ms,
+        |  CAST(4 AS INT) AS n_frames
+        |FROM s ORDER BY doc_id""".stripMargin,
   )
 
   // ---- generated oracle SQL (md5-basis hash mirrors) ----------------

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: media payloads as opaque `binary`
@@ -21,21 +21,78 @@ object Multimodal {
   case class MediaRecord(doc_id: Long, media: Array[Byte], width: Int,
       height: Int, fmt: String)
 
-  /** Extracted features for one record. `detected_fmt` comes from the
-    * REAL header parser (imageDimensions); the rest from the stub. */
+  /** Extracted features for one record. `detected_fmt` and the parsed
+    * container metadata (width/height for images, sample_rate and
+    * duration_ms for audio) come from the REAL header parsers; the
+    * byte statistics come from the stub. */
   case class MediaFeatures(doc_id: Long, byte_len: Int, mean_byte: Double,
-      checksum: Long, frame_hashes: Seq[Long], detected_fmt: Option[String])
+      checksum: Long, frame_hashes: Seq[Long], detected_fmt: Option[String],
+      width: Option[Int], height: Option[Int], sample_rate: Option[Int],
+      duration_ms: Option[Long])
 
-  /** Build a media table from `documents`: the UTF-8 payload of the
-    * text stands in for an encoded image; metadata is derived
-    * deterministically. */
-  def fromDocuments(documents: DataFrame): DataFrame =
+  // ---- declarative byte assembly: ints to binary, inside codegen ----
+  /** Low byte of `c` as a two-hex-char string. */
+  private def hexPair(c: Column): Column =
+    lpad(hex(c.cast("long").bitwiseAND(lit(0xffL))), 2, "0")
+  /** `c` as an n-byte big-endian binary column. */
+  private def beBytes(c: Column, n: Int): Column =
+    to_binary(concat((n - 1 to 0 by -1).map(k =>
+      hexPair(shiftright(c.cast("long"), 8 * k))): _*), lit("hex"))
+  /** `c` as an n-byte little-endian binary column. */
+  private def leBytes(c: Column, n: Int): Column =
+    to_binary(concat((0 until n).map(k =>
+      hexPair(shiftright(c.cast("long"), 8 * k))): _*), lit("hex"))
+  private def bytesLit(xs: Int*): Column = lit(xs.map(_.toByte).toArray)
+
+  /** Build a media table from `documents`: each row becomes a REAL
+    * container — a PNG signature + IHDR chunk, a JPEG SOI/APP0/SOF0
+    * marker sequence, or a RIFF/WAVE fmt+data chunk pair — wrapping
+    * the UTF-8 text payload, with container metadata (dimensions,
+    * channels, sample rate) derived deterministically from `n_chars`.
+    * The headers are assembled declaratively (hex/lpad/to_binary —
+    * all codegen'd), and `extractFeatures`' REAL parsers must read
+    * the metadata back out of the bytes: the m1 oracle checks that
+    * round trip. Sizes stay u16/u32-safe for any document length.
+    *
+    * (The WAVE data chunk is written unpadded; the chunk walker
+    * handles both padded and unpadded final chunks.) */
+  def fromDocuments(documents: DataFrame): DataFrame = {
+    val payload = encode(col("text"), "UTF-8")
+    val plen = octet_length(payload)
+    val w = (col("n_chars") % 640 + 16).cast("int")
+    val h = ((col("n_chars") * 7) % 480 + 16).cast("int")
+    val ch = (col("n_chars") % 2 + 1).cast("int")
+    val rate = (col("n_chars") % 8 * 1000 + 8000).cast("int")
+    val fmt = when(col("source") < "src4", "png")
+      .when(col("source") < "src8", "jpg").otherwise("wav")
+
+    val png = concat(
+      bytesLit(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a),
+      beBytes(lit(13), 4), lit("IHDR".getBytes("US-ASCII")),
+      beBytes(w, 4), beBytes(h, 4),
+      bytesLit(8, 6, 0, 0, 0), // bit depth, color type, compr/filter/interlace
+      payload)
+    val jpg = concat(
+      bytesLit(0xff, 0xd8, 0xff, 0xe0, 0x00, 0x04, 'J', 'F'), // SOI + APP0
+      bytesLit(0xff, 0xc0, 0x00, 0x0b, 0x08),                 // SOF0, len 11, 8-bit
+      beBytes(h, 2), beBytes(w, 2),
+      bytesLit(0x01, 0x01, 0x11, 0x00),                       // 1 component
+      payload)
+    val wav = concat(
+      lit("RIFF".getBytes("US-ASCII")), leBytes(plen + 36, 4),
+      lit("WAVE".getBytes("US-ASCII")),
+      lit("fmt ".getBytes("US-ASCII")), leBytes(lit(16), 4),
+      leBytes(lit(1), 2), leBytes(ch, 2), leBytes(rate, 4),
+      leBytes(rate * ch * 2, 4), leBytes(ch * 2, 2), leBytes(lit(16), 2),
+      lit("data".getBytes("US-ASCII")), leBytes(plen, 4),
+      payload)
+
     documents.select(
       col("doc_id"),
-      encode(col("text"), "UTF-8").as("media"),
-      (col("n_chars") % 640 + 16).cast("int").as("width"),
-      ((col("n_chars") * 7) % 480 + 16).cast("int").as("height"),
-      when(col("source") < "src5", "png").otherwise("jpg").as("fmt"))
+      when(fmt === "png", png).when(fmt === "jpg", jpg).otherwise(wav)
+        .as("media"),
+      w.as("width"), h.as("height"), fmt.as("fmt"))
+  }
 
   /** REAL header parsing (not stubbed): container metadata lives in
     * the first bytes of the payload and needs no codec library.
@@ -127,11 +184,15 @@ object Multimodal {
       while (j < end) { h ^= (bytes(j) & 0xffL); h *= 0x100000001b3L; j += 1 }
       h
     }
+    val img = imageDimensions(bytes)
+    val aud = if (img.isEmpty) audioMetadata(bytes) else None
     MediaFeatures(rec.doc_id,
       bytes.length,
       if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length,
-      ck, fh, imageDimensions(bytes).map(_._1)
-        .orElse(audioMetadata(bytes).map(_ => "wav")))
+      ck, fh,
+      img.map(_._1).orElse(aud.map(_ => "wav")),
+      img.map(_._2), img.map(_._3),
+      aud.map(_.sample_rate), aud.map(_.duration_ms))
   }
 
   /** Partition-parallel batched decode: records are pulled in batches

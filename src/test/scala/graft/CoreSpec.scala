@@ -23,7 +23,7 @@ class CoreSpec extends AnyFunSuite {
     assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
     // a duplicated key in the Map literal would silently drop an entry
     assert(q.size == 63, s"expected 63 queries, got ${q.size}: check for duplicate keys")
-    assert(o.size == 61, s"expected 61 oracle-checked queries, got ${o.size}")
+    assert(o.size == 62, s"expected 62 oracle-checked queries, got ${o.size}")
   }
 
   test("every declared query has an oracle or is rows-only, and runs") {

@@ -296,6 +296,19 @@ class OperatorsSpec extends AnyFunSuite {
       f2.map(f => (f.doc_id, f.byte_len, f.checksum)).toSeq)
     assert(f1.forall(_.frame_hashes.length == 4))
     assert(f1.forall(f => f.mean_byte > 0 && f.byte_len > 0))
+    // the crafted containers must round-trip their metadata through the
+    // REAL parsers: declared fmt/width/height in, parsed values out
+    val meta = media.select("doc_id", "width", "height", "fmt").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    f1.foreach { f =>
+      val (w, h, fmt) = meta(f.doc_id)
+      assert(f.detected_fmt.contains(fmt), s"doc ${f.doc_id}: $f")
+      if (fmt == "wav") {
+        assert(f.width.isEmpty && f.sample_rate.nonEmpty && f.duration_ms.nonEmpty)
+      } else {
+        assert(f.width.contains(w) && f.height.contains(h), s"doc ${f.doc_id}: $f")
+      }
+    }
   }
 
   test("approximate aggregates land within error bounds of exact") {
