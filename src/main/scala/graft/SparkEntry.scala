@@ -560,6 +560,25 @@ object SparkEntry {
         .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
           md5(col("masked")).as("masked_md5"))
         .orderBy("doc_id")),
+    // corpus mixture re-weighting: deterministic per-stratum Bernoulli
+    // sample as ONE md5 predicate — map-side, RNG-free, cluster-stable
+    "x9_sample" -> ((s, dir) =>
+      CorpusOps.stratifiedSample(T(s, dir, "documents"), "doc_id", "lang",
+          Seq("en" -> 0.5, "zh" -> 0.25), defaultRate = 0.1)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")),
+    // sliding-window chunking for context-length-bounded training/RAG:
+    // per-row collection exprs + posexplode, no shuffle
+    "x10_chunk" -> ((s, dir) =>
+      CorpusOps.chunk(T(s, dir, "documents"), "doc_id", "text",
+          size = 64, stride = 48)
+        .orderBy("doc_id", "chunk_id")),
+    // sequence packing into ~2048-token packs: closed-form assignment
+    // over one per-shard window cumsum (no bin-packing driver loop)
+    "x11_pack" -> ((s, dir) =>
+      CorpusOps.packByBudget(T(s, dir, "documents"), "doc_id", "text",
+          "lang", budget = 2048)
+        .orderBy("lang", "doc_id")),
 
     // benchmark decontamination: distinct 3-gram overlap counts against
     // the held-out source, shuffle equi-join on the gram string
@@ -1058,6 +1077,35 @@ object SparkEntry {
       s"""SELECT ${operators.CorpusOps.hashSplitSql("doc_id::VARCHAR")} AS "split",
         |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "x9_sample" ->
+      s"""SELECT doc_id, lang, n_chars FROM documents
+        |WHERE ${operators.CorpusOps.stratifiedSampleSql("doc_id::VARCHAR",
+             "lang", Seq("en" -> 0.5, "zh" -> 0.25), 0.1)}
+        |ORDER BY doc_id""".stripMargin,
+    "x10_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    list_transform(range(0, greatest(len(toks)-1, 0)+1, 48),
+        |      st -> array_to_string(toks[st+1 : st+64], ' ')) AS chunks
+        |  FROM t),
+        |u AS (SELECT doc_id, unnest(list_transform(range(len(chunks)),
+        |    i -> {'chunk_id': CAST(i AS INT), 'chunk': chunks[i+1]}),
+        |    recursive := true)
+        |  FROM c)
+        |SELECT doc_id, chunk_id,
+        |  CAST(len(string_split_regex(chunk, '\s+')) AS INT) AS n_tokens,
+        |  md5(chunk) AS chunk_md5
+        |FROM u ORDER BY doc_id, chunk_id""".stripMargin,
+    "x11_pack" ->
+      """WITH t AS (SELECT lang, doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT lang, doc_id, n_tokens,
+        |  CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+        |    / 2048) AS BIGINT) AS pack_id
+        |FROM t ORDER BY lang, doc_id""".stripMargin,
     "x6_vocab" ->
       """WITH tok AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
         |    AS token FROM documents),

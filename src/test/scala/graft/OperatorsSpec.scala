@@ -282,6 +282,50 @@ class OperatorsSpec extends AnyFunSuite {
     assert(first.getAs[Long]("duration_us") == 10L * 60 * 1000000)
   }
 
+  test("stratified sampling: deterministic, rate-faithful, zero-rate strata drop") {
+    val docs = sources.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    def sample() = CorpusOps.stratifiedSample(docs, "doc_id", "lang",
+      Seq("en" -> 0.5, "zh" -> 0.0), defaultRate = 0.1)
+    val s1 = sample().select("doc_id", "lang").collect().map(_.getLong(0)).sorted
+    val s2 = sample().select("doc_id", "lang").collect().map(_.getLong(0)).sorted
+    assert(s1.sameElements(s2), "sampling must be deterministic")
+    val byLang = sample().groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byLang.contains("zh"), "zero-rate stratum must vanish")
+    // en: 218 docs at p=0.5 — 4-sigma window around the mean
+    assert(byLang("en") > 109 - 30 && byLang("en") < 109 + 30, byLang.toString)
+    // others: 207 docs at p=0.1 — generous window
+    val rest = byLang.filterNot(_._1 == "en").values.sum
+    assert(rest > 5 && rest < 45, byLang.toString)
+    // sample is a subset of the corpus
+    assert(sample().join(docs, Seq("doc_id"), "left_anti").isEmpty)
+  }
+
+  test("chunking: stride windows cover the doc, tails included, md5 faithful") {
+    val text = (0 until 10).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val out = CorpusOps.chunk(df, "doc_id", "text", size = 4, stride = 3)
+      .collect().sortBy(_.getAs[Int]("chunk_id"))
+    assert(out.length == 4) // starts 0,3,6,9
+    assert(out.map(_.getAs[Int]("n_tokens")).toSeq == Seq(4, 4, 4, 1))
+    val expected = Seq(0, 3, 6, 9).map(st =>
+      (st until math.min(st + 4, 10)).map(i => s"t$i").mkString(" "))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out.map(_.getAs[String]("chunk_md5")).toSeq == expected.map(md5hex))
+  }
+
+  test("packing: closed-form budget assignment per shard") {
+    def doc(lang: String, id: Long, n: Int) = (lang, id, Seq.fill(n)("w").mkString(" "))
+    val df = Seq(doc("a", 1, 10), doc("a", 2, 20), doc("a", 3, 30),
+      doc("b", 4, 50), doc("b", 5, 1)).toDF("lang", "doc_id", "text")
+    val out = CorpusOps.packByBudget(df, "doc_id", "text", "lang", budget = 25)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getAs[Long]("pack_id")).toMap
+    // shard a: exclusive prefixes 0,10,30 -> packs 0,0,1; shard b restarts: 0,50 -> 0,2
+    assert(out(("a", 1L)) == 0 && out(("a", 2L)) == 0 && out(("a", 3L)) == 1)
+    assert(out(("b", 4L)) == 0 && out(("b", 5L)) == 2)
+  }
+
   test("multimodal plumbing: schema, determinism, frame count") {
     val docs = sources.Tables.load(spark, "/root/testdata/sf0.001", "documents").limit(50)
     val media = Multimodal.fromDocuments(docs)
