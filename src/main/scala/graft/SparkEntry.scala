@@ -256,6 +256,22 @@ object SparkEntry {
           .as("kmv_users"),
           count(lit(1)).as("n"))
         .orderBy("event_type")),
+    // grouped quantiles from graft's own mergeable KLL-style sketch
+    // (TypedImperativeAggregate; bounded state whatever the group
+    // size). k=32768 exceeds every group at verify scale so the sketch
+    // sits in its EXACT regime and the oracle checks sorted-list
+    // indexing; the estimating regime's rank error is spec-bounded
+    "a4_quantiles" -> ((s, dir) => {
+      val probs = Seq(0.25, 0.5, 0.75, 0.95)
+      T(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(graft.functions.GraftFunctions
+          .kll_quantiles(col("l_extendedprice"), 32768, probs).as("qs"))
+        .select(col("l_returnflag"), posexplode(col("qs")).as(Seq("qi", "quantile_value")))
+        .select(col("l_returnflag"),
+          element_at(lit(probs.toArray), col("qi") + 1).as("q"),
+          col("quantile_value"))
+        .orderBy("l_returnflag", "q")
+    }),
     // audience overlap: per-group KMV sketches -> pairwise set-operation
     // estimates (KMV multiset synopses). k=1024 >> any pair's distinct
     // union at verify scale, so the oracle checks the EXACT regime;
@@ -590,6 +606,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // exact decontamination behind a broadcast Bloom prefilter: the
+    // benchmark grams collapse into one bit array, corpus grams that
+    // miss it never reach the shuffle, survivors exact-verify
+    "d9_decontam_bloom" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      CorpusOps.decontaminate(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"), "doc_id", "text")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
     // single-pass column profiler (KMV-backed distinct estimates).
     // k=1024 exceeds every documents-column cardinality at verify
     // scale, so the KMV estimates sit in their EXACT regime and the
@@ -617,6 +644,31 @@ object SparkEntry {
       """SELECT event_type, CAST(count(DISTINCT user_id) AS DOUBLE) AS kmv_users,
         |  count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // exact regime: sketch holds every group value, so each quantile is
+    // sorted-list indexing at the sketch's round-half-up rank rule
+    "a4_quantiles" ->
+      """WITH g AS (SELECT l_returnflag, list_sort(list(l_extendedprice)) AS vs
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag,
+        |  unnest([0.25::DOUBLE, 0.5::DOUBLE, 0.75::DOUBLE, 0.95::DOUBLE]) AS q,
+        |  unnest(list_transform([0.25::DOUBLE, 0.5::DOUBLE, 0.75::DOUBLE, 0.95::DOUBLE],
+        |    p -> vs[CAST(floor(p * (len(vs) - 1) + 0.5) AS BIGINT) + 1]))
+        |    AS quantile_value
+        |FROM g ORDER BY l_returnflag, q""".stripMargin,
+    "d9_decontam_bloom" ->
+      """WITH g AS (SELECT doc_id, source,
+        |  CASE WHEN len(sp) < 3 THEN [array_to_string(sp, ' ')]
+        |    ELSE list_transform(generate_series(1, len(sp) - 2),
+        |      i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2]) END AS grams
+        |  FROM (SELECT doc_id, source,
+        |    string_split_regex(trim(text), '\s+') AS sp FROM documents)),
+        |b AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE source = 'src0'),
+        |c AS (SELECT doc_id, unnest(list_distinct(grams)) AS gram FROM g
+        |  WHERE source <> 'src0'),
+        |bad AS (SELECT DISTINCT doc_id FROM c JOIN b USING (gram))
+        |SELECT d.doc_id, d.lang, d.source FROM documents d
+        |WHERE d.source <> 'src0' AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY d.doc_id""".stripMargin,
     "ref_json_ingest" ->
       s"""WITH o AS (${RefTables.ordersSql})
          |SELECT currency, CAST(count(*) AS BIGINT) AS n_orders,

@@ -89,6 +89,10 @@ object GraftFunctions {
       es(2).eval().asInstanceOf[Int]).toAggregateExpression()),
     "bloom_might_contain" -> (es => BloomMightContain(es(0), es(1),
       es(2).eval().asInstanceOf[Int])),
+    "kll_quantiles" -> (es => KllQuantiles(es.head,
+      es(1).eval().asInstanceOf[Int],
+      es(2).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toDoubleArray().toSeq).toAggregateExpression()),
   )
 
   /** Register into an existing session (e.g. one built by the driver

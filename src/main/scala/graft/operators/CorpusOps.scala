@@ -208,4 +208,34 @@ object CorpusOps {
     cg.join(bg, "gram")
       .groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
   }
+
+  /** EXACT decontamination with a Bloom-prefiltered scan: return the
+    * corpus rows sharing NO word n-gram with `benchmark`.
+    *
+    * The benchmark's distinct grams aggregate into ONE fixed-size bloom
+    * bit array (mergeable map-side; the partial carries numBits/8 bytes
+    * regardless of benchmark size) which broadcasts to the corpus scan,
+    * where `bloom_might_contain` drops non-candidate grams BEFORE any
+    * shuffle. Bloom false positives cannot corrupt the result — the
+    * surviving candidates still exact-join against the real gram set,
+    * and zero false negatives means no contaminated doc escapes. At
+    * 100 TB this turns "join every corpus gram" into "join ~FP-rate of
+    * them": the shuffle shrinks by ~the bloom's rejection rate while
+    * the output stays bit-identical to the unfiltered anti-join. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 3,
+      numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
+    import graft.functions.GraftFunctions.{bloom_agg, bloom_might_contain}
+    val bg = benchmark.select(explode(wordGrams(col(textCol), n)).as("gram"))
+      .distinct()
+    val bloom = bg.agg(bloom_agg(xxhash64(col("gram")), numBits, numHashes)
+      .as("bloom"))
+    val cg = corpus.select(col(idCol),
+      explode(array_distinct(wordGrams(col(textCol), n))).as("gram"))
+    val candidates = cg.crossJoin(broadcast(bloom))
+      .where(bloom_might_contain(col("bloom"), xxhash64(col("gram")), numHashes))
+      .select(col(idCol), col("gram"))
+    val contaminated = candidates.join(bg, "gram").select(idCol).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
 }

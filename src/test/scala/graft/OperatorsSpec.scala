@@ -282,6 +282,53 @@ class OperatorsSpec extends AnyFunSuite {
     assert(first.getAs[Long]("duration_us") == 10L * 60 * 1000000)
   }
 
+  test("kll quantile sketch: exact below k, bounded rank error above") {
+    import graft.functions.GraftFunctions.kll_quantiles
+    val probs = Seq(0.1, 0.5, 0.9)
+    // exact regime: 1000 values under k=2048 — sketch must equal
+    // sorted-list indexing at the round-half-up rank rule
+    val xs = (0 until 1000).map(i => ((i * 37) % 1000).toDouble)
+    val got = xs.toDF("x").agg(kll_quantiles(col("x"), 2048, probs))
+      .head.getSeq[Double](0)
+    val sorted = xs.sorted
+    val want = probs.map(p => sorted(math.floor(p * (xs.size - 1) + 0.5).toInt))
+    assert(got == want, s"got $got want $want")
+    // estimating regime: a 50k permutation through k=256 across 8
+    // partitions (forces compaction AND merging); since value == rank,
+    // the estimate's rank error reads off directly. 5% of n is ~6x the
+    // k=256 KLL bound — generous, but fails if compaction is broken
+    val n = 50000
+    val big = (0 until n).map(i => ((i.toLong * 104729L) % n).toDouble)
+    val est = big.toDF("x").repartition(8)
+      .agg(kll_quantiles(col("x"), 256, probs)).head.getSeq[Double](0)
+    probs.zip(est).foreach { case (p, v) =>
+      assert(math.abs(v - p * n) <= 0.05 * n, s"p=$p estimate=$v") }
+  }
+
+  test("bloom decontaminate: planted overlap dropped, result exactly matches bloomless anti-join") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma something else entirely"), // shares "alpha beta gamma"
+      (2L, "totally unrelated words here for sure"),
+      (3L, "delta epsilon zeta eta theta iota")).toDF("doc_id", "text")
+    val clean = CorpusOps.decontaminate(corpus, bench, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(clean.toSeq == Seq(2L, 3L))
+    // bloom false positives must not change the result (exact verify):
+    // compare against the bloomless overlap anti-join on real docs,
+    // with a tiny 64-bit filter to force a high FP rate
+    val docs = sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val c = docs.filter(col("source") =!= "src0")
+    val b = docs.filter(col("source") === "src0")
+    val viaBloom = CorpusOps.decontaminate(c, b, "doc_id", "text",
+        numBits = 64, numHashes = 2)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val exact = c.join(CorpusOps.decontaminationOverlap(c, b, "doc_id", "text"),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(viaBloom.sameElements(exact))
+  }
+
   test("stratified sampling: deterministic, rate-faithful, zero-rate strata drop") {
     val docs = sources.Tables.load(spark, "/root/testdata/sf0.01", "documents")
     def sample() = CorpusOps.stratifiedSample(docs, "doc_id", "lang",
