@@ -606,6 +606,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // SQ8 scalar quantization: per-dim ranges from one bounded
+    // reduction, then a map-only codegen'd encode — the 4x memory cut
+    // an in-RAM ANN corpus takes at 100 TB
+    "s5_quantize" -> ((s, dir) =>
+      Quantize.minMaxQuantize(T(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"), size(col("codes")).as("n_dims"),
+          aggregate(col("codes"), lit(0L), (acc, c) => acc + c).as("code_sum"),
+          md5(array_join(transform(col("codes"), _.cast("string")), ","))
+            .as("codes_md5"))
+        .orderBy("vec_id")),
     // exact decontamination behind a broadcast Bloom prefilter: the
     // benchmark grams collapse into one bit array, corpus grams that
     // miss it never reach the shuffle, survivors exact-verify
@@ -655,6 +665,20 @@ object SparkEntry {
         |    p -> vs[CAST(floor(p * (len(vs) - 1) + 0.5) AS BIGINT) + 1]))
         |    AS quantile_value
         |FROM g ORDER BY l_returnflag, q""".stripMargin,
+    "s5_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |d AS (SELECT unnest(range(len(v))) AS i, unnest(v) AS x FROM e),
+        |mm AS (SELECT i, min(x) AS mn, max(x) AS mx FROM d GROUP BY i),
+        |l AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM mm),
+        |c AS (SELECT vec_id, list_transform(range(len(v)), i ->
+        |    CAST(least(255, greatest(0,
+        |      floor((v[i+1] - mns[i+1]) * 255.0 / (mxs[i+1] - mns[i+1]))))
+        |      AS INT)) AS codes
+        |  FROM e, l)
+        |SELECT vec_id, CAST(len(codes) AS INT) AS n_dims,
+        |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+        |  md5(array_to_string(codes, ',')) AS codes_md5
+        |FROM c ORDER BY vec_id""".stripMargin,
     "d9_decontam_bloom" ->
       """WITH g AS (SELECT doc_id, source,
         |  CASE WHEN len(sp) < 3 THEN [array_to_string(sp, ' ')]

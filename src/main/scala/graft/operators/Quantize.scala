@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scalar quantization for embedding columns: float vectors to 8-bit
+  * codes, the standard 4x memory cut (float32 -> uint8) applied before
+  * an ANN corpus is pinned in RAM (what FAISS calls SQ8).
+  *
+  * Two phases, both scale-shaped:
+  *   1. per-dimension [min, max] ranges — ONE partially-aggregated
+  *      reduction (posexplode + groupBy(dim)); its output is `dims`
+  *      rows no matter how many billion vectors feed it, so collecting
+  *      the ranges to the driver and re-broadcasting them as literals
+  *      is the same bounded-state move as IVF's centroid literals.
+  *   2. encoding — a map-only codegen'd pass over the vectors; no
+  *      shuffle, embarrassingly parallel at any corpus size.
+  *
+  * Codes are `floor((x - mn) * 255 / (mx - mn))` clamped to [0, 255]
+  * (so the max element maps to 255 whether the scaled value lands on
+  * 255.0 exactly or a hair above). Reconstruction at the bin midpoint
+  * bounds the per-element error by half a bin width. */
+object Quantize {
+  /** Per-dimension (min, max) over the corpus — phase 1. */
+  def minMaxRanges(emb: DataFrame, vecCol: String): (Array[Double], Array[Double]) = {
+    val rows = emb.select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
+      .orderBy("dim").collect()
+    (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+  }
+
+  /** Codes column expression against literal ranges — phase 2. */
+  def codesColumn(vec: Column, mns: Array[Double], mxs: Array[Double]): Column = {
+    val mnL = lit(mns); val mxL = lit(mxs)
+    transform(vec, (x, i) =>
+      least(lit(255), greatest(lit(0),
+        floor((x.cast("double") - element_at(mnL, i + 1)) * 255.0 /
+          (element_at(mxL, i + 1) - element_at(mnL, i + 1))))).cast("int"))
+  }
+
+  /** (id, codes array<int>) for every vector. */
+  def minMaxQuantize(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val (mns, mxs) = minMaxRanges(emb, vecCol)
+    emb.select(col(idCol), codesColumn(col(vecCol), mns, mxs).as("codes"))
+  }
+
+  /** Midpoint reconstruction of one code, for error analysis/specs.
+    * Bins are (mx-mn)/255 wide, so the midpoint is within half a bin
+    * of any value that quantized into the code. */
+  def dequantize(code: Int, mn: Double, mx: Double): Double =
+    mn + (code + 0.5) * (mx - mn) / 255.0
+}

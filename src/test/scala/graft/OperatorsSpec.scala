@@ -282,6 +282,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(first.getAs[Long]("duration_us") == 10L * 60 * 1000000)
   }
 
+  test("sq8 quantization: codes in range, midpoint reconstruction within half a bin") {
+    val emb = sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val (mns, mxs) = Quantize.minMaxRanges(emb, "embedding")
+    assert(mns.length == 64 && mns.zip(mxs).forall { case (a, b) => a < b })
+    val codes = Quantize.minMaxQuantize(emb, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val originals = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(codes.size == originals.size)
+    codes.foreach { case (id, cs) =>
+      assert(cs.length == 64 && cs.forall(c => c >= 0 && c <= 255))
+      cs.zipWithIndex.foreach { case (c, i) =>
+        val halfBin = (mxs(i) - mns(i)) / 255.0 / 2.0
+        val recon = Quantize.dequantize(c, mns(i), mxs(i))
+        assert(math.abs(recon - originals(id)(i)) <= halfBin + 1e-12,
+          s"vec $id dim $i: code $c recon $recon orig ${originals(id)(i)}")
+      }
+    }
+  }
+
   test("kll quantile sketch: exact below k, bounded rank error above") {
     import graft.functions.GraftFunctions.kll_quantiles
     val probs = Seq(0.1, 0.5, 0.9)
