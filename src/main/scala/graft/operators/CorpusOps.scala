@@ -230,10 +230,16 @@ object CorpusOps {
       .distinct()
     val bloom = bg.agg(bloom_agg(xxhash64(col("gram")), numBits, numHashes)
       .as("bloom"))
+    // ONE bounded row (numBits/8 bytes) back to the driver, re-shipped
+    // as a literal inside the probe predicate — the centroid-literal
+    // pattern. Joining the bloom in instead (even broadcast) would
+    // copy the bit array into EVERY joined gram row: measured 8 s vs
+    // 0.9 s for this whole query at sf0.1.
+    val bloomBytes = bloom.head.getAs[Array[Byte]]("bloom")
     val cg = corpus.select(col(idCol),
       explode(array_distinct(wordGrams(col(textCol), n))).as("gram"))
-    val candidates = cg.crossJoin(broadcast(bloom))
-      .where(bloom_might_contain(col("bloom"), xxhash64(col("gram")), numHashes))
+    val candidates = cg
+      .where(bloom_might_contain(lit(bloomBytes), xxhash64(col("gram")), numHashes))
       .select(col(idCol), col("gram"))
     val contaminated = candidates.join(bg, "gram").select(idCol).distinct()
     corpus.join(contaminated, Seq(idCol), "left_anti")
