@@ -85,7 +85,9 @@ object ScaleBench {
 
     val linearOps = Seq("q1_agg", "t1_tumble", "d1_dedup_exact",
       "d2_dedup_minhash", "d4_ngram_jaccard", "d7_decontam",
-      "d8_dedup_groups", "x3_tokens", "x7_repetition", "x8_pii",
+      "d8_dedup_groups", "d9_decontam_bloom", "x3_tokens",
+      "x7_repetition", "x8_pii", "x9_sample", "x10_chunk", "x11_pack",
+      "a4_quantiles", "s5_quantize", "m1_multimodal",
       "ref_interval_join", "ref_asof_merge", "ref_asof_join")
     val quadOps = Seq("d5_embed_neardup", "s1_ann_bruteforce")
     for (f <- (factors ++ quadFactors).distinct.sorted) materialize(f)
