@@ -62,6 +62,36 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(n == 2, s"expected only the 2 join-input exchanges, got $n:\n${plan(agg)}")
   }
 
+  test("bloom decontamination: literal probe, no nested-loop join, no bloom shuffle") {
+    val df = SparkEntry.queries("d9_decontam_bloom")(spark, dir)
+    df.count()
+    val p = plan(df).toString
+    // the bit array must ride inside the filter as a literal, never
+    // through a join (a joined 1-row bloom copies 128KB per probed row)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"bloom must not join in via nested loop:\n$p")
+    assert(p.contains("bloom_might_contain"),
+      s"expected the probe predicate in the plan:\n$p")
+  }
+
+  test("stratified sample: the md5 predicate is a scan-stage filter, no shuffle") {
+    val df = SparkEntry.queries("x9_sample")(spark, dir)
+    df.count()
+    // one global sort for the ORDER BY is expected; the sampling
+    // itself must add no exchange beyond it
+    val exchanges = plan(df).collect { case e: ShuffleExchangeLike => e }
+    assert(exchanges.length <= 1,
+      s"sampling must be map-side (only the ORDER BY may shuffle):\n${plan(df)}")
+  }
+
+  test("chunking is shuffle-free before its ORDER BY") {
+    val df = graft.operators.CorpusOps.chunk(
+      Tables.load(spark, dir, "documents"), "doc_id", "text", 64, 48)
+    df.count()
+    val exchanges = plan(df).collect { case e: ShuffleExchangeLike => e }
+    assert(exchanges.isEmpty, s"chunking must not shuffle:\n${plan(df)}")
+  }
+
   test("bucketed tables join with zero exchanges") {
     spark.sparkContext.setLogLevel("ERROR")
     // the session may be shared across suites (getOrCreate) with a
