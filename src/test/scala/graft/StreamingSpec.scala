@@ -141,6 +141,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming windowed KLL quantiles: the sketch merges inside the streaming engine") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StatefulOps.Evt]
+    // tumbling 100s windows, per-window median from the mergeable
+    // sketch — partials merge across micro-batches/partitions through
+    // the streaming aggregation state, exact below k
+    val agg = in.toDS().withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "100 seconds"))
+      .agg(graft.functions.GraftFunctions
+        .kll_quantiles(col("value"), 1024, Seq(0.5)).as("qs"))
+      .select(col("window.start").as("ws"), element_at(col("qs"), 1).as("median"))
+    val q = agg.writeStream.format("memory").queryName("kllwin")
+      .outputMode("append").start()
+    try {
+      // window [1000,1100): values 1..5 split across two micro-batches
+      in.addData(StatefulOps.Evt(1L, ts(1001), 1.0), StatefulOps.Evt(1L, ts(1002), 2.0))
+      q.processAllAvailable()
+      in.addData(StatefulOps.Evt(1L, ts(1003), 3.0), StatefulOps.Evt(1L, ts(1004), 4.0),
+        StatefulOps.Evt(1L, ts(1005), 5.0))
+      q.processAllAvailable()
+      // advance the watermark past the window so append mode emits it
+      in.addData(StatefulOps.Evt(2L, ts(5000), 9.0))
+      q.processAllAvailable()
+      in.addData(StatefulOps.Evt(2L, ts(99999), 9.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT median FROM kllwin WHERE ws = timestamp'1970-01-01 00:16:40'")
+        .collect()
+      assert(rows.length == 1, "window [1000,1100) must have been emitted")
+      assert(rows.head.getDouble(0) == 3.0,
+        s"median of 1..5 across micro-batches must be exact: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming as-of join: watermark-correct matching incl. late rates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
