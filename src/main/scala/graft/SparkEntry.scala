@@ -522,6 +522,26 @@ object SparkEntry {
           "vec_id", "embedding", "vec_id", "embedding")
         .orderBy("query_id", "rank")
     }),
+    // asymmetric SQ8 exhaustive search: corpus scanned as dequantized
+    // 8-bit codes, queries exact — the approximate scores themselves
+    // are oracle-checked (dequantization is deterministic arithmetic)
+    "s6_ann_sq" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.sqTopK(q, emb, 5).orderBy("query_id", "rank")
+    }),
+    // IVF-SQ: quantized candidate generation + exact re-rank. Full
+    // probe makes the candidate stage deterministic over the whole
+    // corpus (oracle-checkable); the pruning regime is spec-bounded
+    "s7_ann_ivfsq" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.ivfSqTopK(q, emb, 5, clusters = 16, nprobe = 16,
+          candidates = 20)
+        .orderBy("query_id", "rank")
+    }),
 
     // ---- §2.6 text analysis -----------------------------------------
     "x1_langid" -> ((s, dir) =>
@@ -1249,6 +1269,35 @@ object SparkEntry {
         |  vec_id AS neighbor_id, sim
         |FROM s QUALIFY "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
     "p1_profile" -> p1OracleSql,
+    // s6/s7: the SQ8 dequantization is deterministic IEEE arithmetic,
+    // so DuckDB mirrors the approximate scores exactly (list_cosine_
+    // similarity == index-ordered double accumulation, verified)
+    "s6_ann_sq" ->
+      s"""WITH $sqDequantCtes,
+        |s AS (SELECT q.vec_id AS query_id, dq.vec_id,
+        |    list_cosine_similarity(q.v, dq.dv) AS sim
+        |  FROM (SELECT * FROM e WHERE vec_id < 10) q
+        |  JOIN dq ON q.vec_id <> dq.vec_id)
+        |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, vec_id ASC) AS INT) AS "rank",
+        |  vec_id AS neighbor_id, sim
+        |FROM s QUALIFY "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+    "s7_ann_ivfsq" ->
+      s"""WITH $sqDequantCtes,
+        |a AS (SELECT q.vec_id AS query_id, q.v AS qv, dq.vec_id,
+        |    list_cosine_similarity(q.v, dq.dv) AS asim
+        |  FROM (SELECT * FROM e WHERE vec_id < 10) q
+        |  JOIN dq ON q.vec_id <> dq.vec_id),
+        |c AS (SELECT query_id, qv, vec_id FROM a
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY asim DESC, vec_id ASC) <= 20),
+        |x AS (SELECT c.query_id, c.vec_id,
+        |    list_cosine_similarity(c.qv, e.v) AS sim
+        |  FROM c JOIN e ON c.vec_id = e.vec_id)
+        |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, vec_id ASC) AS INT) AS "rank",
+        |  vec_id AS neighbor_id, sim
+        |FROM x QUALIFY "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
     // m1: the Spark side ASSEMBLES real PNG/JPEG/WAVE containers around
     // the text payload and then PARSES the metadata back out of the raw
     // bytes; the oracle recomputes the same numbers arithmetically from
@@ -1293,6 +1342,20 @@ object SparkEntry {
         |  CAST(4 AS INT) AS n_frames
         |FROM s ORDER BY doc_id""".stripMargin,
   )
+
+  /** Shared DuckDB CTE prefix mirroring `Quantize.minMaxRanges` +
+    * `dequantizeColumn` over `embeddings`: per-dim ranges, SQ8 codes,
+    * midpoint dequantization — same IEEE op order as the Spark side. */
+  private def sqDequantCtes: String =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |d AS (SELECT unnest(range(len(v))) AS i, unnest(v) AS x FROM e),
+      |mm AS (SELECT i, min(x) AS mn, max(x) AS mx FROM d GROUP BY i),
+      |l AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM mm),
+      |dq AS (SELECT vec_id, list_transform(range(len(v)), i ->
+      |    mns[i+1] + (CAST(least(255, greatest(0,
+      |      floor((v[i+1] - mns[i+1]) * 255.0 / (mxs[i+1] - mns[i+1])))) AS INT) + 0.5)
+      |      * (mxs[i+1] - mns[i+1]) / 255.0) AS dv
+      |  FROM e, l)""".stripMargin
 
   // ---- generated oracle SQL (md5-basis hash mirrors) ----------------
   // DuckDB reproduces graft's md5-basis signatures exactly: hex halves

@@ -66,10 +66,15 @@ object GraftFunctions {
   def kll_quantiles(c: Column, k: Int, probs: Seq[Double]): Column =
     toCol(KllQuantiles(toExpr(c), k, probs).toAggregateExpression())
 
+  /** Cosine over array<double> inputs (dequantized/widened vectors). */
+  def cosine_similarity_d(a: Column, b: Column): Column =
+    toCol(CosineSimilarityD(toExpr(a), toExpr(b)))
+
   /** (name, builder) pairs — single source of truth for SQL registration. */
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "timestamp_to_string" -> (es => TimestampToString(es.head)),
     "cosine_similarity" -> (es => CosineSimilarity(es(0), es(1))),
+    "cosine_similarity_d" -> (es => CosineSimilarityD(es(0), es(1))),
     "simhash64" -> (es => SimHash64(es.head)),
     "minhash_signature" -> (es => MinHashSignature(es.head,
       es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),

@@ -45,6 +45,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def prettyName: String = "cosine_similarity"
 }
 
+/** Cosine over array<double> inputs (e.g. dequantized SQ8 vectors, or
+  * float vectors widened with a cast). Same accumulation order and
+  * final dot/(sqrt*sqrt) as [[CosineSimilarity]], so results are
+  * bit-comparable with engines computing index-ordered double cosine. */
+case class CosineSimilarityD(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftHash.cosineD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftHash.cosineD($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarityD =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_similarity_d"
+}
+
 /** 64-bit SimHash over whitespace tokens (FNV-1a feature hashes,
   * bit-vote aggregation). Near-duplicate docs land within a small
   * Hamming distance. One pass over the string, no allocation per
@@ -283,6 +299,20 @@ object GraftHash {
     while (i < n) {
       val x = a.getFloat(i).toDouble
       val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def cosineD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }

@@ -50,4 +50,14 @@ object Quantize {
     * of any value that quantized into the code. */
   def dequantize(code: Int, mn: Double, mx: Double): Double =
     mn + (code + 0.5) * (mx - mn) / 255.0
+
+  /** Quantize-then-midpoint-reconstruct as one column expression:
+    * array<double> of the same IEEE arithmetic as [[dequantize]], for
+    * approximate scoring over SQ8 codes (asymmetric distance). */
+  def dequantizeColumn(vec: Column, mns: Array[Double], mxs: Array[Double]): Column = {
+    val mnL = lit(mns); val mxL = lit(mxs)
+    transform(codesColumn(vec, mns, mxs), (c, i) =>
+      element_at(mnL, i + 1) + (c + lit(0.5)) *
+        (element_at(mxL, i + 1) - element_at(mnL, i + 1)) / lit(255.0))
+  }
 }

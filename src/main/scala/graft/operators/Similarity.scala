@@ -179,12 +179,28 @@ object Similarity {
       queryId: String = "query_id", queryVec: String = "query_vec",
       corpusId: String = "vec_id", corpusVec: String = "embedding"): DataFrame = {
     require(nprobe <= clusters && iterations >= 1 && trainSample >= clusters)
-    // bounded deterministic sample: hash order spreads it uniformly
-    // over the corpus regardless of storage layout
+    val cents = trainCentroids(corpus, clusters, iterations, trainSample,
+      corpusId, corpusVec)
+    val indexed = corpus.withColumn("__g_cid", cidOf(col(corpusVec), cents))
+    val probes = probeCells(queries, cents, nprobe, queryId, queryVec)
+    val w = Window.partitionBy(col(queryId)).orderBy(col("sim").desc, col(corpusId).asc)
+    broadcast(probes).join(indexed, Seq("__g_cid"))
+      .where(col(queryId) =!= col(corpusId))
+      .withColumn("sim", cosine_similarity(col(queryVec), col(corpusVec)))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col(queryId), col("rank"), col(corpusId).as("neighbor_id"), col("sim"))
+  }
+
+  /** Lloyd-trained centroids over a bounded deterministic sample (hash
+    * order spreads it uniformly over the corpus regardless of storage
+    * layout) — the driver-side state is `clusters x dim` floats however
+    * large the corpus. */
+  def trainCentroids(corpus: DataFrame, clusters: Int, iterations: Int,
+      trainSample: Int, corpusId: String, corpusVec: String): Array[Array[Float]] = {
     val sample: Array[Array[Float]] = corpus
       .orderBy(xxhash64(col(corpusId)), col(corpusId)).limit(trainSample)
       .select(col(corpusVec)).collect().map(_.getSeq[Float](0).toArray)
-    require(sample.nonEmpty, "ivfTopK: empty corpus")
+    require(sample.nonEmpty, "trainCentroids: empty corpus")
     val dim = sample.head.length
     def cos(a: Array[Float], b: Array[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -192,7 +208,7 @@ object Similarity {
       if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
     }
     val nc = math.min(clusters, sample.length)
-    var cents: Array[Array[Float]] = sample.take(nc).map(_.clone())
+    val cents: Array[Array[Float]] = sample.take(nc).map(_.clone())
     for (_ <- 0 until iterations) {
       val sums = Array.fill(nc)(new Array[Double](dim))
       val counts = new Array[Long](nc)
@@ -207,28 +223,84 @@ object Similarity {
       for (c <- 0 until nc if counts(c) > 0; i <- 0 until dim)
         cents(c)(i) = (sums(c)(i) / counts(c)).toFloat
     }
-    // map-only assignment against the trained centroid literals:
-    // argmax by (sim, -cid) via lexicographic array_max over structs
-    def cidOf(vec: Column): Column = array_max(array(
-      cents.zipWithIndex.map { case (cv, i) =>
-        struct(cosine_similarity(vec, lit(cv)).as("sim"),
-          lit(-i).as("negcid"), lit(i).as("cid"))
-      }: _*)).getField("cid")
-    val indexed = corpus.withColumn("__g_cid", cidOf(col(corpusVec)))
-    // probe: each query searches its nprobe nearest cells (sim desc,
-    // cid asc ties — encoded as ascending (-sim, cid) struct sort)
-    val probes = queries.withColumn("__g_pc", explode(slice(array_sort(array(
+    cents
+  }
+
+  /** Map-only cell assignment against the trained centroid literals:
+    * argmax by (sim, -cid) via lexicographic array_max over structs. */
+  private def cidOf(vec: Column, cents: Array[Array[Float]]): Column = array_max(array(
+    cents.zipWithIndex.map { case (cv, i) =>
+      struct(cosine_similarity(vec, lit(cv)).as("sim"),
+        lit(-i).as("negcid"), lit(i).as("cid"))
+    }: _*)).getField("cid")
+
+  /** Each query row exploded to its nprobe nearest cells (sim desc,
+    * cid asc ties — encoded as ascending (-sim, cid) struct sort). */
+  private def probeCells(queries: DataFrame, cents: Array[Array[Float]],
+      nprobe: Int, queryId: String, queryVec: String): DataFrame =
+    queries.withColumn("__g_pc", explode(slice(array_sort(array(
         cents.zipWithIndex.map { case (cv, i) =>
           struct((-cosine_similarity(col(queryVec), lit(cv))).as("negsim"),
             lit(i).as("cid"))
         }: _*)), 1, nprobe)))
       .select(col(queryId), col(queryVec), col("__g_pc.cid").as("__g_cid"))
-    val w = Window.partitionBy(col(queryId)).orderBy(col("sim").desc, col(corpusId).asc)
-    broadcast(probes).join(indexed, Seq("__g_cid"))
+
+  /** Asymmetric SQ8 exhaustive top-k: the corpus is scanned as
+    * dequantized 8-bit codes (4x less memory traffic at the scan — the
+    * FAISS-SQ trade), queries stay exact. Same two-stage reduction and
+    * tie-break as [[bruteForceTopK]]; `sim` is the approximate
+    * (quantized-corpus) cosine. */
+  def sqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      queryId: String = "query_id", queryVec: String = "query_vec",
+      corpusId: String = "vec_id", corpusVec: String = "embedding"): DataFrame = {
+    val (mns, mxs) = Quantize.minMaxRanges(corpus, corpusVec)
+    val sims = corpus
+      .withColumn("__g_dv", Quantize.dequantizeColumn(col(corpusVec), mns, mxs))
+      .join(broadcast(queries), col(queryId) =!= col(corpusId))
+      .withColumn("sim", graft.functions.GraftFunctions.cosine_similarity_d(
+        col(queryVec).cast("array<double>"), col("__g_dv")))
+      .withColumn("__g_pid", spark_partition_id())
+    val local = Window.partitionBy(col(queryId), col("__g_pid"))
+      .orderBy(col("sim").desc, col(corpusId).asc)
+    val global = Window.partitionBy(col(queryId))
+      .orderBy(col("sim").desc, col(corpusId).asc)
+    sims.withColumn("__g_lr", row_number().over(local)).where(col("__g_lr") <= k)
+      .withColumn("rank", row_number().over(global)).where(col("rank") <= k)
+      .select(col(queryId), col("rank"), col(corpusId).as("neighbor_id"),
+        col("sim"))
+  }
+
+  /** IVF-SQ: IVF cell pruning + SQ8 approximate scoring to pick
+    * `candidates` per query, then an EXACT re-rank of just those — the
+    * production ANN shape at 100 TB (index prunes cells, quantized scan
+    * prunes candidates cheaply, exact math touches only `candidates`
+    * rows per query). With nprobe = clusters the candidate stage is
+    * deterministic over the whole corpus, which is what the oracle
+    * checks; the pruning regime is spec-bounded by recall. */
+  def ivfSqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      clusters: Int = 16, nprobe: Int = 4, candidates: Int = 20,
+      iterations: Int = 5, trainSample: Int = 8192,
+      queryId: String = "query_id", queryVec: String = "query_vec",
+      corpusId: String = "vec_id", corpusVec: String = "embedding"): DataFrame = {
+    require(nprobe <= clusters && candidates >= k)
+    val cents = trainCentroids(corpus, clusters, iterations, trainSample,
+      corpusId, corpusVec)
+    val (mns, mxs) = Quantize.minMaxRanges(corpus, corpusVec)
+    val indexed = corpus.withColumn("__g_cid", cidOf(col(corpusVec), cents))
+      .withColumn("__g_dv", Quantize.dequantizeColumn(col(corpusVec), mns, mxs))
+    val probes = probeCells(queries, cents, nprobe, queryId, queryVec)
+    val wc = Window.partitionBy(col(queryId))
+      .orderBy(col("__g_asim").desc, col(corpusId).asc)
+    val topC = broadcast(probes).join(indexed, Seq("__g_cid"))
       .where(col(queryId) =!= col(corpusId))
-      .withColumn("sim", cosine_similarity(col(queryVec), col(corpusVec)))
+      .withColumn("__g_asim", graft.functions.GraftFunctions.cosine_similarity_d(
+        col(queryVec).cast("array<double>"), col("__g_dv")))
+      .withColumn("__g_cr", row_number().over(wc)).where(col("__g_cr") <= candidates)
+    val w = Window.partitionBy(col(queryId)).orderBy(col("sim").desc, col(corpusId).asc)
+    topC.withColumn("sim", cosine_similarity(col(queryVec), col(corpusVec)))
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-      .select(col(queryId), col("rank"), col(corpusId).as("neighbor_id"), col("sim"))
+      .select(col(queryId), col("rank"), col(corpusId).as("neighbor_id"),
+        col("sim"))
   }
 
   /** Number of `bits`-bit LSH tables needed so a pair at cosine

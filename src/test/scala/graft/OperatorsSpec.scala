@@ -124,6 +124,50 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"isotropic recall $recall < 0.9 at nprobe=14/16")
   }
 
+  test("SQ8 search: quantized scores track exact, IVF-SQ re-rank recovers exact neighbors") {
+    val emb = sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val exact = Similarity.bruteForceTopK(q, emb, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    // (a) asymmetric SQ8 exhaustive: 8-bit codes must still find most
+    // exact top-5 neighbors, and each approx score must sit within the
+    // quantization error envelope of the exact score when both rank it
+    val sq = Similarity.sqTopK(q, emb, 5).collect()
+    val sqRecall = sq.map(r => (r.getLong(0), r.getLong(2)))
+      .count(exact.contains).toDouble / exact.size
+    assert(sqRecall >= 0.8, s"SQ8 recall $sqRecall < 0.8")
+    sq.foreach { r =>
+      exact.get((r.getLong(0), r.getLong(2))).foreach { es =>
+        assert(math.abs(r.getDouble(3) - es) < 0.05,
+          s"approx score drifted: ${r.getDouble(3)} vs exact $es") }
+    }
+    // (b) IVF-SQ with full probe + exact re-rank of 4k candidates:
+    // every surviving neighbor's sim must be the EXACT cosine, and
+    // recall vs exact top-5 must be >= 0.9 (candidates=20 absorbs
+    // quantization reordering)
+    val ivfsq = Similarity.ivfSqTopK(q, emb, 5, clusters = 16, nprobe = 16,
+      candidates = 20).collect()
+    ivfsq.foreach { r =>
+      exact.get((r.getLong(0), r.getLong(2))).foreach { es =>
+        assert(r.getDouble(3) == es, s"re-rank must be exact for ${r.getLong(2)}") }
+    }
+    val ivfsqRecall = ivfsq.map(r => (r.getLong(0), r.getLong(2)))
+      .count(exact.contains).toDouble / exact.size
+    assert(ivfsqRecall >= 0.9, s"IVF-SQ recall $ivfsqRecall < 0.9")
+    // (c) pruning regime on planted clusters: nprobe=2/16 + quantized
+    // candidates + exact re-rank still recovers >= 90%
+    val planted = plantedClusters(320, 16, 32)
+    val pq = planted.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val pTop = Similarity.bruteForceTopK(pq, planted, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pSq = Similarity.ivfSqTopK(pq, planted, 5, clusters = 16, nprobe = 2,
+      candidates = 20).collect().map(r => (r.getLong(0), r.getLong(2)))
+    val pRecall = pSq.count(pTop.contains).toDouble / pTop.size
+    assert(pRecall >= 0.9, s"pruned IVF-SQ recall $pRecall < 0.9")
+  }
+
   test("LSH-blocked near-dup pairs == exact all-pairs, finds planted dup") {
     // equality with the exact operator on real data (both SFs)
     for (sf <- Seq("sf0.001", "sf0.01")) {
