@@ -436,6 +436,19 @@ object SparkEntry {
           java.time.Duration.ofSeconds(5), java.time.Duration.ofMinutes(10))
         .toDF().select("id_a", "id_b", "jaccard").distinct()
         .orderBy("id_a", "id_b")),
+    // trailing event-time RANGE frame: per-user rolling 1h count/sum
+    // at every event — the range window shuffles once by user and
+    // scans each partition ordered, the shape that holds at any scale
+    "t7_rolling" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      T(s, dir, "events").withColumn("tus", expr("unix_micros(ts)"))
+        .select(col("user_id"), col("event_id"), col("tus"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(col("value").cast("decimal(18,2)")).over(w).cast("double")
+            .as("sum_1h"))
+        .orderBy("user_id", "event_id")
+    }),
     // pairs -> GROUPS: connected components over the minhash near-dup
     // pairs (hash-min label propagation), with group sizes
     "d8_dedup_groups" -> ((s, dir) =>
@@ -983,6 +996,14 @@ object SparkEntry {
     "d1_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY lower(trim(text)) ORDER BY doc_id""".stripMargin,
+    "t7_rolling" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
     // streaming band-state operator, batch path: same exact-jaccard
     // oracle as d2 (pair set identical by construction)
     "t6_stream_neardup" ->
