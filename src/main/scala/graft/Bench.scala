@@ -95,9 +95,15 @@ object Bench {
     } catch { case _: Throwable => }
 
     spark.stop()
-    val line = s"""{"metric":"total","value":${sec(total)},"unit":"sec"""" +
-      s""","queries":${obj(t => sec(t._2))},"sf":"$sfDir"}"""
-    println(line)
-    Console.err.println(s"[bench] contract line length = ${line.length} chars")
+    // the consumer captures a bounded stdout tail; keep the line well
+    // under it, degrading per-query precision before dropping anything
+    def line(f: Double => String): String =
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec"""" +
+        s""","queries":${obj(t => if (t._2 < 0) "-1" else f(t._2))},"sf":"$sfDir"}"""
+    val out = Seq[Double => String](s => f"$s%.3f", s => f"$s%.2f", s => f"$s%.1f")
+      .map(line).find(_.length <= 1800).getOrElse(
+        s"""{"metric":"total","value":${sec(total)},"unit":"sec","sf":"$sfDir"}""")
+    println(out)
+    Console.err.println(s"[bench] contract line length = ${out.length} chars")
   }
 }

@@ -87,7 +87,8 @@ object ScaleBench {
       "d2_dedup_minhash", "d4_ngram_jaccard", "d7_decontam",
       "d8_dedup_groups", "d9_decontam_bloom", "x3_tokens",
       "x7_repetition", "x8_pii", "x9_sample", "x10_chunk", "x11_pack",
-      "a4_quantiles", "s5_quantize", "m1_multimodal",
+      "a4_quantiles", "s5_quantize", "s6_ann_sq", "s7_ann_ivfsq",
+      "t7_rolling", "m1_multimodal",
       "ref_interval_join", "ref_asof_merge", "ref_asof_join")
     val quadOps = Seq("d5_embed_neardup", "s1_ann_bruteforce")
     for (f <- (factors ++ quadFactors).distinct.sorted) materialize(f)
