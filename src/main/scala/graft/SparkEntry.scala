@@ -303,6 +303,22 @@ object SparkEntry {
         .agg(count(lit(1)))
         .na.fill(0L)
         .orderBy("o_orderpriority")),
+    // the pivot's inverse: wide per-priority metrics unpivoted to
+    // (key, metric, value) rows via stack() — a generator projection,
+    // no shuffle beyond the source aggregation
+    "q26_unpivot" -> ((s, dir) => {
+      val wide = T(s, dir, "orders").groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total_price"),
+          countDistinct(col("o_custkey")).as("n_custs"))
+      wide.select(col("o_orderpriority"),
+          expr("""stack(3,
+            'n_custs', CAST(n_custs AS DOUBLE),
+            'n_orders', CAST(n_orders AS DOUBLE),
+            'total_price', total_price) AS (metric, value)"""))
+        .orderBy("o_orderpriority", "metric")
+    }),
     // array output stringified on BOTH sides: the driver's pandas compare
     // can't hash array cells, so emit the sorted list as a CSV string
     "q19_collections" -> ((s, dir) =>
@@ -996,6 +1012,17 @@ object SparkEntry {
     "d1_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY lower(trim(text)) ORDER BY doc_id""".stripMargin,
+    "q26_unpivot" ->
+      """WITH w AS (SELECT o_orderpriority,
+        |  CAST(count(*) AS DOUBLE) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  CAST(count(DISTINCT o_custkey) AS DOUBLE) AS n_custs
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderpriority, metric, value FROM (
+        |  SELECT o_orderpriority, 'n_custs' AS metric, n_custs AS value FROM w
+        |  UNION ALL SELECT o_orderpriority, 'n_orders', n_orders FROM w
+        |  UNION ALL SELECT o_orderpriority, 'total_price', total_price FROM w)
+        |ORDER BY o_orderpriority, metric""".stripMargin,
     "t7_rolling" ->
       """SELECT user_id, event_id, epoch_us(ts) AS tus,
         |  count(*) OVER w AS n_1h,
