@@ -208,6 +208,37 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
           min("k").as("min_k"), max("k").as("max_k"))
         .orderBy("event_type")),
+    // malformed-record tolerance, the first thing a real JSON stream
+    // hits: PERMISSIVE from_json nulls the struct for corrupt rows
+    // (planted deterministically) and the pipeline keeps flowing,
+    // counting them instead of crashing
+    "ref_json_corrupt" -> ((s, dir) => {
+      val e = T(s, dir, "events").withColumn("raw",
+        when(col("event_id") % 100 === 0, concat(lit("corrupt<"), col("props")))
+          .otherwise(col("props")))
+      e.withColumn("p", from_json(col("raw"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"),
+          Map.empty[String, String]))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          // PERMISSIVE malformed rows surface as null FIELDS (the
+          // struct itself stays non-null); props always carries k,
+          // so a null k marks exactly the corrupt rows
+          sum(when(col("p.k").isNull, 1).otherwise(0)).cast("long").as("n_corrupt"),
+          sum(col("p.k")).as("sum_k"))
+        .orderBy("event_type")
+    }),
+    // salted skew join: hot keys spread over (key, salt) reducers,
+    // result identical to the plain join (the oracle IS the plain join)
+    "q27_skew_join" -> ((s, dir) => {
+      val c = T(s, dir, "customer"); val n = T(s, dir, "nation")
+      SkewJoin.saltedJoin(c, n, "c_nationkey", "n_nationkey", salts = 8)
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            .as("total_bal"))
+        .orderBy("n_name")
+    }),
     "q14_grouping_sets" -> ((s, dir) => {
       val c = T(s, dir, "customer"); val n = T(s, dir, "nation")
       c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
@@ -1012,6 +1043,21 @@ object SparkEntry {
     "d1_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY lower(trim(text)) ORDER BY doc_id""".stripMargin,
+    "ref_json_corrupt" ->
+      """WITH e AS (SELECT event_type,
+        |  CASE WHEN event_id % 100 = 0 THEN 'corrupt<' || props ELSE props END AS raw
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN NOT json_valid(raw) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_corrupt,
+        |  CAST(sum(CASE WHEN json_valid(raw)
+        |    THEN CAST(raw->>'$.k' AS INT) END) AS BIGINT) AS sum_k
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q27_skew_join" ->
+      """SELECT n_name, count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q26_unpivot" ->
       """WITH w AS (SELECT o_orderpriority,
         |  CAST(count(*) AS DOUBLE) AS n_orders,
