@@ -62,6 +62,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(n == 2, s"expected only the 2 join-input exchanges, got $n:\n${plan(agg)}")
   }
 
+  test("date-partitioned layout: a date predicate prunes partitions at planning") {
+    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.load(spark, dir, "events")
+      .withColumn("event_date", to_date(col("ts")))
+      .write.partitionBy("event_date").mode("overwrite").parquet(out)
+    val read = spark.read.parquet(out)
+      .where(col("event_date") === "2024-01-01")
+    val scan = plan(read).toString
+    assert(scan.contains("PartitionFilters: [") &&
+      scan.contains("event_date"),
+      s"expected a partition filter on event_date in:\n$scan")
+    // the pruned read must touch exactly the one matching partition
+    val all = spark.read.parquet(out)
+    val datePart = all.select("event_date").distinct().count()
+    assert(datePart > 1, "fixture must span multiple partitions")
+    assert(read.count() > 0 &&
+      read.count() == all.where(col("event_date") === "2024-01-01").count())
+  }
+
   test("bloom decontamination: literal probe, no nested-loop join, no bloom shuffle") {
     val df = SparkEntry.queries("d9_decontam_bloom")(spark, dir)
     df.count()
