@@ -696,6 +696,17 @@ object SparkEntry {
           md5(array_join(transform(col("codes"), _.cast("string")), ","))
             .as("codes_md5"))
         .orderBy("vec_id")),
+    // PQ search: 8 nibble codes per 64-dim vector (64x scan payload
+    // cut), approximate scoring on the reconstruction, exact re-rank
+    // of 50 candidates. Deterministic codebook -> fully oracle-checked
+    "s8_ann_pq" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.pqTopK(q, emb, 5, subspaces = 8, codewords = 16,
+          candidates = 50)
+        .orderBy("query_id", "rank")
+    }),
     // exact decontamination behind a broadcast Bloom prefilter: the
     // benchmark grams collapse into one bit array, corpus grams that
     // miss it never reach the shuffle, survivors exact-verify
@@ -1376,6 +1387,7 @@ object SparkEntry {
         |    ORDER BY sim DESC, vec_id ASC) AS INT) AS "rank",
         |  vec_id AS neighbor_id, sim
         |FROM s QUALIFY "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+    "s8_ann_pq" -> pqOracleSql,
     "s7_ann_ivfsq" ->
       s"""WITH $sqDequantCtes,
         |a AS (SELECT q.vec_id AS query_id, q.v AS qv, dq.vec_id,
@@ -1436,6 +1448,47 @@ object SparkEntry {
         |  CAST(4 AS INT) AS n_frames
         |FROM s ORDER BY doc_id""".stripMargin,
   )
+
+  /** DuckDB mirror of the full PQ pipeline (s8): the codebook derives
+    * from the data INSIDE the SQL (first 16 vectors by id), encode is
+    * argmin over explicit left-associated 8-term squared distances
+    * (the same op order as `Quantize.subDist2`), reconstruction is
+    * codeword-slice concatenation, then approx top-50 + exact re-rank. */
+  private def pqOracleSql: String = {
+    val m = 8; val cw = 16; val sub = 8
+    def dist(j: Int, t: Int): String =
+      (0 until sub).map { i =>
+        val d = j * sub + i
+        s"(v[${d + 1}] - refs[${t + 1}][${d + 1}]) * (v[${d + 1}] - refs[${t + 1}][${d + 1}])"
+      }.mkString(" + ")
+    val codes = (0 until m).map { j =>
+      val structs = (0 until cw).map(t => s"{'d': ${dist(j, t)}, 't': $t}")
+        .mkString(", ")
+      s"struct_extract((list_sort([$structs]))[1], 't') AS c$j"
+    }.mkString(", ")
+    val recon = (0 until m)
+      .map(j => s"refs[c$j + 1][${j * sub + 1}:${(j + 1) * sub}]")
+      .mkString(" || ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cb AS (SELECT list(v ORDER BY vec_id) AS refs
+       |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT $cw)),
+       |codes AS (SELECT vec_id, $codes FROM e, cb),
+       |r AS (SELECT vec_id, ($recon) AS rv FROM codes, cb),
+       |a AS (SELECT q.vec_id AS query_id, q.v AS qv, r.vec_id,
+       |    list_cosine_similarity(q.v, r.rv) AS asim
+       |  FROM (SELECT * FROM e WHERE vec_id < 10) q
+       |  JOIN r ON q.vec_id <> r.vec_id),
+       |c AS (SELECT query_id, qv, vec_id FROM a
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY asim DESC, vec_id ASC) <= 50),
+       |x AS (SELECT c.query_id, c.vec_id,
+       |    list_cosine_similarity(c.qv, e.v) AS sim
+       |  FROM c JOIN e ON c.vec_id = e.vec_id)
+       |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sim DESC, vec_id ASC) AS INT) AS "rank",
+       |  vec_id AS neighbor_id, sim
+       |FROM x QUALIFY "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
+  }
 
   /** Shared DuckDB CTE prefix mirroring `Quantize.minMaxRanges` +
     * `dequantizeColumn` over `embeddings`: per-dim ranges, SQ8 codes,

@@ -60,4 +60,60 @@ object Quantize {
       element_at(mnL, i + 1) + (c + lit(0.5)) *
         (element_at(mxL, i + 1) - element_at(mnL, i + 1)) / lit(255.0))
   }
+
+  // ---- product quantization (PQ) -----------------------------------
+  // The vector splits into `subspaces` contiguous sub-vectors; each is
+  // replaced by the index of its nearest codeword (L2, tie -> lowest
+  // index). With 8 subspaces x 16 codewords a 64-dim float32 vector
+  // becomes 8 nibbles: 64x compression of the scanned payload. The
+  // codebook here is DETERMINISTIC — the sub-vectors of the first
+  // `codewords` rows by id — so the whole encode/reconstruct/score
+  // pipeline is reproducible arithmetic an external oracle can mirror
+  // (k-means-refined codebooks would score better but embed
+  // non-mirrorable training state; the production upgrade swaps
+  // `pqCodebook` only).
+
+  /** Deterministic codebook: full vectors of the first `codewords`
+    * rows by `idCol` (driver-side state: codewords x dim doubles). */
+  def pqCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+      codewords: Int): Array[Array[Double]] =
+    corpus.orderBy(col(idCol)).limit(codewords)
+      .select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+
+  /** Squared L2 between `vec`'s subspace `j` slice and the codeword
+    * slice — explicit left-associated 8-term sum, the op order an
+    * oracle mirrors verbatim. */
+  private def subDist2(vec: Column, refs: Array[Array[Double]], j: Int,
+      t: Int, sub: Int): Column =
+    (0 until sub).map { i =>
+      val d = j * sub + i
+      val x = element_at(vec, d + 1).cast("double") - lit(refs(t)(d))
+      x * x
+    }.reduce(_ + _)
+
+  /** PQ codes: array of `subspaces` codeword indices (argmin by
+    * (dist, index) via lexicographic array_sort over structs). */
+  def pqCodesColumn(vec: Column, refs: Array[Array[Double]],
+      subspaces: Int): Column = {
+    val sub = refs.head.length / subspaces
+    array((0 until subspaces).map { j =>
+      element_at(array_sort(array(refs.indices.map { t =>
+        struct(subDist2(vec, refs, j, t, sub).as("d"), lit(t).as("t"))
+      }: _*)), 1).getField("t")
+    }: _*)
+  }
+
+  /** Reconstructed vector from PQ codes: per subspace, the selected
+    * codeword's slice, concatenated back to full dimension. */
+  def pqReconstructColumn(vec: Column, refs: Array[Array[Double]],
+      subspaces: Int): Column = {
+    val sub = refs.head.length / subspaces
+    val codes = pqCodesColumn(vec, refs, subspaces)
+    concat((0 until subspaces).map { j =>
+      val bookJ = array(refs.map(r =>
+        lit(r.slice(j * sub, (j + 1) * sub))): _*)
+      element_at(bookJ, element_at(codes, j + 1) + 1)
+    }: _*)
+  }
 }

@@ -270,6 +270,34 @@ object Similarity {
         col("sim"))
   }
 
+  /** PQ search: codes are `subspaces` nibble-sized indices per vector
+    * (64-dim float32 -> 8 nibbles at the defaults: the scanned payload
+    * shrinks 64x), approximate scoring runs against the PQ
+    * reconstruction, and an EXACT re-rank of the top `candidates`
+    * recovers true neighbors. Deterministic codebook (see
+    * [[Quantize.pqCodebook]]) keeps the whole pipeline mirrorable. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      subspaces: Int = 8, codewords: Int = 16, candidates: Int = 50,
+      queryId: String = "query_id", queryVec: String = "query_vec",
+      corpusId: String = "vec_id", corpusVec: String = "embedding"): DataFrame = {
+    require(candidates >= k)
+    val refs = Quantize.pqCodebook(corpus, corpusId, corpusVec, codewords)
+    val wc = Window.partitionBy(col(queryId))
+      .orderBy(col("__g_asim").desc, col(corpusId).asc)
+    val topC = corpus
+      .withColumn("__g_rv",
+        Quantize.pqReconstructColumn(col(corpusVec), refs, subspaces))
+      .join(broadcast(queries), col(queryId) =!= col(corpusId))
+      .withColumn("__g_asim", graft.functions.GraftFunctions.cosine_similarity_d(
+        col(queryVec).cast("array<double>"), col("__g_rv")))
+      .withColumn("__g_cr", row_number().over(wc)).where(col("__g_cr") <= candidates)
+    val w = Window.partitionBy(col(queryId)).orderBy(col("sim").desc, col(corpusId).asc)
+    topC.withColumn("sim", cosine_similarity(col(queryVec), col(corpusVec)))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col(queryId), col("rank"), col(corpusId).as("neighbor_id"),
+        col("sim"))
+  }
+
   /** IVF-SQ: IVF cell pruning + SQ8 approximate scoring to pick
     * `candidates` per query, then an EXACT re-rank of just those — the
     * production ANN shape at 100 TB (index prunes cells, quantized scan

@@ -346,6 +346,32 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("pq search: codes identify codeword vectors exactly, re-rank recovers neighbors") {
+    val emb = sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // the codebook rows themselves must encode losslessly: vector t's
+    // sub-vectors ARE codewords, so every code slot is its own index
+    // (distance 0, tie-break irrelevant) and reconstruction is exact
+    val refs = Quantize.pqCodebook(emb, "vec_id", "embedding", 16)
+    val codes = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id"), Quantize.pqCodesColumn(col("embedding"), refs, 8).as("cs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    codes.foreach { case (id, cs) =>
+      assert(cs.forall(_ == id.toInt), s"codebook row $id must self-encode: $cs") }
+    // end to end: exact re-rank of 50 PQ candidates recovers most of
+    // the true top-5 (50/500 = 10% exact work) with exact sims
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val exact = Similarity.bruteForceTopK(q, emb, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val pq = Similarity.pqTopK(q, emb, 5, candidates = 50).collect()
+    pq.foreach { r =>
+      exact.get((r.getLong(0), r.getLong(2))).foreach { es =>
+        assert(r.getDouble(3) == es, "re-ranked sim must be exact") } }
+    val recall = pq.map(r => (r.getLong(0), r.getLong(2)))
+      .count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.6, s"PQ recall $recall < 0.6 (16-codeword codebook, 10% exact re-rank)")
+  }
+
   test("kll quantile sketch: exact below k, bounded rank error above") {
     import graft.functions.GraftFunctions.kll_quantiles
     val probs = Seq(0.1, 0.5, 0.9)
