@@ -65,7 +65,12 @@ object Bench {
       try graft.sources.Tables.load(spark, sfDir, t).count()
       catch { case _: Throwable => }
     }
+    // SPARK_GRAFT_BENCH_ONLY=q1_agg,s8_ann_pq limits the run while
+    // iterating on one operator; the driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     names.foreach(run)
 
     val results = names.map { n =>

@@ -18,6 +18,12 @@ object GraftFunctions {
   def cosine_similarity(a: Column, b: Column): Column =
     toCol(CosineSimilarity(toExpr(a), toExpr(b)))
 
+  /** PQ codeword indices for `vec` against a literal codebook. */
+  def pq_encode(vec: Column, codebook: Array[Array[Double]], subspaces: Int): Column =
+    toCol(PqEncode(toExpr(vec),
+      toExpr(org.apache.spark.sql.functions.typedLit(codebook.map(_.toSeq).toSeq)),
+      subspaces))
+
   def simhash64(c: Column): Column = toCol(SimHash64(toExpr(c)))
 
   def minhash_signature(c: Column, shingleWords: Int, numHashes: Int): Column =

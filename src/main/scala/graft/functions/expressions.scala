@@ -61,6 +61,32 @@ case class CosineSimilarityD(left: Expression, right: Expression)
   override def prettyName: String = "cosine_similarity_d"
 }
 
+/** Product-quantization encode (array<float|double> vector + literal
+  * array<array<double>> codebook -> array<int> of `subspaces` codeword
+  * indices). One tight compiled loop per row instead of the
+  * O(subspaces x codewords x dims) unrolled expression tree the naive
+  * Column formulation produces — same arithmetic (see
+  * [[GraftHash.pqEncode]]), ~1000x less expression-eval overhead. */
+case class PqEncode(vec: Expression, codebook: Expression, subspaces: Int)
+    extends BinaryExpression {
+  override def left: Expression = vec
+  override def right: Expression = codebook
+  private def floatIn: Boolean = vec.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any, b: Any): Any =
+    GraftHash.pqEncode(v.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      subspaces, floatIn)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, b) =>
+      s"graft.functions.GraftHash.pqEncode($v, $b, $subspaces, $floatIn)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqEncode =
+    copy(vec = l, codebook = r)
+  override def prettyName: String = "pq_encode"
+}
+
 /** 64-bit SimHash over whitespace tokens (FNV-1a feature hashes,
   * bit-vote aggregation). Near-duplicate docs land within a small
   * Hamming distance. One pass over the string, no allocation per
@@ -629,5 +655,43 @@ object GraftHash {
       i += 1
     }
     h
+  }
+
+  /** Product-quantization encode: for each of `subspaces` contiguous
+    * sub-vectors, the index of the L2-nearest codeword slice. The
+    * squared distance accumulates left-to-right in ascending dimension
+    * order (`s += x*x`) and the argmin scans codewords ascending with a
+    * strict `<`, so the LOWEST index wins ties — exactly the arithmetic
+    * of the unrolled struct/array_sort expression form this replaced,
+    * which is what the external oracle mirrors in SQL. */
+  def pqEncode(vec: ArrayData, book: ArrayData, subspaces: Int,
+      floatIn: Boolean): ArrayData = {
+    val dim = book.getArray(0).numElements()
+    val sub = dim / subspaces
+    val nT = book.numElements()
+    val out = new Array[Int](subspaces)
+    var j = 0
+    while (j < subspaces) {
+      var best = Double.PositiveInfinity
+      var bestT = 0
+      var t = 0
+      while (t < nT) {
+        val cw = book.getArray(t)
+        var s = 0.0
+        var i = 0
+        while (i < sub) {
+          val d = j * sub + i
+          val x = (if (floatIn) vec.getFloat(d).toDouble else vec.getDouble(d)) -
+            cw.getDouble(d)
+          s += x * x
+          i += 1
+        }
+        if (s < best) { best = s; bestT = t }
+        t += 1
+      }
+      out(j) = bestT
+      j += 1
+    }
+    new GenericArrayData(out)
   }
 }

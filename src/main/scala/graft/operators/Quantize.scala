@@ -81,39 +81,41 @@ object Quantize {
       .select(col(vecCol).cast("array<double>")).collect()
       .map(_.getSeq[Double](0).toArray)
 
-  /** Squared L2 between `vec`'s subspace `j` slice and the codeword
-    * slice — explicit left-associated 8-term sum, the op order an
-    * oracle mirrors verbatim. */
-  private def subDist2(vec: Column, refs: Array[Array[Double]], j: Int,
-      t: Int, sub: Int): Column =
-    (0 until sub).map { i =>
-      val d = j * sub + i
-      val x = element_at(vec, d + 1).cast("double") - lit(refs(t)(d))
-      x * x
-    }.reduce(_ + _)
-
-  /** PQ codes: array of `subspaces` codeword indices (argmin by
-    * (dist, index) via lexicographic array_sort over structs). */
+  /** PQ codes: array of `subspaces` codeword indices — argmin by
+    * (squared L2, index), i.e. the nearest codeword slice with the
+    * lowest index winning ties. A native codegen'd expression
+    * ([[graft.functions.PqEncode]]): the naive Column formulation
+    * (per-codeword struct + array_sort argmin) unrolls to an
+    * O(subspaces x codewords x dims) expression tree that Spark
+    * evaluates interpreted at ~1ms/row; the compiled loop does the
+    * identical left-associated double arithmetic in microseconds. */
   def pqCodesColumn(vec: Column, refs: Array[Array[Double]],
-      subspaces: Int): Column = {
-    val sub = refs.head.length / subspaces
-    array((0 until subspaces).map { j =>
-      element_at(array_sort(array(refs.indices.map { t =>
-        struct(subDist2(vec, refs, j, t, sub).as("d"), lit(t).as("t"))
-      }: _*)), 1).getField("t")
-    }: _*)
-  }
+      subspaces: Int): Column =
+    graft.functions.GraftFunctions.pq_encode(vec, refs, subspaces)
 
-  /** Reconstructed vector from PQ codes: per subspace, the selected
-    * codeword's slice, concatenated back to full dimension. */
-  def pqReconstructColumn(vec: Column, refs: Array[Array[Double]],
+  /** Reconstruction from an already-computed codes COLUMN: per
+    * subspace, the selected codeword's slice, concatenated back to
+    * full dimension. Taking the codes as a column (not re-deriving
+    * them from the vector) matters for the plan: the argmin encode is
+    * the expensive part, and referencing it through its own projected
+    * alias keeps it evaluated once per row — CollapseProject refuses
+    * to inline a non-cheap alias consumed `subspaces` times, whereas
+    * inlining the encode expression here would duplicate it 8x. */
+  def pqReconstructFromCodes(codes: Column, refs: Array[Array[Double]],
       subspaces: Int): Column = {
     val sub = refs.head.length / subspaces
-    val codes = pqCodesColumn(vec, refs, subspaces)
     concat((0 until subspaces).map { j =>
       val bookJ = array(refs.map(r =>
         lit(r.slice(j * sub, (j + 1) * sub))): _*)
       element_at(bookJ, element_at(codes, j + 1) + 1)
     }: _*)
   }
+
+  /** Reconstructed vector straight from the float vector (encode +
+    * decode in one expression) — spec/oracle convenience; hot paths
+    * should project [[pqCodesColumn]] first and use
+    * [[pqReconstructFromCodes]]. */
+  def pqReconstructColumn(vec: Column, refs: Array[Array[Double]],
+      subspaces: Int): Column =
+    pqReconstructFromCodes(pqCodesColumn(vec, refs, subspaces), refs, subspaces)
 }

@@ -284,9 +284,15 @@ object Similarity {
     val refs = Quantize.pqCodebook(corpus, corpusId, corpusVec, codewords)
     val wc = Window.partitionBy(col(queryId))
       .orderBy(col("__g_asim").desc, col(corpusId).asc)
+    // Encode once per corpus row (its own projection, so the argmin
+    // over codewords runs N times, not N x queries x subspaces), then
+    // reconstruct from the tiny codes array before fanning out per
+    // query below the join.
     val topC = corpus
+      .withColumn("__g_codes",
+        Quantize.pqCodesColumn(col(corpusVec), refs, subspaces))
       .withColumn("__g_rv",
-        Quantize.pqReconstructColumn(col(corpusVec), refs, subspaces))
+        Quantize.pqReconstructFromCodes(col("__g_codes"), refs, subspaces))
       .join(broadcast(queries), col(queryId) =!= col(corpusId))
       .withColumn("__g_asim", graft.functions.GraftFunctions.cosine_similarity_d(
         col(queryVec).cast("array<double>"), col("__g_rv")))
