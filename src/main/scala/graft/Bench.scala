@@ -93,11 +93,17 @@ object Bench {
       s""","shuffle_read_bytes":${obj(_._4.toString)}""" +
       s""","disk_spill_bytes":${obj(_._5.toString)}""" +
       s""","sf":"$sfDir"}"""
+    // A filtered (BENCH_ONLY) run must not overwrite the full-run
+    // detail file with a subset that would masquerade as current.
+    val detailDefault =
+      if (only.isDefined) "BENCH_DETAIL.partial.json" else "BENCH_DETAIL.json"
     try {
       val p = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", detailDefault))
       java.nio.file.Files.write(p, (detail + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => }
+    } catch { case e: Throwable =>
+      Console.err.println(s"[bench] detail write failed: $e")
+    }
 
     spark.stop()
     // the consumer captures a bounded stdout tail; keep the line well
@@ -105,7 +111,13 @@ object Bench {
     def line(f: Double => String): String =
       s"""{"metric":"total","value":${sec(total)},"unit":"sec"""" +
         s""","queries":${obj(t => if (t._2 < 0) "-1" else f(t._2))},"sf":"$sfDir"}"""
-    val out = Seq[Double => String](s => f"$s%.3f", s => f"$s%.2f", s => f"$s%.1f")
+    // trailing-zero stripping buys ~2 chars/query before precision drops
+    def strip(s: String): String =
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+      else s
+    val out = Seq[Double => String](
+        s => f"$s%.3f", s => strip(f"$s%.3f"), s => strip(f"$s%.2f"),
+        s => strip(f"$s%.1f"))
       .map(line).find(_.length <= 1800).getOrElse(
         s"""{"metric":"total","value":${sec(total)},"unit":"sec","sf":"$sfDir"}""")
     println(out)

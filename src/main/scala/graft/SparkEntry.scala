@@ -762,9 +762,10 @@ object SparkEntry {
         |mm AS (SELECT i, min(x) AS mn, max(x) AS mx FROM d GROUP BY i),
         |l AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM mm),
         |c AS (SELECT vec_id, list_transform(range(len(v)), i ->
-        |    CAST(least(255, greatest(0,
-        |      floor((v[i+1] - mns[i+1]) * 255.0 / (mxs[i+1] - mns[i+1]))))
-        |      AS INT)) AS codes
+        |    CASE WHEN mxs[i+1] = mns[i+1] THEN 0
+        |      ELSE CAST(least(255, greatest(0,
+        |        floor((v[i+1] - mns[i+1]) * 255.0 / (mxs[i+1] - mns[i+1]))))
+        |        AS INT) END) AS codes
         |  FROM e, l)
         |SELECT vec_id, CAST(len(codes) AS INT) AS n_dims,
         |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
@@ -1059,8 +1060,8 @@ object SparkEntry {
         |  CASE WHEN event_id % 100 = 0 THEN 'corrupt<' || props ELSE props END AS raw
         |  FROM events)
         |SELECT event_type, count(*) AS n,
-        |  CAST(sum(CASE WHEN NOT json_valid(raw) THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_corrupt,
+        |  CAST(sum(CASE WHEN raw IS NULL OR NOT json_valid(raw) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_corrupt,
         |  CAST(sum(CASE WHEN json_valid(raw)
         |    THEN CAST(raw->>'$.k' AS INT) END) AS BIGINT) AS sum_k
         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -1418,8 +1419,8 @@ object SparkEntry {
         |  CAST(n_chars % 2 + 1 AS INT) AS ch,
         |  CAST(n_chars % 8 * 1000 + 8000 AS INT) AS rate,
         |  octet_length(encode(text)) AS plen,
-        |  CAST(list_sum(list_transform(range(1, octet_length(encode(text)) + 1),
-        |    i -> CAST('0x' || substr(hex(encode(text)), 2*i-1, 2) AS INT)))
+        |  CAST(coalesce(list_sum(list_transform(range(1, octet_length(encode(text)) + 1),
+        |    i -> CAST('0x' || substr(hex(encode(text)), 2*i-1, 2) AS INT))), 0)
         |    AS BIGINT) AS psum
         |  FROM documents),
         |s AS (SELECT *,
@@ -1499,9 +1500,10 @@ object SparkEntry {
       |mm AS (SELECT i, min(x) AS mn, max(x) AS mx FROM d GROUP BY i),
       |l AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM mm),
       |dq AS (SELECT vec_id, list_transform(range(len(v)), i ->
-      |    mns[i+1] + (CAST(least(255, greatest(0,
-      |      floor((v[i+1] - mns[i+1]) * 255.0 / (mxs[i+1] - mns[i+1])))) AS INT) + 0.5)
-      |      * (mxs[i+1] - mns[i+1]) / 255.0) AS dv
+      |    CASE WHEN mxs[i+1] = mns[i+1] THEN mns[i+1]
+      |      ELSE mns[i+1] + (CAST(least(255, greatest(0,
+      |        floor((v[i+1] - mns[i+1]) * 255.0 / (mxs[i+1] - mns[i+1])))) AS INT) + 0.5)
+      |        * (mxs[i+1] - mns[i+1]) / 255.0 END) AS dv
       |  FROM e, l)""".stripMargin
 
   // ---- generated oracle SQL (md5-basis hash mirrors) ----------------

@@ -50,7 +50,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * final dot/(sqrt*sqrt) as [[CosineSimilarity]], so results are
   * bit-comparable with engines computing index-ordered double cosine. */
 case class CosineSimilarityD(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+  // SQL-surface misuse (array<float> embeddings passed un-cast) must
+  // fail analysis, not silently read float bytes as doubles.
+  // (return type inferred: AbstractDataType itself is private[sql])
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
     GraftHash.cosineD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

@@ -30,13 +30,17 @@ object Quantize {
     (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
   }
 
-  /** Codes column expression against literal ranges — phase 2. */
+  /** Codes column expression against literal ranges — phase 2. A
+    * constant dimension (mx == mn) would otherwise produce 0/0 = NaN
+    * (whose least/greatest ordering differs between engines); it
+    * carries no information, so its code is pinned to 0. */
   def codesColumn(vec: Column, mns: Array[Double], mxs: Array[Double]): Column = {
     val mnL = lit(mns); val mxL = lit(mxs)
     transform(vec, (x, i) =>
-      least(lit(255), greatest(lit(0),
-        floor((x.cast("double") - element_at(mnL, i + 1)) * 255.0 /
-          (element_at(mxL, i + 1) - element_at(mnL, i + 1))))).cast("int"))
+      when(element_at(mxL, i + 1) === element_at(mnL, i + 1), lit(0))
+        .otherwise(least(lit(255), greatest(lit(0),
+          floor((x.cast("double") - element_at(mnL, i + 1)) * 255.0 /
+            (element_at(mxL, i + 1) - element_at(mnL, i + 1)))))).cast("int"))
   }
 
   /** (id, codes array<int>) for every vector. */
@@ -56,9 +60,13 @@ object Quantize {
     * approximate scoring over SQ8 codes (asymmetric distance). */
   def dequantizeColumn(vec: Column, mns: Array[Double], mxs: Array[Double]): Column = {
     val mnL = lit(mns); val mxL = lit(mxs)
+    // mx == mn reconstructs to mn exactly (its code is pinned to 0 and
+    // the bin width is 0, so midpoint arithmetic degenerates cleanly).
     transform(codesColumn(vec, mns, mxs), (c, i) =>
-      element_at(mnL, i + 1) + (c + lit(0.5)) *
-        (element_at(mxL, i + 1) - element_at(mnL, i + 1)) / lit(255.0))
+      when(element_at(mxL, i + 1) === element_at(mnL, i + 1),
+        element_at(mnL, i + 1))
+        .otherwise(element_at(mnL, i + 1) + (c + lit(0.5)) *
+          (element_at(mxL, i + 1) - element_at(mnL, i + 1)) / lit(255.0)))
   }
 
   // ---- product quantization (PQ) -----------------------------------

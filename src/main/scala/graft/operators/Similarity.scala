@@ -282,6 +282,12 @@ object Similarity {
       corpusId: String = "vec_id", corpusVec: String = "embedding"): DataFrame = {
     require(candidates >= k)
     val refs = Quantize.pqCodebook(corpus, corpusId, corpusVec, codewords)
+    // Two-stage candidate reduction, same shape as [[bruteForceTopK]]:
+    // a local top-C inside each scan partition keeps the global
+    // candidate rank from shuffling the full corpus x queries fan-out —
+    // the shuffle carries only (#partitions x C) rows per query.
+    val wl = Window.partitionBy(col(queryId), col("__g_pid"))
+      .orderBy(col("__g_asim").desc, col(corpusId).asc)
     val wc = Window.partitionBy(col(queryId))
       .orderBy(col("__g_asim").desc, col(corpusId).asc)
     // Encode once per corpus row (its own projection, so the argmin
@@ -296,6 +302,8 @@ object Similarity {
       .join(broadcast(queries), col(queryId) =!= col(corpusId))
       .withColumn("__g_asim", graft.functions.GraftFunctions.cosine_similarity_d(
         col(queryVec).cast("array<double>"), col("__g_rv")))
+      .withColumn("__g_pid", spark_partition_id())
+      .withColumn("__g_lc", row_number().over(wl)).where(col("__g_lc") <= candidates)
       .withColumn("__g_cr", row_number().over(wc)).where(col("__g_cr") <= candidates)
     val w = Window.partitionBy(col(queryId)).orderBy(col("sim").desc, col(corpusId).asc)
     topC.withColumn("sim", cosine_similarity(col(queryVec), col(corpusVec)))
@@ -323,12 +331,19 @@ object Similarity {
     val indexed = corpus.withColumn("__g_cid", cidOf(col(corpusVec), cents))
       .withColumn("__g_dv", Quantize.dequantizeColumn(col(corpusVec), mns, mxs))
     val probes = probeCells(queries, cents, nprobe, queryId, queryVec)
+    // Two-stage candidate reduction (see [[pqTopK]]): local top-C per
+    // scan partition first, so the per-query rank shuffle carries
+    // (#partitions x C) rows, not the whole probed-cell fan-out.
+    val wl = Window.partitionBy(col(queryId), col("__g_pid"))
+      .orderBy(col("__g_asim").desc, col(corpusId).asc)
     val wc = Window.partitionBy(col(queryId))
       .orderBy(col("__g_asim").desc, col(corpusId).asc)
     val topC = broadcast(probes).join(indexed, Seq("__g_cid"))
       .where(col(queryId) =!= col(corpusId))
       .withColumn("__g_asim", graft.functions.GraftFunctions.cosine_similarity_d(
         col(queryVec).cast("array<double>"), col("__g_dv")))
+      .withColumn("__g_pid", spark_partition_id())
+      .withColumn("__g_lc", row_number().over(wl)).where(col("__g_lc") <= candidates)
       .withColumn("__g_cr", row_number().over(wc)).where(col("__g_cr") <= candidates)
     val w = Window.partitionBy(col(queryId)).orderBy(col("sim").desc, col(corpusId).asc)
     topC.withColumn("sim", cosine_similarity(col(queryVec), col(corpusVec)))
