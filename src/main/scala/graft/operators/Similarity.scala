@@ -352,6 +352,56 @@ object Similarity {
         col("sim"))
   }
 
+  /** IVF-PQ: the production ANN composition (FAISS's IndexIVFPQ shape)
+    * — IVF cell pruning bounds which corpus rows are scored at all, PQ
+    * codes (k-means-refined codebooks, [[Quantize.pqCodebookKMeans]])
+    * score those cheaply from a `subspaces`-nibble payload, and an
+    * EXACT cosine re-rank of the top `candidates` per query recovers
+    * true neighbors. Candidate ranking is the same two-stage
+    * (partition-local then global) reduction as [[pqTopK]], so no
+    * shuffle ever carries the probed-cell fan-out.
+    *
+    * All trained state (centroids + codebook) is bounded driver-side
+    * sample arithmetic embedded as literals — the scan stays map-only
+    * and codegen'd at any corpus size. With nprobe = clusters and an
+    * unbounded candidate budget the result is exactly brute force
+    * (the oracle regime); the pruned regime is spec-bounded by recall
+    * against [[bruteForceTopK]]. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      clusters: Int = 16, nprobe: Int = 4, candidates: Int = 50,
+      subspaces: Int = 8, codewords: Int = 16,
+      iterations: Int = 5, trainSample: Int = 8192,
+      queryId: String = "query_id", queryVec: String = "query_vec",
+      corpusId: String = "vec_id", corpusVec: String = "embedding"): DataFrame = {
+    require(nprobe <= clusters && candidates >= k)
+    val cents = trainCentroids(corpus, clusters, iterations, trainSample,
+      corpusId, corpusVec)
+    val refs = Quantize.pqCodebookKMeans(corpus, corpusId, corpusVec,
+      codewords, subspaces, iterations, trainSample)
+    val indexed = corpus.withColumn("__g_cid", cidOf(col(corpusVec), cents))
+      .withColumn("__g_codes",
+        Quantize.pqCodesColumn(col(corpusVec), refs, subspaces))
+      .withColumn("__g_rv",
+        Quantize.pqReconstructFromCodes(col("__g_codes"), refs, subspaces))
+    val probes = probeCells(queries, cents, nprobe, queryId, queryVec)
+    val wl = Window.partitionBy(col(queryId), col("__g_pid"))
+      .orderBy(col("__g_asim").desc, col(corpusId).asc)
+    val wc = Window.partitionBy(col(queryId))
+      .orderBy(col("__g_asim").desc, col(corpusId).asc)
+    val topC = broadcast(probes).join(indexed, Seq("__g_cid"))
+      .where(col(queryId) =!= col(corpusId))
+      .withColumn("__g_asim", graft.functions.GraftFunctions.cosine_similarity_d(
+        col(queryVec).cast("array<double>"), col("__g_rv")))
+      .withColumn("__g_pid", spark_partition_id())
+      .withColumn("__g_lc", row_number().over(wl)).where(col("__g_lc") <= candidates)
+      .withColumn("__g_cr", row_number().over(wc)).where(col("__g_cr") <= candidates)
+    val w = Window.partitionBy(col(queryId)).orderBy(col("sim").desc, col(corpusId).asc)
+    topC.withColumn("sim", cosine_similarity(col(queryVec), col(corpusVec)))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col(queryId), col("rank"), col(corpusId).as("neighbor_id"),
+        col("sim"))
+  }
+
   /** Number of `bits`-bit LSH tables needed so a pair at cosine
     * `minSim` is missed by ALL tables with probability <= maxMissProb:
     * per-bit collision p = 1 - acos(s)/pi, per-table p^bits, miss

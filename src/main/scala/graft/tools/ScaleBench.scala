@@ -88,15 +88,55 @@ object ScaleBench {
       "d8_dedup_groups", "d9_decontam_bloom", "x3_tokens",
       "x7_repetition", "x8_pii", "x9_sample", "x10_chunk", "x11_pack",
       "a4_quantiles", "s5_quantize", "s6_ann_sq", "s7_ann_ivfsq",
-      "t7_rolling", "m1_multimodal",
+      "s8_ann_pq", "t7_rolling", "m1_multimodal",
       "ref_interval_join", "ref_asof_merge", "ref_asof_join")
     val quadOps = Seq("d5_embed_neardup", "s1_ann_bruteforce")
+
+    // Candidate-stage scale check for the re-ranking ANN paths: a 10x
+    // query batch (100 queries vs the SparkEntry entries' 10) over the
+    // replicated corpus. With the two-stage candidate reduction the
+    // per-query rank shuffle carries partitions x C rows regardless of
+    // corpus size, so sec(f)/sec(1) should track the map-side scan (~f),
+    // not the corpus x queries fan-out.
+    def bigBatch(dir: String): (DataFrame, DataFrame) = {
+      val emb = Tables.load(spark, dir, "embeddings")
+      (emb.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec")),
+        emb)
+    }
+    val annOps: Seq[(String, String => DataFrame)] = Seq(
+      "s7_ivfsq_q100" -> { dir: String =>
+        val (q, emb) = bigBatch(dir)
+        graft.operators.Similarity.ivfSqTopK(q, emb, 5, clusters = 16,
+          nprobe = 16, candidates = 20)
+      },
+      "s8_pq_q100" -> { dir: String =>
+        val (q, emb) = bigBatch(dir)
+        graft.operators.Similarity.pqTopK(q, emb, 5, subspaces = 8,
+          codewords = 16, candidates = 50)
+      })
+
+    // SPARK_GRAFT_SCALE_OPS=s7_ann_ivfsq,s8_pq_q100 narrows a run while
+    // iterating on one operator family
+    val onlyOps = sys.env.get("SPARK_GRAFT_SCALE_OPS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def keep(op: String): Boolean = onlyOps.forall(_.contains(op))
+
     for (f <- (factors ++ quadFactors).distinct.sorted) materialize(f)
-    val results = (for (op <- linearOps; f <- factors) yield (op, f)) ++
-      (for (op <- quadOps; f <- quadFactors) yield (op, f))
+    val results = (for (op <- linearOps if keep(op); f <- factors) yield (op, f)) ++
+      (for (op <- quadOps if keep(op); f <- quadFactors) yield (op, f))
     results.foreach { case (op, f) =>
       val (sec, rows) = time(op, s"$outBase/x$f")
       println(f"""{"op":"$op","factor":$f,"sec":$sec%.3f,"rows":$rows}""")
+    }
+    annOps.filter(t => keep(t._1)).foreach { case (op, mk) =>
+      factors.foreach { f =>
+        val dir = s"$outBase/x$f"
+        mk(dir).count() // warmup
+        val t0 = System.nanoTime(); val rows = mk(dir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"op":"$op","factor":$f,"sec":$sec%.3f,"rows":$rows}""")
+      }
     }
     spark.stop()
   }
