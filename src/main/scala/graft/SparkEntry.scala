@@ -319,6 +319,24 @@ object SparkEntry {
           col("ov.intersect_est"), col("ov.union_est"))
         .orderBy("type_a", "type_b")
     }),
+    // theta-style sketch set algebra: the full set-operation surface
+    // (union / intersect / difference both ways) over the same
+    // per-group KMV sketches a3 exchanges. k=1024 >> any pair's
+    // distinct union at verify scale -> oracle checks the EXACT
+    // regime; the estimating regime is spec-bounded
+    "a5_sketch_algebra" -> ((s, dir) => {
+      import graft.functions.GraftFunctions.{kmv_values, kmv_set_ops}
+      val sk = T(s, dir, "events").groupBy("event_type")
+        .agg(kmv_values(col("user_id"), 1024).as("sk"))
+      val a = sk.select(col("event_type").as("type_a"), col("sk").as("ska"))
+      val b = sk.select(col("event_type").as("type_b"), col("sk").as("skb"))
+      a.join(b, col("type_a") < col("type_b"))
+        .withColumn("ops", kmv_set_ops(col("ska"), col("skb"), 1024))
+        .select(col("type_a"), col("type_b"), col("ops.union_est"),
+          col("ops.intersect_est"), col("ops.diff_left_est"),
+          col("ops.diff_right_est"))
+        .orderBy("type_a", "type_b")
+    }),
     // approximate aggregates: sketch outputs differ across engines by
     // design -> rows-only here; the spec asserts error bounds vs exact
     "a1_approx_agg" -> ((s, dir) =>
@@ -740,6 +758,19 @@ object SparkEntry {
     // against plain SQL; the estimating regime is spec-bounded
     "p1_profile" -> ((s, dir) =>
       Profile.profile(T(s, dir, "documents"), distinctK = 1024).orderBy("column")),
+    // windowed profile: the same declarative reshape runs unchanged on
+    // a streaming frame (per-window mergeable partials; see
+    // StreamingSpec batch-parity test). Batch mode here, hourly
+    // windows over events; k=1024 keeps KMV exact at verify scale
+    "p2_profile_windowed" -> ((s, dir) =>
+      Profile.profileWindowed(
+          T(s, dir, "events").select(col("ts"), col("event_type"), col("user_id")),
+          "ts", "1 hour", distinctK = 1024)
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          col("column"), col("type"), col("n_rows"), col("n_nulls"),
+          col("approx_distinct"), col("min_value"), col("max_value"))
+        .orderBy("window_start", "column")),
 
     // ---- §2.7 multimodal --------------------------------------------
     "m1_multimodal" -> ((s, dir) =>
@@ -1303,6 +1334,28 @@ object SparkEntry {
         |JOIN c ca ON ca.event_type = p.type_a
         |JOIN c cb ON cb.event_type = p.type_b
         |ORDER BY 1, 2""".stripMargin,
+    // exact regime: every estimate equals the true distinct count of
+    // its class, so plain DISTINCT-count SQL is the precise mirror
+    "a5_sketch_algebra" ->
+      """WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+        |t AS (SELECT DISTINCT event_type FROM events),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+        |  FROM t a JOIN t b ON a.event_type < b.event_type),
+        |i AS (SELECT ua.event_type AS ta, ub.event_type AS tb,
+        |    count(*) AS inter
+        |  FROM u ua JOIN u ub ON ua.user_id = ub.user_id
+        |    AND ua.event_type < ub.event_type
+        |  GROUP BY 1, 2),
+        |c AS (SELECT event_type, count(*) AS n FROM u GROUP BY 1)
+        |SELECT p.type_a, p.type_b,
+        |  CAST(ca.n + cb.n - COALESCE(i.inter, 0) AS DOUBLE) AS union_est,
+        |  CAST(COALESCE(i.inter, 0) AS DOUBLE) AS intersect_est,
+        |  CAST(ca.n - COALESCE(i.inter, 0) AS DOUBLE) AS diff_left_est,
+        |  CAST(cb.n - COALESCE(i.inter, 0) AS DOUBLE) AS diff_right_est
+        |FROM p LEFT JOIN i ON p.type_a = i.ta AND p.type_b = i.tb
+        |JOIN c ca ON ca.event_type = p.type_a
+        |JOIN c cb ON cb.event_type = p.type_b
+        |ORDER BY 1, 2""".stripMargin,
     "x5_split" ->
       s"""SELECT ${operators.CorpusOps.hashSplitSql("doc_id::VARCHAR")} AS "split",
         |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
@@ -1403,6 +1456,27 @@ object SparkEntry {
         |  vec_id AS neighbor_id, sim
         |FROM s QUALIFY "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
     "p1_profile" -> p1OracleSql,
+    "p2_profile_windowed" ->
+      """WITH w AS (SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+        |    '%Y-%m-%d %H:%M:%S') AS window_start, event_type, user_id
+        |  FROM events)
+        |SELECT * FROM (
+        |  SELECT window_start, 'event_type' AS "column", 'string' AS "type",
+        |    count(*) AS n_rows,
+        |    CAST(count(*) - count(event_type) AS BIGINT) AS n_nulls,
+        |    CAST(count(DISTINCT event_type) AS BIGINT) AS approx_distinct,
+        |    min(CAST(event_type AS VARCHAR)) AS min_value,
+        |    max(CAST(event_type AS VARCHAR)) AS max_value
+        |  FROM w GROUP BY 1
+        |  UNION ALL
+        |  SELECT window_start, 'user_id' AS "column", 'bigint' AS "type",
+        |    count(*) AS n_rows,
+        |    CAST(count(*) - count(user_id) AS BIGINT) AS n_nulls,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS approx_distinct,
+        |    min(CAST(user_id AS VARCHAR)) AS min_value,
+        |    max(CAST(user_id AS VARCHAR)) AS max_value
+        |  FROM w GROUP BY 1)
+        |ORDER BY window_start, "column"""".stripMargin,
     // s6/s7: the SQ8 dequantization is deterministic IEEE arithmetic,
     // so DuckDB mirrors the approximate scores exactly (list_cosine_
     // similarity == index-ordered double accumulation, verified)

@@ -54,6 +54,11 @@ object GraftFunctions {
   def kmv_overlap(a: Column, b: Column, k: Int): Column =
     toCol(KmvOverlap(toExpr(a), toExpr(b), k))
 
+  /** Theta-style set algebra over two kmv_values sketches: struct of
+    * union / intersection / A-minus-B / B-minus-A estimates. */
+  def kmv_set_ops(a: Column, b: Column, k: Int): Column =
+    toCol(KmvSetOps(toExpr(a), toExpr(b), k))
+
   def minhash_merge(sig: Column): Column =
     toCol(MinHashMerge(toExpr(sig)).toAggregateExpression())
 
@@ -95,6 +100,8 @@ object GraftFunctions {
     "kmv_values" -> (es => KmvValues(es.head,
       es(1).eval().asInstanceOf[Int]).toAggregateExpression()),
     "kmv_overlap" -> (es => KmvOverlap(es(0), es(1),
+      es(2).eval().asInstanceOf[Int])),
+    "kmv_set_ops" -> (es => KmvSetOps(es(0), es(1),
       es(2).eval().asInstanceOf[Int])),
     "bloom_agg" -> (es => BloomAgg(es.head, es(1).eval().asInstanceOf[Int],
       es(2).eval().asInstanceOf[Int]).toAggregateExpression()),

@@ -214,6 +214,29 @@ case class KmvOverlap(left: Expression, right: Expression, k: Int)
   override def prettyName: String = "kmv_overlap"
 }
 
+/** Theta-style sketch set algebra over two KMV sketches (the
+  * `kmv_values` array form): distinct-count estimates for A∪B, A∩B,
+  * A\B and B\A from one merge walk — the operation set the published
+  * theta-sketch framework defines, on the KMV synopsis this engine
+  * already exchanges. Exact when the combined sketch is below
+  * capacity; estimator error ~ 1/sqrt(k-2) above it. */
+case class KmvSetOps(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  require(k >= 16)
+  override def dataType: DataType = StructType(Seq(
+    StructField("union_est", DoubleType, nullable = false),
+    StructField("intersect_est", DoubleType, nullable = false),
+    StructField("diff_left_est", DoubleType, nullable = false),
+    StructField("diff_right_est", DoubleType, nullable = false)))
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftHash.kmvSetOps(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftHash.kmvSetOps($a, $b, $k)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): KmvSetOps =
+    copy(left = l, right = r)
+  override def prettyName: String = "kmv_set_ops"
+}
+
 /** Random-hyperplane LSH signature: `bits` sign-bits of dot products
   * with deterministic Rademacher (+-1) hyperplanes, parameterized by a
   * table index so multiple independent hash tables come from one
@@ -511,6 +534,40 @@ object GraftHash {
       val frac = (last.toDouble / 2.0) / 9.223372036854776e18 + 0.5
       val unionEst = if (frac <= 0.0) kk.toDouble else (kk - 1).toDouble / frac
       new GenericInternalRow(Array[Any](jac, jac * unionEst, unionEst))
+    }
+  }
+
+  /** Full KMV set algebra over two sorted sign-flipped sketches: the
+    * theta-sketch operation set (union / intersection / A-minus-B /
+    * B-minus-A distinct-count estimates) from one merge walk over the
+    * combined k-minimum synopsis. Below combined capacity every count
+    * is exact (all distinct hashes retained); at capacity each class
+    * count scales by union_est / k — the standard KMV multiset
+    * estimator. */
+  def kmvSetOps(a: ArrayData, b: ArrayData, k: Int): InternalRow = {
+    val n = a.numElements(); val m = b.numElements()
+    var i = 0; var j = 0; var kk = 0
+    var inter = 0; var da = 0; var db = 0; var last = 0L
+    while (kk < k && (i < n || j < m)) {
+      val x = if (i < n) a.getLong(i) else Long.MaxValue
+      val y = if (j < m) b.getLong(j) else Long.MaxValue
+      if (x == y) { inter += 1; last = x; i += 1; j += 1 }
+      else if (x < y) { da += 1; last = x; i += 1 }
+      else { db += 1; last = y; j += 1 }
+      kk += 1
+    }
+    if (kk == 0)
+      return new GenericInternalRow(Array[Any](0.0, 0.0, 0.0, 0.0))
+    if (kk < k) {
+      // combined sketch below capacity: exact counts, no estimator
+      new GenericInternalRow(Array[Any](
+        kk.toDouble, inter.toDouble, da.toDouble, db.toDouble))
+    } else {
+      val frac = (last.toDouble / 2.0) / 9.223372036854776e18 + 0.5
+      val unionEst = if (frac <= 0.0) kk.toDouble else (kk - 1).toDouble / frac
+      val scale = unionEst / kk.toDouble
+      new GenericInternalRow(Array[Any](
+        unionEst, inter * scale, da * scale, db * scale))
     }
   }
 

@@ -41,4 +41,50 @@ object Profile {
     spark.createDataFrame(
       spark.sparkContext.parallelize(out.toIndexedSeq), schema)
   }
+
+  /** Windowed profile over event time — the "first audit" for a
+    * continuously-arriving corpus. Unlike [[profile]] (whose 1-row
+    * reshape is driver-side), the reshape here is a declarative
+    * explode of per-column stat structs, so the SAME code runs on a
+    * streaming DataFrame: per-window partials (count / null count /
+    * KMV sketch / min / max — all mergeable) accumulate in the
+    * streaming aggregation state and finalized windows emit in append
+    * mode once the watermark passes. On a batch frame it computes the
+    * identical result, which is what the batch-parity spec and the
+    * SQL oracle check.
+    *
+    * Output: one row per (window, column) —
+    * (window_start, column, type, n_rows, n_nulls, approx_distinct,
+    * min_value, max_value). */
+  def profileWindowed(df: DataFrame, tsCol: String, windowDuration: String,
+      columns: Seq[String] = Nil, watermark: String = "0 seconds",
+      distinctK: Int = 256): DataFrame = {
+    val cols = df.schema.fields
+      .filter(f => f.name != tsCol && (columns.isEmpty || columns.contains(f.name)))
+    require(cols.nonEmpty, "profileWindowed: no columns to profile")
+    val aggs = cols.flatMap { f =>
+      val c = col(f.name)
+      Seq(
+        count(lit(1)).as(s"${f.name}__n"),
+        count(when(c.isNull, 1)).as(s"${f.name}__nulls"),
+        kmv_distinct(c, distinctK).as(s"${f.name}__distinct"),
+        min(c.cast("string")).as(s"${f.name}__min"),
+        max(c.cast("string")).as(s"${f.name}__max"))
+    }
+    val agged = df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDuration).as("__g_w"))
+      .agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map { f =>
+      struct(lit(f.name).as("column"),
+        lit(f.dataType.simpleString).as("type"),
+        col(s"${f.name}__n").as("n_rows"),
+        col(s"${f.name}__nulls").as("n_nulls"),
+        round(col(s"${f.name}__distinct")).cast("long").as("approx_distinct"),
+        col(s"${f.name}__min").as("min_value"),
+        col(s"${f.name}__max").as("max_value"))
+    }
+    agged.select(col("__g_w.start").as("window_start"),
+        explode(array(entries: _*)).as("__g_p"))
+      .select(col("window_start"), col("__g_p.*"))
+  }
 }

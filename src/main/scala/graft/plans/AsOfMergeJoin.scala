@@ -3,9 +3,11 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, JavaCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan}
 import org.apache.spark.sql.execution.SparkStrategy
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
@@ -67,7 +69,7 @@ case class AsOfMergeJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     left: SparkPlan, right: SparkPlan,
-    toleranceUs: Option[Long] = None) extends BinaryExecNode {
+    toleranceUs: Option[Long] = None) extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -103,6 +105,9 @@ case class AsOfMergeJoinExec(
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(nRight)
+      // consumers (collect, exchanges) expect UnsafeRow from a
+      // top-level operator; SMJ does the same result projection
+      val resultProj = UnsafeProjection.create(output, output)
       val rBuf = rIter.buffered
 
       val tolUs = toleranceUs.getOrElse(Long.MaxValue)
@@ -117,7 +122,7 @@ case class AsOfMergeJoinExec(
         // null-time policy: a left row with null time matches nothing
         // (null-extend); right rows with null time are skipped. Reading
         // a null slot as getLong would silently mean "epoch 0".
-        if (lTimeRow.isNullAt(0)) {
+        resultProj(if (lTimeRow.isNullAt(0)) {
           joined(lRow, nullRight)
         } else {
           val lT = lTimeRow.getLong(0)
@@ -149,9 +154,144 @@ case class AsOfMergeJoinExec(
           // interval join.
           if (lastRight != null && lT - lastRightT < tolUs) joined(lRow, lastRight)
           else joined(lRow, nullRight)
-        }
+        })
       }
     }
+  }
+
+  // ---- whole-stage codegen ------------------------------------------
+  // Same two-input produce shape Spark's SortMergeJoinExec uses: the
+  // exec is the HEAD of its codegen stage, driving both sorted child
+  // iterators itself (children end at their exchange/sort boundary
+  // either way), and pushes each joined row straight into the
+  // downstream compiled pipeline via consume() — no per-row iterator
+  // hop between the join and whatever projects/aggregates follow it.
+  // The generated merge is the same single-cursor walk as doExecute:
+  // cross-row state is three fields (right head, held right row, held
+  // right time); held-row validity is re-derived by comparing the
+  // held row's OWN key to the current left key, which spares the
+  // generated code a per-type lastKey snapshot.
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  // exactly one output row per left row, assembled fresh each
+  // iteration — nothing downstream can observe a reused buffer
+  override def needCopyResult: Boolean = false
+
+  /** null-safe ascending comparison of two ExprCode value lists
+    * (nulls first, null == null — RowOrdering's natural order, so the
+    * generated merge agrees with the interpreted path). */
+  private def genKeyCompare(ctx: CodegenContext, dts: Seq[org.apache.spark.sql.types.DataType],
+      a: Seq[ExprCode], b: Seq[ExprCode]): (String, String) = {
+    val cmp = ctx.freshName("cmp")
+    val checks = dts.zipWithIndex.map { case (dt, i) =>
+      s"""if ($cmp == 0) {
+         |  if (${a(i).isNull} && ${b(i).isNull}) { /* equal */ }
+         |  else if (${a(i).isNull}) $cmp = -1;
+         |  else if (${b(i).isNull}) $cmp = 1;
+         |  else $cmp = ${ctx.genComp(dt, a(i).value.toString, b(i).value.toString)};
+         |}""".stripMargin
+    }.mkString("\n")
+    (cmp, s"int $cmp = 0;\n$checks")
+  }
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val leftInput = ctx.addMutableState("scala.collection.Iterator", "asofLeftInput",
+      v => s"$v = inputs[0];", forceInline = true)
+    val rightInput = ctx.addMutableState("scala.collection.Iterator", "asofRightInput",
+      v => s"$v = inputs[1];", forceInline = true)
+    // cross-left-row merge state. rightHead is the UNCONSUMED right
+    // cursor row: it is only held while no further next() is issued on
+    // its iterator, so sorter row reuse cannot invalidate it. The held
+    // match is an explicit copy.
+    val rightHead = ctx.addMutableState("InternalRow", "asofRightHead")
+    val lastRight = ctx.addMutableState("InternalRow", "asofLastRight")
+    val lastRightT = ctx.addMutableState("long", "asofLastRightT")
+    val numOutput = metricTerm(ctx, "numOutputRows")
+    val tolUs = toleranceUs.getOrElse(Long.MaxValue)
+
+    val leftRow = ctx.freshName("asofLeftRow")
+    val matched = ctx.freshName("asofMatched")
+    val lT = ctx.freshName("asofLeftT")
+    val advance = ctx.freshName("asofAdvance")
+
+    // left-side evaluations, bound to the current left row
+    ctx.currentVars = null
+    ctx.INPUT_ROW = leftRow
+    val lKeyVars = leftKeys.map(BindReferences.bindReference(_, left.output).genCode(ctx))
+    val lTimeVar = BindReferences.bindReference(leftTime, left.output).genCode(ctx)
+    val leftVars = left.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+
+    // held-row key, evaluated from the held right row itself
+    ctx.INPUT_ROW = lastRight
+    val heldKeyVars = rightKeys.map(BindReferences.bindReference(_, right.output).genCode(ctx))
+    val (heldCmp, heldCmpCode) =
+      genKeyCompare(ctx, leftKeys.map(_.dataType), heldKeyVars, lKeyVars)
+
+    // right-cursor key + time, evaluated from the unconsumed head
+    ctx.INPUT_ROW = rightHead
+    val rKeyVars = rightKeys.map(BindReferences.bindReference(_, right.output).genCode(ctx))
+    val rTimeVar = BindReferences.bindReference(rightTime, right.output).genCode(ctx)
+    val (headCmp, headCmpCode) =
+      genKeyCompare(ctx, leftKeys.map(_.dataType), rKeyVars, lKeyVars)
+
+    // right-side output columns: null-extended unless matched, read
+    // from the held copy
+    val rightVars = right.output.zipWithIndex.map { case (a, i) =>
+      val isNull = ctx.freshName("asofRIsNull")
+      val value = ctx.freshName("asofRValue")
+      val jt = CodeGenerator.javaType(a.dataType)
+      val get = CodeGenerator.getValue(lastRight, a.dataType, i.toString)
+      val c =
+        code"""boolean $isNull = true;
+              |$jt $value = ${CodeGenerator.defaultValue(a.dataType)};
+              |if ($matched) {
+              |  $isNull = $lastRight.isNullAt($i);
+              |  if (!$isNull) $value = $get;
+              |}""".stripMargin
+      ExprCode(c, JavaCode.isNullVariable(isNull), JavaCode.variable(value, a.dataType))
+    }
+
+    s"""while ($leftInput.hasNext()) {
+       |  InternalRow $leftRow = (InternalRow) $leftInput.next();
+       |  ${lTimeVar.code}
+       |  ${lKeyVars.map(_.code.toString).mkString("\n")}
+       |  boolean $matched = false;
+       |  if (!${lTimeVar.isNull}) {
+       |    long $lT = ${lTimeVar.value};
+       |    if ($lastRight != null) {
+       |      ${heldKeyVars.map(_.code.toString).mkString("\n")}
+       |      $heldCmpCode
+       |      if ($heldCmp != 0) $lastRight = null;
+       |    }
+       |    boolean $advance = true;
+       |    while ($advance) {
+       |      if ($rightHead == null) {
+       |        if ($rightInput.hasNext()) $rightHead = (InternalRow) $rightInput.next();
+       |        else break;
+       |      }
+       |      ${rKeyVars.map(_.code.toString).mkString("\n")}
+       |      $headCmpCode
+       |      if ($headCmp < 0) { $rightHead = null; }
+       |      else if ($headCmp == 0) {
+       |        ${rTimeVar.code}
+       |        if (${rTimeVar.isNull}) { $rightHead = null; }
+       |        else if (${rTimeVar.value} <= $lT) {
+       |          $lastRightT = ${rTimeVar.value};
+       |          $lastRight = $rightHead.copy();
+       |          $rightHead = null;
+       |        } else $advance = false;
+       |      } else $advance = false;
+       |    }
+       |    $matched = $lastRight != null && $lT - $lastRightT < ${tolUs}L;
+       |  }
+       |  $numOutput.add(1);
+       |  ${consume(ctx, leftVars ++ rightVars)}
+       |  if (shouldStop()) return;
+       |}""".stripMargin
   }
 
   override protected def withNewChildrenInternal(l: SparkPlan, r: SparkPlan): AsOfMergeJoinExec =

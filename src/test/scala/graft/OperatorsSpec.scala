@@ -704,6 +704,51 @@ class OperatorsSpec extends AnyFunSuite {
       same.getDouble(2) == 2.0)
   }
 
+  test("KMV set algebra: exact below capacity, consistent + bounded estimating above") {
+    import graft.functions.GraftFunctions.{kmv_set_ops, kmv_values}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def ops(a: Seq[Long], b: Seq[Long], k: Int = 256) =
+      graft.functions.GraftHash.kmvSetOps(
+        new GenericArrayData(a.toArray), new GenericArrayData(b.toArray), k)
+    // exact regime on hand sketches (sign-flipped order is irrelevant
+    // to the walk — any sorted longs work): A={1,2,3}, B={2,3,4}
+    val r = ops(Seq(1L, 2L, 3L), Seq(2L, 3L, 4L))
+    assert(r.getDouble(0) == 4.0 && r.getDouble(1) == 2.0 &&
+      r.getDouble(2) == 1.0 && r.getDouble(3) == 1.0)
+    val disj = ops(Seq(1L, 2L), Seq(3L, 4L))
+    assert(disj.getDouble(0) == 4.0 && disj.getDouble(1) == 0.0 &&
+      disj.getDouble(2) == 2.0 && disj.getDouble(3) == 2.0)
+    val empty = ops(Seq.empty, Seq.empty)
+    assert((0 to 3).forall(i => empty.getDouble(i) == 0.0))
+    // estimating regime: 10k-element sets, 50% overlap -> union 15k,
+    // inter 5k, each diff 5k; se ~ 1/sqrt(k-2) ~ 6%, allow ~4 sigma
+    val rows = (0 until 10000).map(i => (0, i.toLong)) ++
+      (0 until 10000).map(i => (1, 5000L + i))
+    val sk = rows.toDF("g", "v").groupBy("g")
+      .agg(kmv_values(col("v"), 256).as("sk"))
+    val est = sk.as("a").crossJoin(
+        sk.select(col("g").as("g2"), col("sk").as("sk2")).as("b"))
+      .where(col("g") < col("g2"))
+      .select(kmv_set_ops(col("sk"), col("sk2"), 256).as("o"))
+      .select("o.union_est", "o.intersect_est", "o.diff_left_est", "o.diff_right_est")
+      .collect().head
+    assert(math.abs(est.getDouble(0) - 15000) / 15000 < 0.25, s"union ${est.getDouble(0)}")
+    assert(math.abs(est.getDouble(1) - 5000) / 5000 < 0.3, s"inter ${est.getDouble(1)}")
+    assert(math.abs(est.getDouble(2) - 5000) / 5000 < 0.3, s"diffL ${est.getDouble(2)}")
+    assert(math.abs(est.getDouble(3) - 5000) / 5000 < 0.3, s"diffR ${est.getDouble(3)}")
+    // internal consistency is structural: union == inter + diffL + diffR
+    assert(math.abs(est.getDouble(0) -
+      (est.getDouble(1) + est.getDouble(2) + est.getDouble(3))) < 1e-9)
+    // and the set-ops struct must agree with kmv_overlap where they share outputs
+    val ov = sk.as("a").crossJoin(
+        sk.select(col("g").as("g2"), col("sk").as("sk2")).as("b"))
+      .where(col("g") < col("g2"))
+      .select(graft.functions.GraftFunctions.kmv_overlap(
+        col("sk"), col("sk2"), 256).as("o"))
+      .select("o.union_est", "o.intersect_est").collect().head
+    assert(ov.getDouble(0) == est.getDouble(0) && ov.getDouble(1) == est.getDouble(1))
+  }
+
   test("image header parsing: PNG IHDR and JPEG SOF dimensions, no codec libs") {
     // hand-crafted minimal PNG header: signature + IHDR 640x480
     val png = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,

@@ -62,6 +62,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(n == 2, s"expected only the 2 join-input exchanges, got $n:\n${plan(agg)}")
   }
 
+  test("as-of merge join compiles into whole-stage codegen, parity with interpreted") {
+    val e = Tables.load(spark, dir, "events")
+    def joined = graft.operators.AsOfJoin.merge(
+      RefTables.orders(e), RefTables.rates(e).withColumnRenamed("currency", "r_currency"),
+      "currency", "r_currency", "orderTime", "exchangeRateTime")
+    // fallback=false turns a silent interpreted fallback (how Spark
+    // hides generated-code bugs) into a hard failure
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = joined
+      val compiled = df.collect() // finalize AQE stages; fallback=false throws on codegen bugs
+      val p = plan(df).toString
+      assert("""\*\(\d+\) AsOfMergeJoin""".r.findFirstIn(p).isDefined,
+        s"expected AsOfMergeJoin inside a WholeStageCodegen stage:\n$p")
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val interpreted = joined.collect()
+      assert(compiled.toSeq == interpreted.toSeq,
+        "codegen and interpreted merge must agree row for row")
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+    }
+  }
+
   test("date-partitioned layout: a date predicate prunes partitions at planning") {
     val out = java.nio.file.Files.createTempDirectory("graft_part").toString
     Tables.load(spark, dir, "events")

@@ -177,6 +177,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming windowed profile: per-window stats finalize via watermark, batch parity") {
+    import spark.implicits._
+    import graft.operators.Profile
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StatefulOps.Evt]
+    val out = Profile.profileWindowed(in.toDF(), "ts", "100 seconds")
+    val q = out.writeStream.format("memory").queryName("profwin")
+      .outputMode("append").start()
+    // window [1000,1100): 5 rows split across micro-batches, 3 distinct
+    // keys, values 1..5 — the per-window partials must merge across
+    // batches through streaming state
+    val evts = Seq(
+      StatefulOps.Evt(1L, ts(1001), 1.0), StatefulOps.Evt(2L, ts(1002), 2.0),
+      StatefulOps.Evt(1L, ts(1003), 3.0), StatefulOps.Evt(3L, ts(1004), 4.0),
+      StatefulOps.Evt(1L, ts(1005), 5.0))
+    try {
+      in.addData(evts.take(2): _*)
+      q.processAllAvailable()
+      in.addData(evts.drop(2): _*)
+      q.processAllAvailable()
+      in.addData(StatefulOps.Evt(9L, ts(99999), 0.0)) // advance watermark
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        """SELECT column, n_rows, n_nulls, approx_distinct, min_value, max_value
+          |FROM profwin
+          |WHERE window_start = timestamp'1970-01-01 00:16:40'""".stripMargin)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+        .toMap
+      assert(streamed.keySet == Set("user_id", "value"),
+        s"expected user_id+value columns, got ${streamed.keySet}")
+      assert(streamed("user_id") == ((5L, 0L, 3L, "1", "3")), s"user_id stats: $streamed")
+      assert(streamed("value") == ((5L, 0L, 5L, "1.0", "5.0")), s"value stats: $streamed")
+      // batch parity: the same call on a batch frame of the same rows
+      val batch = Profile.profileWindowed(evts.toDF(), "ts", "100 seconds")
+        .where(col("window_start") === lit("1970-01-01 00:16:40").cast("timestamp"))
+        .collect().map(r => r.getString(1) ->
+          (r.getLong(3), r.getLong(4), r.getLong(5), r.getString(6), r.getString(7)))
+        .toMap
+      assert(batch == streamed, s"batch $batch != streamed $streamed")
+    } finally q.stop()
+  }
+
   test("streaming as-of join: watermark-correct matching incl. late rates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
