@@ -522,6 +522,15 @@ object SparkEntry {
           shingleWords = 3, numHashes = 64, bands = 16, threshold = 0.5),
         "id_a", "id_b")
         .orderBy("doc_id")),
+    // the same grouping through the large-star/small-star component
+    // algorithm (O(log^2) rounds on any topology, hub/chain-robust) —
+    // result-identical to d8, so it shares d8's oracle SQL
+    "d10_components_stars" -> ((s, dir) =>
+      Dedup.groups(
+        Dedup.minhashLsh(T(s, dir, "documents"), "doc_id", "text",
+          shingleWords = 3, numHashes = 64, bands = 16, threshold = 0.5),
+        "id_a", "id_b", stars = true)
+        .orderBy("doc_id")),
     // md5-basis simhash (engine-mirrorable token hashes): the DuckDB
     // oracle rebuilds the 64-bit signatures, band buckets, and Hamming
     // verify from md5() + UBIGINT arithmetic — the whole pipeline is
@@ -1174,29 +1183,10 @@ object SparkEntry {
     // edges derived exactly as d2's oracle (minhashLsh provably equals
     // the exact jaccard pairs on this corpus), then transitive closure
     // via recursive CTE; min reachable id labels the component
-    "d8_dedup_groups" ->
-      """WITH RECURSIVE w AS (SELECT doc_id,
-        |  list_distinct(CASE WHEN len(sp) < 3 THEN [array_to_string(sp, ' ')]
-        |    ELSE list_transform(generate_series(1, len(sp) - 2),
-        |      i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2]) END) AS sh
-        |  FROM (SELECT doc_id,
-        |    string_split_regex(trim(text), '\s+') AS sp FROM documents)),
-        |ww AS (SELECT doc_id, sh, len(sh) AS n FROM w),
-        |e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM ww a JOIN ww b ON a.doc_id < b.doc_id
-        |    AND a.n <= b.n * 2.0 AND b.n <= a.n * 2.0
-        |    AND len(list_intersect(a.sh, b.sh)) /
-        |      (a.n + b.n - len(list_intersect(a.sh, b.sh))) >= 0.5),
-        |bi AS (SELECT id_a AS a, id_b AS b FROM e
-        |  UNION ALL SELECT id_b, id_a FROM e),
-        |reach(a, b) AS (SELECT a, b FROM bi
-        |  UNION SELECT r.a, bi.b FROM reach r JOIN bi ON r.b = bi.a),
-        |comp AS (SELECT a AS doc_id, least(a, min(b)) AS group_id
-        |  FROM reach GROUP BY a),
-        |sz AS (SELECT group_id, count(*) AS group_size FROM comp
-        |  GROUP BY group_id)
-        |SELECT c.doc_id, c.group_id, sz.group_size
-        |FROM comp c JOIN sz USING (group_id) ORDER BY c.doc_id""".stripMargin,
+    "d8_dedup_groups" -> d8GroupsOracleSql,
+    // d10 is result-identical to d8 (different component algorithm,
+    // same group contract), so it checks against the same SQL
+    "d10_components_stars" -> d8GroupsOracleSql,
     "d4_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id,
         |  list_distinct(CASE WHEN len(sp) < 3 THEN [array_to_string(sp, ' ')]
@@ -1592,6 +1582,32 @@ object SparkEntry {
        |  vec_id AS neighbor_id, sim
        |FROM x QUALIFY "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
   }
+
+  /** d8/d10 shared oracle: exact-Jaccard pairs, transitive closure via
+    * recursive CTE, min-id group labels + sizes. */
+  private def d8GroupsOracleSql: String =
+    """WITH RECURSIVE w AS (SELECT doc_id,
+      |  list_distinct(CASE WHEN len(sp) < 3 THEN [array_to_string(sp, ' ')]
+      |    ELSE list_transform(generate_series(1, len(sp) - 2),
+      |      i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2]) END) AS sh
+      |  FROM (SELECT doc_id,
+      |    string_split_regex(trim(text), '\s+') AS sp FROM documents)),
+      |ww AS (SELECT doc_id, sh, len(sh) AS n FROM w),
+      |e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM ww a JOIN ww b ON a.doc_id < b.doc_id
+      |    AND a.n <= b.n * 2.0 AND b.n <= a.n * 2.0
+      |    AND len(list_intersect(a.sh, b.sh)) /
+      |      (a.n + b.n - len(list_intersect(a.sh, b.sh))) >= 0.5),
+      |bi AS (SELECT id_a AS a, id_b AS b FROM e
+      |  UNION ALL SELECT id_b, id_a FROM e),
+      |reach(a, b) AS (SELECT a, b FROM bi
+      |  UNION SELECT r.a, bi.b FROM reach r JOIN bi ON r.b = bi.a),
+      |comp AS (SELECT a AS doc_id, least(a, min(b)) AS group_id
+      |  FROM reach GROUP BY a),
+      |sz AS (SELECT group_id, count(*) AS group_size FROM comp
+      |  GROUP BY group_id)
+      |SELECT c.doc_id, c.group_id, sz.group_size
+      |FROM comp c JOIN sz USING (group_id) ORDER BY c.doc_id""".stripMargin
 
   /** Shared DuckDB CTE prefix mirroring `Quantize.minMaxRanges` +
     * `dequantizeColumn` over `embeddings`: per-dim ranges, SQ8 codes,

@@ -635,6 +635,29 @@ object GraftHash {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  // md5(token/gram) is a pure function and corpora repeat their tokens
+  // heavily, so a bounded thread-local memo removes most digest work
+  // from the md5-basis fingerprints WITHOUT changing a single output
+  // bit (the whole point of the md5 basis is engine-mirrorable hashes;
+  // a cache keeps them identical, just cheaper). Bounded at 64k
+  // entries per executor thread (~few MB); cleared, not evicted, when
+  // full — the memo is only a speedup, never state.
+  private val MD5_MEMO = new ThreadLocal[java.util.HashMap[String, (Long, Long)]] {
+    override def initialValue(): java.util.HashMap[String, (Long, Long)] =
+      new java.util.HashMap[String, (Long, Long)]()
+  }
+
+  private def md5HalvesCached(s: String): (Long, Long) = {
+    val memo = MD5_MEMO.get()
+    var v = memo.get(s)
+    if (v == null) {
+      v = md5Halves(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (memo.size >= (1 << 16)) memo.clear()
+      memo.put(s, v)
+    }
+    v
+  }
+
   /** (upper 64, lower 64) bits of md5(s as UTF-8), big-endian — the
     * same split DuckDB's `substr(md5(x), 1, 16)` / `substr(.., 17, 16)`
     * hex halves decode to. */
@@ -662,8 +685,7 @@ object GraftHash {
       var end = start
       while (end < len && !Character.isWhitespace(s.charAt(end))) end += 1
       if (end > start) {
-        val h = md5Halves(
-          s.substring(start, end).getBytes(java.nio.charset.StandardCharsets.UTF_8))._2
+        val h = md5HalvesCached(s.substring(start, end))._2
         var bit = 0
         while (bit < 64) {
           if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
@@ -693,7 +715,7 @@ object GraftHash {
     var k = 0
     while (k < n) {
       val g = grams.getUTF8String(k)
-      val (h1, h2raw) = md5Halves(g.getBytes)
+      val (h1, h2raw) = md5HalvesCached(g.toString)
       val h2 = h2raw | 1L
       var j = 0
       while (j < numHashes) {

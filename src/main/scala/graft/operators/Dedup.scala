@@ -282,15 +282,24 @@ object Dedup {
       col(idCol).as("id_a"), col("__g_sh").as("sh_a"))
     val rt = banded.select(col("__g_band").as("__g_band2"), col("__g_bv").as("__g_bv2"),
       col(idCol).as("id_b"), col("__g_sh").as("sh_b"))
+    val xor = l("sh_a").bitwiseXOR(rt("sh_b"))
+    // FIRST-MATCH emission: a pair is kept only at the lowest band the
+    // two signatures agree on — a map-side bitwise check on the XOR —
+    // so every surviving pair is emitted exactly once and the pair
+    // dedup needs NO distinct/shuffle at all. (Word-soup corpora find
+    // a pair on ~3 bands on average; a dropDuplicates here would
+    // re-shuffle every surviving pair just to discard the repeats.)
+    val firstMatch = (0 until bands).map { bp =>
+      (l("__g_band") <= bp) ||
+        (shiftrightunsigned(xor, bp * w).bitwiseAND(lit((1L << w) - 1)) =!= 0)
+    }.reduce(_ && _)
     l.join(rt, l("__g_band") === rt("__g_band2") && l("__g_bv") === rt("__g_bv2") &&
         l("id_a") < rt("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(l("sh_a").bitwiseXOR(rt("sh_b"))).as("hamming"))
-      // hamming is pair-deterministic: filter BEFORE the distinct so the
-      // dedup shuffle only carries surviving pairs, not every band
-      // collision (word-soup corpora collide heavily)
+      .where(firstMatch)
+      .select(col("id_a"), col("id_b"), bit_count(xor).as("hamming"))
+      // hamming is pair-deterministic, filtered before anything
+      // downstream sees the candidates
       .where(col("hamming") <= maxHamming)
-      .dropDuplicates("id_a", "id_b")
   }
 
   /** Connected components over an undirected pair list — the step that
@@ -335,10 +344,82 @@ object Dedup {
     labels
   }
 
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR
+    * rounds — the published two-phase MapReduce algorithm (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond"), converging
+    * in O(log^2 n) rounds on ANY topology. Use this instead of
+    * [[connectedComponents]] when the graph's shape is unknown or
+    * adversarial: hash-min needs O(diameter) rounds (a 10^5-node chain
+    * is 10^5 rounds) and repeatedly funnels a hot node's full neighbor
+    * list through the same reducer key every round, while the star
+    * rounds provably SHRINK hot-node fan-in (each large-star hangs a
+    * hub's larger neighbors under the component min, so the hub's key
+    * drains over rounds instead of persisting).
+    *
+    * Every per-round op is a partial-agg groupBy or an equi-join of
+    * edges against a one-row-per-node min table — no collect, no
+    * per-key neighbor lists materialized. Same output contract as
+    * [[connectedComponents]]: (id, comp = min reachable id) for every
+    * node appearing in `pairs`. */
+  def connectedComponentsStars(pairs: DataFrame, aCol: String, bCol: String,
+      maxIterations: Int = 40): DataFrame = {
+    val nodes = pairs.select(col(aCol).as("id"))
+      .union(pairs.select(col(bCol).as("id"))).distinct().localCheckpoint(true)
+    // self-loop-free distinct undirected edge set
+    var edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("l"), greatest(col("a"), col("b")).as("g"))
+      .distinct()
+      .select(col("l").as("a"), col("g").as("b")).localCheckpoint(true)
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      val mins = und.groupBy("a")
+        .agg(min("b").as("nb"))
+        .select(col("a"), least(col("a"), col("nb")).as("m"))
+      und.join(mins, "a").where(col("b") > col("a"))
+        .select(col("b").as("l"), col("m").as("g"))
+        .where(col("l") =!= col("g")).distinct()
+        .select(col("l").as("a"), col("g").as("b"))
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // orient every edge toward its larger endpoint as the key
+      val or = e.select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      val joined = or.join(
+        or.groupBy("a").agg(min("b").as("m")), "a")
+      joined.where(col("b") =!= col("m"))
+        .select(col("b").as("l"), col("m").as("g"))
+        .union(joined.select(col("a").as("l"), col("m").as("g")))
+        .where(col("l") =!= col("g")).distinct()
+        .select(col("l").as("a"), col("g").as("b"))
+    }
+
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIterations) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // fixed point: the star rounds produce exactly the same edge set
+      converged = next.join(edges, Seq("a", "b"), "left_anti").isEmpty &&
+        edges.join(next, Seq("a", "b"), "left_anti").isEmpty
+      edges = next
+      it += 1
+    }
+    require(converged,
+      s"connectedComponentsStars did not converge in $maxIterations rounds")
+    // converged edges are (member, root) stars; roots map to themselves
+    nodes.join(edges.select(col("a").as("id"), col("b").as("__g_c")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__g_c"), col("id")).as("comp"))
+  }
+
   /** Dedup groups with sizes: every doc that belongs to a multi-doc
-    * near-dup component, labeled by its group (min member id). */
-  def groups(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val comp = connectedComponents(pairs, aCol, bCol)
+    * near-dup component, labeled by its group (min member id).
+    * `stars = true` routes through [[connectedComponentsStars]] for
+    * topology-robust (hub/chain-safe) labeling. */
+  def groups(pairs: DataFrame, aCol: String, bCol: String,
+      stars: Boolean = false): DataFrame = {
+    val comp = if (stars) connectedComponentsStars(pairs, aCol, bCol)
+      else connectedComponents(pairs, aCol, bCol)
     val sizes = comp.groupBy("comp").agg(count(lit(1)).as("group_size"))
     comp.join(sizes, "comp")
       .select(col("id").as("doc_id"), col("comp").as("group_id"),

@@ -292,6 +292,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(c40 == Set(1L))
   }
 
+  test("star components: hub and chain graphs converge in logarithmic rounds") {
+    // identical semantics to hash-min on every graph shape
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponentsStars(pairs, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // star graph: 1 hub with 100k leaves — the skew shape that funnels
+    // hash-min's every round through the hub's reducer key. Star rounds
+    // must converge immediately (the graph already IS a star).
+    val leaves = spark.range(1, 100001)
+      .select(lit(0L).as("id_a"), col("id").as("id_b"))
+    val star = Dedup.connectedComponentsStars(leaves, "id_a", "id_b")
+    assert(star.where(col("comp") =!= 0L).isEmpty, "all nodes must label to the hub")
+    assert(star.count() == 100001L)
+    // hub at the TOP of the id range: every leaf must still relabel to
+    // the component min (leaf 1), not the hub
+    val topHub = spark.range(1, 1001)
+      .select(lit(5000L).as("id_a"), col("id").as("id_b"))
+    val th = Dedup.connectedComponentsStars(topHub, "id_a", "id_b")
+    assert(th.where(col("comp") =!= 1L).isEmpty, "component min must win, not the hub")
+    // 200-node chain: hash-min needs ~200 rounds (diameter), the star
+    // rounds' default 40-round bound is ample at O(log^2 n)
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val c = Dedup.connectedComponentsStars(chain, "id_a", "id_b")
+      .collect().map(r => r.getLong(1)).toSet
+    assert(c == Set(1L))
+  }
+
   test("pii masking: planted email/phone/ip masked and counted, clean text untouched") {
     val docs = Seq(
       (1L, "contact alice.smith+x@example.co.uk or call 555-123-4567 today"),
