@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.GraftFunctions._
 import graft.operators._
-import graft.sources.{Json, RefTables, Tables}
+import graft.sources.{FileManifest, Json, RefTables, Tables}
 import graft.streaming.OrderEnrichmentJob
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -790,6 +790,26 @@ object SparkEntry {
           col("sample_rate"), col("duration_ms"),
           size(col("frame_hashes")).as("n_frames"))
         .orderBy("doc_id")),
+
+    // ---- §2.8 file layout & data skipping ---------------------------
+    // Iceberg-style manifest pruning: cluster events by user_id into a
+    // 16-file range layout, build a footer-stats manifest (a
+    // metadata-only read — no data pages touched), answer a ranged
+    // query opening ONLY files whose [min,max] intersects the
+    // predicate. The oracle is the plain full-scan filter: pruning
+    // must lose nothing. ManifestSpec asserts the scan really skipped.
+    "f1_manifest_prune" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-manifest").toString
+      FileManifest.writeLayout(T(s, dir, "events"), tmp, "user_id", 16)
+      val manifest = FileManifest.buildManifest(s, tmp, "user_id")
+      FileManifest.readPruned(s, manifest, "user_id", 4L, 6L)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("total_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
+    }),
   )
 
   /** DuckDB-dialect oracle for each query above. */
@@ -1540,6 +1560,15 @@ object SparkEntry {
         |    ELSE NULL END AS duration_ms,
         |  CAST(4 AS INT) AS n_frames
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // f1's oracle ignores the file layout entirely: a manifest-pruned
+    // ranged read must equal the plain full-scan filter, row for row
+    "f1_manifest_prune" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events WHERE user_id BETWEEN 4 AND 6
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** DuckDB mirror of the full PQ pipeline (s8): the codebook derives

@@ -167,4 +167,34 @@ class PlanShapeSpec extends AnyFunSuite {
       col("o_orderkey") === col("l_orderkey"))
     assert(joined.count() == plain.count())
   }
+
+  test("manifest pruning opens only the files whose range can match") {
+    import graft.sources.FileManifest
+    val tmp = java.nio.file.Files.createTempDirectory("graft-manifest").toString
+    val ev = Tables.load(spark, dir, "events")
+    FileManifest.writeLayout(ev, tmp, "user_id", 16)
+    val manifest = FileManifest.buildManifest(spark, tmp, "user_id")
+    // empty range partitions write no file; at sf0.001 the 15 distinct
+    // user_ids fill 14 of the 16 requested buckets
+    assert(manifest.length >= 10, s"too few files: ${manifest.length}")
+    // range layout => per-file key ranges are pairwise disjoint (tight
+    // stats are what make the manifest selective)
+    val sorted = manifest.sortBy(_.min)
+    sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(a.max <= b.min,
+        s"overlapping file ranges: $a vs $b")
+      case _ =>
+    }
+    // a predicate spanning three adjacent files, wherever they fall
+    val (lo, hi) = (sorted(4).min, sorted(6).max)
+    val pruned = FileManifest.readPruned(spark, manifest, "user_id", lo, hi)
+    // the scan must actually skip: survivors are a strict minority
+    val opened = pruned.inputFiles.length
+    assert(opened <= 3, s"pruning opened $opened of ${manifest.length} files")
+    // and lose nothing: identical to the full-scan filter
+    val full = ev.filter(col("user_id").between(lo, hi))
+    assert(pruned.count() == full.count())
+    assert(pruned.agg(sum("event_id")).head.getLong(0)
+      == full.agg(sum("event_id")).head.getLong(0))
+  }
 }
