@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.GraftFunctions._
 import graft.operators._
-import graft.sources.{FileManifest, Json, RefTables, Tables}
+import graft.sources.{FileManifest, Json, RefTables, Tables, ZOrder}
 import graft.streaming.OrderEnrichmentJob
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -810,6 +810,28 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_users"))
         .orderBy("event_type")
     }),
+    // Z-order layout: Morton-interleave (user_id, floor(value)) so
+    // file stats stay tight on BOTH axes, then answer a 2-D box query
+    // opening only the files whose per-dimension ranges intersect the
+    // box. sum_z pins the Morton formula itself to the DuckDB mirror;
+    // the aggregate pins that 2-D pruning loses nothing.
+    "f2_zorder_skip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-zorder").toString
+      val ev = T(s, dir, "events")
+        .withColumn("vbucket", floor(col("value")).cast("long"))
+      ZOrder.writeZOrdered(ev, tmp, "user_id", "vbucket",
+        bits = 8, numFiles = 16)
+      ZOrder.readBox(s, tmp,
+          Seq(("user_id", 2L, 8L), ("vbucket", 50L, 150L)))
+        .withColumn("zval",
+          ZOrder.zValue(col("user_id"), col("vbucket"), 11))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("total_value"),
+          sum(col("zval")).as("sum_z"))
+        .orderBy("event_type")
+    }),
   )
 
   /** DuckDB-dialect oracle for each query above. */
@@ -1568,6 +1590,16 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events WHERE user_id BETWEEN 4 AND 6
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "f2_zorder_skip" ->
+      s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  CAST(sum(${sources.ZOrder.zValueSql("user_id",
+               "CAST(floor(value) AS BIGINT)", 11)}) AS BIGINT) AS sum_z
+        |FROM events
+        |WHERE user_id BETWEEN 2 AND 8
+        |  AND CAST(floor(value) AS BIGINT) BETWEEN 50 AND 150
         |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 

@@ -197,4 +197,40 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(pruned.agg(sum("event_id")).head.getLong(0)
       == full.agg(sum("event_id")).head.getLong(0))
   }
+
+  test("z-order layout prunes a 2-D box where a 1-D sort cannot") {
+    import graft.sources.{FileManifest, ZOrder}
+    // sf0.01: 10k events / 64 files = enough rows per file that the
+    // non-sort dimension's stats genuinely span their range (at tiny
+    // scale per-file min/max is sampling noise and the comparison is
+    // meaningless). Box = half the user axis x ~18% of the value axis.
+    val ev = Tables.load(spark, "/root/testdata/sf0.01", "events")
+      .withColumn("vbucket", floor(col("value")).cast("long"))
+    val box = Seq(("user_id", 2L, 75L), ("vbucket", 50L, 150L))
+
+    val zDir = java.nio.file.Files.createTempDirectory("graft-z").toString
+    ZOrder.writeZOrdered(ev, zDir, "user_id", "vbucket", bits = 8,
+      numFiles = 64)
+    val oneDir = java.nio.file.Files.createTempDirectory("graft-1d").toString
+    FileManifest.writeLayout(ev, oneDir, "user_id", 64)
+
+    def survivors(layout: String): Int = box.map { case (c, lo, hi) =>
+      FileManifest.prune(FileManifest.buildManifest(spark, layout, c), lo, hi)
+        .map(_.path).toSet
+    }.reduce(_ intersect _).size
+
+    val (zFiles, oneFiles) = (survivors(zDir), survivors(oneDir))
+    // the user_id-sorted layout has full-range vbucket stats per file,
+    // so the vbucket half of the box prunes nothing there; the Morton
+    // layout keeps both dimensions tight and must open fewer files
+    assert(zFiles < oneFiles,
+      s"z-order opened $zFiles files vs 1-D sort's $oneFiles")
+    // and the box read loses nothing vs the plain full-scan filter
+    val boxed = ZOrder.readBox(spark, zDir, box)
+    val full = ev.filter(col("user_id").between(2, 75)
+      && col("vbucket").between(50, 150))
+    assert(boxed.count() == full.count())
+    assert(boxed.agg(sum("event_id")).head.getLong(0)
+      == full.agg(sum("event_id")).head.getLong(0))
+  }
 }
