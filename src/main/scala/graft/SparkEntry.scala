@@ -337,6 +337,23 @@ object SparkEntry {
           col("ops.diff_right_est"))
         .orderBy("type_a", "type_b")
     }),
+    // frequent tokens per language via the Misra-Gries sketch:
+    // bounded mergeable state (<= capacity counters per group on the
+    // shuffle), exact while distinct <= capacity — the regime this
+    // oracle checks; the estimating regime is PropertySpec-bounded
+    "a6_heavy_hitters" -> ((s, dir) => {
+      import graft.functions.GraftFunctions.heavy_hitters
+      T(s, dir, "documents")
+        .select(col("lang"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("lang")
+        .agg(heavy_hitters(col("token"), capacity = 64, topN = 10).as("hh"))
+        .select(col("lang"), posexplode(col("hh")).as(Seq("i", "e")))
+        .select(col("lang"), (col("i") + 1).cast("int").as("rank"),
+          col("e.item").as("token"), col("e.count").as("freq"))
+        .orderBy("lang", "rank")
+    }),
     // approximate aggregates: sketch outputs differ across engines by
     // design -> rows-only here; the spec asserts error bounds vs exact
     "a1_approx_agg" -> ((s, dir) =>
@@ -1388,6 +1405,19 @@ object SparkEntry {
         |JOIN c ca ON ca.event_type = p.type_a
         |JOIN c cb ON cb.event_type = p.type_b
         |ORDER BY 1, 2""".stripMargin,
+    // exact regime: per-lang vocab (31) < capacity (64), so MG counts
+    // equal true counts and the tie-break is (freq desc, token asc)
+    "a6_heavy_hitters" ->
+      """WITH tok AS (SELECT lang,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |f AS (SELECT lang, token, count(*) AS freq FROM tok
+        |  WHERE token <> '' GROUP BY 1, 2),
+        |r AS (SELECT lang, token, CAST(freq AS BIGINT) AS freq,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY freq DESC, token ASC) AS INT) AS "rank" FROM f)
+        |SELECT lang, "rank", token, freq FROM r WHERE "rank" <= 10
+        |ORDER BY lang, "rank"""".stripMargin,
     "x5_split" ->
       s"""SELECT ${operators.CorpusOps.hashSplitSql("doc_id::VARCHAR")} AS "split",
         |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars

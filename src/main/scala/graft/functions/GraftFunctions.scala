@@ -77,6 +77,11 @@ object GraftFunctions {
   def kll_quantiles(c: Column, k: Int, probs: Seq[Double]): Column =
     toCol(KllQuantiles(toExpr(c), k, probs).toAggregateExpression())
 
+  /** Misra-Gries frequent items: top-n array<struct<item,count>>;
+    * counts exact while distinct-per-group <= capacity. */
+  def heavy_hitters(c: Column, capacity: Int, topN: Int): Column =
+    toCol(HeavyHitters(toExpr(c), capacity, topN).toAggregateExpression())
+
   /** Cosine over array<double> inputs (dequantized/widened vectors). */
   def cosine_similarity_d(a: Column, b: Column): Column =
     toCol(CosineSimilarityD(toExpr(a), toExpr(b)))
@@ -111,6 +116,9 @@ object GraftFunctions {
       es(1).eval().asInstanceOf[Int],
       es(2).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         .toDoubleArray().toSeq).toAggregateExpression()),
+    "heavy_hitters" -> (es => HeavyHitters(es.head,
+      es(1).eval().asInstanceOf[Int],
+      es(2).eval().asInstanceOf[Int]).toAggregateExpression()),
   )
 
   /** Register into an existing session (e.g. one built by the driver

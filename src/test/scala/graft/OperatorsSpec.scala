@@ -779,6 +779,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ov.getDouble(0) == est.getDouble(0) && ov.getDouble(1) == est.getDouble(1))
   }
 
+  test("heavy hitters: exact below capacity, MG bound + guaranteed recall above") {
+    import graft.functions.GraftFunctions.heavy_hitters
+    import spark.implicits._
+    // skewed stream: token t_i appears (21-i)*100 times for i=1..20,
+    // plus 400 singleton tokens; N = 21000 + 400
+    val rows = (1 to 20).flatMap(i => Seq.fill((21 - i) * 100)(s"t_$i")) ++
+      (1 to 400).map(i => s"noise_$i")
+    val df = rows.toDF("token").repartition(8)
+    // capacity 1024 > 420 distinct: exact counts, top-3 in order
+    val exact = df.agg(heavy_hitters(col("token"), 1024, 3)).as[Seq[(String, Long)]]
+      .head
+    assert(exact == Seq(("t_1", 2000L), ("t_2", 1900L), ("t_3", 1800L)))
+    // capacity 32 < 420 distinct: every estimate within N/(cap+1) of
+    // truth, and every token with freq > N/(cap+1) (~649) is recalled
+    val n = rows.size.toDouble
+    val cap = 32
+    val est = df.agg(heavy_hitters(col("token"), cap, cap)).as[Seq[(String, Long)]]
+      .head.toMap
+    val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    est.foreach { case (tok, c) =>
+      val t = truth(tok)
+      assert(c <= t && t - c <= n / (cap + 1), s"$tok: est $c vs true $t")
+    }
+    truth.filter(_._2 > n / (cap + 1)).keys.foreach { tok =>
+      assert(est.contains(tok), s"frequent token $tok missing")
+    }
+  }
+
   test("image header parsing: PNG IHDR and JPEG SOF dimensions, no codec libs") {
     // hand-crafted minimal PNG header: signature + IHDR 640x480
     val png = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
