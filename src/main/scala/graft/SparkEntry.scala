@@ -766,6 +766,13 @@ object SparkEntry {
           candidates = Int.MaxValue, subspaces = 8, codewords = 16)
         .orderBy("query_id", "rank")
     }),
+    // deterministic k-means over fixed-point embeddings: integer dot
+    // products/norms are double-exact, so assignment is bit-stable and
+    // the full 2-iteration Lloyd run mirrors in DuckDB CTE for CTE
+    "s10_kmeans" -> ((s, dir) =>
+      Similarity.kmeansQuantized(T(s, dir, "embeddings"),
+          k = 8, iterations = 2)
+        .orderBy("vec_id")),
     // exact decontamination behind a broadcast Bloom prefilter: the
     // benchmark grams collapse into one bit array, corpus grams that
     // miss it never reach the shuffle, survivors exact-verify
@@ -1282,6 +1289,7 @@ object SparkEntry {
     // s9's oracle regime (nprobe = clusters, unbounded candidates)
     // reduces the composed IVF-PQ pipeline to exact top-k, so the
     // brute-force SQL is the precise mirror
+    "s10_kmeans" -> kmeansOracleSql,
     "s9_ann_ivfpq" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
         |  FROM embeddings WHERE vec_id < 10),
@@ -1632,6 +1640,42 @@ object SparkEntry {
         |  AND CAST(floor(value) AS BIGINT) BETWEEN 50 AND 150
         |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
+
+  /** DuckDB mirror of the full s10 k-means run: fixed-point quantize,
+    * seed with the first k vectors, then per iteration an argmax-cosine
+    * assignment (integer dot/norms => double-exact => bit-identical to
+    * Spark) and an integer sum-vector centroid recompute. */
+  private def kmeansOracleSql: String = {
+    val k = 8; val scale = 1024; val dim = 64; val iterations = 2
+    def assignCtes(n: Int, centsCte: String) =
+      s"""s$n AS (SELECT en.vec_id, en.q, en.na, c.cid,
+         |    CAST(list_sum(list_transform(range(1, ${dim + 1}),
+         |        i -> en.q[i] * c.c[i])) AS DOUBLE)
+         |      / sqrt(CAST(en.na AS DOUBLE) *
+         |          CAST(list_sum(list_transform(c.c, x -> x*x)) AS DOUBLE))
+         |      AS cos
+         |  FROM en CROSS JOIN $centsCte c),
+         |a$n AS (SELECT vec_id, q, cid FROM s$n
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cos DESC, cid ASC) = 1)""".stripMargin
+    def recomputeCtes(n: Int) =
+      s"""d$n AS (SELECT cid, i, CAST(sum(q[i]) AS BIGINT) AS s
+         |  FROM a${n - 1}, range(1, ${dim + 1}) t(i) GROUP BY cid, i),
+         |c$n AS (SELECT cid, list(s ORDER BY i) AS c FROM d$n GROUP BY cid)"""
+        .stripMargin
+    val iterCtes = (2 to iterations)
+      .map(n => recomputeCtes(n) + ",\n" + assignCtes(n, s"c$n"))
+      .mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |    x -> CAST(floor(x * $scale) AS BIGINT)) AS q FROM embeddings),
+       |en AS (SELECT vec_id, q,
+       |  list_sum(list_transform(q, x -> x*x)) AS na FROM e),
+       |c1 AS (SELECT vec_id AS cid, q AS c FROM e WHERE vec_id < $k),
+       |${assignCtes(1, "c1")},
+       |$iterCtes
+       |SELECT vec_id, cid AS cluster FROM a$iterations ORDER BY vec_id"""
+      .stripMargin
+  }
 
   /** DuckDB mirror of the full PQ pipeline (s8): the codebook derives
     * from the data INSIDE the SQL (first 16 vectors by id), encode is

@@ -447,4 +447,69 @@ object Similarity {
       .select(col(queryId), col("rank"), col(corpusId).as("neighbor_id"),
         col("sim"))
   }
+
+  /** Deterministic distributed k-means over fixed-point embeddings.
+    *
+    * Embeddings quantize to `scale`-step integers (floor(x*scale)), so
+    * every dot product and norm is an exact integer small enough to be
+    * exact in a double as well — spherical-cosine assignment is then
+    * bit-reproducible across engines, partitionings, and cluster
+    * sizes, which is what makes a clustering job auditable. Centroids
+    * stay UNNORMALIZED integer sum-vectors (cosine is scale-invariant,
+    * so dividing by the member count would only launder exact integers
+    * into doubles). With scale=1024 the norms stay under 2^53 (double-
+    * exact) up to ~10^6-vector clusters.
+    *
+    * Plan shape per iteration: one map-only assignment against
+    * centroid LITERALS (no broadcast join, fully codegen'd) + one
+    * posexplode/groupBy whose map-side partials reduce the shuffle to
+    * k*dim rows per partition; driver state is k*dim longs. Seeds are
+    * the first k vectors by id — deterministic, no RNG.
+    */
+  def kmeansQuantized(corpus: DataFrame, k: Int, iterations: Int,
+      scale: Int = 1024, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 2 && iterations >= 1)
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val quant = transform(col(vecCol).cast(ArrayType(DoubleType)),
+      x => floor(x * scale).cast("long"))
+    val e = corpus.select(col(idCol).cast("long").as("vec_id"),
+      quant.as("q"))
+    val seeds = e.filter(col("vec_id") < k)
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    require(seeds.nonEmpty, "kmeansQuantized: no seed vectors")
+    val dim = seeds.head._2.length
+    val na = (0 until dim).map(i => col("q")(i) * col("q")(i)).reduce(_ + _)
+    val en = e.withColumn("na", na)
+
+    // map-only argmax over centroid literals; ties -> lowest cid
+    def assign(cents: Seq[(Long, Array[Long])]): DataFrame = {
+      val scored = cents.map { case (cid, c) =>
+        val dot = (0 until dim).map(i => col("q")(i) * lit(c(i))).reduce(_ + _)
+        val nb = c.map(x => x * x).sum
+        struct(
+          (dot.cast("double") /
+            sqrt(col("na").cast("double") * lit(nb.toDouble))).as("cos"),
+          lit(-cid).as("negcid"), lit(cid).as("cid"))
+      }
+      en.withColumn("cid", array_max(array(scored: _*)).getField("cid"))
+    }
+
+    var cents: Seq[(Long, Array[Long])] = seeds.toSeq
+    var assigned = assign(cents)
+    for (_ <- 2 to iterations) {
+      val sums = assigned
+        .select(col("cid"), posexplode(col("q")).as(Seq("i", "v")))
+        .groupBy("cid", "i").agg(sum("v").as("s"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      cents = sums.groupBy(_._1).toSeq.sortBy(_._1).map { case (cid, ds) =>
+        val arr = new Array[Long](dim)
+        ds.foreach { case (_, i, s) => arr(i) = s }
+        (cid, arr)
+      }
+      assigned = assign(cents)
+    }
+    assigned.select(col("vec_id"), col("cid").as("cluster"))
+  }
 }

@@ -807,6 +807,23 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("quantized k-means: partitioning-invariant, uses multiple clusters, tracks labels") {
+    val emb = sources.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val a = Similarity.kmeansQuantized(emb, k = 8, iterations = 2)
+    val b = Similarity.kmeansQuantized(emb.repartition(7), k = 8, iterations = 2)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "assignment must not depend on partitioning")
+    val byCluster = a.groupBy("cluster").count().collect()
+    assert(byCluster.length >= 2, "degenerate single-cluster result")
+    // labeled data: majority-label purity must beat the 1/nlabels prior
+    val joined = a.join(emb.select(col("vec_id"), col("label")), "vec_id")
+    val purity = joined.groupBy("cluster", "label").count()
+      .groupBy("cluster").agg(max("count").as("top"), sum("count").as("n"))
+      .agg(sum("top").cast("double") / sum("n")).head.getDouble(0)
+    val nLabels = emb.select("label").distinct().count().toDouble
+    assert(purity > 1.2 / nLabels, s"purity $purity no better than chance")
+  }
+
   test("image header parsing: PNG IHDR and JPEG SOF dimensions, no codec libs") {
     // hand-crafted minimal PNG header: signature + IHDR 640x480
     val png = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
