@@ -27,6 +27,16 @@ object SparkEntry {
   private def dsum(c: org.apache.spark.sql.Column) = sum(c.cast(d2)).cast("double")
   private val FMT = "%Y-%m-%d %H:%M:%S.%g"
 
+  /** Literal BM25 query set for x12 — mixes common terms with the rare
+    * "dup" so idf weighting is actually exercised. */
+  private val bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("hash", "join"),
+    2 -> Seq("window", "agg", "stream"),
+    3 -> Seq("dup", "scan"))
+  private def bm25QueriesSqlValues: String =
+    bm25Queries.flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
+      .mkString(", ")
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("ref_interval_join")(spark, "/root/testdata/sf0.001")
@@ -719,6 +729,16 @@ object SparkEntry {
       CorpusOps.packByBudget(T(s, dir, "documents"), "doc_id", "text",
           "lang", budget = 2048)
         .orderBy("lang", "doc_id")),
+    // BM25 ranked retrieval for a literal query set: postings
+    // pre-filtered to query terms before the tf shuffle, query side
+    // broadcast; rank-only output keeps the oracle libm-proof
+    "x12_bm25" -> ((s, dir) =>
+      TextRank.bm25TopK(T(s, dir, "documents"), bm25Queries, k = 10)
+        .orderBy("query_id", "rank")),
+    // keyword extraction: top TF-IDF terms per doc, ties term-asc
+    "x13_tfidf" -> ((s, dir) =>
+      TextRank.tfidfTopTerms(T(s, dir, "documents"), topN = 3)
+        .orderBy("doc_id", "rank")),
 
     // benchmark decontamination: distinct 3-gram overlap counts against
     // the held-out source, shuffle equi-join on the gram string
@@ -1459,6 +1479,45 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
         |    / 2048) AS BIGINT) AS pack_id
         |FROM t ORDER BY lang, doc_id""".stripMargin,
+    "x12_bm25" ->
+      s"""WITH tok AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+        |  FROM documents),
+        |t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+        |st AS (SELECT count(*) AS n,
+        |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |qt(query_id, term) AS (VALUES $bm25QueriesSqlValues),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+        |  WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT qt.query_id, tf.doc_id,
+        |    ln(1.0 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+        |      (tf.tf * 2.2) /
+        |      (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS s
+        |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+        |    JOIN qt USING (term) CROSS JOIN st),
+        |agg AS (SELECT query_id, doc_id, sum(s) AS score FROM sc
+        |  GROUP BY 1, 2)
+        |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id ASC) AS INT) AS "rank", doc_id
+        |FROM agg QUALIFY "rank" <= 10
+        |ORDER BY query_id, "rank"""".stripMargin,
+    "x13_tfidf" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |st AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id, tf.term,
+        |    tf.tf * ln(CAST(st.n AS DOUBLE) / dfq.df) AS score
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN st)
+        |SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term ASC) AS INT) AS "rank", term
+        |FROM sc QUALIFY "rank" <= 3
+        |ORDER BY doc_id, "rank"""".stripMargin,
     "x6_vocab" ->
       """WITH tok AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
         |    AS token FROM documents),

@@ -824,6 +824,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(purity > 1.2 / nLabels, s"purity $purity no better than chance")
   }
 
+  test("BM25/TF-IDF: rare terms dominate ranking") {
+    val docs = sources.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    // every top-ranked doc for the ("dup","scan") query must actually
+    // contain the rare term — idf should make "dup" decisive
+    val dupDocs = docs.filter(lower(col("text")).contains("dup"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(dupDocs.nonEmpty && dupDocs.size < 50)
+    val top = TextRank.bm25TopK(docs, Seq(1 -> Seq("dup", "scan")), k = 5)
+      .collect().map(_.getLong(2))
+    assert(top.forall(dupDocs.contains),
+      s"top-5 for rare-term query must contain 'dup', got ${top.toSeq}")
+    // a doc containing "dup" must rank it above any common term
+    val someDup = dupDocs.head
+    val terms = TextRank.tfidfTopTerms(docs, topN = 1)
+      .filter(col("doc_id") === someDup).collect()
+    assert(terms.length == 1 && terms.head.getString(2) == "dup",
+      s"expected 'dup' as top tf-idf term, got ${terms.toSeq}")
+  }
+
   test("image header parsing: PNG IHDR and JPEG SOF dimensions, no codec libs") {
     // hand-crafted minimal PNG header: signature + IHDR 640x480
     val png = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
