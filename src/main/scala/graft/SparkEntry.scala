@@ -249,6 +249,12 @@ object SparkEntry {
             .as("total_bal"))
         .orderBy("n_name")
     }),
+    // SCD type-2 history from the event stream: consecutive duplicate
+    // attribute values collapse; one shuffle, lag+lead share the sort
+    "q28_scd2" -> ((s, dir) =>
+      Dimensions.scd2(T(s, dir, "events"), "user_id", "event_type",
+          "ts", "event_id")
+        .orderBy("user_id", "valid_from_us", "attr")),
     "q14_grouping_sets" -> ((s, dir) => {
       val c = T(s, dir, "customer"); val n = T(s, dir, "nation")
       c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
@@ -1222,6 +1228,19 @@ object SparkEntry {
         |  UNION ALL SELECT o_orderpriority, 'n_orders', n_orders FROM w
         |  UNION ALL SELECT o_orderpriority, 'total_price', total_price FROM w)
         |ORDER BY o_orderpriority, metric""".stripMargin,
+    "q28_scd2" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus, event_id
+        |  FROM events),
+        |c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY tus, event_id) AS prev FROM e),
+        |ch AS (SELECT user_id, event_type, tus, event_id FROM c
+        |  WHERE prev IS DISTINCT FROM event_type),
+        |v AS (SELECT user_id, event_type AS attr, tus AS valid_from_us,
+        |    lead(tus) OVER (PARTITION BY user_id
+        |      ORDER BY tus, event_id) AS valid_to_us FROM ch)
+        |SELECT user_id, attr, valid_from_us, valid_to_us,
+        |  valid_to_us IS NULL AS is_current
+        |FROM v ORDER BY user_id, valid_from_us, attr""".stripMargin,
     "t7_rolling" ->
       """SELECT user_id, event_id, epoch_us(ts) AS tus,
         |  count(*) OVER w AS n_1h,

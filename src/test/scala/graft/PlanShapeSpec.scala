@@ -198,6 +198,18 @@ class PlanShapeSpec extends AnyFunSuite {
       == full.agg(sum("event_id")).head.getLong(0))
   }
 
+  test("scd2: lag and lead share one shuffle and one sort") {
+    val df = SparkEntry.queries("q28_scd2")(spark, dir)
+    // the final orderBy adds a range-partition exchange; the history
+    // build itself must contribute exactly one hash exchange (the
+    // plan string survives AQE wrapping, node collect does not)
+    val p = plan(df).toString
+    assert("hashpartitioning".r.findAllIn(p).length == 1,
+      s"lag/lead must share one hash exchange:\n$p")
+    assert("\\+- Sort ".r.findAllIn(p).length <= 2,
+      s"lead must reuse lag's sort:\n$p")
+  }
+
   test("z-order layout prunes a 2-D box where a 1-D sort cannot") {
     import graft.sources.{FileManifest, ZOrder}
     // sf0.01: 10k events / 64 files = enough rows per file that the
