@@ -370,6 +370,14 @@ object SparkEntry {
           col("e.item").as("token"), col("e.count").as("freq"))
         .orderBy("lang", "rank")
     }),
+    // importance-weighted corpus sampling (Efraimidis-Spirakis with a
+    // hash in place of the RNG): distributed top-k by priority, no
+    // global sort; longer docs win proportionally more often
+    "a7_weighted_sample" -> ((s, dir) =>
+      CorpusOps.weightedSample(T(s, dir, "documents"), "doc_id",
+          "n_chars", k = 50)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")),
     // approximate aggregates: sketch outputs differ across engines by
     // design -> rows-only here; the spec asserts error bounds vs exact
     "a1_approx_agg" -> ((s, dir) =>
@@ -1452,6 +1460,14 @@ object SparkEntry {
         |JOIN c ca ON ca.event_type = p.type_a
         |JOIN c cb ON cb.event_type = p.type_b
         |ORDER BY 1, 2""".stripMargin,
+    "a7_weighted_sample" ->
+      s"""WITH s AS (SELECT doc_id, lang, n_chars,
+        |    ${operators.CorpusOps.weightedSampleSql("doc_id::VARCHAR",
+               "n_chars")} AS key
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars FROM
+        |  (SELECT * FROM s ORDER BY key DESC, doc_id ASC LIMIT 50)
+        |ORDER BY doc_id""".stripMargin,
     // exact regime: per-lang vocab (31) < capacity (64), so MG counts
     // equal true counts and the tie-break is (freq desc, token asc)
     "a6_heavy_hitters" ->

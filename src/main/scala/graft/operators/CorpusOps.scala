@@ -96,6 +96,38 @@ object CorpusOps {
     s"md5($idExpr || ':$salt') < (CASE $cases ELSE '${hexBoundary(defaultRate)}' END)"
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (the
+    * Efraimidis-Spirakis exponential-keys scheme, RNG replaced by a
+    * hash): each row gets priority ln(u)/w with u uniform from the
+    * first 13 hex digits of md5(id:salt) (exact in a double: 52-bit
+    * integer + 0.5 over 2^52) and w its weight column; the k largest
+    * priorities are the sample. Heavier rows win proportionally more
+    * often, the choice is stable across runs/engines/partitionings,
+    * and the plan is a distributed top-k (TakeOrderedAndProject:
+    * per-partition heads merged on the driver — no global sort, no
+    * shuffle of losers), so it runs at any corpus size.
+    * Priorities of distinct (hash, weight) inputs differ by far more
+    * than the ulp-level libm slack in ln, so selection is portable;
+    * the priority itself stays out of the output. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, salt: String = "graft-wsample"): DataFrame = {
+    val h = conv(substring(
+        md5(concat(col(idCol).cast("string"), lit(":" + salt))), 1, 13),
+      16, 10).cast("long")
+    val u = (h.cast("double") + lit(0.5)) / lit(4503599627370496.0) // 2^52
+    val key = log(u) / col(weightCol).cast("double")
+    df.withColumn("__wkey", key)
+      .orderBy(col("__wkey").desc, col(idCol).asc)
+      .limit(k)
+      .drop("__wkey")
+  }
+
+  /** SQL mirror of `weightedSample`'s priority for a DuckDB oracle. */
+  def weightedSampleSql(idExpr: String, weightExpr: String,
+      salt: String = "graft-wsample"): String =
+    s"ln((('0x' || substr(md5($idExpr || ':$salt'), 1, 13))::BIGINT + 0.5)" +
+      s" / 4503599627370496.0) / $weightExpr"
+
   /** Sliding-window CHUNKING for context-length-bounded training/RAG:
     * each doc yields token windows of `size` starting every `stride`
     * tokens (overlap = size - stride), tail windows included. Pure

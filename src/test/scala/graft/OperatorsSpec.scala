@@ -843,6 +843,23 @@ class OperatorsSpec extends AnyFunSuite {
       s"expected 'dup' as top tf-idf term, got ${terms.toSeq}")
   }
 
+  test("weighted sample: biased toward heavy rows, distributed top-k plan") {
+    val docs = sources.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val sample = CorpusOps.weightedSample(docs, "doc_id", "n_chars", k = 100)
+    // repartitioning must not change the selection
+    val again = CorpusOps.weightedSample(docs.repartition(13), "doc_id",
+      "n_chars", k = 100)
+    assert(sample.exceptAll(again).isEmpty && again.exceptAll(sample).isEmpty)
+    // importance weighting: the sample's mean weight beats the corpus mean
+    val sMean = sample.agg(avg("n_chars")).head.getDouble(0)
+    val cMean = docs.agg(avg("n_chars")).head.getDouble(0)
+    assert(sMean > cMean, s"sample mean $sMean <= corpus mean $cMean")
+    // top-k must plan as TakeOrderedAndProject, not a global sort
+    val p = org.apache.spark.sql.classic.ClassicConversions.castToImpl(sample)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$p")
+  }
+
   test("image header parsing: PNG IHDR and JPEG SOF dimensions, no codec libs") {
     // hand-crafted minimal PNG header: signature + IHDR 640x480
     val png = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
