@@ -890,6 +890,24 @@ object SparkEntry {
           sum(col("zval")).as("sum_z"))
         .orderBy("event_type")
     }),
+    // small-file compaction: pack a 32-file layout into ~4-file bins by
+    // key order (clustering preserved => manifest still prunes), then
+    // prove the rewrite lost nothing against the plain full-scan oracle
+    "f3_compaction" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-compact").toString
+      FileManifest.writeLayout(T(s, dir, "events"), s"$tmp/small",
+        "user_id", 32)
+      val m = FileManifest.buildManifest(s, s"$tmp/small", "user_id")
+      FileManifest.compact(s, m, s"$tmp/out", "user_id", targetRows = 2500L)
+      FileManifest.readCompacted(s, s"$tmp/out")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("total_value"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("event_id")).as("sum_ids"))
+        .orderBy("event_type")
+    }),
   )
 
   /** DuckDB-dialect oracle for each query above. */
@@ -1733,6 +1751,15 @@ object SparkEntry {
         |WHERE user_id BETWEEN 2 AND 8
         |  AND CAST(floor(value) AS BIGINT) BETWEEN 50 AND 150
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // compaction is a whole-table identity: the oracle never sees the
+    // file layout at all
+    "f3_compaction" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_ids
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** DuckDB mirror of the full s10 k-means run: fixed-point quantize,

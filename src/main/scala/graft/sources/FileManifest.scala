@@ -106,4 +106,47 @@ object FileManifest {
     spark.read.parquet(survivors: _*)
       .filter(col(column) >= lo && col(column) <= hi)
   }
+
+  /** Greedy key-order bin packing of manifest entries: consecutive
+    * runs of files whose rows sum to at most `targetRows` (a too-big
+    * single file keeps its own bin). Packing adjacent-by-key files
+    * preserves the clustered layout, so the compacted table prunes as
+    * well as the original — just with far fewer files. */
+  def planCompaction(manifest: Seq[FileStats],
+      targetRows: Long): Seq[Seq[FileStats]] = {
+    val byKey = manifest.sortBy(f => (f.min, f.path))
+    val bins = scala.collection.mutable.ArrayBuffer.empty[Seq[FileStats]]
+    var cur = scala.collection.mutable.ArrayBuffer.empty[FileStats]
+    var curRows = 0L
+    byKey.foreach { f =>
+      if (cur.nonEmpty && curRows + f.rows > targetRows) {
+        bins += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer.empty
+        curRows = 0L
+      }
+      cur += f; curRows += f.rows
+    }
+    if (cur.nonEmpty) bins += cur.toSeq
+    bins.toSeq
+  }
+
+  /** Small-file compaction: rewrite each planned bin as ONE file,
+    * re-sorted on the cluster column. The driver work is O(files) over
+    * the manifest; each bin is an independent shuffle-free single-task
+    * rewrite of just its own files (an orchestrator would submit the
+    * bin jobs concurrently; sequential submission here keeps the demo
+    * simple — the data path is identical). */
+  def compact(spark: SparkSession, manifest: Seq[FileStats], outDir: String,
+      sortCol: String, targetRows: Long): Unit =
+    planCompaction(manifest, targetRows).zipWithIndex.foreach {
+      case (bin, i) =>
+        spark.read.parquet(bin.map(_.path): _*)
+          .coalesce(1)
+          .sortWithinPartitions(sortCol)
+          .write.mode(SaveMode.Overwrite)
+          .parquet(f"$outDir/bin_$i%05d")
+    }
+
+  /** Read a compacted table back (bins are subdirectories). */
+  def readCompacted(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(outDir)
 }

@@ -210,6 +210,29 @@ class PlanShapeSpec extends AnyFunSuite {
       s"lead must reuse lag's sort:\n$p")
   }
 
+  test("compaction shrinks the file count and keeps the layout prunable") {
+    import graft.sources.FileManifest
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cpt").toString
+    val ev = Tables.load(spark, "/root/testdata/sf0.01", "events")
+    FileManifest.writeLayout(ev, s"$tmp/small", "user_id", 32)
+    val m = FileManifest.buildManifest(spark, s"$tmp/small", "user_id")
+    FileManifest.compact(spark, m, s"$tmp/out", "user_id", targetRows = 2500L)
+    val back = FileManifest.readCompacted(spark, s"$tmp/out")
+    // ~10k rows at 2500/bin => ~4 files from 32
+    assert(back.inputFiles.length < m.length / 4,
+      s"expected <${m.length / 4} files, got ${back.inputFiles.length}")
+    assert(back.count() == ev.count())
+    // key-adjacent packing preserves clustering: compacted bin ranges
+    // stay pairwise disjoint, so the manifest still prunes
+    val binStats = FileManifest.planCompaction(m, 2500L).map { bin =>
+      (bin.map(_.min).min, bin.map(_.max).max)
+    }.sortBy(_._1)
+    binStats.sliding(2).foreach {
+      case Seq(a, b) => assert(a._2 <= b._1, s"overlapping bins: $a vs $b")
+      case _ =>
+    }
+  }
+
   test("z-order layout prunes a 2-D box where a 1-D sort cannot") {
     import graft.sources.{FileManifest, ZOrder}
     // sf0.01: 10k events / 64 files = enough rows per file that the
