@@ -177,6 +177,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming windowed heavy hitters: MG counters merge across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StatefulOps.Evt]
+    val agg = in.toDS().withWatermark("ts", "0 seconds")
+      .select(col("ts"), concat(lit("t"), floor(col("value")).cast("long"))
+        .as("token"))
+      .groupBy(window(col("ts"), "100 seconds"))
+      .agg(graft.functions.GraftFunctions
+        .heavy_hitters(col("token"), capacity = 8, topN = 2).as("hh"))
+      .select(col("window.start").as("ws"), col("hh"))
+    val q = agg.writeStream.format("memory").queryName("hhwin")
+      .outputMode("append").start()
+    try {
+      // window [1000,1100): t1 x3 and t2 x2, split across micro-batches
+      in.addData(StatefulOps.Evt(1L, ts(1001), 1.0), StatefulOps.Evt(1L, ts(1002), 2.0))
+      q.processAllAvailable()
+      in.addData(StatefulOps.Evt(1L, ts(1003), 1.0), StatefulOps.Evt(1L, ts(1004), 2.0),
+        StatefulOps.Evt(1L, ts(1005), 1.0))
+      q.processAllAvailable()
+      in.addData(StatefulOps.Evt(2L, ts(99999), 9.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT hh FROM hhwin WHERE ws = timestamp'1970-01-01 00:16:40'")
+        .as[Seq[(String, Long)]].collect()
+      assert(rows.length == 1, "window [1000,1100) must have been emitted")
+      assert(rows.head == Seq(("t1", 3L), ("t2", 2L)),
+        s"MG counters must merge exactly across micro-batches: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming windowed profile: per-window stats finalize via watermark, batch parity") {
     import spark.implicits._
     import graft.operators.Profile
