@@ -106,19 +106,22 @@ object Bench {
     }
 
     spark.stop()
-    // the consumer captures a bounded stdout tail; keep the line well
-    // under it, degrading per-query precision before dropping anything
-    def line(f: Double => String): String =
+    // the consumer captures a bounded (~2000 char) stdout tail; keep
+    // the line inside it, degrading per-query precision, then the sf
+    // spelling, before ever dropping the per-query map
+    def line(f: Double => String, sf: String): String =
       s"""{"metric":"total","value":${sec(total)},"unit":"sec"""" +
-        s""","queries":${obj(t => if (t._2 < 0) "-1" else f(t._2))},"sf":"$sfDir"}"""
+        s""","queries":${obj(t => if (t._2 < 0) "-1" else f(t._2))},"sf":"$sf"}"""
     // trailing-zero stripping buys ~2 chars/query before precision drops
     def strip(s: String): String =
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
       else s
-    val out = Seq[Double => String](
+    val shortSf = sfDir.split("/").filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    val out = (Seq[Double => String](
         s => f"$s%.3f", s => strip(f"$s%.3f"), s => strip(f"$s%.2f"),
-        s => strip(f"$s%.1f"))
-      .map(line).find(_.length <= 1800).getOrElse(
+        s => strip(f"$s%.1f")).map(line(_, sfDir)) :+
+        line(s => strip(f"$s%.1f"), shortSf))
+      .find(_.length <= 1950).getOrElse(
         s"""{"metric":"total","value":${sec(total)},"unit":"sec","sf":"$sfDir"}""")
     println(out)
     Console.err.println(s"[bench] contract line length = ${out.length} chars")

@@ -899,7 +899,11 @@ object SparkEntry {
       FileManifest.writeLayout(T(s, dir, "events"), s"$tmp/small",
         "user_id", 32)
       val m = FileManifest.buildManifest(s, s"$tmp/small", "user_id")
-      FileManifest.compact(s, m, s"$tmp/out", "user_id", targetRows = 2500L)
+      // target = a quarter of the table -> always ~4 bins at any SF
+      // (in production this is a fixed byte size; the demo keys it to
+      // the table so the bench plan is scale-invariant)
+      FileManifest.compact(s, m, s"$tmp/out", "user_id",
+        targetRows = math.max(1L, m.map(_.rows).sum / 4))
       FileManifest.readCompacted(s, s"$tmp/out")
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),

@@ -399,9 +399,11 @@ object Dedup {
     var converged = false
     while (!converged && it < maxIterations) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      // fixed point: the star rounds produce exactly the same edge set
-      converged = next.join(edges, Seq("a", "b"), "left_anti").isEmpty &&
-        edges.join(next, Seq("a", "b"), "left_anti").isEmpty
+      // fixed point: equal cardinality + one-way containment is set
+      // equality — one anti-join instead of two (counts over the
+      // checkpointed frames are near-free)
+      converged = next.count() == edges.count() &&
+        next.join(edges, Seq("a", "b"), "left_anti").isEmpty
       edges = next
       it += 1
     }
