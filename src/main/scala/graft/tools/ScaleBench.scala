@@ -89,7 +89,15 @@ object ScaleBench {
       "x7_repetition", "x8_pii", "x9_sample", "x10_chunk", "x11_pack",
       "a4_quantiles", "s5_quantize", "s6_ann_sq", "s7_ann_ivfsq",
       "s8_ann_pq", "t7_rolling", "m1_multimodal",
-      "ref_interval_join", "ref_asof_merge", "ref_asof_join")
+      "ref_interval_join", "ref_asof_merge", "ref_asof_join",
+      // r5: sketch aggs, weighted sampling, retrieval, SCD2, k-means,
+      // and the file-layout family (write+manifest+pruned read each run).
+      // x12 is NOT here: word-salting renames its literal query terms,
+      // so the SparkEntry entry would measure the empty-result path —
+      // the salted-terms case below measures real retrieval instead.
+      "a6_heavy_hitters", "a7_weighted_sample", "x13_tfidf",
+      "q28_scd2", "s10_kmeans", "f1_manifest_prune", "f2_zorder_skip",
+      "f3_compaction")
     val quadOps = Seq("d5_embed_neardup", "s1_ann_bruteforce")
 
     // Candidate-stage scale check for the re-ranking ANN paths: a 10x
@@ -114,6 +122,14 @@ object ScaleBench {
         val (q, emb) = bigBatch(dir)
         graft.operators.Similarity.pqTopK(q, emb, 5, subspaces = 8,
           codewords = 16, candidates = 50)
+      },
+      // copy-0 query terms: fixed queries against the growing corpus —
+      // the posting prefilter should keep cost tracking the tf scan
+      "x12_bm25_salted" -> { dir: String =>
+        graft.operators.TextRank.bm25TopK(
+          Tables.load(spark, dir, "documents"),
+          Seq(1 -> Seq("hash_0", "join_0"), 2 -> Seq("dup_0", "scan_0")),
+          k = 10)
       })
 
     // SPARK_GRAFT_SCALE_OPS=s7_ann_ivfsq,s8_pq_q100 narrows a run while
