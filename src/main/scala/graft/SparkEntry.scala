@@ -1486,7 +1486,7 @@ object SparkEntry {
       s"""WITH s AS (SELECT doc_id, lang, n_chars,
         |    ${operators.CorpusOps.weightedSampleSql("doc_id::VARCHAR",
                "n_chars")} AS key
-        |  FROM documents)
+        |  FROM documents WHERE n_chars > 0)
         |SELECT doc_id, lang, n_chars FROM
         |  (SELECT * FROM s ORDER BY key DESC, doc_id ASC LIMIT 50)
         |ORDER BY doc_id""".stripMargin,

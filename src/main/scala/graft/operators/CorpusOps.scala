@@ -116,7 +116,10 @@ object CorpusOps {
       16, 10).cast("long")
     val u = (h.cast("double") + lit(0.5)) / lit(4503599627370496.0) // 2^52
     val key = log(u) / col(weightCol).cast("double")
-    df.withColumn("__wkey", key)
+    // ln(u) < 0, so a negative weight would flip the priority POSITIVE
+    // and always win — exclude non-positive weights (ES requires w > 0)
+    df.filter(col(weightCol) > 0)
+      .withColumn("__wkey", key)
       .orderBy(col("__wkey").desc, col(idCol).asc)
       .limit(k)
       .drop("__wkey")

@@ -68,6 +68,7 @@ object FileManifest {
       var rows = 0L
       var mn = Long.MaxValue
       var mx = Long.MinValue
+      var found = false
       blocks.foreach { b =>
         rows += b.getRowCount
         b.getColumns.asScala
@@ -76,6 +77,7 @@ object FileManifest {
             val st = c.getStatistics
             require(st != null && st.hasNonNullValue,
               s"no footer stats for $column in $file")
+            found = true
             (st.genericGetMin, st.genericGetMax) match {
               case (lo: java.lang.Long, hi: java.lang.Long) =>
                 mn = math.min(mn, lo); mx = math.max(mx, hi)
@@ -86,6 +88,10 @@ object FileManifest {
             }
           }
       }
+      // a missing column would leave the (MaxValue, MinValue) sentinels,
+      // which prune() would treat as "can never match" — silent data
+      // loss; fail loudly instead
+      require(found || rows == 0, s"column $column absent from $file")
       FileStats(file.toString, rows, mn, mx)
     } finally reader.close()
   }
