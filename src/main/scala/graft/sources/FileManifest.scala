@@ -101,6 +101,25 @@ object FileManifest {
   def prune(manifest: Seq[FileStats], lo: Long, hi: Long): Seq[FileStats] =
     manifest.filter(f => f.max >= lo && f.min <= hi)
 
+  /** Incremental maintenance — the operations a live table needs so the
+    * manifest NEVER requires a full rebuild: `append` stats just the
+    * newly written files (an ingest batch touches O(new files) footers,
+    * not O(table)), `expire` drops deleted/compacted-away entries. Both
+    * keep the manifest sorted by path so appends are order-independent. */
+  def append(manifest: Seq[FileStats], spark: SparkSession,
+      newFiles: Seq[String], column: String): Seq[FileStats] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val known = manifest.map(_.path).toSet
+    val fresh = newFiles.filterNot(known)
+      .map(p => footerStats(conf, new Path(p), column))
+    (manifest ++ fresh).sortBy(_.path)
+  }
+
+  def expire(manifest: Seq[FileStats], removed: Seq[String]): Seq[FileStats] = {
+    val gone = removed.toSet
+    manifest.filterNot(f => gone(f.path))
+  }
+
   /** Manifest-pruned ranged read: open only surviving files, then
     * re-apply the exact predicate (pruning is file-granular; the
     * residual filter still pushes down to the row-group/page level

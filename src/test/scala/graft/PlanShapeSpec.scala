@@ -210,6 +210,34 @@ class PlanShapeSpec extends AnyFunSuite {
       s"lead must reuse lag's sort:\n$p")
   }
 
+  test("incremental manifest append/expire == full rebuild") {
+    import graft.sources.FileManifest
+    val tmp = java.nio.file.Files.createTempDirectory("graft-incr").toString
+    val ev = Tables.load(spark, dir, "events")
+    FileManifest.writeLayout(ev.filter(col("user_id") < 8), s"$tmp/t", "user_id", 4)
+    val m0 = FileManifest.buildManifest(spark, s"$tmp/t", "user_id")
+    // an ingest batch lands as new files alongside the old ones
+    FileManifest.writeLayout(ev.filter(col("user_id") >= 8), s"$tmp/more", "user_id", 4)
+    val newFiles = FileManifest.buildManifest(spark, s"$tmp/more", "user_id")
+      .map(_.path)
+    val appended = FileManifest.append(m0, spark, newFiles, "user_id")
+    assert(appended.map(_.path).toSet == (m0.map(_.path) ++ newFiles).toSet)
+    // append is idempotent (re-offering known files stats nothing new)
+    assert(FileManifest.append(appended, spark, newFiles, "user_id") == appended)
+    // incremental result == rebuilding from scratch over the same files
+    val rebuilt = (FileManifest.buildManifest(spark, s"$tmp/t", "user_id") ++
+      FileManifest.buildManifest(spark, s"$tmp/more", "user_id"))
+      .sortBy(_.path)
+    assert(appended == rebuilt)
+    // expire removes exactly the compacted-away entries
+    val expired = FileManifest.expire(appended, newFiles)
+    assert(expired == m0.sortBy(_.path))
+    // and the appended manifest still answers ranged reads correctly
+    val pruned = FileManifest.readPruned(spark, appended, "user_id", 6L, 10L)
+    val full = ev.filter(col("user_id").between(6, 10))
+    assert(pruned.count() == full.count())
+  }
+
   test("compaction shrinks the file count and keeps the layout prunable") {
     import graft.sources.FileManifest
     val tmp = java.nio.file.Files.createTempDirectory("graft-cpt").toString
