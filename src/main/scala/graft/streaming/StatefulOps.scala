@@ -170,4 +170,53 @@ object StatefulOps {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
+
+  // ---- streaming SCD type-2 (dimension upsert) ----------------------
+
+  case class ScdEvent(user_id: Long, ts: java.sql.Timestamp, attr: String,
+      seq: Long)
+  case class ScdState(attr: String, validFromUs: Long)
+  /** A CLOSED version — append mode can only emit finals; the open
+    * version per key lives in state until the next change closes it. */
+  case class ScdVersion(user_id: Long, attr: String, valid_from_us: Long,
+      valid_to_us: Long)
+
+  /** Streaming counterpart of `Dimensions.scd2`: keyed state carries
+    * each dimension key's OPEN version; an attribute change closes it
+    * (emitting the finalized validity interval) and opens the next.
+    * Consecutive duplicates collapse exactly as in batch.
+    *
+    * Ordering contract: within a micro-batch events sort by (event
+    * time, seq); ACROSS batches per-key event time must not regress
+    * (enforce upstream with a watermark + sorted replay, as the spec
+    * does) — the same contract any streaming upsert sink imposes.
+    * State is one small record per key — bounded by key cardinality,
+    * not stream length. */
+  def scd2Stream(events: Dataset[ScdEvent]): Dataset[ScdVersion] = {
+    implicit val outEnc = Encoders.product[ScdVersion]
+    implicit val stEnc = Encoders.product[ScdState]
+
+    def fn(user: Long, it: Iterator[ScdEvent],
+        state: GroupState[ScdState]): Iterator[ScdVersion] = {
+      var emitted = List.empty[ScdVersion]
+      var cur = state.getOption
+      it.toSeq.sortBy(e => (e.ts.getTime, e.seq)).foreach { e =>
+        val tus = e.ts.getTime * 1000L
+        cur match {
+          case Some(s) if s.attr == e.attr => () // no change, collapse
+          case Some(s) =>
+            emitted ::= ScdVersion(user, s.attr, s.validFromUs, tus)
+            cur = Some(ScdState(e.attr, tus))
+          case None =>
+            cur = Some(ScdState(e.attr, tus))
+        }
+      }
+      cur.foreach(state.update)
+      emitted.reverseIterator
+    }
+
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
 }

@@ -177,6 +177,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming SCD2: closed versions match the batch history, duplicates collapse") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StatefulOps.ScdEvent]
+    val q = StatefulOps.scd2Stream(in.toDS())
+      .writeStream.format("memory").queryName("scdstream")
+      .outputMode("append").start()
+    try {
+      // user 1: a->a (collapse) ->b ->c; user 2: x only (stays open)
+      in.addData(StatefulOps.ScdEvent(1L, ts(1000), "a", 1),
+        StatefulOps.ScdEvent(1L, ts(1010), "a", 2),
+        StatefulOps.ScdEvent(2L, ts(1005), "x", 3))
+      q.processAllAvailable()
+      in.addData(StatefulOps.ScdEvent(1L, ts(1020), "b", 4),
+        StatefulOps.ScdEvent(1L, ts(1030), "c", 5))
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT user_id, attr, valid_from_us, valid_to_us FROM scdstream")
+      // batch mirror over the same events; closed versions only
+      val batch = graft.operators.Dimensions.scd2(
+        Seq((1L, ts(1000), "a", 1L), (1L, ts(1010), "a", 2L),
+          (2L, ts(1005), "x", 3L), (1L, ts(1020), "b", 4L),
+          (1L, ts(1030), "c", 5L))
+          .toDF("user_id", "ts", "event_type", "event_id"),
+        "user_id", "event_type", "ts", "event_id")
+        .filter(col("valid_to_us").isNotNull)
+        .select(col("user_id"), col("attr"), col("valid_from_us"),
+          col("valid_to_us"))
+      assert(streamed.count() == 2, "a->b and b->c must have closed")
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        s"stream/batch mismatch:\nstream ${streamed.collect().toSeq}\n" +
+          s"batch ${batch.collect().toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming windowed heavy hitters: MG counters merge across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
