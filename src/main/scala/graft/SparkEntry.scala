@@ -249,6 +249,24 @@ object SparkEntry {
             .as("total_bal"))
         .orderBy("n_name")
     }),
+    // MERGE INTO semantics (the warehouse upsert) as one full-outer
+    // join: a derived CDC changeset (updates / deletes / inserts by
+    // key residue) applied to the customer snapshot
+    "q30_merge_upsert" -> ((s, dir) => {
+      val cust = T(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+      val updates = cust.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + lit(100.0))
+        .withColumn("__delete", lit(false))
+      val deletes = cust.filter(col("c_custkey") % 10 === 1)
+        .withColumn("__delete", lit(true))
+      val inserts = cust.filter(col("c_custkey") % 10 === 2)
+        .withColumn("c_custkey", col("c_custkey") + lit(1000000L))
+        .withColumn("__delete", lit(false))
+      Dimensions.mergeUpsert(cust,
+          updates.union(deletes).union(inserts), "c_custkey", "__delete")
+        .orderBy("c_custkey")
+    }),
     // SCD type-2 history from the event stream: consecutive duplicate
     // attribute values collapse; one shuffle, lag+lead share the sort
     "q28_scd2" -> ((s, dir) =>
@@ -753,6 +771,12 @@ object SparkEntry {
     "x13_tfidf" -> ((s, dir) =>
       TextRank.tfidfTopTerms(T(s, dir, "documents"), topN = 3)
         .orderBy("doc_id", "rank")),
+    // corpus-trained bigram-LM quality filter: the 20 most-surprising
+    // docs by mean log-probability (quantized to 2^-20 steps so the
+    // ranking is sum-order-proof)
+    "x14_lm_score" -> ((s, dir) =>
+      TextRank.bigramLmScore(T(s, dir, "documents"), bottomK = 20)
+        .orderBy("doc_id")),
 
     // benchmark decontamination: distinct 3-gram overlap counts against
     // the held-out source, shuffle equi-join on the gram string
@@ -838,6 +862,19 @@ object SparkEntry {
           col("column"), col("type"), col("n_rows"), col("n_nulls"),
           col("approx_distinct"), col("min_value"), col("max_value"))
         .orderBy("window_start", "column")),
+
+    // declarative data-quality gate: five constraints audited in ONE
+    // scan + one aggregation row, unpivoted to a row per check (the
+    // in_range bound is deliberately tight so violations report real
+    // numbers, not just zeros)
+    "p3_expectations" -> ((s, dir) =>
+      Expectations.audit(T(s, dir, "documents"), Seq(
+          Expectations.notNull("text"),
+          Expectations.unique("doc_id"),
+          Expectations.inRange("n_chars", 1L, 200L),
+          Expectations.inSet("lang", Seq("de", "en", "es", "fr", "zh")),
+          Expectations.nonEmpty("text")))
+        .orderBy("rule", "column")),
 
     // ---- §2.7 multimodal --------------------------------------------
     "m1_multimodal" -> ((s, dir) =>
@@ -1258,6 +1295,23 @@ object SparkEntry {
         |  UNION ALL SELECT o_orderpriority, 'n_orders', n_orders FROM w
         |  UNION ALL SELECT o_orderpriority, 'total_price', total_price FROM w)
         |ORDER BY o_orderpriority, metric""".stripMargin,
+    "q30_merge_upsert" ->
+      """WITH cust AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |ch AS (
+        |  SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal,
+        |    false AS del FROM cust WHERE c_custkey % 10 = 0
+        |  UNION ALL SELECT c_custkey, c_name, c_acctbal, true
+        |    FROM cust WHERE c_custkey % 10 = 1
+        |  UNION ALL SELECT c_custkey + 1000000, c_name, c_acctbal, false
+        |    FROM cust WHERE c_custkey % 10 = 2)
+        |SELECT coalesce(ch.c_custkey, cust.c_custkey) AS c_custkey,
+        |  CASE WHEN ch.c_custkey IS NOT NULL THEN ch.c_name
+        |    ELSE cust.c_name END AS c_name,
+        |  CASE WHEN ch.c_custkey IS NOT NULL THEN ch.c_acctbal
+        |    ELSE cust.c_acctbal END AS c_acctbal
+        |FROM cust FULL OUTER JOIN ch ON cust.c_custkey = ch.c_custkey
+        |WHERE ch.c_custkey IS NULL OR NOT ch.del
+        |ORDER BY c_custkey""".stripMargin,
     "q28_scd2" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus, event_id
         |  FROM events),
@@ -1575,6 +1629,26 @@ object SparkEntry {
         |    ORDER BY score DESC, term ASC) AS INT) AS "rank", term
         |FROM sc QUALIFY "rank" <= 3
         |ORDER BY doc_id, "rank"""".stripMargin,
+    "x14_lm_score" ->
+      """WITH spt AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS sp FROM documents),
+        |gr AS (SELECT doc_id, unnest(CASE WHEN len(sp) < 2
+        |    THEN [array_to_string(sp, ' ')]
+        |    ELSE list_transform(generate_series(1, len(sp) - 1),
+        |      i -> sp[i] || ' ' || sp[i+1]) END) AS g FROM spt),
+        |c2 AS (SELECT g, count(*) AS c2 FROM gr GROUP BY 1),
+        |c1 AS (SELECT string_split(g, ' ')[1] AS w1,
+        |    CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+        |lm AS (SELECT g, ln(CAST(c2.c2 AS DOUBLE) / c1.c1) AS lnp
+        |  FROM c2 JOIN c1 ON string_split(c2.g, ' ')[1] = c1.w1),
+        |sc AS (SELECT gr.doc_id, sum(lnp) AS s, count(*) AS nb
+        |  FROM gr JOIN lm USING (g) GROUP BY 1),
+        |q AS (SELECT doc_id,
+        |    CAST(floor(s / nb * 1048576.0) AS BIGINT) AS score_q,
+        |    CAST(nb AS BIGINT) AS n_bigrams FROM sc)
+        |SELECT doc_id, score_q, n_bigrams FROM
+        |  (SELECT * FROM q ORDER BY score_q ASC, doc_id ASC LIMIT 20)
+        |ORDER BY doc_id""".stripMargin,
     "x6_vocab" ->
       """WITH tok AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
         |    AS token FROM documents),
@@ -1746,6 +1820,27 @@ object SparkEntry {
         |FROM events WHERE user_id BETWEEN 4 AND 6
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "p3_expectations" ->
+      """WITH v AS (
+        |  SELECT 'not_null' AS rule, 'text' AS "column",
+        |    CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violations FROM documents
+        |  UNION ALL SELECT 'unique', 'doc_id',
+        |    CAST(count(doc_id) - count(DISTINCT doc_id) AS BIGINT)
+        |    FROM documents
+        |  UNION ALL SELECT 'in_range', 'n_chars',
+        |    CAST(sum(CASE WHEN n_chars < 1 OR n_chars > 200 THEN 1
+        |      ELSE 0 END) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'in_set', 'lang',
+        |    CAST(sum(CASE WHEN lang NOT IN ('de','en','es','fr','zh')
+        |      THEN 1 ELSE 0 END) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'non_empty', 'text',
+        |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) FROM documents),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM documents)
+        |SELECT rule, "column", n_violations, n_rows,
+        |  n_violations = 0 AS passed
+        |FROM v CROSS JOIN n ORDER BY rule, "column"""".stripMargin,
     "f2_zorder_skip" ->
       s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,

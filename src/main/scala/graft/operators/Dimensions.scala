@@ -18,6 +18,32 @@ import org.apache.spark.sql.functions._
   * no driver state, which is the SCD build a 100 TB fact table needs.
   */
 object Dimensions {
+  /** MERGE INTO semantics on plain DataFrames (the Delta/Iceberg upsert,
+    * expressed as one full-outer join): apply a changeset to a snapshot —
+    * matched rows update (or delete when `deleteCol` is true), unmatched
+    * changeset rows insert, untouched snapshot rows pass through.
+    *
+    * Plan shape: ONE shuffle per side on the merge key (or a broadcast
+    * when the changeset is small — the common CDC case); no driver
+    * state. This is the nightly-dimension-refresh shape: snapshot is
+    * 100 TB, changeset is the day's CDC feed. */
+  def mergeUpsert(snapshot: DataFrame, changes: DataFrame, keyCol: String,
+      deleteCol: String): DataFrame = {
+    val dataCols = snapshot.columns.filter(_ != keyCol)
+    require(changes.columns.toSet == snapshot.columns.toSet + deleteCol,
+      "changeset must carry the snapshot schema plus the delete flag")
+    val s = snapshot.as("s")
+    val c = changes.as("c")
+    s.join(c, col(s"s.$keyCol") === col(s"c.$keyCol"), "full_outer")
+      // a matched delete drops the row entirely
+      .filter(col(s"c.$keyCol").isNull || !col(s"c.$deleteCol"))
+      .select(
+        coalesce(col(s"c.$keyCol"), col(s"s.$keyCol")).as(keyCol) +:
+          dataCols.map(d =>
+            when(col(s"c.$keyCol").isNotNull, col(s"c.$d"))
+              .otherwise(col(s"s.$d")).as(d)): _*)
+  }
+
   /** `seqCol` breaks ordering ties for same-timestamp events (any
     * unique, monotone-per-ingest column works — an event id here). */
   def scd2(events: DataFrame, keyCol: String, attrCol: String,

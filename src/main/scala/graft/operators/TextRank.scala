@@ -66,6 +66,45 @@ object TextRank {
       .select(col("query_id"), col("rank"), col(idCol))
   }
 
+  /** Language-model quality scoring: a bigram LM trained ON the corpus
+    * scores every document by mean log-probability, and the `bottomK`
+    * most-surprising docs surface for review — the KenLM-style quality
+    * filter a training pipeline runs, self-contained (no external LM).
+    *
+    * A doc shorter than 2 words contributes its whole text as one gram
+    * (the repo's shingle convention, shared with the Jaccard/repetition
+    * oracles). Scores quantize to 2^-20 steps BEFORE ranking: the
+    * per-doc sum of ln(p) is order-dependent at the ulp level, and the
+    * quantization absorbs that while keeping 6 decimal digits of
+    * discrimination; ties fall to doc_id.
+    *
+    * Plan: two shuffle aggregations with map-side combine (bigram
+    * counts, context counts) sized by VOCABULARY not corpus, one
+    * scoring join (AQE broadcasts the LM table when it is small), one
+    * distributed bottom-k. */
+  def bigramLmScore(docs: DataFrame, bottomK: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sp = split(trim(lower(col(textCol))), "\\s+")
+    val gramsCol = when(size(sp) < 2, array(array_join(sp, " ")))
+      .otherwise(transform(sequence(lit(0), size(sp) - lit(2)),
+        i => concat(element_at(sp, i + 1), lit(" "), element_at(sp, i + 2))))
+    val g = docs.select(col(idCol), explode(gramsCol).as("g"))
+    val c2 = g.groupBy("g").agg(count(lit(1)).as("c2"))
+    val gw = c2.withColumn("w1", split(col("g"), " ").getItem(0))
+    val c1 = gw.groupBy("w1").agg(sum("c2").as("c1"))
+    val lm = gw.join(c1, "w1")
+      .select(col("g"),
+        log(col("c2").cast("double") / col("c1").cast("double")).as("lnp"))
+    g.join(lm, "g")
+      .groupBy(col(idCol))
+      .agg(sum("lnp").as("s"), count(lit(1)).as("n_bigrams"))
+      .withColumn("score_q",
+        floor(col("s") / col("n_bigrams") * lit(1048576.0)).cast("long"))
+      .orderBy(col("score_q").asc, col(idCol).asc)
+      .limit(bottomK)
+      .select(col(idCol), col("score_q"), col("n_bigrams"))
+  }
+
   /** Top-n TF-IDF terms per document (score = tf * ln(N/df), N = docs
     * with at least one token), ties broken by term ascending. */
   def tfidfTopTerms(docs: DataFrame, topN: Int,

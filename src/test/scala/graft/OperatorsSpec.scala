@@ -860,6 +860,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$p")
   }
 
+  test("merge upsert + expectations: edge semantics") {
+    import spark.implicits._
+    val snap = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "bal")
+    val ch = Seq((2L, "b2", 25.0, false), (3L, "c", 30.0, true),
+        (9L, "new", 1.0, false))
+      .toDF("k", "name", "bal", "del")
+    val merged = Dimensions.mergeUpsert(snap, ch, "k", "del")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    // 1 untouched, 2 updated, 3 deleted, 9 inserted
+    assert(merged.toSeq == Seq((1L, "a"), (2L, "b2"), (9L, "new")))
+    intercept[IllegalArgumentException] {
+      Dimensions.mergeUpsert(snap, ch.drop("bal"), "k", "del")
+    }
+    // nulls violate ONLY not_null; range/set checks skip them
+    val df = Seq[(java.lang.Long, String)]((1L, "en"), (null, null))
+      .toDF("id", "lang")
+    val audit = Expectations.audit(df, Seq(
+        Expectations.notNull("lang"),
+        Expectations.inSet("lang", Seq("en")),
+        Expectations.inRange("id", 0L, 10L)))
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(audit == Map("not_null" -> 1L, "in_set" -> 0L, "in_range" -> 0L))
+  }
+
   test("image header parsing: PNG IHDR and JPEG SOF dimensions, no codec libs") {
     // hand-crafted minimal PNG header: signature + IHDR 640x480
     val png = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
