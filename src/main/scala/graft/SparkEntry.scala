@@ -282,6 +282,17 @@ object SparkEntry {
           coalesce(col("n_name"), lit("ALL")).as("nation"), col("n_cust"))
         .orderBy("seg", "nation")
     }),
+    // full CUBE (every grouping-set combination), rollup's big sibling
+    "q31_cube" -> ((s, dir) => {
+      val c = T(s, dir, "customer"); val n = T(s, dir, "nation")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .cube(col("c_mktsegment"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("bal"))
+        .select(coalesce(col("c_mktsegment"), lit("ALL")).as("seg"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          col("n_cust"), col("bal"))
+        .orderBy("seg", "nation")
+    }),
     "q15_having_subquery" -> ((s, dir) => {
       val c = T(s, dir, "customer"); val n = T(s, dir, "nation")
       val j = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
@@ -863,6 +874,12 @@ object SparkEntry {
           col("approx_distinct"), col("min_value"), col("max_value"))
         .orderBy("window_start", "column")),
 
+    // equi-width histogram: at most `bins` rows out however large the
+    // table; bucket arithmetic mirrored literally in the oracle
+    "p4_histogram" -> ((s, dir) =>
+      Profile.histogram(T(s, dir, "events"), "value",
+          bins = 20, lo = 0.0, hi = 600.0)
+        .orderBy("bucket")),
     // declarative data-quality gate: five constraints audited in ONE
     // scan + one aggregation row, unpivoted to a row per check (the
     // in_range bound is deliberately tight so violations report real
@@ -1154,6 +1171,14 @@ object SparkEntry {
         |  coalesce(n_name, 'ALL') AS nation, CAST(count(*) AS BIGINT) AS n_cust
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY ROLLUP(c_mktsegment, n_name)
+        |ORDER BY seg, nation""".stripMargin,
+    "q31_cube" ->
+      """SELECT coalesce(c_mktsegment, 'ALL') AS seg,
+        |  coalesce(n_name, 'ALL') AS nation,
+        |  CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY CUBE(c_mktsegment, n_name)
         |ORDER BY seg, nation""".stripMargin,
     "q15_having_subquery" ->
       """WITH j AS (SELECT n_name, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
@@ -1820,6 +1845,14 @@ object SparkEntry {
         |FROM events WHERE user_id BETWEEN 4 AND 6
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "p4_histogram" ->
+      """WITH b AS (SELECT CAST(least(greatest(
+        |      floor((value - 0.0) * 20 / 600.0), 0.0), 19.0) AS BIGINT)
+        |    AS bucket FROM events WHERE value IS NOT NULL)
+        |SELECT bucket, 0.0 + bucket * (600.0 / 20) AS bin_lo,
+        |  0.0 + (bucket + 1) * (600.0 / 20) AS bin_hi,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "p3_expectations" ->
       """WITH v AS (
         |  SELECT 'not_null' AS rule, 'text' AS "column",

@@ -87,4 +87,24 @@ object Profile {
         explode(array(entries: _*)).as("__g_p"))
       .select(col("window_start"), col("__g_p.*"))
   }
+
+  /** Equi-width histogram of a numeric column: one groupBy on the
+    * bucket index (map-side combine reduces the shuffle to at most
+    * `bins` rows per partition), out-of-range values clamp into the
+    * edge buckets, nulls drop. Empty buckets are omitted — the result
+    * is at most `bins` rows however large the table. */
+  def histogram(df: DataFrame, column: String, bins: Int,
+      lo: Double, hi: Double): DataFrame = {
+    require(bins > 0 && hi > lo)
+    val width = (hi - lo) / bins
+    val b = least(greatest(
+        floor((col(column) - lit(lo)) * lit(bins) / lit(hi - lo)), lit(0.0)),
+      lit((bins - 1).toDouble)).cast("long")
+    df.filter(col(column).isNotNull)
+      .groupBy(b.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo", lit(lo) + col("bucket") * lit(width))
+      .withColumn("bin_hi", lit(lo) + (col("bucket") + 1) * lit(width))
+      .select("bucket", "bin_lo", "bin_hi", "n")
+  }
 }
