@@ -108,19 +108,32 @@ object Bench {
     spark.stop()
     // the consumer captures a bounded (~2000 char) stdout tail; keep
     // the line inside it, degrading per-query precision, then the sf
-    // spelling, before ever dropping the per-query map
-    def line(f: Double => String, sf: String): String =
+    // spelling, then the key spelling (unique id prefixes — "q1_agg"
+    // -> "q1"; full names always live in BENCH_DETAIL.json), before
+    // ever dropping the per-query map
+    val prefixOf = names.map(n => n -> n.takeWhile(_ != '_')).toMap
+    val prefixCounts = prefixOf.values.groupBy(identity).view.mapValues(_.size)
+    def shortName(n: String): String = {
+      val p = prefixOf(n)
+      if (prefixCounts(p) == 1) p else n
+    }
+    def line(f: Double => String, sf: String, key: String => String): String = {
+      val qs = results.map(t =>
+          "\"" + key(t._1) + "\":" + (if (t._2 < 0) "-1" else f(t._2)))
+        .mkString("{", ",", "}")
       s"""{"metric":"total","value":${sec(total)},"unit":"sec"""" +
-        s""","queries":${obj(t => if (t._2 < 0) "-1" else f(t._2))},"sf":"$sf"}"""
+        s""","queries":$qs,"sf":"$sf"}"""
+    }
     // trailing-zero stripping buys ~2 chars/query before precision drops
     def strip(s: String): String =
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
       else s
     val shortSf = sfDir.split("/").filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    val s1: Double => String = s => strip(f"$s%.1f")
     val out = (Seq[Double => String](
-        s => f"$s%.3f", s => strip(f"$s%.3f"), s => strip(f"$s%.2f"),
-        s => strip(f"$s%.1f")).map(line(_, sfDir)) :+
-        line(s => strip(f"$s%.1f"), shortSf))
+        s => f"$s%.3f", s => strip(f"$s%.3f"), s => strip(f"$s%.2f"), s1)
+        .map(line(_, sfDir, identity)) ++
+        Seq(line(s1, shortSf, identity), line(s1, shortSf, shortName)))
       .find(_.length <= 1950).getOrElse(
         s"""{"metric":"total","value":${sec(total)},"unit":"sec","sf":"$sfDir"}""")
     println(out)

@@ -84,10 +84,11 @@ object TextRank {
     * distributed bottom-k. */
   def bigramLmScore(docs: DataFrame, bottomK: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sp = split(trim(lower(col(textCol))), "\\s+")
-    val gramsCol = when(size(sp) < 2, array(array_join(sp, " ")))
-      .otherwise(transform(sequence(lit(0), size(sp) - lit(2)),
-        i => concat(element_at(sp, i + 1), lit(" "), element_at(sp, i + 2))))
+    // ShingleStrings = ONE split per row; the split/transform/element_at
+    // formulation re-splits per gram (the documented O(words^2) trap —
+    // measured 6.6 s vs 1 s at sf0.1)
+    val gramsCol = graft.functions.GraftFunctions
+      .shingle_strings(lower(col(textCol)), 2)
     val g = docs.select(col(idCol), explode(gramsCol).as("g"))
     val c2 = g.groupBy("g").agg(count(lit(1)).as("c2"))
     val gw = c2.withColumn("w1", split(col("g"), " ").getItem(0))
