@@ -788,6 +788,19 @@ object SparkEntry {
     "x14_lm_score" -> ((s, dir) =>
       TextRank.bigramLmScore(T(s, dir, "documents"), bottomK = 20)
         .orderBy("doc_id")),
+    // deterministic sharded training-order shuffle: map-side shard
+    // assignment + one row_number per shard, NO global sort; new epoch
+    // = new salt
+    "x15_shuffle" -> ((s, dir) =>
+      CorpusOps.shardShuffle(T(s, dir, "documents"), "doc_id", shards = 8)
+        .select("shard", "pos", "doc_id")
+        .orderBy("shard", "pos")),
+    // token-budget corpus mixing: per-lang soft cap via ONE window
+    // cumsum (the "N tokens per language" recipe step)
+    "x16_budget_mix" -> ((s, dir) =>
+      CorpusOps.budgetMix(T(s, dir, "documents"), "doc_id", "text",
+          "lang", budget = 2000L)
+        .orderBy("lang", "doc_id")),
 
     // benchmark decontamination: distinct 3-gram overlap counts against
     // the held-out source, shuffle equi-join on the gram string
@@ -842,6 +855,13 @@ object SparkEntry {
       Similarity.kmeansQuantized(T(s, dir, "embeddings"),
           k = 8, iterations = 2)
         .orderBy("vec_id")),
+    // SemDeDup: cluster the embedding space, exact cosine pairs only
+    // WITHIN clusters — the published semantic-dedup recipe; recall vs
+    // the exact grid join (d5) is spec-bounded
+    "d11_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedupPairs(T(s, dir, "embeddings"),
+          k = 8, iterations = 2, threshold = 0.45)
+        .orderBy("id_a", "id_b")),
     // exact decontamination behind a broadcast Bloom prefilter: the
     // benchmark grams collapse into one bit array, corpus grams that
     // miss it never reach the shuffle, survivors exact-verify
@@ -1438,6 +1458,20 @@ object SparkEntry {
     // reduces the composed IVF-PQ pipeline to exact top-k, so the
     // brute-force SQL is the precise mirror
     "s10_kmeans" -> kmeansOracleSql,
+    // d11: the k-means CTEs feed a cluster-restricted exact pair join;
+    // sims are the same bit-exact double cosine as s1/d5
+    "d11_semantic_dedup" ->
+      s"""WITH $kmeansCtes,
+        |cl AS (SELECT vec_id, cid FROM a2),
+        |ee AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_cosine_similarity(ea.v, eb.v) AS sim
+        |  FROM cl a JOIN cl b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  JOIN ee ea ON ea.vec_id = a.vec_id
+        |  JOIN ee eb ON eb.vec_id = b.vec_id)
+        |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
     "s9_ann_ivfpq" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
         |  FROM embeddings WHERE vec_id < 10),
@@ -1654,6 +1688,23 @@ object SparkEntry {
         |    ORDER BY score DESC, term ASC) AS INT) AS "rank", term
         |FROM sc QUALIFY "rank" <= 3
         |ORDER BY doc_id, "rank"""".stripMargin,
+    "x15_shuffle" -> {
+      val (shard, h) = operators.CorpusOps.shardShuffleSql("doc_id::VARCHAR", 8)
+      s"""WITH s AS (SELECT doc_id, $shard AS shard, $h AS h FROM documents)
+        |SELECT shard, CAST(row_number() OVER (PARTITION BY shard
+        |    ORDER BY h, doc_id) AS BIGINT) AS pos, doc_id
+        |FROM s ORDER BY shard, pos""".stripMargin
+    },
+    "x16_budget_mix" ->
+      """WITH t AS (SELECT lang, doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens FROM documents),
+        |c AS (SELECT lang, doc_id, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT lang, doc_id, n_tokens FROM c
+        |WHERE cum - n_tokens < 2000 ORDER BY lang, doc_id""".stripMargin,
     "x14_lm_score" ->
       """WITH spt AS (SELECT doc_id,
         |    string_split_regex(trim(lower(text)), '\s+') AS sp FROM documents),
@@ -1898,7 +1949,12 @@ object SparkEntry {
     * seed with the first k vectors, then per iteration an argmax-cosine
     * assignment (integer dot/norms => double-exact => bit-identical to
     * Spark) and an integer sum-vector centroid recompute. */
-  private def kmeansOracleSql: String = {
+  private def kmeansOracleSql: String =
+    s"WITH $kmeansCtes\nSELECT vec_id, cid AS cluster FROM a2 ORDER BY vec_id"
+
+  /** The k-means CTE chain (ends at assignment `a2`), shared by the
+    * s10 oracle and d11's cluster-restricted pair mirror. */
+  private def kmeansCtes: String = {
     val k = 8; val scale = 1024; val dim = 64; val iterations = 2
     def assignCtes(n: Int, centsCte: String) =
       s"""s$n AS (SELECT en.vec_id, en.q, en.na, c.cid,
@@ -1919,15 +1975,13 @@ object SparkEntry {
     val iterCtes = (2 to iterations)
       .map(n => recomputeCtes(n) + ",\n" + assignCtes(n, s"c$n"))
       .mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+    s"""e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
        |    x -> CAST(floor(x * $scale) AS BIGINT)) AS q FROM embeddings),
        |en AS (SELECT vec_id, q,
        |  list_sum(list_transform(q, x -> x*x)) AS na FROM e),
        |c1 AS (SELECT vec_id AS cid, q AS c FROM e WHERE vec_id < $k),
        |${assignCtes(1, "c1")},
-       |$iterCtes
-       |SELECT vec_id, cid AS cluster FROM a$iterations ORDER BY vec_id"""
-      .stripMargin
+       |$iterCtes""".stripMargin
   }
 
   /** DuckDB mirror of the full PQ pipeline (s8): the codebook derives

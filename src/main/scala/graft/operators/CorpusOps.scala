@@ -131,6 +131,48 @@ object CorpusOps {
     s"ln((('0x' || substr(md5($idExpr || ':$salt'), 1, 13))::BIGINT + 0.5)" +
       s" / 4503599627370496.0) / $weightExpr"
 
+  /** Deterministic SHARDED training-order shuffle: each row hashes to a
+    * shard and gets a position within it by hash order — the layout a
+    * training run reads (one file per shard, locally shuffled), with no
+    * global sort anywhere: shard assignment is map-side, positions are
+    * one row_number per shard partition. Reshuffling for a new epoch is
+    * just a new salt. Stable across runs/engines/partitionings. */
+  def shardShuffle(df: DataFrame, idCol: String, shards: Int,
+      salt: String = "graft-shuffle"): DataFrame = {
+    require(shards >= 1 && shards <= 256,
+      "shard count derives from one md5 hex byte")
+    val h = md5(concat(col(idCol).cast("string"), lit(":" + salt)))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", h)
+      .withColumn("shard",
+        conv(substring(col("__h"), 1, 2), 16, 10).cast("long") % shards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
+
+  /** SQL mirror of `shardShuffle`'s shard + ordering for an oracle. */
+  def shardShuffleSql(idExpr: String, shards: Int,
+      salt: String = "graft-shuffle"): (String, String) = {
+    val h = s"md5($idExpr || ':$salt')"
+    (s"(('0x' || substr($h, 1, 2))::BIGINT % $shards)", h)
+  }
+
+  /** Token-budget corpus MIXING: per stratum, keep documents in id
+    * order until the stratum's token budget fills (a doc that straddles
+    * the boundary stays in — budgets are soft caps, the x11 packing
+    * convention). One window cumsum per stratum, no driver loop — the
+    * "N billion tokens per language/source" recipe step. */
+  def budgetMix(df: DataFrame, idCol: String, textCol: String,
+      strataCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(strataCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens",
+        size(split(trim(col(textCol)), "\\s+")).cast("long"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .where(col("__cum") - col("n_tokens") < budget)
+      .select(col(strataCol), col(idCol), col("n_tokens"))
+  }
+
   /** Sliding-window CHUNKING for context-length-bounded training/RAG:
     * each doc yields token windows of `size` starting every `stride`
     * tokens (overlap = size - stride), tail windows included. Pure

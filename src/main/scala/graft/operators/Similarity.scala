@@ -512,4 +512,35 @@ object Similarity {
     }
     assigned.select(col("vec_id"), col("cid").as("cluster"))
   }
+
+  /** SemDeDup-shaped semantic deduplication: cluster the embedding
+    * space (deterministic quantized k-means), then compute exact
+    * cosine pairs ONLY within clusters — the published recipe for
+    * embedding-level dedup at corpus scale, where all-pairs is
+    * unpayable and near-duplicates co-cluster by construction.
+    *
+    * Per-cluster work is O(|c|^2), so `k` sets the cost/recall trade:
+    * size k so clusters fit a task (SemDeDup's own regime is k in the
+    * tens of thousands on web corpora). The within-cluster join is a
+    * plain shuffle equi-join on the cluster id; recall vs the exact
+    * grid join (d5) is spec-bounded on this corpus. */
+  def semanticDedupPairs(corpus: DataFrame, k: Int, iterations: Int,
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val assigned = kmeansQuantized(corpus, k, iterations, idCol = idCol,
+      vecCol = vecCol)
+    // kmeansQuantized normalizes the id column name to vec_id
+    val withC = corpus
+      .select(col(idCol).cast("long").as("vec_id"), col(vecCol))
+      .join(assigned, "vec_id")
+    val a = withC.select(col("cluster"), col("vec_id").as("id_a"),
+      col(vecCol).as("__va"))
+    val b = withC.select(col("cluster"), col("vec_id").as("id_b"),
+      col(vecCol).as("__vb"))
+    a.join(b, Seq("cluster"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine_similarity(col("__va"), col("__vb")))
+      .where(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
 }

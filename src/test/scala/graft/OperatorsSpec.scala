@@ -885,6 +885,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(audit == Map("not_null" -> 1L, "in_set" -> 0L, "in_range" -> 0L))
   }
 
+  test("semantic dedup: subset of exact pairs, useful recall, no false positives") {
+    val emb = sources.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val sem = Similarity.semanticDedupPairs(emb, k = 8, iterations = 2,
+      threshold = 0.45).select("id_a", "id_b")
+    val exact = Similarity.nearDupPairsGrid(emb, 0.45)
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+    // within-cluster pairs are a SUBSET of the exact pairs (no FPs)...
+    assert(sem.exceptAll(exact).isEmpty,
+      "semantic dedup must not invent pairs the exact join rejects")
+    // ...and co-clustering must catch a useful fraction of them
+    val (nSem, nExact) = (sem.count(), exact.count())
+    assert(nExact > 0 && nSem.toDouble / nExact >= 0.5,
+      s"recall $nSem/$nExact below 0.5")
+  }
+
   test("image header parsing: PNG IHDR and JPEG SOF dimensions, no codec libs") {
     // hand-crafted minimal PNG header: signature + IHDR 640x480
     val png = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
