@@ -894,6 +894,20 @@ object SparkEntry {
           col("approx_distinct"), col("min_value"), col("max_value"))
         .orderBy("window_start", "column")),
 
+    // the audit as a continuous data-contract monitor: same mergeable
+    // violation aggregates per event-time window (streaming parity in
+    // StreamingSpec); in_range is tight enough to report real breaches
+    "p5_expectations_windowed" -> ((s, dir) =>
+      Expectations.auditWindowed(T(s, dir, "events"), "ts", "1 hour", Seq(
+          Expectations.notNull("props"),
+          Expectations.inRange("value", 0L, 400L),
+          Expectations.inSet("event_type",
+            Seq("click", "error", "purchase", "signup", "view"))))
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          col("rule"), col("column"), col("n_violations"), col("n_rows"),
+          col("passed"))
+        .orderBy("window_start", "rule", "column")),
     // equi-width histogram: at most `bins` rows out however large the
     // table; bucket arithmetic mirrored literally in the oracle
     "p4_histogram" -> ((s, dir) =>
@@ -1896,6 +1910,25 @@ object SparkEntry {
         |FROM events WHERE user_id BETWEEN 4 AND 6
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "p5_expectations_windowed" ->
+      """WITH w AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws,
+        |    props, value, event_type FROM events),
+        |a AS (SELECT ws, count(*) AS n,
+        |    sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS v0,
+        |    sum(CASE WHEN value < 0 OR value > 400 THEN 1 ELSE 0 END) AS v1,
+        |    sum(CASE WHEN event_type NOT IN
+        |      ('click','error','purchase','signup','view')
+        |      THEN 1 ELSE 0 END) AS v2
+        |  FROM w GROUP BY 1)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, rule,
+        |  "column", CAST(v AS BIGINT) AS n_violations,
+        |  CAST(n AS BIGINT) AS n_rows, v = 0 AS passed
+        |FROM (
+        |  SELECT ws, n, 'not_null' AS rule, 'props' AS "column", v0 AS v
+        |    FROM a
+        |  UNION ALL SELECT ws, n, 'in_range', 'value', v1 FROM a
+        |  UNION ALL SELECT ws, n, 'in_set', 'event_type', v2 FROM a)
+        |ORDER BY window_start, rule, "column"""".stripMargin,
     "p4_histogram" ->
       """WITH b AS (SELECT CAST(least(greatest(
         |      floor((value - 0.0) * 20 / 600.0), 0.0), 19.0) AS BIGINT)

@@ -32,6 +32,33 @@ object Expectations {
     Check("non_empty", c,
       sum(when(length(trim(col(c))) === 0, 1L).otherwise(0L)))
 
+  /** The audit reshaped over event-time windows: same mergeable
+    * violation aggregates per tumbling window, so the identical
+    * declarative body runs batch or streaming (the continuous
+    * data-contract monitor for an arriving corpus). One row per
+    * (window, check). */
+  def auditWindowed(df: DataFrame, tsCol: String, windowDuration: String,
+      checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "audit needs at least one check")
+    val keyed = checks.zipWithIndex
+    val aggCols = keyed.map { case (c, i) =>
+      coalesce(c.violations.cast("long"), lit(0L)).as(s"__v$i")
+    }
+    val agged = df
+      .groupBy(window(col(tsCol), windowDuration).as("__w"))
+      .agg(count(lit(1)).as("__n"), aggCols: _*)
+    val stacked = keyed
+      .map { case (c, i) => s"'${c.rule}', '${c.column}', __v$i" }
+      .mkString(", ")
+    agged
+      .select(col("__w.start").as("window_start"), col("__n"),
+        expr(s"stack(${checks.size}, $stacked)")
+          .as(Seq("rule", "column", "n_violations")))
+      .select(col("window_start"), col("rule"), col("column"),
+        col("n_violations"), col("__n").as("n_rows"),
+        (col("n_violations") === 0L).as("passed"))
+  }
+
   /** One row per check: (rule, column, n_violations, n_rows, passed). */
   def audit(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "audit needs at least one check")

@@ -71,6 +71,14 @@ object ScaleBench {
       replicate(li, factor) { (l, i) =>
         l.withColumn("l_orderkey", col("l_orderkey") + lit(i * SHIFT))
       }.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      // fact side of the merge/cube queries replicates with fresh keys;
+      // nation is a dim — copied as-is
+      val cust = Tables.load(spark, base, "customer")
+      replicate(cust, factor) { (c, i) =>
+        c.withColumn("c_custkey", col("c_custkey") + lit(i * SHIFT))
+      }.write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      Tables.load(spark, base, "nation")
+        .write.mode("overwrite").parquet(s"$dir/nation.parquet")
       new java.io.File(s"$dir/_done").createNewFile()
       dir
     }
@@ -97,7 +105,9 @@ object ScaleBench {
       // the salted-terms case below measures real retrieval instead.
       "a6_heavy_hitters", "a7_weighted_sample", "x13_tfidf",
       "q28_scd2", "s10_kmeans", "f1_manifest_prune", "f2_zorder_skip",
-      "f3_compaction")
+      "f3_compaction", "x14_lm_score", "x15_shuffle", "x16_budget_mix",
+      "q30_merge_upsert", "q31_cube", "p3_expectations", "p4_histogram",
+      "d11_semantic_dedup")
     val quadOps = Seq("d5_embed_neardup", "s1_ann_bruteforce")
 
     // Candidate-stage scale check for the re-ranking ANN paths: a 10x
