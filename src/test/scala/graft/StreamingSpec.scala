@@ -213,6 +213,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming windowed expectations: violation counts merge across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Expectations
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StatefulOps.Evt]
+    val agg = Expectations.auditWindowed(
+        in.toDS().withWatermark("ts", "0 seconds").toDF(),
+        "ts", "100 seconds",
+        Seq(Expectations.inRange("value", 0L, 10L)))
+      .select(col("window_start"), col("rule"), col("n_violations"),
+        col("n_rows"), col("passed"))
+    val q = agg.writeStream.format("memory").queryName("expwin")
+      .outputMode("append").start()
+    try {
+      // window [1000,1100): 3 rows, one breach (42.0), split over batches
+      in.addData(StatefulOps.Evt(1L, ts(1001), 5.0))
+      q.processAllAvailable()
+      in.addData(StatefulOps.Evt(1L, ts(1002), 42.0),
+        StatefulOps.Evt(2L, ts(1003), 7.0))
+      q.processAllAvailable()
+      in.addData(StatefulOps.Evt(2L, ts(99999), 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        """SELECT n_violations, n_rows, passed FROM expwin
+          |WHERE window_start = timestamp'1970-01-01 00:16:40'""".stripMargin)
+        .collect()
+      assert(rows.length == 1, "window [1000,1100) must have been emitted")
+      assert(rows.head.getLong(0) == 1 && rows.head.getLong(1) == 3
+        && !rows.head.getBoolean(2),
+        s"expected 1 violation of 3 rows: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming windowed heavy hitters: MG counters merge across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
