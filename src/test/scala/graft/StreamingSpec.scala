@@ -177,6 +177,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CDC apply: snapshot tracks upserts/deletes across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc").toString + "/snap"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdc-ck").toString
+    val in = MemoryStream[(Long, String, Double, Boolean, Long)]
+    val changes = in.toDF().toDF("k", "name", "bal", "del", "seq")
+    val q = graft.streaming.CdcApply.run(changes, dir, "k", "del", "seq", ckpt)
+    try {
+      // batch 1: insert 1 and 2; key 2 changes twice in-batch (last wins)
+      in.addData((1L, "a", 10.0, false, 1L), (2L, "b0", 0.0, false, 2L),
+        (2L, "b", 20.0, false, 3L))
+      q.processAllAvailable()
+      val s1 = spark.read.parquet(dir).orderBy("k")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      assert(s1.toSeq == Seq((1L, "a", 10.0), (2L, "b", 20.0)))
+      // batch 2: update 1, delete 2, insert 3
+      in.addData((1L, "a2", 11.0, false, 4L), (2L, "b", 0.0, true, 5L),
+        (3L, "c", 30.0, false, 6L))
+      q.processAllAvailable()
+      val s2 = spark.read.parquet(dir).orderBy("k")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      assert(s2.toSeq == Seq((1L, "a2", 11.0), (3L, "c", 30.0)))
+    } finally q.stop()
+  }
+
   test("streaming SCD2: closed versions match the batch history, duplicates collapse") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
