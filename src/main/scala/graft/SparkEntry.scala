@@ -37,6 +37,19 @@ object SparkEntry {
     bm25Queries.flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
       .mkString(", ")
 
+  /** Stable scratch dir per (query, input): repeated bench/verify runs
+    * overwrite ONE tree per query and scale factor instead of
+    * accumulating abandoned temp layouts until the disk fills. */
+  private def layoutDir(name: String, dir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$name:$dir".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft-layout-$h")
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("ref_interval_join")(spark, "/root/testdata/sf0.001")
@@ -945,8 +958,7 @@ object SparkEntry {
     // predicate. The oracle is the plain full-scan filter: pruning
     // must lose nothing. ManifestSpec asserts the scan really skipped.
     "f1_manifest_prune" -> ((s, dir) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-manifest").toString
+      val tmp = layoutDir("f1", dir)
       FileManifest.writeLayout(T(s, dir, "events"), tmp, "user_id", 16)
       val manifest = FileManifest.buildManifest(s, tmp, "user_id")
       FileManifest.readPruned(s, manifest, "user_id", 4L, 6L)
@@ -962,8 +974,7 @@ object SparkEntry {
     // box. sum_z pins the Morton formula itself to the DuckDB mirror;
     // the aggregate pins that 2-D pruning loses nothing.
     "f2_zorder_skip" -> ((s, dir) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-zorder").toString
+      val tmp = layoutDir("f2", dir)
       val ev = T(s, dir, "events")
         .withColumn("vbucket", floor(col("value")).cast("long"))
       ZOrder.writeZOrdered(ev, tmp, "user_id", "vbucket",
@@ -982,8 +993,7 @@ object SparkEntry {
     // key order (clustering preserved => manifest still prunes), then
     // prove the rewrite lost nothing against the plain full-scan oracle
     "f3_compaction" -> ((s, dir) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-compact").toString
+      val tmp = layoutDir("f3", dir)
       FileManifest.writeLayout(T(s, dir, "events"), s"$tmp/small",
         "user_id", 32)
       val m = FileManifest.buildManifest(s, s"$tmp/small", "user_id")

@@ -94,7 +94,12 @@ case class HeavyHitters(child: Expression, capacity: Int, topN: Int,
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.forEach { (k, v) => out.writeUTF(k); out.writeLong(v) }
+    // length-prefixed UTF-8 (writeUTF would throw past 64 KiB — a
+    // single unbroken blob token must not fail the shuffle stage)
+    buf.forEach { (k, v) =>
+      val b = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(v)
+    }
     out.flush(); bos.toByteArray
   }
 
@@ -103,7 +108,14 @@ case class HeavyHitters(child: Expression, capacity: Int, topN: Int,
     val n = in.readInt()
     val m = new java.util.HashMap[String, Long](n * 2)
     var i = 0
-    while (i < n) { m.put(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      m.put(new String(b, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+      i += 1
+    }
     m
   }
 

@@ -17,6 +17,10 @@ import org.apache.spark.sql.functions._
 object Expectations {
   final case class Check(rule: String, column: String, violations: Column)
 
+  /** SQL string literal with quotes doubled — rule/column names splice
+    * into the stack() expression and must not break parsing. */
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
   def notNull(c: String): Check =
     Check("not_null", c, sum(when(col(c).isNull, 1L).otherwise(0L)))
   /** Duplicate non-null values (count - distinct). */
@@ -48,7 +52,7 @@ object Expectations {
       .groupBy(window(col(tsCol), windowDuration).as("__w"))
       .agg(count(lit(1)).as("__n"), aggCols: _*)
     val stacked = keyed
-      .map { case (c, i) => s"'${c.rule}', '${c.column}', __v$i" }
+      .map { case (c, i) => s"${sqlLit(c.rule)}, ${sqlLit(c.column)}, __v$i" }
       .mkString(", ")
     agged
       .select(col("__w.start").as("window_start"), col("__n"),
@@ -70,7 +74,7 @@ object Expectations {
     }
     val row = df.agg(count(lit(1)).as("__n"), aggCols: _*)
     val stacked = keyed
-      .map { case (c, i) => s"'${c.rule}', '${c.column}', __v$i" }
+      .map { case (c, i) => s"${sqlLit(c.rule)}, ${sqlLit(c.column)}, __v$i" }
       .mkString(", ")
     row
       .select(col("__n"),

@@ -457,8 +457,12 @@ object Similarity {
     * sizes, which is what makes a clustering job auditable. Centroids
     * stay UNNORMALIZED integer sum-vectors (cosine is scale-invariant,
     * so dividing by the member count would only launder exact integers
-    * into doubles). With scale=1024 the norms stay under 2^53 (double-
-    * exact) up to ~10^6-vector clusters.
+    * into doubles). Exactness bound: the centroid norm is at most
+    * dim*(scale*m)^2 for an m-member cluster, so with scale=1024 and
+    * dim=64 it stays double-exact (< 2^53) up to m ~ 11.5k members —
+    * recompute() enforces the bound loudly instead of letting cosines
+    * silently degrade (size clusters via k, or lower `scale`, to stay
+    * inside it; scale=256 lifts the bound to ~46k).
     *
     * Plan shape per iteration: one map-only assignment against
     * centroid LITERALS (no broadcast join, fully codegen'd) + one
@@ -506,6 +510,15 @@ object Similarity {
       cents = sums.groupBy(_._1).toSeq.sortBy(_._1).map { case (cid, ds) =>
         val arr = new Array[Long](dim)
         ds.foreach { case (_, i, s) => arr(i) = s }
+        // keep the centroid norm double-exact: Σ c_d^2 < 2^53 requires
+        // |c_d| <= sqrt(2^53 / dim); beyond it cosines silently lose
+        // bit-reproducibility (and eventually overflow Long) — fail
+        // loudly so the caller raises k or lowers `scale`
+        val bound = math.sqrt(9007199254740992.0 / dim).toLong
+        arr.foreach(c => require(math.abs(c) <= bound,
+          s"cluster $cid too heavy for exact arithmetic at scale=$scale " +
+            s"(|component| ${arr.map(math.abs).max} > $bound); " +
+            "raise k or lower scale"))
         (cid, arr)
       }
       assigned = assign(cents)

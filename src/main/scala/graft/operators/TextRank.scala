@@ -38,8 +38,14 @@ object TextRank {
     import spark.implicits._
     val t = tokens(docs, idCol, textCol)
     val dl = t.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
-    val Row(nDocs: Long, totTok: Long) =
-      dl.agg(count(lit(1)), sum(col("dl"))).head
+    val statsRow = dl.agg(count(lit(1)), sum(col("dl"))).head
+    if (statsRow.getLong(0) == 0L) {
+      // no tokenized documents: every query retrieves nothing
+      return docs.sparkSession.emptyDataFrame
+        .select(lit(0).as("query_id"), lit(0).as("rank"),
+          lit(0L).as(idCol)).limit(0)
+    }
+    val (nDocs, totTok) = (statsRow.getLong(0), statsRow.getLong(1))
     val avgdl = totTok.toDouble / nDocs
     val allTerms = queries.flatMap(_._2).distinct
     val qt = queries.flatMap { case (qid, ts) => ts.map(tm => (qid, tm)) }

@@ -51,48 +51,64 @@ object FileManifest {
     * supposed to have (a 100 TB table at 1 GB/file is 10^5 rows — a
     * side table, not a dataset). */
   def buildManifest(spark: SparkSession, dir: String,
-      column: String): Seq[FileStats] = {
+      column: String): Seq[FileStats] =
+    buildManifests(spark, dir, Seq(column))(column)
+
+  /** Manifests for several columns in ONE footer pass per file (a 2-D
+    * box read needs two manifests; re-reading footers per dimension
+    * would double the metadata latency for nothing). */
+  def buildManifests(spark: SparkSession, dir: String,
+      columns: Seq[String]): Map[String, Seq[FileStats]] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = FileSystem.get(new java.net.URI(dir), conf)
     val files = fs.listStatus(new Path(dir)).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(_.getPath)
-    files.map(p => footerStats(conf, p, column)).sortBy(_.path)
+    val perFile = files.map(p => footerStats(conf, p, columns))
+    columns.map(c => c -> perFile.map(_(c)).sortBy(_.path)).toMap
   }
 
   private def footerStats(conf: Configuration, file: Path,
-      column: String): FileStats = {
+      columns: Seq[String]): Map[String, FileStats] = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try {
       val blocks = reader.getFooter.getBlocks.asScala
       var rows = 0L
-      var mn = Long.MaxValue
-      var mx = Long.MinValue
-      var found = false
+      val mn = scala.collection.mutable.Map(
+        columns.map(_ -> Long.MaxValue): _*)
+      val mx = scala.collection.mutable.Map(
+        columns.map(_ -> Long.MinValue): _*)
+      val found = scala.collection.mutable.Set.empty[String]
       blocks.foreach { b =>
         rows += b.getRowCount
-        b.getColumns.asScala
-          .find(_.getPath.toDotString == column)
-          .foreach { c =>
+        b.getColumns.asScala.foreach { c =>
+          val name = c.getPath.toDotString
+          if (mn.contains(name)) {
             val st = c.getStatistics
             require(st != null && st.hasNonNullValue,
-              s"no footer stats for $column in $file")
-            found = true
+              s"no footer stats for $name in $file")
+            found += name
             (st.genericGetMin, st.genericGetMax) match {
               case (lo: java.lang.Long, hi: java.lang.Long) =>
-                mn = math.min(mn, lo); mx = math.max(mx, hi)
+                mn(name) = math.min(mn(name), lo)
+                mx(name) = math.max(mx(name), hi)
               case (lo: java.lang.Integer, hi: java.lang.Integer) =>
-                mn = math.min(mn, lo.longValue); mx = math.max(mx, hi.longValue)
+                mn(name) = math.min(mn(name), lo.longValue)
+                mx(name) = math.max(mx(name), hi.longValue)
               case other => sys.error(
-                s"unsupported stats type for $column: ${other.getClass}")
+                s"unsupported stats type for $name: ${other.getClass}")
             }
           }
+        }
       }
       // a missing column would leave the (MaxValue, MinValue) sentinels,
       // which prune() would treat as "can never match" — silent data
       // loss; fail loudly instead
-      require(found || rows == 0, s"column $column absent from $file")
-      FileStats(file.toString, rows, mn, mx)
+      columns.foreach { c =>
+        require(found(c) || rows == 0, s"column $c absent from $file")
+      }
+      columns.map(c =>
+        c -> FileStats(file.toString, rows, mn(c), mx(c))).toMap
     } finally reader.close()
   }
 
@@ -111,7 +127,7 @@ object FileManifest {
     val conf = spark.sparkContext.hadoopConfiguration
     val known = manifest.map(_.path).toSet
     val fresh = newFiles.filterNot(known)
-      .map(p => footerStats(conf, new Path(p), column))
+      .map(p => footerStats(conf, new Path(p), Seq(column))(column))
     (manifest ++ fresh).sortBy(_.path)
   }
 
@@ -126,10 +142,15 @@ object FileManifest {
     * inside the survivors via normal parquet filter pushdown). */
   def readPruned(spark: SparkSession, manifest: Seq[FileStats],
       column: String, lo: Long, hi: Long): DataFrame = {
+    require(manifest.nonEmpty, "empty manifest")
     val survivors = prune(manifest, lo, hi).map(_.path)
-    require(survivors.nonEmpty, s"no file can contain $column in [$lo, $hi]")
-    spark.read.parquet(survivors: _*)
-      .filter(col(column) >= lo && col(column) <= hi)
+    // every file pruned away is a legitimately-EMPTY result, not an
+    // error (the full-scan mirror of the same predicate returns 0
+    // rows); read one file for the schema and keep zero of its rows
+    val src =
+      if (survivors.nonEmpty) spark.read.parquet(survivors: _*)
+      else spark.read.parquet(manifest.head.path).where(lit(false))
+    src.filter(col(column) >= lo && col(column) <= hi)
   }
 
   /** Greedy key-order bin packing of manifest entries: consecutive
@@ -161,7 +182,12 @@ object FileManifest {
     * bin jobs concurrently; sequential submission here keeps the demo
     * simple — the data path is identical). */
   def compact(spark: SparkSession, manifest: Seq[FileStats], outDir: String,
-      sortCol: String, targetRows: Long): Unit =
+      sortCol: String, targetRows: Long): Unit = {
+    // clear the destination first: per-bin overwrite would leave stale
+    // bins behind whenever the new plan has fewer of them
+    val out = new Path(outDir)
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(out, true)
     planCompaction(manifest, targetRows).zipWithIndex.foreach {
       case (bin, i) =>
         spark.read.parquet(bin.map(_.path): _*)
@@ -170,6 +196,7 @@ object FileManifest {
           .write.mode(SaveMode.Overwrite)
           .parquet(f"$outDir/bin_$i%05d")
     }
+  }
 
   /** Read a compacted table back (bins are subdirectories). */
   def readCompacted(spark: SparkSession, outDir: String): DataFrame =

@@ -64,17 +64,23 @@ object ZOrder {
   }
 
   /** Box-predicate read over a laid-out table: prune the file list
-    * with one manifest per dimension (survivors = intersection), then
-    * re-apply the exact box filter on the survivors. */
+    * with one manifest per dimension (survivors = intersection; all
+    * manifests come from ONE footer pass), then re-apply the exact box
+    * filter on the survivors. A box outside the data is a legitimately
+    * empty result, not an error. */
   def readBox(spark: SparkSession, dir: String,
       dims: Seq[(String, Long, Long)]): DataFrame = {
     require(dims.nonEmpty)
+    val manifests = FileManifest.buildManifests(spark, dir, dims.map(_._1))
+    require(manifests(dims.head._1).nonEmpty, s"no parquet files in $dir")
     val surviving = dims.map { case (c, lo, hi) =>
-      FileManifest.prune(FileManifest.buildManifest(spark, dir, c), lo, hi)
-        .map(_.path).toSet
+      FileManifest.prune(manifests(c), lo, hi).map(_.path).toSet
     }.reduce(_ intersect _)
-    require(surviving.nonEmpty, "no file can contain the box")
-    dims.foldLeft(spark.read.parquet(surviving.toSeq.sorted: _*)) {
+    val src =
+      if (surviving.nonEmpty) spark.read.parquet(surviving.toSeq.sorted: _*)
+      else spark.read.parquet(manifests(dims.head._1).head.path)
+        .where(lit(false))
+    dims.foldLeft(src) {
       case (df, (c, lo, hi)) => df.filter(col(c) >= lo && col(c) <= hi)
     }
   }

@@ -15,12 +15,12 @@ import graft.operators.Dimensions
   * Per micro-batch: collapse the batch to its LAST change per key (by
   * the `seqCol` ordering — a batch can carry several changes for one
   * key), merge into the current snapshot generation, write the next
-  * generation, then atomically swap directories. Generation-swap (write
-  * new, rename old away, rename new in) keeps readers from ever seeing
-  * a half-written snapshot and never reads the directory it is
-  * overwriting. Exactly-once comes from the streaming checkpoint: a
-  * replayed batch re-merges idempotently (same keys, same final
-  * values).
+  * generation, then swap directories. The swap keeps a previous
+  * generation alive until the new one is in place, so a crash at any
+  * point leaves a recoverable snapshot (see [[applyBatch]]); the batch
+  * never reads the directory it is overwriting. Exactly-once comes
+  * from the streaming checkpoint: a replayed batch re-merges
+  * idempotently (changes carry absolute values, not increments).
   */
 object CdcApply {
   /** Latest change per key by (seqCol desc): the batch-local collapse
@@ -33,13 +33,26 @@ object CdcApply {
   }
 
   /** Apply one batch of changes to the snapshot at `dir` (batch form,
-    * also the foreachBatch body). Creates the snapshot on first use. */
+    * also the foreachBatch body). Creates the snapshot on first use.
+    *
+    * Crash safety: the swap is rename(cur -> old); rename(next -> cur);
+    * delete(old). A crash between the two renames leaves `old` intact,
+    * and the recovery step below restores it before merging — the
+    * snapshot can lag by one committed batch after a crash (the
+    * replayed batch re-merges it) but is never lost or half-written. */
   def applyBatch(changes: DataFrame, dir: String, keyCol: String,
       deleteCol: String, seqCol: String): Unit = {
     val spark = changes.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(dir).getFileSystem(conf)
     val cur = new Path(dir)
+    val next = new Path(dir + ".next")
+    val old = new Path(dir + ".old")
+    // recover from a crash between the two swap renames: the previous
+    // generation is still in `old` — restore it as current
+    if (!fs.exists(cur) && fs.exists(old)) {
+      require(fs.rename(old, cur), s"recovery failed: $old -> $cur")
+    }
     val collapsed = latestPerKey(changes, keyCol, seqCol).drop(seqCol)
     val merged =
       if (fs.exists(cur)) {
@@ -49,8 +62,6 @@ object CdcApply {
         // first generation: surviving inserts only
         collapsed.filter(!col(deleteCol)).drop(deleteCol)
       }
-    val next = new Path(dir + ".next")
-    val old = new Path(dir + ".old")
     fs.delete(next, true); fs.delete(old, true)
     merged.write.mode("overwrite").parquet(next.toString)
     if (fs.exists(cur)) {

@@ -196,12 +196,18 @@ object StatefulOps {
     implicit val outEnc = Encoders.product[ScdVersion]
     implicit val stEnc = Encoders.product[ScdState]
 
+    // java.sql.Timestamp.getTime truncates to millis; getNanos carries
+    // the full sub-second — combine for true micros so the stream's
+    // ordering and emitted intervals match batch unix_micros exactly
+    def micros(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
     def fn(user: Long, it: Iterator[ScdEvent],
         state: GroupState[ScdState]): Iterator[ScdVersion] = {
       var emitted = List.empty[ScdVersion]
       var cur = state.getOption
-      it.toSeq.sortBy(e => (e.ts.getTime, e.seq)).foreach { e =>
-        val tus = e.ts.getTime * 1000L
+      it.toSeq.sortBy(e => (micros(e.ts), e.seq)).foreach { e =>
+        val tus = micros(e.ts)
         cur match {
           case Some(s) if s.attr == e.attr => () // no change, collapse
           case Some(s) =>
