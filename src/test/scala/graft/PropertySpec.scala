@@ -139,4 +139,69 @@ object PropertySpec extends Properties("graft.kernels") {
       val aud = Multimodal.audioMetadata(bytes)
       startsSig || (img.isEmpty && aud.isEmpty)
     }
+
+  // ---- Misra-Gries heavy hitters ------------------------------------
+
+  private def mgRun(tokens: Seq[String], capacity: Int):
+      java.util.HashMap[String, Long] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.StringType
+    val agg = graft.functions.HeavyHitters(
+      BoundReference(0, StringType, nullable = true), capacity, capacity)
+    val buf = agg.createAggregationBuffer()
+    tokens.foreach(t =>
+      agg.update(buf, InternalRow(UTF8String.fromString(t))))
+    buf
+  }
+
+  private def mgMerge(a: java.util.HashMap[String, Long],
+      b: java.util.HashMap[String, Long], capacity: Int) = {
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.StringType
+    graft.functions.HeavyHitters(
+      BoundReference(0, StringType, nullable = true), capacity, capacity)
+      .merge(a, b)
+  }
+
+  private val tokenStream: Gen[List[String]] =
+    Gen.listOf(Gen.choose(0, 40).map(i => s"t$i"))
+
+  property("Misra-Gries: MG bound, guaranteed recall, serde round-trip") =
+    forAll(tokenStream, Gen.choose(1, 12)) { (toks, cap) =>
+      val buf = mgRun(toks, cap)
+      val truth = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = toks.size.toDouble
+      var ok = buf.size <= cap
+      buf.forEach { (k, c) =>
+        val t = truth(k)
+        ok &&= c <= t && t - c <= n / (cap + 1)
+      }
+      // every item above the MG frequency threshold must be present
+      truth.foreach { case (k, t) =>
+        if (t > n / (cap + 1)) ok &&= buf.containsKey(k)
+      }
+      // serialization round-trips the counter set exactly
+      import org.apache.spark.sql.catalyst.expressions.BoundReference
+      import org.apache.spark.sql.types.StringType
+      val agg = graft.functions.HeavyHitters(
+        BoundReference(0, StringType, nullable = true), cap, cap)
+      ok && agg.deserialize(agg.serialize(buf)) == buf
+    }
+
+  property("Misra-Gries merge keeps the bound over both halves") =
+    forAll(tokenStream, tokenStream, Gen.choose(1, 12)) { (xs, ys, cap) =>
+      val merged = mgMerge(mgRun(xs, cap), mgRun(ys, cap), cap)
+      val all = xs ++ ys
+      val truth = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = all.size.toDouble
+      var ok = merged.size <= cap
+      merged.forEach { (k, c) =>
+        val t = truth(k)
+        // merging two summaries with error n_i/(cap+1) each gives at
+        // most n/(cap+1) combined underestimate (mergeable-summaries)
+        ok &&= c <= t && t - c <= n / (cap + 1)
+      }
+      ok
+    }
 }

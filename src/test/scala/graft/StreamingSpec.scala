@@ -203,6 +203,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("CDC apply recovers the snapshot from a crash between swap renames") {
+    import spark.implicits._
+    import graft.streaming.CdcApply
+    val base = java.nio.file.Files.createTempDirectory("graft-cdc-rec").toString
+    val dir = base + "/snap"
+    def ch(rows: (Long, String, Double, Boolean, Long)*) =
+      rows.toSeq.toDF("k", "name", "bal", "del", "seq")
+    CdcApply.applyBatch(ch((1L, "a", 10.0, false, 1L),
+      (2L, "b", 20.0, false, 2L)), dir, "k", "del", "seq")
+    // simulate dying after rename(cur -> old) but before rename(next -> cur)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".old")))
+    // the replayed batch must restore the old generation and merge into
+    // it — NOT rebuild from only its own rows
+    CdcApply.applyBatch(ch((3L, "c", 30.0, false, 3L)), dir, "k", "del", "seq")
+    val rows = spark.read.parquet(dir).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      s"pre-crash keys must survive: ${rows.toSeq}")
+  }
+
   test("streaming SCD2: closed versions match the batch history, duplicates collapse") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
