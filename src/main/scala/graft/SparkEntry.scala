@@ -808,6 +808,13 @@ object SparkEntry {
       CorpusOps.shardShuffle(T(s, dir, "documents"), "doc_id", shards = 8)
         .select("shard", "pos", "doc_id")
         .orderBy("shard", "pos")),
+    // leakage-safe split: near-dup groups land in ONE split, so test
+    // docs never have near-copies in train; assignment = md5 split
+    // keyed by the dedup component
+    "x17_safe_split" -> ((s, dir) =>
+      CorpusOps.leakageSafeSplit(T(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "lang", "split")
+        .orderBy("doc_id")),
     // token-budget corpus mixing: per-lang soft cap via ONE window
     // cumsum (the "N tokens per language" recipe step)
     "x16_budget_mix" -> ((s, dir) =>
@@ -1712,6 +1719,14 @@ object SparkEntry {
         |    ORDER BY score DESC, term ASC) AS INT) AS "rank", term
         |FROM sc QUALIFY "rank" <= 3
         |ORDER BY doc_id, "rank"""".stripMargin,
+    "x17_safe_split" ->
+      s"""WITH $jaccardClosureCtes,
+        |g AS (SELECT d.doc_id, d.lang,
+        |    coalesce(c.group_id, d.doc_id) AS grp
+        |  FROM documents d LEFT JOIN comp c USING (doc_id))
+        |SELECT doc_id, lang,
+        |  ${operators.CorpusOps.hashSplitSql("grp::VARCHAR")} AS "split"
+        |FROM g ORDER BY doc_id""".stripMargin,
     "x15_shuffle" -> {
       val (shard, h) = operators.CorpusOps.shardShuffleSql("doc_id::VARCHAR", 8)
       s"""WITH s AS (SELECT doc_id, $shard AS shard, $h AS h FROM documents)
@@ -2070,8 +2085,11 @@ object SparkEntry {
 
   /** d8/d10 shared oracle: exact-Jaccard pairs, transitive closure via
     * recursive CTE, min-id group labels + sizes. */
-  private def d8GroupsOracleSql: String =
-    """WITH RECURSIVE w AS (SELECT doc_id,
+  /** Recursive transitive-closure CTEs over exact 3-gram Jaccard pairs
+    * (t = 0.5, size-ratio prune) ending at `comp(doc_id, group_id)` —
+    * shared by the d8/d10 groups oracle and x17's leakage-safe split. */
+  private def jaccardClosureCtes: String =
+    """RECURSIVE w AS (SELECT doc_id,
       |  list_distinct(CASE WHEN len(sp) < 3 THEN [array_to_string(sp, ' ')]
       |    ELSE list_transform(generate_series(1, len(sp) - 2),
       |      i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2]) END) AS sh
@@ -2088,7 +2106,10 @@ object SparkEntry {
       |reach(a, b) AS (SELECT a, b FROM bi
       |  UNION SELECT r.a, bi.b FROM reach r JOIN bi ON r.b = bi.a),
       |comp AS (SELECT a AS doc_id, least(a, min(b)) AS group_id
-      |  FROM reach GROUP BY a),
+      |  FROM reach GROUP BY a)""".stripMargin
+
+  private def d8GroupsOracleSql: String =
+    s"""WITH $jaccardClosureCtes,
       |sz AS (SELECT group_id, count(*) AS group_size FROM comp
       |  GROUP BY group_id)
       |SELECT c.doc_id, c.group_id, sz.group_size

@@ -96,6 +96,28 @@ object CorpusOps {
     s"md5($idExpr || ':$salt') < (CASE $cases ELSE '${hexBoundary(defaultRate)}' END)"
   }
 
+  /** LEAKAGE-SAFE train/val/test split: near-duplicate documents land
+    * in the SAME split — a plain per-doc hash split scatters a near-dup
+    * group across train and test, and evaluation silently inflates on
+    * memorized copies. Assignment is the usual md5-range split keyed by
+    * the near-dup GROUP (component min id; singletons key by their own
+    * id), so the extra cost over [[hashSplit]] is exactly the near-dup
+    * pair computation + one component pass — all shuffle equi-joins. */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, textCol: String,
+      salt: String = "graft",
+      weights: Seq[(String, Double)] =
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)): DataFrame = {
+    val pairs = Dedup.minhashLsh(docs, idCol, textCol,
+      shingleWords = 3, numHashes = 64, bands = 16, threshold = 0.5)
+    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", "__cid")
+    val grouped = docs
+      .join(comp, col(idCol) === col("__cid"), "left")
+      .withColumn("__group", coalesce(col("comp"), col(idCol)))
+    hashSplit(grouped, "__group", salt, weights)
+      .drop("__cid", "comp", "__group")
+  }
+
   /** Deterministic weighted sampling WITHOUT replacement (the
     * Efraimidis-Spirakis exponential-keys scheme, RNG replaced by a
     * hash): each row gets priority ln(u)/w with u uniform from the

@@ -900,6 +900,23 @@ class OperatorsSpec extends AnyFunSuite {
       s"recall $nSem/$nExact below 0.5")
   }
 
+  test("leakage-safe split: every near-dup pair shares a split") {
+    val docs = sources.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val split = CorpusOps.leakageSafeSplit(docs, "doc_id", "text")
+      .select(col("doc_id"), col("split"))
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      shingleWords = 3, numHashes = 64, bands = 16, threshold = 0.5)
+    assert(pairs.count() > 0, "corpus must contain near-dups for this test")
+    val joined = pairs
+      .join(split.toDF("id_a", "sa"), "id_a")
+      .join(split.toDF("id_b", "sb"), "id_b")
+    assert(joined.filter(col("sa") =!= col("sb")).isEmpty,
+      "near-duplicates must never straddle splits")
+    // and the weights still roughly hold (train is the bulk)
+    val train = split.filter(col("split") === "train").count()
+    assert(train > split.count() * 7 / 10, s"train fraction off: $train")
+  }
+
   test("image header parsing: PNG IHDR and JPEG SOF dimensions, no codec libs") {
     // hand-crafted minimal PNG header: signature + IHDR 640x480
     val png = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
