@@ -928,6 +928,21 @@ object SparkEntry {
           col("rule"), col("column"), col("n_violations"), col("n_rows"),
           col("passed"))
         .orderBy("window_start", "rule", "column")),
+    // distribution drift between two snapshots (even vs odd event ids
+    // stand in for two crawls): smoothed PSI per column, quantized so
+    // sum-order ulps can't leak; ~0 expected on identically-distributed
+    // halves — the spec plants a real shift to prove sensitivity
+    "p6_drift" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val va = ev.filter(col("event_id") % 2 === 0)
+      val vb = ev.filter(col("event_id") % 2 === 1)
+      val vbucket = least(greatest(
+          floor((col("value") - lit(0.0)) * lit(20) / lit(600.0)), lit(0.0)),
+        lit(19.0)).cast("long")
+      Profile.driftPsi(va, vb, vbucket, "value")
+        .union(Profile.driftPsi(va, vb, col("event_type"), "event_type"))
+        .orderBy("metric")
+    }),
     // equi-width histogram: at most `bins` rows out however large the
     // table; bucket arithmetic mirrored literally in the oracle
     "p4_histogram" -> ((s, dir) =>
@@ -1954,6 +1969,38 @@ object SparkEntry {
         |  UNION ALL SELECT ws, n, 'in_range', 'value', v1 FROM a
         |  UNION ALL SELECT ws, n, 'in_set', 'event_type', v2 FROM a)
         |ORDER BY window_start, rule, "column"""".stripMargin,
+    "p6_drift" ->
+      """WITH av AS (SELECT * FROM events WHERE event_id % 2 = 0),
+        |bv AS (SELECT * FROM events WHERE event_id % 2 = 1),
+        |ca AS (SELECT CAST(least(greatest(floor((value - 0.0) * 20
+        |    / 600.0), 0.0), 19.0) AS BIGINT) AS k, count(*) AS na
+        |  FROM av GROUP BY 1),
+        |cb AS (SELECT CAST(least(greatest(floor((value - 0.0) * 20
+        |    / 600.0), 0.0), 19.0) AS BIGINT) AS k, count(*) AS nb
+        |  FROM bv GROUP BY 1),
+        |j AS (SELECT k, coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+        |  FROM ca FULL OUTER JOIN cb USING (k)),
+        |t AS (SELECT sum(na) AS tna, sum(nb) AS tnb, count(*) AS kb FROM j),
+        |v AS (SELECT CAST(floor(sum(
+        |    (CAST(na + 1 AS DOUBLE) / (tna + kb)
+        |      - CAST(nb + 1 AS DOUBLE) / (tnb + kb))
+        |    * ln((CAST(na + 1 AS DOUBLE) / (tna + kb))
+        |        / (CAST(nb + 1 AS DOUBLE) / (tnb + kb)))) * 1048576.0)
+        |  AS BIGINT) AS psi_q FROM j, t),
+        |ce AS (SELECT event_type AS k, count(*) AS na FROM av GROUP BY 1),
+        |cf AS (SELECT event_type AS k, count(*) AS nb FROM bv GROUP BY 1),
+        |j2 AS (SELECT k, coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+        |  FROM ce FULL OUTER JOIN cf USING (k)),
+        |t2 AS (SELECT sum(na) AS tna, sum(nb) AS tnb, count(*) AS kb FROM j2),
+        |w AS (SELECT CAST(floor(sum(
+        |    (CAST(na + 1 AS DOUBLE) / (tna + kb)
+        |      - CAST(nb + 1 AS DOUBLE) / (tnb + kb))
+        |    * ln((CAST(na + 1 AS DOUBLE) / (tna + kb))
+        |        / (CAST(nb + 1 AS DOUBLE) / (tnb + kb)))) * 1048576.0)
+        |  AS BIGINT) AS psi_q FROM j2, t2)
+        |SELECT 'event_type' AS metric, psi_q FROM w
+        |UNION ALL SELECT 'value', psi_q FROM v
+        |ORDER BY metric""".stripMargin,
     "p4_histogram" ->
       """WITH b AS (SELECT CAST(least(greatest(
         |      floor((value - 0.0) * 20 / 600.0), 0.0), 19.0) AS BIGINT)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -86,6 +86,34 @@ object Profile {
     agged.select(col("__g_w.start").as("window_start"),
         explode(array(entries: _*)).as("__g_p"))
       .select(col("window_start"), col("__g_p.*"))
+  }
+
+  /** Population-stability-index drift between two snapshots of one
+    * column (two crawls, two days, two sources): PSI = Σ (p−q)·ln(p/q)
+    * over a shared bucketing with add-one smoothing, so empty buckets
+    * never divide by zero and the metric is symmetric-finite. The
+    * industry thresholds (≈0.1 drifting / ≈0.25 shifted) apply to the
+    * unquantized value; the output is quantized to 2^-20 steps so the
+    * ulp-level sum-order noise cannot leak into comparisons.
+    *
+    * Cost: one groupBy per side on the bucket key (map-side combine,
+    * at most |buckets| rows out), one tiny full-outer join, three
+    * scalars collected. `bucket` is any deterministic expression —
+    * the [[histogram]] bucket for numerics, the raw column for
+    * categoricals. */
+  def driftPsi(a: DataFrame, b: DataFrame, bucket: Column,
+      metric: String): DataFrame = {
+    val ca = a.groupBy(bucket.as("k")).agg(count(lit(1)).as("na"))
+    val cb = b.groupBy(bucket.as("k")).agg(count(lit(1)).as("nb"))
+    val j = ca.join(cb, Seq("k"), "full_outer")
+      .na.fill(0L, Seq("na", "nb"))
+    val t = j.agg(sum("na"), sum("nb"), count(lit(1))).head
+    val (tna, tnb, kb) = (t.getLong(0), t.getLong(1), t.getLong(2))
+    val p = (col("na") + lit(1)).cast("double") / lit((tna + kb).toDouble)
+    val q = (col("nb") + lit(1)).cast("double") / lit((tnb + kb).toDouble)
+    j.select(((p - q) * log(p / q)).as("term"))
+      .agg(floor(sum(col("term")) * lit(1048576.0)).cast("long").as("psi_q"))
+      .select(lit(metric).as("metric"), col("psi_q"))
   }
 
   /** Equi-width histogram of a numeric column: one groupBy on the

@@ -917,6 +917,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(train > split.count() * 7 / 10, s"train fraction off: $train")
   }
 
+  test("drift PSI: near-zero on identical halves, large on a planted shift") {
+    val ev = sources.Tables.load(spark, "/root/testdata/sf0.01", "events")
+    val bucket = least(greatest(
+        floor((col("value") - lit(0.0)) * lit(20) / lit(600.0)), lit(0.0)),
+      lit(19.0)).cast("long")
+    def psi(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      Profile.driftPsi(a, b, bucket, "value").head.getLong(1) / 1048576.0
+    // identically-distributed halves: well under the 0.1 "watch" line
+    val same = psi(ev.filter(col("event_id") % 2 === 0),
+      ev.filter(col("event_id") % 2 === 1))
+    assert(same < 0.1, s"identical halves drifted: $same")
+    // planted shift: low-value vs high-value population
+    val shifted = psi(ev.filter(col("value") < 100),
+      ev.filter(col("value") >= 100))
+    assert(shifted > 0.25, s"planted shift not detected: $shifted")
+    assert(same < shifted)
+  }
+
   test("image header parsing: PNG IHDR and JPEG SOF dimensions, no codec libs") {
     // hand-crafted minimal PNG header: signature + IHDR 640x480
     val png = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
