@@ -196,6 +196,11 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(pruned.count() == full.count())
     assert(pruned.agg(sum("event_id")).head.getLong(0)
       == full.agg(sum("event_id")).head.getLong(0))
+    // the residual predicate still pushes into the surviving files'
+    // scan (row-group/page skipping inside survivors is free)
+    val p = plan(pruned).toString
+    assert(p.contains("PushedFilters: [IsNotNull(user_id), " +
+      "GreaterThanOrEqual(user_id"), s"residual filter not pushed:\n$p")
   }
 
   test("scd2: lag and lead share one shuffle and one sort") {
