@@ -37,6 +37,22 @@ object SparkEntry {
     bm25Queries.flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
       .mkString(", ")
 
+  /** Literal phrase set for x18 — common 2-grams plus rare 3-grams
+    * (single-doc at sf0.01) so phrase-df weighting and the contiguity
+    * constraint are both exercised; q1 repeats a term so the
+    * duplicate-slot path is covered. */
+  private val phraseQueries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("table", "table"),
+    2 -> Seq("fast", "key"),
+    3 -> Seq("agg", "row", "scan"),
+    4 -> Seq("big", "big"))
+  private def phraseSlotsSqlValues: String =
+    phraseQueries.flatMap { case (q, ts) =>
+      ts.zipWithIndex.map { case (t, off) => s"($q, $off, '$t')" }
+    }.mkString(", ")
+  private def phraseLensSqlValues: String =
+    phraseQueries.map { case (q, ts) => s"($q, ${ts.length})" }.mkString(", ")
+
   /** Stable scratch dir per (query, input): repeated bench/verify runs
     * overwrite ONE tree per query and scale factor instead of
     * accumulating abandoned temp layouts until the disk fills. */
@@ -791,6 +807,13 @@ object SparkEntry {
     "x12_bm25" -> ((s, dir) =>
       TextRank.bm25TopK(T(s, dir, "documents"), bm25Queries, k = 10)
         .orderBy("query_id", "rank")),
+    // phrase-constrained BM25 over positional postings: only docs
+    // containing the phrase CONTIGUOUSLY rank, tf = occurrence count,
+    // df = phrase document frequency; postings filtered to the phrase
+    // vocabulary before any shuffle, phrase slots broadcast
+    "x18_phrase_bm25" -> ((s, dir) =>
+      TextRank.bm25PhraseTopK(T(s, dir, "documents"), phraseQueries, k = 10)
+        .orderBy("query_id", "rank")),
     // keyword extraction: top TF-IDF terms per doc, ties term-asc
     "x13_tfidf" -> ((s, dir) =>
       TextRank.tfidfTopTerms(T(s, dir, "documents"), topN = 3)
@@ -802,21 +825,28 @@ object SparkEntry {
       TextRank.bigramLmScore(T(s, dir, "documents"), bottomK = 20)
         .orderBy("doc_id")),
     // deterministic sharded training-order shuffle: map-side shard
-    // assignment + one row_number per shard, NO global sort; new epoch
-    // = new salt
+    // assignment (60-bit hash, no modulo bias) + two-phase positions
+    // (per-(shard,hash-bucket) rank + broadcast prefix offsets), NO
+    // global sort and no single-task-per-shard window; new epoch = new
+    // salt. shards=1024 exercises the de-capped derivation.
     "x15_shuffle" -> ((s, dir) =>
-      CorpusOps.shardShuffle(T(s, dir, "documents"), "doc_id", shards = 8)
+      CorpusOps.shardShuffle(T(s, dir, "documents"), "doc_id", shards = 1024)
         .select("shard", "pos", "doc_id")
         .orderBy("shard", "pos")),
     // leakage-safe split: near-dup groups land in ONE split, so test
     // docs never have near-copies in train; assignment = md5 split
-    // keyed by the dedup component
+    // keyed by the dedup component. Default exactPairs=true derives
+    // groups from the exact prefix-filtered Jaccard join, so the
+    // no-leakage guarantee (and the oracle match) is absolute, not
+    // LSH-recall-probabilistic
     "x17_safe_split" -> ((s, dir) =>
       CorpusOps.leakageSafeSplit(T(s, dir, "documents"), "doc_id", "text")
         .select("doc_id", "lang", "split")
         .orderBy("doc_id")),
-    // token-budget corpus mixing: per-lang soft cap via ONE window
-    // cumsum (the "N tokens per language" recipe step)
+    // token-budget corpus mixing: per-lang soft cap via a TWO-PHASE
+    // cumsum — per-(lang, id-slice) windows + broadcast prefix offsets,
+    // so no task ever sorts a whole language (the "N tokens per
+    // language" recipe step)
     "x16_budget_mix" -> ((s, dir) =>
       CorpusOps.budgetMix(T(s, dir, "documents"), "doc_id", "text",
           "lang", budget = 2000L)
@@ -877,10 +907,12 @@ object SparkEntry {
         .orderBy("vec_id")),
     // SemDeDup: cluster the embedding space, exact cosine pairs only
     // WITHIN clusters — the published semantic-dedup recipe; recall vs
-    // the exact grid join (d5) is spec-bounded
+    // the exact grid join (d5) is spec-bounded. k derives from the
+    // corpus size (n/64 -> 8 at sf0.01, matching the oracle CTE's k;
+    // the oracle is size-pinned, the operator is not)
     "d11_semantic_dedup" -> ((s, dir) =>
-      Similarity.semanticDedupPairs(T(s, dir, "embeddings"),
-          k = 8, iterations = 2, threshold = 0.45)
+      Similarity.semanticDedupPairsAuto(T(s, dir, "embeddings"),
+          targetClusterSize = 64, iterations = 2, threshold = 0.45)
         .orderBy("id_a", "id_b")),
     // exact decontamination behind a broadcast Bloom prefilter: the
     // benchmark grams collapse into one bit array, corpus grams that
@@ -1719,6 +1751,45 @@ object SparkEntry {
         |    ORDER BY score DESC, doc_id ASC) AS INT) AS "rank", doc_id
         |FROM agg QUALIFY "rank" <= 10
         |ORDER BY query_id, "rank"""".stripMargin,
+    // x18: positional postings via an indexed-struct unnest; anchor
+    // voting (pos - slot), an anchor holding all qlen distinct slots
+    // is one contiguous occurrence; BM25 over (pf, phrase-df)
+    "x18_phrase_bm25" ->
+      s"""WITH spt AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\\s+') AS sp
+        |  FROM documents),
+        |tokp AS (SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(sp)),
+        |    i -> {'pos': i, 'term': sp[i]})) AS u FROM spt),
+        |p AS (SELECT doc_id, u.pos AS pos, u.term AS term FROM tokp
+        |  WHERE u.term <> ''),
+        |qp(query_id, off, term) AS (VALUES $phraseSlotsSqlValues),
+        |ql(query_id, qlen) AS (VALUES $phraseLensSqlValues),
+        |an AS (SELECT qp.query_id, p.doc_id, p.pos - qp.off AS anchor,
+        |    count(DISTINCT qp.off) AS nslots
+        |  FROM p JOIN qp USING (term) GROUP BY 1, 2, 3),
+        |occ AS (SELECT an.query_id, an.doc_id FROM an
+        |  JOIN ql USING (query_id) WHERE an.nslots = ql.qlen),
+        |pf AS (SELECT query_id, doc_id, count(*) AS pf FROM occ
+        |  GROUP BY 1, 2),
+        |dfq AS (SELECT query_id, count(*) AS df FROM pf GROUP BY 1),
+        |tok AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+        |  FROM documents),
+        |t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+        |st AS (SELECT count(*) AS n,
+        |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |sc AS (SELECT pf.query_id, pf.doc_id,
+        |    ln(1.0 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+        |      (pf.pf * 2.2) /
+        |      (pf.pf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS score
+        |  FROM pf JOIN dfq USING (query_id) JOIN dl USING (doc_id)
+        |    CROSS JOIN st)
+        |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id ASC) AS INT) AS "rank", doc_id
+        |FROM sc QUALIFY "rank" <= 10
+        |ORDER BY query_id, "rank"""".stripMargin,
     "x13_tfidf" ->
       """WITH tok AS (SELECT doc_id,
         |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
@@ -1743,7 +1814,7 @@ object SparkEntry {
         |  ${operators.CorpusOps.hashSplitSql("grp::VARCHAR")} AS "split"
         |FROM g ORDER BY doc_id""".stripMargin,
     "x15_shuffle" -> {
-      val (shard, h) = operators.CorpusOps.shardShuffleSql("doc_id::VARCHAR", 8)
+      val (shard, h) = operators.CorpusOps.shardShuffleSql("doc_id::VARCHAR", 1024)
       s"""WITH s AS (SELECT doc_id, $shard AS shard, $h AS h FROM documents)
         |SELECT shard, CAST(row_number() OVER (PARTITION BY shard
         |    ORDER BY h, doc_id) AS BIGINT) AS pos, doc_id
@@ -2084,7 +2155,7 @@ object SparkEntry {
        |    x -> CAST(floor(x * $scale) AS BIGINT)) AS q FROM embeddings),
        |en AS (SELECT vec_id, q,
        |  list_sum(list_transform(q, x -> x*x)) AS na FROM e),
-       |c1 AS (SELECT vec_id AS cid, q AS c FROM e WHERE vec_id < $k),
+       |c1 AS (SELECT vec_id AS cid, q AS c FROM e ORDER BY vec_id LIMIT $k),
        |${assignCtes(1, "c1")},
        |$iterCtes""".stripMargin
   }

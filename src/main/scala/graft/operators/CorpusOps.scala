@@ -102,13 +102,30 @@ object CorpusOps {
     * memorized copies. Assignment is the usual md5-range split keyed by
     * the near-dup GROUP (component min id; singletons key by their own
     * id), so the extra cost over [[hashSplit]] is exactly the near-dup
-    * pair computation + one component pass — all shuffle equi-joins. */
+    * pair computation + one component pass — all shuffle equi-joins.
+    *
+    * The guarantee is only as strong as pair RECALL. `exactPairs =
+    * true` (default) derives pairs from the exact prefix-filtered
+    * Jaccard join — every pair at Jaccard >= `threshold` is found, so
+    * the no-near-copy-across-splits claim is ABSOLUTE. `exactPairs =
+    * false` routes through MinHash-LSH banding instead (the cheaper
+    * 100 TB path), where the claim is probabilistic: with 16 bands x 4
+    * rows a pair at exactly Jaccard 0.5 collides in >= 1 band with
+    * prob ~0.64 (1-(1-j^4)^16; ~0.98 at j=0.7), so borderline pairs
+    * can straddle splits — acceptable when the eval harness also
+    * decontaminates, not when the split IS the guarantee. */
   def leakageSafeSplit(docs: DataFrame, idCol: String, textCol: String,
       salt: String = "graft",
       weights: Seq[(String, Double)] =
-        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)): DataFrame = {
-    val pairs = Dedup.minhashLsh(docs, idCol, textCol,
-      shingleWords = 3, numHashes = 64, bands = 16, threshold = 0.5)
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      exactPairs: Boolean = true, threshold: Double = 0.5): DataFrame = {
+    val pairs =
+      if (exactPairs)
+        Dedup.jaccardJoinPrefixRare(docs, idCol, textCol,
+          shingleWords = 3, threshold = threshold)
+      else
+        Dedup.minhashLsh(docs, idCol, textCol,
+          shingleWords = 3, numHashes = 64, bands = 16, threshold = threshold)
     val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
       .withColumnRenamed("id", "__cid")
     val grouped = docs
@@ -155,42 +172,111 @@ object CorpusOps {
 
   /** Deterministic SHARDED training-order shuffle: each row hashes to a
     * shard and gets a position within it by hash order — the layout a
-    * training run reads (one file per shard, locally shuffled), with no
-    * global sort anywhere: shard assignment is map-side, positions are
-    * one row_number per shard partition. Reshuffling for a new epoch is
-    * just a new salt. Stable across runs/engines/partitionings. */
+    * training run reads (one file per shard, locally shuffled).
+    * Reshuffling for a new epoch is just a new salt. Stable across
+    * runs/engines/partitionings.
+    *
+    * Shard derivation uses the first 15 md5 hex digits (60 bits), so
+    * the `% shards` bias is <= shards/2^60 — immeasurable for any
+    * sane shard count (the old single-byte form made low shards ~1/256
+    * heavier whenever 256 % shards != 0).
+    *
+    * Positions are TWO-PHASE, never one row_number task per shard: at
+    * small shard counts each shard's rows are cut into contiguous
+    * hash-prefix buckets (bucketing is monotone in the sort key `__h`,
+    * so bucket order = hash order), ranked within (shard, bucket), and
+    * shifted by the exclusive prefix of per-bucket counts — a
+    * metadata-size frame (<= 16384 rows) joined back broadcast. Bucket
+    * fan-out adapts down as shards grow (at >= 16384 shards the
+    * per-shard window is already narrow and the offset join is
+    * skipped), so per-task sorted input is bounded by
+    * corpus/(shards*buckets) at every shard count. */
   def shardShuffle(df: DataFrame, idCol: String, shards: Int,
       salt: String = "graft-shuffle"): DataFrame = {
-    require(shards >= 1 && shards <= 256,
-      "shard count derives from one md5 hex byte")
+    require(shards >= 1 && shards <= (1 << 24), "1 <= shards <= 2^24")
+    // keep shards * buckets <= 16384 so the offset frame stays metadata
+    val buckets = math.max(1, math.min(256, (1 << 14) / shards))
     val h = md5(concat(col(idCol).cast("string"), lit(":" + salt)))
-    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
-    df.withColumn("__h", h)
+    val keyed = df.withColumn("__h", h)
       .withColumn("shard",
-        conv(substring(col("__h"), 1, 2), 16, 10).cast("long") % shards)
-      .withColumn("pos", row_number().over(w).cast("long"))
-      .drop("__h")
+        conv(substring(col("__h"), 1, 15), 16, 10).cast("long") % shards)
+    if (buckets == 1) {
+      val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+      keyed.withColumn("pos", row_number().over(w).cast("long")).drop("__h")
+    } else {
+      val sliced = keyed.withColumn("__b",
+        floor(conv(substring(col("__h"), 1, 2), 16, 10).cast("long") *
+          buckets / 256).cast("long"))
+      val offsets = sliced.groupBy(col("shard"), col("__b"))
+        .agg(count(lit(1)).as("__n"))
+        .withColumn("__off", coalesce(sum(col("__n")).over(
+          Window.partitionBy(col("shard")).orderBy(col("__b"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .drop("__n")
+      val w = Window.partitionBy(col("shard"), col("__b"))
+        .orderBy(col("__h"), col(idCol))
+      sliced.join(broadcast(offsets), Seq("shard", "__b"))
+        .withColumn("pos", (col("__off") + row_number().over(w)).cast("long"))
+        .drop("__h", "__b")
+    }
   }
 
   /** SQL mirror of `shardShuffle`'s shard + ordering for an oracle. */
   def shardShuffleSql(idExpr: String, shards: Int,
       salt: String = "graft-shuffle"): (String, String) = {
     val h = s"md5($idExpr || ':$salt')"
-    (s"(('0x' || substr($h, 1, 2))::BIGINT % $shards)", h)
+    (s"(('0x' || substr($h, 1, 15))::BIGINT % $shards)", h)
   }
 
   /** Token-budget corpus MIXING: per stratum, keep documents in id
     * order until the stratum's token budget fills (a doc that straddles
     * the boundary stays in — budgets are soft caps, the x11 packing
-    * convention). One window cumsum per stratum, no driver loop — the
-    * "N billion tokens per language/source" recipe step. */
+    * convention) — the "N billion tokens per language/source" recipe
+    * step.
+    *
+    * The cumulative sum is TWO-PHASE, never one window per stratum: a
+    * stratum column like language has ~single-digit cardinality, so
+    * `Window.partitionBy(stratum)` would pour an entire language —
+    * tens of TB at corpus scale — through ONE sorted task. Instead the
+    * id range of each stratum is cut into `buckets` contiguous slices
+    * (bucketing is id-monotone, so slice order = id order); phase 1
+    * windows only within (stratum, bucket), phase 2 shifts each slice
+    * by the exclusive prefix of per-slice totals — a metadata-size
+    * frame (strata x buckets rows) joined back broadcast. Per-task
+    * input is bounded by stratum/buckets regardless of stratum
+    * cardinality, and the kept set is identical to the single-window
+    * form (the global cumsum at each row does not depend on where the
+    * cuts fall). Requires a numeric id (the testdata convention);
+    * id-range slicing keeps the cut assignment a pure map-side
+    * expression. */
   def budgetMix(df: DataFrame, idCol: String, textCol: String,
-      strataCol: String, budget: Long): DataFrame = {
-    val w = Window.partitionBy(col(strataCol)).orderBy(col(idCol))
+      strataCol: String, budget: Long, buckets: Int = 64): DataFrame = {
+    require(buckets >= 1)
+    val base = df.select(col(strataCol), col(idCol),
+      size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_tokens"))
+    // per-stratum id range: one partial-aggregated groupBy, tiny result
+    val ranges = base.groupBy(strataCol)
+      .agg(min(col(idCol)).cast("double").as("__idmin"),
+        max(col(idCol)).cast("double").as("__idmax"))
+    // contiguous id-range slice; ids may be skewed (slices then
+    // unbalanced) but correctness never depends on balance
+    val slice = least(lit(buckets - 1), greatest(lit(0),
+      floor((col(idCol).cast("double") - col("__idmin")) * buckets /
+        (col("__idmax") - col("__idmin") + 1d)))).cast("long")
+    val sliced = base.join(broadcast(ranges), Seq(strataCol))
+      .withColumn("__b", slice).drop("__idmin", "__idmax")
+    // exclusive prefix of per-slice token totals — strata x buckets
+    // rows, windowed per stratum over <= `buckets` rows
+    val offsets = sliced.groupBy(col(strataCol), col("__b"))
+      .agg(sum(col("n_tokens")).as("__btot"))
+      .withColumn("__off", coalesce(sum(col("__btot")).over(
+        Window.partitionBy(col(strataCol)).orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__btot")
+    val w = Window.partitionBy(col(strataCol), col("__b")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("n_tokens",
-        size(split(trim(col(textCol)), "\\s+")).cast("long"))
-      .withColumn("__cum", sum(col("n_tokens")).over(w))
+    sliced.join(broadcast(offsets), Seq(strataCol, "__b"))
+      .withColumn("__cum", col("__off") + sum(col("n_tokens")).over(w))
       .where(col("__cum") - col("n_tokens") < budget)
       .select(col(strataCol), col(idCol), col("n_tokens"))
   }

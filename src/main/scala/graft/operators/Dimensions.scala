@@ -26,12 +26,25 @@ object Dimensions {
     * Plan shape: ONE shuffle per side on the merge key (or a broadcast
     * when the changeset is small — the common CDC case); no driver
     * state. This is the nightly-dimension-refresh shape: snapshot is
-    * 100 TB, changeset is the day's CDC feed. */
+    * 100 TB, changeset is the day's CDC feed.
+    *
+    * The changeset must carry AT MOST ONE row per key — real MERGE
+    * INTO rejects an ambiguous multi-match rather than fanning the
+    * join out into duplicated target rows, and so does this (checked
+    * up front with one aggregate over the changeset — negligible next
+    * to the merge join itself). Streaming callers get the collapse for
+    * free from CdcApply.latestPerKey. */
   def mergeUpsert(snapshot: DataFrame, changes: DataFrame, keyCol: String,
       deleteCol: String): DataFrame = {
     val dataCols = snapshot.columns.filter(_ != keyCol)
     require(changes.columns.toSet == snapshot.columns.toSet + deleteCol,
       "changeset must carry the snapshot schema plus the delete flag")
+    val Array(nRows, nKeys) = changes
+      .agg(count(lit(1)), count_distinct(col(keyCol))).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    require(nRows == nKeys, s"changeset has ${nRows - nKeys} duplicate " +
+      s"key rows on `$keyCol`; MERGE semantics require one row per key " +
+      "(collapse with CdcApply.latestPerKey or equivalent first)")
     val s = snapshot.as("s")
     val c = changes.as("c")
     s.join(c, col(s"s.$keyCol") === col(s"c.$keyCol"), "full_outer")

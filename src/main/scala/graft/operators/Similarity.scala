@@ -464,11 +464,14 @@ object Similarity {
     * silently degrade (size clusters via k, or lower `scale`, to stay
     * inside it; scale=256 lifts the bound to ~46k).
     *
-    * Plan shape per iteration: one map-only assignment against
-    * centroid LITERALS (no broadcast join, fully codegen'd) + one
-    * posexplode/groupBy whose map-side partials reduce the shuffle to
-    * k*dim rows per partition; driver state is k*dim longs. Seeds are
-    * the first k vectors by id — deterministic, no RNG.
+    * Plan shape per iteration: one assignment pass — against centroid
+    * LITERALS for small k (no join at all, fully codegen'd), against a
+    * broadcast centroid table with a partial-aggregated argmax for
+    * large k (the standard n*k assignment cost; literals at that size
+    * would exceed codegen's method limits) — + one posexplode/groupBy
+    * whose map-side partials reduce the shuffle to k*dim rows per
+    * partition; driver state is k*dim longs. Seeds are the first k
+    * vectors by id — deterministic, no RNG.
     */
   def kmeansQuantized(corpus: DataFrame, k: Int, iterations: Int,
       scale: Int = 1024, idCol: String = "vec_id",
@@ -479,26 +482,53 @@ object Similarity {
       x => floor(x * scale).cast("long"))
     val e = corpus.select(col(idCol).cast("long").as("vec_id"),
       quant.as("q"))
-    val seeds = e.filter(col("vec_id") < k)
+    // first k vectors by id — deterministic under ANY id distribution
+    // (a `vec_id < k` filter would silently under-seed a corpus slice
+    // with offset or sparse ids)
+    val seeds = e.orderBy(col("vec_id")).limit(k)
       .collect().sortBy(_.getLong(0))
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-    require(seeds.nonEmpty, "kmeansQuantized: no seed vectors")
+    require(seeds.length == k,
+      s"kmeansQuantized: ${seeds.length} seed vectors for k=$k")
     val dim = seeds.head._2.length
     val na = (0 until dim).map(i => col("q")(i) * col("q")(i)).reduce(_ + _)
     val en = e.withColumn("na", na)
 
-    // map-only argmax over centroid literals; ties -> lowest cid
-    def assign(cents: Seq[(Long, Array[Long])]): DataFrame = {
-      val scored = cents.map { case (cid, c) =>
-        val dot = (0 until dim).map(i => col("q")(i) * lit(c(i))).reduce(_ + _)
-        val nb = c.map(x => x * x).sum
-        struct(
-          (dot.cast("double") /
-            sqrt(col("na").cast("double") * lit(nb.toDouble))).as("cos"),
-          lit(-cid).as("negcid"), lit(cid).as("cid"))
+    // argmax-cosine assignment; ties -> lowest cid. Two bit-identical
+    // physical forms: small k inlines the centroids as LITERALS (pure
+    // map-only codegen'd projection, no join at all); large k would
+    // blow the expression tree past codegen limits (k*dim terms), so
+    // the centroids become a broadcast table and the dot product an
+    // exact integer fold — same long arithmetic, same double division,
+    // same tie-break, so the cut-over cannot change a single label.
+    def assign(cents: Seq[(Long, Array[Long])]): DataFrame =
+      if (cents.size <= 64) {
+        val scored = cents.map { case (cid, c) =>
+          val dot = (0 until dim).map(i => col("q")(i) * lit(c(i))).reduce(_ + _)
+          val nb = c.map(x => x * x).sum
+          struct(
+            (dot.cast("double") /
+              sqrt(col("na").cast("double") * lit(nb.toDouble))).as("cos"),
+            lit(-cid).as("negcid"), lit(cid).as("cid"))
+        }
+        en.withColumn("cid", array_max(array(scored: _*)).getField("cid"))
+      } else {
+        val spark = corpus.sparkSession
+        import spark.implicits._
+        val cdf = cents.map { case (cid, c) =>
+          (cid, c.toSeq, c.map(x => x * x).sum.toDouble) // norm exact (< 2^53)
+        }.toDF("__cid", "__c", "__nb")
+        val dot = aggregate(zip_with(col("q"), col("__c"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x)
+        val best = en.crossJoin(broadcast(cdf))
+          .withColumn("cos",
+            dot.cast("double") / sqrt(col("na").cast("double") * col("__nb")))
+          .groupBy(col("vec_id"))
+          .agg(max(struct(col("cos"), (-col("__cid")).as("negcid"),
+            col("__cid").as("cid"))).as("__m"))
+          .select(col("vec_id"), col("__m.cid").as("cid"))
+        en.join(best, "vec_id")
       }
-      en.withColumn("cid", array_max(array(scored: _*)).getField("cid"))
-    }
 
     var cents: Seq[(Long, Array[Long])] = seeds.toSeq
     var assigned = assign(cents)
@@ -534,14 +564,34 @@ object Similarity {
     *
     * Per-cluster work is O(|c|^2), so `k` sets the cost/recall trade:
     * size k so clusters fit a task (SemDeDup's own regime is k in the
-    * tens of thousands on web corpora). The within-cluster join is a
-    * plain shuffle equi-join on the cluster id; recall vs the exact
-    * grid join (d5) is spec-bounded on this corpus. */
+    * tens of thousands on web corpora) — [[semanticDedupPairsAuto]]
+    * derives it from the corpus size so a growing corpus cannot
+    * silently slide into quadratic clusters. The within-cluster join
+    * is a plain shuffle equi-join on the cluster id; recall vs the
+    * exact grid join (d5) is spec-bounded on this corpus.
+    *
+    * `maxPairsPerCluster` is a loud guard, not a truncation: if any
+    * cluster's |c|*(|c|-1)/2 exceeds it (k too small for the corpus,
+    * or a degenerate embedding collapse), the call FAILS naming the
+    * cluster, instead of submitting a join that would quietly run for
+    * hours at 100 TB. */
   def semanticDedupPairs(corpus: DataFrame, k: Int, iterations: Int,
       threshold: Double, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      maxPairsPerCluster: Long = 1L << 24): DataFrame = {
     val assigned = kmeansQuantized(corpus, k, iterations, idCol = idCol,
       vecCol = vecCol)
+    // pair-budget guard: k-row aggregate, checked before the join runs
+    val maxSize = math.floor((1.0 + math.sqrt(1.0 + 8.0 * maxPairsPerCluster)) / 2).toLong
+    val oversized = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n")).where(col("n") > maxSize)
+      .orderBy(col("n").desc).limit(1).collect()
+    require(oversized.isEmpty, {
+      val r = oversized.head
+      s"semanticDedupPairs: cluster ${r.getLong(0)} has ${r.getLong(1)} " +
+        s"members (> $maxSize => over the $maxPairsPerCluster pair " +
+        "budget); raise k / lower targetClusterSize"
+    })
     // kmeansQuantized normalizes the id column name to vec_id
     val withC = corpus
       .select(col(idCol).cast("long").as("vec_id"), col(vecCol))
@@ -555,5 +605,24 @@ object Similarity {
       .withColumn("sim", cosine_similarity(col("__va"), col("__vb")))
       .where(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** [[semanticDedupPairs]] with k derived from the corpus size —
+    * SemDeDup's own regime: k ~ n / `targetClusterSize`, so expected
+    * per-cluster pair work stays ~targetClusterSize^2/2 as the corpus
+    * grows (total pair yield O(n * targetClusterSize), linear in n,
+    * never quadratic). A fixed k is a time bomb: correct at the size
+    * it was tuned for, quadratic at 100x that. Costs one count() to
+    * read n. */
+  def semanticDedupPairsAuto(corpus: DataFrame, targetClusterSize: Int,
+      iterations: Int, threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxPairsPerCluster: Long = 1L << 24): DataFrame = {
+    require(targetClusterSize >= 1)
+    val n = corpus.count()
+    val k = math.max(2L,
+      (n + targetClusterSize - 1) / targetClusterSize).toInt
+    semanticDedupPairs(corpus, k, iterations, threshold, idCol, vecCol,
+      maxPairsPerCluster)
   }
 }

@@ -72,6 +72,74 @@ object TextRank {
       .select(col("query_id"), col("rank"), col(idCol))
   }
 
+  /** PHRASE-constrained BM25: rank only documents containing each
+    * query's terms CONTIGUOUSLY, scored by phrase frequency — the
+    * positional-index retrieval step ("exact phrase" search) a bag-of-
+    * words BM25 cannot express.
+    *
+    * Positional postings: one posexplode per doc, immediately filtered
+    * to the phrase vocabulary, so only candidate (doc, term, pos) rows
+    * ever shuffle. The phrase constraint is the classic positional
+    * intersection as ONE aggregation — each posting joins the (tiny,
+    * broadcast) phrase slots it could fill, votes for the anchor
+    * position `pos - slot`, and an anchor holding ALL slots is a real
+    * occurrence (duplicate terms in a phrase work: each slot must be
+    * present distinctly). BM25 then scores with tf = occurrence count
+    * and df = phrase document frequency. No windows except the final
+    * per-query top-k; every stage is a shuffle agg or broadcast join,
+    * the shape that holds at corpus scale. Rank-only output, same
+    * libm-portability argument as [[bm25TopK]]. */
+  def bm25PhraseTopK(docs: DataFrame, phrases: Seq[(Int, Seq[String])],
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(phrases.nonEmpty && phrases.forall(_._2.nonEmpty))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val allTerms = phrases.flatMap(_._2).distinct
+    val pos = docs.select(col(idCol),
+        posexplode(split(trim(lower(col(textCol))), "\\s+"))
+          .as(Seq("pos", "term")))
+      .filter(col("term") =!= "" && col("term").isInCollection(allTerms))
+    val pt = phrases.flatMap { case (qid, ts) =>
+        ts.zipWithIndex.map { case (tm, off) => (qid, off, tm) } }
+      .toDF("query_id", "off", "term")
+    val qlen = phrases.map { case (qid, ts) => (qid, ts.length) }
+      .toDF("query_id", "qlen")
+    val occs = pos.join(broadcast(pt), "term")
+      .groupBy(col("query_id"), col(idCol),
+        (col("pos") - col("off")).as("anchor"))
+      .agg(countDistinct(col("off")).as("nslots"))
+      .join(broadcast(qlen), "query_id")
+      .where(col("nslots") === col("qlen"))
+    val pf = occs.groupBy(col("query_id"), col(idCol))
+      .agg(count(lit(1)).as("pf"))
+    val dfq = pf.groupBy("query_id").agg(count(lit(1)).as("df"))
+    val t = tokens(docs, idCol, textCol)
+    val dl = t.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val statsRow = dl.agg(count(lit(1)), sum(col("dl"))).head
+    if (statsRow.getLong(0) == 0L) {
+      return docs.sparkSession.emptyDataFrame
+        .select(lit(0).as("query_id"), lit(0).as("rank"),
+          lit(0L).as(idCol)).limit(0)
+    }
+    val (nDocs, totTok) = (statsRow.getLong(0), statsRow.getLong(1))
+    val avgdl = totTok.toDouble / nDocs
+    val scored = pf
+      .join(broadcast(dfq), "query_id")
+      .join(dl, idCol)
+      .withColumn("score",
+        log(lit(1.0) + (lit(nDocs) - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5))) *
+          (col("pf") * lit(k1 + 1)) /
+          (col("pf") + lit(k1) *
+            (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol))
+  }
+
   /** Language-model quality scoring: a bigram LM trained ON the corpus
     * scores every document by mean log-probability, and the `bottomK`
     * most-surprising docs surface for review — the KenLM-style quality

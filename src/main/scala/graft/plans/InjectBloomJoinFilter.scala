@@ -1,0 +1,108 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Alias, EqualTo, Expression, ScalarSubquery, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.PredicateHelper
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.internal.SQLConf
+
+import graft.functions.{BloomAgg, BloomMightContain}
+
+/** Optimizer rule: BLOOM-PREFILTERED equi-joins — the d9
+  * decontamination trick, applied by the PLANNER instead of by hand.
+  *
+  * For an inner/left-semi equi-join whose build side is small (by
+  * logical stats) and probe side large, rewrite
+  *
+  *   probe JOIN build ON pk = bk
+  *   =>  (probe WHERE bloom_might_contain(<bloom of build's bk>,
+  *        xxhash64(pk))) JOIN build ON pk = bk
+  *
+  * where the bloom is a scalar subquery: one `BloomAgg` over the
+  * build side's keys, collected once on the driver and shipped to
+  * probe-side tasks as a constant bit array. Probe rows that cannot
+  * possibly match are dropped INSIDE the probe side's own scan stage —
+  * before the join shuffle — so the shuffle shrinks by the bloom's
+  * rejection rate while the result stays bit-identical: a bloom has
+  * zero false negatives, and its false positives still meet the exact
+  * join condition afterwards. (Same contract as Spark's own runtime
+  * row-level filtering; this rule is the engine-native form over
+  * graft's mergeable BloomAgg, and composes with AQE untouched.)
+  *
+  * Heuristics, all conf-tunable: build side stats at most
+  * `maxBuildBytes` (the bloom build must be cheap and its n small
+  * enough for the configured bit count to stay selective), probe side
+  * at least `minProbeBytes` (below that the shuffle being saved costs
+  * less than the extra aggregate), and probe at least 4x build (a
+  * near-symmetric join gains nothing). Conservative defaults keep the
+  * rule dormant on small data; a 100 TB probe against a bounded build
+  * side is exactly when it fires.
+  */
+object InjectBloomJoinFilter extends Rule[LogicalPlan] with PredicateHelper {
+  val EnabledKey = "spark.graft.bloomJoin.enabled"
+  val MaxBuildKey = "spark.graft.bloomJoin.maxBuildBytes"
+  val MinProbeKey = "spark.graft.bloomJoin.minProbeBytes"
+  val NumBitsKey = "spark.graft.bloomJoin.numBits"
+  val NumHashesKey = "spark.graft.bloomJoin.numHashes"
+
+  private def long(conf: SQLConf, key: String, dflt: Long): Long =
+    conf.getConfString(key, dflt.toString).toLong
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val conf = SQLConf.get
+    if (!conf.getConfString(EnabledKey, "true").toBoolean) return plan
+    val maxBuild = long(conf, MaxBuildKey, 8L << 20)
+    val minProbe = long(conf, MinProbeKey, 64L << 20)
+    val numBits = long(conf, NumBitsKey, 1L << 20).toInt
+    val numHashes = long(conf, NumHashesKey, 5L).toInt
+
+    plan.transformUp {
+      case j @ Join(left, right, jt, Some(cond), hint)
+          if (jt == Inner || jt == LeftSemi) =>
+        // first equi-pair split by side; a multi-key join blooms on
+        // one key (still zero false negatives — just less selective)
+        val keys = splitConjunctivePredicates(cond).collectFirst {
+          case EqualTo(l, r) if l.references.nonEmpty &&
+              l.references.subsetOf(left.outputSet) &&
+              r.references.subsetOf(right.outputSet) => (l, r)
+          case EqualTo(l, r) if r.references.nonEmpty &&
+              r.references.subsetOf(left.outputSet) &&
+              l.references.subsetOf(right.outputSet) => (r, l)
+        }
+        keys match {
+          case Some((lk, rk)) =>
+            val (ls, rs) = (left.stats.sizeInBytes, right.stats.sizeInBytes)
+            if (rs <= maxBuild && ls >= minProbe && ls >= rs * 4 &&
+                !hasBloomFilter(left)) {
+              j.copy(left = prefilter(left, lk, right, rk, numBits, numHashes))
+            } else if (jt == Inner && ls <= maxBuild && rs >= minProbe &&
+                rs >= ls * 4 && !hasBloomFilter(right)) {
+              j.copy(right = prefilter(right, rk, left, lk, numBits, numHashes))
+            } else j
+          case None => j
+        }
+    }
+  }
+
+  /** probe -> Filter(bloom_might_contain(<subquery>, xxhash64(key))). */
+  private def prefilter(probe: LogicalPlan, probeKey: Expression,
+      build: LogicalPlan, buildKey: Expression,
+      numBits: Int, numHashes: Int): LogicalPlan = {
+    val agg = BloomAgg(new XxHash64(Seq(buildKey)), numBits, numHashes)
+      .toAggregateExpression()
+    val bloomPlan = Aggregate(Nil, Seq(Alias(agg, "graft_bloom")()), build)
+    Filter(
+      BloomMightContain(ScalarSubquery(bloomPlan),
+        new XxHash64(Seq(probeKey)), numHashes),
+      probe)
+  }
+
+  /** Idempotence guard: the fixed-point batch must not stack a second
+    * bloom onto a side this rule (or the user, d9-style) already
+    * prefiltered. */
+  private def hasBloomFilter(p: LogicalPlan): Boolean = p match {
+    case Filter(c, _) => c.exists(_.isInstanceOf[BloomMightContain])
+    case _ => false
+  }
+}

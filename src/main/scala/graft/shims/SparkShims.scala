@@ -30,4 +30,11 @@ object SparkShims {
     * that have already finished (the bus is async). */
   def drainListenerBus(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
+
+  /** Serializable wrapper for a Hadoop Configuration (the class Spark
+    * itself ships to tasks that do filesystem work; it is
+    * `private[spark]`, hence surfaced through this shim). */
+  def serializableConf(conf: org.apache.hadoop.conf.Configuration):
+      org.apache.spark.util.SerializableConfiguration =
+    new org.apache.spark.util.SerializableConfiguration(conf)
 }

@@ -62,10 +62,14 @@ object StreamingDemo {
     val enriched = OrderEnrichmentJob.enrich(liveOrders, liveRates, java.time.Duration.ofHours(6))
     val q2 = enriched.writeStream.format("memory").queryName("live")
       .outputMode("append").start()
-    val deadline = System.currentTimeMillis() + 30000
+    // poll the sink, never processAllAvailable(): the rate source
+    // produces a new offset every second, so "all available" may
+    // never hold and that call can park indefinitely — the deadline
+    // must stay in THIS loop's hands
+    val deadline = System.currentTimeMillis() + 45000
     var n = 0L
     while (n < 40 && System.currentTimeMillis() < deadline) {
-      Thread.sleep(500); q2.processAllAvailable()
+      Thread.sleep(500)
       n = spark.sql("SELECT count(DISTINCT id) FROM live").collect().head.getLong(0)
     }
     q2.stop()

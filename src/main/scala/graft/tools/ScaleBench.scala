@@ -107,7 +107,10 @@ object ScaleBench {
       "q28_scd2", "s10_kmeans", "f1_manifest_prune", "f2_zorder_skip",
       "f3_compaction", "x14_lm_score", "x15_shuffle", "x16_budget_mix",
       "q30_merge_upsert", "q31_cube", "p3_expectations", "p4_histogram",
-      "d11_semantic_dedup", "x17_safe_split", "p6_drift")
+      "d11_semantic_dedup", "x17_safe_split", "p6_drift",
+      // r6: phrase retrieval + the partitioned-catalog read path is
+      // covered by f1; x15/x16 re-measure their two-phase forms
+      "x18_phrase_bm25")
     val quadOps = Seq("d5_embed_neardup", "s1_ann_bruteforce")
 
     // Candidate-stage scale check for the re-ranking ANN paths: a 10x

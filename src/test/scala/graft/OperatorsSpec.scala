@@ -970,6 +970,53 @@ class OperatorsSpec extends AnyFunSuite {
       Multimodal.MediaRecord(9L, wav, 0, 0, "wav"), 2).detected_fmt.contains("wav"))
   }
 
+  test("shardShuffle two-phase positions equal the single-window form") {
+    val docs = sources.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    // reference: global row_number per shard over the same keys
+    import org.apache.spark.sql.expressions.Window
+    def reference(shards: Int): Seq[(Long, Long, Long)] = {
+      val h = md5(concat(col("doc_id").cast("string"), lit(":graft-shuffle")))
+      docs.withColumn("__h", h)
+        .withColumn("shard",
+          conv(substring(col("__h"), 1, 15), 16, 10).cast("long") % shards)
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("__h"), col("doc_id")))
+          .cast("long"))
+        .select("shard", "pos", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    }
+    // 10 exercises the bucketed two-phase path on a non-power-of-two
+    // count; 1024 exercises the de-capped derivation; 20000 the
+    // bucketless large-shard path
+    for (shards <- Seq(10, 1024, 20000)) {
+      val got = CorpusOps.shardShuffle(docs, "doc_id", shards)
+        .select("shard", "pos", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+      assert(got == reference(shards), s"mismatch at shards=$shards")
+    }
+  }
+
+  test("budgetMix two-phase cumsum equals the single-window form") {
+    val docs = sources.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = docs.withColumn("n_tokens",
+        size(split(trim(col("text")), "\\s+")).cast("long"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .where(col("__cum") - col("n_tokens") < 2000)
+      .select(col("lang"), col("doc_id"), col("n_tokens")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    // bucket counts that don't divide the corpus evenly, including 1
+    // (degenerate = single window) — the kept set must be invariant
+    for (buckets <- Seq(1, 7, 64)) {
+      val got = CorpusOps.budgetMix(docs, "doc_id", "text", "lang",
+          budget = 2000L, buckets = buckets).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+      assert(got == ref, s"mismatch at buckets=$buckets")
+    }
+  }
+
   test("text analysis: langId picks marker language, token counts sane") {
     val docs = Seq(
       (1L, "the cat and the dog of the house is to be in"),

@@ -243,6 +243,68 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(pruned.count() == full.count())
   }
 
+  test("partitioned catalog: per-partition append/expire, two-level pruned read") {
+    import graft.sources.FileManifest
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pcat").toString
+    val ev = Tables.load(spark, "/root/testdata/sf0.01", "events")
+    FileManifest.writePartitionedLayout(ev, s"$tmp/t", "event_type",
+      "user_id", numFiles = 20)
+    val pm = FileManifest.buildPartitioned(spark, s"$tmp/t", "user_id")
+    val types = ev.select("event_type").distinct().collect()
+      .map(r => s"event_type=${r.getString(0)}").toSet
+    assert(pm.partitions.keySet == types, s"got ${pm.partitions.keySet}")
+
+    // ingest batch into ONE partition: only that key changes
+    FileManifest.writeLayout(
+      ev.filter(col("event_type") === "click").limit(100),
+      s"$tmp/t/event_type=click/extra", "user_id", 2)
+    // (files written under a nested dir so the catalog doesn't see
+    // them on rebuild; append is told about them explicitly)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), conf)
+    val extra = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$tmp/t/event_type=click/extra"))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).toSeq
+    val pm2 = FileManifest.appendPartition(pm, spark, "event_type=click", extra)
+    assert(pm2.partitions("event_type=click").size ==
+      pm.partitions("event_type=click").size + extra.size)
+    assert((pm2.partitions - "event_type=click") ==
+      (pm.partitions - "event_type=click"),
+      "append must not touch other partitions")
+    // expire returns to the original catalog
+    assert(FileManifest.expirePartition(pm2, "event_type=click", extra) == pm)
+    // expiring a whole partition drops its key
+    val clickFiles = pm.partitions("event_type=click").map(_.path)
+    assert(!FileManifest.expirePartition(pm, "event_type=click", clickFiles)
+      .partitions.contains("event_type=click"))
+
+    // two-level pruned read: partition + range in ONE scan, equal to
+    // the plain full-scan filter
+    val pruned = FileManifest.readPrunedPartitioned(spark, pm,
+      Some(Seq("event_type=click", "event_type=view")), 2L, 8L)
+    val full = ev.filter(col("event_type").isin("click", "view") &&
+      col("user_id").between(2, 8))
+    assert(pruned.count() == full.count())
+    assert(pruned.agg(sum("event_id")).head.getLong(0) ==
+      full.agg(sum("event_id")).head.getLong(0))
+    // and it actually skipped: no file from an excluded partition is
+    // opened, and within kept partitions only range survivors are
+    val opened = pruned.inputFiles.map(f =>
+      java.net.URLDecoder.decode(f, "UTF-8")).toSet
+    assert(opened.forall(f =>
+      f.contains("event_type=click") || f.contains("event_type=view")),
+      s"opened excluded partition files: $opened")
+    val total = pm.partitions.values.map(_.size).sum
+    assert(opened.size < total,
+      s"no skipping: opened ${opened.size} of $total")
+    // empty-survivor range: zero rows, schema intact
+    assert(FileManifest.readPrunedPartitioned(spark, pm,
+      Some(Seq("event_type=click")), Long.MaxValue - 1, Long.MaxValue)
+      .count() == 0)
+  }
+
   test("compaction shrinks the file count and keeps the layout prunable") {
     import graft.sources.FileManifest
     val tmp = java.nio.file.Files.createTempDirectory("graft-cpt").toString
