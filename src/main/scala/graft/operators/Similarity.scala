@@ -464,11 +464,11 @@ object Similarity {
     * silently degrade (size clusters via k, or lower `scale`, to stay
     * inside it; scale=256 lifts the bound to ~46k).
     *
-    * Plan shape per iteration: one assignment pass — against centroid
-    * LITERALS for small k (no join at all, fully codegen'd), against a
-    * broadcast centroid table with a partial-aggregated argmax for
-    * large k (the standard n*k assignment cost; literals at that size
-    * would exceed codegen's method limits) — + one posexplode/groupBy
+    * Plan shape per iteration: one MAP-ONLY assignment pass against
+    * centroid literals — unrolled scalar literals for small k, one
+    * array-of-structs literal folded per row for large k (unrolling
+    * there would exceed codegen's method limits; the literal is data,
+    * so codegen stays small at any k) — + one posexplode/groupBy
     * whose map-side partials reduce the shuffle to k*dim rows per
     * partition; driver state is k*dim longs. Seeds are the first k
     * vectors by id — deterministic, no RNG.
@@ -491,44 +491,24 @@ object Similarity {
     require(seeds.length == k,
       s"kmeansQuantized: ${seeds.length} seed vectors for k=$k")
     val dim = seeds.head._2.length
-    val na = (0 until dim).map(i => col("q")(i) * col("q")(i)).reduce(_ + _)
-    val en = e.withColumn("na", na)
+    val en = e // query norm is computed inside the assignment expression
 
-    // argmax-cosine assignment; ties -> lowest cid. Two bit-identical
-    // physical forms: small k inlines the centroids as LITERALS (pure
-    // map-only codegen'd projection, no join at all); large k would
-    // blow the expression tree past codegen limits (k*dim terms), so
-    // the centroids become a broadcast table and the dot product an
-    // exact integer fold — same long arithmetic, same double division,
-    // same tie-break, so the cut-over cannot change a single label.
-    def assign(cents: Seq[(Long, Array[Long])]): DataFrame =
-      if (cents.size <= 64) {
-        val scored = cents.map { case (cid, c) =>
-          val dot = (0 until dim).map(i => col("q")(i) * lit(c(i))).reduce(_ + _)
-          val nb = c.map(x => x * x).sum
-          struct(
-            (dot.cast("double") /
-              sqrt(col("na").cast("double") * lit(nb.toDouble))).as("cos"),
-            lit(-cid).as("negcid"), lit(cid).as("cid"))
-        }
-        en.withColumn("cid", array_max(array(scored: _*)).getField("cid"))
-      } else {
-        val spark = corpus.sparkSession
-        import spark.implicits._
-        val cdf = cents.map { case (cid, c) =>
-          (cid, c.toSeq, c.map(x => x * x).sum.toDouble) // norm exact (< 2^53)
-        }.toDF("__cid", "__c", "__nb")
-        val dot = aggregate(zip_with(col("q"), col("__c"), (x, y) => x * y),
-          lit(0L), (acc, x) => acc + x)
-        val best = en.crossJoin(broadcast(cdf))
-          .withColumn("cos",
-            dot.cast("double") / sqrt(col("na").cast("double") * col("__nb")))
-          .groupBy(col("vec_id"))
-          .agg(max(struct(col("cos"), (-col("__cid")).as("negcid"),
-            col("__cid").as("cid"))).as("__m"))
-          .select(col("vec_id"), col("__m.cid").as("cid"))
-        en.join(best, "vec_id")
-      }
+    // argmax-cosine assignment; ties -> lowest cid. ALWAYS map-only —
+    // no join, no shuffle, at any k: ONE codegen'd CentroidArgmax
+    // expression carrying the centroids as reference data, so the
+    // generated code is a tight k*dim loop whether k is 8 or 8000
+    // (unrolled literals die at codegen's method limits near k~100;
+    // a transform/aggregate fold over an array literal is interpreted
+    // per row — measured 15.5 s vs 1.9 s for d11 at sf0.1).
+    def assign(cents: Seq[(Long, Array[Long])]): DataFrame = {
+      val expr = graft.functions.CentroidArgmax(
+        org.apache.spark.sql.graftshim.SparkShims.expression(col("q")),
+        cents.map(_._1).toArray,
+        cents.map(_._2).toArray,
+        cents.map(_._2.map(x => x * x).sum.toDouble).toArray) // exact (< 2^53)
+      en.withColumn("cid",
+        org.apache.spark.sql.graftshim.SparkShims.column(expr))
+    }
 
     var cents: Seq[(Long, Array[Long])] = seeds.toSeq
     var assigned = assign(cents)

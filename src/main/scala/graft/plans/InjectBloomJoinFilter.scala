@@ -100,9 +100,13 @@ object InjectBloomJoinFilter extends Rule[LogicalPlan] with PredicateHelper {
 
   /** Idempotence guard: the fixed-point batch must not stack a second
     * bloom onto a side this rule (or the user, d9-style) already
-    * prefiltered. */
-  private def hasBloomFilter(p: LogicalPlan): Boolean = p match {
-    case Filter(c, _) => c.exists(_.isInstanceOf[BloomMightContain])
-    case _ => false
-  }
+    * prefiltered. Searches the whole side — pushdown rules in the same
+    * batch can sink the injected Filter under a Project/other Filter,
+    * where a direct-child check would miss it and re-inject every
+    * fixpoint iteration. */
+  private def hasBloomFilter(p: LogicalPlan): Boolean =
+    p.exists {
+      case Filter(c, _) => c.exists(_.isInstanceOf[BloomMightContain])
+      case _ => false
+    }
 }

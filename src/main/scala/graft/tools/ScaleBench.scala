@@ -107,10 +107,10 @@ object ScaleBench {
       "q28_scd2", "s10_kmeans", "f1_manifest_prune", "f2_zorder_skip",
       "f3_compaction", "x14_lm_score", "x15_shuffle", "x16_budget_mix",
       "q30_merge_upsert", "q31_cube", "p3_expectations", "p4_histogram",
-      "d11_semantic_dedup", "x17_safe_split", "p6_drift",
-      // r6: phrase retrieval + the partitioned-catalog read path is
-      // covered by f1; x15/x16 re-measure their two-phase forms
-      "x18_phrase_bm25")
+      "d11_semantic_dedup", "x17_safe_split", "p6_drift")
+      // x18 is NOT here for x12's reason (salting renames its literal
+      // phrases) — the salted-phrase case below measures real phrase
+      // retrieval; the partitioned-catalog read path rides with f1.
     val quadOps = Seq("d5_embed_neardup", "s1_ann_bruteforce")
 
     // Candidate-stage scale check for the re-ranking ANN paths: a 10x
@@ -142,6 +142,15 @@ object ScaleBench {
         graft.operators.TextRank.bm25TopK(
           Tables.load(spark, dir, "documents"),
           Seq(1 -> Seq("hash_0", "join_0"), 2 -> Seq("dup_0", "scan_0")),
+          k = 10)
+      },
+      // copy-0 phrases: positional postings still prefilter to the
+      // phrase vocabulary, so cost should track the postings scan
+      "x18_phrase_salted" -> { dir: String =>
+        graft.operators.TextRank.bm25PhraseTopK(
+          Tables.load(spark, dir, "documents"),
+          Seq(1 -> Seq("table_0", "table_0"), 2 -> Seq("fast_0", "key_0"),
+            3 -> Seq("agg_0", "row_0", "scan_0")),
           k = 10)
       })
 

@@ -243,6 +243,51 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(pruned.count() == full.count())
   }
 
+  test("bloom-join rule injects a probe-side prefilter and preserves the result") {
+    import graft.plans.InjectBloomJoinFilter
+    // force the heuristics on at test scale: any probe qualifies, the
+    // build side must still be the smaller relation by stats
+    spark.conf.set(InjectBloomJoinFilter.MinProbeKey, "1")
+    try {
+      val probe = Tables.load(spark, "/root/testdata/sf0.01", "orders")
+      val build = Tables.load(spark, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey", "c_name")
+      def joined = probe.join(build, col("o_custkey") === col("c_custkey"))
+      val p = plan(joined).toString
+      assert(p.contains("bloom_might_contain") || p.contains("BloomMightContain"),
+        s"no injected bloom probe in:\n$p")
+      assert(p.contains("Subquery") || p.contains("subquery"),
+        s"bloom build must be a scalar subquery:\n$p")
+      // exactly ONE bloom Filter node on the probe side of the logical
+      // plan — the fixpoint batch must not stack them. (The plan STRING
+      // shows more: each subquery reference re-prints its tree, and
+      // constraint inference may copy the predicate across the join
+      // equality onto the build side — a self-bloom every build row
+      // passes, harmless by the zero-false-negative argument.)
+      import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Join => LJoin}
+      val opt = castToImpl(joined).queryExecution.optimizedPlan
+      val joins = opt.collect { case j: LJoin => j }
+      assert(joins.size == 1, s"expected one join:\n$opt")
+      val probeBlooms = joins.head.left.collect {
+        case f @ LFilter(c, _) if c.exists(
+          _.isInstanceOf[graft.functions.BloomMightContain]) => f
+      }
+      assert(probeBlooms.size == 1,
+        s"expected exactly one probe-side bloom filter:\n$opt")
+      val on = joined.agg(count(lit(1)), sum("o_totalprice")).head()
+      spark.conf.set(InjectBloomJoinFilter.EnabledKey, "false")
+      val offPlan = plan(joined).toString
+      assert(!offPlan.toLowerCase.contains("bloom_might_contain"),
+        s"rule must respect the enabled flag:\n$offPlan")
+      val off = joined.agg(count(lit(1)), sum("o_totalprice")).head()
+      assert(on == off, s"bloom prefilter changed the result: $on vs $off")
+    } finally {
+      spark.conf.unset(InjectBloomJoinFilter.MinProbeKey)
+      spark.conf.unset(InjectBloomJoinFilter.EnabledKey)
+    }
+  }
+
   test("partitioned catalog: per-partition append/expire, two-level pruned read") {
     import graft.sources.FileManifest
     val tmp = java.nio.file.Files.createTempDirectory("graft-pcat").toString
