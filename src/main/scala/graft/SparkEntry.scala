@@ -814,6 +814,13 @@ object SparkEntry {
     "x18_phrase_bm25" -> ((s, dir) =>
       TextRank.bm25PhraseTopK(T(s, dir, "documents"), phraseQueries, k = 10)
         .orderBy("query_id", "rank")),
+    // proximity BM25: all query terms within an 8-token span (unordered
+    // — between bag-of-words x12 and exact-phrase x18); tf = qualifying
+    // spans, df = qualifying docs; same literal query set as x12
+    "x19_prox_bm25" -> ((s, dir) =>
+      TextRank.bm25ProximityTopK(T(s, dir, "documents"), bm25Queries,
+          window = 8, k = 10)
+        .orderBy("query_id", "rank")),
     // keyword extraction: top TF-IDF terms per doc, ties term-asc
     "x13_tfidf" -> ((s, dir) =>
       TextRank.tfidfTopTerms(T(s, dir, "documents"), topN = 3)
@@ -1041,6 +1048,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           dsum(col("value")).as("total_value"),
           sum(col("zval")).as("sum_z"))
+        .orderBy("event_type")
+    }),
+    // partitioned catalog: directory-per-partition layout, per-file
+    // stats keyed by partition, then ONE read pruning both levels —
+    // whole partitions first, file ranges within the survivors. The
+    // oracle is the plain full-scan filter: two-level pruning must
+    // lose nothing.
+    "f4_partition_prune" -> ((s, dir) => {
+      val tmp = layoutDir("f4", dir)
+      val ev = T(s, dir, "events")
+      FileManifest.writePartitionedLayout(ev, tmp, "event_type",
+        "user_id", numFiles = 20)
+      val pm = FileManifest.buildPartitioned(s, tmp, "user_id")
+      FileManifest.readPrunedPartitioned(s, pm,
+          Some(Seq("event_type=click", "event_type=view")), 4L, 6L)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("total_value"),
+          countDistinct(col("user_id")).as("n_users"))
         .orderBy("event_type")
     }),
     // small-file compaction: pack a 32-file layout into ~4-file bins by
@@ -1751,6 +1777,51 @@ object SparkEntry {
         |    ORDER BY score DESC, doc_id ASC) AS INT) AS "rank", doc_id
         |FROM agg QUALIFY "rank" <= 10
         |ORDER BY query_id, "rank"""".stripMargin,
+    // x19: same positional postings; an anchor (any query-term
+    // posting) qualifies when all distinct query terms appear in
+    // [pos, pos+8); BM25 over (span count, qualifying-doc df)
+    "x19_prox_bm25" ->
+      s"""WITH spt AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\\s+') AS sp
+        |  FROM documents),
+        |tokp AS (SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(sp)),
+        |    i -> {'pos': i, 'term': sp[i]})) AS u FROM spt),
+        |p AS (SELECT doc_id, u.pos AS pos, u.term AS term FROM tokp
+        |  WHERE u.term <> ''),
+        |qt(query_id, term) AS (VALUES $bm25QueriesSqlValues),
+        |ql AS (SELECT query_id, count(DISTINCT term) AS qlen FROM qt
+        |  GROUP BY 1),
+        |an AS (SELECT qt.query_id, p.doc_id, p.pos, p.term
+        |  FROM p JOIN qt USING (term)),
+        |sp2 AS (SELECT a.query_id, a.doc_id, a.pos,
+        |    count(DISTINCT b.term) AS nterm
+        |  FROM an a JOIN an b ON a.query_id = b.query_id
+        |    AND a.doc_id = b.doc_id
+        |    AND b.pos >= a.pos AND b.pos < a.pos + 8
+        |  GROUP BY 1, 2, 3),
+        |occ AS (SELECT sp2.query_id, sp2.doc_id FROM sp2
+        |  JOIN ql USING (query_id) WHERE sp2.nterm = ql.qlen),
+        |pf AS (SELECT query_id, doc_id, count(*) AS pf FROM occ
+        |  GROUP BY 1, 2),
+        |dfq AS (SELECT query_id, count(*) AS df FROM pf GROUP BY 1),
+        |tok AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+        |  FROM documents),
+        |t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+        |st AS (SELECT count(*) AS n,
+        |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |sc AS (SELECT pf.query_id, pf.doc_id,
+        |    ln(1.0 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+        |      (pf.pf * 2.2) /
+        |      (pf.pf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS score
+        |  FROM pf JOIN dfq USING (query_id) JOIN dl USING (doc_id)
+        |    CROSS JOIN st)
+        |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id ASC) AS INT) AS "rank", doc_id
+        |FROM sc QUALIFY "rank" <= 10
+        |ORDER BY query_id, "rank"""".stripMargin,
     // x18: positional postings via an indexed-struct unnest; anchor
     // voting (pos - slot), an anchor holding all qlen distinct slots
     // is one contiguous occurrence; BM25 over (pf, phrase-df)
@@ -2019,6 +2090,15 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events WHERE user_id BETWEEN 4 AND 6
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // f4 likewise: a two-level (partition + range) pruned read must
+    // equal the plain full-scan filter over both predicates
+    "f4_partition_prune" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events WHERE event_type IN ('click', 'view')
+        |  AND user_id BETWEEN 4 AND 6
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "p5_expectations_windowed" ->

@@ -140,6 +140,75 @@ object TextRank {
       .select(col("query_id"), col("rank"), col(idCol))
   }
 
+  /** PROXIMITY-constrained BM25: rank only documents where ALL of a
+    * query's terms co-occur within a `window`-token span (unordered —
+    * the middle ground between bag-of-words BM25 and exact-phrase
+    * [[bm25PhraseTopK]]), scored by the number of qualifying spans.
+    *
+    * A span qualifies at anchor position p (any query-term posting)
+    * when every distinct query term has a posting in [p, p+window).
+    * Postings are pre-filtered to the query vocabulary before any
+    * shuffle; the span check is ONE self-join on (query, doc) with a
+    * banded position predicate — per-doc candidate postings are few
+    * (query terms only), so the join stays narrow at corpus scale.
+    * tf = qualifying anchor count, df = qualifying document count;
+    * rank-only output, same libm-portability argument as the other
+    * retrieval entries. */
+  def bm25ProximityTopK(docs: DataFrame, queries: Seq[(Int, Seq[String])],
+      window: Int, k: Int, k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window >= 1 && queries.nonEmpty && queries.forall(_._2.nonEmpty))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val allTerms = queries.flatMap(_._2).distinct
+    val pos = docs.select(col(idCol),
+        posexplode(split(trim(lower(col(textCol))), "\\s+"))
+          .as(Seq("pos", "term")))
+      .filter(col("term") =!= "" && col("term").isInCollection(allTerms))
+    val qt = queries.flatMap { case (qid, ts) => ts.distinct.map((qid, _)) }
+      .toDF("query_id", "term")
+    val qlen = queries.map { case (qid, ts) => (qid, ts.distinct.length) }
+      .toDF("query_id", "qlen")
+    val an = pos.join(broadcast(qt), "term")
+      .select(col("query_id"), col(idCol), col("pos"), col("term"))
+    val a = an.select(col("query_id"), col(idCol), col("pos").as("__pa"))
+    val bb = an.select(col("query_id"), col(idCol), col("pos").as("__pb"),
+      col("term").as("__tb"))
+    val occs = a.join(bb, Seq("query_id", idCol))
+      .where(col("__pb") >= col("__pa") && col("__pb") < col("__pa") + window)
+      .groupBy(col("query_id"), col(idCol), col("__pa"))
+      .agg(countDistinct(col("__tb")).as("nterm"))
+      .join(broadcast(qlen), "query_id")
+      .where(col("nterm") === col("qlen"))
+    val pf = occs.groupBy(col("query_id"), col(idCol))
+      .agg(count(lit(1)).as("pf"))
+    val dfq = pf.groupBy("query_id").agg(count(lit(1)).as("df"))
+    val t = tokens(docs, idCol, textCol)
+    val dl = t.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val statsRow = dl.agg(count(lit(1)), sum(col("dl"))).head
+    if (statsRow.getLong(0) == 0L) {
+      return docs.sparkSession.emptyDataFrame
+        .select(lit(0).as("query_id"), lit(0).as("rank"),
+          lit(0L).as(idCol)).limit(0)
+    }
+    val (nDocs, totTok) = (statsRow.getLong(0), statsRow.getLong(1))
+    val avgdl = totTok.toDouble / nDocs
+    val scored = pf
+      .join(broadcast(dfq), "query_id")
+      .join(dl, idCol)
+      .withColumn("score",
+        log(lit(1.0) + (lit(nDocs) - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5))) *
+          (col("pf") * lit(k1 + 1)) /
+          (col("pf") + lit(k1) *
+            (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol))
+  }
+
   /** Language-model quality scoring: a bigram LM trained ON the corpus
     * scores every document by mean log-probability, and the `bottomK`
     * most-surprising docs surface for review — the KenLM-style quality

@@ -54,7 +54,9 @@ object InjectBloomJoinFilter extends Rule[LogicalPlan] with PredicateHelper {
     if (!conf.getConfString(EnabledKey, "true").toBoolean) return plan
     val maxBuild = long(conf, MaxBuildKey, 8L << 20)
     val minProbe = long(conf, MinProbeKey, 64L << 20)
-    val numBits = long(conf, NumBitsKey, 1L << 20).toInt
+    // numBits = 0 (the default) sizes the filter from the build side's
+    // stats at injection time; a positive conf value pins it
+    val numBitsConf = long(conf, NumBitsKey, 0L).toInt
     val numHashes = long(conf, NumHashesKey, 5L).toInt
 
     plan.transformUp {
@@ -75,14 +77,29 @@ object InjectBloomJoinFilter extends Rule[LogicalPlan] with PredicateHelper {
             val (ls, rs) = (left.stats.sizeInBytes, right.stats.sizeInBytes)
             if (rs <= maxBuild && ls >= minProbe && ls >= rs * 4 &&
                 !hasBloomFilter(left)) {
-              j.copy(left = prefilter(left, lk, right, rk, numBits, numHashes))
+              j.copy(left = prefilter(left, lk, right, rk,
+                numBitsFor(numBitsConf, rs), numHashes))
             } else if (jt == Inner && ls <= maxBuild && rs >= minProbe &&
                 rs >= ls * 4 && !hasBloomFilter(right)) {
-              j.copy(right = prefilter(right, rk, left, lk, numBits, numHashes))
+              j.copy(right = prefilter(right, rk, left, lk,
+                numBitsFor(numBitsConf, ls), numHashes))
             } else j
           case None => j
         }
     }
+  }
+
+  /** Filter size from the build side's byte stats when not pinned by
+    * conf: ~1 bit per build-side BYTE approximates 20-50 bits per key
+    * at typical row widths — comfortably past the ~10 bits/key a ~1%
+    * false-positive rate needs (an oversized build never reaches this:
+    * maxBuildBytes rejects it first). Clamped to [2^17, 2^27] bits
+    * (a 16 KB - 16 MB bit array) and rounded up to the required
+    * multiple of 64. */
+  private def numBitsFor(confBits: Int, buildBytes: BigInt): Int = {
+    if (confBits > 0) return confBits
+    val target = buildBytes.max(BigInt(1L << 17)).min(BigInt(1L << 27)).toLong
+    ((target + 63) / 64 * 64).toInt
   }
 
   /** probe -> Filter(bloom_might_contain(<subquery>, xxhash64(key))). */

@@ -346,4 +346,40 @@ object FileManifest {
     * file-list read. */
   private def basePathOf(file: String): String =
     new Path(file).getParent.getParent.toString
+
+  /** Persist a partitioned catalog as a parquet SIDE TABLE (one row
+    * per data file) — the durable form a real deployment reads at
+    * planning time instead of re-statting footers: O(files) rows, so
+    * the catalog for a 10^5-file table is a single small file, and
+    * loading it is one bounded read. */
+  def savePartitioned(spark: SparkSession, pm: PartitionedManifest,
+      path: String): Unit = {
+    import spark.implicits._
+    val rows = pm.partitions.toSeq.flatMap { case (part, files) =>
+      files.map(f => (part, f.path, f.rows, f.min, f.max))
+    }
+    rows.toDF("partition", "path", "rows", "min", "max")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(path)
+    // the clustering column rides in a tiny metadata sidecar so a
+    // loaded catalog cannot silently prune on the wrong column
+    spark.createDataset(Seq(pm.column)).toDF("column")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/_column")
+  }
+
+  /** Load a catalog persisted by [[savePartitioned]]. */
+  def loadPartitioned(spark: SparkSession, path: String): PartitionedManifest = {
+    val column = spark.read.parquet(s"$path/_column")
+      .head.getString(0)
+    val rows = spark.read.parquet(path)
+      .select("partition", "path", "rows", "min", "max").collect()
+    val parts = rows.toSeq
+      .map(r => (r.getString(0),
+        FileStats(r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .groupBy(_._1).map { case (p, fs) =>
+        p -> fs.map(_._2).sortBy(_.path)
+      }
+    PartitionedManifest(column, parts)
+  }
 }

@@ -107,10 +107,13 @@ object ScaleBench {
       "q28_scd2", "s10_kmeans", "f1_manifest_prune", "f2_zorder_skip",
       "f3_compaction", "x14_lm_score", "x15_shuffle", "x16_budget_mix",
       "q30_merge_upsert", "q31_cube", "p3_expectations", "p4_histogram",
-      "d11_semantic_dedup", "x17_safe_split", "p6_drift")
-      // x18 is NOT here for x12's reason (salting renames its literal
-      // phrases) — the salted-phrase case below measures real phrase
-      // retrieval; the partitioned-catalog read path rides with f1.
+      "d11_semantic_dedup", "x17_safe_split", "p6_drift",
+      // r6: partitioned-catalog pipeline (write+catalog+two-level read
+      // per run, like f1)
+      "f4_partition_prune")
+      // x18/x19 are NOT here for x12's reason (salting renames their
+      // literal terms) — the salted cases below measure real phrase/
+      // proximity retrieval.
     val quadOps = Seq("d5_embed_neardup", "s1_ann_bruteforce")
 
     // Candidate-stage scale check for the re-ranking ANN paths: a 10x
@@ -152,6 +155,14 @@ object ScaleBench {
           Seq(1 -> Seq("table_0", "table_0"), 2 -> Seq("fast_0", "key_0"),
             3 -> Seq("agg_0", "row_0", "scan_0")),
           k = 10)
+      },
+      // copy-0 proximity terms: the span self-join stays on the
+      // vocabulary-filtered postings, so cost tracks the scan too
+      "x19_prox_salted" -> { dir: String =>
+        graft.operators.TextRank.bm25ProximityTopK(
+          Tables.load(spark, dir, "documents"),
+          Seq(1 -> Seq("hash_0", "join_0"), 2 -> Seq("dup_0", "scan_0")),
+          window = 8, k = 10)
       })
 
     // SPARK_GRAFT_SCALE_OPS=s7_ann_ivfsq,s8_pq_q100 narrows a run while

@@ -348,6 +348,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(FileManifest.readPrunedPartitioned(spark, pm,
       Some(Seq("event_type=click")), Long.MaxValue - 1, Long.MaxValue)
       .count() == 0)
+
+    // persisted catalog round-trips exactly (the parquet side-table
+    // form a deployment reads at planning time), including the
+    // clustering-column sidecar
+    FileManifest.savePartitioned(spark, pm, s"$tmp/cat")
+    val loaded = FileManifest.loadPartitioned(spark, s"$tmp/cat")
+    assert(loaded == pm, "persisted catalog must round-trip")
   }
 
   test("compaction shrinks the file count and keeps the layout prunable") {
