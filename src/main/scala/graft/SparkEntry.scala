@@ -912,6 +912,17 @@ object SparkEntry {
       Similarity.kmeansQuantized(T(s, dir, "embeddings"),
           k = 8, iterations = 2)
         .orderBy("vec_id")),
+    // k-means with deterministic farthest-point (k-means++-style)
+    // seeding: seeds spread by construction instead of first-k-by-id;
+    // each seeding round is a map-only codegen'd min-dist pass + one
+    // TakeOrdered(1); the whole greedy chain replays in the oracle
+    "s11_kmeans_pp" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val seeds = Similarity.kmeansPlusPlusSeeds(emb, k = 8)
+      Similarity.kmeansQuantized(emb, k = 8, iterations = 2,
+          initialSeeds = Some(seeds))
+        .orderBy("vec_id")
+    }),
     // SemDeDup: cluster the embedding space, exact cosine pairs only
     // WITHIN clusters — the published semantic-dedup recipe; recall vs
     // the exact grid join (d5) is spec-bounded. k derives from the
@@ -1562,6 +1573,10 @@ object SparkEntry {
     // reduces the composed IVF-PQ pipeline to exact top-k, so the
     // brute-force SQL is the precise mirror
     "s10_kmeans" -> kmeansOracleSql,
+    // s11: the same 2-iteration Lloyd mirror, seeded by the replayed
+    // farthest-point greedy chain instead of first-k-by-id
+    "s11_kmeans_pp" ->
+      s"WITH $kmeansPpCtes\nSELECT vec_id, cid AS cluster FROM a2 ORDER BY vec_id",
     // d11: the k-means CTEs feed a cluster-restricted exact pair join;
     // sims are the same bit-exact double cosine as s1/d5
     "d11_semantic_dedup" ->
@@ -2210,8 +2225,36 @@ object SparkEntry {
 
   /** The k-means CTE chain (ends at assignment `a2`), shared by the
     * s10 oracle and d11's cluster-restricted pair mirror. */
-  private def kmeansCtes: String = {
-    val k = 8; val scale = 1024; val dim = 64; val iterations = 2
+  private def kmeansCtes: String =
+    kmeansCtesSeeded(
+      "c1 AS (SELECT vec_id AS cid, q AS c FROM e ORDER BY vec_id LIMIT 8)")
+
+  /** s11's seed chain: DuckDB replays the deterministic farthest-point
+    * greedy CTE by CTE — pp1 = min-id vector, then k-1 rounds of
+    * (min-distance-to-seeds, argmax with id tie-break, union) — and
+    * hands the result to the same assignment/recompute chain as s10.
+    * All-integer distances make every round bit-identical to Spark's
+    * codegen'd CentroidMinDist pass. */
+  private def kmeansPpCtes: String = {
+    val k = 8; val dim = 64
+    val rounds = (2 to k).map { i =>
+      s"""pd$i AS (SELECT e.vec_id,
+         |    min(CAST(list_sum(list_transform(range(1, ${dim + 1}),
+         |      j -> (e.q[j] - s.q[j]) * (e.q[j] - s.q[j]))) AS BIGINT)) AS md
+         |  FROM e CROSS JOIN pp${i - 1} s GROUP BY e.vec_id),
+         |pn$i AS (SELECT vec_id FROM pd$i ORDER BY md DESC, vec_id ASC LIMIT 1),
+         |pp$i AS (SELECT * FROM pp${i - 1}
+         |  UNION ALL SELECT e.vec_id, e.q FROM e JOIN pn$i USING (vec_id))"""
+        .stripMargin
+    }.mkString(",\n")
+    kmeansCtesSeeded(
+      s"""pp1 AS (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT 1),
+         |$rounds,
+         |c1 AS (SELECT vec_id AS cid, q AS c FROM pp$k)""".stripMargin)
+  }
+
+  private def kmeansCtesSeeded(seedCte: String): String = {
+    val scale = 1024; val dim = 64; val iterations = 2
     def assignCtes(n: Int, centsCte: String) =
       s"""s$n AS (SELECT en.vec_id, en.q, en.na, c.cid,
          |    CAST(list_sum(list_transform(range(1, ${dim + 1}),
@@ -2235,7 +2278,7 @@ object SparkEntry {
        |    x -> CAST(floor(x * $scale) AS BIGINT)) AS q FROM embeddings),
        |en AS (SELECT vec_id, q,
        |  list_sum(list_transform(q, x -> x*x)) AS na FROM e),
-       |c1 AS (SELECT vec_id AS cid, q AS c FROM e ORDER BY vec_id LIMIT $k),
+       |$seedCte,
        |${assignCtes(1, "c1")},
        |$iterCtes""".stripMargin
   }

@@ -310,6 +310,28 @@ case class Md5MinHash(child: Expression, shingleWords: Int, numHashes: Int)
   * dot / sqrt(na * nb) in double, ties -> lowest centroid id, NaN
   * ranks above every number (Spark/DuckDB sort semantics). `cids`
   * must be ascending. */
+/** Minimum squared-L2 distance from q (a long array) to a seed set —
+  * the farthest-point seeding kernel. Same reference-data design as
+  * [[CentroidArgmax]]: seeds ride in the codegen references, the
+  * generated method is a tight loop at any seed count. All integer
+  * arithmetic (quantized inputs), so the distance is exact in a long
+  * and bit-identical across engines/partitionings. */
+case class CentroidMinDist(child: Expression, vecs: Array[Array[Long]])
+    extends UnaryExpression {
+  require(vecs.nonEmpty)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(q: Any): Any =
+    GraftHash.centroidMinDist(q.asInstanceOf[ArrayData], vecs)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vecsRef = ctx.addReferenceObj("vecs", vecs, "long[][]")
+    defineCodeGen(ctx, ev, q =>
+      s"graft.functions.GraftHash.centroidMinDist($q, $vecsRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): CentroidMinDist =
+    copy(child = c)
+  override def prettyName: String = "centroid_min_dist"
+}
+
 case class CentroidArgmax(child: Expression, cids: Array[Long],
     vecs: Array[Array[Long]], norms: Array[Double])
     extends UnaryExpression {
@@ -331,6 +353,23 @@ case class CentroidArgmax(child: Expression, cids: Array[Long],
 }
 
 object GraftHash {
+  /** See [[CentroidMinDist]]. */
+  def centroidMinDist(q: ArrayData, vecs: Array[Array[Long]]): Long = {
+    val qa = q.toLongArray()
+    val dim = qa.length
+    var best = Long.MaxValue
+    var c = 0
+    while (c < vecs.length) {
+      val v = vecs(c)
+      var d = 0L
+      var j = 0
+      while (j < dim) { val t = qa(j) - v(j); d += t * t; j += 1 }
+      if (d < best) best = d
+      c += 1
+    }
+    best
+  }
+
   /** See [[CentroidArgmax]]. Ascending-cid iteration + strictly-greater
     * keeps the lowest id on ties; a NaN cosine (zero query norm) beats
     * every number and the first NaN wins, matching the struct-max /

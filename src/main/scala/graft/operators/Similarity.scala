@@ -475,19 +475,23 @@ object Similarity {
     */
   def kmeansQuantized(corpus: DataFrame, k: Int, iterations: Int,
       scale: Int = 1024, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      initialSeeds: Option[Seq[(Long, Array[Long])]] = None): DataFrame = {
     require(k >= 2 && iterations >= 1)
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
     val quant = transform(col(vecCol).cast(ArrayType(DoubleType)),
       x => floor(x * scale).cast("long"))
     val e = corpus.select(col(idCol).cast("long").as("vec_id"),
       quant.as("q"))
-    // first k vectors by id — deterministic under ANY id distribution
-    // (a `vec_id < k` filter would silently under-seed a corpus slice
-    // with offset or sparse ids)
-    val seeds = e.orderBy(col("vec_id")).limit(k)
-      .collect().sortBy(_.getLong(0))
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    // default seeds: first k vectors by id — deterministic under ANY
+    // id distribution (a `vec_id < k` filter would silently under-seed
+    // a corpus slice with offset or sparse ids). Callers wanting
+    // spread-out seeds pass [[kmeansPlusPlusSeeds]] instead.
+    val seeds = initialSeeds.map(_.sortBy(_._1).toArray).getOrElse {
+      e.orderBy(col("vec_id")).limit(k)
+        .collect().sortBy(_.getLong(0))
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    }
     require(seeds.length == k,
       s"kmeansQuantized: ${seeds.length} seed vectors for k=$k")
     val dim = seeds.head._2.length
@@ -534,6 +538,50 @@ object Similarity {
       assigned = assign(cents)
     }
     assigned.select(col("vec_id"), col("cid").as("cluster"))
+  }
+
+  /** Deterministic k-means++-style FARTHEST-POINT seeding over the
+    * quantized domain: seed 1 is the minimum-id vector; each next seed
+    * is the vector with the LARGEST squared-L2 distance to its nearest
+    * existing seed (ties -> lowest id) — the classic k-center greedy,
+    * which is k-means++ with the D^2 sampling made deterministic by
+    * taking the argmax instead of drawing from it. First-k-by-id
+    * seeding can plant every centroid inside one dense region and
+    * leave clusters degenerate; farthest-point spreads them by
+    * construction.
+    *
+    * All arithmetic is exact (quantized longs; squared distances fit a
+    * long at any realistic scale/dim), so the seed SET is
+    * bit-reproducible across engines and partitionings — DuckDB can
+    * replay the whole greedy chain CTE by CTE. Each round is one
+    * map-only pass (codegen'd [[graft.functions.CentroidMinDist]]
+    * against seed literals) + a TakeOrdered(1): k rounds total,
+    * bounded driver state of k vectors — the standard seeding cost,
+    * paid once per training run. */
+  def kmeansPlusPlusSeeds(corpus: DataFrame, k: Int, scale: Int = 1024,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Seq[(Long, Array[Long])] = {
+    require(k >= 2)
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val quant = transform(col(vecCol).cast(ArrayType(DoubleType)),
+      x => floor(x * scale).cast("long"))
+    val e = corpus.select(col(idCol).cast("long").as("vec_id"),
+      quant.as("q"))
+    val first = e.orderBy(col("vec_id")).limit(1).collect()
+    require(first.nonEmpty, "kmeansPlusPlusSeeds: empty corpus")
+    var seeds = Vector(
+      (first.head.getLong(0), first.head.getSeq[Long](1).toArray))
+    while (seeds.size < k) {
+      val minDist = org.apache.spark.sql.graftshim.SparkShims.column(
+        graft.functions.CentroidMinDist(
+          org.apache.spark.sql.graftshim.SparkShims.expression(col("q")),
+          seeds.map(_._2).toArray))
+      val pick = e.select(col("vec_id"), col("q"), minDist.as("__d"))
+        .orderBy(col("__d").desc, col("vec_id").asc).limit(1)
+        .collect().head
+      seeds :+= ((pick.getLong(0), pick.getSeq[Long](1).toArray))
+    }
+    seeds
   }
 
   /** SemDeDup-shaped semantic deduplication: cluster the embedding

@@ -109,8 +109,9 @@ object ScaleBench {
       "q30_merge_upsert", "q31_cube", "p3_expectations", "p4_histogram",
       "d11_semantic_dedup", "x17_safe_split", "p6_drift",
       // r6: partitioned-catalog pipeline (write+catalog+two-level read
-      // per run, like f1)
-      "f4_partition_prune")
+      // per run, like f1) + farthest-point-seeded k-means (the k
+      // seeding rounds re-run per factor — the honest seeding cost)
+      "f4_partition_prune", "s11_kmeans_pp")
       // x18/x19 are NOT here for x12's reason (salting renames their
       // literal terms) — the salted cases below measure real phrase/
       // proximity retrieval.

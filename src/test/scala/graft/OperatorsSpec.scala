@@ -1017,6 +1017,23 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeans++ seeding: k distinct seeds, spread at least as wide as first-k") {
+    val emb = sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val pp = Similarity.kmeansPlusPlusSeeds(emb, k = 8)
+    assert(pp.map(_._1).distinct.size == 8)
+    def minPairDist(seeds: Seq[Array[Long]]): Long =
+      (for (a <- seeds; b <- seeds if a ne b) yield
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum).min
+    // first-k-by-id seeds, quantized the same way
+    val firstK = emb.orderBy("vec_id").limit(8)
+      .select(org.apache.spark.sql.functions.transform(
+        col("embedding").cast("array<double>"),
+        x => floor(x * 1024).cast("long")).as("q"))
+      .collect().map(_.getSeq[Long](0).toArray).toSeq
+    assert(minPairDist(pp.map(_._2)) >= minPairDist(firstK),
+      "farthest-point seeds must be at least as spread as first-k seeds")
+  }
+
   test("text analysis: langId picks marker language, token counts sane") {
     val docs = Seq(
       (1L, "the cat and the dog of the house is to be in"),
