@@ -912,6 +912,17 @@ object SparkEntry {
       Similarity.kmeansQuantized(T(s, dir, "embeddings"),
           k = 8, iterations = 2)
         .orderBy("vec_id")),
+    // RESIDUAL IVF-PQ: PQ codes encode v - centroid(cell) and decode
+    // adds the centroid back — the full FAISS IndexIVFPQ design; same
+    // oracle regime as s9 (full probe + unbounded candidates = exact)
+    "s12_ann_ivfpq_res" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.ivfPqResidualTopK(q, emb, 5, clusters = 16, nprobe = 16,
+          candidates = Int.MaxValue, subspaces = 8, codewords = 16)
+        .orderBy("query_id", "rank")
+    }),
     // k-means with deterministic farthest-point (k-means++-style)
     // seeding: seeds spread by construction instead of first-k-by-id;
     // each seeding round is a map-only codegen'd min-dist pass + one
@@ -1591,16 +1602,11 @@ object SparkEntry {
         |  JOIN ee eb ON eb.vec_id = b.vec_id)
         |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
-    "s9_ann_ivfpq" ->
-      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-        |  FROM embeddings WHERE vec_id < 10),
-        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
-        |s AS (SELECT q.query_id, c.vec_id, list_cosine_similarity(qv, cv) AS sim
-        |  FROM q JOIN c ON q.query_id <> c.vec_id)
-        |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
-        |    ORDER BY sim DESC, vec_id ASC) AS INT) AS "rank",
-        |  vec_id AS neighbor_id, sim
-        |FROM s QUALIFY "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+    "s9_ann_ivfpq" -> bruteForceTop5OracleSql,
+    // s12's oracle regime reduces identically: with nprobe = clusters
+    // and unbounded candidates the exact re-rank sees every row, so
+    // residual-vs-raw encoding cannot change the output
+    "s12_ann_ivfpq_res" -> bruteForceTop5OracleSql,
     // s2's LSH table count guarantees recall >= 1-1e-4 per neighbor at
     // cosine >= 0.2 (all true top-5 sims here exceed that), so the
     // approximate operator must reproduce exact brute-force top-k —
@@ -2215,6 +2221,20 @@ object SparkEntry {
         |  CAST(sum(event_id) AS BIGINT) AS sum_ids
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
   )
+
+  /** Brute-force exact top-5 mirror — the oracle for every ANN entry
+    * whose oracle regime (full probe, unbounded candidates, exact
+    * re-rank) reduces the index to exact search. */
+  private def bruteForceTop5OracleSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      |  FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+      |s AS (SELECT q.query_id, c.vec_id, list_cosine_similarity(qv, cv) AS sim
+      |  FROM q JOIN c ON q.query_id <> c.vec_id)
+      |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY sim DESC, vec_id ASC) AS INT) AS "rank",
+      |  vec_id AS neighbor_id, sim
+      |FROM s QUALIFY "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
 
   /** DuckDB mirror of the full s10 k-means run: fixed-point quantize,
     * seed with the first k vectors, then per iteration an argmax-cosine

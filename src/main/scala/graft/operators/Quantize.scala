@@ -120,7 +120,19 @@ object Quantize {
       .orderBy(xxhash64(col(idCol)), col(idCol)).limit(trainSample)
       .select(col(vecCol).cast("array<double>")).collect()
       .map(_.getSeq[Double](0).toArray)
-    require(sample.nonEmpty, "pqCodebookKMeans: empty corpus")
+    pqCodebookKMeansFromSample(sample, codewords, subspaces, iterations)
+  }
+
+  /** [[pqCodebookKMeans]] over a caller-provided training sample — the
+    * residual-PQ path hands in cell residuals instead of raw vectors
+    * (the codebook then spends its codewords on the residual
+    * distribution, which is tighter than the raw one wherever the
+    * coarse cells capture structure). Same determinism contract: the
+    * sample's order decides seeding and accumulation order. */
+  def pqCodebookKMeansFromSample(sample: Array[Array[Double]],
+      codewords: Int, subspaces: Int,
+      iterations: Int = 10): Array[Array[Double]] = {
+    require(sample.nonEmpty, "pqCodebookKMeans: empty sample")
     val dim = sample.head.length
     require(dim % subspaces == 0, s"dim $dim not divisible by $subspaces")
     val sub = dim / subspaces

@@ -228,7 +228,7 @@ object Similarity {
 
   /** Map-only cell assignment against the trained centroid literals:
     * argmax by (sim, -cid) via lexicographic array_max over structs. */
-  private def cidOf(vec: Column, cents: Array[Array[Float]]): Column = array_max(array(
+  def cidOf(vec: Column, cents: Array[Array[Float]]): Column = array_max(array(
     cents.zipWithIndex.map { case (cv, i) =>
       struct(cosine_similarity(vec, lit(cv)).as("sim"),
         lit(-i).as("negcid"), lit(i).as("cid"))
@@ -400,6 +400,96 @@ object Similarity {
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col(queryId), col("rank"), col(corpusId).as("neighbor_id"),
         col("sim"))
+  }
+
+  /** RESIDUAL IVF-PQ — the full FAISS IndexIVFPQ design: PQ encodes
+    * each vector's RESIDUAL to its cell centroid (v - c), not v
+    * itself, and reconstruction adds the centroid back (c + decode).
+    * Residuals are what remains AFTER the coarse quantizer explains
+    * the corpus's cluster structure, so their distribution is tighter
+    * than the raw vectors' and the same codeword budget reconstructs
+    * more accurately — the reason the published index encodes
+    * residuals. One shared residual codebook (trained on the
+    * cell-assigned residuals of the bounded sample) keeps the scan a
+    * map-only projection: a per-cell codebook would be clusters x
+    * codewords x dim of literal state and is the classic memory/recall
+    * trade this parameterization leaves out.
+    *
+    * Plan shape is identical to [[ivfPqTopK]]: trained state as
+    * literals, residual/encode/reconstruct as per-row projections,
+    * two-stage candidate reduction, exact re-rank. Oracle regime
+    * likewise: nprobe = clusters + unbounded candidates reduces to
+    * exact top-k whatever the codes did. */
+  def ivfPqResidualTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      clusters: Int = 16, nprobe: Int = 4, candidates: Int = 50,
+      subspaces: Int = 8, codewords: Int = 16,
+      iterations: Int = 5, trainSample: Int = 8192,
+      queryId: String = "query_id", queryVec: String = "query_vec",
+      corpusId: String = "vec_id", corpusVec: String = "embedding"): DataFrame = {
+    require(nprobe <= clusters && candidates >= k)
+    val cents = trainCentroids(corpus, clusters, iterations, trainSample,
+      corpusId, corpusVec)
+    val refs = residualCodebook(corpus, cents, codewords, subspaces,
+      iterations, trainSample, corpusId, corpusVec)
+    val centLits = array(cents.map(c => lit(c.map(_.toDouble))): _*)
+    val indexed = corpus
+      .withColumn("__g_cid", cidOf(col(corpusVec), cents))
+      .withColumn("__g_cent", element_at(centLits, col("__g_cid") + 1))
+      .withColumn("__g_res", zip_with(col(corpusVec).cast("array<double>"),
+        col("__g_cent"), (a, b) => a - b))
+      .withColumn("__g_codes",
+        Quantize.pqCodesColumn(col("__g_res"), refs, subspaces))
+      .withColumn("__g_rv", zip_with(col("__g_cent"),
+        Quantize.pqReconstructFromCodes(col("__g_codes"), refs, subspaces),
+        (a, b) => a + b))
+    val probes = probeCells(queries, cents, nprobe, queryId, queryVec)
+    val wl = Window.partitionBy(col(queryId), col("__g_pid"))
+      .orderBy(col("__g_asim").desc, col(corpusId).asc)
+    val wc = Window.partitionBy(col(queryId))
+      .orderBy(col("__g_asim").desc, col(corpusId).asc)
+    val topC = broadcast(probes).join(indexed, Seq("__g_cid"))
+      .where(col(queryId) =!= col(corpusId))
+      .withColumn("__g_asim", graft.functions.GraftFunctions.cosine_similarity_d(
+        col(queryVec).cast("array<double>"), col("__g_rv")))
+      .withColumn("__g_pid", spark_partition_id())
+      .withColumn("__g_lc", row_number().over(wl)).where(col("__g_lc") <= candidates)
+      .withColumn("__g_cr", row_number().over(wc)).where(col("__g_cr") <= candidates)
+    val w = Window.partitionBy(col(queryId)).orderBy(col("sim").desc, col(corpusId).asc)
+    topC.withColumn("sim", cosine_similarity(col(queryVec), col(corpusVec)))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col(queryId), col("rank"), col(corpusId).as("neighbor_id"),
+        col("sim"))
+  }
+
+  /** Residual PQ codebook: assign each SAMPLE vector to its cell with
+    * the same (sim desc, cid asc) rule the scan uses, subtract the
+    * centroid, train per-subspace Lloyd on the residuals. Bounded
+    * driver-side work, deterministic by the sample's hash order. */
+  def residualCodebook(corpus: DataFrame, cents: Array[Array[Float]],
+      codewords: Int, subspaces: Int, iterations: Int = 5,
+      trainSample: Int = 8192, corpusId: String = "vec_id",
+      corpusVec: String = "embedding"): Array[Array[Double]] = {
+    val sample: Array[Array[Double]] = corpus
+      .orderBy(xxhash64(col(corpusId)), col(corpusId)).limit(trainSample)
+      .select(col(corpusVec).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "residualCodebook: empty corpus")
+    val residuals = sample.map { v =>
+      var best = 0; var bs = -2.0; var c = 0
+      while (c < cents.length) {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < v.length) {
+          dot += v(i) * cents(c)(i); na += v(i) * v(i)
+          nb += cents(c)(i).toDouble * cents(c)(i); i += 1
+        }
+        val s = if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+        if (s > bs) { bs = s; best = c }
+        c += 1
+      }
+      v.indices.map(i => v(i) - cents(best)(i)).toArray
+    }
+    Quantize.pqCodebookKMeansFromSample(residuals, codewords, subspaces,
+      iterations)
   }
 
   /** Number of `bits`-bit LSH tables needed so a pair at cosine

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{Alias, EqualTo, Expression, ScalarSubquery, XxHash64}
 import org.apache.spark.sql.catalyst.expressions.PredicateHelper
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
@@ -12,8 +12,8 @@ import graft.functions.{BloomAgg, BloomMightContain}
 /** Optimizer rule: BLOOM-PREFILTERED equi-joins — the d9
   * decontamination trick, applied by the PLANNER instead of by hand.
   *
-  * For an inner/left-semi equi-join whose build side is small (by
-  * logical stats) and probe side large, rewrite
+  * For an equi-join whose build side is small (by logical stats) and
+  * probe side large, rewrite
   *
   *   probe JOIN build ON pk = bk
   *   =>  (probe WHERE bloom_might_contain(<bloom of build's bk>,
@@ -59,9 +59,22 @@ object InjectBloomJoinFilter extends Rule[LogicalPlan] with PredicateHelper {
     val numBitsConf = long(conf, NumBitsKey, 0L).toInt
     val numHashes = long(conf, NumHashesKey, 5L).toInt
 
+    // Side-eligibility by join type. A side may be bloom-filtered only
+    // when its non-matching rows cannot appear in the result:
+    //  - LEFT side: inner, left-semi, right-outer. NOT left-outer/anti
+    //    (their non-matching left rows ARE output — a bloom-negative
+    //    left row is exactly a row those joins must keep).
+    //  - RIGHT side: inner, left-outer, left-semi, left-anti (removing
+    //    right rows that match no left key cannot change any left
+    //    row's match status), right-outer's mirror exclusion applies.
+    def canFilterLeft(jt: Any): Boolean =
+      jt == Inner || jt == LeftSemi || jt == RightOuter
+    def canFilterRight(jt: Any): Boolean =
+      jt == Inner || jt == LeftOuter || jt == LeftSemi || jt == LeftAnti
+
     plan.transformUp {
       case j @ Join(left, right, jt, Some(cond), hint)
-          if (jt == Inner || jt == LeftSemi) =>
+          if canFilterLeft(jt) || canFilterRight(jt) =>
         // first equi-pair split by side; a multi-key join blooms on
         // one key (still zero false negatives — just less selective)
         val keys = splitConjunctivePredicates(cond).collectFirst {
@@ -75,12 +88,12 @@ object InjectBloomJoinFilter extends Rule[LogicalPlan] with PredicateHelper {
         keys match {
           case Some((lk, rk)) =>
             val (ls, rs) = (left.stats.sizeInBytes, right.stats.sizeInBytes)
-            if (rs <= maxBuild && ls >= minProbe && ls >= rs * 4 &&
-                !hasBloomFilter(left)) {
+            if (canFilterLeft(jt) && rs <= maxBuild && ls >= minProbe &&
+                ls >= rs * 4 && !hasBloomFilter(left)) {
               j.copy(left = prefilter(left, lk, right, rk,
                 numBitsFor(numBitsConf, rs), numHashes))
-            } else if (jt == Inner && ls <= maxBuild && rs >= minProbe &&
-                rs >= ls * 4 && !hasBloomFilter(right)) {
+            } else if (canFilterRight(jt) && ls <= maxBuild &&
+                rs >= minProbe && rs >= ls * 4 && !hasBloomFilter(right)) {
               j.copy(right = prefilter(right, rk, left, lk,
                 numBitsFor(numBitsConf, ls), numHashes))
             } else j

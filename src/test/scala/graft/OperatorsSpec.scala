@@ -1017,6 +1017,67 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("residual ivf-pq: exact in oracle regime, residual codes reconstruct better than raw") {
+    val emb = sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val exact = Similarity.bruteForceTopK(q, emb, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    // oracle regime: full probe + unbounded candidates == brute force
+    // row for row, whatever the residual codes did
+    val full = Similarity.ivfPqResidualTopK(q, emb, 5, clusters = 16,
+      nprobe = 16, candidates = Int.MaxValue).collect()
+    assert(full.length == exact.size)
+    full.foreach { r =>
+      val key = (r.getLong(0), r.getInt(1), r.getLong(2))
+      assert(exact.contains(key), s"unexpected row $key")
+      assert(exact(key) == r.getDouble(3), s"sim mismatch for $key")
+    }
+    // the published residual-PQ claim is better RECONSTRUCTION: on
+    // clustered data the coarse cells explain the centers, residuals
+    // are the small remainder, and the same codeword budget encodes
+    // that remainder more accurately than whole vectors — mean cosine
+    // reconstruction error must be strictly lower. (Ranking at tight
+    // budgets is a different story: when raw codes collapse exactly to
+    // the planted centers they can rank center-dominated sims
+    // perfectly while residual codes carry quantized noise — so recall
+    // is asserted as a floor, not vs raw.)
+    val planted = plantedClusters(320, 16, 32)
+    val cents = Similarity.trainCentroids(planted, 16, 5, 8192,
+      "vec_id", "embedding")
+    val refsRes = Similarity.residualCodebook(planted, cents, 16, 8)
+    val refsRaw = Quantize.pqCodebookKMeans(planted, "vec_id", "embedding", 16, 8)
+    val centLits = array(cents.map(c => lit(c.map(_.toDouble))): _*)
+    def meanErr(recon: org.apache.spark.sql.Column): Double = {
+      val errs = planted.withColumn("__cid",
+          Similarity.cidOf(col("embedding"), cents))
+        .withColumn("__cent", element_at(centLits, col("__cid") + 1))
+        .select((lit(1.0) - graft.functions.GraftFunctions.cosine_similarity_d(
+          col("embedding").cast("array<double>"), recon)).as("e"))
+        .collect().map(_.getDouble(0))
+      errs.sum / errs.length
+    }
+    val errRes = meanErr(zip_with(col("__cent"),
+      Quantize.pqReconstructColumn(
+        zip_with(col("embedding").cast("array<double>"), col("__cent"),
+          (a, b) => a - b), refsRes, 8),
+      (a, b) => a + b))
+    val errRaw = meanErr(Quantize.pqReconstructColumn(
+      col("embedding").cast("array<double>"), refsRaw, 8))
+    assert(errRes < errRaw,
+      s"residual codes must reconstruct better: $errRes vs raw $errRaw")
+    // and ranking still holds a high floor at the tightest budget
+    val pq = planted.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val pTop = Similarity.bruteForceTopK(pq, planted, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rRes = Similarity.ivfPqResidualTopK(pq, planted, 5,
+      clusters = 16, nprobe = 16, candidates = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).count(pTop.contains)
+      .toDouble / pTop.size
+    assert(rRes >= 0.95, s"residual recall $rRes < 0.95 at candidates=k")
+  }
+
   test("kmeans++ seeding: k distinct seeds, spread at least as wide as first-k") {
     val emb = sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val pp = Similarity.kmeansPlusPlusSeeds(emb, k = 8)

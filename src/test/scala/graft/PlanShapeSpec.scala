@@ -276,12 +276,27 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(probeBlooms.size == 1,
         s"expected exactly one probe-side bloom filter:\n$opt")
       val on = joined.agg(count(lit(1)), sum("o_totalprice")).head()
+
+      // LEFT OUTER with a big RIGHT side: only the right side may be
+      // filtered (a bloom-negative LEFT row is exactly a row the join
+      // must keep null-extended) — and the result must be identical,
+      // null-extended rows included
+      def louter = build.join(probe, col("c_custkey") === col("o_custkey"),
+        "left_outer")
+      val lp = plan(louter).toString
+      assert(lp.contains("bloom_might_contain"),
+        s"left-outer big-right must bloom the right side:\n$lp")
+      val lOn = louter.agg(count(lit(1)), count("o_orderkey")).head()
+
       spark.conf.set(InjectBloomJoinFilter.EnabledKey, "false")
       val offPlan = plan(joined).toString
       assert(!offPlan.toLowerCase.contains("bloom_might_contain"),
         s"rule must respect the enabled flag:\n$offPlan")
       val off = joined.agg(count(lit(1)), sum("o_totalprice")).head()
       assert(on == off, s"bloom prefilter changed the result: $on vs $off")
+      val lOff = louter.agg(count(lit(1)), count("o_orderkey")).head()
+      assert(lOn == lOff,
+        s"left-outer bloom prefilter changed the result: $lOn vs $lOff")
     } finally {
       spark.conf.unset(InjectBloomJoinFilter.MinProbeKey)
       spark.conf.unset(InjectBloomJoinFilter.EnabledKey)
