@@ -251,11 +251,32 @@ object CorpusOps {
     * expression. */
   def budgetMix(df: DataFrame, idCol: String, textCol: String,
       strataCol: String, budget: Long, buckets: Int = 64): DataFrame = {
-    require(buckets >= 1)
     val base = df.select(col(strataCol), col(idCol),
       size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_tokens"))
-    // per-stratum id range: one partial-aggregated groupBy, tiny result
-    val ranges = base.groupBy(strataCol)
+    twoPhaseCumsum(base, strataCol, idCol, "n_tokens", buckets)
+      .where(col("__cum") - col("n_tokens") < budget)
+      .select(col(strataCol), col(idCol), col("n_tokens"))
+  }
+
+  /** INCLUSIVE running sum of `valueCol` in `idCol` order within each
+    * `partCol` group, as column `__cum` — computed TWO-PHASE so a
+    * low-cardinality partition column (language, source, split) never
+    * pours a whole group through one sorted task: the id range of each
+    * group is cut into `buckets` contiguous slices (id-monotone, so
+    * slice order = id order), phase 1 windows only within (group,
+    * slice), phase 2 shifts each slice by the exclusive prefix of
+    * per-slice totals — a metadata-size frame (groups x buckets rows)
+    * joined back broadcast. The cumsum at each row is identical to the
+    * single-window form (where the cuts fall cannot change a prefix
+    * sum); per-task input is bounded by group/buckets. Requires a
+    * numeric id (the testdata convention) so slice assignment stays a
+    * pure map-side expression. Intermediate columns `__b`/`__off` are
+    * dropped; callers consume and then drop `__cum`. */
+  private def twoPhaseCumsum(base: DataFrame, partCol: String,
+      idCol: String, valueCol: String, buckets: Int): DataFrame = {
+    require(buckets >= 1)
+    // per-group id range: one partial-aggregated groupBy, tiny result
+    val ranges = base.groupBy(partCol)
       .agg(min(col(idCol)).cast("double").as("__idmin"),
         max(col(idCol)).cast("double").as("__idmax"))
     // contiguous id-range slice; ids may be skewed (slices then
@@ -263,22 +284,21 @@ object CorpusOps {
     val slice = least(lit(buckets - 1), greatest(lit(0),
       floor((col(idCol).cast("double") - col("__idmin")) * buckets /
         (col("__idmax") - col("__idmin") + 1d)))).cast("long")
-    val sliced = base.join(broadcast(ranges), Seq(strataCol))
+    val sliced = base.join(broadcast(ranges), Seq(partCol))
       .withColumn("__b", slice).drop("__idmin", "__idmax")
-    // exclusive prefix of per-slice token totals — strata x buckets
-    // rows, windowed per stratum over <= `buckets` rows
-    val offsets = sliced.groupBy(col(strataCol), col("__b"))
-      .agg(sum(col("n_tokens")).as("__btot"))
+    // exclusive prefix of per-slice totals — groups x buckets rows,
+    // windowed per group over <= `buckets` rows
+    val offsets = sliced.groupBy(col(partCol), col("__b"))
+      .agg(sum(col(valueCol)).as("__btot"))
       .withColumn("__off", coalesce(sum(col("__btot")).over(
-        Window.partitionBy(col(strataCol)).orderBy(col("__b"))
+        Window.partitionBy(col(partCol)).orderBy(col("__b"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .drop("__btot")
-    val w = Window.partitionBy(col(strataCol), col("__b")).orderBy(col(idCol))
+    val w = Window.partitionBy(col(partCol), col("__b")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sliced.join(broadcast(offsets), Seq(strataCol, "__b"))
-      .withColumn("__cum", col("__off") + sum(col("n_tokens")).over(w))
-      .where(col("__cum") - col("n_tokens") < budget)
-      .select(col(strataCol), col(idCol), col("n_tokens"))
+    sliced.join(broadcast(offsets), Seq(partCol, "__b"))
+      .withColumn("__cum", col("__off") + sum(col(valueCol)).over(w))
+      .drop("__b", "__off")
   }
 
   /** Sliding-window CHUNKING for context-length-bounded training/RAG:
@@ -307,23 +327,22 @@ object CorpusOps {
     * `partitionCol` shard) into consecutive packs of ~`budget` tokens —
     * the sequence-packing step that batches variable-length docs into
     * fixed context windows. A doc joins the pack its exclusive prefix
-    * sum lands in (`floor(prefix/budget)`), so assignment is a closed
-    * form over ONE window cumsum: deterministic, one shuffle by the
-    * shard key, no iterative bin-packing driver loop. Packing is
-    * per-shard by design (shards = splits/languages/workers), which is
-    * also what keeps the window partition-parallel at 100 TB. */
+    * sum lands in (`floor(prefix/budget)`): a closed form over the
+    * running token sum, no iterative bin-packing driver loop. The
+    * prefix sum is the shared TWO-PHASE cumsum (see [[budgetMix]]), so
+    * a low-cardinality shard column — languages, splits — never sorts
+    * a whole shard in one task. */
   def packByBudget(df: DataFrame, idCol: String, textCol: String,
-      partitionCol: String, budget: Long): DataFrame = {
+      partitionCol: String, budget: Long, buckets: Int = 64): DataFrame = {
     require(budget > 0)
-    val w = Window.partitionBy(col(partitionCol)).orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val nTokens = org.apache.spark.sql.functions.size(
       split(trim(col(textCol)), "\\s+")).cast("long")
-    df.select(col(partitionCol), col(idCol), nTokens.as("n_tokens"))
-      .withColumn("__g_cum", sum(col("n_tokens")).over(w))
+    val base = df.select(col(partitionCol), col(idCol),
+      nTokens.as("n_tokens"))
+    twoPhaseCumsum(base, partitionCol, idCol, "n_tokens", buckets)
       .withColumn("pack_id",
-        floor((col("__g_cum") - col("n_tokens")) / budget).cast("long"))
-      .drop("__g_cum")
+        floor((col("__cum") - col("n_tokens")) / budget).cast("long"))
+      .drop("__cum")
   }
 
   /** Top-k vocabulary by token frequency (whitespace tokens,

@@ -63,6 +63,23 @@ object Expectations {
         (col("n_violations") === 0L).as("passed"))
   }
 
+  /** ALERTS: only the failing (window, check) rows of a windowed audit
+    * — the stream a pager/alert topic actually consumes (a healthy
+    * corpus emits nothing, so sink volume is bounded by violations,
+    * not by windows x checks). */
+  def alerts(audited: DataFrame): DataFrame = audited.filter(!col("passed"))
+
+  /** Continuous data-contract ALERTING: watermark -> tumbling-window
+    * audit -> failing rows only. Append-mode streaming: each window's
+    * alerts emit exactly once, when the watermark closes the window —
+    * so an alert is final (counts cannot grow after emission), which
+    * is the contract an alerting sink needs. Attach any sink via
+    * `.writeStream` on the result. */
+  def alertStream(stream: DataFrame, tsCol: String, watermarkDelay: String,
+      windowDuration: String, checks: Seq[Check]): DataFrame =
+    alerts(auditWindowed(stream.withWatermark(tsCol, watermarkDelay),
+      tsCol, windowDuration, checks))
+
   /** One row per check: (rule, column, n_violations, n_rows, passed). */
   def audit(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "audit needs at least one check")

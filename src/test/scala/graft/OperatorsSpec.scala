@@ -1095,6 +1095,26 @@ class OperatorsSpec extends AnyFunSuite {
       "farthest-point seeds must be at least as spread as first-k seeds")
   }
 
+  test("packByBudget two-phase cumsum equals the single-window form") {
+    val docs = sources.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = docs.select(col("lang"), col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("pack_id", floor((sum(col("n_tokens")).over(w) -
+        col("n_tokens")) / 2048).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+      .toSeq.sorted
+    for (buckets <- Seq(1, 7, 64)) {
+      val got = CorpusOps.packByBudget(docs, "doc_id", "text", "lang",
+          budget = 2048, buckets = buckets)
+        .select("lang", "doc_id", "pack_id").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+      assert(got == ref, s"mismatch at buckets=$buckets")
+    }
+  }
+
   test("text analysis: langId picks marker language, token counts sane") {
     val docs = Seq(
       (1L, "the cat and the dog of the house is to be in"),

@@ -296,6 +296,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming expectation alerts: only failing windows emit, exactly once") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Expectations
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StatefulOps.Evt]
+    val alerts = Expectations.alertStream(in.toDS().toDF(),
+        "ts", "0 seconds", "100 seconds",
+        Seq(Expectations.inRange("value", 0L, 10L),
+          Expectations.notNull("user_id")))
+      .select(col("window_start"), col("rule"), col("n_violations"))
+    val q = alerts.writeStream.format("memory").queryName("alerts")
+      .outputMode("append").start()
+    try {
+      // window [1000,1100): clean; window [1100,1200): one range breach
+      in.addData(StatefulOps.Evt(1L, ts(1001), 5.0),
+        StatefulOps.Evt(2L, ts(1050), 7.0),
+        StatefulOps.Evt(1L, ts(1101), 42.0),
+        StatefulOps.Evt(2L, ts(1102), 3.0))
+      q.processAllAvailable()
+      in.addData(StatefulOps.Evt(9L, ts(99999), 1.0)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT window_start, rule, n_violations FROM alerts").collect()
+      // the clean window and every passing check stay silent; the
+      // breached window emits exactly its one failing check
+      assert(rows.length == 1, s"expected one alert, got ${rows.toSeq}")
+      assert(rows.head.getString(1) == "in_range" &&
+        rows.head.getLong(2) == 1L, s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming windowed heavy hitters: MG counters merge across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
