@@ -821,6 +821,14 @@ object SparkEntry {
       TextRank.bm25ProximityTopK(T(s, dir, "documents"), bm25Queries,
           window = 8, k = 10)
         .orderBy("query_id", "rank")),
+    // ordered phrase-with-slop BM25: terms in order at increasing
+    // positions within a 10-token span (gaps allowed) — the third
+    // point of the retrieval trio (exact phrase / unordered window /
+    // ordered slop); tf = distinct chain starts
+    "x20_slop_bm25" -> ((s, dir) =>
+      TextRank.bm25SlopTopK(T(s, dir, "documents"), bm25Queries,
+          window = 10, k = 10)
+        .orderBy("query_id", "rank")),
     // keyword extraction: top TF-IDF terms per doc, ties term-asc
     "x13_tfidf" -> ((s, dir) =>
       TextRank.tfidfTopTerms(T(s, dir, "documents"), topN = 3)
@@ -1798,6 +1806,10 @@ object SparkEntry {
         |    ORDER BY score DESC, doc_id ASC) AS INT) AS "rank", doc_id
         |FROM agg QUALIFY "rank" <= 10
         |ORDER BY query_id, "rank"""".stripMargin,
+    // x20: per-query chained joins over the same positional postings —
+    // slot i joins slot i-1 on (same doc, later position, inside the
+    // 10-token span); tf = distinct chain starts
+    "x20_slop_bm25" -> slopOracleSql,
     // x19: same positional postings; an anchor (any query-term
     // posting) qualifies when all distinct query terms appear in
     // [pos, pos+8); BM25 over (span count, qualifying-doc df)
@@ -2221,6 +2233,57 @@ object SparkEntry {
         |  CAST(sum(event_id) AS BIGINT) AS sum_ids
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
   )
+
+  /** x20's oracle: per-query chained self-joins of the positional
+    * postings (slot i after slot i-1, within the span), tf = distinct
+    * chain starts, then the shared BM25 scoring shape. Generated from
+    * the same literal query set the entry uses. */
+  private def slopOracleSql: String = {
+    val window = 10
+    val vocab = bm25Queries.flatMap(_._2).distinct
+      .map(t => s"'$t'").mkString(", ")
+    val chains = bm25Queries.map { case (qid, terms) =>
+      val joins = terms.indices.drop(1).map { i =>
+        s"JOIN an a$i ON a$i.doc_id = a0.doc_id AND a$i.term = '${terms(i)}'" +
+          s" AND a$i.pos > a${i - 1}.pos AND a$i.pos - a0.pos < $window"
+      }.mkString("\n  ")
+      s"""pfq$qid AS (SELECT a0.doc_id, count(DISTINCT a0.pos) AS pf
+         |  FROM an a0
+         |  $joins
+         |  WHERE a0.term = '${terms.head}' GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val pfUnion = bm25Queries.map { case (qid, _) =>
+      s"SELECT $qid AS query_id, doc_id, pf FROM pfq$qid"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH spt AS (SELECT doc_id,
+       |    string_split_regex(trim(lower(text)), '\\s+') AS sp
+       |  FROM documents),
+       |tokp AS (SELECT doc_id, unnest(list_transform(
+       |    generate_series(1, len(sp)),
+       |    i -> {'pos': i, 'term': sp[i]})) AS u FROM spt),
+       |an AS (SELECT doc_id, u.pos AS pos, u.term AS term FROM tokp
+       |  WHERE u.term IN ($vocab)),
+       |$chains,
+       |pf AS ($pfUnion),
+       |dfq AS (SELECT query_id, count(*) AS df FROM pf GROUP BY 1),
+       |tok AS (SELECT doc_id,
+       |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+       |  FROM documents),
+       |t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+       |st AS (SELECT count(*) AS n,
+       |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |sc AS (SELECT pf.query_id, pf.doc_id,
+       |    ln(1.0 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+       |      (pf.pf * 2.2) /
+       |      (pf.pf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS score
+       |  FROM pf JOIN dfq USING (query_id) JOIN dl USING (doc_id)
+       |    CROSS JOIN st)
+       |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, doc_id ASC) AS INT) AS "rank", doc_id
+       |FROM sc QUALIFY "rank" <= 10
+       |ORDER BY query_id, "rank"""".stripMargin
+  }
 
   /** Brute-force exact top-5 mirror — the oracle for every ANN entry
     * whose oracle regime (full probe, unbounded candidates, exact

@@ -209,6 +209,74 @@ object TextRank {
       .select(col("query_id"), col("rank"), col(idCol))
   }
 
+  /** ORDERED phrase-with-slop BM25 (Lucene's slop in windowed form):
+    * rank documents containing the query terms IN ORDER at strictly
+    * increasing positions within a `window`-token span — looser than
+    * exact-phrase [[bm25PhraseTopK]] (gaps allowed), stricter than
+    * unordered [[bm25ProximityTopK]] (order enforced). tf = distinct
+    * chain START positions, df = qualifying docs.
+    *
+    * Each query compiles to a CHAIN of equi-joins over the
+    * vocabulary-filtered positional postings — slot i joins slot i-1
+    * on (doc, position-after, within-window). Query sets are literal
+    * and small, so the per-query plans union; every join is a shuffle
+    * equi-join on the doc key over postings already pre-filtered to
+    * the query's own terms, the shape that holds at corpus scale.
+    * Rank-only output, the usual libm-portability argument. */
+  def bm25SlopTopK(docs: DataFrame, queries: Seq[(Int, Seq[String])],
+      window: Int, k: Int, k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window >= 1 && queries.nonEmpty && queries.forall(_._2.nonEmpty))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val allTerms = queries.flatMap(_._2).distinct
+    val pos = docs.select(col(idCol),
+        posexplode(split(trim(lower(col(textCol))), "\\s+"))
+          .as(Seq("pos", "term")))
+      .filter(col("term") =!= "" && col("term").isInCollection(allTerms))
+    val perQuery: Seq[DataFrame] = queries.map { case (qid, terms) =>
+      var chain = pos.filter(col("term") === terms.head)
+        .select(col(idCol), col("pos").as("__p0"), col("pos").as("__pl"))
+      terms.drop(1).foreach { t =>
+        val nxt = pos.filter(col("term") === t)
+          .select(col(idCol).as("__nid"), col("pos").as("__pn"))
+        chain = chain.join(nxt,
+            col(idCol) === col("__nid") && col("__pn") > col("__pl") &&
+              col("__pn") - col("__p0") < window)
+          .select(col(idCol), col("__p0"), col("__pn").as("__pl"))
+      }
+      chain.groupBy(col(idCol))
+        .agg(countDistinct(col("__p0")).as("pf"))
+        .withColumn("query_id", lit(qid))
+    }
+    val pf = perQuery.reduce(_ unionByName _)
+    val dfq = pf.groupBy("query_id").agg(count(lit(1)).as("df"))
+    val t = tokens(docs, idCol, textCol)
+    val dl = t.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val statsRow = dl.agg(count(lit(1)), sum(col("dl"))).head
+    if (statsRow.getLong(0) == 0L) {
+      return docs.sparkSession.emptyDataFrame
+        .select(lit(0).as("query_id"), lit(0).as("rank"),
+          lit(0L).as(idCol)).limit(0)
+    }
+    val (nDocs, totTok) = (statsRow.getLong(0), statsRow.getLong(1))
+    val avgdl = totTok.toDouble / nDocs
+    val scored = pf
+      .join(broadcast(dfq), "query_id")
+      .join(dl, idCol)
+      .withColumn("score",
+        log(lit(1.0) + (lit(nDocs) - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5))) *
+          (col("pf") * lit(k1 + 1)) /
+          (col("pf") + lit(k1) *
+            (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol))
+  }
+
   /** Language-model quality scoring: a bigram LM trained ON the corpus
     * scores every document by mean log-probability, and the `bottomK`
     * most-surprising docs surface for review — the KenLM-style quality

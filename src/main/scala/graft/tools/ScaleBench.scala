@@ -164,6 +164,14 @@ object ScaleBench {
           Tables.load(spark, dir, "documents"),
           Seq(1 -> Seq("hash_0", "join_0"), 2 -> Seq("dup_0", "scan_0")),
           window = 8, k = 10)
+      },
+      // copy-0 ordered-slop terms: chained equi-joins over the same
+      // prefiltered postings
+      "x20_slop_salted" -> { dir: String =>
+        graft.operators.TextRank.bm25SlopTopK(
+          Tables.load(spark, dir, "documents"),
+          Seq(1 -> Seq("hash_0", "join_0"), 2 -> Seq("dup_0", "scan_0")),
+          window = 10, k = 10)
       })
 
     // SPARK_GRAFT_SCALE_OPS=s7_ann_ivfsq,s8_pq_q100 narrows a run while
