@@ -829,6 +829,16 @@ object SparkEntry {
       TextRank.bm25SlopTopK(T(s, dir, "documents"), bm25Queries,
           window = 10, k = 10)
         .orderBy("query_id", "rank")),
+    // BM25 over a MATERIALIZED inverted index: postings written
+    // term-bucketed once, queries partition-prune to their own terms'
+    // buckets — identical scoring to x12, different read path
+    "x21_indexed_bm25" -> ((s, dir) => {
+      val tmp = layoutDir("x21", dir)
+      graft.sources.TextIndex.build(T(s, dir, "documents"), "doc_id",
+        "text", tmp, buckets = 32)
+      graft.sources.TextIndex.bm25TopK(s, tmp, bm25Queries, k = 10)
+        .orderBy("query_id", "rank")
+    }),
     // keyword extraction: top TF-IDF terms per doc, ties term-asc
     "x13_tfidf" -> ((s, dir) =>
       TextRank.tfidfTopTerms(T(s, dir, "documents"), topN = 3)
@@ -1782,30 +1792,11 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
         |    / 2048) AS BIGINT) AS pack_id
         |FROM t ORDER BY lang, doc_id""".stripMargin,
-    "x12_bm25" ->
-      s"""WITH tok AS (SELECT doc_id,
-        |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
-        |  FROM documents),
-        |t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
-        |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
-        |st AS (SELECT count(*) AS n,
-        |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-        |qt(query_id, term) AS (VALUES $bm25QueriesSqlValues),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
-        |  WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
-        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |sc AS (SELECT qt.query_id, tf.doc_id,
-        |    ln(1.0 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
-        |      (tf.tf * 2.2) /
-        |      (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS s
-        |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
-        |    JOIN qt USING (term) CROSS JOIN st),
-        |agg AS (SELECT query_id, doc_id, sum(s) AS score FROM sc
-        |  GROUP BY 1, 2)
-        |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
-        |    ORDER BY score DESC, doc_id ASC) AS INT) AS "rank", doc_id
-        |FROM agg QUALIFY "rank" <= 10
-        |ORDER BY query_id, "rank"""".stripMargin,
+    "x12_bm25" -> bm25OracleSql,
+    // x21 shares x12's oracle VERBATIM: the materialized index changes
+    // where postings come from (bucketed parquet, partition-pruned to
+    // the query terms' buckets), not one bit of the scoring arithmetic
+    "x21_indexed_bm25" -> bm25OracleSql,
     // x20: per-query chained joins over the same positional postings —
     // slot i joins slot i-1 on (same doc, later position, inside the
     // 10-token span); tf = distinct chain starts
@@ -2233,6 +2224,33 @@ object SparkEntry {
         |  CAST(sum(event_id) AS BIGINT) AS sum_ids
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
   )
+
+  /** x12's oracle — and x21's: the indexed path must reproduce the
+    * ad-hoc path bit for bit. */
+  private def bm25OracleSql: String =
+    s"""WITH tok AS (SELECT doc_id,
+      |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      |  FROM documents),
+      |t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+      |st AS (SELECT count(*) AS n,
+      |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      |qt(query_id, term) AS (VALUES $bm25QueriesSqlValues),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+      |  WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+      |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |sc AS (SELECT qt.query_id, tf.doc_id,
+      |    ln(1.0 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+      |      (tf.tf * 2.2) /
+      |      (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS s
+      |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+      |    JOIN qt USING (term) CROSS JOIN st),
+      |agg AS (SELECT query_id, doc_id, sum(s) AS score FROM sc
+      |  GROUP BY 1, 2)
+      |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, doc_id ASC) AS INT) AS "rank", doc_id
+      |FROM agg QUALIFY "rank" <= 10
+      |ORDER BY query_id, "rank"""".stripMargin
 
   /** x20's oracle: per-query chained self-joins of the positional
     * postings (slot i after slot i-1, within the span), tf = distinct

@@ -172,6 +172,17 @@ object ScaleBench {
           Tables.load(spark, dir, "documents"),
           Seq(1 -> Seq("hash_0", "join_0"), 2 -> Seq("dup_0", "scan_0")),
           window = 10, k = 10)
+      },
+      // materialized index: the measured cost is BUILD (write the full
+      // bucketed postings layout) + a partition-pruned query — the
+      // honest index-pipeline shape; query-only cost is the pruned
+      // scan, independent of corpus size beyond the terms' buckets
+      "x21_indexed_salted" -> { dir: String =>
+        graft.sources.TextIndex.build(Tables.load(spark, dir, "documents"),
+          "doc_id", "text", s"$dir/__tidx", buckets = 32)
+        graft.sources.TextIndex.bm25TopK(spark, s"$dir/__tidx",
+          Seq(1 -> Seq("hash_0", "join_0"), 2 -> Seq("dup_0", "scan_0")),
+          k = 10)
       })
 
     // SPARK_GRAFT_SCALE_OPS=s7_ann_ivfsq,s8_pq_q100 narrows a run while

@@ -372,6 +372,40 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(loaded == pm, "persisted catalog must round-trip")
   }
 
+  test("text index: postings scan opens only the query terms' buckets") {
+    import graft.sources.TextIndex
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tidx").toString
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    TextIndex.build(docs, "doc_id", "text", tmp, buckets = 32)
+    val queries = Seq(1 -> Seq("hash", "join"), 2 -> Seq("dup", "scan"))
+    val res = TextIndex.bm25TopK(spark, tmp, queries, k = 10)
+    // result identity with the ad-hoc (re-derive postings) path
+    val adhoc = operators.TextRank.bm25TopK(docs, queries, k = 10)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    val idx = res.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    assert(idx == adhoc, s"indexed != ad-hoc: $idx vs $adhoc")
+    // partition pruning: the postings scan carries a partition filter
+    // on the bucket column (inputFiles lists the PRE-pruning index, so
+    // the physical scan is where pruning is visible), and the pruned
+    // partition count matches the query terms' distinct buckets
+    import spark.implicits._
+    val expected = queries.flatMap(_._2).distinct.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(32))).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(expected.size < 32, s"pruning test vacuous: $expected")
+    // AQE hides scan nodes from collect(); the plan STRING shows the
+    // finalized scan with its partition filter — parse the IN-list
+    res.count() // finalize AQE
+    val p = plan(res).toString
+    val m = "PartitionFilters: \\[[^\\]]*?IN \\(([0-9, ]+)\\)".r
+      .findFirstMatchIn(p)
+    assert(m.isDefined, s"no bucket IN partition filter in:\n$p")
+    val opened = m.get.group(1).split(",").map(_.trim.toLong).toSet
+    assert(opened == expected,
+      s"scan's partition filter reads $opened, query terms span $expected")
+  }
+
   test("compaction shrinks the file count and keeps the layout prunable") {
     import graft.sources.FileManifest
     val tmp = java.nio.file.Files.createTempDirectory("graft-cpt").toString
