@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -19,6 +20,14 @@ import org.apache.spark.sql.functions._
   * [[graft.operators.TextRank.bm25TopK]] exactly — same tf/df/dl
   * arithmetic, same rank-only output — so the index path shares the
   * ad-hoc path's DuckDB oracle verbatim.
+  *
+  * Positions ride in the layout, so the whole retrieval trio serves
+  * from it: bag-of-words [[bm25TopK]], exact-phrase [[bm25PhraseTopK]],
+  * unordered-window [[bm25ProximityTopK]], ordered-slop [[bm25SlopTopK]]
+  * — each the same semantics as its `TextRank` ad-hoc twin, with the
+  * read path swapped for the pruned bucketed scan. [[append]] maintains
+  * the index incrementally and [[compact]] folds the small files an
+  * append stream accumulates back into one sorted file per bucket.
   */
 object TextIndex {
   /** Build the index at `path`: bucketed positional postings
@@ -45,6 +54,92 @@ object TextIndex {
       .write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
   }
 
+  /** INCREMENTAL index maintenance: append an ingest batch's postings
+    * into the same bucketed layout (dynamic-partition append touches
+    * only the buckets the new terms hash to), append its doc lengths,
+    * and fold the stats row — no rebuild of existing postings.
+    * Precondition: `docs` are NEW documents (ids disjoint from the
+    * indexed set); a re-offered id would double its postings, same as
+    * any append-only log. */
+  def append(docs: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val spark = docs.sparkSession
+    val (n0, t0, buckets) = loadStats(spark, path)
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(trim(lower(col(textCol))), "\\s+"))
+          .as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+    toks
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets)))
+      .repartition(col("bucket"))
+      .write.mode(SaveMode.Append)
+      .partitionBy("bucket")
+      .parquet(s"$path/postings")
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    dl.write.mode(SaveMode.Append).parquet(s"$path/doclen")
+    val delta = dl.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head
+    // one-row rewrite via a temp dir + swap-free overwrite (the row is
+    // tiny; rewriting it is the whole "commit")
+    spark.range(1).select(
+        lit(n0 + delta.getLong(0)).as("n_docs"),
+        lit(t0 + delta.getLong(1)).as("total_tokens"),
+        lit(buckets).as("buckets"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
+  }
+
+  /** Fold the small files an [[append]] stream accumulates back into
+    * ONE file per bucket, sorted by (term, doc_id, pos) — so term
+    * min/max row-group stats make the in-bucket `term IN (...)`
+    * residual skippable, on top of the directory-level pruning.
+    * Doc lengths compact to one file the same way.
+    *
+    * Bucket rewrites are independent single-task jobs submitted
+    * CONCURRENTLY (the f3 compaction discipline — wall-clock is the
+    * largest bucket, not the bucket count). The swap is two renames
+    * (old → `.old`, new → live, delete `.old`); a real object-store
+    * deployment would commit the swap through a manifest instead,
+    * which is what the [[FileManifest]] machinery is for. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val (_, _, buckets) = loadStats(spark, path)
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(s"$path/postings.compacting")
+    fs.delete(tmp, true)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val live = new Path(s"$path/postings")
+    val jobs = (0 until buckets).flatMap { b =>
+      val dir = new Path(live, s"bucket=$b")
+      if (!fs.exists(dir)) None
+      else Some(Future {
+        // reading the bucket dir directly drops the partition column;
+        // writing back under the same dir name restores it on discovery
+        spark.read.parquet(dir.toString)
+          .coalesce(1)
+          .sortWithinPartitions("term", "doc_id", "pos")
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$tmp/bucket=$b")
+      })
+    }
+    Await.result(Future.sequence(jobs), scala.concurrent.duration.Duration.Inf)
+    val old = new Path(s"$path/postings.old")
+    fs.delete(old, true)
+    require(fs.rename(live, old) && fs.rename(tmp, live),
+      s"compact: postings swap failed under $path")
+    fs.delete(old, true)
+    val dlTmp = s"$path/doclen.compacting"
+    spark.read.parquet(s"$path/doclen")
+      .coalesce(1).sortWithinPartitions("doc_id")
+      .write.mode(SaveMode.Overwrite).parquet(dlTmp)
+    val dlLive = new Path(s"$path/doclen")
+    val dlOld = new Path(s"$path/doclen.old")
+    fs.delete(dlOld, true)
+    require(fs.rename(dlLive, dlOld) && fs.rename(new Path(dlTmp), dlLive),
+      s"compact: doclen swap failed under $path")
+    fs.delete(dlOld, true)
+  }
+
   /** BM25 top-k over the MATERIALIZED index — same semantics and
     * output as `TextRank.bm25TopK`, but the postings scan opens only
     * the query terms' buckets (partition pruning; the bucket predicate
@@ -56,22 +151,11 @@ object TextIndex {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import spark.implicits._
     require(queries.nonEmpty && queries.forall(_._2.nonEmpty))
-    val stats = spark.read.parquet(s"$path/stats").head
-    val (nDocs, totTok, buckets) =
-      (stats.getAs[Long]("n_docs"), stats.getAs[Long]("total_tokens"),
-        stats.getAs[Int]("buckets"))
+    val (nDocs, totTok, buckets) = loadStats(spark, path)
     require(nDocs > 0, "empty index")
     val avgdl = totTok.toDouble / nDocs
-    val allTerms = queries.flatMap(_._2).distinct
-    // bucket values computed by the same xxhash64 expression the build
-    // column used (one bounded local job), then pushed as a partition
-    // filter
-    val termBuckets = allTerms.toDF("term")
-      .select(pmod(xxhash64(col("term")), lit(buckets)).as("b"))
-      .distinct().collect().map(_.getLong(0)).toSeq
-    val postings = spark.read.parquet(s"$path/postings")
-      .where(col("bucket").isin(termBuckets: _*) &&
-        col("term").isInCollection(allTerms))
+    val postings = prunedPostings(spark, path, buckets,
+      queries.flatMap(_._2).distinct)
     val qt = queries.flatMap { case (qid, ts) => ts.map(tm => (qid, tm)) }
       .toDF("query_id", "term")
     val tf = postings.groupBy(col("doc_id"), col("term"))
@@ -88,11 +172,151 @@ object TextIndex {
           (col("tf") * lit(k1 + 1)) /
           (col("tf") + lit(k1) *
             (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))))
-    val agg = scored.groupBy(col("query_id"), col("doc_id"))
-      .agg(sum("s").as("score"))
+    rankTopK(scored.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum("s").as("score")), k)
+  }
+
+  /** PHRASE-constrained BM25 served FROM the index — the same anchor
+    * intersection as `TextRank.bm25PhraseTopK` (each posting votes for
+    * `pos - slot`; an anchor holding all slots is one contiguous
+    * occurrence), but postings come from the bucketed layout with
+    * partition pruning instead of a raw-text re-derive. */
+  def bm25PhraseTopK(spark: SparkSession, path: String,
+      phrases: Seq[(Int, Seq[String])], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    require(phrases.nonEmpty && phrases.forall(_._2.nonEmpty))
+    val (nDocs, totTok, buckets) = loadStats(spark, path)
+    require(nDocs > 0, "empty index")
+    val pos = prunedPostings(spark, path, buckets,
+      phrases.flatMap(_._2).distinct)
+    val pt = phrases.flatMap { case (qid, ts) =>
+        ts.zipWithIndex.map { case (tm, off) => (qid, off, tm) } }
+      .toDF("query_id", "off", "term")
+    val qlen = phrases.map { case (qid, ts) => (qid, ts.length) }
+      .toDF("query_id", "qlen")
+    val occs = pos.join(broadcast(pt), "term")
+      .groupBy(col("query_id"), col("doc_id"),
+        (col("pos") - col("off")).as("anchor"))
+      .agg(countDistinct(col("off")).as("nslots"))
+      .join(broadcast(qlen), "query_id")
+      .where(col("nslots") === col("qlen"))
+    val pf = occs.groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("pf"))
+    scorePf(spark, path, pf, nDocs, totTok, k, k1, b)
+  }
+
+  /** PROXIMITY-constrained BM25 FROM the index — `TextRank
+    * .bm25ProximityTopK`'s banded self-join (all query terms within a
+    * `window`-token unordered span; tf = qualifying anchors) over the
+    * pruned bucketed postings. */
+  def bm25ProximityTopK(spark: SparkSession, path: String,
+      queries: Seq[(Int, Seq[String])], window: Int, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    require(window >= 1 && queries.nonEmpty && queries.forall(_._2.nonEmpty))
+    val (nDocs, totTok, buckets) = loadStats(spark, path)
+    require(nDocs > 0, "empty index")
+    val pos = prunedPostings(spark, path, buckets,
+      queries.flatMap(_._2).distinct)
+    val qt = queries.flatMap { case (qid, ts) => ts.distinct.map((qid, _)) }
+      .toDF("query_id", "term")
+    val qlen = queries.map { case (qid, ts) => (qid, ts.distinct.length) }
+      .toDF("query_id", "qlen")
+    val an = pos.join(broadcast(qt), "term")
+      .select(col("query_id"), col("doc_id"), col("pos"), col("term"))
+    val a = an.select(col("query_id"), col("doc_id"), col("pos").as("__pa"))
+    val bb = an.select(col("query_id"), col("doc_id"), col("pos").as("__pb"),
+      col("term").as("__tb"))
+    val occs = a.join(bb, Seq("query_id", "doc_id"))
+      .where(col("__pb") >= col("__pa") && col("__pb") < col("__pa") + window)
+      .groupBy(col("query_id"), col("doc_id"), col("__pa"))
+      .agg(countDistinct(col("__tb")).as("nterm"))
+      .join(broadcast(qlen), "query_id")
+      .where(col("nterm") === col("qlen"))
+    val pf = occs.groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("pf"))
+    scorePf(spark, path, pf, nDocs, totTok, k, k1, b)
+  }
+
+  /** ORDERED slop BM25 FROM the index — `TextRank.bm25SlopTopK`'s
+    * per-query chain of doc-keyed equi-joins (terms in order, strictly
+    * increasing positions, span < `window`; tf = distinct chain
+    * starts) over the pruned bucketed postings. */
+  def bm25SlopTopK(spark: SparkSession, path: String,
+      queries: Seq[(Int, Seq[String])], window: Int, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(window >= 1 && queries.nonEmpty && queries.forall(_._2.nonEmpty))
+    val (nDocs, totTok, buckets) = loadStats(spark, path)
+    require(nDocs > 0, "empty index")
+    val pos = prunedPostings(spark, path, buckets,
+      queries.flatMap(_._2).distinct)
+    val perQuery: Seq[DataFrame] = queries.map { case (qid, terms) =>
+      var chain = pos.filter(col("term") === terms.head)
+        .select(col("doc_id"), col("pos").as("__p0"), col("pos").as("__pl"))
+      terms.drop(1).foreach { t =>
+        val nxt = pos.filter(col("term") === t)
+          .select(col("doc_id").as("__nid"), col("pos").as("__pn"))
+        chain = chain.join(nxt,
+            col("doc_id") === col("__nid") && col("__pn") > col("__pl") &&
+              col("__pn") - col("__p0") < window)
+          .select(col("doc_id"), col("__p0"), col("__pn").as("__pl"))
+      }
+      chain.groupBy(col("doc_id"))
+        .agg(countDistinct(col("__p0")).as("pf"))
+        .withColumn("query_id", lit(qid))
+    }
+    scorePf(spark, path, perQuery.reduce(_ unionByName _),
+      nDocs, totTok, k, k1, b)
+  }
+
+  // ---- shared internals ----------------------------------------------
+
+  private def loadStats(spark: SparkSession, path: String): (Long, Long, Int) = {
+    val stats = spark.read.parquet(s"$path/stats").head
+    (stats.getAs[Long]("n_docs"), stats.getAs[Long]("total_tokens"),
+      stats.getAs[Int]("buckets"))
+  }
+
+  /** The pruned read every indexed query starts from: bucket values
+    * computed by the same xxhash64 expression the build column used
+    * (one bounded local job), pushed as a partition filter, with the
+    * exact term membership as the in-bucket residual. */
+  private def prunedPostings(spark: SparkSession, path: String,
+      buckets: Int, terms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val termBuckets = terms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(buckets)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    spark.read.parquet(s"$path/postings")
+      .where(col("bucket").isin(termBuckets: _*) &&
+        col("term").isInCollection(terms))
+      .select(col("doc_id"), col("pos"), col("term"))
+  }
+
+  /** Occurrence-frequency scoring shared by the positional variants:
+    * df = qualifying docs per query, dl/avgdl from the side tables,
+    * identical arithmetic to the `TextRank` ad-hoc twins. */
+  private def scorePf(spark: SparkSession, path: String, pf: DataFrame,
+      nDocs: Long, totTok: Long, k: Int, k1: Double, b: Double): DataFrame = {
+    val avgdl = totTok.toDouble / nDocs
+    val dfq = pf.groupBy("query_id").agg(count(lit(1)).as("df"))
+    val dl = spark.read.parquet(s"$path/doclen")
+    rankTopK(pf
+      .join(broadcast(dfq), "query_id")
+      .join(dl, "doc_id")
+      .withColumn("score",
+        log(lit(1.0) + (lit(nDocs) - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5))) *
+          (col("pf") * lit(k1 + 1)) /
+          (col("pf") + lit(k1) *
+            (lit(1 - b) + lit(b) * col("dl") / lit(avgdl)))), k)
+  }
+
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("doc_id").asc)
-    agg.withColumn("rank", row_number().over(w).cast("int"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"))
   }

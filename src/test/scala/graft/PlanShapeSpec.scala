@@ -406,6 +406,79 @@ class PlanShapeSpec extends AnyFunSuite {
       s"scan's partition filter reads $opened, query terms span $expected")
   }
 
+  test("text index: incremental append == full rebuild; phrase path == ad-hoc") {
+    import graft.sources.TextIndex
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val half1 = docs.filter(col("doc_id") < 250)
+    val half2 = docs.filter(col("doc_id") >= 250)
+    val queries = Seq(1 -> Seq("hash", "join"), 2 -> Seq("dup", "scan"))
+    val phrases = Seq(1 -> Seq("table", "table"), 2 -> Seq("fast", "key"))
+
+    val incr = java.nio.file.Files.createTempDirectory("graft-tidx-i").toString
+    TextIndex.build(half1, "doc_id", "text", incr, buckets = 32)
+    TextIndex.append(half2, "doc_id", "text", incr)
+    val full = java.nio.file.Files.createTempDirectory("graft-tidx-f").toString
+    TextIndex.build(docs, "doc_id", "text", full, buckets = 32)
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    assert(rows(TextIndex.bm25TopK(spark, incr, queries, k = 10)) ==
+      rows(TextIndex.bm25TopK(spark, full, queries, k = 10)),
+      "incrementally-built index must answer like a full rebuild")
+    // phrase retrieval from the index == the ad-hoc positional path
+    assert(rows(TextIndex.bm25PhraseTopK(spark, incr, phrases, k = 10)) ==
+      rows(operators.TextRank.bm25PhraseTopK(docs, phrases, k = 10)),
+      "indexed phrase path must equal the ad-hoc path")
+    // the whole retrieval trio serves from the same layout
+    assert(rows(TextIndex.bm25ProximityTopK(spark, incr, queries,
+        window = 6, k = 10)) ==
+      rows(operators.TextRank.bm25ProximityTopK(docs, queries,
+        window = 6, k = 10)),
+      "indexed proximity path must equal the ad-hoc path")
+    assert(rows(TextIndex.bm25SlopTopK(spark, incr, queries,
+        window = 6, k = 10)) ==
+      rows(operators.TextRank.bm25SlopTopK(docs, queries,
+        window = 6, k = 10)),
+      "indexed slop path must equal the ad-hoc path")
+  }
+
+  test("text index: compaction folds appended files, answers unchanged") {
+    import graft.sources.TextIndex
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val queries = Seq(1 -> Seq("hash", "join"), 2 -> Seq("dup", "scan"))
+    val idx = java.nio.file.Files.createTempDirectory("graft-tidx-c").toString
+    TextIndex.build(docs.filter(col("doc_id") < 200), "doc_id", "text", idx,
+      buckets = 16)
+    TextIndex.append(docs.filter(col("doc_id") >= 200 &&
+      col("doc_id") < 350), "doc_id", "text", idx)
+    TextIndex.append(docs.filter(col("doc_id") >= 350), "doc_id", "text", idx)
+
+    def parquetFiles(dir: String): Seq[java.nio.file.Path] = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(_.toString.endsWith(".parquet")).toList
+      } finally s.close()
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    val before = rows(TextIndex.bm25TopK(spark, idx, queries, k = 10))
+    val filesBefore = parquetFiles(s"$idx/postings").size
+    TextIndex.compact(spark, idx)
+    val filesAfter = parquetFiles(s"$idx/postings").size
+    assert(filesAfter < filesBefore,
+      s"compaction must shrink the file count ($filesBefore -> $filesAfter)")
+    // one file per surviving bucket directory
+    val bucketDirs = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$idx/postings"))
+      .filter(p => p.getFileName.toString.startsWith("bucket="))
+      .count().toInt
+    assert(filesAfter == bucketDirs,
+      s"expected one file per bucket ($bucketDirs), got $filesAfter")
+    assert(rows(TextIndex.bm25TopK(spark, idx, queries, k = 10)) == before,
+      "compaction must not change answers")
+  }
+
   test("compaction shrinks the file count and keeps the layout prunable") {
     import graft.sources.FileManifest
     val tmp = java.nio.file.Files.createTempDirectory("graft-cpt").toString
