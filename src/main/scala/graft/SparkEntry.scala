@@ -941,6 +941,20 @@ object SparkEntry {
           candidates = Int.MaxValue, subspaces = 8, codewords = 16)
         .orderBy("query_id", "rank")
     }),
+    // BALANCED k-means: same training, but assignment is deferred
+    // acceptance under a hard per-cluster capacity — every round is
+    // deterministic (propose to best open centroid, accept top-
+    // remaining by cosine), so DuckDB replays the rounds CTE by CTE
+    "s13_kmeans_balanced" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      // exact ceil(n/k): the tightest feasible capacity, so the
+      // acceptance rounds genuinely rebalance (a loose cap degenerates
+      // to round-1 argmax and the oracle would cover nothing)
+      val cap = math.ceil(emb.count() / 8.0).toLong
+      Similarity.kmeansBalanced(emb, k = 8, iterations = 2,
+          capacity = cap, maxRounds = 6)
+        .orderBy("vec_id")
+    }),
     // k-means with deterministic farthest-point (k-means++-style)
     // seeding: seeds spread by construction instead of first-k-by-id;
     // each seeding round is a map-only codegen'd min-dist pass + one
@@ -1606,6 +1620,10 @@ object SparkEntry {
     // farthest-point greedy chain instead of first-k-by-id
     "s11_kmeans_pp" ->
       s"WITH $kmeansPpCtes\nSELECT vec_id, cid AS cluster FROM a2 ORDER BY vec_id",
+    // s13: the Lloyd mirror's final centroids feed the unrolled
+    // deferred-acceptance rounds — propose to best open centroid,
+    // accept top-remaining by (cos, vec_id), carry rejects forward
+    "s13_kmeans_balanced" -> kmeansBalancedOracleSql,
     // d11: the k-means CTEs feed a cluster-restricted exact pair join;
     // sims are the same bit-exact double cosine as s1/d5
     "d11_semantic_dedup" ->
@@ -2323,6 +2341,54 @@ object SparkEntry {
     * Spark) and an integer sum-vector centroid recompute. */
   private def kmeansOracleSql: String =
     s"WITH $kmeansCtes\nSELECT vec_id, cid AS cluster FROM a2 ORDER BY vec_id"
+
+  /** DuckDB mirror of `Similarity.kmeansBalanced` (s13): the s10 CTE
+    * chain's final centroids (c2), then `rounds` unrolled deferred-
+    * acceptance rounds. Each round: every unassigned vector proposes
+    * to its best OPEN centroid (cos DESC, cid ASC — the codegen'd
+    * argmax's exact tie rule), each centroid accepts its top-remaining
+    * proposals by (cos DESC, vec_id ASC), rejects carry to the next
+    * round, capacities fold forward. Converged rounds are empty CTEs,
+    * so unrolling past convergence is free. Capacity mirrors the
+    * entry: ceil(n / k), the tightest feasible cap. */
+  private def kmeansBalancedOracleSql: String = {
+    val dim = 64; val k = 8; val rounds = 6
+    // every round CTE is MATERIALIZED: each references the previous
+    // round's state more than once, and inlining would re-expand the
+    // whole chain exponentially in the round count
+    val roundCtes = (1 to rounds).map { r =>
+      s"""p$r AS MATERIALIZED (SELECT u.vec_id, u.q, u.na, c.cid,
+         |    CAST(list_sum(list_transform(range(1, ${dim + 1}),
+         |        i -> u.q[i] * c.c[i])) AS DOUBLE)
+         |      / sqrt(CAST(u.na AS DOUBLE) * c.nc) AS cos
+         |  FROM u$r u CROSS JOIN (SELECT cn.cid, cn.c, cn.nc
+         |    FROM cn JOIN rem$r USING (cid) WHERE rem$r.rem > 0) c
+         |  QUALIFY row_number() OVER (PARTITION BY u.vec_id
+         |    ORDER BY cos DESC, c.cid ASC) = 1),
+         |rk$r AS MATERIALIZED (SELECT p.*, rem$r.rem, row_number() OVER (
+         |    PARTITION BY p.cid ORDER BY p.cos DESC, p.vec_id ASC) AS rk
+         |  FROM p$r p JOIN rem$r USING (cid)),
+         |acc$r AS MATERIALIZED (SELECT vec_id, cid FROM rk$r WHERE rk <= rem),
+         |u${r + 1} AS MATERIALIZED (SELECT vec_id, q, na FROM rk$r WHERE rk > rem),
+         |rem${r + 1} AS MATERIALIZED (SELECT rem$r.cid,
+         |    rem$r.rem - coalesce(t.n, 0) AS rem
+         |  FROM rem$r LEFT JOIN (SELECT cid, count(*) AS n
+         |    FROM acc$r GROUP BY cid) t USING (cid))""".stripMargin
+    }.mkString(",\n")
+    val accUnion = (1 to rounds).map(r => s"SELECT * FROM acc$r")
+      .mkString(" UNION ALL ")
+    s"""WITH $kmeansCtes,
+       |cn AS MATERIALIZED (SELECT cid, c,
+       |    CAST(list_sum(list_transform(c, x -> x*x)) AS DOUBLE) AS nc
+       |  FROM c2),
+       |u1 AS MATERIALIZED (SELECT vec_id, q, na FROM en),
+       |rem1 AS MATERIALIZED (SELECT cid,
+       |    (SELECT CAST(ceil(count(*) / $k.0)
+       |    AS BIGINT) FROM embeddings) AS rem FROM cn),
+       |$roundCtes
+       |SELECT vec_id, cid AS cluster FROM ($accUnion) ORDER BY vec_id"""
+      .stripMargin
+  }
 
   /** The k-means CTE chain (ends at assignment `a2`), shared by the
     * s10 oracle and d11's cluster-restricted pair mirror. */

@@ -352,6 +352,31 @@ case class CentroidArgmax(child: Expression, cids: Array[Long],
   override def prettyName: String = "centroid_argmax"
 }
 
+/** The WINNING cosine from the same scan [[CentroidArgmax]] runs —
+  * identical loop, identical tie/NaN rules, so `(argmax, maxcos)`
+  * computed as two map-only expressions against the same reference
+  * arrays always describe the same winner. Used by the balanced
+  * assignment, whose acceptance ranking needs the score, not just the
+  * id. */
+case class CentroidMaxCos(child: Expression, cids: Array[Long],
+    vecs: Array[Array[Long]], norms: Array[Double])
+    extends UnaryExpression {
+  require(cids.length == vecs.length && cids.length == norms.length &&
+    cids.nonEmpty)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(q: Any): Any =
+    GraftHash.centroidMaxCos(q.asInstanceOf[ArrayData], vecs, norms)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vecsRef = ctx.addReferenceObj("vecs", vecs, "long[][]")
+    val normsRef = ctx.addReferenceObj("norms", norms, "double[]")
+    defineCodeGen(ctx, ev, q =>
+      s"graft.functions.GraftHash.centroidMaxCos($q, $vecsRef, $normsRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): CentroidMaxCos =
+    copy(child = c)
+  override def prettyName: String = "centroid_max_cos"
+}
+
 object GraftHash {
   /** See [[CentroidMinDist]]. */
   def centroidMinDist(q: ArrayData, vecs: Array[Array[Long]]): Long = {
@@ -397,6 +422,30 @@ object GraftHash {
       c += 1
     }
     bestCid
+  }
+
+  /** See [[CentroidMaxCos]]: the winning cosine of the
+    * [[centroidArgmax]] scan (same loop, same NaN-wins rule). */
+  def centroidMaxCos(q: ArrayData, vecs: Array[Array[Long]],
+      norms: Array[Double]): Double = {
+    val qa = q.toLongArray()
+    val dim = qa.length
+    var na = 0L
+    var i = 0
+    while (i < dim) { na += qa(i) * qa(i); i += 1 }
+    var bestCos = Double.NegativeInfinity
+    var c = 0
+    while (c < vecs.length) {
+      val v = vecs(c)
+      var dot = 0L
+      var j = 0
+      while (j < dim) { dot += qa(j) * v(j); j += 1 }
+      val cos = dot.toDouble / math.sqrt(na.toDouble * norms(c))
+      if (!java.lang.Double.isNaN(bestCos) &&
+          (java.lang.Double.isNaN(cos) || cos > bestCos)) bestCos = cos
+      c += 1
+    }
+    bestCos
   }
 
   private val FNV_OFFSET = 0xcbf29ce484222325L

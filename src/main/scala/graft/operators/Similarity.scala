@@ -607,27 +607,150 @@ object Similarity {
     var cents: Seq[(Long, Array[Long])] = seeds.toSeq
     var assigned = assign(cents)
     for (_ <- 2 to iterations) {
-      val sums = assigned
-        .select(col("cid"), posexplode(col("q")).as(Seq("i", "v")))
-        .groupBy("cid", "i").agg(sum("v").as("s"))
-        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
-      cents = sums.groupBy(_._1).toSeq.sortBy(_._1).map { case (cid, ds) =>
-        val arr = new Array[Long](dim)
-        ds.foreach { case (_, i, s) => arr(i) = s }
-        // keep the centroid norm double-exact: Σ c_d^2 < 2^53 requires
-        // |c_d| <= sqrt(2^53 / dim); beyond it cosines silently lose
-        // bit-reproducibility (and eventually overflow Long) — fail
-        // loudly so the caller raises k or lowers `scale`
-        val bound = math.sqrt(9007199254740992.0 / dim).toLong
-        arr.foreach(c => require(math.abs(c) <= bound,
-          s"cluster $cid too heavy for exact arithmetic at scale=$scale " +
-            s"(|component| ${arr.map(math.abs).max} > $bound); " +
-            "raise k or lower scale"))
-        (cid, arr)
-      }
+      cents = recomputeCentroids(assigned, dim, scale)
       assigned = assign(cents)
     }
     assigned.select(col("vec_id"), col("cid").as("cluster"))
+  }
+
+  /** One Lloyd recompute: per-cluster integer sum-vectors from an
+    * assignment (map-side-combined k*dim-row shuffle, k*dim longs of
+    * driver state), with the double-exactness bound enforced loudly. */
+  private def recomputeCentroids(assigned: DataFrame, dim: Int,
+      scale: Int): Seq[(Long, Array[Long])] = {
+    val sums = assigned
+      .select(col("cid"), posexplode(col("q")).as(Seq("i", "v")))
+      .groupBy("cid", "i").agg(sum("v").as("s"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    sums.groupBy(_._1).toSeq.sortBy(_._1).map { case (cid, ds) =>
+      val arr = new Array[Long](dim)
+      ds.foreach { case (_, i, s) => arr(i) = s }
+      // keep the centroid norm double-exact: Σ c_d^2 < 2^53 requires
+      // |c_d| <= sqrt(2^53 / dim); beyond it cosines silently lose
+      // bit-reproducibility (and eventually overflow Long) — fail
+      // loudly so the caller raises k or lowers `scale`
+      val bound = math.sqrt(9007199254740992.0 / dim).toLong
+      arr.foreach(c => require(math.abs(c) <= bound,
+        s"cluster $cid too heavy for exact arithmetic at scale=$scale " +
+          s"(|component| ${arr.map(math.abs).max} > $bound); " +
+          "raise k or lower scale"))
+      (cid, arr)
+    }
+  }
+
+  /** BALANCED k-means: the same deterministic quantized training as
+    * [[kmeansQuantized]], but assignment respects a hard per-cluster
+    * `capacity` — no cluster ends over it, ever. The knob that turns
+    * the d11 pair-budget guard from a loud failure into a structural
+    * guarantee: capacity-bounded clusters mean capacity-bounded
+    * quadratic work downstream, whatever the embedding distribution
+    * does (the collapse case where half the corpus lands in one cell
+    * is exactly when unbalanced SemDeDup melts).
+    *
+    * Assignment is DEFERRED ACCEPTANCE, deterministic end to end:
+    * each round, every unassigned point proposes to its best OPEN
+    * centroid (argmax cosine over centroids with capacity left — the
+    * same codegen'd scan as the unbalanced path, restricted to the
+    * open subset); each centroid accepts its top-`remaining`
+    * proposals by (cosine desc, vec_id asc) PERMANENTLY; rejected
+    * points re-propose next round. Each round at least one centroid
+    * fills or every proposal is accepted, so the loop provably ends;
+    * `maxRounds` fails loudly rather than silently truncating.
+    *
+    * Per round: one map-only proposal pass (two codegen'd expressions
+    * against the open-centroid literals), a TWO-PHASE top-`remaining`
+    * per centroid (rank within (cid, bucket) first, so no single task
+    * ever sorts a whole centroid's proposals — survivors are at most
+    * buckets*remaining), one anti-join for the rejects, and a k-row
+    * driver update of remaining capacities. Requires k*capacity >= n
+    * (one count) up front. */
+  def kmeansBalanced(corpus: DataFrame, k: Int, iterations: Int,
+      capacity: Long, maxRounds: Int = 8, scale: Int = 1024,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      initialSeeds: Option[Seq[(Long, Array[Long])]] = None): DataFrame = {
+    require(k >= 2 && iterations >= 1 && capacity >= 1 && maxRounds >= 1)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val quant = transform(col(vecCol).cast(ArrayType(DoubleType)),
+      x => floor(x * scale).cast("long"))
+    val e = corpus.select(col(idCol).cast("long").as("vec_id"),
+      quant.as("q"))
+    val n = e.count()
+    require(k * capacity >= n,
+      s"kmeansBalanced: k*capacity = ${k * capacity} < $n rows")
+    val seeds = initialSeeds.map(_.sortBy(_._1).toArray).getOrElse {
+      e.orderBy(col("vec_id")).limit(k)
+        .collect().sortBy(_.getLong(0))
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    }
+    require(seeds.length == k,
+      s"kmeansBalanced: ${seeds.length} seed vectors for k=$k")
+    val dim = seeds.head._2.length
+    // the same training loop as kmeansQuantized — balancing constrains
+    // the FINAL assignment only, centroids train unconstrained
+    var cents: Seq[(Long, Array[Long])] = seeds.toSeq
+    for (_ <- 2 to iterations) {
+      val expr = graft.functions.CentroidArgmax(
+        org.apache.spark.sql.graftshim.SparkShims.expression(col("q")),
+        cents.map(_._1).toArray, cents.map(_._2).toArray,
+        cents.map(_._2.map(x => x * x).sum.toDouble).toArray)
+      cents = recomputeCentroids(e.withColumn("cid",
+        org.apache.spark.sql.graftshim.SparkShims.column(expr)), dim, scale)
+    }
+
+    val buckets = 32
+    var remaining: Map[Long, Long] = cents.map(_._1 -> capacity).toMap
+    var unassigned = e.localCheckpoint(true)
+    var left = n
+    var accepted: Option[DataFrame] = None
+    var round = 0
+    while (left > 0 && round < maxRounds) {
+      round += 1
+      val open = cents.filter(c => remaining(c._1) > 0)
+      val argmax = org.apache.spark.sql.graftshim.SparkShims.column(
+        graft.functions.CentroidArgmax(
+          org.apache.spark.sql.graftshim.SparkShims.expression(col("q")),
+          open.map(_._1).toArray, open.map(_._2).toArray,
+          open.map(_._2.map(x => x * x).sum.toDouble).toArray))
+      val maxcos = org.apache.spark.sql.graftshim.SparkShims.column(
+        graft.functions.CentroidMaxCos(
+          org.apache.spark.sql.graftshim.SparkShims.expression(col("q")),
+          open.map(_._1).toArray, open.map(_._2).toArray,
+          open.map(_._2.map(x => x * x).sum.toDouble).toArray))
+      val props = unassigned
+        .withColumn("cid", argmax).withColumn("__cos", maxcos)
+      val remDf = broadcast(
+        open.map(c => (c._1, remaining(c._1))).toDF("cid", "__rem"))
+      // two-phase acceptance: a point in a centroid's global
+      // top-remaining is in the top-remaining of its bucket, so the
+      // bucket-local rank prunes before any single-task per-cid sort
+      val local = props
+        .withColumn("__b", pmod(xxhash64(col("vec_id")), lit(buckets)))
+        .withColumn("__lr", row_number().over(
+          Window.partitionBy(col("cid"), col("__b"))
+            .orderBy(col("__cos").desc, col("vec_id").asc)))
+        .join(remDf, "cid")
+        .where(col("__lr") <= col("__rem"))
+      val acc = local
+        .withColumn("__r", row_number().over(Window.partitionBy(col("cid"))
+          .orderBy(col("__cos").desc, col("vec_id").asc)))
+        .where(col("__r") <= col("__rem"))
+        .select(col("vec_id"), col("cid"))
+        .localCheckpoint(true)
+      accepted = Some(accepted.map(_.unionByName(acc)).getOrElse(acc))
+      val taken = acc.groupBy("cid").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      remaining = remaining ++ taken.map { case (cid, t) =>
+        cid -> (remaining(cid) - t) }
+      left -= taken.map(_._2).sum
+      if (left > 0) unassigned = unassigned
+        .join(acc, Seq("vec_id"), "left_anti").localCheckpoint(true)
+    }
+    require(left == 0,
+      s"kmeansBalanced: $left rows unassigned after $maxRounds rounds; " +
+        "raise maxRounds or capacity")
+    accepted.get.select(col("vec_id"), col("cid").as("cluster"))
   }
 
   /** Deterministic k-means++-style FARTHEST-POINT seeding over the

@@ -111,7 +111,10 @@ object ScaleBench {
       // r6: partitioned-catalog pipeline (write+catalog+two-level read
       // per run, like f1) + farthest-point-seeded k-means (the k
       // seeding rounds re-run per factor — the honest seeding cost)
-      "f4_partition_prune", "s11_kmeans_pp", "s12_ann_ivfpq_res")
+      "f4_partition_prune", "s11_kmeans_pp", "s12_ann_ivfpq_res",
+      // balanced k-means: capacity derives from count, so the cap
+      // tightens as copies multiply — rounds stay the measured cost
+      "s13_kmeans_balanced")
       // x18/x19 are NOT here for x12's reason (salting renames their
       // literal terms) — the salted cases below measure real phrase/
       // proximity retrieval.

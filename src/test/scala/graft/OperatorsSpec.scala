@@ -824,6 +824,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(purity > 1.2 / nLabels, s"purity $purity no better than chance")
   }
 
+  test("balanced k-means: hard capacity, total assignment, agrees with " +
+      "unbalanced when capacity binds nothing") {
+    val emb = sources.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val n = emb.count()
+    val cap = math.ceil(n / 8.0).toLong
+    val bal = Similarity.kmeansBalanced(emb, k = 8, iterations = 2,
+      capacity = cap, maxRounds = 6)
+    // every vector assigned exactly once
+    assert(bal.count() == n && bal.select("vec_id").distinct().count() == n)
+    // the capacity is a hard bound, not a target
+    val maxSize = bal.groupBy("cluster").count()
+      .agg(max("count")).head.getLong(0)
+    assert(maxSize <= cap, s"cluster of $maxSize exceeds capacity $cap")
+    // the unbalanced run must actually overflow cap somewhere — else
+    // this corpus exercises nothing and the test is vacuous
+    val unbal = Similarity.kmeansQuantized(emb, k = 8, iterations = 2)
+    val unbalMax = unbal.groupBy("cluster").count()
+      .agg(max("count")).head.getLong(0)
+    assert(unbalMax > cap,
+      s"test corpus never overflows capacity (max $unbalMax <= $cap)")
+    // with capacity = n the constraint binds nothing: round 1 accepts
+    // every proposal, which IS the unbalanced argmax assignment
+    val free = Similarity.kmeansBalanced(emb, k = 8, iterations = 2,
+      capacity = n, maxRounds = 1)
+    assert(free.exceptAll(unbal).isEmpty && unbal.exceptAll(free).isEmpty,
+      "unconstrained balanced run must equal the unbalanced assignment")
+  }
+
   test("BM25/TF-IDF: rare terms dominate ranking") {
     val docs = sources.Tables.load(spark, "/root/testdata/sf0.01", "documents")
     // every top-ranked doc for the ("dup","scan") query must actually

@@ -328,6 +328,55 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("alert sink: batchId-keyed delivery is idempotent under replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Expectations
+    import graft.streaming.AlertSink
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-alert").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-alert-ck").toString
+    val in = MemoryStream[StatefulOps.Evt]
+    val alerts = Expectations.alertStream(in.toDS().toDF(),
+        "ts", "0 seconds", "100 seconds",
+        Seq(Expectations.inRange("value", 0L, 10L)))
+      .select(col("window_start"), col("rule"), col("column"),
+        col("n_violations"))
+    val q = AlertSink.run(alerts, dir, ckpt)
+    try {
+      in.addData(StatefulOps.Evt(1L, ts(1101), 42.0),
+        StatefulOps.Evt(2L, ts(1102), 3.0))
+      q.processAllAvailable()
+      in.addData(StatefulOps.Evt(9L, ts(99999), 1.0)) // close the window
+      q.processAllAvailable()
+    } finally q.stop()
+    val delivered = AlertSink.readDelivered(spark, dir)
+    val rows = delivered.select("rule", "n_violations").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq == Seq(("in_range", 1L)),
+      s"expected the one breach delivered once: ${rows.toSeq}")
+    // at-least-once replay: redeliver the SAME batch id with the same
+    // rows (what a post-sink pre-commit crash does on restart) — the
+    // overwrite must leave the channel without duplicates
+    // materialize the batch first: a real replay re-derives it from
+    // the checkpointed source, not by reading the sink being rewritten
+    val alertRows = delivered.filter(col("rule") === "in_range")
+      .select("window_start", "rule", "column", "n_violations")
+      .collect().toSeq
+    val alertBatch = spark.createDataFrame(
+      spark.sparkContext.parallelize(alertRows),
+      delivered.select("window_start", "rule", "column", "n_violations").schema)
+    // replay the batch the alert actually arrived in — at-least-once
+    // redelivers the same id, never a fresh one
+    val alertBatchId = delivered.filter(col("rule") === "in_range")
+      .select(col("batch").cast("long")).head.getLong(0)
+    AlertSink.deliverBatch(alertBatch, dir, alertBatchId)
+    val replayed = AlertSink.readDelivered(spark, dir)
+      .select("rule", "n_violations").collect()
+    assert(replayed.length == 1,
+      s"replayed delivery must be idempotent: ${replayed.toSeq}")
+  }
+
   test("streaming windowed heavy hitters: MG counters merge across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
