@@ -941,6 +941,19 @@ object SparkEntry {
           candidates = Int.MaxValue, subspaces = 8, codewords = 16)
         .orderBy("query_id", "rank")
     }),
+    // PER-CELL residual IVF-PQ behind an explicit memory budget:
+    // each cell's own residual codebook, total state clamped to the
+    // budget (here sized for the full 16 codewords); same exact
+    // oracle regime as s9/s12
+    "s14_ann_ivfpq_cell" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.ivfPqResidualPerCellTopK(q, emb, 5, clusters = 16,
+          nprobe = 16, candidates = Int.MaxValue, subspaces = 8,
+          codewords = 16, memoryBudgetBytes = 1L << 21)
+        .orderBy("query_id", "rank")
+    }),
     // BALANCED k-means: same training, but assignment is deferred
     // acceptance under a hard per-cluster capacity — every round is
     // deterministic (propose to best open centroid, accept top-
@@ -973,6 +986,15 @@ object SparkEntry {
     // the oracle is size-pinned, the operator is not)
     "d11_semantic_dedup" -> ((s, dir) =>
       Similarity.semanticDedupPairsAuto(T(s, dir, "embeddings"),
+          targetClusterSize = 64, iterations = 2, threshold = 0.45)
+        .orderBy("id_a", "id_b")),
+    // SemDeDup over the BALANCED assignment: clusters are capacity-
+    // capped, so per-cluster pair work is structurally bounded — the
+    // oracle replays the balanced rounds at capacity = 64 (the
+    // operator's targetClusterSize; k = ceil(500/64) = 8 at sf0.01,
+    // size-pinned in the oracle like d11's)
+    "d12_semantic_dedup_balanced" -> ((s, dir) =>
+      Similarity.semanticDedupPairsBalanced(T(s, dir, "embeddings"),
           targetClusterSize = 64, iterations = 2, threshold = 0.45)
         .orderBy("id_a", "id_b")),
     // exact decontamination behind a broadcast Bloom prefilter: the
@@ -1624,6 +1646,21 @@ object SparkEntry {
     // deferred-acceptance rounds — propose to best open centroid,
     // accept top-remaining by (cos, vec_id), carry rejects forward
     "s13_kmeans_balanced" -> kmeansBalancedOracleSql,
+    // d12: the balanced-assignment CTE chain (capacity = 64, the
+    // entry's targetClusterSize) feeds the same cluster-restricted
+    // pair join as d11
+    "d12_semantic_dedup_balanced" ->
+      s"""WITH ${kmeansBalancedCtes("CAST(64 AS BIGINT)")},
+        |cl AS (SELECT vec_id, cid FROM accall),
+        |ee AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_cosine_similarity(ea.v, eb.v) AS sim
+        |  FROM cl a JOIN cl b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  JOIN ee ea ON ea.vec_id = a.vec_id
+        |  JOIN ee eb ON eb.vec_id = b.vec_id)
+        |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
     // d11: the k-means CTEs feed a cluster-restricted exact pair join;
     // sims are the same bit-exact double cosine as s1/d5
     "d11_semantic_dedup" ->
@@ -1643,6 +1680,9 @@ object SparkEntry {
     // and unbounded candidates the exact re-rank sees every row, so
     // residual-vs-raw encoding cannot change the output
     "s12_ann_ivfpq_res" -> bruteForceTop5OracleSql,
+    // s14: full probe + unbounded candidates reduce the per-cell
+    // budgeted pipeline to exact top-k, like the rest of the ladder
+    "s14_ann_ivfpq_cell" -> bruteForceTop5OracleSql,
     // s2's LSH table count guarantees recall >= 1-1e-4 per neighbor at
     // cosine >= 0.2 (all true top-5 sims here exceed that), so the
     // approximate operator must reproduce exact brute-force top-k —
@@ -2351,7 +2391,16 @@ object SparkEntry {
     * round, capacities fold forward. Converged rounds are empty CTEs,
     * so unrolling past convergence is free. Capacity mirrors the
     * entry: ceil(n / k), the tightest feasible cap. */
-  private def kmeansBalancedOracleSql: String = {
+  private def kmeansBalancedOracleSql: String =
+    s"""WITH ${kmeansBalancedCtes("CAST(ceil(count(*) / 8.0) AS BIGINT)")}
+       |SELECT vec_id, cid AS cluster FROM accall ORDER BY vec_id"""
+      .stripMargin
+
+  /** The balanced-assignment CTE chain (ends at `accall` = the full
+    * (vec_id, cid) assignment), shared by the s13 oracle and d12's
+    * cluster-restricted pair mirror. `capacitySql` is the per-cluster
+    * capacity as a DuckDB scalar expression over `embeddings`. */
+  private def kmeansBalancedCtes(capacitySql: String): String = {
     val dim = 64; val k = 8; val rounds = 6
     // every round CTE is MATERIALIZED: each references the previous
     // round's state more than once, and inlining would re-expand the
@@ -2377,17 +2426,15 @@ object SparkEntry {
     }.mkString(",\n")
     val accUnion = (1 to rounds).map(r => s"SELECT * FROM acc$r")
       .mkString(" UNION ALL ")
-    s"""WITH $kmeansCtes,
+    s"""$kmeansCtes,
        |cn AS MATERIALIZED (SELECT cid, c,
        |    CAST(list_sum(list_transform(c, x -> x*x)) AS DOUBLE) AS nc
        |  FROM c2),
        |u1 AS MATERIALIZED (SELECT vec_id, q, na FROM en),
        |rem1 AS MATERIALIZED (SELECT cid,
-       |    (SELECT CAST(ceil(count(*) / $k.0)
-       |    AS BIGINT) FROM embeddings) AS rem FROM cn),
-       |$roundCtes
-       |SELECT vec_id, cid AS cluster FROM ($accUnion) ORDER BY vec_id"""
-      .stripMargin
+       |    (SELECT $capacitySql FROM embeddings) AS rem FROM cn),
+       |$roundCtes,
+       |accall AS MATERIALIZED ($accUnion)""".stripMargin
   }
 
   /** The k-means CTE chain (ends at assignment `a2`), shared by the

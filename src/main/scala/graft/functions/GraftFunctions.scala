@@ -24,6 +24,13 @@ object GraftFunctions {
       toExpr(org.apache.spark.sql.functions.typedLit(codebook.map(_.toSeq).toSeq)),
       subspaces))
 
+  /** PQ encode against a codebook COLUMN (array<array<double>>) — the
+    * per-cell residual path picks each row's cell book via element_at
+    * on a constant-folded nested literal, so the compiled loop stays
+    * identical and only the book reference varies per row. */
+  def pq_encode_book(vec: Column, codebook: Column, subspaces: Int): Column =
+    toCol(PqEncode(toExpr(vec), toExpr(codebook), subspaces))
+
   def simhash64(c: Column): Column = toCol(SimHash64(toExpr(c)))
 
   def minhash_signature(c: Column, shingleWords: Int, numHashes: Int): Column =

@@ -461,6 +461,111 @@ object Similarity {
         col("sim"))
   }
 
+  /** PER-CELL residual IVF-PQ behind an EXPLICIT memory budget — the
+    * classic memory/recall trade [[ivfPqResidualTopK]]'s shared book
+    * leaves out, made governable: each coarse cell trains its OWN
+    * residual codebook (cell residual distributions differ, so a
+    * dedicated book reconstructs tighter than one shared book at the
+    * same codeword count), and the total trained state — clusters x
+    * codewords x dim doubles, the only term that scales with both
+    * knobs — must fit `memoryBudgetBytes` or the codeword count is
+    * CLAMPED down to fit (loud failure below 2: a budget that cannot
+    * hold 2 codewords per cell cannot index at all). The budget is the
+    * broadcast/reference-data ceiling an operator carries to every
+    * task, which is exactly the number an operator at 1000 executors
+    * must bound up front.
+    *
+    * Hot path stays map-only codegen: the per-row book is one
+    * element_at on the constant-folded nested literal, the encode is
+    * the SAME compiled [[graft.functions.PqEncode]] loop (book as a
+    * column child instead of a literal), reconstruction slices the
+    * row's own book. Cells the bounded sample never hit fall back to
+    * the global residual book. Candidate staging and the exact
+    * re-rank match the rest of the ladder, so the oracle regime is
+    * unchanged (full probe + unbounded candidates = exact). */
+  def ivfPqResidualPerCellTopK(queries: DataFrame, corpus: DataFrame,
+      k: Int, clusters: Int = 16, nprobe: Int = 4, candidates: Int = 50,
+      subspaces: Int = 8, codewords: Int = 16,
+      iterations: Int = 5, trainSample: Int = 8192,
+      memoryBudgetBytes: Long = 1L << 26,
+      queryId: String = "query_id", queryVec: String = "query_vec",
+      corpusId: String = "vec_id", corpusVec: String = "embedding"): DataFrame = {
+    require(nprobe <= clusters && candidates >= k)
+    val cents = trainCentroids(corpus, clusters, iterations, trainSample,
+      corpusId, corpusVec)
+    val dim = cents.head.length
+    val cwBudget = memoryBudgetBytes / (clusters.toLong * dim * 8L)
+    val cwEff = math.min(codewords.toLong, cwBudget).toInt
+    require(cwEff >= 2,
+      s"memory budget $memoryBudgetBytes B holds $cwBudget codewords per " +
+        s"cell (< 2) at $clusters cells x $dim dims; raise the budget or " +
+        "lower clusters")
+    val sub = dim / subspaces
+    require(dim % subspaces == 0, s"dim $dim not divisible by $subspaces")
+    // one bounded sample, assigned once; each cell trains on ITS
+    // residuals, empty cells take the global book
+    val sample: Array[Array[Double]] = corpus
+      .orderBy(xxhash64(col(corpusId)), col(corpusId)).limit(trainSample)
+      .select(col(corpusVec).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "ivfPqResidualPerCellTopK: empty corpus")
+    val byCell = Array.fill(clusters)(
+      scala.collection.mutable.ArrayBuffer.empty[Array[Double]])
+    sample.foreach { v =>
+      var best = 0; var bs = -2.0; var c = 0
+      while (c < cents.length) {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < v.length) {
+          dot += v(i) * cents(c)(i); na += v(i) * v(i)
+          nb += cents(c)(i).toDouble * cents(c)(i); i += 1
+        }
+        val s = if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+        if (s > bs) { bs = s; best = c }
+        c += 1
+      }
+      byCell(best) += v.indices.map(i => v(i) - cents(best)(i)).toArray
+    }
+    val globalBook = Quantize.pqCodebookKMeansFromSample(
+      byCell.flatten.toArray, cwEff, subspaces, iterations)
+    val books: Array[Array[Array[Double]]] = byCell.map { rs =>
+      if (rs.isEmpty) globalBook
+      else Quantize.pqCodebookKMeansFromSample(rs.toArray, cwEff,
+        subspaces, iterations)
+    }
+    val booksLit = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
+    val centLits = array(cents.map(c => lit(c.map(_.toDouble))): _*)
+    val recon = concat((0 until subspaces).map { j =>
+      slice(element_at(col("__g_book"),
+        element_at(col("__g_codes"), j + 1) + 1), j * sub + 1, sub)
+    }: _*)
+    val indexed = corpus
+      .withColumn("__g_cid", cidOf(col(corpusVec), cents))
+      .withColumn("__g_cent", element_at(centLits, col("__g_cid") + 1))
+      .withColumn("__g_res", zip_with(col(corpusVec).cast("array<double>"),
+        col("__g_cent"), (a, b) => a - b))
+      .withColumn("__g_book", element_at(booksLit, col("__g_cid") + 1))
+      .withColumn("__g_codes", graft.functions.GraftFunctions
+        .pq_encode_book(col("__g_res"), col("__g_book"), subspaces))
+      .withColumn("__g_rv", zip_with(col("__g_cent"), recon, (a, b) => a + b))
+    val probes = probeCells(queries, cents, nprobe, queryId, queryVec)
+    val wl = Window.partitionBy(col(queryId), col("__g_pid"))
+      .orderBy(col("__g_asim").desc, col(corpusId).asc)
+    val wc = Window.partitionBy(col(queryId))
+      .orderBy(col("__g_asim").desc, col(corpusId).asc)
+    val topC = broadcast(probes).join(indexed, Seq("__g_cid"))
+      .where(col(queryId) =!= col(corpusId))
+      .withColumn("__g_asim", graft.functions.GraftFunctions.cosine_similarity_d(
+        col(queryVec).cast("array<double>"), col("__g_rv")))
+      .withColumn("__g_pid", spark_partition_id())
+      .withColumn("__g_lc", row_number().over(wl)).where(col("__g_lc") <= candidates)
+      .withColumn("__g_cr", row_number().over(wc)).where(col("__g_cr") <= candidates)
+    val w = Window.partitionBy(col(queryId)).orderBy(col("sim").desc, col(corpusId).asc)
+    topC.withColumn("sim", cosine_similarity(col(queryVec), col(corpusVec)))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col(queryId), col("rank"), col(corpusId).as("neighbor_id"),
+        col("sim"))
+  }
+
   /** Residual PQ codebook: assign each SAMPLE vector to its cell with
     * the same (sim desc, cid asc) rule the scan uses, subtract the
     * centroid, train per-subspace Lloyd on the residuals. Bounded
@@ -834,6 +939,41 @@ object Similarity {
         "budget); raise k / lower targetClusterSize"
     })
     // kmeansQuantized normalizes the id column name to vec_id
+    val withC = corpus
+      .select(col(idCol).cast("long").as("vec_id"), col(vecCol))
+      .join(assigned, "vec_id")
+    val a = withC.select(col("cluster"), col("vec_id").as("id_a"),
+      col(vecCol).as("__va"))
+    val b = withC.select(col("cluster"), col("vec_id").as("id_b"),
+      col(vecCol).as("__vb"))
+    a.join(b, Seq("cluster"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine_similarity(col("__va"), col("__vb")))
+      .where(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** SemDeDup over the BALANCED assignment: [[kmeansBalanced]] caps
+    * every cluster at `targetClusterSize`, so per-cluster pair work is
+    * ≤ tcs·(tcs−1)/2 STRUCTURALLY — no pair-budget guard, no failure
+    * mode, whatever the embedding distribution does. This is the
+    * 100 TB-safe form: [[semanticDedupPairsAuto]] fails loudly when a
+    * degenerate corpus collapses into one cell; this one cannot have
+    * an oversized cell in the first place (the trade: vectors spilled
+    * out of a full cluster pair against their second-best cell, so
+    * recall near over-capacity boundaries dips where the unbalanced
+    * form would instead blow the budget). k = ceil(n / tcs), capacity
+    * = tcs, so k·capacity ≥ n always holds. */
+  def semanticDedupPairsBalanced(corpus: DataFrame, targetClusterSize: Int,
+      iterations: Int, threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding", maxRounds: Int = 8): DataFrame = {
+    require(targetClusterSize >= 2)
+    val n = corpus.count()
+    val k = math.max(2L,
+      (n + targetClusterSize - 1) / targetClusterSize).toInt
+    val assigned = kmeansBalanced(corpus, k, iterations,
+      capacity = targetClusterSize, maxRounds = maxRounds,
+      idCol = idCol, vecCol = vecCol)
     val withC = corpus
       .select(col(idCol).cast("long").as("vec_id"), col(vecCol))
       .join(assigned, "vec_id")

@@ -114,7 +114,13 @@ object ScaleBench {
       "f4_partition_prune", "s11_kmeans_pp", "s12_ann_ivfpq_res",
       // balanced k-means: capacity derives from count, so the cap
       // tightens as copies multiply — rounds stay the measured cost
-      "s13_kmeans_balanced")
+      "s13_kmeans_balanced",
+      // per-cell budgeted IVF-PQ: training state is budget-bounded,
+      // so only the scan should scale
+      "s14_ann_ivfpq_cell",
+      // balanced SemDeDup: k scales with n at fixed capacity, so the
+      // pair stage must stay linear-in-n like d11's auto form
+      "d12_semantic_dedup_balanced")
       // x18/x19 are NOT here for x12's reason (salting renames their
       // literal terms) — the salted cases below measure real phrase/
       // proximity retrieval.

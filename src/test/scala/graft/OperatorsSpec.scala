@@ -1045,6 +1045,61 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("balanced semantic dedup: no pair-budget failure mode, pairs real") {
+    val emb = sources.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    // the guarded form FAILS when a cluster exceeds the pair budget…
+    val tinyBudget = 32L * 31 / 2 // pairs of a 32-vector cluster
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semanticDedupPairsAuto(emb, targetClusterSize = 64,
+        iterations = 2, threshold = 0.45,
+        maxPairsPerCluster = tinyBudget).collect()
+    }
+    assert(e.getMessage.contains("pair"), e.getMessage)
+    // …the balanced form CANNOT: capacity 32 makes ≤ 32-vector
+    // clusters structural, same budget, no guard to trip
+    val pairs = Similarity.semanticDedupPairsBalanced(emb,
+      targetClusterSize = 32, iterations = 2, threshold = 0.45).collect()
+    assert(pairs.nonEmpty, "planted near-dups must still co-cluster")
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pairs must be ordered, no dupes")
+      assert(r.getDouble(2) >= 0.45)
+    }
+  }
+
+  test("per-cell ivf-pq: exact in oracle regime, budget clamps codewords, " +
+      "starved budget fails loudly") {
+    val emb = sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val exact = Similarity.bruteForceTopK(q, emb, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    val full = Similarity.ivfPqResidualPerCellTopK(q, emb, 5, clusters = 16,
+      nprobe = 16, candidates = Int.MaxValue,
+      memoryBudgetBytes = 1L << 21).collect()
+    assert(full.length == exact.size)
+    full.foreach { r =>
+      val key = (r.getLong(0), r.getInt(1), r.getLong(2))
+      assert(exact.contains(key), s"unexpected row $key")
+      assert(exact(key) == r.getDouble(3), s"sim mismatch for $key")
+    }
+    // a budget that holds only ~2 codewords per cell (16 cells x 64
+    // dims x 8 B = 8 KiB per codeword level): clamped, still exact in
+    // the oracle regime because the final re-rank is exact cosine
+    val clamped = Similarity.ivfPqResidualPerCellTopK(q, emb, 5,
+      clusters = 16, nprobe = 16, candidates = Int.MaxValue,
+      memoryBudgetBytes = 2L * 16 * 64 * 8).collect()
+    assert(clamped.length == exact.size,
+      "clamped-budget run must still be exact under full probe")
+    // below 2 codewords per cell the index cannot encode at all
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfPqResidualPerCellTopK(q, emb, 5, clusters = 16,
+        nprobe = 16, candidates = Int.MaxValue,
+        memoryBudgetBytes = 16 * 64 * 8)
+    }
+    assert(e.getMessage.contains("memory budget"),
+      s"expected the budget failure, got: ${e.getMessage}")
+  }
+
   test("residual ivf-pq: exact in oracle regime, residual codes reconstruct better than raw") {
     val emb = sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val q = emb.filter(col("vec_id") < 10)
