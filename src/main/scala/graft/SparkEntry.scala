@@ -876,6 +876,23 @@ object SparkEntry {
       CorpusOps.budgetMix(T(s, dir, "documents"), "doc_id", "text",
           "lang", budget = 2000L)
         .orderBy("lang", "doc_id")),
+    // distributed BPE tokenizer training: ONE corpus pass collapses the
+    // text to a distinct-word dict, then every merge round runs over
+    // the vocabulary-sized dict only (one pair-agg + a 1-row argmax per
+    // round) — round cost independent of corpus size
+    "x22_bpe_train" -> ((s, dir) =>
+      Bpe.trainMerges(T(s, dir, "documents"), "text", rounds = 12)
+        .orderBy("round")),
+    // BPE encode: train on the corpus, then apply the merge table
+    // map-side inside transform/aggregate lambdas — per-doc token
+    // counts with ZERO shuffle (merge table = 12 literal rows)
+    "x23_bpe_encode" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val merges = Bpe.collectMerges(
+        Bpe.trainMerges(docs, "text", rounds = 12))
+      Bpe.encodeTokenCounts(docs, "doc_id", "text", merges)
+        .orderBy("doc_id")
+    }),
 
     // benchmark decontamination: distinct 3-gram overlap counts against
     // the held-out source, shuffle equi-join on the gram string
@@ -1983,6 +2000,13 @@ object SparkEntry {
         |  FROM t)
         |SELECT lang, doc_id, n_tokens FROM c
         |WHERE cum - n_tokens < 2000 ORDER BY lang, doc_id""".stripMargin,
+    // x22: the merge loop unrolled — one MATERIALIZED (pairs, winner,
+    // rewrite) CTE triple per round; string rewrites are non-regex
+    // left-to-right replaces, identical in both engines
+    "x22_bpe_train" -> operators.Bpe.trainMergesOracleSql(12),
+    // x23: the final rewrite CTE holds every word's post-merge
+    // tokenization — encoding is a per-doc word unnest + lookup join
+    "x23_bpe_encode" -> operators.Bpe.encodeOracleSql(12),
     "x14_lm_score" ->
       """WITH spt AS (SELECT doc_id,
         |    string_split_regex(trim(lower(text)), '\s+') AS sp FROM documents),

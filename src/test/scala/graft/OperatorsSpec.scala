@@ -1210,4 +1210,51 @@ class OperatorsSpec extends AnyFunSuite {
       .select("ws_tokens", "bpe_ish_tokens").collect()
     assert(counts(2).getInt(0) == 3 && counts(2).getInt(1) == 3)
   }
+
+  test("bpe: hand-computed merges, weighted by word frequency") {
+    // "ab" x3, "abc" x2 → round 1 (a,b) count 5, round 2 (ab,c) count 2
+    val docs = Seq((1L, "ab ab abc"), (2L, "ab abc")).toDF("doc_id", "text")
+    val got = Bpe.trainMerges(docs, "text", rounds = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got == Seq((1, "a", "b", "ab", 5L), (2, "ab", "c", "abc", 2L)))
+  }
+
+  test("bpe: greedy leftmost non-overlapping rewrite on repeated chars") {
+    // "aaaa": (a,a) occurs at 3 adjacent positions (overlap-counted,
+    // the BPE convention), but the rewrite is leftmost non-overlapping:
+    // " a  a  a  a " → " aa  aa ", so round 2's winner is (aa,aa)
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val got = Bpe.trainMerges(docs, "text", rounds = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    assert(got == Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
+  }
+
+  test("bpe encode: zero merges applied = char count, more merges never increase tokens") {
+    val docs = Seq(
+      (1L, "ab ab abc"), (2L, "ab abc"), (3L, "zzz! 42")).toDF("doc_id", "text")
+    val m2 = Bpe.collectMerges(Bpe.trainMerges(docs, "text", rounds = 2))
+    assert(m2 == Seq(("a", "b"), ("ab", "c")))
+    val got = Bpe.encodeTokenCounts(docs, "doc_id", "text", m2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc 1: ab→1, ab→1, abc→1 = 3 tokens; doc 2: 2; doc 3: zzz = 3
+    // single-char tokens (no merge matches), "42" contributes no word
+    assert(got == Seq((1L, 3L, 3L), (2L, 2L, 2L), (3L, 1L, 3L)))
+    // applying only round 1 must sit between chars and the full table
+    val one = Bpe.encodeTokenCounts(docs, "doc_id", "text", m2.take(1))
+      .orderBy("doc_id").collect().map(_.getLong(2)).toSeq
+    assert(one == Seq(4L, 3L, 3L)) // abc → ab+c not yet merged
+  }
+
+  test("bpe: count ties break lexicographically; exhaustion fails loudly") {
+    // (w,x) and (y,z) both count 1 → lexicographic winner (w,x)
+    val docs = Seq((1L, "wx yz")).toDF("doc_id", "text")
+    val got = Bpe.trainMerges(docs, "text", rounds = 1).collect()
+    assert(got.head.getString(1) == "w" && got.head.getString(2) == "x")
+    val e = intercept[IllegalArgumentException] {
+      Bpe.trainMerges(docs, "text", rounds = 5).collect()
+    }
+    assert(e.getMessage.contains("exhausted"), e.getMessage)
+  }
 }
