@@ -27,7 +27,9 @@ import org.apache.spark.sql.functions._
   * — each the same semantics as its `TextRank` ad-hoc twin, with the
   * read path swapped for the pruned bucketed scan. [[append]] maintains
   * the index incrementally and [[compact]] folds the small files an
-  * append stream accumulates back into one sorted file per bucket.
+  * append stream accumulates back into one sorted file per bucket,
+  * committed by an atomic snapshot-pointer marker (no renames — the
+  * object-store-safe layout-swap discipline).
   */
 object TextIndex {
   /** Build the index at `path`: bucketed positional postings
@@ -36,6 +38,19 @@ object TextIndex {
   def build(docs: DataFrame, idCol: String, textCol: String, path: String,
       buckets: Int = 64): Unit = {
     require(buckets >= 1)
+    // a REBUILD over a previously compacted index must not leave stale
+    // generation markers shadowing the fresh flat layout
+    val p = new Path(path)
+    val fs = p.getFileSystem(
+      docs.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.listStatus(p).foreach { st =>
+      st.getPath.getName match {
+        case GenMarker(n) =>
+          fs.delete(st.getPath, false)
+          fs.delete(new Path(s"$path/gen-$n"), true)
+        case _ => ()
+      }
+    }
     val toks = docs.select(col(idCol).cast("long").as("doc_id"),
         posexplode(split(trim(lower(col(textCol))), "\\s+"))
           .as(Seq("pos", "term")))
@@ -65,6 +80,7 @@ object TextIndex {
       path: String): Unit = {
     val spark = docs.sparkSession
     val (n0, t0, buckets) = loadStats(spark, path)
+    val live = root(spark, path)
     val toks = docs.select(col(idCol).cast("long").as("doc_id"),
         posexplode(split(trim(lower(col(textCol))), "\\s+"))
           .as(Seq("pos", "term")))
@@ -74,9 +90,9 @@ object TextIndex {
       .repartition(col("bucket"))
       .write.mode(SaveMode.Append)
       .partitionBy("bucket")
-      .parquet(s"$path/postings")
+      .parquet(s"$live/postings")
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    dl.write.mode(SaveMode.Append).parquet(s"$path/doclen")
+    dl.write.mode(SaveMode.Append).parquet(s"$live/doclen")
     val delta = dl.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head
     // one-row rewrite via a temp dir + swap-free overwrite (the row is
     // tiny; rewriting it is the whole "commit")
@@ -96,19 +112,30 @@ object TextIndex {
     *
     * Bucket rewrites are independent single-task jobs submitted
     * CONCURRENTLY (the f3 compaction discipline — wall-clock is the
-    * largest bucket, not the bucket count). The swap is two renames
-    * (old → `.old`, new → live, delete `.old`); a real object-store
-    * deployment would commit the swap through a manifest instead,
-    * which is what the [[FileManifest]] machinery is for. */
+    * largest bucket, not the bucket count).
+    *
+    * The swap is SNAPSHOT-POINTER committed, zero renames: the whole
+    * compacted layout lands in a fresh `gen-N` directory, and the
+    * commit is ONE atomic empty-file create (`commit-N`). Readers
+    * resolve the max committed generation, so they see the old index
+    * until the marker exists and the new one after — never a
+    * half-state. A crash before the marker leaves an orphan `gen-N`
+    * the next attempt deletes; a crash after it leaves stale
+    * generations the next compaction sweeps. Renames are not atomic
+    * (or not cheap) on object stores; a marker create is — the same
+    * metadata-commit discipline as the [[FileManifest]] catalogs. */
   def compact(spark: SparkSession, path: String): Unit = {
     val (_, _, buckets) = loadStats(spark, path)
     val fs = new Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(s"$path/postings.compacting")
-    fs.delete(tmp, true)
+    val prevGen = liveGeneration(spark, path)
+    val cur = root(spark, path)
+    val nextGen = prevGen.map(_ + 1).getOrElse(0L)
+    val genDir = s"$path/gen-$nextGen"
+    fs.delete(new Path(genDir), true) // orphan of a crashed attempt
     import scala.concurrent.{Await, ExecutionContext, Future}
     implicit val ec: ExecutionContext = ExecutionContext.global
-    val live = new Path(s"$path/postings")
+    val live = new Path(s"$cur/postings")
     val jobs = (0 until buckets).flatMap { b =>
       val dir = new Path(live, s"bucket=$b")
       if (!fs.exists(dir)) None
@@ -119,26 +146,56 @@ object TextIndex {
           .coalesce(1)
           .sortWithinPartitions("term", "doc_id", "pos")
           .write.mode(SaveMode.Overwrite)
-          .parquet(s"$tmp/bucket=$b")
+          .parquet(s"$genDir/postings/bucket=$b")
       })
     }
-    Await.result(Future.sequence(jobs), scala.concurrent.duration.Duration.Inf)
-    val old = new Path(s"$path/postings.old")
-    fs.delete(old, true)
-    require(fs.rename(live, old) && fs.rename(tmp, live),
-      s"compact: postings swap failed under $path")
-    fs.delete(old, true)
-    val dlTmp = s"$path/doclen.compacting"
-    spark.read.parquet(s"$path/doclen")
-      .coalesce(1).sortWithinPartitions("doc_id")
-      .write.mode(SaveMode.Overwrite).parquet(dlTmp)
-    val dlLive = new Path(s"$path/doclen")
-    val dlOld = new Path(s"$path/doclen.old")
-    fs.delete(dlOld, true)
-    require(fs.rename(dlLive, dlOld) && fs.rename(new Path(dlTmp), dlLive),
-      s"compact: doclen swap failed under $path")
-    fs.delete(dlOld, true)
+    val dlJob = Future {
+      spark.read.parquet(s"$cur/doclen")
+        .coalesce(1).sortWithinPartitions("doc_id")
+        .write.mode(SaveMode.Overwrite).parquet(s"$genDir/doclen")
+    }
+    Await.result(Future.sequence(jobs :+ dlJob),
+      scala.concurrent.duration.Duration.Inf)
+    // THE COMMIT — one atomic create; everything before this line is
+    // invisible to readers, everything after is cleanup
+    require(fs.createNewFile(new Path(path, s"commit-$nextGen")),
+      s"compact: commit marker create failed under $path")
+    // sweep superseded state: older markers + their generations, and
+    // the legacy flat layout the first generation replaces. Safe to
+    // crash anywhere here — reads are governed by the marker already.
+    fs.listStatus(new Path(path)).foreach { st =>
+      st.getPath.getName match {
+        case GenMarker(n) if n.toLong < nextGen =>
+          fs.delete(st.getPath, false)
+          fs.delete(new Path(s"$path/gen-$n"), true)
+        case _ => ()
+      }
+    }
+    fs.delete(new Path(s"$path/postings"), true)
+    fs.delete(new Path(s"$path/doclen"), true)
   }
+
+  private val GenMarker = "commit-(\\d+)".r
+
+  /** Max committed generation at `path`, None for the flat layout
+    * [[build]] writes (no compaction committed yet). */
+  def liveGeneration(spark: SparkSession, path: String): Option[Long] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case GenMarker(n) => n.toLong }.maxOption
+  }
+
+  /** Root the live postings/doclen hang under: the max committed
+    * `gen-N` directory, or `path` itself pre-compaction. */
+  private def root(spark: SparkSession, path: String): String =
+    liveGeneration(spark, path).map(n => s"$path/gen-$n").getOrElse(path)
+
+  /** Live postings directory (generation-resolved) — the path specs
+    * count files under. */
+  def postingsDir(spark: SparkSession, path: String): String =
+    s"${root(spark, path)}/postings"
 
   /** BM25 top-k over the MATERIALIZED index — same semantics and
     * output as `TextRank.bm25TopK`, but the postings scan opens only
@@ -161,7 +218,7 @@ object TextIndex {
     val tf = postings.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val dl = spark.read.parquet(s"$path/doclen")
+    val dl = spark.read.parquet(s"${root(spark, path)}/doclen")
     val scored = tf
       .join(broadcast(dfreq), "term")
       .join(dl, "doc_id")
@@ -288,7 +345,7 @@ object TextIndex {
     val termBuckets = terms.toDF("term")
       .select(pmod(xxhash64(col("term")), lit(buckets)).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    spark.read.parquet(s"$path/postings")
+    spark.read.parquet(s"${root(spark, path)}/postings")
       .where(col("bucket").isin(termBuckets: _*) &&
         col("term").isInCollection(terms))
       .select(col("doc_id"), col("pos"), col("term"))
@@ -301,7 +358,7 @@ object TextIndex {
       nDocs: Long, totTok: Long, k: Int, k1: Double, b: Double): DataFrame = {
     val avgdl = totTok.toDouble / nDocs
     val dfq = pf.groupBy("query_id").agg(count(lit(1)).as("df"))
-    val dl = spark.read.parquet(s"$path/doclen")
+    val dl = spark.read.parquet(s"${root(spark, path)}/doclen")
     rankTopK(pf
       .join(broadcast(dfq), "query_id")
       .join(dl, "doc_id")

@@ -463,20 +463,41 @@ class PlanShapeSpec extends AnyFunSuite {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
     val before = rows(TextIndex.bm25TopK(spark, idx, queries, k = 10))
-    val filesBefore = parquetFiles(s"$idx/postings").size
+    val filesBefore = parquetFiles(TextIndex.postingsDir(spark, idx)).size
+    // a crashed earlier attempt (orphan generation, NO commit marker)
+    // must be invisible to readers and harmless to the next compaction
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$idx/gen-0/postings/bucket=0"))
+    assert(TextIndex.liveGeneration(spark, idx).isEmpty,
+      "an uncommitted generation must not be live")
     TextIndex.compact(spark, idx)
-    val filesAfter = parquetFiles(s"$idx/postings").size
+    assert(TextIndex.liveGeneration(spark, idx).contains(0L),
+      "compaction must commit generation 0")
+    val filesAfter = parquetFiles(TextIndex.postingsDir(spark, idx)).size
     assert(filesAfter < filesBefore,
       s"compaction must shrink the file count ($filesBefore -> $filesAfter)")
     // one file per surviving bucket directory
     val bucketDirs = java.nio.file.Files.list(
-        java.nio.file.Paths.get(s"$idx/postings"))
+        java.nio.file.Paths.get(TextIndex.postingsDir(spark, idx)))
       .filter(p => p.getFileName.toString.startsWith("bucket="))
       .count().toInt
     assert(filesAfter == bucketDirs,
       s"expected one file per bucket ($bucketDirs), got $filesAfter")
     assert(rows(TextIndex.bm25TopK(spark, idx, queries, k = 10)) == before,
       "compaction must not change answers")
+    // the superseded flat layout is swept after the commit
+    assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$idx/postings")),
+      "legacy flat postings must be swept after the generation commit")
+    // a SECOND cycle: compact the live generation again — gen-1
+    // commits, gen-0 is swept, answers still identical
+    TextIndex.compact(spark, idx)
+    assert(TextIndex.liveGeneration(spark, idx).contains(1L))
+    assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$idx/gen-0")),
+      "superseded generation must be swept")
+    assert(rows(TextIndex.bm25TopK(spark, idx, queries, k = 10)) == before,
+      "recompaction must not change answers")
   }
 
   test("compaction shrinks the file count and keeps the layout prunable") {
