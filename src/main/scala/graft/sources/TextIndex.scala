@@ -38,8 +38,9 @@ object TextIndex {
   def build(docs: DataFrame, idCol: String, textCol: String, path: String,
       buckets: Int = 64): Unit = {
     require(buckets >= 1)
-    // a REBUILD over a previously compacted index must not leave stale
-    // generation markers shadowing the fresh flat layout
+    // a REBUILD over a previously compacted or stream-maintained index
+    // must not leave stale generation/batch markers shadowing the
+    // fresh flat layout
     val p = new Path(path)
     val fs = p.getFileSystem(
       docs.sparkSession.sparkContext.hadoopConfiguration)
@@ -48,6 +49,9 @@ object TextIndex {
         case GenMarker(n) =>
           fs.delete(st.getPath, false)
           fs.delete(new Path(s"$path/gen-$n"), true)
+        case AppliedMarker(n) =>
+          fs.delete(st.getPath, false)
+          fs.delete(new Path(s"$path/batch-$n"), true)
         case _ => ()
       }
     }
@@ -65,6 +69,7 @@ object TextIndex {
     dl.write.mode(SaveMode.Overwrite).parquet(s"$path/doclen")
     dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
       .withColumn("buckets", lit(buckets))
+      .withColumn("folded_through", lit(-1L))
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
   }
@@ -79,14 +84,14 @@ object TextIndex {
   def append(docs: DataFrame, idCol: String, textCol: String,
       path: String): Unit = {
     val spark = docs.sparkSession
-    val (n0, t0, buckets) = loadStats(spark, path)
+    val base = baseStats(spark, path)
     val live = root(spark, path)
     val toks = docs.select(col(idCol).cast("long").as("doc_id"),
         posexplode(split(trim(lower(col(textCol))), "\\s+"))
           .as(Seq("pos", "term")))
       .filter(col("term") =!= "")
     toks
-      .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets)))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(base.buckets)))
       .repartition(col("bucket"))
       .write.mode(SaveMode.Append)
       .partitionBy("bucket")
@@ -94,14 +99,16 @@ object TextIndex {
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     dl.write.mode(SaveMode.Append).parquet(s"$live/doclen")
     val delta = dl.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head
-    // one-row rewrite via a temp dir + swap-free overwrite (the row is
-    // tiny; rewriting it is the whole "commit")
+    // one-row rewrite (the row is tiny; rewriting it is the whole
+    // "commit"); folds into the BASE row only — streaming batch deltas
+    // stay in their own side rows until compaction folds them
     spark.range(1).select(
-        lit(n0 + delta.getLong(0)).as("n_docs"),
-        lit(t0 + delta.getLong(1)).as("total_tokens"),
-        lit(buckets).as("buckets"))
+        lit(base.nDocs + delta.getLong(0)).as("n_docs"),
+        lit(base.totTok + delta.getLong(1)).as("total_tokens"),
+        lit(base.buckets).as("buckets"),
+        lit(base.foldedThrough).as("folded_through"))
       .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
+      .write.mode(SaveMode.Overwrite).parquet(s"$live/stats")
   }
 
   /** Fold the small files an [[append]] stream accumulates back into
@@ -125,7 +132,7 @@ object TextIndex {
     * (or not cheap) on object stores; a marker create is — the same
     * metadata-commit discipline as the [[FileManifest]] catalogs. */
   def compact(spark: SparkSession, path: String): Unit = {
-    val (_, _, buckets) = loadStats(spark, path)
+    val base = baseStats(spark, path)
     val fs = new Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val prevGen = liveGeneration(spark, path)
@@ -133,16 +140,23 @@ object TextIndex {
     val nextGen = prevGen.map(_ + 1).getOrElse(0L)
     val genDir = s"$path/gen-$nextGen"
     fs.delete(new Path(genDir), true) // orphan of a crashed attempt
+    // streaming batches committed but not yet folded — they fold into
+    // this generation and `folded_through` advances past them
+    val batches = committedBatches(spark, path).filter(_ > base.foldedThrough)
+    val foldedThrough = (base.foldedThrough +: batches).max
     import scala.concurrent.{Await, ExecutionContext, Future}
     implicit val ec: ExecutionContext = ExecutionContext.global
-    val live = new Path(s"$cur/postings")
-    val jobs = (0 until buckets).flatMap { b =>
-      val dir = new Path(live, s"bucket=$b")
-      if (!fs.exists(dir)) None
+    val jobs = (0 until base.buckets).flatMap { b =>
+      // every source holding this bucket: the live layout + each
+      // unfolded batch staging dir — one multi-path read, one rewrite
+      val srcs = (s"$cur/postings/bucket=$b" +:
+          batches.map(id => s"$path/batch-$id/postings/bucket=$b"))
+        .filter(d => fs.exists(new Path(d)))
+      if (srcs.isEmpty) None
       else Some(Future {
-        // reading the bucket dir directly drops the partition column;
+        // reading bucket dirs directly drops the partition column;
         // writing back under the same dir name restores it on discovery
-        spark.read.parquet(dir.toString)
+        spark.read.parquet(srcs: _*)
           .coalesce(1)
           .sortWithinPartitions("term", "doc_id", "pos")
           .write.mode(SaveMode.Overwrite)
@@ -150,32 +164,53 @@ object TextIndex {
       })
     }
     val dlJob = Future {
-      spark.read.parquet(s"$cur/doclen")
+      val srcs = (s"$cur/doclen" +:
+          batches.map(id => s"$path/batch-$id/doclen"))
+        .filter(d => fs.exists(new Path(d)))
+      spark.read.parquet(srcs: _*)
         .coalesce(1).sortWithinPartitions("doc_id")
         .write.mode(SaveMode.Overwrite).parquet(s"$genDir/doclen")
     }
-    Await.result(Future.sequence(jobs :+ dlJob),
+    val statsJob = Future {
+      // the folded stats row rides INSIDE the generation, so the
+      // marker atomically switches postings, doclen, and stats as one
+      val (n, t) = batchStatsDeltas(spark, path, batches)
+      spark.range(1).select(
+          lit(base.nDocs + n).as("n_docs"),
+          lit(base.totTok + t).as("total_tokens"),
+          lit(base.buckets).as("buckets"),
+          lit(foldedThrough).as("folded_through"))
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$genDir/stats")
+    }
+    Await.result(Future.sequence(jobs :+ dlJob :+ statsJob),
       scala.concurrent.duration.Duration.Inf)
     // THE COMMIT — one atomic create; everything before this line is
     // invisible to readers, everything after is cleanup
     require(fs.createNewFile(new Path(path, s"commit-$nextGen")),
       s"compact: commit marker create failed under $path")
-    // sweep superseded state: older markers + their generations, and
-    // the legacy flat layout the first generation replaces. Safe to
-    // crash anywhere here — reads are governed by the marker already.
+    // sweep superseded state: older markers + their generations, folded
+    // batch staging dirs, and the legacy flat layout the first
+    // generation replaces. Safe to crash anywhere here — reads are
+    // governed by the commit marker and `folded_through` already.
     fs.listStatus(new Path(path)).foreach { st =>
       st.getPath.getName match {
         case GenMarker(n) if n.toLong < nextGen =>
           fs.delete(st.getPath, false)
           fs.delete(new Path(s"$path/gen-$n"), true)
+        case AppliedMarker(n) if n.toLong <= foldedThrough =>
+          fs.delete(st.getPath, false)
+          fs.delete(new Path(s"$path/batch-$n"), true)
         case _ => ()
       }
     }
     fs.delete(new Path(s"$path/postings"), true)
     fs.delete(new Path(s"$path/doclen"), true)
+    fs.delete(new Path(s"$path/stats"), true)
   }
 
   private val GenMarker = "commit-(\\d+)".r
+  private val AppliedMarker = "applied-(\\d+)".r
 
   /** Max committed generation at `path`, None for the flat layout
     * [[build]] writes (no compaction committed yet). */
@@ -187,6 +222,16 @@ object TextIndex {
       .collect { case GenMarker(n) => n.toLong }.maxOption
   }
 
+  /** Streaming batch ids whose `applied-<id>` commit marker exists —
+    * committed exactly-once ingest batches, folded or not. */
+  def committedBatches(spark: SparkSession, path: String): Seq[Long] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case AppliedMarker(n) => n.toLong }.sorted
+  }
+
   /** Root the live postings/doclen hang under: the max committed
     * `gen-N` directory, or `path` itself pre-compaction. */
   private def root(spark: SparkSession, path: String): String =
@@ -196,6 +241,76 @@ object TextIndex {
     * count files under. */
   def postingsDir(spark: SparkSession, path: String): String =
     s"${root(spark, path)}/postings"
+
+  /** EXACTLY-ONCE streaming ingest of one micro-batch, the unit
+    * [[maintainStream]] drives: the batch's postings/doclen/stats land
+    * in their own `batch-<id>` staging dir (written with Overwrite, so
+    * a replay of a half-written batch simply rewrites it), and the
+    * commit is one atomic `applied-<id>` marker create. A replay of an
+    * already-committed batch sees its marker and returns without
+    * touching anything — at-least-once redelivery becomes exactly-once
+    * index state, the same batchId-keyed discipline as `AlertSink`.
+    * Queries read committed batches immediately (union'd with the base
+    * layout); [[compact]] folds them away and advances
+    * `folded_through` so nothing is ever double-counted. */
+  def appendBatch(docs: DataFrame, idCol: String, textCol: String,
+      path: String, batchId: Long): Unit = {
+    val spark = docs.sparkSession
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(path, s"applied-$batchId")
+    if (fs.exists(marker)) return // committed already — replayed delivery
+    val base = baseStats(spark, path)
+    // a batch at or below the fold boundary was committed AND folded —
+    // its marker is gone, but folded_through still proves it landed
+    if (batchId <= base.foldedThrough) return
+    val buckets = base.buckets
+    val bdir = s"$path/batch-$batchId"
+    fs.delete(new Path(bdir), true) // half-written replay debris
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(trim(lower(col(textCol))), "\\s+"))
+          .as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val delta = dl.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head
+    if (delta.getLong(0) > 0) {
+      toks
+        .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets)))
+        .repartition(col("bucket"))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("bucket")
+        .parquet(s"$bdir/postings")
+      dl.write.mode(SaveMode.Overwrite).parquet(s"$bdir/doclen")
+    }
+    spark.range(1).select(
+        lit(delta.getLong(0)).as("n_docs"),
+        lit(delta.getLong(1)).as("total_tokens"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$bdir/stats")
+    require(fs.createNewFile(marker),
+      s"appendBatch: marker create failed for batch $batchId under $path")
+  }
+
+  /** STREAMING index maintenance: wire a document stream into
+    * [[appendBatch]], optionally compacting every `compactEvery`
+    * batches so the staging-dir union stays bounded. The retrieval
+    * trio keeps serving between micro-batches — each query sees every
+    * committed batch and never a partial one. Single maintainer per
+    * index path (the streaming engine already serializes batches
+    * within a query; don't run two maintainers against one path). */
+  def maintainStream(docs: DataFrame, idCol: String, textCol: String,
+      path: String, checkpointDir: String,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          appendBatch(batch.toDF(), idCol, textCol, path, id)
+          if (compactEvery > 0 && id % compactEvery == compactEvery - 1)
+            compact(batch.sparkSession, path)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
 
   /** BM25 top-k over the MATERIALIZED index — same semantics and
     * output as `TextRank.bm25TopK`, but the postings scan opens only
@@ -218,7 +333,7 @@ object TextIndex {
     val tf = postings.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val dl = spark.read.parquet(s"${root(spark, path)}/doclen")
+    val dl = doclenDf(spark, path)
     val scored = tf
       .join(broadcast(dfreq), "term")
       .join(dl, "doc_id")
@@ -329,11 +444,54 @@ object TextIndex {
 
   // ---- shared internals ----------------------------------------------
 
-  private def loadStats(spark: SparkSession, path: String): (Long, Long, Int) = {
-    val stats = spark.read.parquet(s"$path/stats").head
-    (stats.getAs[Long]("n_docs"), stats.getAs[Long]("total_tokens"),
-      stats.getAs[Int]("buckets"))
+  private final case class BaseStats(nDocs: Long, totTok: Long,
+      buckets: Int, foldedThrough: Long)
+
+  /** The live BASE stats row (generation-resolved), excluding unfolded
+    * streaming batches. `folded_through` tolerates pre-column layouts. */
+  private def baseStats(spark: SparkSession, path: String): BaseStats = {
+    val row = spark.read.parquet(s"${root(spark, path)}/stats").head
+    val ft =
+      if (row.schema.fieldNames.contains("folded_through"))
+        row.getAs[Long]("folded_through")
+      else -1L
+    BaseStats(row.getAs[Long]("n_docs"), row.getAs[Long]("total_tokens"),
+      row.getAs[Int]("buckets"), ft)
   }
+
+  /** Sum of the per-batch stats deltas for the given batch ids. */
+  private def batchStatsDeltas(spark: SparkSession, path: String,
+      ids: Seq[Long]): (Long, Long) =
+    ids.foldLeft((0L, 0L)) { case ((n, t), id) =>
+      val row = spark.read.parquet(s"$path/batch-$id/stats").head
+      (n + row.getAs[Long]("n_docs"), t + row.getAs[Long]("total_tokens"))
+    }
+
+  /** EFFECTIVE stats: the base row plus every committed-but-unfolded
+    * streaming batch's delta — what scoring must see. */
+  private def loadStats(spark: SparkSession, path: String): (Long, Long, Int) = {
+    val base = baseStats(spark, path)
+    val ids = committedBatches(spark, path).filter(_ > base.foldedThrough)
+    val (n, t) = batchStatsDeltas(spark, path, ids)
+    (base.nDocs + n, base.totTok + t, base.buckets)
+  }
+
+  /** Unfolded committed batch ids, each paired with its staging root. */
+  private def unfoldedBatchDirs(spark: SparkSession, path: String,
+      sub: String): Seq[String] = {
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val ft = baseStats(spark, path).foldedThrough
+    committedBatches(spark, path).filter(_ > ft)
+      .map(id => s"$path/batch-$id/$sub")
+      .filter(d => fs.exists(new Path(d)))
+  }
+
+  /** The live doc-length table: base + unfolded batch appendices. */
+  private def doclenDf(spark: SparkSession, path: String): DataFrame =
+    (s"${root(spark, path)}/doclen" +: unfoldedBatchDirs(spark, path, "doclen"))
+      .map(spark.read.parquet(_))
+      .reduce(_ unionByName _)
 
   /** The pruned read every indexed query starts from: bucket values
     * computed by the same xxhash64 expression the build column used
@@ -345,10 +503,18 @@ object TextIndex {
     val termBuckets = terms.toDF("term")
       .select(pmod(xxhash64(col("term")), lit(buckets)).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    spark.read.parquet(s"${root(spark, path)}/postings")
-      .where(col("bucket").isin(termBuckets: _*) &&
-        col("term").isInCollection(terms))
-      .select(col("doc_id"), col("pos"), col("term"))
+    // base layout + committed-but-unfolded streaming batches, each a
+    // bucketed dir pruned by the same partition filter; compaction
+    // bounds how many batch dirs this union ever spans
+    (s"${root(spark, path)}/postings" +:
+        unfoldedBatchDirs(spark, path, "postings"))
+      .map { d =>
+        spark.read.parquet(d)
+          .where(col("bucket").isin(termBuckets: _*) &&
+            col("term").isInCollection(terms))
+          .select(col("doc_id"), col("pos"), col("term"))
+      }
+      .reduce(_ unionByName _)
   }
 
   /** Occurrence-frequency scoring shared by the positional variants:
@@ -358,7 +524,7 @@ object TextIndex {
       nDocs: Long, totTok: Long, k: Int, k1: Double, b: Double): DataFrame = {
     val avgdl = totTok.toDouble / nDocs
     val dfq = pf.groupBy("query_id").agg(count(lit(1)).as("df"))
-    val dl = spark.read.parquet(s"${root(spark, path)}/doclen")
+    val dl = doclenDf(spark, path)
     rankTopK(pf
       .join(broadcast(dfq), "query_id")
       .join(dl, "doc_id")

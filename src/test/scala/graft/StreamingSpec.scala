@@ -600,6 +600,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("kafka"), s"got: ${e.getMessage}")
   }
 
+  test("streaming index maintenance: top-k tracks the stream, exactly-once, compaction folds") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.{Tables, TextIndex}
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("doc_id"), col("text"))
+    val idx = java.nio.file.Files.createTempDirectory("graft-tidx-s").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tidx-ck").toString
+    val queries = Seq(1 -> Seq("hash", "join"), 2 -> Seq("dup", "scan"))
+    def top(path: String) =
+      TextIndex.bm25TopK(spark, path, queries, k = 10).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    // base index over the first slice; the rest arrives as a stream
+    TextIndex.build(docs.filter(col("doc_id") < 150), "doc_id", "text", idx,
+      buckets = 16)
+    val in = MemoryStream[(Long, String)]
+    val q = TextIndex.maintainStream(in.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", idx, ckpt, compactEvery = 2)
+    try {
+      val mid = docs.filter(col("doc_id") >= 150 && col("doc_id") < 300)
+        .as[(Long, String)].collect()
+      val rest = docs.filter(col("doc_id") >= 300).as[(Long, String)].collect()
+      in.addData(mid.toSeq)
+      q.processAllAvailable()
+      // queries see the committed batch BEFORE any compaction folds it
+      val expectMid = {
+        val ref = java.nio.file.Files.createTempDirectory("graft-tidx-r1").toString
+        TextIndex.build(docs.filter(col("doc_id") < 300), "doc_id", "text",
+          ref, buckets = 16)
+        top(ref)
+      }
+      assert(top(idx) == expectMid,
+        "indexed top-k must include the streamed batch")
+      in.addData(rest.toSeq)
+      q.processAllAvailable() // batch id 1 → compactEvery=2 fires here
+      assert(TextIndex.liveGeneration(spark, idx).nonEmpty,
+        "compaction must have committed a generation")
+      assert(TextIndex.committedBatches(spark, idx).isEmpty,
+        "folded batches must be swept")
+      val expectAll = {
+        val ref = java.nio.file.Files.createTempDirectory("graft-tidx-r2").toString
+        TextIndex.build(docs, "doc_id", "text", ref, buckets = 16)
+        top(ref)
+      }
+      assert(top(idx) == expectAll,
+        "after fold, indexed top-k must equal a full rebuild")
+      // exactly-once: re-delivering a committed batch must change nothing
+      TextIndex.appendBatch(
+        spark.createDataFrame(mid.toSeq).toDF("doc_id", "text"),
+        "doc_id", "text", idx, batchId = 0L)
+      assert(top(idx) == expectAll,
+        "replaying a committed batch must be a no-op")
+    } finally q.stop()
+  }
+
   test("streaming tumbling-window aggregation with watermark (append mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
