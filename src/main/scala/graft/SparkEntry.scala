@@ -985,6 +985,19 @@ object SparkEntry {
           capacity = cap, maxRounds = 6)
         .orderBy("vec_id")
     }),
+    // BALANCED IVF: the coarse quantizer assigns under a hard per-cell
+    // capacity, so every inverted list — and hence every probe — is
+    // structurally bounded whatever the embedding skew; exact-integer
+    // cosine end to end, so probe AND search replay in the oracle
+    "s15_ann_ivf_balanced" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val cap = math.ceil(emb.count() / 8.0).toLong
+      Similarity.ivfBalancedTopK(q, emb, k = 5, clusters = 8, nprobe = 2,
+          iterations = 2, capacity = cap, maxRounds = 6)
+        .orderBy("query_id", "rank")
+    }),
     // k-means with deterministic farthest-point (k-means++-style)
     // seeding: seeds spread by construction instead of first-k-by-id;
     // each seeding round is a map-only codegen'd min-dist pass + one
@@ -1663,6 +1676,10 @@ object SparkEntry {
     // deferred-acceptance rounds — propose to best open centroid,
     // accept top-remaining by (cos, vec_id), carry rejects forward
     "s13_kmeans_balanced" -> kmeansBalancedOracleSql,
+    // s15: the s13 chain's final centroids (cn) + capacity-bounded
+    // assignment (accall) feed a probe + cell-restricted exact-integer
+    // search — the whole ANN pipeline replays CTE by CTE
+    "s15_ann_ivf_balanced" -> ivfBalancedOracleSql,
     // d12: the balanced-assignment CTE chain (capacity = 64, the
     // entry's targetClusterSize) feeds the same cluster-restricted
     // pair join as d11
@@ -2420,10 +2437,42 @@ object SparkEntry {
        |SELECT vec_id, cid AS cluster FROM accall ORDER BY vec_id"""
       .stripMargin
 
+  /** DuckDB mirror of `Similarity.ivfBalancedTopK` (s15): the s13
+    * balanced-assignment chain, then the probe (top-nprobe cells per
+    * query by exact-integer cosine against the final centroids, ties
+    * to the lowest cell id) and the cell-restricted search — the same
+    * quantized arithmetic as the assignment itself, so `sim` is
+    * bit-identical. The local top-C stage in the Spark plan is
+    * lossless (C ≥ k) and needs no mirror. */
+  private def ivfBalancedOracleSql: String =
+    s"""WITH ${kmeansBalancedCtes("CAST(ceil(count(*) / 8.0) AS BIGINT)")},
+       |qn AS MATERIALIZED (SELECT vec_id AS query_id, q AS qq, na AS qna
+       |  FROM en WHERE vec_id < 10),
+       |prb AS MATERIALIZED (SELECT query_id, qq, qna, cid FROM (
+       |  SELECT q.query_id, q.qq, q.qna, c.cid,
+       |      CAST(list_sum(list_transform(range(1, 65),
+       |        i -> q.qq[i] * c.c[i])) AS DOUBLE)
+       |      / sqrt(CAST(q.qna AS DOUBLE) * c.nc) AS cos
+       |    FROM qn q CROSS JOIN cn c
+       |  QUALIFY row_number() OVER (PARTITION BY q.query_id
+       |    ORDER BY cos DESC, c.cid ASC) <= 2)),
+       |cd AS (SELECT p.query_id, e.vec_id,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      i -> p.qq[i] * e.q[i])) AS DOUBLE)
+       |    / sqrt(CAST(p.qna AS DOUBLE) * e.na) AS sim
+       |  FROM prb p JOIN accall a ON p.cid = a.cid
+       |    JOIN en e ON a.vec_id = e.vec_id
+       |  WHERE e.vec_id <> p.query_id)
+       |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sim DESC, vec_id ASC) AS INT) AS "rank",
+       |  vec_id AS neighbor_id, sim
+       |FROM cd QUALIFY "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
+
   /** The balanced-assignment CTE chain (ends at `accall` = the full
-    * (vec_id, cid) assignment), shared by the s13 oracle and d12's
-    * cluster-restricted pair mirror. `capacitySql` is the per-cluster
-    * capacity as a DuckDB scalar expression over `embeddings`. */
+    * (vec_id, cid) assignment), shared by the s13 oracle, d12's
+    * cluster-restricted pair mirror, and s15's probe/search mirror.
+    * `capacitySql` is the per-cluster capacity as a DuckDB scalar
+    * expression over `embeddings`. */
   private def kmeansBalancedCtes(capacitySql: String): String = {
     val dim = 64; val k = 8; val rounds = 6
     // every round CTE is MATERIALIZED: each references the previous

@@ -772,7 +772,17 @@ object Similarity {
   def kmeansBalanced(corpus: DataFrame, k: Int, iterations: Int,
       capacity: Long, maxRounds: Int = 8, scale: Int = 1024,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      initialSeeds: Option[Seq[(Long, Array[Long])]] = None): DataFrame = {
+      initialSeeds: Option[Seq[(Long, Array[Long])]] = None): DataFrame =
+    kmeansBalancedWithCentroids(corpus, k, iterations, capacity, maxRounds,
+      scale, idCol, vecCol, initialSeeds)._1
+
+  /** [[kmeansBalanced]] plus the FINAL trained centroids — the coarse
+    * quantizer [[ivfBalancedTopK]] probes against. */
+  def kmeansBalancedWithCentroids(corpus: DataFrame, k: Int, iterations: Int,
+      capacity: Long, maxRounds: Int = 8, scale: Int = 1024,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      initialSeeds: Option[Seq[(Long, Array[Long])]] = None)
+      : (DataFrame, Seq[(Long, Array[Long])]) = {
     require(k >= 2 && iterations >= 1 && capacity >= 1 && maxRounds >= 1)
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -855,7 +865,78 @@ object Similarity {
     require(left == 0,
       s"kmeansBalanced: $left rows unassigned after $maxRounds rounds; " +
         "raise maxRounds or capacity")
-    accepted.get.select(col("vec_id"), col("cid").as("cluster"))
+    (accepted.get.select(col("vec_id"), col("cid").as("cluster")), cents)
+  }
+
+  /** BALANCED IVF ANN: the coarse quantizer assigns the corpus under a
+    * hard per-cell `capacity` ([[kmeansBalanced]]'s deferred
+    * acceptance), so EVERY inverted list is capacity-bounded — probe
+    * cost per query is structurally ≤ nprobe × capacity however skewed
+    * the embedding distribution is. Plain IVF's failure mode at scale
+    * is exactly the hot cell holding half the corpus: one probe of it
+    * approaches brute force and its per-cell state blows any memory
+    * budget; the balanced quantizer turns that tail risk into an
+    * invariant the planner can size for.
+    *
+    * The price is recall at the margin: a vector can be displaced from
+    * its nearest (full) cell into its best OPEN one, so a query
+    * probing the vector's nearest cells may miss it; nprobe buys the
+    * displacement back.
+    *
+    * All scoring is EXACT-INTEGER cosine over the quantized domain
+    * (dot products and norms are longs; only the final division is
+    * floating), so assignment, probe, and ranking are bit-reproducible
+    * and the whole pipeline — training rounds, acceptance rounds,
+    * probe, search — replays in the oracle CTE by CTE. The local
+    * top-C stage keeps per-partition state bounded without changing
+    * the global top-k (C ≥ k is lossless). */
+  def ivfBalancedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      clusters: Int, nprobe: Int, iterations: Int, capacity: Long,
+      maxRounds: Int = 8, scale: Int = 1024, candidates: Int = 50,
+      queryId: String = "query_id", queryVec: String = "query_vec",
+      corpusId: String = "vec_id", corpusVec: String = "embedding"): DataFrame = {
+    require(nprobe >= 1 && nprobe <= clusters && candidates >= k)
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val (assigned, cents) = kmeansBalancedWithCentroids(corpus, clusters,
+      iterations, capacity, maxRounds, scale, corpusId, corpusVec)
+    def quant(c: Column) = transform(c.cast(ArrayType(DoubleType)),
+      x => floor(x * scale).cast("long"))
+    def dot(a: Column, b: Column) =
+      aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+    def sqnorm(a: Column) = aggregate(transform(a, x => x * x), lit(0L), _ + _)
+    val indexed = corpus
+      .select(col(corpusId).cast("long").as("vec_id"),
+        quant(col(corpusVec)).as("__cq"))
+      .withColumn("__cna", sqnorm(col("__cq")))
+      .join(assigned, "vec_id")
+    // nprobe best cells by the same exact-integer cosine, ties to the
+    // lowest cell id — the centroids ride as literals, map-only
+    val probes = queries
+      .select(col(queryId), quant(col(queryVec)).as("__qq"))
+      .withColumn("__qna", sqnorm(col("__qq")))
+      .withColumn("__pc", explode(slice(array_sort(array(
+        cents.map { case (cid, cv) =>
+          val nc = cv.map(x => x * x).sum.toDouble
+          struct((-(dot(col("__qq"), lit(cv)).cast("double") /
+            sqrt(col("__qna").cast("double") * lit(nc)))).as("negcos"),
+            lit(cid).as("cid"))
+        }: _*)), lit(1), lit(nprobe))))
+      .select(col(queryId), col("__qq"), col("__qna"),
+        col("__pc.cid").as("cluster"))
+    val wl = Window.partitionBy(col(queryId), col("__g_pid"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    broadcast(probes).join(indexed, Seq("cluster"))
+      .where(col(queryId) =!= col("vec_id"))
+      .withColumn("sim", dot(col("__qq"), col("__cq")).cast("double") /
+        sqrt(col("__qna").cast("double") * col("__cna")))
+      .withColumn("__g_pid", spark_partition_id())
+      .withColumn("__g_lc", row_number().over(wl))
+      .where(col("__g_lc") <= candidates)
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col(queryId), col("rank"), col("vec_id").as("neighbor_id"),
+        col("sim"))
   }
 
   /** Deterministic k-means++-style FARTHEST-POINT seeding over the

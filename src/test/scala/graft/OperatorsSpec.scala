@@ -1211,6 +1211,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(counts(2).getInt(0) == 3 && counts(2).getInt(1) == 3)
   }
 
+  test("balanced IVF: every cell within capacity, displacement bought back by nprobe") {
+    val emb = sources.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val n = emb.count()
+    val cap = math.ceil(n / 8.0).toLong
+    val (assigned, _) = Similarity.kmeansBalancedWithCentroids(emb, k = 8,
+      iterations = 2, capacity = cap, maxRounds = 6)
+    // the structural claim: NO inverted list exceeds the capacity
+    val sizes = assigned.groupBy("cluster").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(sizes.forall(_._2 <= cap),
+      s"cell over capacity $cap: ${sizes.mkString(",")}")
+    assert(sizes.map(_._2).sum == n, "every vector assigned exactly once")
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    def hits(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = hits(Similarity.bruteForceTopK(q, emb, k = 5))
+    // probing every cell covers the whole corpus: recall must be ~1
+    // (quantized-integer vs float cosine can flip only near-ties)
+    val full = hits(Similarity.ivfBalancedTopK(q, emb, k = 5, clusters = 8,
+      nprobe = 8, iterations = 2, capacity = cap, maxRounds = 6))
+    val fullRecall = (full & exact).size.toDouble / exact.size
+    assert(fullRecall >= 0.9, s"full-probe recall $fullRecall")
+    // the pruned regime keeps useful recall at 1/4 the probe cost
+    val pruned = hits(Similarity.ivfBalancedTopK(q, emb, k = 5, clusters = 8,
+      nprobe = 2, iterations = 2, capacity = cap, maxRounds = 6))
+    val recall = (pruned & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"nprobe=2 recall $recall")
+  }
+
   test("bpe: hand-computed merges, weighted by word frequency") {
     // "ab" x3, "abc" x2 → round 1 (a,b) count 5, round 2 (ab,c) count 2
     val docs = Seq((1L, "ab ab abc"), (2L, "ab abc")).toDF("doc_id", "text")
