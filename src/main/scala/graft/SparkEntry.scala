@@ -1135,6 +1135,16 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_users"))
         .orderBy("event_type")
     }),
+    // metadata-only ranged aggregation: count/min/max answered from
+    // footer stats for fully-covered files, data pages read ONLY for
+    // the two boundary files — a range count at 100 TB touches two
+    // files, not the table
+    "f5_manifest_agg" -> ((s, dir) => {
+      val tmp = layoutDir("f5", dir)
+      FileManifest.writeLayout(T(s, dir, "events"), tmp, "user_id", 16)
+      val manifest = FileManifest.buildManifest(s, tmp, "user_id")
+      FileManifest.aggRanged(s, manifest, "user_id", 12L, 87L)
+    }),
     // Z-order layout: Morton-interleave (user_id, floor(value)) so
     // file stats stay tight on BOTH axes, then answer a 2-D box query
     // opening only the files whose per-dimension ranges intersect the
@@ -2214,6 +2224,13 @@ object SparkEntry {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events WHERE user_id BETWEEN 4 AND 6
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // f5: the metadata-answered aggregate must equal the full-scan
+    // aggregate of the same range predicate
+    "f5_manifest_agg" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(user_id) AS BIGINT) AS min_v,
+        |  CAST(max(user_id) AS BIGINT) AS max_v
+        |FROM events WHERE user_id BETWEEN 12 AND 87""".stripMargin,
     // f4 likewise: a two-level (partition + range) pruned read must
     // equal the plain full-scan filter over both predicates
     "f4_partition_prune" ->

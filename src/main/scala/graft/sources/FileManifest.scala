@@ -176,6 +176,48 @@ object FileManifest {
     src.filter(col(column) >= lo && col(column) <= hi)
   }
 
+  /** Files fully covered by [lo, hi] vs partially overlapping it —
+    * the split [[aggRanged]] exploits. On a range-clustered layout the
+    * partial side is AT MOST the two boundary files, whatever the
+    * table size. */
+  def coveredSplit(manifest: Seq[FileStats], lo: Long,
+      hi: Long): (Seq[FileStats], Seq[FileStats]) =
+    prune(manifest, lo, hi).partition(f => f.min >= lo && f.max <= hi)
+
+  /** METADATA-ONLY ranged aggregation: `count(*) / min / max` of
+    * `column` over `lo <= column <= hi`, answered from the manifest
+    * wherever file ranges allow it. Fully-covered files contribute
+    * their row counts and min/max straight from footer stats — zero
+    * data pages read; only the boundary files (≤ 2 on a clustered
+    * layout) are scanned with the residual predicate. At 100 TB a
+    * range count touches two files instead of the table — the Iceberg
+    * metadata-query path, re-expressed over the driver-side manifest.
+    * One output row: (n_rows, min_v, max_v), nulls on an empty range —
+    * exactly what the full-scan aggregate would return. */
+  def aggRanged(spark: SparkSession, manifest: Seq[FileStats],
+      column: String, lo: Long, hi: Long): DataFrame = {
+    require(manifest.nonEmpty, "empty manifest")
+    val (full, partial) = coveredSplit(manifest, lo, hi)
+    val scanned =
+      if (partial.isEmpty) (0L, None: Option[Long], None: Option[Long])
+      else {
+        val r = spark.read.parquet(partial.map(_.path): _*)
+          .where(col(column) >= lo && col(column) <= hi)
+          .agg(count(lit(1)), min(col(column)).cast("long"),
+            max(col(column)).cast("long")).head
+        (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))
+      }
+    val n = full.map(_.rows).sum + scanned._1
+    val mn = (full.map(_.min).minOption ++ scanned._2).minOption
+    val mx = (full.map(_.max).maxOption ++ scanned._3).maxOption
+    def optLit(v: Option[Long]) =
+      v.map(lit(_)).getOrElse(lit(null)).cast("long")
+    spark.range(1).select(lit(n).as("n_rows"),
+      optLit(mn).as("min_v"), optLit(mx).as("max_v"))
+  }
+
   /** Greedy key-order bin packing of manifest entries: consecutive
     * runs of files whose rows sum to at most `targetRows` (a too-big
     * single file keeps its own bin). Packing adjacent-by-key files

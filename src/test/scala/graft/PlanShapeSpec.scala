@@ -203,6 +203,32 @@ class PlanShapeSpec extends AnyFunSuite {
       "GreaterThanOrEqual(user_id"), s"residual filter not pushed:\n$p")
   }
 
+  test("metadata-only aggregate scans at most the two boundary files") {
+    import graft.sources.FileManifest
+    val tmp = java.nio.file.Files.createTempDirectory("graft-magg").toString
+    val ev = Tables.load(spark, "/root/testdata/sf0.01", "events")
+    FileManifest.writeLayout(ev, tmp, "user_id", 16)
+    val manifest = FileManifest.buildManifest(spark, tmp, "user_id")
+    val sorted = manifest.sortBy(_.min)
+    // a range spanning many interior files with ragged edges: interior
+    // files answer from footer stats, only the two edge files scan
+    val (lo, hi) = (sorted(1).min + 1, sorted(12).max - 1)
+    val (full, partial) = FileManifest.coveredSplit(manifest, lo, hi)
+    assert(full.size >= 8, s"metadata path unused: ${full.size} covered")
+    assert(partial.size <= 2, s"${partial.size} boundary files (expected <=2)")
+    val got = FileManifest.aggRanged(spark, manifest, "user_id", lo, hi).head
+    val exp = ev.filter(col("user_id").between(lo, hi))
+      .agg(count(lit(1)), min(col("user_id")).cast("long"),
+        max(col("user_id")).cast("long")).head
+    assert(got.getLong(0) == exp.getLong(0) &&
+      got.getLong(1) == exp.getLong(1) && got.getLong(2) == exp.getLong(2),
+      s"metadata aggregate mismatch: $got vs $exp")
+    // an empty range yields (0, null, null) — same as the full scan
+    val empty = FileManifest.aggRanged(spark, manifest, "user_id",
+      -100L, -50L).head
+    assert(empty.getLong(0) == 0L && empty.isNullAt(1) && empty.isNullAt(2))
+  }
+
   test("scd2: lag and lead share one shuffle and one sort") {
     val df = SparkEntry.queries("q28_scd2")(spark, dir)
     // the final orderBy adds a range-partition exchange; the history
