@@ -39,10 +39,18 @@ object Dimensions {
     val dataCols = snapshot.columns.filter(_ != keyCol)
     require(changes.columns.toSet == snapshot.columns.toSet + deleteCol,
       "changeset must carry the snapshot schema plus the delete flag")
-    val Array(nRows, nKeys) = changes
-      .agg(count(lit(1)), count_distinct(col(keyCol))).head()
-      .toSeq.map(_.asInstanceOf[Long]).toArray
-    require(nRows == nKeys, s"changeset has ${nRows - nKeys} duplicate " +
+    // count_distinct ignores NULLs, so a count(*)-vs-distinct check
+    // would misreport a null-key row as a "duplicate"; count nulls
+    // and genuine multi-row keys separately and name each honestly
+    val chk = changes.agg(
+      count(lit(1)).as("n"),
+      count(col(keyCol)).as("nonnull"),
+      count_distinct(col(keyCol)).as("keys")).head()
+    val nNull = chk.getLong(0) - chk.getLong(1)
+    require(nNull == 0, s"changeset has $nNull row(s) with NULL `$keyCol`; " +
+      "MERGE semantics require a non-null merge key on every row")
+    val nDup = chk.getLong(1) - chk.getLong(2)
+    require(nDup == 0, s"changeset has $nDup duplicate " +
       s"key rows on `$keyCol`; MERGE semantics require one row per key " +
       "(collapse with CdcApply.latestPerKey or equivalent first)")
     val s = snapshot.as("s")

@@ -86,18 +86,20 @@ object InjectBloomJoinFilter extends Rule[LogicalPlan] with PredicateHelper {
               l.references.subsetOf(right.outputSet) => (r, l)
         }
         keys match {
-          case Some((lk, rk)) =>
+          case Some((lk, rk)) if lk.deterministic && rk.deterministic =>
             val (ls, rs) = (left.stats.sizeInBytes, right.stats.sizeInBytes)
             if (canFilterLeft(jt) && rs <= maxBuild && ls >= minProbe &&
-                ls >= rs * 4 && !hasBloomFilter(left)) {
+                ls >= rs * 4 && !hasBloomFilter(left) &&
+                isDeterministic(right)) {
               j.copy(left = prefilter(left, lk, right, rk,
                 numBitsFor(numBitsConf, rs), numHashes))
             } else if (canFilterRight(jt) && ls <= maxBuild &&
-                rs >= minProbe && rs >= ls * 4 && !hasBloomFilter(right)) {
+                rs >= minProbe && rs >= ls * 4 && !hasBloomFilter(right) &&
+                isDeterministic(left)) {
               j.copy(right = prefilter(right, rk, left, lk,
                 numBitsFor(numBitsConf, ls), numHashes))
             } else j
-          case None => j
+          case _ => j
         }
     }
   }
@@ -127,6 +129,18 @@ object InjectBloomJoinFilter extends Rule[LogicalPlan] with PredicateHelper {
         new XxHash64(Seq(probeKey)), numHashes),
       probe)
   }
+
+  /** Determinism guard (mirrors Spark's InjectRuntimeFilter): the rule
+    * evaluates the build side TWICE — once inside the bloom scalar
+    * subquery, once in the join proper. If any expression anywhere in
+    * the build plan is nondeterministic (rand(), sampling, monotonic
+    * ids), the two evaluations can disagree; a key present in the join
+    * evaluation but absent from the bloom evaluation would then be
+    * FALSELY rejected — a bloom false NEGATIVE, silently dropping
+    * matching probe rows. Only inject when every node's expressions are
+    * deterministic. */
+  private def isDeterministic(p: LogicalPlan): Boolean =
+    !p.exists(n => n.expressions.exists(e => !e.deterministic))
 
   /** Idempotence guard: the fixed-point batch must not stack a second
     * bloom onto a side this rule (or the user, d9-style) already

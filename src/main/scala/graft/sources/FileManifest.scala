@@ -33,8 +33,13 @@ import scala.jdk.CollectionConverters._
 object FileManifest {
 
   /** Per-file stats for one long-valued column (covers int/bigint/
-    * timestamp-micros physical types — the usual clustering keys). */
-  final case class FileStats(path: String, rows: Long, min: Long, max: Long)
+    * timestamp-micros physical types — the usual clustering keys).
+    * `nulls` is the file's null count for the column — the Iceberg
+    * `null_value_counts` discipline: a footer row count includes rows
+    * where the column is NULL, but a `BETWEEN lo AND hi` predicate
+    * excludes them, so metadata-only answers must subtract. */
+  final case class FileStats(path: String, rows: Long, min: Long, max: Long,
+      nulls: Long)
 
   /** Write `df` clustered by `sortCol`: range-repartitioned so files
     * cover disjoint key ranges (tight, non-overlapping min/max = the
@@ -102,6 +107,7 @@ object FileManifest {
         columns.map(_ -> Long.MaxValue): _*)
       val mx = scala.collection.mutable.Map(
         columns.map(_ -> Long.MinValue): _*)
+      val nulls = scala.collection.mutable.Map(columns.map(_ -> 0L): _*)
       val found = scala.collection.mutable.Set.empty[String]
       blocks.foreach { b =>
         rows += b.getRowCount
@@ -111,6 +117,11 @@ object FileManifest {
             val st = c.getStatistics
             require(st != null && st.hasNonNullValue,
               s"no footer stats for $name in $file")
+            // an unknown null count would make metadata-only answers
+            // over a nullable column silently wrong — fail loudly
+            require(st.isNumNullsSet,
+              s"footer null count unavailable for $name in $file")
+            nulls(name) += st.getNumNulls
             found += name
             (st.genericGetMin, st.genericGetMax) match {
               case (lo: java.lang.Long, hi: java.lang.Long) =>
@@ -132,7 +143,7 @@ object FileManifest {
         require(found(c) || rows == 0, s"column $c absent from $file")
       }
       columns.map(c =>
-        c -> FileStats(file.toString, rows, mn(c), mx(c))).toMap
+        c -> FileStats(file.toString, rows, mn(c), mx(c), nulls(c))).toMap
     } finally reader.close()
   }
 
@@ -209,7 +220,10 @@ object FileManifest {
           if (r.isNullAt(1)) None else Some(r.getLong(1)),
           if (r.isNullAt(2)) None else Some(r.getLong(2)))
       }
-    val n = full.map(_.rows).sum + scanned._1
+    // a covered file's footer row count includes rows whose `column`
+    // is NULL; the full-scan BETWEEN excludes them — subtract the
+    // per-file null count (min/max already exclude nulls in parquet)
+    val n = full.map(f => f.rows - f.nulls).sum + scanned._1
     val mn = (full.map(_.min).minOption ++ scanned._2).minOption
     val mx = (full.map(_.max).maxOption ++ scanned._3).maxOption
     def optLit(v: Option[Long]) =
@@ -398,9 +412,9 @@ object FileManifest {
       path: String): Unit = {
     import spark.implicits._
     val rows = pm.partitions.toSeq.flatMap { case (part, files) =>
-      files.map(f => (part, f.path, f.rows, f.min, f.max))
+      files.map(f => (part, f.path, f.rows, f.min, f.max, f.nulls))
     }
-    rows.toDF("partition", "path", "rows", "min", "max")
+    rows.toDF("partition", "path", "rows", "min", "max", "nulls")
       .coalesce(1)
       .write.mode(SaveMode.Overwrite)
       .parquet(path)
@@ -415,10 +429,11 @@ object FileManifest {
     val column = spark.read.parquet(s"$path/_column")
       .head.getString(0)
     val rows = spark.read.parquet(path)
-      .select("partition", "path", "rows", "min", "max").collect()
+      .select("partition", "path", "rows", "min", "max", "nulls").collect()
     val parts = rows.toSeq
       .map(r => (r.getString(0),
-        FileStats(r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        FileStats(r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))))
       .groupBy(_._1).map { case (p, fs) =>
         p -> fs.map(_._2).sortBy(_.path)
       }

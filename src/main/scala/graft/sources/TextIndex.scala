@@ -44,16 +44,21 @@ object TextIndex {
     val p = new Path(path)
     val fs = p.getFileSystem(
       docs.sparkSession.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.listStatus(p).foreach { st =>
-      st.getPath.getName match {
-        case GenMarker(n) =>
-          fs.delete(st.getPath, false)
-          fs.delete(new Path(s"$path/gen-$n"), true)
-        case AppliedMarker(n) =>
-          fs.delete(st.getPath, false)
-          fs.delete(new Path(s"$path/batch-$n"), true)
-        case _ => ()
+    if (fs.exists(p)) {
+      fs.listStatus(p).foreach { st =>
+        st.getPath.getName match {
+          case GenMarker(n) =>
+            fs.delete(st.getPath, false)
+            fs.delete(new Path(s"$path/gen-$n"), true)
+          case AppliedMarker(n) =>
+            fs.delete(st.getPath, false)
+            fs.delete(new Path(s"$path/batch-$n"), true)
+          case _ => ()
+        }
       }
+      // a rebuild resets stream history — the old run-id guard must
+      // not outlive the batches it guarded
+      fs.delete(new Path(path, "_runid"), false)
     }
     val toks = docs.select(col(idCol).cast("long").as("doc_id"),
         posexplode(split(trim(lower(col(textCol))), "\\s+"))
@@ -189,24 +194,47 @@ object TextIndex {
     // invisible to readers, everything after is cleanup
     require(fs.createNewFile(new Path(path, s"commit-$nextGen")),
       s"compact: commit marker create failed under $path")
-    // sweep superseded state: older markers + their generations, folded
-    // batch staging dirs, and the legacy flat layout the first
-    // generation replaces. Safe to crash anywhere here — reads are
-    // governed by the commit marker and `folded_through` already.
+    // GRACE-PERIOD sweep: a reader that resolved its generation/batch
+    // paths just before this commit is still reading them lazily, so
+    // the state THIS compaction supersedes is retained — only state
+    // superseded by a PREVIOUS compaction (its readers long gone) is
+    // deleted now; the next compaction sweeps today's leftovers. New
+    // readers never touch retained state: the commit marker points
+    // them at gen-N, and `folded_through` excludes folded batch dirs.
+    prevGen.foreach { pg =>
+      fs.listStatus(new Path(path)).foreach { st =>
+        st.getPath.getName match {
+          case GenMarker(n) if n.toLong < pg =>
+            fs.delete(st.getPath, false)
+            fs.delete(new Path(s"$path/gen-$n"), true)
+          case _ => ()
+        }
+      }
+      // the legacy flat layout was superseded by gen-0; once gen-1
+      // commits, gen-0's readers are the live ones and the flat copy
+      // has had its grace round
+      fs.delete(new Path(s"$path/postings"), true)
+      fs.delete(new Path(s"$path/doclen"), true)
+      fs.delete(new Path(s"$path/stats"), true)
+    }
+    // batch dirs folded by a PREVIOUS compaction (id <= the old fold
+    // boundary) have had their grace round; the ones this compaction
+    // folded keep their dirs AND markers (the advanced folded_through
+    // already excludes them from every new read)
     fs.listStatus(new Path(path)).foreach { st =>
       st.getPath.getName match {
-        case GenMarker(n) if n.toLong < nextGen =>
-          fs.delete(st.getPath, false)
-          fs.delete(new Path(s"$path/gen-$n"), true)
-        case AppliedMarker(n) if n.toLong <= foldedThrough =>
+        case AppliedMarker(n) if n.toLong <= base.foldedThrough =>
           fs.delete(st.getPath, false)
           fs.delete(new Path(s"$path/batch-$n"), true)
         case _ => ()
       }
     }
-    fs.delete(new Path(s"$path/postings"), true)
-    fs.delete(new Path(s"$path/doclen"), true)
-    fs.delete(new Path(s"$path/stats"), true)
+  }
+
+  private def writeRunId(fs: org.apache.hadoop.fs.FileSystem,
+      runFile: Path, runId: String): Unit = {
+    val out = fs.create(runFile, true)
+    try out.write(runId.getBytes("UTF-8")) finally out.close()
   }
 
   private val GenMarker = "commit-(\\d+)".r
@@ -254,10 +282,38 @@ object TextIndex {
     * layout); [[compact]] folds them away and advances
     * `folded_through` so nothing is ever double-counted. */
   def appendBatch(docs: DataFrame, idCol: String, textCol: String,
-      path: String, batchId: Long): Unit = {
+      path: String, batchId: Long, runId: String = ""): Unit = {
     val spark = docs.sparkSession
     val fs = new Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
+    // Batch ids are scoped to ONE streaming checkpoint: a maintainer
+    // restarted against a FRESH checkpoint restarts ids at 0, and the
+    // replay checks below would then silently drop its batches as
+    // "already committed". Record the run identity and fail loudly on
+    // an id-sequence change once the index has any stream history —
+    // an operator must keep the checkpoint, or rebuild the index.
+    if (runId.nonEmpty) {
+      val runFile = new Path(path, "_runid")
+      val recorded =
+        if (!fs.exists(runFile)) None
+        else {
+          val in = fs.open(runFile)
+          try Some(new String(in.readAllBytes(), "UTF-8").trim)
+          finally in.close()
+        }
+      recorded match {
+        case Some(r) if r == runId => () // same checkpoint — ids continue
+        case Some(_) =>
+          val hasHistory = committedBatches(spark, path).nonEmpty ||
+            baseStats(spark, path).foldedThrough >= 0
+          if (hasHistory) throw new IllegalStateException(
+            s"appendBatch: run id changed under $path (new checkpoint " +
+              "restarts batch ids at 0; its batches would be dropped as " +
+              "replays). Reuse the original checkpoint or rebuild the index.")
+          else writeRunId(fs, runFile, runId)
+        case None => writeRunId(fs, runFile, runId)
+      }
+    }
     val marker = new Path(path, s"applied-$batchId")
     if (fs.exists(marker)) return // committed already — replayed delivery
     val base = baseStats(spark, path)
@@ -305,12 +361,31 @@ object TextIndex {
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
             id: Long) =>
-          appendBatch(batch.toDF(), idCol, textCol, path, id)
+          appendBatch(batch.toDF(), idCol, textCol, path, id,
+            runId = checkpointRunId(batch.sparkSession, checkpointDir))
           if (compactEvery > 0 && id % compactEvery == compactEvery - 1)
             compact(batch.sparkSession, path)
       }
       .option("checkpointLocation", checkpointDir)
       .start()
+
+  /** The checkpoint's query id — the true scope of the batchId
+    * sequence. Read from the `metadata` file the streaming engine
+    * writes at start (present before batch 0 runs); it changes when a
+    * checkpoint is wiped EVEN at the same path, which is exactly the
+    * event that restarts batch ids. Falls back to the directory string
+    * if the file is unreadable. */
+  private def checkpointRunId(spark: SparkSession,
+      checkpointDir: String): String = {
+    val meta = new Path(checkpointDir, "metadata")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val in = fs.open(meta)
+      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      "\"id\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt)
+        .map(_.group(1)).getOrElse(checkpointDir)
+    } catch { case _: java.io.IOException => checkpointDir }
+  }
 
   /** BM25 top-k over the MATERIALIZED index — same semantics and
     * output as `TextRank.bm25TopK`, but the postings scan opens only

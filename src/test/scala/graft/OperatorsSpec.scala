@@ -902,6 +902,21 @@ class OperatorsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Dimensions.mergeUpsert(snap, ch.drop("bal"), "k", "del")
     }
+    // a duplicated key is rejected AS a duplicate
+    val dup = intercept[IllegalArgumentException] {
+      Dimensions.mergeUpsert(snap, ch.union(ch.limit(1)), "k", "del")
+    }
+    assert(dup.getMessage.contains("1 duplicate"))
+    // a NULL merge key is rejected as a null key, NOT misreported as a
+    // duplicate (count_distinct ignores nulls; the naive count(*) vs
+    // distinct check would conflate the two)
+    val chNull = Seq((java.lang.Long.valueOf(2L), "b2", 25.0, false),
+        (null.asInstanceOf[java.lang.Long], "x", 1.0, false))
+      .toDF("k", "name", "bal", "del")
+    val nul = intercept[IllegalArgumentException] {
+      Dimensions.mergeUpsert(snap, chNull, "k", "del")
+    }
+    assert(nul.getMessage.contains("NULL"), s"got: ${nul.getMessage}")
     // nulls violate ONLY not_null; range/set checks skip them
     val df = Seq[(java.lang.Long, String)]((1L, "en"), (null, null))
       .toDF("id", "lang")

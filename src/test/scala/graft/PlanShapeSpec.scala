@@ -227,6 +227,33 @@ class PlanShapeSpec extends AnyFunSuite {
     val empty = FileManifest.aggRanged(spark, manifest, "user_id",
       -100L, -50L).head
     assert(empty.getLong(0) == 0L && empty.isNullAt(1) && empty.isNullAt(2))
+
+    // NULLABLE clustering column: footer row counts include NULL rows,
+    // the BETWEEN aggregate excludes them — the metadata path must
+    // subtract per-file null counts (Iceberg null_value_counts), not
+    // credit covered files their whole footer count
+    val tmpN = java.nio.file.Files.createTempDirectory("graft-maggn").toString
+    val evN = ev.withColumn("uid_n",
+      when(col("event_id") % 7 === 0, lit(null)).otherwise(col("user_id"))
+        .cast("long"))
+    // cluster on user_id so files stay range-disjoint while uid_n has
+    // nulls scattered through every file
+    FileManifest.writeLayout(evN, tmpN, "user_id", 16)
+    val mN = FileManifest.buildManifests(spark, tmpN, Seq("uid_n"))("uid_n")
+    assert(mN.map(_.nulls).sum > 0, "test premise: files must carry nulls")
+    val sortedN = mN.sortBy(_.min)
+    val (loN, hiN) = (sortedN.head.min, sortedN(12).max)
+    val (fullN, _) = FileManifest.coveredSplit(mN, loN, hiN)
+    assert(fullN.exists(_.nulls > 0),
+      "test premise: a covered file must carry nulls")
+    val gotN = FileManifest.aggRanged(spark, mN, "uid_n", loN, hiN).head
+    val expN = evN.filter(col("uid_n").between(loN, hiN))
+      .agg(count(lit(1)), min(col("uid_n")).cast("long"),
+        max(col("uid_n")).cast("long")).head
+    assert(gotN.getLong(0) == expN.getLong(0),
+      s"null-aware count mismatch: ${gotN.getLong(0)} vs ${expN.getLong(0)}")
+    assert(gotN.getLong(1) == expN.getLong(1) &&
+      gotN.getLong(2) == expN.getLong(2))
   }
 
   test("scd2: lag and lead share one shuffle and one sort") {
@@ -313,6 +340,18 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(lp.contains("bloom_might_contain"),
         s"left-outer big-right must bloom the right side:\n$lp")
       val lOn = louter.agg(count(lit(1)), count("o_orderkey")).head()
+
+      // DETERMINISM GUARD: a nondeterministic build side is evaluated
+      // twice (bloom subquery + join); the evaluations can disagree and
+      // a bloom false NEGATIVE would silently drop matching probe rows.
+      // The rule must not fire.
+      // (not `rand >= 0.0` — the optimizer proves that true and folds
+      // the filter away, leaving a deterministic build side)
+      val ndBuild = build.filter(rand(7) < 0.9999999)
+      val ndPlan = plan(probe.join(ndBuild,
+        col("o_custkey") === col("c_custkey"))).toString
+      assert(!ndPlan.toLowerCase.contains("bloom_might_contain"),
+        s"rule must skip a nondeterministic build side:\n$ndPlan")
 
       spark.conf.set(InjectBloomJoinFilter.EnabledKey, "false")
       val offPlan = plan(joined).toString
@@ -511,17 +550,31 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected one file per bucket ($bucketDirs), got $filesAfter")
     assert(rows(TextIndex.bm25TopK(spark, idx, queries, k = 10)) == before,
       "compaction must not change answers")
-    // the superseded flat layout is swept after the commit
-    assert(!java.nio.file.Files.exists(
+    // GRACE PERIOD: the flat layout this compaction superseded is
+    // RETAINED one round — an in-flight reader that resolved its
+    // paths pre-commit is still reading it lazily
+    assert(java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$idx/postings")),
-      "legacy flat postings must be swept after the generation commit")
+      "just-superseded flat postings get a grace round before the sweep")
     // a SECOND cycle: compact the live generation again — gen-1
-    // commits, gen-0 is swept, answers still identical
+    // commits, gen-0 is retained as THIS round's grace copy, and the
+    // flat layout (grace round elapsed) is swept now
     TextIndex.compact(spark, idx)
     assert(TextIndex.liveGeneration(spark, idx).contains(1L))
+    assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$idx/gen-0")),
+      "just-superseded generation gets a grace round")
+    assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$idx/postings")),
+      "flat postings past their grace round must be swept")
+    assert(rows(TextIndex.bm25TopK(spark, idx, queries, k = 10)) == before,
+      "recompaction must not change answers")
+    // a THIRD cycle sweeps gen-0 (its grace round elapsed)
+    TextIndex.compact(spark, idx)
+    assert(TextIndex.liveGeneration(spark, idx).contains(2L))
     assert(!java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$idx/gen-0")),
-      "superseded generation must be swept")
+      "generation past its grace round must be swept")
     assert(rows(TextIndex.bm25TopK(spark, idx, queries, k = 10)) == before,
       "recompaction must not change answers")
   }

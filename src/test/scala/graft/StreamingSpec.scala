@@ -637,8 +637,12 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable() // batch id 1 → compactEvery=2 fires here
       assert(TextIndex.liveGeneration(spark, idx).nonEmpty,
         "compaction must have committed a generation")
-      assert(TextIndex.committedBatches(spark, idx).isEmpty,
-        "folded batches must be swept")
+      // GRACE PERIOD: just-folded batch dirs + markers are retained one
+      // compaction round for in-flight readers; folded_through already
+      // excludes them from every new read, and the NEXT compaction
+      // sweeps them (asserted below)
+      assert(TextIndex.committedBatches(spark, idx) == Seq(0L, 1L),
+        "just-folded batch markers get a grace round before the sweep")
       val expectAll = {
         val ref = java.nio.file.Files.createTempDirectory("graft-tidx-r2").toString
         TextIndex.build(docs, "doc_id", "text", ref, buckets = 16)
@@ -652,6 +656,21 @@ class StreamingSpec extends AnyFunSuite {
         "doc_id", "text", idx, batchId = 0L)
       assert(top(idx) == expectAll,
         "replaying a committed batch must be a no-op")
+      // the NEXT compaction sweeps the grace-retained folded batches
+      TextIndex.compact(spark, idx)
+      assert(TextIndex.committedBatches(spark, idx).isEmpty,
+        "batches past their grace round must be swept")
+      assert(top(idx) == expectAll,
+        "grace sweep must not change answers")
+      // run-id guard: a maintainer restarted against a FRESH checkpoint
+      // restarts batch ids at 0 — its batches must not be silently
+      // dropped as replays once the index has stream history
+      val regress = intercept[IllegalStateException] {
+        TextIndex.appendBatch(
+          spark.createDataFrame(mid.toSeq).toDF("doc_id", "text"),
+          "doc_id", "text", idx, batchId = 0L, runId = "a-new-checkpoint")
+      }
+      assert(regress.getMessage.contains("run id changed"))
     } finally q.stop()
   }
 
