@@ -998,6 +998,22 @@ object SparkEntry {
           iterations = 2, capacity = cap, maxRounds = 6)
         .orderBy("query_id", "rank")
     }),
+    // MATERIALIZED balanced-IVF index: s15's trainer persisted as a
+    // cell-partitioned layout + centroid sidecar; the query partition-
+    // prunes to its nprobe cells — identical probe selection, scoring,
+    // and tie-breaks to s15, so the oracle is shared verbatim (the
+    // index changes the READ PATH, never the answer)
+    "s16_vector_index" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val cap = math.ceil(emb.count() / 8.0).toLong
+      val tmp = layoutDir("s16", dir)
+      graft.sources.VectorIndex.build(emb, "vec_id", "embedding", tmp,
+        clusters = 8, iterations = 2, capacity = cap, maxRounds = 6)
+      graft.sources.VectorIndex.topK(s, tmp, q, k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
     // k-means with deterministic farthest-point (k-means++-style)
     // seeding: seeds spread by construction instead of first-k-by-id;
     // each seeding round is a map-only codegen'd min-dist pass + one
@@ -1690,6 +1706,10 @@ object SparkEntry {
     // assignment (accall) feed a probe + cell-restricted exact-integer
     // search — the whole ANN pipeline replays CTE by CTE
     "s15_ann_ivf_balanced" -> ivfBalancedOracleSql,
+    // s16 shares s15's oracle VERBATIM: the materialized index changes
+    // the read path (cell-partitioned parquet + partition pruning),
+    // never the probe selection, scoring, or tie-breaks
+    "s16_vector_index" -> ivfBalancedOracleSql,
     // d12: the balanced-assignment CTE chain (capacity = 64, the
     // entry's targetClusterSize) feeds the same cluster-restricted
     // pair join as d11

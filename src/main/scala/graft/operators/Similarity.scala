@@ -814,15 +814,36 @@ object Similarity {
         org.apache.spark.sql.graftshim.SparkShims.column(expr)), dim, scale)
     }
 
+    val accepted = balancedAssign(e, cents,
+      cents.map(_._1 -> capacity).toMap, maxRounds)
+    (accepted.select(col("vec_id"), col("cid").as("cluster")), cents)
+  }
+
+  /** The DEFERRED-ACCEPTANCE assignment rounds of [[kmeansBalanced]],
+    * factored out so an incremental index append can run them against
+    * FROZEN centroids with per-cell remaining capacity carried over
+    * from the already-materialized cells ([[graft.sources.VectorIndex]]).
+    * Input `e` is (vec_id, q: quantized array<long>); returns every
+    * row assigned as (vec_id, cid), or fails loudly when capacity
+    * cannot absorb the rows within `maxRounds`. */
+  private[graft] def balancedAssign(e: DataFrame,
+      cents: Seq[(Long, Array[Long])], remaining0: Map[Long, Long],
+      maxRounds: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
     val buckets = 32
-    var remaining: Map[Long, Long] = cents.map(_._1 -> capacity).toMap
+    var remaining: Map[Long, Long] = remaining0
     var unassigned = e.localCheckpoint(true)
-    var left = n
+    var left = unassigned.count()
+    if (left == 0) // an empty batch assigns to nothing
+      return e.select(col("vec_id"), lit(0L).as("cid")).where(lit(false))
     var accepted: Option[DataFrame] = None
     var round = 0
     while (left > 0 && round < maxRounds) {
       round += 1
       val open = cents.filter(c => remaining(c._1) > 0)
+      require(open.nonEmpty,
+        s"balancedAssign: $left rows left but every cell is full")
       val argmax = org.apache.spark.sql.graftshim.SparkShims.column(
         graft.functions.CentroidArgmax(
           org.apache.spark.sql.graftshim.SparkShims.expression(col("q")),
@@ -863,9 +884,9 @@ object Similarity {
         .join(acc, Seq("vec_id"), "left_anti").localCheckpoint(true)
     }
     require(left == 0,
-      s"kmeansBalanced: $left rows unassigned after $maxRounds rounds; " +
+      s"balancedAssign: $left rows unassigned after $maxRounds rounds; " +
         "raise maxRounds or capacity")
-    (accepted.get.select(col("vec_id"), col("cid").as("cluster")), cents)
+    accepted.get
   }
 
   /** BALANCED IVF ANN: the coarse quantizer assigns the corpus under a

@@ -1,0 +1,509 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+import graft.operators.Similarity
+
+/** MATERIALIZED balanced-IVF vector index: the production ANN serving
+  * path at 100 TB is an index on DISK, not a per-query re-train.
+  * [[build]] runs the capacity-bounded coarse quantizer once
+  * ([[Similarity.kmeansBalancedWithCentroids]] — s15's trainer) and
+  * persists its layout; every query after that is a pruned read.
+  *
+  * The layout is the point (the ANN twin of [[TextIndex]]'s bucketed
+  * postings):
+  *
+  *  - `cells/cluster=<cid>/` — quantized codes (vec_id, q, na),
+  *    partitioned by cell. A query resolves its nprobe cells against
+  *    the centroid sidecar and PARTITION PRUNING drops every other
+  *    directory before a file opens: the per-query read is
+  *    nprobe × capacity rows BY CONSTRUCTION, however skewed the
+  *    corpus — the balanced quantizer's capacity invariant, now a
+  *    physical property of the layout.
+  *  - `centroids/` — the coarse quantizer (clusters rows, broadcast
+  *    scale), `counts/` — per-cell occupancy (clusters rows; what
+  *    append needs so capacity stays an invariant INCREMENTALLY),
+  *    `stats/` — one row of corpus constants.
+  *
+  * Scoring is the same exact-integer cosine as
+  * [[Similarity.ivfBalancedTopK]] — same quantization, same tie
+  * breaks — so a fresh-built index answers BIT-IDENTICALLY to the
+  * ad-hoc operator and shares its DuckDB oracle verbatim.
+  *
+  * Maintenance mirrors [[TextIndex]] exactly: [[append]] assigns new
+  * vectors under each cell's REMAINING capacity (the same
+  * deferred-acceptance rounds as the builder, against frozen
+  * centroids) and fails loudly when the index is full — capacity is
+  * never silently broken; [[appendBatch]]/[[maintainStream]] make
+  * ingest exactly-once via `applied-<id>` markers keyed to the
+  * checkpoint's run id; [[compact]] folds append debris into one
+  * sorted file per cell inside a `gen-N` directory, committed by ONE
+  * atomic marker create, with superseded state retained one
+  * compaction round for in-flight readers (the grace discipline).
+  */
+object VectorIndex {
+
+  /** Train the balanced coarse quantizer and materialize the index at
+    * `path`. Parameters mirror [[Similarity.ivfBalancedTopK]]; a
+    * fresh-built index must answer exactly like the ad-hoc operator
+    * with the same (clusters, iterations, capacity, maxRounds, scale). */
+  def build(corpus: DataFrame, idCol: String, vecCol: String, path: String,
+      clusters: Int, iterations: Int, capacity: Long, maxRounds: Int = 8,
+      scale: Int = 1024): Unit = {
+    val spark = corpus.sparkSession
+    // a rebuild over a previously compacted / stream-maintained index
+    // must not leave stale markers shadowing the fresh flat layout
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      fs.listStatus(p).foreach { st =>
+        st.getPath.getName match {
+          case GenMarker(n) =>
+            fs.delete(st.getPath, false)
+            fs.delete(new Path(s"$path/gen-$n"), true)
+          case AppliedMarker(n) =>
+            fs.delete(st.getPath, false)
+            fs.delete(new Path(s"$path/batch-$n"), true)
+          case _ => ()
+        }
+      }
+      fs.delete(new Path(path, "_runid"), false)
+    }
+    val (assigned, cents) = Similarity.kmeansBalancedWithCentroids(
+      corpus, clusters, iterations, capacity, maxRounds, scale,
+      idCol, vecCol)
+    val dim = cents.head._2.length
+    val codes = corpus
+      .select(col(idCol).cast("long").as("vec_id"),
+        quant(col(vecCol), scale).as("q"))
+      .withColumn("na", sqnorm(col("q")))
+      .join(assigned, "vec_id")
+    codes
+      .repartition(col("cluster"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cluster")
+      .parquet(s"$path/cells")
+    writeCentroids(spark, s"$path/centroids", cents)
+    val cnts = codes.groupBy("cluster").agg(count(lit(1)).as("n"))
+    cnts.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/counts")
+    val n = cnts.agg(coalesce(sum("n"), lit(0L))).head.getLong(0)
+    writeStats(spark, s"$path/stats", n, clusters, scale, capacity, dim,
+      foldedThrough = -1L)
+  }
+
+  /** nprobe-pruned exact-integer-cosine top-k FROM the index — the
+    * same probe selection, scoring arithmetic, and tie-breaks as
+    * [[Similarity.ivfBalancedTopK]], with the corpus scan replaced by
+    * a partition-pruned read of only the probed cells (base layout +
+    * committed-but-unfolded streaming batches). */
+  def topK(spark: SparkSession, path: String, queries: DataFrame, k: Int,
+      nprobe: Int, candidates: Int = 50, queryId: String = "query_id",
+      queryVec: String = "query_vec"): DataFrame = {
+    val st = baseStats(spark, path)
+    require(nprobe >= 1 && nprobe <= st.clusters && candidates >= k)
+    val cents = readCentroids(spark, path)
+    def dot(a: Column, b: Column) =
+      aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+    val probes = queries
+      .select(col(queryId), quant(col(queryVec), st.scale).as("__qq"))
+      .withColumn("__qna", sqnorm(col("__qq")))
+      .withColumn("__pc", explode(slice(array_sort(array(
+        cents.map { case (cid, cv) =>
+          val nc = cv.map(x => x * x).sum.toDouble
+          struct((-(dot(col("__qq"), lit(cv)).cast("double") /
+            sqrt(col("__qna").cast("double") * lit(nc)))).as("negcos"),
+            lit(cid).as("cid"))
+        }: _*)), lit(1), lit(nprobe))))
+      .select(col(queryId), col("__qq"), col("__qna"),
+        col("__pc.cid").as("cluster"))
+    // the union of probed cells across the query batch — at most
+    // `clusters` values, a bounded driver-side set that becomes the
+    // partition filter the scan prunes on
+    val probed = probes.select("cluster").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val indexed = readCells(spark, path)
+      .where(col("cluster").isin(probed: _*))
+    val wl = Window.partitionBy(col(queryId), col("__g_pid"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    broadcast(probes).join(indexed, Seq("cluster"))
+      .where(col(queryId) =!= col("vec_id"))
+      .withColumn("sim", dot(col("__qq"), col("__cq")).cast("double") /
+        sqrt(col("__qna").cast("double") * col("__cna")))
+      .withColumn("__g_pid", spark_partition_id())
+      .withColumn("__g_lc", row_number().over(wl))
+      .where(col("__g_lc") <= candidates)
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col(queryId), col("rank"), col("vec_id").as("neighbor_id"),
+        col("sim"))
+  }
+
+  /** Incremental append: assign `vectors` to cells under each cell's
+    * REMAINING capacity — the builder's own deferred-acceptance rounds
+    * against the FROZEN centroids, seeded with `capacity − occupancy`
+    * from the counts table — and land the codes in the same
+    * cell-partitioned layout (dynamic-partition append touches only
+    * the cells that gained rows). Fails loudly when the batch cannot
+    * fit: the capacity invariant every probe's cost bound rides on is
+    * never silently broken (rebuild with more clusters or capacity).
+    * Precondition: new vec_ids (append-only log semantics, same as
+    * [[TextIndex.append]]). */
+  def append(vectors: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val spark = vectors.sparkSession
+    val st = baseStats(spark, path)
+    val live = root(spark, path)
+    val (codes, cnts) = assignUnderRemaining(vectors, idCol, vecCol,
+      spark, path, st)
+    codes
+      .repartition(col("cluster"))
+      .write.mode(SaveMode.Append)
+      .partitionBy("cluster")
+      .parquet(s"$live/cells")
+    val newN = codes.count()
+    // fold occupancy + stats into the BASE tables (tiny rewrites —
+    // the commit); streaming batch deltas stay in their own staging
+    // dirs until compaction folds them
+    val base = spark.read.parquet(s"$live/counts")
+    base.unionByName(cnts)
+      .groupBy("cluster").agg(sum("n").as("n"))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$live/counts.tmp")
+    replaceDir(spark, s"$live/counts.tmp", s"$live/counts")
+    writeStats(spark, s"$live/stats", st.nVecs + newN, st.clusters,
+      st.scale, st.capacity, st.dim, st.foldedThrough)
+  }
+
+  /** EXACTLY-ONCE streaming append of one micro-batch: staging dir +
+    * atomic `applied-<id>` marker, replay-safe, run-id guarded — the
+    * [[TextIndex.appendBatch]] discipline verbatim. Remaining capacity
+    * is computed against base occupancy PLUS every committed batch's
+    * occupancy, so concurrent-batch history still bounds every cell. */
+  def appendBatch(vectors: DataFrame, idCol: String, vecCol: String,
+      path: String, batchId: Long, runId: String = ""): Unit = {
+    val spark = vectors.sparkSession
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (runId.nonEmpty) {
+      val runFile = new Path(path, "_runid")
+      val recorded =
+        if (!fs.exists(runFile)) None
+        else {
+          val in = fs.open(runFile)
+          try Some(new String(in.readAllBytes(), "UTF-8").trim)
+          finally in.close()
+        }
+      recorded match {
+        case Some(r) if r == runId => ()
+        case Some(_) =>
+          val hasHistory = committedBatches(spark, path).nonEmpty ||
+            baseStats(spark, path).foldedThrough >= 0
+          if (hasHistory) throw new IllegalStateException(
+            s"appendBatch: run id changed under $path (new checkpoint " +
+              "restarts batch ids at 0; its batches would be dropped as " +
+              "replays). Reuse the original checkpoint or rebuild the index.")
+          else writeRunId(fs, runFile, runId)
+        case None => writeRunId(fs, runFile, runId)
+      }
+    }
+    val marker = new Path(path, s"applied-$batchId")
+    if (fs.exists(marker)) return // committed already — replayed delivery
+    val st = baseStats(spark, path)
+    if (batchId <= st.foldedThrough) return // committed AND folded
+    val bdir = s"$path/batch-$batchId"
+    fs.delete(new Path(bdir), true) // half-written replay debris
+    val (codes, cnts) = assignUnderRemaining(vectors, idCol, vecCol,
+      spark, path, st)
+    val newN = codes.count()
+    if (newN > 0) {
+      codes
+        .repartition(col("cluster"))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("cluster")
+        .parquet(s"$bdir/cells")
+      cnts.coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$bdir/counts")
+    }
+    spark.range(1).select(lit(newN).as("n_vecs"))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$bdir/stats")
+    require(fs.createNewFile(marker),
+      s"appendBatch: marker create failed for batch $batchId under $path")
+  }
+
+  /** STREAMING index maintenance — wire a vector stream into
+    * [[appendBatch]], optionally compacting every `compactEvery`
+    * batches. Single maintainer per index path. */
+  def maintainStream(vectors: DataFrame, idCol: String, vecCol: String,
+      path: String, checkpointDir: String,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          appendBatch(batch.toDF(), idCol, vecCol, path, id,
+            runId = checkpointRunId(batch.sparkSession, checkpointDir))
+          if (compactEvery > 0 && id % compactEvery == compactEvery - 1)
+            compact(batch.sparkSession, path)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** Fold appended small files and committed streaming batches into
+    * ONE file per cell, sorted by vec_id, inside a fresh `gen-N`
+    * directory; commit with ONE atomic marker create; sweep only the
+    * state a PREVIOUS compaction superseded (grace round for in-flight
+    * readers) — the [[TextIndex.compact]] discipline. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val st = baseStats(spark, path)
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val prevGen = liveGeneration(spark, path)
+    val cur = root(spark, path)
+    val nextGen = prevGen.map(_ + 1).getOrElse(0L)
+    val genDir = s"$path/gen-$nextGen"
+    fs.delete(new Path(genDir), true) // orphan of a crashed attempt
+    val batches = committedBatches(spark, path).filter(_ > st.foldedThrough)
+    val foldedThrough = (st.foldedThrough +: batches).max
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    // cell ids are the trainer's seed ids — enumerate them from the
+    // centroid sidecar, never assume 0..clusters-1
+    val jobs = readCentroids(spark, path).map(_._1).flatMap { c =>
+      val srcs = (s"$cur/cells/cluster=$c" +:
+          batches.map(id => s"$path/batch-$id/cells/cluster=$c"))
+        .filter(d => fs.exists(new Path(d)))
+      if (srcs.isEmpty) None
+      else Some(Future {
+        spark.read.parquet(srcs: _*)
+          .coalesce(1)
+          .sortWithinPartitions("vec_id")
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$genDir/cells/cluster=$c")
+      })
+    }
+    val countsJob = Future {
+      val srcs = (s"$cur/counts" +:
+          batches.map(id => s"$path/batch-$id/counts"))
+        .filter(d => fs.exists(new Path(d)))
+      spark.read.parquet(srcs: _*)
+        .groupBy("cluster").agg(sum("n").as("n"))
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$genDir/counts")
+    }
+    val statsJob = Future {
+      val extra = batches.map { id =>
+        spark.read.parquet(s"$path/batch-$id/stats").head.getAs[Long]("n_vecs")
+      }.sum
+      writeStats(spark, s"$genDir/stats", st.nVecs + extra, st.clusters,
+        st.scale, st.capacity, st.dim, foldedThrough)
+    }
+    val centsJob = Future {
+      // centroids are immutable but must ride INSIDE the generation so
+      // the marker switches the whole index as one atomic unit
+      val cents = readCentroids(spark, path)
+      writeCentroids(spark, s"$genDir/centroids", cents)
+    }
+    Await.result(Future.sequence(jobs :+ countsJob :+ statsJob :+ centsJob),
+      scala.concurrent.duration.Duration.Inf)
+    require(fs.createNewFile(new Path(path, s"commit-$nextGen")),
+      s"compact: commit marker create failed under $path")
+    // grace sweep: only state superseded by a PREVIOUS compaction
+    prevGen.foreach { pg =>
+      fs.listStatus(new Path(path)).foreach { stt =>
+        stt.getPath.getName match {
+          case GenMarker(n) if n.toLong < pg =>
+            fs.delete(stt.getPath, false)
+            fs.delete(new Path(s"$path/gen-$n"), true)
+          case _ => ()
+        }
+      }
+      fs.delete(new Path(s"$path/cells"), true)
+      fs.delete(new Path(s"$path/counts"), true)
+      fs.delete(new Path(s"$path/stats"), true)
+      fs.delete(new Path(s"$path/centroids"), true)
+    }
+    fs.listStatus(new Path(path)).foreach { stt =>
+      stt.getPath.getName match {
+        case AppliedMarker(n) if n.toLong <= st.foldedThrough =>
+          fs.delete(stt.getPath, false)
+          fs.delete(new Path(s"$path/batch-$n"), true)
+        case _ => ()
+      }
+    }
+  }
+
+  // ---- public introspection (specs + planners) -----------------------
+
+  /** Max committed generation, None for the flat layout. */
+  def liveGeneration(spark: SparkSession, path: String): Option[Long] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case GenMarker(n) => n.toLong }.maxOption
+  }
+
+  /** Streaming batch ids whose commit marker exists. */
+  def committedBatches(spark: SparkSession, path: String): Seq[Long] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case AppliedMarker(n) => n.toLong }.sorted
+  }
+
+  /** Live cells directory (generation-resolved) — what plan specs
+    * count opened files under. */
+  def cellsDir(spark: SparkSession, path: String): String =
+    s"${root(spark, path)}/cells"
+
+  /** EFFECTIVE per-cell occupancy (base + committed-unfolded batches)
+    * — clusters rows; the planner's probe-cost input. */
+  def cellCounts(spark: SparkSession, path: String): DataFrame = {
+    val dirs = s"${root(spark, path)}/counts" +:
+      unfoldedBatchDirs(spark, path, "counts")
+    dirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+      .groupBy("cluster").agg(sum("n").as("n"))
+  }
+
+  /** (n_vecs, clusters, scale, capacity, dim) including committed
+    * unfolded batches. */
+  def stats(spark: SparkSession, path: String): (Long, Int, Int, Long, Int) = {
+    val st = baseStats(spark, path)
+    val extra = committedBatches(spark, path).filter(_ > st.foldedThrough)
+      .map(id =>
+        spark.read.parquet(s"$path/batch-$id/stats").head.getAs[Long]("n_vecs"))
+      .sum
+    (st.nVecs + extra, st.clusters, st.scale, st.capacity, st.dim)
+  }
+
+  // ---- shared internals ----------------------------------------------
+
+  private val GenMarker = "commit-(\\d+)".r
+  private val AppliedMarker = "applied-(\\d+)".r
+
+  /** The builder's quantization, shared by every path that must agree
+    * bit-for-bit: floor(x * scale) over the double-widened vector. */
+  private def quant(c: Column, scale: Int): Column =
+    transform(c.cast(ArrayType(DoubleType)),
+      x => floor(x * scale).cast("long"))
+
+  private def sqnorm(a: Column): Column =
+    aggregate(transform(a, x => x * x), lit(0L), _ + _)
+
+  private final case class IdxStats(nVecs: Long, clusters: Int, scale: Int,
+      capacity: Long, dim: Int, foldedThrough: Long)
+
+  private def baseStats(spark: SparkSession, path: String): IdxStats = {
+    val r = spark.read.parquet(s"${root(spark, path)}/stats").head
+    IdxStats(r.getAs[Long]("n_vecs"), r.getAs[Int]("clusters"),
+      r.getAs[Int]("scale"), r.getAs[Long]("capacity"), r.getAs[Int]("dim"),
+      r.getAs[Long]("folded_through"))
+  }
+
+  private def writeStats(spark: SparkSession, dir: String, n: Long,
+      clusters: Int, scale: Int, capacity: Long, dim: Int,
+      foldedThrough: Long): Unit =
+    spark.range(1).select(
+        lit(n).as("n_vecs"), lit(clusters).as("clusters"),
+        lit(scale).as("scale"), lit(capacity).as("capacity"),
+        lit(dim).as("dim"), lit(foldedThrough).as("folded_through"))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir)
+
+  private def writeCentroids(spark: SparkSession, dir: String,
+      cents: Seq[(Long, Array[Long])]): Unit = {
+    import spark.implicits._
+    cents.map { case (cid, cv) => (cid, cv.toSeq) }
+      .toDF("cid", "c")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir)
+  }
+
+  /** The coarse quantizer — `clusters` rows, a bounded driver-side
+    * value by design (same cardinality contract as the trainer's own
+    * collected centroids). */
+  def readCentroids(spark: SparkSession, path: String): Seq[(Long, Array[Long])] =
+    spark.read.parquet(s"${root(spark, path)}/centroids")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1).toSeq
+
+  private def root(spark: SparkSession, path: String): String =
+    liveGeneration(spark, path).map(n => s"$path/gen-$n").getOrElse(path)
+
+  private def unfoldedBatchDirs(spark: SparkSession, path: String,
+      sub: String): Seq[String] = {
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val ft = baseStats(spark, path).foldedThrough
+    committedBatches(spark, path).filter(_ > ft)
+      .map(id => s"$path/batch-$id/$sub")
+      .filter(d => fs.exists(new Path(d)))
+  }
+
+  /** The live code table: base cells + committed-unfolded batch cells,
+    * cluster partition column normalized to long. */
+  private def readCells(spark: SparkSession, path: String): DataFrame =
+    (s"${root(spark, path)}/cells" +: unfoldedBatchDirs(spark, path, "cells"))
+      .map { d =>
+        spark.read.parquet(d)
+          .select(col("vec_id"), col("q").as("__cq"), col("na").as("__cna"),
+            col("cluster").cast("long").as("cluster"))
+      }
+      .reduce(_ unionByName _)
+
+  /** Quantize + assign a new-vector batch under each cell's remaining
+    * capacity; returns (codes rows ready to land, per-cell counts of
+    * the batch). */
+  private def assignUnderRemaining(vectors: DataFrame, idCol: String,
+      vecCol: String, spark: SparkSession, path: String, st: IdxStats)
+      : (DataFrame, DataFrame) = {
+    val cents = readCentroids(spark, path)
+    val occupancy = cellCounts(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val remaining = cents.map { case (cid, _) =>
+      cid -> (st.capacity - occupancy.getOrElse(cid, 0L)) }.toMap
+    val e = vectors.select(col(idCol).cast("long").as("vec_id"),
+      quant(col(vecCol), st.scale).as("q"))
+    val assigned = Similarity.balancedAssign(e, cents, remaining,
+      maxRounds = 8)
+    val codes = e
+      .withColumn("na", sqnorm(col("q")))
+      .join(assigned.select(col("vec_id"), col("cid").as("cluster")),
+        "vec_id")
+    (codes, codes.groupBy("cluster").agg(count(lit(1)).as("n")))
+  }
+
+  private def writeRunId(fs: org.apache.hadoop.fs.FileSystem,
+      runFile: Path, runId: String): Unit = {
+    val out = fs.create(runFile, true)
+    try out.write(runId.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def checkpointRunId(spark: SparkSession,
+      checkpointDir: String): String = {
+    val meta = new Path(checkpointDir, "metadata")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val in = fs.open(meta)
+      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      "\"id\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt)
+        .map(_.group(1)).getOrElse(checkpointDir)
+    } catch { case _: java.io.IOException => checkpointDir }
+  }
+
+  /** Replace `dst` with `tmp` (local/HDFS rename path — the counts
+    * table is a tiny side file; on an object store this would be a
+    * marker-committed pointer like the generations). */
+  private def replaceDir(spark: SparkSession, tmp: String,
+      dst: String): Unit = {
+    val fs = new Path(dst).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(dst), true)
+    require(fs.rename(new Path(tmp), new Path(dst)),
+      s"rename $tmp -> $dst failed")
+  }
+}

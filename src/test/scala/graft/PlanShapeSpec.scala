@@ -437,6 +437,128 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(loaded == pm, "persisted catalog must round-trip")
   }
 
+  test("vector index: == ad-hoc balanced IVF; scan opens only probed cells") {
+    import graft.sources.VectorIndex
+    import graft.operators.Similarity
+    val tmp = java.nio.file.Files.createTempDirectory("graft-vidx").toString
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val cap = math.ceil(emb.count() / 8.0).toLong
+    VectorIndex.build(emb, "vec_id", "embedding", tmp,
+      clusters = 8, iterations = 2, capacity = cap, maxRounds = 6)
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e12)))
+      .toSet
+    val idx = VectorIndex.topK(spark, tmp, q, k = 5, nprobe = 2)
+    // BIT-identical to the ad-hoc operator with the same parameters:
+    // the index changes the read path, never the answer
+    val adhoc = Similarity.ivfBalancedTopK(q, emb, k = 5, clusters = 8,
+      nprobe = 2, iterations = 2, capacity = cap, maxRounds = 6)
+    assert(rows(idx) == rows(adhoc), "indexed != ad-hoc balanced IVF")
+    // partition pruning: the cells scan carries a partition filter
+    // whose IN-list covers at most queries x nprobe cells — a strict
+    // subset of the 8 (2 queries x nprobe=2 here, so <= 4)
+    val q2 = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val idx2 = VectorIndex.topK(spark, tmp, q2, k = 5, nprobe = 2)
+    idx2.count() // finalize AQE
+    val p = plan(idx2).toString
+    val m = "PartitionFilters: \\[[^\\]]*?IN \\(([0-9, ]+)\\)".r
+      .findFirstMatchIn(p)
+    assert(m.isDefined, s"no cell IN partition filter in:\n$p")
+    val opened = m.get.group(1).split(",").map(_.trim.toLong).toSet
+    assert(opened.size <= 4,
+      s"pruning vacuous: 2 queries x nprobe=2 opened $opened")
+    // capacity is a physical invariant of the layout: no cell's
+    // occupancy exceeds the build capacity
+    val counts = VectorIndex.cellCounts(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(counts.forall(_._2 <= cap),
+      s"cell over capacity $cap: ${counts.toSeq}")
+    assert(counts.map(_._2).sum == emb.count())
+  }
+
+  test("vector index: capacity-bounded append, compaction, full-probe parity") {
+    import graft.sources.VectorIndex
+    val tmp = java.nio.file.Files.createTempDirectory("graft-vida").toString
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val n = emb.count()
+    val base = emb.filter(col("vec_id") < 350)
+    val rest = emb.filter(col("vec_id") >= 350)
+    // capacity sized for the FULL corpus so appends genuinely fit
+    val cap = math.ceil(n / 6.0).toLong
+    VectorIndex.build(base, "vec_id", "embedding", tmp,
+      clusters = 8, iterations = 2, capacity = cap, maxRounds = 6)
+    VectorIndex.append(rest, "vec_id", "embedding", tmp)
+    // the invariant survives the append: every cell within capacity,
+    // nothing lost
+    val counts = VectorIndex.cellCounts(spark, tmp).collect()
+      .map(r => r.getLong(1))
+    assert(counts.forall(_ <= cap), s"append broke capacity: ${counts.toSeq}")
+    assert(counts.sum == n)
+    assert(VectorIndex.stats(spark, tmp)._1 == n)
+    // probing EVERY cell makes the index path exact quantized cosine
+    // top-k — independently computable, so the whole read path
+    // (cells + appended cells + scoring) is verified against first
+    // principles, whatever the assignment
+    val q = emb.filter(col("vec_id") >= 495)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e12)))
+      .toSet
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    def quantize(c: org.apache.spark.sql.Column) =
+      transform(c.cast(ArrayType(DoubleType)),
+        x => floor(x * 1024).cast("long"))
+    def dotl(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+    def sqn(a: org.apache.spark.sql.Column) =
+      aggregate(transform(a, x => x * x), lit(0L), _ + _)
+    val cq = emb.select(col("vec_id"), quantize(col("embedding")).as("cq"))
+      .withColumn("cna", sqn(col("cq")))
+    val qq = q.select(col("query_id"), quantize(col("query_vec")).as("qq"))
+      .withColumn("qna", sqn(col("qq")))
+    val brute = qq.crossJoin(cq)
+      .where(col("query_id") =!= col("vec_id"))
+      .withColumn("sim", dotl(col("qq"), col("cq")).cast("double") /
+        sqrt(col("qna").cast("double") * col("cna")))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("vec_id").asc)))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("sim"))
+    val full = VectorIndex.topK(spark, tmp, q, k = 5, nprobe = 8)
+    assert(rows(full) == rows(brute),
+      "full-probe index read != exact quantized top-k")
+    // compaction: one file per occupied cell, snapshot-pointer commit,
+    // answers unchanged
+    VectorIndex.compact(spark, tmp)
+    assert(VectorIndex.liveGeneration(spark, tmp).contains(0L))
+    val cellFiles = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(VectorIndex.cellsDir(spark, tmp)))
+      .filter(_.toString.endsWith(".parquet")).count().toInt
+    val occupied = VectorIndex.cellCounts(spark, tmp)
+      .where(col("n") > 0).count().toInt
+    assert(cellFiles == occupied,
+      s"expected one file per occupied cell ($occupied), got $cellFiles")
+    assert(rows(VectorIndex.topK(spark, tmp, q, k = 5, nprobe = 8)) ==
+      rows(brute), "compaction changed answers")
+    // an append that cannot fit fails LOUDLY — capacity is never
+    // silently broken
+    val tiny = java.nio.file.Files.createTempDirectory("graft-vidt").toString
+    val tinyCap = math.ceil(base.count() / 8.0).toLong // exactly full
+    VectorIndex.build(base, "vec_id", "embedding", tiny,
+      clusters = 8, iterations = 2, capacity = tinyCap, maxRounds = 6)
+    val e = intercept[IllegalArgumentException] {
+      VectorIndex.append(rest, "vec_id", "embedding", tiny)
+    }
+    assert(e.getMessage.contains("full") || e.getMessage.contains("unassigned"),
+      s"got: ${e.getMessage}")
+  }
+
   test("text index: postings scan opens only the query terms' buckets") {
     import graft.sources.TextIndex
     val tmp = java.nio.file.Files.createTempDirectory("graft-tidx").toString

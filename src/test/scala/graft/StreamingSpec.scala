@@ -674,6 +674,93 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming vector index maintenance: exactly-once, capacity held, compaction folds") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.{Tables, VectorIndex}
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val n = emb.count()
+    val idx = java.nio.file.Files.createTempDirectory("graft-vidx-s").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-vidx-ck").toString
+    val cap = math.ceil(n / 6.0).toLong
+    VectorIndex.build(emb.filter(col("vec_id") < 300), "vec_id", "embedding",
+      idx, clusters = 8, iterations = 2, capacity = cap, maxRounds = 6)
+    // exact quantized cosine top-k from first principles — what a
+    // full-probe (nprobe = clusters) index read must equal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    def quantize(c: org.apache.spark.sql.Column) =
+      transform(c.cast(ArrayType(DoubleType)), x => floor(x * 1024).cast("long"))
+    def dotl(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+    def sqn(a: org.apache.spark.sql.Column) =
+      aggregate(transform(a, x => x * x), lit(0L), _ + _)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    def brute(corpus: org.apache.spark.sql.DataFrame) = {
+      val cq = corpus.select(col("vec_id"), quantize(col("embedding")).as("cq"))
+        .withColumn("cna", sqn(col("cq")))
+      val qq = q.select(col("query_id"), quantize(col("query_vec")).as("qq"))
+        .withColumn("qna", sqn(col("qq")))
+      qq.crossJoin(cq)
+        .where(col("query_id") =!= col("vec_id"))
+        .withColumn("sim", dotl(col("qq"), col("cq")).cast("double") /
+          sqrt(col("qna").cast("double") * col("cna")))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+            .orderBy(col("sim").desc, col("vec_id").asc)))
+        .where(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("vec_id"), col("sim"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          math.round(r.getDouble(3) * 1e12))).toSet
+    }
+    def top() = VectorIndex.topK(spark, idx, q, k = 5, nprobe = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e12))).toSet
+    val in = MemoryStream[(Long, Seq[Float])]
+    val sq = VectorIndex.maintainStream(in.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", idx, ckpt, compactEvery = 2)
+    try {
+      val mid = emb.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+        .as[(Long, Seq[Float])].collect()
+      val rest = emb.filter(col("vec_id") >= 400).as[(Long, Seq[Float])].collect()
+      in.addData(mid.toSeq)
+      sq.processAllAvailable()
+      // committed batch visible before any compaction folds it
+      assert(top() == brute(emb.filter(col("vec_id") < 400)),
+        "index must include the streamed batch")
+      in.addData(rest.toSeq)
+      sq.processAllAvailable() // batch 1 -> compactEvery=2 fires
+      assert(VectorIndex.liveGeneration(spark, idx).nonEmpty,
+        "compaction must have committed a generation")
+      assert(top() == brute(emb), "after fold, index must cover everything")
+      // capacity held through streaming appends AND the fold
+      val counts = VectorIndex.cellCounts(spark, idx).collect().map(_.getLong(1))
+      assert(counts.forall(_ <= cap), s"capacity broken: ${counts.toSeq}")
+      assert(counts.sum == n)
+      // exactly-once: re-delivering a committed batch is a no-op
+      VectorIndex.appendBatch(
+        spark.createDataFrame(mid.toSeq).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", idx, batchId = 0L)
+      assert(top() == brute(emb), "replaying a committed batch must be a no-op")
+      // grace-retained folded batches are swept by the NEXT compaction
+      VectorIndex.compact(spark, idx)
+      assert(VectorIndex.committedBatches(spark, idx).isEmpty,
+        "batches past their grace round must be swept")
+      assert(top() == brute(emb), "grace sweep must not change answers")
+      // a fresh checkpoint restarting batch ids must fail loudly, not
+      // silently drop its batches as replays
+      val regress = intercept[IllegalStateException] {
+        VectorIndex.appendBatch(
+          spark.createDataFrame(mid.toSeq).toDF("vec_id", "embedding"),
+          "vec_id", "embedding", idx, batchId = 0L, runId = "a-new-checkpoint")
+      }
+      assert(regress.getMessage.contains("run id changed"))
+    } finally sq.stop()
+  }
+
   test("streaming tumbling-window aggregation with watermark (append mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
