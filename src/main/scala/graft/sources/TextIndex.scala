@@ -56,9 +56,10 @@ object TextIndex {
           case _ => ()
         }
       }
-      // a rebuild resets stream history — the old run-id guard must
-      // not outlive the batches it guarded
+      // a rebuild resets stream history — the old run-id guard and
+      // served refreshes must not outlive the batches they tracked
       fs.delete(new Path(path, "_runid"), false)
+      fs.delete(new Path(path, "served"), true)
     }
     val toks = docs.select(col(idCol).cast("long").as("doc_id"),
         posexplode(split(trim(lower(col(textCol))), "\\s+"))
@@ -385,6 +386,59 @@ object TextIndex {
       "\"id\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt)
         .map(_.group(1)).getOrElse(checkpointDir)
     } catch { case _: java.io.IOException => checkpointDir }
+  }
+
+  /** CONTINUOUS top-k retrieval: maintain the index from a document
+    * stream AND re-serve a STANDING query set's BM25 top-k after every
+    * committed micro-batch — the streaming search topology (new docs
+    * arrive, standing results refresh) on top of the exactly-once
+    * maintenance path.
+    *
+    * Per micro-batch: [[appendBatch]] commits the batch (replay-safe),
+    * then [[bm25TopK]] — which already unions the base layout with
+    * every committed-unfolded batch — re-answers `queries` against the
+    * as-of-now index, and the results land under
+    * `path/served/batch-<id>` with Overwrite, so a REPLAYED batch
+    * rewrites byte-identical results instead of duplicating them:
+    * at-least-once redelivery becomes exactly-once serving, the same
+    * idempotence discipline as the maintenance itself. [[servedTopK]]
+    * reads the latest refresh. Serving rides the SAME trigger as
+    * maintenance because results only change when the index does —
+    * a separate poller would re-serve identical answers between
+    * batches for nothing. */
+  def maintainAndServeStream(docs: DataFrame, idCol: String, textCol: String,
+      path: String, checkpointDir: String, queries: Seq[(Int, Seq[String])],
+      k: Int, compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          val spark = batch.sparkSession
+          appendBatch(batch.toDF(), idCol, textCol, path, id,
+            runId = checkpointRunId(spark, checkpointDir))
+          if (compactEvery > 0 && id % compactEvery == compactEvery - 1)
+            compact(spark, path)
+          bm25TopK(spark, path, queries, k)
+            .withColumn("batch_id", lit(id))
+            .coalesce(1)
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$path/served/batch-$id")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** The latest served refresh from [[maintainAndServeStream]] —
+    * (query_id, rank, doc_id, batch_id) of the highest committed
+    * serving batch. */
+  def servedTopK(spark: SparkSession, path: String): DataFrame = {
+    val served = new Path(path, "served")
+    val fs = served.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(served), s"nothing served yet under $path")
+    val ServedDir = "batch-(\\d+)".r
+    val latest = fs.listStatus(served).toSeq.map(_.getPath.getName)
+      .collect { case ServedDir(n) => n.toLong }.max
+    spark.read.parquet(s"$path/served/batch-$latest")
   }
 
   /** BM25 top-k over the MATERIALIZED index — same semantics and

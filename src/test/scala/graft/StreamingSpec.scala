@@ -674,6 +674,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("continuous retrieval: standing top-k refreshes per batch, == full rebuild") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.{Tables, TextIndex}
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("doc_id"), col("text"))
+    val idx = java.nio.file.Files.createTempDirectory("graft-srv").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-srv-ck").toString
+    val queries = Seq(1 -> Seq("hash", "join"), 2 -> Seq("dup", "scan"))
+    TextIndex.build(docs.filter(col("doc_id") < 150), "doc_id", "text", idx,
+      buckets = 16)
+    // full-rebuild parity target: the AD-HOC scorer over the corpus
+    // the stream has delivered so far
+    def adhoc(upTo: Long) = operators.TextRank.bm25TopK(
+        docs.filter(col("doc_id") < upTo), queries, k = 10)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    def served() = TextIndex.servedTopK(spark, idx)
+      .select("query_id", "rank", "doc_id")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    val in = MemoryStream[(Long, String)]
+    val q = TextIndex.maintainAndServeStream(in.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", idx, ckpt, queries, k = 10, compactEvery = 2)
+    try {
+      in.addData(docs.filter(col("doc_id") >= 150 && col("doc_id") < 300)
+        .as[(Long, String)].collect().toSeq)
+      q.processAllAvailable()
+      assert(served() == adhoc(300),
+        "standing results must reflect the first streamed batch")
+      assert(TextIndex.servedTopK(spark, idx).select("batch_id")
+        .head.getLong(0) == 0L)
+      in.addData(docs.filter(col("doc_id") >= 300)
+        .as[(Long, String)].collect().toSeq)
+      q.processAllAvailable() // batch 1 -> compaction folds, then re-serve
+      assert(TextIndex.liveGeneration(spark, idx).nonEmpty)
+      assert(served() == adhoc(Long.MaxValue),
+        "standing results must track the stream through the fold")
+      assert(TextIndex.servedTopK(spark, idx).select("batch_id")
+        .head.getLong(0) == 1L)
+      // each refresh is its own committed dir; a replay overwrites in
+      // place rather than duplicating
+      val servedDirs = java.nio.file.Files.list(
+          java.nio.file.Paths.get(s"$idx/served"))
+        .filter(_.getFileName.toString.startsWith("batch-")).count()
+      assert(servedDirs == 2, s"expected 2 served refreshes, got $servedDirs")
+    } finally q.stop()
+  }
+
   test("streaming vector index maintenance: exactly-once, capacity held, compaction folds") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
