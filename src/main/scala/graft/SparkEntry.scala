@@ -615,20 +615,23 @@ object SparkEntry {
     }),
     // pairs -> GROUPS: connected components over the minhash near-dup
     // pairs (hash-min label propagation), with group sizes
+    // groups' DEFAULT is the hub-safe star-rounds algorithm (hash-min
+    // funnels a hub's neighborhood through one reducer key per round —
+    // the wrong default for near-dup graphs); hash-min stays the
+    // explicitly-chosen variant (d10) for low-diameter edge sets
     "d8_dedup_groups" -> ((s, dir) =>
       Dedup.groups(
         Dedup.minhashLsh(T(s, dir, "documents"), "doc_id", "text",
           shingleWords = 3, numHashes = 64, bands = 16, threshold = 0.5),
         "id_a", "id_b")
         .orderBy("doc_id")),
-    // the same grouping through the large-star/small-star component
-    // algorithm (O(log^2) rounds on any topology, hub/chain-robust) —
+    // the same grouping through hash-min label propagation —
     // result-identical to d8, so it shares d8's oracle SQL
-    "d10_components_stars" -> ((s, dir) =>
+    "d10_components_hashmin" -> ((s, dir) =>
       Dedup.groups(
         Dedup.minhashLsh(T(s, dir, "documents"), "doc_id", "text",
           shingleWords = 3, numHashes = 64, bands = 16, threshold = 0.5),
-        "id_a", "id_b", stars = true)
+        "id_a", "id_b", stars = false)
         .orderBy("doc_id")),
     // md5-basis simhash (engine-mirrorable token hashes): the DuckDB
     // oracle rebuilds the 64-bit signatures, band buckets, and Hamming
@@ -1656,7 +1659,7 @@ object SparkEntry {
     "d8_dedup_groups" -> d8GroupsOracleSql,
     // d10 is result-identical to d8 (different component algorithm,
     // same group contract), so it checks against the same SQL
-    "d10_components_stars" -> d8GroupsOracleSql,
+    "d10_components_hashmin" -> d8GroupsOracleSql,
     "d4_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id,
         |  list_distinct(CASE WHEN len(sp) < 3 THEN [array_to_string(sp, ' ')]

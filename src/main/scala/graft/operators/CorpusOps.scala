@@ -109,23 +109,31 @@ object CorpusOps {
     * Jaccard join — every pair at Jaccard >= `threshold` is found, so
     * the no-near-copy-across-splits claim is ABSOLUTE. `exactPairs =
     * false` routes through MinHash-LSH banding instead (the cheaper
-    * 100 TB path), where the claim is probabilistic: with 16 bands x 4
-    * rows a pair at exactly Jaccard 0.5 collides in >= 1 band with
-    * prob ~0.64 (1-(1-j^4)^16; ~0.98 at j=0.7), so borderline pairs
-    * can straddle splits — acceptable when the eval harness also
-    * decontaminates, not when the split IS the guarantee. */
+    * 100 TB path) with a QUANTIFIED bound: the band count is DERIVED
+    * from (`threshold`, `maxMissProb`) via [[Dedup.minhashBandsFor]] —
+    * the s2 table-count discipline — so a pair at Jaccard >= threshold
+    * is caught with probability >= 1 - maxMissProb (default 0.01; at
+    * threshold 0.5 that is 72 bands x 4 rows = 288 hashes — the hash
+    * budget is the stated recall's price, not a hopeful constant).
+    * Use the LSH mode when the eval harness also decontaminates;
+    * keep the exact default when the split IS the guarantee. */
   def leakageSafeSplit(docs: DataFrame, idCol: String, textCol: String,
       salt: String = "graft",
       weights: Seq[(String, Double)] =
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
-      exactPairs: Boolean = true, threshold: Double = 0.5): DataFrame = {
+      exactPairs: Boolean = true, threshold: Double = 0.5,
+      maxMissProb: Double = 0.01): DataFrame = {
     val pairs =
       if (exactPairs)
         Dedup.jaccardJoinPrefixRare(docs, idCol, textCol,
           shingleWords = 3, threshold = threshold)
-      else
+      else {
+        val rows = 4
+        val bands = Dedup.minhashBandsFor(threshold, rows, maxMissProb)
         Dedup.minhashLsh(docs, idCol, textCol,
-          shingleWords = 3, numHashes = 64, bands = 16, threshold = threshold)
+          shingleWords = 3, numHashes = bands * rows, bands = bands,
+          threshold = threshold)
+      }
     val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
       .withColumnRenamed("id", "__cid")
     val grouped = docs

@@ -111,6 +111,25 @@ object Dedup {
     * equi-join on a high-cardinality 64-bit key: fully parallel,
     * skew only where true near-dup clusters exist (AQE splits those).
     */
+  /** Bands needed for MinHash-LSH banding to catch a pair at Jaccard
+    * >= `threshold` with probability >= 1 - `maxMissProb`, at
+    * `rowsPerBand` hashes per band: each band matches w.p. j^r, so the
+    * miss probability over b bands is (1 - j^r)^b <= maxMissProb at
+    * j = threshold (and strictly lower above it — collision prob is
+    * monotone in j). The same derivation [[Similarity.lshTablesFor]]
+    * applies to hyperplane tables, re-expressed for minhash bands:
+    * callers stop hoping 16 bands is enough and SIZE the sketch to a
+    * stated recall bound. Larger `rowsPerBand` sharpens candidate
+    * precision (fewer sub-threshold collisions) at the price of more
+    * bands for the same bound. */
+  def minhashBandsFor(threshold: Double, rowsPerBand: Int,
+      maxMissProb: Double): Int = {
+    require(threshold > 0.0 && threshold < 1.0 && rowsPerBand >= 1 &&
+      maxMissProb > 0.0 && maxMissProb < 1.0)
+    val pBand = math.pow(threshold, rowsPerBand)
+    math.max(1, math.ceil(math.log(maxMissProb) / math.log1p(-pBand)).toInt)
+  }
+
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
@@ -416,10 +435,16 @@ object Dedup {
 
   /** Dedup groups with sizes: every doc that belongs to a multi-doc
     * near-dup component, labeled by its group (min member id).
-    * `stars = true` routes through [[connectedComponentsStars]] for
-    * topology-robust (hub/chain-safe) labeling. */
+    * The DEFAULT routes through [[connectedComponentsStars]]: hash-min
+    * label propagation funnels a hub's whole neighborhood through one
+    * reducer key per round, so on hub-heavy graphs (exactly what
+    * near-dup clusters look like — one template, 10^6 copies) the
+    * default must be the topology-robust algorithm, not the one that
+    * happens to win on easy graphs. `stars = false` keeps hash-min as
+    * the explicitly-chosen variant for low-diameter, hub-free edge
+    * sets where its fewer rounds win. */
   def groups(pairs: DataFrame, aCol: String, bCol: String,
-      stars: Boolean = false): DataFrame = {
+      stars: Boolean = true): DataFrame = {
     val comp = if (stars) connectedComponentsStars(pairs, aCol, bCol)
       else connectedComponents(pairs, aCol, bCol)
     val sizes = comp.groupBy("comp").agg(count(lit(1)).as("group_size"))

@@ -93,7 +93,7 @@ object ScaleBench {
 
     val linearOps = Seq("q1_agg", "t1_tumble", "d1_dedup_exact",
       "d2_dedup_minhash", "d4_ngram_jaccard", "d7_decontam",
-      "d8_dedup_groups", "d10_components_stars", "d9_decontam_bloom", "x3_tokens",
+      "d8_dedup_groups", "d10_components_hashmin", "d9_decontam_bloom", "x3_tokens",
       "x7_repetition", "x8_pii", "x9_sample", "x10_chunk", "x11_pack",
       "a4_quantiles", "s5_quantize", "s6_ann_sq", "s7_ann_ivfsq",
       "s8_ann_pq", "t7_rolling", "m1_multimodal",

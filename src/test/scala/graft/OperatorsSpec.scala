@@ -958,6 +958,33 @@ class OperatorsSpec extends AnyFunSuite {
     // and the weights still roughly hold (train is the bulk)
     val train = split.filter(col("split") === "train").count()
     assert(train > split.count() * 7 / 10, s"train fraction off: $train")
+
+    // LSH mode: the band count is DERIVED from a target miss
+    // probability, so the cheap mode's recall is a stated bound, not a
+    // hopeful constant. Check the derivation against the collision
+    // formula (>= 1-eps at j = threshold, minimal band count), then
+    // that the mode still co-locates the pairs its sketch finds.
+    for ((t, r, eps) <- Seq((0.5, 4, 0.01), (0.7, 4, 0.001),
+        (0.5, 2, 0.05), (0.9, 8, 1e-6))) {
+      val b = Dedup.minhashBandsFor(t, r, eps)
+      def collide(bands: Int) = 1.0 - math.pow(1.0 - math.pow(t, r), bands)
+      assert(collide(b) >= 1.0 - eps,
+        s"derived $b bands miss the $eps bound at j=$t r=$r")
+      assert(b == 1 || collide(b - 1) < 1.0 - eps,
+        s"$b bands not minimal at j=$t r=$r eps=$eps")
+    }
+    val lshSplit = CorpusOps.leakageSafeSplit(docs, "doc_id", "text",
+        exactPairs = false, maxMissProb = 0.01)
+      .select(col("doc_id"), col("split"))
+    val derivedBands = Dedup.minhashBandsFor(0.5, 4, 0.01)
+    val lshPairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      shingleWords = 3, numHashes = derivedBands * 4, bands = derivedBands,
+      threshold = 0.5)
+    val lshJoined = lshPairs
+      .join(lshSplit.toDF("id_a", "sa"), "id_a")
+      .join(lshSplit.toDF("id_b", "sb"), "id_b")
+    assert(lshJoined.filter(col("sa") =!= col("sb")).isEmpty,
+      "LSH-mode split must co-locate every pair its own sketch finds")
   }
 
   test("drift PSI: near-zero on identical halves, large on a planted shift") {
