@@ -39,6 +39,44 @@ object Similarity {
         col("sim"))
   }
 
+  /** Exact top-k over the QUANTIZED domain — the flat-scan tier of the
+    * probe-cost planner ([[graft.plans.AnnPlanner]]): same
+    * floor(x*scale) integer cosine, tie-breaks, and output schema as
+    * [[ivfBalancedTopK]], with NO training and NO pruning — every
+    * corpus row is scored for every query, two-stage top-k reduction.
+    * Identical results to ivfBalancedTopK at nprobe = clusters (the
+    * candidate set is the whole corpus either way), which is what lets
+    * the planner switch tiers without changing answer semantics. */
+  def bruteForceQuantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      scale: Int = 1024, queryId: String = "query_id",
+      queryVec: String = "query_vec", corpusId: String = "vec_id",
+      corpusVec: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    def quant(c: Column) = transform(c.cast(ArrayType(DoubleType)),
+      x => floor(x * scale).cast("long"))
+    def dot(a: Column, b: Column) =
+      aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+    def sqnorm(a: Column) = aggregate(transform(a, x => x * x), lit(0L), _ + _)
+    val q = queries.select(col(queryId), quant(col(queryVec)).as("__qq"))
+      .withColumn("__qna", sqnorm(col("__qq")))
+    val c = corpus.select(col(corpusId).cast("long").as("vec_id"),
+        quant(col(corpusVec)).as("__cq"))
+      .withColumn("__cna", sqnorm(col("__cq")))
+    val wl = Window.partitionBy(col(queryId), col("__g_pid"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    c.join(broadcast(q), col(queryId) =!= col("vec_id"))
+      .withColumn("sim", dot(col("__qq"), col("__cq")).cast("double") /
+        sqrt(col("__qna").cast("double") * col("__cna")))
+      .withColumn("__g_pid", spark_partition_id())
+      .withColumn("__g_lc", row_number().over(wl))
+      .where(col("__g_lc") <= k)
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col(queryId), col("rank"), col("vec_id").as("neighbor_id"),
+        col("sim"))
+  }
+
   /** k-NN join: for every row of `left`, its top-k cosine neighbors in
     * `right`. Same two-stage shape; `left` is broadcast when small
     * (caller controls by passing a filtered frame). */

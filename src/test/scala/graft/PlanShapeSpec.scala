@@ -437,6 +437,49 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(loaded == pm, "persisted catalog must round-trip")
   }
 
+  test("ann planner: tier flips on amortized training cost, results match the chosen tier") {
+    import graft.plans.AnnPlanner
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val n = emb.count()
+    val cap = math.ceil(n / 8.0).toLong
+    // the COST MODEL flips on query-batch size: training amortizes, so
+    // a few queries keep the flat scan and a standing batch flips to
+    // the index — assert the flip and that each side's estimate says
+    // why
+    val few = AnnPlanner.choose(n, 3, clusters = 8, nprobe = 2,
+      capacity = cap, iterations = 2, maxRounds = 6)
+    assert(!few.useIvf && few.flatCost < few.ivfCost,
+      s"3 queries must stay flat: $few")
+    val many = AnnPlanner.choose(n, 450, clusters = 8, nprobe = 2,
+      capacity = cap, iterations = 2, maxRounds = 6)
+    assert(many.useIvf && many.ivfCost < many.flatCost,
+      s"450 queries must flip to IVF: $many")
+    // stats-driven dispatch: results identical to the chosen tier's
+    // direct call, and the PLAN shows the tier (the flat scan never
+    // materializes a cluster column; IVF plans join on it)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e12))).toSet
+    val q3 = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val auto3 = AnnPlanner.topKAuto(q3, emb, k = 5, clusters = 8,
+      nprobe = 2, iterations = 2, capacity = cap, maxRounds = 6)
+    assert(rows(auto3) == rows(Similarity.bruteForceQuantizedTopK(
+      q3, emb, k = 5)), "auto(flat regime) != flat tier")
+    assert(!plan(auto3).toString.contains("cluster"),
+      "flat tier must not carry IVF machinery")
+    val qMany = emb.filter(col("vec_id") < 450)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val autoMany = AnnPlanner.topKAuto(qMany, emb, k = 5, clusters = 8,
+      nprobe = 2, iterations = 2, capacity = cap, maxRounds = 6)
+    assert(plan(autoMany).toString.contains("cluster"),
+      "IVF tier must probe cells")
+    assert(rows(autoMany) == rows(Similarity.ivfBalancedTopK(qMany, emb,
+      k = 5, clusters = 8, nprobe = 2, iterations = 2, capacity = cap,
+      maxRounds = 6)), "auto(ivf regime) != IVF tier")
+  }
+
   test("vector index: == ad-hoc balanced IVF; scan opens only probed cells") {
     import graft.sources.VectorIndex
     import graft.operators.Similarity
