@@ -1133,6 +1133,7 @@ object SparkEntry {
         .select(col("doc_id"), col("byte_len"), col("mean_byte"),
           col("detected_fmt"), col("width"), col("height"),
           col("sample_rate"), col("duration_ms"),
+          col("pcm_samples"), col("pcm_sum"), col("pcm_peak"),
           size(col("frame_hashes")).as("n_frames"))
         .orderBy("doc_id")),
 
@@ -2209,6 +2210,7 @@ object SparkEntry {
         |  CAST(n_chars % 2 + 1 AS INT) AS ch,
         |  CAST(n_chars % 8 * 1000 + 8000 AS INT) AS rate,
         |  octet_length(encode(text)) AS plen,
+        |  hex(encode(text)) AS hx,
         |  CAST(coalesce(list_sum(list_transform(range(1, octet_length(encode(text)) + 1),
         |    i -> CAST('0x' || substr(hex(encode(text)), 2*i-1, 2) AS INT))), 0)
         |    AS BIGINT) AS psum
@@ -2236,6 +2238,24 @@ object SparkEntry {
         |  CASE WHEN fmt = 'wav'
         |    THEN CAST((plen * 8000) // (ch * 16 * rate) AS BIGINT)
         |    ELSE NULL END AS duration_ms,
+        |  CASE WHEN fmt = 'wav' THEN CAST(plen // 2 AS BIGINT)
+        |    ELSE NULL END AS pcm_samples,
+        |  CASE WHEN fmt = 'wav' THEN CAST(coalesce(list_sum(
+        |      list_transform(range(1, plen // 2 + 1), i ->
+        |        CAST('0x' || substr(hx, 4*i-3, 2) AS INT)
+        |        + 256 * CAST('0x' || substr(hx, 4*i-1, 2) AS INT)
+        |        - 65536 * CAST(
+        |            CAST('0x' || substr(hx, 4*i-1, 2) AS INT)
+        |              >= 128 AS INT))), 0) AS BIGINT)
+        |    ELSE NULL END AS pcm_sum,
+        |  CASE WHEN fmt = 'wav' THEN CAST(coalesce(list_max(
+        |      list_transform(range(1, plen // 2 + 1), i ->
+        |        abs(CAST('0x' || substr(hx, 4*i-3, 2) AS INT)
+        |        + 256 * CAST('0x' || substr(hx, 4*i-1, 2) AS INT)
+        |        - 65536 * CAST(
+        |            CAST('0x' || substr(hx, 4*i-1, 2) AS INT)
+        |              >= 128 AS INT)))), 0) AS INT)
+        |    ELSE NULL END AS pcm_peak,
         |  CAST(4 AS INT) AS n_frames
         |FROM s ORDER BY doc_id""".stripMargin,
 

@@ -28,7 +28,8 @@ object Multimodal {
   case class MediaFeatures(doc_id: Long, byte_len: Int, mean_byte: Double,
       checksum: Long, frame_hashes: Seq[Long], detected_fmt: Option[String],
       width: Option[Int], height: Option[Int], sample_rate: Option[Int],
-      duration_ms: Option[Long])
+      duration_ms: Option[Long], pcm_samples: Option[Long],
+      pcm_sum: Option[Long], pcm_peak: Option[Int])
 
   // ---- declarative byte assembly: ints to binary, inside codegen ----
   /** Low byte of `c` as a two-hex-char string. */
@@ -161,12 +162,58 @@ object Multimodal {
     }
   }
 
+  /** Per-sample statistics of a PCM-16 WAVE payload. */
+  case class PcmStats(n_samples: Long, sample_sum: Long, peak: Int)
+
+  /** REAL audio sample decode (not stubbed): a WAVE `data` chunk in
+    * format code 1 at 16 bits IS the samples — little-endian signed
+    * shorts, no codec needed — so sample-level statistics (count, sum,
+    * peak amplitude) are pure byte arithmetic, the loudness/SNR-style
+    * screen a media crawl runs without any library. Returns None for
+    * non-PCM or non-16-bit payloads (compressed codecs stay stubbed —
+    * the ONLY remaining stub surface). A trailing odd byte is not a
+    * sample and is ignored; an empty data chunk yields (0, 0, 0). */
+  def pcmStats(bytes: Array[Byte]): Option[PcmStats] = {
+    def u8(i: Int) = bytes(i) & 0xff
+    def u16le(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def u32le(i: Int) = u16le(i).toLong | (u16le(i + 2).toLong << 16)
+    if (bytes.length < 36 ||
+        !(u8(0) == 'R' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == 'F') ||
+        !(u8(8) == 'W' && u8(9) == 'A' && u8(10) == 'V' && u8(11) == 'E'))
+      return None
+    var fmtCode = -1; var bits = -1
+    var dataOff = -1; var dataLen = -1L
+    var i = 12
+    while (i + 8 <= bytes.length) {
+      val id = new String(bytes, i, 4, "US-ASCII")
+      val sz = u32le(i + 4)
+      if (id == "fmt " && i + 24 <= bytes.length) {
+        fmtCode = u16le(i + 8); bits = u16le(i + 22)
+      }
+      if (id == "data") { dataOff = i + 8; dataLen = sz }
+      i += 8 + sz.toInt + (sz.toInt & 1) // chunks are 16-bit aligned
+    }
+    if (fmtCode != 1 || bits != 16 || dataOff < 0) return None
+    val end = math.min(dataOff + dataLen, bytes.length.toLong).toInt
+    var sum = 0L; var peak = 0; var n = 0L
+    var j = dataOff
+    while (j + 1 < end) {
+      val s = (u8(j) | (u8(j + 1) << 8)).toShort.toInt
+      sum += s
+      if (math.abs(s) > peak) peak = math.abs(s)
+      n += 1; j += 2
+    }
+    Some(PcmStats(n, sum, peak))
+  }
+
   /** STUB decoder =========================================== STUB ===
-    * Stands in for image decode + feature extraction (no codec libs in
-    * this environment). Deterministic byte statistics + "frame sample"
-    * hashes of `frames` evenly spaced 64-byte windows. Replace this
-    * body with a real decoder to productionize; everything around it
-    * (batching, partitioning, schema) is production-shaped. */
+    * Stands in for COMPRESSED-codec decode + feature extraction (no
+    * codec libs in this environment) — uncompressed PCM audio is
+    * decoded for REAL by [[pcmStats]]. Deterministic byte statistics +
+    * "frame sample" hashes of `frames` evenly spaced 64-byte windows.
+    * Replace this body with a real decoder to productionize;
+    * everything around it (batching, partitioning, schema) is
+    * production-shaped. */
   def decodeStub(rec: MediaRecord, frames: Int): MediaFeatures = {
     val bytes = rec.media
     var sum = 0L; var ck = 1125899906842597L
@@ -186,13 +233,15 @@ object Multimodal {
     }
     val img = imageDimensions(bytes)
     val aud = if (img.isEmpty) audioMetadata(bytes) else None
+    val pcm = if (aud.isDefined) pcmStats(bytes) else None
     MediaFeatures(rec.doc_id,
       bytes.length,
       if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length,
       ck, fh,
       img.map(_._1).orElse(aud.map(_ => "wav")),
       img.map(_._2), img.map(_._3),
-      aud.map(_.sample_rate), aud.map(_.duration_ms))
+      aud.map(_.sample_rate), aud.map(_.duration_ms),
+      pcm.map(_.n_samples), pcm.map(_.sample_sum), pcm.map(_.peak))
   }
 
   /** Partition-parallel batched decode: records are pulled in batches

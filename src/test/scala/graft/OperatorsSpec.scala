@@ -1038,6 +1038,36 @@ class OperatorsSpec extends AnyFunSuite {
     // the stub decoder tags wav payloads via the real parser
     assert(Multimodal.decodeStub(
       Multimodal.MediaRecord(9L, wav, 0, 0, "wav"), 2).detected_fmt.contains("wav"))
+
+    // PCM sample decode is REAL byte arithmetic: known 16-bit samples
+    // round-trip through the data chunk — +1000, -2000 (peak), +3
+    val samples = Seq(1000, -2000, 3)
+    val pcmBytes = samples.flatMap(s => le16(s & 0xffff))
+    val pcmWav = ("RIFF".map(_.toInt) ++ le32(36L + pcmBytes.size) ++
+      "WAVE".map(_.toInt) ++
+      "fmt ".map(_.toInt) ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+      le32(16000) ++ le16(2) ++ le16(16) ++
+      "data".map(_.toInt) ++ le32(pcmBytes.size.toLong) ++ pcmBytes)
+      .map(_.toByte).toArray
+    assert(Multimodal.pcmStats(pcmWav).contains(
+      Multimodal.PcmStats(3L, 1000L - 2000L + 3L, 2000)))
+    // a trailing odd byte is not a sample
+    val odd = (pcmWav.toSeq :+ 0x7f.toByte).toArray
+    val oddFixed = odd.clone()
+    // patch the data-chunk length to include the stray byte
+    oddFixed(pcmWav.length - pcmBytes.size - 4) = (pcmBytes.size + 1).toByte
+    assert(Multimodal.pcmStats(oddFixed).contains(
+      Multimodal.PcmStats(3L, 1000L - 2000L + 3L, 2000)))
+    // non-PCM format code -> None (compressed codecs stay stubbed)
+    val mulaw = pcmWav.clone()
+    mulaw(20) = 7 // format code WAVE_FORMAT_MULAW
+    assert(Multimodal.pcmStats(mulaw).isEmpty)
+    // empty data chunk -> (0, 0, 0)
+    assert(Multimodal.pcmStats(wav).contains(Multimodal.PcmStats(0L, 0L, 0)))
+    // and the batched extractor carries the pcm columns through
+    val feats = Multimodal.decodeStub(
+      Multimodal.MediaRecord(10L, pcmWav, 0, 0, "wav"), 2)
+    assert(feats.pcm_samples.contains(3L) && feats.pcm_peak.contains(2000))
   }
 
   test("shardShuffle two-phase positions equal the single-window form") {
