@@ -664,6 +664,21 @@ class OperatorsSpec extends AnyFunSuite {
       assert(spark.sql("SELECT count(DISTINCT doc_id) FROM replayed")
         .collect().head.getLong(0) == 30)
     } finally q.stop()
+    // the release index is built DISTRIBUTED (range partition + local
+    // rank + broadcast prefix offsets), never a partitionless window —
+    // and must still equal the dense global rank
+    val big = sources.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+      .select("doc_id")
+    val idx = sources.Replay.globalIndex(big, "doc_id", 8)
+    val got = idx.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = got.map(_._1).sorted.zipWithIndex
+      .map { case (id, i) => (id, i.toLong) }
+    assert(got.toSeq == want.toSeq, "two-phase index != dense global rank")
+    val p = org.apache.spark.sql.classic.ClassicConversions.castToImpl(idx)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"),
+      s"replay index must not single-partition:\n$p")
   }
 
   test("profile: single-pass audit with sane stats") {
