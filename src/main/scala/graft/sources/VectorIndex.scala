@@ -72,6 +72,7 @@ object VectorIndex {
         }
       }
       fs.delete(new Path(path, "_runid"), false)
+      fs.delete(new Path(path, "served"), true)
     }
     val (assigned, cents) = Similarity.kmeansBalancedWithCentroids(
       corpus, clusters, iterations, capacity, maxRounds, scale,
@@ -251,6 +252,47 @@ object VectorIndex {
       }
       .option("checkpointLocation", checkpointDir)
       .start()
+
+  /** CONTINUOUS ANN serving: maintain the index from a vector stream
+    * AND re-serve a STANDING query batch's top-k after every committed
+    * micro-batch — the ANN twin of
+    * [[TextIndex.maintainAndServeStream]]. Each refresh lands under
+    * `path/served/batch-<id>` with Overwrite (replayed batch =
+    * byte-identical rewrite, exactly-once serving); [[servedTopK]]
+    * reads the latest. Serving rides the maintenance trigger because
+    * results only change when the index does. */
+  def maintainAndServeStream(vectors: DataFrame, idCol: String,
+      vecCol: String, path: String, checkpointDir: String,
+      queries: DataFrame, k: Int, nprobe: Int, compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          val spark = batch.sparkSession
+          appendBatch(batch.toDF(), idCol, vecCol, path, id,
+            runId = checkpointRunId(spark, checkpointDir))
+          if (compactEvery > 0 && id % compactEvery == compactEvery - 1)
+            compact(spark, path)
+          topK(spark, path, queries, k, nprobe)
+            .withColumn("batch_id", lit(id))
+            .coalesce(1)
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$path/served/batch-$id")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** The latest served refresh from [[maintainAndServeStream]]. */
+  def servedTopK(spark: SparkSession, path: String): DataFrame = {
+    val served = new Path(path, "served")
+    val fs = served.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(served), s"nothing served yet under $path")
+    val ServedDir = "batch-(\\d+)".r
+    val latest = fs.listStatus(served).toSeq.map(_.getPath.getName)
+      .collect { case ServedDir(n) => n.toLong }.max
+    spark.read.parquet(s"$path/served/batch-$latest")
+  }
 
   /** Fold appended small files and committed streaming batches into
     * ONE file per cell, sorted by vec_id, inside a fresh `gen-N`

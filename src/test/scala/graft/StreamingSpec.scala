@@ -767,8 +767,18 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
         math.round(r.getDouble(3) * 1e12))).toSet
     val in = MemoryStream[(Long, Seq[Float])]
-    val sq = VectorIndex.maintainStream(in.toDF().toDF("vec_id", "embedding"),
-      "vec_id", "embedding", idx, ckpt, compactEvery = 2)
+    // maintain AND serve: the standing query batch refreshes per
+    // committed micro-batch (full probe => refresh == quantized
+    // brute force over everything delivered so far)
+    val sq = VectorIndex.maintainAndServeStream(
+      in.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", idx, ckpt, q, k = 5, nprobe = 8,
+      compactEvery = 2)
+    def servedRows() = VectorIndex.servedTopK(spark, idx)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e12))).toSet
     try {
       val mid = emb.filter(col("vec_id") >= 300 && col("vec_id") < 400)
         .as[(Long, Seq[Float])].collect()
@@ -778,11 +788,17 @@ class StreamingSpec extends AnyFunSuite {
       // committed batch visible before any compaction folds it
       assert(top() == brute(emb.filter(col("vec_id") < 400)),
         "index must include the streamed batch")
+      assert(servedRows() == brute(emb.filter(col("vec_id") < 400)),
+        "standing serving must reflect the first streamed batch")
       in.addData(rest.toSeq)
       sq.processAllAvailable() // batch 1 -> compactEvery=2 fires
       assert(VectorIndex.liveGeneration(spark, idx).nonEmpty,
         "compaction must have committed a generation")
       assert(top() == brute(emb), "after fold, index must cover everything")
+      assert(servedRows() == brute(emb),
+        "standing serving must track the stream through the fold")
+      assert(VectorIndex.servedTopK(spark, idx).select("batch_id")
+        .head.getLong(0) == 1L)
       // capacity held through streaming appends AND the fold
       val counts = VectorIndex.cellCounts(spark, idx).collect().map(_.getLong(1))
       assert(counts.forall(_ <= cap), s"capacity broken: ${counts.toSeq}")
