@@ -1017,6 +1017,26 @@ object SparkEntry {
       graft.sources.VectorIndex.topK(s, tmp, q, k = 5, nprobe = 2)
         .orderBy("query_id", "rank")
     }),
+    // the index's PQ TIER (IVF-ADC): candidate staging scans ONLY the
+    // compact codes column (columnar projection — subspaces x 4 bytes
+    // per row instead of dim x 8), then re-ranks the staged candidates
+    // exactly. candidates >= nprobe x capacity makes the staging
+    // lossless at ANY scale factor, so the result — and the oracle —
+    // is s15's verbatim while the whole encode/reconstruct/stage/
+    // re-rank pipeline is hash-checked in between
+    "s17_vector_index_pq" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val cap = math.ceil(emb.count() / 8.0).toLong
+      val tmp = layoutDir("s17", dir)
+      graft.sources.VectorIndex.build(emb, "vec_id", "embedding", tmp,
+        clusters = 8, iterations = 2, capacity = cap, maxRounds = 6,
+        pqSubspaces = 16, pqCodewords = 64)
+      graft.sources.VectorIndex.topKPq(s, tmp, q, k = 5, nprobe = 2,
+          candidates = (2 * cap).toInt + 16, rerank = true)
+        .orderBy("query_id", "rank")
+    }),
     // k-means with deterministic farthest-point (k-means++-style)
     // seeding: seeds spread by construction instead of first-k-by-id;
     // each seeding round is a map-only codegen'd min-dist pass + one
@@ -1714,6 +1734,10 @@ object SparkEntry {
     // the read path (cell-partitioned parquet + partition pruning),
     // never the probe selection, scoring, or tie-breaks
     "s16_vector_index" -> ivfBalancedOracleSql,
+    // s17 likewise: lossless ADC staging (candidates >= nprobe x
+    // capacity) + exact re-rank = s15's answer bit for bit; a staging
+    // or encode bug hash-mismatches
+    "s17_vector_index_pq" -> ivfBalancedOracleSql,
     // d12: the balanced-assignment CTE chain (capacity = 64, the
     // entry's targetClusterSize) feeds the same cluster-restricted
     // pair join as d11

@@ -50,10 +50,20 @@ object VectorIndex {
   /** Train the balanced coarse quantizer and materialize the index at
     * `path`. Parameters mirror [[Similarity.ivfBalancedTopK]]; a
     * fresh-built index must answer exactly like the ad-hoc operator
-    * with the same (clusters, iterations, capacity, maxRounds, scale). */
+    * with the same (clusters, iterations, capacity, maxRounds, scale).
+    *
+    * `pqSubspaces > 0` additionally trains a shared RESIDUAL product-
+    * quantization codebook (codeword k-means over `q − centroid` of a
+    * bounded deterministic sample) and stores each vector's compact
+    * `codes` alongside its full-width `q` IN THE SAME cell files —
+    * parquet is columnar, so a codes-only scan ([[topKPq]] stage 1)
+    * never reads the wide `q` pages: the ADC serving path's IO is
+    * subspaces × 4 bytes per row instead of dim × 8, the memory/IO
+    * story that makes IVF-PQ the at-scale layout. */
   def build(corpus: DataFrame, idCol: String, vecCol: String, path: String,
       clusters: Int, iterations: Int, capacity: Long, maxRounds: Int = 8,
-      scale: Int = 1024): Unit = {
+      scale: Int = 1024, pqSubspaces: Int = 0, pqCodewords: Int = 16,
+      pqIterations: Int = 5, pqTrainSample: Int = 8192): Unit = {
     val spark = corpus.sparkSession
     // a rebuild over a previously compacted / stream-maintained index
     // must not leave stale markers shadowing the fresh flat layout
@@ -73,16 +83,25 @@ object VectorIndex {
       }
       fs.delete(new Path(path, "_runid"), false)
       fs.delete(new Path(path, "served"), true)
+      fs.delete(new Path(path, "pqbook"), true)
     }
     val (assigned, cents) = Similarity.kmeansBalancedWithCentroids(
       corpus, clusters, iterations, capacity, maxRounds, scale,
       idCol, vecCol)
     val dim = cents.head._2.length
-    val codes = corpus
+    val base = corpus
       .select(col(idCol).cast("long").as("vec_id"),
         quant(col(vecCol), scale).as("q"))
       .withColumn("na", sqnorm(col("q")))
       .join(assigned, "vec_id")
+    val codes =
+      if (pqSubspaces <= 0) base
+      else {
+        val book = trainResidualBook(base, cents, pqSubspaces, pqCodewords,
+          pqIterations, pqTrainSample)
+        writeBook(spark, s"$path/pqbook", book, pqSubspaces)
+        withPqCodes(base, cents, book, pqSubspaces)
+      }
     codes
       .repartition(col("cluster"))
       .write.mode(SaveMode.Overwrite)
@@ -107,20 +126,7 @@ object VectorIndex {
     val st = baseStats(spark, path)
     require(nprobe >= 1 && nprobe <= st.clusters && candidates >= k)
     val cents = readCentroids(spark, path)
-    def dot(a: Column, b: Column) =
-      aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
-    val probes = queries
-      .select(col(queryId), quant(col(queryVec), st.scale).as("__qq"))
-      .withColumn("__qna", sqnorm(col("__qq")))
-      .withColumn("__pc", explode(slice(array_sort(array(
-        cents.map { case (cid, cv) =>
-          val nc = cv.map(x => x * x).sum.toDouble
-          struct((-(dot(col("__qq"), lit(cv)).cast("double") /
-            sqrt(col("__qna").cast("double") * lit(nc)))).as("negcos"),
-            lit(cid).as("cid"))
-        }: _*)), lit(1), lit(nprobe))))
-      .select(col(queryId), col("__qq"), col("__qna"),
-        col("__pc.cid").as("cluster"))
+    val probes = probesOf(queries, cents, st.scale, nprobe, queryId, queryVec)
     // the union of probed cells across the query batch — at most
     // `clusters` values, a bounded driver-side set that becomes the
     // partition filter the scan prunes on
@@ -134,7 +140,7 @@ object VectorIndex {
       .orderBy(col("sim").desc, col("vec_id").asc)
     broadcast(probes).join(indexed, Seq("cluster"))
       .where(col(queryId) =!= col("vec_id"))
-      .withColumn("sim", dot(col("__qq"), col("__cq")).cast("double") /
+      .withColumn("sim", dotl(col("__qq"), col("__cq")).cast("double") /
         sqrt(col("__qna").cast("double") * col("__cna")))
       .withColumn("__g_pid", spark_partition_id())
       .withColumn("__g_lc", row_number().over(wl))
@@ -142,6 +148,79 @@ object VectorIndex {
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col(queryId), col("rank"), col("vec_id").as("neighbor_id"),
         col("sim"))
+  }
+
+  /** ADC serving from the COMPACT codes — IVF-PQ over the
+    * materialized layout. Stage 1 scans ONLY (vec_id, codes) of the
+    * probed cells (columnar projection: the wide `q` pages are never
+    * read — subspaces × 4 bytes per row of IO instead of dim × 8),
+    * reconstructs `centroid + codeword` per row from the broadcast
+    * book, and stages `candidates` per query by approximate cosine.
+    * Stage 2 (`rerank = true`, default) re-scores just the staged
+    * candidates EXACTLY against the full-width codes of the probed
+    * cells — same integer cosine and tie-breaks as [[topK]], so with
+    * `candidates` at least the probed row count the result is
+    * bit-identical to [[topK]] (the s12 oracle-regime argument).
+    * `rerank = false` returns the pure-ADC ranking: the cheapest
+    * serving path, recall bounded by reconstruction quality. */
+  def topKPq(spark: SparkSession, path: String, queries: DataFrame, k: Int,
+      nprobe: Int, candidates: Int = 50, rerank: Boolean = true,
+      queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
+    import spark.implicits._
+    val st = baseStats(spark, path)
+    require(nprobe >= 1 && nprobe <= st.clusters && candidates >= k)
+    val cents = readCentroids(spark, path)
+    val (book, subspaces) = readBook(spark, path)
+    val probes = probesOf(queries, cents, st.scale, nprobe, queryId, queryVec)
+    val probed = probes.select("cluster").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val centDf = broadcast(cents.map { case (cid, cv) =>
+      (cid, cv.map(_.toDouble).toSeq) }.toDF("cluster", "__cent"))
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    // stage 1: codes-only scan of probed cells + ADC ranking
+    val codeScan = readCellsCols(spark, path, Seq("codes"))
+      .where(col("cluster").isin(probed: _*))
+    val recon = zip_with(col("__cent"),
+      graft.operators.Quantize.pqReconstructFromCodes(col("codes"), book,
+        subspaces), (a, b) => a + b)
+    val wl = Window.partitionBy(col(queryId), col("__g_pid"))
+      .orderBy(col("__asim").desc, col("vec_id").asc)
+    val wc = Window.partitionBy(col(queryId))
+      .orderBy(col("__asim").desc, col("vec_id").asc)
+    val staged = broadcast(probes).join(codeScan, Seq("cluster"))
+      .where(col(queryId) =!= col("vec_id"))
+      .join(centDf, "cluster")
+      .withColumn("__asim", graft.functions.GraftFunctions.cosine_similarity_d(
+        col("__qq").cast(ArrayType(DoubleType)), recon))
+      .withColumn("__g_pid", spark_partition_id())
+      .withColumn("__g_lc", row_number().over(wl))
+      .where(col("__g_lc") <= candidates)
+      .withColumn("__g_cr", row_number().over(wc))
+      .where(col("__g_cr") <= candidates)
+    if (!rerank) {
+      val w = Window.partitionBy(col(queryId))
+        .orderBy(col("__asim").desc, col("vec_id").asc)
+      staged
+        .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+        .select(col(queryId), col("rank"), col("vec_id").as("neighbor_id"),
+          col("__asim").as("sim"))
+    } else {
+      // stage 2: exact integer-cosine re-rank of just the candidates —
+      // the bounded candidate set broadcasts against the probed cells'
+      // full-width columns
+      val full = readCells(spark, path).where(col("cluster").isin(probed: _*))
+      val w = Window.partitionBy(col(queryId))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      full.select(col("vec_id"), col("__cq"), col("__cna"))
+        .join(broadcast(staged
+          .select(col(queryId), col("__qq"), col("__qna"), col("vec_id"))),
+          "vec_id")
+        .withColumn("sim", dotl(col("__qq"), col("__cq")).cast("double") /
+          sqrt(col("__qna").cast("double") * col("__cna")))
+        .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+        .select(col(queryId), col("rank"), col("vec_id").as("neighbor_id"),
+          col("sim"))
+    }
   }
 
   /** Incremental append: assign `vectors` to cells under each cell's
@@ -344,10 +423,15 @@ object VectorIndex {
         st.scale, st.capacity, st.dim, foldedThrough)
     }
     val centsJob = Future {
-      // centroids are immutable but must ride INSIDE the generation so
-      // the marker switches the whole index as one atomic unit
+      // centroids (and the PQ book when present) are immutable but
+      // must ride INSIDE the generation so the marker switches the
+      // whole index as one atomic unit
       val cents = readCentroids(spark, path)
       writeCentroids(spark, s"$genDir/centroids", cents)
+      if (hasBook(spark, path)) {
+        val (book, subspaces) = readBook(spark, path)
+        writeBook(spark, s"$genDir/pqbook", book, subspaces)
+      }
     }
     Await.result(Future.sequence(jobs :+ countsJob :+ statsJob :+ centsJob),
       scala.concurrent.duration.Duration.Inf)
@@ -367,6 +451,7 @@ object VectorIndex {
       fs.delete(new Path(s"$path/counts"), true)
       fs.delete(new Path(s"$path/stats"), true)
       fs.delete(new Path(s"$path/centroids"), true)
+      fs.delete(new Path(s"$path/pqbook"), true)
     }
     fs.listStatus(new Path(path)).foreach { stt =>
       stt.getPath.getName match {
@@ -437,6 +522,93 @@ object VectorIndex {
   private def sqnorm(a: Column): Column =
     aggregate(transform(a, x => x * x), lit(0L), _ + _)
 
+  private def dotl(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+
+  /** nprobe best cells per query by the exact-integer cosine against
+    * the centroid literals (ties to the lowest cell id) — identical
+    * probe selection to [[Similarity.ivfBalancedTopK]]. */
+  private def probesOf(queries: DataFrame, cents: Seq[(Long, Array[Long])],
+      scale: Int, nprobe: Int, queryId: String, queryVec: String): DataFrame =
+    queries
+      .select(col(queryId), quant(col(queryVec), scale).as("__qq"))
+      .withColumn("__qna", sqnorm(col("__qq")))
+      .withColumn("__pc", explode(slice(array_sort(array(
+        cents.map { case (cid, cv) =>
+          val nc = cv.map(x => x * x).sum.toDouble
+          struct((-(dotl(col("__qq"), lit(cv)).cast("double") /
+            sqrt(col("__qna").cast("double") * lit(nc)))).as("negcos"),
+            lit(cid).as("cid"))
+        }: _*)), lit(1), lit(nprobe))))
+      .select(col(queryId), col("__qq"), col("__qna"),
+        col("__pc.cid").as("cluster"))
+
+  /** Residual PQ codebook over a bounded deterministic sample of the
+    * assigned corpus: residual = q − its cell's centroid (the
+    * quantized-long domain, widened to doubles), per-subspace Lloyd.
+    * Bounded driver-side work, the [[Similarity.residualCodebook]]
+    * discipline re-expressed over the balanced assignment. */
+  private def trainResidualBook(base: DataFrame,
+      cents: Seq[(Long, Array[Long])], subspaces: Int, codewords: Int,
+      iterations: Int, trainSample: Int): Array[Array[Double]] = {
+    val centMap = cents.toMap
+    val sample = base.orderBy(col("vec_id")).limit(trainSample)
+      .select(col("q"), col("cluster")).collect()
+      .map(r => (r.getSeq[Long](0).toArray, r.getLong(1)))
+    require(sample.nonEmpty, "trainResidualBook: empty corpus")
+    val residuals = sample.map { case (q, cid) =>
+      val c = centMap(cid)
+      Array.tabulate(q.length)(i => (q(i) - c(i)).toDouble)
+    }
+    graft.operators.Quantize.pqCodebookKMeansFromSample(residuals,
+      codewords, subspaces, iterations)
+  }
+
+  /** Attach compact PQ `codes` to assigned code rows: residual
+    * against the row's own centroid (broadcast join on the cell id),
+    * encoded with the shared book via the compiled PqEncode loop. */
+  private def withPqCodes(df: DataFrame, cents: Seq[(Long, Array[Long])],
+      book: Array[Array[Double]], subspaces: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centDf = broadcast(cents.map { case (cid, cv) =>
+      (cid, cv.map(_.toDouble).toSeq) }.toDF("cluster", "__cent"))
+    df.join(centDf, "cluster")
+      .withColumn("__res", zip_with(col("q").cast(ArrayType(DoubleType)),
+        col("__cent"), (a, b) => a - b))
+      .withColumn("codes",
+        graft.operators.Quantize.pqCodesColumn(col("__res"), book, subspaces))
+      .drop("__cent", "__res")
+  }
+
+  private def writeBook(spark: SparkSession, dir: String,
+      book: Array[Array[Double]], subspaces: Int): Unit = {
+    import spark.implicits._
+    book.zipWithIndex.map { case (cw, i) => (i, cw.toSeq, subspaces) }.toSeq
+      .toDF("cw", "c", "subspaces")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir)
+  }
+
+  /** The shared residual book (codewords × dim, bounded) and its
+    * subspace count. Fails loudly when the index was built without a
+    * PQ tier. */
+  def readBook(spark: SparkSession, path: String): (Array[Array[Double]], Int) = {
+    val dir = s"${root(spark, path)}/pqbook"
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(dir)),
+      s"no PQ codebook under $path — build(pqSubspaces > 0) first")
+    val rows = spark.read.parquet(dir).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+      .sortBy(_._1)
+    (rows.map(_._2), rows.head._3)
+  }
+
+  private def hasBook(spark: SparkSession, path: String): Boolean = {
+    val dir = new Path(s"${root(spark, path)}/pqbook")
+    dir.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(dir)
+  }
+
   private final case class IdxStats(nVecs: Long, clusters: Int, scale: Int,
       capacity: Long, dim: Int, foldedThrough: Long)
 
@@ -497,6 +669,19 @@ object VectorIndex {
       }
       .reduce(_ unionByName _)
 
+  /** Projected live cell read — `cols` only (plus vec_id/cluster):
+    * the codes-only serving scan rides parquet's columnar layout, so
+    * unselected wide columns cost zero IO. */
+  private def readCellsCols(spark: SparkSession, path: String,
+      cols: Seq[String]): DataFrame =
+    (s"${root(spark, path)}/cells" +: unfoldedBatchDirs(spark, path, "cells"))
+      .map { d =>
+        spark.read.parquet(d)
+          .select(col("vec_id") +: cols.map(col) :+
+            col("cluster").cast("long").as("cluster"): _*)
+      }
+      .reduce(_ unionByName _)
+
   /** Quantize + assign a new-vector batch under each cell's remaining
     * capacity; returns (codes rows ready to land, per-cell counts of
     * the batch). */
@@ -512,10 +697,19 @@ object VectorIndex {
       quant(col(vecCol), st.scale).as("q"))
     val assigned = Similarity.balancedAssign(e, cents, remaining,
       maxRounds = 8)
-    val codes = e
+    val plain = e
       .withColumn("na", sqnorm(col("q")))
       .join(assigned.select(col("vec_id"), col("cid").as("cluster")),
         "vec_id")
+    // a PQ-tiered index encodes appends with the FROZEN shared book so
+    // appended rows carry the same columns (and the same codes the
+    // builder would have produced) as the base cells
+    val codes =
+      if (!hasBook(spark, path)) plain
+      else {
+        val (book, subspaces) = readBook(spark, path)
+        withPqCodes(plain, cents, book, subspaces)
+      }
     (codes, codes.groupBy("cluster").agg(count(lit(1)).as("n")))
   }
 

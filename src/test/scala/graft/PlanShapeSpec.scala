@@ -523,6 +523,61 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(counts.map(_._2).sum == emb.count())
   }
 
+  test("vector index PQ tier: exact in oracle regime, codes-only candidate scan") {
+    import graft.sources.VectorIndex
+    val tmp = java.nio.file.Files.createTempDirectory("graft-vpq").toString
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val cap = math.ceil(emb.count() / 8.0).toLong
+    // near-isotropic synthetic vectors are PQ's WORST case (residuals
+    // carry little subspace structure), so the spec uses a fine book:
+    // 16 subspaces x 256 codewords — still 16 ints/row vs 64 longs
+    VectorIndex.build(emb, "vec_id", "embedding", tmp,
+      clusters = 8, iterations = 2, capacity = cap, maxRounds = 6,
+      pqSubspaces = 16, pqCodewords = 256)
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e12))).toSet
+    val exact = rows(VectorIndex.topK(spark, tmp, q, k = 5, nprobe = 2,
+      candidates = 200))
+    // ORACLE REGIME: candidates >= probed row count makes the ADC
+    // staging lossless, so the re-ranked result is bit-identical to
+    // the exact path — the PQ plumbing is hash-checked end to end
+    val pq = VectorIndex.topKPq(spark, tmp, q, k = 5, nprobe = 2,
+      candidates = 200, rerank = true)
+    assert(rows(pq) == exact, "oracle-regime PQ != exact path")
+    // the candidate stage scans ONLY (vec_id, codes): some scan in the
+    // plan reads codes without the wide q column — the columnar-IO win
+    pq.count() // finalize AQE
+    val schemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan(pq).toString).map(_.group(1)).toSeq
+    assert(schemas.exists(s => s.contains("codes:") && !s.contains("q:")),
+      s"no codes-only scan in:\n${schemas.mkString("\n")}")
+    // pure ADC (no re-rank, tight candidates): the cheap serving path
+    // still recalls most true neighbors on this corpus
+    val adc = rows(VectorIndex.topKPq(spark, tmp, q, k = 5, nprobe = 2,
+      candidates = 10, rerank = false))
+    val truePairs = exact.map(t => (t._1, t._3))
+    val adcPairs = adc.map(t => (t._1, t._3))
+    val recall = (truePairs & adcPairs).size.toDouble / truePairs.size
+    assert(recall >= 0.5, s"ADC recall $recall below 0.5")
+    // appends encode with the FROZEN book: grow the index, the oracle
+    // regime still holds
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft-vpq2").toString
+    VectorIndex.build(emb.filter(col("vec_id") < 350), "vec_id", "embedding",
+      tmp2, clusters = 8, iterations = 2,
+      capacity = math.ceil(emb.count() / 6.0).toLong, maxRounds = 6,
+      pqSubspaces = 8)
+    VectorIndex.append(emb.filter(col("vec_id") >= 350), "vec_id",
+      "embedding", tmp2)
+    val exact2 = rows(VectorIndex.topK(spark, tmp2, q, k = 5, nprobe = 8,
+      candidates = 600))
+    val pq2 = rows(VectorIndex.topKPq(spark, tmp2, q, k = 5, nprobe = 8,
+      candidates = 600, rerank = true))
+    assert(pq2 == exact2, "appended PQ index: oracle regime broken")
+  }
+
   test("vector index: capacity-bounded append, compaction, full-probe parity") {
     import graft.sources.VectorIndex
     val tmp = java.nio.file.Files.createTempDirectory("graft-vida").toString
