@@ -322,6 +322,26 @@ object SparkEntry {
           col("n_cust"), col("bal"))
         .orderBy("seg", "nation")
     }),
+    // GENERIC RANGE JOIN (point-in-interval, arbitrary per-row
+    // lengths, NO equality key): Spark's own plan for a pure
+    // inequality join is a BroadcastNestedLoopJoin — O(n x m) at any
+    // scale. RangeJoin manufactures the missing equi-key by bucketing
+    // the domain (intervals explode into overlapped buckets, points
+    // hash to one, exact BETWEEN as residual) — a plain shuffle
+    // equi-join; a pair meets in exactly one bucket so no dedup
+    "q32_range_join" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+        .select(col("event_type"), (col("event_id") % 10000).as("p"))
+      val iv = T(s, dir, "orders")
+        .select((col("o_orderkey") % 10000).as("lo"), col("o_orderkey"))
+        .withColumn("hi", col("lo") + col("o_orderkey") % 13)
+      RangeJoin.pointInInterval(ev, iv, "p", "lo", "hi")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("o_orderkey")).as("sum_keys"),
+          countDistinct(col("p")).as("n_points"))
+        .orderBy("event_type")
+    }),
     "q15_having_subquery" -> ((s, dir) => {
       val c = T(s, dir, "customer"); val n = T(s, dir, "nation")
       val j = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
@@ -1460,6 +1480,18 @@ object SparkEntry {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY CUBE(c_mktsegment, n_name)
         |ORDER BY seg, nation""".stripMargin,
+    // q32's oracle is the NAIVE range join — bucketing must lose and
+    // invent nothing
+    "q32_range_join" ->
+      """WITH p AS (SELECT event_type, event_id % 10000 AS p FROM events),
+        |iv AS (SELECT o_orderkey % 10000 AS lo,
+        |    o_orderkey % 10000 + o_orderkey % 13 AS hi, o_orderkey
+        |  FROM orders)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+        |  CAST(count(DISTINCT p) AS BIGINT) AS n_points
+        |FROM p JOIN iv ON p.p BETWEEN iv.lo AND iv.hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q15_having_subquery" ->
       """WITH j AS (SELECT n_name, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
         |  FROM customer JOIN nation ON c_nationkey = n_nationkey),

@@ -22,8 +22,8 @@ class CoreSpec extends AnyFunSuite {
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
     // a duplicated key in the Map literal would silently drop an entry
-    assert(q.size == 116, s"expected 116 queries, got ${q.size}: check for duplicate keys")
-    assert(o.size == 115, s"expected 115 oracle-checked queries, got ${o.size}")
+    assert(q.size == 117, s"expected 117 queries, got ${q.size}: check for duplicate keys")
+    assert(o.size == 116, s"expected 116 oracle-checked queries, got ${o.size}")
   }
 
   test("every declared query has an oracle or is rows-only, and runs") {

@@ -437,6 +437,51 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(loaded == pm, "persisted catalog must round-trip")
   }
 
+  test("range join: bucketed equi-join plan, == naive BETWEEN join, outer safe") {
+    import graft.operators.RangeJoin
+    import spark.implicits._
+    val points = (0L until 500L).map(i => (i, s"t${i % 3}"))
+      .toDF("p", "tag")
+    val iv = (0L until 300L)
+      .map(i => (i * 3 % 450, i * 3 % 450 + i % 29, i))
+      .toDF("lo", "hi", "iv_id")
+    val got = RangeJoin.pointInInterval(points, iv, "p", "lo", "hi")
+      .select("p", "iv_id")
+    val naive = points.join(iv, col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("p", "iv_id")
+    def s(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(s(got) == s(naive), "bucketed range join != naive BETWEEN join")
+    assert(s(got).nonEmpty, "test premise: matches exist")
+    // the PLAN is the point: the naive form is a BroadcastNestedLoop
+    // (O(n x m)); the bucketed form must be a plain equi-join
+    val naivePlan = plan(naive).toString
+    assert(naivePlan.contains("BroadcastNestedLoopJoin"),
+      s"premise: naive inequality join should plan as BNLJ:\n$naivePlan")
+    val gotPlan = plan(got).toString
+    assert(!gotPlan.contains("BroadcastNestedLoopJoin") &&
+      !gotPlan.contains("CartesianProduct"),
+      s"bucketed range join must be an equi-join:\n$gotPlan")
+    assert(gotPlan.contains("SortMergeJoin") ||
+      gotPlan.contains("ShuffledHashJoin") ||
+      gotPlan.contains("BroadcastHashJoin"),
+      s"no hash/merge equi-join in:\n$gotPlan")
+    // left_outer: unmatched points survive null-extended, matched ones
+    // never duplicate beyond their true interval count
+    val lo = RangeJoin.pointInInterval(points, iv, "p", "lo", "hi",
+      joinType = "left_outer")
+    assert(lo.count() ==
+      naive.groupBy("p").count()
+        .join(points, Seq("p"), "right_outer")
+        .select(coalesce(col("count"), lit(1L)).as("n"))
+        .agg(sum("n")).head.getLong(0),
+      "left_outer cardinality wrong")
+    // a pinned width gives the same answer (width is a cost knob, not
+    // a semantics knob)
+    assert(s(RangeJoin.pointInInterval(points, iv, "p", "lo", "hi",
+      width = 7L).select("p", "iv_id")) == s(naive))
+  }
+
   test("ann planner: tier flips on amortized training cost, results match the chosen tier") {
     import graft.plans.AnnPlanner
     import graft.operators.Similarity
