@@ -106,6 +106,35 @@ object SparkEntry {
           timestamp_to_string(col("exchangeRateTime")).as("rate_time"))
         .orderBy("id")
     }),
+    // pandas merge_asof's other two directions, completing the family:
+    // FORWARD (earliest rate at-or-after the order) and NEAREST
+    // (whichever side lies closer; ties resolve backward)
+    "ref_asof_forward" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      val o = RefTables.orders(e)
+      val r = RefTables.rates(e)
+      AsOfJoin.forward(o, r, "currency", "orderTime", "exchangeRateTime",
+          Seq("rate", "exchangeRateTime"))
+        .select(col("id"),
+          col("amount").as("original_amount"),
+          col("rate"),
+          (col("amount") * col("rate")).as("converted_amount"),
+          timestamp_to_string(col("exchangeRateTime")).as("rate_time"))
+        .orderBy("id")
+    }),
+    "ref_asof_nearest" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      val o = RefTables.orders(e)
+      val r = RefTables.rates(e)
+      AsOfJoin.nearest(o, r, "currency", "id", "orderTime",
+          "exchangeRateTime", Seq("rate", "exchangeRateTime"))
+        .select(col("id"),
+          col("amount").as("original_amount"),
+          col("rate"),
+          (col("amount") * col("rate")).as("converted_amount"),
+          timestamp_to_string(col("exchangeRateTime")).as("rate_time"))
+        .orderBy("id")
+    }),
     // same semantics as ref_asof_join but through graft's custom
     // whole-operator path (AsOfJoinPlan -> AsOfJoinStrategy ->
     // AsOfMergeJoinExec) -- checked against the same DuckDB oracle
@@ -1339,6 +1368,29 @@ object SparkEntry {
          |  SELECT r.rate, r.rate_ts FROM r
          |  WHERE r.currency = o.currency AND r.rate_ts <= o.order_ts
          |  ORDER BY r.rate_ts DESC LIMIT 1) rr ON TRUE
+         |ORDER BY id""".stripMargin,
+    "ref_asof_forward" ->
+      s"""WITH o AS (${RefTables.ordersSql}), r AS (${RefTables.ratesSql})
+         |SELECT o.id, o.amount AS original_amount, rr.rate,
+         |  o.amount * rr.rate AS converted_amount,
+         |  strftime(rr.rate_ts, '$FMT') AS rate_time
+         |FROM o LEFT JOIN LATERAL (
+         |  SELECT r.rate, r.rate_ts FROM r
+         |  WHERE r.currency = o.currency AND r.rate_ts >= o.order_ts
+         |  ORDER BY r.rate_ts ASC LIMIT 1) rr ON TRUE
+         |ORDER BY id""".stripMargin,
+    // nearest: smallest |rate_ts - order_ts| per order, ties backward
+    "ref_asof_nearest" ->
+      s"""WITH o AS (${RefTables.ordersSql}), r AS (${RefTables.ratesSql})
+         |SELECT o.id, o.amount AS original_amount, rr.rate,
+         |  o.amount * rr.rate AS converted_amount,
+         |  strftime(rr.rate_ts, '$FMT') AS rate_time
+         |FROM o LEFT JOIN LATERAL (
+         |  SELECT r.rate, r.rate_ts FROM r
+         |  WHERE r.currency = o.currency
+         |  ORDER BY abs(epoch_us(r.rate_ts) - epoch_us(o.order_ts)),
+         |    CASE WHEN r.rate_ts <= o.order_ts THEN 0 ELSE 1 END
+         |  LIMIT 1) rr ON TRUE
          |ORDER BY id""".stripMargin,
     "ref_asof_merge" ->
       s"""WITH o AS (${RefTables.ordersSql}), r AS (${RefTables.ratesSql})

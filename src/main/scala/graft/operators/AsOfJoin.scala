@@ -83,6 +83,94 @@ object AsOfJoin {
       .select((lCols ++ valueCols).map(col): _*)
   }
 
+  /** FORWARD as-of join: for each left row, the single EARLIEST right
+    * row with right.time >= left.time on the same key (the pandas
+    * `merge_asof(direction="forward")` semantics — "the next quote
+    * after the order"). Same union + one-shuffle plan as [[backward]],
+    * with the window traversing time DESCENDING so the carried pack is
+    * the nearest following right row; a right row stamped exactly at
+    * left.time is visible (matches >=). `tolerance` nulls out matches
+    * later than left.time + tolerance. */
+  def forward(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTime: String, rightTime: String,
+      valueCols: Seq[String],
+      tolerance: Option[Duration] = None): DataFrame = {
+    val lCols = left.columns.toSeq
+    require(valueCols.forall(!lCols.contains(_)),
+      "right value columns must not collide with left column names")
+    val rightTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
+    val packType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__g_rt", right.schema(rightTime).dataType) +:
+        valueCols.map(c => org.apache.spark.sql.types.StructField(c, rightTypes(c))))
+    val lPart = left
+      .withColumn("__g_t", col(leftTime))
+      .withColumn("__g_side", lit(1))
+      .withColumn("__g_pack", lit(null).cast(packType))
+      .select((Seq(col("__g_t"), col("__g_side"), col("__g_pack")) ++
+        lCols.map(col)): _*)
+    val rPart = right
+      .withColumn("__g_t", col(rightTime))
+      .withColumn("__g_side", lit(0))
+      .withColumn("__g_pack",
+        struct(col(rightTime).as("__g_rt") +: valueCols.map(col): _*))
+      .select((Seq(col("__g_t"), col("__g_side"), col("__g_pack")) ++
+        lCols.map(c => if (c == key) col(key)
+                       else lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    // descending time; right rows still sort before left at equal
+    // timestamps (side 0 < 1), so an exactly-coincident right row is
+    // carried onto the left row — the >= bound
+    val w = Window.partitionBy(key).orderBy(col("__g_t").desc, col("__g_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withVals = lPart.unionByName(rPart)
+      .withColumn("__g_last", last(col("__g_pack"), ignoreNulls = true).over(w))
+      .where(col("__g_side") === 1)
+    val matched: Column = tolerance match {
+      case Some(tol) =>
+        val tolUs = tol.toMillis * 1000L
+        unix_micros(col("__g_last.__g_rt")) < unix_micros(col("__g_t")) + tolUs
+      case None => col("__g_last").isNotNull
+    }
+    withVals
+      .withColumns(valueCols.map(c =>
+        c -> when(matched, col(s"__g_last.$c"))).toMap)
+      .select((lCols ++ valueCols).map(col): _*)
+  }
+
+  /** NEAREST as-of join: for each left row, whichever of its backward
+    * and forward matches lies closer in time (pandas
+    * `direction="nearest"`); ties and single-sided matches resolve to
+    * the backward row. `tolerance` bounds the distance on BOTH sides.
+    * Runs the two directional joins (one shuffle each) and chooses per
+    * row — the choice needs both candidates' timestamps, so it cannot
+    * be cheaper than computing both. Requires a unique left id for
+    * the recombination join. */
+  def nearest(
+      left: DataFrame, right: DataFrame,
+      key: String, leftId: String, leftTime: String, rightTime: String,
+      valueCols: Seq[String],
+      tolerance: Option[Duration] = None): DataFrame = {
+    val lCols = left.columns.toSeq
+    // carry each direction's matched timestamp so the chooser can
+    // compare distances (rightTime must not collide with left names)
+    val rt = "__g_near_rt"
+    require(!lCols.contains(rt) && valueCols.forall(_ != rt))
+    val rWithRt = right.withColumn(rt, col(rightTime))
+    val b = backward(left, rWithRt, key, leftTime, rightTime,
+      valueCols :+ rt, tolerance)
+    val f = forward(left, rWithRt, key, leftTime, rightTime,
+      valueCols :+ rt, tolerance)
+    val fSel = f.select(col(leftId).as("__g_fid") +:
+      (valueCols :+ rt).map(c => col(c).as(s"__g_f_$c")): _*)
+    val dist = (a: Column) => abs(unix_micros(a) - unix_micros(col(leftTime)))
+    val useForward = col(s"__g_f_$rt").isNotNull &&
+      (col(rt).isNull || dist(col(s"__g_f_$rt")) < dist(col(rt)))
+    b.join(fSel, col(leftId) === col("__g_fid"))
+      .withColumns(valueCols.map(c =>
+        c -> when(useForward, col(s"__g_f_$c")).otherwise(col(c))).toMap)
+      .select((lCols ++ valueCols).map(col): _*)
+  }
+
   /** Backward as-of join through graft's custom operator
     * (`plans.AsOfJoinPlan` -> `AsOfMergeJoinExec`): one hash exchange +
     * sort per side, then a single forward merge pass per partition —

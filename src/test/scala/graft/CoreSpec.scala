@@ -13,6 +13,8 @@ class CoreSpec extends AnyFunSuite {
   lazy val spark = GraftSession.local(4)
   val dir = "/root/testdata/sf0.001"
 
+  def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
   test("entry smoke: rows > 0") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
@@ -22,8 +24,8 @@ class CoreSpec extends AnyFunSuite {
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
     // a duplicated key in the Map literal would silently drop an entry
-    assert(q.size == 117, s"expected 117 queries, got ${q.size}: check for duplicate keys")
-    assert(o.size == 116, s"expected 116 oracle-checked queries, got ${o.size}")
+    assert(q.size == 119, s"expected 119 queries, got ${q.size}: check for duplicate keys")
+    assert(o.size == 118, s"expected 118 oracle-checked queries, got ${o.size}")
   }
 
   test("every declared query has an oracle or is rows-only, and runs") {
@@ -85,6 +87,37 @@ class CoreSpec extends AnyFunSuite {
         col("exchangeRateTime") <= lit(ot))
       .orderBy(col("exchangeRateTime").desc).limit(1).collect().head
     assert(sample.getAs[Int]("rate") == expect.getAs[Int]("rate"))
+  }
+
+  test("as-of forward/nearest: direction bounds, tie to backward, tolerance") {
+    import spark.implicits._
+    val o = Seq((1L, "EUR", ts(100)), (2L, "EUR", ts(200)),
+        (3L, "EUR", ts(301)), (4L, "GBP", ts(100)))
+      .toDF("id", "currency", "orderTime")
+    val r = Seq(("EUR", ts(90), 9), ("EUR", ts(103), 10),
+        ("EUR", ts(210), 21), ("EUR", ts(300), 30), ("EUR", ts(302), 31))
+      .toDF("currency", "exchangeRateTime", "rate")
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(rr => rr.getLong(0) -> Option(rr.get(1))).toMap
+    // forward: earliest rate AT-OR-AFTER each order
+    val f = m(AsOfJoin.forward(o, r, "currency", "orderTime",
+      "exchangeRateTime", Seq("rate")).select("id", "rate"))
+    assert(f == Map(1L -> Some(10), 2L -> Some(21), 3L -> Some(31),
+      4L -> None), s"forward got $f")
+    // nearest: closer side wins (id 1: forward 103 at dist 3 beats
+    // backward 90 at dist 10); id 3 at t=301 is 1s from both 300 and
+    // 302 -> TIE resolves backward (rate 30)
+    val n = m(AsOfJoin.nearest(o, r, "currency", "id", "orderTime",
+      "exchangeRateTime", Seq("rate")).select("id", "rate"))
+    assert(n == Map(1L -> Some(10), 2L -> Some(21), 3L -> Some(30),
+      4L -> None), s"nearest got $n")
+    // forward tolerance: a match farther than tol nulls out (id 2's
+    // next rate is 10s ahead)
+    val ft = m(AsOfJoin.forward(o, r, "currency", "orderTime",
+      "exchangeRateTime", Seq("rate"), Some(Duration.ofSeconds(5)))
+      .select("id", "rate"))
+    assert(ft == Map(1L -> Some(10), 2L -> None, 3L -> Some(31), 4L -> None),
+      s"forward+tol got $ft")
   }
 
   test("backwardBounded as-of == backward with tolerance (matched rows)") {
