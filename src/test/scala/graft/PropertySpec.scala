@@ -140,6 +140,41 @@ object PropertySpec extends Properties("graft.kernels") {
       startsSig || (img.isEmpty && aud.isEmpty)
     }
 
+  // ---- MinHash-LSH band derivation ----------------------------------
+
+  property("minhashBandsFor: meets the bound, minimal, monotone") =
+    forAll(Gen.choose(0.2, 0.95), Gen.choose(1, 8),
+        Gen.oneOf(0.1, 0.05, 0.01, 0.001)) { (t, r, eps) =>
+      val b = graft.operators.Dedup.minhashBandsFor(t, r, eps)
+      def collide(bands: Int) = 1.0 - math.pow(1.0 - math.pow(t, r), bands)
+      // the bound holds AT the threshold and is not over-provisioned
+      val bound = collide(b) >= 1.0 - eps &&
+        (b == 1 || collide(b - 1) < 1.0 - eps)
+      // collision probability is monotone in j: any pair ABOVE the
+      // threshold beats the bound too
+      val above = collide(b) <= 1.0 - math.pow(1.0 - math.pow(
+        math.min(t + 0.04, 0.99), r), b) + 1e-12
+      // a stricter eps never needs fewer bands
+      val mono = graft.operators.Dedup.minhashBandsFor(t, r, eps / 10) >= b
+      bound && above && mono
+    }
+
+  property("pcmStats == per-sample reference on random PCM") =
+    forAll(Gen.listOf(Gen.choose(-32768, 32767)), Gen.choose(1, 2)) {
+      (samples, ch) =>
+        val pcm = samples.flatMap(s => le16(s & 0xffff))
+        val wav = ("RIFF".map(_.toInt) ++ le32(36L + pcm.size) ++
+          "WAVE".map(_.toInt) ++ "fmt ".map(_.toInt) ++ le32(16) ++
+          le16(1) ++ le16(ch) ++ le32(8000L) ++
+          le32(8000L * ch * 2) ++ le16(ch * 2) ++ le16(16) ++
+          "data".map(_.toInt) ++ le32(pcm.size.toLong) ++ pcm)
+          .map(_.toByte).toArray
+        Multimodal.pcmStats(wav).contains(Multimodal.PcmStats(
+          samples.length,
+          samples.map(_.toLong).sum,
+          if (samples.isEmpty) 0 else samples.map(math.abs).max))
+    }
+
   // ---- Misra-Gries heavy hitters ------------------------------------
 
   private def mgRun(tokens: Seq[String], capacity: Int):
