@@ -77,6 +77,10 @@ object ScaleBench {
       replicate(cust, factor) { (c, i) =>
         c.withColumn("c_custkey", col("c_custkey") + lit(i * SHIFT))
       }.write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      val ord = Tables.load(spark, base, "orders")
+      replicate(ord, factor) { (o, i) =>
+        o.withColumn("o_orderkey", col("o_orderkey") + lit(i * SHIFT))
+      }.write.mode("overwrite").parquet(s"$dir/orders.parquet")
       Tables.load(spark, base, "nation")
         .write.mode("overwrite").parquet(s"$dir/nation.parquet")
       new java.io.File(s"$dir/_done").createNewFile()
@@ -120,11 +124,23 @@ object ScaleBench {
       "s14_ann_ivfpq_cell",
       // balanced SemDeDup: k scales with n at fixed capacity, so the
       // pair stage must stay linear-in-n like d11's auto form
-      "d12_semantic_dedup_balanced")
+      "d12_semantic_dedup_balanced",
+      // r7: materialized vector index (train+write per run, x21-style
+      // write path; capacity derives from count so cells stay bounded),
+      // its PQ/ADC tier, the bucketed range join (equi-join shaped, so
+      // linear in points + interval copies), and the other two as-of
+      // directions (same one-shuffle windowed plan as ref_asof_join)
+      "s16_vector_index", "s17_vector_index_pq",
+      "ref_asof_forward", "ref_asof_nearest")
       // x18/x19 are NOT here for x12's reason (salting renames their
       // literal terms) — the salted cases below measure real phrase/
       // proximity retrieval.
-    val quadOps = Seq("d5_embed_neardup", "s1_ann_bruteforce")
+    // q32: points AND intervals both replicate over the FIXED 10k
+    // domain, so the match count itself is ~f^2 — the join is
+    // equi-join shaped (work tracks matches, not the n x m cross),
+    // which is exactly what the quadratic profile should show
+    val quadOps = Seq("d5_embed_neardup", "s1_ann_bruteforce",
+      "q32_range_join")
 
     // Candidate-stage scale check for the re-ranking ANN paths: a 10x
     // query batch (100 queries vs the SparkEntry entries' 10) over the
