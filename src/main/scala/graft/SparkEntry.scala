@@ -910,6 +910,15 @@ object SparkEntry {
       CorpusOps.shardShuffle(T(s, dir, "documents"), "doc_id", shards = 1024)
         .select("shard", "pos", "doc_id")
         .orderBy("shard", "pos")),
+    // deterministic per-group cap (class balancing: at most k docs per
+    // source, chosen in hash order) — two-phase ranked, so the
+    // dominant group never funnels through one sorted task, and
+    // already-full hash-prefix buckets drop BEFORE the rank shuffle
+    "x24_group_cap" -> ((s, dir) =>
+      CorpusOps.capPerGroup(T(s, dir, "documents"), "doc_id", "source",
+          k = 20)
+        .select("doc_id", "source")
+        .orderBy("source", "doc_id")),
     // leakage-safe split: near-dup groups land in ONE split, so test
     // docs never have near-copies in train; assignment = md5 split
     // keyed by the dedup component. Default exactPairs=true derives
@@ -2148,6 +2157,13 @@ object SparkEntry {
         |SELECT shard, CAST(row_number() OVER (PARTITION BY shard
         |    ORDER BY h, doc_id) AS BIGINT) AS pos, doc_id
         |FROM s ORDER BY shard, pos""".stripMargin
+    },
+    "x24_group_cap" -> {
+      val sel = operators.CorpusOps.capPerGroupSql(
+        "doc_id::VARCHAR", "source", 20)
+      s"""SELECT doc_id, source FROM documents
+         |QUALIFY $sel
+         |ORDER BY source, doc_id""".stripMargin
     },
     "x16_budget_mix" ->
       """WITH t AS (SELECT lang, doc_id,

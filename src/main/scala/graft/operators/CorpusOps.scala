@@ -229,6 +229,54 @@ object CorpusOps {
     }
   }
 
+  /** Deterministic PER-GROUP CAP: keep at most `k` rows of each group,
+    * chosen by hash order (md5(id:salt)) — the class-balancing /
+    * source-capping step of a training-data pipeline ("at most k docs
+    * per domain"), stable across runs, engines, and partitionings, and
+    * uniform within each group (the hash order is a random order that
+    * every engine can replay).
+    *
+    * SKEW-SAFE by the [[shardShuffle]] two-phase discipline: corpora
+    * are capped per group precisely BECAUSE one group dominates, so a
+    * plain `row_number() OVER (PARTITION BY group)` — one sorted task
+    * holding the dominant group's every row — is the wrong plan at
+    * exactly the moment the operator matters. Rows instead slice into
+    * 256 contiguous hash-prefix buckets inside each group (bucket
+    * order = hash order), rank within (group, bucket), and shift by
+    * the exclusive prefix of per-bucket counts; the counts frame is
+    * groups x 256 rows. Per-task sorted input is bounded by
+    * |group|/256 whatever the skew. */
+  def capPerGroup(df: DataFrame, idCol: String, groupCol: String, k: Int,
+      salt: String = "graft-cap"): DataFrame = {
+    require(k >= 1)
+    val h = md5(concat(col(idCol).cast("string"), lit(":" + salt)))
+    val sliced = df.withColumn("__h", h)
+      .withColumn("__b",
+        conv(substring(col("__h"), 1, 2), 16, 10).cast("long"))
+    val offsets = sliced.groupBy(col(groupCol), col("__b"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(
+        Window.partitionBy(col(groupCol)).orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__n")
+    // buckets whose exclusive prefix already reaches k can be DROPPED
+    // before the rank shuffle — the map-side prune that makes the cap
+    // cheap on the dominant group (only ~k surviving rows rank)
+    val w = Window.partitionBy(col(groupCol), col("__b"))
+      .orderBy(col("__h"), col(idCol))
+    sliced.join(broadcast(offsets), Seq(groupCol, "__b"))
+      .where(col("__off") < k)
+      .withColumn("__r", col("__off") + row_number().over(w))
+      .where(col("__r") <= k)
+      .drop("__h", "__b", "__off", "__r")
+  }
+
+  /** SQL mirror of `capPerGroup`'s selection for a DuckDB oracle. */
+  def capPerGroupSql(idExpr: String, groupExpr: String, k: Int,
+      salt: String = "graft-cap"): String =
+    s"""row_number() OVER (PARTITION BY $groupExpr
+       |    ORDER BY md5($idExpr || ':$salt'), $idExpr) <= $k""".stripMargin
+
   /** SQL mirror of `shardShuffle`'s shard + ordering for an oracle. */
   def shardShuffleSql(idExpr: String, shards: Int,
       salt: String = "graft-shuffle"): (String, String) = {

@@ -1085,6 +1085,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(feats.pcm_samples.contains(3L) && feats.pcm_peak.contains(2000))
   }
 
+  test("capPerGroup: two-phase == single-window reference, repartition-stable") {
+    val docs = sources.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(concat(col("doc_id").cast("string"), lit(":graft-cap")))
+    def reference(k: Int) = docs.withColumn("__h", h)
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("source").orderBy(col("__h"), col("doc_id"))))
+      .where(col("__r") <= k)
+      .select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    for (k <- Seq(1, 7, 20, 1000)) {
+      val got = CorpusOps.capPerGroup(docs, "doc_id", "source", k)
+        .select("doc_id", "source")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == reference(k), s"two-phase cap != reference at k=$k")
+      // k beyond every group size keeps everything
+      if (k == 1000) assert(got.size == docs.count())
+      // cap is exact: no group exceeds k
+      val sizes = got.groupBy(_._2).map(_._2.size)
+      assert(sizes.forall(_ <= k))
+    }
+    // partitioning must not change the selection
+    val a = CorpusOps.capPerGroup(docs.repartition(13), "doc_id", "source", 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = CorpusOps.capPerGroup(docs.repartition(3), "doc_id", "source", 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "selection must be partitioning-invariant")
+  }
+
   test("shardShuffle two-phase positions equal the single-window form") {
     val docs = sources.Tables.load(spark, "/root/testdata/sf0.01", "documents")
     // reference: global row_number per shard over the same keys
