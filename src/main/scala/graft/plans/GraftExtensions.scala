@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     ext.injectOptimizerRule(_ => RewriteIntervalJoin)
+    ext.injectOptimizerRule(_ => RewriteRangeJoin)
     ext.injectOptimizerRule(_ => InjectBloomJoinFilter)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }

@@ -482,6 +482,48 @@ class PlanShapeSpec extends AnyFunSuite {
       width = 7L).select("p", "iv_id")) == s(naive))
   }
 
+  test("range-join rewrite rule: BNLJ becomes an equi-join under the width conf") {
+    import graft.plans.RewriteRangeJoin
+    import spark.implicits._
+    val points = (0L until 400L).map(i => (i, i % 7)).toDF("p", "tag")
+    val iv = (0L until 250L)
+      .map(i => (i * 3 % 380, i * 3 % 380 + i % 23, i)).toDF("lo", "hi", "iv_id")
+    def joined = points.join(iv,
+      col("p") >= col("lo") && col("p") <= col("hi"))
+    def louter = points.join(iv,
+      col("p") >= col("lo") && col("p") <= col("hi"), "left_outer")
+    def s(df: org.apache.spark.sql.DataFrame) = df.select("p", "iv_id")
+      .collect().map(r => (r.getLong(0), r.get(1))).toSet
+    // dormant without the width conf (a good width needs stats the
+    // optimizer must not compute) — the naive plan stays BNLJ
+    val dormant = plan(joined).toString
+    assert(dormant.contains("BroadcastNestedLoopJoin"),
+      s"premise: inequality join should be BNLJ when dormant:\n$dormant")
+    val base = s(joined)
+    val baseOuter = (s(louter), louter.count())
+    spark.conf.set(RewriteRangeJoin.WidthKey, "11")
+    try {
+      val p = plan(joined).toString
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+        s"rewrite must remove the nested loop:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+        p.contains("BroadcastHashJoin"), s"no equi-join in:\n$p")
+      assert(s(joined) == base, "rewrite changed inner results")
+      // LEFT OUTER with points preserved: identical rows AND cardinality
+      assert(s(louter) == baseOuter._1 && louter.count() == baseOuter._2,
+        "rewrite changed left-outer results")
+      // a join that already has an equi-key is left alone (it can
+      // shuffle on that key; the rewrite would only add work)
+      val iv2 = iv.withColumn("itag", col("iv_id") % 7)
+      val eq = points.join(iv2,
+        col("tag") === col("itag") && col("p") >= col("lo") &&
+          col("p") <= col("hi"))
+      assert(!plan(eq).toString.contains("__graft_rjb"),
+        "equi-keyed join must not be rewritten")
+    } finally spark.conf.unset(RewriteRangeJoin.WidthKey)
+  }
+
   test("ann planner: tier flips on amortized training cost, results match the chosen tier") {
     import graft.plans.AnnPlanner
     import graft.operators.Similarity
