@@ -1222,6 +1222,36 @@ object SparkEntry {
     // query opening ONLY files whose [min,max] intersects the
     // predicate. The oracle is the plain full-scan filter: pruning
     // must lose nothing. ManifestSpec asserts the scan really skipped.
+    // COPY-ON-WRITE DML: delete/update rewrite ONLY the files whose
+    // [min,max] intersects the predicate — every other file's entry
+    // (and its bytes) carries verbatim, zero IO; the returned manifest
+    // IS the post-DML table
+    "f6_delete_cow" -> ((s, dir) => {
+      val tmp = layoutDir("f6", dir)
+      FileManifest.writeLayout(T(s, dir, "events"), s"$tmp/t", "user_id", 16)
+      val m = FileManifest.buildManifest(s, s"$tmp/t", "user_id")
+      val m2 = FileManifest.deleteRange(s, m, "user_id", 10L, 30L, s"$tmp/rw")
+      FileManifest.readAll(s, m2)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("total_value"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("event_id")).as("sum_ids"))
+        .orderBy("event_type")
+    }),
+    "f7_update_cow" -> ((s, dir) => {
+      val tmp = layoutDir("f7", dir)
+      FileManifest.writeLayout(T(s, dir, "events"), s"$tmp/t", "user_id", 16)
+      val m = FileManifest.buildManifest(s, s"$tmp/t", "user_id")
+      val m2 = FileManifest.updateRange(s, m, "user_id", 10L, 30L,
+        "value", col("value") * 2, s"$tmp/rw")
+      FileManifest.readAll(s, m2)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("total_value"),
+          sum(col("event_id")).as("sum_ids"))
+        .orderBy("event_type")
+    }),
     "f1_manifest_prune" -> ((s, dir) => {
       val tmp = layoutDir("f1", dir)
       FileManifest.writeLayout(T(s, dir, "events"), tmp, "user_id", 16)
@@ -2383,6 +2413,22 @@ object SparkEntry {
         |  CAST(4 AS INT) AS n_frames
         |FROM s ORDER BY doc_id""".stripMargin,
 
+    // f6/f7: the DML oracles ignore the file layout entirely — a
+    // pruned-rewrite delete/update must equal the full-scan form
+    "f6_delete_cow" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_ids
+        |FROM events WHERE user_id NOT BETWEEN 10 AND 30
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "f7_update_cow" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(CASE WHEN user_id BETWEEN 10 AND 30
+        |    THEN value * 2 ELSE value END AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_ids
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // f1's oracle ignores the file layout entirely: a manifest-pruned
     // ranged read must equal the plain full-scan filter, row for row
     "f1_manifest_prune" ->

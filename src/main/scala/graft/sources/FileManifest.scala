@@ -232,6 +232,103 @@ object FileManifest {
       optLit(mn).as("min_v"), optLit(mx).as("max_v"))
   }
 
+  /** COPY-ON-WRITE DELETE: remove the rows with `column` in [lo, hi],
+    * rewriting ONLY the files whose [min, max] intersects the range —
+    * every other file's manifest entry (and its bytes) is carried
+    * verbatim, ZERO IO. That asymmetry is the whole lakehouse DML
+    * story at 100 TB: a targeted delete touches the handful of files
+    * that can contain matches (on a range-clustered layout, interior +
+    * two boundary files), not the table. Rewritten files land under
+    * `rewriteDir` (one file per source file, concurrent single-task
+    * jobs — the compaction discipline); a rewrite left empty is
+    * dropped from the manifest entirely. Returns the post-delete
+    * manifest — [[readPruned]] over it IS the post-delete table; the
+    * superseded originals stay on disk for the caller's retention
+    * policy to sweep (the grace discipline readers need).
+    */
+  def deleteRange(spark: SparkSession, manifest: Seq[FileStats],
+      column: String, lo: Long, hi: Long, rewriteDir: String): Seq[FileStats] = {
+    val (affected, untouched) = manifest.partition(f => f.max >= lo && f.min <= hi)
+    if (affected.isEmpty) return manifest
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val jobs = affected.zipWithIndex.map { case (f, i) =>
+      Future {
+        val dst = f"$rewriteDir/del_$i%05d"
+        spark.read.parquet(f.path)
+          .where(!col(column).between(lo, hi) || col(column).isNull)
+          .coalesce(1)
+          .sortWithinPartitions(column)
+          .write.mode(SaveMode.Overwrite).parquet(dst)
+        dst
+      }
+    }
+    val dirs = Await.result(Future.sequence(jobs),
+      scala.concurrent.duration.Duration.Inf)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fresh = dirs.flatMap { d =>
+      val fs = new Path(d).getFileSystem(conf)
+      fs.listStatus(new Path(d)).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString)
+    }
+    val stats = statsFor(spark, fresh, Seq(column)).map(_(column))
+      .filter(_.rows > 0)
+    (untouched ++ stats).sortBy(_.path)
+  }
+
+  /** COPY-ON-WRITE UPDATE: `SET setCol = value WHERE column BETWEEN lo
+    * AND hi`, same pruned-rewrite discipline as [[deleteRange]] —
+    * untouched files carry verbatim, affected files rewrite with the
+    * transform applied only to matching rows. `value` may reference
+    * the row's own columns (a Column expression). Updating the
+    * CLUSTERING column itself is rejected: rewritten rows could leave
+    * their file's key range and the carried manifest would silently
+    * mis-prune (a real table format re-clusters those rows instead).
+    */
+  def updateRange(spark: SparkSession, manifest: Seq[FileStats],
+      column: String, lo: Long, hi: Long, setCol: String,
+      value: org.apache.spark.sql.Column, rewriteDir: String): Seq[FileStats] = {
+    require(setCol != column,
+      s"updateRange cannot modify the clustering column `$column` " +
+        "(rewritten rows could leave their file's key range)")
+    val (affected, untouched) = manifest.partition(f => f.max >= lo && f.min <= hi)
+    if (affected.isEmpty) return manifest
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val jobs = affected.zipWithIndex.map { case (f, i) =>
+      Future {
+        val dst = f"$rewriteDir/upd_$i%05d"
+        val src = spark.read.parquet(f.path)
+        src
+          .withColumn(setCol,
+            when(col(column).between(lo, hi), value).otherwise(col(setCol)))
+          .coalesce(1)
+          .sortWithinPartitions(column)
+          .write.mode(SaveMode.Overwrite).parquet(dst)
+        dst
+      }
+    }
+    val dirs = Await.result(Future.sequence(jobs),
+      scala.concurrent.duration.Duration.Inf)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fresh = dirs.flatMap { d =>
+      val fs = new Path(d).getFileSystem(conf)
+      fs.listStatus(new Path(d)).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString)
+    }
+    val stats = statsFor(spark, fresh, Seq(column)).map(_(column))
+    (untouched ++ stats).sortBy(_.path)
+  }
+
+  /** Read the whole table a manifest describes (all files, no range
+    * restriction) — the post-DML read companion to [[readPruned]]. */
+  def readAll(spark: SparkSession, manifest: Seq[FileStats]): DataFrame = {
+    require(manifest.nonEmpty, "empty manifest")
+    spark.read.parquet(manifest.map(_.path): _*)
+  }
+
   /** Greedy key-order bin packing of manifest entries: consecutive
     * runs of files whose rows sum to at most `targetRows` (a too-big
     * single file keeps its own bin). Packing adjacent-by-key files

@@ -886,6 +886,58 @@ class PlanShapeSpec extends AnyFunSuite {
       "recompaction must not change answers")
   }
 
+  test("copy-on-write DML: only intersecting files rewrite, results exact") {
+    import graft.sources.FileManifest
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dml").toString
+    val ev = Tables.load(spark, "/root/testdata/sf0.01", "events")
+    FileManifest.writeLayout(ev, s"$tmp/t", "user_id", 16)
+    val m = FileManifest.buildManifest(spark, s"$tmp/t", "user_id")
+    val sorted = m.sortBy(_.min)
+    // a range spanning ~3 interior files
+    val (lo, hi) = (sorted(4).min, sorted(6).max)
+    val m2 = FileManifest.deleteRange(spark, m, "user_id", lo, hi, s"$tmp/rw")
+    // the ZERO-IO claim: every non-intersecting file's entry (path and
+    // bytes) carries verbatim; only the intersecting few were rewritten
+    val affected = m.filter(f => f.max >= lo && f.min <= hi)
+    assert(affected.size <= 4, s"test premise: few files affected")
+    val carried = m2.map(_.path).toSet & m.map(_.path).toSet
+    assert(carried == (m.map(_.path).toSet -- affected.map(_.path)),
+      "non-intersecting files must carry verbatim")
+    assert(m2.map(_.path).count(_.contains("/rw/")) <= affected.size)
+    // exactness vs the full-scan delete
+    val got = FileManifest.readAll(spark, m2)
+      .agg(count(lit(1)), sum("event_id")).head
+    val exp = ev.filter(!col("user_id").between(lo, hi))
+      .agg(count(lit(1)), sum("event_id")).head
+    assert(got == exp, s"delete mismatch: $got vs $exp")
+    // the post-delete manifest still prunes correctly
+    val pr = FileManifest.readPruned(spark, m2, "user_id",
+      sorted.head.min, sorted.last.max)
+    assert(pr.count() == exp.getLong(0))
+    // UPDATE: only matching rows transform; clustering column rejected
+    val m3 = FileManifest.updateRange(spark, m2, "user_id", lo + 1, lo + 1,
+      "value", lit(0.0), s"$tmp/rw2")
+    // everything in [lo,hi] was deleted, so this update matches nothing
+    // visible — results unchanged, but the intersecting file rewrote
+    assert(FileManifest.readAll(spark, m3)
+      .agg(count(lit(1)), sum("event_id")).head == exp)
+    val mu = FileManifest.updateRange(spark, m, "user_id",
+      sorted(2).min, sorted(2).max, "value", col("value") + 1000.0,
+      s"$tmp/rw3")
+    val gotU = FileManifest.readAll(spark, mu)
+      .agg(sum(col("value").cast("decimal(18,2)"))).head.getDecimal(0)
+    val expU = ev.withColumn("value",
+        when(col("user_id").between(sorted(2).min, sorted(2).max),
+          col("value") + 1000.0).otherwise(col("value")))
+      .agg(sum(col("value").cast("decimal(18,2)"))).head.getDecimal(0)
+    assert(gotU == expU, s"update mismatch: $gotU vs $expU")
+    val rej = intercept[IllegalArgumentException] {
+      FileManifest.updateRange(spark, m, "user_id", lo, hi,
+        "user_id", lit(0L), s"$tmp/rw4")
+    }
+    assert(rej.getMessage.contains("clustering column"))
+  }
+
   test("compaction shrinks the file count and keeps the layout prunable") {
     import graft.sources.FileManifest
     val tmp = java.nio.file.Files.createTempDirectory("graft-cpt").toString
