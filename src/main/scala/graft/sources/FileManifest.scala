@@ -521,6 +521,76 @@ object FileManifest {
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/_column")
   }
 
+  // ---- snapshot versioning (time travel) ----------------------------
+  //
+  // A catalog that changes over time (ingest appends, retention
+  // expiry, compaction, CoW DML) needs SNAPSHOTS: each commit writes a
+  // complete catalog under `root/v<N>/` and then creates ONE atomic
+  // `commit-<N>` marker — the TextIndex/VectorIndex generation
+  // discipline applied to table metadata. Readers resolve the max
+  // committed version (or any older one: time travel); a crash
+  // between payload and marker leaves an invisible orphan the next
+  // commit overwrites. Old versions stay until [[expireVersions]] —
+  // they are what time travel reads, and what in-flight readers hold.
+
+  private val VersionMarker = "commit-(\\d+)".r
+
+  /** Commit `pm` as the next catalog version; returns its number. */
+  def commitVersion(spark: SparkSession, pm: PartitionedManifest,
+      root: String): Long = {
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val next = latestVersion(spark, root).map(_ + 1).getOrElse(0L)
+    fs.delete(new Path(s"$root/v$next"), true) // crashed-attempt orphan
+    savePartitioned(spark, pm, s"$root/v$next")
+    require(fs.createNewFile(new Path(root, s"commit-$next")),
+      s"commitVersion: marker create failed under $root")
+    next
+  }
+
+  /** Max committed version at `root`, None when nothing committed. */
+  def latestVersion(spark: SparkSession, root: String): Option[Long] = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case VersionMarker(n) => n.toLong }.maxOption
+  }
+
+  /** TIME TRAVEL: load a specific committed version. */
+  def loadVersion(spark: SparkSession, root: String,
+      version: Long): PartitionedManifest = {
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(root, s"commit-$version")),
+      s"version $version was never committed under $root")
+    loadPartitioned(spark, s"$root/v$version")
+  }
+
+  /** The latest committed catalog. */
+  def loadLatest(spark: SparkSession, root: String): PartitionedManifest = {
+    val v = latestVersion(spark, root).getOrElse(
+      sys.error(s"no committed catalog under $root"))
+    loadVersion(spark, root, v)
+  }
+
+  /** Retention: drop committed versions older than `keepLast` (never
+    * the latest). Time travel reaches only what retention keeps —
+    * the standard lakehouse contract. */
+  def expireVersions(spark: SparkSession, root: String,
+      keepLast: Int): Unit = {
+    require(keepLast >= 1)
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(new Path(root)).toSeq
+      .map(_.getPath.getName)
+      .collect { case VersionMarker(n) => n.toLong }.sorted
+    versions.dropRight(keepLast).foreach { v =>
+      fs.delete(new Path(root, s"commit-$v"), false)
+      fs.delete(new Path(s"$root/v$v"), true)
+    }
+  }
+
   /** Load a catalog persisted by [[savePartitioned]]. */
   def loadPartitioned(spark: SparkSession, path: String): PartitionedManifest = {
     val column = spark.read.parquet(s"$path/_column")

@@ -435,6 +435,31 @@ class PlanShapeSpec extends AnyFunSuite {
     FileManifest.savePartitioned(spark, pm, s"$tmp/cat")
     val loaded = FileManifest.loadPartitioned(spark, s"$tmp/cat")
     assert(loaded == pm, "persisted catalog must round-trip")
+
+    // SNAPSHOT VERSIONING (time travel): each commit is a complete
+    // catalog + one atomic marker; readers resolve latest or any
+    // committed older version
+    val vroot = s"$tmp/versions"
+    assert(FileManifest.commitVersion(spark, pm, vroot) == 0L)
+    assert(FileManifest.commitVersion(spark, pm2, vroot) == 1L)
+    assert(FileManifest.latestVersion(spark, vroot).contains(1L))
+    assert(FileManifest.loadLatest(spark, vroot) == pm2)
+    assert(FileManifest.loadVersion(spark, vroot, 0L) == pm,
+      "time travel must read the superseded catalog")
+    // a crashed commit (payload, no marker) is invisible
+    FileManifest.savePartitioned(spark, pm, s"$vroot/v2")
+    assert(FileManifest.latestVersion(spark, vroot).contains(1L),
+      "an unmarked payload must not be a committed version")
+    // ...and the next commit overwrites the orphan
+    assert(FileManifest.commitVersion(spark, pm, vroot) == 2L)
+    assert(FileManifest.loadLatest(spark, vroot) == pm)
+    // retention keeps the tail; expired versions fail loudly
+    FileManifest.expireVersions(spark, vroot, keepLast = 2)
+    assert(FileManifest.loadVersion(spark, vroot, 1L) == pm2)
+    val gone = intercept[IllegalArgumentException] {
+      FileManifest.loadVersion(spark, vroot, 0L)
+    }
+    assert(gone.getMessage.contains("never committed"))
   }
 
   test("range join: bucketed equi-join plan, == naive BETWEEN join, outer safe") {
