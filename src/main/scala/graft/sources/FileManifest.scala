@@ -329,6 +329,129 @@ object FileManifest {
     spark.read.parquet(manifest.map(_.path): _*)
   }
 
+  /** COPY-ON-WRITE MERGE — `MERGE INTO target USING changes ON
+    * target.column = changes.column`: matched rows take the change row
+    * (UPDATE SET *), matched rows flagged in `deleteCol` drop, change
+    * rows with no target match INSERT (an unmatched delete is a no-op,
+    * as in SQL MERGE). The changeset carries the target schema plus
+    * the boolean `deleteCol` and AT MOST ONE row per non-null key —
+    * real MERGE rejects an ambiguous multi-match rather than fanning
+    * out, and so does this.
+    *
+    * The at-scale discipline has two halves:
+    *
+    *  1. ROUTE, don't join: each change row resolves to the one target
+    *     file whose [min, max] covers its key by a broadcast of the
+    *     (driver-side, O(files)) manifest ranges — the table itself is
+    *     never read to find match sites. Keys no file covers (beyond
+    *     the table's range or in a gap between files) route to a NEW
+    *     clustered file.
+    *  2. STAGE once, rewrite slices: the routed changeset is written
+    *     out ONCE, partitioned by target file, and each affected
+    *     file's rewrite job reads just its own slice — O(affected)
+    *     concurrent single-file jobs whose total source IO is one pass
+    *     over the changeset, never O(affected) re-scans of it.
+    *
+    * Every file with no routed change row carries verbatim — zero IO,
+    * same asymmetry as [[deleteRange]]/[[updateRange]]. Inserts routed
+    * to a covering file land INSIDE that file's key range, so the
+    * clustered layout (and its pruning power) survives the merge by
+    * construction. Returns the post-merge manifest; superseded
+    * originals stay for the caller's retention sweep. */
+  def mergeKeyed(spark: SparkSession, manifest: Seq[FileStats],
+      column: String, changes: DataFrame, rewriteDir: String,
+      deleteCol: String, newFileRows: Long = 1L << 20): Seq[FileStats] = {
+    require(manifest.nonEmpty, "empty manifest")
+    val dataCols = spark.read.parquet(manifest.head.path).columns
+    require(changes.columns.toSet == dataCols.toSet + deleteCol,
+      "changeset must carry the target schema plus the delete flag")
+    // one row per non-null key (count_distinct ignores NULLs, so count
+    // nulls and genuine duplicates separately and name each honestly)
+    val chk = changes.agg(count(lit(1)).as("n"),
+      count(col(column)).as("nonnull"),
+      count_distinct(col(column)).as("keys")).head()
+    val nNull = chk.getLong(0) - chk.getLong(1)
+    require(nNull == 0, s"changeset has $nNull row(s) with NULL `$column`; " +
+      "MERGE semantics require a non-null merge key on every row")
+    val nDup = chk.getLong(1) - chk.getLong(2)
+    require(nDup == 0, s"changeset has $nDup duplicate key rows on " +
+      s"`$column`; MERGE semantics require one row per key")
+    // route each change row to its covering file (disjoint clustered
+    // ranges give one candidate; overlap from appends resolves to the
+    // lowest file index deterministically via one keyed window)
+    val boundsDf = spark.createDataFrame(manifest.zipWithIndex.map {
+        case (f, i) => (i, f.min, f.max)
+      }).toDF("_file_idx", "_lo", "_hi")
+    val tagged = changes.join(broadcast(boundsDf),
+        col(column) >= col("_lo") && col(column) <= col("_hi"), "left")
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(column))
+          .orderBy(col("_file_idx").asc_nulls_last)))
+      .where(col("_rn") === 1)
+      .drop("_rn", "_lo", "_hi")
+      .withColumn("_file_idx", coalesce(col("_file_idx"), lit(-1)))
+    val stage = s"$rewriteDir/stage"
+    tagged.write.mode(SaveMode.Overwrite)
+      .partitionBy("_file_idx").parquet(stage)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val stageFs = new Path(stage).getFileSystem(conf)
+    val slices = stageFs.listStatus(new Path(stage)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("_file_idx="))
+      .map(_.getPath.getName.stripPrefix("_file_idx=").toInt).sorted
+    val affected = slices.filter(_ >= 0)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val jobs = affected.map { i =>
+      Future {
+        val dst = f"$rewriteDir/mrg_$i%05d"
+        val t = spark.read.parquet(manifest(i).path).as("t")
+        val c = spark.read.parquet(s"$stage/_file_idx=$i").as("c")
+        t.join(c, col(s"t.$column") === col(s"c.$column"), "full_outer")
+          // a matched (or unmatched — no-op by landing empty) delete
+          .where(col(s"c.$column").isNull || !col(s"c.$deleteCol"))
+          .select(dataCols.map { cn =>
+            when(col(s"c.$column").isNotNull, col(s"c.$cn"))
+              .otherwise(col(s"t.$cn")).as(cn)
+          }.toSeq: _*)
+          .coalesce(1)
+          .sortWithinPartitions(column)
+          .write.mode(SaveMode.Overwrite).parquet(dst)
+        dst
+      }
+    }
+    val dirs = Await.result(Future.sequence(jobs),
+      scala.concurrent.duration.Duration.Inf)
+    // keys outside every file's range: new clustered file(s); a new
+    // file spanning a gap may overlap neighbors' ranges — pruning
+    // keeps any intersecting file, so that costs tightness, never
+    // correctness, and the next compaction restores disjointness
+    val newDirs =
+      if (!slices.contains(-1)) Nil
+      else {
+        val fresh = spark.read.parquet(s"$stage/_file_idx=-1")
+          .where(!col(deleteCol))
+          .select(dataCols.map(col).toSeq: _*)
+        val n = fresh.count()
+        if (n == 0) Nil
+        else {
+          val nf = math.max(1L, (n + newFileRows - 1) / newFileRows).toInt
+          writeLayout(fresh, s"$rewriteDir/new", column, nf)
+          Seq(s"$rewriteDir/new")
+        }
+      }
+    val freshFiles = (dirs ++ newDirs).flatMap { d =>
+      val fs = new Path(d).getFileSystem(conf)
+      fs.listStatus(new Path(d)).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString)
+    }
+    val stats = statsFor(spark, freshFiles, Seq(column)).map(_(column))
+      .filter(_.rows > 0)
+    val untouched = manifest.zipWithIndex
+      .collect { case (f, i) if !affected.contains(i) => f }
+    (untouched ++ stats).sortBy(_.path)
+  }
+
   /** Greedy key-order bin packing of manifest entries: consecutive
     * runs of files whose rows sum to at most `targetRows` (a too-big
     * single file keeps its own bin). Packing adjacent-by-key files

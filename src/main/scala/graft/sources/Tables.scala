@@ -14,12 +14,23 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS), which Spark's parquet reader
-      // rejects; read the raw int64 and truncate to microseconds
-      // (identical to DuckDB's ns->us cast, so oracles agree).
+      // events.ts has shipped as TIMESTAMP(NANOS) (which Spark's
+      // parquet reader rejects — read the raw int64 and truncate to
+      // microseconds, identical to DuckDB's ns->us cast) and as plain
+      // timestamp[us] (read as NTZ — align it to the session-UTC
+      // TimestampType every downstream consumer and oracle expects).
+      // Dispatch on the footer type so both generations load.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      df.schema("ts").dataType match {
+        case LongType =>
+          df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

@@ -1021,4 +1021,75 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(boxed.agg(sum("event_id")).head.getLong(0)
       == full.agg(sum("event_id")).head.getLong(0))
   }
+
+  test("copy-on-write MERGE: routed rewrites only, full-scan-exact") {
+    import graft.sources.FileManifest
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mrg").toString
+    val ord = Tables.load(spark, "/root/testdata/sf0.01", "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    FileManifest.writeLayout(ord, s"$tmp/t", "o_orderkey", 16)
+    val m = FileManifest.buildManifest(spark, s"$tmp/t", "o_orderkey")
+    val mx = ord.agg(max("o_orderkey")).head.getLong(0)
+    // updates land in 2 interior files, deletes in 1, inserts beyond max
+    val sorted = m.sortBy(_.min)
+    val (uLo, uHi) = (sorted(3).min, sorted(4).max)
+    val (dLo, dHi) = (sorted(9).min, sorted(9).max)
+    val changes = ord.filter(col("o_orderkey").between(uLo, uHi)
+        && col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("_del", lit(false))
+      .unionByName(ord.filter(col("o_orderkey").between(dLo, dHi)
+          && col("o_orderkey") % 3 === 0)
+        .withColumn("_del", lit(true)))
+      // +mx+1, not +mx: orderkeys start at 0, so key 0's insert would
+      // otherwise land ON the max key — a match, not an insert
+      .unionByName(ord.filter(col("o_orderkey") % 50 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + mx + 1)
+        .withColumn("_del", lit(false)))
+    val m2 = FileManifest.mergeKeyed(spark, m, "o_orderkey", changes,
+      s"$tmp/rw", "_del")
+    // routed-rewrite claim: files outside the touched ranges carry
+    // verbatim (path identity), only touched ones plus the new-key
+    // file(s) are fresh
+    val touched = m.filter(f =>
+      (f.max >= uLo && f.min <= uHi) || (f.max >= dLo && f.min <= dHi))
+    val carried = m2.map(_.path).toSet & m.map(_.path).toSet
+    assert(carried == (m.map(_.path).toSet -- touched.map(_.path).toSet),
+      "files with no routed change row must carry verbatim")
+    // exactness vs the full-scan MERGE mirror
+    val tAl = ord.as("t")
+    val cAl = changes.as("c")
+    val exp = tAl.join(cAl, col("t.o_orderkey") === col("c.o_orderkey"),
+        "full_outer")
+      .where(col("c.o_orderkey").isNull || !col("c._del"))
+      .select(
+        coalesce(col("c.o_orderkey"), col("t.o_orderkey")).as("k"),
+        when(col("c.o_orderkey").isNotNull, col("c.o_totalprice"))
+          .otherwise(col("t.o_totalprice")).as("p"))
+      .agg(count(lit(1)), sum("k"),
+        sum(col("p").cast("decimal(18,2)"))).head
+    val got = FileManifest.readAll(spark, m2)
+      .agg(count(lit(1)), sum("o_orderkey"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))).head
+    assert(got == exp, s"merge mismatch: $got vs $exp")
+    // post-merge manifest still prunes: a ranged read over one carried
+    // file's range equals the full-scan filter
+    val f0 = sorted.head
+    assert(FileManifest.readPruned(spark, m2, "o_orderkey", f0.min, f0.max)
+        .count() ==
+      FileManifest.readAll(spark, m2)
+        .filter(col("o_orderkey").between(f0.min, f0.max)).count())
+    // MERGE-semantics guards: duplicate keys and null keys reject loudly
+    val dup = intercept[IllegalArgumentException] {
+      FileManifest.mergeKeyed(spark, m, "o_orderkey",
+        changes.limit(5).union(changes.limit(5)), s"$tmp/rwD", "_del")
+    }
+    assert(dup.getMessage.contains("duplicate key"))
+    val nul = intercept[IllegalArgumentException] {
+      FileManifest.mergeKeyed(spark, m, "o_orderkey",
+        changes.limit(3).withColumn("o_orderkey",
+          lit(null).cast("long")), s"$tmp/rwN", "_del")
+    }
+    assert(nul.getMessage.contains("NULL"))
+  }
 }
