@@ -954,6 +954,24 @@ object SparkEntry {
       Bpe.encodeTokenCounts(docs, "doc_id", "text", merges)
         .orderBy("doc_id")
     }),
+    // hybrid retrieval: BM25 lexical top-10 fused with exact-cosine
+    // vector top-10 (query vectors = embeddings 1..3, matching the
+    // BM25 query ids) by reciprocal-rank fusion. RRF contributions are
+    // scaled by lcm(61..70) into exact BIGINTs, so the fused ranking
+    // is bit-portable — no float summation anywhere in the fusion.
+    "x25_hybrid_rrf" -> ((s, dir) => {
+      val lex = TextRank.bm25TopK(T(s, dir, "documents"), bm25Queries,
+        k = 10)
+      val emb = T(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id").isin(1, 2, 3))
+        .select(col("vec_id").cast("int").as("query_id"),
+          col("embedding").as("query_vec"))
+      val vec = Similarity.bruteForceTopK(qv, emb, 10)
+        .select(col("query_id"), col("rank"),
+          col("neighbor_id").as("doc_id"))
+      TextRank.rrfFuse(Seq(lex, vec), k = 10)
+        .orderBy("query_id", "rank")
+    }),
 
     // benchmark decontamination: distinct 3-gram overlap counts against
     // the held-out source, shuffle equi-join on the gram string
@@ -1124,6 +1142,15 @@ object SparkEntry {
       Similarity.semanticDedupPairsBalanced(T(s, dir, "embeddings"),
           targetClusterSize = 64, iterations = 2, threshold = 0.45)
         .orderBy("id_a", "id_b")),
+    // exact substring-span duplication (Lee et al.): every 8-token
+    // window md5-hashed, windows whose hash lands in >= 2 distinct
+    // docs are duplicated passages; per doc, the span count, the
+    // distinct token positions covered, and the covered fraction a
+    // cleaning pipeline thresholds on. Term-frequency-shaped plan:
+    // gram agg + equi-join-back, never pairwise.
+    "d13_substring_dup" -> ((s, dir) =>
+      Dedup.substringDupStats(T(s, dir, "documents"), n = 8)
+        .orderBy("doc_id")),
     // exact decontamination behind a broadcast Bloom prefilter: the
     // benchmark grams collapse into one bit array, corpus grams that
     // miss it never reach the shuffle, survivors exact-verify
@@ -1251,6 +1278,37 @@ object SparkEntry {
           dsum(col("value")).as("total_value"),
           sum(col("event_id")).as("sum_ids"))
         .orderBy("event_type")
+    }),
+    // COPY-ON-WRITE MERGE INTO: one keyed changeset carrying updates,
+    // deletes, and inserts; only files whose key range a change row
+    // lands in rewrite (changeset staged partitioned-by-file first),
+    // every other file carries verbatim. The returned manifest IS the
+    // post-merge table.
+    "f8_merge_cow" -> ((s, dir) => {
+      val tmp = layoutDir("f8", dir)
+      val ord = T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      FileManifest.writeLayout(ord, s"$tmp/t", "o_orderkey", 16)
+      val m = FileManifest.buildManifest(s, s"$tmp/t", "o_orderkey")
+      val mx = ord.agg(max("o_orderkey")).head.getLong(0)
+      val changes = ord.filter(col("o_orderkey") % 10 === 1)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+          .withColumn("_del", lit(false))
+        .unionByName(ord.filter(col("o_orderkey") % 10 === 2)
+          .withColumn("_del", lit(true)))
+        .unionByName(ord.filter(col("o_orderkey") % 10 === 3)
+          .withColumn("o_orderkey", col("o_orderkey") + mx)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000)
+          .withColumn("_del", lit(false)))
+      val m2 = FileManifest.mergeKeyed(s, m, "o_orderkey", changes,
+        s"$tmp/rw", "_del")
+      FileManifest.readAll(s, m2)
+        .groupBy((col("o_orderkey") % 4).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("o_totalprice")).as("total_price"),
+          sum(col("o_orderkey")).as("sum_keys"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("bucket")
     }),
     "f1_manifest_prune" -> ((s, dir) => {
       val tmp = layoutDir("f1", dir)
@@ -1876,6 +1934,36 @@ object SparkEntry {
         |  JOIN ee eb ON eb.vec_id = b.vec_id)
         |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+    // d13: the same 8-token windows, md5-hashed; a hash in >= 2
+    // distinct docs marks every occurrence a duplicated span; coverage
+    // = distinct positions under the union of [pos, pos+8) intervals.
+    // md5 strings and the double division are engine-identical.
+    "d13_substring_dup" ->
+      """WITH spt AS (SELECT doc_id, list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'),
+        |    x -> x <> '') AS sp FROM documents),
+        |d AS (SELECT doc_id, sp, len(sp) AS ntok FROM spt
+        |  WHERE len(sp) >= 8),
+        |g AS (SELECT doc_id, ntok, unnest(list_transform(
+        |    generate_series(0, ntok - 8),
+        |    i -> {'pos': i, 'h': md5(array_to_string(sp[i+1:i+8], ' '))}))
+        |    AS u FROM d),
+        |gr AS (SELECT doc_id, ntok, u.pos AS pos, u.h AS h FROM g),
+        |dup AS (SELECT h FROM gr GROUP BY h
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |hits AS (SELECT gr.* FROM gr JOIN dup USING (h)),
+        |spans AS (SELECT doc_id, count(*) AS n_dup_spans FROM hits
+        |  GROUP BY 1),
+        |cov AS (SELECT doc_id, ntok, count(DISTINCT p) AS dup_tokens
+        |  FROM (SELECT doc_id, ntok,
+        |      unnest(generate_series(pos, pos + 7)) AS p FROM hits)
+        |  GROUP BY 1, 2)
+        |SELECT s.doc_id, CAST(n_dup_spans AS BIGINT) AS n_dup_spans,
+        |  CAST(dup_tokens AS BIGINT) AS dup_tokens,
+        |  CAST(ntok AS BIGINT) AS n_tokens,
+        |  CAST(dup_tokens AS DOUBLE) / ntok AS dup_frac
+        |FROM spans s JOIN cov USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // d11: the k-means CTEs feed a cluster-restricted exact pair join;
     // sims are the same bit-exact double cosine as s1/d5
     "d11_semantic_dedup" ->
@@ -2212,6 +2300,55 @@ object SparkEntry {
     // x23: the final rewrite CTE holds every word's post-merge
     // tokenization — encoding is a per-doc word unnest + lookup join
     "x23_bpe_encode" -> operators.Bpe.encodeOracleSql(12),
+    // x25: x12's BM25 chain + s1's cosine chain (query vectors 1..3),
+    // fused by exact-integer RRF — 142813628717760 = lcm(61..70), so
+    // every 1/(60+rank) is the exact integer L/(60+rank) and the
+    // fused score is an exact BIGINT sum in both engines
+    "x25_hybrid_rrf" ->
+      s"""WITH tok AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+        |  FROM documents),
+        |t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+        |st AS (SELECT count(*) AS n,
+        |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |qt(query_id, term) AS (VALUES $bm25QueriesSqlValues),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+        |  WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT qt.query_id, tf.doc_id,
+        |    ln(1.0 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+        |      (tf.tf * 2.2) /
+        |      (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS s
+        |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+        |    JOIN qt USING (term) CROSS JOIN st),
+        |agg AS (SELECT query_id, doc_id, sum(s) AS score FROM sc
+        |  GROUP BY 1, 2),
+        |lex AS (SELECT query_id, doc_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS r
+        |  FROM agg QUALIFY r <= 10),
+        |qv AS (SELECT CAST(vec_id AS INT) AS query_id,
+        |    CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings
+        |  WHERE vec_id IN (1, 2, 3)),
+        |cv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cvec
+        |  FROM embeddings),
+        |vs AS (SELECT q.query_id, c.vec_id AS doc_id,
+        |    list_cosine_similarity(qvec, cvec) AS sim
+        |  FROM qv q JOIN cv c ON q.query_id <> c.vec_id),
+        |vec AS (SELECT query_id, doc_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY sim DESC, doc_id ASC) AS r
+        |  FROM vs QUALIFY r <= 10),
+        |u AS (SELECT query_id, doc_id, r FROM lex
+        |  UNION ALL SELECT query_id, doc_id, r FROM vec),
+        |f AS (SELECT query_id, doc_id,
+        |    sum(142813628717760 // (60 + r)) AS rrf_score,
+        |    count(*) AS n_lists FROM u GROUP BY 1, 2)
+        |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_score DESC, doc_id ASC) AS INT) AS "rank",
+        |  doc_id, CAST(rrf_score AS BIGINT) AS rrf_score,
+        |  CAST(n_lists AS BIGINT) AS n_lists
+        |FROM f QUALIFY "rank" <= 10
+        |ORDER BY query_id, "rank"""".stripMargin,
     "x14_lm_score" ->
       """WITH spt AS (SELECT doc_id,
         |    string_split_regex(trim(lower(text)), '\s+') AS sp FROM documents),
@@ -2429,6 +2566,36 @@ object SparkEntry {
         |    AS total_value,
         |  CAST(sum(event_id) AS BIGINT) AS sum_ids
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // f8: MERGE INTO mirrored as a FULL OUTER JOIN against the same
+    // deterministic changeset — updates %10=1 (price doubled), deletes
+    // %10=2, inserts %10=3 (key shifted past max). The pruned-rewrite
+    // merge must equal the full-scan form exactly.
+    "f8_merge_cow" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |mx AS (SELECT max(o_orderkey) AS m FROM orders),
+        |c AS (
+        |  SELECT o_orderkey AS k, o_custkey, o_totalprice * 2 AS price,
+        |    false AS del FROM t WHERE o_orderkey % 10 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice, true
+        |  FROM t WHERE o_orderkey % 10 = 2
+        |  UNION ALL
+        |  SELECT o_orderkey + (SELECT m FROM mx), o_custkey,
+        |    o_totalprice + 1000, false FROM t WHERE o_orderkey % 10 = 3),
+        |merged AS (
+        |  SELECT coalesce(c.k, t.o_orderkey) AS k,
+        |    CASE WHEN c.k IS NOT NULL THEN c.o_custkey
+        |         ELSE t.o_custkey END AS cust,
+        |    CASE WHEN c.k IS NOT NULL THEN c.price
+        |         ELSE t.o_totalprice END AS price
+        |  FROM t FULL OUTER JOIN c ON t.o_orderkey = c.k
+        |  WHERE c.k IS NULL OR NOT c.del)
+        |SELECT CAST(k % 4 AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  CAST(sum(k) AS BIGINT) AS sum_keys,
+        |  CAST(count(DISTINCT cust) AS BIGINT) AS n_cust
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
     // f1's oracle ignores the file layout entirely: a manifest-pruned
     // ranged read must equal the plain full-scan filter, row for row
     "f1_manifest_prune" ->

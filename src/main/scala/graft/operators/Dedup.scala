@@ -461,4 +461,52 @@ object Dedup {
       .where(col("id") =!= col("comp")).select(col("id"))
     docs.join(losers, docs(idCol) === losers("id"), "left_anti")
   }
+
+  /** EXACT SUBSTRING-span duplication stats — the "duplicated
+    * passages" analysis (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better": repeated ≥n-token spans across
+    * documents are memorization fuel even when whole docs differ).
+    * Every overlapping n-token window is hashed (md5 over the
+    * space-joined tokens — engine-reproducible, the d3/d6
+    * discipline); a window whose hash occurs in ≥2 DISTINCT docs is a
+    * duplicated span. Per doc: how many of its windows are duplicated
+    * (`n_dup_spans`), how many distinct token positions those windows
+    * cover (`dup_tokens` — the union of [pos, pos+n) intervals, i.e.
+    * the part of the doc that exists verbatim elsewhere), and the
+    * covered fraction (`dup_frac`) a cleaning pipeline thresholds on.
+    * Docs with no duplicated span are absent (dup_frac 0).
+    *
+    * Plan shape at 100 TB: one gram row per corpus token; finding
+    * duplicated hashes is a hash-partitioned aggregation and the
+    * join-back is a shuffle equi-join on the same key — a term-
+    * frequency-shaped plan, never pairwise. The ×n coverage explode
+    * runs only on duplicated hits. No windows, no driver state. */
+  def substringDupStats(docs: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n >= 2, "span length must be at least 2 tokens")
+    val sp = filter(split(trim(lower(col(textCol))), "\\s+"),
+      x => x =!= "")
+    val d = docs.select(col(idCol), sp.as("sp"))
+      .withColumn("ntok", size(col("sp")))
+      .where(col("ntok") >= n)
+    val grams = d.select(col(idCol), col("ntok"),
+      posexplode(transform(sequence(lit(0), col("ntok") - n),
+        i => md5(concat_ws(" ", slice(col("sp"), i + 1, lit(n))))))
+        .as(Seq("pos", "h")))
+    val dup = grams.groupBy("h")
+      .agg(count_distinct(col(idCol)).as("nd"))
+      .where(col("nd") >= 2).select("h")
+    val hits = grams.join(dup, "h")
+    val spans = hits.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dup_spans"))
+    val cov = hits
+      .select(col(idCol), col("ntok"),
+        explode(sequence(col("pos"), col("pos") + n - 1)).as("p"))
+      .groupBy(col(idCol), col("ntok"))
+      .agg(count_distinct(col("p")).as("dup_tokens"))
+    spans.join(cov, idCol)
+      .select(col(idCol), col("n_dup_spans"), col("dup_tokens"),
+        col("ntok").cast("long").as("n_tokens"),
+        (col("dup_tokens").cast("double") / col("ntok")).as("dup_frac"))
+  }
 }

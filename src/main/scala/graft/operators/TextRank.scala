@@ -334,4 +334,46 @@ object TextRank {
       .where(col("rank") <= topN)
       .select(col(idCol), col("rank"), col("term"))
   }
+
+  /** Reciprocal-rank fusion of N ranked lists — HYBRID retrieval
+    * (lexical BM25 + vector ANN is the canonical pair; Cormack et al.,
+    * SIGIR'09). Each input carries (queryCol, rankCol, idCol); a
+    * document's fused score is Σ_lists 1/(kRrf + rank), absent lists
+    * contributing zero.
+    *
+    * EXACT-INTEGER scores: every contribution is scaled by
+    * lcm(kRrf+1 .. kRrf+maxRank), so 1/(kRrf+r) becomes the exact
+    * integer L/(kRrf+r) and the fused score is an exact BIGINT sum —
+    * no float summation order, no last-ulp rank flips, bit-identical
+    * across engines (the same discipline as the quantized-cosine
+    * searchers). Ties break by document id ascending.
+    *
+    * Plan shape: inputs are already top-maxRank per query (tiny), so
+    * the union + groupBy is a shuffle over at most
+    * queries × lists × maxRank rows — negligible next to the
+    * retrieval stages that produced them; fusion adds no corpus-scale
+    * work at all. */
+  def rrfFuse(ranked: Seq[DataFrame], k: Int, kRrf: Int = 60,
+      maxRank: Int = 10, queryCol: String = "query_id",
+      idCol: String = "doc_id", rankCol: String = "rank"): DataFrame = {
+    require(ranked.nonEmpty, "need at least one ranked list")
+    val scale = (kRrf + 1 to kRrf + maxRank)
+      .foldLeft(BigInt(1))((l, d) => l * d / l.gcd(BigInt(d)))
+    require(scale.isValidLong, s"rrf scale overflows Long for " +
+      s"kRrf=$kRrf maxRank=$maxRank; shrink the window")
+    val unioned = ranked
+      .map(_.select(col(queryCol), col(idCol), col(rankCol)))
+      .reduce(_.unionByName(_))
+    val w = Window.partitionBy(col(queryCol))
+      .orderBy(col("rrf_score").desc, col(idCol).asc)
+    unioned
+      .withColumn("contrib",
+        expr(s"${scale.toLong}L div ($kRrf + $rankCol)"))
+      .groupBy(col(queryCol), col(idCol))
+      .agg(sum("contrib").as("rrf_score"), count(lit(1)).as("n_lists"))
+      .withColumn(rankCol, row_number().over(w).cast("int"))
+      .where(col(rankCol) <= k)
+      .select(col(queryCol), col(rankCol), col(idCol),
+        col("rrf_score"), col("n_lists"))
+  }
 }

@@ -886,6 +886,47 @@ class OperatorsSpec extends AnyFunSuite {
       s"expected 'dup' as top tf-idf term, got ${terms.toSeq}")
   }
 
+  test("substring-span dup: planted shared passage found, counts exact") {
+    // docs 1 and 2 share an 11-token passage (4 windows of 8 covering
+    // all 11 tokens); doc 3 shares nothing 8 tokens long
+    val passage = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo"
+    val docs = Seq(
+      (1L, s"$passage unique tail one two three"),
+      (2L, s"different head words here $passage"),
+      (3L, "completely unrelated text with eight or more tokens inside it")
+    ).toDF("doc_id", "text")
+    val st = Dedup.substringDupStats(docs, n = 8).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 11-token passage → 11-8+1 = 4 duplicated windows per doc, whose
+    // [pos, pos+8) union covers exactly the 11 passage tokens
+    assert(st.toSeq == Seq((1L, 4L, 11L), (2L, 4L, 11L)),
+      s"got ${st.toSeq}")
+    // dup_frac = covered / total tokens
+    val fr = Dedup.substringDupStats(docs, n = 8)
+      .filter(col("doc_id") === 1L).head.getDouble(4)
+    assert(math.abs(fr - 11.0 / 16.0) < 1e-12)
+    // a longer window than the shared passage finds nothing
+    assert(Dedup.substringDupStats(docs, n = 12).count() == 0)
+  }
+
+  test("rrf fusion: exact integer scores, both-list docs outrank single") {
+    val lex = Seq((1, 1, 10L), (1, 2, 20L), (1, 3, 30L))
+      .toDF("query_id", "rank", "doc_id")
+    val vec = Seq((1, 1, 20L), (1, 2, 40L))
+      .toDF("query_id", "rank", "doc_id")
+    val got = TextRank.rrfFuse(Seq(lex, vec), k = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val L = 142813628717760L
+    // doc 20: rank2 lexical + rank1 vector; doc 10: rank1 lexical only
+    val exp = Seq(
+      (1, 20L, L / 62 + L / 61, 2L),
+      (2, 10L, L / 61, 1L),
+      (3, 40L, L / 62, 1L),
+      (4, 30L, L / 63, 1L))
+    assert(got.toSeq == exp, s"got ${got.toSeq}")
+  }
+
   test("weighted sample: biased toward heavy rows, distributed top-k plan") {
     val docs = sources.Tables.load(spark, "/root/testdata/sf0.01", "documents")
     val sample = CorpusOps.weightedSample(docs, "doc_id", "n_chars", k = 100)
