@@ -131,7 +131,14 @@ object ScaleBench {
       // linear in points + interval copies), and the other two as-of
       // directions (same one-shuffle windowed plan as ref_asof_join)
       "s16_vector_index", "s17_vector_index_pq",
-      "ref_asof_forward", "ref_asof_nearest")
+      "ref_asof_forward", "ref_asof_nearest",
+      // d13: salting keeps within-copy duplicate passages and kills
+      // cross-copy matches, so gram rows AND dup hits both scale ~f
+      // through the same term-frequency-shaped plan
+      "d13_substring_dup",
+      // f8: layout build + routed CoW merge; changes derive from the
+      // replicated orders so affected-file count scales with copies
+      "f8_merge_cow")
       // x18/x19 are NOT here for x12's reason (salting renames their
       // literal terms) — the salted cases below measure real phrase/
       // proximity retrieval.
@@ -208,6 +215,23 @@ object ScaleBench {
         graft.sources.TextIndex.bm25TopK(spark, s"$dir/__tidx",
           Seq(1 -> Seq("hash_0", "join_0"), 2 -> Seq("dup_0", "scan_0")),
           k = 10)
+      },
+      // copy-0 terms for the lexical side, fixed query vectors for the
+      // vector side: both retrieval stages track their corpus scans and
+      // the fusion itself is rank-rows only, so ~f overall
+      "x25_hybrid_salted" -> { dir: String =>
+        val docs = Tables.load(spark, dir, "documents")
+        val emb = Tables.load(spark, dir, "embeddings")
+        val lex = graft.operators.TextRank.bm25TopK(docs,
+          Seq(1 -> Seq("hash_0", "join_0"), 2 -> Seq("dup_0", "scan_0")),
+          k = 10)
+        val qv = emb.filter(col("vec_id").isin(1, 2))
+          .select(col("vec_id").cast("int").as("query_id"),
+            col("embedding").as("query_vec"))
+        val vec = graft.operators.Similarity.bruteForceTopK(qv, emb, 10)
+          .select(col("query_id"), col("rank"),
+            col("neighbor_id").as("doc_id"))
+        graft.operators.TextRank.rrfFuse(Seq(lex, vec), k = 10)
       })
 
     // SPARK_GRAFT_SCALE_OPS=s7_ann_ivfsq,s8_pq_q100 narrows a run while
