@@ -1113,6 +1113,17 @@ object SparkEntry {
           candidates = (2 * cap).toInt + 16, rerank = true)
         .orderBy("query_id", "rank")
     }),
+    // MMR-diversified retrieval: 20-deep quantized-cosine pool per
+    // query, 5 greedy picks at 0.7 relevance / 0.3 diversity (explicit
+    // literals — never 1-0.7, which is not the double 0.3); the greedy
+    // rounds replay CTE-by-CTE in the oracle
+    "s18_mmr_diversify" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 6)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.mmrDiversifyTopK(q, emb, k = 5, candidates = 20)
+        .orderBy("query_id", "pick")
+    }),
     // k-means with deterministic farthest-point (k-means++-style)
     // seeding: seeds spread by construction instead of first-k-by-id;
     // each seeding round is a map-only codegen'd min-dist pass + one
@@ -1150,6 +1161,13 @@ object SparkEntry {
     // gram agg + equi-join-back, never pairwise.
     "d13_substring_dup" -> ((s, dir) =>
       Dedup.substringDupStats(T(s, dir, "documents"), n = 8)
+        .orderBy("doc_id")),
+    // the cleaning ACTION on d13's analysis: non-canonical occurrences
+    // of duplicated 8-token windows are cut (canonical = min doc_id
+    // holding the hash keeps all of its occurrences), cleaned text
+    // rebuilt from the kept tokens by a codegen'd filter-by-index
+    "d14_substring_rm" -> ((s, dir) =>
+      Dedup.removeDuplicateSpans(T(s, dir, "documents"), n = 8)
         .orderBy("doc_id")),
     // exact decontamination behind a broadcast Bloom prefilter: the
     // benchmark grams collapse into one bit array, corpus grams that
@@ -1919,6 +1937,10 @@ object SparkEntry {
     // capacity) + exact re-rank = s15's answer bit for bit; a staging
     // or encode bug hash-mismatches
     "s17_vector_index_pq" -> ivfBalancedOracleSql,
+    // s18: candidate pool + pairwise sims as CTEs, then each greedy
+    // round is a (max-sim-to-selected, argmax, union) CTE triple —
+    // the same unrolled-replay discipline as the k-means oracles
+    "s18_mmr_diversify" -> mmrOracleSql,
     // d12: the balanced-assignment CTE chain (capacity = 64, the
     // entry's targetClusterSize) feeds the same cluster-restricted
     // pair join as d11
@@ -1964,6 +1986,42 @@ object SparkEntry {
         |  CAST(dup_tokens AS DOUBLE) / ntok AS dup_frac
         |FROM spans s JOIN cov USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // d14: same windows + min-doc canonical rule; kept tokens
+    // reassembled in position order (string_agg ORDER BY i mirrors
+    // the filter-by-index), every doc emitted
+    "d14_substring_rm" ->
+      """WITH spt AS (SELECT doc_id, list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'),
+        |    x -> x <> '') AS sp FROM documents),
+        |d AS (SELECT doc_id, sp, len(sp) AS ntok FROM spt
+        |  WHERE len(sp) >= 8),
+        |g AS (SELECT doc_id, unnest(list_transform(
+        |    generate_series(0, ntok - 8),
+        |    i -> {'pos': i, 'h': md5(array_to_string(sp[i+1:i+8], ' '))}))
+        |    AS u FROM d),
+        |gr AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM g),
+        |dm AS (SELECT h, min(doc_id) AS keeper FROM gr GROUP BY h
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |hits AS (SELECT gr.doc_id, gr.pos FROM gr JOIN dm USING (h)
+        |  WHERE gr.doc_id <> dm.keeper),
+        |dpos AS (SELECT DISTINCT doc_id, p FROM (SELECT doc_id,
+        |    unnest(generate_series(pos, pos + 7)) AS p FROM hits)),
+        |nd AS (SELECT doc_id, count(*) AS n_dropped FROM dpos
+        |  GROUP BY 1),
+        |tk AS (SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(sp)),
+        |    i -> {'i': i - 1, 't': sp[i]})) AS u FROM spt),
+        |kept AS (SELECT tk.doc_id, u.i AS i, u.t AS t FROM tk
+        |  LEFT JOIN dpos ON dpos.doc_id = tk.doc_id AND dpos.p = u.i
+        |  WHERE dpos.p IS NULL),
+        |ct AS (SELECT doc_id, string_agg(t, ' ' ORDER BY i)
+        |    AS clean_text FROM kept GROUP BY 1)
+        |SELECT s.doc_id, CAST(len(s.sp) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(nd.n_dropped, 0) AS BIGINT) AS n_dropped,
+        |  coalesce(ct.clean_text, '') AS clean_text
+        |FROM spt s LEFT JOIN nd USING (doc_id)
+        |  LEFT JOIN ct ON ct.doc_id = s.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
     // d11: the k-means CTEs feed a cluster-restricted exact pair join;
     // sims are the same bit-exact double cosine as s1/d5
     "d11_semantic_dedup" ->
@@ -2841,6 +2899,63 @@ object SparkEntry {
     * quantized arithmetic as the assignment itself, so `sim` is
     * bit-identical. The local top-C stage in the Spark plan is
     * lossless (C ≥ k) and needs no mirror. */
+  /** s18's oracle: the MMR greedy loop unrolled — candidate pool (cd)
+    * and pairwise sims (pr) once, then per round a max-sim-to-selected
+    * agg (m_r), the anti-joined argmax pick (s_r), and the cumulative
+    * selection (sel_r). Weights written as the literals 0.7/0.3 in
+    * both engines. */
+  private def mmrOracleSql: String = {
+    val rounds = (2 to 5).map { r =>
+      s"""m$r AS MATERIALIZED (SELECT p.query_id, p.cid, max(p.psim) AS msim
+         |  FROM pr p JOIN sel${r - 1} s ON p.query_id = s.query_id
+         |    AND p.bcid = s.cid
+         |  GROUP BY 1, 2),
+         |s$r AS MATERIALIZED (SELECT * FROM (
+         |    SELECT c.query_id, c.cid,
+         |      0.7 * c.rel - 0.3 * m.msim AS score, $r AS pick
+         |    FROM cd c JOIN m$r m ON m.query_id = c.query_id
+         |      AND m.cid = c.cid
+         |    LEFT JOIN sel${r - 1} s ON s.query_id = c.query_id
+         |      AND s.cid = c.cid
+         |    WHERE s.cid IS NULL)
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, cid ASC) = 1),
+         |sel$r AS MATERIALIZED (SELECT query_id, cid, score, pick
+         |  FROM sel${r - 1}
+         |  UNION ALL SELECT query_id, cid, score, pick FROM s$r)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |    x -> CAST(floor(x * 1024) AS BIGINT)) AS q FROM embeddings),
+       |en AS (SELECT vec_id, q,
+       |  list_sum(list_transform(q, x -> x*x)) AS na FROM e),
+       |qn AS (SELECT vec_id AS query_id, q AS qq, na AS qna FROM en
+       |  WHERE vec_id < 6),
+       |cd AS MATERIALIZED (SELECT query_id, cid, rel FROM (
+       |  SELECT qn.query_id, e2.vec_id AS cid,
+       |      CAST(list_sum(list_transform(range(1, 65),
+       |        i -> qn.qq[i] * e2.q[i])) AS DOUBLE)
+       |      / sqrt(CAST(qn.qna AS DOUBLE) * e2.na) AS rel
+       |    FROM qn CROSS JOIN en e2 WHERE e2.vec_id <> qn.query_id
+       |  QUALIFY row_number() OVER (PARTITION BY qn.query_id
+       |    ORDER BY rel DESC, cid ASC) <= 20)),
+       |pr AS MATERIALIZED (SELECT a.query_id, a.cid, b.cid AS bcid,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      i -> ea.q[i] * eb.q[i])) AS DOUBLE)
+       |    / sqrt(CAST(ea.na AS DOUBLE) * eb.na) AS psim
+       |  FROM cd a JOIN cd b ON a.query_id = b.query_id AND a.cid <> b.cid
+       |  JOIN en ea ON ea.vec_id = a.cid
+       |  JOIN en eb ON eb.vec_id = b.cid),
+       |sel1 AS MATERIALIZED (SELECT * FROM (
+       |    SELECT query_id, cid, 0.7 * rel AS score, 1 AS pick FROM cd)
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, cid ASC) = 1),
+       |$rounds
+       |SELECT query_id, CAST(pick AS INT) AS pick, cid AS neighbor_id,
+       |  score AS mmr_score
+       |FROM sel5 ORDER BY query_id, pick""".stripMargin
+  }
+
   private def ivfBalancedOracleSql: String =
     s"""WITH ${kmeansBalancedCtes("CAST(ceil(count(*) / 8.0) AS BIGINT)")},
        |qn AS MATERIALIZED (SELECT vec_id AS query_id, q AS qq, na AS qna

@@ -509,4 +509,50 @@ object Dedup {
         col("ntok").cast("long").as("n_tokens"),
         (col("dup_tokens").cast("double") / col("ntok")).as("dup_frac"))
   }
+
+  /** Duplicated-span REMOVAL — the cleaning action on top of
+    * [[substringDupStats]] (Lee et al. keep one occurrence of each
+    * repeated passage and cut the rest). The CANONICAL copy of a
+    * duplicated n-token window is the one in the minimum doc_id
+    * containing its hash; every other doc drops the token positions
+    * that window covers. Canonical docs keep all their occurrences,
+    * so each passage survives exactly somewhere and the rule is
+    * deterministic whatever the join/partition order. Emits every doc
+    * (n_dropped = 0 where nothing was cut) with the cleaned text
+    * rebuilt from the kept tokens — normalized (lowercased,
+    * whitespace-collapsed), the same token stream the hashes saw.
+    *
+    * Plan shape: d13's gram agg + join-back, then ONE doc-keyed
+    * aggregation of dropped positions and a codegen'd
+    * filter-by-index over each doc's token array — no per-token
+    * window sort, no driver state. */
+  def removeDuplicateSpans(docs: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n >= 2, "span length must be at least 2 tokens")
+    val sp = filter(split(trim(lower(col(textCol))), "\\s+"),
+      x => x =!= "")
+    val base = docs.select(col(idCol), sp.as("sp"))
+    val d = base.withColumn("ntok", size(col("sp")))
+      .where(col("ntok") >= n)
+    val grams = d.select(col(idCol),
+      posexplode(transform(sequence(lit(0), col("ntok") - n),
+        i => md5(concat_ws(" ", slice(col("sp"), i + 1, lit(n))))))
+        .as(Seq("pos", "h")))
+    val keepers = grams.groupBy("h")
+      .agg(count_distinct(col(idCol)).as("nd"),
+        min(col(idCol)).as("keeper"))
+      .where(col("nd") >= 2).select("h", "keeper")
+    val dropPos = grams.join(keepers, "h")
+      .where(col(idCol) =!= col("keeper"))
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + n - 1)).as("p"))
+      .groupBy(col(idCol)).agg(collect_set(col("p")).as("dp"))
+    base.join(dropPos, Seq(idCol), "left")
+      .withColumn("dp", coalesce(col("dp"), array().cast("array<int>")))
+      .select(col(idCol),
+        size(col("sp")).cast("long").as("n_tokens"),
+        size(col("dp")).cast("long").as("n_dropped"),
+        array_join(filter(col("sp"),
+          (x, i) => !array_contains(col("dp"), i)), " ").as("clean_text"))
+  }
 }

@@ -77,6 +77,81 @@ object Similarity {
         col("sim"))
   }
 
+  /** MMR-DIVERSIFIED top-k (Carbonell & Goldstein '98): retrieve a
+    * `candidates`-deep exact quantized-cosine pool per query, then
+    * greedily select k results maximizing
+    * `lambdaRel·rel(c) − lambdaDiv·max_{s∈S} sim(c, s)` — relevance
+    * traded against redundancy with what's already picked, the
+    * standard de-duplicating re-rank for RAG result sets. Both
+    * weights are EXPLICIT literals (never `1 − lambdaRel`: the float
+    * 1−0.7 is 0.30000000000000004, not the 0.3 an oracle writes).
+    * First pick is pure argmax relevance (S empty); ties break by id
+    * ascending. All sims are the engine-portable floor(x·scale)
+    * integer-dot cosine of [[bruteForceQuantizedTopK]].
+    *
+    * Plan shape: the corpus-scale work is exactly one candidate
+    * retrieval (two-stage top-C); everything after runs on
+    * queries × C rows (pairwise: × C²) — both localCheckpointed once,
+    * so the k greedy rounds (each a tiny max-agg + anti-join +
+    * per-query argmax) never re-touch the corpus. Driver holds no
+    * data; rounds are chained tiny shuffles like the balanced-k-means
+    * acceptance rounds. */
+  def mmrDiversifyTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      candidates: Int = 20, lambdaRel: Double = 0.7,
+      lambdaDiv: Double = 0.3, scale: Int = 1024,
+      queryId: String = "query_id", queryVec: String = "query_vec",
+      corpusId: String = "vec_id", corpusVec: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    require(k >= 1 && candidates >= k)
+    val cand = bruteForceQuantizedTopK(queries, corpus, candidates, scale,
+        queryId, queryVec, corpusId, corpusVec)
+      .select(col(queryId), col("neighbor_id").as("cid"),
+        col("sim").as("rel"))
+      .localCheckpoint()
+    def quant(c: Column) = transform(c.cast(ArrayType(DoubleType)),
+      x => floor(x * scale).cast("long"))
+    def dot(a: Column, b: Column) =
+      aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+    def sqnorm(a: Column) = aggregate(transform(a, x => x * x), lit(0L), _ + _)
+    val cv = corpus.select(col(corpusId).cast("long").as("vid"),
+        quant(col(corpusVec)).as("v"))
+      .withColumn("nv", sqnorm(col("v")))
+    val ca = cand.select(col(queryId), col("cid"))
+      .join(cv, col("cid") === col("vid"))
+      .select(col(queryId), col("cid"), col("v").as("va"), col("nv").as("nva"))
+    val cb = cand.select(col(queryId), col("cid").as("bcid"))
+      .join(cv, col("bcid") === col("vid"))
+      .select(col(queryId), col("bcid"), col("v").as("vb"), col("nv").as("nvb"))
+    val pairs = ca.join(cb, Seq(queryId))
+      .where(col("cid") =!= col("bcid"))
+      .withColumn("psim", dot(col("va"), col("vb")).cast("double") /
+        sqrt(col("nva").cast("double") * col("nvb")))
+      .select(col(queryId), col("cid"), col("bcid"), col("psim"))
+      .localCheckpoint()
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("score").desc, col("cid").asc)
+    var sel = cand
+      .withColumn("score", lit(lambdaRel) * col("rel"))
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .select(col(queryId), col("cid"), col("score"), lit(1).as("pick"))
+    for (r <- 2 to k) {
+      val ms = pairs
+        .join(sel.select(col(queryId), col("cid").as("bcid")),
+          Seq(queryId, "bcid"))
+        .groupBy(col(queryId), col("cid")).agg(max("psim").as("msim"))
+      val next = cand.join(ms, Seq(queryId, "cid"))
+        .join(sel.select(col(queryId), col("cid")),
+          Seq(queryId, "cid"), "left_anti")
+        .withColumn("score",
+          lit(lambdaRel) * col("rel") - lit(lambdaDiv) * col("msim"))
+        .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+        .select(col(queryId), col("cid"), col("score"), lit(r).as("pick"))
+      sel = sel.unionByName(next)
+    }
+    sel.select(col(queryId), col("pick").cast("int").as("pick"),
+      col("cid").as("neighbor_id"), col("score").as("mmr_score"))
+  }
+
   /** k-NN join: for every row of `left`, its top-k cosine neighbors in
     * `right`. Same two-stage shape; `left` is broadcast when small
     * (caller controls by passing a filtered frame). */

@@ -909,6 +909,56 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Dedup.substringDupStats(docs, n = 12).count() == 0)
   }
 
+  test("substring-span removal: canonical copy keeps, others cut") {
+    val passage = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo"
+    val docs = Seq(
+      (1L, s"$passage unique tail one two three"),
+      (2L, s"different head words here $passage"),
+      (3L, "completely unrelated text with eight or more tokens inside it")
+    ).toDF("doc_id", "text")
+    val rm = Dedup.removeDuplicateSpans(docs, n = 8).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    // doc 1 is canonical (min id holding the shared hashes): untouched;
+    // doc 2 loses exactly the 11 passage tokens; doc 3 untouched
+    assert(rm(0) == ((1L, 16L, 0L, s"$passage unique tail one two three")))
+    assert(rm(1) == ((2L, 15L, 11L, "different head words here")))
+    assert(rm(2)._3 == 0L && rm(2)._2 == 10L)
+    // every passage survives somewhere: the canonical text still
+    // contains it, the cleaned corpus has exactly one copy
+    assert(rm.count(_._4.contains(passage)) == 1)
+  }
+
+  test("mmr diversify: first pick is top-1, redundancy is penalized") {
+    val emb = sources.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val q = emb.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val mmr = Similarity.mmrDiversifyTopK(q, emb, k = 5, candidates = 20)
+    val top = Similarity.bruteForceQuantizedTopK(q, emb, 20)
+    // pick 1 == pure relevance argmax (S empty, tie-break identical)
+    val firsts = mmr.filter(col("pick") === 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val top1 = top.filter(col("rank") === 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(firsts == top1)
+    // every pick comes from the candidate pool, 5 distinct per query
+    val pool = top.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val picks = mmr.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(picks.forall(pool.contains) && picks.distinct.length == 30)
+    // full-relevance weights reduce MMR to the plain top-k order
+    val pure = Similarity.mmrDiversifyTopK(q, emb, k = 5, candidates = 20,
+        lambdaRel = 1.0, lambdaDiv = 0.0)
+      .select(col("query_id"), col("pick").as("rank"), col("neighbor_id"))
+    val ref = top.filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    assert(pure.exceptAll(ref).isEmpty && ref.exceptAll(pure).isEmpty,
+      "lambdaDiv = 0 must reproduce the relevance ranking")
+  }
+
   test("rrf fusion: exact integer scores, both-list docs outrank single") {
     val lex = Seq((1, 1, 10L), (1, 2, 20L), (1, 3, 30L))
       .toDF("query_id", "rank", "doc_id")
