@@ -107,6 +107,9 @@ object Similarity {
         queryId, queryVec, corpusId, corpusVec)
       .select(col(queryId), col("neighbor_id").as("cid"),
         col("sim").as("rel"))
+      // queries x C rows: collapse to a few partitions so the k greedy
+      // round stages don't pay 32 near-empty tasks per shuffle
+      .coalesce(4)
       .localCheckpoint()
     def quant(c: Column) = transform(c.cast(ArrayType(DoubleType)),
       x => floor(x * scale).cast("long"))
@@ -127,13 +130,19 @@ object Similarity {
       .withColumn("psim", dot(col("va"), col("vb")).cast("double") /
         sqrt(col("nva").cast("double") * col("nvb")))
       .select(col(queryId), col("cid"), col("bcid"), col("psim"))
+      .coalesce(4)
       .localCheckpoint()
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("score").desc, col("cid").asc)
+    // each round's selection is localCheckpointed: sel feeds THREE
+    // consumers next round (max-sim join, anti-join, union) and an
+    // unmaterialized union chain would re-execute every earlier
+    // round's shuffles — O(k^2) stages instead of O(k)
     var sel = cand
       .withColumn("score", lit(lambdaRel) * col("rel"))
       .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
       .select(col(queryId), col("cid"), col("score"), lit(1).as("pick"))
+      .localCheckpoint()
     for (r <- 2 to k) {
       val ms = pairs
         .join(sel.select(col(queryId), col("cid").as("bcid")),
@@ -146,7 +155,7 @@ object Similarity {
           lit(lambdaRel) * col("rel") - lit(lambdaDiv) * col("msim"))
         .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
         .select(col(queryId), col("cid"), col("score"), lit(r).as("pick"))
-      sel = sel.unionByName(next)
+      sel = sel.unionByName(next).localCheckpoint()
     }
     sel.select(col(queryId), col("pick").cast("int").as("pick"),
       col("cid").as("neighbor_id"), col("score").as("mmr_score"))

@@ -136,6 +136,13 @@ object ScaleBench {
       // cross-copy matches, so gram rows AND dup hits both scale ~f
       // through the same term-frequency-shaped plan
       "d13_substring_dup",
+      // d14: same discovery plan + the doc-keyed position agg and
+      // filter-by-index rebuild, all ~f
+      "d14_substring_rm",
+      // s18: the only corpus-scale stage is the candidate retrieval
+      // (fixed queries x growing corpus); pool/pairwise/rounds are
+      // queries x C rows whatever the corpus size
+      "s18_mmr_diversify",
       // f8: layout build + routed CoW merge; changes derive from the
       // replicated orders so affected-file count scales with copies
       "f8_merge_cow")

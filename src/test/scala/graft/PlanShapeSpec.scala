@@ -1022,6 +1022,38 @@ class PlanShapeSpec extends AnyFunSuite {
       == full.agg(sum("event_id")).head.getLong(0))
   }
 
+  test("substring dedup and MMR: no pairwise joins in the corpus path") {
+    val docs = Tables.load(spark, dir, "documents")
+    // d13/d14: the dup-gram discovery is a hash agg + equi-join-back —
+    // a cartesian or nested-loop join anywhere means the plan went
+    // pairwise and would not survive a corpus 100x bigger
+    for (df <- Seq(operators.Dedup.substringDupStats(docs, n = 8),
+        operators.Dedup.removeDuplicateSpans(docs, n = 8))) {
+      val p = plan(df).toString
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoop"),
+        "substring dedup must stay equi-join shaped")
+      assert(p.contains("partial_count") || p.contains("partial_"),
+        "gram aggregation must have a map-side partial phase")
+    }
+    // x25: the fusion itself adds no corpus-scale operator — its plan
+    // touches only the two retrieval outputs (top-k rows each)
+    val emb = Tables.load(spark, dir, "embeddings")
+    val lex = operators.TextRank.bm25TopK(docs,
+      Seq(1 -> Seq("hash", "join")), k = 10)
+    val vec = operators.Similarity.bruteForceTopK(
+      emb.filter(col("vec_id").isin(1))
+        .select(col("vec_id").cast("int").as("query_id"),
+          col("embedding").as("query_vec")), emb, 10)
+      .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
+    // (the vector side's broadcast nested-loop IS its design: tiny
+    // query side broadcast against the corpus scan — only a cartesian
+    // would mean the fusion added corpus-scale work)
+    val fusedPlan = plan(operators.TextRank.rrfFuse(Seq(lex, vec), k = 10))
+      .toString
+    assert(!fusedPlan.contains("CartesianProduct"))
+  }
+
   test("copy-on-write MERGE: routed rewrites only, full-scan-exact") {
     import graft.sources.FileManifest
     val tmp = java.nio.file.Files.createTempDirectory("graft-mrg").toString
