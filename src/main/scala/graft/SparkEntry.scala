@@ -485,6 +485,40 @@ object SparkEntry {
           "n_chars", k = 50)
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")),
+    // Count-Min sketch as a plain (r, bucket, c) DataFrame: one
+    // hash-bucketed groupBy builds it (map-side partials cap the
+    // shuffle at depth*width rows per partition), estimates broadcast
+    // the tiny counter table and take the row-minimum. md5-derived
+    // buckets make the whole counter matrix engine-reproducible: the
+    // oracle replays build + estimate exactly; overcount >= 0 always
+    "a8_countmin" -> ((s, dir) => {
+      import graft.functions.CountMin
+      val ev = T(s, dir, "events")
+      val sk = CountMin.sketch(ev, "user_id", depth = 4, width = 256)
+      val keys = ev.select("user_id").where(col("user_id") < 50)
+      val est = CountMin.estimate(sk, keys, "user_id", depth = 4, width = 256)
+      val truth = ev.where(col("user_id") < 50).groupBy("user_id")
+        .agg(count(lit(1)).as("true_n"))
+      est.join(truth, Seq("user_id"))
+        .select(col("user_id"), col("est"), col("true_n"),
+          (col("est") - col("true_n")).as("overcount"))
+        .orderBy("user_id")
+    }),
+    // HyperLogLog from first principles as a plain DataFrame: md5
+    // bucket/rho registers via one partially-aggregated max-groupBy
+    // (≤ m rows per group on the shuffle), harmonic sum as an EXACT
+    // integer Σ 2^(W+1−r) — the engine-replayable counterpart to a1's
+    // rows-only approx_count_distinct; the oracle rebuilds registers
+    // and estimate bit-for-bit, the spec bounds the error vs exact
+    "a9_hll" -> ((s, dir) => {
+      import graft.functions.Hll
+      val ev = T(s, dir, "events")
+      val regs = Hll.registers(ev, "event_type", "user_id", p = 6)
+      val est = Hll.estimate(regs, "event_type", p = 6)
+      val truth = ev.groupBy("event_type")
+        .agg(countDistinct("user_id").as("true_distinct"))
+      est.join(truth, Seq("event_type")).orderBy("event_type")
+    }),
     // approximate aggregates: sketch outputs differ across engines by
     // design -> rows-only here; the spec asserts error bounds vs exact
     "a1_approx_agg" -> ((s, dir) =>
@@ -639,6 +673,19 @@ object SparkEntry {
       Dedup.minhashLsh(T(s, dir, "documents"), "doc_id", "text",
         shingleWords = 3, numHashes = 64, bands = 16, threshold = 0.5)
         .orderBy("id_a", "id_b")),
+    // NEAR-dup decontamination (the fuzzy big brother of d7's exact
+    // n-gram decontam): cross-set LSH banding corpus × benchmark,
+    // exact verify on bucket collisions only — catches reformatted /
+    // lightly-edited eval leakage exact grams miss
+    "d15_decontam_neardup" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Dedup.minhashLshCross(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", shingleWords = 3, numHashes = 64,
+          bands = 16, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
     // the streaming LSH-band near-dup operator, exercised through its
     // batch path — must equal the batch minhashLsh pair set exactly
     // (same oracle as d2)
@@ -819,6 +866,24 @@ object SparkEntry {
     "x6_vocab" -> ((s, dir) =>
       CorpusOps.vocabTopK(T(s, dir, "documents"), "text", 100)
         .orderBy("rank")),
+    // corpus-level duplicated-passage audit: top-k word 3-grams by
+    // total occurrences + document frequency, two-stage agg + TakeOrdered
+    "x26_ngram_stats" -> ((s, dir) =>
+      CorpusOps.ngramTopK(T(s, dir, "documents"), "doc_id", "text",
+        n = 3, k = 50)
+        .orderBy("rank")),
+    // classifier-based quality filtering (the GPT-3/CCNet-style
+    // linear probe) trained IN-ENGINE: full-batch GD where each round
+    // is one partially-aggregated scan summing exact fixed-point
+    // gradient contributions (BIGINTs — associative, engine- and
+    // partitioning-independent); weights are a few driver-side longs.
+    // The DuckDB oracle unrolls all 6 training rounds and matches the
+    // scores bit-for-bit.
+    "x27_quality_classifier" -> ((s, dir) =>
+      LinearModel.qualityClassifier(T(s, dir, "embeddings"), "vec_id",
+          "embedding", col("label") < 5, nFeatures = 16, lr = 0.5,
+          rounds = 6)
+        .orderBy("vec_id")),
     // MassiveText-style repetition quality rule, one codegen'd pass
     "x7_repetition" -> ((s, dir) =>
       CorpusOps.repetitionStats(T(s, dir, "documents"), "doc_id", "text")
@@ -1124,6 +1189,20 @@ object SparkEntry {
       Similarity.mmrDiversifyTopK(q, emb, k = 5, candidates = 20)
         .orderBy("query_id", "pick")
     }),
+    // Johnson-Lindenstrauss sketch-and-refine ANN: 64 float dims
+    // shrink to 16 exact-integer dims via an md5-derived ±1 sign
+    // matrix (fixed-point quantize FIRST, so projections are integer
+    // sums — order-free, engine-identical); a candidates-deep pool
+    // retrieved by projected integer dots, then exact full-width
+    // re-rank of only the pool. Recall is spec-measured.
+    "s19_ann_rp" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.rpRerankTopK(q, emb, k = 5, candidates = 50,
+          dim = 64, outDim = 16)
+        .orderBy("query_id", "rank")
+    }),
     // k-means with deterministic farthest-point (k-means++-style)
     // seeding: seeds spread by construction instead of first-k-by-id;
     // each seeding round is a map-only codegen'd min-dist pass + one
@@ -1230,6 +1309,19 @@ object SparkEntry {
         .union(Profile.driftPsi(va, vb, col("event_type"), "event_type"))
         .orderBy("metric")
     }),
+    // CONTINUOUS drift monitor: PSI per event-time hour vs a fixed
+    // reference sample, bucket domain = union of both supports, one
+    // row per window out; psi_q is an exact integer sum of per-bucket
+    // fixed-point terms (no float accumulation order anywhere)
+    "p7_drift_windowed" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val ref = ev.filter(col("event_id") % 10 < 3)
+      val vbucket = least(greatest(
+          floor((col("value") - lit(0.0)) * lit(20) / lit(600.0)), lit(0.0)),
+        lit(19.0)).cast("long")
+      Profile.driftPsiWindowed(ev, "ts", "1 hour", ref, vbucket, "value")
+        .orderBy("window_start")
+    }),
     // equi-width histogram: at most `bins` rows out however large the
     // table; bucket arithmetic mirrored literally in the oracle
     "p4_histogram" -> ((s, dir) =>
@@ -1259,6 +1351,17 @@ object SparkEntry {
           col("pcm_samples"), col("pcm_sum"), col("pcm_peak"),
           size(col("frame_hashes")).as("n_frames"))
         .orderBy("doc_id")),
+    // patch featurization of an opaque binary column — the ViT-tiling
+    // / audio-chunking plumbing, entirely codegen'd (binary substr
+    // slices, hex-pair byte extraction, an aggregate-fold hash): no
+    // UDF, no mapPartitions, parallel across payloads. The oracle
+    // replays the byte arithmetic exactly.
+    "m2_patches" -> ((s, dir) =>
+      Multimodal.patchFeatures(
+          T(s, dir, "documents")
+            .select(col("doc_id"), encode(col("text"), "UTF-8").as("media")),
+          "doc_id", "media", patchBytes = 64)
+        .orderBy("doc_id", "patch_idx")),
 
     // ---- §2.8 file layout & data skipping ---------------------------
     // Iceberg-style manifest pruning: cluster events by user_id into a
@@ -1296,6 +1399,48 @@ object SparkEntry {
           dsum(col("value")).as("total_value"),
           sum(col("event_id")).as("sum_ids"))
         .orderBy("event_type")
+    }),
+    // schema evolution with ZERO rewrite: old-generation files keep
+    // their original columns (value, no priority), new-generation
+    // files carry the renamed column (amount) and the added one; a
+    // column mapping resolves both at scan time through one
+    // merged-schema read + a codegen'd coalesce projection
+    "f10_schema_evolution" -> ((s, dir) => {
+      val tmp = layoutDir("f10", dir)
+      val ev = T(s, dir, "events")
+      FileManifest.writeLayout(ev.filter(col("event_id") % 2 === 0),
+        s"$tmp/t", "user_id", 8)
+      FileManifest.writeLayout(
+        ev.filter(col("event_id") % 2 === 1)
+          .withColumnRenamed("value", "amount")
+          .withColumn("priority", (col("event_id") % 5).cast("int")),
+        s"$tmp/t2", "user_id", 8)
+      val m = FileManifest.buildManifest(s, s"$tmp/t", "user_id") ++
+        FileManifest.buildManifest(s, s"$tmp/t2", "user_id")
+      FileManifest.readMapped(s, m, Seq(
+          ("event_type", Seq("event_type"), lit(null)),
+          ("value", Seq("amount", "value"), lit(null)),
+          ("priority", Seq("priority"), lit(-1))))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("total_value"),
+          sum(col("priority")).as("sum_priority"))
+        .orderBy("event_type")
+    }),
+    // incremental changelog read between two snapshots: file-level
+    // diff keeps every carried file closed; row-level exceptAll over
+    // only the churned files nets a CoW update out as D(old)+I(new).
+    // IO proportional to churn, not table size.
+    "f9_snapshot_diff" -> ((s, dir) => {
+      val tmp = layoutDir("f9", dir)
+      FileManifest.writeLayout(T(s, dir, "events"), s"$tmp/t", "user_id", 16)
+      val v1 = FileManifest.buildManifest(s, s"$tmp/t", "user_id")
+      val v2 = FileManifest.updateRange(s, v1, "user_id", 40L, 60L,
+        "value", col("value") + lit(1000000.0), s"$tmp/rw")
+      FileManifest.snapshotDiff(s, v1, v2)
+        .select(col("change_type"), col("event_id"), col("user_id"),
+          col("value"))
+        .orderBy("change_type", "event_id")
     }),
     // COPY-ON-WRITE MERGE INTO: one keyed changeset carrying updates,
     // deletes, and inserts; only files whose key range a change row
@@ -1873,6 +2018,25 @@ object SparkEntry {
         |SELECT id_a, id_b, inter / (na + nb - inter) AS jaccard
         |FROM p WHERE inter / (na + nb - inter) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    // cross-set exact-jaccard mirror (same full-recall argument as
+    // d2: LSH candidates provably cover all true pairs here, so the
+    // verified pair set equals the exact join restricted to
+    // corpus × benchmark)
+    "d15_decontam_neardup" ->
+      """WITH w AS (SELECT doc_id, source,
+        |  list_distinct(CASE WHEN len(sp) < 3 THEN [array_to_string(sp, ' ')]
+        |    ELSE list_transform(generate_series(1, len(sp) - 2),
+        |      i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2]) END) AS sh
+        |  FROM (SELECT doc_id, source,
+        |    string_split_regex(trim(text), '\s+') AS sp FROM documents)),
+        |ww AS (SELECT doc_id, source, sh, len(sh) AS n FROM w),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.sh, b.sh)) AS inter, a.n AS na, b.n AS nb
+        |  FROM ww a JOIN ww b ON a.source <> 'src0' AND b.source = 'src0'
+        |    AND a.n <= b.n * 2.0 AND b.n <= a.n * 2.0)
+        |SELECT id_a, id_b, inter / (na + nb - inter) AS jaccard
+        |FROM p WHERE inter / (na + nb - inter) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
     // edges derived exactly as d2's oracle (minhashLsh provably equals
     // the exact jaccard pairs on this corpus), then transitive closure
     // via recursive CTE; min reachable id labels the component
@@ -1941,6 +2105,39 @@ object SparkEntry {
     // round is a (max-sim-to-selected, argmax, union) CTE triple —
     // the same unrolled-replay discipline as the k-means oracles
     "s18_mmr_diversify" -> mmrOracleSql,
+    // full engine replay of the JL sketch-and-refine: same md5 sign
+    // matrix, same fixed-point quantization, same integer projections,
+    // candidate cut, and exact full-width re-rank
+    "s19_ann_rp" ->
+      """WITH p AS (SELECT vec_id, list_transform(generate_series(0, 15), j ->
+        |    CAST(list_sum(list_transform(generate_series(0, 63), i ->
+        |      (CASE WHEN ('0x' || substr(md5('rp:' || CAST(j AS VARCHAR)
+        |          || ':' || CAST(i AS VARCHAR)), 1, 1))::INT % 2 = 0
+        |        THEN 1 ELSE -1 END)
+        |      * CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1048576.0)
+        |          AS BIGINT))) AS BIGINT)) AS proj
+        |  FROM embeddings),
+        |qp AS (SELECT vec_id AS query_id, proj AS qv FROM p WHERE vec_id < 10),
+        |ps AS (SELECT query_id, c.vec_id,
+        |    CAST(list_sum(list_transform(generate_series(1, 16), j ->
+        |      qv[j] * c.proj[j])) AS BIGINT) AS pdot
+        |  FROM qp JOIN p c ON c.vec_id <> query_id),
+        |cand AS (SELECT query_id, vec_id FROM ps
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY pdot DESC, vec_id ASC) <= 50),
+        |fq AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS fv
+        |  FROM embeddings),
+        |e AS (SELECT c.query_id, c.vec_id,
+        |    CAST(list_sum(list_transform(generate_series(1, 64), i ->
+        |      a.fv[i] * b.fv[i])) AS BIGINT) AS dot_q
+        |  FROM cand c
+        |  JOIN fq a ON a.vec_id = c.query_id
+        |  JOIN fq b ON b.vec_id = c.vec_id)
+        |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY dot_q DESC, vec_id ASC) AS INT) AS "rank",
+        |  vec_id AS neighbor_id, dot_q
+        |FROM e QUALIFY "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
     // d12: the balanced-assignment CTE chain (capacity = 64, the
     // entry's targetClusterSize) feeds the same cluster-restricted
     // pair join as d11
@@ -2165,6 +2362,59 @@ object SparkEntry {
         |SELECT doc_id, lang, n_chars FROM
         |  (SELECT * FROM s ORDER BY key DESC, doc_id ASC LIMIT 50)
         |ORDER BY doc_id""".stripMargin,
+    // full engine replay of the HLL register table and raw estimator:
+    // same md5 hashes, same bin()-derived rho, same fixed-point
+    // harmonic sum, one deterministic double division at the end
+    "a9_hll" ->
+      """WITH h AS (SELECT event_type,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |rho AS (SELECT event_type, h & 63 AS b,
+        |    CASE WHEN (h >> 6) = 0 THEN 55
+        |      ELSE 55 - length(bin(h >> 6)) END AS rho
+        |  FROM h),
+        |got AS (SELECT event_type, b, max(rho) AS r FROM rho GROUP BY 1, 2),
+        |regs AS (SELECT a.event_type, u.b, coalesce(g.r, 0) AS r
+        |  FROM (SELECT DISTINCT event_type FROM events) a
+        |  CROSS JOIN unnest(generate_series(0, 63)) AS u(b)
+        |  LEFT JOIN got g ON g.event_type = a.event_type AND g.b = u.b),
+        |agg AS (SELECT event_type,
+        |    CAST(sum(1::BIGINT << (55 - r)) AS BIGINT) AS s_fixed,
+        |    CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS zero_regs
+        |  FROM regs GROUP BY 1),
+        |fin AS (SELECT event_type,
+        |    CAST(floor(0.709 * 64 * 64 /
+        |      (CAST(s_fixed AS DOUBLE) / 36028797018963968.0)) AS BIGINT)
+        |      AS est_distinct,
+        |    zero_regs FROM agg),
+        |t AS (SELECT event_type,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS true_distinct
+        |  FROM events GROUP BY 1)
+        |SELECT f.event_type, est_distinct, zero_regs, true_distinct
+        |FROM fin f JOIN t USING (event_type) ORDER BY event_type""".stripMargin,
+    // full engine replay of the Count-Min counter matrix: same
+    // md5-bucket hashes, same integer sums, same row-minimum estimate
+    "a8_countmin" ->
+      """WITH ks AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events
+        |  WHERE user_id IS NOT NULL),
+        |e AS (SELECT k, r FROM ks, unnest([0, 1, 2, 3]) AS u(r)),
+        |sk AS (SELECT r,
+        |    ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || k), 1, 15))::BIGINT
+        |      % 256 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM e GROUP BY 1, 2),
+        |q AS (SELECT DISTINCT user_id FROM events WHERE user_id < 50),
+        |p AS (SELECT user_id, r,
+        |    ('0x' || substr(md5(CAST(r AS VARCHAR) || ':'
+        |      || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 256 AS bucket
+        |  FROM q, unnest([0, 1, 2, 3]) AS u(r)),
+        |est AS (SELECT user_id, min(coalesce(c, CAST(0 AS BIGINT))) AS est
+        |  FROM p LEFT JOIN sk USING (r, bucket) GROUP BY 1),
+        |t AS (SELECT user_id, CAST(count(*) AS BIGINT) AS true_n
+        |  FROM events WHERE user_id < 50 GROUP BY 1)
+        |SELECT est.user_id, est, true_n, est - true_n AS overcount
+        |FROM est JOIN t USING (user_id) ORDER BY user_id""".stripMargin,
     // exact regime: per-lang vocab (31) < capacity (64), so MG counts
     // equal true counts and the tie-break is (freq desc, token asc)
     "a6_heavy_hitters" ->
@@ -2436,6 +2686,21 @@ object SparkEntry {
         |    (ORDER BY freq DESC, token ASC) AS INT) AS "rank" FROM f)
         |SELECT token, freq, "rank" FROM r WHERE "rank" <= 100
         |ORDER BY "rank"""".stripMargin,
+    "x26_ngram_stats" ->
+      """WITH g AS (SELECT doc_id,
+        |  CASE WHEN len(sp) < 3 THEN [array_to_string(sp, ' ')]
+        |    ELSE list_transform(generate_series(1, len(sp) - 2),
+        |      i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2]) END AS grams
+        |  FROM (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS sp FROM documents)),
+        |u AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        |f AS (SELECT gram, CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+        |  FROM u GROUP BY 1),
+        |r AS (SELECT gram, freq, doc_freq, CAST(row_number() OVER
+        |    (ORDER BY freq DESC, gram ASC) AS INT) AS "rank" FROM f)
+        |SELECT gram, freq, doc_freq, "rank" FROM r WHERE "rank" <= 50
+        |ORDER BY "rank"""".stripMargin,
     "x7_repetition" ->
       """WITH g AS (SELECT doc_id,
         |  CASE WHEN len(sp) < 3 THEN [array_to_string(sp, ' ')]
@@ -2478,6 +2743,7 @@ object SparkEntry {
         |  WHERE source <> 'src0')
         |SELECT c.doc_id, count(*) AS n_overlap FROM c JOIN b USING (gram)
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    "x27_quality_classifier" -> x27OracleSql,
     "d3_dedup_simhash" -> d3OracleSql,
     "d6_corpus_overlap" -> d6OracleSql,
     "x4_fingerprint" -> x4OracleSql,
@@ -2608,6 +2874,27 @@ object SparkEntry {
         |  CAST(4 AS INT) AS n_frames
         |FROM s ORDER BY doc_id""".stripMargin,
 
+    // byte-exact patch replay: same slicing, same hex-pair byte
+    // extraction, same rolling hash fold
+    "m2_patches" ->
+      """WITH m AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS len
+        |  FROM documents WHERE octet_length(encode(text)) > 0),
+        |p AS (SELECT doc_id, CAST(u.i AS INT) AS patch_idx,
+        |    substr(hx, CAST(u.i AS INT) * 128 + 1, 128) AS phx
+        |  FROM m, unnest(generate_series(0,
+        |    CAST((len + 63) // 64 AS BIGINT) - 1)) AS u(i)),
+        |b AS (SELECT doc_id, patch_idx,
+        |    CAST(length(phx) // 2 AS INT) AS patch_len,
+        |    list_transform(range(1, length(phx) // 2 + 1),
+        |      i -> CAST(('0x' || substr(phx, 2*i - 1, 2)) AS BIGINT)) AS bs
+        |  FROM p)
+        |SELECT doc_id, patch_idx, patch_len,
+        |  CAST(list_sum(bs) AS BIGINT) AS patch_sum,
+        |  CAST(list_max(bs) AS BIGINT) AS patch_max,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), bs),
+        |    (acc, x) -> (acc * 257 + x) % 1000000007) AS BIGINT) AS patch_hash
+        |FROM b ORDER BY doc_id, patch_idx""".stripMargin,
     // f6/f7: the DML oracles ignore the file layout entirely — a
     // pruned-rewrite delete/update must equal the full-scan form
     "f6_delete_cow" ->
@@ -2628,6 +2915,24 @@ object SparkEntry {
     // deterministic changeset — updates %10=1 (price doubled), deletes
     // %10=2, inserts %10=3 (key shifted past max). The pruned-rewrite
     // merge must equal the full-scan form exactly.
+    // the evolved read must equal the logical union: odd rows carry
+    // their renamed value + computed priority, even rows default
+    "f10_schema_evolution" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  CAST(sum(CASE WHEN event_id % 2 = 1 THEN event_id % 5
+        |    ELSE -1 END) AS BIGINT) AS sum_priority
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the changelog contract: every updated row appears exactly twice,
+    // old image as D, new image as I; untouched rows appear not at all
+    "f9_snapshot_diff" ->
+      """WITH ch AS (SELECT event_id, user_id, value FROM events
+        |  WHERE user_id BETWEEN 40 AND 60)
+        |SELECT 'D' AS change_type, event_id, user_id, value FROM ch
+        |UNION ALL
+        |SELECT 'I' AS change_type, event_id, user_id,
+        |  value + 1000000.0 AS value FROM ch
+        |ORDER BY change_type, event_id""".stripMargin,
     "f8_merge_cow" ->
       """WITH t AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
         |mx AS (SELECT max(o_orderkey) AS m FROM orders),
@@ -2698,6 +3003,42 @@ object SparkEntry {
         |  UNION ALL SELECT ws, n, 'in_range', 'value', v1 FROM a
         |  UNION ALL SELECT ws, n, 'in_set', 'event_type', v2 FROM a)
         |ORDER BY window_start, rule, "column"""".stripMargin,
+    // windowed PSI replay: same union bucket domain, same grid joins,
+    // same per-term fixed-point quantization summed as integers
+    "p7_drift_windowed" ->
+      """WITH rf AS (SELECT * FROM events WHERE event_id % 10 < 3),
+        |ref AS (SELECT CAST(least(greatest(floor((value - 0.0) * 20
+        |    / 600.0), 0.0), 19.0) AS BIGINT) AS k, count(*) AS na
+        |  FROM rf GROUP BY 1),
+        |cur AS (SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+        |    '%Y-%m-%d %H:%M:%S') AS ws,
+        |    CAST(least(greatest(floor((value - 0.0) * 20
+        |      / 600.0), 0.0), 19.0) AS BIGINT) AS k, count(*) AS nb
+        |  FROM events GROUP BY 1, 2),
+        |wins AS (SELECT DISTINCT ws FROM cur),
+        |ks AS (SELECT DISTINCT k FROM
+        |  (SELECT k FROM ref UNION ALL SELECT k FROM cur)),
+        |gl AS (SELECT (SELECT sum(na) FROM ref) AS tna,
+        |  (SELECT count(*) FROM ks) AS kb),
+        |grid AS (SELECT w.ws, s.k, coalesce(r.na, 0) AS na,
+        |    coalesce(c.nb, 0) AS nb
+        |  FROM wins w CROSS JOIN ks s
+        |  LEFT JOIN ref r ON r.k = s.k
+        |  LEFT JOIN cur c ON c.ws = w.ws AND c.k = s.k),
+        |tt AS (SELECT ws, sum(nb) AS tnb FROM grid GROUP BY 1),
+        |j AS (SELECT g.ws, g.na, g.nb, t.tnb, gl.tna, gl.kb
+        |  FROM grid g JOIN tt t USING (ws) CROSS JOIN gl),
+        |v AS (SELECT ws, tnb,
+        |    CAST(floor(((CAST(na + 1 AS DOUBLE) / (tna + kb)
+        |      - CAST(nb + 1 AS DOUBLE) / (tnb + kb))
+        |      * ln((CAST(na + 1 AS DOUBLE) / (tna + kb))
+        |          / (CAST(nb + 1 AS DOUBLE) / (tnb + kb))))
+        |      * 1048576.0) AS BIGINT) AS term_q
+        |  FROM j)
+        |SELECT 'value' AS metric, ws AS window_start,
+        |  CAST(sum(term_q) AS BIGINT) AS psi_q,
+        |  CAST(max(tnb) AS BIGINT) AS n_rows
+        |FROM v GROUP BY 1, 2 ORDER BY window_start""".stripMargin,
     "p6_drift" ->
       """WITH av AS (SELECT * FROM events WHERE event_id % 2 = 0),
         |bv AS (SELECT * FROM events WHERE event_id % 2 = 1),
@@ -3196,6 +3537,45 @@ object SparkEntry {
        |  FROM tt WHERE tok <> ''),
        |v AS (SELECT doc_id, $simhashVoteSums FROM h GROUP BY doc_id),
        |sig AS (SELECT doc_id, ($simhashFromVotes) AS sig FROM v)""".stripMargin
+
+  /** Unrolled full-batch GD: one (g_t, w_t) CTE pair per training
+    * round, replaying [[graft.operators.LinearModel]]'s exact
+    * fixed-point arithmetic — integer gradient sums, Q20 weight
+    * floors, left-associative score expressions. */
+  private def x27OracleSql: String = {
+    val nf = 16
+    val lr = "0.5"
+    val roundsN = 6
+    def score(w: String) = (0 until nf).map(j =>
+      s"($w.wq$j / 1048576.0) * x$j").mkString(" + ")
+    val featDefs = ("1.0 AS x0" +: (1 until nf).map(j =>
+      s"CAST(embedding[$j] AS DOUBLE) AS x$j")).mkString(", ")
+    val zeros = (0 until nf).map(j => s"CAST(0 AS BIGINT) AS wq$j")
+      .mkString(", ")
+    val rounds = (1 to roundsN).map { t =>
+      val gs = (0 until nf).map(j =>
+        s"CAST(sum(CAST(floor((${score(s"w${t - 1}")} - y) * x$j " +
+          s"* 1048576.0) AS BIGINT)) AS BIGINT) AS g$j").mkString(", ")
+      val ws = (0 until nf).map(j =>
+        s"CAST(floor((w${t - 1}.wq$j / 1048576.0 - $lr * " +
+          s"(g$t.g$j / 1048576.0) / c.n) * 1048576.0) AS BIGINT) AS wq$j")
+        .mkString(", ")
+      s"g$t AS (SELECT $gs FROM f, w${t - 1}),\n" +
+        s"w$t AS (SELECT $ws FROM g$t, w${t - 1}, c)"
+    }.mkString(",\n")
+    s"""WITH f AS (SELECT vec_id,
+       |    CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y, $featDefs
+       |  FROM embeddings),
+       |c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+       |w0 AS (SELECT $zeros),
+       |$rounds,
+       |s AS (SELECT vec_id, CAST(y AS INT) AS y,
+       |  CAST(floor((${score(s"w$roundsN")}) * 1048576.0) AS BIGINT)
+       |    AS score_q FROM f, w$roundsN)
+       |SELECT vec_id, y, score_q,
+       |  CASE WHEN score_q >= 524288 THEN 1 ELSE 0 END AS pred
+       |FROM s ORDER BY vec_id""".stripMargin
+  }
 
   private def d3OracleSql: String = {
     val pows = (0 until 8).map(b => s"${BigInt(256).pow(b)}::UBIGINT")

@@ -416,6 +416,26 @@ object CorpusOps {
       row_number().over(Window.orderBy(col("freq").desc, col("token").asc)))
   }
 
+  /** Corpus-level n-gram frequency table: total occurrences and
+    * document frequency of the `k` most frequent word n-grams — the
+    * most-duplicated-passages corpus audit (which boilerplate strings
+    * dominate a web crawl, what decontamination should look for).
+    * Two-stage aggregation: (doc, gram) counts first — doc-local, so
+    * partial aggregation collapses each doc's repeats map-side — then
+    * one row per distinct (doc, gram) feeds freq = sum / doc_freq =
+    * count; the global top-k is TakeOrdered over partial per-partition
+    * heaps, never a full sort of the gram table. */
+  def ngramTopK(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 50): DataFrame = {
+    val winners = df
+      .select(col(idCol), explode(wordGrams(col(textCol), n)).as("gram"))
+      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy("gram").agg(sum("c").as("freq"), count(lit(1)).as("doc_freq"))
+      .orderBy(col("freq").desc, col("gram").asc).limit(k)
+    winners.withColumn("rank",
+      row_number().over(Window.orderBy(col("freq").desc, col("gram").asc)))
+  }
+
   /** Per-document repetition stats on word n-grams: total grams,
     * distinct grams, and the duplicate fraction — the published
     * repetition quality filter (heavily repeated passages predict

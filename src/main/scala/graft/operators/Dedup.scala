@@ -161,6 +161,63 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** CROSS-SET MinHash-LSH near-dup pairs: same banding + exact
+    * verify as [[minhashLsh]], but candidates join the LEFT set
+    * against the RIGHT set (no self-pairs, no ordering constraint) —
+    * the shape of benchmark decontamination, where the question is
+    * "which corpus docs nearly duplicate an eval doc", not "which
+    * corpus docs duplicate each other". Band buckets are
+    * high-cardinality equi-join keys, so the join is a plain shuffle
+    * join at any scale; only bucket collisions pay the exact
+    * verification. Output: (id_a ∈ a, id_b ∈ b, jaccard ≥ threshold). */
+  def minhashLshCross(a: DataFrame, b: DataFrame, idCol: String,
+      textCol: String, shingleWords: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    import graft.functions.GraftFunctions.{shingle_hashes, sorted_intersect_count}
+    val r = numHashes / bands
+    def banded(df: DataFrame) = {
+      val sigs = df.select(col(idCol),
+        shingle_hashes(col(textCol), shingleWords).as("shh"),
+        minhash_signature(col(textCol), shingleWords, numHashes).as("__g_sig"))
+      sigs.select(col(idCol), col("shh"),
+        explode(array((0 until bands).map(bd => struct(lit(bd).as("band"),
+          xxhash64(lit(bd), slice(col("__g_sig"), bd * r + 1, r)).as("bh"))): _*))
+          .as("__g_b"))
+        .select(col(idCol), col("shh"),
+          col("__g_b.band").as("__g_band"), col("__g_b.bh").as("__g_bh"))
+    }
+    val l = banded(a).select(col("__g_band"), col("__g_bh"),
+      col(idCol).as("id_a"), col("shh").as("shh_a"))
+    val rt = banded(b).select(col("__g_band").as("__g_band2"),
+      col("__g_bh").as("__g_bh2"), col(idCol).as("id_b"),
+      col("shh").as("shh_b"))
+    val cand = l.join(rt,
+        l("__g_band") === rt("__g_band2") && l("__g_bh") === rt("__g_bh2"))
+      .select("id_a", "id_b", "shh_a", "shh_b")
+      .dropDuplicates("id_a", "id_b")
+    cand.withColumn("inter", sorted_intersect_count(col("shh_a"), col("shh_b")))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("shh_a")) + size(col("shh_b")) - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** NEAR-dup decontamination: drop corpus docs whose text nearly
+    * duplicates ANY benchmark doc — the fuzzy big brother of the
+    * exact n-gram decontam (`CorpusOps.decontaminate`), catching the
+    * reformatted / lightly-edited eval leakage exact grams miss.
+    * One [[minhashLshCross]] + a LEFT ANTI join on the flagged ids. */
+  def decontaminateNearDup(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, shingleWords: Int = 3,
+      numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    val flagged = minhashLshCross(corpus, benchmark, idCol, textCol,
+        shingleWords, numHashes, bands, threshold)
+      .select(col("id_a").as(idCol)).distinct()
+    corpus.join(flagged, Seq(idCol), "left_anti")
+  }
+
   /** Exact n-gram Jaccard join via PREFIX FILTERING (PPJoin-style) —
     * same results as `jaccardJoin`, but shaped for 100 TB:
     *

@@ -258,4 +258,40 @@ object Multimodal {
       }
     }
   }
+
+  /** PATCH featurization of an opaque binary column — the plumbing
+    * under patch-embedding pipelines (ViT-style tiling, audio
+    * chunking): each payload splits into fixed-size byte patches and
+    * every patch yields integer features (length, byte sum, max, and
+    * a 257-base rolling hash mod 1e9+7), ENTIRELY as codegen'd
+    * expressions — substring on binary for the slice, hex-pair
+    * extraction for the byte values, an `aggregate` fold for the
+    * hash. No UDF, no mapPartitions: the patch grid is one
+    * posexplode, so Spark parallelizes across payloads AND keeps
+    * whole-stage codegen. A real encoder replaces the feature lambda;
+    * the slicing/indexing/shuffle shape — the part that matters at
+    * 100 TB — is what this op pins down and the oracle replays. */
+  def patchFeatures(media: DataFrame, idCol: String = "doc_id",
+      mediaCol: String = "media", patchBytes: Int = 64): DataFrame = {
+    require(patchBytes >= 1)
+    val len = octet_length(col(mediaCol))
+    val nPatches = ((len + lit(patchBytes - 1)) / lit(patchBytes)).cast("int")
+    val patched = media
+      // guard: sequence(0, -1) would DESCEND for an empty payload
+      .where(len > 0)
+      .select(col(idCol), col(mediaCol),
+        posexplode(sequence(lit(0), nPatches - 1)).as(Seq("patch_idx", "__p")))
+      .select(col(idCol), col("patch_idx"),
+        col(mediaCol).substr(col("patch_idx") * patchBytes + 1,
+          lit(patchBytes)).as("__patch"))
+    val hx = hex(col("__patch"))
+    val bytes = transform(sequence(lit(1), octet_length(col("__patch"))),
+      i => conv(hx.substr(i * 2 - 1, lit(2)), 16, 10).cast("long"))
+    patched.select(col(idCol), col("patch_idx"),
+      octet_length(col("__patch")).as("patch_len"),
+      aggregate(bytes, lit(0L), _ + _).as("patch_sum"),
+      array_max(bytes).as("patch_max"),
+      aggregate(bytes, lit(0L),
+        (acc, b) => (acc * lit(257L) + b) % lit(1000000007L)).as("patch_hash"))
+  }
 }

@@ -116,6 +116,51 @@ object Profile {
       .select(lit(metric).as("metric"), col("psi_q"))
   }
 
+  /** PSI drift per event-time window against a fixed reference frame
+    * — the CONTINUOUS monitor form of [[driftPsi]]: is this hour's
+    * distribution sliding away from the baseline crawl? The bucket
+    * domain is the union of reference and current buckets (a full
+    * windows×buckets grid, so Laplace smoothing sees every bucket
+    * either side ever saw — no window silently loses support);
+    * per-side counts are one partially-aggregated groupBy each, the
+    * grid and the reference counts broadcast (both are tiny — buckets
+    * × windows), and the output is one row per window regardless of
+    * input size. Same fixed-point psi_q quantization as driftPsi. */
+  def driftPsiWindowed(df: DataFrame, tsCol: String, windowDur: String,
+      reference: DataFrame, bucket: Column, metric: String): DataFrame = {
+    val ref = reference.groupBy(bucket.as("k")).agg(count(lit(1)).as("na"))
+    val cur = df
+      .groupBy(window(col(tsCol), windowDur).getField("start").as("ws"),
+        bucket.as("k"))
+      .agg(count(lit(1)).as("nb"))
+    val wins = cur.select("ws").distinct()
+    val ks = ref.select("k").unionByName(cur.select("k")).distinct()
+    val glob = ref.agg(sum("na").as("tna")).crossJoin(
+      ks.agg(count(lit(1)).as("kb")))
+    val grid = wins.crossJoin(broadcast(ks))
+      .join(broadcast(ref), Seq("k"), "left")
+      .join(cur, Seq("ws", "k"), "left")
+      .na.fill(0L, Seq("na", "nb"))
+    val tnb = grid.groupBy("ws").agg(sum("nb").as("tnb"))
+    val j = grid.join(broadcast(tnb), Seq("ws")).crossJoin(broadcast(glob))
+    val p = (col("na") + lit(1)).cast("double") /
+      (col("tna") + col("kb")).cast("double")
+    val q = (col("nb") + lit(1)).cast("double") /
+      (col("tnb") + col("kb")).cast("double")
+    // per-TERM fixed-point quantization (not floor-of-sum): the
+    // window PSI is an exact integer sum of per-bucket floors, so
+    // shuffle arrival order cannot wiggle the last ulp of a double
+    // accumulation — deterministic across runs, engines, partitions
+    j.select(col("ws"), col("tnb"),
+        floor(((p - q) * log(p / q)) * lit(1048576.0)).cast("long")
+          .as("term_q"))
+      .groupBy("ws")
+      .agg(sum(col("term_q")).as("psi_q"), max("tnb").as("n_rows"))
+      .select(lit(metric).as("metric"),
+        date_format(col("ws"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("psi_q"), col("n_rows"))
+  }
+
   /** Equi-width histogram of a numeric column: one groupBy on the
     * bucket index (map-side combine reduces the shuffle to at most
     * `bins` rows per partition), out-of-range values clamp into the

@@ -77,6 +77,114 @@ object Similarity {
         col("sim"))
   }
 
+  /** md5-derived ±1 sign for a Johnson-Lindenstrauss projection cell:
+    * parity of the first hex digit of md5("salt:j:i"). Computed ONCE
+    * driver-side per (row, column) of the tiny outDim×dim matrix and
+    * shipped as a literal — the per-row work is pure integer
+    * arithmetic — while staying bit-reproducible by any engine that
+    * can md5 a string (the DuckDB oracle re-derives the same matrix
+    * in SQL). */
+  def rpSign(salt: String, j: Int, i: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$salt:$j:$i".getBytes("UTF-8"))
+    if (((d(0) >> 4) & 0xf) % 2 == 0) 1L else -1L
+  }
+
+  /** Johnson-Lindenstrauss random-projection sketch: each embedding
+    * maps from `dim` floats to `outDim` exact BIGINTs via a ±1 sign
+    * matrix ([[rpSign]]). Input coordinates quantize to fixed-point
+    * floor(x·scale) FIRST, so every projected coordinate is an exact
+    * integer sum — no float addition order anywhere, identical on any
+    * engine and under any partitioning. The sketch is the 100 TB
+    * shrink step: a 64-dim float corpus becomes outDim longs (4x
+    * fewer cells at outDim=16) that downstream search scans with pure
+    * integer dot products. */
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int = 64, outDim: Int = 16, scale: Int = 1048576,
+      salt: String = "rp"): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    require(outDim >= 1 && dim >= 1)
+    val signs = Array.tabulate(outDim, dim)((j, i) => rpSign(salt, j, i))
+    val signsCol = typedLit(signs.map(_.toSeq).toSeq)
+    val q = transform(col(vecCol).cast(ArrayType(DoubleType)),
+      x => floor(x * scale).cast("long"))
+    df.select(col(idCol), q.as("__q"))
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(outDim - 1)), j =>
+          aggregate(sequence(lit(0), lit(dim - 1)), lit(0L),
+            (acc, i) => acc +
+              element_at(element_at(signsCol, j + 1), i + 1) *
+              element_at(col("__q"), i + 1))).as("proj"))
+  }
+
+  /** Top-k maximum-inner-product search in the projected space: both
+    * sides pass through [[randomProjection]] (same salt → same
+    * matrix), then the exact-integer dot product ranks candidates
+    * with the usual two-stage top-k reduction (per-partition winners,
+    * then a merge of #partitions×k rows — the full score matrix never
+    * shuffles). JL preserves inner products to ±ε with outDim ~
+    * O(log n / ε²), so this is the cheap first pass a re-ranker
+    * refines; recall vs the exact scan is spec-measured. */
+  def rpTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      dim: Int = 64, outDim: Int = 16, scale: Int = 1048576,
+      salt: String = "rp", queryId: String = "query_id",
+      queryVec: String = "query_vec", corpusId: String = "vec_id",
+      corpusVec: String = "embedding"): DataFrame = {
+    val qp = randomProjection(queries, queryId, queryVec, dim, outDim,
+      scale, salt).withColumnRenamed("proj", "__qp")
+    val cp = randomProjection(corpus, corpusId, corpusVec, dim, outDim,
+      scale, salt).withColumnRenamed("proj", "__cp")
+    val wl = Window.partitionBy(col(queryId), col("__g_pid"))
+      .orderBy(col("dot_q").desc, col(corpusId).asc)
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("dot_q").desc, col(corpusId).asc)
+    cp.join(broadcast(qp), col(queryId) =!= col(corpusId))
+      .withColumn("dot_q",
+        aggregate(zip_with(col("__qp"), col("__cp"), _ * _), lit(0L), _ + _))
+      .withColumn("__g_pid", spark_partition_id())
+      .withColumn("__g_lr", row_number().over(wl)).where(col("__g_lr") <= k)
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col(queryId), col("rank"), col(corpusId).as("neighbor_id"),
+        col("dot_q"))
+  }
+
+  /** Two-stage sketch-and-refine ANN: [[rpTopK]] retrieves a
+    * `candidates`-deep pool per query in the projected space (cheap
+    * integer dots over outDim coords), then ONLY those candidates are
+    * re-scored with the exact fixed-point dot in the original space
+    * and reduced to top-k. The corpus-scale pass touches the sketch;
+    * the full-width vectors are read for queries×candidates rows via
+    * a broadcast of the (tiny) candidate list — the classic
+    * sketch-then-rerank shape. Note the honest JL ledger: shrinking
+    * 64 dims to 16 carries ε ≈ √(8·ln n / outDim) distortion, so at
+    * these widths this is a coarse filter whose recall the spec
+    * MEASURES (≥0.35 on the test corpus) — the sketch pays off when
+    * the input dimension (or corpus size) is large relative to the
+    * sketch width, exactly the 100 TB regime. */
+  def rpRerankTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      candidates: Int = 50, dim: Int = 64, outDim: Int = 16,
+      scale: Int = 1048576, salt: String = "rp",
+      queryId: String = "query_id", queryVec: String = "query_vec",
+      corpusId: String = "vec_id", corpusVec: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    require(candidates >= k)
+    val cand = rpTopK(queries, corpus, candidates, dim, outDim, scale, salt,
+        queryId, queryVec, corpusId, corpusVec)
+      .select(col(queryId), col("neighbor_id"))
+    def quant(c: Column) = transform(c.cast(ArrayType(DoubleType)),
+      x => floor(x * scale).cast("long"))
+    val q = queries.select(col(queryId), quant(col(queryVec)).as("__qq"))
+    val c = corpus.select(col(corpusId), quant(col(corpusVec)).as("__cq"))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("dot_q").desc, col("neighbor_id").asc)
+    c.join(broadcast(cand), col(corpusId) === col("neighbor_id"))
+      .join(broadcast(q), Seq(queryId))
+      .withColumn("dot_q",
+        aggregate(zip_with(col("__qq"), col("__cq"), _ * _), lit(0L), _ + _))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col(queryId), col("rank"), col("neighbor_id"), col("dot_q"))
+  }
+
   /** MMR-DIVERSIFIED top-k (Carbonell & Goldstein '98): retrieve a
     * `candidates`-deep exact quantized-cosine pool per query, then
     * greedily select k results maximizing

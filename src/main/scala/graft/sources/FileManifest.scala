@@ -329,6 +329,61 @@ object FileManifest {
     spark.read.parquet(manifest.map(_.path): _*)
   }
 
+  /** SCHEMA EVOLUTION at read time — zero rewrite. A column mapping
+    * row is (logical name, physical candidates newest-first, default):
+    * files written before an ADD lack the column (read as null →
+    * default fills); files written before a RENAME carry the old
+    * physical name (the coalesce chain resolves whichever physical
+    * the file has). One merged-schema scan + a codegen'd projection:
+    * evolving a 100 TB table's schema costs ZERO data IO, exactly the
+    * Iceberg/Delta contract, and the manifest keeps pruning because
+    * file stats are untouched. */
+  def readMapped(spark: SparkSession, manifest: Seq[FileStats],
+      mapping: Seq[(String, Seq[String], org.apache.spark.sql.Column)]): DataFrame = {
+    require(manifest.nonEmpty, "empty manifest")
+    val df = spark.read.option("mergeSchema", "true")
+      .parquet(manifest.map(_.path): _*)
+    val cols = mapping.map { case (logical, physicals, dflt) =>
+      val present = physicals.filter(df.columns.contains).map(col)
+      (present :+ dflt).reduceLeft(coalesce(_, _)).as(logical)
+    }
+    df.select(cols: _*)
+  }
+
+  /** CDC between two manifest snapshots of one table: the incremental
+    * changelog read. File-level diff first — a file present in both
+    * snapshots carried verbatim through every copy-on-write rewrite,
+    * so it provably holds no changes and is NEVER opened; only the
+    * files added by the new snapshot and the files it dropped are
+    * scanned. A row-level `exceptAll` each way over just those files
+    * then cancels the rows a rewrite copied unchanged, leaving net
+    * inserts (`change_type` = 'I') and deletes ('D'); an update
+    * surfaces as its old image deleted + new image inserted — the
+    * changelog contract CoW table formats expose. At scale the IO is
+    * proportional to the churned files, not the table: a 100 TB table
+    * with one rewritten file diffs by reading two files. */
+  def snapshotDiff(spark: SparkSession, mOld: Seq[FileStats],
+      mNew: Seq[FileStats]): DataFrame = {
+    require(mOld.nonEmpty && mNew.nonEmpty, "empty manifest snapshot")
+    val oldPaths = mOld.map(_.path).toSet
+    val newPaths = mNew.map(_.path).toSet
+    val removed = mOld.filterNot(f => newPaths(f.path))
+    val added = mNew.filterNot(f => oldPaths(f.path))
+    // schema comes from one footer; an empty side becomes a local
+    // relation, NOT a limit(0) scan — the no-churn diff plans zero
+    // file reads, which the plan-shape spec asserts via inputFiles
+    lazy val schemaOnly = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      spark.read.parquet(mNew.head.path).schema)
+    def read(fs: Seq[FileStats]): DataFrame =
+      if (fs.isEmpty) schemaOnly else spark.read.parquet(fs.map(_.path): _*)
+    val addedDf = read(added)
+    val removedDf = read(removed)
+    addedDf.exceptAll(removedDf).withColumn("change_type", lit("I"))
+      .unionByName(
+        removedDf.exceptAll(addedDf).withColumn("change_type", lit("D")))
+  }
+
   /** COPY-ON-WRITE MERGE — `MERGE INTO target USING changes ON
     * target.column = changes.column`: matched rows take the change row
     * (UPDATE SET *), matched rows flagged in `deleteCol` drop, change

@@ -145,7 +145,25 @@ object ScaleBench {
       "s18_mmr_diversify",
       // f8: layout build + routed CoW merge; changes derive from the
       // replicated orders so affected-file count scales with copies
-      "f8_merge_cow")
+      "f8_merge_cow",
+      // r7 ninth wave: Count-Min build is one bounded-output groupBy
+      // (~f scan, fixed shuffle); the n-gram audit is gram rows ~f
+      // through a two-stage agg + TakeOrdered; the linear probe is 6
+      // fixed-size gradient aggs over an ~f corpus; the JL sketch is
+      // a map-only projection + fixed-queries-much-smaller candidate
+      // rerank; the snapshot diff is layout + CoW churn + changelog
+      // read, all proportional to the churned range (~f)
+      "a8_countmin", "x26_ngram_stats", "x27_quality_classifier",
+      "s19_ann_rp", "f9_snapshot_diff",
+      // r7 tenth wave: HLL registers are one bounded-output max-
+      // groupBy (~f scan); patch featurization is a map-only explode
+      // (~f patches); windowed PSI is two count-groupBys + a
+      // windows×buckets grid (~f scan, fixed-size grid)
+      "a9_hll", "m2_patches", "p7_drift_windowed",
+      // r7 eleventh wave: cross-set LSH decontam is band equi-joins
+      // (salting keeps within-copy matches only, ~f); the mapped read
+      // is one merged-schema scan + projection (~f)
+      "d15_decontam_neardup", "f10_schema_evolution")
       // x18/x19 are NOT here for x12's reason (salting renames their
       // literal terms) — the salted cases below measure real phrase/
       // proximity retrieval.

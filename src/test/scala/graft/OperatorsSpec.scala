@@ -27,6 +27,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.toSet == Set((1L, 2L)))
   }
 
+  test("near-dup decontamination: planted eval copies flagged, unrelated survives") {
+    val bench = Seq((100L, base)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, base.replace("lazy", "sleepy")), // near-dup of the benchmark doc
+      (2L, "completely unrelated treatise on ocean currents and tidal dynamics"),
+      (3L, base)                            // exact copy
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshCross(corpus, bench, "doc_id", "text",
+        shingleWords = 2, numHashes = 64, bands = 16, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 100L), (3L, 100L)), s"got $pairs")
+    val clean = Dedup.decontaminateNearDup(corpus, bench, "doc_id", "text",
+      shingleWords = 2, numHashes = 64, bands = 16, threshold = 0.4)
+    assert(clean.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L))
+  }
+
   test("simhash pairs finds near-dup, hamming 0 for identical") {
     val docs = Seq(
       (1L, base), (2L, base), (3L, base.replace("lazy", "sleepy")),
@@ -820,6 +836,186 @@ class OperatorsSpec extends AnyFunSuite {
     truth.filter(_._2 > n / (cap + 1)).keys.foreach { tok =>
       assert(est.contains(tok), s"frequent token $tok missing")
     }
+  }
+
+  test("count-min: never undercounts, merge == rebuild, partitioning-invariant") {
+    import graft.functions.CountMin
+    val rows = (1 to 20).flatMap(i => Seq.fill((21 - i) * 50)(s"k_$i")) ++
+      (1 to 300).map(i => s"rare_$i")
+    val df = rows.toDF("key").repartition(8)
+    val sk = CountMin.sketch(df, "key", depth = 4, width = 128)
+    // bounded state: the sketch is at most depth*width counters
+    assert(sk.count() <= 4L * 128)
+    val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val keys = truth.keys.toSeq.toDF("key")
+    val est = CountMin.estimate(sk, keys, "key", depth = 4, width = 128)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // CM guarantee: overcount only, and heavy keys stay well-separated
+    truth.foreach { case (k, t) =>
+      assert(est(k) >= t, s"$k: est ${est(k)} under true $t")
+      assert(est(k) - t <= rows.size / 16, s"$k: overcount beyond bound")
+    }
+    // mergeability: sketch(a) + sketch(b) == sketch(a union b)
+    val (a, b) = rows.splitAt(rows.size / 2)
+    val merged = CountMin.merge(
+      CountMin.sketch(a.toDF("key"), "key", 4, 128),
+      CountMin.sketch(b.toDF("key"), "key", 4, 128))
+    assert(merged.exceptAll(sk).isEmpty && sk.exceptAll(merged).isEmpty,
+      "merged partial sketches must equal the whole-corpus sketch")
+    // determinism under repartitioning
+    val sk2 = CountMin.sketch(df.repartition(3), "key", depth = 4, width = 128)
+    assert(sk2.exceptAll(sk).isEmpty && sk.exceptAll(sk2).isEmpty)
+  }
+
+  test("random projection: exact-integer sketch, planted match wins, useful recall") {
+    val emb = sources.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    // determinism: the projection is integer arithmetic over a fixed
+    // sign matrix — identical under any partitioning
+    val p1 = Similarity.randomProjection(emb, "vec_id", "embedding")
+    val p2 = Similarity.randomProjection(emb.repartition(7), "vec_id", "embedding")
+    assert(p1.exceptAll(p2).isEmpty && p2.exceptAll(p1).isEmpty)
+    // planted signal: a noise corpus plus one copy of the (large-norm)
+    // query vector — the projected dot against the copy dominates
+    val dim = 8
+    val qv = Array.fill(dim)(1.0f)
+    val noise = (1L to 50L).map(i =>
+      (i, Array.tabulate(dim)(d => (((i * 31 + d) % 7).toFloat - 3f) / 40f)))
+    val corpus = (noise :+ (99L, qv)).toDF("vec_id", "embedding")
+    val q = Seq((0L, qv)).toDF("query_id", "query_vec")
+    val top = Similarity.rpTopK(q, corpus, k = 1, dim = dim, outDim = 16)
+      .head()
+    assert(top.getLong(2) == 99L, s"planted copy must be top-1, got $top")
+    // recall of the sketch-and-refine pipeline vs the exact MIPS scan
+    // in the ORIGINAL quantized space: the candidates-deep projected
+    // pool + exact re-rank must keep a usable fraction of the true
+    // top-5 (measured 0.42 on this corpus at outDim=16, C=50 — JL at
+    // 64→16 is a coarse filter, the documented regime)
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = pairs(Similarity.rpRerankTopK(queries, emb, k = 5,
+      candidates = 50))
+    val exactDot = emb.select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => floor(x * 1048576).cast("long")).as("qv"))
+    val exact = pairs {
+      import org.apache.spark.sql.expressions.Window
+      val q2 = queries.select(col("query_id"),
+        transform(col("query_vec").cast("array<double>"),
+          x => floor(x * 1048576).cast("long")).as("qq"))
+      exactDot.join(broadcast(q2), col("query_id") =!= col("vec_id"))
+        .withColumn("d", aggregate(zip_with(col("qq"), col("qv"), _ * _),
+          lit(0L), _ + _))
+        .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("d").desc, col("vec_id").asc)))
+        .where(col("rank") <= 5)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    }
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.35, s"JL rerank recall@5 too low: $recall")
+  }
+
+  test("windowed PSI: planted drift window stands out, calm windows stay low") {
+    import java.sql.Timestamp
+    def ts(h: Int, i: Int) = new Timestamp(3600000L * h + i * 1000L)
+    // reference: uniform over all 20 buckets; two calm hours repeat it,
+    // a third hour collapses onto one bucket (heavy drift)
+    val ref = (0 until 600).map(i => (ts(0, i), i.toDouble)).toDF("ts", "value")
+    val cur = ((0 until 600).map(i => (ts(1, i), i.toDouble)) ++
+      (0 until 600).map(i => (ts(2, i), i.toDouble)) ++
+      (0 until 600).map(i => (ts(3, i), 42.0))).toDF("ts", "value")
+    val vbucket = least(greatest(
+        floor(col("value") * 20 / 600.0), lit(0.0)), lit(19.0)).cast("long")
+    val out = Profile.driftPsiWindowed(cur, "ts", "1 hour", ref,
+      vbucket, "value").orderBy("window_start").collect()
+    assert(out.length == 3)
+    val psis = out.map(_.getLong(2))
+    assert(psis(0) < 1048576 / 100 && psis(1) < 1048576 / 100,
+      s"calm windows must sit near zero PSI, got ${psis.toSeq}")
+    assert(psis(2) > 1048576L,
+      s"the drifted window must exceed PSI 1.0, got ${psis.toSeq}")
+    assert(out.map(_.getLong(3)).toSeq == Seq(600L, 600L, 600L))
+    // exact integer terms: byte-identical under repartitioning
+    val out2 = Profile.driftPsiWindowed(cur.repartition(7), "ts", "1 hour",
+      ref.repartition(5), vbucket, "value").orderBy("window_start").collect()
+    assert(out.map(r => (r.getString(1), r.getLong(2))).toSeq ==
+      out2.map(r => (r.getString(1), r.getLong(2))).toSeq)
+  }
+
+  test("patch features: exact byte arithmetic, patches reassemble the payload") {
+    val payload = Array.tabulate(150)(i => ((i * 7 + 3) % 256).toByte)
+    val df = Seq((1L, payload)).toDF("doc_id", "media")
+    val got = Multimodal.patchFeatures(df, "doc_id", "media", patchBytes = 64)
+      .orderBy("patch_idx").collect()
+    val u = payload.map(b => (b & 0xff).toLong)
+    assert(got.map(_.getInt(2)).toSeq == Seq(64, 64, 22)) // 150 = 64+64+22
+    assert(got.map(_.getLong(3)).toSeq == u.grouped(64).map(_.sum).toSeq)
+    assert(got.map(_.getLong(4)).toSeq == u.grouped(64).map(_.max).toSeq)
+    assert(got.map(_.getLong(5)).toSeq == u.grouped(64)
+      .map(_.foldLeft(0L)((a, x) => (a * 257 + x) % 1000000007L)).toSeq)
+    // patch sums reassemble the whole payload's byte sum
+    assert(got.map(_.getLong(3)).sum == u.sum)
+    // empty payloads contribute no rows (and no descending-sequence trap)
+    val empty = Seq((2L, Array.empty[Byte])).toDF("doc_id", "media")
+    assert(Multimodal.patchFeatures(empty, "doc_id", "media").isEmpty)
+  }
+
+  test("hll: error-bounded, merge == rebuild, partitioning-invariant") {
+    import graft.functions.Hll
+    val rows = (1 to 5000).map(i => (s"g${i % 3}", s"key_${i % (800 + (i % 3) * 400)}"))
+    val df = rows.toDF("g", "k").repartition(8)
+    val regs = Hll.registers(df, "g", "k", p = 6)
+    // all 64 registers present per group, bounded state
+    assert(regs.groupBy("g").count().collect().forall(_.getLong(1) == 64))
+    val est = Hll.estimate(regs, "g", p = 6).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = rows.distinct.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    truth.foreach { case (g, t) =>
+      val e = est(g)
+      assert(math.abs(e - t).toDouble / t <= 0.4,
+        s"$g: est $e vs true $t out of the m=64 error regime")
+    }
+    // mergeability: registers of halves max-merge to the whole
+    val (a, b) = rows.splitAt(rows.size / 2)
+    val merged = Hll.merge(
+      Hll.registers(a.toDF("g", "k"), "g", "k", p = 6),
+      Hll.registers(b.toDF("g", "k"), "g", "k", p = 6), "g")
+    assert(merged.exceptAll(regs).isEmpty && regs.exceptAll(merged).isEmpty,
+      "merged register tables must equal the whole-corpus registers")
+    // determinism under repartitioning
+    val regs2 = Hll.registers(df.repartition(3), "g", "k", p = 6)
+    assert(regs2.exceptAll(regs).isEmpty && regs.exceptAll(regs2).isEmpty)
+  }
+
+  test("linear probe: learns a planted linear target, partitioning-invariant") {
+    val emb = sources.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    // planted target that IS linear in the features: sign of e1+e2 —
+    // 12 GD rounds reach 94% on this corpus (measured, deterministic)
+    val target = (element_at(col("embedding"), 1) +
+      element_at(col("embedding"), 2)) > 0f
+    val wq = LinearModel.fitLinearProbe(emb, "embedding", target,
+      nFeatures = 16, lr = 0.5, rounds = 12)
+    // exact fixed-point gradients: byte-identical weights under any
+    // partitioning (the 100 TB retry/reorder safety property)
+    val wq2 = LinearModel.fitLinearProbe(emb.repartition(7), "embedding",
+      target, nFeatures = 16, lr = 0.5, rounds = 12)
+    assert(wq.toSeq == wq2.toSeq, "training must be partitioning-invariant")
+    val scored = LinearModel.scoreWith(emb, "vec_id", "embedding", target, wq)
+    val acc = scored.withColumn("ok", (col("pred") === col("y")).cast("int"))
+      .agg(avg("ok")).head.getDouble(0)
+    assert(acc >= 0.9, s"planted linear target must be learnable, acc=$acc")
+    // fewer rounds fit strictly worse (GD is actually descending)
+    val wqShort = LinearModel.fitLinearProbe(emb, "embedding", target,
+      nFeatures = 16, lr = 0.5, rounds = 3)
+    def loss(w: Array[Long]): Double =
+      LinearModel.scoreWith(emb, "vec_id", "embedding", target, w)
+        .withColumn("e",
+          (col("score_q") / lit(1048576.0) - col("y")) *
+          (col("score_q") / lit(1048576.0) - col("y")))
+        .agg(avg("e")).head.getDouble(0)
+    assert(loss(wq) < loss(wqShort), "more GD rounds must lower the loss")
   }
 
   test("quantized k-means: partitioning-invariant, uses multiple clusters, tracks labels") {

@@ -963,6 +963,77 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(rej.getMessage.contains("clustering column"))
   }
 
+  test("schema evolution: mapped read resolves renames/adds with zero rewrite") {
+    import graft.sources.FileManifest
+    val tmp = java.nio.file.Files.createTempDirectory("graft-evo").toString
+    val ev = Tables.load(spark, "/root/testdata/sf0.01", "events")
+    FileManifest.writeLayout(ev.filter(col("event_id") % 2 === 0),
+      s"$tmp/g1", "user_id", 8)
+    FileManifest.writeLayout(
+      ev.filter(col("event_id") % 2 === 1)
+        .withColumnRenamed("value", "amount")
+        .withColumn("priority", (col("event_id") % 5).cast("int")),
+      s"$tmp/g2", "user_id", 8)
+    val m = FileManifest.buildManifest(spark, s"$tmp/g1", "user_id") ++
+      FileManifest.buildManifest(spark, s"$tmp/g2", "user_id")
+    val filesBefore = m.map(_.path).toSet
+    val got = FileManifest.readMapped(spark, m, Seq(
+      ("event_id", Seq("event_id"), lit(null)),
+      ("value", Seq("amount", "value"), lit(null)),
+      ("priority", Seq("priority"), lit(-1))))
+    // the mapped read resolves the rename and fills the add
+    val exp = ev.select(col("event_id"), col("value"),
+      when(col("event_id") % 2 === 1, (col("event_id") % 5).cast("int"))
+        .otherwise(-1).as("priority"))
+    assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty,
+      "mapped read must equal the logical union of both generations")
+    // ZERO rewrite: the read planned exactly the original files
+    // (inputFiles normalizes to file:/// — compare on raw paths)
+    def rawPath(u: String) = new java.net.URI(u).getPath
+    assert(got.inputFiles.map(rawPath).toSet == filesBefore.map(rawPath),
+      "schema evolution must not create or rewrite any file")
+    // absent-everywhere logical column resolves to its default
+    val only = FileManifest.readMapped(spark, m,
+      Seq(("missing_col", Seq("nope"), lit(7L))))
+    assert(only.distinct().collect().map(_.getLong(0)).toSeq == Seq(7L))
+  }
+
+  test("snapshot diff: carried files never open, changelog is exactly D+I") {
+    import graft.sources.FileManifest
+    val tmp = java.nio.file.Files.createTempDirectory("graft-diff").toString
+    val ev = Tables.load(spark, "/root/testdata/sf0.01", "events")
+    FileManifest.writeLayout(ev, s"$tmp/t", "user_id", 16)
+    val v1 = FileManifest.buildManifest(spark, s"$tmp/t", "user_id")
+    // identical snapshots: zero files read, zero rows out
+    val same = FileManifest.snapshotDiff(spark, v1, v1)
+    assert(same.isEmpty, "diff of identical snapshots must be empty")
+    assert(same.inputFiles.isEmpty,
+      "diff of identical snapshots must not plan ANY file scan")
+    // update a narrow range: diff reads ONLY the churned files
+    val sorted = v1.sortBy(_.min)
+    val (lo, hi) = (sorted(4).min, sorted(5).max)
+    val v2 = FileManifest.updateRange(spark, v1, "user_id", lo, hi,
+      "value", col("value") + 7.0, s"$tmp/rw")
+    val diff = FileManifest.snapshotDiff(spark, v1, v2)
+    val carried = v1.map(_.path).toSet & v2.map(_.path).toSet
+    assert(diff.inputFiles.toSet.intersect(carried).isEmpty,
+      "a file present in both snapshots must never be opened by the diff")
+    // changelog contract: each updated row appears as D(old) + I(new)
+    val updated = ev.filter(col("user_id").between(lo, hi))
+    val nUpd = updated.count()
+    val byType = diff.groupBy("change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("D" -> nUpd, "I" -> nUpd), s"got $byType for $nUpd")
+    val dSide = diff.filter(col("change_type") === "D").drop("change_type")
+    assert(dSide.exceptAll(updated.select(dSide.columns.map(col): _*)).isEmpty,
+      "D rows must be exactly the old images")
+    // delete-only churn: diff is pure D
+    val v3 = FileManifest.deleteRange(spark, v2, "user_id", lo, hi, s"$tmp/rw2")
+    val dOnly = FileManifest.snapshotDiff(spark, v2, v3)
+    assert(dOnly.filter(col("change_type") === "I").isEmpty)
+    assert(dOnly.count() == nUpd)
+  }
+
   test("compaction shrinks the file count and keeps the layout prunable") {
     import graft.sources.FileManifest
     val tmp = java.nio.file.Files.createTempDirectory("graft-cpt").toString
