@@ -1158,6 +1158,24 @@ object SparkEntry {
       graft.sources.VectorIndex.topK(s, tmp, q, k = 5, nprobe = 2)
         .orderBy("query_id", "rank")
     }),
+    // TOMBSTONE DELETE from the materialized index: O(deleted ids) IO
+    // now (staged dir + atomic marker), reads anti-join the tiny
+    // tombstone broadcast immediately, compaction reclaims physically.
+    // Training saw the full corpus, so the oracle is s15's chain with
+    // only the candidate set filtered — exactly the delete contract.
+    "s20_vector_index_delete" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val cap = math.ceil(emb.count() / 8.0).toLong
+      val tmp = layoutDir("s20", dir)
+      graft.sources.VectorIndex.build(emb, "vec_id", "embedding", tmp,
+        clusters = 8, iterations = 2, capacity = cap, maxRounds = 6)
+      graft.sources.VectorIndex.delete(s, tmp,
+        emb.filter(col("vec_id") % 7 === 3).select("vec_id"))
+      graft.sources.VectorIndex.topK(s, tmp, q, k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
     // the index's PQ TIER (IVF-ADC): candidate staging scans ONLY the
     // compact codes column (columnar projection — subspaces x 4 bytes
     // per row instead of dim x 8), then re-ranks the staged candidates
@@ -2101,6 +2119,8 @@ object SparkEntry {
     // capacity) + exact re-rank = s15's answer bit for bit; a staging
     // or encode bug hash-mismatches
     "s17_vector_index_pq" -> ivfBalancedOracleSql,
+    "s20_vector_index_delete" ->
+      ivfBalancedOracleSqlWhere(" AND e.vec_id % 7 <> 3"),
     // s18: candidate pool + pairwise sims as CTEs, then each greedy
     // round is a (max-sim-to-selected, argmax, union) CTE triple —
     // the same unrolled-replay discipline as the k-means oracles
@@ -3297,7 +3317,13 @@ object SparkEntry {
        |FROM sel5 ORDER BY query_id, pick""".stripMargin
   }
 
-  private def ivfBalancedOracleSql: String =
+  private def ivfBalancedOracleSql: String = ivfBalancedOracleSqlWhere("")
+
+  /** s15's probe/search mirror with an optional extra search-side
+    * candidate predicate — a post-build DELETE changes only the
+    * candidate set (training saw the full corpus), so the s20
+    * tombstone oracle is this chain with the deleted ids excluded. */
+  private def ivfBalancedOracleSqlWhere(extraCandidatePred: String): String =
     s"""WITH ${kmeansBalancedCtes("CAST(ceil(count(*) / 8.0) AS BIGINT)")},
        |qn AS MATERIALIZED (SELECT vec_id AS query_id, q AS qq, na AS qna
        |  FROM en WHERE vec_id < 10),
@@ -3315,7 +3341,7 @@ object SparkEntry {
        |    / sqrt(CAST(p.qna AS DOUBLE) * e.na) AS sim
        |  FROM prb p JOIN accall a ON p.cid = a.cid
        |    JOIN en e ON a.vec_id = e.vec_id
-       |  WHERE e.vec_id <> p.query_id)
+       |  WHERE e.vec_id <> p.query_id$extraCandidatePred)
        |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
        |    ORDER BY sim DESC, vec_id ASC) AS INT) AS "rank",
        |  vec_id AS neighbor_id, sim

@@ -105,16 +105,20 @@ object Similarity {
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
     require(outDim >= 1 && dim >= 1)
     val signs = Array.tabulate(outDim, dim)((j, i) => rpSign(salt, j, i))
-    val signsCol = typedLit(signs.map(_.toSeq).toSeq)
     val q = transform(col(vecCol).cast(ArrayType(DoubleType)),
       x => floor(x * scale).cast("long"))
+    // the sign matrix is known at PLAN time: each projected
+    // coordinate is one zip_with/aggregate loop against its ±1 row
+    // literal — a small expression tree that stays inside codegen
+    // (both a per-cell element_at fold and a fully-unrolled ±term sum
+    // blew the tree up and fell out of codegen, 20x slower); terms
+    // are exact BIGINTs, so fold order is irrelevant to the value
+    val projCols = (0 until outDim).map { j =>
+      aggregate(zip_with(col("__q"), typedlit(signs(j).toSeq), _ * _),
+        lit(0L), _ + _)
+    }
     df.select(col(idCol), q.as("__q"))
-      .select(col(idCol),
-        transform(sequence(lit(0), lit(outDim - 1)), j =>
-          aggregate(sequence(lit(0), lit(dim - 1)), lit(0L),
-            (acc, i) => acc +
-              element_at(element_at(signsCol, j + 1), i + 1) *
-              element_at(col("__q"), i + 1))).as("proj"))
+      .select(col(idCol), array(projCols: _*).as("proj"))
   }
 
   /** Top-k maximum-inner-product search in the projected space: both

@@ -40,10 +40,14 @@ import graft.operators.Similarity
   * centroids) and fails loudly when the index is full — capacity is
   * never silently broken; [[appendBatch]]/[[maintainStream]] make
   * ingest exactly-once via `applied-<id>` markers keyed to the
-  * checkpoint's run id; [[compact]] folds append debris into one
-  * sorted file per cell inside a `gen-N` directory, committed by ONE
-  * atomic marker create, with superseded state retained one
-  * compaction round for in-flight readers (the grace discipline).
+  * checkpoint's run id; [[delete]] tombstones ids in O(ids) IO
+  * (atomic `deleted-<seq>` batches, anti-joined by every read path
+  * immediately); [[compact]] folds append debris AND tombstones into
+  * one sorted file per cell inside a `gen-N` directory — occupancy
+  * recomputes from what actually landed, so deleted capacity becomes
+  * appendable — committed by ONE atomic marker create, with
+  * superseded state retained one compaction round for in-flight
+  * readers (the grace discipline).
   */
 object VectorIndex {
 
@@ -78,6 +82,9 @@ object VectorIndex {
           case AppliedMarker(n) =>
             fs.delete(st.getPath, false)
             fs.delete(new Path(s"$path/batch-$n"), true)
+          case TombMarker(n) =>
+            fs.delete(st.getPath, false)
+            fs.delete(new Path(s"$path/tomb-$n"), true)
           case _ => ()
         }
       }
@@ -255,7 +262,49 @@ object VectorIndex {
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$live/counts.tmp")
     replaceDir(spark, s"$live/counts.tmp", s"$live/counts")
     writeStats(spark, s"$live/stats", st.nVecs + newN, st.clusters,
-      st.scale, st.capacity, st.dim, st.foldedThrough)
+      st.scale, st.capacity, st.dim, st.foldedThrough, st.tombFolded)
+  }
+
+  /** TOMBSTONE DELETE: mark `ids` as removed from the index without
+    * touching a single cell file — the staged dir + atomic
+    * `deleted-<seq>` marker make each delete batch all-or-nothing
+    * (the `applied-<id>` discipline). Every read path anti-joins the
+    * committed tombstones (a tiny broadcast) until [[compact]] folds
+    * them into the next generation — at which point the rows are
+    * physically gone, the cell occupancy counts drop, and the freed
+    * capacity becomes appendable again. Deleting an absent id is a
+    * no-op by construction. At 100 TB this is the only workable
+    * delete: O(deleted ids) IO now, physical reclamation amortized
+    * into the compaction the index already runs. */
+  def delete(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val seq = committedTombs(spark, path).maxOption.getOrElse(-1L) + 1
+    fs.delete(new Path(s"$path/tomb-$seq"), true) // crashed-attempt orphan
+    ids.select(col(ids.columns.head).cast("long").as("vec_id")).distinct()
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/tomb-$seq/ids")
+    require(fs.createNewFile(new Path(path, s"deleted-$seq")),
+      s"delete: marker create failed under $path")
+  }
+
+  /** Committed tombstone batch seqs (marker exists). */
+  def committedTombs(spark: SparkSession, path: String): Seq[Long] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case TombMarker(n) => n.toLong }.sorted
+  }
+
+  /** Union of UNFOLDED committed tombstone ids — what live reads
+    * anti-join and the next compaction physically applies. */
+  private def tombstoneIds(spark: SparkSession, path: String,
+      st: IdxStats): Option[DataFrame] = {
+    val seqs = committedTombs(spark, path).filter(_ > st.tombFolded)
+    if (seqs.isEmpty) None
+    else Some(seqs.map(sq => spark.read.parquet(s"$path/tomb-$sq/ids"))
+      .reduce(_ unionByName _).distinct())
   }
 
   /** EXACTLY-ONCE streaming append of one micro-batch: staging dir +
@@ -389,6 +438,18 @@ object VectorIndex {
     fs.delete(new Path(genDir), true) // orphan of a crashed attempt
     val batches = committedBatches(spark, path).filter(_ > st.foldedThrough)
     val foldedThrough = (st.foldedThrough +: batches).max
+    // tombstones committed since the last fold apply PHYSICALLY now:
+    // their rows are dropped from the folded cells, occupancy counts
+    // are recomputed from what actually landed (freed capacity
+    // becomes appendable), and the watermark advances so reads stop
+    // paying the anti-join for folded batches
+    val tombSeqs = committedTombs(spark, path).filter(_ > st.tombFolded)
+    val tombFolded = (st.tombFolded +: tombSeqs).max
+    val tombs = tombstoneIds(spark, path, st)
+    def minusTombs(df: DataFrame): DataFrame = tombs match {
+      case Some(t) => df.join(broadcast(t), Seq("vec_id"), "left_anti")
+      case None => df
+    }
     import scala.concurrent.{Await, ExecutionContext, Future}
     implicit val ec: ExecutionContext = ExecutionContext.global
     // cell ids are the trainer's seed ids — enumerate them from the
@@ -399,28 +460,12 @@ object VectorIndex {
         .filter(d => fs.exists(new Path(d)))
       if (srcs.isEmpty) None
       else Some(Future {
-        spark.read.parquet(srcs: _*)
+        minusTombs(spark.read.parquet(srcs: _*))
           .coalesce(1)
           .sortWithinPartitions("vec_id")
           .write.mode(SaveMode.Overwrite)
           .parquet(s"$genDir/cells/cluster=$c")
       })
-    }
-    val countsJob = Future {
-      val srcs = (s"$cur/counts" +:
-          batches.map(id => s"$path/batch-$id/counts"))
-        .filter(d => fs.exists(new Path(d)))
-      spark.read.parquet(srcs: _*)
-        .groupBy("cluster").agg(sum("n").as("n"))
-        .coalesce(1)
-        .write.mode(SaveMode.Overwrite).parquet(s"$genDir/counts")
-    }
-    val statsJob = Future {
-      val extra = batches.map { id =>
-        spark.read.parquet(s"$path/batch-$id/stats").head.getAs[Long]("n_vecs")
-      }.sum
-      writeStats(spark, s"$genDir/stats", st.nVecs + extra, st.clusters,
-        st.scale, st.capacity, st.dim, foldedThrough)
     }
     val centsJob = Future {
       // centroids (and the PQ book when present) are immutable but
@@ -433,8 +478,18 @@ object VectorIndex {
         writeBook(spark, s"$genDir/pqbook", book, subspaces)
       }
     }
-    Await.result(Future.sequence(jobs :+ countsJob :+ statsJob :+ centsJob),
+    Await.result(Future.sequence(jobs :+ centsJob),
       scala.concurrent.duration.Duration.Inf)
+    // counts + stats derive from the FOLDED cells (not the carried
+    // counters): after a tombstone fold they are the ground truth
+    val cnts = (if (fs.exists(new Path(s"$genDir/cells")))
+        spark.read.parquet(s"$genDir/cells")
+      else spark.range(0).select(col("id").as("cluster"), col("id")))
+      .groupBy("cluster").agg(count(lit(1)).as("n"))
+    cnts.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$genDir/counts")
+    val n = cnts.agg(coalesce(sum("n"), lit(0L))).head.getLong(0)
+    writeStats(spark, s"$genDir/stats", n, st.clusters,
+      st.scale, st.capacity, st.dim, foldedThrough, tombFolded)
     require(fs.createNewFile(new Path(path, s"commit-$nextGen")),
       s"compact: commit marker create failed under $path")
     // grace sweep: only state superseded by a PREVIOUS compaction
@@ -458,6 +513,12 @@ object VectorIndex {
         case AppliedMarker(n) if n.toLong <= st.foldedThrough =>
           fs.delete(stt.getPath, false)
           fs.delete(new Path(s"$path/batch-$n"), true)
+        // tombstones folded by a PREVIOUS compaction have had their
+        // grace round — in-flight readers of the superseded
+        // generation resolved them before this compaction began
+        case TombMarker(n) if n.toLong <= st.tombFolded =>
+          fs.delete(stt.getPath, false)
+          fs.delete(new Path(s"$path/tomb-$n"), true)
         case _ => ()
       }
     }
@@ -512,6 +573,7 @@ object VectorIndex {
 
   private val GenMarker = "commit-(\\d+)".r
   private val AppliedMarker = "applied-(\\d+)".r
+  private val TombMarker = "deleted-(\\d+)".r
 
   /** The builder's quantization, shared by every path that must agree
     * bit-for-bit: floor(x * scale) over the double-widened vector. */
@@ -610,22 +672,27 @@ object VectorIndex {
   }
 
   private final case class IdxStats(nVecs: Long, clusters: Int, scale: Int,
-      capacity: Long, dim: Int, foldedThrough: Long)
+      capacity: Long, dim: Int, foldedThrough: Long, tombFolded: Long)
 
   private def baseStats(spark: SparkSession, path: String): IdxStats = {
-    val r = spark.read.parquet(s"${root(spark, path)}/stats").head
+    val df = spark.read.parquet(s"${root(spark, path)}/stats")
+    val r = df.head
+    // pre-delete layouts lack the tombstone watermark — read as -1
+    val tf = if (df.columns.contains("tomb_folded"))
+      r.getAs[Long]("tomb_folded") else -1L
     IdxStats(r.getAs[Long]("n_vecs"), r.getAs[Int]("clusters"),
       r.getAs[Int]("scale"), r.getAs[Long]("capacity"), r.getAs[Int]("dim"),
-      r.getAs[Long]("folded_through"))
+      r.getAs[Long]("folded_through"), tf)
   }
 
   private def writeStats(spark: SparkSession, dir: String, n: Long,
       clusters: Int, scale: Int, capacity: Long, dim: Int,
-      foldedThrough: Long): Unit =
+      foldedThrough: Long, tombFolded: Long = -1L): Unit =
     spark.range(1).select(
         lit(n).as("n_vecs"), lit(clusters).as("clusters"),
         lit(scale).as("scale"), lit(capacity).as("capacity"),
-        lit(dim).as("dim"), lit(foldedThrough).as("folded_through"))
+        lit(dim).as("dim"), lit(foldedThrough).as("folded_through"),
+        lit(tombFolded).as("tomb_folded"))
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir)
 
   private def writeCentroids(spark: SparkSession, dir: String,
@@ -661,26 +728,38 @@ object VectorIndex {
   /** The live code table: base cells + committed-unfolded batch cells,
     * cluster partition column normalized to long. */
   private def readCells(spark: SparkSession, path: String): DataFrame =
-    (s"${root(spark, path)}/cells" +: unfoldedBatchDirs(spark, path, "cells"))
-      .map { d =>
-        spark.read.parquet(d)
-          .select(col("vec_id"), col("q").as("__cq"), col("na").as("__cna"),
-            col("cluster").cast("long").as("cluster"))
-      }
-      .reduce(_ unionByName _)
+    dropTombstoned(spark, path,
+      (s"${root(spark, path)}/cells" +: unfoldedBatchDirs(spark, path, "cells"))
+        .map { d =>
+          spark.read.parquet(d)
+            .select(col("vec_id"), col("q").as("__cq"), col("na").as("__cna"),
+              col("cluster").cast("long").as("cluster"))
+        }
+        .reduce(_ unionByName _))
+
+  /** Anti-join the committed-unfolded tombstones (tiny broadcast) —
+    * every serving path sees deletes immediately, before any
+    * compaction has rewritten a cell. */
+  private def dropTombstoned(spark: SparkSession, path: String,
+      cells: DataFrame): DataFrame =
+    tombstoneIds(spark, path, baseStats(spark, path)) match {
+      case Some(t) => cells.join(broadcast(t), Seq("vec_id"), "left_anti")
+      case None => cells
+    }
 
   /** Projected live cell read — `cols` only (plus vec_id/cluster):
     * the codes-only serving scan rides parquet's columnar layout, so
     * unselected wide columns cost zero IO. */
   private def readCellsCols(spark: SparkSession, path: String,
       cols: Seq[String]): DataFrame =
-    (s"${root(spark, path)}/cells" +: unfoldedBatchDirs(spark, path, "cells"))
-      .map { d =>
-        spark.read.parquet(d)
-          .select(col("vec_id") +: cols.map(col) :+
-            col("cluster").cast("long").as("cluster"): _*)
-      }
-      .reduce(_ unionByName _)
+    dropTombstoned(spark, path,
+      (s"${root(spark, path)}/cells" +: unfoldedBatchDirs(spark, path, "cells"))
+        .map { d =>
+          spark.read.parquet(d)
+            .select(col("vec_id") +: cols.map(col) :+
+              col("cluster").cast("long").as("cluster"): _*)
+        }
+        .reduce(_ unionByName _))
 
   /** Quantize + assign a new-vector batch under each cell's remaining
     * capacity; returns (codes rows ready to land, per-cell counts of

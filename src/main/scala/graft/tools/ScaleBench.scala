@@ -163,7 +163,10 @@ object ScaleBench {
       // r7 eleventh wave: cross-set LSH decontam is band equi-joins
       // (salting keeps within-copy matches only, ~f); the mapped read
       // is one merged-schema scan + projection (~f)
-      "d15_decontam_neardup", "f10_schema_evolution")
+      "d15_decontam_neardup", "f10_schema_evolution",
+      // s20: build + tombstone delete + pruned probe per run — the
+      // delete itself is O(deleted ids), so timing tracks the build
+      "s20_vector_index_delete")
       // x18/x19 are NOT here for x12's reason (salting renames their
       // literal terms) — the salted cases below measure real phrase/
       // proximity retrieval.

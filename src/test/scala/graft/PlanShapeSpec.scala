@@ -690,6 +690,69 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(pq2 == exact2, "appended PQ index: oracle regime broken")
   }
 
+  test("vector index delete: immediate via tombstones, physical after compaction") {
+    import graft.sources.VectorIndex
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-vdel").toString
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val n = emb.count()
+    val cap = math.ceil(n / 6.0).toLong
+    VectorIndex.build(emb, "vec_id", "embedding", tmp,
+      clusters = 8, iterations = 2, capacity = cap, maxRounds = 6)
+    val deadDf = emb.filter(col("vec_id") % 5 === 2).select("vec_id")
+    val dead = deadDf.collect().map(_.getLong(0)).toSet
+    VectorIndex.delete(spark, tmp, deadDf)
+    val q = emb.filter(col("vec_id") >= 495)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e12))).toSet
+    def quantize(c: org.apache.spark.sql.Column) =
+      transform(c.cast(ArrayType(DoubleType)), x => floor(x * 1024).cast("long"))
+    def dotl(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+    def sqn(a: org.apache.spark.sql.Column) =
+      aggregate(transform(a, x => x * x), lit(0L), _ + _)
+    val cq = emb.filter(!col("vec_id").isin(dead.toSeq: _*))
+      .select(col("vec_id"), quantize(col("embedding")).as("cq"))
+      .withColumn("cna", sqn(col("cq")))
+    val qq = q.select(col("query_id"), quantize(col("query_vec")).as("qq"))
+      .withColumn("qna", sqn(col("qq")))
+    val brute = qq.crossJoin(cq)
+      .where(col("query_id") =!= col("vec_id"))
+      .withColumn("sim", dotl(col("qq"), col("cq")).cast("double") /
+        sqrt(col("qna").cast("double") * col("cna")))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("vec_id").asc)))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("sim"))
+    // deletes visible IMMEDIATELY (full probe == brute over survivors)
+    val full = VectorIndex.topK(spark, tmp, q, k = 5, nprobe = 8)
+    assert(rows(full) == rows(brute), "tombstoned rows must not serve")
+    // deleting absent ids is a no-op
+    import spark.implicits._
+    VectorIndex.delete(spark, tmp, Seq(99999999L).toDF("vec_id"))
+    assert(rows(VectorIndex.topK(spark, tmp, q, k = 5, nprobe = 8)) ==
+      rows(brute))
+    // compaction reclaims PHYSICALLY: occupancy drops by |dead|,
+    // folded cells hold no tombstoned row, answers unchanged
+    VectorIndex.compact(spark, tmp)
+    assert(VectorIndex.stats(spark, tmp)._1 == n - dead.size,
+      "post-compaction stats must reflect the physical delete")
+    val folded = spark.read.parquet(VectorIndex.cellsDir(spark, tmp))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(folded.intersect(dead).isEmpty, "folded cells must drop tombstones")
+    assert(rows(VectorIndex.topK(spark, tmp, q, k = 5, nprobe = 8)) ==
+      rows(brute), "compaction changed answers")
+    // the NEXT compaction sweeps the folded tombstone dirs (grace round)
+    VectorIndex.compact(spark, tmp)
+    val tombDirs = new java.io.File(tmp).list().count(_.startsWith("tomb-"))
+    assert(tombDirs == 0, "folded tombstones must sweep after their grace round")
+    assert(rows(VectorIndex.topK(spark, tmp, q, k = 5, nprobe = 8)) ==
+      rows(brute))
+  }
+
   test("vector index: capacity-bounded append, compaction, full-probe parity") {
     import graft.sources.VectorIndex
     val tmp = java.nio.file.Files.createTempDirectory("graft-vida").toString
