@@ -956,6 +956,20 @@ object SparkEntry {
       graft.sources.TextIndex.bm25TopK(s, tmp, bm25Queries, k = 10)
         .orderBy("query_id", "rank")
     }),
+    // TOMBSTONE DELETE from the text index: O(ids) IO now, served
+    // immediately with EXACT scoring — idf and avgdl subtract the
+    // tombstoned docs' contributions, so delete-then-query equals a
+    // fresh index built without them (which is the oracle)
+    "x28_index_delete" -> ((s, dir) => {
+      val tmp = layoutDir("x28", dir)
+      val docs = T(s, dir, "documents")
+      graft.sources.TextIndex.build(docs, "doc_id", "text", tmp,
+        buckets = 32)
+      graft.sources.TextIndex.delete(s, tmp,
+        docs.filter(col("doc_id") % 9 === 4).select("doc_id"))
+      graft.sources.TextIndex.bm25TopK(s, tmp, bm25Queries, k = 10)
+        .orderBy("query_id", "rank")
+    }),
     // keyword extraction: top TF-IDF terms per doc, ties term-asc
     "x13_tfidf" -> ((s, dir) =>
       TextRank.tfidfTopTerms(T(s, dir, "documents"), topN = 3)
@@ -2486,6 +2500,7 @@ object SparkEntry {
     // where postings come from (bucketed parquet, partition-pruned to
     // the query terms' buckets), not one bit of the scoring arithmetic
     "x21_indexed_bm25" -> bm25OracleSql,
+    "x28_index_delete" -> bm25OracleSqlWhere(" WHERE doc_id % 9 <> 4"),
     // x20: per-query chained joins over the same positional postings —
     // slot i joins slot i-1 on (same doc, later position, inside the
     // 10-token span); tf = distinct chain starts
@@ -3142,10 +3157,16 @@ object SparkEntry {
 
   /** x12's oracle — and x21's: the indexed path must reproduce the
     * ad-hoc path bit for bit. */
-  private def bm25OracleSql: String =
+  private def bm25OracleSql: String = bm25OracleSqlWhere("")
+
+  /** The x12/x21 BM25 mirror over an optional corpus restriction — a
+    * post-build index DELETE must score exactly like a fresh index
+    * built without the docs (idf/avgdl adjust), so x28's oracle is
+    * this SQL with the deleted docs excluded at the source. */
+  private def bm25OracleSqlWhere(docsPred: String): String =
     s"""WITH tok AS (SELECT doc_id,
       |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
-      |  FROM documents),
+      |  FROM documents$docsPred),
       |t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
       |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
       |st AS (SELECT count(*) AS n,

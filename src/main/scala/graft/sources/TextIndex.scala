@@ -53,6 +53,9 @@ object TextIndex {
           case AppliedMarker(n) =>
             fs.delete(st.getPath, false)
             fs.delete(new Path(s"$path/batch-$n"), true)
+          case TombMarker(n) =>
+            fs.delete(st.getPath, false)
+            fs.delete(new Path(s"$path/tomb-$n"), true)
           case _ => ()
         }
       }
@@ -112,7 +115,8 @@ object TextIndex {
         lit(base.nDocs + delta.getLong(0)).as("n_docs"),
         lit(base.totTok + delta.getLong(1)).as("total_tokens"),
         lit(base.buckets).as("buckets"),
-        lit(base.foldedThrough).as("folded_through"))
+        lit(base.foldedThrough).as("folded_through"),
+        lit(base.tombFolded).as("tomb_folded"))
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$live/stats")
   }
@@ -150,6 +154,15 @@ object TextIndex {
     // this generation and `folded_through` advances past them
     val batches = committedBatches(spark, path).filter(_ > base.foldedThrough)
     val foldedThrough = (base.foldedThrough +: batches).max
+    // tombstoned docs drop PHYSICALLY into this generation; the
+    // watermark advances so reads stop paying their anti-join
+    val tombSeqs = committedTombs(spark, path).filter(_ > base.tombFolded)
+    val tombFolded = (base.tombFolded +: tombSeqs).max
+    val tombs = tombIds(spark, path, base)
+    def minusTombs(df: DataFrame): DataFrame = tombs match {
+      case Some(t) => df.join(broadcast(t), Seq("doc_id"), "left_anti")
+      case None => df
+    }
     import scala.concurrent.{Await, ExecutionContext, Future}
     implicit val ec: ExecutionContext = ExecutionContext.global
     val jobs = (0 until base.buckets).flatMap { b =>
@@ -162,7 +175,7 @@ object TextIndex {
       else Some(Future {
         // reading bucket dirs directly drops the partition column;
         // writing back under the same dir name restores it on discovery
-        spark.read.parquet(srcs: _*)
+        minusTombs(spark.read.parquet(srcs: _*))
           .coalesce(1)
           .sortWithinPartitions("term", "doc_id", "pos")
           .write.mode(SaveMode.Overwrite)
@@ -173,24 +186,25 @@ object TextIndex {
       val srcs = (s"$cur/doclen" +:
           batches.map(id => s"$path/batch-$id/doclen"))
         .filter(d => fs.exists(new Path(d)))
-      spark.read.parquet(srcs: _*)
+      minusTombs(spark.read.parquet(srcs: _*))
         .coalesce(1).sortWithinPartitions("doc_id")
         .write.mode(SaveMode.Overwrite).parquet(s"$genDir/doclen")
     }
-    val statsJob = Future {
-      // the folded stats row rides INSIDE the generation, so the
-      // marker atomically switches postings, doclen, and stats as one
-      val (n, t) = batchStatsDeltas(spark, path, batches)
-      spark.range(1).select(
-          lit(base.nDocs + n).as("n_docs"),
-          lit(base.totTok + t).as("total_tokens"),
-          lit(base.buckets).as("buckets"),
-          lit(foldedThrough).as("folded_through"))
-        .coalesce(1)
-        .write.mode(SaveMode.Overwrite).parquet(s"$genDir/stats")
-    }
-    Await.result(Future.sequence(jobs :+ dlJob :+ statsJob),
+    Await.result(Future.sequence(jobs :+ dlJob),
       scala.concurrent.duration.Duration.Inf)
+    // the folded stats row rides INSIDE the generation, so the marker
+    // atomically switches postings, doclen, and stats as one; after a
+    // tombstone fold the folded doclen IS the ground truth
+    val st = spark.read.parquet(s"$genDir/doclen")
+      .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head
+    spark.range(1).select(
+        lit(st.getLong(0)).as("n_docs"),
+        lit(st.getLong(1)).as("total_tokens"),
+        lit(base.buckets).as("buckets"),
+        lit(foldedThrough).as("folded_through"),
+        lit(tombFolded).as("tomb_folded"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$genDir/stats")
     // THE COMMIT — one atomic create; everything before this line is
     // invisible to readers, everything after is cleanup
     require(fs.createNewFile(new Path(path, s"commit-$nextGen")),
@@ -227,6 +241,11 @@ object TextIndex {
         case AppliedMarker(n) if n.toLong <= base.foldedThrough =>
           fs.delete(st.getPath, false)
           fs.delete(new Path(s"$path/batch-$n"), true)
+        // tombstones folded by a PREVIOUS compaction have had their
+        // grace round
+        case TombMarker(n) if n.toLong <= base.tombFolded =>
+          fs.delete(st.getPath, false)
+          fs.delete(new Path(s"$path/tomb-$n"), true)
         case _ => ()
       }
     }
@@ -240,6 +259,7 @@ object TextIndex {
 
   private val GenMarker = "commit-(\\d+)".r
   private val AppliedMarker = "applied-(\\d+)".r
+  private val TombMarker = "deleted-(\\d+)".r
 
   /** Max committed generation at `path`, None for the flat layout
     * [[build]] writes (no compaction committed yet). */
@@ -574,18 +594,60 @@ object TextIndex {
   // ---- shared internals ----------------------------------------------
 
   private final case class BaseStats(nDocs: Long, totTok: Long,
-      buckets: Int, foldedThrough: Long)
+      buckets: Int, foldedThrough: Long, tombFolded: Long)
 
   /** The live BASE stats row (generation-resolved), excluding unfolded
-    * streaming batches. `folded_through` tolerates pre-column layouts. */
+    * streaming batches. `folded_through` / `tomb_folded` tolerate
+    * pre-column layouts. */
   private def baseStats(spark: SparkSession, path: String): BaseStats = {
     val row = spark.read.parquet(s"${root(spark, path)}/stats").head
-    val ft =
-      if (row.schema.fieldNames.contains("folded_through"))
-        row.getAs[Long]("folded_through")
-      else -1L
+    def longOr(name: String, dflt: Long) =
+      if (row.schema.fieldNames.contains(name)) row.getAs[Long](name)
+      else dflt
     BaseStats(row.getAs[Long]("n_docs"), row.getAs[Long]("total_tokens"),
-      row.getAs[Int]("buckets"), ft)
+      row.getAs[Int]("buckets"), longOr("folded_through", -1L),
+      longOr("tomb_folded", -1L))
+  }
+
+  /** TOMBSTONE DELETE: drop documents from the index in O(ids) IO —
+    * a staged `tomb-<seq>/ids` dir committed by one atomic
+    * `deleted-<seq>` marker. Every read path anti-joins the committed
+    * tombstones immediately, and scoring STAYS EXACT: the effective
+    * (n_docs, total_tokens) subtract the tombstoned docs'
+    * contributions (their lengths come from the doclen table), so
+    * idf and avgdl equal a fresh index built without the docs —
+    * delete-then-query == rebuild, spec-asserted. The next
+    * [[compact]] applies tombstones physically and advances the
+    * watermark; folded tombstone dirs sweep one grace round later. */
+  def delete(spark: SparkSession, path: String, docIds: DataFrame): Unit = {
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val seq = committedTombs(spark, path).maxOption.getOrElse(-1L) + 1
+    fs.delete(new Path(s"$path/tomb-$seq"), true) // crashed-attempt orphan
+    docIds.select(col(docIds.columns.head).cast("long").as("doc_id"))
+      .distinct()
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/tomb-$seq/ids")
+    require(fs.createNewFile(new Path(path, s"deleted-$seq")),
+      s"delete: marker create failed under $path")
+  }
+
+  /** Committed tombstone batch seqs (marker exists). */
+  def committedTombs(spark: SparkSession, path: String): Seq[Long] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case TombMarker(n) => n.toLong }.sorted
+  }
+
+  /** Union of UNFOLDED committed tombstone ids. */
+  private def tombIds(spark: SparkSession, path: String,
+      base: BaseStats): Option[DataFrame] = {
+    val seqs = committedTombs(spark, path).filter(_ > base.tombFolded)
+    if (seqs.isEmpty) None
+    else Some(seqs.map(sq => spark.read.parquet(s"$path/tomb-$sq/ids"))
+      .reduce(_ unionByName _).distinct())
   }
 
   /** Sum of the per-batch stats deltas for the given batch ids. */
@@ -597,12 +659,22 @@ object TextIndex {
     }
 
   /** EFFECTIVE stats: the base row plus every committed-but-unfolded
-    * streaming batch's delta — what scoring must see. */
+    * streaming batch's delta, MINUS the tombstoned docs' contributions
+    * (count + summed lengths from the doclen table) — so idf/avgdl
+    * after a delete equal a fresh index built without those docs. */
   private def loadStats(spark: SparkSession, path: String): (Long, Long, Int) = {
     val base = baseStats(spark, path)
     val ids = committedBatches(spark, path).filter(_ > base.foldedThrough)
     val (n, t) = batchStatsDeltas(spark, path, ids)
-    (base.nDocs + n, base.totTok + t, base.buckets)
+    val (dn, dt) = tombIds(spark, path, base) match {
+      case Some(tm) =>
+        val r = doclenRaw(spark, path)
+          .join(broadcast(tm), "doc_id")
+          .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head
+        (r.getLong(0), r.getLong(1))
+      case None => (0L, 0L)
+    }
+    (base.nDocs + n - dn, base.totTok + t - dt, base.buckets)
   }
 
   /** Unfolded committed batch ids, each paired with its staging root. */
@@ -616,11 +688,24 @@ object TextIndex {
       .filter(d => fs.exists(new Path(d)))
   }
 
-  /** The live doc-length table: base + unfolded batch appendices. */
-  private def doclenDf(spark: SparkSession, path: String): DataFrame =
+  /** Base + unfolded batch doc lengths, BEFORE tombstone filtering —
+    * what the stats adjustment reads the deleted docs' lengths from. */
+  private def doclenRaw(spark: SparkSession, path: String): DataFrame =
     (s"${root(spark, path)}/doclen" +: unfoldedBatchDirs(spark, path, "doclen"))
       .map(spark.read.parquet(_))
       .reduce(_ unionByName _)
+
+  /** The live doc-length table: raw minus committed tombstones. */
+  private def doclenDf(spark: SparkSession, path: String): DataFrame =
+    dropTombstoned(spark, path, doclenRaw(spark, path))
+
+  /** Anti-join the committed-unfolded tombstones (tiny broadcast). */
+  private def dropTombstoned(spark: SparkSession, path: String,
+      df: DataFrame): DataFrame =
+    tombIds(spark, path, baseStats(spark, path)) match {
+      case Some(t) => df.join(broadcast(t), Seq("doc_id"), "left_anti")
+      case None => df
+    }
 
   /** The pruned read every indexed query starts from: bucket values
     * computed by the same xxhash64 expression the build column used
@@ -635,15 +720,16 @@ object TextIndex {
     // base layout + committed-but-unfolded streaming batches, each a
     // bucketed dir pruned by the same partition filter; compaction
     // bounds how many batch dirs this union ever spans
-    (s"${root(spark, path)}/postings" +:
-        unfoldedBatchDirs(spark, path, "postings"))
-      .map { d =>
-        spark.read.parquet(d)
-          .where(col("bucket").isin(termBuckets: _*) &&
-            col("term").isInCollection(terms))
-          .select(col("doc_id"), col("pos"), col("term"))
-      }
-      .reduce(_ unionByName _)
+    dropTombstoned(spark, path,
+      (s"${root(spark, path)}/postings" +:
+          unfoldedBatchDirs(spark, path, "postings"))
+        .map { d =>
+          spark.read.parquet(d)
+            .where(col("bucket").isin(termBuckets: _*) &&
+              col("term").isInCollection(terms))
+            .select(col("doc_id"), col("pos"), col("term"))
+        }
+        .reduce(_ unionByName _))
   }
 
   /** Occurrence-frequency scoring shared by the positional variants:

@@ -164,9 +164,10 @@ object ScaleBench {
       // (salting keeps within-copy matches only, ~f); the mapped read
       // is one merged-schema scan + projection (~f)
       "d15_decontam_neardup", "f10_schema_evolution",
-      // s20: build + tombstone delete + pruned probe per run — the
-      // delete itself is O(deleted ids), so timing tracks the build
-      "s20_vector_index_delete")
+      // s20/x28: build + tombstone delete + pruned probe/query per
+      // run — the delete itself is O(deleted ids), so timing tracks
+      // the build (x28 is NOT term-salted-sensitive: it deletes by id)
+      "s20_vector_index_delete", "x28_index_delete")
       // x18/x19 are NOT here for x12's reason (salting renames their
       // literal terms) — the salted cases below measure real phrase/
       // proximity retrieval.

@@ -832,6 +832,44 @@ class PlanShapeSpec extends AnyFunSuite {
       s"got: ${e.getMessage}")
   }
 
+  test("text index delete: rebuild-exact scores immediately, physical at compaction") {
+    import graft.sources.TextIndex
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tdel").toString
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val queries = Seq(1 -> Seq("hash", "join"), 2 -> Seq("dup", "scan"))
+    TextIndex.build(docs, "doc_id", "text", tmp, buckets = 32)
+    val dead = docs.filter(col("doc_id") % 4 === 1).select("doc_id")
+    TextIndex.delete(spark, tmp, dead)
+    // the delete contract: scores equal a FRESH index without the
+    // docs — idf and avgdl must adjust, not just the candidate set
+    val ref = java.nio.file.Files.createTempDirectory("graft-tref").toString
+    TextIndex.build(docs.filter(col("doc_id") % 4 =!= 1), "doc_id", "text",
+      ref, buckets = 32)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    val expect = rows(TextIndex.bm25TopK(spark, ref, queries, k = 10))
+    assert(rows(TextIndex.bm25TopK(spark, tmp, queries, k = 10)) == expect,
+      "deleted index must score exactly like a rebuild without the docs")
+    // phrase serving honors tombstones through the same pruned read
+    val phr = Seq(1 -> Seq("table", "table"))
+    assert(rows(TextIndex.bm25PhraseTopK(spark, tmp, phr, k = 10)) ==
+      rows(TextIndex.bm25PhraseTopK(spark, ref, phr, k = 10)))
+    // compaction applies physically and answers stay identical
+    TextIndex.compact(spark, tmp)
+    val deadIds = dead.collect().map(_.getLong(0)).toSet
+    val folded = spark.read.parquet(s"${TextIndex.postingsDir(spark, tmp)}")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(folded.intersect(deadIds).isEmpty,
+      "folded postings must drop tombstoned docs")
+    assert(rows(TextIndex.bm25TopK(spark, tmp, queries, k = 10)) == expect,
+      "compaction changed answers")
+    // the next compaction sweeps the folded tombstone dirs
+    TextIndex.compact(spark, tmp)
+    assert(new java.io.File(tmp).list().count(_.startsWith("tomb-")) == 0,
+      "folded tombstones must sweep after their grace round")
+    assert(rows(TextIndex.bm25TopK(spark, tmp, queries, k = 10)) == expect)
+  }
+
   test("text index: postings scan opens only the query terms' buckets") {
     import graft.sources.TextIndex
     val tmp = java.nio.file.Files.createTempDirectory("graft-tidx").toString
