@@ -53,6 +53,16 @@ object SparkEntry {
   private def phraseLensSqlValues: String =
     phraseQueries.map { case (q, ts) => s"($q, ${ts.length})" }.mkString(", ")
 
+  /** Deterministic sparse hash-graph over lineitem for g1/g2: nodes
+    * 0..4095, one directed edge per distinct (orderkey-bucket →
+    * part/supp-hash-bucket) pair. Mirrored verbatim in the oracles. */
+  private def graphEdges(lineitem: DataFrame): DataFrame =
+    lineitem.select((col("l_orderkey") % 4096).as("src"),
+      ((col("l_partkey") * 7 + col("l_suppkey")) % 4096).as("dst"))
+  private val graphEdgesSql =
+    "SELECT DISTINCT l_orderkey % 4096 AS src, " +
+      "(l_partkey * 7 + l_suppkey) % 4096 AS dst FROM lineitem"
+
   /** Stable scratch dir per (query, input): repeated bench/verify runs
     * overwrite ONE tree per query and scale factor instead of
     * accumulating abandoned temp layouts until the disk fills. */
@@ -371,6 +381,20 @@ object SparkEntry {
           countDistinct(col("p")).as("n_points"))
         .orderBy("event_type")
     }),
+    // ---- iterative graph algorithms ---------------------------------
+    // a deterministic sparse hash-graph over lineitem (~n_lineitem
+    // distinct edges on 4096 nodes) — structure enough for multi-hop
+    // frontiers without being a clique
+    "g1_bfs" -> ((s, dir) =>
+      Graph.bfsDistances(graphEdges(T(s, dir, "lineitem")), "src", "dst",
+          sources = Seq(0L), maxDepth = 4)
+        .orderBy("node")),
+    // exact 64-bit fixed-point PageRank: partitioning-independent
+    // integer arithmetic lets the oracle unroll all 4 rounds
+    "g2_pagerank" -> ((s, dir) =>
+      Graph.pageRank(graphEdges(T(s, dir, "lineitem")), "src", "dst",
+          iterations = 4)
+        .orderBy("node")),
     "q15_having_subquery" -> ((s, dir) => {
       val c = T(s, dir, "customer"); val n = T(s, dir, "nation")
       val j = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
@@ -1172,6 +1196,27 @@ object SparkEntry {
       graft.sources.VectorIndex.topK(s, tmp, q, k = 5, nprobe = 2)
         .orderBy("query_id", "rank")
     }),
+    // METADATA-FILTERED search from the materialized index ("WHERE
+    // label >= 5 AND nearest"): the label column rides IN the cell
+    // files, the predicate lands on the parquet scan (PushedFilters),
+    // and scoring sees only passing rows — pre-filter semantics, the
+    // true top-k among matching vectors. Full probe => the exact
+    // filtered answer; with s16's pruned probes (nprobe = 2, mirrored
+    // by the oracle's probe CTE) it is s15's oracle chain with the
+    // candidate set restricted to matching ids.
+    "s21_vector_index_filtered" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val cap = math.ceil(emb.count() / 8.0).toLong
+      val tmp = layoutDir("s21", dir)
+      graft.sources.VectorIndex.build(emb, "vec_id", "embedding", tmp,
+        clusters = 8, iterations = 2, capacity = cap, maxRounds = 6,
+        metaCols = Seq("label"))
+      graft.sources.VectorIndex.topKFiltered(s, tmp, q, k = 5, nprobe = 2,
+          filter = col("label") >= 5)
+        .orderBy("query_id", "rank")
+    }),
     // TOMBSTONE DELETE from the materialized index: O(deleted ids) IO
     // now (staged dir + atomic marker), reads anti-join the tiny
     // tombstone broadcast immediately, compaction reclaims physically.
@@ -1354,6 +1399,13 @@ object SparkEntry {
       Profile.driftPsiWindowed(ev, "ts", "1 hour", ref, vbucket, "value")
         .orderBy("window_start")
     }),
+    // robust per-group outlier audit: lower-median / MAD in exact
+    // integer cents — deterministic under any partitioning, so the
+    // oracle replays the whole estimator, fence included
+    "p8_outliers" -> ((s, dir) =>
+      Profile.robustOutliers(T(s, dir, "events"), "event_type", "value",
+          k = 5)
+        .orderBy("event_type")),
     // equi-width histogram: at most `bins` rows out however large the
     // table; bucket arithmetic mirrored literally in the oracle
     "p4_histogram" -> ((s, dir) =>
@@ -1836,6 +1888,21 @@ object SparkEntry {
         |  CAST(count(DISTINCT p) AS BIGINT) AS n_points
         |FROM p JOIN iv ON p.p BETWEEN iv.lo AND iv.hi
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // g1's oracle enumerates every walk up to the depth bound with a
+    // recursive CTE and takes min(dist) — BFS by brute force
+    "g1_bfs" ->
+      s"""WITH RECURSIVE e AS ($graphEdgesSql),
+        |walk AS (
+        |  SELECT CAST(0 AS BIGINT) AS node, 0 AS dist
+        |  UNION
+        |  SELECT e.dst, w.dist + 1 FROM walk w JOIN e ON e.src = w.node
+        |  WHERE w.dist < 4)
+        |SELECT node, CAST(min(dist) AS INT) AS dist FROM walk
+        |GROUP BY node ORDER BY node""".stripMargin,
+    // g2's oracle replays all 4 fixed-point rounds; `//` (BIGINT floor
+    // div) == Spark `div` on the non-negative ranks
+    "g2_pagerank" ->
+      operators.Graph.pageRankOracleSql(graphEdgesSql, iterations = 4),
     "q15_having_subquery" ->
       """WITH j AS (SELECT n_name, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
         |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
@@ -2135,6 +2202,11 @@ object SparkEntry {
     "s17_vector_index_pq" -> ivfBalancedOracleSql,
     "s20_vector_index_delete" ->
       ivfBalancedOracleSqlWhere(" AND e.vec_id % 7 <> 3"),
+    // s21: the filter restricts only the candidate set — probe
+    // selection and scoring are s15's chain verbatim
+    "s21_vector_index_filtered" ->
+      ivfBalancedOracleSqlWhere(
+        " AND e.vec_id IN (SELECT vec_id FROM embeddings WHERE label >= 5)"),
     // s18: candidate pool + pairwise sims as CTEs, then each greedy
     // round is a (max-sim-to-selected, argmax, union) CTE triple —
     // the same unrolled-replay discipline as the k-means oracles
@@ -3040,6 +3112,30 @@ object SparkEntry {
         |ORDER BY window_start, rule, "column"""".stripMargin,
     // windowed PSI replay: same union bucket domain, same grid joins,
     // same per-term fixed-point quantization summed as integers
+    // p8's oracle replays the exact integer median/MAD estimator:
+    // lower median = element at rn == (n+1)//2 of the per-group sort
+    "p8_outliers" ->
+      """WITH b AS (SELECT event_type AS g,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (SELECT g, cents AS med_cents FROM (
+        |    SELECT g, cents, row_number() OVER (PARTITION BY g ORDER BY cents) AS rn,
+        |      count(*) OVER (PARTITION BY g) AS nn FROM b)
+        |  WHERE rn = (nn + 1) // 2),
+        |d AS (SELECT b.g, abs(b.cents - m.med_cents) AS dev, m.med_cents
+        |  FROM b JOIN m USING (g)),
+        |md AS (SELECT g, dev AS mad_cents FROM (
+        |    SELECT g, dev, row_number() OVER (PARTITION BY g ORDER BY dev) AS rn,
+        |      count(*) OVER (PARTITION BY g) AS nn FROM d)
+        |  WHERE rn = (nn + 1) // 2)
+        |SELECT d.g AS event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(d.med_cents) AS BIGINT) AS med_cents,
+        |  CAST(min(md.mad_cents) AS BIGINT) AS mad_cents,
+        |  CAST(sum(CASE WHEN d.dev > 5 * md.mad_cents THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers,
+        |  CAST(max(d.dev) AS BIGINT) AS max_dev
+        |FROM d JOIN md USING (g)
+        |GROUP BY d.g ORDER BY event_type""".stripMargin,
     "p7_drift_windowed" ->
       """WITH rf AS (SELECT * FROM events WHERE event_id % 10 < 3),
         |ref AS (SELECT CAST(least(greatest(floor((value - 0.0) * 20

@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph algorithms as rounds of relational operators —
+  * the Pregel-style "join frontier with edges, aggregate by target"
+  * loop expressed on DataFrames so every round is a plain shuffled
+  * equi-join + partial aggregation that Catalyst/AQE plan like any
+  * other query (broadcast the frontier while it is small, shuffle-hash
+  * once it is not).
+  *
+  * Scale notes (the 100 TB story):
+  *  - The edge table is the big input; it is normalized + de-duplicated
+  *    ONCE and persisted, so every round re-reads a materialized,
+  *    already-shuffled relation instead of re-scanning the source.
+  *  - Per-round state (frontier / ranks) is `localCheckpoint(eager)`'d:
+  *    lineage stays O(1) deep instead of growing by one join per round
+  *    (the classic iterative-Spark failure is a lineage tree that makes
+  *    round N replan/replay rounds 1..N-1).
+  *  - Every round's work is bounded by |frontier ⋈ edges| — there is no
+  *    driver-side state beyond loop counters; node/rank state lives in
+  *    the cluster.
+  *
+  * Reference context: the reference job (StreamingJob.java:94-105) is a
+  * single enrichment join; graph reachability / influence scoring over
+  * the same entity tables is the natural batch-analytics extension a
+  * user of such a pipeline asks for next (order↔supplier networks).
+  */
+object Graph {
+
+  /** Normalize an edge relation to distinct (src, dst) BIGINT pairs. */
+  private def normalize(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+
+  /** Breadth-first shortest-path distances from `sources` over a
+    * DIRECTED edge set, bounded at `maxDepth` hops (pass the union of
+    * both orientations for an undirected walk).
+    *
+    * Each round: join the current frontier with the edge table on the
+    * source endpoint, de-duplicate the targets, anti-join the
+    * already-settled set, stamp `dist = round`. BFS settles every node
+    * at its first (= minimum) depth, so the result is exactly
+    * `min(dist) per reachable node, dist <= maxDepth` — which is what
+    * the recursive-CTE oracle computes by brute enumeration.
+    *
+    * @return (node BIGINT, dist INT) — one row per reachable node,
+    *         sources included at dist 0.
+    */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: Seq[Long], maxDepth: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    require(sources.nonEmpty, "bfsDistances needs at least one source node")
+    val e = normalize(edges, srcCol, dstCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var frontier = sources.distinct.toDF("node")
+      .withColumn("dist", lit(0)).localCheckpoint(true)
+    var settled = frontier
+    var depth = 0
+    var exhausted = false
+    while (depth < maxDepth && !exhausted) {
+      depth += 1
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(e("dst").as("node")).distinct()
+        .join(settled.select("node"), Seq("node"), "left_anti")
+        .withColumn("dist", lit(depth))
+        .localCheckpoint(true) // eager: materialized once, lineage flat
+      if (next.isEmpty) exhausted = true
+      else {
+        settled = settled.union(next).localCheckpoint(true)
+        frontier = next
+      }
+    }
+    e.unpersist()
+    settled.select(col("node"), col("dist").cast("int").as("dist"))
+  }
+
+  /** PageRank in EXACT 64-bit fixed-point arithmetic — micro-units of
+    * rank mass (1.0 ≡ 1,000,000) with floor division, so the result is
+    * a deterministic function of the edge set alone: independent of
+    * partitioning, join order, and summation order (BIGINT addition is
+    * associative-commutative; no floating point anywhere). That is what
+    * lets a SQL oracle replay all `iterations` rounds bit-for-bit.
+    *
+    * Per round, for damping d = `dampingPct`/100:
+    *   inflow(v)  = Σ_{u→v} rank(u) div outdeg(u)        (BIGINT div)
+    *   rank'(v)   = (100-d)·10^6/100  +  (d · inflow(v)) div 100
+    * Dangling-node mass (nodes with no out-edges) is dropped rather
+    * than redistributed — the standard "PageRank-lite" simplification;
+    * ranks remain a well-defined fixpoint iteration, just not mass-
+    * conserving. Overflow headroom: total mass ≤ N·10^6; the d·inflow
+    * product stays under 2^63 for N up to ~10^14 nodes.
+    *
+    * One shuffle per round (the groupBy on the target endpoint); the
+    * rank⋈edge join co-partitions on `src` against the persisted,
+    * outdeg-annotated edge relation built once up front.
+    *
+    * @return (node BIGINT, rank_u BIGINT) — micro-units.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, dampingPct: Int = 85): DataFrame = {
+    require(iterations >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    val e = normalize(edges, srcCol, dstCol)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // out-degree rides on the edge row so the per-round join is single
+    val eo = e.join(outdeg, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = lit(((100L - dampingPct) * 1000000L) / 100L)
+    var ranks = nodes.withColumn("rank_u", lit(1000000L)).localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val inflow = eo.join(ranks, eo("src") === ranks("node"))
+        .select(eo("dst"), expr("rank_u div outdeg").as("c"))
+        .groupBy(col("dst").as("node")).agg(sum("c").as("inflow"))
+      ranks = nodes.join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          (base + expr(s"($dampingPct * coalesce(inflow, 0L)) div 100"))
+            .as("rank_u"))
+        .localCheckpoint(true)
+    }
+    nodes.unpersist(); eo.unpersist()
+    ranks
+  }
+
+  /** The unrolled DuckDB mirror of [[pageRank]]: `//` is BIGINT floor
+    * division there, `div` truncation here — identical on the
+    * non-negative values rank iteration produces. */
+  def pageRankOracleSql(edgesSql: String, iterations: Int,
+      dampingPct: Int = 85): String = {
+    val base = ((100L - dampingPct) * 1000000L) / 100L
+    val sb = new StringBuilder
+    sb.append(s"WITH e AS ($edgesSql),\n")
+    sb.append("n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),\n")
+    sb.append("o AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),\n")
+    sb.append("r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_u FROM n)")
+    for (i <- 1 to iterations) {
+      sb.append(s""",
+        |c$i AS (SELECT e.dst AS node,
+        |  CAST(sum(r.rank_u // o.outdeg) AS BIGINT) AS inflow
+        |  FROM e JOIN o USING (src) JOIN r${i - 1} r ON r.node = e.src
+        |  GROUP BY 1),
+        |r$i AS (SELECT n.node, CAST($base +
+        |    ($dampingPct * COALESCE(c$i.inflow, 0)) // 100 AS BIGINT) AS rank_u
+        |  FROM n LEFT JOIN c$i USING (node))""".stripMargin)
+    }
+    sb.append(s"\nSELECT node, rank_u FROM r$iterations ORDER BY node")
+    sb.toString
+  }
+}

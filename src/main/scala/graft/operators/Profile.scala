@@ -116,6 +116,51 @@ object Profile {
       .select(lit(metric).as("metric"), col("psi_q"))
   }
 
+  /** Robust per-group outlier audit — median/MAD, the estimator family
+    * that survives the very outliers it is hunting (mean/stddev get
+    * dragged by them). All arithmetic is EXACT: values quantized to
+    * integer cents, "median" defined as the LOWER median (the element
+    * at sorted position (n+1) div 2), deviations and the k·MAD fence
+    * in BIGINTs — so the result is a pure function of the multiset,
+    * independent of partitioning and float summation order, and a SQL
+    * oracle can mirror it bit-for-bit.
+    *
+    * Cost: two sort-based window passes per group (exact medians ARE
+    * a per-group sort — that is their price anywhere). Window sorts
+    * spill, and groups spread across the cluster, so this holds up
+    * for "many groups × large-but-sortable each"; for a handful of
+    * colossal groups, the approximate path (a4's KLL quantiles) is
+    * the 100 TB answer and this is the audit-grade one.
+    *
+    * @return per group: n, med_cents, mad_cents, n_outliers
+    *         (|dev| > k·MAD; zero-MAD groups flag any nonzero dev),
+    *         max_dev. */
+  def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.where(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        round(col(valueCol) * 100).cast("long").as("cents"))
+    val wg = Window.partitionBy("g")
+    def lowerMedian(in: DataFrame, c: String, out: String): DataFrame = in
+      .withColumn("rn", row_number().over(Window.partitionBy("g").orderBy(c)))
+      .withColumn("nn", count(lit(1)).over(wg))
+      .where(col("rn") === expr("(nn + 1) div 2"))
+      .select(col("g"), col(c).as(out))
+    val med = lowerMedian(base, "cents", "med_cents")
+    val dev = base.join(med, "g")
+      .withColumn("dev", abs(col("cents") - col("med_cents")))
+    val mad = lowerMedian(dev.select("g", "dev"), "dev", "mad_cents")
+    dev.join(mad, "g")
+      .groupBy(col("g").as(groupCol))
+      .agg(count(lit(1)).as("n"),
+        first("med_cents").as("med_cents"),
+        first("mad_cents").as("mad_cents"),
+        sum(when(col("dev") > lit(k.toLong) * col("mad_cents"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        max("dev").as("max_dev"))
+  }
+
   /** PSI drift per event-time window against a fixed reference frame
     * — the CONTINUOUS monitor form of [[driftPsi]]: is this hour's
     * distribution sliding away from the baseline crawl? The bucket

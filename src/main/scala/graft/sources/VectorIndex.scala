@@ -67,7 +67,10 @@ object VectorIndex {
   def build(corpus: DataFrame, idCol: String, vecCol: String, path: String,
       clusters: Int, iterations: Int, capacity: Long, maxRounds: Int = 8,
       scale: Int = 1024, pqSubspaces: Int = 0, pqCodewords: Int = 16,
-      pqIterations: Int = 5, pqTrainSample: Int = 8192): Unit = {
+      pqIterations: Int = 5, pqTrainSample: Int = 8192,
+      metaCols: Seq[String] = Nil): Unit = {
+    require(metaCols.forall(c => !ReservedCellCols.contains(c)),
+      s"metaCols collide with index-internal columns: $ReservedCellCols")
     val spark = corpus.sparkSession
     // a rebuild over a previously compacted / stream-maintained index
     // must not leave stale markers shadowing the fresh flat layout
@@ -97,8 +100,8 @@ object VectorIndex {
       idCol, vecCol)
     val dim = cents.head._2.length
     val base = corpus
-      .select(col(idCol).cast("long").as("vec_id"),
-        quant(col(vecCol), scale).as("q"))
+      .select(col(idCol).cast("long").as("vec_id") +:
+        quant(col(vecCol), scale).as("q") +: metaCols.map(col): _*)
       .withColumn("na", sqnorm(col("q")))
       .join(assigned, "vec_id")
     val codes =
@@ -129,7 +132,36 @@ object VectorIndex {
     * committed-but-unfolded streaming batches). */
   def topK(spark: SparkSession, path: String, queries: DataFrame, k: Int,
       nprobe: Int, candidates: Int = 50, queryId: String = "query_id",
-      queryVec: String = "query_vec"): DataFrame = {
+      queryVec: String = "query_vec"): DataFrame =
+    topKImpl(spark, path, queries, k, nprobe, candidates, queryId,
+      queryVec, None)
+
+  /** METADATA-FILTERED top-k — the "WHERE label = X AND nearest"
+    * production query. The index must have been [[build]]t with
+    * `metaCols`; `filter` is a predicate over those columns, applied
+    * to the cell rows BEFORE scoring (pre-filter semantics: the true
+    * top-k among vectors satisfying the predicate, not a post-hoc cut
+    * of an unfiltered top-k). Because the predicate sits directly on
+    * the parquet scan of the probed cells, Catalyst pushes it into the
+    * reader (`PushedFilters`) — row groups whose column stats exclude
+    * the predicate never decompress, so a selective filter makes the
+    * probe CHEAPER, not costlier. With full probes the result is the
+    * exact filtered answer; with pruned probes recall degrades as
+    * selectivity rises (matching rows may live outside the probed
+    * cells) — at scale, raise nprobe with filter selectivity. */
+  def topKFiltered(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, nprobe: Int, filter: Column, candidates: Int = 50,
+      queryId: String = "query_id", queryVec: String = "query_vec")
+      : DataFrame = {
+    require(metaColsOf(spark, path).nonEmpty,
+      "topKFiltered requires an index built with metaCols")
+    topKImpl(spark, path, queries, k, nprobe, candidates, queryId,
+      queryVec, Some(filter))
+  }
+
+  private def topKImpl(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, nprobe: Int, candidates: Int, queryId: String,
+      queryVec: String, filter: Option[Column]): DataFrame = {
     val st = baseStats(spark, path)
     require(nprobe >= 1 && nprobe <= st.clusters && candidates >= k)
     val cents = readCentroids(spark, path)
@@ -139,7 +171,9 @@ object VectorIndex {
     // partition filter the scan prunes on
     val probed = probes.select("cluster").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val indexed = readCells(spark, path)
+    val extra = if (filter.isDefined) metaColsOf(spark, path) else Nil
+    val scanned = readCells(spark, path, extra)
+    val indexed = filter.fold(scanned)(scanned.where)
       .where(col("cluster").isin(probed: _*))
     val wl = Window.partitionBy(col(queryId), col("__g_pid"))
       .orderBy(col("sim").desc, col("vec_id").asc)
@@ -725,15 +759,28 @@ object VectorIndex {
       .filter(d => fs.exists(new Path(d)))
   }
 
+  /** Columns the index owns in cell files; anything else is caller
+    * metadata carried for filtered search. */
+  private val ReservedCellCols = Set("vec_id", "q", "na", "codes", "cluster")
+
+  /** Caller metadata columns present in this index's cells. */
+  def metaColsOf(spark: SparkSession, path: String): Seq[String] =
+    spark.read.parquet(s"${root(spark, path)}/cells").schema.fieldNames
+      .toSeq.filterNot(ReservedCellCols)
+
   /** The live code table: base cells + committed-unfolded batch cells,
-    * cluster partition column normalized to long. */
-  private def readCells(spark: SparkSession, path: String): DataFrame =
+    * cluster partition column normalized to long; `metaCols` ride
+    * along under their own names when requested. */
+  private def readCells(spark: SparkSession, path: String,
+      metaCols: Seq[String] = Nil): DataFrame =
     dropTombstoned(spark, path,
       (s"${root(spark, path)}/cells" +: unfoldedBatchDirs(spark, path, "cells"))
         .map { d =>
           spark.read.parquet(d)
-            .select(col("vec_id"), col("q").as("__cq"), col("na").as("__cna"),
-              col("cluster").cast("long").as("cluster"))
+            .select(col("vec_id") +: col("q").as("__cq") +:
+              col("na").as("__cna") +:
+              col("cluster").cast("long").as("cluster") +:
+              metaCols.map(col): _*)
         }
         .reduce(_ unionByName _))
 
@@ -776,7 +823,18 @@ object VectorIndex {
       quant(col(vecCol), st.scale).as("q"))
     val assigned = Similarity.balancedAssign(e, cents, remaining,
       maxRounds = 8)
-    val plain = e
+    // an index built with metaCols requires every append to carry
+    // them — a metadata-filtered query must never see a null hole
+    val metas = metaColsOf(spark, path)
+    val missing = metas.filterNot(vectors.columns.contains)
+    require(missing.isEmpty,
+      s"index at $path carries metadata columns $metas; append batch " +
+        s"lacks $missing")
+    val e2 =
+      if (metas.isEmpty) e
+      else e.join(vectors.select(col(idCol).cast("long").as("vec_id") +:
+        metas.map(col): _*), "vec_id")
+    val plain = e2
       .withColumn("na", sqnorm(col("q")))
       .join(assigned.select(col("vec_id"), col("cid").as("cluster")),
         "vec_id")

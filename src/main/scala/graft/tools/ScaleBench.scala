@@ -167,7 +167,15 @@ object ScaleBench {
       // s20/x28: build + tombstone delete + pruned probe/query per
       // run — the delete itself is O(deleted ids), so timing tracks
       // the build (x28 is NOT term-salted-sensitive: it deletes by id)
-      "s20_vector_index_delete", "x28_index_delete")
+      "s20_vector_index_delete", "x28_index_delete",
+      // r7 twelfth wave: BFS rounds join the (bounded) frontier with
+      // an ~f-sized edge table — each round ~f; PageRank is a fixed
+      // number of join+agg rounds over ~f edges; robust outliers is
+      // two sort-windows over ~f rows in a fixed group count; the
+      // filtered index query is a build (~f) + a pruned probe whose
+      // scan is capacity-bounded, filter pushed to parquet
+      "g1_bfs", "g2_pagerank", "p8_outliers",
+      "s21_vector_index_filtered")
       // x18/x19 are NOT here for x12's reason (salting renames their
       // literal terms) — the salted cases below measure real phrase/
       // proximity retrieval.

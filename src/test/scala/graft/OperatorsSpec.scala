@@ -1690,4 +1690,57 @@ class OperatorsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("exhausted"), e.getMessage)
   }
+
+  test("bfs: chain distances, depth bound, unreachable excluded, cycle safe") {
+    // 0→1→2→3→4→0 ring plus a chord 1→3 and an island 9→10
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 0L),
+      (1L, 3L), (9L, 10L)).toDF("s", "d")
+    val got = Graph.bfsDistances(edges, "s", "d", Seq(0L), maxDepth = 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // chord wins: 3 at depth 2, not 3; the ring closes without looping
+    assert(got == Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 2, 4L -> 3))
+    // depth bound cuts the frontier, sources always present at 0
+    val b1 = Graph.bfsDistances(edges, "s", "d", Seq(0L), maxDepth = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(b1 == Map(0L -> 0, 1L -> 1))
+    // multi-source: distances are min over sources
+    val ms = Graph.bfsDistances(edges, "s", "d", Seq(0L, 3L), maxDepth = 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(ms(3L) == 0 && ms(4L) == 1 && ms(1L) == 1 && ms(2L) == 2)
+  }
+
+  test("pagerank: fixed point favors sinks of mass, partition-invariant") {
+    // star: 1,2,3 → 0 and 0 → 1 (0 accumulates, 1 gets the return flow)
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (0L, 1L)).toDF("s", "d")
+    val r = Graph.pageRank(edges, "s", "d", iterations = 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // 2 and 3 never receive mass: pinned at the base term; the 0↔1
+    // cycle trades the rest (order between them oscillates by round)
+    assert(r(2L) == 150000L && r(3L) == 150000L)
+    assert(r(0L) > r(2L) && r(1L) > r(2L))
+    // exact determinism: 1 partition == 7 partitions, bit for bit
+    val r7 = Graph.pageRank(edges.repartition(7), "s", "d", iterations = 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == r7)
+    // mass accounting: every rank >= base (150000), none above total
+    assert(r.values.forall(v => v >= 150000L && v <= 4000000L))
+  }
+
+  test("robust outliers: MAD fence catches the spike the mean would hide") {
+    // 19 calm values around 10.00 plus one 500.00 spike in group A;
+    // group B constant → MAD 0, any deviation flags
+    val a = (1 to 19).map(i => ("A", 10.0 + (i % 3) * 0.01)) :+ (("A", 500.0))
+    val b = (1 to 5).map(_ => ("B", 42.0))
+    val df = (a ++ b).toDF("g", "v")
+    val rows = Profile.robustOutliers(df, "g", "v", k = 5)
+      .orderBy("g").collect()
+    val ra = rows(0); val rb = rows(1)
+    assert(ra.getString(0) == "A" && ra.getLong(1) == 20)
+    assert(ra.getLong(2) == 1001L) // lower median of the calm cluster
+    assert(ra.getLong(3) == 1L)    // MAD of calm data: exactly one cent
+    assert(ra.getLong(4) == 1L)    // exactly the spike flagged
+    assert(ra.getLong(5) == 500 * 100 - ra.getLong(2)) // max dev = spike
+    assert(rb.getString(0) == "B" && rb.getLong(3) == 0L
+      && rb.getLong(4) == 0L) // constant group: MAD 0, zero deviations
+  }
 }

@@ -753,6 +753,69 @@ class PlanShapeSpec extends AnyFunSuite {
       rows(brute))
   }
 
+  test("vector index filtered search: pre-filter exact, predicate pushed to scan") {
+    import graft.sources.VectorIndex
+    val tmp = java.nio.file.Files.createTempDirectory("graft-vflt").toString
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft-vflt2").toString
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    // headroom beyond the corpus so the append below has free capacity
+    val cap = math.ceil(emb.count() / 8.0).toLong + 8
+    VectorIndex.build(emb, "vec_id", "embedding", tmp,
+      clusters = 8, iterations = 2, capacity = cap, maxRounds = 6,
+      metaCols = Seq("label"))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e12))).toSet
+    // full-probe scoring is exact per pair, so PRE-FILTER semantics
+    // means: filtered query on the full index == unfiltered query on
+    // an index holding only the matching vectors (layouts differ —
+    // different training set, different cells — the ANSWER may not)
+    val filtered = emb.filter(col("label") >= 5)
+    VectorIndex.build(filtered, "vec_id", "embedding", tmp2,
+      clusters = 8, iterations = 2,
+      capacity = math.ceil(filtered.count() / 8.0).toLong, maxRounds = 6)
+    val got = VectorIndex.topKFiltered(spark, tmp, q, k = 5, nprobe = 8,
+      filter = col("label") >= 5, candidates = 2000)
+    val want = VectorIndex.topK(spark, tmp2, q, k = 5, nprobe = 8,
+      candidates = 2000)
+    assert(rows(got) == rows(want),
+      "filtered full-probe != full-probe over the filtered corpus")
+    // a vacuous predicate must be a no-op on the answer
+    assert(rows(VectorIndex.topKFiltered(spark, tmp, q, k = 5, nprobe = 8,
+        filter = col("label") >= 0, candidates = 2000)) ==
+      rows(VectorIndex.topK(spark, tmp, q, k = 5, nprobe = 8,
+        candidates = 2000)))
+    // the predicate reaches the parquet reader: row groups are
+    // skippable by column stats, not filtered post-scan
+    val df = VectorIndex.topKFiltered(spark, tmp, q, k = 5, nprobe = 2,
+      filter = col("label") >= 5)
+    df.count()
+    val p = plan(df).toString
+    assert(p.contains("PushedFilters") &&
+      "PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(label,5\\)".r
+        .findFirstIn(p).isDefined,
+      s"label predicate not pushed to the cells scan:\n$p")
+    // appends must carry the metadata; refusing is loud, not a hole
+    val extra = emb.filter(col("vec_id") >= 490 && col("vec_id") < 495)
+      .select(col("vec_id") + lit(10000L) as "vec_id", col("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      VectorIndex.append(extra, "vec_id", "embedding", tmp)
+    }
+    assert(e.getMessage.contains("lacks"), e.getMessage)
+    val extraM = emb.filter(col("vec_id") >= 490 && col("vec_id") < 495)
+      .select(col("vec_id") + lit(10000L) as "vec_id", col("embedding"),
+        lit(77).as("label")) // 77: outside the corpus's 0..9 domain
+    VectorIndex.append(extraM, "vec_id", "embedding", tmp)
+    val got2 = VectorIndex.topKFiltered(spark, tmp, q, k = 5, nprobe = 8,
+      filter = col("label") === 77, candidates = 2000)
+    val ids = got2.select("neighbor_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.nonEmpty && ids.forall(_ >= 10490L),
+      s"label=77 exists only in the appended batch, got $ids")
+  }
+
   test("vector index: capacity-bounded append, compaction, full-probe parity") {
     import graft.sources.VectorIndex
     val tmp = java.nio.file.Files.createTempDirectory("graft-vida").toString
