@@ -395,6 +395,12 @@ object SparkEntry {
       Graph.pageRank(graphEdges(T(s, dir, "lineitem")), "src", "dst",
           iterations = 4)
         .orderBy("node")),
+    // per-node triangle counts via degree-ordered wedge closing; the
+    // triangle set is orientation-independent, so the oracle verifies
+    // with the simpler id-ordered enumeration
+    "g3_triangles" -> ((s, dir) =>
+      Graph.triangleCounts(graphEdges(T(s, dir, "lineitem")), "src", "dst")
+        .orderBy("node")),
     "q15_having_subquery" -> ((s, dir) => {
       val c = T(s, dir, "customer"); val n = T(s, dir, "nation")
       val j = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
@@ -720,6 +726,16 @@ object SparkEntry {
           java.time.Duration.ofSeconds(5), java.time.Duration.ofMinutes(10))
         .toDF().select("id_a", "id_b", "jaccard").distinct()
         .orderBy("id_a", "id_b")),
+    // per-window top-k keys — the batch mirror of the Misra-Gries-
+    // bounded streaming operator (stream == this whenever capacity
+    // covers the window's distinct keys; spec'd via MemoryStream)
+    "t8_window_topk" -> ((s, dir) =>
+      graft.streaming.StreamingTopK.topKPerWindow(
+          T(s, dir, "events"), "ts", "event_type", "1 hour", k = 3)
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          col("key"), col("n"), col("rank"))
+        .orderBy("window_start", "rank")),
     // trailing event-time RANGE frame: per-user rolling 1h count/sum
     // at every event — the range window shuffles once by user and
     // scans each partition ordered, the shape that holds at any scale
@@ -1903,6 +1919,20 @@ object SparkEntry {
     // div) == Spark `div` on the non-negative ranks
     "g2_pagerank" ->
       operators.Graph.pageRankOracleSql(graphEdgesSql, iterations = 4),
+    // g3's oracle enumerates canonical id-ordered triangles x<y<z
+    // directly — orientation independence makes it equal the engine's
+    // degree-ordered computation
+    "g3_triangles" ->
+      s"""WITH e AS ($graphEdgesSql),
+        |u AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e WHERE src <> dst),
+        |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM u e1 JOIN u e2 ON e2.a = e1.b
+        |  JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |c AS (SELECT x AS node FROM t UNION ALL SELECT y FROM t
+        |  UNION ALL SELECT z FROM t)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM c
+        |GROUP BY node ORDER BY node""".stripMargin,
     "q15_having_subquery" ->
       """WITH j AS (SELECT n_name, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
         |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
@@ -2073,6 +2103,19 @@ object SparkEntry {
         |SELECT user_id, attr, valid_from_us, valid_to_us,
         |  valid_to_us IS NULL AS is_current
         |FROM v ORDER BY user_id, valid_from_us, attr""".stripMargin,
+    // t8: count per (hour, key), rank per hour, keep k — ties break
+    // on key ascending exactly as the operator does
+    "t8_window_topk" ->
+      """WITH c AS (SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+        |    '%Y-%m-%d %H:%M:%S') AS window_start,
+        |    CAST(event_type AS VARCHAR) AS key,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT window_start, key, n, CAST(row_number() OVER (
+        |    PARTITION BY window_start ORDER BY n DESC, key ASC) AS INT)
+        |    AS "rank" FROM c)
+        |SELECT window_start, key, n, "rank" FROM r WHERE "rank" <= 3
+        |ORDER BY window_start, "rank"""".stripMargin,
     "t7_rolling" ->
       """SELECT user_id, event_id, epoch_us(ts) AS tus,
         |  count(*) OVER w AS n_1h,

@@ -175,7 +175,7 @@ object ScaleBench {
       // filtered index query is a build (~f) + a pruned probe whose
       // scan is capacity-bounded, filter pushed to parquet
       "g1_bfs", "g2_pagerank", "p8_outliers",
-      "s21_vector_index_filtered")
+      "s21_vector_index_filtered", "t8_window_topk")
       // x18/x19 are NOT here for x12's reason (salting renames their
       // literal terms) — the salted cases below measure real phrase/
       // proximity retrieval.
@@ -183,8 +183,11 @@ object ScaleBench {
     // domain, so the match count itself is ~f^2 — the join is
     // equi-join shaped (work tracks matches, not the n x m cross),
     // which is exactly what the quadratic profile should show
+    // g3: replication DENSIFIES the fixed 4096-node hash graph (same
+    // nodes, ~f× edges), so wedge work grows ~f² by construction —
+    // the honest profile for triangle counting under densification
     val quadOps = Seq("d5_embed_neardup", "s1_ann_bruteforce",
-      "q32_range_join")
+      "q32_range_join", "g3_triangles")
 
     // Candidate-stage scale check for the re-ranking ANN paths: a 10x
     // query batch (100 queries vs the SparkEntry entries' 10) over the

@@ -1726,6 +1726,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.values.forall(v => v >= 150000L && v <= 4000000L))
   }
 
+  test("triangles: per-node counts exact on known graphs, hub-safe orientation") {
+    // K4 (every node in C(3,2)=3 triangles) + a pendant + a separate
+    // triangle; duplicate/reversed/self-loop edges must not distort
+    val k4 = for (i <- 0 to 3; j <- (i + 1) to 3) yield (i.toLong, j.toLong)
+    val edges = (k4 ++ Seq((3L, 9L), (20L, 21L), (21L, 22L), (22L, 20L),
+      (1L, 0L), (5L, 5L))).toDF("s", "d")
+    val got = Graph.triangleCounts(edges, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 3, 1L -> 3, 2L -> 3, 3L -> 3,
+      20L -> 1, 21L -> 1, 22L -> 1), s"got $got")
+    // star K1,5 has no triangles at all — and the hub must not appear
+    val star = (1 to 5).map(i => (0L, i.toLong)).toDF("s", "d")
+    assert(Graph.triangleCounts(star, "s", "d").isEmpty)
+  }
+
   test("robust outliers: MAD fence catches the spike the mean would hide") {
     // 19 calm values around 10.00 plus one 500.00 spike in group A;
     // group B constant → MAD 0, any deviation flags

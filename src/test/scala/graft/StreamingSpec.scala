@@ -844,4 +844,85 @@ class StreamingSpec extends AnyFunSuite {
         s"expected finalized first window, got ${rows.mkString(";")}")
     } finally q.stop()
   }
+
+  test("streaming window top-k: MG state finalizes per window, batch parity") {
+    import spark.implicits._
+    import graft.streaming.StreamingTopK
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StatefulOps.Evt]
+    // key = user_id as string; 10-minute windows, watermark 0
+    val out = StreamingTopK.topKPerWindowStream(
+      in.toDF().select(col("ts"), col("user_id")),
+      "ts", "user_id", Duration.ofMinutes(10), Duration.ZERO, k = 2,
+      capacity = 16)
+    val q = out.writeStream.format("memory").queryName("wtopk")
+      .outputMode("append").start()
+    try {
+      // window [600, 1200): user 1 × 3, user 2 × 2, user 3 × 1 —
+      // split across two micro-batches so state genuinely merges
+      in.addData(StatefulOps.Evt(1, ts(610), 0), StatefulOps.Evt(2, ts(620), 0),
+        StatefulOps.Evt(1, ts(630), 0))
+      q.processAllAvailable()
+      in.addData(StatefulOps.Evt(1, ts(640), 0), StatefulOps.Evt(2, ts(650), 0),
+        StatefulOps.Evt(3, ts(660), 0))
+      q.processAllAvailable()
+      // nothing emits while the window is open
+      assert(spark.sql("SELECT * FROM wtopk").count() == 0)
+      // advance the watermark past the window end → exactly one final
+      // top-2 for the closed window, nothing for the open one
+      in.addData(StatefulOps.Evt(9, ts(5000), 0))
+      q.processAllAvailable()
+      in.addData(StatefulOps.Evt(9, ts(9000), 0))
+      q.processAllAvailable()
+      // (the watermark-pusher's own later window may close too —
+      // restrict to the window under test)
+      val rows = spark.sql(
+          "SELECT key, n, rank FROM wtopk " +
+            "WHERE window_start = to_timestamp(600) " +
+            "ORDER BY rank").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+      assert(rows == Seq(("1", 3L, 1), ("2", 2L, 2)),
+        s"expected exact top-2 of the closed window, got $rows")
+      // batch parity in the exact regime (capacity covers keys)
+      val batch = StreamingTopK.topKPerWindow(
+          Seq((ts(610), 1L), (ts(620), 2L), (ts(630), 1L), (ts(640), 1L),
+            (ts(650), 2L), (ts(660), 3L)).toDF("ts", "user_id"),
+          "ts", "user_id", "10 minutes", k = 2)
+        .select("key", "n", "rank").orderBy("rank").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+      assert(batch == rows, s"stream $rows != batch $batch")
+    } finally q.stop()
+  }
+
+  test("streaming window top-k: MG capacity bounds state, hitter survives") {
+    import spark.implicits._
+    import graft.streaming.StreamingTopK
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StatefulOps.Evt]
+    // 100 distinct keys through capacity 4: state can never hold them
+    // all, but the true heavy hitter (120 of 220 rows) must survive
+    // the decrements and rank first in the final emission
+    val out = StreamingTopK.topKPerWindowStream(
+      in.toDF().select(col("ts"),
+        when(col("user_id") === 0L, lit("hot"))
+          .otherwise(concat(lit("k"), col("user_id"))).as("key")),
+      "ts", "key", Duration.ofHours(1), Duration.ZERO, k = 1,
+      capacity = 4)
+    val q = out.writeStream.format("memory").queryName("wtopk_mg")
+      .outputMode("append").start()
+    try {
+      val evs = (1 to 120).map(i => StatefulOps.Evt(0, ts(3600 + i), 0)) ++
+        (1 to 100).map(i => StatefulOps.Evt(i, ts(3600 + i), 0))
+      in.addData(evs)
+      q.processAllAvailable()
+      in.addData(StatefulOps.Evt(999, ts(99999), 0))
+      q.processAllAvailable()
+      val top = spark.sql("SELECT key, n, rank FROM wtopk_mg").collect()
+      assert(top.length == 1 && top(0).getString(0) == "hot",
+        s"heavy hitter lost under MG capacity: ${top.toSeq}")
+      // MG undercount bound: n >= true - (total / capacity)
+      assert(top(0).getLong(1) >= 120L - 220L / 4,
+        s"undercount beyond the MG bound: ${top.toSeq}")
+    } finally q.stop()
+  }
 }
