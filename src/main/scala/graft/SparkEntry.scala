@@ -395,6 +395,13 @@ object SparkEntry {
       Graph.pageRank(graphEdges(T(s, dir, "lineitem")), "src", "dst",
           iterations = 4)
         .orderBy("node")),
+    // PERSONALIZED PageRank: mass and teleport restricted to a seed
+    // set — proximity-to-seeds ranking ("related items"), same exact
+    // fixed-point arithmetic and unrolled oracle as g2
+    "g4_ppr" -> ((s, dir) =>
+      Graph.pageRank(graphEdges(T(s, dir, "lineitem")), "src", "dst",
+          iterations = 4, sources = Seq(0L, 1L, 2L))
+        .orderBy("node")),
     // per-node triangle counts via degree-ordered wedge closing; the
     // triangle set is orientation-independent, so the oracle verifies
     // with the simpler id-ordered enumeration
@@ -1634,6 +1641,32 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_users"))
         .orderBy("event_type")
     }),
+    // snapshot ROLLBACK as a new commit: v0 = full catalog, v1 drops
+    // a partition (retention), rollback re-commits v0's content as
+    // v2 — reading the LATEST version must hash-equal the plain full
+    // scan, proving restore-by-commit end to end (history intact:
+    // v1 stays readable, asserted in the plan-shape spec)
+    "f11_rollback" -> ((s, dir) => {
+      val tmp = layoutDir("f11", dir)
+      val ev = T(s, dir, "events")
+      FileManifest.writePartitionedLayout(ev, s"$tmp/t", "event_type",
+        "user_id", numFiles = 20)
+      val pm = FileManifest.buildPartitioned(s, s"$tmp/t", "user_id")
+      val vroot = s"$tmp/cat"
+      val v0 = FileManifest.commitVersion(s, pm, vroot)
+      // "retention" drops the click partition in v1
+      FileManifest.commitVersion(s,
+        pm.copy(partitions = pm.partitions - "event_type=click"), vroot)
+      FileManifest.rollbackTo(s, vroot, v0)
+      FileManifest.readPrunedPartitioned(s,
+          FileManifest.loadLatest(s, vroot), None, Long.MinValue,
+          Long.MaxValue)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("total_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
+    }),
     // small-file compaction: pack a 32-file layout into ~4-file bins by
     // key order (clustering preserved => manifest still prunes), then
     // prove the rewrite lost nothing against the plain full-scan oracle
@@ -1919,6 +1952,9 @@ object SparkEntry {
     // div) == Spark `div` on the non-negative ranks
     "g2_pagerank" ->
       operators.Graph.pageRankOracleSql(graphEdgesSql, iterations = 4),
+    "g4_ppr" ->
+      operators.Graph.pageRankOracleSql(graphEdgesSql, iterations = 4,
+        sources = Seq(0L, 1L, 2L)),
     // g3's oracle enumerates canonical id-ordered triangles x<y<z
     // directly — orientation independence makes it equal the engine's
     // degree-ordered computation
@@ -3126,6 +3162,13 @@ object SparkEntry {
         |FROM events WHERE user_id BETWEEN 12 AND 87""".stripMargin,
     // f4 likewise: a two-level (partition + range) pruned read must
     // equal the plain full-scan filter over both predicates
+    // f11: after rollback the latest catalog IS v0 — the oracle is
+    // the plain full scan, nothing about the DML detour survives
+    "f11_rollback" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "f4_partition_prune" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,

@@ -99,10 +99,17 @@ object Graph {
     * rank⋈edge join co-partitions on `src` against the persisted,
     * outdeg-annotated edge relation built once up front.
     *
+    * With `sources` non-empty this is PERSONALIZED PageRank: initial
+    * mass and the per-round teleport term land only on the seed set,
+    * so ranks measure proximity TO the seeds through the link
+    * structure — the "related items" / query-biased ranking primitive.
+    * Same arithmetic, same oracle discipline.
+    *
     * @return (node BIGINT, rank_u BIGINT) — micro-units.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int, dampingPct: Int = 85): DataFrame = {
+      iterations: Int, dampingPct: Int = 85,
+      sources: Seq[Long] = Nil): DataFrame = {
     require(iterations >= 1 && dampingPct >= 0 && dampingPct <= 100)
     val e = normalize(edges, srcCol, dstCol)
     val nodes = e.select(col("src").as("node"))
@@ -112,15 +119,20 @@ object Graph {
     // out-degree rides on the edge row so the per-round join is single
     val eo = e.join(outdeg, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val isSeed =
+      if (sources.isEmpty) lit(true) else col("node").isin(sources: _*)
     val base = lit(((100L - dampingPct) * 1000000L) / 100L)
-    var ranks = nodes.withColumn("rank_u", lit(1000000L)).localCheckpoint(true)
+    var ranks = nodes
+      .withColumn("rank_u", when(isSeed, lit(1000000L)).otherwise(lit(0L)))
+      .localCheckpoint(true)
     for (_ <- 1 to iterations) {
       val inflow = eo.join(ranks, eo("src") === ranks("node"))
         .select(eo("dst"), expr("rank_u div outdeg").as("c"))
         .groupBy(col("dst").as("node")).agg(sum("c").as("inflow"))
       ranks = nodes.join(inflow, Seq("node"), "left")
         .select(col("node"),
-          (base + expr(s"($dampingPct * coalesce(inflow, 0L)) div 100"))
+          (when(isSeed, base).otherwise(lit(0L)) +
+            expr(s"($dampingPct * coalesce(inflow, 0L)) div 100"))
             .as("rank_u"))
         .localCheckpoint(true)
     }
@@ -196,20 +208,25 @@ object Graph {
     * division there, `div` truncation here — identical on the
     * non-negative values rank iteration produces. */
   def pageRankOracleSql(edgesSql: String, iterations: Int,
-      dampingPct: Int = 85): String = {
+      dampingPct: Int = 85, sources: Seq[Long] = Nil): String = {
     val base = ((100L - dampingPct) * 1000000L) / 100L
+    def seedCase(value: String): String =
+      if (sources.isEmpty) value
+      else s"CASE WHEN n.node IN (${sources.mkString(", ")}) " +
+        s"THEN $value ELSE 0 END"
     val sb = new StringBuilder
     sb.append(s"WITH e AS ($edgesSql),\n")
     sb.append("n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),\n")
     sb.append("o AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),\n")
-    sb.append("r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_u FROM n)")
+    sb.append(s"r0 AS (SELECT node, CAST(${seedCase("1000000")} AS BIGINT)" +
+      " AS rank_u FROM n)")
     for (i <- 1 to iterations) {
       sb.append(s""",
         |c$i AS (SELECT e.dst AS node,
         |  CAST(sum(r.rank_u // o.outdeg) AS BIGINT) AS inflow
         |  FROM e JOIN o USING (src) JOIN r${i - 1} r ON r.node = e.src
         |  GROUP BY 1),
-        |r$i AS (SELECT n.node, CAST($base +
+        |r$i AS (SELECT n.node, CAST(${seedCase(base.toString)} +
         |    ($dampingPct * COALESCE(c$i.inflow, 0)) // 100 AS BIGINT) AS rank_u
         |  FROM n LEFT JOIN c$i USING (node))""".stripMargin)
     }

@@ -752,6 +752,15 @@ object FileManifest {
     loadVersion(spark, root, v)
   }
 
+  /** ROLLBACK: re-commit an older version's catalog as the NEWEST
+    * version. History is preserved — a rollback is a new commit whose
+    * CONTENT is the old snapshot (the Iceberg rollback contract), not
+    * a deletion of the versions in between, so readers pinned to the
+    * rolled-back-over versions keep working and the rollback itself is
+    * auditable (and itself rollback-able) in the version history. */
+  def rollbackTo(spark: SparkSession, root: String, version: Long): Long =
+    commitVersion(spark, loadVersion(spark, root, version), root)
+
   /** Retention: drop committed versions older than `keepLast` (never
     * the latest). Time travel reaches only what retention keeps —
     * the standard lakehouse contract. */

@@ -1724,6 +1724,13 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r == r7)
     // mass accounting: every rank >= base (150000), none above total
     assert(r.values.forall(v => v >= 150000L && v <= 4000000L))
+    // PERSONALIZED: seeds {2} on a chain 2→0→1: only nodes reachable
+    // from the seed hold mass; the seed keeps its teleport base
+    val pr = Graph.pageRank(edges, "s", "d", iterations = 4,
+        sources = Seq(2L))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(pr(3L) == 0L, "node 3 is unreachable from seed 2: zero mass")
+    assert(pr(2L) >= 150000L && pr(0L) > 0L && pr(1L) > 0L)
   }
 
   test("triangles: per-node counts exact on known graphs, hub-safe orientation") {

@@ -453,9 +453,15 @@ class PlanShapeSpec extends AnyFunSuite {
     // ...and the next commit overwrites the orphan
     assert(FileManifest.commitVersion(spark, pm, vroot) == 2L)
     assert(FileManifest.loadLatest(spark, vroot) == pm)
+    // ROLLBACK: a new commit whose content is the old snapshot —
+    // history (and the rolled-over version) stays readable
+    assert(FileManifest.rollbackTo(spark, vroot, 1L) == 3L)
+    assert(FileManifest.loadLatest(spark, vroot) == pm2)
+    assert(FileManifest.loadVersion(spark, vroot, 2L) == pm,
+      "rollback must not destroy the version it rolls over")
     // retention keeps the tail; expired versions fail loudly
     FileManifest.expireVersions(spark, vroot, keepLast = 2)
-    assert(FileManifest.loadVersion(spark, vroot, 1L) == pm2)
+    assert(FileManifest.loadVersion(spark, vroot, 3L) == pm2)
     val gone = intercept[IllegalArgumentException] {
       FileManifest.loadVersion(spark, vroot, 0L)
     }
