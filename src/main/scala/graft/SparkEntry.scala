@@ -381,6 +381,27 @@ object SparkEntry {
           countDistinct(col("p")).as("n_points"))
         .orderBy("event_type")
     }),
+    // ---- composite: the curation pipeline end to end ----------------
+    // quality-filter → exact-dedup (keep min id per content hash) →
+    // deterministic split → per-(split, lang) corpus report: the whole
+    // LLM-data-curation chain as ONE declarative plan — Catalyst fuses
+    // the metric computation, filter, and dedup window into the same
+    // scan pipeline; the oracle replays every stage in one CTE chain
+    "c1_curation_pipeline" -> ((s, dir) => {
+      val scored = TextAnalysis.withQualityMetrics(
+        T(s, dir, "documents"), "text")
+      val kept = scored.where(col("quality_score") >= 0.5)
+      val dedup = kept
+        .withColumn("__keep",
+          min("doc_id").over(Window.partitionBy(md5(col("text")))))
+        .where(col("doc_id") === col("__keep"))
+      CorpusOps.hashSplit(dedup, "doc_id")
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          sum(col("n_tokens").cast("long")).as("sum_tokens"))
+        .orderBy("split", "lang")
+    }),
     // ---- iterative graph algorithms ---------------------------------
     // a deterministic sparse hash-graph over lineitem (~n_lineitem
     // distinct edges on 4096 nodes) — structure enough for multi-hop
@@ -1937,6 +1958,28 @@ object SparkEntry {
         |  CAST(count(DISTINCT p) AS BIGINT) AS n_points
         |FROM p JOIN iv ON p.p BETWEEN iv.lo AND iv.hi
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // c1 replays the whole curation chain: x2's metric arithmetic
+    // (bit-identical doubles, so the >= 0.5 gate agrees), md5 keep-min
+    // dedup, x5's split assignment, then the report
+    "c1_curation_pipeline" ->
+      s"""WITH m AS (SELECT doc_id, lang, n_chars, text,
+        |    length(text) AS nc,
+        |    len(string_split_regex(trim(text), '\\s+')) AS nt,
+        |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS np,
+        |    len(list_intersect(list_distinct(string_split_regex(trim(text), '\\s+')),
+        |      ['the','and','of','is','to','in','a','that','it','for'])) AS st
+        |  FROM documents),
+        |q AS (SELECT *, least(nt / 100.0, 1.0) * 0.5 + least(st / 5.0, 1.0) * 0.3 +
+        |    (CASE WHEN np / nc < 0.1 THEN 0.2 ELSE 0.0 END) AS score FROM m),
+        |k AS (SELECT * FROM q WHERE score >= 0.5),
+        |d AS (SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+        |  FROM k),
+        |u AS (SELECT * FROM d WHERE doc_id = keeper)
+        |SELECT ${operators.CorpusOps.hashSplitSql("doc_id::VARCHAR")} AS "split",
+        |  lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(nt) AS BIGINT) AS sum_tokens
+        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // g1's oracle enumerates every walk up to the depth bound with a
     // recursive CTE and takes min(dist) — BFS by brute force
     "g1_bfs" ->

@@ -163,11 +163,14 @@ object Graph {
     */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String)
       : DataFrame = {
+    // materialized once: feeds both the degree count and the orient
+    // join (without this the canonical-edge dedup re-runs per branch)
     val und = normalize(edges, srcCol, dstCol)
       .where(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
+      .localCheckpoint(true)
     val deg = und.select(col("a").as("n"))
       .union(und.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
@@ -186,6 +189,9 @@ object Graph {
           .as("vkey"))
       .select(col("u"), col("vkey").getField("id").as("v"),
         col("vkey").getField("d").as("dv"))
+      // referenced three times below (both wedge sides + the close);
+      // materialize instead of recomputing the orient join per branch
+      .localCheckpoint(true)
     val e1 = eo.select(col("u"), col("v").as("x"), col("dv").as("dx"))
     val e2 = eo.select(col("u"), col("v").as("y"), col("dv").as("dy"))
     // wedges at u with (deg,id)(x) < (deg,id)(y): each unordered pair

@@ -175,7 +175,8 @@ object ScaleBench {
       // filtered index query is a build (~f) + a pruned probe whose
       // scan is capacity-bounded, filter pushed to parquet
       "g1_bfs", "g2_pagerank", "g4_ppr", "p8_outliers",
-      "s21_vector_index_filtered", "t8_window_topk", "f11_rollback")
+      "s21_vector_index_filtered", "t8_window_topk", "f11_rollback",
+      "c1_curation_pipeline")
       // x18/x19 are NOT here for x12's reason (salting renames their
       // literal terms) — the salted cases below measure real phrase/
       // proximity retrieval.
