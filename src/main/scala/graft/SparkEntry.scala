@@ -62,6 +62,17 @@ object SparkEntry {
   private val graphEdgesSql =
     "SELECT DISTINCT l_orderkey % 4096 AS src, " +
       "(l_partkey * 7 + l_suppkey) % 4096 AS dst FROM lineitem"
+  /** g3's graph spreads over 16× more nodes: triangle counting's
+    * wedge work is Θ(Σ deg²) — the realistic regime is sparse (social
+    * graphs: avg degree ~10²  on n≫deg nodes), and the 4096-node
+    * density at bench scale (~300 avg degree) measures multigraph
+    * saturation, not the operator. */
+  private def triangleEdges(lineitem: DataFrame): DataFrame =
+    lineitem.select((col("l_orderkey") % 16384).as("src"),
+      ((col("l_partkey") * 7 + col("l_suppkey")) % 16384).as("dst"))
+  private val triangleEdgesSql =
+    "SELECT DISTINCT l_orderkey % 16384 AS src, " +
+      "(l_partkey * 7 + l_suppkey) % 16384 AS dst FROM lineitem"
 
   /** Stable scratch dir per (query, input): repeated bench/verify runs
     * overwrite ONE tree per query and scale factor instead of
@@ -427,7 +438,7 @@ object SparkEntry {
     // triangle set is orientation-independent, so the oracle verifies
     // with the simpler id-ordered enumeration
     "g3_triangles" -> ((s, dir) =>
-      Graph.triangleCounts(graphEdges(T(s, dir, "lineitem")), "src", "dst")
+      Graph.triangleCounts(triangleEdges(T(s, dir, "lineitem")), "src", "dst")
         .orderBy("node")),
     "q15_having_subquery" -> ((s, dir) => {
       val c = T(s, dir, "customer"); val n = T(s, dir, "nation")
@@ -2002,7 +2013,7 @@ object SparkEntry {
     // directly — orientation independence makes it equal the engine's
     // degree-ordered computation
     "g3_triangles" ->
-      s"""WITH e AS ($graphEdgesSql),
+      s"""WITH e AS ($triangleEdgesSql),
         |u AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
         |  FROM e WHERE src <> dst),
         |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z

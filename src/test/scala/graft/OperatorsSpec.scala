@@ -1748,6 +1748,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Graph.triangleCounts(star, "s", "d").isEmpty)
   }
 
+  test("graph ops match driver-side references on random graphs") {
+    // three seeded random digraphs vs straightforward driver-side
+    // reference implementations — the randomized analogue of the
+    // hand-built cases above
+    for (seed <- Seq(7, 42, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 30
+      val es = (1 to 120).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .distinct
+      val edges = es.toDF("s", "d")
+      // reference BFS over the adjacency map
+      val adj = es.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      var dist = Map(0L -> 0)
+      var frontier = Set(0L)
+      for (depth <- 1 to 5) {
+        frontier = frontier.flatMap(u => adj.getOrElse(u, Nil))
+          .filterNot(dist.contains)
+        dist ++= frontier.map(_ -> depth)
+      }
+      val got = Graph.bfsDistances(edges, "s", "d", Seq(0L), maxDepth = 5)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == dist, s"seed $seed: bfs $got != reference $dist")
+      // reference triangles: brute-force canonical enumeration
+      val und = es.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+      val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      val triRef = scala.collection.mutable.Map.empty[Long, Long]
+      for {
+        i <- nodes; j <- nodes if i < j && und((i, j))
+        k <- nodes if j < k && und((j, k)) && und((i, k))
+      } Seq(i, j, k).foreach(v => triRef(v) = triRef.getOrElse(v, 0L) + 1)
+      val gotTri = Graph.triangleCounts(edges, "s", "d")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotTri == triRef.toMap,
+        s"seed $seed: triangles $gotTri != reference ${triRef.toMap}")
+    }
+  }
+
   test("robust outliers: MAD fence catches the spike the mean would hide") {
     // 19 calm values around 10.00 plus one 500.00 spike in group A;
     // group B constant → MAD 0, any deviation flags
