@@ -440,6 +440,13 @@ object SparkEntry {
     "g3_triangles" -> ((s, dir) =>
       Graph.triangleCounts(triangleEdges(T(s, dir, "lineitem")), "src", "dst")
         .orderBy("node")),
+    // k-core membership after 3 bounded peeling rounds — output
+    // DEFINED round-by-round so the oracle replays it exactly,
+    // converged or not
+    "g5_kcore" -> ((s, dir) =>
+      Graph.kCore(triangleEdges(T(s, dir, "lineitem")), "src", "dst",
+          k = 6, rounds = 3)
+        .orderBy("node")),
     "q15_having_subquery" -> ((s, dir) => {
       val c = T(s, dir, "customer"); val n = T(s, dir, "nation")
       val j = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
@@ -2009,6 +2016,8 @@ object SparkEntry {
     "g4_ppr" ->
       operators.Graph.pageRankOracleSql(graphEdgesSql, iterations = 4,
         sources = Seq(0L, 1L, 2L)),
+    "g5_kcore" ->
+      operators.Graph.kCoreOracleSql(triangleEdgesSql, k = 6, rounds = 3),
     // g3's oracle enumerates canonical id-ordered triangles x<y<z
     // directly — orientation independence makes it equal the engine's
     // degree-ordered computation

@@ -140,6 +140,71 @@ object Graph {
     ranks
   }
 
+  /** K-CORE membership by BOUNDED-ROUND peeling: `rounds` iterations
+    * of "drop every node whose degree in the surviving subgraph is
+    * < k" over the undirected simple graph — the standard
+    * influence/cohesion filter (a node in the k-core has ≥ k
+    * neighbors that themselves survive).
+    *
+    * The output is DEFINED as the survivors after exactly `rounds`
+    * peels — a deterministic function any engine can replay round by
+    * round (the oracle unrolls them), converged or not; on most
+    * graphs peeling stabilizes in a handful of rounds (the spec
+    * asserts convergence on its graphs by comparing rounds vs
+    * rounds+1). Peeling is monotone — survivors only shrink — so a
+    * converged result IS the true k-core.
+    *
+    * Each round: one degree aggregation over surviving edges + one
+    * semi-join to drop peeled endpoints; state is localCheckpoint'ed
+    * edges, lineage O(1). @return (node, deg) of survivors with their
+    * final in-core degree.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    var und = normalize(edges, srcCol, dstCol)
+      .where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val deg = und.select(col("a").as("n")).union(und.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      val keep = deg.where(col("deg") >= k).select("n")
+      und = und
+        .join(keep.select(col("n").as("a")), "a")
+        .join(keep.select(col("n").as("b")), "b")
+        .localCheckpoint(true)
+    }
+    und.select(col("a").as("n")).union(und.select(col("b").as("n")))
+      .groupBy(col("n").as("node")).agg(count(lit(1)).as("deg"))
+      .where(col("deg") >= k)
+  }
+
+  /** The unrolled DuckDB mirror of [[kCore]]. */
+  def kCoreOracleSql(edgesSql: String, k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH e AS ($edgesSql),\n")
+    sb.append("u0 AS (SELECT DISTINCT least(src, dst) AS a, " +
+      "greatest(src, dst) AS b FROM e WHERE src <> dst)")
+    for (i <- 1 to rounds) {
+      sb.append(s""",
+        |d$i AS (SELECT n, count(*) AS deg FROM (
+        |    SELECT a AS n FROM u${i - 1} UNION ALL SELECT b FROM u${i - 1})
+        |  GROUP BY 1),
+        |u$i AS (SELECT u.a, u.b FROM u${i - 1} u
+        |  JOIN d$i da ON da.n = u.a AND da.deg >= $k
+        |  JOIN d$i db ON db.n = u.b AND db.deg >= $k)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT node, CAST(deg AS BIGINT) AS deg FROM (
+      |  SELECT n AS node, count(*) AS deg FROM (
+      |    SELECT a AS n FROM u$rounds UNION ALL SELECT b FROM u$rounds)
+      |  GROUP BY 1) WHERE deg >= $k ORDER BY node""".stripMargin)
+    sb.toString
+  }
+
   /** Per-node TRIANGLE counts over the undirected simple graph of
     * `edges` (self-loops dropped, directions collapsed) — the local
     * clustering signal behind community/quality analysis.

@@ -1748,6 +1748,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Graph.triangleCounts(star, "s", "d").isEmpty)
   }
 
+  test("k-core: peeling converges to the true core, chains dissolve") {
+    // K4 ∪ a chain hanging off it: the chain has no 2-core; K4 is a
+    // 3-core. One peel drops the chain tail; convergence needs the
+    // cascade (each round exposes the next chain link)
+    val k4 = for (i <- 0 to 3; j <- (i + 1) to 3) yield (i.toLong, j.toLong)
+    val chain = Seq((3L, 10L), (10L, 11L), (11L, 12L))
+    val edges = (k4 ++ chain).toDF("s", "d")
+    val core3 = Graph.kCore(edges, "s", "d", k = 3, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core3 == Map(0L -> 3, 1L -> 3, 2L -> 3, 3L -> 3),
+      s"3-core must be exactly K4, got $core3")
+    // converged: one more round changes nothing
+    val core3b = Graph.kCore(edges, "s", "d", k = 3, rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core3 == core3b, "peeling had not converged at 4 rounds")
+    // 2-core: the chain still dissolves (cascade), K4 survives
+    val core2 = Graph.kCore(edges, "s", "d", k = 2, rounds = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(core2 == Set(0L, 1L, 2L, 3L), s"2-core, got $core2")
+    // k above the max degree: empty
+    assert(Graph.kCore(edges, "s", "d", k = 5, rounds = 3).isEmpty)
+  }
+
   test("graph ops match driver-side references on random graphs") {
     // three seeded random digraphs vs straightforward driver-side
     // reference implementations — the randomized analogue of the
