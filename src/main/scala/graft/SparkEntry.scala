@@ -1317,6 +1317,24 @@ object SparkEntry {
           candidates = (2 * cap).toInt + 16, rerank = true)
         .orderBy("query_id", "rank")
     }),
+    // the index's SQ8 TIER: candidate staging scans only (vec_id, sq)
+    // — one byte per dim — then re-ranks exactly; candidates >= probed
+    // rows makes staging lossless, so the result (and oracle) is
+    // s15's verbatim while the encode/decode/stage pipeline is
+    // hash-checked in between (s17's argument at the cheaper tier)
+    "s22_vector_index_sq" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val cap = math.ceil(emb.count() / 8.0).toLong
+      val tmp = layoutDir("s22", dir)
+      graft.sources.VectorIndex.build(emb, "vec_id", "embedding", tmp,
+        clusters = 8, iterations = 2, capacity = cap, maxRounds = 6,
+        sqTier = true)
+      graft.sources.VectorIndex.topKSq(s, tmp, q, k = 5, nprobe = 2,
+          candidates = (2 * cap).toInt + 16, rerank = true)
+        .orderBy("query_id", "rank")
+    }),
     // MMR-diversified retrieval: 20-deep quantized-cosine pool per
     // query, 5 greedy picks at 0.7 relevance / 0.3 diversity (explicit
     // literals — never 1-0.7, which is not the double 0.3); the greedy
@@ -2344,6 +2362,8 @@ object SparkEntry {
     "s17_vector_index_pq" -> ivfBalancedOracleSql,
     "s20_vector_index_delete" ->
       ivfBalancedOracleSqlWhere(" AND e.vec_id % 7 <> 3"),
+    // s22 likewise: lossless SQ staging + exact re-rank = s15 verbatim
+    "s22_vector_index_sq" -> ivfBalancedOracleSql,
     // s21: the filter restricts only the candidate set — probe
     // selection and scoring are s15's chain verbatim
     "s21_vector_index_filtered" ->

@@ -55,6 +55,18 @@ object Quantize {
   def dequantize(code: Int, mn: Double, mx: Double): Double =
     mn + (code + 0.5) * (mx - mn) / 255.0
 
+  /** Midpoint reconstruction of STORED codes (the serving-side decode
+    * when the codes already sit in an index and the raw vector does
+    * not travel with them) — same IEEE arithmetic as [[dequantize]]. */
+  def decodeColumn(codes: Column, mns: Array[Double], mxs: Array[Double]): Column = {
+    val mnL = lit(mns); val mxL = lit(mxs)
+    transform(codes, (c, i) =>
+      when(element_at(mxL, i + 1) === element_at(mnL, i + 1),
+        element_at(mnL, i + 1))
+        .otherwise(element_at(mnL, i + 1) + (c + lit(0.5)) *
+          (element_at(mxL, i + 1) - element_at(mnL, i + 1)) / lit(255.0)))
+  }
+
   /** Quantize-then-midpoint-reconstruct as one column expression:
     * array<double> of the same IEEE arithmetic as [[dequantize]], for
     * approximate scoring over SQ8 codes (asymmetric distance). */

@@ -68,7 +68,7 @@ object VectorIndex {
       clusters: Int, iterations: Int, capacity: Long, maxRounds: Int = 8,
       scale: Int = 1024, pqSubspaces: Int = 0, pqCodewords: Int = 16,
       pqIterations: Int = 5, pqTrainSample: Int = 8192,
-      metaCols: Seq[String] = Nil): Unit = {
+      metaCols: Seq[String] = Nil, sqTier: Boolean = false): Unit = {
     require(metaCols.forall(c => !ReservedCellCols.contains(c)),
       s"metaCols collide with index-internal columns: $ReservedCellCols")
     val spark = corpus.sparkSession
@@ -94,6 +94,7 @@ object VectorIndex {
       fs.delete(new Path(path, "_runid"), false)
       fs.delete(new Path(path, "served"), true)
       fs.delete(new Path(path, "pqbook"), true)
+      fs.delete(new Path(path, "sqranges"), true)
     }
     val (assigned, cents) = Similarity.kmeansBalancedWithCentroids(
       corpus, clusters, iterations, capacity, maxRounds, scale,
@@ -104,13 +105,27 @@ object VectorIndex {
         quant(col(vecCol), scale).as("q") +: metaCols.map(col): _*)
       .withColumn("na", sqnorm(col("q")))
       .join(assigned, "vec_id")
-    val codes =
+    val withPq =
       if (pqSubspaces <= 0) base
       else {
         val book = trainResidualBook(base, cents, pqSubspaces, pqCodewords,
           pqIterations, pqTrainSample)
         writeBook(spark, s"$path/pqbook", book, pqSubspaces)
         withPqCodes(base, cents, book, pqSubspaces)
+      }
+    // the SQ tier encodes the RAW vector per dim against corpus-wide
+    // ranges; the ranges freeze as a sidecar so appends encode
+    // identically (the pqbook discipline)
+    val codes =
+      if (!sqTier) withPq
+      else {
+        val (mns, mxs) = graft.operators.Quantize.minMaxRanges(corpus, vecCol)
+        writeSqRanges(spark, s"$path/sqranges", mns, mxs)
+        withPq.join(
+          corpus.select(col(idCol).cast("long").as("vec_id"),
+            graft.operators.Quantize.codesColumn(col(vecCol), mns, mxs)
+              .as("sq")),
+          "vec_id")
       }
     codes
       .repartition(col("cluster"))
@@ -249,6 +264,68 @@ object VectorIndex {
       // stage 2: exact integer-cosine re-rank of just the candidates —
       // the bounded candidate set broadcasts against the probed cells'
       // full-width columns
+      val full = readCells(spark, path).where(col("cluster").isin(probed: _*))
+      val w = Window.partitionBy(col(queryId))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      full.select(col("vec_id"), col("__cq"), col("__cna"))
+        .join(broadcast(staged
+          .select(col(queryId), col("__qq"), col("__qna"), col("vec_id"))),
+          "vec_id")
+        .withColumn("sim", dotl(col("__qq"), col("__cq")).cast("double") /
+          sqrt(col("__qna").cast("double") * col("__cna")))
+        .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+        .select(col(queryId), col("rank"), col("vec_id").as("neighbor_id"),
+          col("sim"))
+    }
+  }
+
+  /** SQ8 serving from the index — the ladder's middle tier between
+    * the full-width scan ([[topK]]) and ADC ([[topKPq]]): stage 1
+    * scans ONLY (vec_id, sq) of the probed cells (8 bytes/dim → 1;
+    * columnar projection leaves the wide `q` pages unread),
+    * reconstructs per-dim midpoints from the broadcast frozen ranges,
+    * and stages `candidates` per query by approximate cosine; stage 2
+    * (`rerank = true`, default) re-scores the staged candidates
+    * EXACTLY — with `candidates` at least the probed row count the
+    * result is bit-identical to [[topK]] (the s17 oracle-regime
+    * argument, at SQ's cheaper decode: one multiply-add per dim, no
+    * codebook lookups). `rerank = false` returns the pure-SQ ranking. */
+  def topKSq(spark: SparkSession, path: String, queries: DataFrame, k: Int,
+      nprobe: Int, candidates: Int = 50, rerank: Boolean = true,
+      queryId: String = "query_id", queryVec: String = "query_vec")
+      : DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val st = baseStats(spark, path)
+    require(nprobe >= 1 && nprobe <= st.clusters && candidates >= k)
+    val cents = readCentroids(spark, path)
+    val (mns, mxs) = readSqRanges(spark, path)
+    val probes = probesOf(queries, cents, st.scale, nprobe, queryId, queryVec)
+    val probed = probes.select("cluster").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val codeScan = readCellsCols(spark, path, Seq("sq"))
+      .where(col("cluster").isin(probed: _*))
+    val recon = graft.operators.Quantize.decodeColumn(col("sq"), mns, mxs)
+    val wl = Window.partitionBy(col(queryId), col("__g_pid"))
+      .orderBy(col("__asim").desc, col("vec_id").asc)
+    val wc = Window.partitionBy(col(queryId))
+      .orderBy(col("__asim").desc, col("vec_id").asc)
+    val staged = broadcast(probes).join(codeScan, Seq("cluster"))
+      .where(col(queryId) =!= col("vec_id"))
+      .withColumn("__asim", graft.functions.GraftFunctions.cosine_similarity_d(
+        col("__qq").cast(ArrayType(DoubleType)), recon))
+      .withColumn("__g_pid", spark_partition_id())
+      .withColumn("__g_lc", row_number().over(wl))
+      .where(col("__g_lc") <= candidates)
+      .withColumn("__g_cr", row_number().over(wc))
+      .where(col("__g_cr") <= candidates)
+    if (!rerank) {
+      val w = Window.partitionBy(col(queryId))
+        .orderBy(col("__asim").desc, col("vec_id").asc)
+      staged
+        .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+        .select(col(queryId), col("rank"), col("vec_id").as("neighbor_id"),
+          col("__asim").as("sim"))
+    } else {
       val full = readCells(spark, path).where(col("cluster").isin(probed: _*))
       val w = Window.partitionBy(col(queryId))
         .orderBy(col("sim").desc, col("vec_id").asc)
@@ -511,6 +588,10 @@ object VectorIndex {
         val (book, subspaces) = readBook(spark, path)
         writeBook(spark, s"$genDir/pqbook", book, subspaces)
       }
+      if (hasSqRanges(spark, path)) {
+        val (mns, mxs) = readSqRanges(spark, path)
+        writeSqRanges(spark, s"$genDir/sqranges", mns, mxs)
+      }
     }
     Await.result(Future.sequence(jobs :+ centsJob),
       scala.concurrent.duration.Duration.Inf)
@@ -761,7 +842,33 @@ object VectorIndex {
 
   /** Columns the index owns in cell files; anything else is caller
     * metadata carried for filtered search. */
-  private val ReservedCellCols = Set("vec_id", "q", "na", "codes", "cluster")
+  private val ReservedCellCols =
+    Set("vec_id", "q", "na", "codes", "sq", "cluster")
+
+  private def writeSqRanges(spark: SparkSession, dir: String,
+      mns: Array[Double], mxs: Array[Double]): Unit = {
+    import spark.implicits._
+    Seq((mns.toSeq, mxs.toSeq)).toDF("mns", "mxs")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir)
+  }
+
+  /** The frozen per-dim SQ ranges — appends and every SQ-tier read
+    * must encode/decode against exactly these. */
+  def readSqRanges(spark: SparkSession, path: String)
+      : (Array[Double], Array[Double]) = {
+    val dir = s"${root(spark, path)}/sqranges"
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(dir)),
+      s"no SQ ranges under $path — build(sqTier = true) first")
+    val r = spark.read.parquet(dir).head
+    (r.getSeq[Double](0).toArray, r.getSeq[Double](1).toArray)
+  }
+
+  private def hasSqRanges(spark: SparkSession, path: String): Boolean = {
+    val dir = new Path(s"${root(spark, path)}/sqranges")
+    dir.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(dir)
+  }
 
   /** Caller metadata columns present in this index's cells. */
   def metaColsOf(spark: SparkSession, path: String): Seq[String] =
@@ -841,11 +948,23 @@ object VectorIndex {
     // a PQ-tiered index encodes appends with the FROZEN shared book so
     // appended rows carry the same columns (and the same codes the
     // builder would have produced) as the base cells
-    val codes =
+    val withPq =
       if (!hasBook(spark, path)) plain
       else {
         val (book, subspaces) = readBook(spark, path)
         withPqCodes(plain, cents, book, subspaces)
+      }
+    // likewise the SQ tier: frozen ranges (values outside the trained
+    // range clamp to the edge bins — the standard SQ append contract)
+    val codes =
+      if (!hasSqRanges(spark, path)) withPq
+      else {
+        val (mns, mxs) = readSqRanges(spark, path)
+        withPq.join(
+          vectors.select(col(idCol).cast("long").as("vec_id"),
+            graft.operators.Quantize.codesColumn(col(vecCol), mns, mxs)
+              .as("sq")),
+          "vec_id")
       }
     (codes, codes.groupBy("cluster").agg(count(lit(1)).as("n")))
   }

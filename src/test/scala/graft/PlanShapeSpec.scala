@@ -696,6 +696,57 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(pq2 == exact2, "appended PQ index: oracle regime broken")
   }
 
+  test("vector index SQ tier: exact in oracle regime, sq-only candidate scan") {
+    import graft.sources.VectorIndex
+    val tmp = java.nio.file.Files.createTempDirectory("graft-vsq").toString
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val cap = math.ceil(emb.count() / 8.0).toLong
+    VectorIndex.build(emb, "vec_id", "embedding", tmp,
+      clusters = 8, iterations = 2, capacity = cap, maxRounds = 6,
+      sqTier = true)
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e12))).toSet
+    val exact = rows(VectorIndex.topK(spark, tmp, q, k = 5, nprobe = 2,
+      candidates = 200))
+    // oracle regime: lossless staging + exact re-rank == exact path
+    val sq = VectorIndex.topKSq(spark, tmp, q, k = 5, nprobe = 2,
+      candidates = 200, rerank = true)
+    assert(rows(sq) == exact, "oracle-regime SQ != exact path")
+    // the candidate stage reads sq without the wide q column (checked
+    // on the single-stage pure-SQ plan — the re-ranked plan hides the
+    // broadcast subtree behind exchange reuse)
+    val pureDf = VectorIndex.topKSq(spark, tmp, q, k = 5, nprobe = 2,
+      candidates = 10, rerank = false)
+    pureDf.count()
+    val schemas = "ReadSchema: struct<([^>]*)".r
+      .findAllMatchIn(plan(pureDf).toString).map(_.group(1)).toSeq
+    assert(schemas.exists(s => s.contains("sq:") && !s.contains(",q:")),
+      s"no sq-only scan in:\n${schemas.mkString("\n")}")
+    // pure SQ (no re-rank): 8-bit-per-dim scoring recalls most true
+    // neighbors — SQ reconstruction is far tighter than coarse PQ
+    val pure = rows(pureDf)
+    val recall = (exact.map(t => (t._1, t._3)) &
+      pure.map(t => (t._1, t._3))).size.toDouble / exact.size
+    assert(recall >= 0.8, s"pure-SQ recall $recall below 0.8")
+    // appends encode with the FROZEN ranges; oracle regime holds on
+    // the grown index
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft-vsq2").toString
+    VectorIndex.build(emb.filter(col("vec_id") < 350), "vec_id", "embedding",
+      tmp2, clusters = 8, iterations = 2,
+      capacity = math.ceil(emb.count() / 6.0).toLong, maxRounds = 6,
+      sqTier = true)
+    VectorIndex.append(emb.filter(col("vec_id") >= 350), "vec_id",
+      "embedding", tmp2)
+    val exact2 = rows(VectorIndex.topK(spark, tmp2, q, k = 5, nprobe = 8,
+      candidates = 600))
+    val sq2 = rows(VectorIndex.topKSq(spark, tmp2, q, k = 5, nprobe = 8,
+      candidates = 600, rerank = true))
+    assert(sq2 == exact2, "appended SQ index: oracle regime broken")
+  }
+
   test("vector index delete: immediate via tombstones, physical after compaction") {
     import graft.sources.VectorIndex
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
