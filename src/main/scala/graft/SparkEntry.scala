@@ -392,6 +392,14 @@ object SparkEntry {
           countDistinct(col("p")).as("n_points"))
         .orderBy("event_type")
     }),
+    // sentence-aware chunking: split at sentence boundaries, pack
+    // whole sentences under a token budget via the closed-form
+    // prefix-sum assignment — the RAG splitter that never cuts
+    // mid-sentence
+    "x29_sentence_chunk" -> ((s, dir) =>
+      CorpusOps.sentenceChunks(T(s, dir, "documents"), "doc_id", "text",
+          budget = 120)
+        .orderBy("doc_id", "chunk_id")),
     // ---- composite: the curation pipeline end to end ----------------
     // quality-filter → exact-dedup (keep min id per content hash) →
     // deterministic split → per-(split, lang) corpus report: the whole
@@ -1724,6 +1732,33 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_users"))
         .orderBy("event_type")
     }),
+    // orphan-file GC: two layouts of the same data, catalog migrates
+    // A → B, expiry drops A's catalog, GC reclaims A's bytes (no
+    // retained version references them) — then the survivor catalog
+    // must still read hash-exactly
+    "f12_orphan_gc" -> ((s, dir) => {
+      val tmp = layoutDir("f12", dir)
+      val ev = T(s, dir, "events")
+      FileManifest.writePartitionedLayout(ev, s"$tmp/a", "event_type",
+        "user_id", numFiles = 10)
+      FileManifest.writePartitionedLayout(ev, s"$tmp/b", "event_type",
+        "user_id", numFiles = 10)
+      val vroot = s"$tmp/cat"
+      FileManifest.commitVersion(s,
+        FileManifest.buildPartitioned(s, s"$tmp/a", "user_id"), vroot)
+      FileManifest.commitVersion(s,
+        FileManifest.buildPartitioned(s, s"$tmp/b", "user_id"), vroot)
+      FileManifest.expireVersions(s, vroot, keepLast = 1)
+      FileManifest.gcOrphans(s, vroot, Seq(s"$tmp/a", s"$tmp/b"))
+      FileManifest.readPrunedPartitioned(s,
+          FileManifest.loadLatest(s, vroot), None, Long.MinValue,
+          Long.MaxValue)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("total_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
+    }),
     // small-file compaction: pack a 32-file layout into ~4-file bins by
     // key order (clustering preserved => manifest still prunes), then
     // prove the rewrite lost nothing against the plain full-scan oracle
@@ -1994,6 +2029,27 @@ object SparkEntry {
         |  CAST(count(DISTINCT p) AS BIGINT) AS n_points
         |FROM p JOIN iv ON p.p BETWEEN iv.lo AND iv.hi
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // x29: same sentence split, same exclusive prefix sum, same
+    // closed-form chunk assignment, chunk text re-assembled in
+    // sentence order for the md5
+    "x29_sentence_chunk" ->
+      """WITH sp AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '[.!?]+\s+') AS arr
+        |  FROM documents),
+        |s0 AS (SELECT doc_id, i AS idx, arr[i] AS s
+        |  FROM sp, unnest(generate_series(1, len(arr))) AS t(i)),
+        |s1 AS (SELECT doc_id, idx, s,
+        |    CAST(len(string_split_regex(trim(s), '\s+')) AS BIGINT) AS nt
+        |  FROM s0 WHERE length(trim(s)) > 0),
+        |c AS (SELECT doc_id, idx, s, nt,
+        |    COALESCE(sum(nt) OVER (PARTITION BY doc_id ORDER BY idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bf
+        |  FROM s1)
+        |SELECT doc_id, CAST(floor(bf / 120) AS BIGINT) AS chunk_id,
+        |  CAST(count(*) AS BIGINT) AS n_sentences,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |  md5(string_agg(s, ' ' ORDER BY idx)) AS chunk_md5
+        |FROM c GROUP BY 1, 2 ORDER BY doc_id, chunk_id""".stripMargin,
     // c1 replays the whole curation chain: x2's metric arithmetic
     // (bit-identical doubles, so the >= 0.5 gate agrees), md5 keep-min
     // dedup, x5's split assignment, then the report
@@ -3245,6 +3301,13 @@ object SparkEntry {
         |FROM events WHERE user_id BETWEEN 12 AND 87""".stripMargin,
     // f4 likewise: a two-level (partition + range) pruned read must
     // equal the plain full-scan filter over both predicates
+    // f12: after the A→B migration + expiry + GC, the survivor
+    // catalog is a complete copy of the table — plain full scan
+    "f12_orphan_gc" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // f11: after rollback the latest catalog IS v0 — the oracle is
     // the plain full scan, nothing about the DML detour survives
     "f11_rollback" ->

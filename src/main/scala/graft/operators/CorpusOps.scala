@@ -379,6 +379,39 @@ object CorpusOps {
         md5(col("chunk")).as("chunk_md5"))
   }
 
+  /** SENTENCE-AWARE chunking — the RAG splitter that never cuts
+    * mid-sentence: the doc splits at `[.!?]+\s+` boundaries (a
+    * deterministic regex both engines share; the delimiter is
+    * consumed — a definition, not a loss), each sentence lands in
+    * chunk `floor(tokens-before-it / budget)` (closed form over the
+    * per-doc exclusive prefix sum — no iterative packer), and chunks
+    * re-assemble in sentence order. A sentence longer than `budget`
+    * gets its own chunk rather than being cut. Per-doc work is one
+    * posexplode + one window over that doc's sentences — wide docs
+    * sort locally, docs spread across the cluster.
+    *
+    * @return (id, chunk_id, n_sentences, n_tokens, chunk_md5) */
+  def sentenceChunks(df: DataFrame, idCol: String, textCol: String,
+      budget: Int): DataFrame = {
+    require(budget > 0)
+    val sents = split(trim(col(textCol)), "[.!?]+\\s+")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("idx"))
+    df.select(col(idCol), posexplode(sents).as(Seq("idx", "s")))
+      .where(length(trim(col("s"))) > 0)
+      .withColumn("nt", org.apache.spark.sql.functions.size(
+        split(trim(col("s")), "\\s+")).cast("long"))
+      .withColumn("before", coalesce(
+        sum("nt").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("chunk_id", floor(col("before") / budget).cast("long"))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(count(lit(1)).as("n_sentences"),
+        sum("nt").as("n_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("idx"), col("s")))),
+          x => x.getField("s")), " ")).as("chunk_md5"))
+  }
+
   /** Token-budget PACKING: stream docs (ordered by `idCol` within each
     * `partitionCol` shard) into consecutive packs of ~`budget` tokens —
     * the sequence-packing step that batches variable-length docs into

@@ -752,6 +752,50 @@ object FileManifest {
     loadVersion(spark, root, v)
   }
 
+  /** ORPHAN-FILE GC — the Iceberg `remove_orphan_files` contract:
+    * delete every parquet data file under `dataRoots` that NO
+    * committed-and-retained catalog version references. Run it after
+    * [[expireVersions]]: expiry drops the catalogs, this reclaims the
+    * bytes those catalogs were the last to reference. Referenced-set
+    * first, deletion second — a file referenced by ANY retained
+    * version survives, so in-flight readers of retained versions are
+    * never broken; refuses to run with zero committed versions
+    * (nothing referenced would mean delete everything — always a
+    * caller bug).
+    *
+    * O(retained versions × files) driver-side set work against a
+    * recursive listing of `dataRoots` — both are metadata-scale, no
+    * data IO. @return the deleted paths (the audit trail).
+    */
+  def gcOrphans(spark: SparkSession, catalogRoot: String,
+      dataRoots: Seq[String]): Seq[String] = {
+    val fs = new Path(catalogRoot).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val versions =
+      if (!fs.exists(new Path(catalogRoot))) Nil
+      else fs.listStatus(new Path(catalogRoot)).toSeq
+        .map(_.getPath.getName)
+        .collect { case VersionMarker(n) => n.toLong }
+    require(versions.nonEmpty,
+      s"gcOrphans: no committed versions under $catalogRoot — refusing " +
+        "(an empty reference set would orphan every data file)")
+    val referenced = versions.flatMap { v =>
+      loadVersion(spark, catalogRoot, v).partitions.values.flatten
+        .map(f => new Path(f.path).toUri.getPath)
+    }.toSet
+    def listParquet(p: Path): Seq[Path] = {
+      val st = fs.listStatus(p).toSeq
+      st.filter(_.isDirectory).flatMap(d => listParquet(d.getPath)) ++
+        st.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath)
+    }
+    val orphans = dataRoots.map(new Path(_)).filter(fs.exists)
+      .flatMap(listParquet)
+      .filterNot(p => referenced.contains(p.toUri.getPath))
+    orphans.foreach(p => fs.delete(p, false))
+    orphans.map(_.toString)
+  }
+
   /** ROLLBACK: re-commit an older version's catalog as the NEWEST
     * version. History is preserved — a rollback is a new commit whose
     * CONTENT is the old snapshot (the Iceberg rollback contract), not

@@ -466,6 +466,27 @@ class PlanShapeSpec extends AnyFunSuite {
       FileManifest.loadVersion(spark, vroot, 0L)
     }
     assert(gone.getMessage.contains("never committed"))
+    // ORPHAN GC: files referenced by ANY retained version survive;
+    // a planted unreferenced file is reclaimed; reads stay exact
+    val plantDir = new java.io.File(s"$tmp/t/event_type=click")
+    val plant = new java.io.File(plantDir, "orphan-plant.parquet")
+    java.nio.file.Files.write(plant.toPath, Array[Byte](1, 2, 3))
+    val before = FileManifest.readPrunedPartitioned(spark,
+      FileManifest.loadLatest(spark, vroot), None, Long.MinValue,
+      Long.MaxValue).count()
+    val deleted = FileManifest.gcOrphans(spark, vroot, Seq(s"$tmp/t"))
+    assert(deleted.exists(_.endsWith("orphan-plant.parquet")),
+      s"planted orphan not reclaimed: $deleted")
+    assert(!plant.exists())
+    assert(FileManifest.readPrunedPartitioned(spark,
+      FileManifest.loadLatest(spark, vroot), None, Long.MinValue,
+      Long.MaxValue).count() == before,
+      "GC must not touch referenced files")
+    // zero committed versions: refuse loudly, delete nothing
+    val e2 = intercept[IllegalArgumentException] {
+      FileManifest.gcOrphans(spark, s"$tmp/empty-cat", Seq(s"$tmp/t"))
+    }
+    assert(e2.getMessage.contains("refusing"))
   }
 
   test("range join: bucketed equi-join plan, == naive BETWEEN join, outer safe") {
