@@ -421,6 +421,30 @@ object SparkEntry {
           sum(col("n_tokens").cast("long")).as("sum_tokens"))
         .orderBy("split", "lang")
     }),
+    // POINT-IN-TIME feature join — the feature-store training join
+    // that prevents leakage: each fact (purchase) is enriched with
+    // the dimension version valid AT ITS OWN TIME, never a later one.
+    // Composes q28's SCD2 history with the as-of join: "latest
+    // version at-or-before the fact" IS the validity interval the
+    // fact falls in (valid_to = next valid_from by construction)
+    "c2_pit_features" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      // the dim tracks the user's last NON-purchase behavior; facts
+      // are the purchases — "what was the user doing when they
+      // bought" without ever reading a version from the future
+      val dim = Dimensions.scd2(ev.filter(col("event_type") =!= "purchase"),
+          "user_id", "event_type", "ts", "event_id")
+        .select(col("user_id"),
+          timestamp_micros(col("valid_from_us")).as("vts"), col("attr"))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      AsOfJoin.backward(facts, dim, "user_id", "ts", "vts", Seq("attr"))
+        .groupBy("attr")
+        .agg(count(lit(1)).as("n_facts"),
+          dsum(col("value")).as("total_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("attr").asc_nulls_first)
+    }),
     // ---- iterative graph algorithms ---------------------------------
     // a deterministic sparse hash-graph over lineitem (~n_lineitem
     // distinct edges on 4096 nodes) — structure enough for multi-hop
@@ -2050,6 +2074,28 @@ object SparkEntry {
         |  CAST(sum(nt) AS BIGINT) AS n_tokens,
         |  md5(string_agg(s, ' ' ORDER BY idx)) AS chunk_md5
         |FROM c GROUP BY 1, 2 ORDER BY doc_id, chunk_id""".stripMargin,
+    // c2: the same SCD2 chain as q28, then each purchase picks its
+    // at-or-before version via a correlated lookup — PIT correctness
+    // by construction on both sides
+    "c2_pit_features" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus,
+        |    event_id, value FROM events),
+        |c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY tus, event_id) AS prev
+        |  FROM e WHERE event_type <> 'purchase'),
+        |v AS (SELECT user_id, event_type AS attr, tus AS vfrom FROM c
+        |  WHERE prev IS DISTINCT FROM event_type),
+        |f AS (SELECT user_id, tus, event_id, value FROM e
+        |  WHERE event_type = 'purchase'),
+        |j AS (SELECT f.event_id, f.user_id, f.value,
+        |    (SELECT v.attr FROM v WHERE v.user_id = f.user_id
+        |      AND v.vfrom <= f.tus
+        |      ORDER BY v.vfrom DESC LIMIT 1) AS attr
+        |  FROM f)
+        |SELECT attr, CAST(count(*) AS BIGINT) AS n_facts,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM j GROUP BY 1 ORDER BY attr NULLS FIRST""".stripMargin,
     // c1 replays the whole curation chain: x2's metric arithmetic
     // (bit-identical doubles, so the >= 0.5 gate agrees), md5 keep-min
     // dedup, x5's split assignment, then the report
