@@ -421,6 +421,20 @@ object SparkEntry {
           sum(col("n_tokens").cast("long")).as("sum_tokens"))
         .orderBy("split", "lang")
     }),
+    // the DATASET CARD: per-source corpus summary (volume, exact-dup
+    // rate, language mix, quality pass rate, token mass) in ONE scan
+    // + one aggregation — the report a data release ships with
+    "x30_dataset_card" -> ((s, dir) =>
+      TextAnalysis.withQualityMetrics(T(s, dir, "documents"), "text")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          countDistinct(md5(col("text"))).as("n_unique_texts"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+          sum(when(col("quality_score") >= 0.5, 1L).otherwise(0L))
+            .as("n_quality_pass"),
+          sum(col("n_tokens").cast("long")).as("sum_tokens"))
+        .orderBy("source")),
     // POINT-IN-TIME feature join — the feature-store training join
     // that prevents leakage: each fact (purchase) is enriched with
     // the dimension version valid AT ITS OWN TIME, never a later one.
@@ -2074,6 +2088,25 @@ object SparkEntry {
         |  CAST(sum(nt) AS BIGINT) AS n_tokens,
         |  md5(string_agg(s, ' ' ORDER BY idx)) AS chunk_md5
         |FROM c GROUP BY 1, 2 ORDER BY doc_id, chunk_id""".stripMargin,
+    // x30: x2's metric arithmetic feeding one grouped report
+    "x30_dataset_card" ->
+      """WITH m AS (SELECT doc_id, source, lang, n_chars, text,
+        |    length(text) AS nc,
+        |    len(string_split_regex(trim(text), '\s+')) AS nt,
+        |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS np,
+        |    len(list_intersect(list_distinct(string_split_regex(trim(text), '\s+')),
+        |      ['the','and','of','is','to','in','a','that','it','for'])) AS st
+        |  FROM documents),
+        |q AS (SELECT *, least(nt / 100.0, 1.0) * 0.5 + least(st / 5.0, 1.0) * 0.3 +
+        |    (CASE WHEN np / nc < 0.1 THEN 0.2 ELSE 0.0 END) AS score FROM m)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+        |  CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_quality_pass,
+        |  CAST(sum(nt) AS BIGINT) AS sum_tokens
+        |FROM q GROUP BY 1 ORDER BY source""".stripMargin,
     // c2: the same SCD2 chain as q28, then each purchase picks its
     // at-or-before version via a correlated lookup — PIT correctness
     // by construction on both sides
