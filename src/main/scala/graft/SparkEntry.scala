@@ -1573,6 +1573,17 @@ object SparkEntry {
           "doc_id", "media", patchBytes = 64)
         .orderBy("doc_id", "patch_idx")),
 
+    // audio framing over the REAL WAV containers: fixed windows of
+    // PCM-16 samples decoded declaratively (hex pairs, sign fold),
+    // exact integer acoustics per frame; the oracle runs the same
+    // arithmetic on the payload the container wraps
+    "m3_audio_frames" -> ((s, dir) =>
+      Multimodal.audioFrames(
+          Multimodal.fromDocuments(T(s, dir, "documents"))
+            .where(col("fmt") === "wav"),
+          frameSamples = 256)
+        .orderBy("doc_id", "frame_idx")),
+
     // ---- §2.8 file layout & data skipping ---------------------------
     // Iceberg-style manifest pruning: cluster events by user_id into a
     // 16-file range layout, build a footer-stats manifest (a
@@ -3299,6 +3310,31 @@ object SparkEntry {
         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), bs),
         |    (acc, x) -> (acc * 257 + x) % 1000000007) AS BIGINT) AS patch_hash
         |FROM b ORDER BY doc_id, patch_idx""".stripMargin,
+    // m3: the WAV data section IS the utf-8 payload, so the oracle
+    // frames encode(text) directly — same pairs, same sign fold —
+    // while the engine side proves the container slicing
+    "m3_audio_frames" ->
+      """WITH m AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) // 2 AS ns
+        |  FROM documents
+        |  WHERE source >= 'src8' AND octet_length(encode(text)) >= 2),
+        |f AS (SELECT doc_id, CAST(u.i AS INT) AS frame_idx,
+        |    substr(hx, CAST(u.i AS INT) * 1024 + 1, 1024) AS fhx
+        |  FROM m, unnest(generate_series(0, (ns + 255) // 256 - 1)) AS u(i)),
+        |r AS (SELECT doc_id, frame_idx,
+        |    list_transform(range(1, length(fhx) // 4 + 1), i ->
+        |      CAST(('0x' || substr(fhx, 4*i - 3, 2)) AS BIGINT) +
+        |      256 * CAST(('0x' || substr(fhx, 4*i - 1, 2)) AS BIGINT)) AS u16
+        |  FROM f),
+        |s AS (SELECT doc_id, frame_idx,
+        |    list_transform(u16, v ->
+        |      CASE WHEN v >= 32768 THEN v - 65536 ELSE v END) AS sm
+        |  FROM r)
+        |SELECT doc_id, frame_idx, CAST(len(sm) AS INT) AS n_samples,
+        |  CAST(list_sum(list_transform(sm, x -> abs(x))) AS BIGINT) AS sum_abs,
+        |  CAST(list_max(list_transform(sm, x -> abs(x))) AS BIGINT) AS peak,
+        |  CAST(list_sum(list_transform(sm, x -> x * x)) AS BIGINT) AS energy
+        |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
     // f6/f7: the DML oracles ignore the file layout entirely — a
     // pruned-rewrite delete/update must equal the full-scan form
     "f6_delete_cow" ->

@@ -271,6 +271,50 @@ object Multimodal {
     * whole-stage codegen. A real encoder replaces the feature lambda;
     * the slicing/indexing/shuffle shape — the part that matters at
     * 100 TB — is what this op pins down and the oracle replays. */
+  /** AUDIO FRAMING over canonical WAV containers — the fixed-window
+    * feature pass (VAD/energy/fingerprint front ends all start here):
+    * the PCM-16 LE data section (byte 45 onward in the 44-byte-header
+    * canonical layout [[fromDocuments]] writes) splits into frames of
+    * `frameSamples`, and each frame reports exact integer acoustics —
+    * sample count, Σ|s|, peak |s|, and Σs² (energy; rms = sqrt of it
+    * when a float is wanted — kept as the exact BIGINT here). Entirely
+    * codegen'd (binary substr + hex-pair sample decode + aggregate
+    * folds): no UDF, no mapPartitions, parallel across payloads — the
+    * m2 patch discipline applied to signed 16-bit samples. A trailing
+    * odd byte is not a full sample and is dropped.
+    *
+    * @param media rows of WAV containers (filter [[fromDocuments]] to
+    *              `fmt = 'wav'` first — the header is assumed, not
+    *              sniffed; [[audioMetadata]] is the sniffing path). */
+  def audioFrames(media: DataFrame, idCol: String = "doc_id",
+      mediaCol: String = "media", frameSamples: Int = 256): DataFrame = {
+    require(frameSamples >= 1)
+    val frameBytes = frameSamples * 2
+    val nSamples = ((octet_length(col(mediaCol)) - 44) / lit(2)).cast("long")
+    val nFrames = ((nSamples + lit(frameSamples - 1)) / lit(frameSamples))
+      .cast("int")
+    val framed = media
+      .where(nSamples > 0)
+      .select(col(idCol), col(mediaCol),
+        posexplode(sequence(lit(0), nFrames - 1)).as(Seq("frame_idx", "__f")))
+      .select(col(idCol), col("frame_idx"),
+        col(mediaCol).substr(col("frame_idx") * frameBytes + 45,
+          lit(frameBytes)).as("__fr"))
+    val hx = hex(col("__fr"))
+    val samples = transform(
+      sequence(lit(1), (octet_length(col("__fr")) / lit(2)).cast("int")),
+      i => {
+        val v = conv(hx.substr(i * 4 - 3, lit(2)), 16, 10).cast("long") +
+          conv(hx.substr(i * 4 - 1, lit(2)), 16, 10).cast("long") * 256L
+        when(v >= 32768L, v - 65536L).otherwise(v)
+      })
+    framed.select(col(idCol), col("frame_idx"),
+      size(samples).as("n_samples"),
+      aggregate(samples, lit(0L), (a, s) => a + abs(s)).as("sum_abs"),
+      array_max(transform(samples, s => abs(s))).as("peak"),
+      aggregate(samples, lit(0L), (a, s) => a + s * s).as("energy"))
+  }
+
   def patchFeatures(media: DataFrame, idCol: String = "doc_id",
       mediaCol: String = "media", patchBytes: Int = 64): DataFrame = {
     require(patchBytes >= 1)

@@ -1748,6 +1748,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Graph.triangleCounts(star, "s", "d").isEmpty)
   }
 
+  test("audio frames: exact PCM-16 decode, framing, odd tail dropped") {
+    // hand-built container: 44-byte header + 4 known samples + 1 odd
+    // tail byte. LE pairs: (01,00)=1, (FF,FF)=-1, (00,80)=-32768,
+    // (D2,04)=1234
+    val pcm = Array[Byte](0x01, 0x00, 0xFF.toByte, 0xFF.toByte,
+      0x00, 0x80.toByte, 0xD2.toByte, 0x04, 0x7F)
+    val media = Seq((1L, Array.fill[Byte](44)(0) ++ pcm))
+      .toDF("doc_id", "media")
+    val got = Multimodal.audioFrames(media, frameSamples = 2)
+      .orderBy("frame_idx").collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (0, 2, 2L, 1L, 2L), // samples 1, -1
+      (1, 2, 32768L + 1234L, 32768L, 32768L * 32768L + 1234L * 1234L)),
+      s"got ${got.toSeq}")
+  }
+
   test("k-core: peeling converges to the true core, chains dissolve") {
     // K4 ∪ a chain hanging off it: the chain has no 2-core; K4 is a
     // 3-core. One peel drops the chain tail; convergence needs the
