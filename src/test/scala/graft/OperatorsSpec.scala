@@ -1748,6 +1748,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Graph.triangleCounts(star, "s", "d").isEmpty)
   }
 
+  test("sentence chunks: boundaries respected, budget binds, overflow isolated") {
+    val docs = Seq(
+      // 3 sentences of 3/2/4 tokens, budget 5: chunk 0 = s1+s2 (5),
+      // chunk 1 = s3
+      (1L, "one two three. four five! six seven eight nine?  "),
+      // a single over-budget sentence gets its own chunk, uncut
+      (2L, "a b c d e f g h i j k l"),
+      // empty-ish splits are dropped
+      (3L, "tiny.  ")).toDF("doc_id", "text")
+    val got = CorpusOps.sentenceChunks(docs, "doc_id", "text", budget = 5)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 0L, 2L, 5L), (1L, 1L, 1L, 4L),
+      (2L, 0L, 1L, 12L), (3L, 0L, 1L, 1L)), s"got ${got.toSeq}")
+    // token conservation: chunk token sums == per-doc sentence totals
+    val tot = CorpusOps.sentenceChunks(docs, "doc_id", "text", budget = 5)
+      .groupBy("doc_id").agg(sum("n_tokens").as("t")).orderBy("doc_id")
+      .collect().map(_.getLong(1)).toSeq
+    assert(tot == Seq(9L, 12L, 1L))
+  }
+
   test("audio frames: exact PCM-16 decode, framing, odd tail dropped") {
     // hand-built container: 44-byte header + 4 known samples + 1 odd
     // tail byte. LE pairs: (01,00)=1, (FF,FF)=-1, (00,80)=-32768,
