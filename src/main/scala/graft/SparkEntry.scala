@@ -73,6 +73,17 @@ object SparkEntry {
   private val triangleEdgesSql =
     "SELECT DISTINCT l_orderkey % 16384 AS src, " +
       "(l_partkey * 7 + l_suppkey) % 16384 AS dst FROM lineitem"
+  /** g6's weighted edges: same sparse topology, integer weights 1..7
+    * from the line number (parallel edges min-collapse in both
+    * engines). */
+  private def weightedEdges(lineitem: DataFrame): DataFrame =
+    lineitem.select((col("l_orderkey") % 16384).as("src"),
+      ((col("l_partkey") * 7 + col("l_suppkey")) % 16384).as("dst"),
+      (col("l_linenumber") % 7 + 1).as("w"))
+  private val weightedEdgesSql =
+    "SELECT l_orderkey % 16384 AS src, " +
+      "(l_partkey * 7 + l_suppkey) % 16384 AS dst, " +
+      "l_linenumber % 7 + 1 AS w FROM lineitem"
 
   /** Stable scratch dir per (query, input): repeated bench/verify runs
     * overwrite ONE tree per query and scale factor instead of
@@ -485,6 +496,12 @@ object SparkEntry {
     // with the simpler id-ordered enumeration
     "g3_triangles" -> ((s, dir) =>
       Graph.triangleCounts(triangleEdges(T(s, dir, "lineitem")), "src", "dst")
+        .orderBy("node")),
+    // weighted shortest paths: 4 Bellman-Ford relaxation rounds from
+    // node 0 — exact integer costs, oracle-unrolled per round
+    "g6_sssp" -> ((s, dir) =>
+      Graph.ssspBounded(weightedEdges(T(s, dir, "lineitem")), "src", "dst",
+          "w", sources = Seq(0L), rounds = 4)
         .orderBy("node")),
     // k-core membership after 3 bounded peeling rounds — output
     // DEFINED round-by-round so the oracle replays it exactly,
@@ -2182,6 +2199,9 @@ object SparkEntry {
         sources = Seq(0L, 1L, 2L)),
     "g5_kcore" ->
       operators.Graph.kCoreOracleSql(triangleEdgesSql, k = 6, rounds = 3),
+    "g6_sssp" ->
+      operators.Graph.ssspOracleSql(weightedEdgesSql, sources = Seq(0L),
+        rounds = 4),
     // g3's oracle enumerates canonical id-ordered triangles x<y<z
     // directly — orientation independence makes it equal the engine's
     // degree-ordered computation

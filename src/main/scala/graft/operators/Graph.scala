@@ -140,6 +140,72 @@ object Graph {
     ranks
   }
 
+  /** WEIGHTED shortest paths by BOUNDED-ROUND relaxation (the
+    * Bellman-Ford step as a relational round): starting from
+    * `sources` at cost 0, each round relaxes every edge once —
+    * cand = dist ⋈ edges on the source endpoint, new dist = min over
+    * (old ∪ cand) per node. After R rounds the result is EXACTLY the
+    * minimum-cost walk using at most R edges — a deterministic
+    * function the oracle unrolls round by round; with R ≥ the longest
+    * shortest path's hop count (and non-negative weights) it is true
+    * SSSP, and convergence is checkable by comparing R vs R+1 (the
+    * spec does). Parallel edges collapse to their MINIMUM weight up
+    * front (the only weight a shortest path can use).
+    *
+    * Integer weights keep every cost exact. One equi-join + one
+    * min-aggregation per round; dist state is localCheckpoint'ed.
+    *
+    * @return (node BIGINT, dist BIGINT) for nodes reachable within R
+    *         hops, sources at 0. */
+  def ssspBounded(edges: DataFrame, srcCol: String, dstCol: String,
+      wCol: String, sources: Seq[Long], rounds: Int): DataFrame = {
+    require(sources.nonEmpty && rounds >= 1)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"), col(wCol).cast("long").as("w"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("w").isNotNull)
+      .groupBy("src", "dst").agg(min("w").as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var dist = sources.distinct.toDF("node")
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val cand = dist.join(e, dist("node") === e("src"))
+        .select(e("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.union(cand)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+    }
+    e.unpersist()
+    dist
+  }
+
+  /** The unrolled DuckDB mirror of [[ssspBounded]]. `edgesSql` must
+    * yield (src, dst, w) rows — parallel edges allowed (the chain
+    * min-collapses them exactly like the operator). */
+  def ssspOracleSql(edgesSql: String, sources: Seq[Long],
+      rounds: Int): String = {
+    val seeds = sources.distinct
+      .map(s => s"SELECT CAST($s AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist")
+      .mkString(" UNION ALL ")
+    val sb = new StringBuilder
+    sb.append(s"WITH e0 AS ($edgesSql),\n")
+    sb.append("e AS (SELECT src, dst, CAST(min(w) AS BIGINT) AS w " +
+      "FROM e0 GROUP BY 1, 2),\n")
+    sb.append(s"d0 AS ($seeds)")
+    for (i <- 1 to rounds) {
+      sb.append(s""",
+        |d$i AS (SELECT node, min(dist) AS dist FROM (
+        |  SELECT node, dist FROM d${i - 1}
+        |  UNION ALL
+        |  SELECT e.dst AS node, d.dist + e.w AS dist
+        |  FROM d${i - 1} d JOIN e ON e.src = d.node) GROUP BY 1)""".stripMargin)
+    }
+    sb.append(s"\nSELECT node, dist FROM d$rounds ORDER BY node")
+    sb.toString
+  }
+
   /** K-CORE membership by BOUNDED-ROUND peeling: `rounds` iterations
     * of "drop every node whose degree in the surviving subgraph is
     * < k" over the undirected simple graph — the standard

@@ -1810,6 +1810,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Graph.kCore(edges, "s", "d", k = 5, rounds = 3).isEmpty)
   }
 
+  test("sssp: cheap detour beats direct hop, parallel edges min-collapse") {
+    // 0→2 direct costs 10; 0→1→2 costs 1+2=3 but needs 2 hops; a
+    // parallel 0→2 edge of cost 9 must collapse to the min (9)
+    val edges = Seq((0L, 2L, 10L), (0L, 2L, 9L), (0L, 1L, 1L),
+      (1L, 2L, 2L), (2L, 3L, 5L)).toDF("s", "d", "w")
+    def run(r: Int) = Graph.ssspBounded(edges, "s", "d", "w", Seq(0L), r)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // 1 round: only direct edges relaxed — detour not yet found
+    assert(run(1) == Map(0L -> 0, 1L -> 1, 2L -> 9))
+    // 2 rounds: the detour wins; 3 reached through it
+    assert(run(2) == Map(0L -> 0, 1L -> 1, 2L -> 3, 3L -> 14))
+    // converged: 3 rounds == 4 rounds == true SSSP
+    val r3 = run(3)
+    assert(r3 == run(4) && r3 == Map(0L -> 0, 1L -> 1, 2L -> 3, 3L -> 8))
+  }
+
   test("graph ops match driver-side references on random graphs") {
     // three seeded random digraphs vs straightforward driver-side
     // reference implementations — the randomized analogue of the
