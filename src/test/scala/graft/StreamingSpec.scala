@@ -894,6 +894,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("window top-k: MG state survives restart, window emits exactly once") {
+    import java.nio.file.{Files, Paths}
+    import java.time.Duration
+    import graft.streaming.StreamingTopK
+    val root = Files.createTempDirectory("graft_t8ckpt").toString
+    val inDir = s"$root/in"; val outDir = s"$root/out"; val ckpt = s"$root/ckpt"
+    new java.io.File(inDir).mkdirs()
+    def put(name: String, lines: String*): Unit = {
+      val tmp = Paths.get(root, name)
+      Files.write(tmp, lines.mkString("\n").getBytes)
+      Files.move(tmp, Paths.get(inDir, name))
+    }
+    def ev(sec: Long, key: String) = s"""{"tsec": $sec, "key": "$key"}"""
+    def runQ() = {
+      val in = spark.readStream
+        .schema("tsec LONG, key STRING").json(inDir)
+        .select(to_timestamp(col("tsec")).as("ts"), col("key"))
+      StreamingTopK.topKPerWindowStream(in, "ts", "key",
+          Duration.ofMinutes(10), Duration.ZERO, k = 2, capacity = 16)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+    def closedRows() = spark.read.parquet(outDir)
+      .where(col("window_start") === to_timestamp(lit(600)))
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getInt(3))).toSeq
+    // phase 1: the window fills but never closes — nothing emits
+    put("b1.json", ev(610, "a"), ev(620, "a"), ev(630, "b"))
+    val q1 = runQ(); try q1.processAllAvailable() finally q1.stop()
+    // phase 2: restart from the checkpoint; a watermark pusher closes
+    // the window — counts include phase-1 events ONLY IF the MG state
+    // survived the restart
+    put("b2.json", ev(99999, "zz"))
+    val q2 = runQ(); try q2.processAllAvailable() finally q2.stop()
+    assert(closedRows() == Seq(("a", 2L, 1), ("b", 1L, 2)),
+      s"state lost across restart: ${closedRows()}")
+    // phase 3: another restart + later data must NOT re-emit the
+    // closed window (exactly-once emission)
+    put("b3.json", ev(999999, "zz"))
+    val q3 = runQ(); try q3.processAllAvailable() finally q3.stop()
+    assert(closedRows() == Seq(("a", 2L, 1), ("b", 1L, 2)),
+      s"closed window re-emitted: ${closedRows()}")
+  }
+
   test("streaming window top-k: MG capacity bounds state, hitter survives") {
     import spark.implicits._
     import graft.streaming.StreamingTopK
