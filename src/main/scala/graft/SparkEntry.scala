@@ -1452,6 +1452,19 @@ object SparkEntry {
       Similarity.semanticDedupPairsBalanced(T(s, dir, "embeddings"),
           targetClusterSize = 64, iterations = 2, threshold = 0.45)
         .orderBy("id_a", "id_b")),
+    // semantic dedup FROM the materialized index: the capacity-bounded
+    // cells ARE SemDeDup's clusters — no per-run re-train, per-cell
+    // pair work structurally bounded; same assignment chain as
+    // s15/s16, so the oracle is that chain + within-cell pairs
+    "d16_semantic_dedup_index" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val cap = math.ceil(emb.count() / 8.0).toLong
+      val tmp = layoutDir("d16", dir)
+      graft.sources.VectorIndex.build(emb, "vec_id", "embedding", tmp,
+        clusters = 8, iterations = 2, capacity = cap, maxRounds = 6)
+      graft.sources.VectorIndex.semanticDedupPairs(s, tmp, threshold = 0.45)
+        .orderBy("id_a", "id_b")
+    }),
     // exact substring-span duplication (Lee et al.): every 8-token
     // window md5-hashed, windows whose hash lands in >= 2 distinct
     // docs are duplicated passages; per doc, the span count, the
@@ -2530,6 +2543,7 @@ object SparkEntry {
       ivfBalancedOracleSqlWhere(" AND e.vec_id % 7 <> 3"),
     // s22 likewise: lossless SQ staging + exact re-rank = s15 verbatim
     "s22_vector_index_sq" -> ivfBalancedOracleSql,
+    "d16_semantic_dedup_index" -> d16OracleSql,
     // s21: the filter restricts only the candidate set — probe
     // selection and scoring are s15's chain verbatim
     "s21_vector_index_filtered" ->
@@ -3802,6 +3816,21 @@ object SparkEntry {
   }
 
   private def ivfBalancedOracleSql: String = ivfBalancedOracleSqlWhere("")
+
+  /** d16's mirror: the s15/s16 balanced-assignment chain, then
+    * within-cell pairs scored with the same quantized cosine. */
+  private def d16OracleSql: String =
+    s"""WITH ${kmeansBalancedCtes("CAST(ceil(count(*) / 8.0) AS BIGINT)")},
+       |pr AS (SELECT aa.vec_id AS id_a, bb.vec_id AS id_b,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      i -> ea.q[i] * eb.q[i])) AS DOUBLE)
+       |      / sqrt(CAST(ea.na AS DOUBLE) * eb.na) AS sim
+       |  FROM accall aa JOIN accall bb
+       |    ON aa.cid = bb.cid AND aa.vec_id < bb.vec_id
+       |  JOIN en ea ON ea.vec_id = aa.vec_id
+       |  JOIN en eb ON eb.vec_id = bb.vec_id)
+       |SELECT id_a, id_b, sim FROM pr WHERE sim >= 0.45
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** s15's probe/search mirror with an optional extra search-side
     * candidate predicate — a post-build DELETE changes only the

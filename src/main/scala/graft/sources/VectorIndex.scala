@@ -341,6 +341,29 @@ object VectorIndex {
     }
   }
 
+  /** SEMANTIC-DEDUP PAIRS served FROM the index — dedup as an index
+    * maintenance operation instead of a per-run re-train: the
+    * capacity-bounded cells ARE SemDeDup's clusters, so candidate
+    * pairs are within-cell only and per-cell pair work is structurally
+    * ≤ capacity·(capacity−1)/2 (the d12 budget, already paid at build
+    * time). Scoring is the index's exact integer cosine. At 100 TB
+    * the corpus is already in the index; re-clustering it per dedup
+    * run would be the real cost. */
+  def semanticDedupPairs(spark: SparkSession, path: String,
+      threshold: Double): DataFrame = {
+    val cells = readCells(spark, path)
+    val a = cells.select(col("cluster"), col("vec_id").as("id_a"),
+      col("__cq").as("__qa"), col("__cna").as("__naa"))
+    val b = cells.select(col("cluster"), col("vec_id").as("id_b"),
+      col("__cq").as("__qb"), col("__cna").as("__nab"))
+    a.join(b, Seq("cluster"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("sim", dotl(col("__qa"), col("__qb")).cast("double") /
+        sqrt(col("__naa").cast("double") * col("__nab")))
+      .where(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
   /** Incremental append: assign `vectors` to cells under each cell's
     * REMAINING capacity — the builder's own deferred-acceptance rounds
     * against the FROZEN centroids, seeded with `capacity − occupancy`

@@ -178,7 +178,8 @@ object ScaleBench {
       "s21_vector_index_filtered", "t8_window_topk", "f11_rollback",
       "c1_curation_pipeline", "g5_kcore", "s22_vector_index_sq",
       "x29_sentence_chunk", "f12_orphan_gc", "c2_pit_features",
-      "x30_dataset_card", "m3_audio_frames", "g6_sssp")
+      "x30_dataset_card", "m3_audio_frames", "g6_sssp",
+      "d16_semantic_dedup_index")
       // x18/x19 are NOT here for x12's reason (salting renames their
       // literal terms) — the salted cases below measure real phrase/
       // proximity retrieval.
