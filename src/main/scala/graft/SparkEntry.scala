@@ -98,6 +98,30 @@ object SparkEntry {
     p.toString
   }
 
+  // ONE materialized vector index per corpus, ALL tiers in one layout
+  // (full-width cells + SQ8 codes + residual-PQ codes + the label
+  // metadata column) — the production story: an index is built once
+  // and every serving tier reads the same cell files; parquet is
+  // columnar, so each tier scans only its own columns. s16/s17/s21/
+  // s22/d16 serve from this shared build (the assignment chain is
+  // byte-identical to a single-tier build — extra columns never change
+  // an answer, so every oracle is unchanged); s20 builds its own copy
+  // because it DELETES from the layout. Memoized per (corpus dir) per
+  // JVM: the first entry to run pays the build, the rest read.
+  private val sharedIdxMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def sharedVectorIndex(s: SparkSession, dir: String): String =
+    sharedIdxMemo.getOrElseUpdate(dir, {
+      val emb = T(s, dir, "embeddings")
+      val cap = math.ceil(emb.count() / 8.0).toLong
+      val tmp = layoutDir("shared_idx", dir)
+      graft.sources.VectorIndex.build(emb, "vec_id", "embedding", tmp,
+        clusters = 8, iterations = 2, capacity = cap, maxRounds = 6,
+        pqSubspaces = 16, pqCodewords = 64, metaCols = Seq("label"),
+        sqTier = true)
+      tmp
+    })
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("ref_interval_join")(spark, "/root/testdata/sf0.001")
@@ -509,6 +533,16 @@ object SparkEntry {
     "g5_kcore" -> ((s, dir) =>
       Graph.kCore(triangleEdges(T(s, dir, "lineitem")), "src", "dst",
           k = 6, rounds = 3)
+        .orderBy("node")),
+    // MASS-CONSERVING PageRank on the sparse 16384-node graph (real
+    // dangling nodes): each round one global aggregate sums the rank
+    // on sink nodes and redistributes it uniformly — on sink-heavy
+    // graphs the lite mode (g2) drifts low every round; here Σ rank
+    // stays within floor-division units of N·10^6 (spec-asserted).
+    // Still pure integer, still a full unrolled oracle.
+    "g7_pagerank_conserve" -> ((s, dir) =>
+      Graph.pageRank(triangleEdges(T(s, dir, "lineitem")), "src", "dst",
+          iterations = 4, conserveDangling = true)
         .orderBy("node")),
     "q15_having_subquery" -> ((s, dir) => {
       val c = T(s, dir, "customer"); val n = T(s, dir, "nation")
@@ -1314,11 +1348,8 @@ object SparkEntry {
       val emb = T(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-      val cap = math.ceil(emb.count() / 8.0).toLong
-      val tmp = layoutDir("s16", dir)
-      graft.sources.VectorIndex.build(emb, "vec_id", "embedding", tmp,
-        clusters = 8, iterations = 2, capacity = cap, maxRounds = 6)
-      graft.sources.VectorIndex.topK(s, tmp, q, k = 5, nprobe = 2)
+      graft.sources.VectorIndex.topK(s, sharedVectorIndex(s, dir), q,
+          k = 5, nprobe = 2)
         .orderBy("query_id", "rank")
     }),
     // METADATA-FILTERED search from the materialized index ("WHERE
@@ -1333,13 +1364,8 @@ object SparkEntry {
       val emb = T(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-      val cap = math.ceil(emb.count() / 8.0).toLong
-      val tmp = layoutDir("s21", dir)
-      graft.sources.VectorIndex.build(emb, "vec_id", "embedding", tmp,
-        clusters = 8, iterations = 2, capacity = cap, maxRounds = 6,
-        metaCols = Seq("label"))
-      graft.sources.VectorIndex.topKFiltered(s, tmp, q, k = 5, nprobe = 2,
-          filter = col("label") >= 5)
+      graft.sources.VectorIndex.topKFiltered(s, sharedVectorIndex(s, dir), q,
+          k = 5, nprobe = 2, filter = col("label") >= 5)
         .orderBy("query_id", "rank")
     }),
     // TOMBSTONE DELETE from the materialized index: O(deleted ids) IO
@@ -1372,12 +1398,8 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       val cap = math.ceil(emb.count() / 8.0).toLong
-      val tmp = layoutDir("s17", dir)
-      graft.sources.VectorIndex.build(emb, "vec_id", "embedding", tmp,
-        clusters = 8, iterations = 2, capacity = cap, maxRounds = 6,
-        pqSubspaces = 16, pqCodewords = 64)
-      graft.sources.VectorIndex.topKPq(s, tmp, q, k = 5, nprobe = 2,
-          candidates = (2 * cap).toInt + 16, rerank = true)
+      graft.sources.VectorIndex.topKPq(s, sharedVectorIndex(s, dir), q,
+          k = 5, nprobe = 2, candidates = (2 * cap).toInt + 16, rerank = true)
         .orderBy("query_id", "rank")
     }),
     // the index's SQ8 TIER: candidate staging scans only (vec_id, sq)
@@ -1390,12 +1412,8 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       val cap = math.ceil(emb.count() / 8.0).toLong
-      val tmp = layoutDir("s22", dir)
-      graft.sources.VectorIndex.build(emb, "vec_id", "embedding", tmp,
-        clusters = 8, iterations = 2, capacity = cap, maxRounds = 6,
-        sqTier = true)
-      graft.sources.VectorIndex.topKSq(s, tmp, q, k = 5, nprobe = 2,
-          candidates = (2 * cap).toInt + 16, rerank = true)
+      graft.sources.VectorIndex.topKSq(s, sharedVectorIndex(s, dir), q,
+          k = 5, nprobe = 2, candidates = (2 * cap).toInt + 16, rerank = true)
         .orderBy("query_id", "rank")
     }),
     // MMR-diversified retrieval: 20-deep quantized-cosine pool per
@@ -1456,15 +1474,10 @@ object SparkEntry {
     // cells ARE SemDeDup's clusters — no per-run re-train, per-cell
     // pair work structurally bounded; same assignment chain as
     // s15/s16, so the oracle is that chain + within-cell pairs
-    "d16_semantic_dedup_index" -> ((s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      val cap = math.ceil(emb.count() / 8.0).toLong
-      val tmp = layoutDir("d16", dir)
-      graft.sources.VectorIndex.build(emb, "vec_id", "embedding", tmp,
-        clusters = 8, iterations = 2, capacity = cap, maxRounds = 6)
-      graft.sources.VectorIndex.semanticDedupPairs(s, tmp, threshold = 0.45)
-        .orderBy("id_a", "id_b")
-    }),
+    "d16_semantic_dedup_index" -> ((s, dir) =>
+      graft.sources.VectorIndex.semanticDedupPairs(s,
+          sharedVectorIndex(s, dir), threshold = 0.45)
+        .orderBy("id_a", "id_b")),
     // exact substring-span duplication (Lee et al.): every 8-token
     // window md5-hashed, windows whose hash lands in >= 2 distinct
     // docs are duplicated passages; per doc, the span count, the
@@ -1582,14 +1595,17 @@ object SparkEntry {
         .orderBy("rule", "column")),
 
     // ---- §2.7 multimodal --------------------------------------------
+    // the full container-sniffing feature pass as ONE declarative
+    // projection (PNG/JPEG/RIFF header walks + PCM-16 stats as
+    // codegen'd folds — no UDF, no mapPartitions); spec'd equal to
+    // the JVM reference parsers record for record
     "m1_multimodal" -> ((s, dir) =>
-      Multimodal.extractFeatures(s, Multimodal.fromDocuments(T(s, dir, "documents")))
-        .toDF()
+      Multimodal.mediaFeatures(Multimodal.fromDocuments(T(s, dir, "documents")))
         .select(col("doc_id"), col("byte_len"), col("mean_byte"),
           col("detected_fmt"), col("width"), col("height"),
           col("sample_rate"), col("duration_ms"),
           col("pcm_samples"), col("pcm_sum"), col("pcm_peak"),
-          size(col("frame_hashes")).as("n_frames"))
+          col("n_frames"))
         .orderBy("doc_id")),
     // patch featurization of an opaque binary column — the ViT-tiling
     // / audio-chunking plumbing, entirely codegen'd (binary substr
@@ -1931,7 +1947,7 @@ object SparkEntry {
          |FROM o LEFT JOIN LATERAL (
          |  SELECT r.rate, r.rate_ts FROM r
          |  WHERE r.currency = o.currency AND r.rate_ts <= o.order_ts
-         |  ORDER BY r.rate_ts DESC LIMIT 1) rr ON TRUE
+         |  ORDER BY r.rate_ts DESC, r.rate DESC LIMIT 1) rr ON TRUE
          |ORDER BY id""".stripMargin,
     "ref_asof_forward" ->
       s"""WITH o AS (${RefTables.ordersSql}), r AS (${RefTables.ratesSql})
@@ -1941,7 +1957,7 @@ object SparkEntry {
          |FROM o LEFT JOIN LATERAL (
          |  SELECT r.rate, r.rate_ts FROM r
          |  WHERE r.currency = o.currency AND r.rate_ts >= o.order_ts
-         |  ORDER BY r.rate_ts ASC LIMIT 1) rr ON TRUE
+         |  ORDER BY r.rate_ts ASC, r.rate DESC LIMIT 1) rr ON TRUE
          |ORDER BY id""".stripMargin,
     // nearest: smallest |rate_ts - order_ts| per order, ties backward
     "ref_asof_nearest" ->
@@ -1953,7 +1969,8 @@ object SparkEntry {
          |  SELECT r.rate, r.rate_ts FROM r
          |  WHERE r.currency = o.currency
          |  ORDER BY abs(epoch_us(r.rate_ts) - epoch_us(o.order_ts)),
-         |    CASE WHEN r.rate_ts <= o.order_ts THEN 0 ELSE 1 END
+         |    CASE WHEN r.rate_ts <= o.order_ts THEN 0 ELSE 1 END,
+         |    r.rate DESC
          |  LIMIT 1) rr ON TRUE
          |ORDER BY id""".stripMargin,
     "ref_asof_merge" ->
@@ -2164,7 +2181,7 @@ object SparkEntry {
         |j AS (SELECT f.event_id, f.user_id, f.value,
         |    (SELECT v.attr FROM v WHERE v.user_id = f.user_id
         |      AND v.vfrom <= f.tus
-        |      ORDER BY v.vfrom DESC LIMIT 1) AS attr
+        |      ORDER BY v.vfrom DESC, v.attr DESC LIMIT 1) AS attr
         |  FROM f)
         |SELECT attr, CAST(count(*) AS BIGINT) AS n_facts,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
@@ -2212,6 +2229,9 @@ object SparkEntry {
         sources = Seq(0L, 1L, 2L)),
     "g5_kcore" ->
       operators.Graph.kCoreOracleSql(triangleEdgesSql, k = 6, rounds = 3),
+    "g7_pagerank_conserve" ->
+      operators.Graph.pageRankOracleSql(triangleEdgesSql, iterations = 4,
+        conserveDangling = true),
     "g6_sssp" ->
       operators.Graph.ssspOracleSql(weightedEdgesSql, sources = Seq(0L),
         rounds = 4),

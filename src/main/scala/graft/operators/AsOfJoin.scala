@@ -3,6 +3,7 @@ package graft.operators
 import java.time.Duration
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.RowOrdering
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -64,8 +65,16 @@ object AsOfJoin {
                        else lit(null).cast(left.schema(c).dataType).as(c))): _*)
 
     // Right rows sort before left rows at equal timestamps, so a rate
-    // stamped exactly at order time is visible (matches <=).
-    val w = Window.partitionBy(key).orderBy(col("__g_t"), col("__g_side"))
+    // stamped exactly at order time is visible (matches <=). The pack
+    // struct is the FINAL sort key: two right rows sharing (key, time)
+    // would otherwise make last() partition-order-dependent (a latent
+    // run-to-run nondeterminism / oracle-hash flake); with it, the
+    // greatest pack (lexicographic over __g_rt then valueCols) wins
+    // deterministically. Skipped only for non-orderable value types.
+    val tieKeys = if (RowOrdering.isOrderable(packType))
+      Seq(col("__g_pack")) else Nil
+    val w = Window.partitionBy(key)
+      .orderBy(col("__g_t") +: col("__g_side") +: tieKeys: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withVals = lPart.unionByName(rPart)
       .withColumn("__g_last", last(col("__g_pack"), ignoreNulls = true).over(w))
@@ -119,8 +128,12 @@ object AsOfJoin {
                        else lit(null).cast(left.schema(c).dataType).as(c))): _*)
     // descending time; right rows still sort before left at equal
     // timestamps (side 0 < 1), so an exactly-coincident right row is
-    // carried onto the left row — the >= bound
-    val w = Window.partitionBy(key).orderBy(col("__g_t").desc, col("__g_side"))
+    // carried onto the left row — the >= bound. Same deterministic
+    // greatest-pack tiebreak at equal (key, time) as [[backward]].
+    val tieKeys = if (RowOrdering.isOrderable(packType))
+      Seq(col("__g_pack")) else Nil
+    val w = Window.partitionBy(key)
+      .orderBy(col("__g_t").desc +: col("__g_side") +: tieKeys: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withVals = lPart.unionByName(rPart)
       .withColumn("__g_last", last(col("__g_pack"), ignoreNulls = true).over(w))

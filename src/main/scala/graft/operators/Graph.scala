@@ -105,11 +105,34 @@ object Graph {
     * structure — the "related items" / query-biased ranking primitive.
     * Same arithmetic, same oracle discipline.
     *
+    * With `conserveDangling = true` the dangling mass is REDISTRIBUTED
+    * instead of dropped: one global aggregate per round sums the rank
+    * held by nodes with no out-edges, and each node (each seed, in the
+    * personalized form — the standard PPR convention) receives
+    * `((d · danglingSum) div 100) div targets` extra micro-units. On
+    * sink-heavy graphs (web/citation crawls) the lite mode's totals
+    * drift low every round; conserving mode keeps Σ rank within
+    * E + 2·N micro-units of the initial mass per round (the only
+    * losses left are the floor divisions — ≤ outdeg−1 units per
+    * ranked node, ≤ 99 at the damping step, ≤ targets−1 at the
+    * share split), still a deterministic pure-integer function the
+    * oracle unrolls. The aggregate is one job per round on the
+    * already-checkpointed ranks — a driver scalar, not driver state.
+    *
+    * With `earlyExit = true`, a round that changes no rank ends the
+    * loop: the integer iteration is a pure function of the previous
+    * vector, so once it reaches a fixed point every remaining round
+    * is a no-op and the result EQUALS the fixed-`iterations` unroll
+    * (spec-asserted) — fixed rounds stay oracle-friendly, converged
+    * graphs stop paying shuffles. Costs one existence probe per round.
+    *
     * @return (node BIGINT, rank_u BIGINT) — micro-units.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, dampingPct: Int = 85,
-      sources: Seq[Long] = Nil): DataFrame = {
+      sources: Seq[Long] = Nil,
+      conserveDangling: Boolean = false,
+      earlyExit: Boolean = false): DataFrame = {
     require(iterations >= 1 && dampingPct >= 0 && dampingPct <= 100)
     val e = normalize(edges, srcCol, dstCol)
     val nodes = e.select(col("src").as("node"))
@@ -122,19 +145,50 @@ object Graph {
     val isSeed =
       if (sources.isEmpty) lit(true) else col("node").isin(sources: _*)
     val base = lit(((100L - dampingPct) * 1000000L) / 100L)
+    // share targets: every node, or the seed set when personalized
+    val nTargets: Long =
+      if (!conserveDangling) 1L
+      else if (sources.nonEmpty) sources.distinct.size.toLong
+      else nodes.count()
     var ranks = nodes
       .withColumn("rank_u", when(isSeed, lit(1000000L)).otherwise(lit(0L)))
       .localCheckpoint(true)
-    for (_ <- 1 to iterations) {
+    var round = 0
+    var converged = false
+    while (round < iterations && !converged) {
+      round += 1
       val inflow = eo.join(ranks, eo("src") === ranks("node"))
         .select(eo("dst"), expr("rank_u div outdeg").as("c"))
         .groupBy(col("dst").as("node")).agg(sum("c").as("inflow"))
-      ranks = nodes.join(inflow, Seq("node"), "left")
+      val share: Column = if (conserveDangling) {
+        // the mass sitting on sink nodes this round — one bounded
+        // global aggregate over the checkpointed ranks (a scalar to
+        // the driver, like AQE's own runtime stats; never row data)
+        val danglingSum = ranks
+          .join(outdeg.select(col("src").as("node")), Seq("node"), "left_anti")
+          .agg(coalesce(sum("rank_u"), lit(0L))).head().getLong(0)
+        val perTarget = (dampingPct * danglingSum) / 100L / nTargets
+        when(isSeed, lit(perTarget)).otherwise(lit(0L))
+      } else lit(0L)
+      val next = nodes.join(inflow, Seq("node"), "left")
         .select(col("node"),
           (when(isSeed, base).otherwise(lit(0L)) +
-            expr(s"($dampingPct * coalesce(inflow, 0L)) div 100"))
+            expr(s"($dampingPct * coalesce(inflow, 0L)) div 100") + share)
             .as("rank_u"))
         .localCheckpoint(true)
+      if (earlyExit && round < iterations) {
+        // the integer iteration is a pure function of the previous
+        // vector: once a round changes nothing, every later round is a
+        // no-op, so exiting returns EXACTLY the fixed-`iterations`
+        // result — at 100× scale the saved rounds are saved shuffles.
+        // One join + limit(1) existence probe per round, both sides
+        // already checkpointed.
+        converged = next.as("a")
+          .join(ranks.as("b"), "node")
+          .where(col("a.rank_u") =!= col("b.rank_u"))
+          .limit(1).isEmpty
+      }
+      ranks = next
     }
     nodes.unpersist(); eo.unpersist()
     ranks
@@ -158,7 +212,8 @@ object Graph {
     * @return (node BIGINT, dist BIGINT) for nodes reachable within R
     *         hops, sources at 0. */
   def ssspBounded(edges: DataFrame, srcCol: String, dstCol: String,
-      wCol: String, sources: Seq[Long], rounds: Int): DataFrame = {
+      wCol: String, sources: Seq[Long], rounds: Int,
+      earlyExit: Boolean = false): DataFrame = {
     require(sources.nonEmpty && rounds >= 1)
     val spark = edges.sparkSession
     import spark.implicits._
@@ -170,12 +225,29 @@ object Graph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var dist = sources.distinct.toDF("node")
       .withColumn("dist", lit(0L)).localCheckpoint(true)
-    for (_ <- 1 to rounds) {
+    var round = 0
+    var converged = false
+    while (round < rounds && !converged) {
+      round += 1
       val cand = dist.join(e, dist("node") === e("src"))
         .select(e("dst").as("node"), (col("dist") + col("w")).as("dist"))
-      dist = dist.union(cand)
+      val next = dist.union(cand)
         .groupBy("node").agg(min("dist").as("dist"))
         .localCheckpoint(true)
+      if (earlyExit && round < rounds) {
+        // relaxation is min-monotone: a change is either a NEW node (an
+        // improvement from +inf) or a smaller dist on a known one; if
+        // neither happened the iteration is at its fixed point and
+        // later rounds are no-ops. One existence probe per round over
+        // the two checkpointed states.
+        val prev = dist.select(col("node").as("p_node"),
+          col("dist").as("p_dist"))
+        converged = next
+          .join(prev, next("node") === prev("p_node"), "left")
+          .where(col("p_node").isNull || col("dist") < col("p_dist"))
+          .limit(1).isEmpty
+      }
+      dist = next
     }
     e.unpersist()
     dist
@@ -226,7 +298,7 @@ object Graph {
     * final in-core degree.
     */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
-      rounds: Int): DataFrame = {
+      rounds: Int, earlyExit: Boolean = false): DataFrame = {
     require(k >= 1 && rounds >= 1)
     var und = normalize(edges, srcCol, dstCol)
       .where(col("src") =!= col("dst"))
@@ -234,7 +306,11 @@ object Graph {
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
       .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
+    var nEdges = if (earlyExit) und.count() else -1L
+    var round = 0
+    var converged = false
+    while (round < rounds && !converged) {
+      round += 1
       val deg = und.select(col("a").as("n")).union(und.select(col("b").as("n")))
         .groupBy("n").agg(count(lit(1)).as("deg"))
       val keep = deg.where(col("deg") >= k).select("n")
@@ -242,6 +318,15 @@ object Graph {
         .join(keep.select(col("n").as("a")), "a")
         .join(keep.select(col("n").as("b")), "b")
         .localCheckpoint(true)
+      if (earlyExit && round < rounds) {
+        // peeling is MONOTONE (survivor edges only shrink), so an
+        // unchanged edge count means a fixed point — every later peel
+        // is a no-op and the result equals the fixed-round unroll.
+        // One count per round over the checkpointed edge state.
+        val n = und.count()
+        converged = n == nEdges
+        nEdges = n
+      }
     }
     und.select(col("a").as("n")).union(und.select(col("b").as("n")))
       .groupBy(col("n").as("node")).agg(count(lit(1)).as("deg"))
@@ -343,14 +428,23 @@ object Graph {
 
   /** The unrolled DuckDB mirror of [[pageRank]]: `//` is BIGINT floor
     * division there, `div` truncation here — identical on the
-    * non-negative values rank iteration produces. */
+    * non-negative values rank iteration produces. With
+    * `conserveDangling` each round adds a one-row dangling-mass CTE
+    * (the engine's global aggregate) and every target node's rank
+    * carries the same two-floor-division share term. */
   def pageRankOracleSql(edgesSql: String, iterations: Int,
-      dampingPct: Int = 85, sources: Seq[Long] = Nil): String = {
+      dampingPct: Int = 85, sources: Seq[Long] = Nil,
+      conserveDangling: Boolean = false): String = {
     val base = ((100L - dampingPct) * 1000000L) / 100L
     def seedCase(value: String): String =
       if (sources.isEmpty) value
       else s"CASE WHEN n.node IN (${sources.mkString(", ")}) " +
         s"THEN $value ELSE 0 END"
+    // the engine divides by a driver-side count; the oracle computes
+    // the same count in SQL (seed-set size is a literal when personal)
+    val targetsSql =
+      if (sources.nonEmpty) sources.distinct.size.toString
+      else "(SELECT count(*) FROM n)"
     val sb = new StringBuilder
     sb.append(s"WITH e AS ($edgesSql),\n")
     sb.append("n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),\n")
@@ -358,14 +452,23 @@ object Graph {
     sb.append(s"r0 AS (SELECT node, CAST(${seedCase("1000000")} AS BIGINT)" +
       " AS rank_u FROM n)")
     for (i <- 1 to iterations) {
-      sb.append(s""",
+      val shareTerm = if (conserveDangling) {
+        s" + ${seedCase(s"(($dampingPct * g$i.dang) // 100) // $targetsSql")}"
+      } else ""
+      val danglingCte = if (conserveDangling) {
+        s""",
+        |g$i AS (SELECT CAST(COALESCE(sum(rank_u), 0) AS BIGINT) AS dang
+        |  FROM r${i - 1} WHERE node NOT IN (SELECT src FROM o))""".stripMargin
+      } else ""
+      val crossG = if (conserveDangling) s" CROSS JOIN g$i" else ""
+      sb.append(s"""$danglingCte,
         |c$i AS (SELECT e.dst AS node,
         |  CAST(sum(r.rank_u // o.outdeg) AS BIGINT) AS inflow
         |  FROM e JOIN o USING (src) JOIN r${i - 1} r ON r.node = e.src
         |  GROUP BY 1),
         |r$i AS (SELECT n.node, CAST(${seedCase(base.toString)} +
-        |    ($dampingPct * COALESCE(c$i.inflow, 0)) // 100 AS BIGINT) AS rank_u
-        |  FROM n LEFT JOIN c$i USING (node))""".stripMargin)
+        |    ($dampingPct * COALESCE(c$i.inflow, 0)) // 100$shareTerm AS BIGINT) AS rank_u
+        |  FROM n LEFT JOIN c$i USING (node)$crossG)""".stripMargin)
     }
     sb.append(s"\nSELECT node, rank_u FROM r$iterations ORDER BY node")
     sb.toString

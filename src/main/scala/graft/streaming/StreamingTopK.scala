@@ -85,6 +85,19 @@ object StreamingTopK {
           .take(k).zipWithIndex
           .map { case ((key, n), i) => TopKRow(ws, key, n, i + 1) }
           .iterator
+      } else if (ws.getTime + winMs <= state.getCurrentWatermarkMs()) {
+        // post-close straggler: flatMapGroupsWithState does NOT
+        // auto-drop late rows, so a row for a window whose timeout
+        // already fired would otherwise recreate empty state here and
+        // the clamped timeout below would emit a SECOND, undercounted
+        // top-k row set for the same window_start — breaking the
+        // exactly-once final emission. Drop the batch: emit nothing,
+        // create/update no state. This also matches Spark's windowed-
+        // aggregation late-row rule when live state exists (the
+        // timeout fires after data within the same trigger): a row
+        // later than the watermark never counts, so the one emission
+        // reflects only in-watermark rows.
+        Iterator.empty
       } else {
         val prev = state.getOption.getOrElse(
           MgState(Map.empty, ws.getTime + winMs))

@@ -124,4 +124,25 @@ class AsOfMergeJoinSpec extends AnyFunSuite {
       tolerance = Some(java.time.Duration.ofSeconds(90))).collect().head
     assert(res2.getInt(res2.fieldIndex("rate")) == 7, s"fresh rate must attach: $res2")
   }
+
+  test("as-of join resolves right-side timestamp ties deterministically") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    // two right rows share (key, time): without an explicit tiebreak
+    // last() is partition-order-dependent (a latent oracle-hash flake);
+    // the greatest pack — here the greatest rate — must win, on every
+    // run, under any partitioning, in both directions
+    val l = Seq((1, "EUR", ts(100)), (2, "EUR", ts(5))).toDF("id", "currency", "t")
+    val r = Seq(("EUR", ts(50), 3), ("EUR", ts(50), 9), ("EUR", ts(50), 7))
+      .toDF("currency", "rt", "rate")
+    for (parts <- Seq(1, 7)) {
+      val rp = r.repartition(parts)
+      val b = AsOfJoin.backward(l, rp, "currency", "t", "rt", Seq("rate"))
+        .where(col("id") === 1).select("rate").collect().head.getInt(0)
+      assert(b == 9, s"backward tie must pick the greatest pack, got $b")
+      val f = AsOfJoin.forward(l, rp, "currency", "t", "rt", Seq("rate"))
+        .where(col("id") === 2).select("rate").collect().head.getInt(0)
+      assert(f == 9, s"forward tie must pick the greatest pack, got $f")
+    }
+  }
 }

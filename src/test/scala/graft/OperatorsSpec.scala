@@ -570,33 +570,51 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(("b", 4L)) == 0 && out(("b", 5L)) == 2)
   }
 
-  test("multimodal plumbing: schema, determinism, frame count") {
+  test("multimodal: declarative mediaFeatures == JVM reference parsers per record") {
     val docs = sources.Tables.load(spark, "/root/testdata/sf0.001", "documents").limit(50)
     val media = Multimodal.fromDocuments(docs)
     assert(media.schema("media").dataType.typeName == "binary")
-    val f1 = Multimodal.extractFeatures(spark, media, batchSize = 7, frames = 4)
-      .collect().sortBy(_.doc_id)
-    val f2 = Multimodal.extractFeatures(spark, media, batchSize = 64, frames = 4)
-      .collect().sortBy(_.doc_id)
-    assert(f1.length == 50)
-    // batch size must not change results (pure per-record codec)
-    assert(f1.map(f => (f.doc_id, f.byte_len, f.checksum)).toSeq ==
-      f2.map(f => (f.doc_id, f.byte_len, f.checksum)).toSeq)
-    assert(f1.forall(_.frame_hashes.length == 4))
-    assert(f1.forall(f => f.mean_byte > 0 && f.byte_len > 0))
-    // the crafted containers must round-trip their metadata through the
-    // REAL parsers: declared fmt/width/height in, parsed values out
-    val meta = media.select("doc_id", "width", "height", "fmt").collect()
-      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
-    f1.foreach { f =>
-      val (w, h, fmt) = meta(f.doc_id)
-      assert(f.detected_fmt.contains(fmt), s"doc ${f.doc_id}: $f")
-      if (fmt == "wav") {
-        assert(f.width.isEmpty && f.sample_rate.nonEmpty && f.duration_ms.nonEmpty)
-      } else {
-        assert(f.width.contains(w) && f.height.contains(h), s"doc ${f.doc_id}: $f")
-      }
+    val got = Multimodal.mediaFeatures(media).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got.size == 50)
+    // the declarative pass must agree with the single-record JVM
+    // reference (decodeStub wraps imageDimensions/audioMetadata/
+    // pcmStats) on EVERY crafted container — the declarative marker/
+    // chunk walks are bit-for-bit mirrors, not approximations
+    val ref = media.collect().map { r =>
+      Multimodal.decodeStub(Multimodal.MediaRecord(
+        r.getAs[Long]("doc_id"), r.getAs[Array[Byte]]("media"),
+        r.getAs[Int]("width"), r.getAs[Int]("height"),
+        r.getAs[String]("fmt")), 4)
     }
+    ref.foreach { f =>
+      val g = got(f.doc_id)
+      assert(g.getAs[Int]("byte_len") == f.byte_len, s"byte_len ${f.doc_id}")
+      assert(math.abs(g.getAs[Double]("mean_byte") - f.mean_byte) < 1e-9,
+        s"mean_byte ${f.doc_id}")
+      assert(Option(g.getAs[String]("detected_fmt")) == f.detected_fmt,
+        s"fmt ${f.doc_id}")
+      assert(Option(g.getAs[Any]("width")).map(_.asInstanceOf[Int]) == f.width,
+        s"width ${f.doc_id}")
+      assert(Option(g.getAs[Any]("height")).map(_.asInstanceOf[Int]) == f.height,
+        s"height ${f.doc_id}")
+      assert(Option(g.getAs[Any]("sample_rate")).map(_.asInstanceOf[Int]) ==
+        f.sample_rate, s"rate ${f.doc_id}")
+      assert(Option(g.getAs[Any]("duration_ms")).map(_.asInstanceOf[Long]) ==
+        f.duration_ms, s"duration ${f.doc_id}")
+      assert(Option(g.getAs[Any]("pcm_samples")).map(_.asInstanceOf[Long]) ==
+        f.pcm_samples, s"pcm_samples ${f.doc_id}")
+      assert(Option(g.getAs[Any]("pcm_sum")).map(_.asInstanceOf[Long]) ==
+        f.pcm_sum, s"pcm_sum ${f.doc_id}")
+      assert(Option(g.getAs[Any]("pcm_peak")).map(_.asInstanceOf[Int]) ==
+        f.pcm_peak, s"pcm_peak ${f.doc_id}")
+    }
+    // no mapPartitions/DeserializeToObject in the plan: the pass is a
+    // single codegen'd projection over the scan
+    val plan = Multimodal.mediaFeatures(media)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("MapPartitions") && !plan.contains("mapPartitions"),
+      s"mediaFeatures must stay declarative:\n$plan")
   }
 
   test("approximate aggregates land within error bounds of exact") {
@@ -1731,6 +1749,66 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(pr(3L) == 0L, "node 3 is unreachable from seed 2: zero mass")
     assert(pr(2L) >= 150000L && pr(0L) > 0L && pr(1L) > 0L)
+  }
+
+  test("pagerank: conserving mode redistributes dangling mass, lite drops it") {
+    // pure sink graph: 1,2,3 → 0 and 0 has NO out-edges — the worst
+    // case for the lite mode (all mass funnels onto a dangling node
+    // and evaporates next round)
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L)).toDF("s", "d")
+    val total = 4L * 1000000L
+    for (iters <- 1 to 3) {
+      val lite = Graph.pageRank(edges, "s", "d", iterations = iters)
+        .agg(sum("rank_u")).head().getLong(0)
+      val cons = Graph.pageRank(edges, "s", "d", iterations = iters,
+          conserveDangling = true)
+        .agg(sum("rank_u")).head().getLong(0)
+      // conserving: Σ rank stays within floor-division units of the
+      // initial mass (here the divisions are exact — equality);
+      // lite: the dangling mass is visibly gone
+      assert(cons >= total - 200L && cons <= total,
+        s"iters=$iters: conserving mode lost mass: $cons of $total")
+      assert(lite < total - 500000L,
+        s"iters=$iters: lite mode should drop dangling mass, got $lite")
+    }
+    // exact determinism survives the extra aggregate: 1 == 7 partitions
+    val a = Graph.pageRank(edges, "s", "d", iterations = 3,
+        conserveDangling = true)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val b = Graph.pageRank(edges.repartition(7), "s", "d", iterations = 3,
+        conserveDangling = true)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(a == b)
+    // personalized conserving: the share lands on the seed only
+    val p = Graph.pageRank(edges, "s", "d", iterations = 2,
+        sources = Seq(1L), conserveDangling = true)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(p(2L) == 0L && p(3L) == 0L, s"non-seeds hold no mass: $p")
+    assert(p(1L) > 150000L, s"seed must receive the dangling share: $p")
+  }
+
+  test("graph early-exit returns exactly the fixed-round result") {
+    // chain 1→0 reaches its integer fixed point at round 3; with
+    // earlyExit the loop stops there, and because a fixed point makes
+    // every later round a no-op the result EQUALS the 10-round unroll
+    val chain = Seq((1L, 0L)).toDF("s", "d")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(m(Graph.pageRank(chain, "s", "d", iterations = 10,
+        earlyExit = true)) ==
+      m(Graph.pageRank(chain, "s", "d", iterations = 10)))
+    // k-core: K4 + pendant chain converges in ≤ 4 peels
+    val k4 = for (i <- 0 to 3; j <- (i + 1) to 3) yield (i.toLong, j.toLong)
+    val edges = (k4 ++ Seq((3L, 10L), (10L, 11L), (11L, 12L))).toDF("s", "d")
+    assert(m(Graph.kCore(edges, "s", "d", k = 3, rounds = 10,
+        earlyExit = true)) ==
+      m(Graph.kCore(edges, "s", "d", k = 3, rounds = 10)))
+    // sssp: converges at 3 rounds on the detour graph
+    val w = Seq((0L, 2L, 10L), (0L, 1L, 1L), (1L, 2L, 2L), (2L, 3L, 5L))
+      .toDF("s", "d", "w")
+    assert(m(Graph.ssspBounded(w, "s", "d", "w", Seq(0L), rounds = 10,
+        earlyExit = true)) ==
+      m(Graph.ssspBounded(w, "s", "d", "w", Seq(0L), rounds = 10)))
   }
 
   test("triangles: per-node counts exact on known graphs, hub-safe orientation") {

@@ -13,6 +13,21 @@ class StreamingSpec extends AnyFunSuite {
 
   def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
 
+  /** Poll `read` until `ok` holds or the deadline passes. Under full-suite
+    * contention the memory sink's commit can race `processAllAvailable`'s
+    * return, so a single post-return read is a flaky assert; a bounded
+    * retry makes the spec deterministic without masking real failures
+    * (a genuinely missing row still fails, just after the timeout). */
+  def eventually[A](read: => A)(ok: A => Boolean, timeoutMs: Long = 30000L): A = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var last = read
+    while (!ok(last) && System.nanoTime() < deadline) {
+      Thread.sleep(200)
+      last = read
+    }
+    last
+  }
+
   test("stream-stream interval join pipeline (MemoryStream end to end)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -27,9 +42,10 @@ class StreamingSpec extends AnyFunSuite {
       rates.addData("""{"exchangeRateTime": "2024-01-01T00:00:00Z", "currency": "EUR", "rate": 3}""")
       orders.addData("""{"id": 7, "orderTime": "2024-01-01T00:00:02Z", "amount": 10, "currency": "EUR"}""")
       q.processAllAvailable()
-      val rows = spark.sql("SELECT value FROM enriched").as[String].collect()
-      assert(rows.exists(r => r.contains("\"id\":7") && r.contains("\"converted_amount\":30")),
-        s"expected enriched order, got ${rows.mkString("; ")}")
+      val hit = (rows: Array[String]) =>
+        rows.exists(r => r.contains("\"id\":7") && r.contains("\"converted_amount\":30"))
+      val rows = eventually(spark.sql("SELECT value FROM enriched").as[String].collect())(hit)
+      assert(hit(rows), s"expected enriched order, got ${rows.mkString("; ")}")
     } finally q.stop()
   }
 
@@ -968,6 +984,45 @@ class StreamingSpec extends AnyFunSuite {
       // MG undercount bound: n >= true - (total / capacity)
       assert(top(0).getLong(1) >= 120L - 220L / 4,
         s"undercount beyond the MG bound: ${top.toSeq}")
+    } finally q.stop()
+  }
+
+  test("streaming window top-k: post-close straggler cannot re-emit the window") {
+    import spark.implicits._
+    import graft.streaming.StreamingTopK
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StatefulOps.Evt]
+    val out = StreamingTopK.topKPerWindowStream(
+      in.toDF().select(col("ts"), col("user_id")),
+      "ts", "user_id", Duration.ofMinutes(10), Duration.ZERO, k = 2,
+      capacity = 16)
+    val q = out.writeStream.format("memory").queryName("wtopk_late")
+      .outputMode("append").start()
+    def closed() = spark.sql(
+        "SELECT key, n, rank FROM wtopk_late " +
+          "WHERE window_start = to_timestamp(600) ORDER BY rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    try {
+      // fill window [600, 1200), then close it with a watermark pusher
+      in.addData(StatefulOps.Evt(1, ts(610), 0), StatefulOps.Evt(1, ts(620), 0),
+        StatefulOps.Evt(2, ts(630), 0))
+      q.processAllAvailable()
+      in.addData(StatefulOps.Evt(9, ts(5000), 0))
+      q.processAllAvailable()
+      assert(closed() == Seq(("1", 2L, 1), ("2", 1L, 2)),
+        s"window should have emitted once: ${closed()}")
+      // a straggler for the CLOSED window: flatMapGroupsWithState does
+      // not auto-drop late rows, so without the explicit closed-window
+      // guard this recreates empty MG state whose clamped timeout
+      // (watermark+1) re-emits a second, undercounted top-k row set
+      in.addData(StatefulOps.Evt(3, ts(700), 0))
+      q.processAllAvailable()
+      // push the watermark further so any illegally-recreated state's
+      // timeout would fire now
+      in.addData(StatefulOps.Evt(9, ts(9000), 0))
+      q.processAllAvailable()
+      assert(closed() == Seq(("1", 2L, 1), ("2", 1L, 2)),
+        s"closed window re-emitted after a straggler: ${closed()}")
     } finally q.stop()
   }
 }
