@@ -1494,6 +1494,19 @@ object SparkEntry {
     "d14_substring_rm" -> ((s, dir) =>
       Dedup.removeDuplicateSpans(T(s, dir, "documents"), n = 8)
         .orderBy("doc_id")),
+    // d13 SERVED from the materialized gram-postings layout
+    // (sources.GramIndex) — substring dedup as index maintenance, the
+    // text-side twin of d16: the corpus is shingled ONCE at build
+    // (the tokenize+window+md5 CPU paid up front), each run is one
+    // hash aggregation + join-back over the postings. Same answer,
+    // different read path, so d13's oracle is shared verbatim.
+    "d17_substring_dup_index" -> ((s, dir) => {
+      val tmp = layoutDir("d17", dir)
+      graft.sources.GramIndex.build(T(s, dir, "documents"),
+        "doc_id", "text", tmp, n = 8)
+      graft.sources.GramIndex.dupStats(s, tmp)
+        .orderBy("doc_id")
+    }),
     // exact decontamination behind a broadcast Bloom prefilter: the
     // benchmark grams collapse into one bit array, corpus grams that
     // miss it never reach the shuffle, survivors exact-verify
@@ -2626,6 +2639,35 @@ object SparkEntry {
     // = distinct positions under the union of [pos, pos+8) intervals.
     // md5 strings and the double division are engine-identical.
     "d13_substring_dup" ->
+      """WITH spt AS (SELECT doc_id, list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'),
+        |    x -> x <> '') AS sp FROM documents),
+        |d AS (SELECT doc_id, sp, len(sp) AS ntok FROM spt
+        |  WHERE len(sp) >= 8),
+        |g AS (SELECT doc_id, ntok, unnest(list_transform(
+        |    generate_series(0, ntok - 8),
+        |    i -> {'pos': i, 'h': md5(array_to_string(sp[i+1:i+8], ' '))}))
+        |    AS u FROM d),
+        |gr AS (SELECT doc_id, ntok, u.pos AS pos, u.h AS h FROM g),
+        |dup AS (SELECT h FROM gr GROUP BY h
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |hits AS (SELECT gr.* FROM gr JOIN dup USING (h)),
+        |spans AS (SELECT doc_id, count(*) AS n_dup_spans FROM hits
+        |  GROUP BY 1),
+        |cov AS (SELECT doc_id, ntok, count(DISTINCT p) AS dup_tokens
+        |  FROM (SELECT doc_id, ntok,
+        |      unnest(generate_series(pos, pos + 7)) AS p FROM hits)
+        |  GROUP BY 1, 2)
+        |SELECT s.doc_id, CAST(n_dup_spans AS BIGINT) AS n_dup_spans,
+        |  CAST(dup_tokens AS BIGINT) AS dup_tokens,
+        |  CAST(ntok AS BIGINT) AS n_tokens,
+        |  CAST(dup_tokens AS DOUBLE) / ntok AS dup_frac
+        |FROM spans s JOIN cov USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // d17 serves d13's analysis from the materialized gram postings —
+    // the layout changes the read path, never the answer, so the
+    // oracle is d13's CTE chain verbatim
+    "d17_substring_dup_index" ->
       """WITH spt AS (SELECT doc_id, list_filter(
         |    string_split_regex(trim(lower(text)), '\s+'),
         |    x -> x <> '') AS sp FROM documents),

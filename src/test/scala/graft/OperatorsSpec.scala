@@ -1123,6 +1123,51 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Dedup.substringDupStats(docs, n = 12).count() == 0)
   }
 
+  test("gram index: served span stats == ad-hoc, append == rebuild, probe prunes") {
+    import graft.sources.GramIndex
+    val docs = sources.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val root = java.nio.file.Files.createTempDirectory("graft_gidx").toString
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    // served from the layout == the ad-hoc operator, byte for byte
+    GramIndex.build(docs, "doc_id", "text", s"$root/full", n = 8)
+    val served = rows(GramIndex.dupStats(spark, s"$root/full"))
+    val adhoc = rows(Dedup.substringDupStats(docs, n = 8))
+    assert(served == adhoc, "served stats must equal the ad-hoc analysis")
+    // incremental maintenance: build on half, append the rest, serve —
+    // identical to the full rebuild (the frozen width/bucketing makes
+    // appended grams land in the same buckets the full build uses)
+    GramIndex.build(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", s"$root/inc", n = 8)
+    GramIndex.append(docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", s"$root/inc")
+    assert(rows(GramIndex.dupStats(spark, s"$root/inc")) == adhoc,
+      "append + serve must equal the full rebuild")
+    // the probe partition-prunes: its scan carries a bucket filter and
+    // finds exactly the docs sharing >= 1 gram with the probe doc
+    val probe = docs.filter(col("doc_id") === 7).select("doc_id", "text")
+    val res = GramIndex.overlapProbe(spark, s"$root/full", probe,
+      "doc_id", "text")
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("bucket"), s"probe scan must filter buckets:\n$plan")
+    // reference: distinct shared 8-gram hashes per partner doc
+    val sp8 = (t: String) => t.trim.toLowerCase.split("\\s+")
+      .filter(_.nonEmpty).sliding(8).filter(_.length == 8)
+      .map(_.mkString(" ")).toSet
+    val probeText = probe.head.getString(1)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val probeGrams = sp8(probeText).map(md5hex)
+    val want = docs.filter(col("doc_id") =!= 7).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        sp8(r.getString(1)).map(md5hex).count(probeGrams.contains))
+      .filter(_._2 > 0).toMap
+    val got = res.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("n_overlap").toInt).toMap
+    assert(got == want, s"probe overlap mismatch: got=$got want=$want")
+  }
+
   test("substring-span removal: canonical copy keeps, others cut") {
     val passage = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo"
     val docs = Seq(

@@ -987,6 +987,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("kafka connector boundary: exact options and schema contract") {
+    // the real connector jar is environmentally absent (offline
+    // sandbox); the service-registered KafkaProbeSource stands in at
+    // the SAME lookup seam, so this spec pins everything on our side
+    // of it: the exact options OrderEnrichmentJob passes, the
+    // connector's fixed read schema resolving through the pipeline's
+    // projection, and the composed streaming plan analyzing cleanly.
+    // A real deployment changes nothing but the jar on the classpath.
+    KafkaProbeSource.captured = Map.empty
+    val conf = OrderEnrichmentJob.KafkaSource(
+      "broker1:9092,broker2:9092", "flinkjoin-order")
+    val orders = OrderEnrichmentJob.source(spark, conf)
+    // resolution happened at load(): the probe holds the exact options
+    val got = KafkaProbeSource.captured.map { case (k, v) =>
+      k.toLowerCase -> v }
+    assert(got.get("kafka.bootstrap.servers")
+        .contains("broker1:9092,broker2:9092"), s"options: $got")
+    assert(got.get("subscribe").contains("flinkjoin-order"), s"options: $got")
+    assert(got.get("startingoffsets").contains("earliest"), s"options: $got")
+    // the kafka frame (key/value binary, topic, partition, ...) must
+    // reduce to the pipeline's one-column JSON-lines contract
+    assert(orders.isStreaming)
+    assert(orders.schema.map(f => (f.name, f.dataType.typeName)) ==
+      Seq(("value", "string")), s"schema: ${orders.schema}")
+    // and the full reference pipeline composes over two kafka sources
+    val rates = OrderEnrichmentJob.source(spark,
+      conf.copy(topic = "flinkjoin-exchangerate"))
+    val out = OrderEnrichmentJob.pipeline(orders, rates,
+      Duration.ofSeconds(5))
+    assert(out.isStreaming &&
+      out.schema.map(_.name) == Seq("value"), s"pipeline: ${out.schema}")
+  }
+
   test("streaming window top-k: post-close straggler cannot re-emit the window") {
     import spark.implicits._
     import graft.streaming.StreamingTopK
