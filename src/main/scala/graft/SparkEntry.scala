@@ -544,6 +544,15 @@ object SparkEntry {
       Graph.pageRank(triangleEdges(T(s, dir, "lineitem")), "src", "dst",
           iterations = 4, conserveDangling = true)
         .orderBy("node")),
+    // deterministic label-propagation communities: most-frequent
+    // neighbor label, ties to the smallest (vanilla LPA's random
+    // tie-break replaced by the determinism discipline so the oracle
+    // replays all rounds); per round one count agg + one struct-max
+    // argmax, no window sort
+    "g8_label_prop" -> ((s, dir) =>
+      Graph.labelPropagation(triangleEdges(T(s, dir, "lineitem")),
+          "src", "dst", rounds = 3)
+        .orderBy("node")),
     "q15_having_subquery" -> ((s, dir) => {
       val c = T(s, dir, "customer"); val n = T(s, dir, "nation")
       val j = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
@@ -1427,6 +1436,14 @@ object SparkEntry {
       Similarity.mmrDiversifyTopK(q, emb, k = 5, candidates = 20)
         .orderBy("query_id", "pick")
     }),
+    // PRINCIPAL DIRECTION by deterministic fixed-point power iteration
+    // (the PCA/whitening/ABTT front door): (QᵀQ)v per round as two
+    // passes — map-only dots with v as a literal, then a posexplode +
+    // per-dim partial-agg (the shuffle carries ≤ partitions×dim rows)
+    // — all exact BIGINT, so the oracle unrolls every round
+    "s23_pca_power" -> ((s, dir) =>
+      Pca.principalDirection(T(s, dir, "embeddings"), iterations = 3)
+        .orderBy("dim")),
     // Johnson-Lindenstrauss sketch-and-refine ANN: 64 float dims
     // shrink to 16 exact-integer dims via an md5-derived ±1 sign
     // matrix (fixed-point quantize FIRST, so projections are integer
@@ -1660,6 +1677,30 @@ object SparkEntry {
       val m = FileManifest.buildManifest(s, s"$tmp/t", "user_id")
       val m2 = FileManifest.deleteRange(s, m, "user_id", 10L, 30L, s"$tmp/rw")
       FileManifest.readAll(s, m2)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("total_value"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("event_id")).as("sum_ids"))
+        .orderBy("event_type")
+    }),
+    // MERGE-ON-READ DELETE — the other side of the Iceberg-v2 design
+    // axis from f6's copy-on-write: the delete writes ONE tiny
+    // equality-delete sidecar (O(keys) IO, independent of table
+    // size), reads anti-join it until compaction folds it in. Same
+    // final relation as f6, so the oracle is shared shape-for-shape;
+    // the spec additionally pins MoR == CoW, zero data-file IO at
+    // delete time, and compaction rewriting only intersecting files.
+    "f13_delete_mor" -> ((s, dir) => {
+      val tmp = layoutDir("f13", dir)
+      val ev = T(s, dir, "events")
+      FileManifest.writeLayout(ev, s"$tmp/t", "user_id", 16)
+      val m = FileManifest.buildManifest(s, s"$tmp/t", "user_id")
+      val keys = ev.where(col("user_id").between(10, 30))
+        .select("user_id").distinct()
+      val mor = FileManifest.deleteKeysMoR(s,
+        FileManifest.MorTable("user_id", m, Nil), keys, s"$tmp/del")
+      FileManifest.readMoR(s, mor)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),
           dsum(col("value")).as("total_value"),
@@ -2245,6 +2286,8 @@ object SparkEntry {
     "g7_pagerank_conserve" ->
       operators.Graph.pageRankOracleSql(triangleEdgesSql, iterations = 4,
         conserveDangling = true),
+    "g8_label_prop" ->
+      operators.Graph.labelPropOracleSql(triangleEdgesSql, rounds = 3),
     "g6_sssp" ->
       operators.Graph.ssspOracleSql(weightedEdgesSql, sources = Seq(0L),
         rounds = 4),
@@ -2552,6 +2595,10 @@ object SparkEntry {
     // reduces the composed IVF-PQ pipeline to exact top-k, so the
     // brute-force SQL is the precise mirror
     "s10_kmeans" -> kmeansOracleSql,
+    // s23: the power-iteration rounds replay CTE by CTE — same
+    // quantization, same floor divisions, same rescale max
+    "s23_pca_power" ->
+      operators.Pca.principalDirectionOracleSql(dim = 64, iterations = 3),
     // s11: the same 2-iteration Lloyd mirror, seeded by the replayed
     // farthest-point greedy chain instead of first-k-by-id
     "s11_kmeans_pp" ->
@@ -3434,6 +3481,16 @@ object SparkEntry {
     // f6/f7: the DML oracles ignore the file layout entirely — a
     // pruned-rewrite delete/update must equal the full-scan form
     "f6_delete_cow" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_ids
+        |FROM events WHERE user_id NOT BETWEEN 10 AND 30
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // f13: equality-deleting every key present in [10, 30] is the same
+    // relation as f6's range delete — the read path (anti-join vs
+    // rewrite) is the axis under test, never the answer
+    "f13_delete_mor" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,

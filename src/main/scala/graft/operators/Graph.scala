@@ -356,6 +356,90 @@ object Graph {
     sb.toString
   }
 
+  /** COMMUNITY DETECTION by deterministic LABEL PROPAGATION over the
+    * undirected simple graph (self-loops dropped, directions
+    * collapsed): every node starts labeled with its own id; each
+    * round every node adopts the label most frequent among its
+    * neighbors, ties broken toward the SMALLEST label (the
+    * determinism discipline — vanilla LPA breaks ties randomly, which
+    * no oracle could replay); isolated nodes keep their label. The
+    * output is DEFINED as the labels after exactly `rounds` rounds —
+    * a pure function of the edge set the oracle unrolls round by
+    * round — and on most graphs propagation stabilizes within a
+    * handful of rounds (`earlyExit` stops at a fixed point, equal to
+    * the fixed-round unroll by the usual no-op argument).
+    *
+    * Plan per round: ONE count aggregation over neighbor labels (the
+    * frontier⋈edges join co-partitions against the persisted
+    * both-orientations edge list) + one per-node argmax via a struct
+    * max — (count, −label) lexicographic, so "most frequent, then
+    * smallest" is a single mergeable aggregate, no window sort. Label
+    * state is localCheckpoint'ed; lineage stays O(1).
+    *
+    * @return (node BIGINT, label BIGINT) — community = shared label. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int, earlyExit: Boolean = false): DataFrame = {
+    require(rounds >= 1)
+    val und = normalize(edges, srcCol, dstCol)
+      .where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val ue = und.select(col("a").as("src"), col("b").as("dst"))
+      .union(und.select(col("b").as("src"), col("a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = ue.select(col("src").as("node")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (round < rounds && !converged) {
+      round += 1
+      val cnt = ue.join(labels, ue("src") === labels("node"))
+        .groupBy(ue("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val best = cnt.groupBy("node")
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("blabel"))
+      val next = labels.join(best, Seq("node"), "left")
+        .select(col("node"), coalesce(col("blabel"), col("label")).as("label"))
+        .localCheckpoint(true)
+      if (earlyExit && round < rounds) {
+        converged = next.as("x")
+          .join(labels.as("y"), "node")
+          .where(col("x.label") =!= col("y.label"))
+          .limit(1).isEmpty
+      }
+      labels = next
+    }
+    ue.unpersist(); nodes.unpersist()
+    labels
+  }
+
+  /** The unrolled DuckDB mirror of [[labelPropagation]]. */
+  def labelPropOracleSql(edgesSql: String, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH e0 AS ($edgesSql),\n")
+    sb.append("u AS (SELECT DISTINCT least(src, dst) AS a, " +
+      "greatest(src, dst) AS b FROM e0 WHERE src <> dst),\n")
+    sb.append("ue AS (SELECT a AS src, b AS dst FROM u " +
+      "UNION ALL SELECT b, a FROM u),\n")
+    sb.append("l0 AS (SELECT DISTINCT src AS node, src AS label FROM ue)")
+    for (i <- 1 to rounds) {
+      sb.append(s""",
+        |c$i AS (SELECT e.dst AS node, l.label, count(*) AS c
+        |  FROM ue e JOIN l${i - 1} l ON l.node = e.src GROUP BY 1, 2),
+        |b$i AS (SELECT node, label FROM (
+        |  SELECT node, label, row_number() OVER (PARTITION BY node
+        |    ORDER BY c DESC, label ASC) AS r FROM c$i) WHERE r = 1),
+        |l$i AS (SELECT l.node, coalesce(b.label, l.label) AS label
+        |  FROM l${i - 1} l LEFT JOIN b$i b USING (node))""".stripMargin)
+    }
+    sb.append(s"\nSELECT node, label FROM l$rounds ORDER BY node")
+    sb.toString
+  }
+
   /** Per-node TRIANGLE counts over the undirected simple graph of
     * `edges` (self-loops dropped, directions collapsed) — the local
     * clustering signal behind community/quality analysis.

@@ -329,6 +329,101 @@ object FileManifest {
     spark.read.parquet(manifest.map(_.path): _*)
   }
 
+  /** A MERGE-ON-READ table: the data manifest plus equality-delete
+    * sidecar files (each a tiny parquet of deleted `column` keys) that
+    * readers subtract at scan time. The Iceberg-v2 design axis
+    * COPY-ON-WRITE ([[deleteRange]]: pay a pruned rewrite at delete
+    * time, reads stay plain) vs MERGE-ON-READ (pay O(deleted keys) IO
+    * at delete time — independent of table size, the latency a
+    * GDPR/CDC-heavy 100 TB table needs — and an anti-join at read
+    * time until compaction folds the deletes in). */
+  final case class MorTable(column: String, data: Seq[FileStats],
+      deleteFiles: Seq[String])
+
+  /** MERGE-ON-READ DELETE of the given keys: writes ONE equality-delete
+    * sidecar (O(keys) IO now; no data file is opened, let alone
+    * rewritten) and returns the table with the sidecar attached.
+    * Deleting keys absent from the data is a no-op by construction —
+    * the anti-join just finds nothing to drop. */
+  def deleteKeysMoR(spark: SparkSession, table: MorTable, keys: DataFrame,
+      deleteDir: String): MorTable = {
+    require(keys.columns.length == 1,
+      "delete keys frame must carry exactly the key column")
+    val dst = f"$deleteDir/eqdel_${table.deleteFiles.size}%05d"
+    keys.select(col(keys.columns.head).cast("long").as(table.column))
+      .distinct()
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(dst)
+    table.copy(deleteFiles = table.deleteFiles :+ dst)
+  }
+
+  /** Read a merge-on-read table: the plain data scan anti-joined
+    * against the (broadcast — deletes are tiny relative to data by
+    * design) union of equality-delete sidecars. Rows whose key is
+    * NULL never match an equality delete and pass through, matching
+    * SQL `NOT IN`-free delete semantics. */
+  def readMoR(spark: SparkSession, table: MorTable): DataFrame = {
+    val base = readAll(spark, table.data)
+    if (table.deleteFiles.isEmpty) base
+    else {
+      val dels = spark.read.parquet(table.deleteFiles: _*)
+        .select(col(table.column).as("__g_delkey")).distinct()
+      base.join(broadcast(dels),
+        base(table.column) === col("__g_delkey"), "left_anti")
+    }
+  }
+
+  /** COMPACTION for merge-on-read: fold the accumulated equality
+    * deletes into the data files — but ONLY the files whose [min, max]
+    * can contain a deleted key are rewritten (the manifest prunes the
+    * rewrite set exactly as it prunes reads); every other file's entry
+    * carries verbatim with zero IO. Returns a plain, delete-free
+    * table; the superseded originals and sidecars stay on disk for
+    * the caller's retention sweep (the grace discipline readers
+    * holding the old snapshot need). */
+  def applyDeletesMoR(spark: SparkSession, table: MorTable,
+      rewriteDir: String): MorTable = {
+    if (table.deleteFiles.isEmpty) return table
+    val delKeys = spark.read.parquet(table.deleteFiles: _*)
+      .select(col(table.column).as("__g_delkey")).distinct()
+    // bounded: equality-delete sidecars hold deleted KEYS (a CDC/GDPR
+    // batch), not table rows
+    val keys = delKeys.collect().map(_.getLong(0)).sorted
+    val (affected, untouched) = table.data.partition(f =>
+      keys.exists(k => k >= f.min && k <= f.max))
+    if (affected.isEmpty) return MorTable(table.column, table.data, Nil)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val jobs = affected.zipWithIndex.map { case (f, i) =>
+      Future {
+        val dst = f"$rewriteDir/mor_$i%05d"
+        val keep = udfFreeNotIn(spark.read.parquet(f.path), table.column, keys)
+        keep.coalesce(1)
+          .sortWithinPartitions(table.column)
+          .write.mode(SaveMode.Overwrite).parquet(dst)
+        dst
+      }
+    }
+    val dirs = Await.result(Future.sequence(jobs),
+      scala.concurrent.duration.Duration.Inf)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fresh = dirs.flatMap { d =>
+      val fs = new Path(d).getFileSystem(conf)
+      fs.listStatus(new Path(d)).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString)
+    }
+    val stats = statsFor(spark, fresh, Seq(table.column))
+      .map(_(table.column)).filter(_.rows > 0)
+    MorTable(table.column, (untouched ++ stats).sortBy(_.path), Nil)
+  }
+
+  /** `col NOT IN keys` (nulls kept) without a UDF: an `isin` under a
+    * negation keeps the filter codegen'd and pushable. */
+  private def udfFreeNotIn(df: DataFrame, column: String,
+      keys: Seq[Long]): DataFrame =
+    df.where(col(column).isNull || !col(column).isin(keys: _*))
+
   /** SCHEMA EVOLUTION at read time — zero rewrite. A column mapping
     * row is (logical name, physical candidates newest-first, default):
     * files written before an ADD lack the column (read as null →

@@ -256,6 +256,47 @@ class PlanShapeSpec extends AnyFunSuite {
       gotN.getLong(2) == expN.getLong(2))
   }
 
+  test("merge-on-read delete: O(keys) now, anti-join reads, pruned compaction") {
+    import graft.sources.FileManifest
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mor").toString
+    val ev = Tables.load(spark, "/root/testdata/sf0.01", "events")
+    FileManifest.writeLayout(ev, s"$tmp/t", "user_id", 16)
+    val m = FileManifest.buildManifest(spark, s"$tmp/t", "user_id")
+    val keys = ev.where(col("user_id").between(10, 30))
+      .select("user_id").distinct()
+    val table0 = FileManifest.MorTable("user_id", m, Nil)
+    val mor = FileManifest.deleteKeysMoR(spark, table0, keys, s"$tmp/del")
+    // O(keys) now: the DATA manifest is untouched — no file rewritten,
+    // only the tiny sidecar appeared
+    assert(mor.data == m, "MoR delete must not touch data files")
+    assert(mor.deleteFiles.length == 1)
+    // the MoR read equals the copy-on-write rewrite, row for row
+    val cow = FileManifest.readAll(spark,
+      FileManifest.deleteRange(spark, m, "user_id", 10L, 30L, s"$tmp/cow"))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)), sum("event_id")).head
+    assert(key(FileManifest.readMoR(spark, mor)).toSeq ==
+      key(cow).toSeq, "MoR read != CoW result")
+    // compaction folds the deletes in, rewriting ONLY files whose
+    // [min,max] can hold a deleted key — the rest carry verbatim
+    val compacted = FileManifest.applyDeletesMoR(spark, mor, s"$tmp/rw")
+    assert(compacted.deleteFiles.isEmpty)
+    val carried = compacted.data.map(_.path).toSet intersect m.map(_.path).toSet
+    assert(carried.nonEmpty, "untouched files must carry verbatim")
+    assert(compacted.data.map(_.path).toSet != m.map(_.path).toSet,
+      "intersecting files must have been rewritten")
+    assert(key(FileManifest.readAll(spark, compacted.data)).toSeq ==
+      key(cow).toSeq, "post-compaction read changed the answer")
+    // deleting absent keys: a no-op at read time AND at compaction
+    import spark.implicits._
+    val ghost = FileManifest.deleteKeysMoR(spark, compacted,
+      Seq(99999L, 88888L).toDF("user_id"), s"$tmp/del2")
+    assert(key(FileManifest.readMoR(spark, ghost)).toSeq == key(cow).toSeq)
+    val ghostC = FileManifest.applyDeletesMoR(spark, ghost, s"$tmp/rw2")
+    assert(ghostC.data.map(_.path) == compacted.data.map(_.path),
+      "absent-key compaction must rewrite nothing")
+  }
+
   test("scd2: lag and lead share one shuffle and one sort") {
     val df = SparkEntry.queries("q28_scd2")(spark, dir)
     // the final orderBy adds a range-partition exchange; the history
