@@ -110,6 +110,8 @@ object SparkEntry {
   // JVM: the first entry to run pays the build, the rest read.
   private val sharedIdxMemo =
     scala.collection.concurrent.TrieMap.empty[String, String]
+  private val sharedGramMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
   private def sharedVectorIndex(s: SparkSession, dir: String): String =
     sharedIdxMemo.getOrElseUpdate(dir, {
       val emb = T(s, dir, "embeddings")
@@ -1444,6 +1446,18 @@ object SparkEntry {
     "s23_pca_power" -> ((s, dir) =>
       Pca.principalDirection(T(s, dir, "embeddings"), iterations = 3)
         .orderBy("dim")),
+    // ALL-BUT-THE-TOP retrieval (Mu & Viswanath '18): the corpus's
+    // dominant direction removed from corpus AND queries as an exact
+    // scaled integer residual (r = q·⟨v,v⟩ − ⟨q,v⟩·v — cosine is
+    // scale-invariant), then the s1 ranked cosine on residuals; scale
+    // 64 keeps the whole composition in exact 64-bit arithmetic
+    "s24_abtt_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Pca.abttTopK(q, emb, k = 5, iterations = 2)
+        .orderBy("query_id", "rank")
+    }),
     // Johnson-Lindenstrauss sketch-and-refine ANN: 64 float dims
     // shrink to 16 exact-integer dims via an md5-derived ±1 sign
     // matrix (fixed-point quantize FIRST, so projections are integer
@@ -1518,9 +1532,14 @@ object SparkEntry {
     // hash aggregation + join-back over the postings. Same answer,
     // different read path, so d13's oracle is shared verbatim.
     "d17_substring_dup_index" -> ((s, dir) => {
-      val tmp = layoutDir("d17", dir)
-      graft.sources.GramIndex.build(T(s, dir, "documents"),
-        "doc_id", "text", tmp, n = 8)
+      // build once per JVM per corpus (the index story: shingling is
+      // paid at build, every dedup run serves from the layout)
+      val tmp = sharedGramMemo.getOrElseUpdate(dir, {
+        val p = layoutDir("d17", dir)
+        graft.sources.GramIndex.build(T(s, dir, "documents"),
+          "doc_id", "text", p, n = 8)
+        p
+      })
       graft.sources.GramIndex.dupStats(s, tmp)
         .orderBy("doc_id")
     }),
@@ -2599,6 +2618,11 @@ object SparkEntry {
     // quantization, same floor divisions, same rescale max
     "s23_pca_power" ->
       operators.Pca.principalDirectionOracleSql(dim = 64, iterations = 3),
+    // s24: the s23 chain at (scale 64, 2 rounds) + exact-integer
+    // residuals + the s1-style ranked cosine — residual dots stay
+    // BIGINT-exact, the final divide is one IEEE op on both engines
+    "s24_abtt_topk" ->
+      operators.Pca.abttTopKOracleSql(dim = 64, iterations = 2, k = 5),
     // s11: the same 2-iteration Lloyd mirror, seeded by the replayed
     // farthest-point greedy chain instead of first-k-by-id
     "s11_kmeans_pp" ->

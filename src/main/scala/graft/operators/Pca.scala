@@ -89,10 +89,105 @@ object Pca {
       .toDF("dim", "v")
   }
 
-  /** The unrolled DuckDB mirror of [[principalDirection]]: every
-    * integer division runs on the ABSOLUTE value with the sign
-    * re-applied, so floor-vs-truncate ambiguity on negatives never
-    * arises — `//` there and `/` on Longs here agree exactly. */
+  /** TOP-DIRECTION REMOVAL + retrieval — the projection step of
+    * "All-but-the-Top" (Mu & Viswanath '18: common dominant
+    * directions carry corpus-frequency signal, not meaning; removing
+    * them measurably improves embedding isotropy and retrieval).
+    * Composes [[principalDirection]]: the corpus's dominant direction
+    * v is computed once, every vector (corpus AND queries) replaces
+    * itself with its EXACT scaled residual
+    *   r = q·⟨v,v⟩ − ⟨q,v⟩·v
+    * (the orthogonal projection times the positive scalar ⟨v,v⟩ —
+    * cosine is scale-invariant, so ranking on r equals ranking on the
+    * true residual while every component stays an exact BIGINT), and
+    * top-k cosine runs on the residuals with the s1 tie rules.
+    *
+    * `scale` defaults to 64 here — the value that keeps the WHOLE
+    * composition inside exact 64-bit arithmetic (|r| ≤ 2·dim·scale³,
+    * residual dots ≤ dim·|r|² < 2⁶³ at dim 64); the final cosine is
+    * one deterministic IEEE divide like every quantized-cosine op.
+    * Map-only after the direction: the residual projection and
+    * scoring add NO shuffle beyond the s1 two-stage top-k. */
+  def abttTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      iterations: Int, scale: Int = 64,
+      queryId: String = "query_id", queryVec: String = "query_vec",
+      corpusId: String = "vec_id", corpusVec: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vDir = principalDirection(corpus, iterations, scale,
+        vecCol = corpusVec)
+      .orderBy("dim").collect().map(_.getLong(1))
+    val vv = vDir.map(x => x * x).sum
+    val vLit = typedLit(vDir.toSeq)
+    def quant(c: Column) = transform(c.cast(ArrayType(DoubleType)),
+      x => floor(x * scale).cast("long"))
+    def residual(qc: Column): Column = {
+      val d = aggregate(zip_with(qc, vLit, _ * _), lit(0L), _ + _)
+      zip_with(qc, vLit, (q, v) => q * vv - d * v)
+    }
+    def dot(a: Column, b: Column) =
+      aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+    def sqnorm(a: Column) = aggregate(transform(a, x => x * x), lit(0L), _ + _)
+    val q = queries.select(col(queryId),
+        residual(quant(col(queryVec))).as("__qr"))
+      .withColumn("__qn", sqnorm(col("__qr")))
+    val c = corpus.select(col(corpusId).cast("long").as("vec_id"),
+        residual(quant(col(corpusVec))).as("__cr"))
+      .withColumn("__cn", sqnorm(col("__cr")))
+    val wl = Window.partitionBy(col(queryId), col("__g_pid"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    c.join(broadcast(q), col(queryId) =!= col("vec_id"))
+      .withColumn("sim", dot(col("__qr"), col("__cr")).cast("double") /
+        sqrt(col("__qn").cast("double") * col("__cn")))
+      .where(col("__qn") > 0 && col("__cn") > 0)
+      .withColumn("__g_pid", spark_partition_id())
+      .withColumn("__g_lc", row_number().over(wl))
+      .where(col("__g_lc") <= k)
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col(queryId), col("rank"), col("vec_id").as("neighbor_id"),
+        col("sim"))
+  }
+
+  /** The unrolled DuckDB mirror of [[abttTopK]]: the
+    * [[principalDirectionOracleSql]] chain at the same (scale,
+    * iterations), then the residual arithmetic and the s1-style
+    * ranked cosine — every residual component an exact BIGINT, the
+    * final divide one deterministic IEEE op. */
+  def abttTopKOracleSql(dim: Int, iterations: Int, k: Int,
+      scale: Int = 64, queryPred: String = "vec_id < 10"): String = {
+    // reuse the direction chain's CTEs (strip its trailing SELECT)
+    val dirSql = principalDirectionOracleSql(dim, iterations, scale)
+    val ctes = dirSql.substring(0, dirSql.lastIndexOf("\nSELECT"))
+    s"""$ctes,
+       |vvn AS (SELECT CAST(sum(v * v) AS BIGINT) AS vv
+       |  FROM v$iterations),
+       |dq AS (SELECT eq.vec_id,
+       |    CAST(sum(eq.qv * v.v) AS BIGINT) AS d
+       |  FROM eq JOIN v$iterations v USING (dim)
+       |  GROUP BY 1),
+       |r AS (SELECT eq.vec_id, eq.dim,
+       |    CAST(eq.qv * vvn.vv - dq.d * v.v AS BIGINT) AS rv
+       |  FROM eq JOIN dq USING (vec_id) JOIN v$iterations v USING (dim)
+       |  CROSS JOIN vvn),
+       |rn AS (SELECT vec_id, CAST(sum(rv * rv) AS BIGINT) AS n2
+       |  FROM r GROUP BY 1),
+       |qids AS (SELECT vec_id FROM embeddings WHERE $queryPred),
+       |ps AS (SELECT ra.vec_id AS qid, rb.vec_id AS cid,
+       |    CAST(sum(ra.rv * rb.rv) AS BIGINT) AS d
+       |  FROM r ra JOIN qids q ON q.vec_id = ra.vec_id
+       |  JOIN r rb ON rb.dim = ra.dim AND rb.vec_id <> ra.vec_id
+       |  GROUP BY 1, 2),
+       |s AS (SELECT p.qid AS query_id, p.cid AS vec_id,
+       |    CAST(p.d AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * nb.n2) AS sim
+       |  FROM ps p JOIN rn na ON na.vec_id = p.qid
+       |  JOIN rn nb ON nb.vec_id = p.cid
+       |  WHERE na.n2 > 0 AND nb.n2 > 0)
+       |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sim DESC, vec_id ASC) AS INT) AS "rank",
+       |  vec_id AS neighbor_id, sim
+       |FROM s QUALIFY "rank" <= $k ORDER BY query_id, "rank"""".stripMargin
+  }
   def principalDirectionOracleSql(dim: Int, iterations: Int,
       scale: Int = 1024, dotShift: Int = 0): String = {
     val sb = new StringBuilder

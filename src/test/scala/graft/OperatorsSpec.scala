@@ -1243,6 +1243,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(cos(vs, v3)) > 0.99)
   }
 
+  test("abtt: residuals exactly orthogonal to the removed direction") {
+    val emb = sources.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val res = Pca.abttTopK(q, emb, k = 5, iterations = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(res.length == 50, s"expected 10 queries x 5, got ${res.length}")
+    // deterministic under repartitioning (exact integer residuals,
+    // one IEEE divide)
+    val res2 = Pca.abttTopK(q, emb.repartition(7), k = 5, iterations = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(res.toSeq == res2.toSeq)
+    // the scaled residual r = q·⟨v,v⟩ − ⟨q,v⟩·v is orthogonal to v
+    // EXACTLY (⟨r,v⟩ = ⟨q,v⟩⟨v,v⟩ − ⟨q,v⟩⟨v,v⟩ = 0 in exact integers)
+    // — verify on the driver mirror of the same arithmetic
+    val v = Pca.principalDirection(emb, iterations = 2, scale = 64)
+      .orderBy("dim").collect().map(_.getLong(1))
+    val vv = v.map(x => x * x).sum
+    val rows = emb.limit(20).select("embedding").collect()
+      .map(_.getSeq[Float](0).map(x => math.floor(x * 64.0).toLong).toArray)
+    rows.foreach { qv =>
+      val d = qv.zip(v).map { case (a, b) => a * b }.sum
+      val r = qv.zip(v).map { case (a, b) => a * vv - d * b }
+      assert(r.zip(v).map { case (a, b) => a * b }.sum == 0L,
+        "residual not orthogonal to the removed direction")
+    }
+    // removing the dominant direction genuinely changes the ranking
+    // somewhere (the direction carried signal) while staying a valid
+    // top-k (scores in [-1, 1])
+    val plain = Similarity.bruteForceQuantizedTopK(q, emb, k = 5, scale = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(res.toSeq != plain.toSeq,
+      "ABTT ranking should differ from the raw ranking on this corpus")
+  }
+
   test("mmr diversify: first pick is top-1, redundancy is penalized") {
     val emb = sources.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
     val q = emb.filter(col("vec_id") < 6)
