@@ -114,6 +114,21 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, String]
   private val sharedDelIdxMemo =
     scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** q33's engine-portable recursive CTE: one SQL text, two engines
+    * (Spark runs it as the query, DuckDB as the oracle). Depth-bounded
+    * so UNION ALL path enumeration is finite on the cyclic graph. */
+  private val recursiveReachSql: String =
+    """WITH RECURSIVE e AS (SELECT DISTINCT
+      |    l_orderkey % 4096 AS src,
+      |    (l_partkey * 7 + l_suppkey) % 4096 AS dst FROM lineitem),
+      |r(node, dist) AS (
+      |  SELECT CAST(0 AS BIGINT) AS node, 0 AS dist
+      |  UNION ALL
+      |  SELECT e.dst AS node, r.dist + 1 AS dist
+      |  FROM r JOIN e ON e.src = r.node WHERE r.dist < 3)
+      |SELECT node, CAST(min(dist) AS INT) AS dist
+      |FROM r GROUP BY node ORDER BY node""".stripMargin
   private def sharedVectorIndex(s: SparkSession, dir: String): String =
     sharedIdxMemo.getOrElseUpdate(dir, {
       val emb = T(s, dir, "embeddings")
@@ -754,6 +769,17 @@ object SparkEntry {
     }),
 
     // correlated subquery through the SQL surface (Tables.registerAll)
+    // RECURSIVE CTE through the SQL surface (Spark 4's WITH RECURSIVE):
+    // depth-bounded reachability over the lineitem-derived graph,
+    // written once in engine-portable SQL — the SAME text runs in
+    // DuckDB as the oracle. Complements g1: there the ENGINE drives
+    // the iteration (the 100 TB path — checkpointed rounds, bounded
+    // lineage); here the planner's recursion operator is exercised,
+    // with the depth bound keeping path enumeration finite.
+    "q33_recursive_cte" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(recursiveReachSql)
+    }),
     "q24_correlated_subquery" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql("""
@@ -1539,6 +1565,15 @@ object SparkEntry {
     // (the tokenize+window+md5 CPU paid up front), each run is one
     // hash aggregation + join-back over the postings. Same answer,
     // different read path, so d13's oracle is shared verbatim.
+    // EXACT directional containment dedup — the mode Jaccard misses
+    // (a short doc embedded verbatim in a longer one): PPJoin-style
+    // rare-first prefixes on the contained side vs full postings,
+    // size-guarded, exact sorted-merge verify. Threshold 0.5 at
+    // 3-gram shingles surfaces the corpus's truncation-style dups.
+    "d18_containment" -> ((s, dir) =>
+      Dedup.containmentJoin(T(s, dir, "documents"), "doc_id", "text",
+          shingleWords = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b")),
     "d17_substring_dup_index" -> ((s, dir) => {
       // build once per JVM per corpus (the index story: shingling is
       // paid at build, every dedup run serves from the layout)
@@ -2371,6 +2406,9 @@ object SparkEntry {
         |    substring(b.text, 1, 80)) AS INT) AS edit_dist
         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
         |ORDER BY a.doc_id""".stripMargin,
+    // q33: the EXACT SAME SQL text the engine ran — one recursive CTE,
+    // two engines
+    "q33_recursive_cte" -> recursiveReachSql,
     "q24_correlated_subquery" ->
       """SELECT o_custkey, o_orderkey, o_totalprice
         |FROM orders o
@@ -2599,6 +2637,23 @@ object SparkEntry {
         |    AND a.n <= b.n * 2.0 AND b.n <= a.n * 2.0)
         |SELECT id_a, id_b, inter / (na + nb - inter) AS jaccard
         |FROM p WHERE inter / (na + nb - inter) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    // d18: the d4 string-set formulation with the DIRECTIONAL
+    // predicate — ordered pairs, |A∩B| / |A|, B-size guard mirrored
+    "d18_containment" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_distinct(CASE WHEN len(sp) < 3 THEN [array_to_string(sp, ' ')]
+        |    ELSE list_transform(generate_series(1, len(sp) - 2),
+        |      i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2]) END) AS sh
+        |  FROM (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS sp FROM documents)),
+        |ww AS (SELECT doc_id, sh, len(sh) AS n FROM w),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.sh, b.sh)) AS inter, a.n AS na
+        |  FROM ww a JOIN ww b ON a.doc_id <> b.doc_id
+        |    AND b.n >= CAST(ceil(0.5 * a.n) AS BIGINT))
+        |SELECT id_a, id_b, CAST(inter AS DOUBLE) / na AS containment
+        |FROM p WHERE CAST(inter AS DOUBLE) / na >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
     "d5_embed_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

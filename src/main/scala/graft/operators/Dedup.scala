@@ -306,6 +306,63 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** EXACT directional CONTAINMENT join — the dedup mode Jaccard
+    * misses: a wire story embedded verbatim in a longer article has
+    * C(A→B) = |shingles(A) ∩ shingles(B)| / |shingles(A)| ≈ 1 while
+    * the Jaccard is dragged down by the article's extra text, so d2/d4
+    * never pair them. Emits (id_a, id_b, containment) for every
+    * ORDERED pair with C(id_a → id_b) ≥ threshold (id_a is the
+    * contained side; a near-exact duplicate shows up in both
+    * directions).
+    *
+    * Scale shape — the PPJoin prefix discipline adapted to the
+    * directional predicate: shingles get the canonical
+    * (global-doc-frequency, hash) order, and a pair can reach overlap
+    * o = ceil(t·|A|) only if A's PREFIX of its |A|−o+1 RAREST
+    * shingles hits B somewhere (all-shared-in-the-suffix caps the
+    * overlap at o−1 — the usual prefix proof, valid for any canonical
+    * order). So the candidate join is A-prefixes (the (1−t) rarest
+    * fraction of each doc) against B's full posting list — rare-first
+    * ordering keeps those buckets thin exactly where hash-ordered
+    * prefixes would explode on a shared vocabulary. A size guard
+    * (|B| ≥ ceil(t·|A|) — B must be big enough to contain A's
+    * required overlap) prunes before the exact verify; the verify is
+    * one sorted-merge intersection per surviving candidate. Every
+    * stage is a shuffle equi-join/aggregation — nothing quadratic,
+    * nothing broadcast. */
+  def containmentJoin(df: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int = 3, threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0 && threshold <= 1)
+    import graft.functions.GraftFunctions.{shingle_hashes, sorted_intersect_count}
+    val base = df.select(col(idCol).as("id"),
+        shingle_hashes(col(textCol), shingleWords).as("shh"))
+      .withColumn("n", size(col("shh")))
+    val posts = base.select(col("id"), explode(col("shh")).as("h"))
+    val dfreq = posts.groupBy("h").agg(count(lit(1)).as("df"))
+    val ordered = posts.join(dfreq, "h")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
+      .join(base.select("id", "n"), "id")
+    val reqOverlap = ceil(lit(threshold) * col("n")).cast("long")
+    val prefixLen = (col("n") - reqOverlap + 1).cast("int")
+    val pfxA = ordered.select(col("id").as("id_a"), col("n").as("na"),
+      explode(slice(col("ord"), lit(1), prefixLen)).as("e"))
+      .select(col("id_a"), col("na"), col("e.h").as("ha"))
+    val postsB = base.select(col("id").as("id_b"), col("n").as("nb"),
+      explode(col("shh")).as("hb"))
+    val cand = pfxA.join(postsB,
+        col("ha") === col("hb") && col("id_a") =!= col("id_b") &&
+          col("nb") >= ceil(lit(threshold) * col("na")).cast("long"))
+      .select("id_a", "id_b", "na").dropDuplicates("id_a", "id_b")
+    cand
+      .join(base.select(col("id").as("id_a"), col("shh").as("shh_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("shh").as("shh_b")), "id_b")
+      .withColumn("inter", sorted_intersect_count(col("shh_a"), col("shh_b")))
+      .withColumn("containment", col("inter").cast("double") / col("na"))
+      .where(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+  }
+
   /** Cross-group content-overlap estimation: per-doc MinHash
     * signatures reduce (map-side partial, slot-wise min) to ONE
     * signature per group; pairwise slot agreement then estimates the

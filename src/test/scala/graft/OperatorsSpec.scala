@@ -1100,6 +1100,48 @@ class OperatorsSpec extends AnyFunSuite {
       s"expected 'dup' as top tf-idf term, got ${terms.toSeq}")
   }
 
+  test("containment join: embedded doc found in both the planted and corpus data") {
+    import graft.functions.GraftFunctions.{shingle_hashes, sorted_intersect_count}
+    // B embeds A verbatim inside extra text: C(A→B) ≈ 1 while the
+    // Jaccard is low — the pair d2/d4 structurally miss
+    val core = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val pad = (1 to 40).map(i => s"pad$i").mkString(" ")
+    val docs = Seq(
+      (1L, core),
+      (2L, s"$pad $core"),
+      (3L, "completely different text with enough tokens to shingle properly here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentJoin(docs, "doc_id", "text",
+        shingleWords = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.exists(p => p._1 == 1L && p._2 == 2L && p._3 >= 0.99),
+      s"embedded doc not found: ${got.toSeq}")
+    assert(!got.exists(p => p._1 == 2L && p._2 == 1L),
+      s"the big doc is NOT contained in the small one: ${got.toSeq}")
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
+    // ...and the Jaccard join indeed misses the pair at the same bar
+    assert(Dedup.jaccardJoinPrefixRare(docs, "doc_id", "text", 3, 0.8).isEmpty)
+    // prefix-filtered == naive all-pairs on real corpus data (the
+    // prefix must lose nothing, invent nothing)
+    val corpus = sources.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fast = key(Dedup.containmentJoin(corpus, "doc_id", "text", 3, 0.5))
+    val base = corpus.select(col("doc_id").as("id"),
+        shingle_hashes(col("text"), 3).as("shh"))
+      .withColumn("n", size(col("shh")))
+    val naive = key(base.as("a").alias("a")
+      .select(col("id").as("id_a"), col("shh").as("sa"), col("n").as("na"))
+      .join(base.select(col("id").as("id_b"), col("shh").as("sb")),
+        col("id_a") =!= col("id_b"))
+      .withColumn("containment",
+        sorted_intersect_count(col("sa"), col("sb")).cast("double") / col("na"))
+      .where(col("containment") >= 0.5)
+      .select("id_a", "id_b", "containment"))
+    assert(fast == naive, s"prefix filter diverged: ${fast.size} vs ${naive.size}")
+    assert(fast.nonEmpty, "corpus should contain containment pairs at 0.5")
+  }
+
   test("substring-span dup: planted shared passage found, counts exact") {
     // docs 1 and 2 share an 11-token passage (4 windows of 8 covering
     // all 11 tokens); doc 3 shares nothing 8 tokens long
