@@ -114,6 +114,8 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, String]
   private val sharedDelIdxMemo =
     scala.collection.concurrent.TrieMap.empty[String, String]
+  private val sharedTextIdxMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** q33's engine-portable recursive CTE: one SQL text, two engines
     * (Spark runs it as the query, DuckDB as the oracle). Depth-bounded
@@ -1260,6 +1262,30 @@ object SparkEntry {
     // BM25 query ids) by reciprocal-rank fusion. RRF contributions are
     // scaled by lcm(61..70) into exact BIGINTs, so the fused ranking
     // is bit-portable — no float summation anywhere in the fusion.
+    // the SERVING STACK composed (r8): hybrid retrieval with BOTH legs
+    // reading MATERIALIZED indexes — BM25 from the bucketed text index
+    // (term-pruned scan), ANN from the shared multi-tier vector index
+    // (cell-pruned scan at nprobe 2) — fused by exact-integer RRF. The
+    // production shape: indexes built once, every query serves from
+    // layouts; nothing here re-derives postings or re-trains cells.
+    "c3_hybrid_index" -> ((s, dir) => {
+      val tpath = sharedTextIdxMemo.getOrElseUpdate(dir, {
+        val p = layoutDir("c3_text", dir)
+        graft.sources.TextIndex.build(T(s, dir, "documents"), "doc_id",
+          "text", p, buckets = 32)
+        p
+      })
+      val lex = graft.sources.TextIndex.bm25TopK(s, tpath, bm25Queries, k = 10)
+      val emb = T(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id").isin(1, 2, 3))
+        .select(col("vec_id").cast("int").as("query_id"),
+          col("embedding").as("query_vec"))
+      val vec = graft.sources.VectorIndex.topK(s, sharedVectorIndex(s, dir),
+          qv, k = 10, nprobe = 2)
+        .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
+      TextRank.rrfFuse(Seq(lex, vec), k = 10)
+        .orderBy("query_id", "rank")
+    }),
     "x25_hybrid_rrf" -> ((s, dir) => {
       val lex = TextRank.bm25TopK(T(s, dir, "documents"), bm25Queries,
         k = 10)
@@ -2711,6 +2737,7 @@ object SparkEntry {
     // s22 likewise: lossless SQ staging + exact re-rank = s15 verbatim
     "s22_vector_index_sq" -> ivfBalancedOracleSql,
     "d16_semantic_dedup_index" -> d16OracleSql,
+    "c3_hybrid_index" -> c3OracleSql,
     // s21: the filter restricts only the candidate set — probe
     // selection and scoring are s15's chain verbatim
     "s21_vector_index_filtered" ->
@@ -4037,6 +4064,67 @@ object SparkEntry {
        |  JOIN en eb ON eb.vec_id = bb.vec_id)
        |SELECT id_a, id_b, sim FROM pr WHERE sim >= 0.45
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** c3's mirror: the s15/s16 balanced-assignment chain + nprobe-2
+    * probe (the vector leg the shared index serves), the x25 lexical
+    * BM25 block (the text index is bit-equal to the ad-hoc scorer —
+    * x21's shared oracle), and the exact-integer RRF fusion tail. */
+  private def c3OracleSql: String =
+    s"""WITH ${kmeansBalancedCtes("CAST(ceil(count(*) / 8.0) AS BIGINT)")},
+       |hqn AS MATERIALIZED (SELECT CAST(vec_id AS INT) AS query_id,
+       |    q AS qq, na AS qna
+       |  FROM en WHERE vec_id IN (1, 2, 3)),
+       |hprb AS MATERIALIZED (SELECT query_id, qq, qna, cid FROM (
+       |  SELECT q.query_id, q.qq, q.qna, c.cid,
+       |      CAST(list_sum(list_transform(range(1, 65),
+       |        i -> q.qq[i] * c.c[i])) AS DOUBLE)
+       |      / sqrt(CAST(q.qna AS DOUBLE) * c.nc) AS cos
+       |    FROM hqn q CROSS JOIN cn c
+       |  QUALIFY row_number() OVER (PARTITION BY q.query_id
+       |    ORDER BY cos DESC, c.cid ASC) <= 2)),
+       |hcd AS (SELECT p.query_id, e.vec_id,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      i -> p.qq[i] * e.q[i])) AS DOUBLE)
+       |    / sqrt(CAST(p.qna AS DOUBLE) * e.na) AS sim
+       |  FROM hprb p JOIN accall a ON p.cid = a.cid
+       |    JOIN en e ON a.vec_id = e.vec_id
+       |  WHERE e.vec_id <> p.query_id),
+       |vec AS (SELECT query_id, vec_id AS doc_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS r
+       |  FROM hcd QUALIFY r <= 10),
+       |lxtok AS (SELECT doc_id,
+       |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+       |  FROM documents),
+       |lxt AS (SELECT doc_id, term FROM lxtok WHERE term <> ''),
+       |lxdl AS (SELECT doc_id, count(*) AS dl FROM lxt GROUP BY 1),
+       |lxst AS (SELECT count(*) AS n,
+       |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM lxdl),
+       |qt(query_id, term) AS (VALUES $bm25QueriesSqlValues),
+       |lxtf AS (SELECT doc_id, term, count(*) AS tf FROM lxt
+       |  WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+       |lxdfq AS (SELECT term, count(*) AS df FROM lxtf GROUP BY 1),
+       |lxsc AS (SELECT qt.query_id, lxtf.doc_id,
+       |    ln(1.0 + (lxst.n - lxdfq.df + 0.5) / (lxdfq.df + 0.5)) *
+       |      (lxtf.tf * 2.2) /
+       |      (lxtf.tf + 1.2 * (0.25 + 0.75 * lxdl.dl / lxst.avgdl)) AS s
+       |  FROM lxtf JOIN lxdfq USING (term) JOIN lxdl USING (doc_id)
+       |    JOIN qt USING (term) CROSS JOIN lxst),
+       |lxagg AS (SELECT query_id, doc_id, sum(s) AS score FROM lxsc
+       |  GROUP BY 1, 2),
+       |lex AS (SELECT query_id, doc_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS r
+       |  FROM lxagg QUALIFY r <= 10),
+       |uu AS (SELECT query_id, doc_id, r FROM lex
+       |  UNION ALL SELECT query_id, doc_id, r FROM vec),
+       |ff AS (SELECT query_id, doc_id,
+       |    sum(142813628717760 // (60 + r)) AS rrf_score,
+       |    count(*) AS n_lists FROM uu GROUP BY 1, 2)
+       |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf_score DESC, doc_id ASC) AS INT) AS "rank",
+       |  doc_id, CAST(rrf_score AS BIGINT) AS rrf_score,
+       |  CAST(n_lists AS BIGINT) AS n_lists
+       |FROM ff QUALIFY "rank" <= 10
+       |ORDER BY query_id, "rank"""".stripMargin
 
   /** s15's probe/search mirror with an optional extra search-side
     * candidate predicate — a post-build DELETE changes only the

@@ -179,7 +179,21 @@ object ScaleBench {
       "c1_curation_pipeline", "g5_kcore", "s22_vector_index_sq",
       "x29_sentence_chunk", "f12_orphan_gc", "c2_pit_features",
       "x30_dataset_card", "m3_audio_frames", "g6_sssp",
-      "d16_semantic_dedup_index")
+      "d16_semantic_dedup_index",
+      // r8: conserving PageRank adds one global agg per round (~f
+      // scan, scalar out); label propagation is one count-agg + one
+      // struct-max argmax per round over ~f edges; the gram index is
+      // build (~f gram rows, once per factor via the memo) + a
+      // term-frequency-shaped serve; MoR delete is layout write +
+      // O(keys) sidecar + a broadcast anti-join read (~f); PCA rounds
+      // are an ~f map pass + a 64-row shuffle each; ABTT adds a
+      // map-only residual projection to the fixed-queries top-k;
+      // containment is the PPJoin shape (salting keeps matches
+      // within-copy, so candidates ~f); the recursive CTE joins a
+      // bounded frontier with ~f edges per level
+      "g7_pagerank_conserve", "g8_label_prop", "d17_substring_dup_index",
+      "f13_delete_mor", "s23_pca_power", "s24_abtt_topk",
+      "d18_containment", "q33_recursive_cte")
       // x18/x19 are NOT here for x12's reason (salting renames their
       // literal terms) — the salted cases below measure real phrase/
       // proximity retrieval.
