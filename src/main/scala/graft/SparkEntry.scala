@@ -119,7 +119,13 @@ object SparkEntry {
 
   /** q33's engine-portable recursive CTE: one SQL text, two engines
     * (Spark runs it as the query, DuckDB as the oracle). Depth-bounded
-    * so UNION ALL path enumeration is finite on the cyclic graph. */
+    * to 2 hops: UNION ALL recursion enumerates WALKS, so the row count
+    * grows ~degree^depth — the honest reason the iterative operators
+    * (g1's frontier loop: distinct per round, checkpointed) are the
+    * 100 TB path and the planner's recursion is a SQL-surface feature
+    * for bounded expansions (Spark additionally enforces
+    * spark.sql.cteRecursionRowLimit, raised in the entry so the
+    * depth bound, not the safety valve, defines the result). */
   private val recursiveReachSql: String =
     """WITH RECURSIVE e AS (SELECT DISTINCT
       |    l_orderkey % 4096 AS src,
@@ -128,7 +134,7 @@ object SparkEntry {
       |  SELECT CAST(0 AS BIGINT) AS node, 0 AS dist
       |  UNION ALL
       |  SELECT e.dst AS node, r.dist + 1 AS dist
-      |  FROM r JOIN e ON e.src = r.node WHERE r.dist < 3)
+      |  FROM r JOIN e ON e.src = r.node WHERE r.dist < 2)
       |SELECT node, CAST(min(dist) AS INT) AS dist
       |FROM r GROUP BY node ORDER BY node""".stripMargin
   private def sharedVectorIndex(s: SparkSession, dir: String): String =
@@ -780,6 +786,9 @@ object SparkEntry {
     // with the depth bound keeping path enumeration finite.
     "q33_recursive_cte" -> ((s, dir) => {
       Tables.registerAll(s, dir)
+      // walks, not paths: degree^depth rows before the min-collapse —
+      // keep the safety valve above the depth bound's real row count
+      s.conf.set("spark.sql.cteRecursionRowLimit", (1 << 26).toString)
       s.sql(recursiveReachSql)
     }),
     "q24_correlated_subquery" -> ((s, dir) => {

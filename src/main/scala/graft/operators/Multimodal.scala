@@ -249,12 +249,17 @@ object Multimodal {
       pcm.map(_.n_samples), pcm.map(_.sample_sum), pcm.map(_.peak))
   }
 
-  /** The media feature pass as ONE declarative projection — no UDF, no
-    * mapPartitions, no driver involvement: every feature below is a
-    * codegen'd expression over the binary column, so Spark
-    * parallelizes across payloads and keeps whole-stage codegen (the
-    * m2/m3 discipline applied to the full container-sniffing pass).
-    * This retires the former `extractFeatures` mapPartitions path.
+  /** The media feature pass, fully declarative — no UDF, no
+    * mapPartitions, no driver involvement; retires the former
+    * `extractFeatures` mapPartitions path. Two declarative pieces:
+    * a HEADER projection (bounded per-row reads, however large the
+    * payload) and PATCH-SHAPED byte/PCM statistics (the m2
+    * discipline: payloads split into 64-byte patch rows, per-patch
+    * work over small local strings, partial-aggregated groupBy
+    * re-assembly — the byte work distributes across patch rows
+    * instead of serializing a whole payload onto one task, which is
+    * both the fast local shape, measured, and the right 100 TB shape
+    * under skewed payload sizes). Requires `idCol` unique per row.
     *
     * The container parsing is REAL and mirrors the JVM reference
     * parsers bit for bit (spec-asserted against [[imageDimensions]] /
@@ -283,9 +288,21 @@ object Multimodal {
   def mediaFeatures(media: DataFrame, idCol: String = "doc_id",
       mediaCol: String = "media", frames: Int = 4): DataFrame = {
     require(frames >= 1)
-    val m = col(mediaCol)
-    val blen = octet_length(m).cast("long")
-    val hx = hex(m)
+    // STAGED evaluation — the expression-tree discipline that makes
+    // this fast: (1) the payload's hex rides as its OWN column, so a
+    // byte read is one substr on an attribute instead of re-hexing
+    // the payload per read (interpreted lambda evaluation shares no
+    // subexpressions); (2) the JPEG/WAVE walk STRUCTS ride as their
+    // own columns, so the ~8 output features derive from two
+    // getFields instead of each re-running its walk. Catalyst keeps
+    // both stages: CollapseProject never inlines a non-cheap alias
+    // used more than once.
+    val m = col("__m")
+    val blen = col("__blen")
+    val hx = col("__hx")
+    val pre = media.select(col(idCol), col(mediaCol).as("__m"),
+      hex(col(mediaCol)).as("__hx"),
+      octet_length(col(mediaCol)).cast("long").as("__blen"))
     def b(p: Column): Column =
       conv(hx.substr((p * 2 - 1).cast("int"), lit(2)), 16, 10).cast("long")
     def u16be(p: Column): Column = b(p) * 256L + b(p + 1)
@@ -325,7 +342,7 @@ object Multimodal {
             struct(lit(-1L).as("off"), lit(-1L).as("sof")))
           .otherwise(stepped)
       })
-    val jpgSof = jpgWalk.getField("sof")
+    val jpgSof = col("__jw").getField("sof")
     val isJpg = isJpgSig && jpgSof =!= -1L
     val jpgW = u16be(jpgSof + 7)
     val jpgH = u16be(jpgSof + 5)
@@ -335,7 +352,7 @@ object Multimodal {
     val isRiff = blen >= 36L &&
       ascii4(lit(1)) === lit("RIFF".getBytes("US-ASCII")) &&
       ascii4(lit(9)) === lit("WAVE".getBytes("US-ASCII"))
-    val wavWalk = aggregate(
+    val wavWalkExpr = aggregate(
       sequence(lit(1), lit(16)),
       struct(lit(13L).as("off"), lit(-1L).as("fmtOff"),
         lit(-1L).as("dOff"), lit(-1L).as("dLen")),
@@ -354,9 +371,12 @@ object Multimodal {
             when(isData, off + 8).otherwise(acc.getField("dOff")).as("dOff"),
             when(isData, sz).otherwise(acc.getField("dLen")).as("dLen")))
       })
-    val fmtOff = wavWalk.getField("fmtOff")
-    val dOff = wavWalk.getField("dOff")
-    val dLen = wavWalk.getField("dLen")
+    // stage the walks once; everything below reads the struct columns
+    val wk = pre.select(col(idCol), m, hx, blen,
+      jpgWalk.as("__jw"), wavWalkExpr.as("__ww"))
+    val fmtOff = col("__ww").getField("fmtOff")
+    val dOff = col("__ww").getField("dOff")
+    val dLen = col("__ww").getField("dLen")
     val wFmtCode = u16le(fmtOff + 8)
     val wCh = u16le(fmtOff + 10)
     val wRate = u32le(fmtOff + 12)
@@ -366,41 +386,90 @@ object Multimodal {
     val durationMs =
       floor(dLen * 8000L / (wCh * wBits * wRate)).cast("long")
 
-    // ---- PCM-16 sample statistics off the data chunk (pcmStats)
+    // ---- PCM-16 window off the data chunk (pcmStats bounds)
     val pcmOk = audioOk && wFmtCode === 1L && wBits === 16L && dOff =!= -1L
     val avail = greatest(least(dLen, blen - dOff + 1), lit(0L))
     val nPairs = floor(avail / 2L).cast("long")
-    def sample(k: Column): Column = {
-      val v = b(dOff + k * 2 - 2) + b(dOff + k * 2 - 1) * 256L
-      when(v >= 32768L, v - 65536L).otherwise(v)
-    }
-    val pcmSum = when(nPairs < 1L, lit(0L)).otherwise(
-      aggregate(sequence(lit(1L), nPairs), lit(0L), (acc, k) => acc + sample(k)))
-    val pcmPeak = when(nPairs < 1L, lit(0L)).otherwise(
-      aggregate(sequence(lit(1L), nPairs), lit(0L),
-        (acc, k) => greatest(acc, abs(sample(k)))))
 
-    // ---- whole-payload byte statistics
-    val byteSum = when(blen < 1L, lit(0L)).otherwise(
-      aggregate(sequence(lit(1L), blen), lit(0L), (acc, i) => acc + b(i)))
-    val meanByte = when(blen < 1L, lit(0.0))
-      .otherwise(byteSum.cast("double") / blen)
-
-    media.select(
-      col(idCol),
-      blen.cast("int").as("byte_len"),
-      byteSum.as("byte_sum"),
-      meanByte.as("mean_byte"),
+    // ---- header pass: one projection per row — every read above is a
+    // BOUNDED number of fixed/walked offsets, so this stays cheap
+    // however large the payload. The id must be unique per row (the
+    // byte/PCM statistics re-join on it).
+    val hdr = wk.select(
+      col(idCol), m,
+      blen,
       when(isPng, "png").when(isJpg, "jpg").when(audioOk, "wav")
         .otherwise(lit(null).cast("string")).as("detected_fmt"),
       when(isPng, pngW).when(isJpg, jpgW).cast("int").as("width"),
       when(isPng, pngH).when(isJpg, jpgH).cast("int").as("height"),
       when(audioOk, wRate).cast("int").as("sample_rate"),
       when(audioOk, durationMs).as("duration_ms"),
-      when(pcmOk, nPairs).as("pcm_samples"),
-      when(pcmOk, pcmSum).as("pcm_sum"),
-      when(pcmOk, pcmPeak).cast("int").as("pcm_peak"),
-      lit(frames).as("n_frames"))
+      pcmOk.as("__pcm_ok"), dOff.as("__doff"), nPairs.as("__npairs"))
+
+    // ---- byte / PCM statistics in the PATCH-ROW shape (the measured-
+    // fast m2 discipline): whole-payload folds as one giant per-row
+    // expression evaluate interpreted and scan long strings from the
+    // start, so they are slow AND serialize a payload's work onto one
+    // task. Instead each payload splits into 64-byte patches (binary
+    // substr — an O(1) slice), per-patch work runs over a SMALL local
+    // hex string, and a partial-aggregated groupBy(id) re-assembles
+    // the totals — the work distributes across patch rows however
+    // skewed the payload sizes (measured: 5.2 s → ~patch cost for m1
+    // at sf0.1). 64 bytes = 32 whole PCM-16 samples, so no sample
+    // straddles a patch boundary.
+    def patchRows(src: DataFrame, payload: Column): DataFrame = {
+      val len = octet_length(payload)
+      val nPatch = ((len + 63) / lit(64)).cast("int")
+      src.where(len > 0)
+        .select(col(idCol), payload.as("__pl"),
+          posexplode(sequence(lit(0), nPatch - 1)).as(Seq("__pi", "__x")))
+        .select(col(idCol),
+          col("__pl").substr(col("__pi") * 64 + 1, lit(64)).as("__patch"))
+    }
+    val bhx = hex(col("__patch"))
+    val patchByteSum = aggregate(
+      transform(sequence(lit(1), octet_length(col("__patch"))),
+        i => conv(bhx.substr(i * 2 - 1, lit(2)), 16, 10).cast("long")),
+      lit(0L), _ + _)
+    val bstats = patchRows(hdr, col("__m"))
+      .select(col(idCol), patchByteSum.as("__ps"))
+      .groupBy(idCol).agg(sum("__ps").as("__byte_sum"))
+
+    val pcmSamples = transform(
+      sequence(lit(1), (octet_length(col("__patch")) / lit(2)).cast("int")),
+      i => {
+        val v = conv(bhx.substr(i * 4 - 3, lit(2)), 16, 10).cast("long") +
+          conv(bhx.substr(i * 4 - 1, lit(2)), 16, 10).cast("long") * 256L
+        when(v >= 32768L, v - 65536L).otherwise(v)
+      })
+    val pstats = patchRows(
+        hdr.where(col("__pcm_ok") && col("__npairs") > 0),
+        col("__m").substr(col("__doff").cast("int"),
+          (col("__npairs") * 2L).cast("int"))) // odd tail excluded
+      .select(col(idCol),
+        aggregate(pcmSamples, lit(0L), _ + _).as("__s"),
+        aggregate(pcmSamples, lit(0L), (a, x) => greatest(a, abs(x))).as("__p"))
+      .groupBy(idCol)
+      .agg(sum("__s").as("__pcm_sum"), max("__p").as("__pcm_peak"))
+
+    hdr.drop("__m")
+      .join(bstats, Seq(idCol), "left")
+      .join(pstats, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("__blen").cast("int").as("byte_len"),
+        coalesce(col("__byte_sum"), lit(0L)).as("byte_sum"),
+        when(col("__blen") < 1L, lit(0.0))
+          .otherwise(coalesce(col("__byte_sum"), lit(0L)).cast("double") /
+            col("__blen")).as("mean_byte"),
+        col("detected_fmt"), col("width"), col("height"),
+        col("sample_rate"), col("duration_ms"),
+        when(col("__pcm_ok"), col("__npairs")).as("pcm_samples"),
+        when(col("__pcm_ok"), coalesce(col("__pcm_sum"), lit(0L)))
+          .as("pcm_sum"),
+        when(col("__pcm_ok"), coalesce(col("__pcm_peak"), lit(0L)))
+          .cast("int").as("pcm_peak"),
+        lit(frames).as("n_frames"))
   }
 
   /** PATCH featurization of an opaque binary column — the plumbing
