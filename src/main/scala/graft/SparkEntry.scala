@@ -117,8 +117,9 @@ object SparkEntry {
   private val sharedTextIdxMemo =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  /** q33's engine-portable recursive CTE: one SQL text, two engines
-    * (Spark runs it as the query, DuckDB as the oracle). Depth-bounded
+  /** q33's oracle: the same recursion with the edge derivation
+    * inlined (the engine pre-materializes it as a view — an
+    * engine-side courtesy, not a semantics change). Depth-bounded
     * to 2 hops: UNION ALL recursion enumerates WALKS, so the row count
     * grows ~degree^depth — the honest reason the iterative operators
     * (g1's frontier loop: distinct per round, checkpointed) are the
@@ -789,7 +790,21 @@ object SparkEntry {
       // walks, not paths: degree^depth rows before the min-collapse —
       // keep the safety valve above the depth bound's real row count
       s.conf.set("spark.sql.cteRecursionRowLimit", (1 << 26).toString)
-      s.sql(recursiveReachSql)
+      // the recursion re-reads the edge relation at EVERY level;
+      // materialize the dedup once instead of re-distincting lineitem
+      // per step (the same engine-side courtesy the Graph operators
+      // get from their persisted edge relation — the oracle inlines
+      // the derivation, results identical)
+      graphEdges(T(s, dir, "lineitem")).distinct()
+        .localCheckpoint(true).createOrReplaceTempView("q33_edges")
+      s.sql(
+        """WITH RECURSIVE r(node, dist) AS (
+          |  SELECT CAST(0 AS BIGINT) AS node, 0 AS dist
+          |  UNION ALL
+          |  SELECT e.dst AS node, r.dist + 1 AS dist
+          |  FROM r JOIN q33_edges e ON e.src = r.node WHERE r.dist < 2)
+          |SELECT node, CAST(min(dist) AS INT) AS dist
+          |FROM r GROUP BY node ORDER BY node""".stripMargin)
     }),
     "q24_correlated_subquery" -> ((s, dir) => {
       Tables.registerAll(s, dir)

@@ -847,6 +847,38 @@ object FileManifest {
     loadVersion(spark, root, v)
   }
 
+  /** Committed versions with their commit timestamps (the atomic
+    * marker's filesystem mtime — the same convention Delta's
+    * TIMESTAMP AS OF resolves against), ascending by version. */
+  def versionHistory(spark: SparkSession, root: String): Seq[(Long, Long)] = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq
+      .flatMap(st => st.getPath.getName match {
+        case VersionMarker(n) => Some(n.toLong -> st.getModificationTime)
+        case _ => None
+      })
+      .sortBy(_._1)
+  }
+
+  /** TIME TRAVEL `AS OF` a timestamp: the newest version committed
+    * at-or-before `tsMillis` — the `TIMESTAMP AS OF` resolution rule
+    * (version time travel is [[loadVersion]]). Loud when the
+    * timestamp predates every commit: silently serving the oldest
+    * snapshot would claim history that never existed. Retention
+    * applies as everywhere — travel reaches only versions
+    * [[expireVersions]] kept. */
+  def loadAsOf(spark: SparkSession, root: String,
+      tsMillis: Long): PartitionedManifest = {
+    val h = versionHistory(spark, root)
+    require(h.nonEmpty, s"no committed catalog under $root")
+    val v = h.filter(_._2 <= tsMillis).map(_._1).maxOption.getOrElse(
+      sys.error(s"timestamp $tsMillis predates the first commit " +
+        s"(${h.head._2}) under $root"))
+    loadVersion(spark, root, v)
+  }
+
   /** ORPHAN-FILE GC — the Iceberg `remove_orphan_files` contract:
     * delete every parquet data file under `dataRoots` that NO
     * committed-and-retained catalog version references. Run it after

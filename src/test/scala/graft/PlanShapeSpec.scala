@@ -487,6 +487,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(FileManifest.loadLatest(spark, vroot) == pm2)
     assert(FileManifest.loadVersion(spark, vroot, 0L) == pm,
       "time travel must read the superseded catalog")
+    // TIMESTAMP AS OF: resolves against the atomic markers' commit
+    // times (newest version at-or-before the asked instant); a
+    // timestamp predating every commit is refused loudly
+    val hist = FileManifest.versionHistory(spark, vroot)
+    assert(hist.map(_._1) == Seq(0L, 1L), s"history: $hist")
+    assert(FileManifest.loadAsOf(spark, vroot, Long.MaxValue) == pm2)
+    assert(FileManifest.loadAsOf(spark, vroot, hist.last._2) == pm2)
+    val at0 = FileManifest.loadAsOf(spark, vroot, hist.head._2)
+    assert(at0 == (if (hist.last._2 <= hist.head._2) pm2 else pm),
+      "AS OF v0's commit instant must resolve to v0 (or a same-tick v1)")
+    val tooEarly = intercept[RuntimeException] {
+      FileManifest.loadAsOf(spark, vroot, hist.head._2 - 1)
+    }
+    assert(tooEarly.getMessage.contains("predates"))
     // a crashed commit (payload, no marker) is invisible
     FileManifest.savePartitioned(spark, pm, s"$vroot/v2")
     assert(FileManifest.latestVersion(spark, vroot).contains(1L),
