@@ -1530,6 +1530,18 @@ object SparkEntry {
     "s23_pca_power" -> ((s, dir) =>
       Pca.principalDirection(T(s, dir, "embeddings"), iterations = 3)
         .orderBy("dim")),
+    // EXACT maximum-inner-product top-k — the recommender-scoring
+    // ranking cosine ANN cannot serve (unnormalized: high-norm items
+    // legitimately win). Exact BIGINT dots, s1 reduction and tie
+    // rules; the IVF-served reduction (norm augmentation) is the
+    // spec'd scale path
+    "s25_mips" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.mipsTopK(q, emb, k = 5)
+        .orderBy("query_id", "rank")
+    }),
     // ALL-BUT-THE-TOP retrieval (Mu & Viswanath '18): the corpus's
     // dominant direction removed from corpus AND queries as an exact
     // scaled integer residual (r = q·⟨v,v⟩ − ⟨q,v⟩·v — cosine is
@@ -2731,6 +2743,21 @@ object SparkEntry {
     // quantization, same floor divisions, same rescale max
     "s23_pca_power" ->
       operators.Pca.principalDirectionOracleSql(dim = 64, iterations = 3),
+    // s25: exact quantized inner products — BIGINT scores hash-check
+    "s25_mips" ->
+      """WITH e AS (SELECT vec_id, list_transform(
+        |    CAST(embedding AS DOUBLE[]),
+        |    x -> CAST(floor(x * 1024) AS BIGINT)) AS q FROM embeddings),
+        |qn AS (SELECT vec_id AS query_id, q AS qq FROM e
+        |  WHERE vec_id < 10),
+        |s AS (SELECT qn.query_id, e.vec_id,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> qn.qq[i] * e.q[i])) AS BIGINT) AS ip
+        |  FROM qn CROSS JOIN e WHERE e.vec_id <> qn.query_id)
+        |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY ip DESC, vec_id ASC) AS INT) AS "rank",
+        |  vec_id AS neighbor_id, ip
+        |FROM s QUALIFY "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
     // s24: the s23 chain at (scale 64, 2 rounds) + exact-integer
     // residuals + the s1-style ranked cosine — residual dots stay
     // BIGINT-exact, the final divide is one IEEE op on both engines

@@ -47,6 +47,96 @@ object Similarity {
     * Identical results to ivfBalancedTopK at nprobe = clusters (the
     * candidate set is the whole corpus either way), which is what lets
     * the planner switch tiers without changing answer semantics. */
+  /** EXACT MAXIMUM-INNER-PRODUCT top-k (MIPS) — the recommender-
+    * scoring ranking (score = ⟨user, item⟩, UNNORMALIZED: a
+    * high-norm item legitimately outranks a near-parallel low-norm
+    * one, which is exactly what cosine ANN cannot serve; the spec
+    * proves the two rankings genuinely differ on the corpus).
+    * Quantized exact-integer dots, the s1 two-stage local-top-k
+    * reduction and tie rules ((ip desc, id asc)); `ip` is the exact
+    * BIGINT score, which is what lets the oracle hash-check it. */
+  def mipsTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      scale: Int = 1024, queryId: String = "query_id",
+      queryVec: String = "query_vec", corpusId: String = "vec_id",
+      corpusVec: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    def quant(c: Column) = transform(c.cast(ArrayType(DoubleType)),
+      x => floor(x * scale).cast("long"))
+    def dot(a: Column, b: Column) =
+      aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+    val q = queries.select(col(queryId), quant(col(queryVec)).as("__qq"))
+    val c = corpus.select(col(corpusId).cast("long").as("vec_id"),
+      quant(col(corpusVec)).as("__cq"))
+    val wl = Window.partitionBy(col(queryId), col("__g_pid"))
+      .orderBy(col("ip").desc, col("vec_id").asc)
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("ip").desc, col("vec_id").asc)
+    c.join(broadcast(q), col(queryId) =!= col("vec_id"))
+      .withColumn("ip", dot(col("__qq"), col("__cq")))
+      .withColumn("__g_pid", spark_partition_id())
+      .withColumn("__g_lc", row_number().over(wl))
+      .where(col("__g_lc") <= k)
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col(queryId), col("rank"), col("vec_id").as("neighbor_id"),
+        col("ip"))
+  }
+
+  /** MIPS served by the COSINE machinery via NORM AUGMENTATION
+    * (Bachrach et al. '14 / Neyshabur & Srebro '15): append ONE
+    * dimension a_x = √(M² − |x|²) to every corpus vector (M = the max
+    * corpus norm) and 0 to every query — augmented corpus norms are
+    * all M, so augmented-cosine ORDER equals inner-product ORDER and
+    * any cosine ANN index can serve MIPS. Candidates come from
+    * [[ivfBalancedTopK]] over the augmented vectors (capacity-bounded
+    * cells, the s15 probe discipline), then an EXACT integer-IP
+    * re-rank of just the candidates on the ORIGINAL vectors — so
+    * quantization error in the augmented dimension can stage but
+    * never mis-SCORE. At full probe with candidates ≥ the probed
+    * rows the staging is lossless and the result EQUALS [[mipsTopK]]
+    * (spec-asserted); pruned probes trade recall for the usual
+    * nprobe × capacity read bound (spec-measured). The max-norm M²
+    * is one bounded aggregate (a driver scalar). */
+  def mipsIvfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      clusters: Int, nprobe: Int, iterations: Int, capacity: Long,
+      maxRounds: Int = 8, scale: Int = 1024, candidates: Int = 50,
+      queryId: String = "query_id", queryVec: String = "query_vec",
+      corpusId: String = "vec_id", corpusVec: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    require(candidates >= k)
+    val cd = corpus.select(col(corpusId),
+        col(corpusVec).cast(ArrayType(DoubleType)).as("__v"))
+      .withColumn("__n2",
+        aggregate(transform(col("__v"), x => x * x), lit(0.0), _ + _))
+    val m2 = cd.agg(max("__n2")).head().getDouble(0)
+    val aug = cd.select(col(corpusId),
+      concat(col("__v"),
+        array(sqrt(greatest(lit(m2) - col("__n2"), lit(0.0)))))
+        .as(corpusVec))
+    val qaug = queries.select(col(queryId),
+      concat(col(queryVec).cast(ArrayType(DoubleType)), array(lit(0.0)))
+        .as(queryVec))
+    val cand = ivfBalancedTopK(qaug, aug, k = candidates,
+        clusters = clusters, nprobe = nprobe, iterations = iterations,
+        capacity = capacity, maxRounds = maxRounds, scale = scale,
+        candidates = candidates, queryId = queryId, queryVec = queryVec,
+        corpusId = corpusId, corpusVec = corpusVec)
+      .select(col(queryId), col("neighbor_id").as("vec_id"))
+    def quant(c: Column) = transform(c.cast(ArrayType(DoubleType)),
+      x => floor(x * scale).cast("long"))
+    def dot(a: Column, b: Column) =
+      aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+    val qq = queries.select(col(queryId), quant(col(queryVec)).as("__qq"))
+    val cc = corpus.select(col(corpusId).cast("long").as("vec_id"),
+      quant(col(corpusVec)).as("__cq"))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("ip").desc, col("vec_id").asc)
+    cand.join(cc, "vec_id").join(broadcast(qq), Seq(queryId))
+      .withColumn("ip", dot(col("__qq"), col("__cq")))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col(queryId), col("rank"), col("vec_id").as("neighbor_id"),
+        col("ip"))
+  }
+
   def bruteForceQuantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       scale: Int = 1024, queryId: String = "query_id",
       queryVec: String = "query_vec", corpusId: String = "vec_id",

@@ -204,8 +204,10 @@ object ScaleBench {
     // g3: replication DENSIFIES the fixed 4096-node hash graph (same
     // nodes, ~f× edges), so wedge work grows ~f² by construction —
     // the honest profile for triangle counting under densification
+    // s25: exact MIPS is s1's profile (fixed queries × growing corpus
+    // map work, two-stage reduction)
     val quadOps = Seq("d5_embed_neardup", "s1_ann_bruteforce",
-      "q32_range_join", "g3_triangles")
+      "q32_range_join", "g3_triangles", "s25_mips")
 
     // Candidate-stage scale check for the re-ranking ANN paths: a 10x
     // query batch (100 queries vs the SparkEntry entries' 10) over the

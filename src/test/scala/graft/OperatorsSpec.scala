@@ -1285,6 +1285,51 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(cos(vs, v3)) > 0.99)
   }
 
+  test("mips: IP ranking differs from cosine, augmented-IVF serves it exactly") {
+    val emb = sources.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val exact = rows(Similarity.mipsTopK(q, emb, k = 5))
+    assert(exact.length == 50)
+    // partition-invariant (exact integer dots, total tie order)
+    assert(exact == rows(Similarity.mipsTopK(q, emb.repartition(7), k = 5)))
+    // MIPS is NOT cosine — planted norms prove it: item 2 is item 1
+    // doubled (same direction), so cosine ties them (lower id wins)
+    // while MIPS must put the high-norm copy first
+    val pq = Seq((100L, Array.fill(64)(0.1f))).toDF("query_id", "query_vec")
+    val pc = Seq(
+      (1L, Array.fill(64)(0.1f)),
+      (2L, Array.fill(64)(0.2f)),
+      (3L, Array.tabulate(64)(i => if (i % 2 == 0) 0.1f else -0.1f))
+    ).toDF("vec_id", "embedding")
+    val mips1 = Similarity.mipsTopK(pq, pc, k = 2).orderBy("rank")
+      .collect().map(_.getLong(2)).toSeq
+    assert(mips1 == Seq(2L, 1L), s"MIPS must favor the high-norm copy: $mips1")
+    val cos1 = Similarity.bruteForceQuantizedTopK(pq, pc, k = 2).orderBy("rank")
+      .collect().map(_.getLong(2)).toSeq
+    assert(cos1 == Seq(1L, 2L), s"cosine ties resolve to the lower id: $cos1")
+    // the norm-augmentation reduction at FULL probe with a lossless
+    // candidate budget == exact MIPS, bit for bit (augmented cosine
+    // ORDER is IP order; the exact-IP re-rank removes augmentation
+    // quantization from the scores)
+    val n = emb.count()
+    val cap = math.ceil(n / 8.0).toLong
+    val full = rows(Similarity.mipsIvfTopK(q, emb, k = 5, clusters = 8,
+      nprobe = 8, iterations = 2, capacity = cap,
+      candidates = (8 * cap).toInt))
+    assert(full == exact, "full-probe augmented-IVF MIPS must be exact")
+    // pruned probes: the usual IVF recall trade, bounded
+    val pruned = rows(Similarity.mipsIvfTopK(q, emb, k = 5, clusters = 8,
+      nprobe = 2, iterations = 2, capacity = cap,
+      candidates = (2 * cap).toInt + 16))
+    val recall = pruned.map(t => (t._1, t._3)).toSet
+      .intersect(exact.map(t => (t._1, t._3)).toSet).size / 50.0
+    assert(recall >= 0.5, s"nprobe=2 recall too low: $recall")
+  }
+
   test("abtt: residuals exactly orthogonal to the removed direction") {
     val emb = sources.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
     val q = emb.filter(col("vec_id") < 10)
