@@ -116,8 +116,9 @@ object Graph {
     * losses left are the floor divisions — ≤ outdeg−1 units per
     * ranked node, ≤ 99 at the damping step, ≤ targets−1 at the
     * share split), still a deterministic pure-integer function the
-    * oracle unrolls. The aggregate is one job per round on the
-    * already-checkpointed ranks — a driver scalar, not driver state.
+    * oracle unrolls. The aggregate rides the round's own plan as a
+    * one-row cross join (the scalar-subquery shape): no extra action,
+    * no driver state — each conserving round is still a single job.
     *
     * With `earlyExit = true`, a round that changes no rank ends the
     * loop: the integer iteration is a pure function of the previous
@@ -160,20 +161,30 @@ object Graph {
       val inflow = eo.join(ranks, eo("src") === ranks("node"))
         .select(eo("dst"), expr("rank_u div outdeg").as("c"))
         .groupBy(col("dst").as("node")).agg(sum("c").as("inflow"))
-      val share: Column = if (conserveDangling) {
+      val withShare: DataFrame = if (conserveDangling) {
         // the mass sitting on sink nodes this round — one bounded
-        // global aggregate over the checkpointed ranks (a scalar to
-        // the driver, like AQE's own runtime stats; never row data)
-        val danglingSum = ranks
+        // global aggregate over the checkpointed ranks, carried as an
+        // IN-PLAN one-row cross join (the scalar-subquery shape) so
+        // each round stays a single job: no extra driver-side action,
+        // no extra lineage. `div` truncation == DuckDB `//` floor on
+        // these non-negative values.
+        val dang = ranks
           .join(outdeg.select(col("src").as("node")), Seq("node"), "left_anti")
-          .agg(coalesce(sum("rank_u"), lit(0L))).head().getLong(0)
-        val perTarget = (dampingPct * danglingSum) / 100L / nTargets
-        when(isSeed, lit(perTarget)).otherwise(lit(0L))
-      } else lit(0L)
-      val next = nodes.join(inflow, Seq("node"), "left")
+          .agg(coalesce(sum("rank_u"), lit(0L)).as("__dang"))
+        nodes.join(inflow, Seq("node"), "left").crossJoin(dang)
+          .withColumn("__share",
+            when(isSeed,
+              expr(s"(($dampingPct * __dang) div 100) div $nTargets"))
+              .otherwise(lit(0L)))
+      } else {
+        nodes.join(inflow, Seq("node"), "left")
+          .withColumn("__share", lit(0L))
+      }
+      val next = withShare
         .select(col("node"),
           (when(isSeed, base).otherwise(lit(0L)) +
-            expr(s"($dampingPct * coalesce(inflow, 0L)) div 100") + share)
+            expr(s"($dampingPct * coalesce(inflow, 0L)) div 100") +
+            col("__share"))
             .as("rank_u"))
         .localCheckpoint(true)
       if (earlyExit && round < iterations) {
