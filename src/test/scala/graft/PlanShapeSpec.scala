@@ -297,6 +297,54 @@ class PlanShapeSpec extends AnyFunSuite {
       "absent-key compaction must rewrite nothing")
   }
 
+  test("r8 plan shapes: containment stays equi-join, MoR reads broadcast-anti, gram serve reads postings only, MIPS broadcasts") {
+    // d18: candidate generation is a shuffle EQUI-join — a containment
+    // join that planned a nested-loop/cartesian would be quadratic
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val d18 = graft.operators.Dedup.containmentJoin(docs, "doc_id", "text",
+      shingleWords = 3, threshold = 0.5)
+    d18.count()
+    val p18 = plan(d18).toString
+    assert(!p18.contains("CartesianProduct") &&
+      !p18.contains("BroadcastNestedLoopJoin"),
+      s"containment join must stay an equi-join:\n$p18")
+    // f13: the merge-on-read read is a BROADCAST anti-join (the delete
+    // sidecar is tiny by design — a shuffled anti-join would move the
+    // table to subtract a handful of keys)
+    import graft.sources.FileManifest
+    val tmp = java.nio.file.Files.createTempDirectory("graft-morplan").toString
+    val ev = Tables.load(spark, "/root/testdata/sf0.01", "events")
+    FileManifest.writeLayout(ev, s"$tmp/t", "user_id", 8)
+    val mor = FileManifest.deleteKeysMoR(spark,
+      FileManifest.MorTable("user_id",
+        FileManifest.buildManifest(spark, s"$tmp/t", "user_id"), Nil),
+      ev.where(col("user_id").between(10, 30)).select("user_id").distinct(),
+      s"$tmp/del")
+    val rd = FileManifest.readMoR(spark, mor)
+    rd.count()
+    val pMor = plan(rd).toString
+    assert(pMor.contains("BroadcastHashJoin") && pMor.contains("LeftAnti"),
+      s"MoR read must broadcast-anti-join the delete keys:\n$pMor")
+    // d17: the served span stats read ONLY the postings columns — a
+    // ReadSchema carrying text would mean the layout re-derives grams
+    val gp = java.nio.file.Files.createTempDirectory("graft-gidxplan").toString
+    graft.sources.GramIndex.build(docs.limit(50), "doc_id", "text", gp, n = 8)
+    val served = graft.sources.GramIndex.dupStats(spark, gp)
+    val pServe = plan(served).toString
+    assert(pServe.contains("ReadSchema") && !pServe.contains("text"),
+      s"gram serve must read postings, never text:\n$pServe")
+    // s25: exact MIPS broadcasts the query side like s1 (corpus-sized
+    // side never shuffles for a fixed query batch)
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val mips = graft.operators.Similarity.mipsTopK(q, emb, k = 5)
+    mips.count()
+    assert(plan(mips).toString.contains("BroadcastNestedLoopJoin") ||
+      plan(mips).toString.contains("BroadcastHashJoin"),
+      s"MIPS must broadcast the query batch:\n${plan(mips)}")
+  }
+
   test("scd2: lag and lead share one shuffle and one sort") {
     val df = SparkEntry.queries("q28_scd2")(spark, dir)
     // the final orderBy adds a range-partition exchange; the history
