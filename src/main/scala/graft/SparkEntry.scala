@@ -138,6 +138,63 @@ object SparkEntry {
       |  FROM r JOIN e ON e.src = r.node WHERE r.dist < 2)
       |SELECT node, CAST(min(dist) AS INT) AS dist
       |FROM r GROUP BY node ORDER BY node""".stripMargin
+
+  /** Engine side of q33, depth-parameterized and STRUCTURALLY bounded.
+    * UNION ALL recursion enumerates WALKS, so worst-case rows across
+    * levels are Σ_{d≤depth} maxOutDeg^d; this derives the recursion
+    * row limit from the graph's ACTUAL max out-degree (one tiny agg
+    * over the already-checkpointed edges) instead of a hard-coded
+    * valve, and REFUSES depths whose walk bound exceeds the 2^26 cap,
+    * pointing the caller at [[graft.operators.Graph.bfs]] — the
+    * frontier iteration (distinct per round, checkpointed lineage) is
+    * the 100 TB traversal path; the planner's recursion is a
+    * SQL-surface feature for provably bounded expansions. The
+    * session's recursion-limit conf is saved and restored around the
+    * run, and the (≤ |V|-row) result is materialized inside the scope
+    * so the restore cannot affect execution. */
+  private[graft] def recursiveReach(s: SparkSession, dir: String,
+      depth: Int): DataFrame = {
+    Tables.registerAll(s, dir)
+    // the recursion re-reads the edge relation at EVERY level;
+    // materialize the dedup once instead of re-distincting lineitem
+    // per step (the same engine-side courtesy the Graph operators get
+    // from their persisted edge relation — the oracle inlines the
+    // derivation, results identical)
+    val edges = graphEdges(T(s, dir, "lineitem")).distinct()
+      .localCheckpoint(true)
+    edges.createOrReplaceTempView("q33_edges")
+    val maxDeg = math.max(1L, edges.groupBy("src").count()
+      .agg(max(col("count"))).head.getLong(0))
+    val walkBound = (0 to depth).map(d => BigInt(maxDeg).pow(d)).sum
+    val cap = BigInt(1) << 26
+    if (walkBound > cap)
+      throw new IllegalArgumentException(
+        s"recursive reachability at depth=$depth could enumerate up to " +
+          s"$walkBound walks (max out-degree $maxDeg, walk cap $cap): " +
+          "UNION ALL recursion enumerates walks, not frontiers — use " +
+          "graft.operators.Graph.bfs (checkpointed frontier iteration) " +
+          "for deep traversals")
+    val key = "spark.sql.cteRecursionRowLimit"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, walkBound.toString)
+    try {
+      s.sql(
+        s"""WITH RECURSIVE r(node, dist) AS (
+           |  SELECT CAST(0 AS BIGINT) AS node, 0 AS dist
+           |  UNION ALL
+           |  SELECT e.dst AS node, r.dist + 1 AS dist
+           |  FROM r JOIN q33_edges e ON e.src = r.node WHERE r.dist < $depth)
+           |SELECT node, CAST(min(dist) AS INT) AS dist
+           |FROM r GROUP BY node ORDER BY node""".stripMargin)
+        .localCheckpoint(true) // ≤ |V| rows; forces execution in-scope
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
+  }
+
   private def sharedVectorIndex(s: SparkSession, dir: String): String =
     sharedIdxMemo.getOrElseUpdate(dir, {
       val emb = T(s, dir, "embeddings")
@@ -785,27 +842,7 @@ object SparkEntry {
     // the iteration (the 100 TB path — checkpointed rounds, bounded
     // lineage); here the planner's recursion operator is exercised,
     // with the depth bound keeping path enumeration finite.
-    "q33_recursive_cte" -> ((s, dir) => {
-      Tables.registerAll(s, dir)
-      // walks, not paths: degree^depth rows before the min-collapse —
-      // keep the safety valve above the depth bound's real row count
-      s.conf.set("spark.sql.cteRecursionRowLimit", (1 << 26).toString)
-      // the recursion re-reads the edge relation at EVERY level;
-      // materialize the dedup once instead of re-distincting lineitem
-      // per step (the same engine-side courtesy the Graph operators
-      // get from their persisted edge relation — the oracle inlines
-      // the derivation, results identical)
-      graphEdges(T(s, dir, "lineitem")).distinct()
-        .localCheckpoint(true).createOrReplaceTempView("q33_edges")
-      s.sql(
-        """WITH RECURSIVE r(node, dist) AS (
-          |  SELECT CAST(0 AS BIGINT) AS node, 0 AS dist
-          |  UNION ALL
-          |  SELECT e.dst AS node, r.dist + 1 AS dist
-          |  FROM r JOIN q33_edges e ON e.src = r.node WHERE r.dist < 2)
-          |SELECT node, CAST(min(dist) AS INT) AS dist
-          |FROM r GROUP BY node ORDER BY node""".stripMargin)
-    }),
+    "q33_recursive_cte" -> ((s, dir) => recursiveReach(s, dir, depth = 2)),
     "q24_correlated_subquery" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql("""

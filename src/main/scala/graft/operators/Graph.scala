@@ -29,6 +29,66 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** The session's shuffle-partition count, for EXPLICIT repartitions
+    * of persisted edge relations: every round's frontier⋈edges join
+    * clusters on the edge's source endpoint, so the big cached side is
+    * hash-partitioned on that key ONCE at build — the per-round join
+    * then reuses the cached partitioning (InMemoryRelation/LogicalRDD
+    * preserve outputPartitioning) instead of re-Exchanging the big
+    * side every round once the state side stops broadcasting. The
+    * count is pinned explicitly because an AQE-coalesced shuffle could
+    * otherwise land on a partition count incompatible with the round
+    * join's, putting the per-round Exchange right back. */
+  private def shuffleParts(df: DataFrame): Int =
+    df.sparkSession.sessionState.conf.numShufflePartitions
+
+  /** Eager local checkpoint that KEEPS the executed plan's layout
+    * (see SparkShims.localCheckpointKeepingLayout): round state is
+    * usually already hash-partitioned on the next round's join key by
+    * the aggregation that produced it — preserving that fact is what
+    * lets a round run with ZERO exchanges on the cached edge side AND
+    * the state side. */
+  private def ckpt(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graftshim.SparkShims.localCheckpointKeepingLayout(df)
+
+  /** The once-per-run materialized state every rank-style iteration
+    * reads each round: node set (hash(node) — the round's inflow LEFT
+    * join key), out-degrees, and the outdeg-annotated edge relation
+    * (hash(src) — the round's rank-join key). Package-private so the
+    * plan spec can assert the round join reuses the CACHED
+    * partitioning instead of re-Exchanging the big edge side. */
+  private[graft] final case class RankGraph(nodes: DataFrame,
+      outdeg: DataFrame, eo: DataFrame)
+
+  private[graft] def buildRankGraph(edges: DataFrame, srcCol: String,
+      dstCol: String): RankGraph = {
+    val e = normalize(edges, srcCol, dstCol)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      // per-round: LEFT join with inflow (hash(node)) + the dangling
+      // anti-join — pin the cached partitioning to the round's key
+      .repartition(shuffleParts(e), col("node"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // out-degree rides on the edge row so the per-round join is single
+    val eo = e.join(outdeg, "src")
+      // explicit, AQE-proof hash(src): the build join may BROADCAST
+      // the outdeg side (leaving e's (src,dst) partitioning), but the
+      // per-round rank join clusters on src — partition once here so
+      // no round re-Exchanges the big edge side
+      .repartition(shuffleParts(e), col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    RankGraph(nodes, outdeg, eo)
+  }
+
+  /** One round's inflow: rank mass pushed along every edge, summed at
+    * the target — THE per-round shuffle of the whole family, shared
+    * verbatim by the operator loop and the plan spec. */
+  private[graft] def rankInflow(eo: DataFrame, ranks: DataFrame): DataFrame =
+    eo.join(ranks, eo("src") === ranks("node"))
+      .select(eo("dst"), expr("rank_u div outdeg").as("c"))
+      .groupBy(col("dst").as("node")).agg(sum("c").as("inflow"))
+
   /** Normalize an edge relation to distinct (src, dst) BIGINT pairs. */
   private def normalize(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
     edges.select(col(srcCol).cast("long").as("src"),
@@ -55,10 +115,11 @@ object Graph {
     val spark = edges.sparkSession
     import spark.implicits._
     require(sources.nonEmpty, "bfsDistances needs at least one source node")
-    val e = normalize(edges, srcCol, dstCol)
+    val e0 = normalize(edges, srcCol, dstCol)
+    val e = e0.repartition(shuffleParts(e0), col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var frontier = sources.distinct.toDF("node")
-      .withColumn("dist", lit(0)).localCheckpoint(true)
+      .withColumn("dist", lit(0)).transform(ckpt)
     var settled = frontier
     var depth = 0
     var exhausted = false
@@ -68,10 +129,10 @@ object Graph {
         .select(e("dst").as("node")).distinct()
         .join(settled.select("node"), Seq("node"), "left_anti")
         .withColumn("dist", lit(depth))
-        .localCheckpoint(true) // eager: materialized once, lineage flat
+        .transform(ckpt) // eager: materialized once, lineage flat
       if (next.isEmpty) exhausted = true
       else {
-        settled = settled.union(next).localCheckpoint(true)
+        settled = settled.union(next).transform(ckpt)
         frontier = next
       }
     }
@@ -135,14 +196,7 @@ object Graph {
       conserveDangling: Boolean = false,
       earlyExit: Boolean = false): DataFrame = {
     require(iterations >= 1 && dampingPct >= 0 && dampingPct <= 100)
-    val e = normalize(edges, srcCol, dstCol)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // out-degree rides on the edge row so the per-round join is single
-    val eo = e.join(outdeg, "src")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val RankGraph(nodes, outdeg, eo) = buildRankGraph(edges, srcCol, dstCol)
     val isSeed =
       if (sources.isEmpty) lit(true) else col("node").isin(sources: _*)
     val base = lit(((100L - dampingPct) * 1000000L) / 100L)
@@ -153,14 +207,12 @@ object Graph {
       else nodes.count()
     var ranks = nodes
       .withColumn("rank_u", when(isSeed, lit(1000000L)).otherwise(lit(0L)))
-      .localCheckpoint(true)
+      .transform(ckpt)
     var round = 0
     var converged = false
     while (round < iterations && !converged) {
       round += 1
-      val inflow = eo.join(ranks, eo("src") === ranks("node"))
-        .select(eo("dst"), expr("rank_u div outdeg").as("c"))
-        .groupBy(col("dst").as("node")).agg(sum("c").as("inflow"))
+      val inflow = rankInflow(eo, ranks)
       val withShare: DataFrame = if (conserveDangling) {
         // the mass sitting on sink nodes this round — one bounded
         // global aggregate over the checkpointed ranks, carried as an
@@ -186,7 +238,7 @@ object Graph {
             expr(s"($dampingPct * coalesce(inflow, 0L)) div 100") +
             col("__share"))
             .as("rank_u"))
-        .localCheckpoint(true)
+        .transform(ckpt)
       if (earlyExit && round < iterations) {
         // the integer iteration is a pure function of the previous
         // vector: once a round changes nothing, every later round is a
@@ -233,9 +285,12 @@ object Graph {
       .where(col("src").isNotNull && col("dst").isNotNull &&
         col("w").isNotNull)
       .groupBy("src", "dst").agg(min("w").as("w"))
+      // the min-collapse leaves hash(src,dst); the per-round
+      // relaxation joins on src alone — repartition once at build
+      .repartition(shuffleParts(edges), col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var dist = sources.distinct.toDF("node")
-      .withColumn("dist", lit(0L)).localCheckpoint(true)
+      .withColumn("dist", lit(0L)).transform(ckpt)
     var round = 0
     var converged = false
     while (round < rounds && !converged) {
@@ -244,7 +299,7 @@ object Graph {
         .select(e("dst").as("node"), (col("dist") + col("w")).as("dist"))
       val next = dist.union(cand)
         .groupBy("node").agg(min("dist").as("dist"))
-        .localCheckpoint(true)
+        .transform(ckpt)
       if (earlyExit && round < rounds) {
         // relaxation is min-monotone: a change is either a NEW node (an
         // improvement from +inf) or a smaller dist on a known one; if
@@ -316,7 +371,7 @@ object Graph {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
-      .localCheckpoint(true)
+      .transform(ckpt)
     var nEdges = if (earlyExit) und.count() else -1L
     var round = 0
     var converged = false
@@ -328,7 +383,7 @@ object Graph {
       und = und
         .join(keep.select(col("n").as("a")), "a")
         .join(keep.select(col("n").as("b")), "b")
-        .localCheckpoint(true)
+        .transform(ckpt)
       if (earlyExit && round < rounds) {
         // peeling is MONOTONE (survivor edges only shrink), so an
         // unchanged edge count means a fixed point — every later peel
@@ -398,11 +453,13 @@ object Graph {
       .distinct()
     val ue = und.select(col("a").as("src"), col("b").as("dst"))
       .union(und.select(col("b").as("src"), col("a").as("dst")))
+      // per-round neighbor-label count joins on src — pin hash(src)
+      .repartition(shuffleParts(edges), col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = ue.select(col("src").as("node")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = nodes.withColumn("label", col("node"))
-      .localCheckpoint(true)
+      .transform(ckpt)
     var round = 0
     var converged = false
     while (round < rounds && !converged) {
@@ -415,7 +472,7 @@ object Graph {
         .select(col("node"), (-col("m.nl")).as("blabel"))
       val next = labels.join(best, Seq("node"), "left")
         .select(col("node"), coalesce(col("blabel"), col("label")).as("label"))
-        .localCheckpoint(true)
+        .transform(ckpt)
       if (earlyExit && round < rounds) {
         converged = next.as("x")
           .join(labels.as("y"), "node")
@@ -481,7 +538,7 @@ object Graph {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
-      .localCheckpoint(true)
+      .transform(ckpt)
     val deg = und.select(col("a").as("n"))
       .union(und.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
@@ -501,8 +558,13 @@ object Graph {
       .select(col("u"), col("vkey").getField("id").as("v"),
         col("vkey").getField("d").as("dv"))
       // referenced three times below (both wedge sides + the close);
-      // materialize instead of recomputing the orient join per branch
-      .localCheckpoint(true)
+      // materialize instead of recomputing the orient join per branch.
+      // Partitioned on the wedge vertex so BOTH sides of the wedge
+      // self-join read the checkpoint co-partitioned (LogicalRDD
+      // preserves outputPartitioning) — the heaviest of the three
+      // shuffles disappears; only degree and close still exchange.
+      .repartition(shuffleParts(edges), col("u"))
+      .transform(ckpt)
     val e1 = eo.select(col("u"), col("v").as("x"), col("dv").as("dx"))
     val e2 = eo.select(col("u"), col("v").as("y"), col("dv").as("dy"))
     // wedges at u with (deg,id)(x) < (deg,id)(y): each unordered pair

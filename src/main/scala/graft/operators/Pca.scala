@@ -82,7 +82,11 @@ object Pca {
       val warr = (0 until dim).map(d => w.getOrElse(d, 0L)).toArray
       val m = warr.map(math.abs).max
       require(m > 0, "degenerate corpus: zero second moment")
-      v = warr.map(x => math.signum(x) * (math.abs(x) * scale / m))
+      // multiplyExact: the oracle's `//` rescale errors LOUDLY past
+      // 2^63 — silent JVM wrap here would diverge with wrong values
+      // instead of matching that failure mode (driver-side, dim-length)
+      v = warr.map(x =>
+        math.signum(x) * (Math.multiplyExact(math.abs(x), scale.toLong) / m))
     }
     v.zipWithIndex
       .map { case (x, d) => (d + 1, x) }.toSeq

@@ -31,6 +31,38 @@ object SparkShims {
   def drainListenerBus(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
 
+  /** `Dataset.localCheckpoint` drops the physical layout's
+    * partitioning at the LogicalRDD boundary when AQE is on (the
+    * adaptive root reports no outputPartitioning), so an iterative
+    * operator that checkpoints per-round state pays a re-Exchange of
+    * that state in the next round's join even though the rows already
+    * sit hash-partitioned on the join key. This mirrors the eager
+    * localCheckpoint but captures the FINAL adaptive plan's TRUE
+    * outputPartitioning and outputOrdering into the LogicalRDD —
+    * downstream joins/aggs on the same key then reuse the layout
+    * (including AQE's CoalescedHashPartitioning, which still
+    * satisfies the clustered distribution). The declared layout is
+    * read from the executed plan itself, never asserted, so it
+    * cannot misdescribe the rows. */
+  def localCheckpointKeepingLayout(
+      df0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val df = df0.asInstanceOf[org.apache.spark.sql.classic.DataFrame]
+    val spark = df.sparkSession
+    val qe = df.queryExecution
+    val rdd = qe.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    rdd.count() // eager, like localCheckpoint(true): lineage flattens NOW
+    val finalPlan = qe.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    org.apache.spark.sql.classic.Dataset.ofRows(spark,
+      org.apache.spark.sql.execution.LogicalRDD(
+        qe.analyzed.output, rdd, finalPlan.outputPartitioning,
+        finalPlan.outputOrdering, false, None)(spark).newInstance())
+  }
+
   /** Serializable wrapper for a Hadoop Configuration (the class Spark
     * itself ships to tasks that do filesystem work; it is
     * `private[spark]`, hence surfaced through this shim). */

@@ -349,11 +349,22 @@ object FileManifest {
       deleteDir: String): MorTable = {
     require(keys.columns.length == 1,
       "delete keys frame must carry exactly the key column")
-    val dst = f"$deleteDir/eqdel_${table.deleteFiles.size}%05d"
+    // Unique suffix: two deletes derived from the same MorTable value
+    // (branched snapshots, retried callers) must not silently clobber
+    // each other's sidecar — files are immutable and uniquely named,
+    // Iceberg-style; superseded ones are orphans for the retention
+    // sweep. ErrorIfExists turns any residual collision into a loud
+    // failure instead of lost deletes.
+    val dst = f"$deleteDir/eqdel_${table.deleteFiles.size}%05d_" +
+      java.util.UUID.randomUUID.toString.take(8)
     keys.select(col(keys.columns.head).cast("long").as(table.column))
+      // a NULL key can never equality-match a row (readMoR passes
+      // NULL-keyed rows through); keeping it would only NPE the
+      // compaction's key collect
+      .where(col(table.column).isNotNull)
       .distinct()
       .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(dst)
+      .write.mode(SaveMode.ErrorIfExists).parquet(dst)
     table.copy(deleteFiles = table.deleteFiles :+ dst)
   }
 
@@ -385,7 +396,11 @@ object FileManifest {
       rewriteDir: String): MorTable = {
     if (table.deleteFiles.isEmpty) return table
     val delKeys = spark.read.parquet(table.deleteFiles: _*)
-      .select(col(table.column).as("__g_delkey")).distinct()
+      .select(col(table.column).as("__g_delkey"))
+      // belt-and-braces vs sidecars written by older builds: a NULL
+      // key deletes nothing, so dropping it here preserves readMoR
+      .where(col("__g_delkey").isNotNull)
+      .distinct()
     // bounded: equality-delete sidecars hold deleted KEYS (a CDC/GDPR
     // batch), not table rows
     val keys = delKeys.collect().map(_.getLong(0)).sorted

@@ -35,6 +35,23 @@ class CoreSpec extends AnyFunSuite {
     }
   }
 
+  test("q33 recursion is structurally bounded: over-depth fails loudly") {
+    // depth 2 runs (the shipped entry), and restores the session valve
+    val key = "spark.sql.cteRecursionRowLimit"
+    val before = spark.conf.getOption(key)
+    assert(SparkEntry.recursiveReach(spark, dir, depth = 2).count() > 0)
+    assert(spark.conf.getOption(key) == before,
+      "recursion row-limit conf must be restored after the run")
+    // a depth whose walk bound (Σ maxDeg^d) exceeds the 2^26 cap must
+    // refuse BEFORE running, pointing at the frontier path — walks,
+    // not frontiers, is the scale-killer shape
+    val ex = intercept[IllegalArgumentException] {
+      SparkEntry.recursiveReach(spark, dir, depth = 64)
+    }
+    assert(ex.getMessage.contains("Graph.bfs"))
+    assert(spark.conf.getOption(key) == before)
+  }
+
   test("csv mirror round-trips documents exactly (quotes, commas, newlines)") {
     import org.apache.spark.sql.functions._
     val docs = graft.sources.Tables.load(spark, dir, "documents")

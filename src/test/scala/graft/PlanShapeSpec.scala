@@ -295,6 +295,78 @@ class PlanShapeSpec extends AnyFunSuite {
     val ghostC = FileManifest.applyDeletesMoR(spark, ghost, s"$tmp/rw2")
     assert(ghostC.data.map(_.path) == compacted.data.map(_.path),
       "absent-key compaction must rewrite nothing")
+    // NULL delete keys (e.g. a non-numeric source column cast away):
+    // a NULL can never equality-match, so it must be dropped at
+    // sidecar-write time — and compaction must not NPE on it
+    val nullKeys = Seq(Some(99999L), None, None).toDF("user_id")
+    val nullMor = FileManifest.deleteKeysMoR(spark, compacted, nullKeys,
+      s"$tmp/del3")
+    assert(spark.read.parquet(nullMor.deleteFiles.last)
+      .where(col("user_id").isNull).count() == 0,
+      "NULL keys must not reach the sidecar")
+    assert(key(FileManifest.readMoR(spark, nullMor)).toSeq == key(cow).toSeq)
+    val nullC = FileManifest.applyDeletesMoR(spark, nullMor, s"$tmp/rw3")
+    assert(key(FileManifest.readAll(spark, nullC.data)).toSeq ==
+      key(cow).toSeq, "null-key compaction changed the answer")
+    // two deletes derived from the SAME snapshot (branched/retried
+    // callers) must not clobber each other's sidecar
+    val b1 = FileManifest.deleteKeysMoR(spark, compacted,
+      Seq(40L).toDF("user_id"), s"$tmp/del4")
+    val b2 = FileManifest.deleteKeysMoR(spark, compacted,
+      Seq(41L).toDF("user_id"), s"$tmp/del4")
+    assert(b1.deleteFiles.last != b2.deleteFiles.last,
+      "branched deletes from one snapshot must get distinct sidecars")
+  }
+
+  test("graph round reuses cached edge partitioning: one shuffle per round, none above the edge cache") {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import graft.operators.Graph
+    def shuffles(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+      case q: QueryStageExec => shuffles(q.plan)
+      case e: ShuffleExchangeLike => 1 + e.children.map(shuffles).sum
+      case other => other.children.map(shuffles).sum
+    }
+    // a shuffle INSIDE the join's subtree = an input side re-Exchanged
+    // (the one legitimate exchange, the target-side agg, sits ABOVE)
+    def joinSubtreeShuffles(p: SparkPlan): Option[Int] = p match {
+      case a: AdaptiveSparkPlanExec => joinSubtreeShuffles(a.executedPlan)
+      case q: QueryStageExec => joinSubtreeShuffles(q.plan)
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+        Some(shuffles(j))
+      case other => other.children.flatMap(joinSubtreeShuffles(_)).headOption
+    }
+    def usesCache(p: SparkPlan): Boolean = p match {
+      case a: AdaptiveSparkPlanExec => usesCache(a.executedPlan)
+      case q: QueryStageExec => usesCache(q.plan)
+      case _: InMemoryTableScanExec => true
+      case other => other.children.exists(usesCache)
+    }
+    val li = Tables.load(spark, dir, "lineitem")
+    val edges = li.select((col("l_orderkey") % 512).as("src"),
+      ((col("l_partkey") * 7 + col("l_suppkey")) % 512).as("dst"))
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val g = Graph.buildRankGraph(edges, "src", "dst")
+      g.eo.count() // materialize the cache with its hash(src) layout
+      // the operator's EXACT round-state shape: init ranks from the
+      // cached (hash(node)) node set, layout-keeping eager checkpoint
+      val ranks = org.apache.spark.sql.graftshim.SparkShims
+        .localCheckpointKeepingLayout(
+          g.nodes.withColumn("rank_u", lit(1000000L)))
+      val inflow = Graph.rankInflow(g.eo, ranks)
+      inflow.collect() // finalize AQE
+      val p = plan(inflow)
+      assert(usesCache(p), s"round join must read the edge cache:\n$p")
+      assert(joinSubtreeShuffles(p).contains(0),
+        s"round join inputs re-Exchanged (cached hash(src) edge layout " +
+          s"or checkpointed hash(node) rank state not reused):\n$p")
+      assert(shuffles(p) == 1,
+        s"a round must cost exactly ONE shuffle (the target-side agg):\n$p")
+      g.nodes.unpersist(); g.eo.unpersist()
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
   }
 
   test("r8 plan shapes: containment stays equi-join, MoR reads broadcast-anti, gram serve reads postings only, MIPS broadcasts") {

@@ -56,6 +56,18 @@ class StreamingSpec extends AnyFunSuite {
       var rows = Array.empty[String]
       var attempt = 0
       while (attempt < 3 && !hit(rows)) {
+        if (attempt > 0) {
+          // a re-drive may only compensate for WITHHELD output (the
+          // no-data watermark batch racing processAllAvailable), never
+          // for lost input: if the prior feed's rows were not consumed
+          // at all, re-feeding would hide a source-side first-batch
+          // data-loss regression — fail loudly instead.
+          val consumed = q.recentProgress.map(_.numInputRows).sum
+          assert(consumed > 0,
+            s"prior feed's rows were never consumed (progress: " +
+              q.recentProgress.map(p => s"batch ${p.batchId}: in=${p.numInputRows}")
+                .mkString(", ") + ") — input loss, not an output race")
+        }
         rates.addData(rateJson)
         orders.addData(orderJson)
         q.processAllAvailable()
