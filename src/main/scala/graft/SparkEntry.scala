@@ -203,7 +203,7 @@ object SparkEntry {
       graft.sources.VectorIndex.build(emb, "vec_id", "embedding", tmp,
         clusters = 8, iterations = 2, capacity = cap, maxRounds = 6,
         pqSubspaces = 16, pqCodewords = 64, metaCols = Seq("label"),
-        sqTier = true)
+        sqTier = true, mipsTier = true)
       tmp
     })
 
@@ -1579,6 +1579,22 @@ object SparkEntry {
       Similarity.mipsTopK(q, emb, k = 5)
         .orderBy("query_id", "rank")
     }),
+    // MIPS served FROM the shared materialized index (the scale path
+    // s25 measures exactly): probe cells by AUGMENTED-centroid cosine
+    // against the frozen M² (the norm-augmentation reduction on the
+    // cosine layout), stage by augmented cosine over the per-row aug
+    // column, re-rank by the EXACT integer inner product — candidates
+    // >= probed rows makes staging lossless, so the oracle is the
+    // probe CTE + exact-IP ranking over the probed cells
+    "s26_mips_index" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val cap = math.ceil(emb.count() / 8.0).toLong
+      graft.sources.VectorIndex.topKMips(s, sharedVectorIndex(s, dir), q,
+          k = 5, nprobe = 2, candidates = (2 * cap).toInt + 16)
+        .orderBy("query_id", "rank")
+    }),
     // ALL-BUT-THE-TOP retrieval (Mu & Viswanath '18): the corpus's
     // dominant direction removed from corpus AND queries as an exact
     // scaled integer residual (r = q·⟨v,v⟩ − ⟨q,v⟩·v — cosine is
@@ -2795,6 +2811,12 @@ object SparkEntry {
         |    ORDER BY ip DESC, vec_id ASC) AS INT) AS "rank",
         |  vec_id AS neighbor_id, ip
         |FROM s QUALIFY "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+    // s26: the s15 centroid chain + a MIPS probe CTE (centroids
+    // augmented against m2 = max(na) exactly like the engine's frozen
+    // sidecar) + EXACT integer-IP ranking over the probed cells —
+    // candidates >= probed rows makes the engine's augmented-cosine
+    // staging invisible here (the s17/s22 oracle-regime argument)
+    "s26_mips_index" -> mipsIndexOracleSql,
     // s24: the s23 chain at (scale 64, 2 rounds) + exact-integer
     // residuals + the s1-style ranked cosine — residual dots stay
     // BIGINT-exact, the final divide is one IEEE op on both engines
@@ -4137,6 +4159,42 @@ object SparkEntry {
   }
 
   private def ivfBalancedOracleSql: String = ivfBalancedOracleSqlWhere("")
+
+  /** s26's mirror: the balanced-centroid chain, then the MIPS probe —
+    * cells ranked by AUGMENTED-centroid cosine (caug = floor(√(m2 −
+    * |c|²)) with m2 = max(na), the engine's frozen sidecar value) —
+    * then the exact integer inner product over every probed row.
+    * Both engines compute caug and the probe score through the same
+    * exact-integer-to-double path, so the probe set matches exactly
+    * and `ip` stays a hash-checkable BIGINT. */
+  private def mipsIndexOracleSql: String =
+    s"""WITH ${kmeansBalancedCtes("CAST(ceil(count(*) / 8.0) AS BIGINT)")},
+       |qm AS MATERIALIZED (SELECT max(na) AS m2 FROM en),
+       |qn AS MATERIALIZED (SELECT vec_id AS query_id, q AS qq, na AS qna
+       |  FROM en WHERE vec_id < 10),
+       |cna AS MATERIALIZED (SELECT cn.cid, cn.c, cn.nc,
+       |    CAST(floor(sqrt(greatest(
+       |      CAST((SELECT m2 FROM qm) AS DOUBLE) - cn.nc, 0.0)))
+       |      AS BIGINT) AS caug FROM cn),
+       |prb AS MATERIALIZED (SELECT query_id, qq, cid FROM (
+       |  SELECT q.query_id, q.qq, c.cid,
+       |      CAST(list_sum(list_transform(range(1, 65),
+       |        i -> q.qq[i] * c.c[i])) AS DOUBLE)
+       |      / sqrt(CAST(q.qna AS DOUBLE) *
+       |        (c.nc + CAST(c.caug * c.caug AS DOUBLE))) AS cos
+       |    FROM qn q CROSS JOIN cna c
+       |  QUALIFY row_number() OVER (PARTITION BY q.query_id
+       |    ORDER BY cos DESC, c.cid ASC) <= 2)),
+       |cd AS (SELECT p.query_id, e.vec_id,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      i -> p.qq[i] * e.q[i])) AS BIGINT) AS ip
+       |  FROM prb p JOIN accall a ON p.cid = a.cid
+       |    JOIN en e ON a.vec_id = e.vec_id
+       |  WHERE e.vec_id <> p.query_id)
+       |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY ip DESC, vec_id ASC) AS INT) AS "rank",
+       |  vec_id AS neighbor_id, ip
+       |FROM cd QUALIFY "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
 
   /** d16's mirror: the s15/s16 balanced-assignment chain, then
     * within-cell pairs scored with the same quantized cosine. */

@@ -68,7 +68,8 @@ object VectorIndex {
       clusters: Int, iterations: Int, capacity: Long, maxRounds: Int = 8,
       scale: Int = 1024, pqSubspaces: Int = 0, pqCodewords: Int = 16,
       pqIterations: Int = 5, pqTrainSample: Int = 8192,
-      metaCols: Seq[String] = Nil, sqTier: Boolean = false): Unit = {
+      metaCols: Seq[String] = Nil, sqTier: Boolean = false,
+      mipsTier: Boolean = false): Unit = {
     require(metaCols.forall(c => !ReservedCellCols.contains(c)),
       s"metaCols collide with index-internal columns: $ReservedCellCols")
     val spark = corpus.sparkSession
@@ -95,6 +96,7 @@ object VectorIndex {
       fs.delete(new Path(path, "served"), true)
       fs.delete(new Path(path, "pqbook"), true)
       fs.delete(new Path(path, "sqranges"), true)
+      fs.delete(new Path(path, "mipsnorm"), true)
     }
     val (assigned, cents) = Similarity.kmeansBalancedWithCentroids(
       corpus, clusters, iterations, capacity, maxRounds, scale,
@@ -127,13 +129,27 @@ object VectorIndex {
               .as("sq")),
           "vec_id")
       }
-    codes
+    // the MIPS tier: ONE extra long per row — the norm-augmentation
+    // dimension a_x = floor(√(M² − |x|²)) in the quantized domain
+    // (Bachrach '14 / Neyshabur & Srebro '15: augmented corpus norms
+    // are all ~M, so augmented-COSINE order equals INNER-PRODUCT
+    // order and every cosine serving tier of this layout can stage
+    // MIPS candidates). M² freezes as a sidecar so appends augment
+    // identically (the pqbook/sqranges discipline).
+    val withMips =
+      if (!mipsTier) codes
+      else {
+        val qm2 = codes.agg(coalesce(max("na"), lit(0L))).head.getLong(0)
+        writeMipsNorm(spark, s"$path/mipsnorm", qm2)
+        codes.withColumn("aug", augCol(col("na"), qm2))
+      }
+    withMips
       .repartition(col("cluster"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cluster")
       .parquet(s"$path/cells")
     writeCentroids(spark, s"$path/centroids", cents)
-    val cnts = codes.groupBy("cluster").agg(count(lit(1)).as("n"))
+    val cnts = withMips.groupBy("cluster").agg(count(lit(1)).as("n"))
     cnts.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/counts")
     val n = cnts.agg(coalesce(sum("n"), lit(0L))).head.getLong(0)
     writeStats(spark, s"$path/stats", n, clusters, scale, capacity, dim,
@@ -339,6 +355,72 @@ object VectorIndex {
         .select(col(queryId), col("rank"), col("vec_id").as("neighbor_id"),
           col("sim"))
     }
+  }
+
+  /** MAXIMUM-INNER-PRODUCT top-k served FROM the index — the MIPS
+    * tier ([[build]] `mipsTier = true`): the norm-augmentation
+    * reduction (Bachrach '14 / Neyshabur & Srebro '15) over the SAME
+    * materialized cosine layout the s16/s17/s22 tiers read.
+    *
+    * Probe selection ranks cells by AUGMENTED-centroid cosine — the
+    * centroid augmented against the frozen M² exactly like a vector
+    * (caug = floor(√(M² − |c|²))), derived from already-stored state
+    * so appends never shift it. Because augmented norms are ~constant
+    * (= M), this ranking is the inner-product cell bias MIPS needs:
+    * a high-norm cell legitimately outranks a near-parallel low-norm
+    * one. Candidate staging scores probed rows by augmented cosine
+    * using the materialized per-row `aug` column; the final ranking
+    * re-scores candidates by the EXACT integer inner product on the
+    * original full-width codes — augmentation can stage, never
+    * mis-score. With nprobe = clusters and `candidates` ≥ the probed
+    * rows the result is BIT-IDENTICAL to
+    * [[graft.operators.Similarity.mipsTopK]] (spec-asserted); pruned
+    * probes pay the usual nprobe × capacity read bound.
+    *
+    * @return (queryId, rank, neighbor_id, ip BIGINT) — `ip` exact. */
+  def topKMips(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, nprobe: Int, candidates: Int = 50,
+      queryId: String = "query_id", queryVec: String = "query_vec")
+      : DataFrame = {
+    val st = baseStats(spark, path)
+    require(nprobe >= 1 && nprobe <= st.clusters && candidates >= k)
+    val qm2 = readMipsNorm(spark, path)
+    val cents = readCentroids(spark, path)
+    val probes = queries
+      .select(col(queryId), quant(col(queryVec), st.scale).as("__qq"))
+      .withColumn("__qna", sqnorm(col("__qq")))
+      .withColumn("__pc", explode(slice(array_sort(array(
+        cents.map { case (cid, cv) =>
+          val nc = cv.map(x => x * x).sum
+          val caug = math.floor(math.sqrt(
+            math.max(qm2.toDouble - nc.toDouble, 0.0))).toLong
+          val ncAug = (nc + caug * caug).toDouble
+          struct((-(dotl(col("__qq"), lit(cv)).cast("double") /
+            sqrt(col("__qna").cast("double") * lit(ncAug)))).as("negcos"),
+            lit(cid).as("cid"))
+        }: _*)), lit(1), lit(nprobe))))
+      .select(col(queryId), col("__qq"), col("__qna"),
+        col("__pc.cid").as("cluster"))
+    val probed = probes.select("cluster").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val cells = readCells(spark, path, Seq("aug"))
+      .where(col("cluster").isin(probed: _*))
+    val wl = Window.partitionBy(col(queryId), col("__g_pid"))
+      .orderBy(col("__asim").desc, col("vec_id").asc)
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("ip").desc, col("vec_id").asc)
+    broadcast(probes).join(cells, Seq("cluster"))
+      .where(col(queryId) =!= col("vec_id"))
+      .withColumn("__asim", dotl(col("__qq"), col("__cq")).cast("double") /
+        sqrt(col("__qna").cast("double") *
+          (col("__cna") + col("aug") * col("aug")).cast("double")))
+      .withColumn("__g_pid", spark_partition_id())
+      .withColumn("__g_lc", row_number().over(wl))
+      .where(col("__g_lc") <= candidates)
+      .withColumn("ip", dotl(col("__qq"), col("__cq")))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col(queryId), col("rank"), col("vec_id").as("neighbor_id"),
+        col("ip"))
   }
 
   /** SEMANTIC-DEDUP PAIRS served FROM the index — dedup as an index
@@ -615,6 +697,9 @@ object VectorIndex {
         val (mns, mxs) = readSqRanges(spark, path)
         writeSqRanges(spark, s"$genDir/sqranges", mns, mxs)
       }
+      if (hasMipsNorm(spark, path))
+        writeMipsNorm(spark, s"$genDir/mipsnorm",
+          readMipsNorm(spark, path))
     }
     Await.result(Future.sequence(jobs :+ centsJob),
       scala.concurrent.duration.Duration.Inf)
@@ -866,7 +951,37 @@ object VectorIndex {
   /** Columns the index owns in cell files; anything else is caller
     * metadata carried for filtered search. */
   private val ReservedCellCols =
-    Set("vec_id", "q", "na", "codes", "sq", "cluster")
+    Set("vec_id", "q", "na", "codes", "sq", "aug", "cluster")
+
+  /** The quantized norm-augmentation dimension against a FROZEN M²:
+    * floor(√(max(M² − na, 0))). The max(,0) guard is the frozen-
+    * augmentation append contract — a post-build vector whose norm
+    * exceeds the trained M² gets aug 0 (clamped to the sphere), its
+    * staging slightly mis-normalized, its EXACT re-rank unaffected. */
+  private def augCol(na: Column, qm2: Long): Column =
+    floor(sqrt(greatest(lit(qm2) - na, lit(0L)).cast("double"))).cast("long")
+
+  private def writeMipsNorm(spark: SparkSession, dir: String,
+      qm2: Long): Unit = {
+    import spark.implicits._
+    Seq(qm2).toDF("qm2")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir)
+  }
+
+  /** The frozen max quantized squared norm M² of the MIPS tier. */
+  def readMipsNorm(spark: SparkSession, path: String): Long = {
+    val dir = s"${root(spark, path)}/mipsnorm"
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(dir)),
+      s"no MIPS norm under $path — build(mipsTier = true) first")
+    spark.read.parquet(dir).head.getLong(0)
+  }
+
+  private def hasMipsNorm(spark: SparkSession, path: String): Boolean = {
+    val dir = new Path(s"${root(spark, path)}/mipsnorm")
+    dir.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(dir)
+  }
 
   private def writeSqRanges(spark: SparkSession, dir: String,
       mns: Array[Double], mxs: Array[Double]): Unit = {
@@ -979,7 +1094,7 @@ object VectorIndex {
       }
     // likewise the SQ tier: frozen ranges (values outside the trained
     // range clamp to the edge bins — the standard SQ append contract)
-    val codes =
+    val withSq =
       if (!hasSqRanges(spark, path)) withPq
       else {
         val (mns, mxs) = readSqRanges(spark, path)
@@ -989,6 +1104,13 @@ object VectorIndex {
               .as("sq")),
           "vec_id")
       }
+    // MIPS tier: augment appended rows against the FROZEN M² — never
+    // re-derived from the batch, so existing rows' staging geometry
+    // is untouched by any append
+    val codes =
+      if (!hasMipsNorm(spark, path)) withSq
+      else withSq.withColumn("aug",
+        augCol(col("na"), readMipsNorm(spark, path)))
     (codes, codes.groupBy("cluster").agg(count(lit(1)).as("n")))
   }
 

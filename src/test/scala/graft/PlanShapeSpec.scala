@@ -943,6 +943,58 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(sq2 == exact2, "appended SQ index: oracle regime broken")
   }
 
+  test("vector index MIPS tier: full probe == exact, frozen augmentation on append") {
+    import spark.implicits._
+    import graft.sources.VectorIndex
+    import graft.operators.Similarity
+    val tmp = java.nio.file.Files.createTempDirectory("graft-vmips").toString
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val n = emb.count()
+    val cap = math.ceil(n / 8.0).toLong
+    VectorIndex.build(emb, "vec_id", "embedding", tmp,
+      clusters = 8, iterations = 2, capacity = cap, maxRounds = 6,
+      mipsTier = true)
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet // ip is an exact BIGINT — bit-for-bit comparison
+    val exact = rows(Similarity.mipsTopK(q, emb, k = 5))
+    val served = rows(VectorIndex.topKMips(spark, tmp, q, k = 5,
+      nprobe = 8, candidates = (8 * cap).toInt))
+    assert(served == exact, "full-probe index MIPS != exact mipsTopK")
+    // pruned probes: the augmented-centroid probe keeps IP-relevant
+    // (high-norm) cells, so recall stays bounded
+    val pruned = rows(VectorIndex.topKMips(spark, tmp, q, k = 5,
+      nprobe = 2, candidates = (2 * cap).toInt + 16))
+    val recall = (exact.map(t => (t._1, t._3)) &
+      pruned.map(t => (t._1, t._3))).size.toDouble / exact.size
+    assert(recall >= 0.5, s"nprobe=2 MIPS recall $recall below 0.5")
+    // FROZEN augmentation: appends must never move M² (that would
+    // silently re-normalize every existing row's staging geometry)
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft-vmips2").toString
+    VectorIndex.build(emb.filter(col("vec_id") < 350), "vec_id", "embedding",
+      tmp2, clusters = 8, iterations = 2,
+      capacity = math.ceil(n / 6.0).toLong, maxRounds = 6, mipsTier = true)
+    val m2Before = VectorIndex.readMipsNorm(spark, tmp2)
+    val big = Seq((90001L, Array.fill(64)(1.5f))).toDF("vec_id", "embedding")
+    VectorIndex.append(emb.filter(col("vec_id") >= 350)
+      .select("vec_id", "embedding"), "vec_id", "embedding", tmp2)
+    VectorIndex.append(big, "vec_id", "embedding", tmp2)
+    assert(VectorIndex.readMipsNorm(spark, tmp2) == m2Before,
+      "append moved the frozen M²")
+    // the over-norm appendee clamps to aug 0 (on the sphere's edge)
+    val augRow = spark.read.parquet(s"$tmp2/cells")
+      .where(col("vec_id") === 90001L).select("aug").head.getLong(0)
+    assert(augRow == 0L, s"over-norm append must clamp aug to 0, got $augRow")
+    // and the grown index still serves EXACTLY at full probe
+    val corpus2 = emb.select("vec_id", "embedding").unionByName(big)
+    val exact2 = rows(Similarity.mipsTopK(q, corpus2, k = 5))
+    val served2 = rows(VectorIndex.topKMips(spark, tmp2, q, k = 5,
+      nprobe = 8, candidates = (8 * math.ceil(n / 6.0).toLong).toInt))
+    assert(served2 == exact2, "grown MIPS index: full probe != exact")
+  }
+
   test("vector index delete: immediate via tombstones, physical after compaction") {
     import graft.sources.VectorIndex
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
