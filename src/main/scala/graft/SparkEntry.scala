@@ -1701,6 +1701,20 @@ object SparkEntry {
       graft.sources.GramIndex.dupStats(s, tmp)
         .orderBy("doc_id")
     }),
+    // TAKEDOWN through the gram layout (maintenance symmetry — d17's
+    // index must honor deletes or span dedup serves removed docs):
+    // tombstone a deterministic doc set, then serve dupStats; the
+    // oracle is d17's chain over documents MINUS the deleted ids —
+    // delete == rebuild, the x28 pattern at the span level
+    "d19_gram_delete" -> ((s, dir) => {
+      val tmp = layoutDir("d19", dir)
+      val docs = T(s, dir, "documents")
+      graft.sources.GramIndex.build(docs, "doc_id", "text", tmp, n = 8)
+      graft.sources.GramIndex.delete(s, tmp,
+        docs.filter(col("doc_id") % 7 === 3).select("doc_id"))
+      graft.sources.GramIndex.dupStats(s, tmp)
+        .orderBy("doc_id")
+    }),
     // exact decontamination behind a broadcast Bloom prefilter: the
     // benchmark grams collapse into one bit array, corpus grams that
     // miss it never reach the shuffle, survivors exact-verify
@@ -2938,6 +2952,34 @@ object SparkEntry {
     // d17 serves d13's analysis from the materialized gram postings —
     // the layout changes the read path, never the answer, so the
     // oracle is d13's CTE chain verbatim
+    // d19: d17's chain with the tombstoned docs removed at the source
+    // — the engine's tombstone anti-join must equal this rebuild
+    "d19_gram_delete" ->
+      """WITH spt AS (SELECT doc_id, list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'),
+        |    x -> x <> '') AS sp FROM documents WHERE doc_id % 7 <> 3),
+        |d AS (SELECT doc_id, sp, len(sp) AS ntok FROM spt
+        |  WHERE len(sp) >= 8),
+        |g AS (SELECT doc_id, ntok, unnest(list_transform(
+        |    generate_series(0, ntok - 8),
+        |    i -> {'pos': i, 'h': md5(array_to_string(sp[i+1:i+8], ' '))}))
+        |    AS u FROM d),
+        |gr AS (SELECT doc_id, ntok, u.pos AS pos, u.h AS h FROM g),
+        |dup AS (SELECT h FROM gr GROUP BY h
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |hits AS (SELECT gr.* FROM gr JOIN dup USING (h)),
+        |spans AS (SELECT doc_id, count(*) AS n_dup_spans FROM hits
+        |  GROUP BY 1),
+        |cov AS (SELECT doc_id, ntok, count(DISTINCT p) AS dup_tokens
+        |  FROM (SELECT doc_id, ntok,
+        |      unnest(generate_series(pos, pos + 7)) AS p FROM hits)
+        |  GROUP BY 1, 2)
+        |SELECT s.doc_id, CAST(n_dup_spans AS BIGINT) AS n_dup_spans,
+        |  CAST(dup_tokens AS BIGINT) AS dup_tokens,
+        |  CAST(ntok AS BIGINT) AS n_tokens,
+        |  CAST(dup_tokens AS DOUBLE) / ntok AS dup_frac
+        |FROM spans s JOIN cov USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "d17_substring_dup_index" ->
       """WITH spt AS (SELECT doc_id, list_filter(
         |    string_split_regex(trim(lower(text)), '\s+'),

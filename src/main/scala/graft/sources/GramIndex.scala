@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -33,13 +34,81 @@ import org.apache.spark.sql.functions._
   * shared verbatim). [[append]] shingles only the new documents with
   * the FROZEN width into the same buckets (dynamic-partition append),
   * after which [[dupStats]] equals a full rebuild — spec-asserted.
+  *
+  * MAINTENANCE SYMMETRY with [[TextIndex]]/[[VectorIndex]]: a
+  * takedown must reach the gram layout too, or span dedup keeps
+  * serving deleted documents. [[delete]] tombstones doc_ids in
+  * O(ids) IO (staged dir + atomic `deleted-<seq>` marker); every
+  * read path anti-joins the committed-unfolded tombstones (a tiny
+  * broadcast) immediately, so delete == rebuild from the moment the
+  * marker lands (the d19 oracle). [[compact]] folds the tombstones
+  * physically into a `gen-<g>` generation committed by ONE marker
+  * create; superseded generations AND the tombstones a PREVIOUS
+  * generation already folded are swept one round later — the grace
+  * discipline an in-flight reader of the old snapshot needs (its
+  * root still resolves, and the tombstones it must anti-join are
+  * still on disk until the next compaction).
   */
 object GramIndex {
-  private case class Meta(n: Int, buckets: Int)
+  private case class Meta(n: Int, buckets: Int, tombFolded: Long)
+  private val TombMarker = "deleted-(\\d+)".r
+  private val GenMarker = "commit-(\\d+)".r
+
+  /** Latest committed generation, if any compaction has run. */
+  def liveGeneration(spark: SparkSession, path: String): Option[Long] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case GenMarker(n) => n.toLong }.maxOption
+  }
+
+  private def root(spark: SparkSession, path: String): String =
+    liveGeneration(spark, path).map(g => s"$path/gen-$g").getOrElse(path)
 
   private def meta(spark: SparkSession, path: String): Meta = {
-    val r = spark.read.parquet(s"$path/stats").head()
-    Meta(r.getAs[Int]("n"), r.getAs[Int]("buckets"))
+    val df = spark.read.parquet(s"${root(spark, path)}/stats")
+    val r = df.head()
+    val tf = if (df.columns.contains("tombFolded"))
+      r.getAs[Long]("tombFolded") else -1L
+    Meta(r.getAs[Int]("n"), r.getAs[Int]("buckets"), tf)
+  }
+
+  private def writeStats(spark: SparkSession, dir: String, n: Int,
+      buckets: Int, tombFolded: Long): Unit =
+    spark.range(1).select(lit(n).as("n"), lit(buckets).as("buckets"),
+        lit(tombFolded).as("tombFolded"))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir)
+
+  /** Committed tombstone batch seqs (marker exists). */
+  def committedTombs(spark: SparkSession, path: String): Seq[Long] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case TombMarker(n) => n.toLong }.sorted
+  }
+
+  /** Union of committed tombstone doc_ids NOT yet folded into the
+    * live generation — what every read anti-joins. */
+  private def tombstoneIds(spark: SparkSession, path: String,
+      m: Meta): Option[DataFrame] = {
+    val seqs = committedTombs(spark, path).filter(_ > m.tombFolded)
+    if (seqs.isEmpty) None
+    else Some(seqs.map(sq => spark.read.parquet(s"$path/tomb-$sq/ids"))
+      .reduce(_ unionByName _).distinct())
+  }
+
+  /** The live gram rows: root layout minus unfolded tombstones (tiny
+    * broadcast anti-join — deletes are visible before any compaction
+    * rewrites a bucket). */
+  private def liveGrams(spark: SparkSession, path: String,
+      m: Meta): DataFrame = {
+    val grams = spark.read.parquet(s"${root(spark, path)}/grams")
+    tombstoneIds(spark, path, m) match {
+      case Some(t) => grams.join(broadcast(t), Seq("doc_id"), "left_anti")
+      case None => grams
+    }
   }
 
   /** The gram derivation shared by build and append: one row per
@@ -60,34 +129,126 @@ object GramIndex {
       .withColumn("bucket", pmod(xxhash64(col("h")), lit(buckets.toLong)))
   }
 
-  /** Shingle the corpus ONCE into the bucketed layout. */
+  /** Shingle the corpus ONCE into the bucketed layout. A rebuild over
+    * a previously deleted-from / compacted index clears the stale
+    * tombstones and generations first — they describe the old life,
+    * and a leftover marker would shadow the fresh layout. */
   def build(docs: DataFrame, idCol: String, textCol: String, path: String,
       n: Int, buckets: Int = 64): Unit = {
     require(n >= 2, "span length must be at least 2 tokens")
     require(buckets >= 1)
     val spark = docs.sparkSession
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      fs.listStatus(p).foreach { st =>
+        st.getPath.getName match {
+          case GenMarker(g) =>
+            fs.delete(st.getPath, false)
+            fs.delete(new Path(s"$path/gen-$g"), true)
+          case TombMarker(t) =>
+            fs.delete(st.getPath, false)
+            fs.delete(new Path(s"$path/tomb-$t"), true)
+          case _ => ()
+        }
+      }
+    }
     gramRows(docs, idCol, textCol, n, buckets)
       .repartition(col("bucket"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("bucket")
       .parquet(s"$path/grams")
-    spark.range(1).select(lit(n).as("n"), lit(buckets).as("buckets"))
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
+    writeStats(spark, s"$path/stats", n, buckets, tombFolded = -1L)
   }
 
   /** Shingle ONLY the new documents with the frozen width/bucketing
-    * into the same partition dirs — the incremental-maintenance path
-    * (cost is proportional to the new docs, never the corpus). The
-    * caller must not re-append doc_ids already indexed (same contract
-    * as [[TextIndex.append]]). */
+    * into the LIVE generation's partition dirs — the incremental-
+    * maintenance path (cost is proportional to the new docs, never
+    * the corpus). The caller must not re-append doc_ids already
+    * indexed (same contract as [[TextIndex.append]]). */
   def append(docs: DataFrame, idCol: String, textCol: String,
       path: String): Unit = {
-    val m = meta(docs.sparkSession, path)
+    val spark = docs.sparkSession
+    val m = meta(spark, path)
     gramRows(docs, idCol, textCol, m.n, m.buckets)
       .repartition(col("bucket"))
       .write.mode(SaveMode.Append)
       .partitionBy("bucket")
-      .parquet(s"$path/grams")
+      .parquet(s"${root(spark, path)}/grams")
+  }
+
+  /** TAKEDOWN: tombstone `ids` (doc_ids) in O(ids) IO — staged dir +
+    * atomic `deleted-<seq>` marker, the all-or-nothing commit every
+    * index in this repo uses. Every read path anti-joins the
+    * committed tombstones immediately, so from the marker onward the
+    * index answers as if rebuilt without the documents (the d19
+    * delete == rebuild oracle); [[compact]] reclaims physically.
+    * Deleting an absent id is a no-op by construction. */
+  def delete(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // monotone past the live generation's fold watermark: after a
+    // sweep reclaims folded tomb dirs, a fresh delete must NOT reuse
+    // a seq ≤ tombFolded — the read path would treat it as already
+    // folded and serve the deleted docs
+    val seq = (committedTombs(spark, path) :+ meta(spark, path).tombFolded)
+      .max + 1
+    fs.delete(new Path(s"$path/tomb-$seq"), true) // crashed-attempt orphan
+    ids.select(col(ids.columns.head).cast("long").as("doc_id")).distinct()
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/tomb-$seq/ids")
+    require(fs.createNewFile(new Path(path, s"deleted-$seq")),
+      s"delete: marker create failed under $path")
+  }
+
+  /** COMPACTION: fold the accumulated tombstones physically — rewrite
+    * the live gram rows (already minus tombstones) into `gen-<g>`,
+    * committed by ONE atomic marker create. Superseded state is swept
+    * with ONE round of grace: generations older than the PREVIOUS one
+    * go now, and tombstone batches go only once a previous generation
+    * has already folded them — an in-flight reader holding the old
+    * root keeps both the rows and the tombstones it needs until the
+    * compaction after next. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val m = meta(spark, path)
+    val prevGen = liveGeneration(spark, path)
+    val nextGen = prevGen.map(_ + 1).getOrElse(0L)
+    val genDir = s"$path/gen-$nextGen"
+    fs.delete(new Path(genDir), true) // orphan of a crashed attempt
+    val tombSeqs = committedTombs(spark, path).filter(_ > m.tombFolded)
+    val tombFolded = (m.tombFolded +: tombSeqs).max
+    liveGrams(spark, path, m)
+      .repartition(col("bucket"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("bucket")
+      .parquet(s"$genDir/grams")
+    writeStats(spark, s"$genDir/stats", m.n, m.buckets, tombFolded)
+    require(fs.createNewFile(new Path(path, s"commit-$nextGen")),
+      s"compact: commit marker create failed under $path")
+    // grace sweep: only state superseded by a PREVIOUS compaction
+    prevGen.foreach { pg =>
+      // the previous generation's fold watermark: tombstones at or
+      // below it were folded ≥ 1 generation ago — no grace reader
+      // can still need them
+      val prevTf = spark.read.parquet(s"$path/gen-$pg/stats")
+        .head().getAs[Long]("tombFolded")
+      fs.listStatus(new Path(path)).foreach { st =>
+        st.getPath.getName match {
+          case GenMarker(g) if g.toLong < pg =>
+            fs.delete(st.getPath, false)
+            fs.delete(new Path(s"$path/gen-$g"), true)
+          case TombMarker(t) if t.toLong <= prevTf =>
+            fs.delete(st.getPath, false)
+            fs.delete(new Path(s"$path/tomb-$t"), true)
+          case _ => ()
+        }
+      }
+      // the pre-generation base layout is at least one round stale
+      fs.delete(new Path(s"$path/grams"), true)
+      fs.delete(new Path(s"$path/stats"), true)
+    }
   }
 
   /** d13's duplicated-span statistics SERVED from the layout: a window
@@ -99,8 +260,9 @@ object GramIndex {
     * and oracle are [[graft.operators.Dedup.substringDupStats]]'s
     * verbatim. */
   def dupStats(spark: SparkSession, path: String): DataFrame = {
-    val n = meta(spark, path).n
-    val grams = spark.read.parquet(s"$path/grams")
+    val m = meta(spark, path)
+    val n = m.n
+    val grams = liveGrams(spark, path, m)
     val dup = grams.groupBy("h")
       .agg(count_distinct(col("doc_id")).as("nd"))
       .where(col("nd") >= 2).select("h")
@@ -137,7 +299,7 @@ object GramIndex {
     // corpus) — its distinct bucket list is ≤ `buckets` values
     val probeBuckets = pg.select("bucket").distinct()
       .collect().map(_.getLong(0))
-    val grams = spark.read.parquet(s"$path/grams")
+    val grams = liveGrams(spark, path, m)
       .where(col("bucket").isin(probeBuckets: _*))
     grams.join(pg.drop("bucket"), "h")
       .where(col("doc_id") =!= col("probe_id"))

@@ -622,7 +622,11 @@ object TextIndex {
   def delete(spark: SparkSession, path: String, docIds: DataFrame): Unit = {
     val fs = new Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    val seq = committedTombs(spark, path).maxOption.getOrElse(-1L) + 1
+    // monotone past the fold watermark: after a grace sweep reclaims
+    // folded tomb dirs, a fresh delete must not reuse a seq ≤
+    // tombFolded — the read path would treat it as already folded
+    val seq = (committedTombs(spark, path) :+
+      baseStats(spark, path).tombFolded).max + 1
     fs.delete(new Path(s"$path/tomb-$seq"), true) // crashed-attempt orphan
     docIds.select(col(docIds.columns.head).cast("long").as("doc_id"))
       .distinct()

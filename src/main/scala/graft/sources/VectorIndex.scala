@@ -495,7 +495,11 @@ object VectorIndex {
   def delete(spark: SparkSession, path: String, ids: DataFrame): Unit = {
     val fs = new Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    val seq = committedTombs(spark, path).maxOption.getOrElse(-1L) + 1
+    // monotone past the fold watermark: after a grace sweep reclaims
+    // folded tomb dirs, a fresh delete must not reuse a seq ≤
+    // tombFolded — the read path would treat it as already folded
+    val seq = (committedTombs(spark, path) :+
+      baseStats(spark, path).tombFolded).max + 1
     fs.delete(new Path(s"$path/tomb-$seq"), true) // crashed-attempt orphan
     ids.select(col(ids.columns.head).cast("long").as("vec_id")).distinct()
       .coalesce(1).write.mode(SaveMode.Overwrite)

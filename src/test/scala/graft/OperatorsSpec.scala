@@ -1210,6 +1210,56 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == want, s"probe overlap mismatch: got=$got want=$want")
   }
 
+  test("gram index delete/compact: delete == rebuild, grace round, sweep") {
+    import graft.sources.GramIndex
+    val docs = sources.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val root = java.nio.file.Files.createTempDirectory("graft_gdel").toString
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def exists(p: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$root/$p"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    GramIndex.build(docs, "doc_id", "text", root, n = 8)
+    val dead = docs.filter(col("doc_id") % 7 === 3).select("doc_id")
+    GramIndex.delete(spark, root, dead)
+    // delete == rebuild, IMMEDIATELY (before any compaction): the
+    // doc vanishes as a source of spans AND as a dup witness
+    val want = rows(Dedup.substringDupStats(
+      docs.filter(col("doc_id") % 7 =!= 3), n = 8))
+    assert(rows(GramIndex.dupStats(spark, root)) == want,
+      "tombstoned serve must equal the rebuild without the docs")
+    assert(exists("deleted-0") && exists("tomb-0"), "tombstone not staged")
+    // compaction folds physically into gen-0; the answer is unchanged
+    // and the tombstones + base layout REMAIN for in-flight readers
+    // of the old root (the grace round)
+    GramIndex.compact(spark, root)
+    assert(exists("commit-0") && exists("gen-0/grams"))
+    assert(exists("tomb-0") && exists("grams"),
+      "grace round must retain the old root and its tombstones")
+    assert(rows(GramIndex.dupStats(spark, root)) == want)
+    assert(spark.read.parquet(s"$root/gen-0/grams")
+      .join(dead, "doc_id").isEmpty, "folded cells still carry deleted docs")
+    // a SECOND compaction sweeps the superseded base layout and the
+    // tombstones gen-0 already folded
+    GramIndex.compact(spark, root)
+    assert(exists("commit-1") && exists("gen-1/grams"))
+    assert(!exists("grams") && !exists("stats"),
+      "second compaction must sweep the pre-generation base layout")
+    assert(!exists("tomb-0") && !exists("deleted-0"),
+      "second compaction must sweep tombstones a previous gen folded")
+    assert(rows(GramIndex.dupStats(spark, root)) == want)
+    // maintenance composes: append lands in the LIVE generation and
+    // a fresh delete is visible without compaction
+    val extra = Seq((900001L, docs.filter(col("doc_id") === 2)
+      .head.getAs[String]("text"))).toDF("doc_id", "text")
+    GramIndex.append(extra, "doc_id", "text", root)
+    GramIndex.delete(spark, root, Seq(900001L).toDF("doc_id"))
+    assert(rows(GramIndex.dupStats(spark, root)) == want,
+      "append + delete of the same doc must round-trip to the old answer")
+  }
+
   test("substring-span removal: canonical copy keeps, others cut") {
     val passage = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo"
     val docs = Seq(

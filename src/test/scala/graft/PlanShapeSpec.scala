@@ -1056,6 +1056,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(tombDirs == 0, "folded tombstones must sweep after their grace round")
     assert(rows(VectorIndex.topK(spark, tmp, q, k = 5, nprobe = 8)) ==
       rows(brute))
+    // regression: a delete AFTER the sweep must stay visible — its seq
+    // must clear the fold watermark, not restart at a folded value
+    val survivor = rows(brute).head._3
+    VectorIndex.delete(spark, tmp, Seq(survivor).toDF("vec_id"))
+    val after = rows(VectorIndex.topK(spark, tmp, q, k = 5, nprobe = 8))
+    assert(!after.exists(_._3 == survivor),
+      "post-sweep delete invisible: tombstone seq reused a folded value")
   }
 
   test("vector index filtered search: pre-filter exact, predicate pushed to scan") {
@@ -1236,6 +1243,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(new java.io.File(tmp).list().count(_.startsWith("tomb-")) == 0,
       "folded tombstones must sweep after their grace round")
     assert(rows(TextIndex.bm25TopK(spark, tmp, queries, k = 10)) == expect)
+    // regression: a delete AFTER the sweep must stay visible — its seq
+    // must clear the fold watermark, not restart at a folded value
+    import spark.implicits._
+    val survivor = expect.head._3
+    TextIndex.delete(spark, tmp, Seq(survivor).toDF("doc_id"))
+    assert(!rows(TextIndex.bm25TopK(spark, tmp, queries, k = 10))
+      .exists(_._3 == survivor),
+      "post-sweep delete invisible: tombstone seq reused a folded value")
   }
 
   test("text index: postings scan opens only the query terms' buckets") {
