@@ -1882,6 +1882,32 @@ object SparkEntry {
     // final relation as f6, so the oracle is shared shape-for-shape;
     // the spec additionally pins MoR == CoW, zero data-file IO at
     // delete time, and compaction rewriting only intersecting files.
+    // SQL FRONT DOOR for the table format (DataSource `graft`): the
+    // committed catalog becomes a TABLE — CREATE TABLE ... USING
+    // graft, then plain SQL. The custom FileIndex answers the file
+    // listing FROM the manifest snapshot, so the range predicate on
+    // the clustering column prunes files and the partition predicate
+    // prunes directories before any data file opens (PlanShapeSpec
+    // asserts PushedFilters + the pruned file count); the scan itself
+    // is Spark's native vectorized parquet path
+    "f14_sql_front_door" -> ((s, dir) => {
+      val tmp = layoutDir("f14", dir)
+      val ev = T(s, dir, "events")
+      FileManifest.writePartitionedLayout(ev, s"$tmp/t", "event_type",
+        "user_id", 16)
+      val pm = FileManifest.buildPartitioned(s, s"$tmp/t", "user_id")
+      FileManifest.commitVersion(s, pm, s"$tmp/cat")
+      s.sql("DROP TABLE IF EXISTS f14_events")
+      s.sql(s"CREATE TABLE f14_events USING graft " +
+        s"OPTIONS (path '$tmp/cat')")
+      s.sql("""SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value,
+        |  sum(event_id) AS sum_ids
+        |FROM f14_events
+        |WHERE user_id BETWEEN 100 AND 160 AND event_type <> 'view'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
     "f13_delete_mor" -> ((s, dir) => {
       val tmp = layoutDir("f13", dir)
       val ev = T(s, dir, "events")
@@ -3756,6 +3782,17 @@ object SparkEntry {
     // f13: equality-deleting every key present in [10, 30] is the same
     // relation as f6's range delete — the read path (anti-join vs
     // rewrite) is the axis under test, never the answer
+    // f14: the same relation read through DuckDB directly — the SQL
+    // front door changes the read PATH (catalog-listed, pruned),
+    // never the answer
+    "f14_sql_front_door" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_ids
+        |FROM events
+        |WHERE user_id BETWEEN 100 AND 160 AND event_type <> 'view'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "f13_delete_mor" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,

@@ -943,6 +943,63 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(sq2 == exact2, "appended SQ index: oracle regime broken")
   }
 
+  test("graft SQL table: manifest prunes files, partition filter prunes dirs, filters pushed") {
+    import graft.sources.FileManifest
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sqltab").toString
+    val ev = Tables.load(spark, "/root/testdata/sf0.01", "events")
+    FileManifest.writePartitionedLayout(ev, s"$tmp/t", "event_type",
+      "user_id", 16)
+    val pm = FileManifest.buildPartitioned(spark, s"$tmp/t", "user_id")
+    FileManifest.commitVersion(spark, pm, s"$tmp/cat")
+    spark.sql("DROP TABLE IF EXISTS gtab_spec")
+    spark.sql(s"CREATE TABLE gtab_spec USING graft OPTIONS (path '$tmp/cat')")
+    val totalFiles = pm.partitions.values.map(_.size).sum
+    val clickFiles = pm.partitions.filterKeys(_.contains("click"))
+      .values.map(_.size).sum
+    val df = spark.sql("SELECT count(*) AS n, sum(event_id) AS s " +
+      "FROM gtab_spec WHERE user_id BETWEEN 100 AND 160 " +
+      "AND event_type = 'click'")
+    // collect() (not head()): head plans its own limited execution,
+    // leaving the inspected QueryExecution's scan metrics untouched
+    val got = df.collect().head
+    // correctness first: the front door must equal the plain read
+    val want = ev.where(col("user_id").between(100, 160) &&
+        col("event_type") === "click")
+      .agg(count(lit(1)), sum("event_id")).head
+    assert(got.getLong(0) == want.getLong(0) &&
+      got.getLong(1) == want.getLong(1), "SQL table read changed the answer")
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(plan(df)).headOption.getOrElse(
+      fail("no FileSourceScan — the graft table must plan as a native file scan"))
+    // predicates reach the parquet reader
+    val meta = scan.metadata
+    assert(meta("PushedFilters").contains("GreaterThanOrEqual(user_id,100)"),
+      s"range predicate not pushed: ${meta("PushedFilters")}")
+    // the manifest decided the IO: partition filter dropped the other
+    // event types' directories, the range predicate dropped files
+    // whose [min,max] cannot intersect [100,160]
+    val numFiles = scan.metrics("numFiles").value
+    assert(numFiles < clickFiles || clickFiles == 1,
+      s"range pruning ineffective: $numFiles of $clickFiles click files")
+    assert(numFiles < totalFiles,
+      s"no pruning at all: $numFiles of $totalFiles files")
+    assert(numFiles >= 1)
+    // TIME TRAVEL through the same door: version 0 pinned explicitly
+    spark.sql("DROP TABLE IF EXISTS gtab_spec_v0")
+    spark.sql(s"CREATE TABLE gtab_spec_v0 USING graft " +
+      s"OPTIONS (path '$tmp/cat', version '0')")
+    assert(spark.sql("SELECT count(*) FROM gtab_spec_v0").head.getLong(0) ==
+      ev.count(), "version-pinned read must see the committed snapshot")
+  }
+
   test("vector index MIPS tier: full probe == exact, frozen augmentation on append") {
     import spark.implicits._
     import graft.sources.VectorIndex
