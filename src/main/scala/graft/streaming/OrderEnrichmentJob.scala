@@ -83,12 +83,22 @@ object OrderEnrichmentJob {
     *    what a production Spark user runs; needs the connector jar on
     *    the classpath (`--packages org.apache.spark:
     *    spark-sql-kafka-0-10_2.13:<spark-version>`).
+    *  - `KinesisSource`: the reference's OWN transport
+    *    (StreamingJob.java:26-41 — `FlinkKinesisConsumer` with
+    *    AWS_REGION + STREAM_INITIAL_POSITION properties per stream
+    *    name), mapped to the public `spark-sql-kinesis-connector`'s
+    *    documented surface (format `aws-kinesis`;
+    *    `kinesis.streamName` / `kinesis.region` /
+    *    `kinesis.startingPosition` — LATEST, TRIM_HORIZON,
+    *    AT_TIMESTAMP); needs that connector jar on the classpath.
     *  - `MemorySource`: a caller-supplied frame (MemoryStream in
     *    specs). */
   sealed trait SourceConfig
   final case class FileSource(dir: String) extends SourceConfig
   final case class KafkaSource(bootstrapServers: String, topic: String,
       startingOffsets: String = "earliest") extends SourceConfig
+  final case class KinesisSource(streamName: String, region: String,
+      startingPosition: String = "LATEST") extends SourceConfig
   final case class MemorySource(frame: DataFrame) extends SourceConfig
 
   /** Raw JSON-lines stream for a source config. */
@@ -104,6 +114,16 @@ object OrderEnrichmentJob {
         // kafka frames carry (key, value: binary, topic, partition, …);
         // the pipeline wants only the JSON payload
         .select(col("value").cast("string").as("value"))
+    case KinesisSource(stream, region, pos) =>
+      spark.readStream.format("aws-kinesis")
+        .option("kinesis.streamName", stream)
+        .option("kinesis.region", region)
+        .option("kinesis.startingPosition", pos)
+        .load()
+        // kinesis frames carry (data: binary, streamName, partitionKey,
+        // sequenceNumber, approximateArrivalTimestamp); the pipeline
+        // wants only the JSON payload
+        .select(col("data").cast("string").as("value"))
     case MemorySource(df) => df.select(col("value").cast("string"))
   }
 

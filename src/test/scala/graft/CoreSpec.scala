@@ -106,6 +106,47 @@ class CoreSpec extends AnyFunSuite {
     assert(sample.getAs[Int]("rate") == expect.getAs[Int]("rate"))
   }
 
+  test("c2 tie: same-timestamp SCD2 versions resolve deterministically end to end") {
+    import spark.implicits._
+    import graft.operators.Dimensions
+    import org.apache.spark.sql.functions._
+    // two NON-purchase events sharing (user_id, ts) — the SCD2 dim
+    // keeps both as versions valid from the same instant, so the
+    // point-in-time as-of join sees a right-side tie that the pack
+    // tiebreak (greatest (vts, attr)) must resolve; attrs chosen so
+    // the pack winner (zebra) differs from the sequence-latest
+    // (apple, event_id 2) — the rule under test is visible, not
+    // accidentally satisfied
+    val base = Seq(
+      (1L, ts(10), "zebra", 1L, 0.0),
+      (1L, ts(10), "apple", 2L, 0.0),
+      (1L, ts(20), "purchase", 3L, 5.0),
+      (2L, ts(5), "click", 4L, 0.0),
+      (2L, ts(30), "purchase", 5L, 7.0)
+    ).toDF("user_id", "ts", "event_type", "event_id", "value")
+    def pipeline(ev: org.apache.spark.sql.DataFrame) = {
+      val dim = Dimensions.scd2(ev.filter(col("event_type") =!= "purchase"),
+          "user_id", "event_type", "ts", "event_id")
+        .select(col("user_id"),
+          timestamp_micros(col("valid_from_us")).as("vts"), col("attr"))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      AsOfJoin.backward(facts, dim, "user_id", "ts", "vts", Seq("attr"))
+        .groupBy("attr")
+        .agg(count(lit(1)).as("n"), sum("value").as("v"))
+        .orderBy(col("attr").asc_nulls_first)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+    }
+    val want = Seq(("click", 1L, 7.0), ("zebra", 1L, 5.0))
+    assert(pipeline(base) == want,
+      s"tie must resolve to the greatest pack (zebra): ${pipeline(base)}")
+    // deterministic under partitioning AND input order — the exact
+    // run-to-run flake the pack tiebreak exists to kill
+    assert(pipeline(base.repartition(7)) == want)
+    assert(pipeline(base.orderBy(col("event_id").desc).coalesce(1)) == want)
+  }
+
   test("as-of forward/nearest: direction bounds, tie to backward, tolerance") {
     import spark.implicits._
     val o = Seq((1L, "EUR", ts(100)), (2L, "EUR", ts(200)),

@@ -1019,6 +1019,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("kinesis connector boundary: the reference's own transport, exact options and schema") {
+    // the reference job's whole Kinesis surface is stream name +
+    // region/initial-position properties (StreamingJob.java:26-41);
+    // the service-registered KinesisProbeSource stands in at the SAME
+    // connector-lookup seam as the kafka probe, pinning the options
+    // KinesisSource passes and the connector read schema's reduction
+    // to the one-column JSON-lines contract
+    KinesisProbeSource.captured = Map.empty
+    val conf = OrderEnrichmentJob.KinesisSource(
+      "flinkjoin-order", "us-west-2", "LATEST")
+    val orders = OrderEnrichmentJob.source(spark, conf)
+    val got = KinesisProbeSource.captured.map { case (k, v) =>
+      k.toLowerCase -> v }
+    assert(got.get("kinesis.streamname").contains("flinkjoin-order"),
+      s"options: $got")
+    assert(got.get("kinesis.region").contains("us-west-2"), s"options: $got")
+    assert(got.get("kinesis.startingposition").contains("LATEST"),
+      s"options: $got")
+    assert(orders.isStreaming)
+    assert(orders.schema.map(f => (f.name, f.dataType.typeName)) ==
+      Seq(("value", "string")), s"schema: ${orders.schema}")
+    // the full reference pipeline composes over two kinesis streams —
+    // the exact two-consumer topology of StreamingJob.java
+    val rates = OrderEnrichmentJob.source(spark,
+      conf.copy(streamName = "flinkjoin-exchangerate"))
+    val out = OrderEnrichmentJob.pipeline(orders, rates,
+      Duration.ofSeconds(5))
+    assert(out.isStreaming && out.schema.map(_.name) == Seq("value"),
+      s"pipeline: ${out.schema}")
+  }
+
   test("kafka connector boundary: exact options and schema contract") {
     // the real connector jar is environmentally absent (offline
     // sandbox); the service-registered KafkaProbeSource stands in at
