@@ -451,22 +451,30 @@ object Dedup {
     * where component = the minimum id reachable from the node. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIterations: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
-      .union(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint(true)
+    import org.apache.spark.sql.graftshim.SparkShims.localCheckpointKeepingLayout
+    // hash(b) pinned at build (explicit count — AQE-coalesce-proof) and
+    // KEPT through the checkpoint: every round's neighbor-min join
+    // clusters on b, so the big edge side never re-Exchanges (the
+    // Graph-family round discipline)
+    val nShuffle = pairs.sparkSession.sessionState.conf.numShufflePartitions
+    val edges = localCheckpointKeepingLayout(
+      pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+        .union(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
+        .repartition(nShuffle, col("b")))
+    var labels = localCheckpointKeepingLayout(
+      edges.select(col("a").as("id")).distinct()
+        .withColumn("comp", col("id")))
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIterations) {
       val nbrMin = edges
         .join(labels.select(col("id").as("b"), col("comp").as("bcomp")), "b")
         .groupBy(col("a").as("id")).agg(min("bcomp").as("nmin"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
-          (coalesce(col("nmin"), col("comp")) < col("comp")).as("__g_ch"))
-        .localCheckpoint(true)
+      val next = localCheckpointKeepingLayout(
+        labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
+            (coalesce(col("nmin"), col("comp")) < col("comp")).as("__g_ch")))
       changed = next.where(col("__g_ch")).count()
       labels = next.select("id", "comp")
       it += 1
