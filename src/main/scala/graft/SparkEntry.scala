@@ -1908,6 +1908,33 @@ object SparkEntry {
         |WHERE user_id BETWEEN 100 AND 160 AND event_type <> 'view'
         |GROUP BY event_type ORDER BY event_type""".stripMargin)
     }),
+    // the front door's WRITE path: create + append each cluster a
+    // batch, footer-stat only the new files, and commit the next
+    // catalog version atomically; the read is the same pruned native
+    // scan as f14. INSERT INTO is REFUSED loudly (it would drop files
+    // behind the manifest — silent row loss; spec-pinned)
+    "f15_sql_write" -> ((s, dir) => {
+      val tmp = layoutDir("f15", dir)
+      val root = s"$tmp/cat"
+      val ev = T(s, dir, "events")
+      ev.where(col("user_id") < 7).write.format("graft")
+        .option("path", root).option("partitionBy", "event_type")
+        .option("clusterBy", "user_id").option("files", "12")
+        .mode("overwrite").save()
+      ev.where(col("user_id") >= 7).write.format("graft")
+        .option("path", root).option("partitionBy", "event_type")
+        .option("clusterBy", "user_id").option("files", "12")
+        .mode("append").save()
+      s.sql("DROP TABLE IF EXISTS f15_events")
+      s.sql(s"CREATE TABLE f15_events USING graft OPTIONS (path '$root')")
+      s.sql("""SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value,
+        |  sum(event_id) AS sum_ids
+        |FROM f15_events
+        |WHERE user_id BETWEEN 2 AND 120
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
     "f13_delete_mor" -> ((s, dir) => {
       val tmp = layoutDir("f13", dir)
       val ev = T(s, dir, "events")
@@ -3792,6 +3819,17 @@ object SparkEntry {
         |  CAST(sum(event_id) AS BIGINT) AS sum_ids
         |FROM events
         |WHERE user_id BETWEEN 100 AND 160 AND event_type <> 'view'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // f15: the written-then-read relation is the events table split
+    // across a create + an append commit — the union must equal the
+    // source, so the oracle reads it directly
+    "f15_sql_write" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_ids
+        |FROM events
+        |WHERE user_id BETWEEN 2 AND 120
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "f13_delete_mor" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,

@@ -1,12 +1,12 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileStatus, Path}
-import org.apache.spark.sql.{SQLContext, SparkSession}
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BoundReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Predicate}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -31,26 +31,46 @@ import org.apache.spark.unsafe.types.UTF8String
   * pass the full predicate inside the scan, so a loose manifest can
   * never widen a result.
   *
-  * Options: `path` (the catalog root holding `commit-<N>` markers —
-  * data file locations live IN the catalog), `version` (optional
-  * time travel to a committed snapshot, the `loadVersion` surface).
+  * Read options: `path` (the catalog root holding `commit-<N>`
+  * markers — data file locations live IN the catalog), `version`
+  * (time travel to a committed snapshot, the `loadVersion` surface)
+  * or `timestampAsOf` (epoch millis — the `loadAsOf` surface).
+  *
+  * WRITE path — `df.write.format("graft")` and CTAS: every save
+  * clusters the batch (`writePartitionedLayout` — dynamic-partition
+  * dirs on `partitionBy`, range-clustered on `clusterBy` so footer
+  * stats stay tight), footer-stats ONLY the new files, and commits
+  * the next catalog version atomically; `overwrite` commits a
+  * version referencing only the new files (old versions stay
+  * readable — logical replacement, time travel intact), `append`
+  * merges the new files into the latest snapshot's entries. Plain
+  * `INSERT INTO` is REFUSED loudly ([[GraftParquetFileFormat]]):
+  * Spark's generic file-insert would drop parquet files into the
+  * data directory behind the manifest's back — committed catalogs
+  * would never list them, silently losing the rows on every read
+  * (probed and spec-pinned).
   *
   * Reference context: the reference sample (StreamingJob.java:113-133)
   * sinks to raw files with no table metadata; this is the catalog
   * layer a production descendant of that pipeline grows first. */
 final class GraftManifestSource extends RelationProvider
-    with DataSourceRegister {
+    with CreatableRelationProvider with DataSourceRegister {
   override def shortName(): String = "graft"
+
+  private def rootOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft datasource requires OPTIONS (path '<catalogRoot>')"))
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
-    val catalogRoot = parameters.getOrElse("path",
-      throw new IllegalArgumentException(
-        "graft datasource requires OPTIONS (path '<catalogRoot>')"))
-    val pm = parameters.get("version") match {
-      case Some(v) => FileManifest.loadVersion(spark, catalogRoot, v.toLong)
-      case None => FileManifest.loadLatest(spark, catalogRoot)
+    val catalogRoot = rootOf(parameters)
+    val pm = (parameters.get("version"), parameters.get("timestampasof")
+        .orElse(parameters.get("timestampAsOf"))) match {
+      case (Some(v), _) => FileManifest.loadVersion(spark, catalogRoot, v.toLong)
+      case (None, Some(ts)) => FileManifest.loadAsOf(spark, catalogRoot, ts.toLong)
+      case _ => FileManifest.loadLatest(spark, catalogRoot)
     }
     val index = new ManifestFileIndex(spark, pm)
     val sample = pm.partitions.valuesIterator.flatten
@@ -60,8 +80,71 @@ final class GraftManifestSource extends RelationProvider
     // carry the partition column — the index's schema supplies it
     val dataSchema = spark.read.parquet(sample).schema
     HadoopFsRelation(index, index.partitionSchema, dataSchema,
-      None, new ParquetFileFormat, parameters)(spark)
+      None, new GraftParquetFileFormat, parameters)(spark)
   }
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val root = rootOf(parameters)
+    val partCol = parameters.getOrElse("partitionby",
+      parameters.getOrElse("partitionBy", throw new IllegalArgumentException(
+        "graft write requires OPTIONS (partitionBy '<column>')")))
+    val clusterCol = parameters.getOrElse("clusterby",
+      parameters.getOrElse("clusterBy", throw new IllegalArgumentException(
+        "graft write requires OPTIONS (clusterBy '<column>')")))
+    val numFiles = parameters.getOrElse("files", "16").toInt
+    val existing = FileManifest.latestVersion(spark, root)
+    (mode, existing) match {
+      case (SaveMode.ErrorIfExists, Some(v)) =>
+        throw new IllegalStateException(
+          s"graft table at $root already exists (version $v)")
+      case (SaveMode.Ignore, Some(_)) => ()
+      case _ =>
+        // each batch lands in its own immutable directory keyed to the
+        // version it creates — versions never share mutable state, so
+        // time travel and orphan GC keep working across overwrites
+        val next = existing.map(_ + 1).getOrElse(0L)
+        val dataDir = s"$root/data/b$next"
+        FileManifest.writePartitionedLayout(data, dataDir, partCol,
+          clusterCol, numFiles)
+        // footer-stat ONLY the new files (batch-sized metadata work)
+        val fresh = FileManifest.buildPartitioned(spark, dataDir, clusterCol)
+        val pm = (mode, existing) match {
+          case (SaveMode.Append, Some(_)) =>
+            val cur = FileManifest.loadLatest(spark, root)
+            require(cur.column == clusterCol,
+              s"append clusterBy '$clusterCol' != table's '${cur.column}'")
+            cur.copy(partitions = fresh.partitions.foldLeft(cur.partitions) {
+              case (acc, (part, files)) =>
+                acc.updated(part, acc.getOrElse(part, Nil) ++ files)
+            })
+          case _ => fresh // create / overwrite: only the new files
+        }
+        FileManifest.commitVersion(spark, pm, root)
+    }
+    createRelation(sqlContext, parameters)
+  }
+}
+
+/** Parquet reads, NO generic file writes: `INSERT INTO` a graft table
+  * would plan Spark's InsertIntoHadoopFsRelationCommand, which drops
+  * files into the data directory WITHOUT a catalog commit — every
+  * committed manifest keeps listing only the files it knows, so the
+  * inserted rows silently never appear in any read. Refusing at
+  * prepareWrite turns that silent data loss into a loud error
+  * pointing at the transactional path. */
+final class GraftParquetFileFormat extends ParquetFileFormat {
+  override def prepareWrite(sparkSession: SparkSession,
+      job: org.apache.hadoop.mapreduce.Job,
+      options: Map[String, String],
+      dataSchema: StructType)
+      : org.apache.spark.sql.execution.datasources.OutputWriterFactory =
+    throw new UnsupportedOperationException(
+      "INSERT INTO a graft table would bypass the manifest (files " +
+        "written behind the catalog are invisible to every read); " +
+        "use df.write.format(\"graft\").mode(\"append\") — the " +
+        "transactional path that commits a new catalog version")
 }
 
 /** The catalog-backed `FileIndex`: one entry per (partition, file)

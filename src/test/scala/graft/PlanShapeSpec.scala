@@ -1000,6 +1000,73 @@ class PlanShapeSpec extends AnyFunSuite {
       ev.count(), "version-pinned read must see the committed snapshot")
   }
 
+  test("graft SQL table writes: create/append commit versions, time travel, INSERT refused") {
+    import graft.sources.FileManifest
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sqlwr").toString
+    val root = s"$tmp/cat"
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val loCount = ev.where(col("user_id") < 7).count()
+    ev.where(col("user_id") < 7).write.format("graft")
+      .option("path", root).option("partitionBy", "event_type")
+      .option("clusterBy", "user_id").mode("errorifexists").save()
+    // a second create must refuse (the table exists)
+    intercept[IllegalStateException] {
+      ev.limit(1).write.format("graft")
+        .option("path", root).option("partitionBy", "event_type")
+        .option("clusterBy", "user_id").mode("errorifexists").save()
+    }
+    Thread.sleep(30) // commit mtimes separate the snapshots
+    val betweenTs = System.currentTimeMillis()
+    Thread.sleep(30)
+    ev.where(col("user_id") >= 7).write.format("graft")
+      .option("path", root).option("partitionBy", "event_type")
+      .option("clusterBy", "user_id").mode("append").save()
+    spark.sql("DROP TABLE IF EXISTS gw_spec")
+    spark.sql(s"CREATE TABLE gw_spec USING graft OPTIONS (path '$root')")
+    // append merged into the latest snapshot: the union is complete
+    assert(spark.sql("SELECT count(*) FROM gw_spec").head.getLong(0) ==
+      ev.count(), "create + append must union to the source")
+    // answer parity on a real aggregate through the written layout
+    val got = spark.sql("SELECT sum(event_id) FROM gw_spec " +
+      "WHERE user_id BETWEEN 3 AND 12").head.getLong(0)
+    val want = ev.where(col("user_id").between(3, 12))
+      .agg(sum("event_id")).head.getLong(0)
+    assert(got == want)
+    // VERSION AS OF 0 = only the first batch; TIMESTAMP AS OF between
+    // the commits resolves the same snapshot
+    spark.sql("DROP TABLE IF EXISTS gw_spec_v0")
+    spark.sql(s"CREATE TABLE gw_spec_v0 USING graft " +
+      s"OPTIONS (path '$root', version '0')")
+    assert(spark.sql("SELECT count(*) FROM gw_spec_v0").head.getLong(0) ==
+      loCount)
+    spark.sql("DROP TABLE IF EXISTS gw_spec_ts")
+    spark.sql(s"CREATE TABLE gw_spec_ts USING graft " +
+      s"OPTIONS (path '$root', timestampAsOf '$betweenTs')")
+    assert(spark.sql("SELECT count(*) FROM gw_spec_ts").head.getLong(0) ==
+      loCount, "TIMESTAMP AS OF between commits must resolve version 0")
+    // CTAS through plain SQL
+    spark.sql("DROP TABLE IF EXISTS gw_spec_ctas")
+    spark.sql(s"CREATE TABLE gw_spec_ctas USING graft OPTIONS " +
+      s"(path '$tmp/cat2', partitionBy 'event_type', clusterBy 'user_id') " +
+      "AS SELECT * FROM gw_spec WHERE user_id < 5")
+    assert(spark.sql("SELECT count(*) FROM gw_spec_ctas").head.getLong(0) ==
+      ev.where(col("user_id") < 5).count())
+    // INSERT INTO would write files behind the manifest (silently
+    // invisible rows — probed: count stayed flat) — it must REFUSE
+    val ex = intercept[Throwable] {
+      spark.sql("INSERT INTO gw_spec SELECT * FROM gw_spec LIMIT 1")
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("bypass the manifest")),
+      s"INSERT must refuse loudly, got: ${messages(ex)}")
+    // and the refused insert left the table intact
+    assert(spark.sql("SELECT count(*) FROM gw_spec").head.getLong(0) ==
+      ev.count())
+    assert(FileManifest.latestVersion(spark, root).contains(1L),
+      "refused insert must not have committed a version")
+  }
+
   test("vector index MIPS tier: full probe == exact, frozen augmentation on append") {
     import spark.implicits._
     import graft.sources.VectorIndex
