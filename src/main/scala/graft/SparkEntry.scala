@@ -1850,6 +1850,25 @@ object SparkEntry {
             .where(col("fmt") === "wav"),
           frameSamples = 256)
         .orderBy("doc_id", "frame_idx")),
+    // VIDEO FRAME SAMPLING (r9): every doc becomes a real RIFF/AVI-
+    // shaped container (LIST movi + 00db frame chunks, assembled
+    // declaratively); frameSample parses the movi stream FROM THE
+    // BYTES (frame length out of the first chunk header) and keeps
+    // every 2nd frame — the "sample 1 fps for the encoder" primitive.
+    // The oracle slices the utf-8 payload directly, so a wrong chunk
+    // offset or header read on the engine side hash-mismatches
+    "m4_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSample(
+          Multimodal.fromDocumentsVideo(T(s, dir, "documents")), stride = 2)
+        .orderBy("doc_id", "frame_idx")),
+    // NEAREST-NEIGHBOR RESIZE (r9): raw grayscale bitmaps (dimensions
+    // as typed metadata, pixels a clean payload prefix) downsampled
+    // 2x — out(y,x) = in(2y,2x), exact integer features incl. the
+    // row-major rolling hash (one transposed index mismatches)
+    "m5_resize" -> ((s, dir) =>
+      Multimodal.resizeNearest(
+          Multimodal.fromDocumentsBitmap(T(s, dir, "documents")), factor = 2)
+        .orderBy("doc_id")),
 
     // ---- §2.8 file layout & data skipping ---------------------------
     // Iceberg-style manifest pruning: cluster events by user_id into a
@@ -3797,6 +3816,59 @@ object SparkEntry {
         |  CAST(list_max(list_transform(sm, x -> abs(x))) AS BIGINT) AS peak,
         |  CAST(list_sum(list_transform(sm, x -> x * x)) AS BIGINT) AS energy
         |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
+    // m4: the movi frames ARE even-length payload slices, so the
+    // oracle slices hex(encode(text)) directly with the same
+    // nf/flen arithmetic — the engine's container parse must land on
+    // exactly those bytes
+    "m4_frame_sample" ->
+      """WITH m AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS plen,
+        |    CAST(n_chars % 7 + 3 AS INT) AS nf FROM documents
+        |  WHERE octet_length(encode(text)) >= 18),
+        |d AS (SELECT doc_id, nf, hx,
+        |    CAST((plen // nf) // 2 * 2 AS INT) AS flen FROM m),
+        |f AS (SELECT doc_id, CAST(u.i AS INT) AS frame_idx,
+        |    substr(hx, CAST(u.i AS INT) * flen * 2 + 1, flen * 2) AS fhx
+        |  FROM d, unnest(generate_series(0, CAST(nf AS BIGINT) - 1)) AS u(i)
+        |  WHERE u.i % 2 = 0),
+        |b AS (SELECT doc_id, frame_idx,
+        |    CAST(length(fhx) // 2 AS INT) AS frame_len,
+        |    list_transform(range(1, length(fhx) // 2 + 1),
+        |      i -> CAST(('0x' || substr(fhx, 2*i - 1, 2)) AS BIGINT)) AS bs
+        |  FROM f)
+        |SELECT doc_id, frame_idx, frame_len,
+        |  CAST(list_sum(bs) AS BIGINT) AS frame_sum,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), bs),
+        |    (acc, x) -> (acc * 257 + x) % 1000000007) AS BIGINT)
+        |    AS frame_hash
+        |FROM b ORDER BY doc_id, frame_idx""".stripMargin,
+    // m5: same w/h derivation (floor-sqrt capped), same row-major
+    // nearest-neighbor index arithmetic over the payload prefix
+    "m5_resize" ->
+      """WITH m AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS plen FROM documents
+        |  WHERE octet_length(encode(text)) >= 4),
+        |d AS (SELECT doc_id, hx, plen, least(CAST(floor(sqrt(
+        |    CAST(plen AS DOUBLE))) AS INT), 48) AS w FROM m),
+        |e AS (SELECT doc_id, hx, w,
+        |    least(CAST(plen // w AS INT), 48) AS h FROM d),
+        |g AS (SELECT doc_id, hx, CAST(w AS INT) AS in_w,
+        |    CAST(h AS INT) AS in_h, CAST(w // 2 AS INT) AS out_w,
+        |    CAST(h // 2 AS INT) AS out_h, w FROM e
+        |  WHERE w // 2 > 0 AND h // 2 > 0),
+        |p AS (SELECT doc_id, in_w, in_h, out_w, out_h,
+        |    list_transform(range(0, CAST(out_w AS BIGINT) * out_h), i ->
+        |      CAST(('0x' || substr(hx,
+        |        CAST(((i // out_w) * 2 * w + (i % out_w) * 2) * 2 + 1
+        |          AS INT), 2)) AS BIGINT)) AS px
+        |  FROM g)
+        |SELECT doc_id, in_w, in_h, out_w, out_h,
+        |  CAST(len(px) AS INT) AS out_len,
+        |  CAST(list_sum(px) AS BIGINT) AS out_sum,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), px),
+        |    (acc, x) -> (acc * 257 + x) % 1000000007) AS BIGINT)
+        |    AS out_hash
+        |FROM p ORDER BY doc_id""".stripMargin,
     // f6/f7: the DML oracles ignore the file layout entirely — a
     // pruned-rewrite delete/update must equal the full-scan form
     "f6_delete_cow" ->

@@ -528,6 +528,134 @@ object Multimodal {
       aggregate(samples, lit(0L), (a, s) => a + s * s).as("energy"))
   }
 
+  /** Build a "video" table from `documents`: each row becomes a REAL
+    * RIFF/AVI-shaped container — `RIFF <sz> AVI ` + `LIST <sz> movi`
+    * holding `n_frames` uncompressed `00db` frame chunks (the classic
+    * AVI DIB-frame stream layout), each frame a fixed-length slice of
+    * the UTF-8 payload. Frame count derives from `n_chars`
+    * (3..9 frames), frame length is the payload split evenly and
+    * FLOORED TO EVEN so RIFF's chunk word-padding never applies —
+    * the whole container assembles declaratively (a binary
+    * `aggregate` fold over the frame sequence; no UDF). Docs whose
+    * payload cannot hold one even-length slice per frame are
+    * excluded (the caller's ingest gate). */
+  def fromDocumentsVideo(documents: DataFrame): DataFrame = {
+    val payload = encode(col("text"), "UTF-8")
+    val plen = octet_length(payload)
+    val nf = (col("n_chars") % 7 + 3).cast("int")
+    val flen = (((plen / nf).cast("long") / 2L).cast("long") * 2L).cast("int")
+    val chunkSz = flen + 8
+    val movi = concat(
+      lit("LIST".getBytes("US-ASCII")), leBytes(nf * chunkSz + 4, 4),
+      lit("movi".getBytes("US-ASCII")),
+      aggregate(sequence(lit(0), nf - 1),
+        lit(Array.empty[Byte]),
+        (acc, i) => concat(acc,
+          lit("00db".getBytes("US-ASCII")), leBytes(flen, 4),
+          payload.substr(i * flen + 1, flen))))
+    documents
+      .where(octet_length(encode(col("text"), "UTF-8")) >= 18)
+      .select(col("doc_id"),
+        concat(lit("RIFF".getBytes("US-ASCII")),
+          leBytes(octet_length(movi) + 4, 4),
+          lit("AVI ".getBytes("US-ASCII")), movi).as("media"),
+        nf.as("n_frames"), flen.as("frame_len"), lit("avi").as("fmt"))
+  }
+
+  /** FRAME SAMPLING over the AVI-shaped containers — the "sample
+    * 1 fps for the vision encoder" primitive of a video training
+    * pipeline: parse the movi stream FROM THE BYTES (frame length
+    * read out of the first chunk header, frame count derived from the
+    * container size), keep every `stride`-th frame, and report exact
+    * integer features per kept frame (length, byte sum, 257-base
+    * rolling hash — where a real pipeline runs its decoder). One
+    * posexplode parallelizes across frames; everything is substr +
+    * hex-pair folds, no UDF, no mapPartitions.
+    *
+    * @param media rows of [[fromDocumentsVideo]]-shaped containers
+    *              (the header is assumed, not sniffed — mirror the
+    *              m3 contract). */
+  def frameSample(media: DataFrame, stride: Int,
+      idCol: String = "doc_id", mediaCol: String = "media"): DataFrame = {
+    require(stride >= 1)
+    val m = col(mediaCol)
+    val hx = hex(m)
+    def b(i1: Column): Column = // 1-based byte
+      conv(hx.substr(i1 * 2 - 1, lit(2)), 16, 10).cast("long")
+    // frame length from the FIRST chunk header (bytes 29..32, u32le)
+    val flen = (b(lit(29)) + b(lit(30)) * 256L +
+      b(lit(31)) * 65536L + b(lit(32)) * 16777216L).cast("int")
+    val nf = ((octet_length(m) - 24) / (flen + 8)).cast("int")
+    val framed = media
+      .where(m.substr(1, 4) === lit("RIFF".getBytes("US-ASCII")) &&
+        m.substr(9, 4) === lit("AVI ".getBytes("US-ASCII")) &&
+        m.substr(21, 4) === lit("movi".getBytes("US-ASCII")) && nf > 0)
+      .select(col(idCol), m, flen.as("__fl"),
+        posexplode(sequence(lit(0), nf - 1)).as(Seq("frame_idx", "__i")))
+      .where(col("frame_idx") % stride === 0)
+      .select(col(idCol), col("frame_idx"),
+        m.substr(col("frame_idx") * (col("__fl") + 8) + 33,
+          col("__fl")).as("__frame"))
+    val fhx = hex(col("__frame"))
+    val bytes = transform(sequence(lit(1), octet_length(col("__frame"))),
+      i => conv(fhx.substr(i * 2 - 1, lit(2)), 16, 10).cast("long"))
+    framed.select(col(idCol), col("frame_idx"),
+      octet_length(col("__frame")).as("frame_len"),
+      aggregate(bytes, lit(0L), _ + _).as("frame_sum"),
+      aggregate(bytes, lit(0L),
+        (acc, x) => (acc * lit(257L) + x) % lit(1000000007L)).as("frame_hash"))
+  }
+
+  /** Build a raw GRAYSCALE BITMAP table from `documents`: width/height
+    * derive from the payload size (w = ⌊√plen⌋ capped at 48, h =
+    * ⌊plen/w⌋ capped at 48 — w·h ≤ plen by construction, so the pixel
+    * buffer is always a clean payload prefix), pixels are the raw
+    * bytes, and the dimensions ride as TYPED METADATA columns — the
+    * uncompressed-image shape a resize kernel actually consumes. */
+  def fromDocumentsBitmap(documents: DataFrame): DataFrame = {
+    val payload = encode(col("text"), "UTF-8")
+    val plen = octet_length(payload)
+    val w = least(floor(sqrt(plen.cast("double"))).cast("int"), lit(48))
+    val h = least((plen / w).cast("int"), lit(48))
+    documents
+      .where(octet_length(encode(col("text"), "UTF-8")) >= 4)
+      .select(col("doc_id"), payload.substr(lit(1), w * h).as("media"),
+        w.as("width"), h.as("height"))
+  }
+
+  /** NEAREST-NEIGHBOR RESIZE (integer downsample): out(y, x) =
+    * in(y·f, x·f) over the raw bitmap — the exact-arithmetic core of
+    * the thumbnail/downsample stage (a real pipeline swaps in an
+    * area/bilinear kernel; the byte indexing, metadata plumbing, and
+    * per-payload parallel shape are what this pins). Output features
+    * are exact integers — dimensions, pixel sum, and the 257-base
+    * rolling hash of the resized buffer IN ROW-MAJOR ORDER, so a
+    * single transposed index on either engine hash-mismatches.
+    * Declarative throughout: one `transform` over the output pixel
+    * sequence, hex-pair byte extraction, fold for the hash. */
+  def resizeNearest(media: DataFrame, factor: Int,
+      idCol: String = "doc_id", mediaCol: String = "media",
+      wCol: String = "width", hCol: String = "height"): DataFrame = {
+    require(factor >= 1)
+    val w = col(wCol).cast("int")
+    val h = col(hCol).cast("int")
+    val ow = (w / factor).cast("int")
+    val oh = (h / factor).cast("int")
+    val hx = hex(col(mediaCol))
+    def b(i0: Column): Column = // 0-based byte
+      conv(hx.substr(i0 * 2 + 1, lit(2)), 16, 10).cast("long")
+    val out = transform(sequence(lit(0), ow * oh - 1),
+      i => b(((i / ow).cast("int") * factor) * w + (i % ow) * factor))
+    media
+      .where(ow > 0 && oh > 0)
+      .select(col(idCol), w.as("in_w"), h.as("in_h"),
+        ow.as("out_w"), oh.as("out_h"),
+        size(out).as("out_len"),
+        aggregate(out, lit(0L), _ + _).as("out_sum"),
+        aggregate(out, lit(0L),
+          (acc, x) => (acc * lit(257L) + x) % lit(1000000007L)).as("out_hash"))
+  }
+
   def patchFeatures(media: DataFrame, idCol: String = "doc_id",
       mediaCol: String = "media", patchBytes: Int = 64): DataFrame = {
     require(patchBytes >= 1)

@@ -962,6 +962,63 @@ class OperatorsSpec extends AnyFunSuite {
       out2.map(r => (r.getString(1), r.getLong(2))).toSeq)
   }
 
+  test("frame sampling: container parse lands on exact payload slices, stride honored") {
+    import graft.operators.Multimodal
+    // crafted doc: 27 ascii chars → nf = 27 % 7 + 3 = 9 frames? no:
+    // keep arithmetic visible — text of 25 chars: nf = 25 % 7 + 3 = 7,
+    // flen = (25/7=3)/2*2 = 2 → 7 frames of 2 bytes from the prefix
+    val text = "abcdefghijklmnopqrstuvwxy" // 25 ascii chars
+    val docs = Seq((1L, text, text.length.toLong))
+      .toDF("doc_id", "text", "n_chars")
+    val vids = Multimodal.fromDocumentsVideo(docs)
+    val v = vids.head
+    assert(v.getAs[Int]("n_frames") == 7 && v.getAs[Int]("frame_len") == 2)
+    val bytes = v.getAs[Array[Byte]]("media")
+    // the container is REAL RIFF: magic, movi list, 00db chunk headers
+    assert(new String(bytes.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") == "AVI ")
+    assert(new String(bytes.slice(20, 24), "US-ASCII") == "movi")
+    assert(new String(bytes.slice(24, 28), "US-ASCII") == "00db")
+    assert(bytes.length == 24 + 7 * 10, s"container length ${bytes.length}")
+    // stride 2 keeps frames 0,2,4,6; each frame = payload slice [2i, 2i+2)
+    val got = Multimodal.frameSample(vids, stride = 2)
+      .orderBy("frame_idx").collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    val p = text.getBytes("UTF-8")
+    val want = Seq(0, 2, 4, 6).map { i =>
+      val fr = p.slice(i * 2, i * 2 + 2).map(_ & 0xff)
+      (i, 2, fr.map(_.toLong).sum,
+        fr.foldLeft(0L)((a, b) => (a * 257 + b) % 1000000007L))
+    }
+    assert(got.toSeq == want, s"got ${got.toSeq}")
+    // stride 1 = every frame; stride beyond nf = just frame 0
+    assert(Multimodal.frameSample(vids, stride = 1).count() == 7)
+    assert(Multimodal.frameSample(vids, stride = 100).count() == 1)
+  }
+
+  test("resize: nearest-neighbor picks exactly in(2y,2x), row-major hash order") {
+    import graft.operators.Multimodal
+    // 16 ascii chars → w = 4, h = 4, pixels = the payload verbatim
+    val text = "0123456789ABCDEF"
+    val docs = Seq((1L, text, 16L)).toDF("doc_id", "text", "n_chars")
+    val bm = Multimodal.fromDocumentsBitmap(docs)
+    val b = bm.head
+    assert(b.getAs[Int]("width") == 4 && b.getAs[Int]("height") == 4)
+    val r = Multimodal.resizeNearest(bm, factor = 2).head
+    val p = text.getBytes("UTF-8").map(_ & 0xff)
+    // out 2x2 = indices 0, 2, 8, 10 ('0', '2', '8', 'A')
+    val sel = Seq(p(0), p(2), p(8), p(10)).map(_.toLong)
+    assert(r.getAs[Int]("out_w") == 2 && r.getAs[Int]("out_h") == 2)
+    assert(r.getAs[Long]("out_sum") == sel.sum)
+    assert(r.getAs[Long]("out_hash") ==
+      sel.foldLeft(0L)((a, x) => (a * 257 + x) % 1000000007L))
+    // factor 1 is the identity on features
+    val id = Multimodal.resizeNearest(bm, factor = 1).head
+    assert(id.getAs[Long]("out_sum") == p.map(_.toLong).sum)
+    // a too-small bitmap for the factor yields no row, never garbage
+    assert(Multimodal.resizeNearest(bm, factor = 5).count() == 0)
+  }
+
   test("patch features: exact byte arithmetic, patches reassemble the payload") {
     val payload = Array.tabulate(150)(i => ((i * 7 + 3) % 256).toByte)
     val df = Seq((1L, payload)).toDF("doc_id", "media")
