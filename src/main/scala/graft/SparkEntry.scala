@@ -62,6 +62,16 @@ object SparkEntry {
   private val graphEdgesSql =
     "SELECT DISTINCT l_orderkey % 4096 AS src, " +
       "(l_partkey * 7 + l_suppkey) % 4096 AS dst FROM lineitem"
+  /** g9's graph is 8× DENSER (512 nodes): SCC refinement's inner
+    * min-propagation converges in O(block diameter) rounds, and the
+    * dense derivation keeps that small at every SF — the loud caps
+    * stay honest without an sf-dependent parameter. */
+  private def sccEdges(lineitem: DataFrame): DataFrame =
+    lineitem.select((col("l_orderkey") % 512).as("src"),
+      ((col("l_partkey") * 7 + col("l_suppkey")) % 512).as("dst"))
+  private val sccEdgesSql =
+    "SELECT DISTINCT l_orderkey % 512 AS src, " +
+      "(l_partkey * 7 + l_suppkey) % 512 AS dst FROM lineitem"
   /** g3's graph spreads over 16× more nodes: triangle counting's
     * wedge work is Θ(Σ deg²) — the realistic regime is sparse (social
     * graphs: avg degree ~10²  on n≫deg nodes), and the 4096-node
@@ -637,6 +647,17 @@ object SparkEntry {
     "g8_label_prop" -> ((s, dir) =>
       Graph.labelPropagation(triangleEdges(T(s, dir, "lineitem")),
           "src", "dst", rounds = 3)
+        .orderBy("node")),
+    // STRONGLY CONNECTED COMPONENTS by FW-BW block refinement (r9):
+    // within-block forward/backward min-propagation run TO A CHECKED
+    // FIXED POINT under loud caps (a truncated min would silently
+    // over-split true SCCs — distances differ where reach sets
+    // don't), blocks split by the (mf, mb) pair. Runs on a denser
+    // 512-node derivation so propagation depth stays small at every
+    // SF; the spec proves Tarjan parity on the corpus graph
+    "g9_scc" -> ((s, dir) =>
+      Graph.sccConverged(sccEdges(T(s, dir, "lineitem")), "src", "dst",
+          maxOuter = 4, maxInner = 12)
         .orderBy("node")),
     "q15_having_subquery" -> ((s, dir) => {
       val c = T(s, dir, "customer"); val n = T(s, dir, "nation")
@@ -2551,6 +2572,11 @@ object SparkEntry {
         conserveDangling = true),
     "g8_label_prop" ->
       operators.Graph.labelPropOracleSql(triangleEdgesSql, rounds = 3),
+    // g9: the engine's caps unroll verbatim — rounds past the checked
+    // convergence are no-ops, so the chains agree bit for bit
+    "g9_scc" ->
+      operators.Graph.sccOracleSql(sccEdgesSql, outerRounds = 4,
+        innerDepth = 12),
     "g6_sssp" ->
       operators.Graph.ssspOracleSql(weightedEdgesSql, sources = Seq(0L),
         rounds = 4),

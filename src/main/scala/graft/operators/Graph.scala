@@ -485,6 +485,201 @@ object Graph {
     labels
   }
 
+  /** STRONGLY CONNECTED COMPONENTS by BOUNDED-ROUND block refinement —
+    * the forward-backward reachability argument (Fleischer/Hendrickson/
+    * Pinar's divide-and-conquer FW-BW, re-expressed as relational
+    * rounds): all nodes start in one block; each outer round computes,
+    * WITHIN each block, the minimum id reachable FORWARD from every
+    * node (mf) and the minimum id that reaches it BACKWARD (mb) — each
+    * by `innerDepth` rounds of min-propagation along block-internal
+    * edges — and splits blocks by the (mf, mb) pair. Two nodes in one
+    * SCC can never separate (their mutual paths stay inside any block
+    * containing the SCC, so their within-block reachable sets — hence
+    * mf and mb — are identical); nodes NOT mutually reachable with a
+    * block's minimum get a different pair and split off. At
+    * convergence every block is exactly one SCC and mf is its minimum
+    * member — the returned id.
+    *
+    * Both loops run TO A CHECKED FIXED POINT under loud caps
+    * (`maxOuter` refinements, `maxInner` propagation rounds each) —
+    * bounded TRUNCATION would be silently wrong here, not merely
+    * unconverged: a true SCC's members share reachable SETS but not
+    * DISTANCES, so partial mins at a cut-off depth can differ and
+    * split an SCC that no later round re-merges (refinement only
+    * splits). An exhausted cap therefore REFUSES loudly (the q33
+    * discipline) instead of returning an over-split partition. The
+    * converged result is exact: within a converged block, mf/mb are
+    * the true within-block reach minima, SCC members hold identical
+    * pairs, and a node holding (m, m) is mutually reachable with m.
+    * The oracle replays by unrolling exactly the CAPS — propagation
+    * and refinement are idempotent at their fixed points, so the
+    * oracle's post-convergence rounds are no-ops and the chains
+    * agree bit for bit.
+    *
+    * Plan shape: the forward and reverse edge relations persist ONCE,
+    * hash-partitioned on their propagation join key (the dst side —
+    * the r9 cached-layout discipline); each inner round is one
+    * equi-join + one min-aggregation with layout-kept checkpointed
+    * state; each outer round adds two joins to annotate edges with
+    * block ids, plus one existence probe per converged loop.
+    * Everything is id arithmetic — deterministic under any
+    * partitioning. Node ids must lie in [0, 10^9) (the block id packs
+    * the (mf, mb) pair as mf·10^9 + mb in one BIGINT).
+    *
+    * @return (node BIGINT, scc BIGINT) — scc = the SCC's minimum
+    *         member. */
+  def sccConverged(edges: DataFrame, srcCol: String, dstCol: String,
+      maxOuter: Int, maxInner: Int): DataFrame = {
+    require(maxOuter >= 1 && maxInner >= 1)
+    val P = 1000000000L
+    val e0 = normalize(edges, srcCol, dstCol)
+    val nParts = shuffleParts(e0)
+    // forward propagation pulls mf from the EDGE TARGET, so the join
+    // clusters on dst; the reverse relation swaps the roles
+    val ef = e0.repartition(nParts, col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct()
+      .repartition(nParts, col("node"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bounds = nodes.agg(max("node"), min("node")).head
+    require(bounds.getLong(0) < P && bounds.getLong(1) >= 0L,
+      s"sccConverged packs (mf, mb) pairs: node ids must lie in [0, $P)")
+
+    /** Min-propagation over the pre-annotated block-internal edges
+      * `be` (hash(dst)), to a checked fixed point (≤ maxInner rounds,
+      * loud on exhaustion). */
+    def minProp(be: DataFrame): DataFrame = {
+      var m = ckpt(nodes.withColumn("m", col("node")))
+      var converged = false
+      var round = 0
+      while (!converged && round < maxInner) {
+        round += 1
+        val cand = be.join(m, be("dst") === m("node"))
+          .groupBy(be("src").as("node")).agg(min("m").as("cm"))
+        // POINTER JUMP: v reaches m(v) (within its block), so v
+        // reaches everything m(v) reaches — folding m(m(v)) into the
+        // round makes convergence O(log diameter) instead of
+        // O(diameter); at scale every saved round is a saved shuffle
+        val jump = m.as("j1")
+          .join(m.select(col("node").as("__jn"), col("m").as("__jm")),
+            col("j1.m") === col("__jn"))
+          .select(col("j1.node").as("node"), col("__jm").as("jm"))
+        // the change flag rides IN the checkpointed round state, so
+        // the convergence probe is a filter over materialized rows —
+        // no per-round probe join
+        val next = ckpt(m.join(jump, "node")
+          .join(cand, Seq("node"), "left")
+          .select(col("node"),
+            least(col("m"), col("jm"),
+              coalesce(col("cm"), col("m"))).as("m"),
+            (least(col("jm"), coalesce(col("cm"), col("m"))) < col("m"))
+              .as("__ch")))
+        converged = next.where(col("__ch")).limit(1).isEmpty
+        m = next.select("node", "m")
+      }
+      require(converged,
+        s"scc min-propagation not converged in $maxInner rounds — a " +
+          "truncated min would over-split true components; raise maxInner")
+      m
+    }
+
+    var blk = ckpt(nodes.withColumn("blk", lit(0L)))
+    var mfFinal: DataFrame = null
+    var converged = false
+    var round = 0
+    while (!converged && round < maxOuter) {
+      round += 1
+      // block-internal edges annotated ONCE per outer round; the
+      // backward relation is the same rows swapped (re-clustered on
+      // its own propagation key)
+      val bef = ckpt(ef
+        .join(blk.select(col("node").as("src"), col("blk").as("__bs")), "src")
+        .join(blk.select(col("node").as("dst"), col("blk").as("__bd")), "dst")
+        .where(col("__bs") === col("__bd"))
+        .select("src", "dst")
+        .repartition(nParts, col("dst")))
+      val beb = ckpt(bef
+        .select(col("dst").as("src"), col("src").as("dst"))
+        .repartition(nParts, col("dst")))
+      val mf = minProp(bef).withColumnRenamed("m", "mf")
+      val mb = minProp(beb).withColumnRenamed("m", "mb")
+      // prev block rides into the round state: the convergence probe
+      // filters materialized rows instead of joining two states
+      val next = ckpt(mf.join(mb, "node")
+        .join(blk.select(col("node"), col("blk").as("__pb")), "node")
+        .select(col("node"), (col("mf") * P + col("mb")).as("blk"),
+          col("mf"),
+          ((col("mf") * P + col("mb")) =!= col("__pb")).as("__ch")))
+      converged = next.where(col("__ch")).limit(1).isEmpty
+      blk = next.select("node", "blk", "mf")
+      mfFinal = blk
+    }
+    require(converged,
+      s"scc refinement not converged in $maxOuter rounds; raise maxOuter")
+    val out = mfFinal.select(col("node"), col("mf").as("scc"))
+    ef.unpersist(); nodes.unpersist()
+    out
+  }
+
+  /** The unrolled DuckDB mirror of [[sccConverged]]: the CAPS unroll
+    * verbatim — `outerRounds` block refinements, each holding
+    * `innerDepth` forward and backward min-propagation CTE rounds
+    * over block-internal edges, blocks packed as mf·10^9 + mb.
+    * Propagation and refinement are idempotent at their fixed points,
+    * so the rounds past the engine's (checked) convergence are no-ops
+    * and the chains agree bit for bit. Pure id arithmetic. */
+  def sccOracleSql(edgesSql: String, outerRounds: Int,
+      innerDepth: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH e0 AS ($edgesSql),\n")
+    sb.append("nn AS MATERIALIZED (SELECT DISTINCT node FROM (" +
+      "SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0)),\n")
+    sb.append("b0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS blk FROM nn)")
+    for (r <- 1 to outerRounds) {
+      // block-internal edges for this round
+      sb.append(s""",
+        |be$r AS MATERIALIZED (SELECT e0.src, e0.dst FROM e0
+        |  JOIN b${r - 1} bs ON bs.node = e0.src
+        |  JOIN b${r - 1} bd ON bd.node = e0.dst
+        |  WHERE bs.blk = bd.blk)""".stripMargin)
+      // forward min-propagation
+      sb.append(s""",
+        |f${r}_0 AS MATERIALIZED (SELECT node, node AS m FROM nn)""".stripMargin)
+      for (k <- 1 to innerDepth) {
+        sb.append(s""",
+          |f${r}_$k AS MATERIALIZED (SELECT p.node,
+          |    least(p.m, j.m, coalesce(c.cm, p.m)) AS m
+          |  FROM f${r}_${k - 1} p
+          |  JOIN f${r}_${k - 1} j ON j.node = p.m
+          |  LEFT JOIN (
+          |    SELECT e.src AS cnode, min(q.m) AS cm
+          |    FROM be$r e JOIN f${r}_${k - 1} q ON q.node = e.dst
+          |    GROUP BY 1) c ON c.cnode = p.node)""".stripMargin)
+      }
+      // backward min-propagation (reversed edges)
+      sb.append(s""",
+        |g${r}_0 AS MATERIALIZED (SELECT node, node AS m FROM nn)""".stripMargin)
+      for (k <- 1 to innerDepth) {
+        sb.append(s""",
+          |g${r}_$k AS MATERIALIZED (SELECT p.node,
+          |    least(p.m, j.m, coalesce(c.cm, p.m)) AS m
+          |  FROM g${r}_${k - 1} p
+          |  JOIN g${r}_${k - 1} j ON j.node = p.m
+          |  LEFT JOIN (
+          |    SELECT e.dst AS cnode, min(q.m) AS cm
+          |    FROM be$r e JOIN g${r}_${k - 1} q ON q.node = e.src
+          |    GROUP BY 1) c ON c.cnode = p.node)""".stripMargin)
+      }
+      sb.append(s""",
+        |b$r AS MATERIALIZED (SELECT f.node,
+        |    f.m * 1000000000 + g.m AS blk, f.m AS mf
+        |  FROM f${r}_$innerDepth f JOIN g${r}_$innerDepth g USING (node))""".stripMargin)
+    }
+    sb.append(s"\nSELECT node, mf AS scc FROM b$outerRounds ORDER BY node")
+    sb.toString
+  }
+
   /** The unrolled DuckDB mirror of [[labelPropagation]]. */
   def labelPropOracleSql(edgesSql: String, rounds: Int): String = {
     val sb = new StringBuilder

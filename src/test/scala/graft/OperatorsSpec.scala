@@ -2140,6 +2140,91 @@ class OperatorsSpec extends AnyFunSuite {
       m(Graph.ssspBounded(w, "s", "d", "w", Seq(0L), rounds = 10)))
   }
 
+  test("scc: crafted graphs exact, Tarjan parity on the corpus graph, bounded params converged") {
+    import graft.operators.Graph
+    def run(edges: Seq[(Long, Long)], r: Int = 4, k: Int = 12) =
+      Graph.sccConverged(edges.toDF("src", "dst"), "src", "dst",
+          maxOuter = r, maxInner = k)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // two directed 3-cycles joined by a one-way bridge: the bridge
+    // must NOT merge them (no path back)
+    val twoCycles = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L,
+      10L -> 11L, 11L -> 12L, 12L -> 10L, 3L -> 10L)
+    assert(run(twoCycles) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+    // a directed chain: every node is its own SCC
+    val chain = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L)
+    assert(run(chain) == (1L to 5L).map(v => v -> v).toMap)
+    // figure-eight (two cycles sharing node 5): ONE SCC
+    val eight = Seq(1L -> 2L, 2L -> 5L, 5L -> 1L,
+      5L -> 7L, 7L -> 8L, 8L -> 5L)
+    assert(run(eight).values.toSet == Set(1L))
+    // an over-tight inner cap must REFUSE loudly, never return an
+    // over-split partition (partial mins differ where reach sets
+    // don't — the failure mode the checked fixed point exists for)
+    intercept[IllegalArgumentException] {
+      run(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 1L), k = 1)
+    }
+    // deterministic under partitioning
+    val part = Graph.sccConverged(twoCycles.toDF("src", "dst").repartition(7),
+        "src", "dst", 4, 12)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(part == run(twoCycles))
+    // the corpus graph (g9's dense 512-node derivation): the shipped
+    // caps converge and the result equals a driver-side Tarjan
+    val li = sources.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val ge = li.select((col("l_orderkey") % 512).as("src"),
+      ((col("l_partkey") * 7 + col("l_suppkey")) % 512).as("dst"))
+    val shipped = Graph.sccConverged(ge, "src", "dst", 4, 12)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // iterative Tarjan on the collected edge list (driver-sized graph)
+    val es = ge.distinct().collect().map(x => (x.getLong(0), x.getLong(1)))
+    val adj = es.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2) }
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+    val idx = scala.collection.mutable.Map[Long, Int]()
+    val low = scala.collection.mutable.Map[Long, Int]()
+    val onStk = scala.collection.mutable.Set[Long]()
+    val stk = scala.collection.mutable.ArrayBuffer[Long]()
+    val comp = scala.collection.mutable.Map[Long, Long]()
+    var counter = 0
+    // explicit-stack Tarjan (recursion depth would overflow on chains)
+    def strongconnect(v0: Long): Unit = {
+      case class Frame(v: Long, var i: Int)
+      val call = scala.collection.mutable.ArrayBuffer(Frame(v0, 0))
+      idx(v0) = counter; low(v0) = counter; counter += 1
+      stk += v0; onStk += v0
+      while (call.nonEmpty) {
+        val f = call.last
+        val succ = adj.getOrElse(f.v, Array.empty[Long])
+        if (f.i < succ.length) {
+          val w = succ(f.i); f.i += 1
+          if (!idx.contains(w)) {
+            idx(w) = counter; low(w) = counter; counter += 1
+            stk += w; onStk += w
+            call += Frame(w, 0)
+          } else if (onStk(w)) low(f.v) = math.min(low(f.v), idx(w))
+        } else {
+          if (low(f.v) == idx(f.v)) {
+            val members = scala.collection.mutable.ArrayBuffer[Long]()
+            var w = -1L
+            while ({ w = stk.remove(stk.length - 1); onStk -= w
+              members += w; w != f.v }) ()
+            val rep = members.min
+            members.foreach(m => comp(m) = rep)
+          }
+          call.remove(call.length - 1)
+          if (call.nonEmpty) {
+            val p = call.last
+            low(p.v) = math.min(low(p.v), low(f.v))
+          }
+        }
+      }
+    }
+    nodes.foreach(v => if (!idx.contains(v)) strongconnect(v))
+    assert(shipped == comp.toMap,
+      "bounded SCC must equal Tarjan on the corpus graph")
+  }
+
   test("label propagation: cliques converge to min-id labels, ties deterministic") {
     // two K4 cliques bridged by one edge: labels flood each clique to
     // its min id within 2 rounds; the bridge is one vote against three
