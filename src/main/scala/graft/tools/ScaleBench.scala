@@ -193,7 +193,18 @@ object ScaleBench {
       // bounded frontier with ~f edges per level
       "g7_pagerank_conserve", "g8_label_prop", "d17_substring_dup_index",
       "f13_delete_mor", "s23_pca_power", "s24_abtt_topk",
-      "d18_containment", "q33_recursive_cte")
+      "d18_containment", "q33_recursive_cte",
+      // r9: index-served MIPS is a build (~f, shared-memo) + a
+      // cell-pruned probe; gram takedown is build + O(ids) tombstone
+      // + the d17-shaped serve; the SQL front door pair is layout
+      // write + catalog commit + a manifest-pruned native scan (~f
+      // in files written and scanned); frame sampling / resize are
+      // map-only explodes over ~f payloads; SCC is a bounded number
+      // of pointer-jumped join+agg rounds over ~f edges of the FIXED
+      // 512-node graph (denser per copy, like g3's densification —
+      // but rounds SHRINK as density rises, so ~f per round holds)
+      "s26_mips_index", "d19_gram_delete", "f14_sql_front_door",
+      "f15_sql_write", "m4_frame_sample", "m5_resize", "g9_scc")
       // x18/x19 are NOT here for x12's reason (salting renames their
       // literal terms) — the salted cases below measure real phrase/
       // proximity retrieval.

@@ -2225,6 +2225,35 @@ class OperatorsSpec extends AnyFunSuite {
       "bounded SCC must equal Tarjan on the corpus graph")
   }
 
+  test("scc laws: random DAGs are all singletons, symmetrized scc == connected components") {
+    import graft.operators.{Dedup, Graph}
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val n = 30
+      val dag = (1 to 60).map { _ =>
+        val a = rnd.nextInt(n); val b = rnd.nextInt(n)
+        (math.min(a, b).toLong, math.max(a, b).toLong)
+      }.filter(e => e._1 != e._2).distinct
+      // edges only low→high: acyclic by construction → every node is
+      // its own SCC
+      val scc = Graph.sccConverged(dag.toDF("src", "dst"), "src", "dst",
+          maxOuter = 6, maxInner = 16)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(scc.forall { case (v, c) => v == c },
+        s"DAG must be singletons: ${scc.filter(p => p._1 != p._2)}")
+      // symmetrize every edge: strong connectivity degenerates to
+      // plain connectivity, so scc must equal connectedComponents
+      // (both canonicalize to the min member)
+      val sym = (dag ++ dag.map(_.swap)).distinct
+      val s2 = Graph.sccConverged(sym.toDF("src", "dst"), "src", "dst",
+          maxOuter = 6, maxInner = 16)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val cc = Dedup.connectedComponents(dag.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(s2 == cc, "symmetrized SCC must equal connected components")
+    }
+  }
+
   test("label propagation: cliques converge to min-id labels, ties deterministic") {
     // two K4 cliques bridged by one edge: labels flood each clique to
     // its min id within 2 rounds; the bridge is one vote against three
