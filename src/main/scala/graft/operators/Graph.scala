@@ -602,8 +602,16 @@ object Graph {
       val beb = ckpt(bef
         .select(col("dst").as("src"), col("src").as("dst"))
         .repartition(nParts, col("dst")))
-      val mf = minProp(bef).withColumnRenamed("m", "mf")
-      val mb = minProp(beb).withColumnRenamed("m", "mb")
+      // the two propagations are independent — overlap their job
+      // streams (each round is a small job; interleaving halves the
+      // per-round scheduling floor that dominates at low data volume,
+      // and on a cluster lets both directions fill the executors)
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val (mf, mb) = Await.result(
+        Future(minProp(bef).withColumnRenamed("m", "mf"))
+          .zip(Future(minProp(beb).withColumnRenamed("m", "mb"))),
+        scala.concurrent.duration.Duration.Inf)
       // prev block rides into the round state: the convergence probe
       // filters materialized rows instead of joining two states
       val next = ckpt(mf.join(mb, "node")
