@@ -551,6 +551,38 @@ object SparkEntry {
           sum(col("n_tokens").cast("long")).as("sum_tokens"))
         .orderBy("split", "lang")
     }),
+    // the GOVERNED CORPUS lifecycle (r9): the curation chain's OUTPUT
+    // becomes a TABLE — quality gate + exact dedup, then the curated
+    // rows write through the graft datasource (clustered on doc_id,
+    // partitioned by lang, one atomic catalog commit) and the release
+    // report runs as plain SQL whose partition + range predicates
+    // prune the scan before any file opens. The oracle replays the
+    // curation chain and applies the same predicates directly — the
+    // table is a read path, never a semantics change
+    "c4_curated_table" -> ((s, dir) => {
+      val tmp = layoutDir("c4", dir)
+      val root = s"$tmp/cat"
+      val scored = TextAnalysis.withQualityMetrics(
+        T(s, dir, "documents"), "text")
+      val kept = scored.where(col("quality_score") >= 0.5)
+      val curated = kept
+        .withColumn("__keep",
+          min("doc_id").over(Window.partitionBy(md5(col("text")))))
+        .where(col("doc_id") === col("__keep"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("n_tokens").cast("long").as("n_tokens"))
+      curated.write.format("graft")
+        .option("path", root).option("partitionBy", "lang")
+        .option("clusterBy", "doc_id").option("files", "8")
+        .mode("overwrite").save()
+      s.sql("DROP TABLE IF EXISTS c4_corpus")
+      s.sql(s"CREATE TABLE c4_corpus USING graft OPTIONS (path '$root')")
+      s.sql("""SELECT lang, count(*) AS n_docs,
+        |  sum(n_chars) AS sum_chars, sum(n_tokens) AS sum_tokens
+        |FROM c4_corpus
+        |WHERE doc_id BETWEEN 50 AND 400 AND lang <> 'zh'
+        |GROUP BY lang ORDER BY lang""".stripMargin)
+    }),
     // the DATASET CARD: per-source corpus summary (volume, exact-dup
     // rate, language mix, quality pass rate, token mass) in ONE scan
     // + one aggregation — the report a data release ships with
@@ -2547,6 +2579,27 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(sum(nt) AS BIGINT) AS sum_tokens
         |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // c4: the c1 curation chain + the report's own predicates — the
+    // graft table in between is a read path, never the answer
+    "c4_curated_table" ->
+      s"""WITH m AS (SELECT doc_id, lang, n_chars, text,
+        |    length(text) AS nc,
+        |    len(string_split_regex(trim(text), '\\s+')) AS nt,
+        |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS np,
+        |    len(list_intersect(list_distinct(string_split_regex(trim(text), '\\s+')),
+        |      ['the','and','of','is','to','in','a','that','it','for'])) AS st
+        |  FROM documents),
+        |q AS (SELECT *, least(nt / 100.0, 1.0) * 0.5 + least(st / 5.0, 1.0) * 0.3 +
+        |    (CASE WHEN np / nc < 0.1 THEN 0.2 ELSE 0.0 END) AS score FROM m),
+        |k AS (SELECT * FROM q WHERE score >= 0.5),
+        |d AS (SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+        |  FROM k),
+        |u AS (SELECT * FROM d WHERE doc_id = keeper)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(nt) AS BIGINT) AS sum_tokens
+        |FROM u WHERE doc_id BETWEEN 50 AND 400 AND lang <> 'zh'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // g1's oracle enumerates every walk up to the depth bound with a
     // recursive CTE and takes min(dist) — BFS by brute force
     "g1_bfs" ->
