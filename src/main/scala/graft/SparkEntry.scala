@@ -1922,6 +1922,17 @@ object SparkEntry {
       Multimodal.resizeNearest(
           Multimodal.fromDocumentsBitmap(T(s, dir, "documents")), factor = 2)
         .orderBy("doc_id")),
+    // PERCEPTUAL near-dup (r9): dHash gradient-sign bits over the
+    // 9×8-sampled bitmaps, 4×16-bit banding for candidates (the d2
+    // discipline on image bytes), exact popcount verify — pigeonhole
+    // guarantees no pair within Hamming 3 is missed. The oracle
+    // replays sampling, MSB-first packing, banding, and popcount;
+    // one flipped bit or transposed sample index mismatches
+    "m6_dhash_neardup" -> ((s, dir) =>
+      Multimodal.dhashNearDup(
+          Multimodal.fromDocumentsBitmap(T(s, dir, "documents")),
+          maxHamming = 3)
+        .orderBy("a_id", "b_id")),
 
     // ---- §2.8 file layout & data skipping ---------------------------
     // Iceberg-style manifest pruning: cluster events by user_id into a
@@ -3948,6 +3959,53 @@ object SparkEntry {
         |    (acc, x) -> (acc * 257 + x) % 1000000007) AS BIGINT)
         |    AS out_hash
         |FROM p ORDER BY doc_id""".stripMargin,
+    // m6: the full dHash replay — same w/h derivation as m5, the 9×8
+    // nearest-neighbor sample grid, MSB-first bit packing into two
+    // non-negative 32-bit halves, 4×16-bit banding self-join, exact
+    // popcount filter; `//`, `%`, bit_count all run on non-negative
+    // operands so DuckDB and Spark agree exactly
+    "m6_dhash_neardup" ->
+      """WITH m AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS plen FROM documents
+        |  WHERE octet_length(encode(text)) >= 4),
+        |d AS (SELECT doc_id, hx, least(CAST(floor(sqrt(
+        |    CAST(plen AS DOUBLE))) AS INT), 48) AS w, plen FROM m),
+        |e AS (SELECT doc_id, hx, w,
+        |    least(CAST(plen // w AS INT), 48) AS h FROM d
+        |  WHERE w >= 9 AND plen // w >= 8),
+        |p AS (SELECT doc_id, list_transform(range(0, 72), k ->
+        |    CAST(('0x' || substr(hx,
+        |      CAST((((k // 9) * h // 8) * w + (k % 9) * w // 9) * 2 + 1
+        |        AS INT), 2)) AS BIGINT)) AS px
+        |  FROM e WHERE h >= 8),
+        |q AS (SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(0, 32), j -> CAST(CASE WHEN
+        |        px[CAST((63-j) // 8 * 9 + (63-j) % 8 + 1 AS INT)] <
+        |        px[CAST((63-j) // 8 * 9 + (63-j) % 8 + 2 AS INT)]
+        |        THEN 1 ELSE 0 END AS BIGINT))),
+        |      (acc, b) -> acc * 2 + b) AS hi,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(0, 32), j -> CAST(CASE WHEN
+        |        px[CAST((31-j) // 8 * 9 + (31-j) % 8 + 1 AS INT)] <
+        |        px[CAST((31-j) // 8 * 9 + (31-j) % 8 + 2 AS INT)]
+        |        THEN 1 ELSE 0 END AS BIGINT))),
+        |      (acc, b) -> acc * 2 + b) AS lo
+        |  FROM p),
+        |bands AS (SELECT doc_id, hi, lo, u.i AS band_idx,
+        |    CASE u.i WHEN 0 THEN hi // 65536 WHEN 1 THEN hi % 65536
+        |      WHEN 2 THEN lo // 65536 ELSE lo % 65536 END AS band_val
+        |  FROM q, unnest(generate_series(0, 3)) AS u(i)),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    a.hi AS ahi, a.lo AS alo, b.hi AS bhi, b.lo AS blo
+        |  FROM bands a JOIN bands b USING (band_idx, band_val)
+        |  WHERE a.doc_id < b.doc_id)
+        |SELECT a_id, b_id,
+        |  CAST(bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo))
+        |    AS INT) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
     // f6/f7: the DML oracles ignore the file layout entirely — a
     // pruned-rewrite delete/update must equal the full-scan form
     "f6_delete_cow" ->

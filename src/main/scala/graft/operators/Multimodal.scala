@@ -656,6 +656,99 @@ object Multimodal {
           (acc, x) => (acc * lit(257L) + x) % lit(1000000007L)).as("out_hash"))
   }
 
+  /** PERCEPTUAL DIFFERENCE HASH (dHash) of a raw grayscale bitmap:
+    * nearest-neighbor sample the image onto a 9×8 grid (sy = ⌊y·h/8⌋,
+    * sx = ⌊x·w/9⌋ — exact integer arithmetic, any input size ≥ 9×8),
+    * then one bit per horizontal neighbor pair: bit(y,x) = 1 iff
+    * g(y,x) < g(y,x+1). The 64 bits pack MSB-first into TWO
+    * non-negative 32-bit halves (`hi` = bits 63..32, `lo` = 31..0) so
+    * every downstream shift/divide/popcount is sign-free on both the
+    * engine and the oracle. Gradient-sign bits survive brightness and
+    * scale changes, which is why dHash is the standard cheap
+    * image-near-dup signature.
+    *
+    * Declarative throughout: one staged 72-sample array column per
+    * row (interpreted HOF lambdas share no subexpressions — the
+    * samples are computed ONCE, the two packing folds only index it),
+    * hex-pair byte extraction, fold for the MSB-first pack. */
+  def dhash(media: DataFrame, idCol: String = "doc_id",
+      mediaCol: String = "media", wCol: String = "width",
+      hCol: String = "height"): DataFrame = {
+    val w = col(wCol).cast("int")
+    val h = col(hCol).cast("int")
+    val hx = hex(col(mediaCol))
+    def b(i0: Column): Column = // 0-based byte of the bitmap
+      conv(hx.substr(i0 * 2 + 1, lit(2)), 16, 10).cast("long")
+    // 9 cols × 8 rows of samples, row-major: sample k = (y=k/9, x=k%9)
+    val px = transform(sequence(lit(0), lit(71)), k =>
+      b(((k / 9).cast("int") * h / 8).cast("int") * w +
+        ((k % 9).cast("int") * w / 9).cast("int")))
+    val sampled = media.where(w >= 9 && h >= 8)
+      .select(col(idCol), px.as("__g_px"))
+    // bit i (y=i/8, x=i%8) compares samples y*9+x and y*9+x+1
+    def bit(i: Column): Column = {
+      val base = (i / 8).cast("int") * 9 + (i % 8).cast("int")
+      when(element_at(col("__g_px"), base + 1) <
+        element_at(col("__g_px"), base + 2), lit(1L)).otherwise(lit(0L))
+    }
+    def pack(msb: Int, lsb: Int): Column =
+      aggregate(sequence(lit(msb.toLong), lit(lsb.toLong), lit(-1L)),
+        lit(0L), (acc, i) => acc * 2 + bit(i))
+    sampled.select(col(idCol), pack(63, 32).as("hi"), pack(31, 0).as("lo"))
+  }
+
+  /** dHash NEAR-DUPLICATE pairs — the multimodal twin of the MinHash
+    * banding discipline (d2): split each 64-bit hash into four 16-bit
+    * bands; candidates are band-equal pairs (a pure equi-join — the
+    * only shuffle key is (band_idx, band_val)); verify is an exact
+    * popcount on the candidate set only. Pigeonhole gives the recall
+    * guarantee: Hamming distance ≤ 3 across 4 bands forces at least
+    * one untouched band, so no pair within `maxHamming` ≤ 3 is missed.
+    *
+    * Scale ladder (same tradeoff as d2's `minhashBandsFor`): 16-bit
+    * bands hold the per-(band, value) bucket near n/2^16 rows under a
+    * uniform hash — fine to ~10^6 images; past that, fewer/wider bands
+    * (2×32 ⇒ guarantee ≤ 1) or a second banding level keep the
+    * candidate join linear. Structured media makes band skew REAL
+    * (flat images all hash to 0), so an in-plan `assert_true` budget
+    * fails LOUDLY when any bucket exceeds `maxBucket` instead of
+    * letting one hub turn the join quadratic. */
+  def dhashNearDup(media: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 1 << 14, idCol: String = "doc_id",
+      mediaCol: String = "media", wCol: String = "width",
+      hCol: String = "height"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16-bit banding only guarantees Hamming <= 3 (got $maxHamming)")
+    val hashes = dhash(media, idCol, mediaCol, wCol, hCol)
+    val bands = hashes.select(col(idCol).as("id"), col("hi"), col("lo"),
+      posexplode(array(
+        shiftright(col("hi"), 16), col("hi").bitwiseAND(lit(65535L)),
+        shiftright(col("lo"), 16), col("lo").bitwiseAND(lit(65535L))))
+        .as(Seq("band_idx", "band_val")))
+    val budget = bands.groupBy("band_idx", "band_val")
+      .agg(count(lit(1)).as("__g_bucket_n"))
+      .select(col("band_idx"), col("band_val"),
+        assert_true(col("__g_bucket_n") <= maxBucket,
+          concat(lit("dhash band bucket over budget: "),
+            col("__g_bucket_n"), lit(s" > $maxBucket"))).as("__g_guard"))
+    val guarded = bands.join(budget, Seq("band_idx", "band_val"))
+      .where(col("__g_guard").isNull)
+    val a = guarded.select(col("band_idx"), col("band_val"),
+      col("id").as("a_id"), col("hi").as("a_hi"), col("lo").as("a_lo"))
+    val bb = guarded.select(col("band_idx"), col("band_val"),
+      col("id").as("b_id"), col("hi").as("b_hi"), col("lo").as("b_lo"))
+    val cand = a.join(bb, Seq("band_idx", "band_val"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_hi", "a_lo", "b_hi", "b_lo")
+      .distinct()
+    cand
+      .select(col("a_id"), col("b_id"),
+        (bit_count(col("a_hi").bitwiseXOR(col("b_hi"))) +
+          bit_count(col("a_lo").bitwiseXOR(col("b_lo"))))
+          .cast("int").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
   def patchFeatures(media: DataFrame, idCol: String = "doc_id",
       mediaCol: String = "media", patchBytes: Int = 64): DataFrame = {
     require(patchBytes >= 1)

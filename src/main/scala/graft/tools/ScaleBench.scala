@@ -204,7 +204,11 @@ object ScaleBench {
       // 512-node graph (denser per copy, like g3's densification —
       // but rounds SHRINK as density rises, so ~f per round holds)
       "s26_mips_index", "d19_gram_delete", "f14_sql_front_door",
-      "f15_sql_write", "m4_frame_sample", "m5_resize", "g9_scc")
+      "f15_sql_write", "m4_frame_sample", "m5_resize", "g9_scc",
+      // m6: dHash per image is map-only (~f); the banding self-join's
+      // candidates track true near-dup pairs (planted dups replicate
+      // ~f, so pairs stay ~f under the bucket budget, not n^2)
+      "m6_dhash_neardup")
       // x18/x19 are NOT here for x12's reason (salting renames their
       // literal terms) — the salted cases below measure real phrase/
       // proximity retrieval.

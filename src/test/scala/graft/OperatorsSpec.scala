@@ -1019,6 +1019,59 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.resizeNearest(bm, factor = 5).count() == 0)
   }
 
+  test("dhash: matches the JVM reference bit for bit, brightness-invariant") {
+    import graft.operators.Multimodal
+    def refDhash(px: Array[Int], w: Int, h: Int): (Long, Long) = {
+      val g = Array.tabulate(8, 9)((y, x) => px((y * h / 8) * w + x * w / 9))
+      def pack(msb: Int, lsb: Int): Long =
+        (msb to lsb by -1).foldLeft(0L)((acc, i) =>
+          acc * 2 + (if (g(i / 8)(i % 8) < g(i / 8)(i % 8 + 1)) 1L else 0L))
+      (pack(63, 32), pack(31, 0))
+    }
+    // awkward dims (13×11) exercise the ⌊y·h/8⌋ / ⌊x·w/9⌋ sampling
+    val w = 13; val h = 11
+    val px = Array.tabulate(w * h)(i => (i * 37 + 11) % 251)
+    val df = Seq((1L, px.map(_.toByte), w, h))
+      .toDF("doc_id", "media", "width", "height")
+    val r = Multimodal.dhash(df).head
+    val (hi, lo) = refDhash(px, w, h)
+    assert(r.getLong(1) == hi && r.getLong(2) == lo)
+    assert(hi >= 0 && lo >= 0 && hi < (1L << 32) && lo < (1L << 32))
+    // brightness shift preserves every gradient sign → identical hash
+    val bright = Seq((2L, px.map(p => ((p % 200) + 55).toByte), w, h))
+      .toDF("doc_id", "media", "width", "height")
+    val rb = Multimodal.dhash(bright).head
+    val (hib, lob) = refDhash(px.map(p => (p % 200) + 55), w, h)
+    assert(rb.getLong(1) == hib && rb.getLong(2) == lob)
+    // too-small bitmaps yield no row, never a degenerate hash
+    assert(Multimodal.dhash(Seq((3L, Array.fill(16)(1.toByte), 4, 4))
+      .toDF("doc_id", "media", "width", "height")).count() == 0)
+  }
+
+  test("dhash near-dup: banding finds all pairs within Hamming 3, guard trips") {
+    import graft.operators.Multimodal
+    // 9×8 identity grid: sample k IS byte k. A = per-row ramp (all 64
+    // bits set), B = A with exactly bit (0,0) flipped, C = flat (no
+    // bits), D = A + 50 brightness (same hash as A).
+    val a = Array.tabulate(72)(i => ((i % 9) * 10).toByte)
+    val b = a.clone(); b(1) = 0
+    val c = Array.fill(72)(42.toByte)
+    val d = Array.tabulate(72)(i => ((i % 9) * 10 + 50).toByte)
+    val df = Seq((1L, a), (2L, b), (3L, c), (4L, d))
+      .map { case (id, m) => (id, m, 9, 8) }
+      .toDF("doc_id", "media", "width", "height")
+    val got = Multimodal.dhashNearDup(df, maxHamming = 3)
+      .orderBy("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // C shares no band with anything; A~B differ by 1 bit, A~D by 0
+    assert(got == Seq((1L, 2L, 1), (1L, 4L, 0), (2L, 4L, 1)), s"got $got")
+    // the in-plan bucket budget fails LOUDLY instead of going quadratic
+    val ex = intercept[Exception] {
+      Multimodal.dhashNearDup(df, maxHamming = 3, maxBucket = 1).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("patch features: exact byte arithmetic, patches reassemble the payload") {
     val payload = Array.tabulate(150)(i => ((i * 7 + 3) % 256).toByte)
     val df = Seq((1L, payload)).toDF("doc_id", "media")
