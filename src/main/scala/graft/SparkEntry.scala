@@ -691,6 +691,26 @@ object SparkEntry {
       Graph.sccConverged(sccEdges(T(s, dir, "lineitem")), "src", "dst",
           maxOuter = 4, maxInner = 12)
         .orderBy("node")),
+    // LINK PREDICTION (r9, late): common-neighbor count + the
+    // resource-allocation index in exact integer fixed point over the
+    // sparse 16384-node graph — wedge candidates by one center-keyed
+    // self-join, hub centers excluded up front (deg > 64 ⇒ RA weight
+    // ≤ noise but deg² wedge cost ⇒ the whole bill), existing edges
+    // anti-joined away
+    "g10_link_predict" -> ((s, dir) =>
+      Graph.linkPredict(triangleEdges(T(s, dir, "lineitem")), "src", "dst",
+          minCommon = 2, maxCenterDegree = 64)
+        .orderBy("a", "b")),
+    // HITS hubs/authorities (r9, late): 4 rounds of the Kleinberg
+    // mutual recursion in exact integer fixed point (max-normalized
+    // half-rounds — floor division mirrors where an L2 sqrt cannot),
+    // auth from OLD hubs then hub from NEW auths; per round two
+    // cached-partitioned equi-joins (src-keyed and dst-keyed edge
+    // copies), the max riding in-plan as a one-row cross join
+    "g11_hits" -> ((s, dir) =>
+      Graph.hits(graphEdges(T(s, dir, "lineitem")), "src", "dst",
+          iterations = 4)
+        .orderBy("node")),
     "q15_having_subquery" -> ((s, dir) => {
       val c = T(s, dir, "customer"); val n = T(s, dir, "nation")
       val j = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
@@ -2658,6 +2678,27 @@ object SparkEntry {
         |  UNION ALL SELECT z FROM t)
         |SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM c
         |GROUP BY node ORDER BY node""".stripMargin,
+    // g10: full wedge replay — same canonical undirected edge set,
+    // same center-degree cap, `//` on the non-negative RA operands
+    "g10_link_predict" ->
+      s"""WITH e AS ($triangleEdgesSql),
+        |u AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e WHERE src <> dst),
+        |nb AS (SELECT a AS z, b AS n FROM u UNION ALL SELECT b, a FROM u),
+        |dg AS (SELECT z, count(*) AS degz FROM nb GROUP BY z),
+        |ce AS (SELECT nb.z, nb.n, dg.degz FROM nb JOIN dg USING (z)
+        |  WHERE dg.degz <= 64),
+        |pr AS (SELECT e1.n AS a, e2.n AS b, e1.degz
+        |  FROM ce e1 JOIN ce e2 ON e1.z = e2.z AND e1.n < e2.n),
+        |sc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cn,
+        |    CAST(sum(1000000 // degz) AS BIGINT) AS ra_scaled
+        |  FROM pr GROUP BY a, b)
+        |SELECT a, b, cn, ra_scaled FROM sc
+        |WHERE cn >= 2 AND NOT EXISTS (
+        |  SELECT 1 FROM u WHERE u.a = sc.a AND u.b = sc.b)
+        |ORDER BY a, b""".stripMargin,
+    "g11_hits" ->
+      operators.Graph.hitsOracleSql(graphEdgesSql, iterations = 4),
     "q15_having_subquery" ->
       """WITH j AS (SELECT n_name, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
         |  FROM customer JOIN nation ON c_nationkey = n_nationkey),

@@ -786,6 +786,159 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
   }
 
+  /** HITS hubs-and-authorities over the DIRECTED graph, `iterations`
+    * rounds of the Kleinberg mutual recursion in exact integer fixed
+    * point: auth'(v) = Σ_{u→v} hub(u) then hub'(u) = Σ_{u→v} auth'(v)
+    * (auth updates from the OLD hubs, hubs from the NEW auths — the
+    * textbook order), each half-round rescaled by MAX-normalization
+    * ⌊x·scale/max⌋ instead of the L2 norm — same fixed-point ranking,
+    * but floor division on non-negative operands is exactly mirrorable
+    * by `//` in the oracle where an L2 sqrt is not (the g2/g7 fixed-
+    * point discipline).
+    *
+    * Plan shape per round: TWO shuffled equi-joins + partial aggs —
+    * the auth gather clusters on src, the hub gather on dst — so the
+    * edge relation is persisted TWICE, hash-partitioned on each key
+    * (both cached layouts are reused every round; no per-round
+    * re-Exchange of the big side). The per-half-round max rides
+    * in-plan as a one-row cross join, exactly like g7's dangling mass.
+    * State is layout-keeping-checkpointed so lineage stays O(1).
+    * Headroom: Σ hub over in-neighbors ≤ maxdeg·scale, and the
+    * rescale multiplies by scale once — maxdeg·scale² must stay below
+    * 2^63 (10^6 scale leaves room for maxdeg up to ~9·10^6).
+    *
+    * @return (node, auth, hub) for every node, after `iterations`
+    *         full rounds.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, scale: Long = 1000000L): DataFrame = {
+    require(iterations >= 1 && scale >= 1)
+    val e = normalize(edges, srcCol, dstCol)
+    val n = shuffleParts(edges)
+    val eSrc = e.repartition(n, col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val eDst = e.repartition(n, col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .repartition(n, col("node"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var auth = nodes.select(col("node"), lit(scale).as("auth"))
+    var hub = nodes.select(col("node"), lit(scale).as("hub"))
+    for (_ <- 1 to iterations) {
+      val ain = eSrc.join(hub, eSrc("src") === hub("node"))
+        .groupBy(eSrc("dst").as("node")).agg(sum("hub").as("s"))
+      val amax = ain.agg(
+        greatest(coalesce(max(col("s")), lit(0L)), lit(1L)).as("m"))
+      auth = ckpt(nodes.join(ain, Seq("node"), "left")
+        .crossJoin(amax)
+        .select(col("node"),
+          expr(s"(coalesce(s, CAST(0 AS BIGINT)) * $scale) div m")
+            .as("auth")))
+      val hin = eDst.join(auth, eDst("dst") === auth("node"))
+        .groupBy(eDst("src").as("node")).agg(sum("auth").as("s"))
+      val hmax = hin.agg(
+        greatest(coalesce(max(col("s")), lit(0L)), lit(1L)).as("m"))
+      hub = ckpt(nodes.join(hin, Seq("node"), "left")
+        .crossJoin(hmax)
+        .select(col("node"),
+          expr(s"(coalesce(s, CAST(0 AS BIGINT)) * $scale) div m")
+            .as("hub")))
+    }
+    val out = auth.join(hub, "node")
+    // state is eagerly checkpointed — the caches are no longer needed
+    eSrc.unpersist(); eDst.unpersist(); nodes.unpersist()
+    out
+  }
+
+  /** The unrolled DuckDB mirror of [[hits]]: same round order (auth
+    * from old hubs, hub from new auths), same max-normalization —
+    * `//` and `div` agree on the non-negative values the recursion
+    * produces. */
+  def hitsOracleSql(edgesSql: String, iterations: Int,
+      scale: Long = 1000000L): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH e AS ($edgesSql),\n")
+    sb.append("n AS (SELECT DISTINCT src AS node FROM e " +
+      "UNION SELECT DISTINCT dst FROM e),\n")
+    sb.append(s"h0 AS (SELECT node, CAST($scale AS BIGINT) AS hub FROM n),\n")
+    for (r <- 1 to iterations) {
+      val p = r - 1
+      sb.append(s"ain$r AS (SELECT e.dst AS node, " +
+        s"CAST(sum(h.hub) AS BIGINT) AS s FROM e " +
+        s"JOIN h$p h ON e.src = h.node GROUP BY e.dst),\n")
+      sb.append(s"am$r AS (SELECT greatest(coalesce(max(s), 0), 1) " +
+        s"AS m FROM ain$r),\n")
+      sb.append(s"a$r AS (SELECT n.node, CAST(coalesce(i.s, 0) * $scale " +
+        s"// am$r.m AS BIGINT) AS auth FROM n " +
+        s"LEFT JOIN ain$r i ON n.node = i.node, am$r),\n")
+      sb.append(s"hin$r AS (SELECT e.src AS node, " +
+        s"CAST(sum(a.auth) AS BIGINT) AS s FROM e " +
+        s"JOIN a$r a ON e.dst = a.node GROUP BY e.src),\n")
+      sb.append(s"hm$r AS (SELECT greatest(coalesce(max(s), 0), 1) " +
+        s"AS m FROM hin$r),\n")
+      sb.append(s"h$r AS (SELECT n.node, CAST(coalesce(i.s, 0) * $scale " +
+        s"// hm$r.m AS BIGINT) AS hub FROM n " +
+        s"LEFT JOIN hin$r i ON n.node = i.node, hm$r),\n")
+    }
+    sb.append(s"f AS (SELECT a.node, a.auth, h.hub FROM a$iterations a " +
+      s"JOIN h$iterations h ON a.node = h.node)\n")
+    sb.append("SELECT node, auth, hub FROM f ORDER BY node")
+    sb.toString
+  }
+
+  /** LINK PREDICTION over the undirected graph: for every
+    * non-adjacent pair (a, b) sharing at least `minCommon` neighbors,
+    * the two classic local scores — COMMON-NEIGHBOR count and the
+    * RESOURCE-ALLOCATION index Σ_{z ∈ N(a)∩N(b)} 1/deg(z), the
+    * Zhou–Lü–Zhang form that discounts promiscuous centers. RA is
+    * computed in exact integer fixed point (⌊raScale/deg(z)⌋ per
+    * center, summed — associative, partitioning-invariant, and
+    * mirrored verbatim by `//` in the oracle on non-negative
+    * operands).
+    *
+    * Candidate pairs are wedges: one self-join of the adjacency on the
+    * CENTER (an equi-join — the only shuffle key is z), then one
+    * group-by on the pair. Wedge work is Θ(Σ deg²), so centers above
+    * `maxCenterDegree` are EXCLUDED up front — the standard RA
+    * practice (a hub's per-pair weight is ≤ raScale/cap ≈ noise, but
+    * its deg² wedge cost is the whole bill); the cap bounds total
+    * wedge work by cap·|E| regardless of skew, which is what survives
+    * a 100× scale-up. The adjacency is hash-partitioned on z once and
+    * checkpointed, so both sides of the wedge self-join read it
+    * co-partitioned (the g3 discipline).
+    *
+    * @return (a, b, cn, ra_scaled) with a < b, non-adjacent, cn ≥
+    *         minCommon.
+    */
+  def linkPredict(edges: DataFrame, srcCol: String, dstCol: String,
+      minCommon: Int = 2, maxCenterDegree: Int = 64,
+      raScale: Long = 1000000L): DataFrame = {
+    require(minCommon >= 1 && maxCenterDegree >= 1 && raScale >= 1)
+    val und = normalize(edges, srcCol, dstCol)
+      .where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .transform(ckpt)
+    val nbrs = und.select(col("a").as("z"), col("b").as("n"))
+      .union(und.select(col("b").as("z"), col("a").as("n")))
+    val deg = nbrs.groupBy("z").agg(count(lit(1)).as("degz"))
+    val centers = nbrs.join(deg, "z")
+      .where(col("degz") <= maxCenterDegree)
+      .repartition(shuffleParts(edges), col("z"))
+      .transform(ckpt)
+    val e1 = centers.select(col("z"), col("n").as("na"), col("degz"))
+    val e2 = centers.select(col("z"), col("n").as("nb"))
+    val scored = e1.join(e2, "z")
+      .where(col("na") < col("nb"))
+      .groupBy(col("na").as("a"), col("nb").as("b"))
+      .agg(count(lit(1)).as("cn"),
+        sum(expr(s"$raScale div degz")).as("ra_scaled"))
+      .where(col("cn") >= minCommon)
+    scored.join(und, Seq("a", "b"), "left_anti")
+  }
+
   /** The unrolled DuckDB mirror of [[pageRank]]: `//` is BIGINT floor
     * division there, `div` truncation here — identical on the
     * non-negative values rank iteration produces. With

@@ -208,7 +208,11 @@ object ScaleBench {
       // m6: dHash per image is map-only (~f); the banding self-join's
       // candidates track true near-dup pairs (planted dups replicate
       // ~f, so pairs stay ~f under the bucket budget, not n^2)
-      "m6_dhash_neardup")
+      "m6_dhash_neardup",
+      // g10: wedge work is capped at maxCenterDegree x |E| by the hub
+      // exclusion, so it scales ~f x densification, NOT deg^2-free;
+      // g11: two cached-partitioned joins per round over ~f edges
+      "g10_link_predict", "g11_hits")
       // x18/x19 are NOT here for x12's reason (salting renames their
       // literal terms) — the salted cases below measure real phrase/
       // proximity retrieval.

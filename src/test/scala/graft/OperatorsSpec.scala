@@ -2467,6 +2467,83 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("link prediction: wedge geometry exact, hub cap excludes, edges anti-joined") {
+    // square 1-2-3-4-1: the two diagonals are the only predictions,
+    // each with both corners as common neighbors (deg 2 → RA 500000×2)
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("s", "d")
+    val got = Graph.linkPredict(sq, "s", "d", minCommon = 2)
+      .orderBy("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 3L, 2L, 1000000L), (2L, 4L, 2L, 1000000L)))
+    // star 0→{1..10}: cap 5 excludes the hub center → no predictions;
+    // cap 10 admits it → all 45 leaf pairs at RA ⌊1e6/10⌋
+    val star = (1 to 10).map(i => (0L, i.toLong)).toDF("s", "d")
+    assert(Graph.linkPredict(star, "s", "d", minCommon = 1,
+      maxCenterDegree = 5).count() == 0)
+    val leafs = Graph.linkPredict(star, "s", "d", minCommon = 1,
+      maxCenterDegree = 10).collect()
+    assert(leafs.length == 45 && leafs.forall(_.getLong(3) == 100000L))
+    // random-graph law: exact match against a driver-side brute force
+    for (seed <- Seq(5, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val es = (1 to 80).map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      val und = es.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+      val nbr = und.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      val nodes = nbr.keys.toSeq.sorted
+      val ref = (for {
+        a <- nodes; b <- nodes
+        if a < b && !und((a, b))
+        common = (nbr(a) & nbr(b)).toSeq
+        if common.nonEmpty
+      } yield (a, b, common.size.toLong,
+        common.map(z => 1000000L / nbr(z).size).sum)).toSet
+      val lp = Graph.linkPredict(es.toDF("s", "d"), "s", "d", minCommon = 1)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(lp == ref, s"seed $seed: $lp != $ref")
+    }
+  }
+
+  test("hits: bipartite fixed point exact, random graphs match integer reference") {
+    // hubs {1,2} → authorities {3,4,5}: one round reaches the fixed
+    // point — authorities carry all auth, hubs all hub, at exactly
+    // the scale ceiling; the other side exactly zero
+    val bip = Seq((1L, 3L), (1L, 4L), (1L, 5L), (2L, 3L), (2L, 4L), (2L, 5L))
+      .toDF("s", "d")
+    val fp = Graph.hits(bip, "s", "d", iterations = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(Seq(3L, 4L, 5L).forall(v => fp(v) == ((1000000L, 0L))))
+    assert(Seq(1L, 2L).forall(v => fp(v) == ((0L, 1000000L))))
+    // random digraphs: exact match against a driver-side replay of
+    // the same integer recursion (old-hub → auth → new-auth → hub)
+    for (seed <- Seq(3, 77)) {
+      val rnd = new scala.util.Random(seed)
+      val es = (1 to 90).map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+        .distinct.filter(e => e._1 != e._2)
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      var auth = nodes.map(_ -> 1000000L).toMap
+      var hub = nodes.map(_ -> 1000000L).toMap
+      for (_ <- 1 to 3) {
+        val ain = es.groupBy(_._2).map { case (v, in) =>
+          v -> in.map(e => hub(e._1)).sum }
+        val am = math.max(if (ain.isEmpty) 0L else ain.values.max, 1L)
+        auth = nodes.map(v => v -> ain.getOrElse(v, 0L) * 1000000L / am).toMap
+        val hin = es.groupBy(_._1).map { case (u, out) =>
+          u -> out.map(e => auth(e._2)).sum }
+        val hm = math.max(if (hin.isEmpty) 0L else hin.values.max, 1L)
+        hub = nodes.map(v => v -> hin.getOrElse(v, 0L) * 1000000L / hm).toMap
+      }
+      val got = Graph.hits(es.toDF("s", "d"), "s", "d", iterations = 3)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      val ref = nodes.map(v => v -> ((auth(v), hub(v)))).toMap
+      assert(got == ref, s"seed $seed: hits mismatch")
+    }
+  }
+
   test("robust outliers: MAD fence catches the spike the mean would hide") {
     // 19 calm values around 10.00 plus one 500.00 spike in group A;
     // group B constant → MAD 0, any deviation flags
