@@ -737,6 +737,40 @@ object FileManifest {
       append(cur, spark, newFiles, pm.column)))
   }
 
+  /** Adopt a STAGED batch layout into the table tree: every partition
+    * file under `batchRoot` is RENAMED into `tableRoot`'s matching
+    * partition directory (data written once, adopted by move — the
+    * Iceberg `add_files` contract; no copy, no rewrite) and the
+    * result is `pm` with the moved files appended, footer-statted at
+    * their final paths. Refuses to clobber an existing destination —
+    * a name collision means two writers staged the same file name,
+    * never something to resolve silently. */
+  def adoptBatch(spark: SparkSession, pm: PartitionedManifest,
+      tableRoot: String, batchRoot: String): PartitionedManifest = {
+    val fs = new Path(tableRoot).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new Path(batchRoot)).toSeq
+      .filter(_.isDirectory)
+    var cur = pm
+    parts.foreach { p =>
+      val part = p.getPath.getName
+      val destDir = new Path(tableRoot, part)
+      fs.mkdirs(destDir)
+      val moved = fs.listStatus(p.getPath).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map { st =>
+          val dest = new Path(destDir, st.getPath.getName)
+          require(!fs.exists(dest),
+            s"adoptBatch: destination $dest already exists")
+          require(fs.rename(st.getPath, dest),
+            s"adoptBatch: rename failed for ${st.getPath}")
+          dest.toString
+        }
+      if (moved.nonEmpty) cur = appendPartition(cur, spark, part, moved)
+    }
+    cur
+  }
+
   /** Retention/compaction expiry: drop file entries from one partition;
     * a partition with no files left leaves the catalog entirely. */
   def expirePartition(pm: PartitionedManifest, partition: String,
@@ -948,20 +982,141 @@ object FileManifest {
     commitVersion(spark, loadVersion(spark, root, version), root)
 
   /** Retention: drop committed versions older than `keepLast` (never
-    * the latest). Time travel reaches only what retention keeps —
-    * the standard lakehouse contract. */
+    * the latest, never a version a branch or tag still points at —
+    * the Iceberg contract: refs PIN their snapshots, so expiry can
+    * never break a named ref). Time travel reaches only what
+    * retention keeps. */
   def expireVersions(spark: SparkSession, root: String,
       keepLast: Int): Unit = {
     require(keepLast >= 1)
     val fs = new Path(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
+    val pinned = listRefs(spark, root).map(_._3).toSet
     val versions = fs.listStatus(new Path(root)).toSeq
       .map(_.getPath.getName)
       .collect { case VersionMarker(n) => n.toLong }.sorted
-    versions.dropRight(keepLast).foreach { v =>
+    versions.dropRight(keepLast).filterNot(pinned).foreach { v =>
       fs.delete(new Path(root, s"commit-$v"), false)
       fs.delete(new Path(s"$root/v$v"), true)
     }
+  }
+
+  // ---- named refs: branches & tags (write-audit-publish) ------------
+  //
+  // Iceberg-style refs over the version store: a TAG is an immutable
+  // name for one version; a BRANCH is a mutable pointer advanced by
+  // appending a higher-sequence marker. Every mutation is ONE atomic
+  // empty-file create whose NAME carries the whole state
+  // (`bref-<seq>-<version>` / `tagref-<version>`) — the same
+  // object-store-safe discipline as commit markers: no file is ever
+  // rewritten, readers resolve max(seq), a concurrent double-advance
+  // loses the create race and fails LOUDLY instead of last-writer-
+  // silently-wins. Refs pin their target versions against
+  // [[expireVersions]].
+  //
+  // This is the substrate of WRITE-AUDIT-PUBLISH: stage a commit,
+  // point a scratch branch at it, audit THROUGH the branch read, and
+  // publish by fast-forwarding `main` — the unaudited version is
+  // never visible to main-branch readers (c5 composes it end to end).
+
+  private val BranchRefMarker = "bref-(\\d+)-(\\d+)".r
+  private val TagRefMarker = "tagref-(\\d+)".r
+
+  private def refDir(root: String, name: String): Path = {
+    require(name.matches("[A-Za-z0-9._-]+"),
+      s"ref name '$name' (allowed: letters, digits, dot, dash, underscore)")
+    new Path(s"$root/refs/$name")
+  }
+
+  private def refMarkers(fs: org.apache.hadoop.fs.FileSystem,
+      d: Path): Seq[String] =
+    if (!fs.exists(d)) Nil
+    else fs.listStatus(d).toSeq.map(_.getPath.getName)
+
+  /** Create branch `name` at `version` (must be committed). */
+  def createBranch(spark: SparkSession, root: String, name: String,
+      version: Long): Unit = {
+    val d = refDir(root, name)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(root, s"commit-$version")),
+      s"createBranch($name): version $version was never committed")
+    require(refMarkers(fs, d).isEmpty, s"ref '$name' already exists")
+    fs.mkdirs(d)
+    require(fs.createNewFile(new Path(d, s"bref-0-$version")),
+      s"createBranch($name): marker create failed (concurrent create?)")
+  }
+
+  /** Advance branch `name` to `version`; returns the new sequence.
+    * Refuses on tags and on a lost concurrent-advance race. */
+  def advanceBranch(spark: SparkSession, root: String, name: String,
+      version: Long): Long = {
+    val d = refDir(root, name)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(root, s"commit-$version")),
+      s"advanceBranch($name): version $version was never committed")
+    val ms = refMarkers(fs, d)
+    require(ms.exists(BranchRefMarker.matches),
+      s"'$name' is not a branch")
+    val seq = ms.collect { case BranchRefMarker(s, _) => s.toLong }.max + 1
+    require(fs.createNewFile(new Path(d, s"bref-$seq-$version")),
+      s"advanceBranch($name): lost the create race at seq $seq — retry")
+    seq
+  }
+
+  /** Create immutable tag `name` at `version` (must be committed). */
+  def createTag(spark: SparkSession, root: String, name: String,
+      version: Long): Unit = {
+    val d = refDir(root, name)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(root, s"commit-$version")),
+      s"createTag($name): version $version was never committed")
+    require(refMarkers(fs, d).isEmpty, s"ref '$name' already exists")
+    fs.mkdirs(d)
+    require(fs.createNewFile(new Path(d, s"tagref-$version")),
+      s"createTag($name): marker create failed (concurrent create?)")
+  }
+
+  /** Resolve a branch or tag to its current version. */
+  def resolveRef(spark: SparkSession, root: String, name: String): Long = {
+    val d = refDir(root, name)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ms = refMarkers(fs, d)
+    require(ms.nonEmpty, s"ref '$name' does not exist under $root")
+    ms.collect { case TagRefMarker(v) => v.toLong }.headOption.getOrElse(
+      ms.collect { case BranchRefMarker(s, v) => (s.toLong, v.toLong) }
+        .maxBy(_._1)._2)
+  }
+
+  /** All refs: (kind, name, version), kind ∈ {branch, tag}. */
+  def listRefs(spark: SparkSession, root: String)
+      : Seq[(String, String, Long)] = {
+    val p = new Path(s"$root/refs")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap { st =>
+      val name = st.getPath.getName
+      val ms = refMarkers(fs, st.getPath)
+      val tag = ms.collect { case TagRefMarker(v) => v.toLong }
+      if (tag.nonEmpty) Some(("tag", name, tag.max))
+      else ms.collect { case BranchRefMarker(s, v) => (s.toLong, v.toLong) }
+        .maxByOption(_._1).map(sv => ("branch", name, sv._2))
+    }.sortBy(r => (r._1, r._2))
+  }
+
+  /** Load the catalog a branch or tag points at. */
+  def loadRef(spark: SparkSession, root: String,
+      name: String): PartitionedManifest =
+    loadVersion(spark, root, resolveRef(spark, root, name))
+
+  /** PUBLISH: fast-forward branch `to` onto ref `from`'s version —
+    * the write-audit-publish final step. The version was committed
+    * (and audited) on the side branch; publication is ONE atomic
+    * marker create on the target branch, no data or catalog IO. */
+  def fastForward(spark: SparkSession, root: String, to: String,
+      from: String): Long = {
+    val v = resolveRef(spark, root, from)
+    advanceBranch(spark, root, to, v)
+    v
   }
 
   /** Load a catalog persisted by [[savePartitioned]]. */

@@ -212,7 +212,10 @@ object ScaleBench {
       // g10: wedge work is capped at maxCenterDegree x |E| by the hub
       // exclusion, so it scales ~f x densification, NOT deg^2-free;
       // g11: two cached-partitioned joins per round over ~f edges
-      "g10_link_predict", "g11_hits")
+      "g10_link_predict", "g11_hits",
+      // f16/c5: layout write + catalog commits + ref marker creates —
+      // the data IO is ~f, ref operations are O(1) marker files
+      "f16_refs", "c5_wap")
       // x18/x19 are NOT here for x12's reason (salting renames their
       // literal terms) — the salted cases below measure real phrase/
       // proximity retrieval.

@@ -664,6 +664,73 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("refusing"))
   }
 
+  test("refs: branches advance atomically, tags pin against expiry, WAP isolation") {
+    import graft.sources.FileManifest
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_refs").toString
+    val ev = (0L until 200L)
+      .map(i => (i, i % 20, if (i % 2 == 0) "a" else "b"))
+      .toDF("event_id", "user_id", "event_type")
+    FileManifest.writePartitionedLayout(ev, s"$tmp/t", "event_type",
+      "user_id", numFiles = 4)
+    val pm = FileManifest.buildPartitioned(spark, s"$tmp/t", "user_id")
+    val pmA = pm.copy(partitions = pm.partitions - "event_type=b")
+    val vroot = s"$tmp/cat"
+    val v0 = FileManifest.commitVersion(spark, pm, vroot)
+    val v1 = FileManifest.commitVersion(spark, pmA, vroot)
+    val v2 = FileManifest.commitVersion(spark, pm, vroot)
+    // branch + tag resolution; tags immutable; unknown refs loud
+    FileManifest.createBranch(spark, vroot, "main", v0)
+    FileManifest.createTag(spark, vroot, "rel", v0)
+    assert(FileManifest.resolveRef(spark, vroot, "main") == v0)
+    assert(FileManifest.advanceBranch(spark, vroot, "main", v1) == 1L)
+    assert(FileManifest.resolveRef(spark, vroot, "main") == v1)
+    assert(FileManifest.loadRef(spark, vroot, "main") == pmA)
+    assert(FileManifest.loadRef(spark, vroot, "rel") == pm)
+    intercept[IllegalArgumentException] {
+      FileManifest.advanceBranch(spark, vroot, "rel", v1) // a tag
+    }
+    intercept[IllegalArgumentException] {
+      FileManifest.createTag(spark, vroot, "rel", v1) // exists
+    }
+    intercept[IllegalArgumentException] {
+      FileManifest.createBranch(spark, vroot, "dangling", 99L) // uncommitted
+    }
+    intercept[IllegalArgumentException] {
+      FileManifest.resolveRef(spark, vroot, "nope")
+    }
+    intercept[IllegalArgumentException] {
+      FileManifest.createBranch(spark, vroot, "../escape", v0)
+    }
+    // fast-forward = publish: main lands on the audited branch's head
+    FileManifest.createBranch(spark, vroot, "audit", v2)
+    assert(FileManifest.fastForward(spark, vroot, "main", "audit") == v2)
+    assert(FileManifest.resolveRef(spark, vroot, "main") == v2)
+    assert(FileManifest.listRefs(spark, vroot).map(r => (r._1, r._2, r._3))
+      .toSet == Set(("branch", "main", v2), ("branch", "audit", v2),
+        ("tag", "rel", v0)))
+    // expiry honors ref pins: keepLast=1 would drop v0 and v1, but
+    // the tag pins v0 — only the unpinned v1 is reclaimed
+    FileManifest.expireVersions(spark, vroot, keepLast = 1)
+    assert(FileManifest.loadRef(spark, vroot, "rel") == pm,
+      "a tag-pinned version must survive expiry")
+    intercept[IllegalArgumentException] {
+      FileManifest.loadVersion(spark, vroot, v1)
+    }
+    // adoptBatch: staged files MOVE into the table tree and append;
+    // the read through the appended catalog sees base + batch exactly
+    val batch = (1000L until 1100L)
+      .map(i => (i, i % 20, "a")).toDF("event_id", "user_id", "event_type")
+    FileManifest.writePartitionedLayout(batch, s"$tmp/stage", "event_type",
+      "user_id", numFiles = 2)
+    val adopted = FileManifest.adoptBatch(spark, pm, s"$tmp/t", s"$tmp/stage")
+    val rows = FileManifest.readPrunedPartitioned(spark, adopted, None,
+      Long.MinValue, Long.MaxValue)
+    assert(rows.count() == 300)
+    assert(rows.inputFiles.forall(f => f.contains("/t/")),
+      "adopted files must live under the table root")
+  }
+
   test("range join: bucketed equi-join plan, == naive BETWEEN join, outer safe") {
     import graft.operators.RangeJoin
     import spark.implicits._
