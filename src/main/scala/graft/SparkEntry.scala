@@ -1743,6 +1743,14 @@ object SparkEntry {
           k = 5, nprobe = 2, candidates = (2 * cap).toInt + 16)
         .orderBy("query_id", "rank")
     }),
+    // ALL-PAIRS k-NN GRAPH from the shared index (r9, late): every
+    // corpus vector gets its top-3 within-cell neighbors — one
+    // self-equi-join on the cell id (pair work ≤ capacity·n by the
+    // balanced build's bound, the d16 discipline), exact integer
+    // cosine, per-src rank riding the join's own clustering
+    "s27_knn_graph" -> ((s, dir) =>
+      graft.sources.VectorIndex.knnGraph(s, sharedVectorIndex(s, dir), k = 3)
+        .orderBy("src", "rank")),
     // ALL-BUT-THE-TOP retrieval (Mu & Viswanath '18): the corpus's
     // dominant direction removed from corpus AND queries as an exact
     // scaled integer residual (r = q·⟨v,v⟩ − ⟨q,v⟩·v — cosine is
@@ -3174,6 +3182,9 @@ object SparkEntry {
       ivfBalancedOracleSqlWhere(" AND e.vec_id % 7 <> 3"),
     // s22 likewise: lossless SQ staging + exact re-rank = s15 verbatim
     "s22_vector_index_sq" -> ivfBalancedOracleSql,
+    // s27: the knn graph is served from the same layout — the oracle
+    // replays the build chain and the within-cell pair ranking
+    "s27_knn_graph" -> knnGraphOracleSql,
     "d16_semantic_dedup_index" -> d16OracleSql,
     "c3_hybrid_index" -> c3OracleSql,
     // s21: the filter restricts only the candidate set — probe
@@ -4706,6 +4717,24 @@ object SparkEntry {
        |  JOIN en eb ON eb.vec_id = bb.vec_id)
        |SELECT id_a, id_b, sim FROM pr WHERE sim >= 0.45
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** s27's mirror: the balanced-assignment chain, then BOTH-ORDER
+    * within-cell pairs scored with the quantized cosine and ranked
+    * per source — d16's pair block with top-k in place of the
+    * threshold. */
+  private def knnGraphOracleSql: String =
+    s"""WITH ${kmeansBalancedCtes("CAST(ceil(count(*) / 8.0) AS BIGINT)")},
+       |pr AS (SELECT aa.vec_id AS src, bb.vec_id AS dst,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      i -> ea.q[i] * eb.q[i])) AS DOUBLE)
+       |      / sqrt(CAST(ea.na AS DOUBLE) * eb.na) AS sim
+       |  FROM accall aa JOIN accall bb
+       |    ON aa.cid = bb.cid AND aa.vec_id <> bb.vec_id
+       |  JOIN en ea ON ea.vec_id = aa.vec_id
+       |  JOIN en eb ON eb.vec_id = bb.vec_id)
+       |SELECT src, CAST(row_number() OVER (PARTITION BY src
+       |    ORDER BY sim DESC, dst ASC) AS INT) AS "rank", dst, sim
+       |FROM pr QUALIFY "rank" <= 3 ORDER BY src, "rank"""".stripMargin
 
   /** c3's mirror: the s15/s16 balanced-assignment chain + nprobe-2
     * probe (the vector leg the shared index serves), the x25 lexical

@@ -222,6 +222,42 @@ object VectorIndex {
         col("sim"))
   }
 
+  /** ALL-PAIRS k-NN GRAPH from the materialized layout — the
+    * corpus-wide neighbor structure SemDeDup clustering, kNN-LM
+    * retrieval, and graph-based label propagation start from.
+    * Candidates are WITHIN-CELL pairs: ONE self-equi-join of the live
+    * cell read on the cell id (the d16 discipline — the balanced
+    * build's capacity bound makes pair work structural: Σ|cell|² ≤
+    * capacity·n, never n²), scored with the exact integer cosine,
+    * then per-source top-k by (sim desc, dst asc). No broadcast
+    * anywhere: the only shuffle key is the cell id, and the top-k
+    * window partitions by (cluster, src) — each vector lives in
+    * exactly one cell, so the rank is the per-src rank while the
+    * window rides the join's existing clustering instead of
+    * re-Exchanging on src. Recall rises with cell capacity (or by
+    * adding cell-neighbor probes at build); within-cell is the
+    * 100 TB path.
+    *
+    * @return (src, rank, dst, sim) — up to k out-edges per vector.
+    */
+  def knnGraph(spark: SparkSession, path: String, k: Int): DataFrame = {
+    require(k >= 1)
+    val cells = readCells(spark, path)
+    val a = cells.select(col("cluster"), col("vec_id").as("src"),
+      col("__cq").as("__qa"), col("__cna").as("__na"))
+    val b = cells.select(col("cluster"), col("vec_id").as("dst"),
+      col("__cq").as("__qb"), col("__cna").as("__nb"))
+    val w = Window.partitionBy("cluster", "src")
+      .orderBy(col("sim").desc, col("dst").asc)
+    a.join(b, Seq("cluster"))
+      .where(col("src") =!= col("dst"))
+      .withColumn("sim", dotl(col("__qa"), col("__qb")).cast("double") /
+        sqrt(col("__na").cast("double") * col("__nb")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("src"), col("rank"), col("dst"), col("sim"))
+  }
+
   /** ADC serving from the COMPACT codes — IVF-PQ over the
     * materialized layout. Stage 1 scans ONLY (vec_id, codes) of the
     * probed cells (columnar projection: the wide `q` pages are never

@@ -215,7 +215,9 @@ object ScaleBench {
       "g10_link_predict", "g11_hits",
       // f16/c5: layout write + catalog commits + ref marker creates —
       // the data IO is ~f, ref operations are O(1) marker files
-      "f16_refs", "c5_wap")
+      "f16_refs", "c5_wap",
+      // s27: within-cell pair work is structurally <= capacity x n
+      "s27_knn_graph")
       // x18/x19 are NOT here for x12's reason (salting renames their
       // literal terms) — the salted cases below measure real phrase/
       // proximity retrieval.

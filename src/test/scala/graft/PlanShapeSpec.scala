@@ -904,6 +904,61 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(counts.map(_._2).sum == emb.count())
   }
 
+  test("knn graph: == within-cell brute force, no broadcast of the corpus side") {
+    import graft.sources.VectorIndex
+    val tmp = java.nio.file.Files.createTempDirectory("graft-knng").toString
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val cap = math.ceil(emb.count() / 8.0).toLong
+    VectorIndex.build(emb, "vec_id", "embedding", tmp,
+      clusters = 8, iterations = 2, capacity = cap, maxRounds = 6)
+    val g = VectorIndex.knnGraph(spark, tmp, k = 3)
+    val rows = g.collect()
+    // every vector has out-degree ≤ 3; ranks are 1..deg contiguous
+    val bys = rows.groupBy(_.getLong(0))
+    assert(bys.size == emb.count())
+    assert(bySrcOk(bys.map { case (s, rs) =>
+      s -> rs.map(_.getInt(1)).sorted.toSeq }))
+    // brute-force within-cell reference: same pairs, same ranking
+    val asg = spark.read.parquet(s"$tmp/cells")
+      .select(col("vec_id"), col("q"), col("na"),
+        col("cluster").cast("long").as("cell")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2),
+        r.getLong(3)))
+    val ref = asg.toSeq.groupBy(_._4).values.toSeq.flatMap { cell =>
+      cell.flatMap { case (src, q, na, _) =>
+        cell.filter(_._1 != src).map { case (dst, qb, nb, _) =>
+          val dot = q.zip(qb).map { case (a, b) => a * b }.sum
+          (src, dst, dot.toDouble / math.sqrt(na.toDouble * nb))
+        }.sortBy(t => (-t._3, t._2)).take(3).zipWithIndex
+          .map { case ((s2, d, sim), i) => (s2, i + 1, d,
+            math.round(sim * 1e12)) }
+      }
+    }.toSet
+    val got = rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+      math.round(r.getDouble(3) * 1e12))).toSet
+    assert(got == ref, "knn graph != within-cell brute force")
+    // scale shape: with every vector a query there is NO broadcast
+    // hint — once the corpus outgrows the auto threshold (disabled
+    // here to simulate that), the candidate join is a shuffled join
+    // on the cell id and the top-k window rides its clustering
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val g2 = VectorIndex.knnGraph(spark, tmp, k = 3)
+      g2.count()
+      val p = plan(g2).toString
+      assert(!p.contains("BroadcastHashJoin"),
+        s"knn graph must not broadcast a corpus-sized side:\n$p")
+      assert(got == g2.collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getLong(2), math.round(r.getDouble(3) * 1e12))).toSet,
+        "join strategy must never change the answer")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+  }
+
+  private def bySrcOk(m: Iterable[(Long, Seq[Int])]): Boolean =
+    m.forall { case (_, ranks) =>
+      ranks.size <= 3 && ranks == (1 to ranks.size) }
+
   test("vector index PQ tier: exact in oracle regime, codes-only candidate scan") {
     import graft.sources.VectorIndex
     val tmp = java.nio.file.Files.createTempDirectory("graft-vpq").toString
