@@ -518,6 +518,18 @@ object SparkEntry {
     // the domain (intervals explode into overlapped buckets, points
     // hash to one, exact BETWEEN as residual) — a plain shuffle
     // equi-join; a pair meets in exactly one bucket so no dedup
+    // PIVOT (r9, late): revenue cross-tab — one grouped scan, pivot
+    // columns materialized as conditional aggregates (Catalyst
+    // rewrites pivot to exactly the oracle's FILTER-agg shape; a
+    // status absent from a priority yields NULL on both engines)
+    "q34_pivot" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(dsum(col("o_totalprice")))
+        .select(col("o_orderpriority"), col("F").as("rev_f"),
+          col("O").as("rev_o"), col("P").as("rev_p"))
+        .orderBy("o_orderpriority")),
     "q32_range_join" -> ((s, dir) => {
       val ev = T(s, dir, "events")
         .select(col("event_type"), (col("event_id") % 10000).as("p"))
@@ -1312,6 +1324,13 @@ object SparkEntry {
     // partitioning-independent); weights are a few driver-side longs.
     // The DuckDB oracle unrolls all 6 training rounds and matches the
     // scores bit-for-bit.
+    // COLLOCATIONS by lift (r9, late): which word pairs co-occur far
+    // above chance — exact counts, one shared double score expression,
+    // prune-first unigram joins, TakeOrdered top-k
+    "x31_collocations" -> ((s, dir) =>
+      CorpusOps.collocations(T(s, dir, "documents"), "text",
+        minCount = 5, k = 50)
+        .orderBy("rank")),
     "x27_quality_classifier" -> ((s, dir) =>
       LinearModel.qualityClassifier(T(s, dir, "embeddings"), "vec_id",
           "embedding", col("label") < 5, nFeatures = 16, lr = 0.5,
@@ -2635,6 +2654,18 @@ object SparkEntry {
         |ORDER BY seg, nation""".stripMargin,
     // q32's oracle is the NAIVE range join — bucketing must lose and
     // invent nothing
+    "q34_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    AS rev_f,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    AS rev_o,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    AS rev_p
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q32_range_join" ->
       """WITH p AS (SELECT event_type, event_id % 10000 AS p FROM events),
         |iv AS (SELECT o_orderkey % 10000 AS lo,
@@ -3835,6 +3866,30 @@ object SparkEntry {
         |    (ORDER BY freq DESC, token ASC) AS INT) AS "rank" FROM f)
         |SELECT token, freq, "rank" FROM r WHERE "rank" <= 100
         |ORDER BY "rank"""".stripMargin,
+    // x31: same tokenization (lower+trim+\s+ split), same counts,
+    // same left-associated double lift expression, same tie order
+    "x31_collocations" ->
+      """WITH sp AS (SELECT string_split_regex(trim(lower(text)), '\s+')
+        |    AS sp FROM documents),
+        |un AS (SELECT unnest(sp) AS t FROM sp),
+        |uc AS (SELECT t, count(*) AS c FROM un GROUP BY 1),
+        |bi AS (SELECT unnest(list_transform(
+        |    generate_series(1, len(sp) - 1),
+        |    i -> {'a': sp[i], 'b': sp[i+1]})) AS bg
+        |  FROM sp WHERE len(sp) >= 2),
+        |bc AS (SELECT bg.a AS a, bg.b AS b, count(*) AS n_ab FROM bi
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |tot AS (SELECT (SELECT count(*) FROM un) AS nu,
+        |  (SELECT count(*) FROM bi) AS nb),
+        |sc AS (SELECT s.a, s.b, s.n_ab,
+        |    CAST(s.n_ab AS DOUBLE) * tot.nu * tot.nu /
+        |      (CAST(tot.nb AS DOUBLE) * ua.c * ub.c) AS lift
+        |  FROM bc s JOIN uc ua ON ua.t = s.a
+        |    JOIN uc ub ON ub.t = s.b, tot)
+        |SELECT a AS term_a, b AS term_b, CAST(n_ab AS BIGINT) AS n_ab,
+        |  lift, CAST(row_number() OVER (ORDER BY lift DESC, a ASC, b ASC)
+        |    AS INT) AS "rank"
+        |FROM sc QUALIFY "rank" <= 50 ORDER BY "rank"""".stripMargin,
     "x26_ngram_stats" ->
       """WITH g AS (SELECT doc_id,
         |  CASE WHEN len(sp) < 3 THEN [array_to_string(sp, ' ')]

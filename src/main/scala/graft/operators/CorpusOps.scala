@@ -469,6 +469,54 @@ object CorpusOps {
       row_number().over(Window.orderBy(col("freq").desc, col("gram").asc)))
   }
 
+  /** COLLOCATION extraction by LIFT — P(ab) / (P(a)·P(b)), the
+    * log-free core of pointwise mutual information (same ranking:
+    * log is monotone), over whitespace bigrams: which word pairs
+    * co-occur far above chance (multi-word expressions, named
+    * entities — the phrases a tokenizer or a stopword list should
+    * know about). Counts are exact; the score is one double
+    * expression evaluated identically by both engines
+    * (n_ab·Nuni²/(Nbi·Ca·Cb), left-associated). `minCount` prunes the
+    * long tail BEFORE the unigram joins (prune-first: the joined
+    * relation is the surviving bigrams, not the corpus), and the
+    * global top-k is TakeOrdered, never a full sort. Corpus totals
+    * ride as a one-row cross join.
+    *
+    * @return (term_a, term_b, n_ab, lift, rank), rank 1..k by
+    *         (lift desc, term_a, term_b).
+    */
+  def collocations(df: DataFrame, textCol: String, minCount: Long = 5,
+      k: Int = 50): DataFrame = {
+    require(minCount >= 1 && k >= 1)
+    val sp = split(trim(lower(col(textCol))), "\\s+")
+    val toks = df.select(sp.as("__sp"))
+    val uni = toks.select(explode(col("__sp")).as("t"))
+    val uc = uni.groupBy("t").agg(count(lit(1)).as("c"))
+    // guard: sequence(1, 0) would DESCEND for a 1-token doc
+    val bi = toks.where(size(col("__sp")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("__sp")) - 1),
+        i => struct(element_at(col("__sp"), i).as("a"),
+          element_at(col("__sp"), i + 1).as("b")))).as("bg"))
+      .select(col("bg.a").as("a"), col("bg.b").as("b"))
+    val tot = uni.agg(count(lit(1)).as("nu"))
+      .crossJoin(bi.agg(count(lit(1)).as("nb")))
+    val bc = bi.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minCount)
+    val scored = bc
+      .join(uc.select(col("t").as("a"), col("c").as("__ca")), "a")
+      .join(uc.select(col("t").as("b"), col("c").as("__cb")), "b")
+      .crossJoin(tot)
+      .withColumn("lift",
+        col("n_ab").cast("double") * col("nu") * col("nu") /
+          (col("nb").cast("double") * col("__ca") * col("__cb")))
+    scored
+      .orderBy(col("lift").desc, col("a").asc, col("b").asc).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("lift").desc, col("a").asc, col("b").asc)))
+      .select(col("a").as("term_a"), col("b").as("term_b"), col("n_ab"),
+        col("lift"), col("rank"))
+  }
+
   /** Per-document repetition stats on word n-grams: total grams,
     * distinct grams, and the duplicate fraction — the published
     * repetition quality filter (heavily repeated passages predict

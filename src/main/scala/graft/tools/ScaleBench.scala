@@ -217,7 +217,10 @@ object ScaleBench {
       // the data IO is ~f, ref operations are O(1) marker files
       "f16_refs", "c5_wap",
       // s27: within-cell pair work is structurally <= capacity x n
-      "s27_knn_graph")
+      "s27_knn_graph",
+      // q34 is one grouped scan; x31 is two grouped scans + pruned
+      // joins over surviving bigrams
+      "q34_pivot", "x31_collocations")
       // x18/x19 are NOT here for x12's reason (salting renames their
       // literal terms) — the salted cases below measure real phrase/
       // proximity retrieval.

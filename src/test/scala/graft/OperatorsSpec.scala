@@ -2544,6 +2544,28 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("collocations: the planted MWE outranks chance pairs, lift ≈ chance = 1") {
+    // "alpha beta" always adjacent (a true collocation); "x"/"y" are
+    // frequent but paired only at chance; singleton pairs pruned
+    val docs = (1 to 40).map(i =>
+      (i.toLong, s"alpha beta x${i % 2} y${i % 3} x${(i + 1) % 2} end")) ++
+      Seq((99L, "alpha lone"))
+    val got = CorpusOps.collocations(docs.toDF("doc_id", "text"), "text",
+      minCount = 5, k = 10).collect()
+    val byPair = got.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2), r.getDouble(3), r.getInt(4))).toMap
+    val ab = byPair(("alpha", "beta"))
+    assert(ab._1 == 40)
+    // alpha appears 41×, beta 40×, "alpha beta" 40× → lift ≈ Nuni²·40
+    // / (Nbi·41·40) ≫ 1; and it must rank first
+    assert(ab._2 > 3.0 && ab._3 == 1, s"got $ab")
+    // ranks contiguous from 1, k respected
+    assert(got.map(_.getInt(4)).sorted.toSeq == (1 to got.length))
+    assert(got.length <= 10)
+    // a pair below minCount never appears
+    assert(!byPair.contains(("alpha", "lone")))
+  }
+
   test("robust outliers: MAD fence catches the spike the mean would hide") {
     // 19 calm values around 10.00 plus one 500.00 spike in group A;
     // group B constant → MAD 0, any deviation flags
