@@ -937,6 +937,16 @@ object SparkEntry {
     // integer Σ 2^(W+1−r) — the engine-replayable counterpart to a1's
     // rows-only approx_count_distinct; the oracle rebuilds registers
     // and estimate bit-for-bit, the spec bounds the error vs exact
+    // base-2 DDSketch (r9, late): relative-error quantiles from EXACT
+    // power-of-two buckets — bucket = bit-length of the cents value,
+    // so both engines agree at every boundary; the true quantile
+    // provably lies in the reported bucket's [lo, hi] (≤ 2× relative
+    // error). The bucket table is the mergeable sketch; finalize is
+    // one cumulative window + integer-only threshold comparisons
+    "a10_ddsketch" -> ((s, dir) =>
+      graft.functions.DdSketch.ddsketch(T(s, dir, "lineitem"),
+          "l_returnflag", "l_extendedprice")
+        .orderBy("l_returnflag")),
     "a9_hll" -> ((s, dir) => {
       import graft.functions.Hll
       val ev = T(s, dir, "events")
@@ -3544,6 +3554,33 @@ object SparkEntry {
     // full engine replay of the HLL register table and raw estimator:
     // same md5 hashes, same bin()-derived rho, same fixed-point
     // harmonic sum, one deterministic double division at the end
+    // a10: same exact bucketing (bit-length of cents), same integer
+    // cumulative thresholds, same shifted bounds
+    "a10_ddsketch" ->
+      """WITH c AS (SELECT l_returnflag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents FROM lineitem WHERE l_extendedprice > 0),
+        |b AS (SELECT l_returnflag, CAST(length(bin(cents)) AS INT)
+        |    AS bucket FROM c),
+        |g AS (SELECT l_returnflag, bucket, count(*) AS cnt FROM b
+        |  GROUP BY 1, 2),
+        |cum AS (SELECT l_returnflag, bucket, cnt,
+        |    sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket)
+        |      AS cum,
+        |    sum(cnt) OVER (PARTITION BY l_returnflag) AS tot FROM g),
+        |f AS (SELECT l_returnflag, CAST(max(tot) AS BIGINT) AS n,
+        |    min(CASE WHEN cum*100 >= 50*tot THEN bucket END) AS p50_bucket,
+        |    min(CASE WHEN cum*100 >= 95*tot THEN bucket END) AS p95_bucket,
+        |    min(CASE WHEN cum*100 >= 99*tot THEN bucket END) AS p99_bucket
+        |  FROM cum GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  p50_bucket, (1::BIGINT << (p50_bucket - 1)) AS p50_lo,
+        |    (1::BIGINT << p50_bucket) - 1 AS p50_hi,
+        |  p95_bucket, (1::BIGINT << (p95_bucket - 1)) AS p95_lo,
+        |    (1::BIGINT << p95_bucket) - 1 AS p95_hi,
+        |  p99_bucket, (1::BIGINT << (p99_bucket - 1)) AS p99_lo,
+        |    (1::BIGINT << p99_bucket) - 1 AS p99_hi
+        |FROM f ORDER BY l_returnflag""".stripMargin,
     "a9_hll" ->
       """WITH h AS (SELECT event_type,
         |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h

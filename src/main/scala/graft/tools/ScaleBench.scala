@@ -220,7 +220,10 @@ object ScaleBench {
       "s27_knn_graph",
       // q34 is one grouped scan; x31 is two grouped scans + pruned
       // joins over surviving bigrams
-      "q34_pivot", "x31_collocations")
+      "q34_pivot", "x31_collocations",
+      // a10: one grouped scan to O(groups x 64) bucket rows + a tiny
+      // window finalize
+      "a10_ddsketch")
       // x18/x19 are NOT here for x12's reason (salting renames their
       // literal terms) — the salted cases below measure real phrase/
       // proximity retrieval.

@@ -2566,6 +2566,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!byPair.contains(("alpha", "lone")))
   }
 
+  test("ddsketch: merge law exact, true quantile inside the reported bucket") {
+    import graft.functions.DdSketch
+    val rnd = new scala.util.Random(11)
+    val vals = (1 to 2000).map(i =>
+      ("g" + (i % 2), math.pow(10, rnd.nextDouble() * 4) / 100.0))
+    val df = vals.toDF("g", "v")
+    // merge of two half-sketches == the whole-corpus sketch (bucket
+    // counts are associative sums)
+    val (h1, h2) = vals.splitAt(1000)
+    val whole = DdSketch.ddsketchBuckets(df, "g", "v")
+    val merged = DdSketch.ddsketchMerge(
+      DdSketch.ddsketchBuckets(h1.toDF("g", "v"), "g", "v"),
+      DdSketch.ddsketchBuckets(h2.toDF("g", "v"), "g", "v"), "g")
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(rows(whole) == rows(merged), "sketch merge must be lossless")
+    // the 2x guarantee: every reported percentile's TRUE value (exact
+    // sort over cents) lies within [lo, hi] of the reported bucket
+    val q = DdSketch.ddsketchQuantiles(whole, "g").collect()
+    val byG = vals.groupBy(_._1).map { case (g, vs) =>
+      g -> vs.map(v => math.round(BigDecimal(v._2).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP).toDouble * 100))
+        .filter(_ >= 1).sorted
+    }
+    q.foreach { r =>
+      val cents = byG(r.getString(0))
+      for (p <- Seq(50, 95, 99)) {
+        val trueQ = cents((math.ceil(cents.size * p / 100.0) - 1).toInt.max(0))
+        val lo = r.getAs[Long](s"p${p}_lo")
+        val hi = r.getAs[Long](s"p${p}_hi")
+        assert(trueQ >= lo && trueQ <= hi,
+          s"${r.getString(0)} p$p: true $trueQ outside [$lo, $hi]")
+        assert(hi < 2 * lo + 2, "bucket width must bound error by 2x")
+      }
+    }
+  }
+
   test("robust outliers: MAD fence catches the spike the mean would hide") {
     // 19 calm values around 10.00 plus one 500.00 spike in group A;
     // group B constant → MAD 0, any deviation flags
