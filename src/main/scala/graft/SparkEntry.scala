@@ -1977,6 +1977,16 @@ object SparkEntry {
     // robust per-group outlier audit: lower-median / MAD in exact
     // integer cents — deterministic under any partitioning, so the
     // oracle replays the whole estimator, fence included
+    // FD profiling (r9, late): exact g3 violation counts for three
+    // candidate dependencies over events — the unique key holds, the
+    // behavioral ones fail with measured error; two map-side-reducible
+    // aggregations per pair
+    "p9_fd_profile" -> ((s, dir) =>
+      Profile.fdProfile(T(s, dir, "events"), Seq(
+          ("event_id", "event_type"),
+          ("user_id", "event_type"),
+          ("event_type", "user_id")))
+        .orderBy("determinant", "dependent")),
     "p8_outliers" -> ((s, dir) =>
       Profile.robustOutliers(T(s, dir, "events"), "event_type", "value",
           k = 5)
@@ -4437,6 +4447,11 @@ object SparkEntry {
     // same per-term fixed-point quantization summed as integers
     // p8's oracle replays the exact integer median/MAD estimator:
     // lower median = element at rn == (n+1)//2 of the per-group sort
+    "p9_fd_profile" ->
+      operators.Profile.fdOracleSql("events", Seq(
+        ("event_id", "event_type"),
+        ("user_id", "event_type"),
+        ("event_type", "user_id"))),
     "p8_outliers" ->
       """WITH b AS (SELECT event_type AS g,
         |    CAST(round(value * 100, 0) AS BIGINT) AS cents

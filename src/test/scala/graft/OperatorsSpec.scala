@@ -2603,6 +2603,23 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("fd profile: g3 violations exact, null is a value, key FDs hold") {
+    // a → b holds; c → b violated by exactly the minority rows;
+    // null determinant/dependent are ordinary values
+    val df = Seq(
+      (1, "x", "p"), (2, "x", "p"), (3, "y", "q"),
+      (4, "z", "p"), (5, "z", "p"), (6, "z", "q"),     // z: 2 p + 1 q
+      (7, null, "p"), (8, null, null), (9, null, null) // null grp: 2 null + 1 p
+    ).toDF("id", "c", "b")
+    val got = Profile.fdProfile(df, Seq(("id", "b"), ("c", "b")))
+      .orderBy("determinant").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getBoolean(5)))
+    // id is a key: 9 groups, zero violations
+    assert(got(0) == (("c", 9L, 4L, 2L, false)), s"got ${got(0)}")
+    assert(got(1) == (("id", 9L, 9L, 0L, true)), s"got ${got(1)}")
+  }
+
   test("robust outliers: MAD fence catches the spike the mean would hide") {
     // 19 calm values around 10.00 plus one 500.00 spike in group A;
     // group B constant → MAD 0, any deviation flags
