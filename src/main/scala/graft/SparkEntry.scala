@@ -670,6 +670,34 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_users"))
         .orderBy("event_type")
     }),
+    // GOVERNED STREAM-STATIC ENRICHMENT (r9, late): the reference's
+    // enrichment join with the dimension read THROUGH a branch of the
+    // governed table — the batch path here is byte-shared with the
+    // per-micro-batch closure (GovernedEnrich.enrichBatch), so the
+    // continuous form (spec'd: a fastForward publish becomes visible
+    // to the next micro-batch) cannot drift from this oracle-checked
+    // relation
+    "c6_governed_enrich" -> ((s, dir) => {
+      val tmp = layoutDir("c6", dir)
+      val vroot = s"$tmp/cat"
+      freshDir(s, vroot)
+      val dim = T(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+      FileManifest.writePartitionedLayout(dim, s"$tmp/dim",
+        "c_mktsegment", "c_custkey", numFiles = 6)
+      val v0 = FileManifest.commitVersion(s,
+        FileManifest.buildPartitioned(s, s"$tmp/dim", "c_custkey"), vroot)
+      FileManifest.createBranch(s, vroot, "serving", v0)
+      val facts = T(s, dir, "events")
+        .where(col("event_type") === "purchase")
+      graft.streaming.GovernedEnrich.enrichBatch(s, facts, vroot,
+          "serving", "user_id", "c_custkey", Seq("c_mktsegment"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("total_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("c_mktsegment")
+    }),
     // the DATASET CARD: per-source corpus summary (volume, exact-dup
     // rate, language mix, quality pass rate, token mass) in ONE scan
     // + one aggregation — the report a data release ships with
@@ -4313,6 +4341,16 @@ object SparkEntry {
         |    AS total_value,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // c6: the governed read path changes WHERE the dimension comes
+    // from, never the join's answer
+    "c6_governed_enrich" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events JOIN customer ON user_id = c_custkey
+        |WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // c5: main = base + exactly the one audited batch = the events
     // relation; the rejected version's rows must NOT be present
     "c5_wap" ->

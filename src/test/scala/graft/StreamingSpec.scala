@@ -1121,4 +1121,49 @@ class StreamingSpec extends AnyFunSuite {
         s"closed window re-emitted after a straggler: ${closed()}")
     } finally q.stop()
   }
+
+  test("governed enrichment: a fastForward publish is visible to the NEXT batch") {
+    import spark.implicits._
+    import graft.sources.FileManifest
+    import graft.streaming.GovernedEnrich
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_genrich").toString
+    val vroot = s"$tmp/cat"
+    // dim v0: key → "old"; dim v1: key → "new" (staged, then published
+    // mid-stream by ONE atomic marker create)
+    def writeDim(sub: String, attr: String): Long = {
+      Seq((1L, attr, "p"), (2L, attr, "p"))
+        .toDF("k", "attr", "part")
+        .write.mode("overwrite").partitionBy("part").parquet(s"$tmp/$sub")
+      FileManifest.commitVersion(spark,
+        FileManifest.buildPartitioned(spark, s"$tmp/$sub", "k"), vroot)
+    }
+    val v0 = writeDim("d0", "old")
+    FileManifest.createBranch(spark, vroot, "serving", v0)
+    val v1 = writeDim("d1", "new")
+    FileManifest.createBranch(spark, vroot, "staged", v1)
+    val in = MemoryStream[Long]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    val q = GovernedEnrich.stream(spark,
+      in.toDF().toDF("k2"), vroot, "serving", "k2", "k", Seq("attr"),
+      s"$tmp/ckpt") { (batch, id) =>
+      got.synchronized {
+        got ++= batch.collect().map(r =>
+          (id, r.getAs[Long]("k2"), r.getAs[String]("attr")))
+      }
+    }
+    try {
+      in.addData(1L)
+      q.processAllAvailable()
+      assert(got.synchronized(got.toSet) == Set((0L, 1L, "old")),
+        s"batch 0 must join the pre-publish snapshot: $got")
+      // PUBLISH: one marker create — no stream restart, no data IO
+      FileManifest.fastForward(spark, vroot, "serving", "staged")
+      in.addData(2L)
+      q.processAllAvailable()
+      assert(got.synchronized(got.toSet) ==
+        Set((0L, 1L, "old"), (1L, 2L, "new")),
+        s"the next batch must see the published version: $got")
+    } finally q.stop()
+  }
 }
