@@ -1355,6 +1355,14 @@ object SparkEntry {
       CorpusOps.ngramTopK(T(s, dir, "documents"), "doc_id", "text",
         n = 3, k = 50)
         .orderBy("rank")),
+    // TEXTRANK keywords (r9, late): PageRank COMPOSED over x31's
+    // collocation graph — frequent words as md5-derived nodes,
+    // adjacent pairs as undirected edges, g2's exact fixed-point
+    // rounds; the oracle unrolls the whole composition
+    "x32_textrank" -> ((s, dir) =>
+      TextRank.keywords(T(s, dir, "documents"), "text",
+        minCount = 5, iterations = 4, k = 20)
+        .orderBy("rank")),
     // classifier-based quality filtering (the GPT-3/CCNet-style
     // linear probe) trained IN-ENGINE: full-batch GD where each round
     // is one partially-aggregated scan summing exact fixed-point
@@ -3941,6 +3949,7 @@ object SparkEntry {
         |    (ORDER BY freq DESC, token ASC) AS INT) AS "rank" FROM f)
         |SELECT token, freq, "rank" FROM r WHERE "rank" <= 100
         |ORDER BY "rank"""".stripMargin,
+    "x32_textrank" -> textrankOracleSql,
     // x31: same tokenization (lower+trim+\s+ split), same counts,
     // same left-associated double lift expression, same tie order
     "x31_collocations" ->
@@ -4809,6 +4818,39 @@ object SparkEntry {
        |  score AS mmr_score
        |FROM sel5 ORDER BY query_id, pick""".stripMargin
   }
+
+  /** x32's word co-occurrence edge set (both orientations, deduped by
+    * UNION — Graph.pageRank normalizes with DISTINCT on its side) and
+    * the keyword tail joined back over the same md5-prefix ids. */
+  private val textrankEdgesBase: String =
+    """SELECT CAST(('0x' || substr(md5(p.a), 1, 15)) AS BIGINT) AS src,
+      |  CAST(('0x' || substr(md5(p.b), 1, 15)) AS BIGINT) AS dst
+      |FROM (SELECT bg.a AS a, bg.b AS b FROM (
+      |    SELECT unnest(list_transform(generate_series(1, len(sp) - 1),
+      |      i -> {'a': sp[i], 'b': sp[i+1]})) AS bg
+      |    FROM (SELECT string_split_regex(trim(lower(text)), '\s+') AS sp
+      |      FROM documents) WHERE len(sp) >= 2)) p
+      |JOIN (SELECT t AS w FROM (SELECT unnest(string_split_regex(
+      |    trim(lower(text)), '\s+')) AS t FROM documents)
+      |  GROUP BY 1 HAVING count(*) >= 5) fa ON fa.w = p.a
+      |JOIN (SELECT t AS w FROM (SELECT unnest(string_split_regex(
+      |    trim(lower(text)), '\s+')) AS t FROM documents)
+      |  GROUP BY 1 HAVING count(*) >= 5) fb ON fb.w = p.b
+      |WHERE p.a <> p.b""".stripMargin
+  private def textrankOracleSql: String =
+    operators.Graph.pageRankOracleSql(
+      s"($textrankEdgesBase) UNION " +
+        s"SELECT z.dst AS src, z.src AS dst FROM ($textrankEdgesBase) z",
+      iterations = 4,
+      tail = Some("""SELECT w.w AS word, r.rank_u AS score,
+        |  CAST(row_number() OVER (ORDER BY r.rank_u DESC, w.w ASC)
+        |    AS INT) AS "rank"
+        |FROM r4 r JOIN (SELECT t AS w,
+        |    CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS node
+        |  FROM (SELECT unnest(string_split_regex(trim(lower(text)),
+        |    '\s+')) AS t FROM documents)
+        |  GROUP BY 1 HAVING count(*) >= 5) w ON w.node = r.node
+        |QUALIFY "rank" <= 20 ORDER BY "rank"""".stripMargin))
 
   private def ivfBalancedOracleSql: String = ivfBalancedOracleSqlWhere("")
 

@@ -947,7 +947,8 @@ object Graph {
     * carries the same two-floor-division share term. */
   def pageRankOracleSql(edgesSql: String, iterations: Int,
       dampingPct: Int = 85, sources: Seq[Long] = Nil,
-      conserveDangling: Boolean = false): String = {
+      conserveDangling: Boolean = false,
+      tail: Option[String] = None): String = {
     val base = ((100L - dampingPct) * 1000000L) / 100L
     def seedCase(value: String): String =
       if (sources.isEmpty) value
@@ -983,7 +984,8 @@ object Graph {
         |    ($dampingPct * COALESCE(c$i.inflow, 0)) // 100$shareTerm AS BIGINT) AS rank_u
         |  FROM n LEFT JOIN c$i USING (node)$crossG)""".stripMargin)
     }
-    sb.append(s"\nSELECT node, rank_u FROM r$iterations ORDER BY node")
+    sb.append("\n" + tail.getOrElse(
+      s"SELECT node, rank_u FROM r$iterations ORDER BY node"))
     sb.toString
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -333,6 +333,53 @@ object TextRank {
       .withColumn("rank", row_number().over(w).cast("int"))
       .where(col("rank") <= topN)
       .select(col(idCol), col("rank"), col("term"))
+  }
+
+  /** TEXTRANK keyword extraction (Mihalcea & Tarau '04) — PageRank
+    * over the word co-occurrence graph, composed from two components
+    * the engine already proves separately: x31's collocation bigrams
+    * build the graph (frequent words as nodes, adjacent pairs as
+    * undirected edges) and g2's EXACT fixed-point [[Graph.pageRank]]
+    * ranks it, so the whole extraction inherits the integer
+    * determinism that lets the oracle unroll every round. Word →
+    * node id is the 60-bit md5-prefix derivation used across the
+    * engine (deterministic and computed IDENTICALLY by both engines,
+    * so even an improbable collision yields the same merged node on
+    * both sides). `minCount` prunes the long-tail vocabulary before
+    * the graph exists — the node set is the frequent vocabulary, not
+    * the corpus.
+    *
+    * @return (word, score, rank) — top `k` by (score desc, word asc),
+    *         score in PageRank micro-units.
+    */
+  def keywords(docs: DataFrame, textCol: String, minCount: Long = 5,
+      iterations: Int = 4, k: Int = 20): DataFrame = {
+    require(minCount >= 1 && iterations >= 1 && k >= 1)
+    def hid(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val sp = split(trim(lower(col(textCol))), "\\s+")
+    val toks = docs.select(sp.as("__sp"))
+    val freq = toks.select(explode(col("__sp")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .where(col("c") >= minCount)
+    val bi = toks.where(size(col("__sp")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("__sp")) - 1),
+        i => struct(element_at(col("__sp"), i).as("a"),
+          element_at(col("__sp"), i + 1).as("b")))).as("bg"))
+      .select(col("bg.a").as("a"), col("bg.b").as("b"))
+    val ed = bi
+      .join(freq.select(col("w").as("a")), "a")
+      .join(freq.select(col("w").as("b")), "b")
+      .where(col("a") =!= col("b"))
+      .select(hid(col("a")).as("src"), hid(col("b")).as("dst"))
+    val und = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
+    val pr = Graph.pageRank(und, "src", "dst", iterations)
+    val words = freq.select(col("w").as("word"), hid(col("w")).as("node"))
+    pr.join(words, "node")
+      .orderBy(col("rank_u").desc, col("word").asc).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rank_u").desc, col("word").asc)).cast("int"))
+      .select(col("word"), col("rank_u").as("score"), col("rank"))
   }
 
   /** Reciprocal-rank fusion of N ranked lists — HYBRID retrieval

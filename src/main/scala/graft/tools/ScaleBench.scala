@@ -223,7 +223,10 @@ object ScaleBench {
       "q34_pivot", "x31_collocations",
       // a10: one grouped scan to O(groups x 64) bucket rows + a tiny
       // window finalize
-      "a10_ddsketch", "p9_fd_profile", "c6_governed_enrich")
+      "a10_ddsketch", "p9_fd_profile", "c6_governed_enrich",
+      // x32: graph build ~f bigrams over a frequent vocab; pagerank
+      // rounds over the fixed-size word graph
+      "x32_textrank")
       // x18/x19 are NOT here for x12's reason (salting renames their
       // literal terms) — the salted cases below measure real phrase/
       // proximity retrieval.

@@ -2603,6 +2603,28 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("textrank: the co-occurrence hub outranks satellites, partition-invariant") {
+    import graft.operators.TextRank
+    // "hub" is adjacent to every satellite; satellites only touch the
+    // hub — hub collects inflow from all of them and must rank first
+    val docs = (1 to 30).flatMap { i =>
+      Seq((i.toLong * 2, s"hub sat${i % 5}"), (i.toLong * 2 + 1,
+        s"sat${i % 5} hub"))
+    }.toDF("doc_id", "text")
+    val got = TextRank.keywords(docs, "text", minCount = 3,
+      iterations = 4, k = 6).collect()
+    assert(got.head.getString(0) == "hub" && got.head.getInt(2) == 1,
+      s"got ${got.toSeq}")
+    // scores in micro-units, ranks contiguous
+    assert(got.map(_.getInt(2)).toSeq == (1 to got.length))
+    assert(got.forall(_.getLong(1) > 0))
+    // partitioning invariance (exact integer rounds)
+    val re = TextRank.keywords(docs.repartition(7), "text", minCount = 3,
+      iterations = 4, k = 6).collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      re.map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+
   test("fd profile: g3 violations exact, null is a value, key FDs hold") {
     // a → b holds; c → b violated by exactly the minority rows;
     // null determinant/dependent are ordinary values
