@@ -1040,6 +1040,24 @@ object SparkEntry {
     // the iteration (the 100 TB path — checkpointed rounds, bounded
     // lineage); here the planner's recursion operator is exercised,
     // with the depth bound keeping path enumeration finite.
+    // GROUPING SETS (r9, late): the explicit multi-granularity
+    // aggregate (per-priority, per-status, the cross, and the grand
+    // total in ONE grouped scan) with grouping_id disambiguating the
+    // null-as-aggregated rows — both engines share the MSB-first
+    // grouping-bit convention
+    "q35_grouping_sets" -> ((s, dir) => {
+      T(s, dir, "orders").createOrReplaceTempView("q35_orders")
+      s.sql("""SELECT o_orderpriority, o_orderstatus,
+        |  CAST(grouping_id(o_orderpriority, o_orderstatus) AS INT)
+        |    AS gid,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM q35_orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+        |  (o_orderpriority, o_orderstatus), ())
+        |ORDER BY gid, o_orderpriority, o_orderstatus""".stripMargin)
+    }),
     "q33_recursive_cte" -> ((s, dir) => recursiveReach(s, dir, depth = 2)),
     "q24_correlated_subquery" -> ((s, dir) => {
       Tables.registerAll(s, dir)
@@ -1816,6 +1834,29 @@ object SparkEntry {
     "s27_knn_graph" -> ((s, dir) =>
       graft.sources.VectorIndex.knnGraph(s, sharedVectorIndex(s, dir), k = 3)
         .orderBy("src", "rank")),
+    // RECALL AUDIT (r9, late): "measure, don't guess" as a first-
+    // class query — exact brute-force top-5 vs the shared index's
+    // nprobe-2 serving path, per-query hit counts and recall%; the
+    // oracle replays BOTH ranking systems and intersects them
+    "s28_recall_audit" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      val flat = Similarity.bruteForceTopK(q, emb, 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val ivf = graft.sources.VectorIndex.topK(s,
+          sharedVectorIndex(s, dir), q, k = 5, nprobe = 2)
+        .select(col("query_id").as("__qi"),
+          col("neighbor_id").as("__ivf_id"))
+      flat.join(ivf, flat("query_id") === col("__qi") &&
+          col("neighbor_id") === col("__ivf_id"), "left")
+        .groupBy(flat("query_id").as("query_id"))
+        .agg(count(col("__ivf_id")).as("n_hits"))
+        .select(col("query_id"), lit(5).as("k"), col("n_hits"),
+          (col("n_hits") * 20).as("recall_pct"))
+        .orderBy("query_id")
+    }),
     // ALL-BUT-THE-TOP retrieval (Mu & Viswanath '18): the corpus's
     // dominant direction removed from corpus AND queries as an exact
     // scaled integer residual (r = q·⟨v,v⟩ − ⟨q,v⟩·v — cosine is
@@ -3211,6 +3252,19 @@ object SparkEntry {
         |    ORDER BY sim DESC, vec_id ASC) AS INT) AS "rank",
         |  vec_id AS neighbor_id, sim
         |FROM s QUALIFY "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+    // s28: both ranking systems replayed — the s1 double-cosine flat
+    // chain and the s16 quantized probe chain — then intersected
+    "s28_recall_audit" -> recallAuditOracleSql,
+    "q35_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CAST(GROUPING(o_orderpriority, o_orderstatus) AS INT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+        |  (o_orderpriority, o_orderstatus), ())
+        |ORDER BY gid, o_orderpriority, o_orderstatus""".stripMargin,
     // s9's oracle regime (nprobe = clusters, unbounded candidates)
     // reduces the composed IVF-PQ pipeline to exact top-k, so the
     // brute-force SQL is the precise mirror
@@ -4853,6 +4907,48 @@ object SparkEntry {
         |QUALIFY "rank" <= 20 ORDER BY "rank"""".stripMargin))
 
   private def ivfBalancedOracleSql: String = ivfBalancedOracleSqlWhere("")
+
+  /** s28's mirror: the s16 probe chain AND the s1 flat chain, top-5
+    * each, intersected per query. */
+  private def recallAuditOracleSql: String =
+    s"""WITH ${kmeansBalancedCtes("CAST(ceil(count(*) / 8.0) AS BIGINT)")},
+       |qn AS MATERIALIZED (SELECT vec_id AS query_id, q AS qq, na AS qna
+       |  FROM en WHERE vec_id < 10),
+       |prb AS MATERIALIZED (SELECT query_id, qq, qna, cid FROM (
+       |  SELECT q.query_id, q.qq, q.qna, c.cid,
+       |      CAST(list_sum(list_transform(range(1, 65),
+       |        i -> q.qq[i] * c.c[i])) AS DOUBLE)
+       |      / sqrt(CAST(q.qna AS DOUBLE) * c.nc) AS cos
+       |    FROM qn q CROSS JOIN cn c
+       |  QUALIFY row_number() OVER (PARTITION BY q.query_id
+       |    ORDER BY cos DESC, c.cid ASC) <= 2)),
+       |cd AS (SELECT p.query_id, e.vec_id,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      i -> p.qq[i] * e.q[i])) AS DOUBLE)
+       |    / sqrt(CAST(p.qna AS DOUBLE) * e.na) AS sim
+       |  FROM prb p JOIN accall a ON p.cid = a.cid
+       |    JOIN en e ON a.vec_id = e.vec_id
+       |  WHERE e.vec_id <> p.query_id),
+       |ivf AS (SELECT query_id, vec_id FROM cd
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sim DESC, vec_id ASC) <= 5),
+       |fq AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[])
+       |    AS qv FROM embeddings WHERE vec_id < 10),
+       |fc AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+       |  FROM embeddings),
+       |fs AS (SELECT fq.query_id, fc.vec_id,
+       |    list_cosine_similarity(qv, cv) AS sim
+       |  FROM fq JOIN fc ON fq.query_id <> fc.vec_id),
+       |flat AS (SELECT query_id, vec_id FROM fs
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sim DESC, vec_id ASC) <= 5)
+       |SELECT f.query_id, CAST(5 AS INT) AS k,
+       |  CAST(count(i.vec_id) AS BIGINT) AS n_hits,
+       |  CAST(count(i.vec_id) * 20 AS BIGINT) AS recall_pct
+       |FROM flat f LEFT JOIN ivf i
+       |  ON f.query_id = i.query_id AND f.vec_id = i.vec_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
 
   /** s26's mirror: the balanced-centroid chain, then the MIPS probe —
     * cells ranked by AUGMENTED-centroid cosine (caug = floor(√(m2 −
