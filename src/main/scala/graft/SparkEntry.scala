@@ -2273,6 +2273,34 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_users"))
         .orderBy("event_type")
     }),
+    // PARTITION-SPEC EVOLUTION (r9, late): early files partitioned
+    // by event_type, later files by day — no rewrite; the query
+    // prunes each epoch by what ITS spec supports (directory pruning
+    // where the column is the spec, footer-stat range + residual
+    // filter everywhere else) and the union restores the relation
+    "f17_partition_evolution" -> ((s, dir) => {
+      val tmp = layoutDir("f17", dir)
+      val ev = T(s, dir, "events")
+      FileManifest.writePartitionedLayout(
+        ev.where(col("event_id") % 2 === 0), s"$tmp/a", "event_type",
+        "user_id", numFiles = 8)
+      FileManifest.writePartitionedLayout(
+        ev.where(col("event_id") % 2 === 1)
+          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd")),
+        s"$tmp/b", "day", "user_id", numFiles = 8)
+      val pmA = FileManifest.buildPartitioned(s, s"$tmp/a", "user_id")
+      val pmB = FileManifest.buildPartitioned(s, s"$tmp/b", "user_id")
+      FileManifest.readPrunedEvolved(s, Seq(pmA, pmB),
+          partFilters = Map("event_type" -> Seq("purchase", "view")),
+          lo = 2L, hi = 120L,
+          cols = Seq("event_id", "user_id", "event_type", "value"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("total_value"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum("event_id").as("sum_ids"))
+        .orderBy("event_type")
+    }),
     "f13_delete_mor" -> ((s, dir) => {
       val tmp = layoutDir("f13", dir)
       val ev = T(s, dir, "events")
@@ -4395,6 +4423,18 @@ object SparkEntry {
         |  CAST(sum(event_id) AS BIGINT) AS sum_ids
         |FROM events
         |WHERE user_id BETWEEN 2 AND 120
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // f17: two spec epochs union back to the one relation — the
+    // evolution changes pruning opportunities, never the answer
+    "f17_partition_evolution" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_ids
+        |FROM events
+        |WHERE event_type IN ('purchase', 'view')
+        |  AND user_id BETWEEN 2 AND 120
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // f16: the tag-pinned release read IS the original full relation
     // — refs/expiry change what survives, never the answer

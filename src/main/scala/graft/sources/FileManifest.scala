@@ -737,6 +737,40 @@ object FileManifest {
       append(cur, spark, newFiles, pm.column)))
   }
 
+  /** PARTITION-SPEC EVOLUTION read — the Iceberg contract: a table's
+    * partitioning can change over its life (early files by
+    * event_type, later files by day, …) WITHOUT rewriting old data;
+    * each file keeps the spec it was written under, and a query
+    * prunes every epoch by whatever ITS spec supports. `epochs` is
+    * one catalog per spec; `partFilters` maps column → kept values —
+    * an epoch partitioned on that column converts it to directory
+    * pruning, every other epoch falls back to footer-stat range
+    * pruning plus the residual filter (pruning loses nothing, the
+    * filter re-applies everywhere a column exists). Filter columns
+    * must be recoverable on every epoch (directory-derived or stored
+    * in the data), which `cols` pins: the unioned schema is the
+    * business column set, independent of which spec each file used.
+    */
+  def readPrunedEvolved(spark: SparkSession,
+      epochs: Seq[PartitionedManifest], partFilters: Map[String, Seq[String]],
+      lo: Long, hi: Long, cols: Seq[String]): DataFrame = {
+    require(epochs.nonEmpty, "readPrunedEvolved: no epochs")
+    epochs.map { pm =>
+      val pcol = pm.partitions.keys.headOption
+        .filter(_.contains('=')).map(_.substring(0,
+          pm.partitions.keys.head.indexOf('=')))
+      val keep = pcol.flatMap(c => partFilters.get(c)
+        .map(vs => vs.map(v => s"$c=$v")))
+      val base = readPrunedPartitioned(spark, pm, keep, lo, hi)
+      partFilters.foldLeft(base) { case (d, (c, vs)) =>
+        require(d.columns.contains(c),
+          s"partition filter column $c unrecoverable under spec " +
+            s"${pcol.getOrElse("?")} — widen cols or store the column")
+        d.where(col(c).cast("string").isin(vs: _*))
+      }.select(cols.map(col): _*)
+    }.reduce(_ unionByName _)
+  }
+
   /** Adopt a STAGED batch layout into the table tree: every partition
     * file under `batchRoot` is RENAMED into `tableRoot`'s matching
     * partition directory (data written once, adopted by move — the

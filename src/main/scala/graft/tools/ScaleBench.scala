@@ -226,7 +226,8 @@ object ScaleBench {
       "a10_ddsketch", "p9_fd_profile", "c6_governed_enrich",
       // x32: graph build ~f bigrams over a frequent vocab; pagerank
       // rounds over the fixed-size word graph
-      "x32_textrank", "s28_recall_audit", "q35_grouping_sets")
+      "x32_textrank", "s28_recall_audit", "q35_grouping_sets",
+      "f17_partition_evolution")
       // x18/x19 are NOT here for x12's reason (salting renames their
       // literal terms) — the salted cases below measure real phrase/
       // proximity retrieval.

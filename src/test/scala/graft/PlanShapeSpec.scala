@@ -731,6 +731,47 @@ class PlanShapeSpec extends AnyFunSuite {
       "adopted files must live under the table root")
   }
 
+  test("partition evolution: each epoch prunes by ITS spec, unrecoverable filter loud") {
+    import graft.sources.FileManifest
+    val ev = Tables.load(spark, "/root/testdata/sf0.01", "events")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    FileManifest.writePartitionedLayout(
+      ev.where(col("event_id") % 2 === 0), s"$tmp/a", "event_type",
+      "user_id", numFiles = 8)
+    FileManifest.writePartitionedLayout(
+      ev.where(col("event_id") % 2 === 1)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd")),
+      s"$tmp/b", "day", "user_id", numFiles = 8)
+    val pmA = FileManifest.buildPartitioned(spark, s"$tmp/a", "user_id")
+    val pmB = FileManifest.buildPartitioned(spark, s"$tmp/b", "user_id")
+    val cols = Seq("event_id", "user_id", "event_type", "value")
+    val got = FileManifest.readPrunedEvolved(spark, Seq(pmA, pmB),
+      Map("event_type" -> Seq("purchase")), 10L, 60L, cols)
+    val want = ev.where(col("event_type") === "purchase" &&
+      col("user_id").between(10, 60))
+    assert(got.count() == want.count())
+    assert(got.agg(sum("event_id")).head.getLong(0) ==
+      want.agg(sum("event_id")).head.getLong(0))
+    // epoch A (spec = event_type) must never open a non-purchase dir;
+    // epoch B (spec = day) opens only range survivors
+    val opened = got.inputFiles.map(f =>
+      java.net.URLDecoder.decode(f, "UTF-8"))
+    assert(opened.filter(_.contains("/a/"))
+      .forall(_.contains("event_type=purchase")),
+      s"epoch A opened excluded partitions: ${opened.toSeq}")
+    val bTotal = pmB.partitions.values.map(_.size).sum
+    assert(opened.count(_.contains("/b/")) < bTotal,
+      "epoch B must skip files by footer-stat range")
+    // a filter on a column an epoch can neither derive nor read is a
+    // loud error, never a silently-wrong answer
+    val ex = intercept[IllegalArgumentException] {
+      FileManifest.readPrunedEvolved(spark, Seq(pmA, pmB),
+        Map("day" -> Seq("2024-01-01")), Long.MinValue, Long.MaxValue,
+        cols).count()
+    }
+    assert(ex.getMessage.contains("unrecoverable"))
+  }
+
   test("range join: bucketed equi-join plan, == naive BETWEEN join, outer safe") {
     import graft.operators.RangeJoin
     import spark.implicits._
