@@ -1465,6 +1465,33 @@ object SparkEntry {
     // BM25 over a MATERIALIZED inverted index: postings written
     // term-bucketed once, queries partition-prune to their own terms'
     // buckets — identical scoring to x12, different read path
+    // CHANGELOG-DRIVEN INDEX REFRESH (r9, late): the incremental
+    // pipeline composed — the corpus table gains a batch of files,
+    // f9's snapshot diff yields exactly the inserted documents
+    // (reading only the ADDED files, never the carried ones), and the
+    // text index ingests that changelog via append; retrieval then
+    // equals an index built fresh over the full corpus, which IS the
+    // oracle (the append==rebuild contract, fed by the changelog)
+    "c7_changelog_refresh" -> ((s, dir) => {
+      val tmp = layoutDir("c7", dir)
+      val docs = T(s, dir, "documents")
+      FileManifest.writeLayout(docs.where(col("doc_id") % 2 === 0),
+        s"$tmp/t0", "doc_id", 8)
+      FileManifest.writeLayout(docs.where(col("doc_id") % 2 === 1),
+        s"$tmp/t1", "doc_id", 8)
+      val m0 = FileManifest.buildManifest(s, s"$tmp/t0", "doc_id")
+      val m1 = m0 ++ FileManifest.buildManifest(s, s"$tmp/t1", "doc_id")
+      val inserts = FileManifest.snapshotDiff(s, m0, m1)
+        .where(col("change_type") === "I").drop("change_type")
+      val idx = s"$tmp/idx"
+      freshDir(s, idx)
+      graft.sources.TextIndex.build(
+        docs.where(col("doc_id") % 2 === 0), "doc_id", "text", idx,
+        buckets = 32)
+      graft.sources.TextIndex.append(inserts, "doc_id", "text", idx)
+      graft.sources.TextIndex.bm25TopK(s, idx, bm25Queries, k = 10)
+        .orderBy("query_id", "rank")
+    }),
     "x21_indexed_bm25" -> ((s, dir) => {
       val tmp = layoutDir("x21", dir)
       graft.sources.TextIndex.build(T(s, dir, "documents"), "doc_id",
@@ -3810,6 +3837,8 @@ object SparkEntry {
     // where postings come from (bucketed parquet, partition-pruned to
     // the query terms' buckets), not one bit of the scoring arithmetic
     "x21_indexed_bm25" -> bm25OracleSql,
+    // c7: changelog-fed append == full rebuild == the plain scorer
+    "c7_changelog_refresh" -> bm25OracleSql,
     "x28_index_delete" -> bm25OracleSqlWhere(" WHERE doc_id % 9 <> 4"),
     // x20: per-query chained joins over the same positional postings —
     // slot i joins slot i-1 on (same doc, later position, inside the

@@ -731,6 +731,37 @@ class PlanShapeSpec extends AnyFunSuite {
       "adopted files must live under the table root")
   }
 
+  test("changelog refresh: the diff reads ONLY added files, feeds append exactly") {
+    import graft.sources.{FileManifest, TextIndex}
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_c7").toString
+    FileManifest.writeLayout(docs.where(col("doc_id") % 2 === 0),
+      s"$tmp/t0", "doc_id", 4)
+    FileManifest.writeLayout(docs.where(col("doc_id") % 2 === 1),
+      s"$tmp/t1", "doc_id", 4)
+    val m0 = FileManifest.buildManifest(spark, s"$tmp/t0", "doc_id")
+    val m1 = m0 ++ FileManifest.buildManifest(spark, s"$tmp/t1", "doc_id")
+    val inserts = FileManifest.snapshotDiff(spark, m0, m1)
+      .where(col("change_type") === "I")
+    // incrementality: the changelog plans IO over the ADDED files
+    // only — carried files are never opened
+    assert(inserts.inputFiles.forall(_.contains("/t1/")),
+      s"diff opened carried files: ${inserts.inputFiles.toSeq}")
+    assert(inserts.count() == docs.where(col("doc_id") % 2 === 1).count())
+    // fed to append, retrieval == an index built over the full corpus
+    val inc = s"$tmp/inc"; val full = s"$tmp/full"
+    TextIndex.build(docs.where(col("doc_id") % 2 === 0), "doc_id",
+      "text", inc, buckets = 8)
+    TextIndex.append(inserts.drop("change_type"), "doc_id", "text", inc)
+    TextIndex.build(docs, "doc_id", "text", full, buckets = 8)
+    val q = Seq((1, Seq("the", "data")))
+    val a = TextIndex.bm25TopK(spark, inc, q, k = 10).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    val b = TextIndex.bm25TopK(spark, full, q, k = 10).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(a == b, "changelog-fed append must equal the full rebuild")
+  }
+
   test("partition evolution: each epoch prunes by ITS spec, unrecoverable filter loud") {
     import graft.sources.FileManifest
     val ev = Tables.load(spark, "/root/testdata/sf0.01", "events")
