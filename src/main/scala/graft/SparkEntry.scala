@@ -222,7 +222,7 @@ object SparkEntry {
       graft.sources.VectorIndex.build(emb, "vec_id", "embedding", tmp,
         clusters = 8, iterations = 2, capacity = cap, maxRounds = 6,
         pqSubspaces = 16, pqCodewords = 64, metaCols = Seq("label"),
-        sqTier = true, mipsTier = true)
+        sqTier = true, mipsTier = true, bqTier = true)
       tmp
     })
 
@@ -1861,6 +1861,21 @@ object SparkEntry {
     "s27_knn_graph" -> ((s, dir) =>
       graft.sources.VectorIndex.knnGraph(s, sharedVectorIndex(s, dir), k = 3)
         .orderBy("src", "rank")),
+    // BINARY-QUANTIZATION serving (r9, late): Hamming pre-rank over
+    // 16 bytes/row of sign bits — the most compact candidate scan in
+    // the ladder — then exact integer re-rank; lossless candidates
+    // (>= probed rows) make it bit-identical to s16, which IS the
+    // oracle (the s17/s22 regime argument)
+    "s29_vector_index_bq" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      val cap = math.ceil(emb.count() / 8.0).toLong
+      graft.sources.VectorIndex.topKBq(s, sharedVectorIndex(s, dir), q,
+          k = 5, nprobe = 2, candidates = (2 * cap).toInt + 16)
+        .orderBy("query_id", "rank")
+    }),
     // RECALL AUDIT (r9, late): "measure, don't guess" as a first-
     // class query — exact brute-force top-5 vs the shared index's
     // nprobe-2 serving path, per-query hit counts and recall%; the
@@ -3310,6 +3325,8 @@ object SparkEntry {
     // s28: both ranking systems replayed — the s1 double-cosine flat
     // chain and the s16 quantized probe chain — then intersected
     "s28_recall_audit" -> recallAuditOracleSql,
+    // s29: lossless BQ staging + exact re-rank = s15/s16 verbatim
+    "s29_vector_index_bq" -> ivfBalancedOracleSql,
     "q35_grouping_sets" ->
       """SELECT o_orderpriority, o_orderstatus,
         |  CAST(GROUPING(o_orderpriority, o_orderstatus) AS INT) AS gid,

@@ -69,7 +69,7 @@ object VectorIndex {
       scale: Int = 1024, pqSubspaces: Int = 0, pqCodewords: Int = 16,
       pqIterations: Int = 5, pqTrainSample: Int = 8192,
       metaCols: Seq[String] = Nil, sqTier: Boolean = false,
-      mipsTier: Boolean = false): Unit = {
+      mipsTier: Boolean = false, bqTier: Boolean = false): Unit = {
     require(metaCols.forall(c => !ReservedCellCols.contains(c)),
       s"metaCols collide with index-internal columns: $ReservedCellCols")
     val spark = corpus.sparkSession
@@ -143,13 +143,25 @@ object VectorIndex {
         writeMipsNorm(spark, s"$path/mipsnorm", qm2)
         codes.withColumn("aug", augCol(col("na"), qm2))
       }
-    withMips
+    // the BQ tier: TWO sign-free longs per row — the 64 sign bits of the quantized vector, MSB-first in 32-bit halves
+    // (the m6 packing discipline: every downstream xor/popcount is
+    // sign-safe on both engines). Derived from `q` alone, so appends
+    // need no frozen sidecar — presence in the cell schema IS the
+    // tier flag.
+    val withBq =
+      if (!bqTier) withMips
+      else {
+        require(dim == 64, s"bq tier packs exactly 64 dims (got $dim)")
+        withMips.withColumn("bqhi", bqHalf(col("q"), 0, 31))
+          .withColumn("bqlo", bqHalf(col("q"), 32, 63))
+      }
+    withBq
       .repartition(col("cluster"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cluster")
       .parquet(s"$path/cells")
     writeCentroids(spark, s"$path/centroids", cents)
-    val cnts = withMips.groupBy("cluster").agg(count(lit(1)).as("n"))
+    val cnts = withBq.groupBy("cluster").agg(count(lit(1)).as("n"))
     cnts.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/counts")
     val n = cnts.agg(coalesce(sum("n"), lit(0L))).head.getLong(0)
     writeStats(spark, s"$path/stats", n, clusters, scale, capacity, dim,
@@ -391,6 +403,66 @@ object VectorIndex {
         .select(col(queryId), col("rank"), col("vec_id").as("neighbor_id"),
           col("sim"))
     }
+  }
+
+  /** BINARY-QUANTIZATION serving tier — Hamming pre-rank over the
+    * sign-bit words ([[build]] `bqTier = true`): stage 1 scans ONLY
+    * (vec_id, bqhi, bqlo) of the probed cells (16 bytes of payload
+    * per row instead of dim × 8 — the most compact candidate scan in
+    * the ladder, the rationale behind every production BQ
+    * deployment) and stages `candidates` per query by ascending
+    * Hamming distance between sign words (ties to the lowest
+    * vec_id); stage 2 re-scores just the staged candidates EXACTLY
+    * against the full-width codes — same integer cosine and
+    * tie-breaks as [[topK]], so with `candidates` at least the
+    * probed row count the result is bit-identical to [[topK]] (the
+    * s17/s22 oracle-regime argument). Tighter candidate budgets pay
+    * recall bounded by how well sign agreement tracks cosine — the
+    * [[recallAudit]]-style measurement, not a guess, is the tuning
+    * loop. */
+  def topKBq(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, nprobe: Int, candidates: Int = 50,
+      queryId: String = "query_id", queryVec: String = "query_vec")
+      : DataFrame = {
+    val st = baseStats(spark, path)
+    require(nprobe >= 1 && nprobe <= st.clusters && candidates >= k)
+    require(st.dim == 64, "bq tier packs exactly 64 dims")
+    val cents = readCentroids(spark, path)
+    val probes = probesOf(queries, cents, st.scale, nprobe, queryId,
+      queryVec)
+    val probed = probes.select("cluster").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val qb = probes
+      .withColumn("__qhi", bqHalf(col("__qq"), 0, 31))
+      .withColumn("__qlo", bqHalf(col("__qq"), 32, 63))
+    val codeScan = readCellsCols(spark, path, Seq("bqhi", "bqlo"))
+      .where(col("cluster").isin(probed: _*))
+    val wl = Window.partitionBy(col(queryId), col("__g_pid"))
+      .orderBy(col("__ham").asc, col("vec_id").asc)
+    val wc = Window.partitionBy(col(queryId))
+      .orderBy(col("__ham").asc, col("vec_id").asc)
+    val staged = broadcast(qb).join(codeScan, Seq("cluster"))
+      .where(col(queryId) =!= col("vec_id"))
+      .withColumn("__ham",
+        (bit_count(col("__qhi").bitwiseXOR(col("bqhi"))) +
+          bit_count(col("__qlo").bitwiseXOR(col("bqlo")))).cast("int"))
+      .withColumn("__g_pid", spark_partition_id())
+      .withColumn("__g_lc", row_number().over(wl))
+      .where(col("__g_lc") <= candidates)
+      .withColumn("__g_cr", row_number().over(wc))
+      .where(col("__g_cr") <= candidates)
+    val full = readCells(spark, path).where(col("cluster").isin(probed: _*))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    full.select(col("vec_id"), col("__cq"), col("__cna"))
+      .join(broadcast(staged
+        .select(col(queryId), col("__qq"), col("__qna"), col("vec_id"))),
+        "vec_id")
+      .withColumn("sim", dotl(col("__qq"), col("__cq")).cast("double") /
+        sqrt(col("__qna").cast("double") * col("__cna")))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col(queryId), col("rank"), col("vec_id").as("neighbor_id"),
+        col("sim"))
   }
 
   /** MAXIMUM-INNER-PRODUCT top-k served FROM the index — the MIPS
@@ -844,6 +916,19 @@ object VectorIndex {
     transform(c.cast(ArrayType(DoubleType)),
       x => floor(x * scale).cast("long"))
 
+  /** One 32-bit half of the sign-bit (binary-quantization) word:
+    * bit i = 1 iff q[i] > 0, dims `msb..lsb` MSB-first — non-negative
+    * by construction, so xor/popcount mirror exactly in SQL. */
+  private def bqHalf(q: Column, msb: Int, lsb: Int): Column =
+    aggregate(sequence(lit(msb.toLong), lit(lsb.toLong)), lit(0L),
+      (acc, i) => acc * 2 +
+        when(element_at(q, (i + 1).cast("int")) > 0, lit(1L))
+          .otherwise(lit(0L)))
+
+  private def hasBq(spark: SparkSession, path: String): Boolean =
+    spark.read.parquet(s"${root(spark, path)}/cells")
+      .schema.fieldNames.contains("bqhi")
+
   private def sqnorm(a: Column): Column =
     aggregate(transform(a, x => x * x), lit(0L), _ + _)
 
@@ -991,7 +1076,8 @@ object VectorIndex {
   /** Columns the index owns in cell files; anything else is caller
     * metadata carried for filtered search. */
   private val ReservedCellCols =
-    Set("vec_id", "q", "na", "codes", "sq", "aug", "cluster")
+    Set("vec_id", "q", "na", "codes", "sq", "aug", "cluster",
+      "bqhi", "bqlo")
 
   /** The quantized norm-augmentation dimension against a FROZEN M²:
     * floor(√(max(M² − na, 0))). The max(,0) guard is the frozen-
@@ -1147,10 +1233,16 @@ object VectorIndex {
     // MIPS tier: augment appended rows against the FROZEN M² — never
     // re-derived from the batch, so existing rows' staging geometry
     // is untouched by any append
-    val codes =
+    val withMips2 =
       if (!hasMipsNorm(spark, path)) withSq
       else withSq.withColumn("aug",
         augCol(col("na"), readMipsNorm(spark, path)))
+    // BQ tier: bits derive from q alone — appends carry them without
+    // any frozen state
+    val codes =
+      if (!hasBq(spark, path)) withMips2
+      else withMips2.withColumn("bqhi", bqHalf(col("q"), 0, 31))
+        .withColumn("bqlo", bqHalf(col("q"), 32, 63))
     (codes, codes.groupBy("cluster").agg(count(lit(1)).as("n")))
   }
 

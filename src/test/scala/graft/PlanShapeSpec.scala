@@ -976,6 +976,49 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(counts.map(_._2).sum == emb.count())
   }
 
+  test("vector index BQ tier: exact in oracle regime, 16-byte candidate scan, append carries bits") {
+    import graft.sources.VectorIndex
+    val tmp = java.nio.file.Files.createTempDirectory("graft-vbq").toString
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val cap = math.ceil(emb.count() / 8.0).toLong
+    VectorIndex.build(emb.filter(col("vec_id") < 450), "vec_id",
+      "embedding", tmp, clusters = 8, iterations = 2, capacity = cap,
+      maxRounds = 6, bqTier = true)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e12))).toSet
+    // oracle regime: candidates >= probed rows → bit-identical to topK
+    val bq = VectorIndex.topKBq(spark, tmp, q, k = 5, nprobe = 2,
+      candidates = (2 * cap).toInt + 16)
+    val exact = VectorIndex.topK(spark, tmp, q, k = 5, nprobe = 2)
+    assert(rows(bq) == rows(exact), "lossless BQ staging must equal topK")
+    // the stage-1 candidate scan reads ONLY the sign words: its
+    // parquet ReadSchema must not contain the wide q column
+    bq.count()
+    val scans = "ReadSchema: [^\n]*".r
+      .findAllIn(plan(bq).toString).toSeq
+    val codeScan = scans.filter(s => s.contains("bqhi"))
+    assert(codeScan.nonEmpty, s"no bq scan found in:\n${scans.mkString("\n")}")
+    assert(codeScan.forall(!_.contains("q:array")),
+      s"stage-1 must not read the wide column:\n$codeScan")
+    // a tight budget still returns k rows per query (recall, not
+    // correctness, is what shrinks)
+    val tight = VectorIndex.topKBq(spark, tmp, q, k = 5, nprobe = 2,
+      candidates = 5)
+    assert(tight.groupBy("query_id").count().collect()
+      .forall(_.getLong(1) == 5))
+    // appended vectors carry their sign bits and become findable
+    VectorIndex.append(emb.filter(col("vec_id") >= 450), "vec_id",
+      "embedding", tmp)
+    val after = VectorIndex.topKBq(spark, tmp, q, k = 5, nprobe = 8,
+      candidates = 4096)
+    val flatAll = VectorIndex.topK(spark, tmp, q, k = 5, nprobe = 8)
+    assert(rows(after) == rows(flatAll),
+      "append must carry bq bits (full probe equality)")
+  }
+
   test("knn graph: == within-cell brute force, no broadcast of the corpus side") {
     import graft.sources.VectorIndex
     val tmp = java.nio.file.Files.createTempDirectory("graft-knng").toString
