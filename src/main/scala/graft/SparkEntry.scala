@@ -826,6 +826,19 @@ object SparkEntry {
       Graph.hits(graphEdges(T(s, dir, "lineitem")), "src", "dst",
           iterations = 4)
         .orderBy("node")),
+    // NEWMAN MODULARITY of the label-propagation partition (r9,
+    // late): the quality functional community detection optimizes,
+    // as a first-class query — per community exact-integer
+    // (e_in, d_sum, q_num = 4·m·e_in − d_sum², q_den = 4·m²) so
+    // Q = Σ q_num / q_den reconstructs with no floating division;
+    // m rides in-plan as a one-row cross join, labels join the edge
+    // list on both endpoints (node-sized side, broadcastable)
+    "g12_modularity" -> ((s, dir) => {
+      val e = triangleEdges(T(s, dir, "lineitem"))
+      Graph.modularity(e, "src", "dst",
+          Graph.labelPropagation(e, "src", "dst", rounds = 3))
+        .orderBy("label")
+    }),
     "q15_having_subquery" -> ((s, dir) => {
       val c = T(s, dir, "customer"); val n = T(s, dir, "nation")
       val j = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
@@ -2343,6 +2356,27 @@ object SparkEntry {
           sum("event_id").as("sum_ids"))
         .orderBy("event_type")
     }),
+    // DYNAMIC FILE PRUNING for a join (r9, late): the dim side (rare
+    // high-value orders → a small scattered user-id set) is evaluated
+    // first — one metadata-sized action — and the manifest then skips
+    // every fact file whose [min, max] contains NONE of those keys,
+    // before any fact data page is read. File-granular superset +
+    // the actual join as residual, so the oracle is the plain join —
+    // pruning must lose nothing
+    "f18_join_file_prune" -> ((s, dir) => {
+      val tmp = layoutDir("f18", dir)
+      FileManifest.writeLayout(T(s, dir, "events"), tmp, "user_id", 16)
+      val m = FileManifest.buildManifest(s, tmp, "user_id")
+      val dim = T(s, dir, "orders").where(col("o_totalprice") > 499000)
+        .select((col("o_custkey") % 15).cast("long").as("user_id"))
+        .distinct()
+      FileManifest.readJoinPruned(s, m, "user_id", dim, "user_id")
+        .join(broadcast(dim), "user_id")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("total_value"))
+        .orderBy("user_id")
+    }),
     "f13_delete_mor" -> ((s, dir) => {
       val tmp = layoutDir("f13", dir)
       val ev = T(s, dir, "events")
@@ -3016,6 +3050,9 @@ object SparkEntry {
         |ORDER BY a, b""".stripMargin,
     "g11_hits" ->
       operators.Graph.hitsOracleSql(graphEdgesSql, iterations = 4),
+    // g12: the g8 l-chain verbatim + the exact-integer modularity tail
+    "g12_modularity" ->
+      operators.Graph.modularityOracleSql(triangleEdgesSql, rounds = 3),
     "q15_having_subquery" ->
       """WITH j AS (SELECT n_name, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
         |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
@@ -4481,6 +4518,16 @@ object SparkEntry {
         |FROM events
         |WHERE event_type IN ('purchase', 'view')
         |  AND user_id BETWEEN 2 AND 120
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // f18: file pruning is a superset + residual-join discipline, so
+    // the oracle is the PLAIN join — pruning must lose nothing
+    "f18_join_file_prune" ->
+      """WITH dim AS (SELECT DISTINCT o_custkey % 15 AS user_id
+        |  FROM orders WHERE o_totalprice > 499000)
+        |SELECT e.user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value
+        |FROM events e JOIN dim USING (user_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // f16: the tag-pinned release read IS the original full relation
     // — refs/expiry change what survives, never the answer

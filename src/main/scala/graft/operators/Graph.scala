@@ -485,6 +485,88 @@ object Graph {
     labels
   }
 
+  /** NEWMAN MODULARITY of a community assignment over the undirected
+    * simple graph of `edges` — the quality functional community
+    * detection optimizes, computed here as a first-class QUERY so a
+    * partition (e.g. [[labelPropagation]]'s) carries its own score:
+    * Q = Σ_c [ e_c/m − (d_c/2m)² ] where m is the undirected edge
+    * count, e_c the edges internal to community c and d_c its degree
+    * sum.
+    *
+    * Everything is EXACT INTEGERS (the g-family determinism
+    * discipline): per community the row carries e_c, d_c, n_c and the
+    * scaled contribution q_num = 4·m·e_c − d_c², with the shared
+    * denominator 4·m² riding on every row (q_den) so Q = Σ q_num /
+    * q_den reconstructs exactly — no floating division anywhere, the
+    * oracle mirrors bit for bit.
+    *
+    * Plan shape: the edge normalization is one distinct; degrees are
+    * one count agg over the doubled edge list; internal edges are the
+    * edge list joined to `labels` on BOTH endpoints (two node-keyed
+    * equi-joins — `labels` is node-sized, broadcastable whenever
+    * nodes ≪ edges, which is the 100 TB regime) and one agg; m rides
+    * in-plan as a one-row cross join (no driver-side action). Work is
+    * O(|E|) with no per-community state on the driver.
+    *
+    * `labels` must be a (node, label) frame covering every node of
+    * the graph (extra rows for absent nodes are ignored). */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame): DataFrame = {
+    val und = normalize(edges, srcCol, dstCol)
+      .where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val l = labels.select(col("node"), col("label"))
+    val m = und.agg(count(lit(1)).as("__g_m"))
+    // internal-edge counts: both endpoints in the community
+    val ec = und
+      .join(l.select(col("node").as("a"), col("label").as("__la")), "a")
+      .join(l.select(col("node").as("b"), col("label").as("__lb")), "b")
+      .where(col("__la") === col("__lb"))
+      .groupBy(col("__la").as("label"))
+      .agg(count(lit(1)).as("e_in"))
+    // degree sums + member counts per community; nodes come from the
+    // edge list so every community row exists even with e_in = 0
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("__deg"))
+    val dc = deg.join(l, "node")
+      .groupBy("label")
+      .agg(sum("__deg").as("d_sum"), count(lit(1)).as("n_nodes"))
+    dc.join(ec, Seq("label"), "left")
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_sum"))
+      .crossJoin(m)
+      .select(col("label"), col("n_nodes"), col("e_in"), col("d_sum"),
+        (lit(4L) * col("__g_m") * col("e_in") -
+          col("d_sum") * col("d_sum")).as("q_num"),
+        (lit(4L) * col("__g_m") * col("__g_m")).as("q_den"))
+  }
+
+  /** DuckDB mirror of [[labelPropagation]] + [[modularity]]: the l-chain
+    * verbatim, then the exact-integer modularity tail. */
+  def modularityOracleSql(edgesSql: String, rounds: Int): String = {
+    val chain = labelPropOracleSql(edgesSql, rounds)
+    val base = chain.substring(0, chain.lastIndexOf("\nSELECT node, label"))
+    base + s""",
+      |lp AS (SELECT node, label FROM l$rounds),
+      |mm AS (SELECT count(*) AS m FROM u),
+      |ec AS (SELECT la.label, count(*) AS e_in
+      |  FROM u JOIN lp la ON la.node = u.a JOIN lp lb ON lb.node = u.b
+      |  WHERE la.label = lb.label GROUP BY 1),
+      |dg AS (SELECT node, count(*) AS deg FROM (
+      |  SELECT a AS node FROM u UNION ALL SELECT b FROM u) GROUP BY 1),
+      |dc AS (SELECT lp.label, sum(dg.deg) AS d_sum, count(*) AS n_nodes
+      |  FROM dg JOIN lp ON lp.node = dg.node GROUP BY 1)
+      |SELECT dc.label, dc.n_nodes, coalesce(ec.e_in, 0) AS e_in,
+      |  dc.d_sum,
+      |  4 * mm.m * coalesce(ec.e_in, 0) - dc.d_sum * dc.d_sum AS q_num,
+      |  4 * mm.m * mm.m AS q_den
+      |FROM dc LEFT JOIN ec ON ec.label = dc.label CROSS JOIN mm
+      |ORDER BY dc.label""".stripMargin
+  }
+
   /** STRONGLY CONNECTED COMPONENTS by BOUNDED-ROUND block refinement —
     * the forward-backward reachability argument (Fleischer/Hendrickson/
     * Pinar's divide-and-conquer FW-BW, re-expressed as relational

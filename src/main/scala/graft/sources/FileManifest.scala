@@ -195,6 +195,65 @@ object FileManifest {
       hi: Long): (Seq[FileStats], Seq[FileStats]) =
     prune(manifest, lo, hi).partition(f => f.min >= lo && f.max <= hi)
 
+  /** [[pruneForKeys]] result: the pruning ladder's two rungs kept
+    * visible so callers (and specs) can see what each level bought. */
+  final case class JoinPrune(totalFiles: Int, rangeSurvivors: Int,
+      files: Seq[FileStats])
+
+  /** EXACT-KEY file pruning: which files can contain ANY of `keys`.
+    * Two rungs — the [min(keys), max(keys)] range prune first, then a
+    * per-file check that some key actually lands inside the file's
+    * own [min, max] (sorted keys + one binary search per file, so a
+    * scattered key set skips the files BETWEEN its keys that a pure
+    * range prune must keep). Driver-side work is O(files · log keys)
+    * over manifest METADATA — at 100 TB that is 10^5 cheap
+    * comparisons, never a data page. */
+  def pruneForKeys(manifest: Seq[FileStats], keys: Seq[Long]): JoinPrune = {
+    val ks = keys.distinct.sorted.toArray
+    val ranged =
+      if (ks.isEmpty) Seq.empty else prune(manifest, ks.head, ks.last)
+    val kept = ranged.filter { f =>
+      var i = java.util.Arrays.binarySearch(ks, f.min)
+      if (i < 0) i = -i - 1
+      i < ks.length && ks(i) <= f.max
+    }
+    JoinPrune(manifest.size, ranged.size, kept)
+  }
+
+  /** DYNAMIC FILE PRUNING for a key-equi join — the manifest answers
+    * "which fact files can contain any of the dim side's join keys"
+    * BEFORE a single fact data page is read (the Delta/Photon
+    * dynamic-file-pruning move, re-expressed over the driver-side
+    * manifest). One metadata-sized action evaluates the (already
+    * filtered, broadcast-regime) dim side first — the same trade
+    * dynamic partition pruning makes: a tiny job now buys file-level
+    * skips on the 100 TB side. Keys up to `exactLimit` prune exactly
+    * via [[pruneForKeys]]; a larger dim side degrades gracefully to
+    * the [min, max] range prune (two aggregates, never a full
+    * driver-side key set). The returned frame is a file-granular
+    * SUPERSET of the matching rows — the caller still applies the
+    * actual join, which also re-applies the exact predicate
+    * row-by-row (the [[readPruned]] residual-filter discipline). */
+  def readJoinPruned(spark: SparkSession, manifest: Seq[FileStats],
+      column: String, dim: DataFrame, dimKeyCol: String,
+      exactLimit: Int = 1 << 16): DataFrame = {
+    require(manifest.nonEmpty, "empty manifest")
+    // NULL dim keys can never equi-match a fact row — drop them before
+    // they poison min/max or the collected key set
+    val k = dim.select(col(dimKeyCol).cast("long").as("k"))
+      .where(col("k").isNotNull)
+    val keys = k.distinct().limit(exactLimit + 1).collect().map(_.getLong(0))
+    val survivors =
+      if (keys.isEmpty) Seq.empty
+      else if (keys.length > exactLimit) {
+        val r = k.agg(min("k").as("lo"), max("k").as("hi")).head
+        prune(manifest, r.getLong(0), r.getLong(1))
+      } else pruneForKeys(manifest, keys.toSeq).files
+    if (survivors.nonEmpty) spark.read.parquet(survivors.map(_.path): _*)
+    // all files pruned: an empty fact side is the legitimate result
+    else spark.read.parquet(manifest.head.path).where(lit(false))
+  }
+
   /** METADATA-ONLY ranged aggregation: `count(*) / min / max` of
     * `column` over `lo <= column <= hi`, answered from the manifest
     * wherever file ranges allow it. Fully-covered files contribute

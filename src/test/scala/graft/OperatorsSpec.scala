@@ -2336,6 +2336,36 @@ class OperatorsSpec extends AnyFunSuite {
       m(Graph.labelPropagation(edges, "s", "d", rounds = 10)))
   }
 
+  test("modularity: exact integers on bridged cliques, trivial partition scores zero") {
+    val k4a = for (i <- 0 to 3; j <- (i + 1) to 3) yield (i.toLong, j.toLong)
+    val k4b = for (i <- 10 to 13; j <- (i + 1) to 13) yield (i.toLong, j.toLong)
+    val edges = (k4a ++ k4b ++ Seq((3L, 10L))).toDF("s", "d")
+    val labels = Graph.labelPropagation(edges, "s", "d", rounds = 4)
+    // m = 13; each K4 community: e_in = 6, d_sum = 13 (one bridge
+    // endpoint), so q_num = 4·13·6 − 13² = 143 against q_den = 676 —
+    // Q = 286/676 ≈ 0.423, hand-checked
+    val q = Graph.modularity(edges, "s", "d", labels).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(q.keySet == Set(0L, 10L), s"unexpected communities: $q")
+    assert(q(0L) == ((4L, 6L, 13L, 143L, 676L)), s"community 0: ${q(0L)}")
+    assert(q(10L) == ((4L, 6L, 13L, 143L, 676L)), s"community 10: ${q(10L)}")
+    // the everything-in-one partition has Q = 0 identically:
+    // e_in = m and d_sum = 2m make the numerator 4m² − 4m²
+    val one = edges.select(col("s").cast("long").as("node"))
+      .union(edges.select(col("d").cast("long").as("node")))
+      .distinct().withColumn("label", lit(0L))
+    val t = Graph.modularity(edges, "s", "d", one).collect()
+    assert(t.length == 1 && t.head.getLong(4) == 0L,
+      s"trivial partition must score zero: ${t.toSeq}")
+    // duplicate / reversed input edges collapse before counting
+    val noisy = edges.union(edges.select(col("d").as("s"), col("s").as("d")))
+    val qn = Graph.modularity(noisy, "s", "d", labels).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(qn == Map(0L -> 143L, 10L -> 143L), s"direction-noise: $qn")
+  }
+
   test("triangles: per-node counts exact on known graphs, hub-safe orientation") {
     // K4 (every node in C(3,2)=3 triangles) + a pendant + a separate
     // triangle; duplicate/reversed/self-loop edges must not distort

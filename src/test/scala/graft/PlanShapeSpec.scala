@@ -203,6 +203,44 @@ class PlanShapeSpec extends AnyFunSuite {
       "GreaterThanOrEqual(user_id"), s"residual filter not pushed:\n$p")
   }
 
+  test("dynamic file pruning: scattered keys skip the files between them, lose nothing") {
+    import graft.sources.FileManifest
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dfp").toString
+    import spark.implicits._
+    // 160 keys over 16 range-partitioned files → file ranges ≈ [0,9],
+    // [10,19], …  — deterministic geometry for the prune assertions
+    val fact = (0L until 160L).map(i => (i, i * 100L)).toDF("k", "v")
+    FileManifest.writeLayout(fact, tmp, "k", 16)
+    val m = FileManifest.buildManifest(spark, tmp, "k")
+    assert(m.length == 16)
+    // two scattered keys: the range prune must keep every file between
+    // them; the exact prune keeps exactly the two containing files
+    val jp = FileManifest.pruneForKeys(m, Seq(5L, 105L))
+    assert(jp.rangeSurvivors >= 10,
+      s"range rung should span the gap: ${jp.rangeSurvivors}")
+    assert(jp.files.length == 2,
+      s"exact rung must keep 2 files, kept ${jp.files.map(f => (f.min, f.max))}")
+    // the read+join equals the unpruned join (superset + residual)
+    val dim = Seq(5L, 105L, 9999L).toDF("dk") // 9999 matches nothing
+    val got = FileManifest.readJoinPruned(spark, m, "k", dim, "dk")
+      .join(dim, col("k") === col("dk")).select("k", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((5L, 500L), (105L, 10500L)))
+    // over-threshold dim degrades to the range rung, same answer
+    val ranged = FileManifest.readJoinPruned(spark, m, "k", dim, "dk",
+      exactLimit = 1)
+    assert(ranged.inputFiles.length >= 10, "fallback should be range-pruned")
+    assert(ranged.join(dim, col("k") === col("dk")).count() == 2)
+    // an empty dim side prunes everything and yields the empty result
+    val none = FileManifest.readJoinPruned(spark, m, "k",
+      dim.where(lit(false)), "dk")
+    assert(none.count() == 0)
+    // NULL dim keys are dropped, not NPE'd or min/max-poisoning
+    val withNull = Seq(Some(5L), None).toDF("dk")
+    assert(FileManifest.readJoinPruned(spark, m, "k", withNull, "dk")
+      .inputFiles.length == 1)
+  }
+
   test("metadata-only aggregate scans at most the two boundary files") {
     import graft.sources.FileManifest
     val tmp = java.nio.file.Files.createTempDirectory("graft-magg").toString
