@@ -129,6 +129,8 @@ object SparkEntry {
   // JVM: the first entry to run pays the build, the rest read.
   private val sharedIdxMemo =
     scala.collection.concurrent.TrieMap.empty[String, String]
+  private val sharedKnngMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
   private val sharedGramMemo =
     scala.collection.concurrent.TrieMap.empty[String, String]
   private val sharedDelIdxMemo =
@@ -224,6 +226,19 @@ object SparkEntry {
         pqSubspaces = 16, pqCodewords = 64, metaCols = Seq("label"),
         sqTier = true, mipsTier = true, bqTier = true)
       tmp
+    })
+
+  /** The shared index's materialized NN-descent graph (k=8, 2
+    * refinement rounds, id-bucket seed arm 8; partitioned by the
+    * source's cell) — built once per (dir, JVM) on top of
+    * [[sharedVectorIndex]]; s30 reads it back, s31 serves halo
+    * expansion from it. */
+  private def sharedKnnGraph(s: SparkSession, dir: String): String =
+    sharedKnngMemo.getOrElseUpdate(dir, {
+      val idx = sharedVectorIndex(s, dir)
+      graft.sources.VectorIndex.buildKnnGraph(s, idx, k = 8, rounds = 2,
+        idBuckets = 8)
+      idx
     })
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -1889,6 +1904,30 @@ object SparkEntry {
           k = 5, nprobe = 2, candidates = (2 * cap).toInt + 16)
         .orderBy("query_id", "rank")
     }),
+    // NN-DESCENT k-NN graph (r9, late): the HNSW-family build
+    // primitive as relational rounds — seed = within-cell pairs ∪
+    // within-id-hash-bucket pairs (the deterministic stand-in for
+    // NN-descent's random init; ids are uncorrelated with geometry),
+    // then 2 rounds of two-hop composition + exact re-rank, top-3
+    // per node. Materialized once (src-hash-bucketed, dst cell
+    // carried) and read back — the x21/d17 index-served discipline
+    "s30_nn_descent" -> ((s, dir) =>
+      graft.sources.VectorIndex.readKnnGraph(s, sharedKnnGraph(s, dir))
+        .orderBy("src", "rank")),
+    // GRAPH-ASSISTED serving (r9, late): nprobe-1 IVF seeds, one hop
+    // through the materialized NN-descent graph into cells the probe
+    // never opened, exact integer re-rank over the union — recall
+    // bought back without widening the probe; every driver action is
+    // query-sized (the f18 discipline)
+    "s31_graph_serve" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      graft.sources.VectorIndex.topKExpand(s, sharedKnnGraph(s, dir), q,
+          k = 5, nprobe = 1)
+        .orderBy("query_id", "rank")
+    }),
     // RECALL AUDIT (r9, late): "measure, don't guess" as a first-
     // class query — exact brute-force top-5 vs the shared index's
     // nprobe-2 serving path, per-query hit counts and recall%; the
@@ -3364,6 +3403,10 @@ object SparkEntry {
     "s28_recall_audit" -> recallAuditOracleSql,
     // s29: lossless BQ staging + exact re-rank = s15/s16 verbatim
     "s29_vector_index_bq" -> ivfBalancedOracleSql,
+    // s30: the full unrolled NN-descent chain (seed arms + 2 rounds)
+    "s30_nn_descent" -> nnDescentOracleSql,
+    // s31: probe + graph hop + exact re-rank, all replayed
+    "s31_graph_serve" -> graphServeOracleSql,
     "q35_grouping_sets" ->
       """SELECT o_orderpriority, o_orderstatus,
         |  CAST(GROUPING(o_orderpriority, o_orderstatus) AS INT) AS gid,
@@ -5151,6 +5194,95 @@ object SparkEntry {
        |SELECT src, CAST(row_number() OVER (PARTITION BY src
        |    ORDER BY sim DESC, dst ASC) AS INT) AS "rank", dst, sim
        |FROM pr QUALIFY "rank" <= 3 ORDER BY src, "rank"""".stripMargin
+
+  /** s30/s31's shared graph chain: the NN-descent seed (within-cell
+    * pairs ∪ within-id-hash-bucket pairs) and `rounds` unrolled
+    * two-hop refinement rounds, each scored with the exact quantized
+    * cosine and cut to top-k per source — ends at CTE g`rounds`. */
+  private def nnDescentCtes(k: Int, rounds: Int, idBuckets: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""nb0 AS (SELECT a.vec_id AS src, b.vec_id AS dst
+       |  FROM accall a JOIN accall b ON a.cid = b.cid
+       |    AND a.vec_id <> b.vec_id
+       |  UNION
+       |  SELECT a.vec_id, b.vec_id FROM en a JOIN en b
+       |    ON (a.vec_id % $idBuckets) = (b.vec_id % $idBuckets)
+       |    AND a.vec_id <> b.vec_id),
+       |g0 AS MATERIALIZED (SELECT src, dst, sim FROM (
+       |  SELECT c.src, c.dst,
+       |      CAST(list_sum(list_transform(range(1, 65),
+       |        i -> ea.q[i] * eb.q[i])) AS DOUBLE)
+       |      / sqrt(CAST(ea.na AS DOUBLE) * eb.na) AS sim
+       |    FROM nb0 c JOIN en ea ON ea.vec_id = c.src
+       |      JOIN en eb ON eb.vec_id = c.dst)
+       |  QUALIFY row_number() OVER (PARTITION BY src
+       |    ORDER BY sim DESC, dst ASC) <= $k)""".stripMargin)
+    for (i <- 1 to rounds) {
+      sb.append(s""",
+         |nb$i AS (SELECT src, dst FROM g${i - 1}
+         |  UNION
+         |  SELECT a.src, b.dst FROM g${i - 1} a JOIN g${i - 1} b
+         |    ON a.dst = b.src WHERE a.src <> b.dst),
+         |g$i AS MATERIALIZED (SELECT src, dst, sim FROM (
+         |  SELECT c.src, c.dst,
+         |      CAST(list_sum(list_transform(range(1, 65),
+         |        i -> ea.q[i] * eb.q[i])) AS DOUBLE)
+         |      / sqrt(CAST(ea.na AS DOUBLE) * eb.na) AS sim
+         |    FROM nb$i c JOIN en ea ON ea.vec_id = c.src
+         |      JOIN en eb ON eb.vec_id = c.dst)
+         |  QUALIFY row_number() OVER (PARTITION BY src
+         |    ORDER BY sim DESC, dst ASC) <= $k)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  /** s30's mirror: the balanced-assignment chain + the full unrolled
+    * NN-descent chain, final ranks recomputed identically. */
+  private def nnDescentOracleSql: String =
+    s"""WITH ${kmeansBalancedCtes("CAST(ceil(count(*) / 8.0) AS BIGINT)")},
+       |${nnDescentCtes(8, 2, 8)}
+       |SELECT src, CAST(row_number() OVER (PARTITION BY src
+       |    ORDER BY sim DESC, dst ASC) AS INT) AS "rank", dst, sim
+       |FROM g2 ORDER BY src, "rank"""".stripMargin
+
+  /** s31's mirror: nprobe-1 probe, the probed cells' one-hop halo
+    * through the refined graph, exact re-rank over base ∪ halo. */
+  private def graphServeOracleSql: String =
+    s"""WITH ${kmeansBalancedCtes("CAST(ceil(count(*) / 8.0) AS BIGINT)")},
+       |${nnDescentCtes(8, 2, 8)},
+       |qn AS MATERIALIZED (SELECT vec_id AS query_id, q AS qq, na AS qna
+       |  FROM en WHERE vec_id < 10),
+       |prb AS MATERIALIZED (SELECT query_id, qq, qna, cid FROM (
+       |  SELECT q.query_id, q.qq, q.qna, c.cid,
+       |      CAST(list_sum(list_transform(range(1, 65),
+       |        i -> q.qq[i] * c.c[i])) AS DOUBLE)
+       |      / sqrt(CAST(q.qna AS DOUBLE) * c.nc) AS cos
+       |    FROM qn q CROSS JOIN cn c
+       |  QUALIFY row_number() OVER (PARTITION BY q.query_id
+       |    ORDER BY cos DESC, c.cid ASC) <= 1)),
+       |bsim AS (SELECT p.query_id, e.vec_id,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      i -> p.qq[i] * e.q[i])) AS DOUBLE)
+       |    / sqrt(CAST(p.qna AS DOUBLE) * e.na) AS sim
+       |  FROM prb p JOIN accall a ON p.cid = a.cid
+       |    JOIN en e ON a.vec_id = e.vec_id
+       |  WHERE e.vec_id <> p.query_id),
+       |ex AS (SELECT DISTINCT p.query_id, g.dst AS vec_id
+       |  FROM prb p JOIN accall a ON p.cid = a.cid
+       |    JOIN g2 g ON g.src = a.vec_id
+       |  WHERE g.dst <> p.query_id),
+       |cand AS (SELECT query_id, vec_id FROM bsim
+       |  UNION SELECT query_id, vec_id FROM ex),
+       |csim AS (SELECT c.query_id, c.vec_id,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      i -> q.qq[i] * e.q[i])) AS DOUBLE)
+       |    / sqrt(CAST(q.qna AS DOUBLE) * e.na) AS sim
+       |  FROM cand c JOIN qn q ON q.query_id = c.query_id
+       |    JOIN en e ON e.vec_id = c.vec_id)
+       |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sim DESC, vec_id ASC) AS INT) AS "rank",
+       |  vec_id AS neighbor_id, sim
+       |FROM csim QUALIFY "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
 
   /** c3's mirror: the s15/s16 balanced-assignment chain + nprobe-2
     * probe (the vector leg the shared index serves), the x25 lexical

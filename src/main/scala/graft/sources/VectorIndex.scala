@@ -270,6 +270,182 @@ object VectorIndex {
       .select(col("src"), col("rank"), col("dst"), col("sim"))
   }
 
+  /** NN-DESCENT k-NN graph over the indexed corpus — the
+    * neighbor-of-a-neighbor-is-probably-a-neighbor refinement (Dong
+    * et al. '11) that production graph-ANN builds (HNSW-family) rest
+    * on, re-expressed as relational rounds with the determinism
+    * discipline:
+    *
+    *  - SEED: classic NN-descent initializes RANDOMLY; here the seed
+    *    is top-k per node over pairs sharing a CELL (the geometric
+    *    arm — [[knnGraph]]'s candidates) UNION pairs sharing an
+    *    id-hash bucket (`vec_id % idBuckets` — ids are uncorrelated
+    *    with geometry, so this arm IS the random init, made
+    *    replayable). The hash arm is what gives the graph cross-cell
+    *    edges for refinement to improve on.
+    *  - ROUND: candidates = current edges ∪ two-hop compositions
+    *    (one self-equi-join of the graph on dst = src — never a
+    *    corpus self-join), each candidate scored EXACTLY (integer
+    *    cosine over the cell codes), top-k per source kept (ties to
+    *    the lowest dst). Per-round work is O(n·k²) candidate rows —
+    *    bounded structurally, like d16's capacity argument.
+    *  - state is layout-keeping-checkpointed per round (the Graph.ckpt
+    *    discipline), so lineage stays O(1).
+    *
+    * Every round is deterministic, so a SQL oracle unrolls the exact
+    * chain. Returns (src, rank, dst, sim) like [[knnGraph]]. */
+  def nnDescentGraph(spark: SparkSession, path: String, k: Int,
+      rounds: Int, idBuckets: Int = 8): DataFrame = {
+    require(k >= 1 && rounds >= 0 && idBuckets >= 1)
+    val v = readCells(spark, path).select(col("vec_id"), col("__cq"),
+      col("__cna"), col("cluster"),
+      pmod(col("vec_id"), lit(idBuckets.toLong)).as("__ib"))
+    val a = v.select(col("vec_id").as("src"), col("__cq").as("__qa"),
+      col("__cna").as("__na"))
+    val b = v.select(col("vec_id").as("dst"), col("__cq").as("__qb"),
+      col("__cna").as("__nb"))
+    val w = Window.partitionBy("src")
+      .orderBy(col("sim").desc, col("dst").asc)
+    def scoreRank(cand: DataFrame): DataFrame =
+      cand.join(a, "src").join(b, "dst")
+        .withColumn("sim", dotl(col("__qa"), col("__qb")).cast("double") /
+          sqrt(col("__na").cast("double") * col("__nb")))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .select(col("src"), col("rank"), col("dst"), col("sim"))
+    def withinPairs(groupCol: String): DataFrame =
+      v.select(col(groupCol).as("__g"), col("vec_id").as("src"))
+        .join(v.select(col(groupCol).as("__g"), col("vec_id").as("dst")),
+          Seq("__g"))
+        .where(col("src") =!= col("dst"))
+        .select("src", "dst")
+    var g = org.apache.spark.sql.graftshim.SparkShims
+      .localCheckpointKeepingLayout(scoreRank(
+        withinPairs("cluster").unionByName(withinPairs("__ib")).distinct()))
+    for (_ <- 1 to rounds) {
+      val hop = g.select(col("src"), col("dst").as("__mid"))
+        .join(g.select(col("src").as("__mid"), col("dst")), "__mid")
+        .where(col("src") =!= col("dst"))
+        .select("src", "dst")
+      g = org.apache.spark.sql.graftshim.SparkShims
+        .localCheckpointKeepingLayout(scoreRank(
+          g.select("src", "dst").unionByName(hop).distinct()))
+    }
+    g
+  }
+
+  /** Materialize the [[nnDescentGraph]] as a serving LAYOUT of the
+    * index: rows partitioned by the SOURCE'S CELL (so a probe's halo
+    * read opens only the probed cells' partition dirs — the same
+    * pruning discipline the cell files themselves use) and carrying
+    * the destination's cell id, so the expansion's exact re-rank can
+    * prune its cell read to the clusters that actually hold
+    * candidates. */
+  def buildKnnGraph(spark: SparkSession, path: String, k: Int,
+      rounds: Int, idBuckets: Int = 8): Unit = {
+    val cells = readCells(spark, path)
+    val sc = cells.select(col("vec_id").as("src"),
+      col("cluster").as("src_cluster"))
+    val dc = cells.select(col("vec_id").as("dst"),
+      col("cluster").as("dst_cluster"))
+    nnDescentGraph(spark, path, k, rounds, idBuckets)
+      .join(sc, "src").join(dc, "dst")
+      .repartition(col("src_cluster"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("src_cluster")
+      .parquet(s"${root(spark, path)}/knng")
+  }
+
+  /** Read the materialized [[buildKnnGraph]] layout back as the
+    * (src, rank, dst, sim) relation [[nnDescentGraph]] produced —
+    * the serving-side columns (bucket, dst_cluster) dropped. */
+  def readKnnGraph(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"${root(spark, path)}/knng")
+      .select(col("src"), col("rank"), col("dst"), col("sim"))
+
+  /** GRAPH-ASSISTED serving — IVF probe, then the probed cells' HALO
+    * through the materialized [[buildKnnGraph]] layout: every graph
+    * edge LEAVING a probed cell contributes its destination as a
+    * candidate, and the EXACT integer re-rank runs over base ∪ halo
+    * (same cosine and tie-breaks as [[topK]]). This is how a
+    * low-nprobe serving path buys back the recall the probe budget
+    * gave up: a query's true neighbor in an unprobed cell is
+    * reachable whenever ANY probed-cell member links to it — the
+    * cell-boundary nodes carry those edges even when the query's own
+    * top-k neighbors are all cell-mates (which is why expanding only
+    * from the top-k seeds fails: their neighbors ARE the cell).
+    * Halo work is bounded structurally: ≤ capacity·k candidate rows
+    * per probed cell (the d16 argument). The graph read
+    * partition-prunes to the probed cells' dirs; the halo's cell
+    * read prunes to the distinct destination cells (one
+    * clusters-bounded driver action — the f18 discipline). The
+    * candidate set is a SUPERSET of the probed rows re-ranked
+    * exactly, so per-query recall can only improve on [[topK]] at
+    * the same nprobe, and at a full probe the result is bit-identical
+    * to it. Deleted vectors drop out because the re-rank reads live
+    * cells (tombstone anti-join). */
+  def topKExpand(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, nprobe: Int, queryId: String = "query_id",
+      queryVec: String = "query_vec"): DataFrame = {
+    val st = baseStats(spark, path)
+    require(nprobe >= 1 && nprobe <= st.clusters)
+    val gdir = s"${root(spark, path)}/knng"
+    require(new Path(gdir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration).exists(new Path(gdir)),
+      s"no materialized knn graph under $path — buildKnnGraph first")
+    val cents = readCentroids(spark, path)
+    val probes = probesOf(queries, cents, st.scale, nprobe, queryId,
+      queryVec)
+    val probed = probes.select("cluster").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val cells = readCells(spark, path)
+    val qv = probes.select(col(queryId), col("__qq"), col("__qna"))
+      .distinct()
+    def scored(cand: DataFrame): DataFrame =
+      cand.join(broadcast(qv), Seq(queryId))
+        .withColumn("sim", dotl(col("__qq"), col("__cq")).cast("double") /
+          sqrt(col("__qna").cast("double") * col("__cna")))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val baseScored = scored(
+      broadcast(probes.select(col(queryId), col("cluster")))
+        .join(cells, Seq("cluster"))
+        .where(col(queryId) =!= col("vec_id"))
+        .select(col(queryId), col("vec_id"), col("__cq"), col("__cna")))
+    // halo: edges leaving the probed cells (partition-pruned graph
+    // read), fanned out to every query that probed the source cell;
+    // a destination landing in a cell THAT QUERY already probed is
+    // anti-joined away (it is in the query's own base candidates) —
+    // per query, not batch-global: another query's probed cell is
+    // still an expansion for this one
+    val halo = spark.read.parquet(gdir)
+      .where(col("src_cluster").isin(probed: _*))
+      .join(broadcast(probes.select(col(queryId),
+        col("cluster").as("src_cluster"))), Seq("src_cluster"))
+      .where(col("dst") =!= col(queryId))
+      .select(col(queryId), col("dst"), col("dst_cluster"))
+      .join(broadcast(probes.select(col(queryId),
+        col("cluster").as("dst_cluster"))), Seq(queryId, "dst_cluster"),
+        "left_anti")
+    val expClusters = halo.select("dst_cluster").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val expScored =
+      if (expClusters.isEmpty) baseScored.limit(0)
+      else scored(halo
+        .select(col(queryId), col("dst")).distinct()
+        .join(cells.where(col("cluster").isin(expClusters: _*))
+            .select(col("vec_id"), col("__cq"), col("__cna")),
+          col("dst") === col("vec_id"))
+        .select(col(queryId), col("vec_id"), col("__cq"), col("__cna")))
+    baseScored.select(col(queryId), col("vec_id"), col("sim"))
+      .unionByName(expScored.select(col(queryId), col("vec_id"), col("sim")))
+      .dropDuplicates(queryId, "vec_id")
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(queryId), col("rank"), col("vec_id").as("neighbor_id"),
+        col("sim"))
+  }
+
   /** ADC serving from the COMPACT codes — IVF-PQ over the
     * materialized layout. Stage 1 scans ONLY (vec_id, codes) of the
     * probed cells (columnar projection: the wide `q` pages are never

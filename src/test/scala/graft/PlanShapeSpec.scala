@@ -1057,6 +1057,80 @@ class PlanShapeSpec extends AnyFunSuite {
       "append must carry bq bits (full probe equality)")
   }
 
+  test("nn-descent: refinement crosses cells; graph serving buys recall, lossless at full probe") {
+    import graft.sources.VectorIndex
+    val tmp = java.nio.file.Files.createTempDirectory("graft-nnd").toString
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val cap = math.ceil(emb.count() / 8.0).toLong
+    VectorIndex.build(emb, "vec_id", "embedding", tmp,
+      clusters = 8, iterations = 2, capacity = cap, maxRounds = 6)
+    VectorIndex.buildKnnGraph(spark, tmp, k = 8, rounds = 2,
+      idBuckets = 8)
+    // 1. the refined graph holds CROSS-CELL edges — pairs no
+    // within-cell candidate generation can produce (the whole point
+    // of the id-hash seed arm + two-hop refinement)
+    val cellOf = spark.read.parquet(s"$tmp/cells")
+      .select(col("vec_id"), col("cluster").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val refined = VectorIndex.readKnnGraph(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val crossCell = refined.count { case (s, d) => cellOf(s) != cellOf(d) }
+    assert(crossCell > 0,
+      s"refined graph has no cross-cell edges (${refined.length} edges)")
+    // 2. serving: expansion recall vs the nprobe-1 base, judged
+    // against the exact full-probe ranking; supersets re-ranked
+    // exactly can only add true hits, never lose one
+    val q = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    def hitSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = hitSet(VectorIndex.topK(spark, tmp, q, k = 5, nprobe = 8,
+      candidates = 4096))
+    val base = hitSet(VectorIndex.topK(spark, tmp, q, k = 5, nprobe = 1,
+      candidates = 4096))
+    val served = hitSet(VectorIndex.topKExpand(spark, tmp, q, k = 5,
+      nprobe = 1))
+    val baseHits = (base intersect exact).size
+    val servedHits = (served intersect exact).size
+    assert(servedHits >= baseHits,
+      s"expansion lost recall: $servedHits < $baseHits")
+    assert(servedHits > baseHits,
+      s"expansion bought nothing on 50 queries ($baseHits hits both ways)" +
+        " — graph edges never reached an unprobed true neighbor")
+    // per-query monotonicity: a superset re-ranked exactly cannot
+    // displace a true top-5 member except by another true member
+    val baseBy = base.groupBy(_._1); val servedBy = served.groupBy(_._1)
+    exact.groupBy(_._1).foreach { case (qid, ex) =>
+      val b = baseBy.getOrElse(qid, Set.empty[(Long, Long)]) & ex
+      val sv = servedBy.getOrElse(qid, Set.empty[(Long, Long)]) & ex
+      assert(sv.size >= b.size, s"query $qid lost recall: $sv vs $b")
+    }
+    // 3. lossless regime: at a full probe the base candidates already
+    // contain the global top-k, so serving == topK bit for bit
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e12))).toSet
+    assert(rows(VectorIndex.topKExpand(spark, tmp, q, k = 5, nprobe = 8)) ==
+      rows(VectorIndex.topK(spark, tmp, q, k = 5, nprobe = 8,
+        candidates = 4096)),
+      "full-probe graph serving must equal exact topK")
+    // 4. the halo's graph read partition-prunes to the probed cells'
+    // dirs (the layout's point): one probed cell → a 1-element IN
+    // partition filter on src_cluster
+    val oneQ = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val one = VectorIndex.topKExpand(spark, tmp, oneQ, k = 3, nprobe = 1)
+    assert(one.collect().length == 3)
+    val p = plan(one).toString
+    // a 1-element isin renders as equality; a wider probe as IN (…)
+    val m = ("PartitionFilters: \\[[^\\]]*?src_cluster[^\\]]*?" +
+      "(?:= ([0-9]+)|IN \\(([0-9, ]+)\\))").r.findFirstMatchIn(p)
+    assert(m.isDefined, s"no src_cluster partition filter in:\n$p")
+    val vals = Option(m.get.group(1)).getOrElse(m.get.group(2))
+    assert(vals.split(",").length == 1,
+      s"graph read did not prune to the one probed cell: $vals")
+  }
+
   test("knn graph: == within-cell brute force, no broadcast of the corpus side") {
     import graft.sources.VectorIndex
     val tmp = java.nio.file.Files.createTempDirectory("graft-knng").toString
