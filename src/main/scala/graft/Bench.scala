@@ -213,10 +213,31 @@ object Bench {
       else s
     val shortSf = sfDir.split("/").filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     val s1: Double => String = s => strip(f"$s%.1f")
+    // when even the shortest full rendering overflows, keep the
+    // SLOWEST queries' entries (the ones a reader compares) and sum
+    // the fast tail into fast_n/fast_total — never drop the whole
+    // map (a 121-char line loses every per-query median; full data
+    // always lives in BENCH_DETAIL.json)
+    def lineTop(top: Int): String = {
+      val bySlow = results.sortBy(t => (-t._2, t._1))
+      val keep = bySlow.take(top).sortBy(_._1)
+      val rest = bySlow.drop(top)
+      val qs = keep.map(t =>
+          "\"" + shortName(t._1) + "\":" +
+            (if (t._2 < 0) "-1" else strip(f"${t._2}%.1f")))
+        .mkString("{", ",", "}")
+      val fastTotal = rest.map(_._2).filter(_ >= 0).sum
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec"""" +
+        f""","canary":$canaryRatio%.2f,"canary_min":$cmin%.3f""" +
+        s""","noisy":$noisy,"queries":$qs""" +
+        s""","fast_n":${rest.size},"fast_total":${strip(f"$fastTotal%.1f")}""" +
+        s""","sf":"$shortSf"}"""
+    }
     val out = (Seq[Double => String](
         s => f"$s%.3f", s => strip(f"$s%.3f"), s => strip(f"$s%.2f"), s1)
         .map(line(_, sfDir, identity)) ++
-        Seq(line(s1, shortSf, identity), line(s1, shortSf, shortName)))
+        Seq(line(s1, shortSf, identity), line(s1, shortSf, shortName)) ++
+        Seq(150, 120, 90, 60, 30).map(lineTop))
       .find(_.length <= 1950).getOrElse(
         s"""{"metric":"total","value":${sec(total)},"unit":"sec"""" +
           f""","canary":$canaryRatio%.2f,"canary_min":$cmin%.3f""" +

@@ -1086,6 +1086,36 @@ object SparkEntry {
         |  (o_orderpriority, o_orderstatus), ())
         |ORDER BY gid, o_orderpriority, o_orderstatus""".stripMargin)
     }),
+    // LATERAL correlated top-n (r9, late): the per-row dependent
+    // subquery join — "top 2 accounts per nation" without a window
+    // over the whole table; Spark plans the correlation as a
+    // LateralJoin, DuckDB runs the same text verbatim
+    "q36_lateral_topn" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT n.n_name, t.c_name, t.bal
+        |FROM nation n,
+        |  LATERAL (SELECT c_name, CAST(c_acctbal AS DOUBLE) AS bal
+        |    FROM customer WHERE c_nationkey = n.n_nationkey
+        |    ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        |ORDER BY n.n_name, t.bal DESC, t.c_name""".stripMargin)
+    }),
+    // UNPIVOT (r9, late): wide-to-long reshaping in the SQL surface —
+    // per-flag quantity/price measures melted to (measure, value)
+    // rows; both engines share the UNPIVOT clause
+    "q37_unpivot" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT l_returnflag, measure, CAST(value AS DOUBLE)
+        |    AS value
+        |FROM (SELECT l_returnflag,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS total_qty,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS total_price,
+        |    CAST(count(*) AS DOUBLE) AS n_items
+        |  FROM lineitem GROUP BY l_returnflag)
+        |UNPIVOT (value FOR measure IN (total_qty, total_price, n_items))
+        |ORDER BY l_returnflag, measure""".stripMargin)
+    }),
     "q33_recursive_cte" -> ((s, dir) => recursiveReach(s, dir, depth = 2)),
     "q24_correlated_subquery" -> ((s, dir) => {
       Tables.registerAll(s, dir)
@@ -2062,6 +2092,14 @@ object SparkEntry {
     // tombstone a deterministic doc set, then serve dupStats; the
     // oracle is d17's chain over documents MINUS the deleted ids —
     // delete == rebuild, the x28 pattern at the span level
+    // TYPO-TOLERANT pair matching (r9, late): edit-distance ≤ 1 by
+    // symmetric-delete blocking — ONE equi-join on deletion-variant
+    // keys generates candidates (Σ bucket², never n²), exact
+    // levenshtein verifies; the ORACLE is the brute-force n² join, so
+    // the blocking provably loses nothing
+    "d20_typo_pairs" -> ((s, dir) =>
+      Dedup.typoPairs(T(s, dir, "customer"), "c_custkey", "c_name")
+        .orderBy("name_a", "name_b")),
     "d19_gram_delete" -> ((s, dir) => {
       val tmp = layoutDir("d19", dir)
       val docs = T(s, dir, "documents")
@@ -3134,6 +3172,26 @@ object SparkEntry {
     // q33: the EXACT SAME SQL text the engine ran — one recursive CTE,
     // two engines
     "q33_recursive_cte" -> recursiveReachSql,
+    // q36/q37: the engine runs the same text through spark.sql —
+    // the oracle IS the statement
+    "q36_lateral_topn" ->
+      """SELECT n.n_name, t.c_name, t.bal
+        |FROM nation n,
+        |  LATERAL (SELECT c_name, CAST(c_acctbal AS DOUBLE) AS bal
+        |    FROM customer WHERE c_nationkey = n.n_nationkey
+        |    ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        |ORDER BY n.n_name, t.bal DESC, t.c_name""".stripMargin,
+    "q37_unpivot" ->
+      """SELECT l_returnflag, measure, CAST(value AS DOUBLE) AS value
+        |FROM (SELECT l_returnflag,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS total_qty,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS total_price,
+        |    CAST(count(*) AS DOUBLE) AS n_items
+        |  FROM lineitem GROUP BY l_returnflag)
+        |UNPIVOT (value FOR measure IN (total_qty, total_price, n_items))
+        |ORDER BY l_returnflag, measure""".stripMargin,
     "q24_correlated_subquery" ->
       """SELECT o_custkey, o_orderkey, o_totalprice
         |FROM orders o
@@ -3572,6 +3630,15 @@ object SparkEntry {
     // oracle is d13's CTE chain verbatim
     // d19: d17's chain with the tombstoned docs removed at the source
     // — the engine's tombstone anti-join must equal this rebuild
+    // d20: brute force IS the spec — the engine's blocked join must
+    // equal the n² levenshtein join exactly
+    "d20_typo_pairs" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  a.c_name AS name_a, b.c_name AS name_b
+        |FROM customer a JOIN customer b
+        |  ON a.c_name < b.c_name
+        |  AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY name_a, name_b""".stripMargin,
     "d19_gram_delete" ->
       """WITH spt AS (SELECT doc_id, list_filter(
         |    string_split_regex(trim(lower(text)), '\s+'),

@@ -677,4 +677,41 @@ object Dedup {
         array_join(filter(col("sp"),
           (x, i) => !array_contains(col("dp"), i)), " ").as("clean_text"))
   }
+
+  /** TYPO-TOLERANT entity pair matching — edit-distance ≤ 1 pairs by
+    * SYMMETRIC-DELETE blocking (the SymSpell argument): index every
+    * string under itself plus each of its single-character deletions;
+    * two strings within one edit ALWAYS share a key (substitution →
+    * delete the differing position from both; insertion/deletion →
+    * the shorter IS a deletion variant of the longer; equality →
+    * identity), so the candidate generation is ONE equi-join on the
+    * variant key — Σ bucket² work, never the n² cross join the naive
+    * levenshtein join needs — and the exact `levenshtein` check runs
+    * on candidates only (the PPJoin discipline: block, then verify).
+    * At 100 TB the variant explode is a flatMap-shaped projection
+    * (len+1 rows per entity) and the join shuffles on short string
+    * keys; no driver-side state.
+    *
+    * Pairs are emitted once with `name_a < name_b` (equal names are
+    * exact-duplicate territory — [[exact]] — not typos, and are
+    * deliberately excluded). Returns (id_a, id_b, name_a, name_b). */
+  def typoPairs(df: DataFrame, idCol: String, nameCol: String): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("__id"),
+      col(nameCol).as("__nm"))
+    val variants = base.select(col("__id"), col("__nm"),
+      explode(array_union(array(col("__nm")),
+        transform(sequence(lit(1), length(col("__nm"))),
+          i => concat(col("__nm").substr(lit(1), i - 1),
+            col("__nm").substr(i + 1,
+              length(col("__nm")) - i))))).as("__key"))
+    val a = variants.select(col("__key"), col("__id").as("id_a"),
+      col("__nm").as("name_a"))
+    val b = variants.select(col("__key"), col("__id").as("id_b"),
+      col("__nm").as("name_b"))
+    a.join(b, Seq("__key"))
+      .where(col("name_a") < col("name_b"))
+      .select("id_a", "id_b", "name_a", "name_b")
+      .distinct()
+      .where(levenshtein(col("name_a"), col("name_b")) <= 1)
+  }
 }

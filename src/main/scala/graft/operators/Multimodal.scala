@@ -674,17 +674,25 @@ object Multimodal {
   def dhash(media: DataFrame, idCol: String = "doc_id",
       mediaCol: String = "media", wCol: String = "width",
       hCol: String = "height"): DataFrame = {
-    val w = col(wCol).cast("int")
-    val h = col(hCol).cast("int")
-    val hx = hex(col(mediaCol))
+    // the payload's hex rides as its OWN staged column (the m1
+    // discipline): a sample read is one substr on an attribute.
+    // Embedding hex(media) inside the 72-sample lambda re-hexed the
+    // whole payload PER SAMPLE (interpreted lambdas share no
+    // subexpressions) — the r9 bench caught m6 spending 370 s here
+    val pre = media
+      .where(col(wCol).cast("int") >= 9 && col(hCol).cast("int") >= 8)
+      .select(col(idCol), col(wCol).cast("int").as("__g_w"),
+        col(hCol).cast("int").as("__g_h"),
+        hex(col(mediaCol)).as("__g_hx"))
+    val w = col("__g_w")
+    val h = col("__g_h")
     def b(i0: Column): Column = // 0-based byte of the bitmap
-      conv(hx.substr(i0 * 2 + 1, lit(2)), 16, 10).cast("long")
+      conv(col("__g_hx").substr(i0 * 2 + 1, lit(2)), 16, 10).cast("long")
     // 9 cols × 8 rows of samples, row-major: sample k = (y=k/9, x=k%9)
     val px = transform(sequence(lit(0), lit(71)), k =>
       b(((k / 9).cast("int") * h / 8).cast("int") * w +
         ((k % 9).cast("int") * w / 9).cast("int")))
-    val sampled = media.where(w >= 9 && h >= 8)
-      .select(col(idCol), px.as("__g_px"))
+    val sampled = pre.select(col(idCol), px.as("__g_px"))
     // bit i (y=i/8, x=i%8) compares samples y*9+x and y*9+x+1
     def bit(i: Column): Column = {
       val base = (i / 8).cast("int") * 9 + (i % 8).cast("int")
@@ -719,7 +727,19 @@ object Multimodal {
       hCol: String = "height"): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4x16-bit banding only guarantees Hamming <= 3 (got $maxHamming)")
-    val hashes = dhash(media, idCol, mediaCol, wCol, hCol)
+    // MATERIALIZE the signatures before the banding self-join: the
+    // join consumes the dhash relation on four subtree copies (a/b
+    // sides + both budget aggregates), and without a boundary each
+    // copy re-evaluates the 72-sample interpreted expression — worse,
+    // column pruning lets CollapseProject fold the staged sample
+    // array back into the 64-bit pack folds on the pruned copies,
+    // turning O(samples) per row into O(bits × samples) payload
+    // re-reads (the r9 bench caught m6 at 370 s this way; 17 bytes ×
+    // n rows of checkpointed signatures is nothing at any scale —
+    // materializing the sketch is the same move every index build
+    // makes)
+    val hashes = org.apache.spark.sql.graftshim.SparkShims
+      .localCheckpointKeepingLayout(dhash(media, idCol, mediaCol, wCol, hCol))
     val bands = hashes.select(col(idCol).as("id"), col("hi"), col("lo"),
       posexplode(array(
         shiftright(col("hi"), 16), col("hi").bitwiseAND(lit(65535L)),

@@ -2336,6 +2336,41 @@ class OperatorsSpec extends AnyFunSuite {
       m(Graph.labelPropagation(edges, "s", "d", rounds = 10)))
   }
 
+  test("typo pairs: symmetric-delete blocking == brute-force levenshtein, all edit kinds") {
+    import spark.implicits._
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    def brute(names: Seq[(Long, String)]): Set[(String, String)] =
+      (for { x <- names; y <- names
+        if x._2 < y._2 && lev(x._2, y._2) <= 1 } yield (x._2, y._2)).toSet
+    def engine(names: Seq[(Long, String)]): Set[(String, String)] =
+      Dedup.typoPairs(names.toDF("id", "nm"), "id", "nm").collect()
+        .map(r => (r.getString(2), r.getString(3))).toSet
+    // one of each edit kind, one equal-name row (excluded by design),
+    // one two-edit decoy
+    val planted = Seq(1L -> "abc", 2L -> "abd", 3L -> "ab", 4L -> "abcd",
+      5L -> "abc", 6L -> "ade", 7L -> "xyz")
+    val got = engine(planted)
+    assert(got == brute(planted), s"planted: $got vs ${brute(planted)}")
+    assert(got.contains(("abc", "abd")) && got.contains(("ab", "abc")) &&
+      got.contains(("abc", "abcd")) && !got.exists(p => p._1 == p._2) &&
+      !got.contains(("abc", "ade")), s"edit-kind coverage: $got")
+    // fuzz: a small alphabet forces dense collisions; blocking must
+    // lose nothing and admit nothing vs the n² reference
+    val rnd = new scala.util.Random(7)
+    val pool = (0 until 150).map { i =>
+      i.toLong -> Seq.fill(3 + rnd.nextInt(3))(
+        ('a' + rnd.nextInt(3)).toChar).mkString
+    }.distinctBy(_._2)
+    assert(engine(pool) == brute(pool), "fuzz mismatch vs brute force")
+  }
+
   test("modularity: exact integers on bridged cliques, trivial partition scores zero") {
     val k4a = for (i <- 0 to 3; j <- (i + 1) to 3) yield (i.toLong, j.toLong)
     val k4b = for (i <- 10 to 13; j <- (i + 1) to 13) yield (i.toLong, j.toLong)
