@@ -759,6 +759,14 @@ object SparkEntry {
       Graph.bfsDistances(graphEdges(T(s, dir, "lineitem")), "src", "dst",
           sources = Seq(0L), maxDepth = 4)
         .orderBy("node")),
+    // SAMPLED HARMONIC CENTRALITY (r9, late): Σ 1/d over a fixed
+    // 8-root sample (the Eppstein-Wang estimator — exact all-pairs is
+    // Θ(V·E)); per-root BFS state keyed by (root, node) so ONE
+    // per-round join carries all roots; exact ⌊10^6/d⌋ integers
+    "g13_harmonic" -> ((s, dir) =>
+      Graph.harmonicCentrality(graphEdges(T(s, dir, "lineitem")),
+          "src", "dst", sources = (0L to 7L), maxDepth = 4)
+        .orderBy("node")),
     // exact 64-bit fixed-point PageRank: partitioning-independent
     // integer arithmetic lets the oracle unroll all 4 rounds
     "g2_pagerank" -> ((s, dir) =>
@@ -1530,6 +1538,41 @@ object SparkEntry {
     // text index ingests that changelog via append; retrieval then
     // equals an index built fresh over the full corpus, which IS the
     // oracle (the append==rebuild contract, fed by the changelog)
+    // INCREMENTALLY MAINTAINED AGGREGATE (r9, late): the
+    // materialized-view refresh story — the stored aggregate state
+    // (exact DECIMAL sums) persists as a tiny parquet table; an
+    // ingest batch refreshes it from the manifest diff's ADDED files
+    // only. Two increments land here; the oracle is the full-table
+    // recompute, so incremental == full is the check
+    "c8_incremental_agg" -> ((s, dir) => {
+      val tmp = layoutDir("c8", dir)
+      val ev = T(s, dir, "events")
+      FileManifest.writeLayout(ev.where(col("event_id") % 3 === 0),
+        s"$tmp/t", "user_id", 8)
+      val v1 = FileManifest.buildManifest(s, s"$tmp/t", "user_id")
+      val keys = Seq("event_type")
+      FileManifest.aggPartial(s, v1, keys, "value")
+        .write.mode("overwrite").parquet(s"$tmp/agg1")
+      // batch 2: new files appended to the table, agg refreshed from
+      // the stored state + added files only
+      FileManifest.writeLayout(ev.where(col("event_id") % 3 === 1),
+        s"$tmp/b2", "user_id", 4)
+      val v2 = FileManifest.append(v1, s,
+        FileManifest.listParquet(s, s"$tmp/b2"), "user_id")
+      FileManifest.aggRefresh(s, s.read.parquet(s"$tmp/agg1"),
+          v1, v2, keys, "value")
+        .write.mode("overwrite").parquet(s"$tmp/agg2")
+      // batch 3
+      FileManifest.writeLayout(ev.where(col("event_id") % 3 === 2),
+        s"$tmp/b3", "user_id", 4)
+      val v3 = FileManifest.append(v2, s,
+        FileManifest.listParquet(s, s"$tmp/b3"), "user_id")
+      FileManifest.aggRefresh(s, s.read.parquet(s"$tmp/agg2"),
+          v2, v3, keys, "value")
+        .select(col("event_type"), col("n_rows"),
+          col("agg_sum").cast("double").as("total_value"))
+        .orderBy("event_type")
+    }),
     "c7_changelog_refresh" -> ((s, dir) => {
       val tmp = layoutDir("c7", dir)
       val docs = T(s, dir, "documents")
@@ -3070,6 +3113,11 @@ object SparkEntry {
         |  WHERE w.dist < 4)
         |SELECT node, CAST(min(dist) AS INT) AS dist FROM walk
         |GROUP BY node ORDER BY node""".stripMargin,
+    // g13: keyed recursive enumeration (UNION keeps the walk a set),
+    // min-dist collapse, the same ⌊10^6/d⌋ floor sum
+    "g13_harmonic" ->
+      operators.Graph.harmonicOracleSql(graphEdgesSql,
+        sources = (0L to 7L), maxDepth = 4),
     // g2's oracle replays all 4 fixed-point rounds; `//` (BIGINT floor
     // div) == Spark `div` on the non-negative ranks
     "g2_pagerank" ->
@@ -4003,6 +4051,13 @@ object SparkEntry {
     "x21_indexed_bm25" -> bm25OracleSql,
     // c7: changelog-fed append == full rebuild == the plain scorer
     "c7_changelog_refresh" -> bm25OracleSql,
+    // c8: incremental == full recompute — two refreshes must land on
+    // exactly the one-shot aggregate of the whole table
+    "c8_incremental_agg" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "x28_index_delete" -> bm25OracleSqlWhere(" WHERE doc_id % 9 <> 4"),
     // x20: per-query chained joins over the same positional postings —
     // slot i joins slot i-1 on (same doc, later position, inside the

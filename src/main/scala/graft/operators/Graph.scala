@@ -140,6 +140,82 @@ object Graph {
     settled.select(col("node"), col("dist").cast("int").as("dist"))
   }
 
+  /** Per-source BFS distances for a SET of root nodes — the state is
+    * keyed by (root, node), so each root's frontier expands
+    * independently in the SAME per-round join (one frontier⋈edges
+    * shuffle per round carries all roots; work is Σ_roots |frontier ⋈
+    * edges|, the sampled-centrality regime where running [[bfsDistances]]
+    * per root would pay the round scheduling floor |roots| times). */
+  def multiSourceBfs(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: Seq[Long], maxDepth: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    require(sources.nonEmpty, "multiSourceBfs needs at least one root")
+    val e0 = normalize(edges, srcCol, dstCol)
+    val e = e0.repartition(shuffleParts(e0), col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var frontier = sources.distinct.toDF("root")
+      .withColumn("node", col("root")).withColumn("dist", lit(0))
+      .transform(ckpt)
+    var settled = frontier
+    var depth = 0
+    var exhausted = false
+    while (depth < maxDepth && !exhausted) {
+      depth += 1
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(col("root"), e("dst").as("node")).distinct()
+        .join(settled.select("root", "node"), Seq("root", "node"),
+          "left_anti")
+        .withColumn("dist", lit(depth))
+        .transform(ckpt)
+      if (next.isEmpty) exhausted = true
+      else {
+        settled = settled.union(next).transform(ckpt)
+        frontier = next
+      }
+    }
+    e.unpersist()
+    settled.select(col("root"), col("node"), col("dist").cast("int").as("dist"))
+  }
+
+  /** SAMPLED HARMONIC CENTRALITY — H(v) = Σ_roots 1/d(root, v) over a
+    * FIXED deterministic root sample (the standard estimator for
+    * closeness-family centrality at scale: exact all-pairs distances
+    * are Θ(V·E), the sampled sum is |roots| BFS sweeps — Eppstein &
+    * Wang '01), in exact integers: each reached (root, v) contributes
+    * ⌊10^6 / d⌋, so the result is a deterministic function of the
+    * edge set and root sample, and the oracle replays it with the
+    * same floor divisions. Roots do not contribute to themselves
+    * (d = 0 excluded, the harmonic convention). */
+  def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: Seq[Long], maxDepth: Int): DataFrame =
+    multiSourceBfs(edges, srcCol, dstCol, sources, maxDepth)
+      .where(col("dist") > 0)
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_roots"),
+        sum(expr("1000000 div dist")).as("harmonic_scaled"))
+
+  /** DuckDB mirror of [[harmonicCentrality]]: keyed recursive
+    * enumeration (UNION dedups per level, so the walk state stays a
+    * set), min-dist collapse, then the same floor-division sum. */
+  def harmonicOracleSql(edgesSql: String, sources: Seq[Long],
+      maxDepth: Int): String = {
+    val vals = sources.map(s => s"($s)").mkString(", ")
+    s"""WITH RECURSIVE e AS ($edgesSql),
+       |srcs(s) AS (VALUES $vals),
+       |walk AS (
+       |  SELECT CAST(s AS BIGINT) AS root, CAST(s AS BIGINT) AS node,
+       |    0 AS dist FROM srcs
+       |  UNION
+       |  SELECT w.root, e.dst, w.dist + 1 FROM walk w
+       |  JOIN e ON e.src = w.node WHERE w.dist < $maxDepth),
+       |d AS (SELECT root, node, min(dist) AS dist FROM walk
+       |  GROUP BY 1, 2)
+       |SELECT node, CAST(count(*) AS BIGINT) AS n_roots,
+       |  CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_scaled
+       |FROM d WHERE dist > 0 GROUP BY node ORDER BY node""".stripMargin
+  }
+
   /** PageRank in EXACT 64-bit fixed-point arithmetic — micro-units of
     * rank mass (1.0 ≡ 1,000,000) with floor division, so the result is
     * a deterministic function of the edge set alone: independent of

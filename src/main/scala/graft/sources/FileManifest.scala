@@ -519,6 +519,66 @@ object FileManifest {
     df.select(cols: _*)
   }
 
+  /** The parquet files under `dir` — the ingest-batch listing an
+    * [[append]] takes (O(new files), one directory list). */
+  def listParquet(spark: SparkSession, dir: String): Seq[String] = {
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new Path(dir)).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).sorted
+  }
+
+  /** Mergeable aggregate state over a file set: per key group,
+    * (n_rows, an exact DECIMAL(18,2) running sum). Kept exact so
+    * [[aggMerge]] is associative bit-for-bit — the emit layer casts
+    * to DOUBLE once, at the end (the float-parity discipline). */
+  def aggPartial(spark: SparkSession, files: Seq[FileStats],
+      keys: Seq[String], valueCol: String): DataFrame = {
+    require(files.nonEmpty, "empty file set")
+    spark.read.parquet(files.map(_.path): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col(valueCol).cast("decimal(18,2)")).as("agg_sum"))
+  }
+
+  /** Merge two aggregate states: full-outer on the keys, counts and
+    * exact sums added (missing side contributes zero). */
+  def aggMerge(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame =
+    a.join(b.withColumnRenamed("n_rows", "__g_n2")
+        .withColumnRenamed("agg_sum", "__g_s2"), keys, "full_outer")
+      .select(keys.map(col) ++ Seq(
+        (coalesce(col("n_rows"), lit(0L)) +
+          coalesce(col("__g_n2"), lit(0L))).as("n_rows"),
+        (coalesce(col("agg_sum"), lit(0).cast("decimal(18,2)")) +
+          coalesce(col("__g_s2"), lit(0).cast("decimal(18,2)")))
+          .cast("decimal(18,2)").as("agg_sum")): _*)
+
+  /** INCREMENTAL AGGREGATE REFRESH — materialized-view maintenance
+    * over the manifest: the stored aggregate plus a partial over ONLY
+    * the files the new snapshot ADDED (the f9 file-level diff), so a
+    * refresh after an ingest batch reads O(new files) + the
+    * key-cardinality-sized state, never the table. Append-only by
+    * contract: a snapshot that REMOVED files (compaction rewrites
+    * aside — those carry rows verbatim but change paths) cannot be
+    * folded by addition, so removed files that are not pure
+    * compaction outputs REFUSE loudly rather than double-count.
+    * At 100 TB this is the Delta/Iceberg incremental-MV story: the
+    * refresh cost tracks the churn, not the history. */
+  def aggRefresh(spark: SparkSession, prevAgg: DataFrame,
+      mOld: Seq[FileStats], mNew: Seq[FileStats], keys: Seq[String],
+      valueCol: String): DataFrame = {
+    val oldPaths = mOld.map(_.path).toSet
+    val newPaths = mNew.map(_.path).toSet
+    val removed = mOld.filterNot(f => newPaths(f.path))
+    require(removed.isEmpty,
+      s"aggRefresh is append-only: snapshot removed ${removed.size} " +
+        "file(s); recompute or apply retractions instead")
+    val added = mNew.filterNot(f => oldPaths(f.path))
+    if (added.isEmpty) prevAgg
+    else aggMerge(prevAgg, aggPartial(spark, added, keys, valueCol), keys)
+  }
+
   /** CDC between two manifest snapshots of one table: the incremental
     * changelog read. File-level diff first — a file present in both
     * snapshots carried verbatim through every copy-on-write rewrite,

@@ -2336,6 +2336,28 @@ class OperatorsSpec extends AnyFunSuite {
       m(Graph.labelPropagation(edges, "s", "d", rounds = 10)))
   }
 
+  test("harmonic centrality: keyed bfs == per-root bfs, floor-div sums exact") {
+    import spark.implicits._
+    // 0→1→2→3 chain plus a second root 4→1; depth cap binds at 3
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (4L, 1L)).toDF("s", "d")
+    val roots = Seq(0L, 4L)
+    val got = Graph.harmonicCentrality(edges, "s", "d", roots, maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == Map(
+      1L -> ((2L, 2000000L)),   // d=1 from both roots
+      2L -> ((2L, 1000000L)),   // d=2: 2 × 500000
+      3L -> ((2L, 666666L))),   // d=3: 2 × ⌊10^6/3⌋
+      s"hand-checked sums: $got")
+    // the keyed sweep == running bfsDistances once per root
+    val multi = Graph.multiSourceBfs(edges, "s", "d", roots, maxDepth = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val perRoot = roots.flatMap(r =>
+      Graph.bfsDistances(edges, "s", "d", Seq(r), maxDepth = 3)
+        .collect().map(x => (r, x.getLong(0), x.getInt(1)))).toSet
+    assert(multi == perRoot, "keyed BFS diverged from per-root BFS")
+  }
+
   test("typo pairs: symmetric-delete blocking == brute-force levenshtein, all edit kinds") {
     import spark.implicits._
     def lev(a: String, b: String): Int = {

@@ -241,6 +241,47 @@ class PlanShapeSpec extends AnyFunSuite {
       .inputFiles.length == 1)
   }
 
+  test("incremental agg refresh: added-files-only IO, exact merge, append-only refusal") {
+    import graft.sources.FileManifest
+    val tmp = java.nio.file.Files.createTempDirectory("graft-iagg").toString
+    val ev = Tables.load(spark, dir, "events")
+    FileManifest.writeLayout(ev.where(col("event_id") % 2 === 0),
+      s"$tmp/t", "user_id", 4)
+    val v1 = FileManifest.buildManifest(spark, s"$tmp/t", "user_id")
+    val keys = Seq("event_type")
+    FileManifest.aggPartial(spark, v1, keys, "value")
+      .write.parquet(s"$tmp/agg1")
+    FileManifest.writeLayout(ev.where(col("event_id") % 2 === 1),
+      s"$tmp/b2", "user_id", 2)
+    val v2 = FileManifest.append(v1, spark,
+      FileManifest.listParquet(spark, s"$tmp/b2"), "user_id")
+    val refreshed = FileManifest.aggRefresh(spark,
+      spark.read.parquet(s"$tmp/agg1"), v1, v2, keys, "value")
+    // the refresh never re-reads the base table: its lineage is the
+    // stored state plus the ADDED batch only
+    val inputs = refreshed.inputFiles.toSet
+    assert(inputs.nonEmpty &&
+      inputs.forall(p => p.contains("/agg1/") || p.contains("/b2/")),
+      s"refresh read base-table files: $inputs")
+    // incremental == one-shot, exactly (DECIMAL state)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).toPlainString)).sortBy(_._1).toSeq
+    val full = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("value").cast("decimal(18,2)")).as("agg_sum"))
+    assert(canon(refreshed) == canon(full), "incremental != full recompute")
+    // a no-churn snapshot is a no-op (the same frame back)
+    assert(canon(FileManifest.aggRefresh(spark, refreshed, v2, v2, keys,
+      "value")) == canon(refreshed))
+    // a snapshot that removed files refuses loudly
+    val err = intercept[IllegalArgumentException] {
+      FileManifest.aggRefresh(spark, refreshed, v2, v2.drop(1), keys,
+        "value")
+    }
+    assert(err.getMessage.contains("append-only"), err.getMessage)
+  }
+
   test("metadata-only aggregate scans at most the two boundary files") {
     import graft.sources.FileManifest
     val tmp = java.nio.file.Files.createTempDirectory("graft-magg").toString
