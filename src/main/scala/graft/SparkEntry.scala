@@ -1256,6 +1256,23 @@ object SparkEntry {
     // per-window top-k keys — the batch mirror of the Misra-Gries-
     // bounded streaming operator (stream == this whenever capacity
     // covers the window's distinct keys; spec'd via MemoryStream)
+    // WINDOWED STREAMING DISTINCT (r9, late): per-tumbling-window HLL
+    // — register maintenance is ONE watermarked windowed max agg (the
+    // engine merges partials through its own aggregation state;
+    // bounded 2^p ints per window where exact distinct holds every
+    // key), estimate on the serving side. This entry is the exact
+    // batch mirror (same hash/bucket/rho/fixed-point chain as a9);
+    // the streaming path is spec'd via MemoryStream == this batch path
+    "t9_stream_distinct" -> ((s, dir) => {
+      import graft.functions.Hll
+      val ev = T(s, dir, "events").withColumn("win",
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss"))
+      val est = Hll.estimate(Hll.registers(ev, "win", "user_id", p = 6),
+        "win", p = 6)
+      val truth = ev.groupBy("win")
+        .agg(countDistinct("user_id").as("true_distinct"))
+      est.join(truth, Seq("win")).orderBy("win")
+    }),
     "t8_window_topk" -> ((s, dir) =>
       graft.streaming.StreamingTopK.topKPerWindow(
           T(s, dir, "events"), "ts", "event_type", "1 hour", k = 3)
@@ -3373,6 +3390,37 @@ object SparkEntry {
         |FROM v ORDER BY user_id, valid_from_us, attr""".stripMargin,
     // t8: count per (hour, key), rank per hour, keep k — ties break
     // on key ascending exactly as the operator does
+    // t9: a9's replayable-HLL chain keyed by the tumbling window
+    "t9_stream_distinct" ->
+      """WITH ev AS (SELECT strftime(date_trunc('hour', ts),
+        |    '%Y-%m-%d %H:%M:%S') AS win, user_id FROM events),
+        |h AS (SELECT win,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM ev WHERE user_id IS NOT NULL),
+        |rho AS (SELECT win, h & 63 AS b,
+        |    CASE WHEN (h >> 6) = 0 THEN 55
+        |      ELSE 55 - length(bin(h >> 6)) END AS rho
+        |  FROM h),
+        |got AS (SELECT win, b, max(rho) AS r FROM rho GROUP BY 1, 2),
+        |regs AS (SELECT a.win, u.b, coalesce(g.r, 0) AS r
+        |  FROM (SELECT DISTINCT win FROM ev) a
+        |  CROSS JOIN unnest(generate_series(0, 63)) AS u(b)
+        |  LEFT JOIN got g ON g.win = a.win AND g.b = u.b),
+        |agg AS (SELECT win,
+        |    CAST(sum(1::BIGINT << (55 - r)) AS BIGINT) AS s_fixed,
+        |    CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS zero_regs
+        |  FROM regs GROUP BY 1),
+        |fin AS (SELECT win,
+        |    CAST(floor(0.709 * 64 * 64 /
+        |      (CAST(s_fixed AS DOUBLE) / 36028797018963968.0)) AS BIGINT)
+        |      AS est_distinct,
+        |    zero_regs FROM agg),
+        |t AS (SELECT win, CAST(count(DISTINCT user_id) AS BIGINT)
+        |    AS true_distinct
+        |  FROM ev GROUP BY 1)
+        |SELECT f.win, est_distinct, zero_regs, true_distinct
+        |FROM fin f JOIN t USING (win) ORDER BY win""".stripMargin,
     "t8_window_topk" ->
       """WITH c AS (SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
         |    '%Y-%m-%d %H:%M:%S') AS window_start,

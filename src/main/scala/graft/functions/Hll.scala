@@ -28,20 +28,26 @@ object Hll {
   /** Register table (groupCols*, b, r) with ALL m = 2^p registers
     * present per group (absent buckets at r = 0, so merges and
     * estimates need no densify step). */
+  /** The register BUCKET of a key: low p hash bits. */
+  def bucketExpr(key: Column, p: Int): Column =
+    hashExpr(key).bitwiseAND((1 << p) - 1)
+
+  /** rho = 1 + leading zeros of the (60−p)-bit hash remainder:
+    * (w+1) when the remainder is 0, else (w+1) − bit_length (bin()
+    * has no leading zeros, identically in DuckDB). */
+  def rhoExpr(key: Column, p: Int): Column = {
+    val w = 60 - p
+    val rest = shiftright(hashExpr(key), p)
+    when(rest === 0L, lit(w + 1)).otherwise(lit(w + 1) - length(bin(rest)))
+  }
+
   def registers(df: DataFrame, groupCol: String, keyCol: String,
       p: Int = 6): DataFrame = {
     require(p >= 4 && p <= 16, "hll: p in [4, 16]")
     val m = 1 << p
-    val w = 60 - p
-    val h = hashExpr(col(keyCol))
-    val rest = shiftright(h, p)
-    // rho = 1 + leading zeros of the w-bit remainder: w+1 when the
-    // remainder is 0, else (w+1) - bit_length (bin() has no leading
-    // zeros, identically in DuckDB)
-    val rho = when(rest === 0L, lit(w + 1))
-      .otherwise(lit(w + 1) - length(bin(rest)))
     val got = df.where(col(keyCol).isNotNull)
-      .select(col(groupCol), h.bitwiseAND(m - 1).as("b"), rho.as("rho"))
+      .select(col(groupCol), bucketExpr(col(keyCol), p).as("b"),
+        rhoExpr(col(keyCol), p).as("rho"))
       .groupBy(groupCol, "b").agg(max("rho").as("r"))
     val all = df.select(col(groupCol)).distinct()
       .select(col(groupCol), explode(sequence(lit(0), lit(m - 1))).as("b"))

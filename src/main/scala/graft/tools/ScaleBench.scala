@@ -231,7 +231,7 @@ object ScaleBench {
       "s29_vector_index_bq", "g12_modularity", "f18_join_file_prune",
       "s30_nn_descent", "s31_graph_serve", "q36_lateral_topn",
       "q37_unpivot", "d20_typo_pairs", "c8_incremental_agg",
-      "g13_harmonic")
+      "g13_harmonic", "t9_stream_distinct")
       // x18/x19 are NOT here for x12's reason (salting renames their
       // literal terms) — the salted cases below measure real phrase/
       // proximity retrieval.
