@@ -543,16 +543,21 @@ object FileManifest {
   }
 
   /** Merge two aggregate states: full-outer on the keys, counts and
-    * exact sums added (missing side contributes zero). */
+    * exact sums added (missing side contributes zero). The running
+    * sum stays DECIMAL(28,2) — the type Spark's sum over
+    * DECIMAL(18,2) inputs produces — so repeated merges never narrow
+    * the state (a cast back to (18,2) would overflow once the table
+    * outgrows 16 digits of sum; under ANSI that is a refresh-time
+    * crash, without it a silent null). */
   def aggMerge(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame =
     a.join(b.withColumnRenamed("n_rows", "__g_n2")
         .withColumnRenamed("agg_sum", "__g_s2"), keys, "full_outer")
       .select(keys.map(col) ++ Seq(
         (coalesce(col("n_rows"), lit(0L)) +
           coalesce(col("__g_n2"), lit(0L))).as("n_rows"),
-        (coalesce(col("agg_sum"), lit(0).cast("decimal(18,2)")) +
-          coalesce(col("__g_s2"), lit(0).cast("decimal(18,2)")))
-          .cast("decimal(18,2)").as("agg_sum")): _*)
+        (coalesce(col("agg_sum"), lit(0).cast("decimal(28,2)")) +
+          coalesce(col("__g_s2"), lit(0).cast("decimal(28,2)")))
+          .cast("decimal(28,2)").as("agg_sum")): _*)
 
   /** INCREMENTAL AGGREGATE REFRESH — materialized-view maintenance
     * over the manifest: the stored aggregate plus a partial over ONLY

@@ -1170,6 +1170,24 @@ class PlanShapeSpec extends AnyFunSuite {
     val vals = Option(m.get.group(1)).getOrElse(m.get.group(2))
     assert(vals.split(",").length == 1,
       s"graph read did not prune to the one probed cell: $vals")
+    // 5. append staleness is GRACEFUL: appended vectors enter the
+    // BASE candidates immediately (the live cell read), only the
+    // halo is stale until a graph rebuild — so a full probe is still
+    // bit-identical to exact topK over the grown corpus
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft-nnd2").toString
+    VectorIndex.build(emb.filter(col("vec_id") < 450), "vec_id",
+      "embedding", tmp2, clusters = 8, iterations = 2, capacity = cap,
+      maxRounds = 6)
+    VectorIndex.buildKnnGraph(spark, tmp2, k = 8, rounds = 1,
+      idBuckets = 8)
+    VectorIndex.append(emb.filter(col("vec_id") >= 450), "vec_id",
+      "embedding", tmp2)
+    val q5 = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    assert(rows(VectorIndex.topKExpand(spark, tmp2, q5, k = 5, nprobe = 8)) ==
+      rows(VectorIndex.topK(spark, tmp2, q5, k = 5, nprobe = 8,
+        candidates = 4096)),
+      "appended vectors must be served exactly at full probe despite a stale graph")
   }
 
   test("knn graph: == within-cell brute force, no broadcast of the corpus side") {
