@@ -437,7 +437,9 @@ object SparkEntry {
         col("p_partkey"),
         upper(col("p_brand")).as("brand_u"),
         substring(col("p_name"), 1, 10).as("name10"),
-        length(col("p_name")).as("name_len"),
+        // long, not int: DuckDB length() is BIGINT and the driver's
+        // hash is pandas-dtype-sensitive (the r10 dtype-audit rule)
+        length(col("p_name")).cast("long").as("name_len"),
         concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
         floor(col("p_retailprice")).as("price_floor"),
         when(col("p_size") < 10, "S").when(col("p_size") < 30, "M")
@@ -3972,9 +3974,10 @@ object SparkEntry {
     // a10: same exact bucketing (bit-length of cents), same integer
     // cumulative thresholds, same shifted bounds
     "a10_ddsketch" ->
-      """WITH c AS (SELECT l_returnflag,
+      """WITH c0 AS (SELECT l_returnflag,
         |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-        |      AS cents FROM lineitem WHERE l_extendedprice > 0),
+        |      AS cents FROM lineitem),
+        |c AS (SELECT * FROM c0 WHERE cents > 0),
         |b AS (SELECT l_returnflag, CAST(length(bin(cents)) AS INT)
         |    AS bucket FROM c),
         |g AS (SELECT l_returnflag, bucket, count(*) AS cnt FROM b

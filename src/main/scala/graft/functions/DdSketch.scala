@@ -35,7 +35,11 @@ object DdSketch {
       valueCol: String): DataFrame = {
     val cents = (col(valueCol).cast(DecimalType(18, 2)) * 100)
       .cast("long")
-    df.where(col(valueCol) > 0)
+    // filter on the DERIVED cents, not the raw value: a positive in
+    // (0, 0.005) rounds to 0 cents and would land in bucket 1 whose
+    // declared bounds [1, 1] exclude it — excluding sub-cent values
+    // keeps the "true quantile lies in [2^(b-1), 2^b - 1]" guarantee
+    df.where(cents > 0)
       .select(col(groupCol), length(bin(cents)).cast("int").as("bucket"))
       .groupBy(groupCol, "bucket").agg(count(lit(1)).as("cnt"))
   }

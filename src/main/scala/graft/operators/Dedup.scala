@@ -696,14 +696,26 @@ object Dedup {
     * exact-duplicate territory — [[exact]] — not typos, and are
     * deliberately excluded). Returns (id_a, id_b, name_a, name_b). */
   def typoPairs(df: DataFrame, idCol: String, nameCol: String): DataFrame = {
-    val base = df.select(col(idCol).cast("long").as("__id"),
+    // the id must survive the long cast LOUDLY: a non-numeric id would
+    // otherwise become null and emit null id_a/id_b pairs silently
+    val idL = col(idCol).cast("long")
+    val base = df.select(
+      when(col(idCol).isNotNull && idL.isNotNull, idL)
+        .otherwise(raise_error(concat(
+          lit(s"typoPairs: null or non-numeric $idCol: "),
+          coalesce(col(idCol).cast("string"), lit("NULL"))))).as("__id"),
       col(nameCol).as("__nm"))
+    // deletion variants only when the name is non-empty —
+    // sequence(1, 0) DESCENDS and would emit a spurious
+    // empty-string variant (the collocations guard discipline)
     val variants = base.select(col("__id"), col("__nm"),
       explode(array_union(array(col("__nm")),
-        transform(sequence(lit(1), length(col("__nm"))),
-          i => concat(col("__nm").substr(lit(1), i - 1),
-            col("__nm").substr(i + 1,
-              length(col("__nm")) - i))))).as("__key"))
+        when(length(col("__nm")) >= 1,
+          transform(sequence(lit(1), length(col("__nm"))),
+            i => concat(col("__nm").substr(lit(1), i - 1),
+              col("__nm").substr(i + 1,
+                length(col("__nm")) - i))))
+          .otherwise(array().cast("array<string>")))).as("__key"))
     val a = variants.select(col("__key"), col("__id").as("id_a"),
       col("__nm").as("name_a"))
     val b = variants.select(col("__key"), col("__id").as("id_b"),

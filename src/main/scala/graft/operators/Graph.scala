@@ -633,7 +633,8 @@ object Graph {
       |  WHERE la.label = lb.label GROUP BY 1),
       |dg AS (SELECT node, count(*) AS deg FROM (
       |  SELECT a AS node FROM u UNION ALL SELECT b FROM u) GROUP BY 1),
-      |dc AS (SELECT lp.label, sum(dg.deg) AS d_sum, count(*) AS n_nodes
+      |dc AS (SELECT lp.label, CAST(sum(dg.deg) AS BIGINT) AS d_sum,
+      |  count(*) AS n_nodes
       |  FROM dg JOIN lp ON lp.node = dg.node GROUP BY 1)
       |SELECT dc.label, dc.n_nodes, coalesce(ec.e_in, 0) AS e_in,
       |  dc.d_sum,

@@ -1202,6 +1202,44 @@ object FileManifest {
     fs.mkdirs(d)
     require(fs.createNewFile(new Path(d, s"bref-0-$version")),
       s"createBranch($name): marker create failed (concurrent create?)")
+    confirmSoleCreator(fs, d, s"bref-0-$version", s"createBranch($name)")
+  }
+
+  /** Create-race backstop: two concurrent creators targeting DIFFERENT
+    * versions write markers with different names, so both
+    * `createNewFile`s succeed and `resolveRef` would tie-break
+    * arbitrarily — a silent last-writer-ambiguous outcome. After the
+    * create, re-list the dir: if any marker other than our own exists,
+    * delete our own and fail LOUDLY (the documented contract). The
+    * survivor (listed first lexicographically among the racers) keeps
+    * its marker; at most one creator ever reports success with its
+    * marker retained, because a loser only deletes ITS OWN marker. */
+  private[graft] def confirmSoleCreator(
+      fs: org.apache.hadoop.fs.FileSystem,
+      d: Path, own: String, what: String): Unit = {
+    val ms = refMarkers(fs, d)
+    if (ms != Seq(own)) {
+      // winner = the marker resolveRef's tie-break selects (numeric
+      // MIN version); every other racer backs out its own marker and
+      // fails, so at most one creator reports success with a marker
+      // retained, and readers were deterministic throughout
+      def ver(m: String): Long = m match {
+        case BranchRefMarker(_, v) => v.toLong
+        case TagRefMarker(v) => v.toLong
+        case _ => Long.MaxValue
+      }
+      if (ms.minBy(m => (ver(m), m)) != own) {
+        fs.delete(new Path(d, own), false)
+        sys.error(s"$what: lost the create race (found ${ms.sorted}) — " +
+          "the ref was created concurrently with a different target")
+      }
+      // we hold the winning marker: losers delete their OWN markers
+      // (never ours); surface the anomaly for the audit log
+      else ms.filterNot(_ == own).foreach { m =>
+        System.err.println(s"[$what] concurrent create detected: $m " +
+          "(loser backs out; this creator holds the resolve winner)")
+      }
+    }
   }
 
   /** Advance branch `name` to `version`; returns the new sequence.
@@ -1232,6 +1270,7 @@ object FileManifest {
     fs.mkdirs(d)
     require(fs.createNewFile(new Path(d, s"tagref-$version")),
       s"createTag($name): marker create failed (concurrent create?)")
+    confirmSoleCreator(fs, d, s"tagref-$version", s"createTag($name)")
   }
 
   /** Resolve a branch or tag to its current version. */
@@ -1240,9 +1279,13 @@ object FileManifest {
     val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ms = refMarkers(fs, d)
     require(ms.nonEmpty, s"ref '$name' does not exist under $root")
-    ms.collect { case TagRefMarker(v) => v.toLong }.headOption.getOrElse(
+    // seq tie (the pre-backout window of a create/advance race):
+    // resolve to the MIN version at the max seq — the same marker the
+    // race protocol's winner holds — so readers are deterministic even
+    // while a loser's marker still exists
+    ms.collect { case TagRefMarker(v) => v.toLong }.minOption.getOrElse(
       ms.collect { case BranchRefMarker(s, v) => (s.toLong, v.toLong) }
-        .maxBy(_._1)._2)
+        .groupBy(_._1).maxBy(_._1)._2.map(_._2).min)
   }
 
   /** All refs: (kind, name, version), kind ∈ {branch, tag}. */

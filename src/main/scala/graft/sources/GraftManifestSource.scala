@@ -163,6 +163,25 @@ final class ManifestFileIndex(spark: SparkSession,
   private def partValue(dirName: String): String =
     dirName.split("=", 2)(1)
 
+  // partition column TYPE, inferred from the directory-encoded values
+  // by Spark's own partition-discovery ladder (int → long → string,
+  // canonical round-trip only so "007" stays a string): a numeric
+  // partition column written through the front door surfaces with its
+  // numeric type instead of silently diverging to string
+  private val partType: org.apache.spark.sql.types.DataType = {
+    val vs = pm.partitions.keysIterator.map(partValue).toSeq
+    def canonInt(s: String) = s.toIntOption.exists(_.toString == s)
+    def canonLong(s: String) = s.toLongOption.exists(_.toString == s)
+    if (vs.forall(canonInt)) org.apache.spark.sql.types.IntegerType
+    else if (vs.forall(canonLong)) org.apache.spark.sql.types.LongType
+    else StringType
+  }
+  private def partRowValue(dirName: String): Any = partType match {
+    case org.apache.spark.sql.types.IntegerType => partValue(dirName).toInt
+    case org.apache.spark.sql.types.LongType => partValue(dirName).toLong
+    case _ => UTF8String.fromString(partValue(dirName))
+  }
+
   // one listStatus per partition directory (bounded: |partitions|
   // driver calls over a side table, not a per-file RPC storm)
   private val statusByPath: Map[String, FileStatus] = {
@@ -184,7 +203,7 @@ final class ManifestFileIndex(spark: SparkSession,
       .getParent.getParent)
 
   override val partitionSchema: StructType =
-    StructType(Seq(StructField(partColName, StringType, nullable = true)))
+    StructType(Seq(StructField(partColName, partType, nullable = true)))
 
   /** Clamp [lo, hi] bounds on the clustering column from the pushed
     * data filters. Extraction is best-effort BY DESIGN: anything not
@@ -248,13 +267,13 @@ final class ManifestFileIndex(spark: SparkSession,
           partitionFilters.reduce(org.apache.spark.sql.catalyst
             .expressions.And).transform {
             case a: AttributeReference if a.name == partColName =>
-              BoundReference(0, StringType, nullable = true)
+              BoundReference(0, partType, nullable = true)
           })
         bound.eval(_)
       }
     val (lo, hi) = boundsOf(dataFilters)
     pm.partitions.toSeq.sortBy(_._1).flatMap { case (dirName, files) =>
-      val row = InternalRow(UTF8String.fromString(partValue(dirName)))
+      val row = InternalRow(partRowValue(dirName))
       if (!keep(row)) None
       else {
         val survivors = FileManifest.prune(files, lo, hi)

@@ -2391,6 +2391,24 @@ class OperatorsSpec extends AnyFunSuite {
         ('a' + rnd.nextInt(3)).toChar).mkString
     }.distinctBy(_._2)
     assert(engine(pool) == brute(pool), "fuzz mismatch vs brute force")
+    // r10 guards: an EMPTY name emits no spurious deletion variant
+    // (sequence(1, 0) descends) — "" pairs with "a" (one insertion)
+    // and with nothing else; a NULL or non-numeric id fails LOUDLY
+    // instead of emitting null id pairs
+    val withEmpty = Seq(1L -> "", 2L -> "a", 3L -> "xy")
+    assert(engine(withEmpty) == brute(withEmpty),
+      "empty-name handling must match brute force")
+    val badId = intercept[Throwable] {
+      Seq(("k1", "abc"), ("k2", "abd")).toDF("id", "nm")
+        .transform(d => Dedup.typoPairs(d, "id", "nm")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // ANSI mode trips the cast itself (CAST_INVALID_INPUT); with ANSI
+    // off, the explicit raise_error guard fires — loud either way
+    assert(msgs(badId).exists(m => m.contains("non-numeric") ||
+        m.contains("CAST_INVALID_INPUT")),
+      s"non-numeric id must raise, got: ${msgs(badId)}")
   }
 
   test("modularity: exact integers on bridged cliques, trivial partition scores zero") {

@@ -796,6 +796,28 @@ class PlanShapeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       FileManifest.loadVersion(spark, vroot, v1)
     }
+    // create-race protocol (r10): a racer's marker that survived the
+    // empty-dir check makes resolveRef DETERMINISTIC (min version at
+    // the max seq — the marker the race winner holds) while the loser
+    // backs out; confirmSoleCreator deletes ONLY the loser's marker
+    FileManifest.createBranch(spark, vroot, "race", v0)
+    val raceDir = new org.apache.hadoop.fs.Path(s"$vroot/refs/race")
+    val rfs = raceDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    rfs.createNewFile(new org.apache.hadoop.fs.Path(raceDir, s"bref-0-$v2"))
+    assert(FileManifest.resolveRef(spark, vroot, "race") == math.min(v0, v2),
+      "seq-tie resolution must pick the min version deterministically")
+    // the racer (second creator, higher version) loses: its own marker
+    // is deleted and the call fails loudly
+    val raceErr = intercept[RuntimeException] {
+      FileManifest.confirmSoleCreator(rfs, raceDir, s"bref-0-$v2",
+        "createBranch(race)")
+    }
+    assert(raceErr.getMessage.contains("lost the create race"))
+    assert(!rfs.exists(new org.apache.hadoop.fs.Path(raceDir, s"bref-0-$v2")),
+      "the losing racer must back out its own marker")
+    assert(rfs.exists(new org.apache.hadoop.fs.Path(raceDir, s"bref-0-$v0")),
+      "the winner's marker must never be touched by a loser")
+    assert(FileManifest.resolveRef(spark, vroot, "race") == v0)
     // adoptBatch: staged files MOVE into the table tree and append;
     // the read through the appended catalog sees base + batch exactly
     val batch = (1000L until 1100L)
@@ -1473,6 +1495,21 @@ class PlanShapeSpec extends AnyFunSuite {
       ev.count())
     assert(FileManifest.latestVersion(spark, root).contains(1L),
       "refused insert must not have committed a version")
+    // r10: a NUMERIC partition column surfaces with its numeric type
+    // through the front door (Spark's partition-discovery ladder over
+    // the directory-encoded values: canonical int → IntegerType), and
+    // partition-pruning predicates on it still prune at list time
+    ev.write.format("graft")
+      .option("path", s"$tmp/cat3").option("partitionBy", "user_id")
+      .option("clusterBy", "event_id").mode("overwrite").save()
+    spark.sql("DROP TABLE IF EXISTS gw_spec_num")
+    spark.sql(s"CREATE TABLE gw_spec_num USING graft " +
+      s"OPTIONS (path '$tmp/cat3')")
+    val numT = spark.table("gw_spec_num").schema("user_id").dataType
+    assert(numT == org.apache.spark.sql.types.IntegerType,
+      s"numeric partition col must infer numeric, got $numT")
+    assert(spark.sql("SELECT count(*) FROM gw_spec_num WHERE user_id = 3")
+      .head.getLong(0) == ev.where(col("user_id") === 3).count())
   }
 
   test("vector index MIPS tier: full probe == exact, frozen augmentation on append") {
