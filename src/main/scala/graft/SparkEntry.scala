@@ -1592,6 +1592,51 @@ object SparkEntry {
           col("agg_sum").cast("double").as("total_value"))
         .orderBy("event_type")
     }),
+    // CONTINUOUS WRITE-AUDIT-PUBLISH (r10): the streaming write path
+    // into the graft table, batch-replayed through the SAME
+    // per-micro-batch closure the stream drives (GovernedIngest
+    // .ingestBatch — the c6 byte-shared discipline): three ingest
+    // batches land as atomic catalog versions, the corrupted middle
+    // batch trips the increment-only audit and never reaches main,
+    // and batch 0 is REPLAYED afterwards — the exactly-once tag
+    // binding makes it a no-op, which the oracle verifies (a
+    // double-apply would double batch 0's rows)
+    "c9_wap_stream" -> ((s, dir) => {
+      import graft.streaming.GovernedIngest
+      val tmp = layoutDir("c9", dir)
+      freshDir(s, s"$tmp/cat")
+      freshDir(s, s"$tmp/t")
+      freshDir(s, s"$tmp/stage")
+      val t = GovernedIngest.Table(s"$tmp/cat", s"$tmp/t", s"$tmp/stage",
+        "event_type", "user_id",
+        Seq(Expectations.notNull("user_id"),
+          Expectations.inRange("value", 0L, 1000000L),
+          Expectations.inSet("event_type",
+            Seq("view", "click", "purchase", "signup", "error"))),
+        numFiles = 6)
+      val ev = T(s, dir, "events")
+      val purch = ev.where(col("event_type") === "purchase")
+      GovernedIngest.init(s, t, ev.where(col("event_type") =!= "purchase"))
+      val b0 = purch.where(col("user_id") < 5)
+      GovernedIngest.ingestBatch(s, t, b0, "replay", 0L)
+      val bad = purch.where(col("user_id").between(5, 9))
+        .withColumn("value", when(col("event_id") % 5 === 0,
+          lit(-999.0)).otherwise(col("value")))
+      GovernedIngest.ingestBatch(s, t, bad, "replay", 1L)
+      GovernedIngest.ingestBatch(s, t,
+        purch.where(col("user_id") >= 10), "replay", 2L)
+      // redelivery: the tag-bound batch 0 must be a committed no-op
+      GovernedIngest.ingestBatch(s, t, b0, "replay", 0L)
+      require(FileManifest.refExists(s, s"$tmp/cat", "rejected-replay-1"),
+        "the corrupted batch must be tagged rejected")
+      GovernedIngest.publishedRead(s, t)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("total_value"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum("event_id").as("sum_ids"))
+        .orderBy("event_type")
+    }),
     "c7_changelog_refresh" -> ((s, dir) => {
       val tmp = layoutDir("c7", dir)
       val docs = T(s, dir, "documents")
@@ -4762,6 +4807,20 @@ object SparkEntry {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events JOIN customer ON user_id = c_custkey
         |WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // c9: main = base + the two audited batches, the rejected slice
+    // (purchases with user_id 5-9) absent, the replayed batch 0
+    // counted ONCE — any double-apply or leaked rejected row breaks
+    // the aggregate
+    "c9_wap_stream" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_ids
+        |FROM events
+        |WHERE event_type <> 'purchase'
+        |   OR user_id < 5 OR user_id >= 10
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // c5: main = base + exactly the one audited batch = the events
     // relation; the rejected version's rows must NOT be present

@@ -1273,6 +1273,13 @@ object FileManifest {
     confirmSoleCreator(fs, d, s"tagref-$version", s"createTag($name)")
   }
 
+  /** Whether a ref of this name exists (no resolution, no throw). */
+  def refExists(spark: SparkSession, root: String, name: String): Boolean = {
+    val d = refDir(root, name)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    refMarkers(fs, d).nonEmpty
+  }
+
   /** Resolve a branch or tag to its current version. */
   def resolveRef(spark: SparkSession, root: String, name: String): Long = {
     val d = refDir(root, name)

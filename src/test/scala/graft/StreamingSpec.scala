@@ -1216,4 +1216,58 @@ class StreamingSpec extends AnyFunSuite {
         s"the next batch must see the published version: $got")
     } finally q.stop()
   }
+
+  test("continuous WAP: stream publishes audited batches, rejects bad, replay no-op") {
+    import spark.implicits._
+    import graft.sources.FileManifest
+    import graft.streaming.GovernedIngest
+    import graft.operators.Expectations
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wapstream").toString
+    val t = GovernedIngest.Table(s"$tmp/cat", s"$tmp/t", s"$tmp/stage",
+      "k", "id", Seq(Expectations.inRange("v", 0L, 100L)), numFiles = 2)
+    def served: Set[(Long, String, Long)] =
+      GovernedIngest.publishedRead(spark, t).collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[String]("k"),
+          r.getAs[Long]("v"))).toSet
+    GovernedIngest.init(spark, t,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "k", "v"))
+    val base = Set((1L, "a", 10L), (2L, "b", 20L))
+    assert(served == base)
+    val in = MemoryStream[(Long, String, Long)]
+    val ckpt = s"$tmp/ckpt"
+    val q = GovernedIngest.wapStream(in.toDF().toDF("id", "k", "v"), t, ckpt)
+    try {
+      // batch 0: clean — audited through the increment, published
+      in.addData((3L, "a", 30L), (4L, "b", 40L))
+      q.processAllAvailable()
+      val afterB0 = base + ((3L, "a", 30L)) + ((4L, "b", 40L))
+      assert(served == afterB0, "a clean batch must publish")
+      // batch 1: out-of-range value — the audit trips; the version is
+      // committed (audit-branch visible, tagged) but main NEVER moves
+      in.addData((5L, "a", 999L))
+      q.processAllAvailable()
+      assert(served == afterB0, "a rejected batch must never reach main")
+      val run = GovernedIngest.runTag(spark, ckpt)
+      assert(FileManifest.refExists(spark, t.vroot, s"rejected-$run-1"),
+        "the rejected batch must carry its audit-trail tag")
+      // batch 2: clean again — ingest continues past the rejection,
+      // adopting onto main (the rejected rows stay excluded)
+      in.addData((6L, "b", 50L))
+      q.processAllAvailable()
+      val afterB2 = afterB0 + ((6L, "b", 50L))
+      assert(served == afterB2, "ingest must continue past a rejection")
+      // REPLAY: redeliver batch 0 through the same closure with its
+      // committed (runTag, batchId) — the tag binding makes it a
+      // committed no-op (a double-apply would duplicate rows 3-4)
+      val v0 = FileManifest.resolveRef(spark, t.vroot, s"ingest-$run-0")
+      val vReplay = GovernedIngest.ingestBatch(spark, t,
+        Seq((3L, "a", 30L), (4L, "b", 40L)).toDF("id", "k", "v"), run, 0L)
+      assert(vReplay == v0, "a replayed batch must return its version")
+      assert(served == afterB2, "a replayed batch must be a no-op")
+      assert(FileManifest.resolveRef(spark, t.vroot, "main") ==
+        FileManifest.resolveRef(spark, t.vroot, s"ingest-$run-2"),
+        "main must still point at the last published batch")
+    } finally q.stop()
+  }
 }
