@@ -788,6 +788,14 @@ object SparkEntry {
     "g3_triangles" -> ((s, dir) =>
       Graph.triangleCounts(triangleEdges(T(s, dir, "lineitem")), "src", "dst")
         .orderBy("node")),
+    // DOULION sampled triangles (r10): p = 1/2 deterministic md5 edge
+    // coin, count on the sparsified graph, unbiased 1/p³ = 8× scaled
+    // estimate — the 100 TB path beside exact g3 (variance bound in
+    // the Scaladoc); the oracle replays the coin and the enumeration
+    "g14_triangle_sample" -> ((s, dir) =>
+      Graph.triangleSample(triangleEdges(T(s, dir, "lineitem")),
+          "src", "dst", num = 1, den = 2)
+        .orderBy("node")),
     // weighted shortest paths: 4 Bellman-Ford relaxation rounds from
     // node 0 — exact integer costs, oracle-unrolled per round
     "g6_sssp" -> ((s, dir) =>
@@ -3237,6 +3245,11 @@ object SparkEntry {
         |WHERE cn >= 2 AND NOT EXISTS (
         |  SELECT 1 FROM u WHERE u.a = sc.a AND u.b = sc.b)
         |ORDER BY a, b""".stripMargin,
+    // g14: same md5 coin over the canonical edge, same id-ordered
+    // enumeration on the survivors, same integral 8× scaling
+    "g14_triangle_sample" ->
+      operators.Graph.triangleSampleOracleSql(triangleEdgesSql,
+        num = 1, den = 2),
     "g11_hits" ->
       operators.Graph.hitsOracleSql(graphEdgesSql, iterations = 4),
     // g12: the g8 l-chain verbatim + the exact-integer modularity tail

@@ -945,6 +945,83 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
   }
 
+  /** DOULION-style SAMPLED triangle counting — the 100 TB path next
+    * to the exact [[triangleCounts]] (the g13 sampled-centrality
+    * precedent: the exact operator stays; the sampled variant earns
+    * its own oracle via deterministic edge selection).
+    *
+    * Tsourakakis et al.'s DOULION (KDD 2009): keep each edge of the
+    * canonical undirected simple graph independently with probability
+    * p = `num`/`den`, count triangles on the SPARSIFIED graph, scale
+    * by 1/p³. The estimator is UNBIASED (a triangle survives iff all
+    * 3 of its edges do, probability p³), and its variance has the
+    * closed form  Var[T̂] = T·(1/p³ − 1) + 2k·(1/p − 1)  for triangle
+    * count T and k = # pairs of triangles sharing an edge (such a
+    * pair survives together on its 5 distinct edges with probability
+    * p⁵, giving the scaled covariance p⁵/p⁶ − 1 = p⁻¹ − 1 —
+    * Tsourakakis et al., Theorem 1). At p = 1/2 the
+    * relative standard error is √(7/T + 6k/T²),
+    * vanishing as the graph grows (the regime the sample is FOR: at
+    * 100 TB the exact Θ(Σ deg²) wedge join pays 1/p² = 4× more work
+    * than the sampled one, while the estimate concentrates).
+    *
+    * The coin is a DETERMINISTIC md5 over the canonical edge
+    * "(a,b)" — partitioning-invariant, replayable bit-for-bit by the
+    * oracle (the a9/g13 discipline), and independent across edges in
+    * the universal-hashing sense the analysis needs. Counting on the
+    * sparsified graph reuses [[triangleCounts]]'s degree-ordered
+    * wedge closing unchanged (orientation independence again makes
+    * the id-ordered SQL enumeration the oracle).
+    *
+    * @return (node, n_tri_sampled, est_tri) — per-node sampled count
+    *         and its 1/p³-scaled estimate (exact integers: est =
+    *         sampled · den³ / num³, loud if num∤den-cubed scaling
+    *         would truncate — keep num = 1 for exactness).
+    */
+  def triangleSample(edges: DataFrame, srcCol: String, dstCol: String,
+      num: Int, den: Int): DataFrame = {
+    require(num >= 1 && den >= num, s"bad sampling ratio $num/$den")
+    require(den.toLong * den * den <= Int.MaxValue, s"den³ overflows: $den")
+    val scale = (den.toLong * den * den) / (num.toLong * num * num)
+    require(scale * num * num * num == den.toLong * den * den,
+      s"1/p³ = $den³/$num³ must be integral for the exact-integer " +
+        "estimate — use num = 1")
+    val und = normalize(edges, srcCol, dstCol)
+      .where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val coin = pmod(
+      conv(substring(md5(concat_ws(",", col("a"), col("b"))), 1, 15),
+        16, 10).cast("long"), lit(den.toLong))
+    val kept = und.where(coin < num)
+    triangleCounts(kept, "a", "b")
+      .select(col("node"), col("n_tri").as("n_tri_sampled"),
+        (col("n_tri") * scale).as("est_tri"))
+  }
+
+  /** DuckDB mirror of [[triangleSample]]: the same md5 coin over the
+    * canonical edge, then g3's id-ordered triangle enumeration on the
+    * surviving edges. */
+  def triangleSampleOracleSql(edgesSql: String, num: Int, den: Int)
+      : String = {
+    val scale = (den.toLong * den * den) / (num.toLong * num * num)
+    s"""WITH e AS ($edgesSql),
+      |u0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |  FROM e WHERE src <> dst),
+      |u AS (SELECT a, b FROM u0
+      |  WHERE ('0x' || substr(md5(a::VARCHAR || ',' || b::VARCHAR), 1, 15))
+      |    ::BIGINT % $den < $num),
+      |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM u e1 JOIN u e2 ON e2.a = e1.b
+      |  JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |c AS (SELECT x AS node FROM t UNION ALL SELECT y FROM t
+      |  UNION ALL SELECT z FROM t)
+      |SELECT node, CAST(count(*) AS BIGINT) AS n_tri_sampled,
+      |  CAST(count(*) * $scale AS BIGINT) AS est_tri
+      |FROM c GROUP BY node ORDER BY node""".stripMargin
+  }
+
   /** HITS hubs-and-authorities over the DIRECTED graph, `iterations`
     * rounds of the Kleinberg mutual recursion in exact integer fixed
     * point: auth'(v) = Σ_{u→v} hub(u) then hub'(u) = Σ_{u→v} auth'(v)

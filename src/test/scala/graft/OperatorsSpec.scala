@@ -2456,6 +2456,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Graph.triangleCounts(star, "s", "d").isEmpty)
   }
 
+  test("sampled triangles: engine == brute-force coin replay on K12, 8x scaling") {
+    // DOULION at p=1/2 over K12 (C(12,3)=220 triangles): replay the
+    // md5 edge coin in plain Scala, enumerate triangles among kept
+    // edges brute-force, and the per-node counts + the 8x-scaled
+    // estimates must agree exactly (the coin is the whole determinism
+    // story — any drift in the hash/mod breaks oracle parity too)
+    def coin(a: Long, b: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$a,$b".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 2 == 0
+    }
+    val n = 12
+    val all = for (i <- 0 until n; j <- (i + 1) until n)
+      yield (i.toLong, j.toLong)
+    val kept = all.filter { case (a, b) => coin(a, b) }.toSet
+    val tris = for {
+      x <- 0L until n.toLong; y <- (x + 1) until n; z <- (y + 1) until n
+      if kept((x, y)) && kept((x, z)) && kept((y, z))
+    } yield (x, y, z)
+    val want = tris.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(tris.nonEmpty && tris.size < 220,
+      s"sample must be non-degenerate: ${tris.size} of 220 survive")
+    val got = Graph.triangleSample(all.toDF("s", "d"), "s", "d",
+        num = 1, den = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.view.mapValues(_._1).toMap == want,
+      s"sampled counts: $got vs $want")
+    assert(got.values.forall { case (s, est) => est == 8 * s },
+      "estimate must be the exact 1/p^3 = 8x scaling")
+    // a non-integral 1/p^3 scaling refuses loudly
+    intercept[IllegalArgumentException] {
+      Graph.triangleSample(all.toDF("s", "d"), "s", "d", num = 2, den = 3)
+    }
+  }
+
   test("sentence chunks: boundaries respected, budget binds, overflow isolated") {
     val docs = Seq(
       // 3 sentences of 3/2/4 tokens, budget 5: chunk 0 = s1+s2 (5),
