@@ -2489,6 +2489,36 @@ object SparkEntry {
     // then expire with keepLast=1 — the tag PINS its snapshot (the
     // Iceberg refs contract), so the release read survives expiry
     // bit-for-bit while the unpinned middle version is reclaimed
+    // SQL-surface DML parity (r10): plain INSERT INTO through the
+    // front door — the generic file insert writes into the index's
+    // STAGING rootPath, and the post-write refresh() adopts-by-move
+    // + commits the next catalog version atomically; the read-back
+    // union must equal the source relation
+    "f19_sql_insert" -> ((s, dir) => {
+      val tmp = layoutDir("f19", dir)
+      val root = s"$tmp/cat"
+      freshDir(s, root)
+      val ev = T(s, dir, "events")
+      ev.where(col("user_id") < 7).write.format("graft")
+        .option("path", root).option("partitionBy", "event_type")
+        .option("clusterBy", "user_id").option("files", "12")
+        .mode("overwrite").save()
+      s.sql("DROP TABLE IF EXISTS f19_events")
+      s.sql(s"CREATE TABLE f19_events USING graft OPTIONS (path '$root')")
+      ev.where(col("user_id") >= 7)
+        .select(s.table("f19_events").columns.map(col).toIndexedSeq: _*)
+        .createOrReplaceTempView("f19_src")
+      s.sql("INSERT INTO f19_events SELECT * FROM f19_src")
+      require(FileManifest.latestVersion(s, root).contains(1L),
+        "the INSERT must have committed exactly one new version")
+      s.sql("""SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value,
+        |  sum(event_id) AS sum_ids
+        |FROM f19_events
+        |WHERE user_id BETWEEN 2 AND 120
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
     "f16_refs" -> ((s, dir) => {
       val tmp = layoutDir("f16", dir)
       val vroot = s"$tmp/cat"
@@ -4774,6 +4804,15 @@ object SparkEntry {
     // across a create + an append commit — the union must equal the
     // source, so the oracle reads it directly
     "f15_sql_write" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_ids
+        |FROM events
+        |WHERE user_id BETWEEN 2 AND 120
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // f19: create + SQL INSERT INTO union back to the events relation
+    "f19_sql_insert" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
         |    AS total_value,

@@ -43,12 +43,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * the next catalog version atomically; `overwrite` commits a
   * version referencing only the new files (old versions stay
   * readable — logical replacement, time travel intact), `append`
-  * merges the new files into the latest snapshot's entries. Plain
-  * `INSERT INTO` is REFUSED loudly ([[GraftParquetFileFormat]]):
-  * Spark's generic file-insert would drop parquet files into the
-  * data directory behind the manifest's back — committed catalogs
-  * would never list them, silently losing the rows on every read
-  * (probed and spec-pinned).
+  * merges the new files into the latest snapshot's entries.
+  *
+  * `INSERT INTO` (r10) routes through the SAME atomic catalog-commit
+  * path: the index's `rootPaths` points at a per-table STAGING
+  * directory under the catalog root, so Spark's generic file insert
+  * (InsertIntoHadoopFsRelationCommand) writes its files there — never
+  * into the data tree — and the `fileIndex.refresh()` call the
+  * command makes after a successful write adopts the staged files by
+  * move into a fresh immutable batch directory, footer-stats them,
+  * and commits the next catalog version atomically
+  * ([[ManifestFileIndex.refresh]]). A crash before the commit leaves
+  * only staged files the next insert's refresh adopts; rows are
+  * never visible until their version's one-marker commit.
+  * `INSERT OVERWRITE` is still REFUSED loudly — its pre-delete wipes
+  * only the staging directory (taking the append sentinel with it,
+  * which is how refresh DETECTS it); silently treating it as append
+  * would be wrong, and physically overwriting would break the
+  * versions time travel still reads. Time-traveled tables
+  * (`version`/`timestampAsOf`) refuse every insert.
   *
   * Reference context: the reference sample (StreamingJob.java:113-133)
   * sinks to raw files with no table metadata; this is the catalog
@@ -66,13 +79,17 @@ final class GraftManifestSource extends RelationProvider
       parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
     val catalogRoot = rootOf(parameters)
+    val travel = parameters.get("version").orElse(
+      parameters.get("timestampasof")).orElse(
+      parameters.get("timestampAsOf"))
     val pm = (parameters.get("version"), parameters.get("timestampasof")
         .orElse(parameters.get("timestampAsOf"))) match {
       case (Some(v), _) => FileManifest.loadVersion(spark, catalogRoot, v.toLong)
       case (None, Some(ts)) => FileManifest.loadAsOf(spark, catalogRoot, ts.toLong)
       case _ => FileManifest.loadLatest(spark, catalogRoot)
     }
-    val index = new ManifestFileIndex(spark, pm)
+    val index = new ManifestFileIndex(spark, pm,
+      catalogRoot = Some(catalogRoot), timeTraveled = travel.nonEmpty)
     val sample = pm.partitions.valuesIterator.flatten
       .nextOption().getOrElse(throw new IllegalArgumentException(
         s"empty catalog under $catalogRoot")).path
@@ -127,25 +144,13 @@ final class GraftManifestSource extends RelationProvider
   }
 }
 
-/** Parquet reads, NO generic file writes: `INSERT INTO` a graft table
-  * would plan Spark's InsertIntoHadoopFsRelationCommand, which drops
-  * files into the data directory WITHOUT a catalog commit — every
-  * committed manifest keeps listing only the files it knows, so the
-  * inserted rows silently never appear in any read. Refusing at
-  * prepareWrite turns that silent data loss into a loud error
-  * pointing at the transactional path. */
-final class GraftParquetFileFormat extends ParquetFileFormat {
-  override def prepareWrite(sparkSession: SparkSession,
-      job: org.apache.hadoop.mapreduce.Job,
-      options: Map[String, String],
-      dataSchema: StructType)
-      : org.apache.spark.sql.execution.datasources.OutputWriterFactory =
-    throw new UnsupportedOperationException(
-      "INSERT INTO a graft table would bypass the manifest (files " +
-        "written behind the catalog are invisible to every read); " +
-        "use df.write.format(\"graft\").mode(\"append\") — the " +
-        "transactional path that commits a new catalog version")
-}
+/** Parquet in both directions. The WRITE side is only ever reached by
+  * Spark's generic file insert (InsertIntoHadoopFsRelationCommand),
+  * whose output path is the index's `rootPaths` head — the STAGING
+  * directory, never the data tree — so plain parquet writing is safe
+  * here: rows stay invisible until [[ManifestFileIndex.refresh]]
+  * adopts the staged files and commits the catalog version. */
+final class GraftParquetFileFormat extends ParquetFileFormat
 
 /** The catalog-backed `FileIndex`: one entry per (partition, file)
   * from the committed manifest snapshot, pruned at list time.
@@ -153,8 +158,14 @@ final class GraftParquetFileFormat extends ParquetFileFormat {
   * cardinality a catalog is supposed to have (§[[FileManifest
   * .buildManifest]]), stat'ed once per directory at construction. */
 final class ManifestFileIndex(spark: SparkSession,
-    pm: FileManifest.PartitionedManifest) extends FileIndex {
+    pm: FileManifest.PartitionedManifest,
+    catalogRoot: Option[String] = None,
+    timeTraveled: Boolean = false) extends FileIndex {
   require(pm.partitions.nonEmpty, "empty catalog")
+
+  // the CURRENT snapshot this index serves — advanced by refresh()
+  // when an INSERT INTO's staged files are adopted and committed
+  @volatile private var pmCur: FileManifest.PartitionedManifest = pm
 
   // "<col>=<value>" — the dynamic-partition directory encoding the
   // layout writer produced and the catalog recorded verbatim
@@ -184,9 +195,10 @@ final class ManifestFileIndex(spark: SparkSession,
 
   // one listStatus per partition directory (bounded: |partitions|
   // driver calls over a side table, not a per-file RPC storm)
-  private val statusByPath: Map[String, FileStatus] = {
+  private def statFiles(m: FileManifest.PartitionedManifest)
+      : Map[String, FileStatus] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    pm.partitions.valuesIterator.flatten.map(_.path).toSeq
+    m.partitions.valuesIterator.flatten.map(_.path).toSeq
       .groupBy(p => new Path(p).getParent)
       .flatMap { case (dir, wanted) =>
         val fs = dir.getFileSystem(conf)
@@ -197,10 +209,38 @@ final class ManifestFileIndex(spark: SparkSession,
             s"catalog references missing file $p")))
       }
   }
+  @volatile private var statusByPath: Map[String, FileStatus] =
+    statFiles(pm)
 
-  override val rootPaths: Seq[Path] =
-    Seq(new Path(pm.partitions.valuesIterator.flatten.next().path)
-      .getParent.getParent)
+  // ---- INSERT INTO staging ------------------------------------------
+  //
+  // rootPaths IS the write contract: Spark's generic file insert uses
+  // it as the job output path, so pointing it at a staging directory
+  // under the CATALOG root keeps every generic write out of the data
+  // tree. refresh() — which the insert command calls after a
+  // successful write — then adopts the staged files transactionally.
+  // The sentinel file detects INSERT OVERWRITE: its static pre-delete
+  // wipes the staging dir (sentinel included) before writing, which
+  // refresh refuses loudly instead of mis-reading as an append.
+  private val stagingDir: Option[Path] =
+    catalogRoot.map(r => new Path(s"$r/_insert_staging"))
+  private val SentinelName = "_graft_append_sentinel"
+
+  private def hfs(p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  stagingDir.foreach { d =>
+    val fs = hfs(d)
+    fs.mkdirs(d)
+    fs.createNewFile(new Path(d, SentinelName)) // idempotent
+  }
+
+  override val rootPaths: Seq[Path] = stagingDir match {
+    case Some(d) => Seq(d)
+    case None =>
+      Seq(new Path(pm.partitions.valuesIterator.flatten.next().path)
+        .getParent.getParent)
+  }
 
   override val partitionSchema: StructType =
     StructType(Seq(StructField(partColName, partType, nullable = true)))
@@ -272,7 +312,7 @@ final class ManifestFileIndex(spark: SparkSession,
         bound.eval(_)
       }
     val (lo, hi) = boundsOf(dataFilters)
-    pm.partitions.toSeq.sortBy(_._1).flatMap { case (dirName, files) =>
+    pmCur.partitions.toSeq.sortBy(_._1).flatMap { case (dirName, files) =>
       val row = InternalRow(partRowValue(dirName))
       if (!keep(row)) None
       else {
@@ -286,7 +326,73 @@ final class ManifestFileIndex(spark: SparkSession,
 
   override def inputFiles: Array[String] = statusByPath.keys.toArray.sorted
 
-  override def refresh(): Unit = ()
+  /** Adopt any staged INSERT INTO files into the next catalog version
+    * — the transactional tail of Spark's generic file insert, which
+    * calls refresh() exactly once after a successful job commit. With
+    * nothing staged this is a plain no-op (the semantics every other
+    * refresh caller expects). */
+  override def refresh(): Unit = stagingDir.foreach(adoptStaged)
+
+  private def adoptStaged(d: Path): Unit = {
+    val root = catalogRoot.get
+    val fs = hfs(d)
+    if (!fs.exists(d)) { // wiped externally: re-arm, nothing staged
+      fs.mkdirs(d); fs.createNewFile(new Path(d, SentinelName))
+    } else {
+      val entries = fs.listStatus(d).toSeq
+      val stagedDirs = entries.filter(_.isDirectory)
+      val sentinel = entries.exists(_.getPath.getName == SentinelName)
+      def cleanStaging(): Unit = {
+        stagedDirs.foreach(s => fs.delete(s.getPath, true))
+        fs.createNewFile(new Path(d, SentinelName))
+      }
+      if (stagedDirs.isEmpty) {
+        if (!sentinel) fs.createNewFile(new Path(d, SentinelName))
+      } else if (timeTraveled) {
+        cleanStaging()
+        sys.error("INSERT INTO a time-traveled graft table (version/" +
+          "timestampAsOf) is not allowed — inserts append to the LATEST " +
+          "snapshot only; drop the pin and re-create the table")
+      } else if (!sentinel) {
+        // the static overwrite pre-delete took the sentinel with it:
+        // this was INSERT OVERWRITE — refusing beats silently treating
+        // it as an append, and nothing was lost (only staging was wiped)
+        cleanStaging()
+        sys.error("INSERT OVERWRITE a graft table is not supported — " +
+          "physical overwrite would break the versions time travel " +
+          "reads; use df.write.format(\"graft\").mode(\"overwrite\"), " +
+          "the logical-replacement path that commits a new version")
+      } else if (spark.conf
+          .get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+          .equalsIgnoreCase("dynamic")) {
+        // dynamic overwrite leaves no pre-delete trace, so an overwrite
+        // would be indistinguishable from an append here — refuse while
+        // the conf is set rather than guess
+        cleanStaging()
+        sys.error("graft INSERT with " +
+          "spark.sql.sources.partitionOverwriteMode=dynamic is " +
+          "ambiguous (append and overwrite stage identically); set the " +
+          "mode to static (the default) for INSERT INTO")
+      } else {
+        // adopt-by-move into a fresh immutable batch dir keyed to the
+        // version it creates (the batch-write discipline), footer-stat
+        // only the moved files, one-marker atomic commit
+        val cur = FileManifest.loadLatest(spark, root)
+        val next = FileManifest.latestVersion(spark, root).get + 1
+        val adopted = FileManifest.adoptBatch(spark, cur,
+          s"$root/data/b$next", d.toString)
+        val v = FileManifest.commitVersion(spark, adopted, root)
+        require(v == next, s"insert commit raced: expected v$next, got v$v")
+        // sweep what adopt leaves behind: drained partition dirs and
+        // the committer's _SUCCESS marker
+        stagedDirs.foreach(s => fs.delete(s.getPath, true))
+        entries.filter(e => e.isFile && e.getPath.getName != SentinelName)
+          .foreach(e => fs.delete(e.getPath, false))
+        pmCur = adopted
+        statusByPath = statFiles(adopted)
+      }
+    }
+  }
 
   override def sizeInBytes: Long = statusByPath.values.map(_.getLen).sum
 }

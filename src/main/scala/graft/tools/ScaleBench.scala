@@ -244,8 +244,12 @@ object ScaleBench {
     // the honest profile for triangle counting under densification
     // s25: exact MIPS is s1's profile (fixed queries × growing corpus
     // map work, two-stage reduction)
+    // g14 rides g3's densification (same fixed-node graph, ~f× edges
+    // ⇒ wedge work ~f²) at p³ = 1/8 of the closing work on the kept
+    // subgraph — the sampled profile should show the same curve shape
+    // as g3 at a constant fraction of the cost
     val quadOps = Seq("d5_embed_neardup", "s1_ann_bruteforce",
-      "q32_range_join", "g3_triangles", "s25_mips")
+      "q32_range_join", "g3_triangles", "g14_triangle_sample", "s25_mips")
 
     // Candidate-stage scale check for the re-ranking ANN paths: a 10x
     // query batch (100 queries vs the SparkEntry entries' 10) over the

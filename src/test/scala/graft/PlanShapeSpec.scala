@@ -1430,7 +1430,7 @@ class PlanShapeSpec extends AnyFunSuite {
       ev.count(), "version-pinned read must see the committed snapshot")
   }
 
-  test("graft SQL table writes: create/append commit versions, time travel, INSERT refused") {
+  test("graft SQL table writes: create/append/INSERT INTO commit versions, time travel, OVERWRITE refused") {
     import graft.sources.FileManifest
     val tmp = java.nio.file.Files.createTempDirectory("graft-sqlwr").toString
     val root = s"$tmp/cat"
@@ -1481,20 +1481,46 @@ class PlanShapeSpec extends AnyFunSuite {
       "AS SELECT * FROM gw_spec WHERE user_id < 5")
     assert(spark.sql("SELECT count(*) FROM gw_spec_ctas").head.getLong(0) ==
       ev.where(col("user_id") < 5).count())
-    // INSERT INTO would write files behind the manifest (silently
-    // invisible rows — probed: count stayed flat) — it must REFUSE
-    val ex = intercept[Throwable] {
-      spark.sql("INSERT INTO gw_spec SELECT * FROM gw_spec LIMIT 1")
-    }
+    // INSERT INTO (r10): staged write + adopt-by-move + atomic
+    // catalog commit — the rows land as a NEW version and the same
+    // table reads them immediately (the cached index refreshes)
     def messages(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(ex).exists(_.contains("bypass the manifest")),
-      s"INSERT must refuse loudly, got: ${messages(ex)}")
-    // and the refused insert left the table intact
+    val before = ev.count()
+    spark.sql("INSERT INTO gw_spec SELECT * FROM gw_spec " +
+      "WHERE event_id = 7")
+    val insertedN = ev.where(col("event_id") === 7).count()
+    assert(insertedN > 0, "probe row must exist")
     assert(spark.sql("SELECT count(*) FROM gw_spec").head.getLong(0) ==
-      ev.count())
-    assert(FileManifest.latestVersion(spark, root).contains(1L),
-      "refused insert must not have committed a version")
+      before + insertedN, "INSERT INTO must land and be readable")
+    assert(FileManifest.latestVersion(spark, root).contains(2L),
+      "INSERT must have committed exactly one new version")
+    // the pre-insert snapshot is still time-travelable
+    spark.sql("DROP TABLE IF EXISTS gw_spec_v1")
+    spark.sql(s"CREATE TABLE gw_spec_v1 USING graft " +
+      s"OPTIONS (path '$root', version '1')")
+    assert(spark.sql("SELECT count(*) FROM gw_spec_v1").head.getLong(0) ==
+      before, "the pre-insert version must read unchanged")
+    // INSERT OVERWRITE is detected (the sentinel vanishes with the
+    // staging pre-delete) and refused — data tree and catalog intact
+    ev.limit(3)
+      .select(spark.table("gw_spec").columns.map(col).toIndexedSeq: _*)
+      .createOrReplaceTempView("gw_spec_src")
+    val ow = intercept[Throwable] {
+      spark.sql("INSERT OVERWRITE gw_spec SELECT * FROM gw_spec_src")
+    }
+    assert(messages(ow).exists(_.contains("INSERT OVERWRITE")),
+      s"OVERWRITE must refuse loudly, got: ${messages(ow)}")
+    assert(spark.sql("SELECT count(*) FROM gw_spec").head.getLong(0) ==
+      before + insertedN, "refused OVERWRITE must leave the table intact")
+    assert(FileManifest.latestVersion(spark, root).contains(2L),
+      "refused OVERWRITE must not have committed a version")
+    // a time-traveled table refuses INSERT INTO loudly
+    val tt = intercept[Throwable] {
+      spark.sql("INSERT INTO gw_spec_v1 SELECT * FROM gw_spec_v1 LIMIT 1")
+    }
+    assert(messages(tt).exists(_.contains("time-traveled")),
+      s"insert into a pinned snapshot must refuse, got: ${messages(tt)}")
     // r10: a NUMERIC partition column surfaces with its numeric type
     // through the front door (Spark's partition-discovery ladder over
     // the directory-encoded values: canonical int → IntegerType), and

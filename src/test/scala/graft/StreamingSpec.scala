@@ -1098,6 +1098,26 @@ class StreamingSpec extends AnyFunSuite {
       Duration.ofSeconds(5))
     assert(out.isStreaming && out.schema.map(_.name) == Seq("value"),
       s"pipeline: ${out.schema}")
+    // r10: the DEMO's config surface produces the same two-stream
+    // topology — `source=kinesis region=...` is runnable end to end
+    // the moment the connector jar appears
+    val (b, o) = graft.streaming.StreamingDemo.parseArgs(
+      Array("/tmp/demo", "source=kinesis", "region=eu-west-1",
+        "position=TRIM_HORIZON"))
+    assert(b == "/tmp/demo")
+    val (co, cr) = graft.streaming.StreamingDemo.sourcesFrom(o, b)
+    assert(co == OrderEnrichmentJob.KinesisSource(
+      "flinkjoin-order", "eu-west-1", "TRIM_HORIZON"), s"orders: $co")
+    assert(cr == OrderEnrichmentJob.KinesisSource(
+      "flinkjoin-exchangerate", "eu-west-1", "TRIM_HORIZON"), s"rates: $cr")
+    KinesisProbeSource.captured = Map.empty
+    val demoPipe = OrderEnrichmentJob.pipeline(
+      OrderEnrichmentJob.source(spark, co),
+      OrderEnrichmentJob.source(spark, cr), Duration.ofSeconds(5))
+    assert(demoPipe.isStreaming &&
+      KinesisProbeSource.captured.map { case (k, v) => k.toLowerCase -> v }
+        .get("kinesis.startingposition").contains("TRIM_HORIZON"),
+      "the demo config must reach the connector seam with its options")
   }
 
   test("kafka connector boundary: exact options and schema contract") {
