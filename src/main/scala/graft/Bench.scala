@@ -22,16 +22,24 @@ import org.apache.spark.sql.graftshim.SparkShims
   *    same bad window and no statistic can recover.
   *  - *Median-of-3*, not best-of-2: the median is noise-robust in both
   *    directions and an honest steady-state estimate.
-  *  - *Host-noise canary*: one fixed CPU-bound reference job (sum of
-  *    xxhash64 over a fixed range — deterministic, shuffle-light) is
-  *    timed before, between, and after the passes. The output carries
-  *    its max/min ratio (`canary`), its absolute floor (`canary_min`,
-  *    comparable across rounds on the same host — the detector for
-  *    contention that is CONSTANT through a run), and `noisy`: true
-  *    when fewer than two of the three passes are bracketed by
-  *    near-floor canary samples, i.e. when contention hit enough of
-  *    the run that even the medians may be polluted. Trust-check these
-  *    before reading anything else in the line.
+  *  - *Host-noise canary*: a fixed single-threaded, ALLOCATION-FREE
+  *    arithmetic spin (splitmix64 mixing over a constant iteration
+  *    count) timed before, between, and after the passes. r10 moved
+  *    it off a Spark job on purpose: the old in-engine canary (sum of
+  *    xxhash64 over a range) drifted with the BENCH JVM's own state —
+  *    heap pressure and scheduler residue after heavy query passes
+  *    inflated mid-run samples ~2x on a PROVABLY idle host (load 0.1,
+  *    zero other users; a one-query run on the same host read clean),
+  *    so `noisy` flagged self-contention it was meant to exclude. A
+  *    pure register loop allocates nothing (no GC interaction), runs
+  *    on one core (no task scheduler), and varies only with what the
+  *    HOST is doing. The output carries its max/min ratio (`canary`),
+  *    its absolute floor (`canary_min`, comparable across rounds on
+  *    the same host — the detector for contention that is CONSTANT
+  *    through a run; note the r10 unit break vs r7-r9 floors, which
+  *    timed the old Spark-job canary), and `noisy`: true when fewer
+  *    than two of the three passes are bracketed by near-floor canary
+  *    samples. Trust-check these before reading anything else.
   *
   * Besides wall time, per-query shuffle WRITE bytes (and read, spill)
   * are recorded from task metrics on the final pass: shuffle volume is
@@ -41,6 +49,8 @@ import org.apache.spark.sql.graftshim.SparkShims
   * how a polluted wall-clock run is adjudicated after the fact.
   */
 object Bench {
+  @volatile private var canarySink: Long = 0L
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -82,17 +92,24 @@ object Bench {
       (t, wBytes.get - w0, rBytes.get - r0, spill.get - s0)
     }
 
-    /** The fixed reference job the canary times: CPU-bound, one tiny
-      * exchange, zero data dependence — any variance across samples is
-      * the HOST's, not the workload's. */
+    /** The fixed reference work the canary times: a single-threaded,
+      * allocation-free splitmix64 spin — pure register arithmetic, so
+      * the only thing that can slow it is the HOST (see the canary
+      * note in the object scaladoc for why it is deliberately NOT a
+      * Spark job). ~0.4 s of work on an idle core. */
     def canaryOnce(): Double = {
       val t0 = System.nanoTime()
-      // modulo keeps the ANSI-mode sum inside a long (full-range
-      // hashes would overflow); the per-row hash work is unchanged.
-      // ~0.5 s of work: long enough that scheduler jitter is noise,
-      // short enough to sample between passes.
-      spark.range(512L << 20).selectExpr("sum(xxhash64(id) % 1000000007)")
-        .collect()
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < 200000000) {
+        x += 0x9E3779B97F4A7C15L
+        var z = x
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        x ^= z ^ (z >>> 31)
+        i += 1
+      }
+      canarySink = x // defeat dead-code elimination
       (System.nanoTime() - t0) / 1e9
     }
     // each sample is best-of-2 back to back: a one-off scheduling blip
