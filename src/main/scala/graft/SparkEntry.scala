@@ -796,6 +796,23 @@ object SparkEntry {
       Graph.triangleSample(triangleEdges(T(s, dir, "lineitem")),
           "src", "dst", num = 1, den = 2)
         .orderBy("node")),
+    // DeepWalk random-walk corpus (r10): 2 walks × 4 steps from the
+    // node-id < 256 cohort, successor = fresh md5 draw per (walk,
+    // step) over the out-neighbors — the materialized skip-gram
+    // training input; each step is one join against the cached
+    // hash(src) edge layout, replayed step-for-step by the oracle
+    "g15_random_walks" -> ((s, dir) =>
+      Graph.randomWalks(graphEdges(T(s, dir, "lineitem")), "src", "dst",
+          starts = 256L, walksPerNode = 2, length = 4)
+        .orderBy("start", "walk", "step")),
+    // GraphSAGE fanout sampling (r10): 2-hop sampled adjacency for
+    // the seed cohort, ≤3 then ≤2 neighbors per expanded node via the
+    // same deterministic per-(seed,hop,src) draw — bounded minibatch
+    // neighborhoods however dense the graph
+    "g16_neighbor_sample" -> ((s, dir) =>
+      Graph.neighborSample(graphEdges(T(s, dir, "lineitem")), "src", "dst",
+          seeds = 64L, fanouts = Seq(3, 2))
+        .orderBy("seed", "hop", "src", "dst")),
     // weighted shortest paths: 4 Bellman-Ford relaxation rounds from
     // node 0 — exact integer costs, oracle-unrolled per round
     "g6_sssp" -> ((s, dir) =>
@@ -1283,6 +1300,21 @@ object SparkEntry {
         .agg(countDistinct("user_id").as("true_distinct"))
       est.join(truth, Seq("win")).orderBy("win")
     }),
+    // daily-grid resample + forward fill (r10): irregular event log →
+    // fixed-cadence per-user series, LOCF semantics (the reference's
+    // "rate in effect at transaction time" carried onto a grid); grid
+    // generated arithmetically per entity, one window pass per user
+    "t10_resample" -> ((s, dir) =>
+      TimeSeries.resampleDailyFfill(T(s, dir, "events"), "user_id", "ts",
+          "event_id", "value")
+        .orderBy("user_id", "day")),
+    // OHLC bar downsampling (r10): per (event_type, day) candlestick
+    // compression — open/close by (ts, event_id) argmin/argmax, all
+    // values carried doubles so parity is bit-exact
+    "t11_ohlc" -> ((s, dir) =>
+      TimeSeries.ohlcBars(T(s, dir, "events"), "event_type", "ts",
+          "event_id", "value")
+        .orderBy("event_type", "day")),
     "t8_window_topk" -> ((s, dir) =>
       graft.streaming.StreamingTopK.topKPerWindow(
           T(s, dir, "events"), "ts", "event_type", "1 hour", k = 3)
@@ -2315,6 +2347,17 @@ object SparkEntry {
       Profile.robustOutliers(T(s, dir, "events"), "event_type", "value",
           k = 5)
         .orderBy("event_type")),
+    // k-anonymity audit (r10): equivalence-class sizes over the
+    // (segment, balance-band) quasi-identifiers — classes under k=5
+    // re-identify their members; band offset keeps the floor-division
+    // operand non-negative (the DuckDB `//` negative trap)
+    "p10_kanon" -> ((s, dir) =>
+      Profile.kAnonymity(
+          T(s, dir, "customer").withColumn("bal_band",
+            floor((col("c_acctbal") + 1000.0) / 2000.0).cast("long")),
+          Seq("c_mktsegment", "bal_band"), k = 5)
+        .orderBy(col("c_mktsegment").asc_nulls_first,
+          col("bal_band").asc_nulls_first)),
     // equi-width histogram: at most `bins` rows out however large the
     // table; bucket arithmetic mirrored literally in the oracle
     "p4_histogram" -> ((s, dir) =>
@@ -2598,6 +2641,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           dsum(col("value")).as("total_value"))
         .orderBy("user_id")
+    }),
+    // bloom-sidecar data skipping (r10): point lookups on a
+    // NON-clustered high-cardinality column — the layout clusters by
+    // orderkey, so every file's partkey [min,max] spans the domain
+    // and the range rung keeps everything; the per-file bloom words
+    // (md5 probes, folded executor-side via bit_or) prune files with
+    // zero false negatives, and the residual isin re-filters rows
+    "f20_bloom_skip" -> ((s, dir) => {
+      val tmp = layoutDir("f20", dir)
+      FileManifest.writeLayout(T(s, dir, "lineitem"), tmp, "l_orderkey", 16)
+      val blooms = FileManifest.buildBloomManifest(s, tmp, "l_partkey",
+        m = 1 << 16, k = 3)
+      FileManifest.readBloomPruned(s, blooms, "l_partkey",
+          Seq(5L, 55L, 155L))
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("qty"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .orderBy("l_partkey")
     }),
     "f13_delete_mor" -> ((s, dir) => {
       val tmp = layoutDir("f13", dir)
@@ -3280,6 +3341,14 @@ object SparkEntry {
     "g14_triangle_sample" ->
       operators.Graph.triangleSampleOracleSql(triangleEdgesSql,
         num = 1, den = 2),
+    // g15/g16: the same md5 draws, ROW_NUMBER over (md5, dst) replays
+    // every successor choice / fanout cut exactly
+    "g15_random_walks" ->
+      operators.Graph.randomWalksOracleSql(graphEdgesSql, starts = 256L,
+        walksPerNode = 2, length = 4),
+    "g16_neighbor_sample" ->
+      operators.Graph.neighborSampleOracleSql(graphEdgesSql, seeds = 64L,
+        fanouts = Seq(3, 2)),
     "g11_hits" ->
       operators.Graph.hitsOracleSql(graphEdgesSql, iterations = 4),
     // g12: the g8 l-chain verbatim + the exact-integer modularity tail
@@ -3481,6 +3550,15 @@ object SparkEntry {
     // t8: count per (hour, key), rank per hour, keep k — ties break
     // on key ascending exactly as the operator does
     // t9: a9's replayable-HLL chain keyed by the tumbling window
+    // t10/t11: grid + LOCF window and ordered-aggregate bars — the
+    // value column is carried, never computed on, so double parity
+    // is bit-exact
+    "t10_resample" ->
+      operators.TimeSeries.resampleOracleSql("events", "user_id", "ts",
+        "event_id", "value"),
+    "t11_ohlc" ->
+      operators.TimeSeries.ohlcOracleSql("events", "event_type", "ts",
+        "event_id", "value"),
     "t9_stream_distinct" ->
       """WITH ev AS (SELECT strftime(date_trunc('hour', ts),
         |    '%Y-%m-%d %H:%M:%S') AS win, user_id FROM events),
@@ -4834,6 +4912,15 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // f18: file pruning is a superset + residual-join discipline, so
     // the oracle is the PLAIN join — pruning must lose nothing
+    // f20: bloom survival is a file-granular superset and the
+    // residual filter restores exactness — the oracle is the plain
+    // predicate over the source table
+    "f20_bloom_skip" ->
+      """SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        |FROM lineitem WHERE l_partkey IN (5, 55, 155)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "f18_join_file_prune" ->
       """WITH dim AS (SELECT DISTINCT o_custkey % 15 AS user_id
         |  FROM orders WHERE o_totalprice > 499000)
@@ -5008,6 +5095,13 @@ object SparkEntry {
     // same per-term fixed-point quantization summed as integers
     // p8's oracle replays the exact integer median/MAD estimator:
     // lower median = element at rn == (n+1)//2 of the per-group sort
+    // p10: same bucketed grouping; floor's operand is offset
+    // non-negative so DuckDB floor == Spark floor on every row
+    "p10_kanon" ->
+      operators.Profile.kAnonymityOracleSql(
+        "SELECT c_mktsegment, CAST(floor((c_acctbal + 1000.0) / 2000.0) " +
+          "AS BIGINT) AS bal_band FROM customer",
+        Seq("c_mktsegment", "bal_band"), k = 5),
     "p9_fd_profile" ->
       operators.Profile.fdOracleSql("events", Seq(
         ("event_id", "event_type"),

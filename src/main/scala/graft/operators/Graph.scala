@@ -1224,4 +1224,175 @@ object Graph {
       s"SELECT node, rank_u FROM r$iterations ORDER BY node"))
     sb.toString
   }
+
+  /** DeepWalk-style RANDOM-WALK CORPUS over the directed graph — the
+    * sampling stage of Perozzi et al.'s DeepWalk (KDD 2014) / node2vec
+    * (p=q=1): emit `walksPerNode` truncated walks of `length` steps
+    * from every start node, producing the (walk, position, node)
+    * corpus that skip-gram embedding training consumes. This is a
+    * training-DATA operator: at 100 TB the walk corpus is the
+    * materialized input to the embedding job, and each step is ONE
+    * equi-join of the walk state against the pre-partitioned edge
+    * relation (hash(src), persisted once) + one per-walk argmin — the
+    * Pregel-round shape the whole g-family shares, so the work per
+    * step is |walks| ⋈ edges regardless of graph size, with no
+    * driver-side state.
+    *
+    * The "random" successor is the a9/g13/g14 determinism discipline:
+    * step t of walk (start, w) moves to the out-neighbor minimizing
+    * (md5("start,w,t,dst"), dst) — a fresh universal hash draw per
+    * (walk, step), uniform over the neighbor set in the
+    * universal-hashing sense, and replayable bit-for-bit by the
+    * oracle's ROW_NUMBER over the same key. Walks that reach a node
+    * with no out-edges TERMINATE (inner join drops them) — truncated
+    * walks stay in the corpus, as DeepWalk's do.
+    *
+    * @param starts walk start nodes filter: keep graph nodes < this
+    *               bound (the corpus restricted to a seed cohort)
+    * @return (start, walk, step, node) BIGINT×4 — step 0 is the start
+    *         node itself; one row per emitted position.
+    */
+  def randomWalks(edges: DataFrame, srcCol: String, dstCol: String,
+      starts: Long, walksPerNode: Int, length: Int): DataFrame = {
+    require(walksPerNode >= 1 && length >= 1 && starts >= 1)
+    val e0 = normalize(edges, srcCol, dstCol)
+    val n = shuffleParts(e0)
+    val e = e0.repartition(n, col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct()
+    val widx = (0 until walksPerNode).map(_.toLong)
+    var state = nodes.where(col("node") < starts)
+      .select(col("node").as("start"))
+      .withColumn("w", explode(array(widx.map(lit): _*)))
+      .withColumn("cur", col("start"))
+    var emitted = Seq(state.select(col("start"), col("w").as("walk"),
+      lit(0L).as("step"), col("cur").as("node")))
+    for (t <- 1 to length) {
+      val stepped = state.join(e, state("cur") === e("src"))
+        .select(col("start"), col("w"), col("dst"),
+          md5(concat_ws(",", col("start"), col("w"), lit(t.toLong),
+            col("dst"))).as("h"))
+      val next = stepped
+        .groupBy(col("start"), col("w"))
+        .agg(min(struct(col("h"), col("dst"))).as("pick"))
+        .select(col("start"), col("w"), col("pick.dst").as("cur"))
+      state = ckpt(next)
+      emitted = emitted :+ state.select(col("start"), col("w").as("walk"),
+        lit(t.toLong).as("step"), col("cur").as("node"))
+    }
+    emitted.reduce(_.union(_))
+  }
+
+  /** DuckDB mirror of [[randomWalks]]: the same md5 draw per
+    * (walk, step, candidate), successor = ROW_NUMBER()=1 over
+    * (md5, dst) — unrolled one CTE per step. */
+  def randomWalksOracleSql(edgesSql: String, starts: Long,
+      walksPerNode: Int, length: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH e AS (SELECT DISTINCT src, dst FROM ($edgesSql)\n")
+    sb.append("  WHERE src IS NOT NULL AND dst IS NOT NULL),\n")
+    sb.append("n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),\n")
+    sb.append(s"w AS (SELECT CAST(range AS BIGINT) AS w FROM range($walksPerNode)),\n")
+    sb.append(s"s0 AS (SELECT node AS start, w.w, node AS cur FROM n CROSS JOIN w\n")
+    sb.append(s"  WHERE node < $starts)")
+    for (t <- 1 to length) {
+      sb.append(s""",
+        |p$t AS (SELECT s.start, s.w, e.dst,
+        |  row_number() OVER (PARTITION BY s.start, s.w ORDER BY
+        |    md5(s.start::VARCHAR || ',' || s.w::VARCHAR || ',' || '$t'
+        |      || ',' || e.dst::VARCHAR), e.dst) AS rn
+        |  FROM s${t - 1} s JOIN e ON e.src = s.cur),
+        |s$t AS (SELECT start, w, dst AS cur FROM p$t WHERE rn = 1)""".stripMargin)
+    }
+    val unions = (0 to length).map(t =>
+      s"SELECT start, w AS walk, CAST($t AS BIGINT) AS step, cur AS node FROM s$t")
+    sb.append("\n" + unions.mkString("", "\nUNION ALL\n", "") +
+      "\nORDER BY start, walk, step")
+    sb.toString
+  }
+
+  /** GraphSAGE-style NEIGHBORHOOD FANOUT SAMPLING (Hamilton et al.,
+    * NeurIPS 2017 §3.1) — the minibatch-construction operator of every
+    * sampled GNN trainer: for each seed node, keep at most
+    * `fanouts(0)` of its out-neighbors, then at most `fanouts(1)` of
+    * THEIR out-neighbors, and so on, emitting the sampled adjacency
+    * (seed, hop, src, dst) that the aggregation layers consume.
+    * Bounded work by construction: hop h touches ≤ |seeds|·Πfanouts
+    * rows however dense the graph — the property that makes GNN
+    * training feasible on 100 TB graphs (full 2-hop neighborhoods of
+    * a hub are unbounded; the sample is not). Each hop is one
+    * equi-join against the pre-partitioned edge relation + one
+    * per-(seed, src) top-f — no iteration-to-convergence, exactly
+    * `fanouts.length` rounds.
+    *
+    * Sampling is the deterministic-draw discipline: neighbor dst of
+    * src in seed's hop-h sample ranks by (md5("seed,h,src,dst"), dst)
+    * and survives iff rank ≤ fanouts(h-1) — a fresh draw per (seed,
+    * hop, src), replayable by the oracle's ROW_NUMBER. A node reached
+    * by several hop-(h-1) parents is expanded ONCE per seed (frontier
+    * is de-duplicated) — the sample is a subgraph per seed, not a
+    * tree with duplicated subtrees.
+    *
+    * @param seeds seed cohort: graph nodes < this bound
+    * @return (seed, hop, src, dst) BIGINT×4 — sampled adjacency rows,
+    *         hop 1 rooted at the seed itself.
+    */
+  def neighborSample(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: Long, fanouts: Seq[Int]): DataFrame = {
+    require(fanouts.nonEmpty && fanouts.forall(_ >= 1), "bad fanouts")
+    val e0 = normalize(edges, srcCol, dstCol)
+    val n = shuffleParts(e0)
+    val e = e0.repartition(n, col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct()
+    var frontier = nodes.where(col("node") < seeds)
+      .select(col("node").as("seed"), col("node"))
+    var out = Seq.empty[DataFrame]
+    for ((f, i) <- fanouts.zipWithIndex) {
+      val hop = i + 1
+      val ranked = frontier.join(e, frontier("node") === e("src"))
+        .select(col("seed"), col("src"), col("dst"),
+          md5(concat_ws(",", col("seed"), lit(hop.toLong), col("src"),
+            col("dst"))).as("h"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("seed"), col("src"))
+            .orderBy(col("h"), col("dst"))))
+        .where(col("rn") <= f)
+      val sampled = ckpt(ranked.select(col("seed"), lit(hop.toLong).as("hop"),
+        col("src"), col("dst")))
+      out = out :+ sampled
+      frontier = sampled.select(col("seed"), col("dst").as("node")).distinct()
+    }
+    out.reduce(_.union(_))
+  }
+
+  /** DuckDB mirror of [[neighborSample]]: per-hop ROW_NUMBER over the
+    * same (md5, dst) ranking, frontiers de-duplicated identically. */
+  def neighborSampleOracleSql(edgesSql: String, seeds: Long,
+      fanouts: Seq[Int]): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH e AS (SELECT DISTINCT src, dst FROM ($edgesSql)\n")
+    sb.append("  WHERE src IS NOT NULL AND dst IS NOT NULL),\n")
+    sb.append("n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),\n")
+    sb.append(s"f0 AS (SELECT node AS seed, node FROM n WHERE node < $seeds)")
+    for ((f, i) <- fanouts.zipWithIndex) {
+      val hop = i + 1
+      sb.append(s""",
+        |r$hop AS (SELECT fr.seed, e.src, e.dst,
+        |  row_number() OVER (PARTITION BY fr.seed, e.src ORDER BY
+        |    md5(fr.seed::VARCHAR || ',' || '$hop' || ',' ||
+        |      e.src::VARCHAR || ',' || e.dst::VARCHAR), e.dst) AS rn
+        |  FROM f${i} fr JOIN e ON e.src = fr.node),
+        |k$hop AS (SELECT seed, src, dst FROM r$hop WHERE rn <= $f),
+        |f$hop AS (SELECT DISTINCT seed, dst AS node FROM k$hop)""".stripMargin)
+    }
+    val unions = fanouts.indices.map(i =>
+      s"SELECT seed, CAST(${i + 1} AS BIGINT) AS hop, src, dst FROM k${i + 1}")
+    sb.append("\n" + unions.mkString("", "\nUNION ALL\n", "") +
+      "\nORDER BY seed, hop, src, dst")
+    sb.toString
+  }
 }

@@ -268,4 +268,36 @@ object Profile {
     blocks.mkString("", "\nUNION ALL\n",
       "\nORDER BY determinant, dependent")
   }
+
+  /** K-ANONYMITY audit (Sweeney, IJUFKS 2002) over a quasi-identifier
+    * combination — the governance gate a training-data release needs
+    * before rows with demographic-ish attributes ship: every
+    * equivalence class (distinct quasi-identifier tuple) smaller than
+    * `k` re-identifies its members to within `n_rows` candidates.
+    * Emits one row per class with its size and the at-risk flag; the
+    * release's k-anonymity is the min class size (spec-checked).
+    * One hash aggregation — the audit costs a groupBy however wide
+    * the table, and the quasi columns arrive pre-bucketed by the
+    * caller (generalization IS the mitigation, so the caller owns it).
+    *
+    * @return (quasi..., n_rows, at_risk) — at_risk iff n_rows < k
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 2, s"need quasi cols and k >= 2")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .select(quasiCols.map(col) ++ Seq(col("n_rows"),
+        (col("n_rows") < k).as("at_risk")): _*)
+  }
+
+  /** DuckDB mirror of [[kAnonymity]]: same grouping over the same
+    * pre-bucketed quasi expressions. */
+  def kAnonymityOracleSql(fromSql: String, quasiCols: Seq[String], k: Int)
+      : String = {
+    val qs = quasiCols.mkString(", ")
+    s"""SELECT $qs, CAST(count(*) AS BIGINT) AS n_rows,
+      |  count(*) < $k AS at_risk
+      |FROM ($fromSql) GROUP BY $qs
+      |ORDER BY ${quasiCols.map(c => s"$c NULLS FIRST").mkString(", ")}""".stripMargin
+  }
 }

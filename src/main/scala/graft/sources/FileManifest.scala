@@ -152,6 +152,101 @@ object FileManifest {
   def prune(manifest: Seq[FileStats], lo: Long, hi: Long): Seq[FileStats] =
     manifest.filter(f => f.max >= lo && f.min <= hi)
 
+  /** Per-file BLOOM FILTER sidecar for a NON-clustered column — the
+    * data-skipping rung min/max ranges cannot reach: on a layout
+    * clustered by some other key, every file's [min, max] of a
+    * high-cardinality column spans the whole domain and the range
+    * prune keeps everything, yet a point predicate still only LIVES
+    * in a few files. `m` bits × `k` md5-derived probes per file
+    * answer "can this file contain v" with zero false negatives
+    * (Parquet's own bloom_filter_enabled / Delta's bloom index, as a
+    * manifest-level sidecar the driver can consult before opening a
+    * single footer). Sizing is the standard calculus: false-positive
+    * rate ≈ (1 − e^{−kn/m})^k for n distinct values per file — at
+    * 100 TB the sidecar is O(files · m/8) bytes of metadata riding
+    * next to the FileStats rows. */
+  final case class BloomStats(path: String, m: Int, k: Int,
+      words: Array[Long]) {
+    def mightContain(v: Long): Boolean =
+      (0 until k).forall { i =>
+        val p = FileManifest.bloomPos(i, v, m)
+        (words(p >> 6) & (1L << (p & 63))) != 0L
+      }
+  }
+
+  /** Probe position i for value v: the repo's deterministic-draw
+    * discipline (md5 over "i,v", 15 hex chars, mod m) — replayable in
+    * SQL and in plain Scala, so specs and oracles can rebuild the
+    * exact bit pattern. */
+  private[graft] def bloomPos(i: Int, v: Long, m: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$i,$v".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex.take(15), 16) % m).toInt
+  }
+
+  /** Build the bloom sidecar in ONE distributed pass: every row
+    * contributes its k probe positions tagged with its source file,
+    * a distinct-aggregate collapses them to ≤ files·m rows (manifest
+    * cardinality, not data cardinality), and the driver folds bits.
+    * The expression is the same md5 draw as [[bloomPos]], computed
+    * inside codegen — no UDF. */
+  def buildBloomManifest(spark: SparkSession, dir: String, column: String,
+      m: Int = 512, k: Int = 3): Seq[BloomStats] = {
+    require(m >= 64 && m % 64 == 0 && k >= 1, s"bad bloom shape m=$m k=$k")
+    val df = spark.read.parquet(dir)
+    val v = col(column).cast("long")
+    val probes = (0 until k).map(i =>
+      pmod(conv(substring(md5(concat_ws(",", lit(i), v)), 1, 15), 16, 10)
+        .cast("long"), lit(m.toLong)).cast("int"))
+    // fold probe bits into 64-bit words EXECUTOR-side (bit_or partial
+    // aggregates): the driver collects ≤ files · m/64 word rows — a
+    // manifest-sized result however many data rows contributed
+    val wordRows = df.where(v.isNotNull)
+      .select(input_file_name().as("f"), explode(array(probes: _*)).as("p"))
+      .select(col("f"), (col("p") / 64).cast("int").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), pmod(p, 64))").as("bit"))
+      .groupBy("f", "w").agg(expr("bit_or(bit)").as("bits"))
+      .collect()
+      // input_file_name() renders file:///…; listParquet renders
+      // file:/… — key both by the scheme-free URI path
+      .map(r => (new Path(r.getString(0)).toUri.getPath,
+        (r.getInt(1), r.getLong(2))))
+      .groupBy(_._1)
+    // files with only-null column values still need an (empty) entry,
+    // so enumerate the directory rather than trusting the fold's keys
+    listParquet(spark, dir).sorted.map { path =>
+      val words = new Array[Long](m / 64)
+      wordRows.getOrElse(new Path(path).toUri.getPath, Array.empty)
+        .foreach { case (_, (w, bits)) => words(w) |= bits }
+      BloomStats(path, m, k, words)
+    }
+  }
+
+  /** Files that can contain ANY of `keys` (no false negatives by
+    * construction: every probe position of every present value is
+    * set). Driver-side O(files · keys · k) bit tests over metadata. */
+  def bloomSurvivors(blooms: Seq[BloomStats],
+      keys: Seq[Long]): Seq[BloomStats] = {
+    val ks = keys.distinct
+    blooms.filter(b => ks.exists(b.mightContain))
+  }
+
+  /** Point-lookup read through the bloom sidecar: open only the
+    * surviving files, then re-apply the exact predicate row-by-row
+    * (the [[readPruned]] residual-filter discipline — bloom survival
+    * is a file-granular SUPERSET). An all-pruned key set returns the
+    * legitimate empty frame. */
+  def readBloomPruned(spark: SparkSession, blooms: Seq[BloomStats],
+      column: String, keys: Seq[Long]): DataFrame = {
+    require(blooms.nonEmpty, "empty bloom manifest")
+    val survivors = bloomSurvivors(blooms, keys)
+    val residual = col(column).isin(keys.map(java.lang.Long.valueOf): _*)
+    if (survivors.nonEmpty)
+      spark.read.parquet(survivors.map(_.path): _*).where(residual)
+    else spark.read.parquet(blooms.head.path).where(lit(false))
+  }
+
   /** Incremental maintenance — the operations a live table needs so the
     * manifest NEVER requires a full rebuild: `append` stats just the
     * newly written files (an ingest batch touches O(new files) footers,

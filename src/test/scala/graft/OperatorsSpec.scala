@@ -2493,6 +2493,127 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("random walks: engine == scala draw replay, continuity, dead-end truncation") {
+    // 0→{1,2}, 1→{2,3}, 2→0, 3 dead end: walks from 3 emit only step
+    // 0, every other step's node must be the md5-argmin out-neighbor
+    // of the previous node (the replay below IS the oracle's rule)
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (1L, 3L), (2L, 0L))
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val want = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    for (start <- 0L to 3L; w <- 0L to 1L) {
+      var cur = start
+      want += ((start, w, 0L, cur))
+      var t = 1
+      var alive = true
+      while (t <= 3 && alive) {
+        adj.get(cur) match {
+          case Some(nbrs) =>
+            cur = nbrs.minBy(d => (md5hex(s"$start,$w,$t,$d"), d))
+            want += ((start, w, t.toLong, cur)); t += 1
+          case None => alive = false
+        }
+      }
+    }
+    val got = Graph.randomWalks(edges.toDF("s", "d"), "s", "d",
+        starts = 4L, walksPerNode = 2, length = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == want.toSet, s"walks: $got vs $want")
+    // node 3's walks truncate at step 0
+    assert(got.filter(_._1 == 3L).forall(_._3 == 0L))
+  }
+
+  test("resample: grid spans entity, LOCF fills gaps, same-day ties to max id") {
+    import java.sql.Timestamp
+    def d(day: Int, h: Int) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    val ev = Seq(
+      // user 1: two obs on day 1 (the later-by-id wins the day), a
+      // gap on day 2, a fresh obs on day 3
+      (10L, d(1, 8), 1L, 5.0), (11L, d(1, 8), 1L, 7.0),
+      (12L, d(3, 9), 1L, 2.0),
+      // user 2: a single day — grid is one row, no gaps
+      (20L, d(5, 1), 2L, 9.0)).toDF("event_id", "ts", "user_id", "value")
+    val got = TimeSeries.resampleDailyFfill(ev, "user_id", "ts",
+        "event_id", "value")
+      .orderBy("user_id", "day").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getBoolean(3)))
+    assert(got.toSeq == Seq(
+      (1L, "2024-01-01", 7.0, false),  // id 11 beats id 10 on the tie
+      (1L, "2024-01-02", 7.0, true),   // gap day carries day 1's value
+      (1L, "2024-01-03", 2.0, false),
+      (2L, "2024-01-05", 9.0, false)), s"got ${got.toSeq}")
+  }
+
+  test("ohlc bars: open/close by (ts,id), high/low exact, count per bucket") {
+    import java.sql.Timestamp
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-02-01 $h%02d:$m%02d:00")
+    val ev = Seq(
+      (1L, t(9, 0), "a", 10.0), (2L, t(9, 30), "a", 25.0),
+      (3L, t(10, 0), "a", 5.0), (4L, t(16, 0), "a", 12.0),
+      // same-ts close tie: higher event_id is the close
+      (5L, t(16, 0), "a", 13.0),
+      (6L, t(12, 0), "b", 42.0)).toDF("event_id", "ts", "g", "value")
+    val got = TimeSeries.ohlcBars(ev, "g", "ts", "event_id", "value")
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+    assert(got.toSeq == Seq(
+      ("a", "2024-02-01", 10.0, 25.0, 5.0, 13.0, 5L),
+      ("b", "2024-02-01", 42.0, 42.0, 42.0, 42.0, 1L)), s"got ${got.toSeq}")
+  }
+
+  test("k-anonymity: class sizes, at-risk under k, release k = min class") {
+    val rows = Seq.fill(5)(("SEG_A", 1L)) ++ Seq(("SEG_A", 2L)) ++
+      Seq.fill(3)(("SEG_B", 1L))
+    val got = Profile.kAnonymity(rows.toDF("seg", "band"),
+        Seq("seg", "band"), k = 5)
+      .orderBy("seg", "band").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(got.toSeq == Seq(("SEG_A", 1L, 5L, false),
+      ("SEG_A", 2L, 1L, true), ("SEG_B", 1L, 3L, true)), s"got ${got.toSeq}")
+    // the release's k-anonymity is the min class size
+    assert(got.map(_._3).min == 1L)
+    intercept[IllegalArgumentException] {
+      Profile.kAnonymity(rows.toDF("seg", "band"), Seq.empty, k = 5)
+    }
+  }
+
+  test("neighbor sample: fanout binds, per-seed subgraph, scala replay") {
+    // hub 0 → 1..6, 1 → {10,11,12,13}, 2 → {20}: hop-1 fanout 2 keeps
+    // exactly 2 of the hub's 6 out-edges; hop-2 expands each sampled
+    // node once with fanout 3
+    val edges = (1L to 6L).map((0L, _)) ++
+      Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L), (2L, 20L))
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val fan = Seq(2, 3)
+    var frontier = Set(0L)
+    val want = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    for ((f, i) <- fan.zipWithIndex) {
+      val hop = i + 1
+      val kept = frontier.toSeq.flatMap { src =>
+        adj.getOrElse(src, Seq.empty)
+          .sortBy(d => (md5hex(s"0,$hop,$src,$d"), d)).take(f)
+          .map(d => (0L, hop.toLong, src, d))
+      }
+      want ++= kept
+      frontier = kept.map(_._4).toSet
+    }
+    val got = Graph.neighborSample(edges.toDF("s", "d"), "s", "d",
+        seeds = 1L, fanouts = fan)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == want.toSet, s"sample: $got vs $want")
+    // the fanout bound is structural: ≤2 rows at hop 1, ≤3 per src at hop 2
+    assert(got.count(_._2 == 1L) == 2)
+    assert(got.filter(_._2 == 2L).groupBy(_._3).forall(_._2.size <= 3))
+  }
+
   test("sentence chunks: boundaries respected, budget binds, overflow isolated") {
     val docs = Seq(
       // 3 sentences of 3/2/4 tokens, budget 5: chunk 0 = s1+s2 (5),

@@ -241,6 +241,67 @@ class PlanShapeSpec extends AnyFunSuite {
       .inputFiles.length == 1)
   }
 
+  test("bloom sidecar: zero false negatives, skips on a non-clustered column, word replay") {
+    import graft.sources.FileManifest
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    import spark.implicits._
+    // cluster by k; the probe column p cycles 0..39 so every file's
+    // [min,max] of p spans the domain — the range rung is useless and
+    // only the bloom can skip. p values are file-disjoint mod stripes:
+    // file of row i holds p = i % 40 only for its own k-range
+    val rows = (0L until 160L).map(i => (i, i % 40L, i * 10L))
+    val fact = rows.toDF("k", "p", "v")
+    FileManifest.writeLayout(fact, tmp, "k", 8)
+    val blooms = FileManifest.buildBloomManifest(spark, tmp, "p",
+      m = 4096, k = 3)
+    assert(blooms.length == 8)
+    // word replay: rebuild every file's words from its rows in plain
+    // scala via bloomPos — must match the executor-side bit_or fold
+    val byFile = spark.read.parquet(tmp)
+      .select(input_file_name().as("f"), col("p")).collect()
+      .map(r => (new java.net.URI(r.getString(0)).getPath, r.getLong(1)))
+      .groupBy(_._1)
+    def filePath(b: FileManifest.BloomStats): String =
+      new java.net.URI(b.path).getPath
+    blooms.foreach { b =>
+      val words = new Array[Long](4096 / 64)
+      byFile.getOrElse(filePath(b), Array.empty).map(_._2).distinct.foreach { v =>
+        (0 until 3).foreach { i =>
+          val pos = FileManifest.bloomPos(i, v, 4096)
+          words(pos >> 6) |= 1L << (pos & 63)
+        }
+      }
+      assert(java.util.Arrays.equals(b.words, words),
+        s"word replay mismatch for ${b.path}")
+    }
+    // zero false negatives: every present value's file survives
+    byFile.foreach { case (path, frows) =>
+      val b = blooms.find(filePath(_) == path).get
+      frows.map(_._2).distinct.foreach(v =>
+        assert(b.mightContain(v), s"false negative: $v in $path"))
+    }
+    // the read equals the plain predicate for present AND absent keys
+    val keys = Seq(7L, 23L, 9999L)
+    val got = FileManifest.readBloomPruned(spark, blooms, "p", keys)
+      .select("k", "p", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = rows.filter(t => keys.contains(t._2)).toSet
+    assert(got == want, s"bloom read must equal the plain filter")
+    // an absent key actually SKIPS files (m is sized far above n/file)
+    val absent = FileManifest.bloomSurvivors(blooms, Seq(999983L))
+    assert(absent.length < blooms.length,
+      s"absent key should prune some of ${blooms.length} files, " +
+        s"kept ${absent.length}")
+    // an all-pruned key set returns the legitimate empty frame
+    if (absent.isEmpty)
+      assert(FileManifest.readBloomPruned(spark, blooms, "p",
+        Seq(999983L)).count() == 0)
+    // malformed shapes refuse loudly
+    intercept[IllegalArgumentException] {
+      FileManifest.buildBloomManifest(spark, tmp, "p", m = 100, k = 3)
+    }
+  }
+
   test("incremental agg refresh: added-files-only IO, exact merge, append-only refusal") {
     import graft.sources.FileManifest
     val tmp = java.nio.file.Files.createTempDirectory("graft-iagg").toString
