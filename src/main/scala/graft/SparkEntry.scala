@@ -1347,6 +1347,16 @@ object SparkEntry {
           shingleWords = 3, numHashes = 64, bands = 16, threshold = 0.5),
         "id_a", "id_b")
         .orderBy("doc_id")),
+    // canonical-representative dedup output (r10): the decision table
+    // a curation run materializes — per near-dup group keep the
+    // longest member (ties to the smallest id), singletons keep
+    // themselves; every row carries its verdict for audit
+    "d21_canonical" -> ((s, dir) =>
+      Dedup.canonical(T(s, dir, "documents"), "doc_id", "n_chars",
+          Dedup.minhashLsh(T(s, dir, "documents"), "doc_id", "text",
+            shingleWords = 3, numHashes = 64, bands = 16, threshold = 0.5),
+          "id_a", "id_b")
+        .orderBy("doc_id")),
     // the same grouping through hash-min label propagation —
     // result-identical to d8, so it shares d8's oracle SQL
     "d10_components_hashmin" -> ((s, dir) =>
@@ -1401,6 +1411,21 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       Similarity.bruteForceTopK(q, emb, 5).orderBy("query_id", "rank")
+    }),
+    // kNN-classifier weak labeling (r10): the vec_id%5==0 cohort is
+    // the labeled seed (label = vec_id%3), everything else takes the
+    // majority label of its 5 nearest labeled neighbors — integer
+    // votes, ties to the smallest label; exact neighbor stage in the
+    // oracle regime (the index probe substitutes at scale)
+    "s32_knn_classify" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val labeled = emb.where(col("vec_id") % 5 === 0)
+        .withColumn("label", col("vec_id") % 3)
+      val q = emb.where(col("vec_id") % 5 =!= 0)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      Similarity.knnClassify(q, labeled, k = 5, "label")
+        .orderBy("query_id")
     }),
     // table count derived from (minSim=0.2, maxMiss=1e-4): any true
     // neighbor at cosine >= 0.2 is found w.p. >= 1-1e-4, so on this
@@ -1670,6 +1695,37 @@ object SparkEntry {
       require(FileManifest.refExists(s, s"$tmp/cat", "rejected-replay-1"),
         "the corrupted batch must be tagged rejected")
       GovernedIngest.publishedRead(s, t)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("total_value"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum("event_id").as("sum_ids"))
+        .orderBy("event_type")
+    }),
+    // STREAMING READ of the graft table (r10, `GraftStreamSource`):
+    // the incremental tail side of the format — offsets are committed
+    // catalog versions, each micro-batch reads exactly the files the
+    // versions in its range ADDED (O(increment) IO however large the
+    // table), partition column restored from the dir encoding; the
+    // whole 3-version history drains through the stream into the sink
+    // and must re-aggregate to the full source relation
+    "c10_stream_read" -> ((s, dir) => {
+      val tmp = layoutDir("c10", dir)
+      val root = s"$tmp/cat"
+      freshDir(s, root)
+      val ev = T(s, dir, "events")
+      def save(slice: org.apache.spark.sql.DataFrame, mode: String): Unit =
+        slice.write.format("graft").option("path", root)
+          .option("partitionBy", "event_type").option("clusterBy", "user_id")
+          .option("files", "6").mode(mode).save()
+      save(ev.where(col("user_id") < 5), "overwrite") // v0 (create)
+      save(ev.where(col("user_id").between(5, 9)), "append") // v1
+      save(ev.where(col("user_id") >= 10), "append") // v2
+      val q = s.readStream.format("graft").option("path", root).load()
+        .writeStream.format("memory").queryName("c10_sink")
+        .outputMode("append").start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      s.table("c10_sink")
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),
           dsum(col("value")).as("total_value"),
@@ -3667,6 +3723,24 @@ object SparkEntry {
     // the exact jaccard pairs on this corpus), then transitive closure
     // via recursive CTE; min reachable id labels the component
     "d8_dedup_groups" -> d8GroupsOracleSql,
+    // d21: d8's closure chain + singleton fill-in + the argmax by
+    // (n_chars DESC, doc_id) replayed as a window rank
+    "d21_canonical" ->
+      s"""WITH $jaccardClosureCtes,
+        |sz AS (SELECT group_id, count(*) AS group_size FROM comp
+        |  GROUP BY group_id),
+        |g AS (SELECT d.doc_id, COALESCE(c.group_id, d.doc_id) AS group_id,
+        |    COALESCE(sz.group_size, 1) AS group_size, d.n_chars
+        |  FROM documents d LEFT JOIN comp c USING (doc_id)
+        |  LEFT JOIN sz ON sz.group_id = c.group_id),
+        |r AS (SELECT g.*, row_number() OVER (PARTITION BY group_id
+        |    ORDER BY n_chars DESC, doc_id) AS rn FROM g),
+        |canon AS (SELECT group_id, doc_id AS canonical_id FROM r
+        |  WHERE rn = 1)
+        |SELECT g.doc_id, g.group_id, canon.canonical_id,
+        |  g.doc_id = canon.canonical_id AS keep,
+        |  CAST(g.group_size AS BIGINT) AS group_size
+        |FROM g JOIN canon USING (group_id) ORDER BY g.doc_id""".stripMargin,
     // d10 is result-identical to d8 (different component algorithm,
     // same group contract), so it checks against the same SQL
     "d10_components_hashmin" -> d8GroupsOracleSql,
@@ -3723,6 +3797,26 @@ object SparkEntry {
     // s28: both ranking systems replayed — the s1 double-cosine flat
     // chain and the s16 quantized probe chain — then intersected
     "s28_recall_audit" -> recallAuditOracleSql,
+    // s32: the s1 cosine chain restricted to the labeled cohort, then
+    // the vote argmax replayed as (votes DESC, label) window rank
+    "s32_knn_classify" ->
+      """WITH l AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv,
+        |    vec_id % 3 AS label
+        |  FROM embeddings WHERE vec_id % 5 = 0),
+        |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id % 5 <> 0),
+        |s AS (SELECT q.query_id, l.vec_id, l.label,
+        |    list_cosine_similarity(qv, cv) AS sim
+        |  FROM q JOIN l ON q.query_id <> l.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, vec_id) AS rn FROM s),
+        |v AS (SELECT query_id, label, CAST(count(*) AS BIGINT) AS votes,
+        |    max(sim) AS top_sim
+        |  FROM r WHERE rn <= 5 GROUP BY query_id, label),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY votes DESC, label) AS wr FROM v)
+        |SELECT query_id, CAST(label AS BIGINT) AS label_pred, votes, top_sim
+        |FROM w WHERE wr = 1 ORDER BY query_id""".stripMargin,
     // s29: lossless BQ staging + exact re-rank = s15/s16 verbatim
     "s29_vector_index_bq" -> ivfBalancedOracleSql,
     // s30: the full unrolled NN-descent chain (seed arms + 2 rounds)
@@ -4951,6 +5045,15 @@ object SparkEntry {
     // (purchases with user_id 5-9) absent, the replayed batch 0
     // counted ONCE — any double-apply or leaked rejected row breaks
     // the aggregate
+    // c10: the three appended versions partition events exactly — the
+    // drained stream must re-aggregate to the whole relation
+    "c10_stream_read" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_ids
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "c9_wap_stream" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)

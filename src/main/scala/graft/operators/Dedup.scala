@@ -575,6 +575,42 @@ object Dedup {
         col("group_size"))
   }
 
+  /** CANONICAL-REPRESENTATIVE selection — the dedup decision table a
+    * curation pipeline actually MATERIALIZES (the Common Crawl /
+    * RefinedWeb shape: near-dup groups keep their best member, and
+    * every row carries its verdict for audit): per connected
+    * component, the representative maximizes `scoreCol` (keep the
+    * longest/highest-quality doc — the standard heuristic), ties to
+    * the smallest id; docs in no pair are their own singleton group.
+    * One argmax aggregation over [[groups]]'s output joined back to
+    * the corpus — no new shuffle shape beyond the component chain.
+    * `scoreCol` must be integral (the repo's float-free ranking
+    * discipline; length and integer quality counts both qualify).
+    *
+    * @return (doc_id, group_id, canonical_id, keep, group_size) —
+    *         keep iff this row IS the representative.
+    */
+  def canonical(docs: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val comp = groups(pairs, aCol, bCol)
+    val g = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(scoreCol).cast("long").as("__score"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("group_id"), col("doc_id")).as("group_id"),
+        coalesce(col("group_size"), lit(1L)).as("group_size"),
+        col("__score"))
+    val canon = g.groupBy("group_id")
+      .agg(min(struct((-col("__score")).as("ns"),
+        col("doc_id").as("id"))).as("pick"))
+      .select(col("group_id"), col("pick.id").as("canonical_id"))
+    g.join(canon, "group_id")
+      .select(col("doc_id"), col("group_id"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("keep"),
+        col("group_size"))
+  }
+
   /** Drop every non-survivor: keep each component's min-id member plus
     * all docs that never appeared in a pair. */
   def dropNearDuplicates(docs: DataFrame, pairs: DataFrame,

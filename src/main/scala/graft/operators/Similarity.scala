@@ -372,6 +372,43 @@ object Similarity {
       left.select(col(leftId).as("query_id"), col(leftVec).as("query_vec")),
       right.select(col(rightId).as("vec_id"), col(rightVec).as("embedding")), k)
 
+  /** kNN-CLASSIFIER weak labeling — the semi-supervised labeling pass
+    * a training-data pipeline runs when a small labeled seed set must
+    * annotate the rest of the corpus (the classic transductive kNN /
+    * label-spreading step): each unlabeled vector takes the MAJORITY
+    * label among its k nearest labeled neighbors by cosine, ties to
+    * the smallest label (the repo's determinism discipline — integer
+    * votes, integer tiebreak, no float scoring beyond the ranked
+    * cosine both engines already compute bit-equally).
+    *
+    * The neighbor search here is the exact [[bruteForceTopK]] (the
+    * oracle regime); at scale the candidate stage swaps for the
+    * shared materialized index's probe ([[graft.sources.VectorIndex]])
+    * exactly as s16/s26 serve their queries — the vote aggregation is
+    * unchanged either way.
+    *
+    * @return (query_id, label_pred, votes, top_sim) — votes = how
+    *         many of the k neighbors carry the winning label; top_sim
+    *         = the best cosine among them (a confidence signal).
+    */
+  def knnClassify(queries: DataFrame, labeled: DataFrame, k: Int,
+      labelCol: String, corpusId: String = "vec_id",
+      corpusVec: String = "embedding"): DataFrame = {
+    val nn = bruteForceTopK(queries,
+      labeled.select(col(corpusId).as("vec_id"),
+        col(corpusVec).as("embedding")), k)
+    val votes = nn.join(
+        labeled.select(col(corpusId).as("neighbor_id"),
+          col(labelCol).cast("long").as("__lbl")), "neighbor_id")
+      .groupBy(col("query_id"), col("__lbl"))
+      .agg(count(lit(1)).as("votes"), max(col("sim")).as("top_sim"))
+    votes.groupBy("query_id")
+      .agg(min(struct((-col("votes")).as("nv"), col("__lbl").as("l"),
+        (-col("top_sim")).as("ns"))).as("pick"))
+      .select(col("query_id"), col("pick.l").as("label_pred"),
+        (-col("pick.nv")).as("votes"), (-col("pick.ns")).as("top_sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold —
     * VERIFY-STAGE-ONLY: this is an all-pairs nested-loop join (O(n^2),
     * broadcast of one whole side). Use `nearDupPairsBlocked` as the

@@ -31,6 +31,18 @@ object SparkShims {
   def drainListenerBus(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
 
+  /** Re-tag a batch DataFrame as STREAMING — what a v1
+    * `Source.getBatch` must return (MicroBatchExecution asserts
+    * `isStreaming`; FileStreamSource does exactly this via the same
+    * `internalCreateDataFrame(…, isStreaming = true)` seam). The rows
+    * and schema are the batch plan's own; only the flag changes. */
+  def asStreamingDataFrame(
+      df0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val df = df0.asInstanceOf[org.apache.spark.sql.classic.DataFrame]
+    df.sparkSession.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
+
   /** `Dataset.localCheckpoint` drops the physical layout's
     * partitioning at the LogicalRDD boundary when AQE is on (the
     * adaptive root reports no outputPartitioning), so an iterative

@@ -67,7 +67,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * sinks to raw files with no table metadata; this is the catalog
   * layer a production descendant of that pipeline grows first. */
 final class GraftManifestSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider
+    with DataSourceRegister {
   override def shortName(): String = "graft"
 
   private def rootOf(parameters: Map[String, String]): String =
@@ -141,6 +143,135 @@ final class GraftManifestSource extends RelationProvider
         FileManifest.commitVersion(spark, pm, root)
     }
     createRelation(sqlContext, parameters)
+  }
+
+  // ---- streaming READ: the committed version chain as a Source ----
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), GraftStreamSource.schemaOf(
+      sqlContext.sparkSession, rootOf(parameters)))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): org.apache.spark.sql.execution
+      .streaming.Source =
+    new GraftStreamSource(sqlContext.sparkSession, rootOf(parameters),
+      parameters.get("startingversion")
+        .orElse(parameters.get("startingVersion")).map(_.toLong)
+        .getOrElse(0L))
+}
+
+/** `spark.readStream.format("graft")` — the INCREMENTAL read side of
+  * the table format (Delta's streaming-source role): offsets are the
+  * catalog's committed VERSION numbers, and each micro-batch is
+  * exactly the files ADDED by the versions in its (start, end] range,
+  * read through the catalog with the partition column restored from
+  * the directory encoding — O(increment) IO per batch however large
+  * the table has grown, which is the whole point at 100 TB (tailing a
+  * table must not re-list, let alone re-read, the table).
+  *
+  * Exactly-once composes with the c9 sink discipline for free: the
+  * version chain is immutable and the offset IS the version, so a
+  * restarted query re-reads precisely the committed versions its
+  * checkpoint says it owes, bit-for-bit.
+  *
+  * Semantics guard: the source REFUSES a version that removed or
+  * replaced files (overwrite, compaction, CoW delete) — silently
+  * re-emitting rewritten rows or skipping removals would corrupt
+  * every downstream aggregate (Delta's readChangeFeed-less default
+  * makes the same refusal). Appends are the streaming contract;
+  * `startingVersion` picks where the tail begins (default 0 = the
+  * table's full history, the bootstrap-then-follow pattern).
+  */
+final class GraftStreamSource(spark: SparkSession, root: String,
+    startingVersion: Long)
+    extends org.apache.spark.sql.execution.streaming.Source {
+  import org.apache.spark.sql.execution.streaming.{Offset => V1Offset}
+  import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+
+  private val schema0 = GraftStreamSource.schemaOf(spark, root)
+  override def schema: StructType = schema0
+
+  override def getOffset: Option[V1Offset] =
+    FileManifest.latestVersion(spark, root).map(LongOffset(_))
+
+  private def versionOf(o: V1Offset): Long = o match {
+    case LongOffset(v) => v
+    case other => other.json.trim.toLong
+  }
+
+  private def filesOf(v: Long): Set[String] =
+    FileManifest.loadVersion(spark, root, v)
+      .partitions.valuesIterator.flatten.map(_.path).toSet
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset)
+      : DataFrame = {
+    val from = start.map(versionOf(_) + 1).getOrElse(startingVersion)
+    val to = versionOf(end)
+    var prev: Set[String] =
+      if (from == 0L) Set.empty else filesOf(from - 1)
+    val added = Seq.newBuilder[String]
+    for (v <- from to to) {
+      val cur = filesOf(v)
+      val removed = prev -- cur
+      if (removed.nonEmpty)
+        throw new IllegalStateException(
+          s"graft stream at $root: version $v removed/replaced " +
+            s"${removed.size} file(s) — the streaming source requires " +
+            "an append-only version chain (overwrite/compaction/delete " +
+            "history cannot be tailed; start a fresh stream from a " +
+            "snapshot instead)")
+      added ++= (cur -- prev).toSeq.sorted
+      prev = cur
+    }
+    val paths = added.result()
+    val anyFile = prev.headOption.getOrElse(
+      filesOf(to).headOption.getOrElse(throw new IllegalStateException(
+        s"graft stream at $root: version $to has no files")))
+    // every write batch owns an immutable data/b<N> directory, so the
+    // partition dirs of different versions have different parents —
+    // one basePath cannot span them; read per batch dir and union
+    def readWithBase(fs: Seq[String]): DataFrame =
+      fs.groupBy(GraftStreamSource.tableRootOf).toSeq.sortBy(_._1)
+        .map { case (base, group) =>
+          spark.read.option("basePath", base).parquet(group.sorted: _*)
+        }
+        .reduce(_.unionByName(_))
+    val batch0 =
+      if (paths.nonEmpty) readWithBase(paths)
+      else readWithBase(Seq(anyFile))
+        .where(org.apache.spark.sql.functions.lit(false))
+    // pin every batch to the DECLARED schema: partition-column type
+    // inference must not drift between batches
+    val batch = batch0.select(schema0.fields.toSeq.map(f =>
+      org.apache.spark.sql.functions.col(f.name).cast(f.dataType)): _*)
+    org.apache.spark.sql.graftshim.SparkShims.asStreamingDataFrame(batch)
+  }
+
+  override def stop(): Unit = ()
+  override def toString: String = s"GraftStreamSource[$root]"
+}
+
+object GraftStreamSource {
+  /** The table root is the parent of the partition directories —
+    * every data file lives at <root>/<col>=<val>/<file>. */
+  private[sources] def tableRootOf(file: String): String =
+    new Path(file).getParent.getParent.toString
+
+  /** Declared stream schema: the data files' columns plus the
+    * directory-encoded partition column, exactly as a batch read
+    * with the same basePath resolves them. */
+  private[sources] def schemaOf(spark: SparkSession,
+      root: String): StructType = {
+    val pm = FileManifest.loadLatest(spark, root)
+    val sample = pm.partitions.valuesIterator.flatten
+      .map(_.path).toSeq.sorted.headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"empty graft catalog under $root"))
+    spark.read.option("basePath", tableRootOf(sample))
+      .parquet(sample).schema
   }
 }
 

@@ -2527,6 +2527,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.filter(_._1 == 3L).forall(_._3 == 0L))
   }
 
+  test("canonical dedup: longest wins, ties to min id, singletons keep themselves") {
+    val docs = Seq((1L, 10L), (2L, 50L), (3L, 50L), (9L, 5L))
+      .toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.canonical(docs, "doc_id", "n_chars", pairs,
+        "id_a", "id_b")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4)))
+    // component {1,2,3}: 2 and 3 tie at 50 chars — min id 2 wins
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L, 9L))
+    assert(got.take(3).map(_._2).distinct.length == 1,
+      "1,2,3 must share a group")
+    assert(got.take(3).forall(_._3 == 2L), s"canonical must be 2: ${got.toSeq}")
+    assert(got.map(_._4).toSeq == Seq(false, true, false, true))
+    assert(got.take(3).forall(_._5 == 3L) && got(3) == ((9L, 9L, 9L, true, 1L)),
+      s"singleton must keep itself with size 1: ${got.toSeq}")
+  }
+
+  test("knn classify: majority label, vote tie to smallest label, confidence") {
+    val labeled = Seq(
+      (10L, Array(1.0f, 0.0f), 0L), (11L, Array(0.99f, 0.14f), 1L),
+      (12L, Array(0.95f, 0.31f), 1L), (13L, Array(0.0f, 1.0f), 2L),
+      (14L, Array(-1.0f, 0.0f), 2L)).toDF("vec_id", "embedding", "label")
+    val q = Seq((1L, Array(1.0f, 0.05f)))
+      .toDF("query_id", "query_vec")
+    // k=3: neighbors 10(l0), 11(l1), 12(l1) -> label 1 with 2 votes
+    val g3 = Similarity.knnClassify(q, labeled, k = 3, "label").collect()
+    assert(g3.length == 1)
+    assert(g3(0).getLong(1) == 1L && g3(0).getLong(2) == 2L,
+      s"majority of {0,1,1} is 1 with 2 votes: ${g3.toSeq}")
+    assert(g3(0).getDouble(3) > 0.9, "confidence carries the best cosine")
+    // k=2: neighbors 10(l0), 11(l1) -> 1-1 tie, smallest label 0 wins
+    val g2 = Similarity.knnClassify(q, labeled, k = 2, "label").collect()
+    assert(g2(0).getLong(1) == 0L && g2(0).getLong(2) == 1L,
+      s"vote tie must break to the smallest label: ${g2.toSeq}")
+  }
+
   test("resample: grid spans entity, LOCF fills gaps, same-day ties to max id") {
     import java.sql.Timestamp
     def d(day: Int, h: Int) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")

@@ -1290,4 +1290,74 @@ class StreamingSpec extends AnyFunSuite {
         "main must still point at the last published batch")
     } finally q.stop()
   }
+
+  test("graft stream source: incremental version tail, checkpoint resume, non-append refusal") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ssrc").toString
+    val root = s"$tmp/cat"
+    val ckpt = s"$tmp/ckpt"
+    def save(rows: Seq[(Long, String, Long)], mode: String): Unit =
+      rows.toDF("k", "p", "v").write.format("graft").option("path", root)
+        .option("partitionBy", "p").option("clusterBy", "k")
+        .option("files", "2").mode(mode).save()
+    save(Seq((1L, "a", 10L), (2L, "a", 20L)), "overwrite") // v0 (create)
+    val batches =
+      scala.collection.mutable.ArrayBuffer[(Long, Set[(Long, String)])]()
+    def startQ(extra: Map[String, String] = Map.empty,
+        cp: String = ckpt) = {
+      val reader = spark.readStream.format("graft").option("path", root)
+      extra.foreach { case (k, v) => reader.option(k, v) }
+      reader.load()
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              id: Long) =>
+            val got = b.collect()
+              .map(r => (r.getAs[Long]("k"), r.getAs[String]("p"))).toSet
+            batches.synchronized { batches += ((id, got)) }
+            ()
+        }
+        .start()
+    }
+    // v0 drains as the first batch; v1 arrives WHILE the stream runs
+    // and must surface as its own increment (only the new files read)
+    val q = startQ()
+    try {
+      q.processAllAvailable()
+      save(Seq((3L, "b", 30L), (4L, "b", 40L)), "append") // v1
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(batches.map(_._2).toList == List(
+      Set((1L, "a"), (2L, "a")), Set((3L, "b"), (4L, "b"))),
+      s"increments must be per-version and partition-restored: $batches")
+    // v2 lands while the stream is DOWN; the checkpointed restart owes
+    // exactly that increment — nothing re-read, nothing skipped
+    save(Seq((5L, "a", 50L)), "append") // v2
+    batches.clear()
+    val q2 = startQ()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(batches.map(_._2).toList == List(Set((5L, "a"))),
+      s"resume must deliver only the unseen version: $batches")
+    // startingVersion skips history: a FRESH checkpoint tailing from
+    // v2 sees only v2's files
+    batches.clear()
+    val q3 = startQ(Map("startingVersion" -> "2"), cp = s"$tmp/ckpt3")
+    try q3.processAllAvailable() finally q3.stop()
+    assert(batches.map(_._2).toList == List(Set((5L, "a"))),
+      s"startingVersion=2 must read only v2's increment: $batches")
+    // an overwrite REPLACES files — tailing across it must refuse
+    // loudly (silently re-emitting rewritten rows would corrupt every
+    // downstream aggregate)
+    save(Seq((9L, "a", 90L)), "overwrite") // v3: non-append
+    batches.clear()
+    val q4 = startQ()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q4.processAllAvailable() finally q4.stop()
+    }
+    def chainMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ chainMessages(x.getCause))
+    assert(chainMessages(e).exists(_.contains("append-only")),
+      s"refusal must name the append-only contract: ${chainMessages(e)}")
+  }
 }
