@@ -1702,6 +1702,53 @@ object SparkEntry {
           sum("event_id").as("sum_ids"))
         .orderBy("event_type")
     }),
+    // MEDALLION HOP (r10): the full bronze→silver pipeline as ONE
+    // continuous composition — c10's incremental version tail reads
+    // the bronze graft table, a stateless quality transform drops the
+    // error rows, and c9's write-audit-publish lands every micro-batch
+    // on the governed silver table (staged, audited, atomically
+    // published). Each hop is O(increment) at both ends: the source
+    // reads only added files, the sink audits only the batch — the
+    // shape a 100 TB lakehouse tier actually runs
+    "c11_medallion" -> ((s, dir) => {
+      import graft.streaming.GovernedIngest
+      val tmp = layoutDir("c11", dir)
+      val bronze = s"$tmp/bronze"
+      Seq(s"$tmp/bronze", s"$tmp/scat", s"$tmp/st", s"$tmp/sstage",
+        s"$tmp/ckpt").foreach(freshDir(s, _))
+      val ev = T(s, dir, "events")
+      def save(slice: org.apache.spark.sql.DataFrame, mode: String): Unit =
+        slice.write.format("graft").option("path", bronze)
+          .option("partitionBy", "event_type").option("clusterBy", "user_id")
+          .option("files", "6").mode(mode).save()
+      save(ev.where(col("user_id") < 5), "overwrite") // bronze v0
+      save(ev.where(col("user_id").between(5, 9)), "append") // v1
+      save(ev.where(col("user_id") >= 10), "append") // v2
+      val t = GovernedIngest.Table(s"$tmp/scat", s"$tmp/st", s"$tmp/sstage",
+        "event_type", "user_id",
+        Seq(Expectations.notNull("user_id"),
+          Expectations.inSet("event_type",
+            Seq("view", "click", "purchase", "signup"))),
+        numFiles = 6)
+      def clean(df: org.apache.spark.sql.DataFrame) =
+        df.where(col("event_type") =!= "error")
+          .select(ev.columns.map(col): _*) // pin bronze's column order
+      // silver v0 = the cleaned bronze v0; the stream owes v1 onward
+      GovernedIngest.init(s, t, clean(
+        s.read.format("graft").option("path", bronze).option("version", "0")
+          .load()))
+      val src = s.readStream.format("graft").option("path", bronze)
+        .option("startingVersion", "1").load()
+      val q = GovernedIngest.wapStream(clean(src), t, s"$tmp/ckpt")
+      try { q.processAllAvailable() } finally { q.stop() }
+      GovernedIngest.publishedRead(s, t)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("total_value"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum("event_id").as("sum_ids"))
+        .orderBy("event_type")
+    }),
     // STREAMING READ of the graft table (r10, `GraftStreamSource`):
     // the incremental tail side of the format — offsets are committed
     // catalog versions, each micro-batch reads exactly the files the
@@ -5045,6 +5092,16 @@ object SparkEntry {
     // (purchases with user_id 5-9) absent, the replayed batch 0
     // counted ONCE — any double-apply or leaked rejected row breaks
     // the aggregate
+    // c11: silver = every event that survives the quality transform,
+    // whatever version carried it through the hop
+    "c11_medallion" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_ids
+        |FROM events WHERE event_type <> 'error'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // c10: the three appended versions partition events exactly — the
     // drained stream must re-aggregate to the whole relation
     "c10_stream_read" ->

@@ -1291,6 +1291,55 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("medallion hop: bronze tail feeds silver WAP, rejected increment never lands") {
+    import spark.implicits._
+    import graft.sources.FileManifest
+    import graft.streaming.GovernedIngest
+    import graft.operators.Expectations
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hop").toString
+    val bronze = s"$tmp/bronze"
+    def save(rows: Seq[(Long, String, Long)], mode: String): Unit =
+      rows.toDF("id", "k", "v").write.format("graft").option("path", bronze)
+        .option("partitionBy", "k").option("clusterBy", "id")
+        .option("files", "2").mode(mode).save()
+    save(Seq((1L, "a", 10L), (2L, "b", 20L)), "overwrite") // bronze v0
+    val t = GovernedIngest.Table(s"$tmp/scat", s"$tmp/st", s"$tmp/sstage",
+      "k", "id", Seq(Expectations.inSet("k", Seq("a", "b"))), numFiles = 2)
+    def served: Set[(Long, String, Long)] =
+      GovernedIngest.publishedRead(spark, t).collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[String]("k"),
+          r.getAs[Long]("v"))).toSet
+    GovernedIngest.init(spark, t,
+      spark.read.format("graft").option("path", bronze)
+        .option("version", "0").load().select("id", "k", "v"))
+    assert(served == Set((1L, "a", 10L), (2L, "b", 20L)))
+    val src = spark.readStream.format("graft").option("path", bronze)
+      .option("startingVersion", "1").load().select("id", "k", "v")
+    val q = GovernedIngest.wapStream(src, t, s"$tmp/ckpt")
+    try {
+      // bronze v1: clean — the hop must land it on silver main
+      save(Seq((3L, "a", 30L)), "append")
+      q.processAllAvailable()
+      assert(served == Set((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 30L)),
+        s"clean bronze increment must publish: $served")
+      // bronze v2: partition value outside silver's contract — the
+      // audit refuses; bronze keeps it, silver main never moves
+      save(Seq((4L, "zz", 40L)), "append")
+      q.processAllAvailable()
+      assert(served == Set((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 30L)),
+        s"rejected increment must never reach silver: $served")
+      val run = GovernedIngest.runTag(spark, s"$tmp/ckpt")
+      assert(FileManifest.listRefs(spark, t.vroot)
+        .exists(_._2.startsWith(s"rejected-$run-")),
+        "the refusal must leave its audit-trail tag")
+      // bronze v3: the hop continues past the rejection
+      save(Seq((5L, "b", 50L)), "append")
+      q.processAllAvailable()
+      assert(served == Set((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 30L),
+        (5L, "b", 50L)), s"hop must continue past a rejection: $served")
+    } finally q.stop()
+  }
+
   test("graft stream source: incremental version tail, checkpoint resume, non-append refusal") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-ssrc").toString
