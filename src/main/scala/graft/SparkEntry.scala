@@ -2515,6 +2515,18 @@ object SparkEntry {
             .where(col("fmt") === "wav"),
           frameSamples = 256)
         .orderBy("doc_id", "frame_idx")),
+    // energy-gated VAD segmentation (r10): 16-sample frames, active
+    // iff mean per-sample energy ≥ 6.6e8 (an exact integer compare),
+    // consecutive active frames merged into segments by the
+    // gaps-and-islands rank trick — the keep-the-speech pass before
+    // transcription; ~47% of frames are active at this gate, so the
+    // islands are real
+    "m7_vad_segments" -> ((s, dir) =>
+      Multimodal.voiceSegments(
+          Multimodal.fromDocuments(T(s, dir, "documents"))
+            .where(col("fmt") === "wav"),
+          frameSamples = 16, meanEnergyThreshold = 660000000L)
+        .orderBy("doc_id", "seg_id")),
     // VIDEO FRAME SAMPLING (r9): every doc becomes a real RIFF/AVI-
     // shaped container (LIST movi + 00db frame chunks, assembled
     // declaratively); frameSample parses the movi stream FROM THE
@@ -4896,6 +4908,38 @@ object SparkEntry {
         |  CAST(list_max(list_transform(sm, x -> abs(x))) AS BIGINT) AS peak,
         |  CAST(list_sum(list_transform(sm, x -> x * x)) AS BIGINT) AS energy
         |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
+    // m7: the m3 sample chain at 16-sample frames + the same integer
+    // energy gate + the identical islands rank replay
+    "m7_vad_segments" ->
+      """WITH m AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) // 2 AS ns
+        |  FROM documents
+        |  WHERE source >= 'src8' AND octet_length(encode(text)) >= 2),
+        |f AS (SELECT doc_id, CAST(u.i AS INT) AS frame_idx,
+        |    substr(hx, CAST(u.i AS INT) * 64 + 1, 64) AS fhx
+        |  FROM m, unnest(generate_series(0, (ns + 15) // 16 - 1)) AS u(i)),
+        |r AS (SELECT doc_id, frame_idx,
+        |    list_transform(range(1, length(fhx) // 4 + 1), i ->
+        |      CAST(('0x' || substr(fhx, 4*i - 3, 2)) AS BIGINT) +
+        |      256 * CAST(('0x' || substr(fhx, 4*i - 1, 2)) AS BIGINT)) AS u16
+        |  FROM f),
+        |e AS (SELECT doc_id, frame_idx, len(sm) AS n,
+        |    CAST(list_sum(list_transform(sm, x -> x * x)) AS BIGINT) AS energy
+        |  FROM (SELECT doc_id, frame_idx, list_transform(u16, v ->
+        |      CASE WHEN v >= 32768 THEN v - 65536 ELSE v END) AS sm FROM r)),
+        |a AS (SELECT doc_id, frame_idx, energy,
+        |    frame_idx - row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY frame_idx) AS isl
+        |  FROM e WHERE energy >= 660000000 * n),
+        |g AS (SELECT doc_id, isl, min(frame_idx) AS start_frame,
+        |    max(frame_idx) AS end_frame,
+        |    CAST(count(*) AS BIGINT) AS n_frames,
+        |    CAST(sum(energy) AS BIGINT) AS total_energy
+        |  FROM a GROUP BY doc_id, isl)
+        |SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY start_frame) - 1 AS BIGINT) AS seg_id,
+        |  start_frame, end_frame, n_frames, total_energy
+        |FROM g ORDER BY doc_id, seg_id""".stripMargin,
     // m4: the movi frames ARE even-length payload slices, so the
     // oracle slices hex(encode(text)) directly with the same
     // nf/flen arithmetic — the engine's container parse must land on

@@ -528,6 +528,44 @@ object Multimodal {
       aggregate(samples, lit(0L), (a, s) => a + s * s).as("energy"))
   }
 
+  /** ENERGY-GATED ACTIVITY SEGMENTATION over PCM frames — the
+    * VAD-shaped pass an audio curation pipeline runs before
+    * transcription (keep the spans worth sending to the ASR model,
+    * drop the silence): frames from [[audioFrames]] whose mean
+    * per-sample energy clears `meanEnergyThreshold` (integer compare
+    * `energy ≥ threshold · n_samples` — Σs² is already exact) are
+    * ACTIVE, and maximal runs of consecutive active frames merge into
+    * segments via the gaps-and-islands discipline (frame_idx minus
+    * its per-doc rank is constant exactly on a run). One window pass
+    * + one aggregation per doc after the frame explode — the same
+    * partition-local shape as the session window operator, entity
+    * histories the natural partition unit at scale. A real VAD swaps
+    * the energy gate for a model score; the segmentation algebra —
+    * the Spark-side plumbing — is identical.
+    *
+    * @return (id, seg_id, start_frame, end_frame, n_frames,
+    *         total_energy) — seg_id 0-based per doc in frame order.
+    */
+  def voiceSegments(media: DataFrame, idCol: String = "doc_id",
+      mediaCol: String = "media", frameSamples: Int = 256,
+      meanEnergyThreshold: Long = 1L): DataFrame = {
+    require(meanEnergyThreshold >= 0)
+    import org.apache.spark.sql.expressions.Window
+    val fr = audioFrames(media, idCol, mediaCol, frameSamples)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("frame_idx"))
+    fr.where(col("energy") >= lit(meanEnergyThreshold) * col("n_samples"))
+      .withColumn("__isl", col("frame_idx") - row_number().over(w))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min("frame_idx").as("start_frame"),
+        max("frame_idx").as("end_frame"),
+        count(lit(1)).as("n_frames"), sum("energy").as("total_energy"))
+      .withColumn("seg_id",
+        row_number().over(Window.partitionBy(col(idCol))
+          .orderBy(col("start_frame"))).cast("long") - 1)
+      .select(col(idCol), col("seg_id"), col("start_frame"),
+        col("end_frame"), col("n_frames"), col("total_energy"))
+  }
+
   /** Build a "video" table from `documents`: each row becomes a REAL
     * RIFF/AVI-shaped container — `RIFF <sz> AVI ` + `LIST <sz> movi`
     * holding `n_frames` uncompressed `00db` frame chunks (the classic

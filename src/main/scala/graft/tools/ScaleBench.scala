@@ -231,7 +231,21 @@ object ScaleBench {
       "s29_vector_index_bq", "g12_modularity", "f18_join_file_prune",
       "s30_nn_descent", "s31_graph_serve", "q36_lateral_topn",
       "q37_unpivot", "d20_typo_pairs", "c8_incremental_agg",
-      "g13_harmonic", "t9_stream_distinct")
+      "g13_harmonic", "t9_stream_distinct",
+      // r10 second wave: walks/fanouts ride the fixed-node graph's
+      // densification (per-step join over ~f edges, walk/seed cohorts
+      // fixed; g16's output is fanout-capped by construction); the
+      // time-series pair is one grouped scan (+ one window pass per
+      // ~f entities for t10); p10 is one grouped scan; f20 is layout
+      // write + the executor-side word fold (~f rows into a fixed
+      // files x m/64 result) + a residual point read; d21 is the d8
+      // component chain + one argmax join; c10/c11 write ~f versions
+      // and drain them through the stream (source IO ~f added files)
+      "g15_random_walks", "g16_neighbor_sample", "t10_resample",
+      "t11_ohlc", "p10_kanon", "f20_bloom_skip", "d21_canonical",
+      "c10_stream_read", "c11_medallion",
+      // m7: frame explode ~f + a per-doc window pass (docs ~f)
+      "m7_vad_segments")
       // x18/x19 are NOT here for x12's reason (salting renames their
       // literal terms) — the salted cases below measure real phrase/
       // proximity retrieval.
@@ -248,8 +262,13 @@ object ScaleBench {
     // ⇒ wedge work ~f²) at p³ = 1/8 of the closing work on the kept
     // subgraph — the sampled profile should show the same curve shape
     // as g3 at a constant fraction of the cost
+    // s32: the unlabeled query cohort is 4/5 of the corpus and the
+    // labeled side 1/5 — BOTH grow ~f, so the exact vote stage is
+    // honestly f² (s1's profile with growing queries); the scale path
+    // swaps the candidate stage for the index probe, vote unchanged
     val quadOps = Seq("d5_embed_neardup", "s1_ann_bruteforce",
-      "q32_range_join", "g3_triangles", "g14_triangle_sample", "s25_mips")
+      "q32_range_join", "g3_triangles", "g14_triangle_sample", "s25_mips",
+      "s32_knn_classify")
 
     // Candidate-stage scale check for the re-ranking ANN paths: a 10x
     // query batch (100 queries vs the SparkEntry entries' 10) over the

@@ -2527,6 +2527,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.filter(_._1 == 3L).forall(_._3 == 0L))
   }
 
+  test("vad segments: energy gate, islands merge, gaps split, seg ids ordered") {
+    // 4 frames of 4 samples: loud, loud, quiet, loud -> segments
+    // [0..1] and [3..3] at a gate the quiet frame misses
+    def le16(v: Int): Seq[Byte] =
+      Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val loud = Seq.fill(4)(1000)
+    val quiet = Seq.fill(4)(1)
+    val pcm = (loud ++ loud ++ quiet ++ loud).flatMap(le16)
+    val wav = (Array.fill[Byte](44)(0) ++ pcm).toArray
+    val media = Seq((7L, wav)).toDF("doc_id", "media")
+    val got = Multimodal.voiceSegments(media, frameSamples = 4,
+        meanEnergyThreshold = 100L)
+      .orderBy("seg_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (7L, 0L, 0, 1, 2L, 2 * 4 * 1000L * 1000L),
+      (7L, 1L, 3, 3, 1L, 4 * 1000L * 1000L)), s"got ${got.toSeq}")
+    // an all-quiet doc yields zero segments
+    val silent = Seq((8L, (Array.fill[Byte](44)(0) ++
+      quiet.flatMap(le16)).toArray)).toDF("doc_id", "media")
+    assert(Multimodal.voiceSegments(silent, frameSamples = 4,
+      meanEnergyThreshold = 100L).isEmpty)
+  }
+
   test("canonical dedup: longest wins, ties to min id, singletons keep themselves") {
     val docs = Seq((1L, 10L), (2L, 50L), (3L, 50L), (9L, 5L))
       .toDF("doc_id", "n_chars")

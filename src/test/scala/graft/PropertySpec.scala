@@ -224,6 +224,25 @@ object PropertySpec extends Properties("graft.kernels") {
       ok && agg.deserialize(agg.serialize(buf)) == buf
     }
 
+  property("bloom words: every inserted value contained, empty bloom contains none") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(-100000L, 100000L)),
+      Gen.oneOf(64, 128, 512), Gen.choose(1, 4)) { (vs, m, k) =>
+      // replicate buildBloomManifest's word fold in plain scala: the
+      // no-false-negative contract is structural (every probe of every
+      // member is set), whatever the (m, k) shape
+      val words = new Array[Long](m / 64)
+      vs.distinct.foreach { v =>
+        (0 until k).foreach { i =>
+          val p = graft.sources.FileManifest.bloomPos(i, v, m)
+          words(p >> 6) |= 1L << (p & 63)
+        }
+      }
+      val b = graft.sources.FileManifest.BloomStats("f", m, k, words)
+      val empty = graft.sources.FileManifest.BloomStats("e", m, k,
+        new Array[Long](m / 64))
+      vs.forall(b.mightContain) && vs.forall(!empty.mightContain(_))
+    }
+
   property("Misra-Gries merge keeps the bound over both halves") =
     forAll(tokenStream, tokenStream, Gen.choose(1, 12)) { (xs, ys, cap) =>
       val merged = mgMerge(mgRun(xs, cap), mgRun(ys, cap), cap)
