@@ -593,9 +593,14 @@ object Dedup {
   def canonical(docs: DataFrame, idCol: String, scoreCol: String,
       pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
     val comp = groups(pairs, aCol, bCol)
+    // a null score would sort FIRST in the argmin struct (nulls-first
+    // ASC) and make the scoreless doc the canonical — rank it LAST
+    // instead (a doc with no length/quality signal never represents
+    // its group unless it is alone in it)
     val g = docs
       .select(col(idCol).cast("long").as("doc_id"),
-        col(scoreCol).cast("long").as("__score"))
+        coalesce(col(scoreCol).cast("long"), lit(Long.MinValue + 1))
+          .as("__score"))
       .join(comp, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("group_id"), col("doc_id")).as("group_id"),

@@ -397,9 +397,12 @@ object Similarity {
     val nn = bruteForceTopK(queries,
       labeled.select(col(corpusId).as("vec_id"),
         col(corpusVec).as("embedding")), k)
+    // a null label would sort FIRST in the argmin struct and win every
+    // vote tie — unlabeled rows do not belong in the seed set
     val votes = nn.join(
         labeled.select(col(corpusId).as("neighbor_id"),
-          col(labelCol).cast("long").as("__lbl")), "neighbor_id")
+          col(labelCol).cast("long").as("__lbl"))
+          .where(col("__lbl").isNotNull), "neighbor_id")
       .groupBy(col("query_id"), col("__lbl"))
       .agg(count(lit(1)).as("votes"), max(col("sim")).as("top_sim"))
     votes.groupBy("query_id")

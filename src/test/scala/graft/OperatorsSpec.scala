@@ -2553,9 +2553,18 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("canonical dedup: longest wins, ties to min id, singletons keep themselves") {
-    val docs = Seq((1L, 10L), (2L, 50L), (3L, 50L), (9L, 5L))
-      .toDF("doc_id", "n_chars")
+    val docs = Seq((1L, Some(10L)), (2L, Some(50L)), (3L, Some(50L)),
+      (9L, Some(5L))).toDF("doc_id", "n_chars")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    // a null-score member must never become the canonical (it ranks
+    // LAST, not nulls-first): add doc 4 with no score into the group
+    val withNull = docs.union(Seq((4L, Option.empty[Long]))
+      .toDF("doc_id", "n_chars"))
+    val cn = Dedup.canonical(withNull, "doc_id", "n_chars",
+        pairs.union(Seq((3L, 4L)).toDF("id_a", "id_b")), "id_a", "id_b")
+      .where(col("doc_id") === 4L).collect()
+    assert(cn.length == 1 && cn(0).getLong(2) == 2L && !cn(0).getBoolean(3),
+      s"null-score doc must not represent its group: ${cn.toSeq}")
     val got = Dedup.canonical(docs, "doc_id", "n_chars", pairs,
         "id_a", "id_b")
       .orderBy("doc_id").collect()
@@ -2588,6 +2597,13 @@ class OperatorsSpec extends AnyFunSuite {
     val g2 = Similarity.knnClassify(q, labeled, k = 2, "label").collect()
     assert(g2(0).getLong(1) == 0L && g2(0).getLong(2) == 1L,
       s"vote tie must break to the smallest label: ${g2.toSeq}")
+    // a null-label seed is excluded, not elected on nulls-first ties
+    val withNull = labeled.select(col("vec_id"), col("embedding"),
+      when(col("vec_id") === 10L, lit(null)).otherwise(col("label"))
+        .as("label"))
+    val gN = Similarity.knnClassify(q, withNull, k = 2, "label").collect()
+    assert(gN(0).getLong(1) == 1L,
+      s"null-label neighbor must drop from the vote: ${gN.toSeq}")
   }
 
   test("resample: grid spans entity, LOCF fills gaps, same-day ties to max id") {
