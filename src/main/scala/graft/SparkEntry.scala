@@ -1300,6 +1300,63 @@ object SparkEntry {
         .agg(countDistinct("user_id").as("true_distinct"))
       est.join(truth, Seq("win")).orderBy("win")
     }),
+    // STREAMING TEMPORAL AS-OF JOIN as a driver-checked query (r10):
+    // the unbounded-validity enrichment the reference's 5 s interval
+    // join approximates, run through the REAL stateful stream
+    // (flatMapGroupsWithState: orders held until the watermark passes
+    // their event time, matched to the latest rate ≤ order time, rate
+    // buffer pruned to watermark+1). Two event-time-ordered halves +
+    // heartbeat batches drive watermark advancement deterministically;
+    // the split point IS a watermark boundary, so nothing is late and
+    // the drained output equals DuckDB's native ASOF LEFT JOIN
+    "t12_asof_stream" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.StatefulOps
+      import graft.streaming.StatefulOps.AsOfEvent
+      implicit val sqlCtx = s.sqlContext
+      val ev = T(s, dir, "events").where(col("user_id") < 30)
+      val o = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").cast("int").as("id"),
+          (col("user_id") % 10).cast("string").as("key"),
+          expr("unix_micros(ts) div 1000").as("tms"),
+          (col("event_id") % 500).cast("int").as("amount"))
+        .collect().map(r => AsOfEvent(r.getString(1), isRate = false,
+          new java.sql.Timestamp(r.getLong(2)), 0, r.getInt(0), r.getInt(3)))
+      // rates dedupe per (key, ms): max-event_id wins — ms truncation
+      // could otherwise leave a state-insertion-order tie
+      val r = ev.where(col("event_type") === "view")
+        .select((col("user_id") % 10).cast("string").as("key"),
+          expr("unix_micros(ts) div 1000").as("tms"),
+          struct(col("event_id"),
+            (col("event_id") % 1000).cast("int").as("rate")).as("p"))
+        .groupBy("key", "tms").agg(max("p").as("p"))
+        .select(col("key"), col("tms"), col("p.rate").as("rate"))
+        .collect().map(r => AsOfEvent(r.getString(0), isRate = true,
+          new java.sql.Timestamp(r.getLong(1)), r.getInt(2), 0, 0))
+      val all = (o ++ r).sortBy(_.ts.getTime)
+      val cut = all(all.length / 2).ts.getTime
+      val (b1, b2) = all.partition(_.ts.getTime <= cut)
+      val hbTs = all.map(_.ts.getTime).max
+      def hb(off: Long) = AsOfEvent("hb", isRate = true,
+        new java.sql.Timestamp(hbTs + off), 0, 0, 0)
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[AsOfEvent]
+      val q = StatefulOps.asOfEnrichStream(
+          in.toDS().withWatermark("ts", "1 second"))
+        .writeStream.format("memory").queryName("t12_sink")
+        .outputMode("append").start()
+      try {
+        in.addData(b1); q.processAllAvailable()
+        in.addData(b2); q.processAllAvailable()
+        in.addData(hb(10000)); q.processAllAvailable()
+        in.addData(hb(20000)); q.processAllAvailable()
+      } finally q.stop()
+      s.table("t12_sink")
+        .select(col("id"), col("key"),
+          expr("unix_millis(order_time)").as("order_ms"),
+          col("amount"), col("rate"), col("converted"))
+        .orderBy("id")
+    }),
     // daily-grid resample + forward fill (r10): irregular event log →
     // fixed-cadence per-user series, LOCF semantics (the reference's
     // "rate in effect at transaction time" carried onto a grid); grid
@@ -3665,6 +3722,25 @@ object SparkEntry {
     // t8: count per (hour, key), rank per hour, keep k — ties break
     // on key ascending exactly as the operator does
     // t9: a9's replayable-HLL chain keyed by the tumbling window
+    // t12: DuckDB's native ASOF LEFT JOIN is the oracle for the
+    // drained stateful stream — same ms truncation, same per-(key,ms)
+    // max-event_id rate dedupe
+    "t12_asof_stream" ->
+      """WITH o AS (SELECT CAST(event_id AS INT) AS id,
+        |    CAST(user_id % 10 AS VARCHAR) AS key,
+        |    epoch_us(ts) // 1000 AS tms, CAST(event_id % 500 AS INT) AS amount
+        |  FROM events WHERE event_type = 'purchase' AND user_id < 30),
+        |r0 AS (SELECT CAST(user_id % 10 AS VARCHAR) AS key,
+        |    epoch_us(ts) // 1000 AS tms,
+        |    CAST(event_id % 1000 AS INT) AS rate,
+        |    row_number() OVER (PARTITION BY user_id % 10, epoch_us(ts) // 1000
+        |      ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'view' AND user_id < 30),
+        |r AS (SELECT key, tms, rate FROM r0 WHERE rn = 1)
+        |SELECT o.id, o.key, o.tms AS order_ms, o.amount, r.rate,
+        |  CAST(o.amount * r.rate AS INT) AS converted
+        |FROM o ASOF LEFT JOIN r ON o.key = r.key AND r.tms <= o.tms
+        |ORDER BY o.id""".stripMargin,
     // t10/t11: grid + LOCF window and ordered-aggregate bars — the
     // value column is carried, never computed on, so double parity
     // is bit-exact

@@ -245,7 +245,11 @@ object ScaleBench {
       "t11_ohlc", "p10_kanon", "f20_bloom_skip", "d21_canonical",
       "c10_stream_read", "c11_medallion",
       // m7: frame explode ~f + a per-doc window pass (docs ~f)
-      "m7_vad_segments")
+      "m7_vad_segments",
+      // t12: the replicated copies' user ids shift out of the fixed
+      // cohort, so the stateful stream's input is constant — measures
+      // the stream machinery floor, not data scaling
+      "t12_asof_stream")
       // x18/x19 are NOT here for x12's reason (salting renames their
       // literal terms) — the salted cases below measure real phrase/
       // proximity retrieval.
