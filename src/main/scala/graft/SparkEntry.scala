@@ -805,6 +805,22 @@ object SparkEntry {
       Graph.randomWalks(graphEdges(T(s, dir, "lineitem")), "src", "dst",
           starts = 256L, walksPerNode = 2, length = 4)
         .orderBy("start", "walk", "step")),
+    // INCREMENTAL PageRank (r10): ranks maintained across an edge
+    // append — 4 cold rounds on the pre-append graph, then the edge
+    // batch lands and TWO warm rounds re-converge from the prior
+    // vector (new nodes start cold). The integer iteration composes
+    // exactly (pageRank(e, a+b) == pageRank(e, b, init=pageRank(e, a)),
+    // spec-pinned), so maintenance costs warm-rounds × one-shuffle
+    // instead of the full cold ladder after every append
+    "g17_pagerank_warm" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val oldRanks = Graph.pageRank(
+        graphEdges(li.where(col("l_linenumber") <= 4)), "src", "dst",
+        iterations = 4)
+      Graph.pageRank(graphEdges(li), "src", "dst", iterations = 2,
+          initRanks = Some(oldRanks))
+        .orderBy("node")
+    }),
     // GraphSAGE fanout sampling (r10): 2-hop sampled adjacency for
     // the seed cohort, ≤3 then ≤2 neighbors per expanded node via the
     // same deterministic per-(seed,hop,src) draw — bounded minibatch
@@ -3513,6 +3529,14 @@ object SparkEntry {
     "g14_triangle_sample" ->
       operators.Graph.triangleSampleOracleSql(triangleEdgesSql,
         num = 1, den = 2),
+    // g17: both phases unrolled — the cold ladder on the linenumber≤4
+    // subgraph, its vector seeding two rounds on the full graph
+    "g17_pagerank_warm" ->
+      operators.Graph.pageRankWarmOracleSql(
+        "SELECT DISTINCT l_orderkey % 4096 AS src, " +
+          "(l_partkey * 7 + l_suppkey) % 4096 AS dst FROM lineitem " +
+          "WHERE l_linenumber <= 4",
+        graphEdgesSql, coldIterations = 4, warmIterations = 2),
     // g15/g16: the same md5 draws, ROW_NUMBER over (md5, dst) replays
     // every successor choice / fanout cut exactly
     "g15_random_walks" ->

@@ -270,7 +270,8 @@ object Graph {
       iterations: Int, dampingPct: Int = 85,
       sources: Seq[Long] = Nil,
       conserveDangling: Boolean = false,
-      earlyExit: Boolean = false): DataFrame = {
+      earlyExit: Boolean = false,
+      initRanks: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 1 && dampingPct >= 0 && dampingPct <= 100)
     val RankGraph(nodes, outdeg, eo) = buildRankGraph(edges, srcCol, dstCol)
     val isSeed =
@@ -281,9 +282,22 @@ object Graph {
       if (!conserveDangling) 1L
       else if (sources.nonEmpty) sources.distinct.size.toLong
       else nodes.count()
-    var ranks = nodes
-      .withColumn("rank_u", when(isSeed, lit(1000000L)).otherwise(lit(0L)))
-      .transform(ckpt)
+    // WARM START: resume from a prior run's (node, rank_u) vector —
+    // the incremental-maintenance hook (see the g17 entry): the
+    // integer iteration is a pure function of the previous vector, so
+    // pageRank(e, a + b) == pageRank(e, b, initRanks = pageRank(e, a))
+    // EXACTLY (spec-pinned), and after an edge append a few warm
+    // rounds re-converge instead of paying the full cold ladder.
+    // Nodes absent from the init vector (new in this graph) start at
+    // the cold seed value.
+    val cold = when(isSeed, lit(1000000L)).otherwise(lit(0L))
+    var ranks = (initRanks match {
+      case Some(init) =>
+        nodes.join(init.select(col("node"), col("rank_u").as("__init")),
+            Seq("node"), "left")
+          .select(col("node"), coalesce(col("__init"), cold).as("rank_u"))
+      case None => nodes.withColumn("rank_u", cold)
+    }).transform(ckpt)
     var round = 0
     var converged = false
     while (round < iterations && !converged) {
@@ -1223,6 +1237,43 @@ object Graph {
     sb.append("\n" + tail.getOrElse(
       s"SELECT node, rank_u FROM r$iterations ORDER BY node"))
     sb.toString
+  }
+
+  /** DuckDB mirror of the WARM-START composition (the g17 entry):
+    * `coldIterations` rounds on the OLD edge set, then the resulting
+    * vector seeds `warmIterations` rounds on the FULL edge set (new
+    * nodes start cold). Plain damping only — the round template is
+    * [[pageRankOracleSql]]'s with distinct CTE names per phase. */
+  def pageRankWarmOracleSql(oldEdgesSql: String, fullEdgesSql: String,
+      coldIterations: Int, warmIterations: Int,
+      dampingPct: Int = 85): String = {
+    require(coldIterations >= 1 && warmIterations >= 1)
+    val base = ((100L - dampingPct) * 1000000L) / 100L
+    def rounds(pfx: String, n: Int): String =
+      (1 to n).map { i =>
+        s""",
+        |${pfx}c$i AS (SELECT e.dst AS node,
+        |  CAST(sum(r.rank_u // o.outdeg) AS BIGINT) AS inflow
+        |  FROM ${pfx}e e JOIN ${pfx}o o USING (src)
+        |  JOIN ${pfx}r${i - 1} r ON r.node = e.src
+        |  GROUP BY 1),
+        |${pfx}r$i AS (SELECT n.node, CAST($base +
+        |    ($dampingPct * COALESCE(c.inflow, 0)) // 100 AS BIGINT) AS rank_u
+        |  FROM ${pfx}n n LEFT JOIN ${pfx}c$i c USING (node))""".stripMargin
+      }.mkString
+    s"""WITH olde AS ($oldEdgesSql),
+      |oldn AS (SELECT src AS node FROM olde UNION SELECT dst FROM olde),
+      |oldo AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM olde
+      |  GROUP BY 1),
+      |oldr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_u FROM oldn)${rounds("old", coldIterations)},
+      |e AS ($fullEdgesSql),
+      |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      |o AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e
+      |  GROUP BY 1),
+      |r0 AS (SELECT n.node,
+      |  CAST(COALESCE(p.rank_u, 1000000) AS BIGINT) AS rank_u
+      |  FROM n LEFT JOIN oldr$coldIterations p USING (node))${rounds("", warmIterations)}
+      |SELECT node, rank_u FROM r$warmIterations ORDER BY node""".stripMargin
   }
 
   /** DeepWalk-style RANDOM-WALK CORPUS over the directed graph — the

@@ -249,7 +249,10 @@ object ScaleBench {
       // t12: the replicated copies' user ids shift out of the fixed
       // cohort, so the stateful stream's input is constant — measures
       // the stream machinery floor, not data scaling
-      "t12_asof_stream")
+      "t12_asof_stream",
+      // g17: cold ladder + warm rounds, each round one shuffle over
+      // ~f edges of the fixed-node densifying graph (the g2 profile)
+      "g17_pagerank_warm")
       // x18/x19 are NOT here for x12's reason (salting renames their
       // literal terms) — the salted cases below measure real phrase/
       // proximity retrieval.

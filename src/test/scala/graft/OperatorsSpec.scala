@@ -2493,6 +2493,26 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("warm-start pagerank: rounds compose exactly, new nodes start cold") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (1L, 3L), (3L, 0L))
+      .toDF("s", "d")
+    // pageRank(e, 5) == pageRank(e, 2, init = pageRank(e, 3)) — the
+    // integer iteration is a pure function of the previous vector
+    val full = Graph.pageRank(edges, "s", "d", iterations = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val warm = Graph.pageRank(edges, "s", "d", iterations = 2,
+        initRanks = Some(Graph.pageRank(edges, "s", "d", iterations = 3)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(warm == full, s"composition must be exact: $warm vs $full")
+    // a node absent from the init vector starts at the cold value:
+    // warm rounds on a grown graph == cold rounds seeded that way
+    val grown = edges.union(Seq((4L, 0L), (0L, 4L)).toDF("s", "d"))
+    val warmGrown = Graph.pageRank(grown, "s", "d", iterations = 2,
+        initRanks = Some(Graph.pageRank(edges, "s", "d", iterations = 3)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(warmGrown.contains(4L), "the appended node must be ranked")
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
