@@ -149,9 +149,16 @@ final class GraftManifestSource extends RelationProvider
 
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): (String, StructType) =
-    (shortName(), GraftStreamSource.schemaOf(
-      sqlContext.sparkSession, rootOf(parameters)))
+      parameters: Map[String, String]): (String, StructType) = {
+    val base = GraftStreamSource.schemaOf(
+      sqlContext.sparkSession, rootOf(parameters))
+    val wantVersion = parameters.get("withversioncolumn")
+      .orElse(parameters.get("withVersionColumn")).exists(_.toBoolean)
+    (shortName(),
+      if (wantVersion) base.add(StructField("_graft_version",
+        org.apache.spark.sql.types.LongType, nullable = false))
+      else base)
+  }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
@@ -160,7 +167,12 @@ final class GraftManifestSource extends RelationProvider
     new GraftStreamSource(sqlContext.sparkSession, rootOf(parameters),
       parameters.get("startingversion")
         .orElse(parameters.get("startingVersion")).map(_.toLong)
-        .getOrElse(0L))
+        .getOrElse(0L),
+      maxVersionsPerBatch = parameters.get("maxversionsperbatch")
+        .orElse(parameters.get("maxVersionsPerBatch")).map(_.toLong),
+      withVersionColumn = parameters.get("withversioncolumn")
+        .orElse(parameters.get("withVersionColumn"))
+        .exists(_.toBoolean))
 }
 
 /** `spark.readStream.format("graft")` — the INCREMENTAL read side of
@@ -186,16 +198,39 @@ final class GraftManifestSource extends RelationProvider
   * table's full history, the bootstrap-then-follow pattern).
   */
 final class GraftStreamSource(spark: SparkSession, root: String,
-    startingVersion: Long)
+    startingVersion: Long,
+    maxVersionsPerBatch: Option[Long] = None,
+    withVersionColumn: Boolean = false)
     extends org.apache.spark.sql.execution.streaming.Source {
   import org.apache.spark.sql.execution.streaming.{Offset => V1Offset}
   import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+  require(maxVersionsPerBatch.forall(_ >= 1),
+    s"maxVersionsPerBatch must be >= 1: $maxVersionsPerBatch")
 
-  private val schema0 = GraftStreamSource.schemaOf(spark, root)
+  private val schema0 = {
+    val base = GraftStreamSource.schemaOf(spark, root)
+    if (withVersionColumn)
+      base.add(StructField("_graft_version",
+        org.apache.spark.sql.types.LongType, nullable = false))
+    else base
+  }
   override def schema: StructType = schema0
 
+  // rate limiting (maxVersionsPerBatch, the maxFilesPerTrigger role):
+  // the source itself meters what it OFFERS — the v1 engine processes
+  // (committed, getOffset] as one batch, so a bounded drain of a long
+  // history needs the offer capped, not the read. getBatch raises the
+  // floor on restart (the engine replays the checkpointed range
+  // first), so recovery never re-meters what was already owed.
+  private var lastOffered: Long = startingVersion - 1L
+
   override def getOffset: Option[V1Offset] =
-    FileManifest.latestVersion(spark, root).map(LongOffset(_))
+    FileManifest.latestVersion(spark, root).map { latest =>
+      val capped = maxVersionsPerBatch
+        .map(m => math.min(latest, lastOffered + m)).getOrElse(latest)
+      lastOffered = math.max(capped, lastOffered)
+      LongOffset(lastOffered)
+    }
 
   private def versionOf(o: V1Offset): Long = o match {
     case LongOffset(v) => v
@@ -210,9 +245,10 @@ final class GraftStreamSource(spark: SparkSession, root: String,
       : DataFrame = {
     val from = start.map(versionOf(_) + 1).getOrElse(startingVersion)
     val to = versionOf(end)
+    lastOffered = math.max(lastOffered, to) // restart catch-up
     var prev: Set[String] =
       if (from == 0L) Set.empty else filesOf(from - 1)
-    val added = Seq.newBuilder[String]
+    val perVersion = Seq.newBuilder[(Long, Seq[String])]
     for (v <- from to to) {
       val cur = filesOf(v)
       val removed = prev -- cur
@@ -223,30 +259,36 @@ final class GraftStreamSource(spark: SparkSession, root: String,
             "an append-only version chain (overwrite/compaction/delete " +
             "history cannot be tailed; start a fresh stream from a " +
             "snapshot instead)")
-      added ++= (cur -- prev).toSeq.sorted
+      perVersion += ((v, (cur -- prev).toSeq.sorted))
       prev = cur
     }
-    val paths = added.result()
+    val groups = perVersion.result().filter(_._2.nonEmpty)
     val anyFile = prev.headOption.getOrElse(
       filesOf(to).headOption.getOrElse(throw new IllegalStateException(
         s"graft stream at $root: version $to has no files")))
+    import org.apache.spark.sql.functions.{col => fcol, lit => flit}
     // every write batch owns an immutable data/b<N> directory, so the
     // partition dirs of different versions have different parents —
-    // one basePath cannot span them; read per batch dir and union
-    def readWithBase(fs: Seq[String]): DataFrame =
-      fs.groupBy(GraftStreamSource.tableRootOf).toSeq.sortBy(_._1)
+    // one basePath cannot span them; read per batch dir and union.
+    // The version tag (when asked for) is a per-group literal — the
+    // CDC-feed shape downstream consumers key their own state on.
+    def readWithBase(fs: Seq[String], v: Long): DataFrame = {
+      val df = fs.groupBy(GraftStreamSource.tableRootOf).toSeq.sortBy(_._1)
         .map { case (base, group) =>
           spark.read.option("basePath", base).parquet(group.sorted: _*)
         }
         .reduce(_.unionByName(_))
+      if (withVersionColumn) df.withColumn("_graft_version", flit(v)) else df
+    }
     val batch0 =
-      if (paths.nonEmpty) readWithBase(paths)
-      else readWithBase(Seq(anyFile))
-        .where(org.apache.spark.sql.functions.lit(false))
+      if (groups.nonEmpty)
+        groups.map { case (v, fs) => readWithBase(fs, v) }
+          .reduce(_.unionByName(_))
+      else readWithBase(Seq(anyFile), to).where(flit(false))
     // pin every batch to the DECLARED schema: partition-column type
     // inference must not drift between batches
     val batch = batch0.select(schema0.fields.toSeq.map(f =>
-      org.apache.spark.sql.functions.col(f.name).cast(f.dataType)): _*)
+      fcol(f.name).cast(f.dataType)): _*)
     org.apache.spark.sql.graftshim.SparkShims.asStreamingDataFrame(batch)
   }
 

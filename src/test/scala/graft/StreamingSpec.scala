@@ -1291,6 +1291,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("graft stream source: version metering drains one per trigger, version column tags rows") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-meter").toString
+    val root = s"$tmp/cat"
+    def save(rows: Seq[(Long, String, Long)], mode: String): Unit =
+      rows.toDF("k", "p", "v").write.format("graft").option("path", root)
+        .option("partitionBy", "p").option("clusterBy", "k")
+        .option("files", "2").mode(mode).save()
+    save(Seq((1L, "a", 10L), (2L, "a", 20L)), "overwrite") // v0
+    save(Seq((3L, "b", 30L)), "append") // v1
+    save(Seq((4L, "a", 40L)), "append") // v2
+    val batches =
+      scala.collection.mutable.ArrayBuffer[Set[(Long, Long)]]()
+    val q = spark.readStream.format("graft").option("path", root)
+      .option("maxVersionsPerBatch", "1")
+      .option("withVersionColumn", "true").load()
+      .writeStream.option("checkpointLocation", s"$tmp/ckpt")
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          val got = b.collect().map(r =>
+            (r.getAs[Long]("k"), r.getAs[Long]("_graft_version"))).toSet
+          batches.synchronized { batches += got }
+          ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // the 3-version history drains ONE version per trigger, each row
+    // tagged with the version that carried it
+    assert(batches.toList == List(
+      Set((1L, 0L), (2L, 0L)), Set((3L, 1L)), Set((4L, 2L))),
+      s"metered drain must be per-version and tagged: $batches")
+    // a malformed meter refuses loudly (at source construction —
+    // readStream.load() is lazy)
+    intercept[IllegalArgumentException] {
+      new graft.sources.GraftStreamSource(spark, root, 0L,
+        maxVersionsPerBatch = Some(0L))
+    }
+  }
+
   test("medallion hop: bronze tail feeds silver WAP, rejected increment never lands") {
     import spark.implicits._
     import graft.sources.FileManifest
