@@ -2848,6 +2848,24 @@ object SparkEntry {
           countDistinct(col("l_orderkey")).as("n_orders"))
         .orderBy("l_partkey")
     }),
+    // string-bounds manifest (r10): truncated per-file bounds on a
+    // STRING clustering key (Iceberg's truncate transform) — lower
+    // bound is the prefix, upper bound is prefix+bump, comparisons in
+    // UTF-8 unsigned byte order on BOTH build and prune so parquet's
+    // binary stats ordering and the pruning can never disagree; the
+    // BETWEEN residual restores exactness
+    "f21_string_prune" -> ((s, dir) => {
+      val tmp = layoutDir("f21", dir)
+      FileManifest.writeLayout(T(s, dir, "customer"), tmp, "c_name", 12)
+      val m = FileManifest.buildStringManifest(s, tmp, "c_name",
+        truncateTo = 16)
+      FileManifest.readStringPruned(s, m, "c_name",
+          "Customer#000000100", "Customer#000000299")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"),
+          min(col("c_name")).as("first_name"))
+        .orderBy("c_mktsegment")
+    }),
     "f13_delete_mor" -> ((s, dir) => {
       val tmp = layoutDir("f13", dir)
       val ev = T(s, dir, "events")
@@ -5197,6 +5215,16 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // f18: file pruning is a superset + residual-join discipline, so
     // the oracle is the PLAIN join — pruning must lose nothing
+    // f21: string-bound survival is a superset (truncation only
+    // widens) and the BETWEEN residual restores exactness
+    "f21_string_prune" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_bal,
+        |  min(c_name) AS first_name
+        |FROM customer
+        |WHERE c_name BETWEEN 'Customer#000000100' AND 'Customer#000000299'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // f20: bloom survival is a file-granular superset and the
     // residual filter restores exactness — the oracle is the plain
     // predicate over the source table

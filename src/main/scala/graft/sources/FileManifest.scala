@@ -147,6 +147,112 @@ object FileManifest {
     } finally reader.close()
   }
 
+  // ---- STRING-keyed manifests (Iceberg's truncate-transform role) --
+
+  /** Per-file bounds for a STRING column, TRUNCATED to `truncateTo`
+    * characters the way Iceberg's `truncate` transform keeps URL /
+    * name manifests small: the lower bound truncates directly (a
+    * prefix is ≤ the value), the upper bound truncates then
+    * increments its last incrementable character (strictly above
+    * everything sharing the prefix). Long keys — URLs, paths, doc
+    * ids — get constant-size manifest rows; pruning stays a
+    * conservative superset. */
+  final case class StrFileStats(path: String, rows: Long,
+      min: String, max: String, nulls: Long)
+
+  /** UTF-8 unsigned-byte comparison — parquet's binary stats
+    * ordering, used for BOTH bound folding and pruning so the two
+    * can never disagree (Java String.compareTo differs above the
+    * BMP). */
+  private[graft] def u8cmp(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Truncated-and-incremented UPPER bound: keep the prefix, bump the
+    * rightmost character that can be bumped without creating a
+    * surrogate, drop the rest. Falls back to the untruncated value
+    * when nothing is bumpable (pathological, kept correct). */
+  private[graft] def truncUpper(s: String, n: Int): String = {
+    if (s.length <= n) return s
+    val p = s.substring(0, n).toCharArray
+    var i = p.length - 1
+    while (i >= 0 && p(i) >= 0xD7FF.toChar) i -= 1
+    if (i < 0) s
+    else new String(p, 0, i) + (p(i) + 1).toChar
+  }
+
+  /** Footer-stat string bounds for every parquet file under `dir` —
+    * distributed like [[buildManifests]] beyond a handful of files. */
+  private def strFooterStats(conf: Configuration, p: Path,
+      column: String, truncateTo: Int): StrFileStats = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+    try {
+      var rows = 0L; var nulls = 0L
+      var mn: String = null; var mx: String = null
+      reader.getFooter.getBlocks.asScala.foreach { b =>
+        rows += b.getRowCount
+        b.getColumns.asScala.foreach { c =>
+          if (c.getPath.toDotString == column) {
+            val st = c.getStatistics
+            require(st != null && st.hasNonNullValue && st.isNumNullsSet,
+              s"no footer stats for $column in $p")
+            nulls += st.getNumNulls
+            val lo = new String(st.getMinBytes,
+              java.nio.charset.StandardCharsets.UTF_8)
+            val hi = new String(st.getMaxBytes,
+              java.nio.charset.StandardCharsets.UTF_8)
+            if (mn == null || u8cmp(lo, mn) < 0) mn = lo
+            if (mx == null || u8cmp(hi, mx) > 0) mx = hi
+          }
+        }
+      }
+      require(mn != null || rows == 0, s"column $column absent from $p")
+      StrFileStats(p.toString, rows,
+        if (mn == null) "" else mn.substring(0, math.min(mn.length, truncateTo)),
+        if (mx == null) "" else truncUpper(mx, truncateTo), nulls)
+    } finally reader.close()
+  }
+
+  def buildStringManifest(spark: SparkSession, dir: String,
+      column: String, truncateTo: Int = 16): Seq[StrFileStats] = {
+    require(truncateTo >= 1, s"bad truncateTo $truncateTo")
+    val paths = listParquet(spark, dir)
+    val stats =
+      if (paths.size <= 8) {
+        val conf = spark.sparkContext.hadoopConfiguration
+        paths.map(p => strFooterStats(conf, new Path(p), column, truncateTo))
+      } else {
+        val sconf = org.apache.spark.sql.graftshim.SparkShims
+          .serializableConf(spark.sparkContext.hadoopConfiguration)
+        val colName = column; val trunc = truncateTo
+        spark.sparkContext.parallelize(paths, math.min(paths.size, 64))
+          .map(p => FileManifest.strFooterStats(sconf.value, new Path(p),
+            colName, trunc))
+          .collect().toSeq
+      }
+    stats.sortBy(_.path)
+  }
+
+  /** String-range file pruning over the truncated bounds —
+    * conservative by construction (truncation only widens). */
+  def pruneString(manifest: Seq[StrFileStats], lo: String,
+      hi: String): Seq[StrFileStats] =
+    manifest.filter(f => u8cmp(f.max, lo) >= 0 && u8cmp(f.min, hi) <= 0)
+
+  /** Range read through the string manifest: open only the surviving
+    * files, re-apply the exact BETWEEN row-by-row (the residual
+    * discipline — survival is a file-granular superset). */
+  def readStringPruned(spark: SparkSession, manifest: Seq[StrFileStats],
+      column: String, lo: String, hi: String): DataFrame = {
+    require(manifest.nonEmpty, "empty string manifest")
+    val survivors = pruneString(manifest, lo, hi)
+    val residual = col(column).between(lo, hi)
+    if (survivors.nonEmpty)
+      spark.read.parquet(survivors.map(_.path): _*).where(residual)
+    else spark.read.parquet(manifest.head.path).where(lit(false))
+  }
+
   /** Files whose [min, max] intersects [lo, hi] — the survivors the
     * scan is allowed to open. */
   def prune(manifest: Seq[FileStats], lo: Long, hi: Long): Seq[FileStats] =

@@ -252,7 +252,10 @@ object ScaleBench {
       "t12_asof_stream",
       // g17: cold ladder + warm rounds, each round one shuffle over
       // ~f edges of the fixed-node densifying graph (the g2 profile)
-      "g17_pagerank_warm")
+      "g17_pagerank_warm",
+      // f21: layout write + footer string-stats (~f files) + a
+      // pruned range read over a fixed-width key range
+      "f21_string_prune")
       // x18/x19 are NOT here for x12's reason (salting renames their
       // literal terms) — the salted cases below measure real phrase/
       // proximity retrieval.

@@ -302,6 +302,38 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("string manifest: truncated bounds prune, residual exact, empty range empty") {
+    import graft.sources.FileManifest
+    val tmp = java.nio.file.Files.createTempDirectory("graft-strm").toString
+    import spark.implicits._
+    // 160 keys "key-000".."key-159" range-clustered over 8 files;
+    // truncation to 6 chars keeps "key-0X" resolution — enough to
+    // prune distant files, loose enough to exercise the widening
+    val rows = (0 until 160).map(i => (f"key-$i%03d", i.toLong))
+    FileManifest.writeLayout(rows.toDF("k", "v"), tmp, "k", 8)
+    val m = FileManifest.buildStringManifest(spark, tmp, "k", truncateTo = 6)
+    assert(m.length == 8)
+    // bounds bracket their file's true values
+    m.foreach { f =>
+      assert(FileManifest.u8cmp(f.min, f.max) <= 0, s"min>max in $f")
+    }
+    val survivors = FileManifest.pruneString(m, "key-020", "key-039")
+    assert(survivors.length < m.length,
+      s"a narrow range must prune some of 8 files, kept ${survivors.length}")
+    val got = FileManifest.readStringPruned(spark, m, "k",
+        "key-020", "key-039")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == rows.filter(t =>
+      t._1 >= "key-020" && t._1 <= "key-039").toSet,
+      "string-pruned read must equal the plain BETWEEN")
+    // a range beyond every bound prunes everything -> empty result
+    assert(FileManifest.readStringPruned(spark, m, "k",
+      "zzz", "zzzz").count() == 0)
+    intercept[IllegalArgumentException] {
+      FileManifest.buildStringManifest(spark, tmp, "k", truncateTo = 0)
+    }
+  }
+
   test("incremental agg refresh: added-files-only IO, exact merge, append-only refusal") {
     import graft.sources.FileManifest
     val tmp = java.nio.file.Files.createTempDirectory("graft-iagg").toString

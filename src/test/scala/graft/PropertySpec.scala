@@ -224,6 +224,17 @@ object PropertySpec extends Properties("graft.kernels") {
       ok && agg.deserialize(agg.serialize(buf)) == buf
     }
 
+  property("string bounds: prefix is a lower bound, truncUpper an upper bound") =
+    forAll(Gen.nonEmptyListOf(Gen.asciiPrintableChar).map(_.mkString),
+      Gen.choose(1, 8)) { (s, n) =>
+      // the truncated manifest bounds must BRACKET the true value in
+      // UTF-8 byte order — the whole pruning-superset argument
+      val lo = s.substring(0, math.min(s.length, n))
+      val hi = graft.sources.FileManifest.truncUpper(s, n)
+      graft.sources.FileManifest.u8cmp(lo, s) <= 0 &&
+        graft.sources.FileManifest.u8cmp(hi, s) >= 0
+    }
+
   property("bloom words: every inserted value contained, empty bloom contains none") =
     forAll(Gen.nonEmptyListOf(Gen.choose(-100000L, 100000L)),
       Gen.oneOf(64, 128, 512), Gen.choose(1, 4)) { (vs, m, k) =>
