@@ -2523,6 +2523,14 @@ object SparkEntry {
       Profile.robustOutliers(T(s, dir, "events"), "event_type", "value",
           k = 5)
         .orderBy("event_type")),
+    // join-key skew audit (r10): per candidate key the heaviest key's
+    // exact row share in ppm — event_type (5 keys) trips the salt
+    // threshold, user_id does not; the pre-flight report that decides
+    // salting/AQE-skew handling before a 100 TB join runs
+    "p11_skew_audit" -> ((s, dir) =>
+      Profile.skewAudit(T(s, dir, "events"),
+          Seq("event_type", "user_id"), riskPpm = 100000L)
+        .orderBy("column")),
     // k-anonymity audit (r10): equivalence-class sizes over the
     // (segment, balance-band) quasi-identifiers — classes under k=5
     // re-identify their members; band offset keeps the floor-division
@@ -5427,6 +5435,11 @@ object SparkEntry {
     // same per-term fixed-point quantization summed as integers
     // p8's oracle replays the exact integer median/MAD estimator:
     // lower median = element at rn == (n+1)//2 of the per-group sort
+    // p11: same two-level aggregation, same integer ppm, same
+    // (count DESC, key ASC) argmax
+    "p11_skew_audit" ->
+      operators.Profile.skewAuditOracleSql("events",
+        Seq("event_type", "user_id"), riskPpm = 100000L),
     // p10: same bucketed grouping; floor's operand is offset
     // non-negative so DuckDB floor == Spark floor on every row
     "p10_kanon" ->

@@ -290,6 +290,54 @@ object Profile {
         (col("n_rows") < k).as("at_risk")): _*)
   }
 
+  /** JOIN-KEY SKEW AUDIT — the "should this key be salted?" report a
+    * 100 TB join plan needs BEFORE it runs: per candidate key column,
+    * group-size extremes and the heaviest key's row share (exact
+    * integer ppm — max·10⁶ div rows, the float-free ranking
+    * discipline). A share above `riskPpm` marks the column: one
+    * reducer would own that fraction of the shuffle, the regime where
+    * salting / AQE skew-join pays. Two map-side-reducible
+    * aggregations per column (the fdProfile shape) — the audit costs
+    * a groupBy per candidate however wide the table; ties on the
+    * heaviest key break to the smallest key string.
+    *
+    * @return (column, n_rows, n_keys, max_group, top_key, share_ppm,
+    *         at_risk) — one row per audited column.
+    */
+  def skewAudit(df: DataFrame, keyCols: Seq[String],
+      riskPpm: Long = 100000L): DataFrame = {
+    require(keyCols.nonEmpty && riskPpm >= 1, "need key cols and riskPpm >= 1")
+    keyCols.map { c =>
+      df.groupBy(coalesce(col(c).cast("string"), lit("<null>")).as("__k"))
+        .agg(count(lit(1)).as("__n"))
+        .agg(sum("__n").as("n_rows"), count(lit(1)).as("n_keys"),
+          max("__n").as("max_group"),
+          min(struct((-col("__n")).as("nn"), col("__k").as("k")))
+            .as("__pick"))
+        .select(lit(c).as("column"), col("n_rows"), col("n_keys"),
+          col("max_group"), col("__pick.k").as("top_key"),
+          expr("max_group * 1000000L div n_rows").as("share_ppm"))
+        .withColumn("at_risk", col("share_ppm") > riskPpm)
+    }.reduce(_ unionByName _)
+  }
+
+  /** DuckDB mirror of [[skewAudit]] — one block per column, same
+    * integer ppm and the same (count DESC, key ASC) argmax. */
+  def skewAuditOracleSql(table: String, keyCols: Seq[String],
+      riskPpm: Long = 100000L): String = {
+    val blocks = keyCols.map { c =>
+      s"""SELECT '$c' AS "column", CAST(sum(n) AS BIGINT) AS n_rows,
+         |  CAST(count(*) AS BIGINT) AS n_keys,
+         |  CAST(max(n) AS BIGINT) AS max_group,
+         |  first(k ORDER BY n DESC, k) AS top_key,
+         |  CAST(max(n) * 1000000 // sum(n) AS BIGINT) AS share_ppm,
+         |  max(n) * 1000000 // sum(n) > $riskPpm AS at_risk
+         |FROM (SELECT COALESCE(CAST($c AS VARCHAR), '<null>') AS k, count(*) AS n
+         |  FROM $table GROUP BY 1)""".stripMargin
+    }
+    blocks.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+  }
+
   /** DuckDB mirror of [[kAnonymity]]: same grouping over the same
     * pre-bucketed quasi expressions. */
   def kAnonymityOracleSql(fromSql: String, quasiCols: Seq[String], k: Int)

@@ -255,7 +255,9 @@ object ScaleBench {
       "g17_pagerank_warm",
       // f21: layout write + footer string-stats (~f files) + a
       // pruned range read over a fixed-width key range
-      "f21_string_prune")
+      "f21_string_prune",
+      // p11: one grouped scan per audited column
+      "p11_skew_audit")
       // x18/x19 are NOT here for x12's reason (salting renames their
       // literal terms) — the salted cases below measure real phrase/
       // proximity retrieval.

@@ -2666,6 +2666,34 @@ class OperatorsSpec extends AnyFunSuite {
       ("b", "2024-02-01", 42.0, 42.0, 42.0, 42.0, 1L)), s"got ${got.toSeq}")
   }
 
+  test("skew audit: exact ppm share, argmax ties to smallest key, null bucket counted") {
+    val rows = Seq.fill(8)(("hot", 1L)) ++
+      Seq(("a", 2L), ("b", 3L)) ++ Seq(("tie", 4L), ("tie2", 4L))
+    val df = rows.toDF("k1", "k2")
+    val got = Profile.skewAudit(df, Seq("k1", "k2"), riskPpm = 500000L)
+      .orderBy("column").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5), r.getBoolean(6)))
+    // k1: "hot" owns 8/12 = 666666 ppm -> at risk
+    assert(got(0) == (("k1", 12L, 5L, 8L, "hot", 666666L, true)),
+      s"k1 audit: ${got(0)}")
+    // k2: heaviest groups are 8x'1'; share 666666 too
+    assert(got(1)._5 == "1" && got(1)._7, s"k2 audit: ${got(1)}")
+    // count tie breaks to the smallest key string
+    val tied = Profile.skewAudit(
+        Seq(("x", 0), ("y", 0)).toDF("k", "v"), Seq("k"), riskPpm = 900000L)
+      .collect()(0)
+    assert(tied.getString(4) == "x" && tied.getLong(5) == 500000L &&
+      !tied.getBoolean(6), s"tie: $tied")
+    // nulls form their own audited bucket
+    val withNull = Seq(Some("a"), None, None, None).map(Tuple1(_))
+      .toDF("k")
+    val nb = Profile.skewAudit(withNull, Seq("k"), riskPpm = 500000L)
+      .collect()(0)
+    assert(nb.getString(4) == "<null>" && nb.getLong(5) == 750000L &&
+      nb.getBoolean(6), s"null bucket: $nb")
+  }
+
   test("k-anonymity: class sizes, at-risk under k, release k = min class") {
     val rows = Seq.fill(5)(("SEG_A", 1L)) ++ Seq(("SEG_A", 2L)) ++
       Seq.fill(3)(("SEG_B", 1L))
