@@ -1332,6 +1332,11 @@ object Graph {
       emitted = emitted :+ state.select(col("start"), col("w").as("walk"),
         lit(t.toLong).as("step"), col("cur").as("node"))
     }
+    // per-step state is ckpt-materialized, so nothing downstream reads
+    // through the cached edge relation — release it (the pageRank/
+    // triangleCounts convention; leaking it accumulates executor
+    // memory across invocations in a long session)
+    e.unpersist()
     emitted.reduce(_.union(_))
   }
 
@@ -1417,6 +1422,9 @@ object Graph {
       out = out :+ sampled
       frontier = sampled.select(col("seed"), col("dst").as("node")).distinct()
     }
+    // every hop's output is ckpt-materialized — release the cached
+    // edge relation (same convention as randomWalks/pageRank)
+    e.unpersist()
     out.reduce(_.union(_))
   }
 

@@ -292,9 +292,11 @@ object Profile {
 
   /** JOIN-KEY SKEW AUDIT — the "should this key be salted?" report a
     * 100 TB join plan needs BEFORE it runs: per candidate key column,
-    * group-size extremes and the heaviest key's row share (exact
-    * integer ppm — max·10⁶ div rows, the float-free ranking
-    * discipline). A share above `riskPpm` marks the column: one
+    * group-size extremes and the heaviest key's row share (integer
+    * ppm, float-free: exact max·10⁶ div rows below 10¹² rows, and the
+    * denominator-first max div (rows div 10⁶) above — within 1 ppm,
+    * and never the silent signed-64 overflow the exact product would
+    * hit past ~9.2·10¹² heavy-key rows). A share above `riskPpm` marks the column: one
     * reducer would own that fraction of the shuffle, the regime where
     * salting / AQE skew-join pays. Two map-side-reducible
     * aggregations per column (the fdProfile shape) — the audit costs
@@ -316,7 +318,16 @@ object Profile {
             .as("__pick"))
         .select(lit(c).as("column"), col("n_rows"), col("n_keys"),
           col("max_group"), col("__pick.k").as("top_key"),
-          expr("max_group * 1000000L div n_rows").as("share_ppm"))
+          // exact ppm while max·10⁶ fits signed 64-bit (any table under
+          // 10¹² rows — the product is then < 10¹⁸); beyond that, divide
+          // the denominator first: ≤1 ppm absolute error instead of a
+          // silent signed overflow flipping the share negative and
+          // suppressing the at_risk flag on exactly the joins the audit
+          // exists for
+          expr("CASE WHEN n_rows < 1000000000000L " +
+            "THEN max_group * 1000000L div n_rows " +
+            "ELSE max_group div (n_rows div 1000000L) END")
+            .as("share_ppm"))
         .withColumn("at_risk", col("share_ppm") > riskPpm)
     }.reduce(_ unionByName _)
   }
@@ -326,12 +337,18 @@ object Profile {
   def skewAuditOracleSql(table: String, keyCols: Seq[String],
       riskPpm: Long = 100000L): String = {
     val blocks = keyCols.map { c =>
+      // mirrors the engine's overflow-guarded branch: exact ppm below
+      // 10¹² rows, denominator-first division above (operands stay
+      // non-negative on both branches, so DuckDB // == Spark div)
+      val ppm = s"CASE WHEN sum(n) < 1000000000000 " +
+        s"THEN max(n) * 1000000 // sum(n) " +
+        s"ELSE max(n) // (sum(n) // 1000000) END"
       s"""SELECT '$c' AS "column", CAST(sum(n) AS BIGINT) AS n_rows,
          |  CAST(count(*) AS BIGINT) AS n_keys,
          |  CAST(max(n) AS BIGINT) AS max_group,
          |  first(k ORDER BY n DESC, k) AS top_key,
-         |  CAST(max(n) * 1000000 // sum(n) AS BIGINT) AS share_ppm,
-         |  max(n) * 1000000 // sum(n) > $riskPpm AS at_risk
+         |  CAST($ppm AS BIGINT) AS share_ppm,
+         |  $ppm > $riskPpm AS at_risk
          |FROM (SELECT COALESCE(CAST($c AS VARCHAR), '<null>') AS k, count(*) AS n
          |  FROM $table GROUP BY 1)""".stripMargin
     }

@@ -32,6 +32,12 @@ import scala.jdk.CollectionConverters._
   */
 object FileManifest {
 
+  /** Directory under a catalog root where the SQL front door's
+    * INSERT INTO staging instances live (see GraftManifestSource) —
+    * never referenced by any committed version, so maintenance may
+    * sweep it whole under the no-concurrent-writers contract. */
+  val StagingRootName = "_insert_staging"
+
   /** Per-file stats for one long-valued column (covers int/bigint/
     * timestamp-micros physical types — the usual clustering keys).
     * `nulls` is the file's null count for the column — the Iceberg
@@ -1108,8 +1114,10 @@ object FileManifest {
       tableRoot: String, batchRoot: String): PartitionedManifest = {
     val fs = new Path(tableRoot).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
+    // committer internals (`_temporary` of an in-flight job) are never
+    // partition dirs — only col=value directories are adoptable
     val parts = fs.listStatus(new Path(batchRoot)).toSeq
-      .filter(_.isDirectory)
+      .filter(p => p.isDirectory && !p.getPath.getName.startsWith("_"))
     var cur = pm
     parts.foreach { p =>
       val part = p.getPath.getName
@@ -1123,7 +1131,10 @@ object FileManifest {
             s"adoptBatch: destination $dest already exists")
           require(fs.rename(st.getPath, dest),
             s"adoptBatch: rename failed for ${st.getPath}")
-          dest.toString
+          // store the FS-qualified form (file:/… on local): every other
+          // manifest producer records listStatus-derived strings, and
+          // consumers (statFiles, version set-diffs) compare verbatim
+          fs.makeQualified(dest).toString
         }
       if (moved.nonEmpty) cur = appendPartition(cur, spark, part, moved)
     }
@@ -1328,6 +1339,14 @@ object FileManifest {
       .flatMap(listParquet)
       .filterNot(p => referenced.contains(p.toUri.getPath))
     orphans.foreach(p => fs.delete(p, false))
+    // staging instances (SQL front-door INSERT INTO) are by contract
+    // never referenced by a committed version: anything still there is
+    // either an armed-but-idle sentinel dir or the residue of a failed
+    // insert — both garbage under this call's no-concurrent-writers
+    // contract. Swept whole, not reported (no committed data involved).
+    val staging = new Path(catalogRoot, StagingRootName)
+    if (fs.exists(staging))
+      fs.listStatus(staging).foreach(s => fs.delete(s.getPath, true))
     orphans.map(_.toString)
   }
 

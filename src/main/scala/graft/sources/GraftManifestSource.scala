@@ -225,11 +225,17 @@ final class GraftStreamSource(spark: SparkSession, root: String,
   private var lastOffered: Long = startingVersion - 1L
 
   override def getOffset: Option[V1Offset] =
-    FileManifest.latestVersion(spark, root).map { latest =>
-      val capped = maxVersionsPerBatch
-        .map(m => math.min(latest, lastOffered + m)).getOrElse(latest)
-      lastOffered = math.max(capped, lastOffered)
-      LongOffset(lastOffered)
+    FileManifest.latestVersion(spark, root).flatMap { latest =>
+      // a stream started AHEAD of the catalog (startingVersion not yet
+      // committed) waits — offering anything below startingVersion
+      // would make getBatch resolve versions that don't exist yet
+      if (latest < startingVersion) None
+      else {
+        val capped = maxVersionsPerBatch
+          .map(m => math.min(latest, lastOffered + m)).getOrElse(latest)
+        lastOffered = math.max(capped, lastOffered)
+        Some(LongOffset(lastOffered))
+      }
     }
 
   private def versionOf(o: V1Offset): Long = o match {
@@ -246,6 +252,15 @@ final class GraftStreamSource(spark: SparkSession, root: String,
     val from = start.map(versionOf(_) + 1).getOrElse(startingVersion)
     val to = versionOf(end)
     lastOffered = math.max(lastOffered, to) // restart catch-up
+    if (from > to) {
+      // empty range (e.g. a legacy checkpoint offered startingVersion-1
+      // before the catalog reached it): nothing owed, and crucially no
+      // filesOf() touch on a version that may not exist
+      val empty = spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema0)
+      return org.apache.spark.sql.graftshim.SparkShims
+        .asStreamingDataFrame(empty)
+    }
     var prev: Set[String] =
       if (from == 0L) Set.empty else filesOf(from - 1)
     val perVersion = Seq.newBuilder[(Long, Seq[String])]
@@ -395,17 +410,37 @@ final class ManifestFileIndex(spark: SparkSession,
   // The sentinel file detects INSERT OVERWRITE: its static pre-delete
   // wipes the staging dir (sentinel included) before writing, which
   // refresh refuses loudly instead of mis-reading as an append.
+  //
+  // The staging dir is PER INDEX INSTANCE (`s-<uuid>` under the shared
+  // `_insert_staging` root): two concurrent INSERTs resolved through
+  // different relation instances (other sessions, re-resolved plans)
+  // stage into different directories, so one insert's adopt+sweep can
+  // never eat another's in-flight `_temporary` task output or adopt
+  // its files. Arming (mkdirs + sentinel create) is BEST-EFFORT at
+  // construction: on read-only storage it quietly fails and the table
+  // stays fully readable — only an actual INSERT then errors (its job
+  // cannot write either). Instance dirs an insert never used are tiny
+  // (one empty sentinel); [[FileManifest.gcOrphans]] sweeps the whole
+  // staging root under its documented no-concurrent-writers contract.
   private val stagingDir: Option[Path] =
-    catalogRoot.map(r => new Path(s"$r/_insert_staging"))
+    catalogRoot.map(r => new Path(
+      s"$r/${FileManifest.StagingRootName}/s-${java.util.UUID.randomUUID}"))
   private val SentinelName = "_graft_append_sentinel"
+  private val SuccessName = "_SUCCESS"
 
   private def hfs(p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  @volatile private var stagingArmed = false
   stagingDir.foreach { d =>
-    val fs = hfs(d)
-    fs.mkdirs(d)
-    fs.createNewFile(new Path(d, SentinelName)) // idempotent
+    try {
+      val fs = hfs(d)
+      fs.mkdirs(d)
+      fs.createNewFile(new Path(d, SentinelName)) // idempotent
+      stagingArmed = true
+    } catch {
+      case _: java.io.IOException => stagingArmed = false // read-only FS
+    }
   }
 
   override val rootPaths: Seq[Path] = stagingDir match {
@@ -503,20 +538,38 @@ final class ManifestFileIndex(spark: SparkSession,
     * — the transactional tail of Spark's generic file insert, which
     * calls refresh() exactly once after a successful job commit. With
     * nothing staged this is a plain no-op (the semantics every other
-    * refresh caller expects). */
-  override def refresh(): Unit = stagingDir.foreach(adoptStaged)
+    * refresh caller expects). Synchronized: concurrent INSERTs through
+    * the SAME relation instance share one staging dir, so their
+    * adopt+sweep tails must not interleave (their in-flight task
+    * output lives under `_temporary`, which adoption and the sweep
+    * both leave alone). */
+  override def refresh(): Unit = synchronized {
+    stagingDir.foreach(adoptStaged)
+  }
 
   private def adoptStaged(d: Path): Unit = {
     val root = catalogRoot.get
     val fs = hfs(d)
     if (!fs.exists(d)) { // wiped externally: re-arm, nothing staged
-      fs.mkdirs(d); fs.createNewFile(new Path(d, SentinelName))
+      if (stagingArmed) {
+        fs.mkdirs(d); fs.createNewFile(new Path(d, SentinelName))
+      } // never armed (read-only FS): stay a read-only no-op
     } else {
       val entries = fs.listStatus(d).toSeq
-      val stagedDirs = entries.filter(_.isDirectory)
+      // committer internals (`_temporary` task output of an in-flight
+      // job) are NEVER adopted and NEVER swept — only committed
+      // partition dirs (col=value) are ours to move
+      val stagedDirs = entries.filter(e =>
+        e.isDirectory && !e.getPath.getName.startsWith("_"))
       val sentinel = entries.exists(_.getPath.getName == SentinelName)
+      val jobCommitted = entries.exists(e =>
+        e.isFile && e.getPath.getName == SuccessName)
       def cleanStaging(): Unit = {
         stagedDirs.foreach(s => fs.delete(s.getPath, true))
+        // drop the job-commit marker too: it must never vouch for a
+        // LATER job's partial output
+        entries.filter(e => e.isFile && e.getPath.getName == SuccessName)
+          .foreach(e => fs.delete(e.getPath, false))
         fs.createNewFile(new Path(d, SentinelName))
       }
       if (stagedDirs.isEmpty) {
@@ -546,6 +599,13 @@ final class ManifestFileIndex(spark: SparkSession,
           "spark.sql.sources.partitionOverwriteMode=dynamic is " +
           "ambiguous (append and overwrite stage identically); set the " +
           "mode to static (the default) for INSERT INTO")
+      } else if (!jobCommitted) {
+        // staged partition dirs without the committer's `_SUCCESS`
+        // marker are the residue of a FAILED write (committer v2 or a
+        // crash after some tasks committed): the user's INSERT already
+        // errored, so adopting the partials would commit rows the user
+        // was told never landed — discard them and re-arm instead
+        cleanStaging()
       } else {
         // adopt-by-move into a fresh immutable batch dir keyed to the
         // version it creates (the batch-write discipline), footer-stat
@@ -556,11 +616,10 @@ final class ManifestFileIndex(spark: SparkSession,
           s"$root/data/b$next", d.toString)
         val v = FileManifest.commitVersion(spark, adopted, root)
         require(v == next, s"insert commit raced: expected v$next, got v$v")
-        // sweep what adopt leaves behind: drained partition dirs and
-        // the committer's _SUCCESS marker
-        stagedDirs.foreach(s => fs.delete(s.getPath, true))
-        entries.filter(e => e.isFile && e.getPath.getName != SentinelName)
-          .foreach(e => fs.delete(e.getPath, false))
+        // sweep what adopt leaves behind: the drained partition dirs
+        // and this job's `_SUCCESS` marker (so it can never vouch for
+        // a later job's partials); `_temporary` stays untouched
+        cleanStaging()
         pmCur = adopted
         statusByPath = statFiles(adopted)
       }

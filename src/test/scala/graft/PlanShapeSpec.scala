@@ -1631,6 +1631,80 @@ class PlanShapeSpec extends AnyFunSuite {
       .head.getLong(0) == ev.where(col("user_id") === 3).count())
   }
 
+  test("INSERT staging: failed-job residue swept not adopted, _temporary untouched, per-instance dirs") {
+    import graft.sources.{FileManifest, ManifestFileIndex}
+    import org.apache.hadoop.fs.Path
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stg").toString
+    val root = s"$tmp/cat"
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    ev.where(col("user_id") < 5).write.format("graft")
+      .option("path", root).option("partitionBy", "event_type")
+      .option("clusterBy", "user_id").mode("errorifexists").save()
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val stagingRoot = new Path(root, FileManifest.StagingRootName)
+    def instances(): Set[String] =
+      if (!fs.exists(stagingRoot)) Set.empty
+      else fs.listStatus(stagingRoot).map(_.getPath.getName).toSet
+    val before = instances()
+    val pm = FileManifest.loadLatest(spark, root)
+    val idx = new ManifestFileIndex(spark, pm, catalogRoot = Some(root))
+    // each index instance stages under its OWN directory — a second
+    // resolution (another session's insert) can never be swept by this
+    // instance's refresh
+    val mineName = (instances() -- before).toSeq match {
+      case Seq(one) => one
+      case other => fail(s"expected exactly one new staging dir: $other")
+    }
+    val mine = new Path(stagingRoot, mineName)
+    val dataFile = new Path(
+      pm.partitions.valuesIterator.flatten.next().path)
+    val v0 = FileManifest.latestVersion(spark, root).get
+    // simulate a FAILED insert (committer v2 / crash after task
+    // commit): partition-dir files landed, no _SUCCESS marker — plus
+    // an in-flight job's _temporary output that must survive the sweep
+    val partDir = new Path(mine, dataFile.getParent.getName)
+    fs.mkdirs(partDir)
+    org.apache.hadoop.fs.FileUtil.copy(fs, dataFile, fs,
+      new Path(partDir, "part-failed.parquet"), false,
+      spark.sparkContext.hadoopConfiguration)
+    val tempFile = new Path(mine, "_temporary/0/task/part-x.parquet")
+    fs.mkdirs(tempFile.getParent)
+    fs.createNewFile(tempFile)
+    idx.refresh()
+    assert(FileManifest.latestVersion(spark, root).contains(v0),
+      "failed-insert residue must NOT be committed as a version")
+    assert(!fs.exists(partDir),
+      "failed-insert partials must be swept (the user already saw the error)")
+    assert(fs.exists(tempFile),
+      "_temporary task output of an in-flight job must survive the sweep")
+    assert(fs.exists(new Path(mine, "_graft_append_sentinel")),
+      "staging must be re-armed after the sweep")
+    // now a SUCCESSFUL insert: same staged shape plus _SUCCESS — this
+    // one adopts and commits exactly one new version
+    fs.mkdirs(partDir)
+    org.apache.hadoop.fs.FileUtil.copy(fs, dataFile, fs,
+      new Path(partDir, "part-ok.parquet"), false,
+      spark.sparkContext.hadoopConfiguration)
+    fs.createNewFile(new Path(mine, "_SUCCESS"))
+    idx.refresh()
+    assert(FileManifest.latestVersion(spark, root).contains(v0 + 1),
+      "a committed staged write must adopt into exactly one new version")
+    assert(fs.exists(tempFile), "_temporary survives the success sweep too")
+    assert(!fs.exists(new Path(mine, "_SUCCESS")),
+      "the job-commit marker must not vouch for a later job's partials")
+    // maintenance: gcOrphans sweeps the whole staging root (documented
+    // no-concurrent-writers contract) — instance litter does not outlive GC
+    FileManifest.gcOrphans(spark, root, Seq(s"$root/data"))
+    assert(instances().isEmpty,
+      s"gcOrphans must sweep staging instances: ${instances()}")
+    // the adopted rows still read back (GC never touches committed data)
+    val total = spark.read.format("graft").option("path", root).load().count()
+    assert(total == ev.where(col("user_id") < 5).count() +
+      spark.read.parquet(dataFile.toString).count(),
+      "adopted rows must remain readable after GC")
+  }
+
   test("vector index MIPS tier: full probe == exact, frozen augmentation on append") {
     import spark.implicits._
     import graft.sources.VectorIndex

@@ -1449,4 +1449,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(chainMessages(e).exists(_.contains("append-only")),
       s"refusal must name the append-only contract: ${chainMessages(e)}")
   }
+
+  test("graft stream source ahead of the catalog waits instead of crashing") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ahead").toString
+    val root = s"$tmp/cat"
+    def save(rows: Seq[(Long, String, Long)], mode: String): Unit =
+      rows.toDF("k", "p", "v").write.format("graft").option("path", root)
+        .option("partitionBy", "p").option("clusterBy", "k")
+        .option("files", "2").mode(mode).save()
+    save(Seq((1L, "a", 10L)), "overwrite") // v0 — catalog exists
+    // startingVersion=2 while the catalog is at v0: the source must
+    // OFFER nothing (no offset) rather than resolve versions that do
+    // not exist yet — the stream idles, then catches the versions up
+    val src = new graft.sources.GraftStreamSource(spark, root, 2L)
+    assert(src.getOffset.isEmpty,
+      "a stream ahead of the catalog must not offer an offset")
+    // an explicit empty range never touches filesOf(from-1)
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val empty = src.getBatch(Some(LongOffset(1L)), LongOffset(1L))
+    assert(empty.isStreaming && empty.schema == src.schema,
+      "from > to must short-circuit to the empty streaming frame " +
+        "(no filesOf() touch on a version that does not exist)")
+    val batches =
+      scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    val q = spark.readStream.format("graft").option("path", root)
+      .option("startingVersion", "2")
+      .load()
+      .writeStream.option("checkpointLocation", s"$tmp/ckpt")
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          val got = b.collect().map(_.getAs[Long]("k")).toSet
+          batches.synchronized { if (got.nonEmpty) batches += got }
+          ()
+      }
+      .start()
+    try {
+      q.processAllAvailable() // idles — nothing committed at >= v2 yet
+      assert(batches.isEmpty, s"nothing owed before v2 commits: $batches")
+      save(Seq((2L, "a", 20L)), "append") // v1 — still below the start
+      q.processAllAvailable()
+      assert(batches.isEmpty, s"v1 is below startingVersion=2: $batches")
+      save(Seq((3L, "b", 30L)), "append") // v2 — the first owed version
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(batches.toList == List(Set(3L)),
+      s"catch-up must deliver exactly v2's increment: $batches")
+  }
 }
