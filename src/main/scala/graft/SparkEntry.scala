@@ -1853,6 +1853,46 @@ object SparkEntry {
           sum("event_id").as("sum_ids"))
         .orderBy("event_type")
     }),
+    // CDC CHANGE-FEED read (r11) — the Delta-CDF rung above c10's
+    // append-only tail: `readStream … changeFeed 'true'` crosses a
+    // CoW-rewrite version instead of refusing, emitting
+    // (_graft_version, _change_type I/D, row). The history is
+    // base (v0, all I) → SQL UPDATE through the front door (v1 — the
+    // f9 snapshotDiff of exactly the churned files: D old images,
+    // I new images, carried rows cancel) → append (v2, all I, the
+    // fast path with zero diff work). A row an update leaves
+    // bit-identical emits nothing — the feed is the NET row change
+    // per version, which is what a downstream incremental consumer
+    // keys on. IO per batch is O(churned files), never the table.
+    "c12_change_feed" -> ((s, dir) => {
+      val tmp = layoutDir("c12", dir)
+      val root = s"$tmp/cat"
+      freshDir(s, root)
+      val ev = T(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      def save(slice: org.apache.spark.sql.DataFrame, mode: String): Unit =
+        slice.write.format("graft").option("path", root)
+          .option("partitionBy", "event_type").option("clusterBy", "user_id")
+          .option("files", "6").mode(mode).save()
+      save(ev, "overwrite") // v0 (create)
+      s.sql("DROP TABLE IF EXISTS c12_events")
+      s.sql(s"CREATE TABLE c12_events USING graft OPTIONS (path '$root')")
+      s.sql("UPDATE c12_events SET value = value + 1000 " + // v1: CoW rewrite
+        "WHERE event_type = 'purchase' AND user_id BETWEEN 2 AND 6")
+      require(FileManifest.latestVersion(s, root).contains(1L),
+        "the UPDATE must have committed exactly one new version")
+      val mx = ev.agg(max("event_id")).head.getLong(0)
+      save(ev.where(col("user_id") < 3) // v2: plain append
+        .select((col("event_id") + mx + 1).as("event_id"), col("user_id"),
+          col("event_type"), col("value")), "append")
+      val q = s.readStream.format("graft").option("path", root)
+        .option("changeFeed", "true").load()
+        .writeStream.format("memory").queryName("c12_sink")
+        .outputMode("append").start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      s.table("c12_sink")
+        .orderBy("_graft_version", "_change_type", "event_id")
+    }),
     "c7_changelog_refresh" -> ((s, dir) => {
       val tmp = layoutDir("c7", dir)
       val docs = T(s, dir, "documents")
@@ -2756,6 +2796,66 @@ object SparkEntry {
         |  sum(event_id) AS sum_ids
         |FROM f19_events
         |WHERE user_id BETWEEN 2 AND 120
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
+    // SQL-surface ROW-LEVEL DML (r11) — `DELETE FROM t WHERE …`
+    // through the front door: the post-hoc resolution rule
+    // (plans/GraftDml.scala) replaces the resolved DeleteFromTable
+    // with the engine's two-phase CoW command (prune via the index's
+    // own listing seam → touch-detect via input_file_name → rewrite
+    // only touched files → one atomic catalog version). The predicate
+    // spans the partition column (directory pruning), the clustering
+    // column (footer pruning), and a plain data column (the residual
+    // only the touch scan can decide). Pre-DML versions stay
+    // time-travelable (GraftDmlSpec pins that plus the refusals).
+    "f22_sql_delete" -> ((s, dir) => {
+      val tmp = layoutDir("f22", dir)
+      val root = s"$tmp/cat"
+      freshDir(s, root)
+      val ev = T(s, dir, "events")
+      ev.write.format("graft")
+        .option("path", root).option("partitionBy", "event_type")
+        .option("clusterBy", "user_id").option("files", "12")
+        .mode("overwrite").save()
+      s.sql("DROP TABLE IF EXISTS f22_events")
+      s.sql(s"CREATE TABLE f22_events USING graft OPTIONS (path '$root')")
+      s.sql("DELETE FROM f22_events WHERE event_type = 'click' " +
+        "AND user_id BETWEEN 3 AND 9 AND value > 5")
+      require(FileManifest.latestVersion(s, root).contains(1L),
+        "the DELETE must have committed exactly one new version")
+      s.sql("""SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value,
+        |  sum(event_id) AS sum_ids
+        |FROM f22_events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
+    // SQL UPDATE through the front door — same CoW command with the
+    // per-column `when(cond, new).otherwise(old)` rewrite; rows whose
+    // condition is NULL keep their value (the SQL UPDATE contract the
+    // oracle's CASE mirrors). Updating the partition or clustering
+    // column refuses loudly (rewritten rows could leave their
+    // directory/file key range).
+    "f23_sql_update" -> ((s, dir) => {
+      val tmp = layoutDir("f23", dir)
+      val root = s"$tmp/cat"
+      freshDir(s, root)
+      val ev = T(s, dir, "events")
+      ev.write.format("graft")
+        .option("path", root).option("partitionBy", "event_type")
+        .option("clusterBy", "user_id").option("files", "12")
+        .mode("overwrite").save()
+      s.sql("DROP TABLE IF EXISTS f23_events")
+      s.sql(s"CREATE TABLE f23_events USING graft OPTIONS (path '$root')")
+      s.sql("UPDATE f23_events SET value = value * 2 + 1 " +
+        "WHERE event_type IN ('view', 'error') AND user_id BETWEEN 2 AND 8")
+      require(FileManifest.latestVersion(s, root).contains(1L),
+        "the UPDATE must have committed exactly one new version")
+      s.sql("""SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value,
+        |  sum(event_id) AS sum_ids
+        |FROM f23_events
         |GROUP BY event_type ORDER BY event_type""".stripMargin)
     }),
     "f16_refs" -> ((s, dir) => {
@@ -5209,6 +5309,29 @@ object SparkEntry {
         |FROM events
         |WHERE user_id BETWEEN 2 AND 120
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // f22: SQL DELETE == the source minus the matching rows; NULL
+    // conditions keep their row (COALESCE mirrors the engine's
+    // NOT coalesce(cond, false) keep filter)
+    "f22_sql_delete" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_ids
+        |FROM events
+        |WHERE NOT COALESCE(event_type = 'click'
+        |  AND user_id BETWEEN 3 AND 9 AND value > 5, FALSE)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // f23: SQL UPDATE == CASE over the source (NULL conditions keep
+    // the old value, exactly the when/otherwise rewrite)
+    "f23_sql_update" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(CASE WHEN event_type IN ('view', 'error')
+        |    AND user_id BETWEEN 2 AND 8 THEN value * 2 + 1
+        |    ELSE value END AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_ids
+        |FROM events
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // f17: two spec epochs union back to the one relation — the
     // evolution changes pruning opportunities, never the answer
     "f17_partition_evolution" ->
@@ -5291,6 +5414,30 @@ object SparkEntry {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |  CAST(sum(event_id) AS BIGINT) AS sum_ids
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // c12: the feed is exactly base-as-I (v0), the update's old/new
+    // images as D/I (v1 — carried rows cancel in the file diff), and
+    // the appended rows as I (v2); same arithmetic, same NULL-keeps
+    // semantics as the engine's when/otherwise rewrite
+    "c12_change_feed" ->
+      """WITH base AS (SELECT event_id, user_id, event_type, value
+        |  FROM events),
+        |upd AS (SELECT * FROM base
+        |  WHERE COALESCE(event_type = 'purchase'
+        |    AND user_id BETWEEN 2 AND 6, FALSE)),
+        |mx AS (SELECT max(event_id) AS m FROM base)
+        |SELECT event_id, user_id, event_type, value,
+        |  CAST(0 AS BIGINT) AS _graft_version, 'I' AS _change_type
+        |FROM base
+        |UNION ALL
+        |SELECT event_id, user_id, event_type, value,
+        |  CAST(1 AS BIGINT), 'D' FROM upd
+        |UNION ALL
+        |SELECT event_id, user_id, event_type, value + 1000,
+        |  CAST(1 AS BIGINT), 'I' FROM upd
+        |UNION ALL
+        |SELECT event_id + m + 1, user_id, event_type, value,
+        |  CAST(2 AS BIGINT), 'I' FROM base, mx WHERE user_id < 3
+        |ORDER BY _graft_version, _change_type, event_id""".stripMargin,
     "c9_wap_stream" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)

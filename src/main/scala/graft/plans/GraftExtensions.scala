@@ -23,5 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => RewriteRangeJoin)
     ext.injectOptimizerRule(_ => InjectBloomJoinFilter)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // SQL DELETE/UPDATE on graft tables: replace the resolved node
+    // with the CoW command before planning refuses v1 DML
+    ext.injectPostHocResolutionRule(session => GraftDmlRule(session))
   }
 }

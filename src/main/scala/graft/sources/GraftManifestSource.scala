@@ -147,32 +147,43 @@ final class GraftManifestSource extends RelationProvider
 
   // ---- streaming READ: the committed version chain as a Source ----
 
+  private def boolOpt(parameters: Map[String, String],
+      names: String*): Boolean =
+    names.flatMap(parameters.get).headOption.exists(_.toBoolean)
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     val base = GraftStreamSource.schemaOf(
       sqlContext.sparkSession, rootOf(parameters))
-    val wantVersion = parameters.get("withversioncolumn")
-      .orElse(parameters.get("withVersionColumn")).exists(_.toBoolean)
-    (shortName(),
-      if (wantVersion) base.add(StructField("_graft_version",
-        org.apache.spark.sql.types.LongType, nullable = false))
-      else base)
+    val changeFeed = boolOpt(parameters, "changefeed", "changeFeed",
+      "readchangefeed", "readChangeFeed")
+    val wantVersion = changeFeed ||
+      boolOpt(parameters, "withversioncolumn", "withVersionColumn")
+    var s = base
+    if (wantVersion) s = s.add(StructField("_graft_version",
+      org.apache.spark.sql.types.LongType, nullable = false))
+    if (changeFeed) s = s.add(StructField("_change_type",
+      StringType, nullable = false))
+    (shortName(), s)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): org.apache.spark.sql.execution
-      .streaming.Source =
+      .streaming.Source = {
+    val changeFeed = boolOpt(parameters, "changefeed", "changeFeed",
+      "readchangefeed", "readChangeFeed")
     new GraftStreamSource(sqlContext.sparkSession, rootOf(parameters),
       parameters.get("startingversion")
         .orElse(parameters.get("startingVersion")).map(_.toLong)
         .getOrElse(0L),
       maxVersionsPerBatch = parameters.get("maxversionsperbatch")
         .orElse(parameters.get("maxVersionsPerBatch")).map(_.toLong),
-      withVersionColumn = parameters.get("withversioncolumn")
-        .orElse(parameters.get("withVersionColumn"))
-        .exists(_.toBoolean))
+      withVersionColumn = changeFeed ||
+        boolOpt(parameters, "withversioncolumn", "withVersionColumn"),
+      changeFeed = changeFeed)
+  }
 }
 
 /** `spark.readStream.format("graft")` — the INCREMENTAL read side of
@@ -196,11 +207,25 @@ final class GraftManifestSource extends RelationProvider
   * makes the same refusal). Appends are the streaming contract;
   * `startingVersion` picks where the tail begins (default 0 = the
   * table's full history, the bootstrap-then-follow pattern).
+  *
+  * CHANGE-FEED mode (`changeFeed 'true'`, r11 — the Delta CDF shape):
+  * instead of refusing rewrite versions, every version emits rows
+  * tagged (`_graft_version`, `_change_type` I/D). An append-only
+  * version keeps the fast path — its added files ARE the I rows,
+  * zero diff work; a version that rewrote files (CoW UPDATE/DELETE,
+  * logical overwrite) emits the snapshotDiff (f9) of exactly the
+  * churned files: I = added∖removed rows, D = removed∖added rows, so
+  * rows an update carried verbatim cancel and only true changes flow.
+  * The diff is a pure multiset function of two immutable file sets,
+  * so a replayed batch is row-for-row identical (exactly-once under
+  * checkpoint recovery, same as the append path). IO per batch is
+  * O(churned files of the increment), never the table.
   */
 final class GraftStreamSource(spark: SparkSession, root: String,
     startingVersion: Long,
     maxVersionsPerBatch: Option[Long] = None,
-    withVersionColumn: Boolean = false)
+    withVersionColumn: Boolean = false,
+    changeFeed: Boolean = false)
     extends org.apache.spark.sql.execution.streaming.Source {
   import org.apache.spark.sql.execution.streaming.{Offset => V1Offset}
   import org.apache.spark.sql.execution.streaming.runtime.LongOffset
@@ -209,10 +234,14 @@ final class GraftStreamSource(spark: SparkSession, root: String,
 
   private val schema0 = {
     val base = GraftStreamSource.schemaOf(spark, root)
-    if (withVersionColumn)
-      base.add(StructField("_graft_version",
-        org.apache.spark.sql.types.LongType, nullable = false))
-    else base
+    var s =
+      if (withVersionColumn || changeFeed)
+        base.add(StructField("_graft_version",
+          org.apache.spark.sql.types.LongType, nullable = false))
+      else base
+    if (changeFeed)
+      s = s.add(StructField("_change_type", StringType, nullable = false))
+    s
   }
   override def schema: StructType = schema0
 
@@ -263,21 +292,24 @@ final class GraftStreamSource(spark: SparkSession, root: String,
     }
     var prev: Set[String] =
       if (from == 0L) Set.empty else filesOf(from - 1)
-    val perVersion = Seq.newBuilder[(Long, Seq[String])]
+    // (version, added files, removed files) per owed version; removals
+    // refuse in tail mode and become D rows in change-feed mode
+    val perVersion = Seq.newBuilder[(Long, Seq[String], Seq[String])]
     for (v <- from to to) {
       val cur = filesOf(v)
       val removed = prev -- cur
-      if (removed.nonEmpty)
+      if (removed.nonEmpty && !changeFeed)
         throw new IllegalStateException(
           s"graft stream at $root: version $v removed/replaced " +
             s"${removed.size} file(s) — the streaming source requires " +
             "an append-only version chain (overwrite/compaction/delete " +
-            "history cannot be tailed; start a fresh stream from a " +
-            "snapshot instead)")
-      perVersion += ((v, (cur -- prev).toSeq.sorted))
+            "history cannot be tailed; use changeFeed 'true' for the " +
+            "row-level I/D feed, or start a fresh stream from a snapshot)")
+      perVersion += ((v, (cur -- prev).toSeq.sorted, removed.toSeq.sorted))
       prev = cur
     }
-    val groups = perVersion.result().filter(_._2.nonEmpty)
+    val groups = perVersion.result()
+      .filter(g => g._2.nonEmpty || g._3.nonEmpty)
     val anyFile = prev.headOption.getOrElse(
       filesOf(to).headOption.getOrElse(throw new IllegalStateException(
         s"graft stream at $root: version $to has no files")))
@@ -285,21 +317,38 @@ final class GraftStreamSource(spark: SparkSession, root: String,
     // every write batch owns an immutable data/b<N> directory, so the
     // partition dirs of different versions have different parents —
     // one basePath cannot span them; read per batch dir and union.
-    // The version tag (when asked for) is a per-group literal — the
-    // CDC-feed shape downstream consumers key their own state on.
-    def readWithBase(fs: Seq[String], v: Long): DataFrame = {
-      val df = fs.groupBy(GraftStreamSource.tableRootOf).toSeq.sortBy(_._1)
+    def readRestored(fs: Seq[String]): DataFrame =
+      fs.groupBy(GraftStreamSource.tableRootOf).toSeq.sortBy(_._1)
         .map { case (base, group) =>
           spark.read.option("basePath", base).parquet(group.sorted: _*)
         }
         .reduce(_.unionByName(_))
-      if (withVersionColumn) df.withColumn("_graft_version", flit(v)) else df
+    // The version tag (when asked for) is a per-group literal — the
+    // CDC-feed shape downstream consumers key their own state on.
+    def tag(df: DataFrame, v: Long, change: String): DataFrame = {
+      val withV =
+        if (withVersionColumn) df.withColumn("_graft_version", flit(v))
+        else df
+      if (changeFeed) withV.withColumn("_change_type", flit(change))
+      else withV
     }
+    def versionFrame(v: Long, added: Seq[String],
+        removed: Seq[String]): DataFrame =
+      if (removed.isEmpty) tag(readRestored(added), v, "I") // append fast path
+      else {
+        // churned version: the f9 snapshotDiff over exactly the
+        // rewritten files — carried-verbatim rows cancel, only true
+        // row changes surface as I (new image) / D (old image)
+        lazy val emptySide = readRestored(Seq(anyFile)).where(flit(false))
+        val a = if (added.isEmpty) emptySide else readRestored(added)
+        val r = if (removed.isEmpty) emptySide else readRestored(removed)
+        tag(a.exceptAll(r), v, "I").unionByName(tag(r.exceptAll(a), v, "D"))
+      }
     val batch0 =
       if (groups.nonEmpty)
-        groups.map { case (v, fs) => readWithBase(fs, v) }
+        groups.map { case (v, a, r) => versionFrame(v, a, r) }
           .reduce(_.unionByName(_))
-      else readWithBase(Seq(anyFile), to).where(flit(false))
+      else tag(readRestored(Seq(anyFile)).where(flit(false)), to, "I")
     // pin every batch to the DECLARED schema: partition-column type
     // inference must not drift between batches
     val batch = batch0.select(schema0.fields.toSeq.map(f =>
@@ -354,6 +403,21 @@ final class ManifestFileIndex(spark: SparkSession,
   // the CURRENT snapshot this index serves — advanced by refresh()
   // when an INSERT INTO's staged files are adopted and committed
   @volatile private var pmCur: FileManifest.PartitionedManifest = pm
+
+  // ---- the SQL DML seam (graft.plans.GraftDml) ----------------------
+  private[graft] def graftCatalogRoot: Option[String] = catalogRoot
+  private[graft] def isTimeTraveled: Boolean = timeTraveled
+  private[graft] def clusterColumn: String = pmCur.column
+  private[graft] def partitionColumn: String = partColName
+  private[graft] def currentSnapshot: FileManifest.PartitionedManifest = pmCur
+  /** Serve a just-committed snapshot: the session's cached relation
+    * reads the new version without re-resolution (the refresh()
+    * discipline, reused by DELETE/UPDATE commands). */
+  private[graft] def advanceSnapshot(
+      pm2: FileManifest.PartitionedManifest): Unit = {
+    pmCur = pm2
+    statusByPath = statFiles(pm2)
+  }
 
   // "<col>=<value>" — the dynamic-partition directory encoding the
   // layout writer produced and the catalog recorded verbatim

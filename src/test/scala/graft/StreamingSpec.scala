@@ -1450,6 +1450,72 @@ class StreamingSpec extends AnyFunSuite {
       s"refusal must name the append-only contract: ${chainMessages(e)}")
   }
 
+  test("change feed: I/D rows across CoW versions, restart owes exactly the unseen diff") {
+    import spark.implicits._
+    import graft.sources.FileManifest
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cdf").toString
+    val root = s"$tmp/cat"
+    val ckpt = s"$tmp/ckpt"
+    def save(rows: Seq[(Long, String, Long)], mode: String): Unit =
+      rows.toDF("k", "p", "v").write.format("graft").option("path", root)
+        .option("partitionBy", "p").option("clusterBy", "k")
+        .option("files", "2").mode(mode).save()
+    save(Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L)), "overwrite") // v0
+    spark.sql("DROP TABLE IF EXISTS cdf_t")
+    spark.sql(s"CREATE TABLE cdf_t USING graft OPTIONS (path '$root')")
+    spark.sql("UPDATE cdf_t SET v = v + 100 WHERE k = 2") // v1: CoW rewrite
+    save(Seq((4L, "b", 40L)), "append") // v2: plain append
+    assert(FileManifest.latestVersion(spark, root).contains(2L))
+    val batches = scala.collection.mutable
+      .ArrayBuffer[Set[(Long, Long, Long, String)]]()
+    def startQ() = spark.readStream.format("graft").option("path", root)
+      .option("changeFeed", "true").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          val got = b.collect().map(r => (r.getAs[Long]("k"),
+            r.getAs[Long]("v"), r.getAs[Long]("_graft_version"),
+            r.getAs[String]("_change_type"))).toSet
+          batches.synchronized { if (got.nonEmpty) batches += got }
+          ()
+      }
+      .start()
+    val q = startQ()
+    try q.processAllAvailable() finally q.stop()
+    // one drained batch carrying: v0 all-I, v1 the update's D/I pair
+    // (carried rows 1 and 3 cancel in the file diff), v2 the append-I
+    assert(batches.flatten.toSet == Set(
+      (1L, 10L, 0L, "I"), (2L, 20L, 0L, "I"), (3L, 30L, 0L, "I"),
+      (2L, 20L, 1L, "D"), (2L, 120L, 1L, "I"),
+      (4L, 40L, 2L, "I")),
+      s"feed must be exactly the I/D/I history: ${batches.flatten.toSet}")
+    // v3: a CoW DELETE while the stream is down — the checkpointed
+    // restart owes exactly that version's D rows, nothing re-emitted
+    spark.sql("DELETE FROM cdf_t WHERE k = 1")
+    assert(FileManifest.latestVersion(spark, root).contains(3L))
+    batches.clear()
+    val q2 = startQ()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(batches.flatten.toSet == Set((1L, 10L, 3L, "D")),
+      s"restart must deliver only the delete's D row: ${batches.flatten.toSet}")
+    // the plain tail (changeFeed off) still refuses the rewrite history
+    val q3 = spark.readStream.format("graft").option("path", root).load()
+      .writeStream.option("checkpointLocation", s"$tmp/ckpt-plain")
+      .foreachBatch {
+        (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) => ()
+      }.start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q3.processAllAvailable() finally q3.stop()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ chain(x.getCause))
+    assert(chain(e).exists(_.contains("changeFeed")),
+      s"the refusal must point at changeFeed mode: ${chain(e)}")
+  }
+
   test("graft stream source ahead of the catalog waits instead of crashing") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-ahead").toString
