@@ -1111,15 +1111,32 @@ object FileManifest {
     * a name collision means two writers staged the same file name,
     * never something to resolve silently. */
   def adoptBatch(spark: SparkSession, pm: PartitionedManifest,
-      tableRoot: String, batchRoot: String): PartitionedManifest = {
+      tableRoot: String, batchRoot: String): PartitionedManifest =
+    foldAdded(pm, adoptBatchAdded(spark, tableRoot, batchRoot, pm.column))
+
+  /** Union per-partition file stats into a manifest (pure — the
+    * re-foldable half of [[adoptBatch]], what an optimistic commit
+    * retry re-applies onto a freshly-resolved base). */
+  def foldAdded(pm: PartitionedManifest,
+      added: Map[String, Seq[FileStats]]): PartitionedManifest =
+    added.foldLeft(pm) { case (acc, (part, stats)) =>
+      acc.copy(partitions = acc.partitions.updated(part,
+        (acc.partitions.getOrElse(part, Nil) ++ stats).sortBy(_.path)))
+    }
+
+  /** Move a staged batch's partition dirs under `tableRoot` and
+    * footer-stat JUST the moved files — the side-effecting half of
+    * [[adoptBatch]], separated so a commit retry can re-fold the
+    * already-moved stats without touching storage again. */
+  def adoptBatchAdded(spark: SparkSession, tableRoot: String,
+      batchRoot: String, column: String): Map[String, Seq[FileStats]] = {
     val fs = new Path(tableRoot).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     // committer internals (`_temporary` of an in-flight job) are never
     // partition dirs — only col=value directories are adoptable
     val parts = fs.listStatus(new Path(batchRoot)).toSeq
       .filter(p => p.isDirectory && !p.getPath.getName.startsWith("_"))
-    var cur = pm
-    parts.foreach { p =>
+    parts.flatMap { p =>
       val part = p.getPath.getName
       val destDir = new Path(tableRoot, part)
       fs.mkdirs(destDir)
@@ -1136,9 +1153,10 @@ object FileManifest {
           // consumers (statFiles, version set-diffs) compare verbatim
           fs.makeQualified(dest).toString
         }
-      if (moved.nonEmpty) cur = appendPartition(cur, spark, part, moved)
-    }
-    cur
+      if (moved.isEmpty) None
+      else Some(part -> statsFor(spark, moved, Seq(column))
+        .map(_(column)).sortBy(_.path))
+    }.toMap
   }
 
   /** Retention/compaction expiry: drop file entries from one partition;
@@ -1166,12 +1184,18 @@ object FileManifest {
     }
     val survivors = kept.values.toSeq.flatMap(prune(_, lo, hi)).map(_.path)
     val anyFile = pm.partitions.valuesIterator.flatten.next().path
+    // a manifest may span several layout roots (per-batch adoption
+    // dirs, per-version b<N> dirs) — each is its own basePath; group
+    // and union so the partition column restores everywhere
+    def readGrouped(files: Seq[String]): DataFrame =
+      files.groupBy(basePathOf).toSeq.sortBy(_._1)
+        .map { case (base, group) =>
+          spark.read.option("basePath", base).parquet(group.sorted: _*)
+        }
+        .reduce(_.unionByName(_))
     val src =
-      if (survivors.nonEmpty) spark.read
-        .option("basePath", basePathOf(anyFile))
-        .parquet(survivors: _*)
-      else spark.read.option("basePath", basePathOf(anyFile))
-        .parquet(anyFile).where(lit(false))
+      if (survivors.nonEmpty) readGrouped(survivors)
+      else readGrouped(Seq(anyFile)).where(lit(false))
     val ranged = src.filter(col(pm.column) >= lo && col(pm.column) <= hi)
     keepPartitions match {
       // partition dirs encode "name=value"; re-filter on the value so
@@ -1227,17 +1251,59 @@ object FileManifest {
 
   private val VersionMarker = "commit-(\\d+)".r
 
-  /** Commit `pm` as the next catalog version; returns its number. */
+  /** Thrown when a commit loses the one-marker race to a concurrent
+    * writer. Appends may catch it, re-resolve their base, and retry
+    * ([[commitVersionRetry]] — append-append commutes); operations
+    * that REMOVE files (CoW DML, compaction, overwrite) must NOT
+    * retry blindly and let it propagate loudly. */
+  final class CommitConflictException(msg: String)
+    extends RuntimeException(msg)
+
+  // In-process commits serialize on this lock: two uncoordinated
+  // writers in one JVM (parallel streams, threads) would otherwise
+  // interleave inside the stage-then-mark window — the loser's
+  // crashed-attempt cleanup could delete the winner's just-staged
+  // manifest before its marker lands. CROSS-process writers keep the
+  // loud-loser marker contract; a multi-driver deployment needs a
+  // putIfAbsent catalog primitive for full optimistic concurrency
+  // (the same boundary Delta-on-S3 solves with an external LogStore
+  // and Iceberg with a metastore lock).
+  private val commitLock = new Object
+
+  /** Commit `pm` as the next catalog version; returns its number.
+    * Throws [[CommitConflictException]] when a concurrent writer took
+    * the number first. */
   def commitVersion(spark: SparkSession, pm: PartitionedManifest,
-      root: String): Long = {
+      root: String): Long = commitLock.synchronized {
     val fs = new Path(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val next = latestVersion(spark, root).map(_ + 1).getOrElse(0L)
     fs.delete(new Path(s"$root/v$next"), true) // crashed-attempt orphan
     savePartitioned(spark, pm, s"$root/v$next")
-    require(fs.createNewFile(new Path(root, s"commit-$next")),
-      s"commitVersion: marker create failed under $root")
+    if (!fs.createNewFile(new Path(root, s"commit-$next")))
+      throw new CommitConflictException(
+        s"commitVersion: version $next was committed concurrently under $root")
     next
+  }
+
+  /** OPTIMISTIC-RETRY commit for APPEND-shaped writes: the manifest
+    * content is re-derived from the freshest base by `pmOf` on every
+    * attempt, so losing the number race just means re-resolving and
+    * trying the next number (append-append commutes — both sides only
+    * ADD files, so any interleaving unions to the same table). Bounded
+    * attempts, then the conflict propagates loudly. */
+  def commitVersionRetry(spark: SparkSession, root: String,
+      pmOf: () => PartitionedManifest, maxAttempts: Int = 8): Long = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try return commitVersion(spark, pmOf(), root)
+      catch {
+        case e: CommitConflictException =>
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    -1L // unreachable
   }
 
   /** Max committed version at `root`, None when nothing committed. */
@@ -1460,6 +1526,43 @@ object FileManifest {
           "(loser backs out; this creator holds the resolve winner)")
       }
     }
+  }
+
+  /** COMPARE-AND-ADVANCE: move branch `name` to `version` only if it
+    * currently resolves to `expected`. Returns true on success, false
+    * on any observed interference — in which case this caller's
+    * marker is backed out, so a failed CAS never changes what readers
+    * resolve. NOTE: filesystem markers cannot make this linearizable
+    * (a racer can slide in between validation reads), so a protocol
+    * built on it must verify its GOAL state after the call rather
+    * than trust the boolean — see GovernedIngest's publish loop. */
+  def advanceBranchIfAt(spark: SparkSession, root: String, name: String,
+      expected: Long, version: Long): Boolean = {
+    val d = refDir(root, name)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(root, s"commit-$version")),
+      s"advanceBranchIfAt($name): version $version was never committed")
+    val ms = refMarkers(fs, d)
+    require(ms.exists(BranchRefMarker.matches), s"'$name' is not a branch")
+    val bySeq = ms.collect { case BranchRefMarker(s, v) => (s.toLong, v.toLong) }
+    val (curSeq, curV) = {
+      val (s, vs) = bySeq.groupBy(_._1).maxBy(_._1)
+      (s, vs.map(_._2).min) // resolveRef's deterministic tie-break
+    }
+    if (curV != expected) return false
+    val seq = curSeq + 1
+    val own = s"bref-$seq-$version"
+    if (!fs.createNewFile(new Path(d, own))) return false
+    // post-create validation: we must be the marker resolution selects
+    // (max seq, min version) AND the history below us must still read
+    // `expected` — anything else backs out
+    val after = refMarkers(fs, d)
+      .collect { case BranchRefMarker(s, v) => (s.toLong, v.toLong) }
+    val ok = after.map(_._1).max == seq &&
+      after.filter(_._1 == seq).map(_._2).min == version &&
+      after.filter(_._1 == curSeq).map(_._2).min == expected
+    if (!ok) fs.delete(new Path(d, own), false)
+    ok
   }
 
   /** Advance branch `name` to `version`; returns the new sequence.

@@ -86,11 +86,22 @@ object GovernedIngest {
         val fs = new Path(stageDir).getFileSystem(
           spark.sparkContext.hadoopConfiguration)
         fs.delete(new Path(stageDir), true) // crashed-attempt leftovers
+        fs.delete(new Path(batchDataDir(t, runTag, batchId)), true)
         FileManifest.writePartitionedLayout(batch, stageDir, t.partCol,
           t.clusterCol, t.numFiles)
-        val base = FileManifest.loadRef(spark, t.vroot, "main")
-        val pm = FileManifest.adoptBatch(spark, base, t.tableRoot, stageDir)
-        val vNew = FileManifest.commitVersion(spark, pm, t.vroot)
+        // adopt into a PER-BATCH data dir: the batch's file set stays
+        // recoverable from paths alone (what a crash replay or a
+        // concurrent merge-publish re-derives the increment from)
+        val added = FileManifest.adoptBatchAdded(spark,
+          batchDataDir(t, runTag, batchId), stageDir, t.clusterCol)
+        // OPTIMISTIC COMMIT: the proposal is main ∪ this batch; losing
+        // the version-number race to a concurrent writer just means
+        // re-resolving main and re-folding the already-moved stats
+        // (append-append commutes — the conflict rule of this format;
+        // anything that REMOVES files refuses instead of retrying)
+        val vNew = FileManifest.commitVersionRetry(spark, t.vroot,
+          () => FileManifest.foldAdded(
+            FileManifest.loadRef(spark, t.vroot, "main"), added))
         FileManifest.createTag(spark, t.vroot, tag, vNew) // atomic binding
         vNew
       }
@@ -98,40 +109,108 @@ object GovernedIngest {
     v
   }
 
-  /** Steps after the committed version exists — each guarded by ref
-    * state so a replay re-runs them as no-ops. */
-  private def finishPublish(spark: SparkSession, t: Table, v: Long,
-      runTag: String, batchId: Long): Unit = {
-    // terminal states FIRST: a stale replay (later batches already
-    // processed) must not move the audit branch backward
-    if (FileManifest.refExists(spark, t.vroot, rejectedTag(runTag, batchId)))
-      return // audited and rejected — terminal
-    if (FileManifest.resolveRef(spark, t.vroot, "main") >= v)
-      return // audited and published (or superseded) — terminal
-    if (FileManifest.resolveRef(spark, t.vroot, "audit") != v)
-      FileManifest.advanceBranch(spark, t.vroot, "audit", v)
-    if (incrementViolations(spark, t, v) == 0L)
-      FileManifest.fastForward(spark, t.vroot, "main", "audit")
-    else
-      FileManifest.createTag(spark, t.vroot, rejectedTag(runTag, batchId), v)
+  /** Each batch's adopted files live under this directory — the batch
+    * identity is in the PATH, so its increment is recoverable forever. */
+  private def batchDataDir(t: Table, runTag: String, batchId: Long) =
+    s"${t.tableRoot}/ing-$runTag-$batchId"
+
+  /** The batch's own files inside committed version `v` (path-keyed —
+    * exact under concurrency and replay). */
+  private def incrementOf(spark: SparkSession, t: Table, v: Long,
+      runTag: String, batchId: Long): Map[String, Seq[FileManifest.FileStats]] = {
+    val marker = s"/ing-$runTag-$batchId/"
+    FileManifest.loadVersion(spark, t.vroot, v).partitions.view
+      .mapValues(_.filter(_.path.contains(marker))).filter(_._2.nonEmpty)
+      .toMap
   }
 
-  /** Expectation violations over the INCREMENT between the committed
-    * version and the published head: exactly this batch's adopted
-    * files, read through the catalog listing with the partition
-    * column restored from the directory encoding — O(batch) IO. */
+  /** Steps after the committed version exists — each guarded by
+    * OBSERVED STATE so a replay (or a concurrent publisher's
+    * interference) re-runs them as no-ops or repairs:
+    *
+    *  - rejected tag exists → terminal.
+    *  - the batch's increment ⊆ main's manifest → published, terminal
+    *    (the goal check — never "main moved past v", which under
+    *    concurrent writers says nothing about THIS batch).
+    *  - audit fails → rejected tag (idempotent; the increment never
+    *    reaches main because versions are independent proposals).
+    *  - audit passes → the PUBLISH LOOP: re-resolve main; if the
+    *    proposal version already contains main's files, CAS main onto
+    *    it (the serial fast path — zero extra commits); otherwise
+    *    commit main ∪ increment as a merge version and CAS onto that.
+    *    Every CAS result is distrusted and the goal re-checked — the
+    *    filesystem CAS is not linearizable, but appends commute, so
+    *    re-merging until the increment is observed in main converges
+    *    (bounded attempts, then loud).
+    */
+  private def finishPublish(spark: SparkSession, t: Table, v: Long,
+      runTag: String, batchId: Long): Unit = {
+    if (FileManifest.refExists(spark, t.vroot, rejectedTag(runTag, batchId)))
+      return // audited and rejected — terminal
+    val inc = incrementOf(spark, t, v, runTag, batchId)
+    val incPaths = inc.valuesIterator.flatten.map(_.path).toSet
+    def published(): Boolean = {
+      val mainPaths = FileManifest.loadRef(spark, t.vroot, "main")
+        .partitions.valuesIterator.flatten.map(_.path).toSet
+      incPaths.subsetOf(mainPaths)
+    }
+    if (incPaths.isEmpty || published()) return // nothing owed / terminal
+    // observability branch: best-effort under concurrency (the audit
+    // decision below reads the increment files directly, never this ref)
+    if (FileManifest.resolveRef(spark, t.vroot, "audit") < v)
+      try FileManifest.advanceBranch(spark, t.vroot, "audit", v)
+      catch { case _: IllegalArgumentException => () } // lost the race
+    if (incrementViolations(spark, t, inc) > 0L) {
+      try FileManifest.createTag(spark, t.vroot,
+        rejectedTag(runTag, batchId), v)
+      catch { case e: Exception => // concurrent replay created it
+        if (!FileManifest.refExists(spark, t.vroot,
+          rejectedTag(runTag, batchId))) throw e
+      }
+      return
+    }
+    var attempt = 0
+    while (!published()) {
+      attempt += 1
+      require(attempt <= 10,
+        s"publish of $runTag-$batchId did not converge after $attempt tries")
+      val mainV = FileManifest.resolveRef(spark, t.vroot, "main")
+      val mainPm = FileManifest.loadVersion(spark, t.vroot, mainV)
+      val mainPaths =
+        mainPm.partitions.valuesIterator.flatten.map(_.path).toSet
+      val vPaths = FileManifest.loadVersion(spark, t.vroot, v)
+        .partitions.valuesIterator.flatten.map(_.path).toSet
+      val target =
+        if (mainPaths.subsetOf(vPaths)) v // serial fast path
+        else FileManifest.commitVersionRetry(spark, t.vroot,
+          () => FileManifest.foldAdded(
+            FileManifest.loadRef(spark, t.vroot, "main"), inc))
+      FileManifest.advanceBranchIfAt(spark, t.vroot, "main", mainV, target)
+      // the CAS boolean is advisory — the loop's guard re-checks the
+      // GOAL (increment visible in main) before exiting or retrying
+    }
+  }
+
+  /** Expectation violations over exactly this batch's adopted files,
+    * read through the catalog listing with the partition column
+    * restored from the directory encoding — O(batch) IO however large
+    * the table has grown. */
   private def incrementViolations(spark: SparkSession, t: Table,
-      v: Long): Long = {
-    val cur = FileManifest.loadVersion(spark, t.vroot, v)
-    val pub = FileManifest.loadRef(spark, t.vroot, "main")
-    val pubPaths = pub.partitions.valuesIterator.flatten.map(_.path).toSet
-    val added = cur.partitions.valuesIterator.flatten.map(_.path)
-      .filterNot(pubPaths).toSeq
+      inc: Map[String, Seq[FileManifest.FileStats]]): Long = {
+    val added = inc.valuesIterator.flatten.map(_.path).toSeq.sorted
     if (added.isEmpty) 0L
-    else Expectations.audit(
-        spark.read.option("basePath", t.tableRoot).parquet(added: _*),
-        t.checks)
-      .agg(coalesce(sum("n_violations"), lit(0L))).head.getLong(0)
+    else {
+      // per-batch adoption dirs are each their own basePath (the
+      // partition dirs of different batches have different parents)
+      val df = added.groupBy(p => new Path(p).getParent.getParent.toString)
+        .toSeq.sortBy(_._1)
+        .map { case (base, group) =>
+          spark.read.option("basePath", base).parquet(group: _*)
+        }
+        .reduce(_.unionByName(_))
+      Expectations.audit(df, t.checks)
+        .agg(coalesce(sum("n_violations"), lit(0L))).head.getLong(0)
+    }
   }
 
   /** The continuous form: wire a stream into [[ingestBatch]]. The

@@ -1291,6 +1291,68 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("concurrent ingest writers: optimistic retry lands every batch exactly once") {
+    import spark.implicits._
+    import graft.sources.FileManifest
+    import graft.streaming.GovernedIngest
+    import graft.operators.Expectations
+    val tmp = java.nio.file.Files.createTempDirectory("graft_conc").toString
+    val t = GovernedIngest.Table(s"$tmp/cat", s"$tmp/t", s"$tmp/stage",
+      "k", "id", Seq(Expectations.inRange("v", 0L, 1000L)), numFiles = 2)
+    GovernedIngest.init(spark, t,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "k", "v"))
+    // four INDEPENDENT writers (own runTags — four pipelines into one
+    // table) race: commit-number conflicts retry by re-resolving main
+    // and re-folding the already-moved batch stats; publish conflicts
+    // converge through the goal-verified merge loop. Every batch must
+    // land exactly once whatever the interleaving.
+    val slices = (0 until 4).map { w =>
+      w -> Seq((10L + w, if (w % 2 == 0) "a" else "b", 100L + w))
+    }.toMap
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val versions = Await.result(Future.sequence(slices.toSeq.map {
+      case (w, rows) => Future {
+        w -> GovernedIngest.ingestBatch(spark, t,
+          rows.toDF("id", "k", "v"), s"w$w", 0L)
+      }
+    }), 5.minutes).toMap
+    val got = GovernedIngest.publishedRead(spark, t).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("k"),
+        r.getAs[Long]("v"))).toSet
+    val want = Set((1L, "a", 10L), (2L, "b", 20L)) ++
+      slices.valuesIterator.flatten
+    assert(got == want,
+      s"main must equal base ∪ all four batches: missing ${want -- got}, " +
+        s"extra ${got -- want}")
+    // each batch is bound to its committed version exactly once
+    (0 until 4).foreach { w =>
+      assert(FileManifest.resolveRef(spark, t.vroot, s"ingest-w$w-0") ==
+        versions(w), s"writer $w's tag must bind its version")
+    }
+    // replays of every writer are no-ops returning the bound version
+    (0 until 4).foreach { w =>
+      val v2 = GovernedIngest.ingestBatch(spark, t,
+        slices(w).toDF("id", "k", "v"), s"w$w", 0L)
+      assert(v2 == versions(w), s"writer $w replay must return its version")
+    }
+    assert(GovernedIngest.publishedRead(spark, t).count() == want.size,
+      "replays must not duplicate rows")
+    // a rejected concurrent batch never leaks into main even though
+    // later merges union increments (versions are independent proposals)
+    val vBad = GovernedIngest.ingestBatch(spark, t,
+      Seq((99L, "a", 9999L)).toDF("id", "k", "v"), "wbad", 0L)
+    assert(FileManifest.refExists(spark, t.vroot, "rejected-wbad-0"))
+    val v5 = GovernedIngest.ingestBatch(spark, t,
+      Seq((50L, "b", 500L)).toDF("id", "k", "v"), "w5", 0L)
+    val got2 = GovernedIngest.publishedRead(spark, t).collect()
+      .map(r => r.getAs[Long]("id")).toSet
+    assert(got2 == (want.map(_._1) + 50L),
+      s"rejected rows must stay out of main across later publishes: $got2")
+    assert(vBad != v5)
+  }
+
   test("graft stream source: version metering drains one per trigger, version column tags rows") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-meter").toString
