@@ -238,18 +238,36 @@ object Profile {
     * audits, and schema inference on an unknown 100 TB corpus. */
   def fdProfile(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
     require(pairs.nonEmpty)
-    pairs.map { case (a, b) =>
-      df.groupBy(col(a).as("__k"), col(b).as("__v"))
-        .agg(count(lit(1)).as("__n"))
-        .groupBy("__k")
-        .agg(sum("__n").as("__na"), max("__n").as("__mx"))
-        .agg(sum("__na").as("n_rows"),
-          count(lit(1)).as("n_groups"),
-          sum(col("__na") - col("__mx")).as("violations"))
-        .select(lit(a).as("determinant"), lit(b).as("dependent"),
-          col("n_rows"), col("n_groups"), col("violations"),
-          (col("violations") === 0).as("holds"))
-    }.reduce(_ unionByName _)
+    // SINGLE PASS over however many candidate pairs (r11): explode one
+    // (pair-index, determinant-value, dependent-value) struct per pair
+    // per row, then ONE (i, k, v) aggregation — k pairs previously
+    // cost k scans of the table; at 100 TB the scans dominate, so one
+    // k×-wider map-side-reduced shuffle is the right trade. Values
+    // ride as strings (canonical casts are injective per column, and
+    // the pair index keeps columns apart), preserving exact counts;
+    // NULL stays a value. The per-pair rollup then mirrors the
+    // original two-level aggregation unchanged.
+    val items = pairs.zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(i).as("i"), col(a).cast("string").as("k"),
+        col(b).cast("string").as("v"))
+    }
+    val dets = array(pairs.map(p => lit(p._1)): _*)
+    val deps = array(pairs.map(p => lit(p._2)): _*)
+    df.select(explode(array(items: _*)).as("p"))
+      .select(col("p.i").as("__i"), col("p.k").as("__k"),
+        col("p.v").as("__v"))
+      .groupBy("__i", "__k", "__v")
+      .agg(count(lit(1)).as("__n"))
+      .groupBy("__i", "__k")
+      .agg(sum("__n").as("__na"), max("__n").as("__mx"))
+      .groupBy("__i")
+      .agg(sum("__na").as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        sum(col("__na") - col("__mx")).as("violations"))
+      .select(element_at(dets, col("__i") + 1).as("determinant"),
+        element_at(deps, col("__i") + 1).as("dependent"),
+        col("n_rows"), col("n_groups"), col("violations"),
+        (col("violations") === 0).as("holds"))
   }
 
   /** The DuckDB mirror of [[fdProfile]] — one UNION ALL block per
@@ -309,14 +327,23 @@ object Profile {
   def skewAudit(df: DataFrame, keyCols: Seq[String],
       riskPpm: Long = 100000L): DataFrame = {
     require(keyCols.nonEmpty && riskPpm >= 1, "need key cols and riskPpm >= 1")
-    keyCols.map { c =>
-      df.groupBy(coalesce(col(c).cast("string"), lit("<null>")).as("__k"))
-        .agg(count(lit(1)).as("__n"))
+    // SINGLE PASS (r11): one (column, key) explode + one aggregation
+    // instead of a full table scan per audited column — the fdProfile
+    // trade, same exact output
+    val items = keyCols.map { c =>
+      struct(lit(c).as("c"),
+        coalesce(col(c).cast("string"), lit("<null>")).as("k"))
+    }
+    df.select(explode(array(items: _*)).as("p"))
+      .select(col("p.c").as("__c"), col("p.k").as("__k"))
+      .groupBy("__c", "__k")
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("__c").as("column"))
         .agg(sum("__n").as("n_rows"), count(lit(1)).as("n_keys"),
           max("__n").as("max_group"),
           min(struct((-col("__n")).as("nn"), col("__k").as("k")))
             .as("__pick"))
-        .select(lit(c).as("column"), col("n_rows"), col("n_keys"),
+        .select(col("column"), col("n_rows"), col("n_keys"),
           col("max_group"), col("__pick.k").as("top_key"),
           // exact ppm while max·10⁶ fits signed 64-bit (any table under
           // 10¹² rows — the product is then < 10¹⁸); beyond that, divide
@@ -329,7 +356,6 @@ object Profile {
             "ELSE max_group div (n_rows div 1000000L) END")
             .as("share_ppm"))
         .withColumn("at_risk", col("share_ppm") > riskPpm)
-    }.reduce(_ unionByName _)
   }
 
   /** DuckDB mirror of [[skewAudit]] — one block per column, same

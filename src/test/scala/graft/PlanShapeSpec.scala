@@ -1631,6 +1631,26 @@ class PlanShapeSpec extends AnyFunSuite {
       .head.getLong(0) == ev.where(col("user_id") === 3).count())
   }
 
+  test("multi-column profiling is single-pass: one scan for p9 and p11") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def countScans(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => countScans(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          countScans(s.plan)
+        case f: FileSourceScanExec => 1
+        case other => other.children.map(countScans).sum
+      }
+    for (name <- Seq("p9_fd_profile", "p11_skew_audit")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect() // finalize AQE
+      val n = countScans(plan(df))
+      assert(n == 1,
+        s"$name must profile every column in ONE scan, found $n scans")
+    }
+  }
+
   test("INSERT staging: failed-job residue swept not adopted, _temporary untouched, per-instance dirs") {
     import graft.sources.{FileManifest, ManifestFileIndex}
     import org.apache.hadoop.fs.Path
