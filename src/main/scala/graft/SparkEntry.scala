@@ -805,6 +805,16 @@ object SparkEntry {
       Graph.randomWalks(graphEdges(T(s, dir, "lineitem")), "src", "dst",
           starts = 256L, walksPerNode = 2, length = 4)
         .orderBy("start", "walk", "step")),
+    // node2vec biased walks (r11): the 2nd-order draw conditions on
+    // the previous node — return discouraged (1), adjacency-of-prev
+    // favored (4), venture-out neutral (2); exact integer weights via
+    // copy expansion keep the draw float-free and oracle-replayable.
+    // GraphSpec pins that equal weights degenerate to g15 bit-for-bit.
+    "g18_node2vec_walks" -> ((s, dir) =>
+      Graph.biasedWalks(graphEdges(T(s, dir, "lineitem")), "src", "dst",
+          starts = 256L, walksPerNode = 2, length = 4,
+          wReturn = 1, wCommon = 4, wFar = 2)
+        .orderBy("start", "walk", "step")),
     // INCREMENTAL PageRank (r10): ranks maintained across an edge
     // append — 4 cold rounds on the pre-append graph, then the edge
     // batch lands and TWO warm rounds re-converge from the prior
@@ -3668,6 +3678,9 @@ object SparkEntry {
     "g15_random_walks" ->
       operators.Graph.randomWalksOracleSql(graphEdgesSql, starts = 256L,
         walksPerNode = 2, length = 4),
+    "g18_node2vec_walks" ->
+      operators.Graph.biasedWalksOracleSql(graphEdgesSql, starts = 256L,
+        walksPerNode = 2, length = 4, wReturn = 1, wCommon = 4, wFar = 2),
     "g16_neighbor_sample" ->
       operators.Graph.neighborSampleOracleSql(graphEdgesSql, seeds = 64L,
         fanouts = Seq(3, 2)),

@@ -1340,6 +1340,142 @@ object Graph {
     emitted.reduce(_.union(_))
   }
 
+  /** NODE2VEC BIASED WALKS (Grover & Leskovec, KDD 2016 §3.2) — the
+    * second-order extension of [[randomWalks]]: the draw at step t
+    * conditions on the PREVIOUS node `prev`, weighting each candidate
+    * successor x of the current node by α(prev, x) = 1/p when x is
+    * prev itself (return), 1 when prev→x is an edge (BFS-ish stay
+    * close), 1/q otherwise (DFS-ish venture out). Weights arrive as
+    * EXACT POSITIVE INTEGERS (wReturn : wCommon : wFar — scale the
+    * 1/p : 1 : 1/q ratios up to integers), which keeps the draw
+    * float-free and oracle-replayable: every candidate expands into
+    * `weight` copies, each copy takes a fresh md5 draw, and the
+    * argmin over ALL copies selects a candidate with probability
+    * exactly weight/Σweights under the same universal-hashing
+    * uniformity the whole g-family leans on. Copy 0 reuses the
+    * [[randomWalks]] key verbatim (extra copies suffix ",#<copy>"),
+    * so wReturn = wCommon = wFar literally DEGENERATES to
+    * [[randomWalks]] bit-for-bit — the p = q = 1 contract the spec
+    * pins. Step 1 has no previous node and is uniform, as in the
+    * paper.
+    *
+    * Cost model at scale: the second-order bias adds ONE extra
+    * equi-join per step (the candidate set probing `prev→dst`
+    * adjacency against the (src, dst)-partitioned edge cache) on top
+    * of g15's walk⋈edges step join — the inherent price of a
+    * 2nd-order Markov walk; per-step work stays |walks|-proportional
+    * and the copy expansion multiplies candidates by at most
+    * max(weights) BEFORE the map-side-combined argmin.
+    *
+    * @return (start, walk, step, node) BIGINT×4, step 0 = the start.
+    */
+  def biasedWalks(edges: DataFrame, srcCol: String, dstCol: String,
+      starts: Long, walksPerNode: Int, length: Int,
+      wReturn: Int, wCommon: Int, wFar: Int): DataFrame = {
+    require(walksPerNode >= 1 && length >= 1 && starts >= 1)
+    require(wReturn >= 1 && wCommon >= 1 && wFar >= 1,
+      "node2vec weights must be positive integers")
+    val e0 = normalize(edges, srcCol, dstCol)
+    val n = shuffleParts(e0)
+    val e = e0.repartition(n, col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the adjacency probe layout for the 2nd-order bias: same rows,
+    // keyed by the (prev, candidate) pair the bias conditions on
+    val adj = e0.select(col("src").as("a_src"), col("dst").as("a_dst"))
+      .repartition(n, col("a_src"), col("a_dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct()
+    val widx = (0 until walksPerNode).map(_.toLong)
+    // state carries (start, w, prev, cur): prev is what the bias reads
+    var state = nodes.where(col("node") < starts)
+      .select(col("node").as("start"))
+      .withColumn("w", explode(array(widx.map(lit): _*)))
+      .withColumn("prev", col("start"))
+      .withColumn("cur", col("start"))
+    var emitted = Seq(state.select(col("start"), col("w").as("walk"),
+      lit(0L).as("step"), col("cur").as("node")))
+    for (t <- 1 to length) {
+      val cand0 = state.join(e, state("cur") === e("src"))
+        .select(col("start"), col("w"), col("prev"), col("cur"),
+          col("dst"))
+      // step 1 is uniform (no previous node yet): weight 1 for all
+      val weighted =
+        if (t == 1) cand0.withColumn("wt", lit(1))
+        else cand0
+          .join(adj, cand0("prev") === adj("a_src") &&
+            cand0("dst") === adj("a_dst"), "left")
+          .withColumn("wt",
+            when(col("dst") === col("prev"), lit(wReturn))
+              .when(col("a_src").isNotNull, lit(wCommon))
+              .otherwise(lit(wFar)))
+          .select(col("start"), col("w"), col("cur"), col("dst"),
+            col("wt"))
+      val baseKey = concat_ws(",", col("start"), col("w"),
+        lit(t.toLong), col("dst"))
+      val stepped = weighted
+        .withColumn("copy", explode(sequence(lit(0), col("wt") - 1)))
+        .withColumn("h", md5(when(col("copy") > 0,
+          concat(baseKey, lit(",#"), col("copy"))).otherwise(baseKey)))
+      val next = stepped
+        .groupBy(col("start"), col("w"))
+        .agg(min(struct(col("h"), col("dst"))).as("pick"),
+          first(col("cur")).as("prev0"))
+        .select(col("start"), col("w"), col("prev0").as("prev"),
+          col("pick.dst").as("cur"))
+      state = ckpt(next)
+      emitted = emitted :+ state.select(col("start"), col("w").as("walk"),
+        lit(t.toLong).as("step"), col("cur").as("node"))
+    }
+    e.unpersist()
+    adj.unpersist()
+    emitted.reduce(_.union(_))
+  }
+
+  /** DuckDB mirror of [[biasedWalks]]: the same copy-expanded md5
+    * draw — copies via a bounded grid joined on copy < weight, copy 0
+    * keeping the g15 key — unrolled one CTE per step. */
+  def biasedWalksOracleSql(edgesSql: String, starts: Long,
+      walksPerNode: Int, length: Int,
+      wReturn: Int, wCommon: Int, wFar: Int): String = {
+    val maxW = Seq(wReturn, wCommon, wFar).max
+    val sb = new StringBuilder
+    sb.append(s"WITH e AS (SELECT DISTINCT src, dst FROM ($edgesSql)\n")
+    sb.append("  WHERE src IS NOT NULL AND dst IS NOT NULL),\n")
+    sb.append("n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),\n")
+    sb.append(s"w AS (SELECT CAST(range AS BIGINT) AS w FROM range($walksPerNode)),\n")
+    sb.append(s"cps AS (SELECT CAST(range AS INT) AS copy FROM range($maxW)),\n")
+    sb.append("s0 AS (SELECT node AS start, w.w, node AS prev, node AS cur\n")
+    sb.append(s"  FROM n CROSS JOIN w WHERE node < $starts)")
+    for (t <- 1 to length) {
+      val wtSql =
+        if (t == 1) "1"
+        else s"""CASE WHEN e.dst = s.prev THEN $wReturn
+           |    WHEN e2.src IS NOT NULL THEN $wCommon
+           |    ELSE $wFar END""".stripMargin
+      val adjJoin =
+        if (t == 1) ""
+        else "\n  LEFT JOIN e e2 ON e2.src = s.prev AND e2.dst = e.dst"
+      sb.append(s""",
+        |c$t AS (SELECT s.start, s.w, s.cur, e.dst, $wtSql AS wt
+        |  FROM s${t - 1} s JOIN e ON e.src = s.cur$adjJoin),
+        |p$t AS (SELECT c.start, c.w, c.cur, c.dst,
+        |  row_number() OVER (PARTITION BY c.start, c.w ORDER BY
+        |    md5(c.start::VARCHAR || ',' || c.w::VARCHAR || ',' || '$t'
+        |      || ',' || c.dst::VARCHAR ||
+        |      CASE WHEN g.copy > 0 THEN ',#' || g.copy::VARCHAR
+        |        ELSE '' END), c.dst) AS rn
+        |  FROM c$t c JOIN cps g ON g.copy < c.wt),
+        |s$t AS (SELECT start, w, cur AS prev, dst AS cur
+        |  FROM p$t WHERE rn = 1)""".stripMargin)
+    }
+    val unions = (0 to length).map(t =>
+      s"SELECT start, w AS walk, CAST($t AS BIGINT) AS step, cur AS node FROM s$t")
+    sb.append("\n" + unions.mkString("", "\nUNION ALL\n", "") +
+      "\nORDER BY start, walk, step")
+    sb.toString
+  }
+
   /** DuckDB mirror of [[randomWalks]]: the same md5 draw per
     * (walk, step, candidate), successor = ROW_NUMBER()=1 over
     * (md5, dst) — unrolled one CTE per step. */

@@ -2547,6 +2547,56 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.filter(_._1 == 3L).forall(_._3 == 0L))
   }
 
+  test("node2vec walks: equal weights degenerate to g15; bias replays exactly") {
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (1L, 3L), (2L, 0L),
+      (2L, 1L), (3L, 0L), (3L, 1L))
+    // p = q = 1 (all weights equal): copy 0 keeps the randomWalks key
+    // verbatim and no extra copies exist, so the operator IS g15
+    val plain = Graph.randomWalks(edges.toDF("s", "d"), "s", "d",
+        starts = 4L, walksPerNode = 2, length = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val degen = Graph.biasedWalks(edges.toDF("s", "d"), "s", "d",
+        starts = 4L, walksPerNode = 2, length = 3,
+        wReturn = 1, wCommon = 1, wFar = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(degen == plain,
+      s"equal weights must equal randomWalks: ${degen -- plain} vs ${plain -- degen}")
+    // biased draw replay: scala mirror of the copy-expanded argmin
+    val (wRet, wCom, wFarW) = (1, 4, 2)
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def weight(prev: Long, dst: Long): Int =
+      if (dst == prev) wRet
+      else if (adj.getOrElse(prev, Set.empty).contains(dst)) wCom
+      else wFarW
+    def key(start: Long, w: Long, t: Int, dst: Long, copy: Int): String =
+      if (copy == 0) md5hex(s"$start,$w,$t,$dst")
+      else md5hex(s"$start,$w,$t,$dst,#$copy")
+    val want = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    for (start <- 0L to 3L; w <- 0L to 1L) {
+      var prev = start
+      var cur = start
+      want += ((start, w, 0L, cur))
+      for (t <- 1 to 3) {
+        val cands = adj(cur).toSeq
+        val picks = cands.flatMap { d =>
+          val wt = if (t == 1) 1 else weight(prev, d)
+          (0 until wt).map(c => ((key(start, w, t, d, c), d), d))
+        }
+        val nxt = picks.minBy(_._1)._2
+        prev = cur; cur = nxt
+        want += ((start, w, t.toLong, cur))
+      }
+    }
+    val got = Graph.biasedWalks(edges.toDF("s", "d"), "s", "d",
+        starts = 4L, walksPerNode = 2, length = 3,
+        wReturn = wRet, wCommon = wCom, wFar = wFarW)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == want.toSet, s"biased walks: ${got -- want.toSet} vs ${want.toSet -- got}")
+  }
+
   test("vad segments: energy gate, islands merge, gaps split, seg ids ordered") {
     // 4 frames of 4 samples: loud, loud, quiet, loud -> segments
     // [0..1] and [3..3] at a gate the quiet frame misses
