@@ -2331,6 +2331,37 @@ object SparkEntry {
           k = 5, nprobe = 1)
         .orderBy("query_id", "rank")
     }),
+    // INCREMENTAL GRAPH MAINTENANCE (r11): build → materialize the
+    // NN-descent graph → append NEW vectors (ids shifted past the
+    // corpus) → nnDescentAppend refreshes only new-incident edges and
+    // rewrites only changed source-cell partitions → serve through
+    // the refreshed graph. Served at FULL probe the result is
+    // bit-identical to the exact integer-cosine ranking over the
+    // whole live corpus (expansion candidates are a superset,
+    // re-ranked exactly), which is what the oracle replays — it pins
+    // the append's frozen-scale quantization and the serving path;
+    // PlanShapeSpec pins the refresh itself (recall parity with a
+    // full rebuild at nprobe 1, k-edge coverage of appended ids,
+    // partition-bounded rewrite).
+    "s33_graph_refresh" -> ((s, dir) => {
+      val tmp = layoutDir("s33", dir)
+      val idx = s"$tmp/idx"
+      freshDir(s, idx) // append+refresh mutate: rebuild per run
+      val emb = T(s, dir, "embeddings")
+      graft.sources.VectorIndex.build(emb, "vec_id", "embedding", idx,
+        clusters = 8, iterations = 2, capacity = 75, maxRounds = 6)
+      graft.sources.VectorIndex.buildKnnGraph(s, idx, k = 8, rounds = 1)
+      val shifted = emb.where(col("vec_id") < 50)
+        .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+      graft.sources.VectorIndex.append(shifted, "vec_id", "embedding", idx)
+      graft.sources.VectorIndex.nnDescentAppend(s, idx,
+        shifted.select("vec_id"), k = 8, rounds = 1)
+      val q = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      graft.sources.VectorIndex.topKExpand(s, idx, q, k = 5, nprobe = 8)
+        .orderBy("query_id", "rank")
+    }),
     // RECALL AUDIT (r9, late): "measure, don't guess" as a first-
     // class query — exact brute-force top-5 vs the shared index's
     // nprobe-2 serving path, per-query hit counts and recall%; the
@@ -4119,6 +4150,29 @@ object SparkEntry {
     "s29_vector_index_bq" -> ivfBalancedOracleSql,
     // s30: the full unrolled NN-descent chain (seed arms + 2 rounds)
     "s30_nn_descent" -> nnDescentOracleSql,
+    // s33: full-probe serving through any graph == the exact integer-
+    // cosine ranking over base ∪ appended (frozen scale 1024 — the
+    // append-stable quantization contract)
+    "s33_graph_refresh" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |corpus AS (SELECT vec_id, v FROM e0
+        |  UNION ALL SELECT vec_id + 1000, v FROM e0 WHERE vec_id < 50),
+        |en AS (SELECT vec_id, list_transform(v,
+        |    x -> CAST(floor(x * 1024) AS BIGINT)) AS q FROM corpus),
+        |en2 AS (SELECT vec_id, q,
+        |  list_sum(list_transform(q, x -> x*x)) AS na FROM en),
+        |qn AS (SELECT vec_id AS query_id, q AS qq, na AS qna FROM en2
+        |  WHERE vec_id < 10),
+        |sim AS (SELECT q.query_id, e.vec_id,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> q.qq[i] * e.q[i])) AS DOUBLE)
+        |    / sqrt(CAST(q.qna AS DOUBLE) * e.na) AS sim
+        |  FROM qn q CROSS JOIN en2 e WHERE e.vec_id <> q.query_id)
+        |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, vec_id ASC) AS INT) AS "rank",
+        |  vec_id AS neighbor_id, sim
+        |FROM sim QUALIFY "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
     // s31: probe + graph hop + exact re-rank, all replayed
     "s31_graph_serve" -> graphServeOracleSql,
     "q35_grouping_sets" ->

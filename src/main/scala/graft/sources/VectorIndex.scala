@@ -363,6 +363,135 @@ object VectorIndex {
     spark.read.parquet(s"${root(spark, path)}/knng")
       .select(col("src"), col("rank"), col("dst"), col("sim"))
 
+  /** INCREMENTAL NN-DESCENT maintenance (r11) — refresh the
+    * materialized [[buildKnnGraph]] layout after [[append]] WITHOUT a
+    * full rebuild: the refinement touches only edges incident to the
+    * appended ids, and the layout rewrite touches only the source-cell
+    * partition dirs whose rows changed.
+    *
+    *  - SEED: the new vectors pair against their own CELL-mates (the
+    *    geometric arm, capacity-bounded per new id) AND against their
+    *    id-hash BUCKET-mates (`vec_id % idBuckets` — the full build's
+    *    replayable random-init arm, n/idBuckets-bounded per new id),
+    *    in both directions; without the bucket arm the new nodes only
+    *    ever see their own cells' neighborhoods and the refreshed
+    *    graph measurably trails the rebuilt one on low-nprobe recall.
+    *  - ROUND: candidates = two-hop compositions with a NEW endpoint
+    *    (new→m→d gives the new id a candidate d; x→m→new gives an old
+    *    id the new vector as a candidate), scored exactly, then top-k
+    *    per AFFECTED source over (its current edges ∪ its candidates);
+    *    unaffected sources carry verbatim — zero recompute.
+    *  - REWRITE: only partition dirs holding an affected source are
+    *    replaced (staged write + atomic dir swap per cell); the
+    *    affected-cluster list is one clusters-bounded driver action.
+    *
+    * The refreshed graph serves [[topKExpand]] unchanged; at a full
+    * probe serving stays bit-identical to [[topK]] whatever the graph
+    * holds (candidates are a superset re-ranked exactly), so staleness
+    * only ever costs low-nprobe recall — which this refresh buys back
+    * at O(|new|·k²)-bounded round work instead of the O(n·k²) rebuild. */
+  def nnDescentAppend(spark: SparkSession, path: String,
+      newIds: DataFrame, k: Int, rounds: Int,
+      idBuckets: Int = 8): Unit = {
+    require(k >= 1 && rounds >= 0 && idBuckets >= 1)
+    val live = root(spark, path)
+    val gdir = s"$live/knng"
+    require(new Path(gdir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration).exists(new Path(gdir)),
+      s"no materialized knn graph under $path — buildKnnGraph first")
+    val fresh = broadcast(newIds
+      .select(col(newIds.columns.head).cast("long").as("__new")).distinct())
+    val cells = readCells(spark, path)
+    val a = cells.select(col("vec_id").as("src"), col("__cq").as("__qa"),
+      col("__cna").as("__na"))
+    val b = cells.select(col("vec_id").as("dst"), col("__cq").as("__qb"),
+      col("__cna").as("__nb"))
+    val w = Window.partitionBy("src")
+      .orderBy(col("sim").desc, col("dst").asc)
+    def scoreRank(cand: DataFrame): DataFrame =
+      cand.join(a, "src").join(b, "dst")
+        .withColumn("sim", dotl(col("__qa"), col("__qb")).cast("double") /
+          sqrt(col("__na").cast("double") * col("__nb")))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .select(col("src"), col("rank"), col("dst"), col("sim"))
+    def refresh(g: DataFrame, cand0: DataFrame): DataFrame = {
+      val cand = cand0.where(col("src") =!= col("dst")).distinct()
+      val affected = cand.select("src").distinct()
+      val carried = g.join(affected, Seq("src"), "left_anti")
+      val rescored = scoreRank(
+        cand.unionByName(g.join(affected, Seq("src"), "left_semi")
+          .select("src", "dst")).distinct())
+      org.apache.spark.sql.graftshim.SparkShims
+        .localCheckpointKeepingLayout(carried.unionByName(rescored))
+    }
+    // seed: new ids × their cell-mates AND × their id-bucket-mates,
+    // both directions (the full build's two init arms, restricted to
+    // pairs with a new endpoint)
+    def newPairs(grouped: DataFrame, key: String): DataFrame = {
+      val l = grouped.select(col(key).as("__g"), col("vec_id"))
+      val lNew = l.join(fresh, l("vec_id") === fresh("__new"))
+        .select(col("__g"), col("vec_id"))
+      lNew.select(col("__g"), col("vec_id").as("src"))
+        .join(l.select(col("__g"), col("vec_id").as("dst")), Seq("__g"))
+        .select("src", "dst")
+        .unionByName(l.select(col("__g"), col("vec_id").as("src"))
+          .join(lNew.select(col("__g"), col("vec_id").as("dst")),
+            Seq("__g"))
+          .select("src", "dst"))
+    }
+    val newClusters = cells.join(fresh, cells("vec_id") === fresh("__new"))
+      .select("cluster").distinct()
+    val cellArm = newPairs(
+      cells.join(broadcast(newClusters), Seq("cluster"))
+        .select(col("cluster"), col("vec_id")), "cluster")
+    val bucketArm = newPairs(
+      cells.select(pmod(col("vec_id"), lit(idBuckets.toLong)).as("__ib"),
+        col("vec_id")), "__ib")
+    val seeds = cellArm.unionByName(bucketArm)
+    var g = refresh(spark.read.parquet(gdir)
+      .select(col("src"), col("rank"), col("dst"), col("sim")), seeds)
+    for (_ <- 1 to rounds) {
+      val fromNew = g.join(fresh, g("src") === fresh("__new"), "left_semi")
+        .select(col("src"), col("dst").as("__mid"))
+      val intoNew = g.join(fresh, g("dst") === fresh("__new"), "left_semi")
+        .select(col("src").as("__mid"), col("dst"))
+      val hopA = fromNew.join( // new → mid → d: candidates FOR new ids
+        g.select(col("src").as("__mid"), col("dst")), "__mid")
+        .select("src", "dst")
+      val hopB = g.select(col("src"), col("dst").as("__mid")) // x → mid → new
+        .join(intoNew, "__mid")
+        .select("src", "dst")
+      g = refresh(g, hopA.unionByName(hopB))
+    }
+    // rewrite ONLY the cells whose source rows changed: the srcs that
+    // gained/lost edges are the seeds' + hops' sources, all of which
+    // live in g now — diff against the stored layout per cell
+    val sc = cells.select(col("vec_id").as("src"),
+      col("cluster").as("src_cluster"))
+    val dc = cells.select(col("vec_id").as("dst"),
+      col("cluster").as("dst_cluster"))
+    val old = spark.read.parquet(gdir)
+    val changedSrcs = g.select("src", "rank", "dst")
+      .exceptAll(old.select("src", "rank", "dst"))
+      .select("src").distinct()
+    val changedClusters = changedSrcs.join(sc, "src")
+      .select("src_cluster").distinct()
+      .collect().map(_.getLong(0)).sorted // one clusters-bounded action
+    val withCells = g.join(sc, "src").join(dc, "dst")
+    val fs = new Path(gdir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    changedClusters.foreach { c =>
+      val tmp = s"$live/knng.tmp-c$c"
+      withCells.where(col("src_cluster") === c)
+        .select(col("src"), col("rank"), col("dst"), col("sim"),
+          col("dst_cluster"))
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
+      replaceDir(spark, tmp, s"$gdir/src_cluster=$c")
+    }
+  }
+
   /** GRAPH-ASSISTED serving — IVF probe, then the probed cells' HALO
     * through the materialized [[buildKnnGraph]] layout: every graph
     * edge LEAVING a probed cell contributes its destination as a

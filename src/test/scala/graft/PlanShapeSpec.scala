@@ -1725,6 +1725,66 @@ class PlanShapeSpec extends AnyFunSuite {
       "adopted rows must remain readable after GC")
   }
 
+  test("nnDescentAppend: refreshed graph serves new ids, recall matches rebuild, bounded rewrite") {
+    import graft.sources.VectorIndex
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val base = emb.where(col("vec_id") >= 100)
+    val appended = emb.where(col("vec_id") < 100)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-nnda").toString
+    def mkIndex(path: String): Unit =
+      VectorIndex.build(base, "vec_id", "embedding", path,
+        clusters = 8, iterations = 2, capacity = 75, maxRounds = 6)
+    val idx = s"$tmp/idx"
+    mkIndex(idx)
+    VectorIndex.buildKnnGraph(spark, idx, k = 8, rounds = 2)
+    VectorIndex.append(appended, "vec_id", "embedding", idx)
+    val stale = VectorIndex.readKnnGraph(spark, idx)
+    assert(stale.where(col("src") < 100).isEmpty,
+      "pre-refresh graph must not know the appended ids")
+    val q = emb.where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val exact = VectorIndex.topK(spark, idx, q, k = 8, nprobe = 8)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt1(path: String): Double = {
+      val got = VectorIndex.topKExpand(spark, path, q, k = 8, nprobe = 1)
+        .select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got intersect exact).size.toDouble / exact.size
+    }
+    val staleRecall = recallAt1(idx)
+    // the incremental refresh: seeds from the new ids' cells + two
+    // rounds of new-incident refinement, partition-bounded rewrite
+    VectorIndex.nnDescentAppend(spark, idx,
+      appended.select("vec_id"), k = 8, rounds = 2)
+    val refreshed = VectorIndex.readKnnGraph(spark, idx)
+    // every appended id serves k edges and is reachable as a dst
+    val newSrcCounts = refreshed.where(col("src") < 100)
+      .groupBy("src").count().collect()
+    assert(newSrcCounts.length == 100 && newSrcCounts.forall(_.getLong(1) == 8),
+      "every appended id must carry exactly k graph edges")
+    assert(refreshed.where(col("dst") < 100).count() > 0,
+      "appended ids must be reachable as destinations (old nodes re-ranked)")
+    val refreshedRecall = recallAt1(idx)
+    assert(refreshedRecall >= staleRecall,
+      s"refresh must not lose recall: $refreshedRecall < $staleRecall")
+    // parity with the FULL rebuild at the same (k, rounds): the
+    // incremental path must reach the rebuilt graph's serving quality
+    val idx2 = s"$tmp/idx2"
+    mkIndex(idx2)
+    VectorIndex.append(appended, "vec_id", "embedding", idx2)
+    VectorIndex.buildKnnGraph(spark, idx2, k = 8, rounds = 2)
+    val rebuiltRecall = recallAt1(idx2)
+    assert(refreshedRecall >= rebuiltRecall - 0.05,
+      s"append-then-refine recall $refreshedRecall must match the " +
+        s"rebuilt graph's $rebuiltRecall (stale was $staleRecall)")
+    // full probe stays bit-identical to topK whatever the graph holds
+    val full = VectorIndex.topKExpand(spark, idx, q, k = 8, nprobe = 8)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact, "full-probe expand must equal the exact probe")
+  }
+
   test("vector index MIPS tier: full probe == exact, frozen augmentation on append") {
     import spark.implicits._
     import graft.sources.VectorIndex
