@@ -1184,9 +1184,19 @@ object FileManifest {
     }
     val survivors = kept.values.toSeq.flatMap(prune(_, lo, hi)).map(_.path)
     val anyFile = pm.partitions.valuesIterator.flatten.next().path
-    // a manifest may span several layout roots (per-batch adoption
-    // dirs, per-version b<N> dirs) — each is its own basePath; group
-    // and union so the partition column restores everywhere
+    readSurvivors(spark, survivors, anyFile, pm.column, keepPartitions,
+      lo, hi)
+  }
+
+  /** Shared tail of the pruned read paths: open the surviving files
+    * (grouped per layout root — a manifest may span per-batch
+    * adoption dirs and per-version b<N> dirs, each its own basePath)
+    * and re-apply BOTH predicates — pruning is necessary-not-
+    * sufficient, a loose catalog can only lose files (caught by the
+    * residual range filter), never widen the result. */
+  private def readSurvivors(spark: SparkSession, survivors: Seq[String],
+      anyFile: String, column: String,
+      keepPartitions: Option[Seq[String]], lo: Long, hi: Long): DataFrame = {
     def readGrouped(files: Seq[String]): DataFrame =
       files.groupBy(basePathOf).toSeq.sortBy(_._1)
         .map { case (base, group) =>
@@ -1196,17 +1206,67 @@ object FileManifest {
     val src =
       if (survivors.nonEmpty) readGrouped(survivors)
       else readGrouped(Seq(anyFile)).where(lit(false))
-    val ranged = src.filter(col(pm.column) >= lo && col(pm.column) <= hi)
+    val ranged = src.filter(col(column) >= lo && col(column) <= hi)
     keepPartitions match {
-      // partition dirs encode "name=value"; re-filter on the value so
-      // a loose catalog can only lose files (caught by the residual
-      // range filter), never widen the result. Names without '=' have
-      // no column to re-derive — file-list pruning already applied.
+      // partition dirs encode "name=value"; re-filter on the value.
+      // Names without '=' have no column to re-derive — file-list
+      // pruning already applied.
       case Some(ps) if ps.nonEmpty && ps.forall(_.contains('=')) =>
         val vals = ps.map(p => p.substring(p.indexOf('=') + 1))
         val pcol = ps.head.substring(0, ps.head.indexOf('='))
         ranged.filter(col(pcol).cast("string").isin(vals: _*))
       case _ => ranged
+    }
+  }
+
+  /** DISTRIBUTED PLANNING (r11): the prune decided by a Spark job
+    * over the PERSISTED catalog side table (savePartitioned's one-
+    * row-per-file parquet) — partition keep-list and footer-range
+    * overlap as pushed filters on the catalog scan — returning ONLY
+    * the surviving paths. Driver memory is O(survivors) (which any
+    * Spark scan materializes as its file list anyway), never
+    * O(manifest): past ~10⁶-10⁷ files the in-memory
+    * PartitionedManifest walk stops being free, and planning itself
+    * must become a job over metadata — the Iceberg metadata-table /
+    * Delta log-replay-as-job shape. */
+  def plannedSurvivors(spark: SparkSession, versionDir: String,
+      keepPartitions: Option[Seq[String]], lo: Long, hi: Long)
+      : Seq[String] = {
+    val cat = spark.read.parquet(versionDir)
+    val kept = keepPartitions match {
+      case Some(ps) => cat.where(col("partition").isin(ps: _*))
+      case None => cat
+    }
+    kept.where(col("max") >= lo && col("min") <= hi)
+      .select("path").collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  /** Threshold-dispatched pruned read over the LATEST committed
+    * version: a small catalog plans on the driver (zero job-launch
+    * latency — the [[readPrunedPartitioned]] path), a large one plans
+    * as a Spark job via [[plannedSurvivors]] without ever
+    * materializing the manifest in driver memory. Both paths make
+    * IDENTICAL pruning decisions (spec-pinned) — the threshold trades
+    * latency, never answers. The catalog row count itself comes from
+    * parquet footer metadata (a count() over the side table reads no
+    * row data). */
+  def readPrunedAuto(spark: SparkSession, root: String,
+      keepPartitions: Option[Seq[String]], lo: Long, hi: Long,
+      planThreshold: Long = 1000000L): DataFrame = {
+    val v = latestVersion(spark, root).getOrElse(
+      sys.error(s"no committed catalog under $root"))
+    val vdir = s"$root/v$v"
+    val nFiles = spark.read.parquet(vdir).count()
+    if (nFiles <= planThreshold)
+      readPrunedPartitioned(spark, loadVersion(spark, root, v),
+        keepPartitions, lo, hi)
+    else {
+      val column = spark.read.parquet(s"$vdir/_column").head.getString(0)
+      val survivors = plannedSurvivors(spark, vdir, keepPartitions, lo, hi)
+      val anyFile = spark.read.parquet(vdir).select("path")
+        .limit(1).head.getString(0)
+      readSurvivors(spark, survivors, anyFile, column, keepPartitions,
+        lo, hi)
     }
   }
 

@@ -1725,6 +1725,41 @@ class PlanShapeSpec extends AnyFunSuite {
       "adopted rows must remain readable after GC")
   }
 
+  test("distributed planning: side-table prune == driver prune, byte-identical reads") {
+    import graft.sources.FileManifest
+    val tmp = java.nio.file.Files.createTempDirectory("graft-plan").toString
+    val root = s"$tmp/cat"
+    val ev = Tables.load(spark, dir, "events")
+    ev.write.format("graft").option("path", root)
+      .option("partitionBy", "event_type").option("clusterBy", "user_id")
+      .option("files", "8").mode("errorifexists").save()
+    val v = FileManifest.latestVersion(spark, root).get
+    val vdir = s"$root/v$v"
+    val pm = FileManifest.loadVersion(spark, root, v)
+    val keeps = Seq(None,
+      Some(Seq("event_type=click", "event_type=purchase")))
+    for (keep <- keeps; (lo, hi) <- Seq((3L, 9L), (0L, 2L), (100L, 90L))) {
+      // identical pruning DECISIONS: the job-side survivor set equals
+      // the driver-side manifest walk, filter for filter
+      val driverSide = (keep match {
+        case Some(ps) => pm.partitions.view.filterKeys(ps.toSet).toMap
+        case None => pm.partitions
+      }).values.toSeq.flatMap(FileManifest.prune(_, lo, hi))
+        .map(_.path).sorted
+      val jobSide = FileManifest.plannedSurvivors(spark, vdir, keep, lo, hi)
+      assert(jobSide == driverSide,
+        s"pruning must agree (keep=$keep, [$lo,$hi])")
+      // identical ANSWERS through both dispatch arms of readPrunedAuto
+      val viaDriver = FileManifest.readPrunedAuto(spark, root, keep,
+        lo, hi, planThreshold = Long.MaxValue) // forces the driver path
+      val viaJob = FileManifest.readPrunedAuto(spark, root, keep,
+        lo, hi, planThreshold = 0L) // forces the side-table path
+      assert(viaJob.exceptAll(viaDriver).isEmpty &&
+        viaDriver.exceptAll(viaJob).isEmpty,
+        s"both planning paths must read the same relation (keep=$keep, [$lo,$hi])")
+    }
+  }
+
   test("nnDescentAppend: refreshed graph serves new ids, recall matches rebuild, bounded rewrite") {
     import graft.sources.VectorIndex
     val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
