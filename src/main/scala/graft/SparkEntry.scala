@@ -1391,6 +1391,14 @@ object SparkEntry {
       TimeSeries.resampleDailyFfill(T(s, dir, "events"), "user_id", "ts",
           "event_id", "value")
         .orderBy("user_id", "day")),
+    // linear-interpolation resample (r11): the continuous-signal
+    // gap fill t10's step function can't express — gap days take the
+    // straight line between surrounding observations; the line is the
+    // ONE float expression, written identically on both engines
+    "t13_interp" -> ((s, dir) =>
+      TimeSeries.resampleDailyInterp(T(s, dir, "events"), "user_id", "ts",
+          "event_id", "value")
+        .orderBy("user_id", "day")),
     // OHLC bar downsampling (r10): per (event_type, day) candlestick
     // compression — open/close by (ts, event_id) argmin/argmax, all
     // values carried doubles so parity is bit-exact
@@ -1736,6 +1744,46 @@ object SparkEntry {
         FileManifest.listParquet(s, s"$tmp/b3"), "user_id")
       FileManifest.aggRefresh(s, s.read.parquet(s"$tmp/agg2"),
           v2, v3, keys, "value")
+        .select(col("event_type"), col("n_rows"),
+          col("agg_sum").cast("double").as("total_value"))
+        .orderBy("event_type")
+    }),
+    // AGGREGATE MAINTENANCE ACROSS REWRITES (r11): the retraction
+    // fold c8's append-only refresh refuses — the stored state
+    // crosses a CoW UPDATE version, then a CoW DELETE version, then
+    // a plain append, each folded as the snapshot diff's signed I/D
+    // deltas (IO = churned files only). DECIMAL-exact retraction
+    // means the maintained state equals a from-scratch recompute
+    // bit-for-bit, which is exactly what the oracle checks
+    "c13_view_maintain" -> ((s, dir) => {
+      val tmp = layoutDir("c13", dir)
+      val ev = T(s, dir, "events")
+      FileManifest.writeLayout(ev.where(col("event_id") % 3 === 0),
+        s"$tmp/t", "user_id", 8)
+      val v1 = FileManifest.buildManifest(s, s"$tmp/t", "user_id")
+      val keys = Seq("event_type")
+      FileManifest.aggPartial(s, v1, keys, "value")
+        .write.mode("overwrite").parquet(s"$tmp/agg1")
+      // version 2: CoW UPDATE churns the middle of the key range
+      val v2 = FileManifest.updateRange(s, v1, "user_id", 3L, 9L,
+        "value", col("value") * 2, s"$tmp/rw")
+      FileManifest.aggMaintain(s, s.read.parquet(s"$tmp/agg1"),
+          v1, v2, keys, "value")
+        .write.mode("overwrite").parquet(s"$tmp/agg2")
+      // version 3: CoW DELETE retires two user cohorts outright
+      val v3 = FileManifest.deleteRange(s, v2, "user_id", 12L, 13L,
+        s"$tmp/rw2")
+      FileManifest.aggMaintain(s, s.read.parquet(s"$tmp/agg2"),
+          v2, v3, keys, "value")
+        .write.mode("overwrite").parquet(s"$tmp/agg3")
+      // version 4: a plain ingest batch (the aggRefresh fast shape,
+      // folded through the same maintenance entry point)
+      FileManifest.writeLayout(ev.where(col("event_id") % 3 === 1),
+        s"$tmp/b4", "user_id", 4)
+      val v4 = FileManifest.append(v3, s,
+        FileManifest.listParquet(s, s"$tmp/b4"), "user_id")
+      FileManifest.aggMaintain(s, s.read.parquet(s"$tmp/agg3"),
+          v3, v4, keys, "value")
         .select(col("event_type"), col("n_rows"),
           col("agg_sum").cast("double").as("total_value"))
         .orderBy("event_type")
@@ -2899,6 +2947,51 @@ object SparkEntry {
         |FROM f23_events
         |GROUP BY event_type ORDER BY event_type""".stripMargin)
     }),
+    // SQL MERGE INTO through the front door (plans/GraftDml.scala) —
+    // the DML trio's last member: one changeset carrying updates,
+    // flagged deletes, and inserts lands as ONE atomic CoW version.
+    // The WHEN cascade is first-satisfied-wins (the SQL contract);
+    // matched source rows stage once partitioned by the target file
+    // they touch (the mergeKeyed "route, don't join" discipline), so
+    // per-file rewrites never re-scan the source; the ON clause's
+    // t.<clusterCol> = s.<key> equi-conjunct prunes candidate files by
+    // the source key's [min, max] before any data file opens
+    "f24_sql_merge" -> ((s, dir) => {
+      val tmp = layoutDir("f24", dir)
+      val root = s"$tmp/cat"
+      freshDir(s, root)
+      val ev = T(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      ev.write.format("graft")
+        .option("path", root).option("partitionBy", "event_type")
+        .option("clusterBy", "event_id").option("files", "12")
+        .mode("overwrite").save()
+      s.sql("DROP TABLE IF EXISTS f24_events")
+      s.sql(s"CREATE TABLE f24_events USING graft OPTIONS (path '$root')")
+      ev.createOrReplaceTempView("f24_src_events")
+      s.sql("""CREATE OR REPLACE TEMP VIEW f24_chg AS
+        |SELECT event_id AS k, user_id AS u, event_type AS et,
+        |       value * 3 + 1 AS nv, (event_id % 5 = 0) AS del
+        |FROM f24_src_events WHERE user_id BETWEEN 3 AND 9
+        |UNION ALL
+        |SELECT event_id + 100000000 AS k, user_id AS u,
+        |       event_type AS et, value + 0.5 AS nv, FALSE AS del
+        |FROM f24_src_events WHERE user_id BETWEEN 1 AND 2""".stripMargin)
+      s.sql("""MERGE INTO f24_events t USING f24_chg s
+        |ON t.event_id = s.k
+        |WHEN MATCHED AND s.del THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET value = s.nv
+        |WHEN NOT MATCHED THEN INSERT (event_id, user_id, event_type, value)
+        |  VALUES (s.k, s.u, s.et, s.nv)""".stripMargin)
+      require(FileManifest.latestVersion(s, root).contains(1L),
+        "the MERGE must have committed exactly one new version")
+      s.sql("""SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value,
+        |  sum(event_id) AS sum_ids
+        |FROM f24_events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
     "f16_refs" -> ((s, dir) => {
       val tmp = layoutDir("f16", dir)
       val vroot = s"$tmp/cat"
@@ -3941,6 +4034,9 @@ object SparkEntry {
     "t10_resample" ->
       operators.TimeSeries.resampleOracleSql("events", "user_id", "ts",
         "event_id", "value"),
+    "t13_interp" ->
+      operators.TimeSeries.interpOracleSql("events", "user_id", "ts",
+        "event_id", "value"),
     "t11_ohlc" ->
       operators.TimeSeries.ohlcOracleSql("events", "event_type", "ts",
         "event_id", "value"),
@@ -4721,6 +4817,23 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
         |    AS total_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // c13: the maintained state == the final table state's aggregate
+    // — update cohort doubled, deleted cohorts absent, appended batch
+    // present; any retraction drift or double-count breaks the hash
+    "c13_view_maintain" ->
+      """WITH final AS (
+        |  SELECT event_type,
+        |    CASE WHEN user_id BETWEEN 3 AND 9 THEN value * 2
+        |         ELSE value END AS value
+        |  FROM events
+        |  WHERE event_id % 3 = 0 AND NOT (user_id BETWEEN 12 AND 13)
+        |  UNION ALL
+        |  SELECT event_type, value FROM events WHERE event_id % 3 = 1
+        |)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value
+        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
     "x28_index_delete" -> bm25OracleSqlWhere(" WHERE doc_id % 9 <> 4"),
     // x20: per-query chained joins over the same positional postings —
     // slot i joins slot i-1 on (same doc, later position, inside the
@@ -5399,6 +5512,34 @@ object SparkEntry {
         |  CAST(sum(event_id) AS BIGINT) AS sum_ids
         |FROM events
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // f24: MERGE == left join (matched update/delete) + anti join
+    // (inserts) over the same deterministic changeset; the n_events
+    // CAST matches Spark's count, value sums ride DECIMAL(18,2)
+    "f24_sql_merge" ->
+      """WITH chg AS (
+        |  SELECT event_id AS k, user_id AS u, event_type AS et,
+        |         value * 3 + 1 AS nv, (event_id % 5 = 0) AS del
+        |  FROM events WHERE user_id BETWEEN 3 AND 9
+        |  UNION ALL
+        |  SELECT event_id + 100000000 AS k, user_id AS u,
+        |         event_type AS et, value + 0.5 AS nv, FALSE AS del
+        |  FROM events WHERE user_id BETWEEN 1 AND 2
+        |), merged AS (
+        |  SELECT e.event_id, e.event_type,
+        |         CASE WHEN c.k IS NOT NULL THEN c.nv
+        |              ELSE e.value END AS value
+        |  FROM events e LEFT JOIN chg c ON e.event_id = c.k
+        |  WHERE c.k IS NULL OR NOT c.del
+        |  UNION ALL
+        |  SELECT c.k AS event_id, c.et AS event_type, c.nv AS value
+        |  FROM chg c LEFT JOIN events e ON c.k = e.event_id
+        |  WHERE e.event_id IS NULL
+        |)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_ids
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
     // f17: two spec epochs union back to the one relation — the
     // evolution changes pruning opportunities, never the answer
     "f17_partition_evolution" ->

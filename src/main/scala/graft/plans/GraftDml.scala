@@ -1,14 +1,14 @@
 package graft.plans
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, PredicateHelper}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, LogicalPlan, SubqueryAlias, UpdateTable}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression, ExprId, Literal, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, not, when}
+import org.apache.spark.sql.functions.{coalesce, col, count, input_file_name, lit, max, min, monotonically_increasing_id, not, when}
 import org.apache.spark.sql.graftshim.SparkShims
 
 import graft.sources.{FileManifest, ManifestFileIndex}
@@ -206,6 +206,419 @@ object GraftDml extends PredicateHelper {
     index.advanceSnapshot(adopted) // the session's next SELECT sees it
     v
   }
+
+  /** SQL `MERGE INTO target USING source ON cond WHEN …` on the same
+    * CoW discipline as DELETE/UPDATE, with the [[graft.sources
+    * .FileManifest.mergeKeyed]] staging idea lifted to the general
+    * condition: matched source rows are written out ONCE partitioned
+    * by the target file they touch, so per-file rewrites read their
+    * own slice and the source is never re-scanned per file.
+    *
+    *  1. PRUNE — target-only conjuncts of the ON clause go through
+    *     the index's listFiles seam (directories + footer ranges); an
+    *     equi-conjunct `t.<clusterCol> = <source expr>` additionally
+    *     bounds candidates by the source expression's [min, max] (one
+    *     aggregation over the source — at 100 TB this is what keeps a
+    *     small changeset from touching every file). When
+    *     NOT MATCHED BY SOURCE actions exist, pruning is disabled:
+    *     every target row without a match is in play by definition.
+    *  2. TOUCH + CARDINALITY — one join of the pruned candidates with
+    *     the source finds, per file, the match count of its
+    *     worst-matched row: >1 with matched actions is the SQL MERGE
+    *     cardinality violation (refused loudly, nothing written);
+    *     files with no matched rows (and no by-source actions) carry
+    *     verbatim, and an insert-only merge rewrites NOTHING.
+    *  3. STAGE + REWRITE — the matched source rows land once under
+    *     `_mrg_stage/_f=<i>`; each touched file full-joins its slice,
+    *     applies the WHEN cascade (first satisfied clause wins, the
+    *     SQL contract) per row, and rewrites one-to-one into the next
+    *     immutable batch dir.
+    *  4. INSERT — source rows matching NO candidate row (exact even
+    *     under pruning: pruning is conservative w.r.t. the ON clause,
+    *     so every possible match partner survives it) evaluate the
+    *     NOT MATCHED cascade and append as new cluster-sorted files
+    *     in their own partition directories.
+    *  5. COMMIT — carried + rewritten + inserted files as one atomic
+    *     catalog version; the serving index advances in place.
+    *
+    * Refused loudly: schema evolution, UPDATE/INSERT of the partition
+    * or clustering column key range (UPDATE of either column; INSERT
+    * rows with a NULL partition value), INSERT clauses that leave
+    * target columns unassigned, and the cardinality violation. */
+  private[plans] def cowMergeCommit(spark: SparkSession,
+      index: ManifestFileIndex, m: MergeIntoTable,
+      dataCols: Seq[String]): Long = {
+    val root = index.graftCatalogRoot.getOrElse(sys.error(
+      "graft MERGE requires a catalog-backed table (CREATE TABLE … USING " +
+        "graft OPTIONS (path '<catalogRoot>'))"))
+    require(!index.isTimeTraveled,
+      "MERGE INTO a time-traveled graft table (version/timestampAsOf) is " +
+        "not allowed — writes land on the LATEST snapshot only")
+    require(!m.withSchemaEvolution,
+      "MERGE … WITH SCHEMA EVOLUTION is not supported on graft tables — " +
+        "evolve the schema via an explicit overwrite, then MERGE")
+    val partCol = index.partitionColumn
+    val clusterCol = index.clusterColumn
+
+    val tIds = m.targetTable.output.map(_.exprId).toSet
+    val sIds = m.sourceTable.output.map(_.exprId).toSet
+    val sNames = m.sourceTable.output.map(_.name)
+    require(sNames.distinct.size == sNames.size,
+      "MERGE source has duplicate column names; alias them apart")
+    require(!sNames.exists(_.startsWith("__")),
+      "MERGE source column names must not start with `__` (reserved)")
+
+    def assignmentsOf(a: MergeAction): Seq[(String, Expression)] = a match {
+      case u: UpdateAction => u.assignments.map {
+        case Assignment(k: Attribute, v) => k.name -> v
+        case Assignment(k, _) => sys.error(
+          s"graft MERGE supports top-level columns only, got: ${k.sql}")
+      }
+      case i: InsertAction => i.assignments.map {
+        case Assignment(k: Attribute, v) => k.name -> v
+        case Assignment(k, _) => sys.error(
+          s"graft MERGE supports top-level columns only, got: ${k.sql}")
+      }
+      case _ => Nil
+    }
+    (m.matchedActions ++ m.notMatchedBySourceActions).foreach {
+      case u: UpdateAction => assignmentsOf(u).foreach { case (name, _) =>
+        require(name != partCol && name != clusterCol,
+          s"MERGE UPDATE of the ${if (name == partCol) "partition"
+            else "clustering"} column `$name` is not supported — rewritten " +
+            "rows could leave their directory/file key range")
+      }
+      case _: DeleteAction => ()
+      case a => sys.error(s"unsupported WHEN MATCHED action: $a")
+    }
+    m.notMatchedActions.foreach {
+      case i: InsertAction =>
+        val assigned = assignmentsOf(i).map(_._1).toSet
+        val missing = (dataCols :+ partCol).filterNot(assigned)
+        require(missing.isEmpty,
+          s"MERGE INSERT must assign every target column; missing: " +
+            missing.mkString(", "))
+      case a => sys.error(s"unsupported WHEN NOT MATCHED action: $a")
+    }
+
+    // 0. SYNC to the committed head (the cowRewriteCommit discipline)
+    index.advanceSnapshot(FileManifest.loadLatest(spark, root))
+    val pm = index.currentSnapshot
+
+    // qualified resolution: original analyzed attrs re-resolve by name
+    // through the join aliases (`_t` = target read, `_s` = source)
+    def q(e: Expression): Column = SparkShims.column(e.transform {
+      case a: AttributeReference if tIds(a.exprId) =>
+        UnresolvedAttribute(Seq("_t", a.name))
+      case a: AttributeReference if sIds(a.exprId) =>
+        UnresolvedAttribute(Seq("_s", a.name))
+    })
+    // source-only expressions (INSERT values/conditions)
+    def qs(e: Expression): Column = SparkShims.column(e.transform {
+      case a: AttributeReference if sIds(a.exprId) =>
+        UnresolvedAttribute.quoted(a.name)
+    })
+
+    val src = SparkShims.ofRows(spark, m.sourceTable)
+      .withColumn("__m", lit(true)) // match marker survives outer joins
+
+    // 1. PRUNE (disabled whenever unmatched target rows are in play)
+    val conjuncts = splitConjunctivePredicates(m.mergeCondition)
+    val candidates: Seq[String] =
+      if (m.notMatchedBySourceActions.nonEmpty)
+        pm.partitions.toSeq.sortBy(_._1).flatMap(_._2.map(_.path))
+      else {
+        val staticT = conjuncts.filter(c => c.references.nonEmpty &&
+          c.references.forall(a => tIds(a.exprId)))
+        val (partFilters, dataFilters) = staticT.partition(
+          _.references.forall(_.name == partCol))
+        // t.<clusterCol> = <source expr> → [min,max] of the source expr
+        val clusterAttr = m.targetTable.output.find(_.name == clusterCol)
+        val srcKey: Option[Expression] = conjuncts.collectFirst {
+          case EqualTo(l: AttributeReference, r)
+              if tIds(l.exprId) && l.name == clusterCol &&
+                r.references.nonEmpty &&
+                r.references.forall(a => sIds(a.exprId)) => r
+          case EqualTo(r, l: AttributeReference)
+              if tIds(l.exprId) && l.name == clusterCol &&
+                r.references.nonEmpty &&
+                r.references.forall(a => sIds(a.exprId)) => r
+        }
+        val boundFilters = srcKey.toSeq.flatMap { e =>
+          val mm = src.agg(min(qs(e)), max(qs(e))).head()
+          if (mm.isNullAt(0)) Nil // empty/all-null source: no matches
+          else {
+            import org.apache.spark.sql.catalyst.expressions.{GreaterThanOrEqual, LessThanOrEqual}
+            val a = clusterAttr.get
+            Seq(GreaterThanOrEqual(a, Literal.create(mm.get(0), e.dataType)),
+              LessThanOrEqual(a, Literal.create(mm.get(1), e.dataType)))
+          }
+        }
+        index.listFiles(partFilters, dataFilters ++ boundFilters)
+          .flatMap(_.files.map(_.getPath.toString))
+      }
+
+    def norm(s: String): String = new Path(s).toUri.getPath
+    def readRestored(files: Seq[String]): DataFrame = files
+      .groupBy(f => new Path(f).getParent.getParent.toString)
+      .toSeq.sortBy(_._1)
+      .map { case (base, group) =>
+        spark.read.option("basePath", base).parquet(group.sorted: _*)
+      }
+      .reduce(_.unionByName(_))
+    // scheme-independent file key shared by the SQL side
+    // (input_file_name URIs) and the driver side (manifest paths):
+    // md5 of the last three path segments — batchDir/partition/file,
+    // unique within one table, no directory-name escaping to disagree on
+    def fileKey(path: String): String = {
+      val tail = norm(path).split('/').takeRight(3).mkString("/")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(tail.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val fileKeyCol = org.apache.spark.sql.functions.md5(
+      org.apache.spark.sql.functions.substring_index(col("__f"), "/", -3))
+
+    val next = FileManifest.latestVersion(spark, root).get + 1
+    val dataDir = s"$root/data/b$next"
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val joinCond = q(m.mergeCondition)
+
+    // 2. TOUCH + CARDINALITY + 3a. STAGE — one join pass: per target
+    // row its match count (SQL MERGE refuses >1 when matched actions
+    // exist), per file whether it holds any match, and the matched
+    // source rows staged once, partitioned by the file they touch
+    val stage = s"$dataDir/_mrg_stage"
+    val rewriteNeeded =
+      m.matchedActions.nonEmpty || m.notMatchedBySourceActions.nonEmpty
+    val touched: Seq[String] =
+      if (candidates.isEmpty) Nil
+      else {
+        val cand = readRestored(candidates)
+        val candId = cand
+          .withColumn("__f", input_file_name())
+          .withColumn("__rid", monotonically_increasing_id())
+        val joined = candId.as("_t").join(src.as("_s"), joinCond)
+        val stats = joined
+          .groupBy(col("__f"), col("__rid"))
+          .agg(count(lit(1)).as("__n"))
+          .groupBy(col("__f")).agg(max("__n").as("__mx"))
+          .collect() // O(touched files), catalog-scale
+        if (m.matchedActions.nonEmpty) stats.foreach { r =>
+          require(r.getLong(1) <= 1L,
+            "MERGE cardinality violation: a target row matches more than " +
+              s"one source row (file ${r.getString(0)}) — dedupe the source " +
+              "on the merge key first")
+        }
+        val t = stats.map(r => norm(r.getString(0))).toSeq.sorted
+        if (t.nonEmpty && rewriteNeeded) {
+          // stage each touched file's matched source rows exactly once;
+          // distinct is safe AFTER the cardinality gate (identical
+          // duplicate source rows would have tripped it)
+          joined
+            .select((fileKeyCol.as("__fk") :: src.columns.toList.map(c =>
+              col(s"_s.$c"))): _*)
+            .distinct()
+            .write.mode(SaveMode.Overwrite).partitionBy("__fk").parquet(stage)
+        }
+        t
+      }
+    // by-source actions put every candidate file in play, matched or not
+    val rewriteSet: Seq[String] =
+      if (m.notMatchedBySourceActions.nonEmpty) candidates.map(norm).sorted
+      else if (m.matchedActions.nonEmpty) touched
+      else Nil // insert-only MERGE rewrites nothing
+
+    // the WHEN cascade: first satisfied clause wins
+    def actIndex(actions: Seq[MergeAction], gate: Column): Column =
+      actions.zipWithIndex.foldLeft(Option.empty[Column]) {
+        case (acc, (a, i)) =>
+          val c = a.condition.map(e => gate && q(e)).getOrElse(gate)
+          Some(acc.fold(when(c, lit(i)))(_.when(c, lit(i))))
+      }.fold(lit(-1))(_.otherwise(lit(-1)))
+
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val rewriteFiles: Set[String] = rewriteSet.toSet
+    val touchedList = pm.partitions.toSeq.sortBy(_._1).flatMap {
+      case (part, files) => files.filter(f => rewriteFiles(norm(f.path)))
+        .map(f => (part, f.path))
+    }
+    val stagedKeys: Set[String] =
+      if (touched.nonEmpty && rewriteNeeded)
+        fs.listStatus(new Path(stage)).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("__fk="))
+          .map(_.getPath.getName.stripPrefix("__fk="))
+          .toSet
+      else Set.empty
+    val rewriteJobs = touchedList.zipWithIndex.map { case ((part, path), i) =>
+      Future {
+        val base = new Path(path).getParent.getParent.toString
+        val one = spark.read.option("basePath", base).parquet(path)
+        val schema = one.schema
+        // a candidate with no staged slice holds NO matched rows (it is
+        // here via by-source actions only): every row is unmatched, and
+        // nothing in the plan may reference a source column
+        val hasSlice = stagedKeys.contains(fileKey(path))
+        val joined =
+          if (!hasSlice)
+            one.as("_t").withColumn("__m", lit(false))
+          else {
+            val slice = spark.read.parquet(s"$stage/__fk=${fileKey(path)}")
+            one.as("_t").join(slice.as("_s"), joinCond, "left_outer")
+              .withColumn("__m", coalesce(col("_s.__m"), lit(false)))
+          }
+        val mAct = if (hasSlice) actIndex(m.matchedActions, col("__m"))
+                   else lit(-1)
+        val nAct = actIndex(m.notMatchedBySourceActions, !col("__m"))
+        val mDel = m.matchedActions.zipWithIndex.collect {
+          case (_: DeleteAction, i2) => i2 }.toSet
+        val nDel = m.notMatchedBySourceActions.zipWithIndex.collect {
+          case (_: DeleteAction, i2) => i2 }.toSet
+        val out = joined
+          .withColumn("__ma", mAct).withColumn("__na", nAct)
+          .where(!(col("__ma").isInCollection(
+              if (mDel.isEmpty) Set(-2) else mDel) ||
+            col("__na").isInCollection(
+              if (nDel.isEmpty) Set(-2) else nDel)))
+          .select(schema.fields.map { f =>
+            val c = f.name
+            val mUpd =
+              if (!hasSlice) Option.empty[Column]
+              else m.matchedActions.zipWithIndex.foldLeft(
+                Option.empty[Column]) { case (acc, (a, i2)) => a match {
+                  case u: UpdateAction =>
+                    assignmentsOf(u).find(_._1 == c).map { case (_, v) =>
+                      val w = col("__ma") === i2
+                      Some(acc.fold(when(w, q(v)))(_.when(w, q(v))))
+                    }.getOrElse(acc)
+                  case _ => acc
+                } }
+            val both = m.notMatchedBySourceActions.zipWithIndex.foldLeft(
+              mUpd) { case (acc, (a, i2)) => a match {
+                case u: UpdateAction =>
+                  assignmentsOf(u).find(_._1 == c).map { case (_, v) =>
+                    val w = col("__na") === i2
+                    Some(acc.fold(when(w, q(v)))(_.when(w, q(v))))
+                  }.getOrElse(acc)
+                case _ => acc
+              } }
+            both.fold(col(s"_t.$c"))(_.otherwise(col(s"_t.$c")))
+              .cast(f.dataType).as(c)
+          }.toSeq: _*)
+        val tmp = f"$dataDir/_rw_$i%05d"
+        out.select(dataCols.map(col): _*)
+          .coalesce(1).sortWithinPartitions(clusterCol)
+          .write.mode(SaveMode.Overwrite).parquet(tmp)
+        val written = fs.listStatus(new Path(tmp)).toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        val moved = written.map { st =>
+          val destDir = new Path(dataDir, part)
+          fs.mkdirs(destDir)
+          val dest = new Path(destDir, f"rw-$i%05d-${st.getPath.getName}")
+          require(fs.rename(st.getPath, dest), s"MERGE rewrite move failed: $dest")
+          fs.makeQualified(dest).toString
+        }
+        fs.delete(new Path(tmp), true)
+        (part, moved)
+      }
+    }
+    val rewritten = Await.result(Future.sequence(rewriteJobs),
+      scala.concurrent.duration.Duration.Inf)
+
+    // 4. INSERT — source rows with no match among the candidates
+    // (exact: pruning is conservative, every possible partner survived)
+    val insertedStats: Map[String, Seq[FileManifest.FileStats]] =
+      if (m.notMatchedActions.isEmpty) Map.empty
+      else {
+        val unmatched =
+          if (candidates.isEmpty) src.drop("__m")
+          else src.as("_s").join(
+            readRestored(candidates).as("_t"), joinCond, "left_anti")
+            .drop("__m")
+        val iActs = m.notMatchedActions.collect { case i: InsertAction => i }
+        val iAct = iActs.zipWithIndex.foldLeft(Option.empty[Column]) {
+          case (acc, (a, i2)) =>
+            val c = a.condition.map(qs).getOrElse(lit(true))
+            Some(acc.fold(when(c, lit(i2)))(_.when(c, lit(i2))))
+        }.fold(lit(-1))(_.otherwise(lit(-1)))
+        val targetSchema = spark.read
+          .parquet(pm.partitions.head._2.head.path).schema
+        def insCol(c: String, dt: org.apache.spark.sql.types.DataType) =
+          iActs.zipWithIndex.foldLeft(Option.empty[Column]) {
+            case (acc, (a, i2)) =>
+              val v = qs(assignmentsOf(a).find(_._1 == c).get._2)
+              val w = col("__ia") === i2
+              Some(acc.fold(when(w, v))(_.when(w, v)))
+          }.get.cast(dt).as(c)
+        val partType = readRestored(
+          Seq(pm.partitions.head._2.head.path)).schema
+        val ins = unmatched.withColumn("__ia", iAct).where(col("__ia") >= 0)
+          .select((targetSchema.fields.map(f => insCol(f.name, f.dataType))
+            :+ insCol(partCol,
+              partType.find(_.name == partCol).map(_.dataType)
+                .getOrElse(org.apache.spark.sql.types.StringType))).toSeq: _*)
+        if (ins.isEmpty) Map.empty
+        else {
+          val nNullPart = ins.where(col(partCol).isNull).count()
+          require(nNullPart == 0, s"MERGE INSERT produced $nNullPart row(s) " +
+            s"with a NULL partition value `$partCol` — a graft partition " +
+            "directory cannot encode NULL")
+          val insDir = s"$dataDir/_ins"
+          ins.repartition(col(partCol))
+            .sortWithinPartitions(partCol, clusterCol)
+            .write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(insDir)
+          val parts = fs.listStatus(new Path(insDir)).toSeq
+            .filter(st => st.isDirectory &&
+              st.getPath.getName.startsWith(s"$partCol="))
+          parts.map { pd =>
+            val part = pd.getPath.getName
+            val files = fs.listStatus(pd.getPath).toSeq
+              .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+            val moved = files.zipWithIndex.map { case (st, k) =>
+              val destDir = new Path(dataDir, part)
+              fs.mkdirs(destDir)
+              val dest = new Path(destDir, f"ins-$k%05d-${st.getPath.getName}")
+              require(fs.rename(st.getPath, dest),
+                s"MERGE insert move failed: $dest")
+              fs.makeQualified(dest).toString
+            }
+            part -> FileManifest.append(Nil, spark, moved, clusterCol)
+              .filter(_.rows > 0)
+          }.toMap
+        }
+      }
+    fs.delete(new Path(stage), true)
+    fs.delete(new Path(s"$dataDir/_ins"), true)
+
+    if (rewriteSet.isEmpty && insertedStats.isEmpty) {
+      // nothing matched, nothing inserted: MERGE is a committed no-op
+      fs.delete(new Path(dataDir), true)
+      return FileManifest.latestVersion(spark, root).get
+    }
+
+    // 5. COMMIT carried + rewritten + inserted as one atomic version
+    val freshStats = rewritten.groupBy(_._1).map { case (part, moved) =>
+      part -> FileManifest.append(Nil, spark, moved.flatMap(_._2), clusterCol)
+        .filter(_.rows > 0)
+    }
+    val carried = pm.partitions.view.mapValues(
+      _.filterNot(f => rewriteFiles(norm(f.path)))).toMap
+    val merged0 = freshStats.foldLeft(carried) { case (acc, (part, stats)) =>
+      acc.updated(part, (acc.getOrElse(part, Nil) ++ stats).sortBy(_.path))
+    }
+    val merged = insertedStats.foldLeft(merged0) { case (acc, (part, stats)) =>
+      acc.updated(part, (acc.getOrElse(part, Nil) ++ stats).sortBy(_.path))
+    }.filter(_._2.nonEmpty)
+    require(merged.nonEmpty,
+      "this MERGE would remove every row — an empty graft catalog cannot " +
+        "serve readers; DROP TABLE (or overwrite with a new batch) instead")
+    val adopted = pm.copy(partitions = merged)
+    val v = FileManifest.commitVersion(spark, adopted, root)
+    require(v == next, s"MERGE commit raced: expected v$next, got v$v")
+    index.advanceSnapshot(adopted)
+    v
+  }
 }
 
 /** Post-hoc resolution rule: resolved SQL DML over a graft relation
@@ -232,6 +645,12 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 .Literal.TrueLiteral), h.dataSchema.fieldNames.toSeq)
           case None => u
         }
+      case m: MergeIntoTable if m.resolved =>
+        GraftDml.graftRelation(m.targetTable) match {
+          case Some((h, idx)) =>
+            GraftMergeCommand(idx, m, h.dataSchema.fieldNames.toSeq)
+          case None => m
+        }
     }
 }
 
@@ -250,6 +669,19 @@ case class GraftUpdateCommand(index: ManifestFileIndex,
     dataCols: Seq[String]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     GraftDml.cowRewriteCommit(spark, index, cond, sets, dataCols)
+    Nil
+  }
+}
+
+/** `MERGE INTO t USING s ON … WHEN …` — staged CoW merge + one atomic
+  * version. Holds the resolved [[MergeIntoTable]] whole: the WHEN
+  * cascade, assignments, and both child plans travel intact to run(). */
+case class GraftMergeCommand(index: ManifestFileIndex,
+    merge: MergeIntoTable, dataCols: Seq[String])
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(merge)
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftDml.cowMergeCommit(spark, index, merge, dataCols)
     Nil
   }
 }

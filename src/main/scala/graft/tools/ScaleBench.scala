@@ -256,8 +256,25 @@ object ScaleBench {
       // f21: layout write + footer string-stats (~f files) + a
       // pruned range read over a fixed-width key range
       "f21_string_prune",
-      // p11: one grouped scan per audited column
-      "p11_skew_audit")
+      // p11: r11's single-pass form — one (column, key) explode +
+      // one map-side-reduced aggregation for all audited columns
+      "p11_skew_audit",
+      // r11: SQL DML — layout write + prune/touch/rewrite of the
+      // matching files (all ~f in files written and touched); the
+      // MERGE adds the staged-slice write (~f matched rows) and the
+      // insert append (~f new rows)
+      "f22_sql_delete", "f23_sql_update", "f24_sql_merge",
+      // c12: base + CoW update + append history writes ~f data and
+      // drains the I/D diff of exactly the churned files (~f)
+      "c12_change_feed",
+      // g18: g15's per-step join + the (prev,dst)-keyed bias join,
+      // both over ~f edges of the fixed-node densifying graph; the
+      // weight expansion widens only the walk frontier (fixed cohort)
+      "g18_node2vec_walks",
+      // s33: build (~f, shared-memo path) + append of a fixed-size
+      // increment + bounded refinement rounds touching only
+      // new-endpoint edges — refresh cost tracks the increment
+      "s33_graph_refresh")
       // x18/x19 are NOT here for x12's reason (salting renames their
       // literal terms) — the salted cases below measure real phrase/
       // proximity retrieval.

@@ -100,4 +100,137 @@ class GraftDmlSpec extends AnyFunSuite {
     // refusals committed nothing
     assert(FileManifest.latestVersion(spark, root).contains(2L))
   }
+
+  test("SQL MERGE INTO: cascade parity, insert-only fast path, refusals") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mrg").toString
+    val root = s"$tmp/cat"
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "user_id", "event_type", "value")
+    ev.write.format("graft").option("path", root)
+      .option("partitionBy", "event_type").option("clusterBy", "event_id")
+      .option("files", "8").mode("errorifexists").save()
+    spark.sql("DROP TABLE IF EXISTS mrg_events")
+    spark.sql(s"CREATE TABLE mrg_events USING graft OPTIONS (path '$root')")
+    ev.createOrReplaceTempView("mrg_src_events")
+
+    // deterministic changeset: updates + flagged deletes on one user
+    // cohort, inserts keyed outside the table's id range from another
+    spark.sql("""CREATE OR REPLACE TEMP VIEW mrg_chg AS
+      SELECT event_id AS k, user_id AS u, event_type AS et,
+             value * 3 + 1 AS nv, (event_id % 5 = 0) AS del
+      FROM mrg_src_events WHERE user_id BETWEEN 3 AND 9
+      UNION ALL
+      SELECT event_id + 100000000 AS k, user_id AS u, event_type AS et,
+             value + 0.5 AS nv, FALSE AS del
+      FROM mrg_src_events WHERE user_id BETWEEN 1 AND 2""")
+    val chg = spark.table("mrg_chg").cache()
+    assert(chg.where(!col("del")).count() > 0 &&
+      chg.where(col("del")).count() > 0 &&
+      chg.where(col("k") >= 100000000L).count() > 0,
+      "the fixture must exercise update, delete, and insert arms")
+
+    spark.sql("""MERGE INTO mrg_events t USING mrg_chg s ON t.event_id = s.k
+      WHEN MATCHED AND s.del THEN DELETE
+      WHEN MATCHED THEN UPDATE SET value = s.nv
+      WHEN NOT MATCHED THEN INSERT (event_id, user_id, event_type, value)
+        VALUES (s.k, s.u, s.et, s.nv)""")
+    assert(FileManifest.latestVersion(spark, root).contains(1L),
+      "MERGE must commit exactly one new version")
+
+    // expected state, computed independently on plain DataFrames
+    val upd = chg.where(col("k") < 100000000L)
+    val expected = ev.as("e")
+      .join(upd.as("c"), col("e.event_id") === col("c.k"), "left_outer")
+      .where(col("c.k").isNull || !col("c.del"))
+      .select(col("e.event_id"), col("e.user_id"), col("e.event_type"),
+        when(col("c.k").isNotNull, col("c.nv")).otherwise(col("e.value"))
+          .as("value"))
+      .unionByName(chg.where(col("k") >= 100000000L)
+        .select(col("k").as("event_id"), col("u").as("user_id"),
+          col("et").as("event_type"), col("nv").as("value")))
+    val got = spark.sql("SELECT count(*) AS n, sum(event_id) AS s, " +
+      "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v " +
+      "FROM mrg_events").head
+    val want = expected.agg(count(lit(1)), sum("event_id"),
+      sum(col("value").cast("decimal(18,2)")).cast("double")).head
+    assert(got.getLong(0) == want.getLong(0), "MERGE row-count parity")
+    assert(got.getLong(1) == want.getLong(1), "MERGE id-sum parity")
+    assert(math.abs(got.getDouble(2) - want.getDouble(2)) < 1e-6,
+      "MERGE value-sum parity")
+
+    // pre-MERGE snapshot still time-travelable
+    spark.sql("DROP TABLE IF EXISTS mrg_events_v0")
+    spark.sql(s"CREATE TABLE mrg_events_v0 USING graft " +
+      s"OPTIONS (path '$root', version '0')")
+    assert(spark.sql("SELECT count(*) FROM mrg_events_v0").head.getLong(0)
+      == ev.count(), "the pre-MERGE version must read unchanged")
+
+    // insert-only MERGE rewrites NOTHING: every pre-merge file carries
+    val before = FileManifest.loadLatest(spark, root)
+      .partitions.values.flatten.map(_.path).toSet
+    spark.sql("""MERGE INTO mrg_events t
+      USING (SELECT event_id + 200000000 AS k, user_id AS u,
+               event_type AS et, value AS nv
+             FROM mrg_src_events WHERE user_id = 7) s
+      ON t.event_id = s.k
+      WHEN NOT MATCHED THEN INSERT (event_id, user_id, event_type, value)
+        VALUES (s.k, s.u, s.et, s.nv)""")
+    assert(FileManifest.latestVersion(spark, root).contains(2L))
+    val after = FileManifest.loadLatest(spark, root)
+      .partitions.values.flatten.map(_.path).toSet
+    assert(before.subsetOf(after),
+      "an insert-only MERGE must carry every existing file verbatim")
+
+    // NOT MATCHED BY SOURCE: unmatched target rows take the cascade
+    val nBig = spark.sql(
+      "SELECT count(*) FROM mrg_events WHERE user_id > 12").head.getLong(0)
+    assert(nBig > 0, "fixture needs unmatched rows above the gate")
+    spark.sql("""MERGE INTO mrg_events t
+      USING (SELECT event_id AS k FROM mrg_src_events WHERE user_id <= 12) s
+      ON t.event_id = s.k
+      WHEN NOT MATCHED BY SOURCE AND t.user_id > 12 THEN DELETE""")
+    assert(spark.sql(
+      "SELECT count(*) FROM mrg_events WHERE user_id > 12").head.getLong(0)
+      == 0, "BY SOURCE delete must drop exactly the unmatched gated rows")
+
+    // a MERGE matching and inserting nothing is a committed no-op
+    val vNow = FileManifest.latestVersion(spark, root).get
+    spark.sql("""MERGE INTO mrg_events t
+      USING (SELECT -1 AS k) s ON t.event_id = s.k
+      WHEN MATCHED THEN DELETE""")
+    assert(FileManifest.latestVersion(spark, root).contains(vNow),
+      "a no-op MERGE must not commit a version")
+
+    // refusals: cardinality violation (duplicate source keys), key-range
+    // updates, time-traveled target — all loud, none committing
+    val card = intercept[Throwable] {
+      spark.sql("""MERGE INTO mrg_events t
+        USING (SELECT event_id AS k, value AS nv FROM mrg_src_events
+               WHERE user_id = 3
+               UNION ALL
+               SELECT event_id AS k, value AS nv FROM mrg_src_events
+               WHERE user_id = 3) s
+        ON t.event_id = s.k
+        WHEN MATCHED THEN UPDATE SET value = s.nv""")
+    }
+    assert(messages(card).exists(_.contains("cardinality")),
+      s"duplicate-key source must refuse: ${messages(card)}")
+    val kc = intercept[Throwable] {
+      spark.sql("""MERGE INTO mrg_events t USING mrg_chg s
+        ON t.event_id = s.k
+        WHEN MATCHED THEN UPDATE SET event_id = s.k""")
+    }
+    assert(messages(kc).exists(_.contains("clustering")),
+      s"clustering-column MERGE update must refuse: ${messages(kc)}")
+    val tt = intercept[Throwable] {
+      spark.sql("""MERGE INTO mrg_events_v0 t USING mrg_chg s
+        ON t.event_id = s.k
+        WHEN MATCHED THEN UPDATE SET value = s.nv""")
+    }
+    assert(messages(tt).exists(_.contains("time-traveled")),
+      s"MERGE into a pinned snapshot must refuse: ${messages(tt)}")
+    assert(FileManifest.latestVersion(spark, root).contains(vNow),
+      "refused merges must commit nothing")
+    chg.unpersist()
+  }
 }
