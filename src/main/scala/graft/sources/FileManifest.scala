@@ -791,6 +791,45 @@ object FileManifest {
     else aggMerge(prevAgg, aggPartial(spark, added, keys, valueCol), keys)
   }
 
+  /** Aggregate maintenance ACROSS rewrites — the retraction fold
+    * [[aggRefresh]] refuses: the [[snapshotDiff]] between the two
+    * snapshots (row-level I/D, computed from ONLY the churned files)
+    * becomes a SIGNED delta state — an insert contributes
+    * (+1, +value), a delete (−1, −value) — merged into the stored
+    * aggregate by the same full-outer addition. A CoW UPDATE (old
+    * image D + new image I) thus lands as the exact value
+    * difference; keys whose row count returns to zero LEAVE the
+    * state (the full-outer merge would otherwise keep a (0, 0.00)
+    * tombstone per retired key forever). Exactness is
+    * [[aggPartial]]'s discipline: every ± value passes through
+    * DECIMAL(18,2) BEFORE the sum, so maintained state equals a
+    * from-scratch recompute bit-for-bit — retraction in floating
+    * point would drift, in decimal it cancels exactly.
+    *
+    * At 100 TB this is the missing half of the incremental-MV story:
+    * [[aggRefresh]] covers append-only ingest at O(new files);
+    * aggMaintain covers the update/delete versions at O(churned
+    * files) — together a materialized aggregate survives ANY CoW
+    * history without ever re-reading the table (the Flink
+    * retract-stream contract, on a batch table format). */
+  def aggMaintain(spark: SparkSession, prevAgg: DataFrame,
+      mOld: Seq[FileStats], mNew: Seq[FileStats], keys: Seq[String],
+      valueCol: String): DataFrame = {
+    val oldPaths = mOld.map(_.path).toSet
+    val newPaths = mNew.map(_.path).toSet
+    if (mOld.forall(f => newPaths(f.path)) &&
+        mNew.forall(f => oldPaths(f.path)))
+      return prevAgg // no churn: zero IO, state carried
+    val diff = snapshotDiff(spark, mOld, mNew)
+    val sign = when(col("change_type") === "I", lit(1L)).otherwise(lit(-1L))
+    val signedVal = when(col("change_type") === "I",
+        col(valueCol).cast("decimal(18,2)"))
+      .otherwise(-col(valueCol).cast("decimal(18,2)"))
+    val delta = diff.groupBy(keys.map(col): _*)
+      .agg(sum(sign).as("n_rows"), sum(signedVal).as("agg_sum"))
+    aggMerge(prevAgg, delta, keys).where(col("n_rows") =!= 0L)
+  }
+
   /** CDC between two manifest snapshots of one table: the incremental
     * changelog read. File-level diff first — a file present in both
     * snapshots carried verbatim through every copy-on-write rewrite,

@@ -274,7 +274,11 @@ object ScaleBench {
       // s33: build (~f, shared-memo path) + append of a fixed-size
       // increment + bounded refinement rounds touching only
       // new-endpoint edges — refresh cost tracks the increment
-      "s33_graph_refresh")
+      "s33_graph_refresh",
+      // r11 second wave: t13 is the t10 grid + one more window pass;
+      // c13 writes the layout (~f) then folds diffs of only the
+      // churned files per version (~f churn by construction)
+      "t13_interp", "c13_view_maintain")
       // x18/x19 are NOT here for x12's reason (salting renames their
       // literal terms) — the salted cases below measure real phrase/
       // proximity retrieval.

@@ -2698,6 +2698,29 @@ class OperatorsSpec extends AnyFunSuite {
       (2L, "2024-01-05", 9.0, false)), s"got ${got.toSeq}")
   }
 
+  test("interp resample: straight line on gap days, obs days exact, ffill tie discipline") {
+    import java.sql.Timestamp
+    def d(day: Int, h: Int) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    val ev = Seq(
+      // user 1: day-1 tie (id 11 wins), gaps on days 2-3, obs day 4 —
+      // the two gap days sit at 1/3 and 2/3 of the 7.0 → 1.0 line
+      (10L, d(1, 8), 1L, 5.0), (11L, d(1, 8), 1L, 7.0),
+      (12L, d(4, 9), 1L, 1.0),
+      // user 2: single day — one exact row, nothing to interpolate
+      (20L, d(5, 1), 2L, 9.0)).toDF("event_id", "ts", "user_id", "value")
+    val got = TimeSeries.resampleDailyInterp(ev, "user_id", "ts",
+        "event_id", "value")
+      .orderBy("user_id", "day").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getBoolean(3)))
+    assert(got.toSeq == Seq(
+      (1L, "2024-01-01", 7.0, false),
+      (1L, "2024-01-02", 7.0 + (1.0 - 7.0) * (1.0 / 3.0), true),
+      (1L, "2024-01-03", 7.0 + (1.0 - 7.0) * (2.0 / 3.0), true),
+      (1L, "2024-01-04", 1.0, false),
+      (2L, "2024-01-05", 9.0, false)), s"got ${got.toSeq}")
+  }
+
   test("ohlc bars: open/close by (ts,id), high/low exact, count per bucket") {
     import java.sql.Timestamp
     def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-02-01 $h%02d:$m%02d:00")

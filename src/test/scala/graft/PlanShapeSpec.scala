@@ -375,6 +375,70 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(err.getMessage.contains("append-only"), err.getMessage)
   }
 
+  test("aggregate maintenance across rewrites: retraction-exact, carried files never read, tombstones leave") {
+    import graft.sources.FileManifest
+    val tmp = java.nio.file.Files.createTempDirectory("graft-magg2").toString
+    val ev = Tables.load(spark, dir, "events")
+    FileManifest.writeLayout(ev.where(col("event_id") % 2 === 0),
+      s"$tmp/t", "user_id", 4)
+    val v1 = FileManifest.buildManifest(spark, s"$tmp/t", "user_id")
+    val keys = Seq("event_type")
+    FileManifest.aggPartial(spark, v1, keys, "value")
+      .write.parquet(s"$tmp/agg1")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).toPlainString)).sortBy(_._1).toSeq
+    def recompute(m: Seq[FileManifest.FileStats]) =
+      FileManifest.readAll(spark, m).groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("value").cast("decimal(18,2)")).as("agg_sum"))
+
+    // a CoW UPDATE version: aggRefresh refuses it, aggMaintain folds it
+    val v2 = FileManifest.updateRange(spark, v1, "user_id", 3L, 9L,
+      "value", col("value") * 2, s"$tmp/rw")
+    intercept[IllegalArgumentException] {
+      FileManifest.aggRefresh(spark, spark.read.parquet(s"$tmp/agg1"),
+        v1, v2, keys, "value")
+    }
+    val m2 = FileManifest.aggMaintain(spark,
+      spark.read.parquet(s"$tmp/agg1"), v1, v2, keys, "value")
+    assert(canon(m2) == canon(recompute(v2)),
+      "maintained state != recompute after the update version")
+    // carried (unchurned) files are NEVER read by the fold
+    val carried = v2.map(_.path).toSet.intersect(v1.map(_.path).toSet)
+    val inputs = m2.inputFiles.toSet
+    assert(carried.nonEmpty && inputs.nonEmpty)
+    assert(!inputs.exists(p => carried.exists(c => p.endsWith(
+        c.stripPrefix("file:")))),
+      s"maintenance read a carried file: ${inputs.intersect(carried)}")
+    m2.write.parquet(s"$tmp/agg2")
+
+    // a CoW DELETE version folds as pure retraction
+    val v3 = FileManifest.deleteRange(spark, v2, "user_id", 12L, 13L,
+      s"$tmp/rw2")
+    val m3 = FileManifest.aggMaintain(spark,
+      spark.read.parquet(s"$tmp/agg2"), v2, v3, keys, "value")
+    assert(canon(m3) == canon(recompute(v3)),
+      "maintained state != recompute after the delete version")
+
+    // a key whose count returns to zero LEAVES the state (no
+    // (0, 0.00) tombstone): craft a layout where one key's rows all
+    // sit inside the deleted range
+    import spark.implicits._
+    val crafted = Seq((1L, "keep", 1.5), (2L, "keep", 2.5),
+      (100L, "gone", 9.0), (101L, "gone", 4.0))
+      .toDF("user_id", "event_type", "value")
+    FileManifest.writeLayout(crafted, s"$tmp/c", "user_id", 2)
+    val c1 = FileManifest.buildManifest(spark, s"$tmp/c", "user_id")
+    val st = FileManifest.aggPartial(spark, c1, keys, "value")
+    val c2 = FileManifest.deleteRange(spark, c1, "user_id", 100L, 101L,
+      s"$tmp/crw")
+    val folded = FileManifest.aggMaintain(spark, st, c1, c2, keys, "value")
+    assert(canon(folded) == canon(recompute(c2)))
+    assert(!folded.collect().map(_.getString(0)).contains("gone"),
+      "a fully-deleted key must leave the maintained state")
+  }
+
   test("metadata-only aggregate scans at most the two boundary files") {
     import graft.sources.FileManifest
     val tmp = java.nio.file.Files.createTempDirectory("graft-magg").toString
