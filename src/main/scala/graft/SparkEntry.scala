@@ -2947,6 +2947,80 @@ object SparkEntry {
         |FROM f23_events
         |GROUP BY event_type ORDER BY event_type""".stripMargin)
     }),
+    // SQL OPTIMIZE (plans/GraftMaintenance.scala) — compaction through
+    // the front door, committed as a real catalog version: per
+    // partition, files bin-pack to the row target in cluster-key
+    // order; single-file bins carry with zero IO; pre-OPTIMIZE
+    // versions stay time-travelable. Pure layout: the aggregate is
+    // the invariant the oracle checks
+    "f25_sql_optimize" -> ((s, dir) => {
+      val tmp = layoutDir("f25", dir)
+      val root = s"$tmp/cat"
+      freshDir(s, root)
+      val ev = T(s, dir, "events")
+      ev.write.format("graft")
+        .option("path", root).option("partitionBy", "event_type")
+        .option("clusterBy", "user_id").option("files", "24")
+        .mode("overwrite").save()
+      s.sql("DROP TABLE IF EXISTS f25_events")
+      s.sql(s"CREATE TABLE f25_events USING graft OPTIONS (path '$root')")
+      val before = FileManifest.loadLatest(s, root)
+        .partitions.values.map(_.size).sum
+      val n = ev.count()
+      s.sql(s"OPTIMIZE f25_events TARGET ${math.max(1L, n / 4)} ROWS")
+      require(FileManifest.latestVersion(s, root).contains(1L),
+        "OPTIMIZE must commit exactly one new version")
+      val after = FileManifest.loadLatest(s, root)
+        .partitions.values.map(_.size).sum
+      require(after < before,
+        s"OPTIMIZE must shrink the file count ($before -> $after)")
+      s.sql("""SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value,
+        |  sum(event_id) AS sum_ids
+        |FROM f25_events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
+    // SQL VACUUM — retention through the front door: expire history
+    // beyond RETAIN n (never the latest, never a ref-pinned
+    // snapshot), then sweep data files no kept version references.
+    // The entry proves a file retired by a CoW DELETE physically
+    // leaves the disk while the live table is untouched
+    "f26_sql_vacuum" -> ((s, dir) => {
+      val tmp = layoutDir("f26", dir)
+      val root = s"$tmp/cat"
+      freshDir(s, root)
+      val ev = T(s, dir, "events")
+      ev.write.format("graft")
+        .option("path", root).option("partitionBy", "event_type")
+        .option("clusterBy", "user_id").option("files", "12")
+        .mode("overwrite").save()
+      s.sql("DROP TABLE IF EXISTS f26_events")
+      s.sql(s"CREATE TABLE f26_events USING graft OPTIONS (path '$root')")
+      s.sql("DELETE FROM f26_events " +
+        "WHERE user_id BETWEEN 3 AND 9 AND value > 5")
+      val v0Files = FileManifest.loadVersion(s, root, 0L)
+        .partitions.values.flatten.map(_.path).toSet
+      val v1Files = FileManifest.loadVersion(s, root, 1L)
+        .partitions.values.flatten.map(_.path).toSet
+      val retired = (v0Files -- v1Files).toSeq.sorted
+      require(retired.nonEmpty, "the DELETE must have retired files")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      require(retired.forall(p =>
+        fs.exists(new org.apache.hadoop.fs.Path(p))),
+        "retired files must still exist before VACUUM (v0 references them)")
+      s.sql("VACUUM f26_events RETAIN 1 VERSIONS")
+      require(retired.forall(p =>
+        !fs.exists(new org.apache.hadoop.fs.Path(p))),
+        "VACUUM must delete the files only the expired v0 referenced")
+      s.sql("""SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value,
+        |  sum(event_id) AS sum_ids
+        |FROM f26_events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
     // SQL MERGE INTO through the front door (plans/GraftDml.scala) —
     // the DML trio's last member: one changeset carrying updates,
     // flagged deletes, and inserts lands as ONE atomic CoW version.
@@ -5511,6 +5585,24 @@ object SparkEntry {
         |    AS total_value,
         |  CAST(sum(event_id) AS BIGINT) AS sum_ids
         |FROM events
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // f25: OPTIMIZE is pure layout — the oracle is the plain
+    // aggregate; any lost/duplicated row breaks the hash
+    "f25_sql_optimize" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_ids
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // f26: VACUUM reclaims storage, never rows — the table still
+    // equals the post-DELETE state after history expiry + the sweep
+    "f26_sql_vacuum" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_ids
+        |FROM events
+        |WHERE NOT COALESCE(user_id BETWEEN 3 AND 9 AND value > 5, FALSE)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // f24: MERGE == left join (matched update/delete) + anti join
     // (inserts) over the same deterministic changeset; the n_events

@@ -23,8 +23,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => RewriteRangeJoin)
     ext.injectOptimizerRule(_ => InjectBloomJoinFilter)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
-    // SQL DELETE/UPDATE on graft tables: replace the resolved node
-    // with the CoW command before planning refuses v1 DML
+    // SQL DELETE/UPDATE/MERGE on graft tables: replace the resolved
+    // node with the CoW command before planning refuses v1 DML
     ext.injectPostHocResolutionRule(session => GraftDmlRule(session))
+    // OPTIMIZE / VACUUM — maintenance statements Spark's grammar lacks;
+    // everything else delegates to the session parser untouched
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
   }
 }

@@ -1,0 +1,206 @@
+package graft.plans
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Row, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.{FileManifest, ManifestFileIndex}
+
+/** SQL-surface TABLE MAINTENANCE for graft tables — `OPTIMIZE t
+  * [TARGET n ROWS]` and `VACUUM t [RETAIN n VERSIONS]`, the two
+  * statements that complete the front door's parity story: after
+  * r11's DML trio a SQL user can CREATE, SELECT (with time travel),
+  * INSERT, DELETE, UPDATE, MERGE — and now also compact the small
+  * files their ingest left behind and reclaim the storage their CoW
+  * history retired, without ever touching the Scala API (the
+  * Delta `OPTIMIZE`/`VACUUM` role).
+  *
+  * Spark's grammar has neither statement, so [[GraftSqlParser]] —
+  * injected via `injectParser` — intercepts exactly these two shapes
+  * (anchored match on the whole statement; anything else delegates to
+  * Spark's parser untouched, including its error messages).
+  *
+  * OPTIMIZE routes onto the f3 compaction discipline, committed as a
+  * real catalog version: per partition, the manifest's files bin-pack
+  * to the row target in cluster-key order (pruning power survives —
+  * each output file's range is the union of an ADJACENT run);
+  * single-file bins carry verbatim with zero IO; multi-file bins
+  * rewrite concurrently, one shuffle-free single-task job each. The
+  * rewrite is pure layout: row count and every aggregate are
+  * invariants, and every pre-OPTIMIZE version stays time-travelable
+  * (compaction is adds + removes in ONE atomic commit — exactly what
+  * the version chain exists to express).
+  *
+  * VACUUM composes the two retention primitives: `expireVersions`
+  * (drop history beyond RETAIN n, never the latest, never a
+  * ref-pinned snapshot) then `gcOrphans` (delete data files no kept
+  * version references). Time travel afterwards reaches only what was
+  * retained — the documented, loudly-enforced trade of reclaiming
+  * storage.
+  *
+  * At 100 TB: OPTIMIZE's driver work is O(files) over the manifest;
+  * rewrite IO is only the small-file bins (an already-compact
+  * partition costs zero); VACUUM's reference set is O(files ×
+  * versions) manifest entries and the sweep is one recursive listing
+  * of the data root. */
+object GraftMaintenance {
+
+  private val OptimizeRe =
+    """(?is)^\s*OPTIMIZE\s+([\w.]+)(?:\s+TARGET\s+(\d+)\s+ROWS)?\s*;?\s*$""".r
+  private val VacuumRe =
+    """(?is)^\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""".r
+
+  private[plans] def intercept(sqlText: String): Option[LogicalPlan] =
+    sqlText match {
+      case OptimizeRe(table, target) =>
+        Some(GraftOptimizeCommand(table,
+          Option(target).map(_.toLong).getOrElse(1L << 20)))
+      case VacuumRe(table, keep) =>
+        Some(GraftVacuumCommand(table,
+          Option(keep).map(_.toInt).getOrElse(1)))
+      case _ => None
+    }
+
+  /** Resolve a table name to its graft serving index (the same seam
+    * the DML commands hold directly). */
+  private[plans] def indexOf(spark: SparkSession,
+      table: String): ManifestFileIndex = {
+    val analyzed = spark.table(table).queryExecution.analyzed
+    GraftDml.graftRelation(analyzed) match {
+      case Some((_, idx)) => idx
+      case None => sys.error(
+        s"`$table` is not a graft table — OPTIMIZE/VACUUM apply only to " +
+          "CREATE TABLE … USING graft OPTIONS (path '<catalogRoot>') tables")
+    }
+  }
+
+  /** Bin-pack compaction committed as one atomic catalog version.
+    * Returns the new version, or the current one when every partition
+    * is already compact (a no-op OPTIMIZE commits nothing). */
+  def optimize(spark: SparkSession, index: ManifestFileIndex,
+      targetRows: Long): Long = {
+    require(targetRows >= 1, "OPTIMIZE target must be >= 1 row")
+    val root = index.graftCatalogRoot.getOrElse(sys.error(
+      "OPTIMIZE requires a catalog-backed graft table"))
+    require(!index.isTimeTraveled,
+      "OPTIMIZE on a time-traveled graft table is not allowed — " +
+        "maintenance lands on the LATEST snapshot only")
+    val clusterCol = index.clusterColumn
+    index.advanceSnapshot(FileManifest.loadLatest(spark, root))
+    val pm = index.currentSnapshot
+
+    // plan: per partition, bins in cluster-key order; only bins that
+    // merge >1 file rewrite — an already-compact partition is free
+    val plans = pm.partitions.toSeq.sortBy(_._1).map { case (part, files) =>
+      (part, FileManifest.planCompaction(files, targetRows))
+    }
+    val work = plans.flatMap { case (part, bins) =>
+      bins.filter(_.size > 1).map(bin => (part, bin))
+    }
+    if (work.isEmpty) return FileManifest.latestVersion(spark, root).get
+
+    val next = FileManifest.latestVersion(spark, root).get + 1
+    val dataDir = s"$root/data/b$next"
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val jobs = work.zipWithIndex.map { case ((part, bin), i) =>
+      Future {
+        val tmp = f"$dataDir/_cmp_$i%05d"
+        spark.read.parquet(bin.map(_.path): _*)
+          .coalesce(1).sortWithinPartitions(clusterCol)
+          .write.mode(SaveMode.Overwrite).parquet(tmp)
+        val written = fs.listStatus(new Path(tmp)).toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        val moved = written.map { st =>
+          val destDir = new Path(dataDir, part)
+          fs.mkdirs(destDir)
+          val dest = new Path(destDir, f"cmp-$i%05d-${st.getPath.getName}")
+          require(fs.rename(st.getPath, dest), s"OPTIMIZE move failed: $dest")
+          fs.makeQualified(dest).toString
+        }
+        fs.delete(new Path(tmp), true)
+        (part, moved)
+      }
+    }
+    val rewritten = Await.result(Future.sequence(jobs),
+      scala.concurrent.duration.Duration.Inf)
+    val fresh = rewritten.groupBy(_._1).map { case (part, moved) =>
+      part -> FileManifest.append(Nil, spark, moved.flatMap(_._2), clusterCol)
+        .filter(_.rows > 0)
+    }
+    val merged = plans.map { case (part, bins) =>
+      val carried = bins.filter(_.size == 1).flatten
+      part -> (carried ++ fresh.getOrElse(part, Nil)).sortBy(_.path)
+    }.filter(_._2.nonEmpty).toMap
+    val adopted = pm.copy(partitions = merged)
+    val v = FileManifest.commitVersion(spark, adopted, root)
+    require(v == next, s"OPTIMIZE commit raced: expected v$next, got v$v")
+    index.advanceSnapshot(adopted)
+    v
+  }
+
+  /** Retention + orphan sweep; returns the deleted file paths. */
+  def vacuum(spark: SparkSession, index: ManifestFileIndex,
+      keepLast: Int): Seq[String] = {
+    require(keepLast >= 1, "VACUUM must retain at least 1 version")
+    val root = index.graftCatalogRoot.getOrElse(sys.error(
+      "VACUUM requires a catalog-backed graft table"))
+    require(!index.isTimeTraveled,
+      "VACUUM through a time-traveled graft table is not allowed — " +
+        "resolve the table at its head to run maintenance")
+    FileManifest.expireVersions(spark, root, keepLast)
+    FileManifest.gcOrphans(spark, root, Seq(s"$root/data"))
+  }
+}
+
+/** `OPTIMIZE t [TARGET n ROWS]` — compaction as an atomic version. */
+case class GraftOptimizeCommand(table: String, targetRows: Long)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftMaintenance.optimize(spark,
+      GraftMaintenance.indexOf(spark, table), targetRows)
+    Nil
+  }
+}
+
+/** `VACUUM t [RETAIN n VERSIONS]` — expire history, sweep orphans. */
+case class GraftVacuumCommand(table: String, keepLast: Int)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftMaintenance.vacuum(spark,
+      GraftMaintenance.indexOf(spark, table), keepLast)
+    Nil
+  }
+}
+
+/** Delegating parser: exactly the two maintenance statements are
+  * intercepted (whole-statement anchored match); everything else —
+  * including parse errors — is Spark's own parser verbatim. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftMaintenance.intercept(sqlText)
+      .getOrElse(delegate.parsePlan(sqlText))
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+}

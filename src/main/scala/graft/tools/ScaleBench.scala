@@ -278,7 +278,10 @@ object ScaleBench {
       // r11 second wave: t13 is the t10 grid + one more window pass;
       // c13 writes the layout (~f) then folds diffs of only the
       // churned files per version (~f churn by construction)
-      "t13_interp", "c13_view_maintain")
+      "t13_interp", "c13_view_maintain",
+      // f25/f26: layout write (~f) + bin rewrites (~f small files) /
+      // + the expiry-and-sweep listing (~f files)
+      "f25_sql_optimize", "f26_sql_vacuum")
       // x18/x19 are NOT here for x12's reason (salting renames their
       // literal terms) — the salted cases below measure real phrase/
       // proximity retrieval.

@@ -233,4 +233,71 @@ class GraftDmlSpec extends AnyFunSuite {
       "refused merges must commit nothing")
     chg.unpersist()
   }
+
+  test("SQL OPTIMIZE/VACUUM: layout-only compaction, retention sweep, parser passthrough") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mnt").toString
+    val root = s"$tmp/cat"
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "user_id", "event_type", "value")
+    ev.write.format("graft").option("path", root)
+      .option("partitionBy", "event_type").option("clusterBy", "user_id")
+      .option("files", "16").mode("errorifexists").save()
+    spark.sql("DROP TABLE IF EXISTS mnt_events")
+    spark.sql(s"CREATE TABLE mnt_events USING graft OPTIONS (path '$root')")
+    def files() = FileManifest.loadLatest(spark, root)
+      .partitions.values.map(_.size).sum
+    def agg() = spark.sql("SELECT count(*), sum(event_id), " +
+      "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) FROM mnt_events")
+      .head.toSeq
+
+    // OPTIMIZE: fewer files, identical rows, one atomic version,
+    // pre-OPTIMIZE snapshot still time-travelable
+    val before = files()
+    val aggBefore = agg()
+    spark.sql(s"OPTIMIZE mnt_events TARGET ${ev.count() / 3} ROWS")
+    assert(FileManifest.latestVersion(spark, root).contains(1L))
+    assert(files() < before, s"expected fewer files: $before -> ${files()}")
+    assert(agg() == aggBefore, "OPTIMIZE must be pure layout")
+    spark.sql("DROP TABLE IF EXISTS mnt_events_v0")
+    spark.sql(s"CREATE TABLE mnt_events_v0 USING graft " +
+      s"OPTIONS (path '$root', version '0')")
+    assert(spark.sql("SELECT count(*) FROM mnt_events_v0").head.getLong(0)
+      == ev.count())
+
+    // an already-compact table: OPTIMIZE commits nothing
+    spark.sql(s"OPTIMIZE mnt_events TARGET ${ev.count() / 3} ROWS")
+    assert(FileManifest.latestVersion(spark, root).contains(1L),
+      "a no-op OPTIMIZE must not commit a version")
+
+    // VACUUM: v0's superseded files leave the disk, the table reads on,
+    // the expired version is no longer reachable
+    val v0Only = FileManifest.loadVersion(spark, root, 0L)
+      .partitions.values.flatten.map(_.path).toSet --
+      FileManifest.loadVersion(spark, root, 1L)
+        .partitions.values.flatten.map(_.path).toSet
+    assert(v0Only.nonEmpty)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.sql("VACUUM mnt_events RETAIN 1 VERSIONS")
+    assert(v0Only.forall(p =>
+      !fs.exists(new org.apache.hadoop.fs.Path(p))),
+      "VACUUM must sweep files only the expired version referenced")
+    assert(agg() == aggBefore, "VACUUM must never change the live table")
+    val gone = intercept[Throwable] {
+      spark.sql("DROP TABLE IF EXISTS mnt_gone")
+      spark.sql(s"CREATE TABLE mnt_gone USING graft " +
+        s"OPTIONS (path '$root', version '0')")
+      spark.sql("SELECT count(*) FROM mnt_gone").head
+    }
+    assert(gone != null, "the expired version must be unreachable")
+
+    // the injected parser delegates everything else untouched
+    assert(spark.sql("SELECT 1 + 1").head.getInt(0) == 2)
+    intercept[Throwable] { spark.sql("SELECTT 1") }
+    val ng = intercept[Throwable] {
+      spark.sql("OPTIMIZE mrg_src_events")
+    }
+    assert(messages(ng).exists(_.contains("not a graft table")) ||
+      messages(ng).exists(_.contains("graft")), s"got ${messages(ng)}")
+  }
 }
