@@ -871,6 +871,15 @@ object SparkEntry {
       Graph.labelPropagation(triangleEdges(T(s, dir, "lineitem")),
           "src", "dst", rounds = 3)
         .orderBy("node")),
+    // Louvain-style communities (r11): synchronous modularity-GAIN
+    // label updates (exact ×2m²-scaled integer gains, ties to the
+    // smallest label) under the parity gate that breaks synchronous
+    // oscillation — the quality-driven rung above g8's frequency
+    // voting; g12 scores the result
+    "g19_louvain" -> ((s, dir) =>
+      Graph.louvain(triangleEdges(T(s, dir, "lineitem")),
+          "src", "dst", rounds = 4)
+        .orderBy("node")),
     // STRONGLY CONNECTED COMPONENTS by FW-BW block refinement (r9):
     // within-block forward/backward min-propagation run TO A CHECKED
     // FIXED POINT under loud caps (a truncated min would silently
@@ -3817,6 +3826,8 @@ object SparkEntry {
         conserveDangling = true),
     "g8_label_prop" ->
       operators.Graph.labelPropOracleSql(triangleEdgesSql, rounds = 3),
+    "g19_louvain" ->
+      operators.Graph.louvainOracleSql(triangleEdgesSql, rounds = 4),
     // g9: the engine's caps unroll verbatim — rounds past the checked
     // convergence are no-ops, so the chains agree bit for bit
     "g9_scc" ->

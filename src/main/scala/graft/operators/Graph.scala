@@ -575,6 +575,141 @@ object Graph {
     labels
   }
 
+  /** LOUVAIN-STYLE community detection, one level — synchronous
+    * MODULARITY-GAIN label updates under a PARITY GATE (the
+    * scalable half of Louvain: local moves; the graph-coarsening
+    * recursion is a driver loop over this primitive when needed).
+    *
+    * Per round, every gated node evaluates joining each NEIGHBOR
+    * community vs staying, by the exact-integer-scaled Louvain gain
+    * (×2m², so comparisons never touch a float): joining C scores
+    * 2m·l_iC − k_i·tot(C); staying scores 2m·l_i,cur − k_i·(tot(cur)
+    * − k_i) — the node removed from its own community first, the
+    * standard ΔQ. Argmax, ties to the smallest label (the g-family
+    * determinism discipline — vanilla Louvain's visit-order
+    * dependence replaced by a replayable rule).
+    *
+    * The parity gate (round r moves only nodes with node%2 == r%2) is
+    * the deterministic two-coloring parallel Louvain uses to break
+    * synchronous oscillation: two adjacent nodes can never swap INTO
+    * each other's communities in one round. On a barbell (two
+    * triangles + a bridge) the ungated synchronous update flips a
+    * node pair forever; gated, it converges to the two triangles in
+    * 3 rounds (spec-pinned).
+    *
+    * Cost per round: one node-keyed agg for community degree totals,
+    * the label-prop neighbor join over |E| (on the cached
+    * pre-partitioned layout), and one argmax — all equi-joins/aggs,
+    * no windows over edges. Integer range: gains fit signed 64-bit
+    * while 2m·max(l_iC, tot) < 2⁶³ — beyond ~4·10¹⁸ edge-degree
+    * products, rescale to a wider decimal (loud overflow under ANSI).
+    *
+    * @return (node, label) — the community assignment after
+    *         `rounds` gated rounds. */
+  def louvain(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    val und = normalize(edges, srcCol, dstCol)
+      .where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = und.count() // one scalar; also materializes the cache
+    val ue = und.select(col("a").as("src"), col("b").as("dst"))
+      .union(und.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(shuffleParts(edges), col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = ue.groupBy(col("src").as("node")).agg(count(lit(1)).as("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = deg.select(col("node"), col("node").as("label"))
+      .transform(ckpt)
+    for (r <- 1 to rounds) {
+      val gate = lit(r % 2)
+      val tot = labels.join(deg, "node")
+        .groupBy("label").agg(sum("k").as("tot"))
+      // neighbor-community edge counts for the gated nodes
+      val nc = ue.join(labels, ue("src") === labels("node"))
+        .where(ue("dst") % 2 === gate)
+        .groupBy(ue("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("l_ic"))
+      // the node's CURRENT community is always a candidate (l_ic = 0
+      // when no neighbor shares it)
+      val curCand = labels.where(col("node") % 2 === gate)
+        .join(nc, Seq("node", "label"), "left")
+        .select(col("node"), col("label"),
+          coalesce(col("l_ic"), lit(0L)).as("l_ic"))
+      val cand = nc.select("node", "label", "l_ic")
+        .union(curCand).distinct()
+      val gains = cand
+        .join(deg, "node")
+        .join(tot, "label")
+        .join(labels.select(col("node"), col("label").as("__cur")), "node")
+        .select(col("node"), col("label"),
+          (lit(2L * m) * col("l_ic") - col("k") *
+            (col("tot") - when(col("label") === col("__cur"), col("k"))
+              .otherwise(lit(0L)))).as("gain"))
+      val best = gains.groupBy("node")
+        .agg(max(struct(col("gain"), (-col("label")).as("nl"))).as("mx"))
+        .select(col("node"), (-col("mx.nl")).as("blabel"))
+      labels = labels.join(best, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("blabel"), col("label")).as("label"))
+        .transform(ckpt)
+    }
+    und.unpersist(); ue.unpersist(); deg.unpersist()
+    labels
+  }
+
+  /** DuckDB mirror of [[louvain]]: the gated gain rounds unrolled —
+    * same integer scaling, same (gain DESC, label ASC) argmax. */
+  def louvainOracleSql(edgesSql: String, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH e0 AS ($edgesSql),\n")
+    sb.append("u AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, " +
+      "greatest(src, dst) AS b FROM e0 WHERE src <> dst),\n")
+    sb.append("ue AS MATERIALIZED (SELECT a AS src, b AS dst FROM u " +
+      "UNION ALL SELECT b, a FROM u),\n")
+    // every l{i} is referenced five times by round i+1 — without
+    // MATERIALIZED an inlining engine recomputes the whole prefix
+    // chain per reference (5^rounds blowup); with it each round is
+    // computed once, exactly like the Spark side's ckpt
+    sb.append("deg AS MATERIALIZED (SELECT src AS node, count(*) AS k " +
+      "FROM ue GROUP BY 1),\n")
+    sb.append("mm AS MATERIALIZED (SELECT count(*) AS m FROM u),\n")
+    sb.append("l0 AS MATERIALIZED (SELECT node, node AS label FROM deg)")
+    for (i <- 1 to rounds) {
+      val g = i % 2
+      sb.append(s""",
+        |tot$i AS MATERIALIZED (SELECT l.label, sum(d.k) AS tot
+        |  FROM l${i - 1} l JOIN deg d USING (node) GROUP BY 1),
+        |nc$i AS MATERIALIZED (SELECT e.dst AS node, l.label,
+        |    count(*) AS l_ic
+        |  FROM ue e JOIN l${i - 1} l ON l.node = e.src
+        |  WHERE e.dst % 2 = $g GROUP BY 1, 2),
+        |cand$i AS MATERIALIZED (SELECT node, label, l_ic FROM nc$i
+        |  UNION
+        |  SELECT l.node, l.label, coalesce(n.l_ic, 0)
+        |  FROM l${i - 1} l LEFT JOIN nc$i n
+        |    ON n.node = l.node AND n.label = l.label
+        |  WHERE l.node % 2 = $g),
+        |g$i AS (SELECT c.node, c.label,
+        |    2 * mm.m * c.l_ic - d.k * (t.tot -
+        |      CASE WHEN c.label = l.label THEN d.k ELSE 0 END) AS gain
+        |  FROM cand$i c JOIN deg d ON d.node = c.node
+        |    JOIN tot$i t ON t.label = c.label
+        |    JOIN l${i - 1} l ON l.node = c.node CROSS JOIN mm),
+        |b$i AS (SELECT node, label FROM (
+        |  SELECT node, label, row_number() OVER (PARTITION BY node
+        |    ORDER BY gain DESC, label ASC) AS r FROM g$i) WHERE r = 1),
+        |l$i AS MATERIALIZED (SELECT l.node,
+        |    coalesce(b.label, l.label) AS label
+        |  FROM l${i - 1} l LEFT JOIN b$i b USING (node))""".stripMargin)
+    }
+    sb.append(s"\nSELECT node, label FROM l$rounds ORDER BY node")
+    sb.toString
+  }
+
   /** NEWMAN MODULARITY of a community assignment over the undirected
     * simple graph of `edges` — the quality functional community
     * detection optimizes, computed here as a first-class QUERY so a
@@ -877,7 +1012,8 @@ object Graph {
         |b$i AS (SELECT node, label FROM (
         |  SELECT node, label, row_number() OVER (PARTITION BY node
         |    ORDER BY c DESC, label ASC) AS r FROM c$i) WHERE r = 1),
-        |l$i AS (SELECT l.node, coalesce(b.label, l.label) AS label
+        |l$i AS MATERIALIZED (SELECT l.node,
+        |    coalesce(b.label, l.label) AS label
         |  FROM l${i - 1} l LEFT JOIN b$i b USING (node))""".stripMargin)
     }
     sb.append(s"\nSELECT node, label FROM l$rounds ORDER BY node")

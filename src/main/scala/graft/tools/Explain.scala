@@ -58,7 +58,14 @@ object Explain {
     "t11_ohlc", "p10_kanon", "f20_bloom_skip", "c10_stream_read",
     "c11_medallion", "d21_canonical", "s32_knn_classify",
     "m7_vad_segments", "t12_asof_stream", "g17_pagerank_warm",
-    "f21_string_prune", "p11_skew_audit")
+    "f21_string_prune", "p11_skew_audit",
+    // r11 wave: the SQL DML trio + maintenance pair, the CDC change
+    // feed, biased walks, graph refresh, interp resample, and the
+    // retraction-fold aggregate maintenance
+    "f22_sql_delete", "f23_sql_update", "f24_sql_merge",
+    "f25_sql_optimize", "f26_sql_vacuum", "c12_change_feed",
+    "c13_view_maintain", "g18_node2vec_walks", "s33_graph_refresh",
+    "t13_interp", "g19_louvain")
 
   /** Cost notes rendered under a query's plan — state the structural
     * story the plan tree alone can't show. */

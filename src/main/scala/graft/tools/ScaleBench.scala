@@ -281,7 +281,10 @@ object ScaleBench {
       "t13_interp", "c13_view_maintain",
       // f25/f26: layout write (~f) + bin rewrites (~f small files) /
       // + the expiry-and-sweep listing (~f files)
-      "f25_sql_optimize", "f26_sql_vacuum")
+      "f25_sql_optimize", "f26_sql_vacuum",
+      // g19: per round, the g8 neighbor join over ~f edges of the
+      // fixed-node densifying graph + one node-keyed tot agg
+      "g19_louvain")
       // x18/x19 are NOT here for x12's reason (salting renames their
       // literal terms) — the salted cases below measure real phrase/
       // proximity retrieval.

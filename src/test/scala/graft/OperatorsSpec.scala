@@ -2336,6 +2336,31 @@ class OperatorsSpec extends AnyFunSuite {
       m(Graph.labelPropagation(edges, "s", "d", rounds = 10)))
   }
 
+  test("louvain: barbell resolves to its two triangles under the parity gate") {
+    // two triangles bridged by 3-4: the UNGATED synchronous update
+    // oscillates a node pair forever on this graph (hand-traced); the
+    // parity gate converges it in 3 rounds to exactly the triangles
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("s", "d")
+    val got = Graph.louvain(edges, "s", "d", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand-traced gated rounds: r1 odd nodes (1→2, 3→1, 5→6), r2 even
+    // (4→6), r3 odd (3→2) — every exact-integer gain checked by hand
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L,
+      4L -> 6L, 5L -> 6L, 6L -> 6L), s"got $got")
+    // the assignment beats singletons on the exact modularity score
+    def q(labels: org.apache.spark.sql.DataFrame): Double = {
+      val r = Graph.modularity(edges, "s", "d", labels)
+        .agg(sum(col("q_num").cast("double") / col("q_den"))).head
+      r.getDouble(0)
+    }
+    val singles = Seq(1L, 2L, 3L, 4L, 5L, 6L)
+      .toDF("node").withColumn("label", col("node"))
+    val louvainQ = q(Graph.louvain(edges, "s", "d", rounds = 3))
+    assert(louvainQ > q(singles),
+      s"louvain must improve modularity over singletons ($louvainQ)")
+  }
+
   test("harmonic centrality: keyed bfs == per-root bfs, floor-div sums exact") {
     import spark.implicits._
     // 0→1→2→3 chain plus a second root 4→1; depth cap binds at 3
