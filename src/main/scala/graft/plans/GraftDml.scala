@@ -281,12 +281,42 @@ object GraftDml extends PredicateHelper {
       }
       case _ => Nil
     }
+    val conjuncts = splitConjunctivePredicates(m.mergeCondition)
+    // a key-column UPDATE assignment is allowed iff the ON clause PINS
+    // it — a conjunct `t.<col> = <expr>` whose <expr> is semantically
+    // the assigned value makes the assignment a provable identity on
+    // matched rows, so it drops out of the rewrite (this is what lets
+    // `UPDATE SET *` work through an ON clause keyed on the partition
+    // and clustering columns); anything else refuses
+    def stripCast(e: Expression): Expression = e match {
+      case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+        stripCast(c.child)
+      case other => other
+    }
+    def pinnedByOn(name: String, v: Expression): Boolean =
+      conjuncts.exists {
+        case EqualTo(l: AttributeReference, r)
+            if tIds(l.exprId) && l.name == name =>
+          stripCast(r).semanticEquals(stripCast(v))
+        case EqualTo(r, l: AttributeReference)
+            if tIds(l.exprId) && l.name == name =>
+          stripCast(r).semanticEquals(stripCast(v))
+        case _ => false
+      }
+    /** Update assignments with pinned-identity key assignments
+      * dropped; what remains on a key column refuses. */
+    def updateAssignments(u: UpdateAction): Seq[(String, Expression)] =
+      assignmentsOf(u).filterNot { case (name, v) =>
+        (name == partCol || name == clusterCol) && pinnedByOn(name, v)
+      }
     (m.matchedActions ++ m.notMatchedBySourceActions).foreach {
-      case u: UpdateAction => assignmentsOf(u).foreach { case (name, _) =>
+      case u: UpdateAction => updateAssignments(u).foreach { case (name, _) =>
         require(name != partCol && name != clusterCol,
           s"MERGE UPDATE of the ${if (name == partCol) "partition"
             else "clustering"} column `$name` is not supported — rewritten " +
-            "rows could leave their directory/file key range")
+            "rows could leave their directory/file key range (an ON-clause " +
+            s"conjunct `t.$name = <the assigned expr>` would make it a " +
+            "provable identity and allow it)")
       }
       case _: DeleteAction => ()
       case a => sys.error(s"unsupported WHEN MATCHED action: $a")
@@ -323,7 +353,6 @@ object GraftDml extends PredicateHelper {
       .withColumn("__m", lit(true)) // match marker survives outer joins
 
     // 1. PRUNE (disabled whenever unmatched target rows are in play)
-    val conjuncts = splitConjunctivePredicates(m.mergeCondition)
     val candidates: Seq[String] =
       if (m.notMatchedBySourceActions.nonEmpty)
         pm.partitions.toSeq.sortBy(_._1).flatMap(_._2.map(_.path))
@@ -488,7 +517,7 @@ object GraftDml extends PredicateHelper {
               else m.matchedActions.zipWithIndex.foldLeft(
                 Option.empty[Column]) { case (acc, (a, i2)) => a match {
                   case u: UpdateAction =>
-                    assignmentsOf(u).find(_._1 == c).map { case (_, v) =>
+                    updateAssignments(u).find(_._1 == c).map { case (_, v) =>
                       val w = col("__ma") === i2
                       Some(acc.fold(when(w, q(v)))(_.when(w, q(v))))
                     }.getOrElse(acc)
@@ -497,7 +526,7 @@ object GraftDml extends PredicateHelper {
             val both = m.notMatchedBySourceActions.zipWithIndex.foldLeft(
               mUpd) { case (acc, (a, i2)) => a match {
                 case u: UpdateAction =>
-                  assignmentsOf(u).find(_._1 == c).map { case (_, v) =>
+                  updateAssignments(u).find(_._1 == c).map { case (_, v) =>
                     val w = col("__na") === i2
                     Some(acc.fold(when(w, q(v)))(_.when(w, q(v))))
                   }.getOrElse(acc)

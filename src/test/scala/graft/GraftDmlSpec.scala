@@ -215,10 +215,12 @@ class GraftDmlSpec extends AnyFunSuite {
     }
     assert(messages(card).exists(_.contains("cardinality")),
       s"duplicate-key source must refuse: ${messages(card)}")
+    // `SET event_id = s.k` under `ON t.event_id = s.k` is a PINNED
+    // identity (allowed, drops out); shifting it is a real key move
     val kc = intercept[Throwable] {
       spark.sql("""MERGE INTO mrg_events t USING mrg_chg s
         ON t.event_id = s.k
-        WHEN MATCHED THEN UPDATE SET event_id = s.k""")
+        WHEN MATCHED THEN UPDATE SET event_id = s.k + 1""")
     }
     assert(messages(kc).exists(_.contains("clustering")),
       s"clustering-column MERGE update must refuse: ${messages(kc)}")
@@ -232,6 +234,64 @@ class GraftDmlSpec extends AnyFunSuite {
     assert(FileManifest.latestVersion(spark, root).contains(vNow),
       "refused merges must commit nothing")
     chg.unpersist()
+  }
+
+  test("SQL MERGE star actions: UPDATE SET * / INSERT * with a name-aligned source") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-star").toString
+    val root = s"$tmp/cat"
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "user_id", "event_type", "value")
+    ev.write.format("graft").option("path", root)
+      .option("partitionBy", "event_type").option("clusterBy", "event_id")
+      .option("files", "8").mode("errorifexists").save()
+    spark.sql("DROP TABLE IF EXISTS star_events")
+    spark.sql(s"CREATE TABLE star_events USING graft OPTIONS (path '$root')")
+    ev.createOrReplaceTempView("star_src")
+    // star expansion requires source columns named like the target;
+    // the changeset keeps names and flips values/ids deterministically
+    spark.sql("""CREATE OR REPLACE TEMP VIEW star_chg AS
+      SELECT event_id, user_id, event_type, value * 5 + 2 AS value
+      FROM star_src WHERE user_id BETWEEN 4 AND 6
+      UNION ALL
+      SELECT event_id + 300000000 AS event_id, user_id, event_type,
+             value + 0.25 AS value
+      FROM star_src WHERE user_id = 11""")
+    // the ON clause pins BOTH key columns, so the star expansion's
+    // event_id/event_type assignments are provable identities and
+    // drop out of the rewrite
+    spark.sql("""MERGE INTO star_events t USING star_chg s
+      ON t.event_id = s.event_id AND t.event_type = s.event_type
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(FileManifest.latestVersion(spark, root).contains(1L))
+    val chg = spark.table("star_chg")
+    val expected = ev.as("e")
+      .join(chg.where(col("event_id") < 300000000L)
+        .select(col("event_id").as("k"), col("value").as("nv")).as("c"),
+        col("e.event_id") === col("c.k"), "left_outer")
+      .select(col("e.event_id"),
+        when(col("c.k").isNotNull, col("c.nv")).otherwise(col("e.value"))
+          .as("value"))
+      .unionByName(chg.where(col("event_id") >= 300000000L)
+        .select(col("event_id"), col("value")))
+    val got = spark.sql("SELECT count(*) AS n, sum(event_id) AS s, " +
+      "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v " +
+      "FROM star_events").head
+    val want = expected.agg(count(lit(1)), sum("event_id"),
+      sum(col("value").cast("decimal(18,2)")).cast("double")).head
+    assert(got.getLong(0) == want.getLong(0), "star row-count parity")
+    assert(got.getLong(1) == want.getLong(1), "star id-sum parity")
+    assert(math.abs(got.getDouble(2) - want.getDouble(2)) < 1e-6,
+      "star value-sum parity")
+    // a star update whose ON clause does NOT pin the partition column
+    // cannot prove the assignment is an identity — it must refuse
+    val kc = intercept[Throwable] {
+      spark.sql("""MERGE INTO star_events t USING star_chg s
+        ON t.event_id = s.event_id
+        WHEN MATCHED THEN UPDATE SET *""")
+    }
+    assert(messages(kc).exists(_.contains("partition")),
+      s"unpinned star partition assignment must refuse: ${messages(kc)}")
   }
 
   test("SQL OPTIMIZE/VACUUM: layout-only compaction, retention sweep, parser passthrough") {
