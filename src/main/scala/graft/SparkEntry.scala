@@ -2405,11 +2405,17 @@ object SparkEntry {
       val idx = s"$tmp/idx"
       freshDir(s, idx) // append+refresh mutate: rebuild per run
       val emb = T(s, dir, "embeddings")
+      // capacity floors at 75 (the verify SFs keep their exact cell
+      // layout) and derives from the corpus above that — with 25%
+      // slack so the append phase has cell headroom — letting the
+      // entry scale with replicated ScaleBench dirs; the full-probe
+      // serve makes the RESULT capacity-independent either way
+      val cap = math.max(75L, math.ceil(emb.count() * 1.25 / 8.0).toLong)
       graft.sources.VectorIndex.build(emb, "vec_id", "embedding", idx,
-        clusters = 8, iterations = 2, capacity = 75, maxRounds = 6)
+        clusters = 8, iterations = 2, capacity = cap, maxRounds = 6)
       graft.sources.VectorIndex.buildKnnGraph(s, idx, k = 8, rounds = 1)
       val shifted = emb.where(col("vec_id") < 50)
-        .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+        .select((col("vec_id") + 1000000000L).as("vec_id"), col("embedding"))
       graft.sources.VectorIndex.append(shifted, "vec_id", "embedding", idx)
       graft.sources.VectorIndex.nnDescentAppend(s, idx,
         shifted.select("vec_id"), k = 8, rounds = 1)
@@ -4338,7 +4344,7 @@ object SparkEntry {
       """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings),
         |corpus AS (SELECT vec_id, v FROM e0
-        |  UNION ALL SELECT vec_id + 1000, v FROM e0 WHERE vec_id < 50),
+        |  UNION ALL SELECT vec_id + 1000000000, v FROM e0 WHERE vec_id < 50),
         |en AS (SELECT vec_id, list_transform(v,
         |    x -> CAST(floor(x * 1024) AS BIGINT)) AS q FROM corpus),
         |en2 AS (SELECT vec_id, q,
