@@ -1960,6 +1960,43 @@ object SparkEntry {
       s.table("c12_sink")
         .orderBy("_graft_version", "_change_type", "event_id")
     }),
+    // BATCH CDC through SQL (r11, `table_changes('t', from[, to])` —
+    // plans/GraftTimeTravel.scala, a real table-valued function via
+    // injectTableFunction): where c12 tails the WHOLE history as a
+    // stream, an incremental batch consumer folds exactly the
+    // committed version SUB-RANGE it hasn't seen — here [1, 2]: the
+    // CoW UPDATE's old/new images as D/I (rows the rewrite carried
+    // bit-identical cancel in the f9 file diff) and the append's rows
+    // as I; the base version is NOT re-read. The chain is immutable,
+    // so the same range always returns the same rows — the consumer
+    // checkpoints nothing but the last version it folded. IO is
+    // O(files churned by the range), never the table
+    "c14_table_changes" -> ((s, dir) => {
+      val tmp = layoutDir("c14", dir)
+      val root = s"$tmp/cat"
+      freshDir(s, root)
+      val ev = T(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      def save(slice: org.apache.spark.sql.DataFrame, mode: String): Unit =
+        slice.write.format("graft").option("path", root)
+          .option("partitionBy", "event_type").option("clusterBy", "user_id")
+          .option("files", "6").mode(mode).save()
+      save(ev, "overwrite") // v0 (create)
+      s.sql("DROP TABLE IF EXISTS c14_events")
+      s.sql(s"CREATE TABLE c14_events USING graft OPTIONS (path '$root')")
+      s.sql("UPDATE c14_events SET value = value + 500 " + // v1: CoW rewrite
+        "WHERE event_type = 'click' AND user_id BETWEEN 3 AND 8")
+      require(FileManifest.latestVersion(s, root).contains(1L),
+        "the UPDATE must have committed exactly one new version")
+      val mx = ev.agg(max("event_id")).head.getLong(0)
+      save(ev.where(col("user_id") < 5) // v2: plain append
+        .select((col("event_id") + mx + 1).as("event_id"), col("user_id"),
+          col("event_type"), col("value")), "append")
+      s.sql("""SELECT event_id, user_id, event_type, value,
+        |  _graft_version, _change_type
+        |FROM table_changes('c14_events', 1, 2)
+        |ORDER BY _graft_version, _change_type, event_id""".stripMargin)
+    }),
     "c7_changelog_refresh" -> ((s, dir) => {
       val tmp = layoutDir("c7", dir)
       val docs = T(s, dir, "documents")
@@ -3035,6 +3072,104 @@ object SparkEntry {
         |  sum(event_id) AS sum_ids
         |FROM f26_events
         |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
+    // SQL TIME TRAVEL through the front door (plans/GraftTimeTravel
+    // .scala) — `VERSION AS OF` on a graft table: Spark parses the
+    // temporal clause but its analyzer supports it only for DSv2
+    // catalogs (v1 throws UNSUPPORTED_FEATURE.TIME_TRAVEL during
+    // resolution, before any injected rule runs), so the injected
+    // parser rewrites the RelationTimeTravel node into the graft
+    // relation pinned at that version (the loadVersion surface;
+    // TIMESTAMP AS OF rides the same seam via loadAsOf). The entry
+    // reads the SAME table at v0 and at head IN ONE STATEMENT after a
+    // CoW DELETE — the pre-DML snapshot must serve bit-identically
+    "f27_sql_time_travel" -> ((s, dir) => {
+      val tmp = layoutDir("f27", dir)
+      val root = s"$tmp/cat"
+      freshDir(s, root)
+      val ev = T(s, dir, "events")
+      ev.write.format("graft")
+        .option("path", root).option("partitionBy", "event_type")
+        .option("clusterBy", "user_id").option("files", "12")
+        .mode("overwrite").save()
+      s.sql("DROP TABLE IF EXISTS f27_events")
+      s.sql(s"CREATE TABLE f27_events USING graft OPTIONS (path '$root')")
+      s.sql("DELETE FROM f27_events WHERE event_type = 'purchase' " +
+        "AND user_id BETWEEN 10 AND 40")
+      require(FileManifest.latestVersion(s, root).contains(1L),
+        "the DELETE must have committed exactly one new version")
+      s.sql("""SELECT snap, event_type, n_events, total_value, sum_ids
+        |FROM (
+        |  SELECT 'v0' AS snap, event_type, count(*) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS total_value,
+        |    sum(event_id) AS sum_ids
+        |  FROM f27_events VERSION AS OF 0 GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'head', event_type, count(*),
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE),
+        |    sum(event_id)
+        |  FROM f27_events GROUP BY event_type)
+        |ORDER BY snap, event_type""".stripMargin)
+    }),
+    // CTAS through the front door — `CREATE TABLE … USING graft
+    // OPTIONS (…) AS SELECT …`: Spark's v1 CTAS command drives the
+    // same CreatableRelationProvider the DataFrame writer uses, so
+    // table-creation-from-query needs no new machinery — the query
+    // result lands as catalog version 0 (partitioned, cluster-sorted,
+    // footer-stat'ed) and the new table serves the same pruned scans
+    "f28_sql_ctas" -> ((s, dir) => {
+      val tmp = layoutDir("f28", dir)
+      val root = s"$tmp/cat"
+      freshDir(s, root)
+      T(s, dir, "events").createOrReplaceTempView("f28_src_events")
+      s.sql("DROP TABLE IF EXISTS f28_events")
+      s.sql(s"""CREATE TABLE f28_events USING graft
+        |OPTIONS (path '$root', partitionBy 'event_type',
+        |  clusterBy 'user_id', files '8')
+        |AS SELECT event_id, user_id, event_type, value
+        |FROM f28_src_events WHERE user_id % 3 != 1""".stripMargin)
+      require(FileManifest.latestVersion(s, root).contains(0L),
+        "CTAS must land as catalog version 0")
+      s.sql("""SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value,
+        |  sum(event_id) AS sum_ids
+        |FROM f28_events
+        |WHERE user_id BETWEEN 2 AND 150
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
+    // DESCRIBE HISTORY through the front door — the retained version
+    // chain as rows, computed from the committed manifests ONLY (no
+    // data IO): live rows per version plus row churn vs predecessor,
+    // `appended` flagging versions a plain tail (c10) can cross. The
+    // history is fully derivable: files '1' makes the CoW DELETE
+    // partition-granular (a touched partition's whole single file
+    // retires, its survivors rewrite), so DuckDB re-derives every
+    // churn count from the predicates alone
+    "f29_sql_history" -> ((s, dir) => {
+      val tmp = layoutDir("f29", dir)
+      val root = s"$tmp/cat"
+      freshDir(s, root)
+      val ev = T(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      def save(df: org.apache.spark.sql.DataFrame, mode: String): Unit =
+        df.write.format("graft").option("path", root)
+          .option("partitionBy", "event_type")
+          .option("clusterBy", "user_id").option("files", "1")
+          .mode(mode).save()
+      save(ev, "overwrite") // v0: one file per partition
+      s.sql("DROP TABLE IF EXISTS f29_events")
+      s.sql(s"CREATE TABLE f29_events USING graft OPTIONS (path '$root')")
+      s.sql("DELETE FROM f29_events WHERE user_id % 7 = 3") // v1: CoW
+      val mx = ev.agg(max("event_id")).head.getLong(0)
+      save(ev.where(col("user_id") < 4)
+        .select((col("event_id") + mx + 1).as("event_id"), col("user_id"),
+          col("event_type"), col("value")), "append") // v2: append
+      s.sql("DESCRIBE HISTORY f29_events")
+        .select("version", "n_rows", "rows_added", "rows_removed",
+          "appended")
+        .orderBy("version")
     }),
     // SQL MERGE INTO through the front door (plans/GraftDml.scala) —
     // the DML trio's last member: one changeset carrying updates,
@@ -5621,6 +5756,68 @@ object SparkEntry {
         |FROM events
         |WHERE NOT COALESCE(user_id BETWEEN 3 AND 9 AND value > 5, FALSE)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // f27: the v0 snapshot is the WHOLE relation, the head is the
+    // post-DELETE filter — one statement, two versions of one table
+    "f27_sql_time_travel" ->
+      """SELECT snap, event_type, n_events, total_value, sum_ids FROM (
+        |  SELECT 'v0' AS snap, event_type,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS total_value,
+        |    CAST(sum(event_id) AS BIGINT) AS sum_ids
+        |  FROM events GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'head', event_type, CAST(count(*) AS BIGINT),
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE),
+        |    CAST(sum(event_id) AS BIGINT)
+        |  FROM events
+        |  WHERE NOT COALESCE(event_type = 'purchase'
+        |    AND user_id BETWEEN 10 AND 40, FALSE)
+        |  GROUP BY event_type)
+        |ORDER BY snap, event_type""".stripMargin,
+    // f28: CTAS == the defining query; the read-back filter proves
+    // the created table serves exactly the query result
+    "f28_sql_ctas" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_ids
+        |FROM events
+        |WHERE user_id % 3 <> 1 AND user_id BETWEEN 2 AND 150
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // f29: with files '1' the CoW delete is partition-granular —
+    // a touched partition (any matching row) retires its whole single
+    // file (rows_removed = its full count) and rewrites its survivors
+    // (rows_added); the append adds its slice; every count re-derives
+    // from the predicates alone
+    "f29_sql_history" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, event_type, value FROM events),
+        |tp AS (SELECT DISTINCT event_type FROM base WHERE user_id % 7 = 3),
+        |pc AS (SELECT event_type, count(*) AS n FROM base GROUP BY 1),
+        |surv AS (SELECT event_type, count(*) AS n FROM base
+        |  WHERE user_id % 7 <> 3 GROUP BY 1),
+        |n0 AS (SELECT count(*) AS n FROM base),
+        |ndel AS (SELECT count(*) AS n FROM base WHERE user_id % 7 = 3),
+        |app AS (SELECT count(*) AS n FROM base WHERE user_id < 4)
+        |SELECT CAST(0 AS BIGINT) AS version,
+        |  CAST((SELECT n FROM n0) AS BIGINT) AS n_rows,
+        |  CAST((SELECT n FROM n0) AS BIGINT) AS rows_added,
+        |  CAST(0 AS BIGINT) AS rows_removed, TRUE AS appended
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT),
+        |  CAST((SELECT n FROM n0) - (SELECT n FROM ndel) AS BIGINT),
+        |  CAST((SELECT COALESCE(sum(surv.n), 0) FROM surv
+        |    JOIN tp USING (event_type)) AS BIGINT),
+        |  CAST((SELECT COALESCE(sum(pc.n), 0) FROM pc
+        |    JOIN tp USING (event_type)) AS BIGINT),
+        |  FALSE
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT),
+        |  CAST((SELECT n FROM n0) - (SELECT n FROM ndel)
+        |    + (SELECT n FROM app) AS BIGINT),
+        |  CAST((SELECT n FROM app) AS BIGINT), CAST(0 AS BIGINT), TRUE
+        |ORDER BY version""".stripMargin,
     // f24: MERGE == left join (matched update/delete) + anti join
     // (inserts) over the same deterministic changeset; the n_events
     // CAST matches Spark's count, value sums ride DECIMAL(18,2)
@@ -5754,6 +5951,26 @@ object SparkEntry {
         |UNION ALL
         |SELECT event_id + m + 1, user_id, event_type, value,
         |  CAST(2 AS BIGINT), 'I' FROM base, mx WHERE user_id < 3
+        |ORDER BY _graft_version, _change_type, event_id""".stripMargin,
+    // c14: the [1, 2] sub-range only — the update's old/new images as
+    // D/I (carried rows cancel) and the appended rows as I; the base
+    // version is absent by construction
+    "c14_table_changes" ->
+      """WITH base AS (SELECT event_id, user_id, event_type, value
+        |  FROM events),
+        |upd AS (SELECT * FROM base
+        |  WHERE COALESCE(event_type = 'click'
+        |    AND user_id BETWEEN 3 AND 8, FALSE)),
+        |mx AS (SELECT max(event_id) AS m FROM base)
+        |SELECT event_id, user_id, event_type, value,
+        |  CAST(1 AS BIGINT) AS _graft_version, 'D' AS _change_type
+        |FROM upd
+        |UNION ALL
+        |SELECT event_id, user_id, event_type, value + 500,
+        |  CAST(1 AS BIGINT), 'I' FROM upd
+        |UNION ALL
+        |SELECT event_id + m + 1, user_id, event_type, value,
+        |  CAST(2 AS BIGINT), 'I' FROM base, mx WHERE user_id < 5
         |ORDER BY _graft_version, _change_type, event_id""".stripMargin,
     "c9_wap_stream" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,

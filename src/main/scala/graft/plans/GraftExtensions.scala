@@ -26,8 +26,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL DELETE/UPDATE/MERGE on graft tables: replace the resolved
     // node with the CoW command before planning refuses v1 DML
     ext.injectPostHocResolutionRule(session => GraftDmlRule(session))
-    // OPTIMIZE / VACUUM — maintenance statements Spark's grammar lacks;
-    // everything else delegates to the session parser untouched
-    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    // OPTIMIZE / VACUUM / DESCRIBE HISTORY — maintenance statements
+    // Spark's grammar lacks — plus the VERSION AS OF / TIMESTAMP AS OF
+    // rewrite over graft tables; everything else delegates to the
+    // session parser untouched
+    ext.injectParser((session, delegate) =>
+      new GraftSqlParser(session, delegate))
+    // table_changes('t', from[, to]) — the Delta-CDF batch read as a
+    // registered table-valued function
+    ext.injectTableFunction(GraftTimeTravel.tableChangesFunction)
   }
 }

@@ -54,6 +54,8 @@ object GraftMaintenance {
     """(?is)^\s*OPTIMIZE\s+([\w.]+)(?:\s+TARGET\s+(\d+)\s+ROWS)?\s*;?\s*$""".r
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""".r
+  private val HistoryRe =
+    """(?is)^\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*$""".r
 
   private[plans] def intercept(sqlText: String): Option[LogicalPlan] =
     sqlText match {
@@ -63,6 +65,7 @@ object GraftMaintenance {
       case VacuumRe(table, keep) =>
         Some(GraftVacuumCommand(table,
           Option(keep).map(_.toInt).getOrElse(1)))
+      case HistoryRe(table) => Some(GraftHistoryCommand(table))
       case _ => None
     }
 
@@ -146,6 +149,37 @@ object GraftMaintenance {
     v
   }
 
+  /** Per-version audit rows for `DESCRIBE HISTORY t` — computed
+    * entirely from the committed manifests (no data IO): live row and
+    * file counts at each retained version, plus the row/file deltas vs
+    * its predecessor (by file path — files are immutable, so a path
+    * present in both versions carried verbatim). `appended` flags the
+    * versions a plain tail (c10) can cross: nothing removed. Versions
+    * an expiry reclaimed are absent — history shows what time travel
+    * can still reach. Driver work is O(files × retained versions)
+    * manifest entries, the cardinality the catalog already has. */
+  def history(spark: SparkSession, index: ManifestFileIndex)
+      : Seq[(Long, Long, Long, Long, Long, Long, Long, Boolean)] = {
+    val root = index.graftCatalogRoot.getOrElse(sys.error(
+      "DESCRIBE HISTORY requires a catalog-backed graft table"))
+    val versions = FileManifest.versionHistory(spark, root).map(_._1)
+    var prev = Map.empty[String, Long] // path -> rows of the PREVIOUS kept version
+    var first = true
+    versions.map { v =>
+      val pm = FileManifest.loadVersion(spark, root, v)
+      val cur: Map[String, Long] = pm.partitions.valuesIterator.flatten
+        .map(f => f.path -> f.rows).toMap
+      val added = cur.view.filterKeys(!prev.contains(_)).values.sum
+      val removed = prev.view.filterKeys(!cur.contains(_)).values.sum
+      val addedFiles = cur.keysIterator.count(!prev.contains(_))
+      val removedFiles = prev.keysIterator.count(!cur.contains(_))
+      val appended = first || removedFiles == 0L
+      prev = cur; first = false
+      (v, cur.values.sum, cur.size.toLong, added, removed,
+        addedFiles.toLong, removedFiles.toLong, appended)
+    }
+  }
+
   /** Retention + orphan sweep; returns the deleted file paths. */
   def vacuum(spark: SparkSession, index: ManifestFileIndex,
       keepLast: Int): Seq[String] = {
@@ -180,13 +214,45 @@ case class GraftVacuumCommand(table: String, keepLast: Int)
   }
 }
 
-/** Delegating parser: exactly the two maintenance statements are
-  * intercepted (whole-statement anchored match); everything else —
-  * including parse errors — is Spark's own parser verbatim. */
-class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+/** `DESCRIBE HISTORY t` — the retained version chain as rows (the
+  * Delta `DESCRIBE HISTORY` role): per version, live row/file counts
+  * and the row/file churn vs its predecessor, manifest-only work. */
+case class GraftHistoryCommand(table: String)
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.{BooleanType, LongType}
+  override val output
+      : Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("n_rows", LongType, nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)(),
+    AttributeReference("rows_added", LongType, nullable = false)(),
+    AttributeReference("rows_removed", LongType, nullable = false)(),
+    AttributeReference("files_added", LongType, nullable = false)(),
+    AttributeReference("files_removed", LongType, nullable = false)(),
+    AttributeReference("appended", BooleanType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftMaintenance.history(spark,
+      GraftMaintenance.indexOf(spark, table)).map {
+      case (v, rows, files, ra, rr, fa, fr, app) =>
+        Row(v, rows, files, ra, rr, fa, fr, app)
+    }
+}
+
+/** Delegating parser: exactly the three maintenance statements
+  * (OPTIMIZE / VACUUM / DESCRIBE HISTORY) are intercepted
+  * (whole-statement anchored match); everything else — including
+  * parse errors — is Spark's own parser verbatim, followed by the
+  * [[GraftTimeTravel]] rewrite that swaps `VERSION AS OF` /
+  * `TIMESTAMP AS OF` over graft tables for the pinned relation
+  * (Spark's analyzer refuses the temporal clause on v1 tables before
+  * any injected rule could handle it, so the seam is here). */
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
     GraftMaintenance.intercept(sqlText)
-      .getOrElse(delegate.parsePlan(sqlText))
+      .getOrElse(GraftTimeTravel.rewrite(session,
+        delegate.parsePlan(sqlText)))
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =

@@ -290,6 +290,49 @@ final class GraftStreamSource(spark: SparkSession, root: String,
       return org.apache.spark.sql.graftshim.SparkShims
         .asStreamingDataFrame(empty)
     }
+    val batch = GraftStreamSource.changesFrame(spark, root, from, to,
+      schema0, withVersionColumn, changeFeed)
+    org.apache.spark.sql.graftshim.SparkShims.asStreamingDataFrame(batch)
+  }
+
+  override def stop(): Unit = ()
+  override def toString: String = s"GraftStreamSource[$root]"
+}
+
+object GraftStreamSource {
+  /** The table root is the parent of the partition directories —
+    * every data file lives at <root>/<col>=<val>/<file>. */
+  private[sources] def tableRootOf(file: String): String =
+    new Path(file).getParent.getParent.toString
+
+  /** Declared stream schema: the data files' columns plus the
+    * directory-encoded partition column, exactly as a batch read
+    * with the same basePath resolves them. */
+  private[sources] def schemaOf(spark: SparkSession,
+      root: String): StructType = {
+    val pm = FileManifest.loadLatest(spark, root)
+    val sample = pm.partitions.valuesIterator.flatten
+      .map(_.path).toSeq.sorted.headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"empty graft catalog under $root"))
+    spark.read.option("basePath", tableRootOf(sample))
+      .parquet(sample).schema
+  }
+
+  /** The shared version-walk core behind both the streaming source and
+    * the batch [[tableChanges]] read: the committed version range
+    * [from, to] as ONE DataFrame. Per version, an append keeps the
+    * fast path (its added files ARE the rows — zero diff work); a
+    * version that removed/replaced files either refuses (tail mode) or
+    * emits the f9 snapshot diff of exactly the churned files
+    * (change-feed mode). IO is O(files the range touched), never the
+    * table. */
+  private[sources] def changesFrame(spark: SparkSession, root: String,
+      from: Long, to: Long, outSchema: StructType,
+      withVersionColumn: Boolean, changeFeed: Boolean): DataFrame = {
+    def filesOf(v: Long): Set[String] =
+      FileManifest.loadVersion(spark, root, v)
+        .partitions.valuesIterator.flatten.map(_.path).toSet
     var prev: Set[String] =
       if (from == 0L) Set.empty else filesOf(from - 1)
     // (version, added files, removed files) per owed version; removals
@@ -318,7 +361,7 @@ final class GraftStreamSource(spark: SparkSession, root: String,
     // partition dirs of different versions have different parents —
     // one basePath cannot span them; read per batch dir and union.
     def readRestored(fs: Seq[String]): DataFrame =
-      fs.groupBy(GraftStreamSource.tableRootOf).toSeq.sortBy(_._1)
+      fs.groupBy(tableRootOf).toSeq.sortBy(_._1)
         .map { case (base, group) =>
           spark.read.option("basePath", base).parquet(group.sorted: _*)
         }
@@ -351,33 +394,38 @@ final class GraftStreamSource(spark: SparkSession, root: String,
       else tag(readRestored(Seq(anyFile)).where(flit(false)), to, "I")
     // pin every batch to the DECLARED schema: partition-column type
     // inference must not drift between batches
-    val batch = batch0.select(schema0.fields.toSeq.map(f =>
+    batch0.select(outSchema.fields.toSeq.map(f =>
       fcol(f.name).cast(f.dataType)): _*)
-    org.apache.spark.sql.graftshim.SparkShims.asStreamingDataFrame(batch)
   }
 
-  override def stop(): Unit = ()
-  override def toString: String = s"GraftStreamSource[$root]"
-}
-
-object GraftStreamSource {
-  /** The table root is the parent of the partition directories —
-    * every data file lives at <root>/<col>=<val>/<file>. */
-  private[sources] def tableRootOf(file: String): String =
-    new Path(file).getParent.getParent.toString
-
-  /** Declared stream schema: the data files' columns plus the
-    * directory-encoded partition column, exactly as a batch read
-    * with the same basePath resolves them. */
-  private[sources] def schemaOf(spark: SparkSession,
-      root: String): StructType = {
-    val pm = FileManifest.loadLatest(spark, root)
-    val sample = pm.partitions.valuesIterator.flatten
-      .map(_.path).toSeq.sorted.headOption
-      .getOrElse(throw new IllegalArgumentException(
-        s"empty graft catalog under $root"))
-    spark.read.option("basePath", tableRootOf(sample))
-      .parquet(sample).schema
+  /** BATCH CDC read — the Delta `table_changes(t, from, to)` shape:
+    * the row-level change feed of the committed version range
+    * [fromVersion, toVersion] as a plain DataFrame, every row tagged
+    * (`_graft_version`, `_change_type` I/D). Same semantics as the
+    * streaming change feed (c12) without the streaming machinery: an
+    * append version's added files are its I rows verbatim; a CoW
+    * rewrite version emits added∖removed as I and removed∖added as D,
+    * so rows a rewrite carried bit-identical cancel and only true
+    * changes surface. The chain is immutable, so the same range always
+    * returns the same rows — an incremental batch consumer can
+    * checkpoint nothing but the last version it folded. IO is
+    * O(files churned by the range), never the table. */
+  def tableChanges(spark: SparkSession, root: String, fromVersion: Long,
+      toVersion: Option[Long] = None): DataFrame = {
+    val latest = FileManifest.latestVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed graft catalog under $root"))
+    val to = toVersion.getOrElse(latest)
+    require(fromVersion >= 0 && fromVersion <= to,
+      s"table_changes: need 0 <= from <= to, got [$fromVersion, $to]")
+    require(to <= latest,
+      s"table_changes: version $to not committed yet (latest: $latest)")
+    val outSchema = schemaOf(spark, root)
+      .add(StructField("_graft_version",
+        org.apache.spark.sql.types.LongType, nullable = false))
+      .add(StructField("_change_type", StringType, nullable = false))
+    changesFrame(spark, root, fromVersion, to, outSchema,
+      withVersionColumn = true, changeFeed = true)
   }
 }
 

@@ -65,7 +65,11 @@ object Explain {
     "f22_sql_delete", "f23_sql_update", "f24_sql_merge",
     "f25_sql_optimize", "f26_sql_vacuum", "c12_change_feed",
     "c13_view_maintain", "g18_node2vec_walks", "s33_graph_refresh",
-    "t13_interp", "g19_louvain")
+    "t13_interp", "g19_louvain",
+    // r11 third wave: the SQL read surface — time travel, CTAS,
+    // history, and the batch CDC table function
+    "f27_sql_time_travel", "f28_sql_ctas", "f29_sql_history",
+    "c14_table_changes")
 
   /** Cost notes rendered under a query's plan — state the structural
     * story the plan tree alone can't show. */

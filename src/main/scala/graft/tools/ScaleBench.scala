@@ -284,7 +284,15 @@ object ScaleBench {
       "f25_sql_optimize", "f26_sql_vacuum",
       // g19: per round, the g8 neighbor join over ~f edges of the
       // fixed-node densifying graph + one node-keyed tot agg
-      "g19_louvain")
+      "g19_louvain",
+      // r11 third wave (SQL read surface): f27 reads two pinned
+      // snapshots of one ~f-sized table (two pruned scans); f28 is a
+      // layout write + catalog commit + a pruned read (the f15
+      // profile); f29 is manifest-only driver work, O(files x
+      // versions) entries, after a ~f layout write + CoW delete;
+      // c14's sub-range diff reads only the churned files (~f)
+      "f27_sql_time_travel", "f28_sql_ctas", "f29_sql_history",
+      "c14_table_changes")
       // x18/x19 are NOT here for x12's reason (salting renames their
       // literal terms) — the salted cases below measure real phrase/
       // proximity retrieval.

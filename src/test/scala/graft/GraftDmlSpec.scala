@@ -360,4 +360,121 @@ class GraftDmlSpec extends AnyFunSuite {
     assert(messages(ng).exists(_.contains("not a graft table")) ||
       messages(ng).exists(_.contains("graft")), s"got ${messages(ng)}")
   }
+
+  test("SQL time travel, table_changes, DESCRIBE HISTORY, CTAS") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tt").toString
+    val root = s"$tmp/cat"
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "user_id", "event_type", "value")
+    ev.write.format("graft").option("path", root)
+      .option("partitionBy", "event_type").option("clusterBy", "user_id")
+      .option("files", "4").mode("errorifexists").save()
+    spark.sql("DROP TABLE IF EXISTS tt_events")
+    spark.sql(s"CREATE TABLE tt_events USING graft OPTIONS (path '$root')")
+    val total = ev.count()
+
+    // CTAS drives the same CreatableRelationProvider as the writer:
+    // the query result IS version 0 of the new table
+    spark.sql("DROP TABLE IF EXISTS tt_ctas")
+    spark.sql(s"""CREATE TABLE tt_ctas USING graft
+      OPTIONS (path '$tmp/ctas', partitionBy 'event_type',
+               clusterBy 'user_id', files '4')
+      AS SELECT * FROM tt_events WHERE user_id < 5""")
+    assert(FileManifest.latestVersion(spark, s"$tmp/ctas").contains(0L))
+    assert(spark.sql("SELECT count(*) FROM tt_ctas").head.getLong(0)
+      == ev.where(col("user_id") < 5).count())
+    // CTAS onto an existing table refuses (ErrorIfExists all the way)
+    intercept[Throwable] {
+      spark.sql(s"""CREATE TABLE tt_ctas USING graft
+        OPTIONS (path '$tmp/ctas', partitionBy 'event_type',
+                 clusterBy 'user_id')
+        AS SELECT * FROM tt_events""")
+    }
+
+    // v1: CoW DELETE; v2: plain append (INSERT INTO keeps the session
+    // relation fresh — an external writer would need REFRESH TABLE)
+    spark.sql("DELETE FROM tt_events WHERE user_id % 7 = 3")
+    val afterDelete = ev.where(col("user_id") % 7 =!= 3).count()
+    spark.sql("INSERT INTO tt_events " + // table order: partition col last
+      "SELECT event_id + 1000000, user_id, value, event_type " +
+      "FROM tt_ctas WHERE user_id < 2")
+    val appended = ev.where(col("user_id") < 2).count()
+    assert(FileManifest.latestVersion(spark, root).contains(2L))
+
+    // VERSION AS OF reaches every committed snapshot; head is live
+    def n(sql: String) = spark.sql(sql).head.getLong(0)
+    assert(n("SELECT count(*) FROM tt_events VERSION AS OF 0") == total)
+    assert(n("SELECT count(*) FROM tt_events VERSION AS OF 1") == afterDelete)
+    assert(n("SELECT count(*) FROM tt_events VERSION AS OF 2")
+      == afterDelete + appended)
+    assert(n("SELECT count(*) FROM tt_events") == afterDelete + appended)
+    // two versions of ONE table join in one statement
+    assert(n("""SELECT count(*) FROM tt_events VERSION AS OF 0 a
+      JOIN tt_events VERSION AS OF 1 b ON a.event_id = b.event_id""")
+      == afterDelete)
+
+    // TIMESTAMP AS OF: the v0 commit instant serves v0; a timestamp
+    // before every commit refuses loudly; non-literals refuse
+    val t0 = FileManifest.versionHistory(spark, root).head._2
+    val ts0 = new java.sql.Timestamp(t0).toInstant.toString
+      .replace("T", " ").replace("Z", "")
+    assert(n(s"SELECT count(*) FROM tt_events TIMESTAMP AS OF '$ts0'")
+      == total)
+    val past = intercept[Throwable] {
+      spark.sql("SELECT count(*) FROM tt_events " +
+        "TIMESTAMP AS OF '1990-01-01 00:00:00'").head
+    }
+    assert(messages(past).exists(_.contains("predates")), messages(past))
+    intercept[Throwable] {
+      spark.sql("SELECT count(*) FROM tt_events " +
+        "TIMESTAMP AS OF current_timestamp()").head
+    }
+
+    // non-graft relations pass through to Spark's own refusal
+    ev.limit(5).write.mode("overwrite").parquet(s"$tmp/plain")
+    spark.sql("DROP TABLE IF EXISTS tt_plain")
+    spark.sql(s"CREATE TABLE tt_plain USING parquet LOCATION '$tmp/plain'")
+    val sparkOwn = intercept[Throwable] {
+      spark.sql("SELECT count(*) FROM tt_plain VERSION AS OF 0").head
+    }
+    assert(messages(sparkOwn).exists(_.contains("TIME_TRAVEL")),
+      messages(sparkOwn))
+
+    // table_changes: the full range folds to the live table; the [1,1]
+    // sub-range is exactly the delete's D rows; out-of-range refuses
+    val full = spark.sql("SELECT * FROM table_changes('tt_events', 0)")
+    val folded = full.where(col("_change_type") === "I").count() -
+      full.where(col("_change_type") === "D").count()
+    assert(folded == afterDelete + appended,
+      s"full change feed must fold to the live count: $folded")
+    val d1 = spark.sql("SELECT * FROM table_changes('tt_events', 1, 1)")
+    assert(d1.where(col("_change_type") === "D").count()
+      == total - afterDelete)
+    assert(d1.where(col("_change_type") === "I").count() == 0L,
+      "an all-deleted rewrite emits no I rows")
+    val oor = intercept[Throwable] {
+      spark.sql("SELECT * FROM table_changes('tt_events', 1, 99)").head
+    }
+    assert(messages(oor).exists(_.contains("not committed")), messages(oor))
+    ev.limit(3).createOrReplaceTempView("tt_not_graft")
+    val ntg = intercept[Throwable] {
+      spark.sql("SELECT * FROM table_changes('tt_not_graft', 0)").head
+    }
+    assert(messages(ntg).exists(_.contains("not a graft")), messages(ntg))
+
+    // DESCRIBE HISTORY: manifest-only audit of the retained chain
+    val hist = spark.sql("DESCRIBE HISTORY tt_events")
+      .orderBy("version").collect()
+    assert(hist.length == 3)
+    assert(hist(0).getLong(1) == total && hist(0).getBoolean(7))
+    assert(hist(1).getLong(1) == afterDelete && !hist(1).getBoolean(7),
+      "the CoW delete version must not read as appended")
+    assert(hist(1).getLong(4) - hist(1).getLong(3) == total - afterDelete,
+      "v1 row churn must equal the deleted count")
+    assert(hist(2).getLong(1) == afterDelete + appended
+      && hist(2).getLong(3) == appended && hist(2).getBoolean(7))
+    // after retention, history shows only what travel can still reach
+    spark.sql("VACUUM tt_events RETAIN 1 VERSIONS")
+    assert(spark.sql("DESCRIBE HISTORY tt_events").count() == 1L)
+  }
 }
