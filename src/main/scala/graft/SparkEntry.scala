@@ -1997,6 +1997,54 @@ object SparkEntry {
         |FROM table_changes('c14_events', 1, 2)
         |ORDER BY _graft_version, _change_type, event_id""".stripMargin)
     }),
+    // NATIVE STREAMING SINK (r11, `writeStream.format("graft")` —
+    // GraftStreamSink): the write side of the loop c10's source
+    // opened, no foreachBatch glue — each micro-batch commits as ONE
+    // catalog version, exactly-once via the batch id recorded in the
+    // version's _meta (visible only with the atomic commit marker, so
+    // recovery replays skip exactly what landed). The entry streams a
+    // 3-version graft source table through a mid-stream filter into a
+    // fresh graft sink table (maxVersionsPerBatch=1 forces one sink
+    // version per source version) and reads the SINK back as a batch
+    // table — graft at both ends of a running stream
+    "c15_stream_sink" -> ((s, dir) => {
+      val tmp = layoutDir("c15", dir)
+      val src = s"$tmp/src"
+      val dst = s"$tmp/dst"
+      freshDir(s, src)
+      freshDir(s, dst)
+      val ev = T(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      def save(slice: org.apache.spark.sql.DataFrame, mode: String): Unit =
+        slice.write.format("graft").option("path", src)
+          .option("partitionBy", "event_type").option("clusterBy", "user_id")
+          .option("files", "4").mode(mode).save()
+      save(ev.where(col("user_id") < 5), "overwrite") // v0
+      save(ev.where(col("user_id").between(5, 9)), "append") // v1
+      save(ev.where(col("user_id") >= 10), "append") // v2
+      // the checkpoint must start with the fresh sink table — a
+      // leftover one (same-JVM re-run) would mark every version as
+      // already processed and the sink would rightly commit nothing
+      freshDir(s, s"$tmp/ckpt")
+      val q = s.readStream.format("graft").option("path", src)
+        .option("maxVersionsPerBatch", "1").load()
+        .where(col("event_id") % 3 =!= 1) // mid-stream transform
+        .writeStream.format("graft")
+        .option("path", dst).option("partitionBy", "event_type")
+        .option("clusterBy", "user_id").option("files", "4")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append").start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      require(FileManifest.latestVersion(s, dst).exists(_ >= 1L),
+        "the sink must have committed one version per non-empty batch")
+      s.read.format("graft").option("path", dst).load()
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("total_value"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum("event_id").as("sum_ids"))
+        .orderBy("event_type")
+    }),
     "c7_changelog_refresh" -> ((s, dir) => {
       val tmp = layoutDir("c7", dir)
       val docs = T(s, dir, "documents")
@@ -3167,9 +3215,89 @@ object SparkEntry {
         .select((col("event_id") + mx + 1).as("event_id"), col("user_id"),
           col("event_type"), col("value")), "append") // v2: append
       s.sql("DESCRIBE HISTORY f29_events")
-        .select("version", "n_rows", "rows_added", "rows_removed",
-          "appended")
+        .select("version", "operation", "n_rows", "rows_added",
+          "rows_removed", "appended")
         .orderBy("version")
+    }),
+    // RESTORE through the front door — `RESTORE TABLE t TO VERSION AS
+    // OF n` (the Delta statement): rollback lands as a NEW commit (the
+    // f11 discipline), so nothing in the chain is rewritten — the one
+    // statement reads the restored head AND the mistake version it
+    // rolled back (still time-travelable until retention expires it)
+    "f31_sql_restore" -> ((s, dir) => {
+      val tmp = layoutDir("f31", dir)
+      val root = s"$tmp/cat"
+      freshDir(s, root)
+      val ev = T(s, dir, "events")
+      ev.write.format("graft")
+        .option("path", root).option("partitionBy", "event_type")
+        .option("clusterBy", "user_id").option("files", "8")
+        .mode("overwrite").save()
+      s.sql("DROP TABLE IF EXISTS f31_events")
+      s.sql(s"CREATE TABLE f31_events USING graft OPTIONS (path '$root')")
+      s.sql("DELETE FROM f31_events WHERE user_id % 5 = 2") // the mistake
+      s.sql("RESTORE TABLE f31_events TO VERSION AS OF 0")
+      require(FileManifest.latestVersion(s, root).contains(2L),
+        "RESTORE must land as a new commit, never rewrite the chain")
+      s.sql("""SELECT snap, event_type, n_events, total_value, sum_ids
+        |FROM (
+        |  SELECT 'head' AS snap, event_type, count(*) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS total_value,
+        |    sum(event_id) AS sum_ids
+        |  FROM f31_events GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'mistake', event_type, count(*),
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE),
+        |    sum(event_id)
+        |  FROM f31_events VERSION AS OF 1 GROUP BY event_type)
+        |ORDER BY snap, event_type""".stripMargin)
+    }),
+    // SHALLOW CLONE through the front door — `CREATE TABLE c SHALLOW
+    // CLONE s VERSION AS OF n LOCATION 'p'` (the Delta statement): a
+    // ZERO-COPY fork whose v0 manifest references the source's data
+    // files verbatim, under a fresh root with its own version chain.
+    // The entry proves independence both ways: a CoW DELETE on the
+    // clone lands under the CLONE's data root (the source's chain and
+    // files untouched), and the one statement reads BOTH tables —
+    // the clone post-DML, the source still serving its full head
+    "f30_sql_clone" -> ((s, dir) => {
+      val tmp = layoutDir("f30", dir)
+      val root = s"$tmp/cat"
+      freshDir(s, root)
+      freshDir(s, s"$tmp/clone")
+      val ev = T(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      def save(df: org.apache.spark.sql.DataFrame, mode: String): Unit =
+        df.write.format("graft").option("path", root)
+          .option("partitionBy", "event_type")
+          .option("clusterBy", "user_id").option("files", "8")
+          .mode(mode).save()
+      save(ev.where(col("user_id") < 8), "overwrite") // v0
+      save(ev.where(col("user_id") >= 8), "append") // v1
+      s.sql("DROP TABLE IF EXISTS f30_events")
+      s.sql(s"CREATE TABLE f30_events USING graft OPTIONS (path '$root')")
+      s.sql("DROP TABLE IF EXISTS f30_clone")
+      s.sql("CREATE TABLE f30_clone SHALLOW CLONE f30_events " +
+        s"VERSION AS OF 0 LOCATION '$tmp/clone'")
+      s.sql("DELETE FROM f30_clone WHERE event_type = 'error'")
+      require(FileManifest.latestVersion(s, root).contains(1L),
+        "the clone's DML must not touch the source's version chain")
+      require(FileManifest.latestVersion(s, s"$tmp/clone").contains(1L),
+        "the clone must carry its own independent version chain")
+      s.sql("""SELECT snap, event_type, n_events, total_value, sum_ids
+        |FROM (
+        |  SELECT 'clone' AS snap, event_type, count(*) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS total_value,
+        |    sum(event_id) AS sum_ids
+        |  FROM f30_clone GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'src', event_type, count(*),
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE),
+        |    sum(event_id)
+        |  FROM f30_events GROUP BY event_type)
+        |ORDER BY snap, event_type""".stripMargin)
     }),
     // SQL MERGE INTO through the front door (plans/GraftDml.scala) —
     // the DML trio's last member: one changeset carrying updates,
@@ -5800,12 +5928,12 @@ object SparkEntry {
         |n0 AS (SELECT count(*) AS n FROM base),
         |ndel AS (SELECT count(*) AS n FROM base WHERE user_id % 7 = 3),
         |app AS (SELECT count(*) AS n FROM base WHERE user_id < 4)
-        |SELECT CAST(0 AS BIGINT) AS version,
+        |SELECT CAST(0 AS BIGINT) AS version, 'create' AS operation,
         |  CAST((SELECT n FROM n0) AS BIGINT) AS n_rows,
         |  CAST((SELECT n FROM n0) AS BIGINT) AS rows_added,
         |  CAST(0 AS BIGINT) AS rows_removed, TRUE AS appended
         |UNION ALL
-        |SELECT CAST(1 AS BIGINT),
+        |SELECT CAST(1 AS BIGINT), 'delete',
         |  CAST((SELECT n FROM n0) - (SELECT n FROM ndel) AS BIGINT),
         |  CAST((SELECT COALESCE(sum(surv.n), 0) FROM surv
         |    JOIN tp USING (event_type)) AS BIGINT),
@@ -5813,11 +5941,46 @@ object SparkEntry {
         |    JOIN tp USING (event_type)) AS BIGINT),
         |  FALSE
         |UNION ALL
-        |SELECT CAST(2 AS BIGINT),
+        |SELECT CAST(2 AS BIGINT), 'append',
         |  CAST((SELECT n FROM n0) - (SELECT n FROM ndel)
         |    + (SELECT n FROM app) AS BIGINT),
         |  CAST((SELECT n FROM app) AS BIGINT), CAST(0 AS BIGINT), TRUE
         |ORDER BY version""".stripMargin,
+    // f30: the clone is the v0 slice minus its own DELETE; the source
+    // still serves its full two-version head — independence both ways
+    "f30_sql_clone" ->
+      """SELECT snap, event_type, n_events, total_value, sum_ids FROM (
+        |  SELECT 'clone' AS snap, event_type,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS total_value,
+        |    CAST(sum(event_id) AS BIGINT) AS sum_ids
+        |  FROM events
+        |  WHERE user_id < 8 AND event_type <> 'error'
+        |  GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'src', event_type, CAST(count(*) AS BIGINT),
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE),
+        |    CAST(sum(event_id) AS BIGINT)
+        |  FROM events GROUP BY event_type)
+        |ORDER BY snap, event_type""".stripMargin,
+    // f31: the restored head is the WHOLE relation again; the mistake
+    // version (the delete) stays readable between them — rollback as
+    // a new commit, history intact
+    "f31_sql_restore" ->
+      """SELECT snap, event_type, n_events, total_value, sum_ids FROM (
+        |  SELECT 'head' AS snap, event_type,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS total_value,
+        |    CAST(sum(event_id) AS BIGINT) AS sum_ids
+        |  FROM events GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'mistake', event_type, CAST(count(*) AS BIGINT),
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE),
+        |    CAST(sum(event_id) AS BIGINT)
+        |  FROM events WHERE user_id % 5 <> 2 GROUP BY event_type)
+        |ORDER BY snap, event_type""".stripMargin,
     // f24: MERGE == left join (matched update/delete) + anti join
     // (inserts) over the same deterministic changeset; the n_events
     // CAST matches Spark's count, value sums ride DECIMAL(18,2)
@@ -5972,6 +6135,17 @@ object SparkEntry {
         |SELECT event_id + m + 1, user_id, event_type, value,
         |  CAST(2 AS BIGINT), 'I' FROM base, mx WHERE user_id < 5
         |ORDER BY _graft_version, _change_type, event_id""".stripMargin,
+    // c15: the three source versions partition events exactly; the
+    // mid-stream filter drops event_id % 3 == 1 — what lands in the
+    // sink table is the filtered relation, whatever the batching
+    "c15_stream_sink" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_ids
+        |FROM events WHERE event_id % 3 <> 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "c9_wap_stream" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)

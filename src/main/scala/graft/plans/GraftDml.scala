@@ -201,7 +201,8 @@ object GraftDml extends PredicateHelper {
       "this DELETE would remove every row — an empty graft catalog cannot " +
         "serve readers; DROP TABLE (or overwrite with a new batch) instead")
     val adopted = pm.copy(partitions = merged)
-    val v = FileManifest.commitVersion(spark, adopted, root)
+    val v = FileManifest.commitVersion(spark, adopted, root,
+      meta = Map("operation" -> (if (sets.isEmpty) "delete" else "update")))
     require(v == next, s"DML commit raced: expected v$next, got v$v")
     index.advanceSnapshot(adopted) // the session's next SELECT sees it
     v
@@ -643,7 +644,8 @@ object GraftDml extends PredicateHelper {
       "this MERGE would remove every row — an empty graft catalog cannot " +
         "serve readers; DROP TABLE (or overwrite with a new batch) instead")
     val adopted = pm.copy(partitions = merged)
-    val v = FileManifest.commitVersion(spark, adopted, root)
+    val v = FileManifest.commitVersion(spark, adopted, root,
+      meta = Map("operation" -> "merge"))
     require(v == next, s"MERGE commit raced: expected v$next, got v$v")
     index.advanceSnapshot(adopted)
     v

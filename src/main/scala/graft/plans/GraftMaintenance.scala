@@ -56,6 +56,11 @@ object GraftMaintenance {
     """(?is)^\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""".r
   private val HistoryRe =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*$""".r
+  private val RestoreRe =
+    """(?is)^\s*RESTORE\s+TABLE\s+([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+  private val CloneRe =
+    ("""(?is)^\s*CREATE\s+TABLE\s+([\w.]+)\s+SHALLOW\s+CLONE\s+([\w.]+)""" +
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s+LOCATION\s+'([^']+)'\s*;?\s*$""").r
 
   private[plans] def intercept(sqlText: String): Option[LogicalPlan] =
     sqlText match {
@@ -66,6 +71,11 @@ object GraftMaintenance {
         Some(GraftVacuumCommand(table,
           Option(keep).map(_.toInt).getOrElse(1)))
       case HistoryRe(table) => Some(GraftHistoryCommand(table))
+      case RestoreRe(table, version) =>
+        Some(GraftRestoreCommand(table, version.toLong))
+      case CloneRe(target, source, version, location) =>
+        Some(GraftCloneCommand(target, source,
+          Option(version).map(_.toLong), location))
       case _ => None
     }
 
@@ -143,7 +153,8 @@ object GraftMaintenance {
       part -> (carried ++ fresh.getOrElse(part, Nil)).sortBy(_.path)
     }.filter(_._2.nonEmpty).toMap
     val adopted = pm.copy(partitions = merged)
-    val v = FileManifest.commitVersion(spark, adopted, root)
+    val v = FileManifest.commitVersion(spark, adopted, root,
+      meta = Map("operation" -> "optimize"))
     require(v == next, s"OPTIMIZE commit raced: expected v$next, got v$v")
     index.advanceSnapshot(adopted)
     v
@@ -159,7 +170,7 @@ object GraftMaintenance {
     * can still reach. Driver work is O(files × retained versions)
     * manifest entries, the cardinality the catalog already has. */
   def history(spark: SparkSession, index: ManifestFileIndex)
-      : Seq[(Long, Long, Long, Long, Long, Long, Long, Boolean)] = {
+      : Seq[(Long, String, Long, Long, Long, Long, Long, Long, Boolean)] = {
     val root = index.graftCatalogRoot.getOrElse(sys.error(
       "DESCRIBE HISTORY requires a catalog-backed graft table"))
     val versions = FileManifest.versionHistory(spark, root).map(_._1)
@@ -167,6 +178,11 @@ object GraftMaintenance {
     var first = true
     versions.map { v =>
       val pm = FileManifest.loadVersion(spark, root, v)
+      // the committing site records what it did (delete/update/merge/
+      // optimize/insert/append/…) in the version's _meta; versions
+      // committed through the raw API carry no label
+      val op = FileManifest.versionMeta(spark, root, v)
+        .getOrElse("operation", "")
       val cur: Map[String, Long] = pm.partitions.valuesIterator.flatten
         .map(f => f.path -> f.rows).toMap
       val added = cur.view.filterKeys(!prev.contains(_)).values.sum
@@ -175,9 +191,27 @@ object GraftMaintenance {
       val removedFiles = prev.keysIterator.count(!cur.contains(_))
       val appended = first || removedFiles == 0L
       prev = cur; first = false
-      (v, cur.values.sum, cur.size.toLong, added, removed,
+      (v, op, cur.values.sum, cur.size.toLong, added, removed,
         addedFiles.toLong, removedFiles.toLong, appended)
     }
+  }
+
+  /** `RESTORE TABLE t TO VERSION AS OF n` — rollback as a NEW commit
+    * (the f11 discipline, Delta's RESTORE role): the restored
+    * version's manifest re-commits at the head, so nothing in the
+    * chain is rewritten — history stays intact and auditable, and the
+    * mistake-window versions remain time-travelable until retention
+    * expires them. Returns the new head version. */
+  def restore(spark: SparkSession, index: ManifestFileIndex,
+      version: Long): Long = {
+    val root = index.graftCatalogRoot.getOrElse(sys.error(
+      "RESTORE requires a catalog-backed graft table"))
+    require(!index.isTimeTraveled,
+      "RESTORE through a time-traveled graft table is not allowed — " +
+        "resolve the table at its head to run maintenance")
+    val v = FileManifest.rollbackTo(spark, root, version)
+    index.advanceSnapshot(FileManifest.loadLatest(spark, root))
+    v
   }
 
   /** Retention + orphan sweep; returns the deleted file paths. */
@@ -214,6 +248,25 @@ case class GraftVacuumCommand(table: String, keepLast: Int)
   }
 }
 
+/** `CREATE TABLE t SHALLOW CLONE s [VERSION AS OF n] LOCATION 'p'` —
+  * the Delta clone statement: a zero-copy fork whose v0 manifest
+  * references the source's files verbatim ([[FileManifest.cloneAt]]),
+  * registered as a front-door table at `p`. Writes to the clone land
+  * under ITS data root; its VACUUM can never delete source files. */
+case class GraftCloneCommand(target: String, source: String,
+    version: Option[Long], location: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val srcRoot = GraftTimeTravel.graftRootOf(spark,
+      source.split('.').toSeq).getOrElse(sys.error(
+      s"SHALLOW CLONE: `$source` is not a graft front-door table"))
+    FileManifest.cloneAt(spark, srcRoot, location, version)
+    spark.sql(
+      s"CREATE TABLE $target USING graft OPTIONS (path '$location')")
+    Nil
+  }
+}
+
 /** `DESCRIBE HISTORY t` — the retained version chain as rows (the
   * Delta `DESCRIBE HISTORY` role): per version, live row/file counts
   * and the row/file churn vs its predecessor, manifest-only work. */
@@ -224,6 +277,8 @@ case class GraftHistoryCommand(table: String)
   override val output
       : Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("operation",
+      org.apache.spark.sql.types.StringType, nullable = false)(),
     AttributeReference("n_rows", LongType, nullable = false)(),
     AttributeReference("n_files", LongType, nullable = false)(),
     AttributeReference("rows_added", LongType, nullable = false)(),
@@ -234,9 +289,19 @@ case class GraftHistoryCommand(table: String)
   override def run(spark: SparkSession): Seq[Row] =
     GraftMaintenance.history(spark,
       GraftMaintenance.indexOf(spark, table)).map {
-      case (v, rows, files, ra, rr, fa, fr, app) =>
-        Row(v, rows, files, ra, rr, fa, fr, app)
+      case (v, op, rows, files, ra, rr, fa, fr, app) =>
+        Row(v, op, rows, files, ra, rr, fa, fr, app)
     }
+}
+
+/** `RESTORE TABLE t TO VERSION AS OF n` — rollback as a new commit. */
+case class GraftRestoreCommand(table: String, version: Long)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftMaintenance.restore(spark,
+      GraftMaintenance.indexOf(spark, table), version)
+    Nil
+  }
 }
 
 /** Delegating parser: exactly the three maintenance statements

@@ -43,6 +43,17 @@ object SparkShims {
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
 
+  /** The inverse of [[asStreamingDataFrame]]: materialize a v1
+    * `Sink.addBatch` micro-batch (a STREAMING-tagged plan the plain
+    * DataFrame writer refuses) as a batch DataFrame over the same
+    * rows — the seam FileStreamSink-style sinks write through. */
+  def asBatchDataFrame(
+      df0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val df = df0.asInstanceOf[org.apache.spark.sql.classic.DataFrame]
+    df.sparkSession.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
+
   /** `Dataset.localCheckpoint` drops the physical layout's
     * partitioning at the LogicalRDD boundary when AQE is on (the
     * adaptive root reports no outputPartitioning), so an iterative

@@ -1373,16 +1373,68 @@ object FileManifest {
     * Throws [[CommitConflictException]] when a concurrent writer took
     * the number first. */
   def commitVersion(spark: SparkSession, pm: PartitionedManifest,
-      root: String): Long = commitLock.synchronized {
+      root: String, meta: Map[String, String] = Map.empty): Long =
+    commitLock.synchronized {
     val fs = new Path(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val next = latestVersion(spark, root).map(_ + 1).getOrElse(0L)
     fs.delete(new Path(s"$root/v$next"), true) // crashed-attempt orphan
     savePartitioned(spark, pm, s"$root/v$next")
+    // version metadata (e.g. the streaming sink's batch id) rides IN
+    // the version directory, so it exists before — and only becomes
+    // visible with — the atomic commit marker
+    if (meta.nonEmpty) {
+      val out = fs.create(new Path(s"$root/v$next", "_meta"), true)
+      try out.write(meta.toSeq.sorted
+        .map { case (k, v) => s"$k=$v" }.mkString("\n")
+        .getBytes("UTF-8"))
+      finally out.close()
+    }
     if (!fs.createNewFile(new Path(root, s"commit-$next")))
       throw new CommitConflictException(
         s"commitVersion: version $next was committed concurrently under $root")
     next
+  }
+
+  /** Metadata recorded with a committed version (empty when none). */
+  def versionMeta(spark: SparkSession, root: String,
+      version: Long): Map[String, String] = {
+    val p = new Path(s"$root/v$version", "_meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.contains('=')).map { line =>
+          val i = line.indexOf('=')
+          line.substring(0, i) -> line.substring(i + 1)
+        }.toMap
+      finally in.close()
+    }
+  }
+
+  /** SHALLOW CLONE — the Delta/Iceberg zero-copy fork: the clone's v0
+    * manifest references the SOURCE's data files verbatim (no data IO
+    * at all), under a fresh catalog root with its own independent
+    * version chain. Subsequent writes to the clone (appends, CoW DML)
+    * land under the CLONE's data root; untouched files keep pointing
+    * at the source. The documented trades are the same as Delta's:
+    * the clone's VACUUM sweeps only its own data root (it can never
+    * delete source files), while a VACUUM on the SOURCE can reclaim
+    * files the clone still references — retention on a cloned source
+    * is the operator's contract. Driver work is O(files) manifest
+    * entries. */
+  def cloneAt(spark: SparkSession, srcRoot: String, dstRoot: String,
+      version: Option[Long] = None): Long = {
+    val pm = version match {
+      case Some(v) => loadVersion(spark, srcRoot, v)
+      case None => loadLatest(spark, srcRoot)
+    }
+    require(latestVersion(spark, dstRoot).isEmpty,
+      s"clone target $dstRoot already has a committed catalog")
+    commitVersion(spark, pm, dstRoot,
+      meta = Map("operation" -> "clone", "clonedFrom" -> srcRoot,
+        "clonedVersion" -> version.map(_.toString).getOrElse("latest")))
   }
 
   /** OPTIMISTIC-RETRY commit for APPEND-shaped writes: the manifest
@@ -1522,7 +1574,9 @@ object FileManifest {
     * rolled-back-over versions keep working and the rollback itself is
     * auditable (and itself rollback-able) in the version history. */
   def rollbackTo(spark: SparkSession, root: String, version: Long): Long =
-    commitVersion(spark, loadVersion(spark, root, version), root)
+    commitVersion(spark, loadVersion(spark, root, version), root,
+      meta = Map("operation" -> "restore",
+        "restoredVersion" -> version.toString))
 
   /** Retention: drop committed versions older than `keepLast` (never
     * the latest, never a version a branch or tag still points at —

@@ -69,6 +69,7 @@ import org.apache.spark.unsafe.types.UTF8String
 final class GraftManifestSource extends RelationProvider
     with CreatableRelationProvider
     with org.apache.spark.sql.sources.StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
     with DataSourceRegister {
   override def shortName(): String = "graft"
 
@@ -140,7 +141,13 @@ final class GraftManifestSource extends RelationProvider
             })
           case _ => fresh // create / overwrite: only the new files
         }
-        FileManifest.commitVersion(spark, pm, root)
+        val op = (mode, existing) match {
+          case (SaveMode.Append, Some(_)) => "append"
+          case (_, Some(_)) => "overwrite"
+          case _ => "create"
+        }
+        FileManifest.commitVersion(spark, pm, root,
+          meta = Map("operation" -> op))
     }
     createRelation(sqlContext, parameters)
   }
@@ -183,6 +190,29 @@ final class GraftManifestSource extends RelationProvider
       withVersionColumn = changeFeed ||
         boolOpt(parameters, "withversioncolumn", "withVersionColumn"),
       changeFeed = changeFeed)
+  }
+
+  // ---- streaming WRITE: micro-batches as committed versions ----
+
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft streaming sink supports Append output only, got $outputMode " +
+        "— update/complete would have to rewrite history the version " +
+        "chain exists to preserve (aggregate maintenance is c8/c13's job)")
+    val partCol = partitionColumns.headOption.getOrElse(
+      parameters.getOrElse("partitionby", parameters.getOrElse("partitionBy",
+        throw new IllegalArgumentException(
+          "graft streaming sink requires OPTIONS (partitionBy '<column>') " +
+            "or .partitionBy(...)"))))
+    val clusterCol = parameters.getOrElse("clusterby",
+      parameters.getOrElse("clusterBy", throw new IllegalArgumentException(
+        "graft streaming sink requires OPTIONS (clusterBy '<column>')")))
+    new GraftStreamSink(sqlContext.sparkSession, rootOf(parameters),
+      partCol, clusterCol,
+      parameters.getOrElse("files", "16").toInt)
   }
 }
 
@@ -427,6 +457,72 @@ object GraftStreamSource {
     changesFrame(spark, root, fromVersion, to, outSchema,
       withVersionColumn = true, changeFeed = true)
   }
+}
+
+/** `spark.writeStream.format("graft")` — the native streaming SINK
+  * (Delta's streaming-sink role), closing the loop the source opened:
+  * each micro-batch lands as ONE committed catalog version, so a
+  * graft table can sit at BOTH ends of a stream with no foreachBatch
+  * glue (the WAP sink — GovernedIngest — remains the audited
+  * alternative; this is the plain bronze-ingest path).
+  *
+  * EXACTLY-ONCE: the engine replays micro-batches after recovery, so
+  * the sink must dedupe by batch id. The id rides IN the version
+  * directory (`_meta`, written before — and only visible with — the
+  * atomic commit marker), so "was this batch committed?" has the same
+  * linearization point as the commit itself: crash before the marker
+  * = an orphan the next attempt overwrites (commitVersion's
+  * crashed-attempt cleanup + the GC sweep); crash after = the replay
+  * sees the id and skips. Batch ids are monotone per query, so the
+  * sink tracks only the MAX committed id (one O(versions) manifest
+  * scan at restart, cached after).
+  *
+  * At 100 TB: per batch, IO is the batch's own rows (layout write +
+  * footer stats) + one manifest save — never the table. */
+final class GraftStreamSink(spark: SparkSession, root: String,
+    partCol: String, clusterCol: String, numFiles: Int)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  private val BatchKey = "streamingBatchId"
+
+  private def scanMaxBatchId(): Long =
+    FileManifest.versionHistory(spark, root).map(_._1)
+      .flatMap(v => FileManifest.versionMeta(spark, root, v).get(BatchKey))
+      .map(_.toLong).maxOption.getOrElse(-1L)
+
+  private var maxCommitted: Long = scanMaxBatchId()
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit =
+    synchronized {
+      if (batchId <= maxCommitted) return // recovery replay: already in
+      val df = org.apache.spark.sql.graftshim.SparkShims
+        .asBatchDataFrame(data)
+      if (df.isEmpty) return // nothing to commit; replay is a no-op too
+      val next = FileManifest.latestVersion(spark, root)
+        .map(_ + 1).getOrElse(0L)
+      val dataDir = s"$root/data/b$next"
+      FileManifest.writePartitionedLayout(df, dataDir, partCol,
+        clusterCol, numFiles)
+      val fresh = FileManifest.buildPartitioned(spark, dataDir, clusterCol)
+      val pm =
+        if (next == 0L) fresh
+        else {
+          val cur = FileManifest.loadLatest(spark, root)
+          require(cur.column == clusterCol,
+            s"sink clusterBy '$clusterCol' != table's '${cur.column}'")
+          cur.copy(partitions =
+            fresh.partitions.foldLeft(cur.partitions) {
+              case (acc, (part, files)) =>
+                acc.updated(part, acc.getOrElse(part, Nil) ++ files)
+            })
+        }
+      FileManifest.commitVersion(spark, pm, root,
+        meta = Map("operation" -> "streaming-append",
+          BatchKey -> batchId.toString))
+      maxCommitted = batchId
+    }
+
+  override def toString: String = s"GraftStreamSink[$root]"
 }
 
 /** Parquet in both directions. The WRITE side is only ever reached by
@@ -726,7 +822,8 @@ final class ManifestFileIndex(spark: SparkSession,
         val next = FileManifest.latestVersion(spark, root).get + 1
         val adopted = FileManifest.adoptBatch(spark, cur,
           s"$root/data/b$next", d.toString)
-        val v = FileManifest.commitVersion(spark, adopted, root)
+        val v = FileManifest.commitVersion(spark, adopted, root,
+          meta = Map("operation" -> "insert"))
         require(v == next, s"insert commit raced: expected v$next, got v$v")
         // sweep what adopt leaves behind: the drained partition dirs
         // and this job's `_SUCCESS` marker (so it can never vouch for

@@ -69,7 +69,8 @@ object Explain {
     // r11 third wave: the SQL read surface — time travel, CTAS,
     // history, and the batch CDC table function
     "f27_sql_time_travel", "f28_sql_ctas", "f29_sql_history",
-    "c14_table_changes")
+    "c14_table_changes", "f30_sql_clone", "c15_stream_sink",
+    "f31_sql_restore")
 
   /** Cost notes rendered under a query's plan — state the structural
     * story the plan tree alone can't show. */

@@ -292,7 +292,15 @@ object ScaleBench {
       // versions) entries, after a ~f layout write + CoW delete;
       // c14's sub-range diff reads only the churned files (~f)
       "f27_sql_time_travel", "f28_sql_ctas", "f29_sql_history",
-      "c14_table_changes")
+      "c14_table_changes",
+      // f30: manifest-copy clone (no data IO) + a CoW delete on the
+      // clone (~f touched files) + two pruned reads; c15 drains ~f
+      // source versions through the native sink (per batch: layout
+      // write + one manifest commit, IO = the batch's own rows)
+      "f30_sql_clone", "c15_stream_sink",
+      // f31: layout write + CoW delete + a manifest-copy re-commit
+      // (no data IO for the restore itself) + two pruned reads
+      "f31_sql_restore")
       // x18/x19 are NOT here for x12's reason (salting renames their
       // literal terms) — the salted cases below measure real phrase/
       // proximity retrieval.

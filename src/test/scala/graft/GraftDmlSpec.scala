@@ -462,19 +462,94 @@ class GraftDmlSpec extends AnyFunSuite {
     }
     assert(messages(ntg).exists(_.contains("not a graft")), messages(ntg))
 
-    // DESCRIBE HISTORY: manifest-only audit of the retained chain
+    // DESCRIBE HISTORY: manifest-only audit of the retained chain,
+    // each version labeled with the operation that committed it
     val hist = spark.sql("DESCRIBE HISTORY tt_events")
       .orderBy("version").collect()
     assert(hist.length == 3)
-    assert(hist(0).getLong(1) == total && hist(0).getBoolean(7))
-    assert(hist(1).getLong(1) == afterDelete && !hist(1).getBoolean(7),
+    assert(hist.map(_.getString(1)).toSeq
+      == Seq("create", "delete", "insert"),
+      s"operation labels: ${hist.map(_.getString(1)).toSeq}")
+    assert(hist(0).getLong(2) == total && hist(0).getBoolean(8))
+    assert(hist(1).getLong(2) == afterDelete && !hist(1).getBoolean(8),
       "the CoW delete version must not read as appended")
-    assert(hist(1).getLong(4) - hist(1).getLong(3) == total - afterDelete,
+    assert(hist(1).getLong(5) - hist(1).getLong(4) == total - afterDelete,
       "v1 row churn must equal the deleted count")
-    assert(hist(2).getLong(1) == afterDelete + appended
-      && hist(2).getLong(3) == appended && hist(2).getBoolean(7))
+    assert(hist(2).getLong(2) == afterDelete + appended
+      && hist(2).getLong(4) == appended && hist(2).getBoolean(8))
+
+    // RESTORE: rollback lands as a NEW commit; the mistake version
+    // stays readable between the original and the restored head
+    spark.sql("RESTORE TABLE tt_events TO VERSION AS OF 0")
+    assert(n("SELECT count(*) FROM tt_events") == total)
+    assert(n("SELECT count(*) FROM tt_events VERSION AS OF 1")
+      == afterDelete, "history must stay intact across RESTORE")
+    val rhist = spark.sql("DESCRIBE HISTORY tt_events")
+      .orderBy("version").collect()
+    assert(rhist.length == 4 && rhist(3).getString(1) == "restore")
     // after retention, history shows only what travel can still reach
     spark.sql("VACUUM tt_events RETAIN 1 VERSIONS")
     assert(spark.sql("DESCRIBE HISTORY tt_events").count() == 1L)
+  }
+
+  test("SHALLOW CLONE: zero-copy fork, write independence, vacuum safety") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cln").toString
+    val root = s"$tmp/cat"
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "user_id", "event_type", "value")
+    def save(df: org.apache.spark.sql.DataFrame, mode: String): Unit =
+      df.write.format("graft").option("path", root)
+        .option("partitionBy", "event_type").option("clusterBy", "user_id")
+        .option("files", "4").mode(mode).save()
+    save(ev.where(col("user_id") < 8), "overwrite") // v0
+    save(ev.where(col("user_id") >= 8), "append") // v1
+    spark.sql("DROP TABLE IF EXISTS cln_src")
+    spark.sql(s"CREATE TABLE cln_src USING graft OPTIONS (path '$root')")
+    val v0Count = ev.where(col("user_id") < 8).count()
+    val fullCount = ev.count()
+
+    // the clone is ZERO-COPY: its v0 manifest points at SOURCE files
+    spark.sql("DROP TABLE IF EXISTS cln_fork")
+    spark.sql("CREATE TABLE cln_fork SHALLOW CLONE cln_src " +
+      s"VERSION AS OF 0 LOCATION '$tmp/fork'")
+    val forkFiles = FileManifest.loadVersion(spark, s"$tmp/fork", 0L)
+      .partitions.values.flatten.map(_.path).toSeq
+    assert(forkFiles.nonEmpty && forkFiles.forall(_.contains(root)),
+      "the clone's v0 must reference the source's data files verbatim")
+    assert(spark.sql("SELECT count(*) FROM cln_fork").head.getLong(0)
+      == v0Count)
+
+    // writes to the clone land under ITS root; the source is untouched
+    spark.sql("DELETE FROM cln_fork WHERE event_type = 'view'")
+    assert(FileManifest.latestVersion(spark, root).contains(1L),
+      "clone DML must not advance the source's version chain")
+    assert(spark.sql("SELECT count(*) FROM cln_src").head.getLong(0)
+      == fullCount, "the source must still serve its full head")
+
+    // the clone's VACUUM sweeps only its own data root — source files
+    // it retired from its head must SURVIVE on disk (the source's v0
+    // still references them)
+    spark.sql("VACUUM cln_fork RETAIN 1 VERSIONS")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(forkFiles.forall(p =>
+      fs.exists(new org.apache.hadoop.fs.Path(p))),
+      "VACUUM on a clone must never delete source data files")
+    assert(spark.sql("SELECT count(*) FROM cln_src").head.getLong(0)
+      == fullCount)
+
+    // refusals: an occupied target, a non-graft source
+    val dup = intercept[Throwable] {
+      spark.sql("CREATE TABLE cln_dup SHALLOW CLONE cln_src " +
+        s"LOCATION '$tmp/fork'")
+    }
+    assert(messages(dup).exists(_.contains("already has a committed")),
+      messages(dup))
+    ev.limit(3).createOrReplaceTempView("cln_not_graft")
+    val ng = intercept[Throwable] {
+      spark.sql("CREATE TABLE cln_ng SHALLOW CLONE cln_not_graft " +
+        s"LOCATION '$tmp/ng'")
+    }
+    assert(messages(ng).exists(_.contains("not a graft")), messages(ng))
   }
 }

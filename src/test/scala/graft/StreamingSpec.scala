@@ -1625,4 +1625,70 @@ class StreamingSpec extends AnyFunSuite {
     assert(batches.toList == List(Set(3L)),
       s"catch-up must deliver exactly v2's increment: $batches")
   }
+
+  test("graft streaming sink: one version per batch, restart resume, replay dedupe, mode refusal") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ssink").toString
+    val src = s"$tmp/src"
+    val dst = s"$tmp/dst"
+    def save(rows: Seq[(Long, String, Long)], mode: String): Unit =
+      rows.toDF("k", "p", "v").write.format("graft").option("path", src)
+        .option("partitionBy", "p").option("clusterBy", "k")
+        .option("files", "2").mode(mode).save()
+    save(Seq((1L, "a", 10L), (2L, "a", 20L)), "overwrite") // v0
+    save(Seq((3L, "b", 30L), (4L, "b", 40L)), "append") // v1
+    def startQ() = spark.readStream.format("graft").option("path", src)
+      .option("maxVersionsPerBatch", "1").load()
+      .writeStream.format("graft")
+      .option("path", dst).option("partitionBy", "p")
+      .option("clusterBy", "k").option("files", "2")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode("append").start()
+    val q = startQ()
+    try q.processAllAvailable() finally q.stop()
+    def dstRows() = spark.read.format("graft").option("path", dst).load()
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(dstRows() == Seq(1L, 2L, 3L, 4L),
+      "two metered source versions must land, once each")
+    val vDst = graft.sources.FileManifest.latestVersion(spark, dst)
+    assert(vDst.contains(1L), s"one sink version per batch: $vDst")
+    // each version carries its batch id in _meta (the dedupe key)
+    val ids = (0L to 1L).map(v => graft.sources.FileManifest
+      .versionMeta(spark, dst, v).get("streamingBatchId"))
+    assert(ids == Seq(Some("0"), Some("1")), s"batch ids: $ids")
+
+    // a version lands while the stream is DOWN: the checkpointed
+    // restart appends exactly the new rows, nothing twice
+    save(Seq((5L, "a", 50L)), "append") // v2
+    val q2 = startQ()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(dstRows() == Seq(1L, 2L, 3L, 4L, 5L),
+      s"restart must append only the unseen increment: ${dstRows()}")
+
+    // recovery replay straight at the Sink API: the same batch id
+    // re-added is a no-op even through a FRESH sink instance (the id
+    // is read back from the committed version's _meta, not memory)
+    val dst2 = s"$tmp/dst2"
+    val batch = Seq((7L, "a", 70L)).toDF("k", "p", "v")
+    val sink = new graft.sources.GraftStreamSink(spark, dst2, "p", "k", 2)
+    sink.addBatch(0L, batch)
+    sink.addBatch(0L, batch) // same-instance replay
+    new graft.sources.GraftStreamSink(spark, dst2, "p", "k", 2)
+      .addBatch(0L, batch) // crash-recovery replay
+    assert(graft.sources.FileManifest.latestVersion(spark, dst2)
+      .contains(0L), "a replayed batch must commit exactly once")
+    // an empty batch commits nothing (and replays as a no-op)
+    sink.addBatch(1L, batch.where(lit(false)))
+    assert(graft.sources.FileManifest.latestVersion(spark, dst2)
+      .contains(0L), "an empty batch must not commit a version")
+
+    // update/complete refuse: history is append-only by contract
+    val bad = intercept[Throwable] {
+      new graft.sources.GraftManifestSource().createSink(
+        spark.sqlContext, Map("path" -> dst2, "partitionby" -> "p",
+          "clusterby" -> "k"), Nil,
+        org.apache.spark.sql.streaming.OutputMode.Update())
+    }
+    assert(Option(bad.getMessage).exists(_.contains("Append")), bad)
+  }
 }
