@@ -3253,6 +3253,45 @@ object SparkEntry {
         |  FROM f31_events VERSION AS OF 1 GROUP BY event_type)
         |ORDER BY snap, event_type""".stripMargin)
     }),
+    // CATALOG-TRACKED SCHEMA EVOLUTION — `ALTER TABLE t ADD COLUMN c
+    // <type>` (the Iceberg discipline: schema lives in the catalog,
+    // never rewritten into files): the evolution commits as a labeled
+    // version carrying the evolved schema in its _meta; reads at the
+    // head serve the new column with pre-evolution files null-filled
+    // by the parquet reader (zero data IO for the ALTER), INSERTs
+    // carry it for real, and an UPDATE backfills it onto pre-evolution
+    // rows (the CoW rewrite reads schema-PINNED, so it upgrades the
+    // files it touches instead of failing on the mixed layout). Time
+    // travel before the evolution serves the pre-evolution schema —
+    // epoch-correct by construction (spec-pinned)
+    "f32_sql_add_column" -> ((s, dir) => {
+      val tmp = layoutDir("f32", dir)
+      val root = s"$tmp/cat"
+      freshDir(s, root)
+      val ev = T(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      ev.where(col("user_id") < 8).write.format("graft")
+        .option("path", root).option("partitionBy", "event_type")
+        .option("clusterBy", "user_id").option("files", "4")
+        .mode("overwrite").save() // v0
+      s.sql("DROP TABLE IF EXISTS f32_events")
+      s.sql(s"CREATE TABLE f32_events USING graft OPTIONS (path '$root')")
+      s.sql("ALTER TABLE f32_events ADD COLUMN bonus BIGINT") // v1
+      ev.where(col("user_id") >= 8)
+        .select(col("event_id"), col("user_id"), col("value"),
+          (col("user_id") * 10).as("bonus"), col("event_type"))
+        .createOrReplaceTempView("f32_src")
+      s.sql("INSERT INTO f32_events SELECT * FROM f32_src") // v2
+      s.sql("UPDATE f32_events SET bonus = user_id * 10 " + // v3: backfill
+        "WHERE user_id < 4")
+      require(FileManifest.latestVersion(s, root).contains(3L),
+        "expected create + add-column + insert + update versions")
+      s.sql("""SELECT event_type, count(*) AS n_events,
+        |  count(bonus) AS n_bonus, sum(bonus) AS sum_bonus,
+        |  sum(event_id) AS sum_ids
+        |FROM f32_events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
     // SHALLOW CLONE through the front door — `CREATE TABLE c SHALLOW
     // CLONE s VERSION AS OF n LOCATION 'p'` (the Delta statement): a
     // ZERO-COPY fork whose v0 manifest references the source's data
@@ -5964,6 +6003,18 @@ object SparkEntry {
         |    CAST(sum(event_id) AS BIGINT)
         |  FROM events GROUP BY event_type)
         |ORDER BY snap, event_type""".stripMargin,
+    // f32: bonus exists for inserted rows (user_id >= 8) and for the
+    // backfilled pre-evolution cohort (user_id < 4); every other
+    // pre-evolution row reads NULL — the reader's null-fill
+    "f32_sql_add_column" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(CASE WHEN user_id >= 8 OR user_id < 4
+        |    THEN user_id * 10 END) AS BIGINT) AS n_bonus,
+        |  CAST(sum(CASE WHEN user_id >= 8 OR user_id < 4
+        |    THEN user_id * 10 END) AS BIGINT) AS sum_bonus,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_ids
+        |FROM events
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // f31: the restored head is the WHOLE relation again; the mistake
     // version (the delete) stays readable between them — rollback as
     // a new commit, history intact

@@ -84,7 +84,16 @@ object GraftDml extends PredicateHelper {
     * committed version. */
   private[plans] def cowRewriteCommit(spark: SparkSession,
       index: ManifestFileIndex, cond: Expression,
-      sets: Seq[(String, Expression)], dataCols: Seq[String]): Long = {
+      sets: Seq[(String, Expression)],
+      dataSchema: org.apache.spark.sql.types.StructType): Long = {
+    // every file read is PINNED to the relation's (catalog-tracked)
+    // schema: files older than an ADD COLUMN evolution lack the added
+    // columns and the reader null-fills them, so a rewrite UPGRADES
+    // the files it touches instead of failing on the mixed layout
+    val dataCols = dataSchema.fieldNames.toSeq
+    val readSchema = org.apache.spark.sql.types.StructType(
+      dataSchema.fields ++ index.partitionSchema.fields
+        .filterNot(f => dataSchema.fieldNames.contains(f.name)))
     val root = index.graftCatalogRoot.getOrElse(sys.error(
       "graft DML requires a catalog-backed table (CREATE TABLE … USING " +
         "graft OPTIONS (path '<catalogRoot>'))"))
@@ -127,7 +136,8 @@ object GraftDml extends PredicateHelper {
       .groupBy(f => new Path(f).getParent.getParent.toString)
       .toSeq.sortBy(_._1)
       .map { case (base, group) =>
-        spark.read.option("basePath", base).parquet(group.sorted: _*)
+        spark.read.schema(readSchema).option("basePath", base)
+          .parquet(group.sorted: _*)
       }
       .reduce(_.unionByName(_))
 
@@ -156,7 +166,8 @@ object GraftDml extends PredicateHelper {
     val jobs = touchedList.zipWithIndex.map { case ((part, path), i) =>
       Future {
         val base = new Path(path).getParent.getParent.toString
-        val one = spark.read.option("basePath", base).parquet(path)
+        val one = spark.read.schema(readSchema)
+          .option("basePath", base).parquet(path)
         val out =
           if (sets.isEmpty) one.where(not(coalesce(condCol, lit(false))))
           else one.select(one.columns.toSeq.map { c =>
@@ -248,7 +259,13 @@ object GraftDml extends PredicateHelper {
     * target columns unassigned, and the cardinality violation. */
   private[plans] def cowMergeCommit(spark: SparkSession,
       index: ManifestFileIndex, m: MergeIntoTable,
-      dataCols: Seq[String]): Long = {
+      dataSchema: org.apache.spark.sql.types.StructType): Long = {
+    // pinned-read discipline: see cowRewriteCommit — rewrites upgrade
+    // pre-evolution files instead of failing on the mixed layout
+    val dataCols = dataSchema.fieldNames.toSeq
+    val readSchema = org.apache.spark.sql.types.StructType(
+      dataSchema.fields ++ index.partitionSchema.fields
+        .filterNot(f => dataSchema.fieldNames.contains(f.name)))
     val root = index.graftCatalogRoot.getOrElse(sys.error(
       "graft MERGE requires a catalog-backed table (CREATE TABLE … USING " +
         "graft OPTIONS (path '<catalogRoot>'))"))
@@ -393,7 +410,8 @@ object GraftDml extends PredicateHelper {
       .groupBy(f => new Path(f).getParent.getParent.toString)
       .toSeq.sortBy(_._1)
       .map { case (base, group) =>
-        spark.read.option("basePath", base).parquet(group.sorted: _*)
+        spark.read.schema(readSchema).option("basePath", base)
+          .parquet(group.sorted: _*)
       }
       .reduce(_.unionByName(_))
     // scheme-independent file key shared by the SQL side
@@ -484,7 +502,8 @@ object GraftDml extends PredicateHelper {
     val rewriteJobs = touchedList.zipWithIndex.map { case ((part, path), i) =>
       Future {
         val base = new Path(path).getParent.getParent.toString
-        val one = spark.read.option("basePath", base).parquet(path)
+        val one = spark.read.schema(readSchema)
+          .option("basePath", base).parquet(path)
         val schema = one.schema
         // a candidate with no staged slice holds NO matched rows (it is
         // here via by-source actions only): every row is unmatched, and
@@ -572,8 +591,7 @@ object GraftDml extends PredicateHelper {
             val c = a.condition.map(qs).getOrElse(lit(true))
             Some(acc.fold(when(c, lit(i2)))(_.when(c, lit(i2))))
         }.fold(lit(-1))(_.otherwise(lit(-1)))
-        val targetSchema = spark.read
-          .parquet(pm.partitions.head._2.head.path).schema
+        val targetSchema = dataSchema
         def insCol(c: String, dt: org.apache.spark.sql.types.DataType) =
           iActs.zipWithIndex.foldLeft(Option.empty[Column]) {
             case (acc, (a, i2)) =>
@@ -581,8 +599,7 @@ object GraftDml extends PredicateHelper {
               val w = col("__ia") === i2
               Some(acc.fold(when(w, v))(_.when(w, v)))
           }.get.cast(dt).as(c)
-        val partType = readRestored(
-          Seq(pm.partitions.head._2.head.path)).schema
+        val partType = readSchema
         val ins = unmatched.withColumn("__ia", iAct).where(col("__ia") >= 0)
           .select((targetSchema.fields.map(f => insCol(f.name, f.dataType))
             :+ insCol(partCol,
@@ -660,7 +677,7 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case d @ DeleteFromTable(t, cond) if d.resolved =>
         GraftDml.graftRelation(t) match {
           case Some((h, idx)) =>
-            GraftDeleteCommand(idx, cond, h.dataSchema.fieldNames.toSeq)
+            GraftDeleteCommand(idx, cond, h.dataSchema)
           case None => d
         }
       case u @ UpdateTable(t, assignments, cond) if u.resolved =>
@@ -673,13 +690,13 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
             }
             GraftUpdateCommand(idx, sets,
               cond.getOrElse(org.apache.spark.sql.catalyst.expressions
-                .Literal.TrueLiteral), h.dataSchema.fieldNames.toSeq)
+                .Literal.TrueLiteral), h.dataSchema)
           case None => u
         }
       case m: MergeIntoTable if m.resolved =>
         GraftDml.graftRelation(m.targetTable) match {
           case Some((h, idx)) =>
-            GraftMergeCommand(idx, m, h.dataSchema.fieldNames.toSeq)
+            GraftMergeCommand(idx, m, h.dataSchema)
           case None => m
         }
     }
@@ -687,9 +704,10 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
 /** `DELETE FROM t WHERE cond` — CoW rewrite + one atomic version. */
 case class GraftDeleteCommand(index: ManifestFileIndex, cond: Expression,
-    dataCols: Seq[String]) extends LeafRunnableCommand {
+    dataSchema: org.apache.spark.sql.types.StructType)
+    extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    GraftDml.cowRewriteCommit(spark, index, cond, Nil, dataCols)
+    GraftDml.cowRewriteCommit(spark, index, cond, Nil, dataSchema)
     Nil
   }
 }
@@ -697,9 +715,10 @@ case class GraftDeleteCommand(index: ManifestFileIndex, cond: Expression,
 /** `UPDATE t SET … WHERE cond` — CoW rewrite + one atomic version. */
 case class GraftUpdateCommand(index: ManifestFileIndex,
     sets: Seq[(String, Expression)], cond: Expression,
-    dataCols: Seq[String]) extends LeafRunnableCommand {
+    dataSchema: org.apache.spark.sql.types.StructType)
+    extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    GraftDml.cowRewriteCommit(spark, index, cond, sets, dataCols)
+    GraftDml.cowRewriteCommit(spark, index, cond, sets, dataSchema)
     Nil
   }
 }
@@ -708,11 +727,12 @@ case class GraftUpdateCommand(index: ManifestFileIndex,
   * version. Holds the resolved [[MergeIntoTable]] whole: the WHEN
   * cascade, assignments, and both child plans travel intact to run(). */
 case class GraftMergeCommand(index: ManifestFileIndex,
-    merge: MergeIntoTable, dataCols: Seq[String])
+    merge: MergeIntoTable,
+    dataSchema: org.apache.spark.sql.types.StructType)
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(merge)
   override def run(spark: SparkSession): Seq[Row] = {
-    GraftDml.cowMergeCommit(spark, index, merge, dataCols)
+    GraftDml.cowMergeCommit(spark, index, merge, dataSchema)
     Nil
   }
 }

@@ -79,6 +79,23 @@ object GraftMaintenance {
       case _ => None
     }
 
+  private val AddColumnRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMNS?\s+\(?\s*""" +
+      """(\w+)\s+([\w]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)""" +
+      """\s*\)?\s*;?\s*$""").r
+
+  /** Session-aware interception: `ALTER TABLE … ADD COLUMN` is taken
+    * over ONLY for graft front-door tables — every other table keeps
+    * Spark's own ALTER semantics (and errors) untouched. */
+  private[plans] def interceptSession(spark: SparkSession,
+      sqlText: String): Option[LogicalPlan] = sqlText match {
+    case AddColumnRe(table, colName, colType)
+        if GraftTimeTravel.graftRootOf(spark,
+          table.split('.').toSeq).isDefined =>
+      Some(GraftAddColumnCommand(table, colName, colType))
+    case _ => None
+  }
+
   /** Resolve a table name to its graft serving index (the same seam
     * the DML commands hold directly). */
   private[plans] def indexOf(spark: SparkSession,
@@ -123,10 +140,15 @@ object GraftMaintenance {
       spark.sparkContext.hadoopConfiguration)
     import scala.concurrent.{Await, ExecutionContext, Future}
     implicit val ec: ExecutionContext = ExecutionContext.global
+    // bins may mix files from before and after an ADD COLUMN
+    // evolution: pin the read to the catalog-tracked schema so old
+    // files null-fill and the compacted output is schema-uniform
+    val binSchema = FileManifest.schemaAt(spark, root)
     val jobs = work.zipWithIndex.map { case ((part, bin), i) =>
       Future {
         val tmp = f"$dataDir/_cmp_$i%05d"
-        spark.read.parquet(bin.map(_.path): _*)
+        val reader = binSchema.fold(spark.read)(spark.read.schema)
+        reader.parquet(bin.map(_.path): _*)
           .coalesce(1).sortWithinPartitions(clusterCol)
           .write.mode(SaveMode.Overwrite).parquet(tmp)
         val written = fs.listStatus(new Path(tmp)).toSeq
@@ -304,6 +326,50 @@ case class GraftRestoreCommand(table: String, version: Long)
   }
 }
 
+/** `ALTER TABLE t ADD COLUMN c <type>` — CATALOG-TRACKED schema
+  * evolution (the Iceberg discipline: the schema lives in the catalog,
+  * never rewritten into the files): the evolution commits as a new
+  * version whose `_meta` carries the evolved data schema. Reads at or
+  * after that version serve the new column (the parquet reader
+  * null-fills files older than the evolution — zero data IO for the
+  * ALTER itself); time travel BEFORE it serves the pre-evolution
+  * schema, epoch-correct by construction. Writes after the ALTER
+  * (INSERT INTO, appends) carry the column for real; DML rewrites
+  * upgrade the files they touch. The session catalog's stored schema
+  * follows in the same command (resolution checks it against the
+  * relation), and the cached plan refreshes. */
+case class GraftAddColumnCommand(table: String, colName: String,
+    colType: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val index = GraftMaintenance.indexOf(spark, table)
+    val root = index.graftCatalogRoot.getOrElse(sys.error(
+      "ALTER TABLE requires a catalog-backed graft table"))
+    require(!index.isTimeTraveled,
+      "ALTER TABLE on a time-traveled graft table is not allowed")
+    val analyzed = spark.table(table).queryExecution.analyzed
+    val h = GraftDml.graftRelation(analyzed).get._1
+    val dt = spark.sessionState.sqlParser.parseDataType(colType)
+    require(colName != index.partitionColumn,
+      s"`$colName` is the partition column")
+    require(!h.dataSchema.fieldNames.contains(colName),
+      s"column `$colName` already exists in $table")
+    val evolved = h.dataSchema.add(
+      org.apache.spark.sql.types.StructField(colName, dt, nullable = true))
+    FileManifest.commitVersion(spark,
+      FileManifest.loadLatest(spark, root), root,
+      meta = Map("operation" -> "add-column",
+        "addedColumn" -> colName, "schema" -> evolved.json))
+    // the catalog's stored schema must follow the relation's, or the
+    // next resolution would reject the mismatch (alterTableDataSchema
+    // re-appends the table's partition columns itself); then drop the
+    // cached plan so the next SELECT re-resolves the evolved relation
+    val ti = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    spark.sessionState.catalog.alterTableDataSchema(ti, evolved)
+    spark.catalog.refreshTable(table)
+    Nil
+  }
+}
+
 /** Delegating parser: exactly the three maintenance statements
   * (OPTIMIZE / VACUUM / DESCRIBE HISTORY) are intercepted
   * (whole-statement anchored match); everything else — including
@@ -316,6 +382,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
     GraftMaintenance.intercept(sqlText)
+      .orElse(GraftMaintenance.interceptSession(session, sqlText))
       .getOrElse(GraftTimeTravel.rewrite(session,
         delegate.parsePlan(sqlText)))
   override def parseExpression(sqlText: String): Expression =

@@ -1413,6 +1413,25 @@ object FileManifest {
     }
   }
 
+  /** The catalog-tracked DATA schema in force at `version` (or at the
+    * head): the newest retained version at-or-before it whose `_meta`
+    * recorded a `schema` — the Iceberg discipline (schema lives in the
+    * CATALOG, not the files), committed by `ALTER TABLE … ADD COLUMN`.
+    * None when the table predates schema tracking (callers fall back
+    * to the sampled file schema, exactly as before). Time travel is
+    * epoch-correct by construction: a version pinned before the
+    * evolution resolves the pre-evolution schema. */
+  def schemaAt(spark: SparkSession, root: String,
+      version: Option[Long] = None)
+      : Option[org.apache.spark.sql.types.StructType] =
+    versionHistory(spark, root).map(_._1)
+      .filter(v => version.forall(v <= _))
+      .sorted.reverseIterator
+      .map(v => versionMeta(spark, root, v).get("schema"))
+      .collectFirst { case Some(json) =>
+        org.apache.spark.sql.types.DataType.fromJson(json)
+          .asInstanceOf[org.apache.spark.sql.types.StructType] }
+
   /** SHALLOW CLONE — the Delta/Iceberg zero-copy fork: the clone's v0
     * manifest references the SOURCE's data files verbatim (no data IO
     * at all), under a fresh catalog root with its own independent

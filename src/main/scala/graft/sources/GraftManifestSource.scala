@@ -85,6 +85,17 @@ final class GraftManifestSource extends RelationProvider
     val travel = parameters.get("version").orElse(
       parameters.get("timestampasof")).orElse(
       parameters.get("timestampAsOf"))
+    val pinnedV: Option[Long] =
+      (parameters.get("version"), parameters.get("timestampasof")
+          .orElse(parameters.get("timestampAsOf"))) match {
+        case (Some(v), _) => Some(v.toLong)
+        case (None, Some(ts)) =>
+          // the version loadAsOf resolves — needed to pick the schema
+          // EPOCH the pinned snapshot belongs to
+          FileManifest.versionHistory(spark, catalogRoot)
+            .filter(_._2 <= ts.toLong).map(_._1).maxOption
+        case _ => None
+      }
     val pm = (parameters.get("version"), parameters.get("timestampasof")
         .orElse(parameters.get("timestampAsOf"))) match {
       case (Some(v), _) => FileManifest.loadVersion(spark, catalogRoot, v.toLong)
@@ -97,8 +108,12 @@ final class GraftManifestSource extends RelationProvider
       .nextOption().getOrElse(throw new IllegalArgumentException(
         s"empty catalog under $catalogRoot")).path
     // partition values are directory-encoded, so data files do not
-    // carry the partition column — the index's schema supplies it
-    val dataSchema = spark.read.parquet(sample).schema
+    // carry the partition column — the index's schema supplies it.
+    // The catalog-tracked schema (ALTER TABLE ADD COLUMN) wins over
+    // the sampled file schema: files older than an evolution lack the
+    // added columns and the parquet reader null-fills them
+    val dataSchema = FileManifest.schemaAt(spark, catalogRoot, pinnedV)
+      .getOrElse(spark.read.parquet(sample).schema)
     HadoopFsRelation(index, index.partitionSchema, dataSchema,
       None, new GraftParquetFileFormat, parameters)(spark)
   }
@@ -345,8 +360,16 @@ object GraftStreamSource {
       .map(_.path).toSeq.sorted.headOption
       .getOrElse(throw new IllegalArgumentException(
         s"empty graft catalog under $root"))
-    spark.read.option("basePath", tableRootOf(sample))
+    val sampled = spark.read.option("basePath", tableRootOf(sample))
       .parquet(sample).schema
+    // the catalog-tracked schema (ALTER TABLE ADD COLUMN) wins over a
+    // sampled pre-evolution file; the directory-encoded partition
+    // column still comes from the sample read
+    FileManifest.schemaAt(spark, root) match {
+      case Some(ds) => StructType(ds.fields ++
+        sampled.fields.filterNot(f => ds.fieldNames.contains(f.name)))
+      case None => sampled
+    }
   }
 
   /** The shared version-walk core behind both the streaming source and
@@ -390,10 +413,17 @@ object GraftStreamSource {
     // every write batch owns an immutable data/b<N> directory, so the
     // partition dirs of different versions have different parents —
     // one basePath cannot span them; read per batch dir and union.
+    // pin every read to the declared table schema: a change feed can
+    // cross an ADD COLUMN evolution, where old files lack the added
+    // columns (the reader null-fills them) — an unpinned read would
+    // fail the union on the mixed layout
+    val tableSchema = StructType(outSchema.fields.filterNot(f =>
+      f.name == "_graft_version" || f.name == "_change_type"))
     def readRestored(fs: Seq[String]): DataFrame =
       fs.groupBy(tableRootOf).toSeq.sortBy(_._1)
         .map { case (base, group) =>
-          spark.read.option("basePath", base).parquet(group.sorted: _*)
+          spark.read.schema(tableSchema).option("basePath", base)
+            .parquet(group.sorted: _*)
         }
         .reduce(_.unionByName(_))
     // The version tag (when asked for) is a per-group literal — the

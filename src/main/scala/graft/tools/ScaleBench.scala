@@ -300,7 +300,11 @@ object ScaleBench {
       "f30_sql_clone", "c15_stream_sink",
       // f31: layout write + CoW delete + a manifest-copy re-commit
       // (no data IO for the restore itself) + two pruned reads
-      "f31_sql_restore")
+      "f31_sql_restore",
+      // f32: the ALTER itself is no-IO (a manifest re-commit with
+      // schema meta); the wall is the ~f write + insert + the
+      // backfill UPDATE's pinned-read rewrite of touched files
+      "f32_sql_add_column")
       // x18/x19 are NOT here for x12's reason (salting renames their
       // literal terms) — the salted cases below measure real phrase/
       // proximity retrieval.

@@ -552,4 +552,83 @@ class GraftDmlSpec extends AnyFunSuite {
     }
     assert(messages(ng).exists(_.contains("not a graft")), messages(ng))
   }
+
+  test("ALTER TABLE ADD COLUMN: catalog-tracked evolution, epoch-correct travel, DML upgrades") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-alt").toString
+    val root = s"$tmp/cat"
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "user_id", "event_type", "value")
+    ev.where(col("user_id") < 8).write.format("graft").option("path", root)
+      .option("partitionBy", "event_type").option("clusterBy", "user_id")
+      .option("files", "2").mode("errorifexists").save()
+    spark.sql("DROP TABLE IF EXISTS alt_events")
+    spark.sql(s"CREATE TABLE alt_events USING graft OPTIONS (path '$root')")
+    val old = ev.where(col("user_id") < 8).count()
+
+    // the ALTER commits a labeled version; reads null-fill old files
+    spark.sql("ALTER TABLE alt_events ADD COLUMN bonus BIGINT")
+    assert(FileManifest.latestVersion(spark, root).contains(1L))
+    assert(spark.table("alt_events").columns.contains("bonus"))
+    assert(spark.sql("SELECT count(*) FROM alt_events WHERE bonus IS NULL")
+      .head.getLong(0) == old, "pre-evolution rows must read NULL")
+
+    // INSERT carries the column for real
+    ev.where(col("user_id") >= 8)
+      .select(col("event_id"), col("user_id"), col("value"),
+        (col("user_id") * 10).as("bonus"), col("event_type"))
+      .createOrReplaceTempView("alt_src")
+    spark.sql("INSERT INTO alt_events SELECT * FROM alt_src")
+    val ins = ev.where(col("user_id") >= 8).count()
+    assert(spark.sql("SELECT count(bonus) FROM alt_events")
+      .head.getLong(0) == ins)
+
+    // time travel BEFORE the evolution serves the pre-evolution schema
+    val v0 = spark.sql("SELECT * FROM alt_events VERSION AS OF 0")
+    assert(!v0.columns.contains("bonus"),
+      "a pre-evolution snapshot must serve its own schema epoch")
+    assert(v0.count() == old)
+
+    // DML across the evolution: the pinned-read rewrite UPGRADES the
+    // pre-evolution files it touches (backfill through plain SQL)
+    spark.sql("UPDATE alt_events SET bonus = 7 WHERE user_id = 2")
+    val n2 = ev.where(col("user_id") === 2).count()
+    assert(spark.sql(
+      "SELECT count(*) FROM alt_events WHERE bonus = 7").head.getLong(0)
+      == n2)
+    spark.sql("DELETE FROM alt_events WHERE user_id = 3")
+    val n3 = ev.where(col("user_id") === 3).count()
+    assert(spark.sql("SELECT count(*) FROM alt_events").head.getLong(0)
+      == old + ins - n3)
+
+    // OPTIMIZE compacts the mixed pre/post-evolution layout
+    val aggBefore = spark.sql(
+      "SELECT count(*), count(bonus), sum(bonus) FROM alt_events")
+      .head.toSeq
+    spark.sql(s"OPTIMIZE alt_events TARGET ${old + ins} ROWS")
+    assert(spark.sql(
+      "SELECT count(*), count(bonus), sum(bonus) FROM alt_events")
+      .head.toSeq == aggBefore, "compaction must be pure layout")
+
+    // the change feed crosses the evolution (old rows null-filled)
+    val feed = spark.sql("SELECT * FROM table_changes('alt_events', 0, 2)")
+    assert(feed.where(col("_graft_version") === 0).count() == old)
+    assert(feed.where(col("_graft_version") === 2
+      && col("bonus").isNotNull).count() == ins)
+
+    // refusals: duplicate column, the partition column, time travel
+    val dup = intercept[Throwable] {
+      spark.sql("ALTER TABLE alt_events ADD COLUMN bonus BIGINT")
+    }
+    assert(messages(dup).exists(_.contains("already exists")), messages(dup))
+    val pc = intercept[Throwable] {
+      spark.sql("ALTER TABLE alt_events ADD COLUMN event_type STRING")
+    }
+    assert(pc != null)
+    // non-graft ALTER passes through to Spark's own handling
+    val sparkOwn = intercept[Throwable] {
+      spark.sql("ALTER TABLE alt_src ADD COLUMN zz INT")
+    }
+    assert(messages(sparkOwn).exists(_.contains("EXPECT_TABLE_NOT_VIEW")),
+      messages(sparkOwn))
+  }
 }
