@@ -815,6 +815,17 @@ object SparkEntry {
           starts = 256L, walksPerNode = 2, length = 4,
           wReturn = 1, wCommon = 4, wFar = 2)
         .orderBy("start", "walk", "step")),
+    // word2vec SKIP-GRAM PAIRS over the DeepWalk corpus (r11): the
+    // training-data layout an embedding trainer consumes — window-2
+    // (center, context) positives from the g15 walks plus 2
+    // deterministic negatives per pair drawn from the corpus's own
+    // unigram distribution (exact-integer cumulative table, md5-mod
+    // draw, bucketed equi-join lookup — never an all-pairs range join)
+    "g20_skipgram" -> ((s, dir) =>
+      Graph.skipgramPairs(graphEdges(T(s, dir, "lineitem")), "src", "dst",
+          starts = 256L, walksPerNode = 2, length = 4, window = 2,
+          negatives = 2)
+        .orderBy("start", "walk", "step", "cstep", "kind", "neg")),
     // INCREMENTAL PageRank (r10): ranks maintained across an edge
     // append — 4 cold rounds on the pre-append graph, then the edge
     // batch lands and TWO warm rounds re-converge from the prior
@@ -4198,6 +4209,11 @@ object SparkEntry {
     "g18_node2vec_walks" ->
       operators.Graph.biasedWalksOracleSql(graphEdgesSql, starts = 256L,
         walksPerNode = 2, length = 4, wReturn = 1, wCommon = 4, wFar = 2),
+    // g20: the g15 walk replay + the same offset self-join + the
+    // md5-mod draw resolved against the identical cumulative table
+    "g20_skipgram" ->
+      operators.Graph.skipgramPairsOracleSql(graphEdgesSql, starts = 256L,
+        walksPerNode = 2, length = 4, window = 2, negatives = 2),
     "g16_neighbor_sample" ->
       operators.Graph.neighborSampleOracleSql(graphEdgesSql, seeds = 64L,
         fanouts = Seq(3, 2)),

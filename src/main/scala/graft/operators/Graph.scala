@@ -1616,6 +1616,15 @@ object Graph {
     * (walk, step, candidate), successor = ROW_NUMBER()=1 over
     * (md5, dst) — unrolled one CTE per step. */
   def randomWalksOracleSql(edgesSql: String, starts: Long,
+      walksPerNode: Int, length: Int): String =
+    walkCorpusCtes(edgesSql, starts, walksPerNode, length) +
+      "\nSELECT start, walk, step, node FROM corpus" +
+      "\nORDER BY start, walk, step"
+
+  /** Shared CTE prefix: the [[randomWalks]] replay ending in a
+    * `corpus(start, walk, step, node)` CTE — the base both the g15
+    * oracle and the g20 skip-gram oracle build on. */
+  private def walkCorpusCtes(edgesSql: String, starts: Long,
       walksPerNode: Int, length: Int): String = {
     val sb = new StringBuilder
     sb.append(s"WITH e AS (SELECT DISTINCT src, dst FROM ($edgesSql)\n")
@@ -1634,10 +1643,131 @@ object Graph {
         |s$t AS (SELECT start, w, dst AS cur FROM p$t WHERE rn = 1)""".stripMargin)
     }
     val unions = (0 to length).map(t =>
-      s"SELECT start, w AS walk, CAST($t AS BIGINT) AS step, cur AS node FROM s$t")
-    sb.append("\n" + unions.mkString("", "\nUNION ALL\n", "") +
-      "\nORDER BY start, walk, step")
+      s"  SELECT start, w AS walk, CAST($t AS BIGINT) AS step, cur AS node FROM s$t")
+    sb.append(",\ncorpus AS (\n" +
+      unions.mkString("", "\n  UNION ALL\n", "") + ")")
     sb.toString
+  }
+
+  /** SKIP-GRAM TRAINING PAIRS + NEGATIVE SAMPLING (g20) — the stage
+    * between the walk corpus (g15) and the embedding trainer: the
+    * word2vec data layout (Mikolov et al., NeurIPS 2013 §2.2) over
+    * DeepWalk walks (Perozzi et al., KDD 2014 §4.2). Every walk
+    * position pairs with each context within `window` steps (both
+    * directions, truncated at walk bounds); each positive pair then
+    * draws `negatives` nodes from the walk corpus's OWN unigram
+    * distribution — the exact-integer analogue of word2vec's noise
+    * distribution (corpus frequency; the paper's ¾-power smoothing is
+    * inherently float, so the engine keeps unsmoothed exact-integer
+    * weights — any integral reweighting drops into the same cumulative
+    * table without touching the machinery).
+    *
+    * Determinism discipline (the g14/g15 md5 rule): negative j of pair
+    * (start, walk, step, ctxStep) is the node whose cumulative-
+    * frequency interval [lo, hi) contains md5(start, walk, step,
+    * ctxStep, j) mod Σfreq — a fresh universal draw per (pair, j),
+    * node probability exactly freq/Σfreq, replayed bit-for-bit by the
+    * oracle over the same cumulative table. Draws may hit the center
+    * or the true context — word2vec's sampler does not exclude them
+    * either.
+    *
+    * Scale shape: positives are one corpus self-equi-join on
+    * (start, walk, step ± offset) — linear in corpus size; the
+    * unigram/cumulative table is ONE count aggregation at node
+    * cardinality (the bounded dimension — its window pass is
+    * node-sized, never corpus-sized); the negative lookup is an
+    * EQUI-join: intervals replicate into 256 fixed-width buckets and
+    * each draw probes bucket (u div width) — broadcast-hash shaped,
+    * never an all-pairs range join, so 100 TB of pairs stream
+    * map-side against a node-sized build.
+    *
+    * @return (start, walk, step, cstep, center, context, kind, neg):
+    *         kind 'P' rows carry the true context (neg NULL); kind 'N'
+    *         rows carry draw index neg in [0, negatives) with the
+    *         drawn node in `context`.
+    */
+  def skipgramPairs(edges: DataFrame, srcCol: String, dstCol: String,
+      starts: Long, walksPerNode: Int, length: Int, window: Int,
+      negatives: Int): DataFrame = {
+    require(window >= 1 && negatives >= 1,
+      "window and negatives must be >= 1")
+    val w = ckpt(randomWalks(edges, srcCol, dstCol, starts, walksPerNode,
+      length))
+    val offsets = ((-window to -1) ++ (1 to window)).map(_.toLong)
+    val pos = w
+      .withColumn("off", explode(array(offsets.map(lit): _*)))
+      .select(col("start"), col("walk"), col("step"),
+        col("node").as("center"), (col("step") + col("off")).as("cstep"))
+      .join(w.select(col("start").as("s2"), col("walk").as("w2"),
+          col("step").as("c2"), col("node").as("context")),
+        col("start") === col("s2") && col("walk") === col("w2") &&
+          col("cstep") === col("c2"))
+      .select("start", "walk", "step", "cstep", "center", "context")
+    // corpus-unigram cumulative table: ONE aggregation + one window
+    // pass over node-cardinality rows (the bounded dimension)
+    val cum = w.groupBy(col("node")).agg(count(lit(1)).as("freq"))
+      .withColumn("hi", sum("freq").over(
+        org.apache.spark.sql.expressions.Window.orderBy("node")))
+      .withColumn("lo", col("hi") - col("freq"))
+    val totals = cum.agg(max("hi").as("W"))
+      .withColumn("width", expr("(W + 255) DIV 256"))
+    val cumB = cum.crossJoin(broadcast(totals))
+      .withColumn("b", explode(sequence(expr("lo DIV width"),
+        expr("(hi - 1) DIV width"))))
+      .select(col("b"), col("lo"), col("hi"), col("node").as("drawn"))
+    val negs = pos
+      .withColumn("neg",
+        explode(array((0 until negatives).map(i => lit(i.toLong)): _*)))
+      .crossJoin(broadcast(totals))
+      .withColumn("u", pmod(conv(substring(md5(concat_ws(",",
+        col("start"), col("walk"), col("step"), col("cstep"),
+        col("neg"))), 1, 15), 16, 10).cast("long"), col("W")))
+      .withColumn("b", expr("u DIV width"))
+      .join(broadcast(cumB), Seq("b"))
+      .where(col("u") >= col("lo") && col("u") < col("hi"))
+      .select(col("start"), col("walk"), col("step"), col("cstep"),
+        col("center"), col("drawn").as("context"), lit("N").as("kind"),
+        col("neg"))
+    pos.select(col("start"), col("walk"), col("step"), col("cstep"),
+        col("center"), col("context"), lit("P").as("kind"),
+        lit(null).cast("long").as("neg"))
+      .unionByName(negs)
+  }
+
+  /** DuckDB mirror of [[skipgramPairs]]: the walk-corpus replay, the
+    * same offset self-join, and the same md5-mod draw resolved by a
+    * plain interval join against the identical cumulative table. */
+  def skipgramPairsOracleSql(edgesSql: String, starts: Long,
+      walksPerNode: Int, length: Int, window: Int,
+      negatives: Int): String = {
+    val offs = ((-window to -1) ++ (1 to window)).mkString(", ")
+    walkCorpusCtes(edgesSql, starts, walksPerNode, length) + s""",
+      |pos AS (SELECT c.start, c.walk, c.step, c.node AS center,
+      |    c.step + o.off AS cstep, c2.node AS context
+      |  FROM corpus c
+      |  CROSS JOIN (SELECT unnest([$offs]) AS off) o
+      |  JOIN corpus c2 ON c2.start = c.start AND c2.walk = c.walk
+      |    AND c2.step = c.step + o.off),
+      |freq AS (SELECT node, CAST(count(*) AS BIGINT) AS f
+      |  FROM corpus GROUP BY 1),
+      |cum AS (SELECT node,
+      |    CAST(sum(f) OVER (ORDER BY node) AS BIGINT) AS hi,
+      |    CAST(sum(f) OVER (ORDER BY node) - f AS BIGINT) AS lo
+      |  FROM freq),
+      |tot AS (SELECT max(hi) AS tw FROM cum),
+      |draws AS (SELECT p.*, CAST(j.neg AS BIGINT) AS neg,
+      |    ('0x' || substr(md5(p.start::VARCHAR || ',' || p.walk::VARCHAR
+      |      || ',' || p.step::VARCHAR || ',' || p.cstep::VARCHAR || ','
+      |      || j.neg::VARCHAR), 1, 15))::BIGINT % tot.tw AS u
+      |  FROM pos p CROSS JOIN range($negatives) j(neg) CROSS JOIN tot)
+      |SELECT start, walk, step, cstep, center, context,
+      |  'P' AS kind, CAST(NULL AS BIGINT) AS neg FROM pos
+      |UNION ALL
+      |SELECT d.start, d.walk, d.step, d.cstep, d.center,
+      |  c.node AS context, 'N' AS kind, d.neg
+      |FROM draws d JOIN cum c ON d.u >= c.lo AND d.u < c.hi
+      |ORDER BY start, walk, step, cstep, kind, neg NULLS FIRST,
+      |  context""".stripMargin
   }
 
   /** GraphSAGE-style NEIGHBORHOOD FANOUT SAMPLING (Hamilton et al.,

@@ -85,8 +85,36 @@ object InjectBloomJoinFilter extends Rule[LogicalPlan] with PredicateHelper {
               r.references.subsetOf(left.outputSet) &&
               l.references.subsetOf(right.outputSet) => (r, l)
         }
+        // SELF-DERIVED joins skip: a build side that reads any of the
+        // probe's own leaf relations can reject (almost) nothing —
+        // every probe key exists on the build's source, so the bloom
+        // is pure overhead (measured: graph label-joins, shingle
+        // self-joins, recursive frontiers pay the aggregate + filter
+        // and drop zero rows). Canonicalized leaf overlap is the
+        // cheap, safe detector.
+        def leavesOf(p: LogicalPlan) =
+          p.collectLeaves().map(_.canonicalized).toSet
+        lazy val selfDerived = leavesOf(left).intersect(leavesOf(right))
+          .nonEmpty
+        // ... and leaf overlap cannot see DERIVATION through a
+        // materialization boundary: a checkpointed iteration state
+        // (LogicalRDD) or a recursive/CTE reference is, in this
+        // engine, always computed FROM the relation it joins back to —
+        // whichever side it sits on, the join is a round-loop where
+        // the bloom rejects (almost) nothing (and a LogicalRDD's
+        // default stats are bogus anyway: Long.Max "probe" sizes).
+        // Joins touching such a leaf on EITHER side skip; genuine
+        // dimension joins (scan/literal leaves on both sides) keep
+        // firing — which is the only shape the bloom wins at 100 TB.
+        def derivedLeaf(p: LogicalPlan): Boolean =
+          p.collectLeaves().exists {
+            case _: org.apache.spark.sql.execution.LogicalRDD => true
+            case l => l.nodeName.contains("CTERelationRef") ||
+              l.nodeName.contains("UnionLoopRef")
+          }
         keys match {
-          case Some((lk, rk)) if lk.deterministic && rk.deterministic =>
+          case Some((lk, rk)) if lk.deterministic && rk.deterministic &&
+              !selfDerived && !derivedLeaf(left) && !derivedLeaf(right) =>
             val (ls, rs) = (left.stats.sizeInBytes, right.stats.sizeInBytes)
             if (canFilterLeft(jt) && rs <= maxBuild && ls >= minProbe &&
                 ls >= rs * 4 && !hasBloomFilter(left) &&

@@ -70,7 +70,7 @@ object Explain {
     // history, and the batch CDC table function
     "f27_sql_time_travel", "f28_sql_ctas", "f29_sql_history",
     "c14_table_changes", "f30_sql_clone", "c15_stream_sink",
-    "f31_sql_restore", "f32_sql_add_column")
+    "f31_sql_restore", "f32_sql_add_column", "g20_skipgram")
 
   /** Cost notes rendered under a query's plan — state the structural
     * story the plan tree alone can't show. */

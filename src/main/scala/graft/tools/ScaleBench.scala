@@ -304,7 +304,12 @@ object ScaleBench {
       // f32: the ALTER itself is no-IO (a manifest re-commit with
       // schema meta); the wall is the ~f write + insert + the
       // backfill UPDATE's pinned-read rewrite of touched files
-      "f32_sql_add_column")
+      "f32_sql_add_column",
+      // g20: positives = walk-corpus self-join (corpus fixed by the
+      // start cohort); the negative lookup is a broadcast-hash probe
+      // against the node-sized cumulative table — per-factor cost is
+      // the g15 walk replay over ~f edges of the densifying graph
+      "g20_skipgram")
       // x18/x19 are NOT here for x12's reason (salting renames their
       // literal terms) — the salted cases below measure real phrase/
       // proximity retrieval.

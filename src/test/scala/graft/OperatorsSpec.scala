@@ -2622,6 +2622,68 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == want.toSet, s"biased walks: ${got -- want.toSet} vs ${want.toSet -- got}")
   }
 
+  test("skip-gram pairs: positives complete, negatives replay the md5-mod draw") {
+    // same graph as the g15 spec; replay walks, pairs, and draws in
+    // plain scala — the exact rule the oracle states in SQL
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (1L, 3L), (2L, 0L))
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val corpus = scala.collection.mutable
+      .ArrayBuffer[(Long, Long, Long, Long)]()
+    for (start <- 0L to 3L; w <- 0L to 1L) {
+      var cur = start
+      corpus += ((start, w, 0L, cur))
+      var t = 1
+      var alive = true
+      while (t <= 3 && alive) {
+        adj.get(cur) match {
+          case Some(nbrs) =>
+            cur = nbrs.minBy(d => (md5hex(s"$start,$w,$t,$d"), d))
+            corpus += ((start, w, t.toLong, cur)); t += 1
+          case None => alive = false
+        }
+      }
+    }
+    val byPos = corpus.map(r => ((r._1, r._2, r._3), r._4)).toMap
+    val window = 2
+    val negatives = 2
+    val pos = for {
+      (s0, w0, t0, node) <- corpus.toSeq
+      off <- Seq(-window.toLong, -1L, 1L, window.toLong).distinct
+      ctx <- byPos.get((s0, w0, t0 + off))
+    } yield (s0, w0, t0, t0 + off, node, ctx)
+    // cumulative unigram table ordered by node id; the draw is
+    // md5(pair, j) mod total, resolved by interval containment
+    val freq = corpus.groupBy(_._4).view.mapValues(_.size.toLong).toMap
+    val cum = freq.keys.toSeq.sorted
+      .scanLeft((-1L, 0L, 0L)) { case ((_, _, hi), n) =>
+        (n, hi, hi + freq(n)) }.tail
+    val total = cum.last._3
+    def draw(s0: Long, w0: Long, t0: Long, c0: Long, j: Long): Long = {
+      val u = java.lang.Long.parseLong(
+        md5hex(s"$s0,$w0,$t0,$c0,$j").take(15), 16) % total
+      cum.find(c => u >= c._2 && u < c._3).get._1
+    }
+    val negs = pos.flatMap { case (s0, w0, t0, c0, center, _) =>
+      (0L until negatives.toLong).map(j =>
+        (s0, w0, t0, c0, center, draw(s0, w0, t0, c0, j), j))
+    }
+    val got = Graph.skipgramPairs(edges.toDF("s", "d"), "s", "d",
+        starts = 4L, walksPerNode = 2, length = 3, window = window,
+        negatives = negatives).collect()
+    val gotP = got.filter(_.getString(6) == "P")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    val gotN = got.filter(_.getString(6) == "N")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(7))).toSet
+    assert(gotP == pos.toSet,
+      s"positives: ${gotP -- pos.toSet} vs ${pos.toSet -- gotP}")
+    assert(gotN == negs.toSet,
+      s"negatives: ${gotN -- negs.toSet} vs ${negs.toSet -- gotN}")
+    // every P row carries a NULL draw index (the kind discriminator)
+    assert(got.filter(_.getString(6) == "P").forall(_.isNullAt(7)))
+  }
+
   test("vad segments: energy gate, islands merge, gaps split, seg ids ordered") {
     // 4 frames of 4 samples: loud, loud, quiet, loud -> segments
     // [0..1] and [3..3] at a gate the quiet frame misses
