@@ -891,6 +891,17 @@ object SparkEntry {
       Graph.louvain(triangleEdges(T(s, dir, "lineitem")),
           "src", "dst", rounds = 4)
         .orderBy("node")),
+    // MULTI-LEVEL LOUVAIN (r12): the coarsening recursion over g19 —
+    // each level contracts communities into a weighted graph (one
+    // groupBy on the mapped endpoint pair, internal edges folded into
+    // self-loops) and re-runs the gated exact-integer local moves on
+    // it, gains still scaled by the ORIGINAL graph's 2m; the final
+    // assignment unfolds to original nodes. Level 1 IS g19 bit for
+    // bit, modularity non-decreasing level over level (spec-pinned)
+    "g21_louvain_multilevel" -> ((s, dir) =>
+      Graph.louvainMultilevel(triangleEdges(T(s, dir, "lineitem")),
+          "src", "dst", rounds = 3, levels = 2)
+        .orderBy("node")),
     // STRONGLY CONNECTED COMPONENTS by FW-BW block refinement (r9):
     // within-block forward/backward min-propagation run TO A CHECKED
     // FIXED POINT under loud caps (a truncated min would silently
@@ -3303,6 +3314,87 @@ object SparkEntry {
         |FROM f32_events
         |GROUP BY event_type ORDER BY event_type""".stripMargin)
     }),
+    // LAZY DROP COLUMN (r12) — `ALTER TABLE t DROP COLUMN c` on the
+    // f32 schema-pinned read discipline: the narrowed schema commits
+    // as a catalog version (zero data IO); head reads project the
+    // column away, pre-drop time travel serves the wide epoch, and a
+    // post-drop CoW DELETE rewrites its touched files physically shed
+    // of the column (spec-pinned). One statement reads BOTH epochs
+    "f33_sql_drop_column" -> ((s, dir) => {
+      val tmp = layoutDir("f33", dir)
+      val root = s"$tmp/cat"
+      freshDir(s, root)
+      val ev = T(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      ev.write.format("graft")
+        .option("path", root).option("partitionBy", "event_type")
+        .option("clusterBy", "user_id").option("files", "4")
+        .mode("overwrite").save() // v0
+      s.sql("DROP TABLE IF EXISTS f33_events")
+      s.sql(s"CREATE TABLE f33_events USING graft OPTIONS (path '$root')")
+      s.sql("ALTER TABLE f33_events DROP COLUMN value") // v1: metadata only
+      s.sql("DELETE FROM f33_events WHERE user_id = 3") // v2: post-drop CoW
+      require(!s.table("f33_events").columns.contains("value"),
+        "the dropped column must vanish from head reads")
+      require(FileManifest.latestVersion(s, root).contains(2L),
+        "expected create + drop-column + delete versions")
+      s.sql("""SELECT snap, event_type, n_events, sum_ids, total_value
+        |FROM (
+        |  SELECT 'head' AS snap, event_type, count(*) AS n_events,
+        |    sum(event_id) AS sum_ids, CAST(NULL AS DOUBLE) AS total_value
+        |  FROM f33_events GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'pre', event_type, count(*), sum(event_id),
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM f33_events VERSION AS OF 0 GROUP BY event_type)
+        |ORDER BY snap, event_type""".stripMargin)
+    }),
+    // MERGE WITH SCHEMA EVOLUTION (r12) — the Delta statement,
+    // composed from committed pieces: source columns absent from the
+    // target commit as an f32 ADD COLUMN evolution (every existing
+    // row null-fills), then the stripped MERGE runs against the
+    // evolved schema — matched rows and inserts carry the new column
+    // for real, unmatched target rows stay NULL. Type CHANGES refuse
+    // (spec-pinned). The ON clause pins both layout keys so SET *
+    // passes the key-identity gate
+    "f34_merge_evolution" -> ((s, dir) => {
+      val tmp = layoutDir("f34", dir)
+      val root = s"$tmp/cat"
+      freshDir(s, root)
+      val ev = T(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      ev.write.format("graft")
+        .option("path", root).option("partitionBy", "event_type")
+        .option("clusterBy", "event_id").option("files", "8")
+        .mode("overwrite").save() // v0
+      s.sql("DROP TABLE IF EXISTS f34_events")
+      s.sql(s"CREATE TABLE f34_events USING graft OPTIONS (path '$root')")
+      ev.createOrReplaceTempView("f34_src_events")
+      s.sql("""CREATE OR REPLACE TEMP VIEW f34_chg AS
+        |SELECT event_id, user_id, event_type, value * 2 AS value,
+        |       user_id * 100 + 7 AS bonus
+        |FROM f34_src_events WHERE user_id BETWEEN 4 AND 9
+        |UNION ALL
+        |SELECT event_id + 200000000 AS event_id, user_id, event_type,
+        |       value + 1.5 AS value, user_id * 100 + 9 AS bonus
+        |FROM f34_src_events WHERE user_id BETWEEN 1 AND 3""".stripMargin)
+      s.sql("""MERGE WITH SCHEMA EVOLUTION INTO f34_events t
+        |USING f34_chg s
+        |ON t.event_id = s.event_id AND t.event_type = s.event_type
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      require(s.table("f34_events").columns.contains("bonus"),
+        "the evolution must add the new source column")
+      require(FileManifest.latestVersion(s, root).contains(2L),
+        "expected create + add-column + merge versions")
+      s.sql("""SELECT event_type, count(*) AS n_events,
+        |  count(bonus) AS n_bonus, sum(bonus) AS sum_bonus,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value,
+        |  sum(event_id) AS sum_ids
+        |FROM f34_events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
     // SHALLOW CLONE through the front door — `CREATE TABLE c SHALLOW
     // CLONE s VERSION AS OF n LOCATION 'p'` (the Delta statement): a
     // ZERO-COPY fork whose v0 manifest references the source's data
@@ -4147,6 +4239,9 @@ object SparkEntry {
       operators.Graph.labelPropOracleSql(triangleEdgesSql, rounds = 3),
     "g19_louvain" ->
       operators.Graph.louvainOracleSql(triangleEdgesSql, rounds = 4),
+    "g21_louvain_multilevel" ->
+      operators.Graph.louvainMultilevelOracleSql(triangleEdgesSql,
+        rounds = 3, levels = 2),
     // g9: the engine's caps unroll verbatim — rounds past the checked
     // convergence are no-ops, so the chains agree bit for bit
     "g9_scc" ->
@@ -6031,6 +6126,57 @@ object SparkEntry {
         |  CAST(sum(event_id) AS BIGINT) AS sum_ids
         |FROM events
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // f33: the head epoch is the post-DELETE relation WITHOUT the
+    // dropped column (its aggregate column NULL by construction); the
+    // pre-drop epoch still reads it — lazy drop is catalog-only, so
+    // both derive from the one source relation
+    "f33_sql_drop_column" ->
+      """SELECT snap, event_type, n_events, sum_ids, total_value
+        |FROM (
+        |  SELECT 'head' AS snap, event_type,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(event_id) AS BIGINT) AS sum_ids,
+        |    CAST(NULL AS DOUBLE) AS total_value
+        |  FROM events WHERE user_id <> 3 GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'pre', event_type, CAST(count(*) AS BIGINT),
+        |    CAST(sum(event_id) AS BIGINT),
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM events GROUP BY event_type)
+        |ORDER BY snap, event_type""".stripMargin,
+    // f34: evolution + MERGE == left join carrying the new column for
+    // matched rows (NULL for unmatched — the null-fill the ADD COLUMN
+    // commit guarantees) + anti-join inserts carrying it for real
+    "f34_merge_evolution" ->
+      """WITH chg AS (
+        |  SELECT event_id, user_id, event_type, value * 2 AS value,
+        |         user_id * 100 + 7 AS bonus
+        |  FROM events WHERE user_id BETWEEN 4 AND 9
+        |  UNION ALL
+        |  SELECT event_id + 200000000, user_id, event_type,
+        |         value + 1.5, user_id * 100 + 9
+        |  FROM events WHERE user_id BETWEEN 1 AND 3
+        |), merged AS (
+        |  SELECT e.event_id, e.event_type,
+        |         CASE WHEN c.event_id IS NOT NULL THEN c.value
+        |              ELSE e.value END AS value,
+        |         CASE WHEN c.event_id IS NOT NULL THEN c.bonus
+        |              ELSE NULL END AS bonus
+        |  FROM events e LEFT JOIN chg c ON e.event_id = c.event_id
+        |    AND e.event_type = c.event_type
+        |  UNION ALL
+        |  SELECT c.event_id, c.event_type, c.value, c.bonus
+        |  FROM chg c LEFT JOIN events e ON c.event_id = e.event_id
+        |    AND c.event_type = e.event_type
+        |  WHERE e.event_id IS NULL
+        |)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(bonus) AS BIGINT) AS n_bonus,
+        |  CAST(sum(bonus) AS BIGINT) AS sum_bonus,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_ids
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
     // f31: the restored head is the WHOLE relation again; the mistake
     // version (the delete) stays readable between them — rollback as
     // a new commit, history intact

@@ -661,6 +661,232 @@ object Graph {
     labels
   }
 
+  /** One gated weighted-local-move LEVEL over a WEIGHTED simple graph
+    * — the coarse-graph primitive [[louvainMultilevel]] recurses on.
+    * `wund` is the undirected weighted edge list (a < b, integer w);
+    * `self` is (node, sl) self-loop weight — a contracted community's
+    * internal edges. `m` stays the ORIGINAL graph's undirected edge
+    * count: contraction conserves total weight (inter + self = m), so
+    * every level's gains share the same exact-integer 2m scaling.
+    * A node's weighted degree is k = Σw + 2·sl (the standard
+    * convention); self-loops never enter l_iC — they move with the
+    * node wherever it goes, a constant offset that cancels in the
+    * argmax. With unit weights and no self-loops this IS [[louvain]]'s
+    * update rule bit for bit (spec-pinned). */
+  private def louvainWeightedRounds(wund: DataFrame, self: DataFrame,
+      m: Long, rounds: Int): DataFrame = {
+    val ue = wund.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .union(wund.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      .repartition(shuffleParts(wund), col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = ue.select(col("src").as("node"))
+      .union(self.select(col("node"))).distinct()
+    val degE = ue.groupBy(col("src").as("node")).agg(sum("w").as("__ke"))
+    val deg = nodes.join(degE, Seq("node"), "left")
+      .join(self.select(col("node"), col("sl").as("__sl")),
+        Seq("node"), "left")
+      .select(col("node"), (coalesce(col("__ke"), lit(0L)) +
+        lit(2L) * coalesce(col("__sl"), lit(0L))).as("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = deg.select(col("node"), col("node").as("label"))
+      .transform(ckpt)
+    for (r <- 1 to rounds) {
+      val gate = lit(r % 2)
+      val tot = labels.join(deg, "node")
+        .groupBy("label").agg(sum("k").as("tot"))
+      val nc = ue.join(labels, ue("src") === labels("node"))
+        .where(ue("dst") % 2 === gate)
+        .groupBy(ue("dst").as("node"), col("label"))
+        .agg(sum("w").as("l_ic"))
+      val curCand = labels.where(col("node") % 2 === gate)
+        .join(nc, Seq("node", "label"), "left")
+        .select(col("node"), col("label"),
+          coalesce(col("l_ic"), lit(0L)).as("l_ic"))
+      val cand = nc.select("node", "label", "l_ic")
+        .union(curCand).distinct()
+      val gains = cand
+        .join(deg, "node")
+        .join(tot, "label")
+        .join(labels.select(col("node"), col("label").as("__cur")), "node")
+        .select(col("node"), col("label"),
+          (lit(2L * m) * col("l_ic") - col("k") *
+            (col("tot") - when(col("label") === col("__cur"), col("k"))
+              .otherwise(lit(0L)))).as("gain"))
+      val best = gains.groupBy("node")
+        .agg(max(struct(col("gain"), (-col("label")).as("nl"))).as("mx"))
+        .select(col("node"), (-col("mx.nl")).as("blabel"))
+      labels = labels.join(best, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("blabel"), col("label")).as("label"))
+        .transform(ckpt)
+    }
+    ue.unpersist(); deg.unpersist()
+    labels
+  }
+
+  /** MULTI-LEVEL LOUVAIN (g21) — the coarsening recursion over the
+    * g19 local-move primitive (Blondel et al., J. Stat. Mech. 2008
+    * §2: "the passes are then repeated on the network of
+    * communities"): after each level's gated local moves, the
+    * community graph CONTRACTS — one node per community, inter-
+    * community edge weights summed (one groupBy on the mapped
+    * endpoint pair), internal edges folded into self-loop weights —
+    * and the SAME gated update runs on the weighted coarse graph,
+    * whose gains stay scaled by the original graph's exact-integer
+    * 2m (contraction conserves total weight). The final assignment
+    * unfolds through the level mappings back to original nodes.
+    *
+    * Level 1 is [[louvain]] itself, bit for bit (spec-pinned); the
+    * coarse levels are where Louvain earns its resolution — merges
+    * no single-node move can reach (two tight communities joined by
+    * several bridges merge as single coarse nodes).
+    *
+    * Scale shape per level: the contraction is two node-keyed
+    * equi-joins + one groupBy over the CURRENT coarse edge list —
+    * and coarse graphs shrink geometrically, so the total work is
+    * dominated by level 1's |E|. No windows over edges anywhere;
+    * the per-level mapping join is label-keyed and coarse-sized.
+    *
+    * @return (node, label) over the ORIGINAL nodes after `levels`
+    *         levels of `rounds` gated rounds each. */
+  def louvainMultilevel(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int, levels: Int): DataFrame = {
+    require(rounds >= 1 && levels >= 1)
+    var assign = ckpt(louvain(edges, srcCol, dstCol, rounds))
+    if (levels == 1) return assign
+    val und0 = normalize(edges, srcCol, dstCol)
+      .where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = und0.count()
+    var wund = ckpt(und0.withColumn("w", lit(1L)))
+    und0.unpersist()
+    var self = wund.select(col("a").as("node"), col("w").as("sl"))
+      .where(lit(false))
+    // `mapping` sends the CURRENT coarse node space to its community:
+    // level 1's node space is the original graph, so it starts as the
+    // level-1 assignment itself
+    var mapping = assign
+    for (_ <- 2 to levels) {
+      // CONTRACT through the latest mapping
+      val mx = mapping.select(col("node").as("a"), col("label").as("la"))
+      val my = mapping.select(col("node").as("b"), col("label").as("lb"))
+      val mapped = ckpt(wund.join(mx, "a").join(my, "b")
+        .select(col("la"), col("lb"), col("w")))
+      val inter = ckpt(mapped.where(col("la") =!= col("lb"))
+        .select(least(col("la"), col("lb")).as("a"),
+          greatest(col("la"), col("lb")).as("b"), col("w"))
+        .groupBy("a", "b").agg(sum("w").as("w")))
+      val newSelf = ckpt(mapped.where(col("la") === col("lb"))
+        .select(col("la").as("node"), col("w").as("sl"))
+        .unionByName(self
+          .join(mapping.select(col("node"), col("label")), "node")
+          .select(col("label").as("node"), col("sl")))
+        .groupBy("node").agg(sum("sl").as("sl")))
+      val coarse = ckpt(louvainWeightedRounds(inter, newSelf, m, rounds))
+      assign = ckpt(assign
+        .join(coarse.select(col("node").as("__cn"),
+          col("label").as("__nl")), col("label") === col("__cn"), "left")
+        .select(col("node"),
+          coalesce(col("__nl"), col("label")).as("label")))
+      wund = inter; self = newSelf; mapping = coarse
+    }
+    assign
+  }
+
+  /** DuckDB mirror of [[louvainMultilevel]]: every level's gated
+    * weighted rounds unrolled over the same contraction CTEs — unit
+    * weights and an empty self-loop table make level 1 the identical
+    * expression tree as [[louvainOracleSql]]'s. */
+  def louvainMultilevelOracleSql(edgesSql: String, rounds: Int,
+      levels: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH e0 AS ($edgesSql),\n")
+    sb.append("u AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, " +
+      "greatest(src, dst) AS b FROM e0 WHERE src <> dst),\n")
+    sb.append("mm AS MATERIALIZED (SELECT count(*) AS m FROM u),\n")
+    sb.append("w1 AS MATERIALIZED (SELECT a, b, CAST(1 AS BIGINT) AS w " +
+      "FROM u),\n")
+    sb.append("s1 AS MATERIALIZED (SELECT a AS node, " +
+      "CAST(0 AS BIGINT) AS sl FROM u WHERE FALSE)")
+    for (k <- 1 to levels) {
+      sb.append(s""",
+        |ue$k AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM w$k
+        |  UNION ALL SELECT b, a, w FROM w$k),
+        |n$k AS MATERIALIZED (SELECT src AS node FROM ue$k
+        |  UNION SELECT node FROM s$k),
+        |deg$k AS MATERIALIZED (SELECT n.node,
+        |    coalesce(ke.ke, 0) + 2 * coalesce(s.sl, 0) AS k
+        |  FROM n$k n
+        |  LEFT JOIN (SELECT src AS node, sum(w) AS ke FROM ue$k
+        |    GROUP BY 1) ke USING (node)
+        |  LEFT JOIN s$k s USING (node)),
+        |l${k}_0 AS MATERIALIZED (SELECT node, node AS label FROM deg$k)"""
+        .stripMargin)
+      for (i <- 1 to rounds) {
+        val g = i % 2
+        sb.append(s""",
+          |tot${k}_$i AS MATERIALIZED (SELECT l.label, sum(d.k) AS tot
+          |  FROM l${k}_${i - 1} l JOIN deg$k d USING (node) GROUP BY 1),
+          |nc${k}_$i AS MATERIALIZED (SELECT e.dst AS node, l.label,
+          |    sum(e.w) AS l_ic
+          |  FROM ue$k e JOIN l${k}_${i - 1} l ON l.node = e.src
+          |  WHERE e.dst % 2 = $g GROUP BY 1, 2),
+          |cand${k}_$i AS MATERIALIZED (
+          |  SELECT node, label, l_ic FROM nc${k}_$i
+          |  UNION
+          |  SELECT l.node, l.label, coalesce(n.l_ic, 0)
+          |  FROM l${k}_${i - 1} l LEFT JOIN nc${k}_$i n
+          |    ON n.node = l.node AND n.label = l.label
+          |  WHERE l.node % 2 = $g),
+          |g${k}_$i AS (SELECT c.node, c.label,
+          |    2 * mm.m * c.l_ic - d.k * (t.tot -
+          |      CASE WHEN c.label = l.label THEN d.k ELSE 0 END) AS gain
+          |  FROM cand${k}_$i c JOIN deg$k d ON d.node = c.node
+          |    JOIN tot${k}_$i t ON t.label = c.label
+          |    JOIN l${k}_${i - 1} l ON l.node = c.node CROSS JOIN mm),
+          |b${k}_$i AS (SELECT node, label FROM (
+          |  SELECT node, label, row_number() OVER (PARTITION BY node
+          |    ORDER BY gain DESC, label ASC) AS r FROM g${k}_$i)
+          |  WHERE r = 1),
+          |l${k}_$i AS MATERIALIZED (SELECT l.node,
+          |    coalesce(b.label, l.label) AS label
+          |  FROM l${k}_${i - 1} l LEFT JOIN b${k}_$i b USING (node))"""
+          .stripMargin)
+      }
+      // unfold into the original-node assignment
+      if (k == 1)
+        sb.append(s""",
+          |a1 AS MATERIALIZED (SELECT node, label FROM l1_$rounds)"""
+          .stripMargin)
+      else
+        sb.append(s""",
+          |a$k AS MATERIALIZED (SELECT p.node,
+          |    coalesce(c.label, p.label) AS label
+          |  FROM a${k - 1} p LEFT JOIN l${k}_$rounds c
+          |    ON c.node = p.label)""".stripMargin)
+      // contract for the next level
+      if (k < levels)
+        sb.append(s""",
+          |mp$k AS MATERIALIZED (SELECT x.label AS la, y.label AS lb, w.w
+          |  FROM w$k w JOIN l${k}_$rounds x ON x.node = w.a
+          |    JOIN l${k}_$rounds y ON y.node = w.b),
+          |w${k + 1} AS MATERIALIZED (SELECT least(la, lb) AS a,
+          |    greatest(la, lb) AS b, sum(w) AS w
+          |  FROM mp$k WHERE la <> lb GROUP BY 1, 2),
+          |s${k + 1} AS MATERIALIZED (SELECT node, sum(sl) AS sl FROM (
+          |  SELECT la AS node, w AS sl FROM mp$k WHERE la = lb
+          |  UNION ALL
+          |  SELECT x.label AS node, s.sl
+          |  FROM s$k s JOIN l${k}_$rounds x ON x.node = s.node)
+          |  GROUP BY 1)""".stripMargin)
+    }
+    sb.append(s"\nSELECT node, label FROM a$levels ORDER BY node")
+    sb.toString
+  }
+
   /** DuckDB mirror of [[louvain]]: the gated gain rounds unrolled —
     * same integer scaling, same (gain DESC, label ASC) argmax. */
   def louvainOracleSql(edgesSql: String, rounds: Int): String = {
@@ -1703,11 +1929,31 @@ object Graph {
         col("start") === col("s2") && col("walk") === col("w2") &&
           col("cstep") === col("c2"))
       .select("start", "walk", "step", "cstep", "center", "context")
-    // corpus-unigram cumulative table: ONE aggregation + one window
-    // pass over node-cardinality rows (the bounded dimension)
-    val cum = w.groupBy(col("node")).agg(count(lit(1)).as("freq"))
-      .withColumn("hi", sum("freq").over(
-        org.apache.spark.sql.expressions.Window.orderBy("node")))
+    // corpus-unigram cumulative table: ONE aggregation over
+    // node-cardinality rows, then a RANGE-PARTITIONED two-pass prefix
+    // sum — a global `Window.orderBy(node)` would funnel the whole
+    // vocabulary through ONE reducer (at |V| ~ 10⁹ that single
+    // partition is the scale wall); instead each range partition
+    // computes its local running sum, the P per-partition totals
+    // (driver-side, P = shuffle partitions — bounded) become
+    // broadcast offsets, and hi = local + offset is byte-identical
+    // to the global window (node is distinct, sums are exact longs)
+    val freq = w.groupBy(col("node")).agg(count(lit(1)).as("freq"))
+    val local = ckpt(freq
+      .repartitionByRange(shuffleParts(freq), col("node"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lhi", sum("freq").over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("pid").orderBy("node"))))
+    val ptot = local.groupBy("pid").agg(max("lhi").as("ptot"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var running = 0L
+    val pidOffsets = ptot.map { case (pid, t) =>
+      val off = running; running += t; (pid, off) }
+    val offDf = w.sparkSession.createDataFrame(pidOffsets.toSeq)
+      .toDF("pid", "off")
+    val cum = local.join(broadcast(offDf), "pid")
+      .withColumn("hi", col("lhi") + col("off"))
       .withColumn("lo", col("hi") - col("freq"))
     val totals = cum.agg(max("hi").as("W"))
       .withColumn("width", expr("(W + 255) DIV 256"))

@@ -58,6 +58,106 @@ import graft.sources.{FileManifest, ManifestFileIndex}
   */
 object GraftDml extends PredicateHelper {
 
+  private[plans] def norm(s: String): String = new Path(s).toUri.getPath
+
+  /** Scheme-independent file key shared by the SQL side
+    * (input_file_name URIs) and the driver side (manifest paths):
+    * md5 of the last three path segments — batchDir/partition/file,
+    * unique within one table, no directory-name escaping to disagree
+    * on. The 'k' prefix keeps the key NON-NUMERIC so a staged
+    * `__fk=<key>` partition directory can never be re-inferred as a
+    * numeric partition column (an all-digit md5 would otherwise read
+    * back as DECIMAL and drop leading zeros — a silent key mismatch). */
+  private[plans] def fileKey(path: String): String = {
+    val tail = norm(path).split('/').takeRight(3).mkString("/")
+    "k" + java.security.MessageDigest.getInstance("MD5")
+      .digest(tail.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** [[fileKey]] as a codegen'd expression over a file-name column. */
+  private[plans] def fileKeyCol(fileName: Column): Column =
+    org.apache.spark.sql.functions.concat(lit("k"),
+      org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.substring_index(fileName, "/", -3)))
+
+  /** ONE distributed rewrite job over ALL touched files — the scale
+    * shape of every CoW rewrite (DELETE/UPDATE/MERGE/OPTIMIZE):
+    * instead of one single-task Spark job per touched file (whose
+    * driver-side scheduling loop becomes the wall clock at 10⁴–10⁵
+    * touched files, with no backpressure on the Future fan-out), the
+    * touched files are read as one scan tagged with their file key,
+    * `transform` applies the rewrite uniformly, and ONE
+    * dynamic-partitioned write lands every output under
+    * `_rw/__fk=<key>/`. The driver then renames each key's files into
+    * the per-file name the manifest expects — O(touched files)
+    * metadata work, ZERO extra jobs.
+    *
+    * Without `shufflePerFk` the plan is shuffle-free: the scan's
+    * tasks sort (key, cluster) locally and the dynamic writer splits
+    * by key, so per-file output content (and its footer stats) is
+    * exactly what the per-file jobs produced — a task that got a
+    * coalesced run of small files just writes one output per key.
+    * `shufflePerFk` adds a hash exchange on the key for transforms
+    * whose own joins scatter a file's rows across tasks (MERGE), so
+    * each rewritten file stays ONE output file.
+    *
+    * `transform` must preserve the `__fk` column on its output rows. */
+  private[plans] def distributedRewrite(spark: SparkSession,
+      readSchema: org.apache.spark.sql.types.StructType,
+      dataCols: Seq[String], clusterCol: String,
+      touchedList: Seq[(String, String)], dataDir: String, prefix: String,
+      transform: DataFrame => DataFrame, shufflePerFk: Boolean)
+      : Map[String, Seq[FileManifest.FileStats]] = {
+    require(!dataCols.contains("__fk"),
+      "graft DML: the table must not carry a `__fk` column (reserved)")
+    val fs = new Path(dataDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val fkInfo: Map[String, (String, Int)] = touchedList.zipWithIndex.map {
+      case ((part, path), i) => fileKey(path) -> ((part, i))
+    }.toMap
+    require(fkInfo.size == touchedList.size,
+      "graft DML: file-key collision across touched files")
+    val src = touchedList.map(_._2)
+      .groupBy(f => new Path(f).getParent.getParent.toString)
+      .toSeq.sortBy(_._1)
+      .map { case (base, group) =>
+        spark.read.schema(readSchema).option("basePath", base)
+          .parquet(group.sorted: _*)
+      }
+      .reduce(_.unionByName(_))
+      .withColumn("__fk", fileKeyCol(input_file_name()))
+    val out0 = transform(src)
+    val out = if (shufflePerFk) out0.repartition(col("__fk")) else out0
+    val rwTmp = s"$dataDir/_rw"
+    out.select((dataCols.map(col) :+ col("__fk")): _*)
+      .sortWithinPartitions(col("__fk"), col(clusterCol))
+      .write.mode(SaveMode.Overwrite).partitionBy("__fk").parquet(rwTmp)
+    val moved: Seq[(String, String)] = fs.listStatus(new Path(rwTmp)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__fk="))
+      .sortBy(_.getPath.getName)
+      .flatMap { d =>
+        val fk = d.getPath.getName.stripPrefix("__fk=")
+        val (part, i) = fkInfo.getOrElse(fk,
+          sys.error(s"graft DML: unexpected rewrite key $fk"))
+        val destDir = new Path(dataDir, part)
+        fs.mkdirs(destDir)
+        fs.listStatus(d.getPath).toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map { st =>
+            val dest = new Path(destDir,
+              prefix + f"-$i%05d-" + st.getPath.getName)
+            require(fs.rename(st.getPath, dest),
+              s"graft DML: rewrite move failed: $dest")
+            part -> fs.makeQualified(dest).toString
+          }
+      }
+    fs.delete(new Path(rwTmp), true)
+    moved.groupBy(_._1).map { case (part, files) =>
+      part -> FileManifest.append(Nil, spark, files.map(_._2), clusterCol)
+        .filter(_.rows > 0)
+    }
+  }
+
   /** Strip aliases down to the graft relation, if this is one. */
   private[plans] def graftRelation(plan: LogicalPlan)
       : Option[(HadoopFsRelation, ManifestFileIndex)] = plan match {
@@ -128,7 +228,6 @@ object GraftDml extends PredicateHelper {
       .flatMap(_.files.map(_.getPath.toString))
     if (candidates.isEmpty) return FileManifest.latestVersion(spark, root).get
 
-    def norm(s: String): String = new Path(s).toUri.getPath
     // every batch dir is its own basePath (immutable data/b<N> roots —
     // one basePath cannot span versions); group and union, restoring
     // the directory-encoded partition column for the predicate
@@ -151,72 +250,90 @@ object GraftDml extends PredicateHelper {
     val pm = index.currentSnapshot
     if (touched.isEmpty) return FileManifest.latestVersion(spark, root).get
 
-    // 3. REWRITE touched files one-to-one into the next immutable
-    // batch dir (per-file parallel, the deleteRange discipline)
+    // 3. REWRITE all touched files in ONE distributed job, landing in
+    // a fresh immutable batch dir (uniquely suffixed: a concurrent
+    // writer computing the same next-version number must never share
+    // a directory whose Overwrite write would wipe our output)
     val next = FileManifest.latestVersion(spark, root).get + 1
-    val dataDir = s"$root/data/b$next"
-    val fs = new Path(root).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
+    val dataDir = s"$root/data/b$next-" +
+      java.util.UUID.randomUUID.toString.take(8)
     val touchedList = pm.partitions.toSeq.sortBy(_._1).flatMap {
       case (part, files) => files.filter(f => touched(norm(f.path)))
         .map(f => (part, f.path))
     }
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val jobs = touchedList.zipWithIndex.map { case ((part, path), i) =>
-      Future {
-        val base = new Path(path).getParent.getParent.toString
-        val one = spark.read.schema(readSchema)
-          .option("basePath", base).parquet(path)
-        val out =
-          if (sets.isEmpty) one.where(not(coalesce(condCol, lit(false))))
-          else one.select(one.columns.toSeq.map { c =>
-            sets.find(_._1 == c) match {
-              case Some((_, v)) =>
-                when(condCol, asColumn(v)).otherwise(col(c)).as(c)
-              case None => col(c)
-            }
-          }: _*)
-        val tmp = f"$dataDir/_rw_$i%05d"
-        out.select(dataCols.map(col): _*) // drop the restored partition
-          // column — directory encoding carries it, data files never do
-          .coalesce(1).sortWithinPartitions(clusterCol)
-          .write.mode("overwrite").parquet(tmp)
-        val written = fs.listStatus(new Path(tmp)).toSeq
-          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-        val moved = written.map { st =>
-          val destDir = new Path(dataDir, part)
-          fs.mkdirs(destDir)
-          val dest = new Path(destDir, f"rw-$i%05d-${st.getPath.getName}")
-          require(fs.rename(st.getPath, dest), s"DML rewrite move failed: $dest")
-          fs.makeQualified(dest).toString
-        }
-        fs.delete(new Path(tmp), true)
-        (part, moved)
+    val freshStats = distributedRewrite(spark, readSchema, dataCols,
+      clusterCol, touchedList, dataDir, "rw",
+      transform = df =>
+        if (sets.isEmpty) df.where(not(coalesce(condCol, lit(false))))
+        else df.select(df.columns.toSeq.map { c =>
+          sets.find(_._1 == c) match {
+            case Some((_, v)) =>
+              when(condCol, asColumn(v)).otherwise(col(c)).as(c)
+            case None => col(c)
+          }
+        }: _*),
+      shufflePerFk = false)
+
+    // 4. COMMIT: carried + rewritten as one atomic version, with
+    // optimistic retry against racing disjoint-file commits
+    commitCowRetrying(spark, root, index, touched, freshStats,
+      meta = Map("operation" -> (if (sets.isEmpty) "delete" else "update")),
+      emptyMsg = "this DELETE would remove every row — an empty graft " +
+        "catalog cannot serve readers; DROP TABLE (or overwrite with a " +
+        "new batch) instead")
+  }
+
+  /** Optimistic COMMIT for CoW rewrites (DELETE/UPDATE/MERGE/
+    * OPTIMIZE) — the Iceberg/Delta conflict-resolution discipline:
+    * the rewrite IO already happened against a synced snapshot; all
+    * that the commit needs is that the files it REWRITES still exist
+    * at the head. On losing the version race, re-resolve the new
+    * head: if every touched file is still present there (the
+    * concurrent commit touched a DISJOINT file set — an append,
+    * another DML on other files, a schema evolution), the two
+    * operations commute, so carried = head − touched recomputes and
+    * the next number is tried — no rewrite IO is repeated. A head
+    * missing any touched file is a TRUE conflict (the same rows were
+    * concurrently rewritten/removed): refuse loudly, the statement
+    * must re-run against the new snapshot. */
+  private[plans] def commitCowRetrying(spark: SparkSession, root: String,
+      index: ManifestFileIndex, touched: Set[String],
+      freshByPart: Map[String, Seq[FileManifest.FileStats]],
+      meta: Map[String, String], emptyMsg: String,
+      maxAttempts: Int = 8): Long = {
+    val op = meta.getOrElse("operation", "dml")
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val head = FileManifest.loadLatest(spark, root)
+      val headPaths = head.partitions.valuesIterator.flatten
+        .map(f => norm(f.path)).toSet
+      val missing = touched.filterNot(headPaths)
+      require(missing.isEmpty,
+        s"graft $op commit conflict: a concurrent commit removed or " +
+          s"rewrote ${missing.size} of this operation's touched file(s) — " +
+          "the writes do not commute; re-run the statement against the " +
+          "new head")
+      val next = FileManifest.latestVersion(spark, root).get + 1
+      val carried = head.partitions.view.mapValues(
+        _.filterNot(f => touched(norm(f.path)))).toMap
+      val merged = freshByPart.foldLeft(carried) {
+        case (acc, (part, stats)) =>
+          acc.updated(part, (acc.getOrElse(part, Nil) ++ stats).sortBy(_.path))
+      }.filter(_._2.nonEmpty)
+      require(merged.nonEmpty, emptyMsg)
+      val adopted = head.copy(partitions = merged)
+      try {
+        val v = FileManifest.commitVersion(spark, adopted, root, meta,
+          expected = Some(next))
+        index.advanceSnapshot(adopted) // the session's next SELECT sees it
+        return v
+      } catch {
+        case e: FileManifest.CommitConflictException =>
+          if (attempt >= maxAttempts) throw e
       }
     }
-    val rewritten = Await.result(Future.sequence(jobs),
-      scala.concurrent.duration.Duration.Inf)
-    val freshStats = rewritten.groupBy(_._1).map { case (part, moved) =>
-      part -> FileManifest.append(Nil, spark, moved.flatMap(_._2), clusterCol)
-        .filter(_.rows > 0)
-    }
-
-    // 4. COMMIT: carried files + rewritten files as one atomic version
-    val carried = pm.partitions.view.mapValues(
-      _.filterNot(f => touched(norm(f.path)))).toMap
-    val merged = freshStats.foldLeft(carried) { case (acc, (part, stats)) =>
-      acc.updated(part, (acc.getOrElse(part, Nil) ++ stats).sortBy(_.path))
-    }.filter(_._2.nonEmpty)
-    require(merged.nonEmpty,
-      "this DELETE would remove every row — an empty graft catalog cannot " +
-        "serve readers; DROP TABLE (or overwrite with a new batch) instead")
-    val adopted = pm.copy(partitions = merged)
-    val v = FileManifest.commitVersion(spark, adopted, root,
-      meta = Map("operation" -> (if (sets.isEmpty) "delete" else "update")))
-    require(v == next, s"DML commit raced: expected v$next, got v$v")
-    index.advanceSnapshot(adopted) // the session's next SELECT sees it
-    v
+    -1L // unreachable
   }
 
   /** SQL `MERGE INTO target USING source ON cond WHEN …` on the same
@@ -405,7 +522,6 @@ object GraftDml extends PredicateHelper {
           .flatMap(_.files.map(_.getPath.toString))
       }
 
-    def norm(s: String): String = new Path(s).toUri.getPath
     def readRestored(files: Seq[String]): DataFrame = files
       .groupBy(f => new Path(f).getParent.getParent.toString)
       .toSeq.sortBy(_._1)
@@ -414,20 +530,11 @@ object GraftDml extends PredicateHelper {
           .parquet(group.sorted: _*)
       }
       .reduce(_.unionByName(_))
-    // scheme-independent file key shared by the SQL side
-    // (input_file_name URIs) and the driver side (manifest paths):
-    // md5 of the last three path segments — batchDir/partition/file,
-    // unique within one table, no directory-name escaping to disagree on
-    def fileKey(path: String): String = {
-      val tail = norm(path).split('/').takeRight(3).mkString("/")
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(tail.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    }
-    val fileKeyCol = org.apache.spark.sql.functions.md5(
-      org.apache.spark.sql.functions.substring_index(col("__f"), "/", -3))
 
     val next = FileManifest.latestVersion(spark, root).get + 1
-    val dataDir = s"$root/data/b$next"
+    // uniquely-suffixed batch dir: see cowRewriteCommit
+    val dataDir = s"$root/data/b$next-" +
+      java.util.UUID.randomUUID.toString.take(8)
     val fs = new Path(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val joinCond = q(m.mergeCondition)
@@ -464,8 +571,8 @@ object GraftDml extends PredicateHelper {
           // distinct is safe AFTER the cardinality gate (identical
           // duplicate source rows would have tripped it)
           joined
-            .select((fileKeyCol.as("__fk") :: src.columns.toList.map(c =>
-              col(s"_s.$c"))): _*)
+            .select((fileKeyCol(col("__f")).as("__fk") ::
+              src.columns.toList.map(c => col(s"_s.$c"))): _*)
             .distinct()
             .write.mode(SaveMode.Overwrite).partitionBy("__fk").parquet(stage)
         }
@@ -485,8 +592,6 @@ object GraftDml extends PredicateHelper {
           Some(acc.fold(when(c, lit(i)))(_.when(c, lit(i))))
       }.fold(lit(-1))(_.otherwise(lit(-1)))
 
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    implicit val ec: ExecutionContext = ExecutionContext.global
     val rewriteFiles: Set[String] = rewriteSet.toSet
     val touchedList = pm.partitions.toSeq.sortBy(_._1).flatMap {
       case (part, files) => files.filter(f => rewriteFiles(norm(f.path)))
@@ -499,81 +604,71 @@ object GraftDml extends PredicateHelper {
           .map(_.getPath.getName.stripPrefix("__fk="))
           .toSet
       else Set.empty
-    val rewriteJobs = touchedList.zipWithIndex.map { case ((part, path), i) =>
-      Future {
-        val base = new Path(path).getParent.getParent.toString
-        val one = spark.read.schema(readSchema)
-          .option("basePath", base).parquet(path)
-        val schema = one.schema
-        // a candidate with no staged slice holds NO matched rows (it is
-        // here via by-source actions only): every row is unmatched, and
-        // nothing in the plan may reference a source column
-        val hasSlice = stagedKeys.contains(fileKey(path))
-        val joined =
-          if (!hasSlice)
-            one.as("_t").withColumn("__m", lit(false))
-          else {
-            val slice = spark.read.parquet(s"$stage/__fk=${fileKey(path)}")
-            one.as("_t").join(slice.as("_s"), joinCond, "left_outer")
-              .withColumn("__m", coalesce(col("_s.__m"), lit(false)))
-          }
-        val mAct = if (hasSlice) actIndex(m.matchedActions, col("__m"))
-                   else lit(-1)
-        val nAct = actIndex(m.notMatchedBySourceActions, !col("__m"))
-        val mDel = m.matchedActions.zipWithIndex.collect {
-          case (_: DeleteAction, i2) => i2 }.toSet
-        val nDel = m.notMatchedBySourceActions.zipWithIndex.collect {
-          case (_: DeleteAction, i2) => i2 }.toSet
-        val out = joined
-          .withColumn("__ma", mAct).withColumn("__na", nAct)
-          .where(!(col("__ma").isInCollection(
-              if (mDel.isEmpty) Set(-2) else mDel) ||
-            col("__na").isInCollection(
-              if (nDel.isEmpty) Set(-2) else nDel)))
-          .select(schema.fields.map { f =>
-            val c = f.name
-            val mUpd =
-              if (!hasSlice) Option.empty[Column]
-              else m.matchedActions.zipWithIndex.foldLeft(
-                Option.empty[Column]) { case (acc, (a, i2)) => a match {
+
+    // 3b. REWRITE all touched files in ONE distributed job: the whole
+    // stage left-joins on (file key, ON clause) — each file's rows
+    // meet exactly its own staged slice, a candidate with no slice
+    // (in play via by-source actions only) matches nothing and every
+    // row lands unmatched, exactly the per-file semantics. The WHEN
+    // cascade applies uniformly; shufflePerFk keeps each rewritten
+    // file ONE output file (the join scatters a file's rows).
+    val mDel = m.matchedActions.zipWithIndex.collect {
+      case (_: DeleteAction, i2) => i2 }.toSet
+    val nDel = m.notMatchedBySourceActions.zipWithIndex.collect {
+      case (_: DeleteAction, i2) => i2 }.toSet
+    val freshStats: Map[String, Seq[FileManifest.FileStats]] =
+      if (touchedList.isEmpty) Map.empty
+      else distributedRewrite(spark, readSchema, dataCols, clusterCol,
+        touchedList, dataDir, "rw",
+        transform = df => {
+          val joined =
+            if (stagedKeys.isEmpty)
+              df.as("_t").withColumn("__m", lit(false))
+            else {
+              val slice = spark.read.parquet(stage)
+                .withColumnRenamed("__fk", "__sfk")
+              df.as("_t").join(slice.as("_s"),
+                  col("_t.__fk") === col("__sfk") && joinCond, "left_outer")
+                .withColumn("__m", coalesce(col("_s.__m"), lit(false)))
+            }
+          // matched-action gates are __m-guarded, so sliceless rows
+          // (__m = false) fall through to -1 without a special case
+          val mAct = if (stagedKeys.isEmpty) lit(-1)
+                     else actIndex(m.matchedActions, col("__m"))
+          val nAct = actIndex(m.notMatchedBySourceActions, !col("__m"))
+          joined
+            .withColumn("__ma", mAct).withColumn("__na", nAct)
+            .where(!(col("__ma").isInCollection(
+                if (mDel.isEmpty) Set(-2) else mDel) ||
+              col("__na").isInCollection(
+                if (nDel.isEmpty) Set(-2) else nDel)))
+            .select(readSchema.fields.map { f =>
+              val c = f.name
+              val mUpd =
+                if (stagedKeys.isEmpty) Option.empty[Column]
+                else m.matchedActions.zipWithIndex.foldLeft(
+                  Option.empty[Column]) { case (acc, (a, i2)) => a match {
+                    case u: UpdateAction =>
+                      updateAssignments(u).find(_._1 == c).map { case (_, v) =>
+                        val w = col("__ma") === i2
+                        Some(acc.fold(when(w, q(v)))(_.when(w, q(v))))
+                      }.getOrElse(acc)
+                    case _ => acc
+                  } }
+              val both = m.notMatchedBySourceActions.zipWithIndex.foldLeft(
+                mUpd) { case (acc, (a, i2)) => a match {
                   case u: UpdateAction =>
                     updateAssignments(u).find(_._1 == c).map { case (_, v) =>
-                      val w = col("__ma") === i2
+                      val w = col("__na") === i2
                       Some(acc.fold(when(w, q(v)))(_.when(w, q(v))))
                     }.getOrElse(acc)
                   case _ => acc
                 } }
-            val both = m.notMatchedBySourceActions.zipWithIndex.foldLeft(
-              mUpd) { case (acc, (a, i2)) => a match {
-                case u: UpdateAction =>
-                  updateAssignments(u).find(_._1 == c).map { case (_, v) =>
-                    val w = col("__na") === i2
-                    Some(acc.fold(when(w, q(v)))(_.when(w, q(v))))
-                  }.getOrElse(acc)
-                case _ => acc
-              } }
-            both.fold(col(s"_t.$c"))(_.otherwise(col(s"_t.$c")))
-              .cast(f.dataType).as(c)
-          }.toSeq: _*)
-        val tmp = f"$dataDir/_rw_$i%05d"
-        out.select(dataCols.map(col): _*)
-          .coalesce(1).sortWithinPartitions(clusterCol)
-          .write.mode(SaveMode.Overwrite).parquet(tmp)
-        val written = fs.listStatus(new Path(tmp)).toSeq
-          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-        val moved = written.map { st =>
-          val destDir = new Path(dataDir, part)
-          fs.mkdirs(destDir)
-          val dest = new Path(destDir, f"rw-$i%05d-${st.getPath.getName}")
-          require(fs.rename(st.getPath, dest), s"MERGE rewrite move failed: $dest")
-          fs.makeQualified(dest).toString
-        }
-        fs.delete(new Path(tmp), true)
-        (part, moved)
-      }
-    }
-    val rewritten = Await.result(Future.sequence(rewriteJobs),
-      scala.concurrent.duration.Duration.Inf)
+              both.fold(col(s"_t.$c"))(_.otherwise(col(s"_t.$c")))
+                .cast(f.dataType).as(c)
+            }.toSeq :+ col("_t.__fk").as("__fk"): _*)
+        },
+        shufflePerFk = true)
 
     // 4. INSERT — source rows with no match among the candidates
     // (exact: pruning is conservative, every possible partner survived)
@@ -605,9 +700,16 @@ object GraftDml extends PredicateHelper {
             :+ insCol(partCol,
               partType.find(_.name == partCol).map(_.dataType)
                 .getOrElse(org.apache.spark.sql.types.StringType))).toSeq: _*)
-        if (ins.isEmpty) Map.empty
+          // the anti-join behind `ins` is the expensive half of an
+          // insert-heavy MERGE — cache it so the emptiness/NULL guards
+          // and the write are ONE computation, not three
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val guard = ins.agg(count(lit(1)).as("n"),
+          count(col(partCol)).as("nonNull")).head()
+        val nIns = guard.getLong(0)
+        if (nIns == 0L) { ins.unpersist(); Map.empty }
         else {
-          val nNullPart = ins.where(col(partCol).isNull).count()
+          val nNullPart = nIns - guard.getLong(1)
           require(nNullPart == 0, s"MERGE INSERT produced $nNullPart row(s) " +
             s"with a NULL partition value `$partCol` — a graft partition " +
             "directory cannot encode NULL")
@@ -615,6 +717,7 @@ object GraftDml extends PredicateHelper {
           ins.repartition(col(partCol))
             .sortWithinPartitions(partCol, clusterCol)
             .write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(insDir)
+          ins.unpersist()
           val parts = fs.listStatus(new Path(insDir)).toSeq
             .filter(st => st.isDirectory &&
               st.getPath.getName.startsWith(s"$partCol="))
@@ -644,28 +747,17 @@ object GraftDml extends PredicateHelper {
       return FileManifest.latestVersion(spark, root).get
     }
 
-    // 5. COMMIT carried + rewritten + inserted as one atomic version
-    val freshStats = rewritten.groupBy(_._1).map { case (part, moved) =>
-      part -> FileManifest.append(Nil, spark, moved.flatMap(_._2), clusterCol)
-        .filter(_.rows > 0)
+    // 5. COMMIT carried + rewritten + inserted as one atomic version,
+    // with optimistic retry against racing disjoint-file commits
+    val fresh = insertedStats.foldLeft(freshStats) {
+      case (acc, (part, stats)) =>
+        acc.updated(part, (acc.getOrElse(part, Nil) ++ stats).sortBy(_.path))
     }
-    val carried = pm.partitions.view.mapValues(
-      _.filterNot(f => rewriteFiles(norm(f.path)))).toMap
-    val merged0 = freshStats.foldLeft(carried) { case (acc, (part, stats)) =>
-      acc.updated(part, (acc.getOrElse(part, Nil) ++ stats).sortBy(_.path))
-    }
-    val merged = insertedStats.foldLeft(merged0) { case (acc, (part, stats)) =>
-      acc.updated(part, (acc.getOrElse(part, Nil) ++ stats).sortBy(_.path))
-    }.filter(_._2.nonEmpty)
-    require(merged.nonEmpty,
-      "this MERGE would remove every row — an empty graft catalog cannot " +
-        "serve readers; DROP TABLE (or overwrite with a new batch) instead")
-    val adopted = pm.copy(partitions = merged)
-    val v = FileManifest.commitVersion(spark, adopted, root,
-      meta = Map("operation" -> "merge"))
-    require(v == next, s"MERGE commit raced: expected v$next, got v$v")
-    index.advanceSnapshot(adopted)
-    v
+    commitCowRetrying(spark, root, index, rewriteFiles, fresh,
+      meta = Map("operation" -> "merge"),
+      emptyMsg = "this MERGE would remove every row — an empty graft " +
+        "catalog cannot serve readers; DROP TABLE (or overwrite with a " +
+        "new batch) instead")
   }
 }
 

@@ -79,26 +79,123 @@ object GraftMaintenance {
       case _ => None
     }
 
-  private val AddColumnRe =
-    ("""(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMNS?\s+\(?\s*""" +
-      """(\w+)\s+([\w]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)""" +
-      """\s*\)?\s*;?\s*$""").r
+  // EVERY ADD COLUMN(S) form on a graft table must intercept — a
+  // shape that fell through to Spark's native ALTER would mutate the
+  // session-catalog schema WITHOUT committing a graft schema version,
+  // silently diverging catalog and relation schemas. So the anchor
+  // matches the statement HEAD only; the column list parses (or
+  // refuses loudly) separately.
+  private val AddColumnsHeadRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMNS?\s+(.*?)\s*;?\s*$""".r
 
-  /** Session-aware interception: `ALTER TABLE … ADD COLUMN` is taken
-    * over ONLY for graft front-door tables — every other table keeps
-    * Spark's own ALTER semantics (and errors) untouched. */
+  /** Parse an ADD COLUMN(S) spec — `(a INT, b DECIMAL(10,2))` or the
+    * single undecorated `c STRING` — into (name, type) pairs.
+    * Decorations Spark's grammar allows but the graft catalog cannot
+    * represent (COMMENT, FIRST/AFTER, NOT NULL, DEFAULT, nested
+    * paths) refuse loudly instead of silently reaching Spark's
+    * native ALTER. */
+  private[plans] def parseAddColumns(spec0: String): Seq[(String, String)] = {
+    val spec = spec0.trim
+    val inner =
+      if (spec.startsWith("(") && spec.endsWith(")"))
+        spec.substring(1, spec.length - 1)
+      else spec
+    // split on top-level commas only (DECIMAL(10,2) keeps its comma)
+    val items = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var start = 0
+    inner.zipWithIndex.foreach { case (c, i) =>
+      c match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 =>
+          items += inner.substring(start, i); start = i + 1
+        case _ => ()
+      }
+    }
+    items += inner.substring(start)
+    val ColDef =
+      """(?is)^\s*(\w+)\s+([\w]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*$""".r
+    items.toSeq.map {
+      case ColDef(name, tpe) => (name, tpe)
+      case other => sys.error(
+        s"graft ALTER TABLE ADD COLUMN: unsupported column definition " +
+          s"'${other.trim}' — only `name TYPE` is supported (no COMMENT/" +
+          "FIRST/AFTER/NOT NULL/DEFAULT/nested fields); letting Spark's " +
+          "native ALTER take it would desynchronize the graft catalog")
+    }
+  }
+
+  private val DropColumnsHeadRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+COLUMNS?\s+(.*?)\s*;?\s*$""".r
+
+  /** Parse a DROP COLUMN(S) spec — `c`, `(a, b)` — into names.
+    * Decorated forms (IF EXISTS, nested paths) refuse loudly. */
+  private[plans] def parseDropColumns(spec0: String): Seq[String] = {
+    val spec = spec0.trim
+    val inner =
+      if (spec.startsWith("(") && spec.endsWith(")"))
+        spec.substring(1, spec.length - 1)
+      else spec
+    val Name = """(?s)^\s*(\w+)\s*$""".r
+    inner.split(',').toSeq.map {
+      case Name(n) => n
+      case other => sys.error(
+        s"graft ALTER TABLE DROP COLUMN: unsupported column reference " +
+          s"'${other.trim}' — only plain top-level names are supported; " +
+          "letting Spark's native ALTER take it would desynchronize the " +
+          "graft catalog")
+    }
+  }
+
+  /** Session-aware interception: `ALTER TABLE … ADD/DROP COLUMN(S)`
+    * is taken over ONLY for graft front-door tables — every other
+    * table keeps Spark's own ALTER semantics (and errors) untouched. */
   private[plans] def interceptSession(spark: SparkSession,
       sqlText: String): Option[LogicalPlan] = sqlText match {
-    case AddColumnRe(table, colName, colType)
+    case AddColumnsHeadRe(table, spec)
         if GraftTimeTravel.graftRootOf(spark,
           table.split('.').toSeq).isDefined =>
-      Some(GraftAddColumnCommand(table, colName, colType))
+      Some(GraftAddColumnCommand(table, parseAddColumns(spec)))
+    case DropColumnsHeadRe(table, spec)
+        if GraftTimeTravel.graftRootOf(spark,
+          table.split('.').toSeq).isDefined =>
+      Some(GraftDropColumnCommand(table, parseDropColumns(spec)))
+    case UnsupportedAlterRe(table, what)
+        if GraftTimeTravel.graftRootOf(spark,
+          table.split('.').toSeq).isDefined =>
+      sys.error(s"graft ALTER TABLE ${what.toUpperCase.replaceAll("\\s+", " ")} " +
+        "is not supported — RENAME needs field-id (not name) mapping and " +
+        "type changes need read-time casts the catalog does not track yet; " +
+        "letting Spark's native ALTER take it would desynchronize the " +
+        "graft catalog silently")
+    case MergeEvolutionRe(table, rest)
+        if GraftTimeTravel.graftRootOf(spark,
+          table.split('.').toSeq).isDefined =>
+      Some(GraftMergeEvolveCommand(table, s"MERGE INTO $table$rest"))
     case _ => None
   }
 
+  // `MERGE WITH SCHEMA EVOLUTION INTO t …` — the seam must be the
+  // parser: Spark's analyzer resolves the flagged assignment list
+  // against the target's CURRENT columns and fails on the new ones
+  // before any injected resolution rule could run, so the statement
+  // intercepts whole and re-issues stripped after the evolution commits
+  private val MergeEvolutionRe =
+    ("""(?is)^\s*MERGE\s+WITH\s+SCHEMA\s+EVOLUTION\s+INTO\s+""" +
+      """([\w.]+)([\s\S]*)$""").r
+
+  // schema mutations the graft catalog cannot represent must REFUSE
+  // on graft tables, not fall through to Spark's native ALTER (which
+  // would mutate the session-catalog schema with no graft schema
+  // version — catalog and relation schemas silently diverge)
+  private val UnsupportedAlterRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+""" +
+      """(RENAME\s+COLUMN|ALTER\s+COLUMN|CHANGE\s+COLUMN|""" +
+      """REPLACE\s+COLUMNS)\b.*$""").r
+
   /** Resolve a table name to its graft serving index (the same seam
     * the DML commands hold directly). */
-  private[plans] def indexOf(spark: SparkSession,
+  private[graft] def indexOf(spark: SparkSession,
       table: String): ManifestFileIndex = {
     val analyzed = spark.table(table).queryExecution.analyzed
     GraftDml.graftRelation(analyzed) match {
@@ -135,51 +232,72 @@ object GraftMaintenance {
     if (work.isEmpty) return FileManifest.latestVersion(spark, root).get
 
     val next = FileManifest.latestVersion(spark, root).get + 1
-    val dataDir = s"$root/data/b$next"
+    // uniquely-suffixed batch dir: see GraftDml.cowRewriteCommit
+    val dataDir = s"$root/data/b$next-" +
+      java.util.UUID.randomUUID.toString.take(8)
     val fs = new Path(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    implicit val ec: ExecutionContext = ExecutionContext.global
     // bins may mix files from before and after an ADD COLUMN
     // evolution: pin the read to the catalog-tracked schema so old
     // files null-fill and the compacted output is schema-uniform
     val binSchema = FileManifest.schemaAt(spark, root)
-    val jobs = work.zipWithIndex.map { case ((part, bin), i) =>
-      Future {
-        val tmp = f"$dataDir/_cmp_$i%05d"
-        val reader = binSchema.fold(spark.read)(spark.read.schema)
-        reader.parquet(bin.map(_.path): _*)
-          .coalesce(1).sortWithinPartitions(clusterCol)
-          .write.mode(SaveMode.Overwrite).parquet(tmp)
-        val written = fs.listStatus(new Path(tmp)).toSeq
-          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-        val moved = written.map { st =>
+
+    // ONE distributed job for every bin (the GraftDml.distributedRewrite
+    // shape): inputs read as one scan, each row routed to its bin via a
+    // broadcast (fileKey → bin) map — manifest-sized — then one hash
+    // exchange on the bin id merges each bin into exactly one
+    // cluster-sorted output file under `_cmp/__bin=<i>/`. Driver work is
+    // O(bins) renames; at 10⁴–10⁵ bins the old Future-per-bin loop made
+    // driver job scheduling the wall clock.
+    val binFiles: Seq[(Int, String)] = work.zipWithIndex.flatMap {
+      case ((_, bin), i) => bin.map(f => (i, f.path))
+    }
+    val binOfFk = binFiles.map { case (i, p) => (GraftDml.fileKey(p), i) }
+    require(binOfFk.map(_._1).distinct.size == binOfFk.size,
+      "OPTIMIZE: file-key collision across bin inputs")
+    import org.apache.spark.sql.functions.{broadcast, col, input_file_name}
+    val mapDf = spark.createDataFrame(binOfFk).toDF("__fk", "__bin")
+    val reader = binSchema.fold(spark.read)(spark.read.schema)
+    val cmpTmp = s"$dataDir/_cmp"
+    val srcDf = reader.parquet(binFiles.map(_._2).sorted: _*)
+    val outCols = srcDf.columns.toSeq
+    srcDf
+      .withColumn("__fk", GraftDml.fileKeyCol(input_file_name()))
+      .join(broadcast(mapDf), "__fk")
+      .select((outCols.map(col) :+ col("__bin")): _*)
+      .repartition(col("__bin"))
+      .sortWithinPartitions(col("__bin"), col(clusterCol))
+      .write.mode(SaveMode.Overwrite).partitionBy("__bin").parquet(cmpTmp)
+    val rewritten: Seq[(String, String)] =
+      fs.listStatus(new Path(cmpTmp)).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("__bin="))
+        .sortBy(_.getPath.getName)
+        .flatMap { d =>
+          val i = d.getPath.getName.stripPrefix("__bin=").toInt
+          val part = work(i)._1
           val destDir = new Path(dataDir, part)
           fs.mkdirs(destDir)
-          val dest = new Path(destDir, f"cmp-$i%05d-${st.getPath.getName}")
-          require(fs.rename(st.getPath, dest), s"OPTIMIZE move failed: $dest")
-          fs.makeQualified(dest).toString
+          fs.listStatus(d.getPath).toSeq
+            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+            .map { st =>
+              val dest = new Path(destDir,
+                f"cmp-$i%05d-${st.getPath.getName}")
+              require(fs.rename(st.getPath, dest),
+                s"OPTIMIZE move failed: $dest")
+              part -> fs.makeQualified(dest).toString
+            }
         }
-        fs.delete(new Path(tmp), true)
-        (part, moved)
-      }
-    }
-    val rewritten = Await.result(Future.sequence(jobs),
-      scala.concurrent.duration.Duration.Inf)
+    fs.delete(new Path(cmpTmp), true)
     val fresh = rewritten.groupBy(_._1).map { case (part, moved) =>
-      part -> FileManifest.append(Nil, spark, moved.flatMap(_._2), clusterCol)
+      part -> FileManifest.append(Nil, spark, moved.map(_._2), clusterCol)
         .filter(_.rows > 0)
     }
-    val merged = plans.map { case (part, bins) =>
-      val carried = bins.filter(_.size == 1).flatten
-      part -> (carried ++ fresh.getOrElse(part, Nil)).sortBy(_.path)
-    }.filter(_._2.nonEmpty).toMap
-    val adopted = pm.copy(partitions = merged)
-    val v = FileManifest.commitVersion(spark, adopted, root,
-      meta = Map("operation" -> "optimize"))
-    require(v == next, s"OPTIMIZE commit raced: expected v$next, got v$v")
-    index.advanceSnapshot(adopted)
-    v
+    // commit with optimistic retry: compaction touches exactly the
+    // multi-file bins' inputs; a racing disjoint-file commit commutes
+    val touched = binFiles.map(f => GraftDml.norm(f._2)).toSet
+    GraftDml.commitCowRetrying(spark, root, index, touched, fresh,
+      meta = Map("operation" -> "optimize"),
+      emptyMsg = "OPTIMIZE produced an empty table — corrupt bin plan")
   }
 
   /** Per-version audit rows for `DESCRIBE HISTORY t` — computed
@@ -191,20 +309,40 @@ object GraftMaintenance {
     * an expiry reclaimed are absent — history shows what time travel
     * can still reach. Driver work is O(files × retained versions)
     * manifest entries, the cardinality the catalog already has. */
-  def history(spark: SparkSession, index: ManifestFileIndex)
+  def history(spark: SparkSession, index: ManifestFileIndex,
+      planThreshold: Long = 1000000L)
       : Seq[(Long, String, Long, Long, Long, Long, Long, Long, Boolean)] = {
     val root = index.graftCatalogRoot.getOrElse(sys.error(
       "DESCRIBE HISTORY requires a catalog-backed graft table"))
     val versions = FileManifest.versionHistory(spark, root).map(_._1)
+    if (versions.isEmpty) return Nil
+    // the committing site records what it did (delete/update/merge/
+    // optimize/insert/append/…) in the version's _meta; versions
+    // committed through the raw API carry no label. O(versions)
+    // driver-side metadata either way.
+    val ops = versions.map(v => v ->
+      FileManifest.versionMeta(spark, root, v).getOrElse("operation", ""))
+      .toMap
+    // path dispatch: the driver fold materializes every retained
+    // version's manifest in memory — O(files × versions). Past the
+    // threshold, the fold becomes a Spark job over the PERSISTED
+    // catalog side tables (the r11 distributed-planning discipline):
+    // driver memory stays O(versions), the estimate itself is
+    // metadata-only (head file count × retained versions)
+    val headFiles = FileManifest.loadLatest(spark, root)
+      .partitions.valuesIterator.map(_.size.toLong).sum
+    if (headFiles * versions.size <= planThreshold)
+      historyDriver(spark, root, versions, ops)
+    else historyDistributed(spark, root, versions, ops)
+  }
+
+  private def historyDriver(spark: SparkSession, root: String,
+      versions: Seq[Long], ops: Map[Long, String])
+      : Seq[(Long, String, Long, Long, Long, Long, Long, Long, Boolean)] = {
     var prev = Map.empty[String, Long] // path -> rows of the PREVIOUS kept version
     var first = true
     versions.map { v =>
       val pm = FileManifest.loadVersion(spark, root, v)
-      // the committing site records what it did (delete/update/merge/
-      // optimize/insert/append/…) in the version's _meta; versions
-      // committed through the raw API carry no label
-      val op = FileManifest.versionMeta(spark, root, v)
-        .getOrElse("operation", "")
       val cur: Map[String, Long] = pm.partitions.valuesIterator.flatten
         .map(f => f.path -> f.rows).toMap
       val added = cur.view.filterKeys(!prev.contains(_)).values.sum
@@ -213,8 +351,54 @@ object GraftMaintenance {
       val removedFiles = prev.keysIterator.count(!cur.contains(_))
       val appended = first || removedFiles == 0L
       prev = cur; first = false
-      (v, op, cur.values.sum, cur.size.toLong, added, removed,
+      (v, ops(v), cur.values.sum, cur.size.toLong, added, removed,
         addedFiles.toLong, removedFiles.toLong, appended)
+    }
+  }
+
+  /** The same fold as ONE Spark job shape over the committed `v<N>`
+    * side-table parquets: per-version live totals are a groupBy; the
+    * adds/removes vs the PREVIOUS KEPT version (expiry leaves gaps,
+    * so versions map to dense ranks driver-side first) are two
+    * anti-joins on (rank, path) — files are immutable, so a path
+    * present in adjacent versions provably carried. The collect is
+    * O(versions) rows; no manifest is ever materialized on the
+    * driver. Decision-identical to [[historyDriver]] (spec-pinned). */
+  private def historyDistributed(spark: SparkSession, root: String,
+      versions: Seq[Long], ops: Map[Long, String])
+      : Seq[(Long, String, Long, Long, Long, Long, Long, Long, Boolean)] = {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val cat = versions.zipWithIndex.map { case (v, r) =>
+      spark.read.parquet(s"$root/v$v")
+        .select(lit(r).as("rank"), col("path"), col("rows"))
+    }.reduce(_.unionByName(_))
+    val live = cat.groupBy("rank")
+      .agg(sum("rows").as("n_rows"), count(lit(1)).as("n_files"))
+    val shifted = cat.select((col("rank") + 1).as("rank"),
+      col("path"), col("rows"))
+    val added = cat.join(shifted.select("rank", "path"),
+        Seq("rank", "path"), "left_anti")
+      .groupBy("rank")
+      .agg(sum("rows").as("rows_added"), count(lit(1)).as("files_added"))
+    val removed = shifted
+      .where(col("rank") <= lit(versions.size - 1))
+      .join(cat.select("rank", "path"), Seq("rank", "path"), "left_anti")
+      .groupBy("rank")
+      .agg(sum("rows").as("rows_removed"), count(lit(1)).as("files_removed"))
+    val rows = live
+      .join(added, Seq("rank"), "left")
+      .join(removed, Seq("rank"), "left")
+      .collect()
+      .map(r => r.getInt(0) -> r).toMap
+    versions.zipWithIndex.map { case (v, rank) =>
+      val r = rows(rank)
+      def l(name: String): Long =
+        if (r.isNullAt(r.fieldIndex(name))) 0L
+        else r.getLong(r.fieldIndex(name))
+      val removedFiles = l("files_removed")
+      (v, ops(v), l("n_rows"), l("n_files"), l("rows_added"),
+        l("rows_removed"), l("files_added"), removedFiles,
+        rank == 0 || removedFiles == 0L)
     }
   }
 
@@ -282,9 +466,31 @@ case class GraftCloneCommand(target: String, source: String,
     val srcRoot = GraftTimeTravel.graftRootOf(spark,
       source.split('.').toSeq).getOrElse(sys.error(
       s"SHALLOW CLONE: `$source` is not a graft front-door table"))
+    // the location is interpolated into a SQL string below — a quote
+    // would break the statement (CloneRe's ([^']+) already excludes
+    // it, so this is belt-and-braces against other callers), and the
+    // TARGET name must be free BEFORE the clone catalog commits, or a
+    // failed CREATE TABLE would strand a committed catalog that makes
+    // every retry fail with "clone target already has a committed
+    // catalog"
+    require(!location.contains("'"),
+      s"SHALLOW CLONE: location must not contain a quote: $location")
+    val ti = spark.sessionState.sqlParser.parseTableIdentifier(target)
+    require(!spark.sessionState.catalog.tableExists(ti),
+      s"SHALLOW CLONE: table `$target` already exists")
     FileManifest.cloneAt(spark, srcRoot, location, version)
-    spark.sql(
+    try spark.sql(
       s"CREATE TABLE $target USING graft OPTIONS (path '$location')")
+    catch {
+      case e: Throwable =>
+        // back out the clone catalog so a retry starts clean (the
+        // data files are the SOURCE's — only metadata was created)
+        val fs = new org.apache.hadoop.fs.Path(location).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(location, "commit-0"), false)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$location/v0"), true)
+        throw e
+    }
     Nil
   }
 }
@@ -338,9 +544,12 @@ case class GraftRestoreCommand(table: String, version: Long)
   * upgrade the files they touch. The session catalog's stored schema
   * follows in the same command (resolution checks it against the
   * relation), and the cached plan refreshes. */
-case class GraftAddColumnCommand(table: String, colName: String,
-    colType: String) extends LeafRunnableCommand {
+case class GraftAddColumnCommand(table: String,
+    columns: Seq[(String, String)]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
+    require(columns.nonEmpty, "ADD COLUMNS: empty column list")
+    require(columns.map(_._1).distinct.size == columns.size,
+      s"ADD COLUMNS: duplicate column names in ${columns.map(_._1)}")
     val index = GraftMaintenance.indexOf(spark, table)
     val root = index.graftCatalogRoot.getOrElse(sys.error(
       "ALTER TABLE requires a catalog-backed graft table"))
@@ -348,17 +557,23 @@ case class GraftAddColumnCommand(table: String, colName: String,
       "ALTER TABLE on a time-traveled graft table is not allowed")
     val analyzed = spark.table(table).queryExecution.analyzed
     val h = GraftDml.graftRelation(analyzed).get._1
-    val dt = spark.sessionState.sqlParser.parseDataType(colType)
-    require(colName != index.partitionColumn,
-      s"`$colName` is the partition column")
-    require(!h.dataSchema.fieldNames.contains(colName),
-      s"column `$colName` already exists in $table")
-    val evolved = h.dataSchema.add(
-      org.apache.spark.sql.types.StructField(colName, dt, nullable = true))
+    // ALL columns commit as ONE schema version (the multi-column
+    // ADD COLUMNS statement is one evolution, not n)
+    val evolved = columns.foldLeft(h.dataSchema) {
+      case (schema, (colName, colType)) =>
+        val dt = spark.sessionState.sqlParser.parseDataType(colType)
+        require(colName != index.partitionColumn,
+          s"`$colName` is the partition column")
+        require(!schema.fieldNames.contains(colName),
+          s"column `$colName` already exists in $table")
+        schema.add(org.apache.spark.sql.types.StructField(
+          colName, dt, nullable = true))
+    }
     FileManifest.commitVersion(spark,
       FileManifest.loadLatest(spark, root), root,
       meta = Map("operation" -> "add-column",
-        "addedColumn" -> colName, "schema" -> evolved.json))
+        "addedColumn" -> columns.map(_._1).mkString(","),
+        "schema" -> evolved.json))
     // the catalog's stored schema must follow the relation's, or the
     // next resolution would reject the mismatch (alterTableDataSchema
     // re-appends the table's partition columns itself); then drop the
@@ -366,6 +581,119 @@ case class GraftAddColumnCommand(table: String, colName: String,
     val ti = spark.sessionState.sqlParser.parseTableIdentifier(table)
     spark.sessionState.catalog.alterTableDataSchema(ti, evolved)
     spark.catalog.refreshTable(table)
+    Nil
+  }
+}
+
+/** `ALTER TABLE t DROP COLUMN(S) …` — LAZY column drop on the f32
+  * schema-pinned read discipline (the Iceberg/Delta contract: a drop
+  * is a CATALOG operation, zero data IO): the narrowed schema commits
+  * as a new version's `_meta`; every read at or after it projects the
+  * column away (the parquet reader simply never materializes it),
+  * while time travel BEFORE the drop serves the wide schema epoch via
+  * `schemaAt`. DML/OPTIMIZE rewrites after the drop read PINNED to
+  * the narrowed schema, so the files they touch physically shed the
+  * column; untouched files keep the bytes (harmless — never read)
+  * until compaction or VACUUM-driven rewrites retire them. The
+  * partition and clustering columns refuse (the layout and its
+  * footer stats are keyed on them); re-adding a dropped name later is
+  * allowed and reads as a FRESH column (old files' values stay
+  * invisible: their epoch's reads already projected them away —
+  * name-identity, the documented limit of name-keyed mapping). */
+case class GraftDropColumnCommand(table: String,
+    columns: Seq[String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(columns.nonEmpty, "DROP COLUMNS: empty column list")
+    require(columns.distinct.size == columns.size,
+      s"DROP COLUMNS: duplicate names in $columns")
+    val index = GraftMaintenance.indexOf(spark, table)
+    val root = index.graftCatalogRoot.getOrElse(sys.error(
+      "ALTER TABLE requires a catalog-backed graft table"))
+    require(!index.isTimeTraveled,
+      "ALTER TABLE on a time-traveled graft table is not allowed")
+    val analyzed = spark.table(table).queryExecution.analyzed
+    val h = GraftDml.graftRelation(analyzed).get._1
+    columns.foreach { c =>
+      // key-column checks FIRST: the partition column lives in the
+      // partitionSchema, not dataSchema, so the existence check would
+      // misreport it as unknown
+      require(c != index.partitionColumn,
+        s"cannot drop the partition column `$c` — the directory layout " +
+          "is keyed on it; re-partition via an explicit overwrite")
+      require(c != index.clusterColumn,
+        s"cannot drop the clustering column `$c` — footer stats and the " +
+          "file layout are keyed on it; re-cluster via an explicit " +
+          "overwrite")
+      require(h.dataSchema.fieldNames.contains(c),
+        s"column `$c` does not exist in $table")
+    }
+    val narrowed = org.apache.spark.sql.types.StructType(
+      h.dataSchema.fields.filterNot(f => columns.contains(f.name)))
+    require(narrowed.nonEmpty,
+      "DROP COLUMNS would leave the table with no data columns")
+    FileManifest.commitVersion(spark,
+      FileManifest.loadLatest(spark, root), root,
+      meta = Map("operation" -> "drop-column",
+        "droppedColumn" -> columns.mkString(","),
+        "schema" -> narrowed.json))
+    // the session catalog's stored schema must follow the relation's;
+    // alterTableDataSchema REFUSES narrowing ("we don't support
+    // dropping columns yet" — it guards formats where the bytes would
+    // orphan), so the full table definition updates instead: for a
+    // graft table the manifest's schemaAt is the source of truth and
+    // the lazily-dropped bytes are never read
+    val ti = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val old = spark.sessionState.catalog.getTableMetadata(ti)
+    val newFull = org.apache.spark.sql.types.StructType(
+      old.schema.fields.filterNot(f => columns.contains(f.name)))
+    spark.sessionState.catalog.alterTable(old.copy(schema = newFull))
+    spark.catalog.refreshTable(table)
+    Nil
+  }
+}
+
+/** `MERGE WITH SCHEMA EVOLUTION INTO t USING s ON … WHEN …` — the
+  * Delta statement, composed from two committed pieces the engine
+  * already has: source columns ABSENT from the target commit as an
+  * f32 ADD COLUMN evolution (zero data IO — every existing row,
+  * matched or not, null-fills), then the stripped MERGE runs against
+  * the evolved schema, its rewrites carrying the new columns for the
+  * rows the WHEN cascade assigns. Same-name columns whose TYPES
+  * differ refuse loudly (a type change needs read-time casts the
+  * catalog does not track — the f32 boundary, kept). The evolution
+  * commits BEFORE the merge (two versions, both labeled): a merge
+  * that subsequently refuses (cardinality violation) leaves the
+  * added null-filled columns behind — harmless, auditable in
+  * DESCRIBE HISTORY, and re-running the fixed statement converges. */
+case class GraftMergeEvolveCommand(table: String, strippedSql: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val index = GraftMaintenance.indexOf(spark, table)
+    require(!index.isTimeTraveled,
+      "MERGE INTO a time-traveled graft table is not allowed")
+    val m0 = spark.sessionState.sqlParser.parsePlan(strippedSql) match {
+      case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable => m
+      case other => sys.error(
+        s"MERGE WITH SCHEMA EVOLUTION: unexpected plan ${other.nodeName}")
+    }
+    val srcSchema = org.apache.spark.sql.graftshim.SparkShims
+      .ofRows(spark, m0.sourceTable).schema
+    val targetSchema = spark.table(table).schema
+    val clash = srcSchema.fields.filter(f =>
+      targetSchema.fields.exists(t =>
+        t.name == f.name && t.dataType != f.dataType))
+    require(clash.isEmpty,
+      "MERGE WITH SCHEMA EVOLUTION cannot CHANGE column types (" +
+        clash.map(f => s"${f.name}: ${targetSchema(f.name).dataType.sql} " +
+          s"-> ${f.dataType.sql}").mkString(", ") +
+        ") — cast the source, or evolve via explicit overwrite")
+    val missing = srcSchema.fields.filterNot(f =>
+      targetSchema.fieldNames.contains(f.name))
+      .filterNot(_.name.startsWith("__"))
+    if (missing.nonEmpty)
+      GraftAddColumnCommand(table,
+        missing.toSeq.map(f => f.name -> f.dataType.sql)).run(spark)
+    spark.sql(strippedSql)
     Nil
   }
 }

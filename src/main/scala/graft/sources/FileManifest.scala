@@ -1371,13 +1371,26 @@ object FileManifest {
 
   /** Commit `pm` as the next catalog version; returns its number.
     * Throws [[CommitConflictException]] when a concurrent writer took
-    * the number first. */
+    * the number first. `expected` makes the commit CONDITIONAL (the
+    * optimistic-concurrency primitive): when the next version is no
+    * longer the one the caller derived its manifest FROM+1, the
+    * conflict throws BEFORE anything is staged — committing anyway
+    * would publish a manifest based on a stale head, silently
+    * dropping every file the concurrent version added (checking
+    * after the marker lands, as a bare `require` would, leaves the
+    * clobbering version visible to readers). */
   def commitVersion(spark: SparkSession, pm: PartitionedManifest,
-      root: String, meta: Map[String, String] = Map.empty): Long =
+      root: String, meta: Map[String, String] = Map.empty,
+      expected: Option[Long] = None): Long =
     commitLock.synchronized {
     val fs = new Path(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val next = latestVersion(spark, root).map(_ + 1).getOrElse(0L)
+    expected.foreach { e =>
+      if (e != next) throw new CommitConflictException(
+        s"commitVersion: expected to commit v$e but the head advanced " +
+          s"to v${next - 1} concurrently under $root — re-resolve and retry")
+    }
     fs.delete(new Path(s"$root/v$next"), true) // crashed-attempt orphan
     savePartitioned(spark, pm, s"$root/v$next")
     // version metadata (e.g. the streaming sink's batch id) rides IN

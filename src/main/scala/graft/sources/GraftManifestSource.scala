@@ -136,33 +136,56 @@ final class GraftManifestSource extends RelationProvider
           s"graft table at $root already exists (version $v)")
       case (SaveMode.Ignore, Some(_)) => ()
       case _ =>
-        // each batch lands in its own immutable directory keyed to the
-        // version it creates — versions never share mutable state, so
-        // time travel and orphan GC keep working across overwrites
+        // each batch lands in its own immutable directory (uniquely
+        // suffixed past v0 — two writers deriving the same number must
+        // never share a dir whose Overwrite would wipe the other's
+        // files) — versions never share mutable state, so time travel
+        // and orphan GC keep working across overwrites
         val next = existing.map(_ + 1).getOrElse(0L)
-        val dataDir = s"$root/data/b$next"
+        val dataDir =
+          if (existing.isEmpty) s"$root/data/b0"
+          else s"$root/data/b$next-" +
+            java.util.UUID.randomUUID.toString.take(8)
         FileManifest.writePartitionedLayout(data, dataDir, partCol,
           clusterCol, numFiles)
         // footer-stat ONLY the new files (batch-sized metadata work)
         val fresh = FileManifest.buildPartitioned(spark, dataDir, clusterCol)
-        val pm = (mode, existing) match {
-          case (SaveMode.Append, Some(_)) =>
-            val cur = FileManifest.loadLatest(spark, root)
-            require(cur.column == clusterCol,
-              s"append clusterBy '$clusterCol' != table's '${cur.column}'")
-            cur.copy(partitions = fresh.partitions.foldLeft(cur.partitions) {
-              case (acc, (part, files)) =>
-                acc.updated(part, acc.getOrElse(part, Nil) ++ files)
-            })
-          case _ => fresh // create / overwrite: only the new files
-        }
         val op = (mode, existing) match {
           case (SaveMode.Append, Some(_)) => "append"
           case (_, Some(_)) => "overwrite"
           case _ => "create"
         }
-        FileManifest.commitVersion(spark, pm, root,
-          meta = Map("operation" -> op))
+        if (op == "append") {
+          // append-append commutes: optimistic retry re-folds the new
+          // files onto whatever head won the race (the conditional
+          // commit prevents basing the manifest on a stale head)
+          var attempt = 0
+          var done = false
+          while (!done) {
+            attempt += 1
+            val cur = FileManifest.loadLatest(spark, root)
+            require(cur.column == clusterCol,
+              s"append clusterBy '$clusterCol' != table's '${cur.column}'")
+            val pm = cur.copy(
+              partitions = fresh.partitions.foldLeft(cur.partitions) {
+                case (acc, (part, files)) =>
+                  acc.updated(part, acc.getOrElse(part, Nil) ++ files)
+              })
+            val expect = FileManifest.latestVersion(spark, root).get + 1
+            try {
+              FileManifest.commitVersion(spark, pm, root,
+                meta = Map("operation" -> op), expected = Some(expect))
+              done = true
+            } catch {
+              case e: FileManifest.CommitConflictException =>
+                if (attempt >= 8) throw e
+            }
+          }
+        } else
+          // create / overwrite: only the new files — logical
+          // replacement carries nothing, so no retry content to re-fold
+          FileManifest.commitVersion(spark, fresh, root,
+            meta = Map("operation" -> op))
     }
     createRelation(sqlContext, parameters)
   }
@@ -217,6 +240,10 @@ final class GraftManifestSource extends RelationProvider
       s"graft streaming sink supports Append output only, got $outputMode " +
         "— update/complete would have to rewrite history the version " +
         "chain exists to preserve (aggregate maintenance is c8/c13's job)")
+    require(partitionColumns.size <= 1,
+      s"graft tables are single-partition-column; .partitionBy(${
+        partitionColumns.mkString(", ")}) would silently drop every " +
+        "column after the first")
     val partCol = partitionColumns.headOption.getOrElse(
       parameters.getOrElse("partitionby", parameters.getOrElse("partitionBy",
         throw new IllegalArgumentException(
@@ -497,15 +524,30 @@ object GraftStreamSource {
   * alternative; this is the plain bronze-ingest path).
   *
   * EXACTLY-ONCE: the engine replays micro-batches after recovery, so
-  * the sink must dedupe by batch id. The id rides IN the version
-  * directory (`_meta`, written before — and only visible with — the
-  * atomic commit marker), so "was this batch committed?" has the same
+  * the sink must dedupe by batch id — SCOPED TO THE QUERY. Spark
+  * batch ids are per-checkpoint, so a NEW streaming query writing to
+  * an existing sink table (a reprocess/backfill, or two streams
+  * fanning into one table) restarts at batch 0; deduping on the bare
+  * id would silently skip every batch ≤ the prior query's max —
+  * silent data loss. The dedupe key is therefore (queryId, batchId),
+  * the Delta-sink discipline: the query id comes from the
+  * `sql.streaming.queryId` local property the stream execution sets
+  * on the batch thread, and both ride IN the version directory
+  * (`_meta`, written before — and only visible with — the atomic
+  * commit marker), so "was this batch committed?" has the same
   * linearization point as the commit itself: crash before the marker
   * = an orphan the next attempt overwrites (commitVersion's
   * crashed-attempt cleanup + the GC sweep); crash after = the replay
-  * sees the id and skips. Batch ids are monotone per query, so the
-  * sink tracks only the MAX committed id (one O(versions) manifest
-  * scan at restart, cached after).
+  * sees the id pair and skips. Batch ids are monotone per query, so
+  * the sink tracks only the MAX committed id per query (one
+  * O(versions) manifest scan per query id, cached after).
+  *
+  * The commit itself is CONDITIONAL on the version the merged
+  * manifest was derived from (`expected`): a concurrent commit
+  * landing between loadLatest and the marker would otherwise be
+  * silently clobbered — its files absent from the sink's stale-based
+  * manifest. The conflict throws, the batch fails, and the engine's
+  * retry replays it against the fresh head.
   *
   * At 100 TB: per batch, IO is the batch's own rows (layout write +
   * footer stats) + one manifest save — never the table. */
@@ -514,23 +556,46 @@ final class GraftStreamSink(spark: SparkSession, root: String,
     extends org.apache.spark.sql.execution.streaming.Sink {
 
   private val BatchKey = "streamingBatchId"
+  private val QueryKey = "streamingQueryId"
 
-  private def scanMaxBatchId(): Long =
+  /** Max batch id this QUERY has committed (−1 when none). Versions
+    * written by builds that predate query scoping carry no query id;
+    * they count only for the legacy no-id caller, so a fresh query's
+    * batch 0 is never mistaken for a replay of an old query's. */
+  private def scanMaxBatchId(queryId: Option[String]): Long =
     FileManifest.versionHistory(spark, root).map(_._1)
-      .flatMap(v => FileManifest.versionMeta(spark, root, v).get(BatchKey))
+      .flatMap { v =>
+        val meta = FileManifest.versionMeta(spark, root, v)
+        if (meta.get(QueryKey) == queryId) meta.get(BatchKey) else None
+      }
       .map(_.toLong).maxOption.getOrElse(-1L)
 
-  private var maxCommitted: Long = scanMaxBatchId()
+  private val maxCommitted =
+    scala.collection.mutable.Map.empty[Option[String], Long]
 
   override def addBatch(batchId: Long, data: DataFrame): Unit =
     synchronized {
-      if (batchId <= maxCommitted) return // recovery replay: already in
+      val queryId = Option(spark.sparkContext
+        .getLocalProperty(org.apache.spark.sql.execution.streaming
+          .runtime.StreamExecution.QUERY_ID_KEY))
+      if (queryId.isEmpty)
+        logWarnOnce("graft sink: no sql.streaming.queryId on the batch " +
+          "thread — exactly-once dedupe falls back to the bare batch id " +
+          "(unsafe if a different query ever wrote this table)")
+      val max = maxCommitted.getOrElseUpdate(queryId,
+        scanMaxBatchId(queryId))
+      if (batchId <= max) return // recovery replay: already in
       val df = org.apache.spark.sql.graftshim.SparkShims
         .asBatchDataFrame(data)
       if (df.isEmpty) return // nothing to commit; replay is a no-op too
       val next = FileManifest.latestVersion(spark, root)
         .map(_ + 1).getOrElse(0L)
-      val dataDir = s"$root/data/b$next"
+      // uniquely-suffixed batch dir: a concurrent writer deriving the
+      // same version number must never share a dir whose Overwrite
+      // write would wipe this batch's files before the conditional
+      // commit even gets to fail
+      val dataDir = s"$root/data/b$next-" +
+        java.util.UUID.randomUUID.toString.take(8)
       FileManifest.writePartitionedLayout(df, dataDir, partCol,
         clusterCol, numFiles)
       val fresh = FileManifest.buildPartitioned(spark, dataDir, clusterCol)
@@ -546,11 +611,20 @@ final class GraftStreamSink(spark: SparkSession, root: String,
                 acc.updated(part, acc.getOrElse(part, Nil) ++ files)
             })
         }
+      // conditional on the head the manifest merged FROM: a racing
+      // commit fails this batch loudly (the engine retries) instead of
+      // being silently dropped from the new head
       FileManifest.commitVersion(spark, pm, root,
         meta = Map("operation" -> "streaming-append",
-          BatchKey -> batchId.toString))
-      maxCommitted = batchId
+          BatchKey -> batchId.toString) ++
+          queryId.map(QueryKey -> _),
+        expected = Some(next))
+      maxCommitted(queryId) = batchId
     }
+
+  private var warned = false
+  private def logWarnOnce(msg: String): Unit =
+    if (!warned) { warned = true; System.err.println(s"[warn] $msg") }
 
   override def toString: String = s"GraftStreamSink[$root]"
 }
@@ -845,22 +919,43 @@ final class ManifestFileIndex(spark: SparkSession,
         // was told never landed — discard them and re-arm instead
         cleanStaging()
       } else {
-        // adopt-by-move into a fresh immutable batch dir keyed to the
-        // version it creates (the batch-write discipline), footer-stat
-        // only the moved files, one-marker atomic commit
-        val cur = FileManifest.loadLatest(spark, root)
+        // adopt-by-move into a fresh immutable batch dir (uniquely
+        // suffixed — a concurrent writer computing the same version
+        // number must never share a dir whose Overwrite would wipe
+        // these files), footer-stat only the moved files, then a
+        // CONDITIONAL one-marker commit with optimistic retry:
+        // appends commute, so losing the version race just re-folds
+        // the already-moved stats onto the fresh head — committing
+        // unconditionally would base the manifest on a stale head and
+        // silently drop the concurrent version's files
         val next = FileManifest.latestVersion(spark, root).get + 1
-        val adopted = FileManifest.adoptBatch(spark, cur,
-          s"$root/data/b$next", d.toString)
-        val v = FileManifest.commitVersion(spark, adopted, root,
-          meta = Map("operation" -> "insert"))
-        require(v == next, s"insert commit raced: expected v$next, got v$v")
+        val dataDir = s"$root/data/b$next-" +
+          java.util.UUID.randomUUID.toString.take(8)
+        val added = FileManifest.adoptBatchAdded(spark, dataDir,
+          d.toString, pmCur.column)
+        var attempt = 0
+        var done = false
+        while (!done) {
+          attempt += 1
+          val adopted = FileManifest.foldAdded(
+            FileManifest.loadLatest(spark, root), added)
+          val expect = FileManifest.latestVersion(spark, root).get + 1
+          try {
+            FileManifest.commitVersion(spark, adopted, root,
+              meta = Map("operation" -> "insert"),
+              expected = Some(expect))
+            pmCur = adopted
+            statusByPath = statFiles(adopted)
+            done = true
+          } catch {
+            case e: FileManifest.CommitConflictException =>
+              if (attempt >= 8) throw e
+          }
+        }
         // sweep what adopt leaves behind: the drained partition dirs
         // and this job's `_SUCCESS` marker (so it can never vouch for
         // a later job's partials); `_temporary` stays untouched
         cleanStaging()
-        pmCur = adopted
-        statusByPath = statFiles(adopted)
       }
     }
   }

@@ -70,7 +70,11 @@ object Explain {
     // history, and the batch CDC table function
     "f27_sql_time_travel", "f28_sql_ctas", "f29_sql_history",
     "c14_table_changes", "f30_sql_clone", "c15_stream_sink",
-    "f31_sql_restore", "f32_sql_add_column", "g20_skipgram")
+    "f31_sql_restore", "f32_sql_add_column", "g20_skipgram",
+    // r12 wave: lazy DROP COLUMN, MERGE WITH SCHEMA EVOLUTION, and
+    // the multi-level Louvain coarsening recursion
+    "f33_sql_drop_column", "f34_merge_evolution",
+    "g21_louvain_multilevel")
 
   /** Cost notes rendered under a query's plan — state the structural
     * story the plan tree alone can't show. */

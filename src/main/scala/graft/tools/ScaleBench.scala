@@ -309,7 +309,15 @@ object ScaleBench {
       // start cohort); the negative lookup is a broadcast-hash probe
       // against the node-sized cumulative table — per-factor cost is
       // the g15 walk replay over ~f edges of the densifying graph
-      "g20_skipgram")
+      "g20_skipgram",
+      // r12: f33 is a ~f layout write + a no-IO catalog drop + a CoW
+      // delete whose ONE distributed rewrite job reads only touched
+      // files (~f); f34 is the f32 profile (layout + no-IO evolution)
+      // plus the merge's staged rewrite of ~f touched files; g21's
+      // level 1 is g19's ~f profile and the coarse levels shrink
+      // geometrically, so the recursion adds a near-constant tail
+      "f33_sql_drop_column", "f34_merge_evolution",
+      "g21_louvain_multilevel")
       // x18/x19 are NOT here for x12's reason (salting renames their
       // literal terms) — the salted cases below measure real phrase/
       // proximity retrieval.

@@ -551,6 +551,24 @@ class GraftDmlSpec extends AnyFunSuite {
         s"LOCATION '$tmp/ng'")
     }
     assert(messages(ng).exists(_.contains("not a graft")), messages(ng))
+
+    // an occupied TARGET NAME refuses BEFORE the clone catalog commits
+    // — otherwise the stranded catalog would make every retry fail
+    // with "already has a committed catalog" (the ADVICE trap)
+    val nameTaken = intercept[Throwable] {
+      spark.sql("CREATE TABLE cln_src SHALLOW CLONE cln_src " +
+        s"LOCATION '$tmp/taken'")
+    }
+    assert(messages(nameTaken).exists(_.contains("already exists")),
+      messages(nameTaken))
+    assert(FileManifest.latestVersion(spark, s"$tmp/taken").isEmpty,
+      "a refused clone must not leave a committed catalog behind")
+    // …and the location can be retried under a fresh name
+    spark.sql("DROP TABLE IF EXISTS cln_retry")
+    spark.sql("CREATE TABLE cln_retry SHALLOW CLONE cln_src " +
+      s"LOCATION '$tmp/taken'")
+    assert(spark.sql("SELECT count(*) FROM cln_retry").head.getLong(0)
+      == fullCount)
   }
 
   test("ALTER TABLE ADD COLUMN: catalog-tracked evolution, epoch-correct travel, DML upgrades") {
@@ -630,5 +648,275 @@ class GraftDmlSpec extends AnyFunSuite {
     }
     assert(messages(sparkOwn).exists(_.contains("EXPECT_TABLE_NOT_VIEW")),
       messages(sparkOwn))
+
+    // multi-column ADD COLUMNS commits as ONE schema version — the
+    // form that previously fell through to Spark's native ALTER and
+    // desynchronized the session catalog from the manifest schema
+    val vBefore = FileManifest.latestVersion(spark, root).get
+    spark.sql(
+      "ALTER TABLE alt_events ADD COLUMNS (tag STRING, score DECIMAL(10,2))")
+    assert(FileManifest.latestVersion(spark, root).contains(vBefore + 1),
+      "one ADD COLUMNS statement = one evolution version")
+    val cols = spark.table("alt_events").columns.toSet
+    assert(cols.contains("tag") && cols.contains("score"), cols)
+    assert(spark.sql("SELECT count(tag) FROM alt_events").head.getLong(0)
+      == 0L, "new columns null-fill everywhere")
+    // decorated forms REFUSE loudly instead of silently reaching
+    // Spark's native ALTER (which would desynchronize the catalog)
+    val deco = intercept[Throwable] {
+      spark.sql("ALTER TABLE alt_events ADD COLUMN note STRING COMMENT 'x'")
+    }
+    assert(messages(deco).exists(_.contains("unsupported column definition")),
+      messages(deco))
+    assert(!spark.table("alt_events").columns.contains("note"))
+  }
+
+  test("ALTER TABLE DROP COLUMN: lazy catalog drop, epoch-correct travel, DML sheds bytes, refusals") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-drop").toString
+    val root = s"$tmp/cat"
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "user_id", "event_type", "value")
+    ev.write.format("graft").option("path", root)
+      .option("partitionBy", "event_type").option("clusterBy", "user_id")
+      .option("files", "3").mode("errorifexists").save()
+    spark.sql("DROP TABLE IF EXISTS drp_events")
+    spark.sql(s"CREATE TABLE drp_events USING graft OPTIONS (path '$root')")
+    val total = ev.count()
+
+    spark.sql("ALTER TABLE drp_events DROP COLUMN value") // v1
+    assert(FileManifest.latestVersion(spark, root).contains(1L),
+      "the drop must commit exactly one (metadata-only) version")
+    assert(!spark.table("drp_events").columns.contains("value"),
+      "head reads must project the dropped column away")
+    assert(spark.sql("SELECT count(*) FROM drp_events").head.getLong(0)
+      == total, "the drop must not touch a single row")
+    // time travel BEFORE the drop serves the wide epoch
+    val v0 = spark.sql("SELECT * FROM drp_events VERSION AS OF 0")
+    assert(v0.columns.contains("value"),
+      "a pre-drop snapshot must serve its own (wide) schema epoch")
+    // post-drop DML rewrites physically shed the column from the
+    // files they touch (the pinned-read upgrade discipline)
+    spark.sql("DELETE FROM drp_events WHERE user_id = 2")
+    val v2 = FileManifest.loadVersion(spark, root, 2L)
+    val v0files = FileManifest.loadVersion(spark, root, 0L)
+      .partitions.values.flatten.map(_.path).toSet
+    val rewritten = v2.partitions.values.flatten
+      .map(_.path).filterNot(v0files).toSeq
+    assert(rewritten.nonEmpty, "the DELETE must have rewritten files")
+    val rewrittenCols = spark.read.parquet(rewritten: _*).columns.toSet
+    assert(!rewrittenCols.contains("value"),
+      s"rewritten files must physically shed the dropped column: " +
+        s"$rewrittenCols")
+    // INSERT after the drop validates against the narrowed schema
+    ev.limit(5).select((col("event_id") + 900000000L).as("event_id"),
+        col("user_id"), col("event_type"))
+      .createOrReplaceTempView("drp_src")
+    spark.sql("INSERT INTO drp_events SELECT * FROM drp_src")
+    assert(spark.sql("SELECT count(*) FROM drp_events").head.getLong(0)
+      == total - ev.where(col("user_id") === 2).count() + 5)
+
+    // refusals: partition column, clustering column, unknown column,
+    // and the schema mutations the catalog cannot represent
+    val pc = intercept[Throwable] {
+      spark.sql("ALTER TABLE drp_events DROP COLUMN event_type") }
+    assert(messages(pc).exists(_.contains("partition column")), messages(pc))
+    val cc = intercept[Throwable] {
+      spark.sql("ALTER TABLE drp_events DROP COLUMN user_id") }
+    assert(messages(cc).exists(_.contains("clustering column")), messages(cc))
+    val nx = intercept[Throwable] {
+      spark.sql("ALTER TABLE drp_events DROP COLUMN nope") }
+    assert(messages(nx).exists(_.contains("does not exist")), messages(nx))
+    val rn = intercept[Throwable] {
+      spark.sql("ALTER TABLE drp_events RENAME COLUMN event_id TO eid") }
+    assert(messages(rn).exists(_.contains("not supported")), messages(rn))
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION: new source columns land, null-fill, type changes refuse") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mev").toString
+    val root = s"$tmp/cat"
+    val base = (0L until 100L).map(i =>
+      (i, i % 10, if (i % 2 == 0) "click" else "view", i.toDouble))
+      .toDF("event_id", "user_id", "event_type", "value")
+    base.write.format("graft").option("path", root)
+      .option("partitionBy", "event_type").option("clusterBy", "event_id")
+      .option("files", "4").mode("errorifexists").save()
+    spark.sql("DROP TABLE IF EXISTS mev_events")
+    spark.sql(s"CREATE TABLE mev_events USING graft OPTIONS (path '$root')")
+    // name-aligned wider source: updates for even ids < 20, inserts
+    // beyond the key range, plus the NEW column `score`
+    base.where(col("event_id") < 20 && col("event_id") % 2 === 0)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        (col("value") * 10).as("value"), (col("event_id") + 1000).as("score"))
+      .unionByName(
+        base.limit(3).select((col("event_id") + 5000).as("event_id"),
+          col("user_id"), col("event_type"), col("value"),
+          lit(-1L).as("score")))
+      .createOrReplaceTempView("mev_chg")
+    spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO mev_events t
+      |USING mev_chg s
+      |ON t.event_id = s.event_id AND t.event_type = s.event_type
+      |WHEN MATCHED THEN UPDATE SET *
+      |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(FileManifest.latestVersion(spark, root).contains(2L),
+      "expected add-column + merge versions")
+    val t = spark.table("mev_events")
+    assert(t.columns.contains("score"), "the evolution must add `score`")
+    assert(t.where(col("score").isNotNull).count() == 10 + 3,
+      "matched updates + inserts carry the new column")
+    assert(t.count() == 103, "100 base rows + 3 inserts")
+    assert(t.where(col("score").isNull).count() == 90,
+      "unmatched target rows null-fill")
+    assert(t.where(col("event_id") === 4).head.getAs[Long]("score")
+      == 1004L)
+    // the evolution is a REAL catalog epoch: pre-merge travel is wide-
+    // free, and DESCRIBE HISTORY shows the add-column + merge pair
+    assert(!spark.sql("SELECT * FROM mev_events VERSION AS OF 0")
+      .columns.contains("score"))
+    val hist = spark.sql("DESCRIBE HISTORY mev_events")
+      .select("version", "operation").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(hist(1L) == "add-column" && hist(2L) == "merge", hist)
+    // a same-name TYPE change refuses loudly (the kept f32 boundary)
+    base.limit(2).select(col("event_id"), col("user_id"),
+        col("event_type"), col("value").cast("string").as("value"))
+      .createOrReplaceTempView("mev_bad")
+    val bad = intercept[Throwable] {
+      spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO mev_events t
+        |USING mev_bad s
+        |ON t.event_id = s.event_id AND t.event_type = s.event_type
+        |WHEN MATCHED THEN UPDATE SET value = s.value""".stripMargin)
+    }
+    assert(messages(bad).exists(_.contains("cannot CHANGE column types")),
+      messages(bad))
+  }
+
+  test("DESCRIBE HISTORY distributed path == driver fold, row for row") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hist").toString
+    val root = s"$tmp/cat"
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "user_id", "event_type", "value")
+    def save(df: org.apache.spark.sql.DataFrame, mode: String): Unit =
+      df.write.format("graft").option("path", root)
+        .option("partitionBy", "event_type").option("clusterBy", "user_id")
+        .option("files", "2").mode(mode).save()
+    save(ev.where(col("user_id") < 8), "overwrite") // v0
+    spark.sql("DROP TABLE IF EXISTS hist_events")
+    spark.sql(s"CREATE TABLE hist_events USING graft OPTIONS (path '$root')")
+    spark.sql("DELETE FROM hist_events WHERE user_id % 3 = 1") // v1: churn
+    save(ev.where(col("user_id") >= 8), "append") // v2: append
+    spark.sql("OPTIMIZE hist_events TARGET 1000000 ROWS") // v3: rewrite
+    val idx = graft.plans.GraftMaintenance.indexOf(spark, "hist_events")
+    val viaDriver = graft.plans.GraftMaintenance.history(spark, idx,
+      planThreshold = Long.MaxValue)
+    val viaJob = graft.plans.GraftMaintenance.history(spark, idx,
+      planThreshold = 0L)
+    assert(viaDriver == viaJob,
+      s"the two planning paths must answer identically:\n" +
+        s"driver: $viaDriver\njob:    $viaJob")
+    assert(viaDriver.size == 4 && viaDriver.map(_._2) ==
+      Seq("create", "delete", "append", "optimize"), viaDriver)
+  }
+
+  test("DML rewrite is ONE distributed job: Spark job count flat in touched-file count") {
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "user_id", "event_type", "value")
+    // two tables, identical rows, different file counts — the same
+    // broad DELETE touches ~2 files on one and ~12 on the other; with
+    // the per-file Future fan-out the job counts differed by ~10,
+    // with the single distributed rewrite they differ by at most the
+    // footer-stat job the >8-file table adds
+    def setup(name: String, files: Int): String = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft-1j$name")
+        .toString
+      val root = s"$tmp/cat"
+      ev.write.format("graft").option("path", root)
+        .option("partitionBy", "event_type").option("clusterBy", "user_id")
+        .option("files", files.toString).mode("errorifexists").save()
+      spark.sql(s"DROP TABLE IF EXISTS onejob_$name")
+      spark.sql(s"CREATE TABLE onejob_$name USING graft " +
+        s"OPTIONS (path '$root')")
+      root
+    }
+    val rootSmall = setup("small", 2)
+    val rootBig = setup("big", 12)
+    def jobsDuring(body: => Unit): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          counter.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      // job-start events post asynchronously; drain before reading
+      try { body; Thread.sleep(1000) }
+      finally spark.sparkContext.removeSparkListener(l)
+      counter.get()
+    }
+    val del = "WHERE user_id BETWEEN 2 AND 9 AND value > 1"
+    val jSmall = jobsDuring(spark.sql(s"DELETE FROM onejob_small $del"))
+    val jBig = jobsDuring(spark.sql(s"DELETE FROM onejob_big $del"))
+    val v0Big = FileManifest.loadVersion(spark, rootBig, 0L)
+      .partitions.values.flatten.map(_.path).toSet
+    val headBig = FileManifest.loadLatest(spark, rootBig)
+      .partitions.values.flatten.map(_.path).toSet
+    val nTouched = (v0Big -- headBig).size
+    assert(nTouched >= 8,
+      s"test premise: the big table's DELETE must touch many files " +
+        s"($nTouched)")
+    assert(jBig <= jSmall + 2,
+      s"rewrite phase must be O(1) jobs, not O(touched files): " +
+        s"small-table DELETE ran $jSmall jobs, big-table ($nTouched " +
+        s"touched) ran $jBig")
+    // both DELETEs produced the same table content
+    assert(spark.sql("SELECT sum(event_id), count(*) FROM onejob_small")
+      .head.toSeq ==
+      spark.sql("SELECT sum(event_id), count(*) FROM onejob_big")
+        .head.toSeq)
+  }
+
+  test("optimistic DML commit: a concurrent append and a DELETE both land") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-race").toString
+    val root = s"$tmp/cat"
+    val base = (0L until 400L).map(i =>
+      (i, i % 10, if (i % 2 == 0) "click" else "view", (i % 7).toDouble))
+      .toDF("event_id", "user_id", "event_type", "value")
+    base.write.format("graft").option("path", root)
+      .option("partitionBy", "event_type").option("clusterBy", "user_id")
+      .option("files", "4").mode("errorifexists").save()
+    spark.sql("DROP TABLE IF EXISTS race_events")
+    spark.sql(s"CREATE TABLE race_events USING graft OPTIONS (path '$root')")
+    // appended rows do NOT match the DELETE predicate, so the final
+    // table equals SEQUENTIAL application in either order — the
+    // commute the optimistic retry is allowed to exploit
+    val appended = (1000L until 1040L).map(i =>
+      (i, 999L, "purchase", 1.0))
+      .toDF("event_id", "user_id", "event_type", "value")
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fDel = Future {
+      spark.sql("DELETE FROM race_events WHERE user_id BETWEEN 2 AND 7")
+    }
+    val fApp = Future {
+      appended.write.format("graft").option("path", root)
+        .option("partitionBy", "event_type").option("clusterBy", "user_id")
+        .option("files", "1").mode("append").save()
+    }
+    Await.result(Future.sequence(Seq(fDel, fApp)), 5.minutes)
+    assert(FileManifest.latestVersion(spark, root).contains(2L),
+      "both the DELETE and the append must land as versions")
+    // re-resolve the table to read the final head regardless of which
+    // writer's snapshot the cached relation last advanced to
+    spark.sql("DROP TABLE IF EXISTS race_check")
+    spark.sql(s"CREATE TABLE race_check USING graft OPTIONS (path '$root')")
+    val want = base.where(!col("user_id").between(2, 7))
+      .unionByName(appended)
+      .agg(count(lit(1)), sum("event_id")).head.toSeq
+    val got = spark.sql(
+      "SELECT count(*), sum(event_id) FROM race_check").head.toSeq
+    assert(got == want,
+      s"final table must equal sequential application: got $got, want $want")
   }
 }

@@ -2361,6 +2361,54 @@ class OperatorsSpec extends AnyFunSuite {
       s"louvain must improve modularity over singletons ($louvainQ)")
   }
 
+  test("multi-level louvain: level 1 == g19, coarse level merges bridged communities, modularity non-decreasing") {
+    import spark.implicits._
+    def q(edges: org.apache.spark.sql.DataFrame,
+        labels: org.apache.spark.sql.DataFrame): Double =
+      Graph.modularity(edges, "s", "d", labels)
+        .agg(sum(col("q_num").cast("double") / col("q_den"))).head
+        .getDouble(0)
+    // levels = 1 IS louvain, bit for bit
+    val barbell = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("s", "d")
+    val l1 = Graph.louvainMultilevel(barbell, "s", "d",
+      rounds = 3, levels = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val g19 = Graph.louvain(barbell, "s", "d", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l1 == g19, "level 1 must be g19 bit for bit")
+
+    // a graph level 1 under-resolves: two 4-cliques TRIPLE-bridged —
+    // gated local moves settle each clique separately, but on the
+    // coarse graph the two community nodes see 3 inter-edges vs their
+    // own totals and the second level can merge or keep them; either
+    // way modularity must not DECREASE, and on the plain barbell the
+    // second level must keep the two triangles (already optimal)
+    def clique(base: Long): Seq[(Long, Long)] =
+      (for { i <- 0 until 4; j <- i + 1 until 4 }
+        yield (base + i, base + j)).toSeq
+    val bridged = (clique(0L) ++ clique(10L) ++
+      Seq((0L, 10L), (1L, 11L), (2L, 12L))).toDF("s", "d")
+    val lvl1 = Graph.louvainMultilevel(bridged, "s", "d",
+      rounds = 4, levels = 1)
+    val lvl2 = Graph.louvainMultilevel(bridged, "s", "d",
+      rounds = 4, levels = 2)
+    val lvl3 = Graph.louvainMultilevel(bridged, "s", "d",
+      rounds = 4, levels = 3)
+    val q1 = q(bridged, lvl1); val q2 = q(bridged, lvl2)
+    val q3 = q(bridged, lvl3)
+    assert(q2 >= q1 - 1e-12 && q3 >= q2 - 1e-12,
+      s"modularity must be non-decreasing level over level: $q1 $q2 $q3")
+    // the barbell's optimum survives the coarse level untouched
+    val b2 = Graph.louvainMultilevel(barbell, "s", "d",
+      rounds = 3, levels = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b2.values.toSet.size == 2 &&
+      Set(1L, 2L, 3L).map(b2) == Set(b2(1L)) &&
+      Set(4L, 5L, 6L).map(b2) == Set(b2(4L)),
+      s"the two triangles must survive the coarse level: $b2")
+  }
+
   test("harmonic centrality: keyed bfs == per-root bfs, floor-div sums exact") {
     import spark.implicits._
     // 0→1→2→3 chain plus a second root 4→1; depth cap binds at 3

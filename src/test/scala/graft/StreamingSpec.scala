@@ -1690,5 +1690,56 @@ class StreamingSpec extends AnyFunSuite {
         org.apache.spark.sql.streaming.OutputMode.Update())
     }
     assert(Option(bad.getMessage).exists(_.contains("Append")), bad)
+
+    // multi-column partitionBy refuses loudly instead of silently
+    // dropping every column after the first
+    val badPart = intercept[Throwable] {
+      new graft.sources.GraftManifestSource().createSink(
+        spark.sqlContext, Map("path" -> dst2, "clusterby" -> "k"),
+        Seq("p", "k"), org.apache.spark.sql.streaming.OutputMode.Append())
+    }
+    assert(Option(badPart.getMessage)
+      .exists(_.contains("single-partition-column")), badPart)
+  }
+
+  test("graft sink dedupe is scoped per QUERY: a fresh query's batch 0 is not a replay") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sinkq").toString
+    val dst = s"$tmp/dst"
+    val key = org.apache.spark.sql.execution.streaming.runtime
+      .StreamExecution.QUERY_ID_KEY
+    val b0 = Seq((1L, "a", 10L)).toDF("k", "p", "v")
+    val b1 = Seq((2L, "a", 20L)).toDF("k", "p", "v")
+    def rows() = spark.read.format("graft").option("path", dst).load()
+      .select("k").as[Long].collect().sorted.toSeq
+    try {
+      spark.sparkContext.setLocalProperty(key, "query-A")
+      val sinkA = new graft.sources.GraftStreamSink(spark, dst, "p", "k", 2)
+      sinkA.addBatch(0L, b0)
+      sinkA.addBatch(1L, b1)
+      assert(rows() == Seq(1L, 2L), "query A's two batches land")
+      // query B: a NEW query (fresh checkpoint) writing the same table
+      // restarts at batch 0 — the bare-batch-id dedupe would silently
+      // skip it (the ADVICE data-loss scenario); (queryId, batchId)
+      // scoping must let it through
+      spark.sparkContext.setLocalProperty(key, "query-B")
+      val sinkB = new graft.sources.GraftStreamSink(spark, dst, "p", "k", 2)
+      sinkB.addBatch(0L, Seq((3L, "b", 30L)).toDF("k", "p", "v"))
+      assert(rows() == Seq(1L, 2L, 3L),
+        s"a fresh query's batch 0 must land, got ${rows()}")
+      // but query B's OWN replay of batch 0 — through a fresh
+      // instance (crash recovery) — is still a no-op
+      new graft.sources.GraftStreamSink(spark, dst, "p", "k", 2)
+        .addBatch(0L, Seq((9L, "b", 90L)).toDF("k", "p", "v"))
+      assert(rows() == Seq(1L, 2L, 3L),
+        "query B's replayed batch 0 must not land twice")
+      // and query A resuming (crash recovery, fresh instance) still
+      // dedupes ITS OWN batches
+      spark.sparkContext.setLocalProperty(key, "query-A")
+      new graft.sources.GraftStreamSink(spark, dst, "p", "k", 2)
+        .addBatch(1L, b1)
+      assert(rows() == Seq(1L, 2L, 3L),
+        "query A's replayed batch 1 must not land twice")
+    } finally spark.sparkContext.setLocalProperty(key, null)
   }
 }
