@@ -900,7 +900,7 @@ object SparkEntry {
     // bit, modularity non-decreasing level over level (spec-pinned)
     "g21_louvain_multilevel" -> ((s, dir) =>
       Graph.louvainMultilevel(triangleEdges(T(s, dir, "lineitem")),
-          "src", "dst", rounds = 3, levels = 2)
+          "src", "dst", rounds = 2, levels = 2)
         .orderBy("node")),
     // STRONGLY CONNECTED COMPONENTS by FW-BW block refinement (r9):
     // within-block forward/backward min-propagation run TO A CHECKED
@@ -3349,6 +3349,45 @@ object SparkEntry {
         |  FROM f33_events VERSION AS OF 0 GROUP BY event_type)
         |ORDER BY snap, event_type""".stripMargin)
     }),
+    // TYPE WIDENING (r12) — `ALTER TABLE t ALTER COLUMN c TYPE
+    // <wider>`: the widened schema commits as a catalog version (zero
+    // data IO); every pinned read upcasts old files' narrower physical
+    // type via Spark 4's parquet widening updaters (INT→BIGINT here),
+    // new writes carry the wide type physically — the INSERT lands
+    // values beyond INT32 range, only representable post-widening —
+    // and a DML rewrite upgrades the files it touches. Pre-widening
+    // time travel serves the narrow epoch (spec-pinned); narrowing and
+    // non-widenable changes refuse
+    "f35_sql_widen_column" -> ((s, dir) => {
+      val tmp = layoutDir("f35", dir)
+      val root = s"$tmp/cat"
+      freshDir(s, root)
+      val ev = T(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value").cast("int").as("score"))
+      ev.where(col("user_id") < 8).write.format("graft")
+        .option("path", root).option("partitionBy", "event_type")
+        .option("clusterBy", "user_id").option("files", "4")
+        .mode("overwrite").save() // v0: score is INT32
+      s.sql("DROP TABLE IF EXISTS f35_events")
+      s.sql(s"CREATE TABLE f35_events USING graft OPTIONS (path '$root')")
+      s.sql("ALTER TABLE f35_events ALTER COLUMN score TYPE BIGINT") // v1
+      ev.where(col("user_id") >= 8)
+        .select(col("event_id"), col("user_id"),
+          (col("score").cast("long") + 3000000000L).as("score"),
+          col("event_type"))
+        .createOrReplaceTempView("f35_src")
+      s.sql("INSERT INTO f35_events SELECT * FROM f35_src") // v2: wide rows
+      s.sql("UPDATE f35_events SET score = score + 1 " + // v3: upgrade
+        "WHERE user_id = 2")
+      require(FileManifest.latestVersion(s, root).contains(3L),
+        "expected create + widen + insert + update versions")
+      s.sql("""SELECT event_type, count(*) AS n_events,
+        |  sum(score) AS sum_score, min(score) AS min_score,
+        |  max(score) AS max_score, sum(event_id) AS sum_ids
+        |FROM f35_events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
     // MERGE WITH SCHEMA EVOLUTION (r12) — the Delta statement,
     // composed from committed pieces: source columns absent from the
     // target commit as an f32 ADD COLUMN evolution (every existing
@@ -4241,7 +4280,7 @@ object SparkEntry {
       operators.Graph.louvainOracleSql(triangleEdgesSql, rounds = 4),
     "g21_louvain_multilevel" ->
       operators.Graph.louvainMultilevelOracleSql(triangleEdgesSql,
-        rounds = 3, levels = 2),
+        rounds = 2, levels = 2),
     // g9: the engine's caps unroll verbatim — rounds past the checked
     // convergence are no-ops, so the chains agree bit for bit
     "g9_scc" ->
@@ -6144,6 +6183,28 @@ object SparkEntry {
         |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
         |  FROM events GROUP BY event_type)
         |ORDER BY snap, event_type""".stripMargin,
+    // f35: widening is value-preserving by construction, so the
+    // oracle derives the whole history from the source relation —
+    // TRUNC mirrors Spark's toward-zero double→int cast (DuckDB's
+    // bare CAST rounds); sums cast back to BIGINT (DuckDB widens to
+    // HUGEINT)
+    "f35_sql_widen_column" ->
+      """WITH src AS (SELECT event_id, user_id, event_type,
+        |  CAST(CAST(TRUNC(value) AS INTEGER) AS BIGINT) AS score
+        |  FROM events),
+        |merged AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CASE WHEN user_id = 2 THEN score + 1 ELSE score END AS score
+        |  FROM src WHERE user_id < 8
+        |  UNION ALL
+        |  SELECT event_id, user_id, event_type, score + 3000000000
+        |  FROM src WHERE user_id >= 8)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(score) AS BIGINT) AS sum_score,
+        |  CAST(min(score) AS BIGINT) AS min_score,
+        |  CAST(max(score) AS BIGINT) AS max_score,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_ids
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
     // f34: evolution + MERGE == left join carrying the new column for
     // matched rows (NULL for unmatched — the null-fill the ADD COLUMN
     // commit guarantees) + anti-join inserts carrying it for real

@@ -752,29 +752,34 @@ object Graph {
   def louvainMultilevel(edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int, levels: Int): DataFrame = {
     require(rounds >= 1 && levels >= 1)
-    var assign = ckpt(louvain(edges, srcCol, dstCol, rounds))
-    if (levels == 1) return assign
+    // ONE normalized edge build feeds level 1 AND the contraction —
+    // level 1 runs through the weighted primitive at unit weights,
+    // which IS louvain's update rule bit for bit (spec-pinned
+    // equality with the g19 entry), so the g19 machinery is not
+    // rebuilt a second time just to get the level-1 assignment
     val und0 = normalize(edges, srcCol, dstCol)
       .where(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val m = und0.count()
-    var wund = ckpt(und0.withColumn("w", lit(1L)))
-    und0.unpersist()
+    val m = und0.count() // one scalar; also materializes the cache
+    var wund: DataFrame = und0.withColumn("w", lit(1L))
     var self = wund.select(col("a").as("node"), col("w").as("sl"))
       .where(lit(false))
+    var assign = louvainWeightedRounds(wund, self, m, rounds)
+    if (levels == 1) { und0.unpersist(); return assign }
     // `mapping` sends the CURRENT coarse node space to its community:
     // level 1's node space is the original graph, so it starts as the
     // level-1 assignment itself
     var mapping = assign
-    for (_ <- 2 to levels) {
+    for (lvl <- 2 to levels) {
       // CONTRACT through the latest mapping
       val mx = mapping.select(col("node").as("a"), col("label").as("la"))
       val my = mapping.select(col("node").as("b"), col("label").as("lb"))
       val mapped = ckpt(wund.join(mx, "a").join(my, "b")
         .select(col("la"), col("lb"), col("w")))
+      if (lvl == 2) und0.unpersist() // contraction was its last reader
       val inter = ckpt(mapped.where(col("la") =!= col("lb"))
         .select(least(col("la"), col("lb")).as("a"),
           greatest(col("la"), col("lb")).as("b"), col("w"))
@@ -785,7 +790,7 @@ object Graph {
           .join(mapping.select(col("node"), col("label")), "node")
           .select(col("label").as("node"), col("sl")))
         .groupBy("node").agg(sum("sl").as("sl")))
-      val coarse = ckpt(louvainWeightedRounds(inter, newSelf, m, rounds))
+      val coarse = louvainWeightedRounds(inter, newSelf, m, rounds)
       assign = ckpt(assign
         .join(coarse.select(col("node").as("__cn"),
           col("label").as("__nl")), col("label") === col("__cn"), "left")

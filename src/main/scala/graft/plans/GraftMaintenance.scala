@@ -160,14 +160,19 @@ object GraftMaintenance {
         if GraftTimeTravel.graftRootOf(spark,
           table.split('.').toSeq).isDefined =>
       Some(GraftDropColumnCommand(table, parseDropColumns(spec)))
+    case WidenColumnRe(table, colName, colType)
+        if GraftTimeTravel.graftRootOf(spark,
+          table.split('.').toSeq).isDefined =>
+      Some(GraftWidenColumnCommand(table, colName, colType))
     case UnsupportedAlterRe(table, what)
         if GraftTimeTravel.graftRootOf(spark,
           table.split('.').toSeq).isDefined =>
       sys.error(s"graft ALTER TABLE ${what.toUpperCase.replaceAll("\\s+", " ")} " +
         "is not supported — RENAME needs field-id (not name) mapping and " +
-        "type changes need read-time casts the catalog does not track yet; " +
-        "letting Spark's native ALTER take it would desynchronize the " +
-        "graft catalog silently")
+        "non-widening type changes need read-time casts the catalog does " +
+        "not track; letting Spark's native ALTER take it would " +
+        "desynchronize the graft catalog silently (type WIDENING is " +
+        "supported: ALTER TABLE t ALTER COLUMN c TYPE <wider>)")
     case MergeEvolutionRe(table, rest)
         if GraftTimeTravel.graftRootOf(spark,
           table.split('.').toSeq).isDefined =>
@@ -183,6 +188,13 @@ object GraftMaintenance {
   private val MergeEvolutionRe =
     ("""(?is)^\s*MERGE\s+WITH\s+SCHEMA\s+EVOLUTION\s+INTO\s+""" +
       """([\w.]+)([\s\S]*)$""").r
+
+  // `ALTER TABLE t ALTER COLUMN c TYPE <t>` — matched BEFORE the
+  // blanket ALTER COLUMN refusal so the widening path gets a chance;
+  // the command itself gates on the widenable-pair table
+  private val WidenColumnRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+ALTER\s+COLUMN\s+(\w+)\s+""" +
+      """TYPE\s+([\w]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*;?\s*$""").r
 
   // schema mutations the graft catalog cannot represent must REFUSE
   // on graft tables, not fall through to Spark's native ALTER (which
@@ -694,6 +706,68 @@ case class GraftMergeEvolveCommand(table: String, strippedSql: String)
       GraftAddColumnCommand(table,
         missing.toSeq.map(f => f.name -> f.dataType.sql)).run(spark)
     spark.sql(strippedSql)
+    Nil
+  }
+}
+
+/** `ALTER TABLE t ALTER COLUMN c TYPE <wider>` — TYPE WIDENING on the
+  * f32 schema-pinned substrate (the Delta type-widening feature, the
+  * Iceberg V1 `int→long / float→double` promotion rules): the widened
+  * schema commits as a catalog version, zero data IO. Every read pins
+  * to the catalog schema, and Spark 4's vectorized parquet reader
+  * UPCASTS the old files' narrower physical type in place
+  * (IntegerToLong/IntegerToDouble/FloatToDouble updaters), so old and
+  * new files serve one uniform type; writes after the ALTER carry the
+  * wide type physically and DML/OPTIMIZE rewrites upgrade the files
+  * they touch. Time travel before the widening serves the narrow
+  * epoch. ONLY the lossless reader-supported promotions are allowed —
+  * narrowing or any other change still refuses loudly (a read-time
+  * cast the reader cannot do would need value-level rewrite). The
+  * partition and clustering columns refuse: the directory encoding
+  * and the footer-stat manifest are keyed on their physical types. */
+case class GraftWidenColumnCommand(table: String, colName: String,
+    colType: String) extends LeafRunnableCommand {
+  import org.apache.spark.sql.types._
+  private val widenable: Set[(DataType, DataType)] = Set(
+    IntegerType -> LongType,
+    IntegerType -> DoubleType,
+    FloatType -> DoubleType)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val index = GraftMaintenance.indexOf(spark, table)
+    val root = index.graftCatalogRoot.getOrElse(sys.error(
+      "ALTER TABLE requires a catalog-backed graft table"))
+    require(!index.isTimeTraveled,
+      "ALTER TABLE on a time-traveled graft table is not allowed")
+    require(colName != index.partitionColumn &&
+      colName != index.clusterColumn,
+      s"cannot change the type of the ${if (colName == index.partitionColumn)
+        "partition" else "clustering"} column `$colName` — the directory " +
+        "encoding / footer-stat manifest are keyed on its physical type")
+    val analyzed = spark.table(table).queryExecution.analyzed
+    val h = GraftDml.graftRelation(analyzed).get._1
+    val field = h.dataSchema.fields.find(_.name == colName).getOrElse(
+      sys.error(s"column `$colName` does not exist in $table"))
+    val to = spark.sessionState.sqlParser.parseDataType(colType)
+    require(widenable((field.dataType, to)),
+      s"ALTER COLUMN `$colName` TYPE ${to.sql}: only lossless reader-" +
+        s"supported widenings are allowed (INT→BIGINT, INT→DOUBLE, " +
+        s"FLOAT→DOUBLE); ${field.dataType.sql} → ${to.sql} would need a " +
+        "value-level rewrite")
+    val widened = StructType(h.dataSchema.fields.map(f =>
+      if (f.name == colName) f.copy(dataType = to) else f))
+    FileManifest.commitVersion(spark,
+      FileManifest.loadLatest(spark, root), root,
+      meta = Map("operation" -> "widen-column",
+        "widenedColumn" -> s"$colName:${field.dataType.sql}->${to.sql}",
+        "schema" -> widened.json))
+    // full-definition catalog update (alterTableDataSchema refuses
+    // type changes, same as drops)
+    val ti = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val old = spark.sessionState.catalog.getTableMetadata(ti)
+    val newFull = StructType(old.schema.fields.map(f =>
+      if (f.name == colName) f.copy(dataType = to) else f))
+    spark.sessionState.catalog.alterTable(old.copy(schema = newFull))
+    spark.catalog.refreshTable(table)
     Nil
   }
 }

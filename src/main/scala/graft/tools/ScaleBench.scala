@@ -317,7 +317,10 @@ object ScaleBench {
       // level 1 is g19's ~f profile and the coarse levels shrink
       // geometrically, so the recursion adds a near-constant tail
       "f33_sql_drop_column", "f34_merge_evolution",
-      "g21_louvain_multilevel")
+      "g21_louvain_multilevel",
+      // f35: ~f layout write + a no-IO widen commit + the insert's
+      // adopt + the UPDATE's one-job pinned-read rewrite (~f touched)
+      "f35_sql_widen_column")
       // x18/x19 are NOT here for x12's reason (salting renames their
       // literal terms) — the salted cases below measure real phrase/
       // proximity retrieval.

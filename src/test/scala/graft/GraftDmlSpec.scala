@@ -791,6 +791,68 @@ class GraftDmlSpec extends AnyFunSuite {
       messages(bad))
   }
 
+  test("ALTER COLUMN TYPE widening: upcast reads, wide writes, epoch travel, refusals") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wide").toString
+    val root = s"$tmp/cat"
+    val base = (0L until 60L).map(i =>
+      (i, i % 6, if (i % 2 == 0) "a" else "b", (i * 3).toInt))
+      .toDF("id", "k", "p", "score")
+    base.write.format("graft").option("path", root)
+      .option("partitionBy", "p").option("clusterBy", "k")
+      .option("files", "2").mode("errorifexists").save() // score INT32
+    spark.sql("DROP TABLE IF EXISTS wid_events")
+    spark.sql(s"CREATE TABLE wid_events USING graft OPTIONS (path '$root')")
+    assert(spark.table("wid_events").schema("score").dataType
+      == org.apache.spark.sql.types.IntegerType)
+
+    spark.sql("ALTER TABLE wid_events ALTER COLUMN score TYPE BIGINT")
+    assert(FileManifest.latestVersion(spark, root).contains(1L),
+      "the widen must commit exactly one metadata-only version")
+    assert(spark.table("wid_events").schema("score").dataType
+      == org.apache.spark.sql.types.LongType)
+    // old INT32 files upcast in place: values preserved
+    assert(spark.sql("SELECT sum(score) FROM wid_events").head.getLong(0)
+      == (0L until 60L).map(_ * 3).sum)
+    // new writes carry values only BIGINT can hold
+    // table column order = data schema (id, k, score) + partition (p)
+    Seq((1000L, 1L, 5000000000L, "a")).toDF("id", "k", "score", "p")
+      .createOrReplaceTempView("wid_src")
+    spark.sql("INSERT INTO wid_events SELECT * FROM wid_src")
+    assert(spark.sql("SELECT max(score) FROM wid_events").head.getLong(0)
+      == 5000000000L)
+    // a DML rewrite crosses the widening (pinned wide read upgrades)
+    spark.sql("UPDATE wid_events SET score = score + 1 WHERE k = 2")
+    val n2 = 10 // ids with k = 2
+    assert(spark.sql("SELECT sum(score) FROM wid_events").head.getLong(0)
+      == (0L until 60L).map(_ * 3).sum + n2 + 5000000000L)
+    // pre-widening travel serves the narrow epoch
+    assert(spark.sql("SELECT * FROM wid_events VERSION AS OF 0")
+      .schema("score").dataType
+      == org.apache.spark.sql.types.IntegerType)
+    // OPTIMIZE compacts the mixed INT32/INT64 layout under the pin
+    val aggBefore = spark.sql(
+      "SELECT count(*), sum(score) FROM wid_events").head.toSeq
+    spark.sql("OPTIMIZE wid_events TARGET 1000000 ROWS")
+    assert(spark.sql("SELECT count(*), sum(score) FROM wid_events")
+      .head.toSeq == aggBefore, "compaction must be pure layout")
+
+    // refusals: narrowing, non-widenable, key columns
+    val nar = intercept[Throwable] {
+      spark.sql("ALTER TABLE wid_events ALTER COLUMN score TYPE INT") }
+    assert(messages(nar).exists(_.contains("widenings")), messages(nar))
+    val str = intercept[Throwable] {
+      spark.sql("ALTER TABLE wid_events ALTER COLUMN id TYPE STRING") }
+    assert(messages(str).exists(_.contains("widenings")), messages(str))
+    val key = intercept[Throwable] {
+      spark.sql("ALTER TABLE wid_events ALTER COLUMN k TYPE DOUBLE") }
+    assert(messages(key).exists(_.contains("clustering")), messages(key))
+    // other ALTER COLUMN decorations still refuse loudly
+    val deco = intercept[Throwable] {
+      spark.sql("ALTER TABLE wid_events ALTER COLUMN score COMMENT 'x'") }
+    assert(messages(deco).exists(_.contains("not supported")), messages(deco))
+  }
+
   test("DESCRIBE HISTORY distributed path == driver fold, row for row") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-hist").toString
     val root = s"$tmp/cat"
