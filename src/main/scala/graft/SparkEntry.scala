@@ -3388,6 +3388,42 @@ object SparkEntry {
         |FROM f35_events
         |GROUP BY event_type ORDER BY event_type""".stripMargin)
     }),
+    // METADATA-ONLY COUNT(*) (r12) — the Delta/Iceberg answer-from-
+    // the-log optimization: an unfiltered ungrouped count over a
+    // graft table folds the committed manifest's exact per-file row
+    // counts (maintained by every committing site, incl. the CoW
+    // DELETE here) — the entry asserts STRUCTURALLY that neither the
+    // head count nor the pinned-snapshot count planned a single file
+    // scan, then the oracle checks the values
+    "f36_metadata_count" -> ((s, dir) => {
+      val tmp = layoutDir("f36", dir)
+      val root = s"$tmp/cat"
+      freshDir(s, root)
+      val ev = T(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      ev.write.format("graft")
+        .option("path", root).option("partitionBy", "event_type")
+        .option("clusterBy", "user_id").option("files", "8")
+        .mode("overwrite").save() // v0
+      s.sql("DROP TABLE IF EXISTS f36_events")
+      s.sql(s"CREATE TABLE f36_events USING graft OPTIONS (path '$root')")
+      s.sql("DELETE FROM f36_events WHERE user_id % 4 = 1") // v1: CoW
+      val head = s.sql("SELECT count(*) AS n_rows FROM f36_events")
+        .select(lit("head").as("snap"), col("n_rows"))
+      val v0 = s.sql(
+        "SELECT count(*) AS n_rows FROM f36_events VERSION AS OF 0")
+        .select(lit("v0").as("snap"), col("n_rows"))
+      val df = head.unionByName(v0).orderBy("snap")
+      // the optimized plan must hold NO relation scan at all — both
+      // counts answered from manifest metadata (the physical plan
+      // hides inside AdaptiveSparkPlanExec, so assert on the logical)
+      val scans = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources
+          .LogicalRelation => r }
+      require(scans.isEmpty,
+        s"metadata COUNT(*) must plan ZERO table scans, found ${scans.size}")
+      df
+    }),
     // MERGE WITH SCHEMA EVOLUTION (r12) — the Delta statement,
     // composed from committed pieces: source columns absent from the
     // target commit as an f32 ADD COLUMN evolution (every existing
@@ -6205,6 +6241,15 @@ object SparkEntry {
         |  CAST(max(score) AS BIGINT) AS max_score,
         |  CAST(sum(event_id) AS BIGINT) AS sum_ids
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+    // f36: counts derive from the source relation (the manifest's
+    // per-file rows are exact, maintained across the CoW delete)
+    "f36_metadata_count" ->
+      """SELECT snap, n_rows FROM (
+        |  SELECT 'head' AS snap, CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM events WHERE user_id % 4 <> 1
+        |  UNION ALL
+        |  SELECT 'v0', CAST(count(*) AS BIGINT) FROM events)
+        |ORDER BY snap""".stripMargin,
     // f34: evolution + MERGE == left join carrying the new column for
     // matched rows (NULL for unmatched — the null-fill the ADD COLUMN
     // commit guarantees) + anti-join inserts carrying it for real

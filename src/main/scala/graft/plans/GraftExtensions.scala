@@ -26,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL DELETE/UPDATE/MERGE on graft tables: replace the resolved
     // node with the CoW command before planning refuses v1 DML
     ext.injectPostHocResolutionRule(session => GraftDmlRule(session))
+    // unfiltered ungrouped COUNT(*) over a graft table answers from
+    // the committed manifest's exact per-file row counts — zero data IO
+    ext.injectPostHocResolutionRule(session =>
+      GraftMetadataCountRule(session))
     // OPTIMIZE / VACUUM / DESCRIBE HISTORY — maintenance statements
     // Spark's grammar lacks — plus the VERSION AS OF / TIMESTAMP AS OF
     // rewrite over graft tables; everything else delegates to the

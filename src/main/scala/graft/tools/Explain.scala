@@ -74,7 +74,8 @@ object Explain {
     // r12 wave: lazy DROP COLUMN, MERGE WITH SCHEMA EVOLUTION, and
     // the multi-level Louvain coarsening recursion
     "f33_sql_drop_column", "f34_merge_evolution",
-    "g21_louvain_multilevel", "f35_sql_widen_column")
+    "g21_louvain_multilevel", "f35_sql_widen_column",
+    "f36_metadata_count")
 
   /** Cost notes rendered under a query's plan — state the structural
     * story the plan tree alone can't show. */

@@ -320,7 +320,10 @@ object ScaleBench {
       "g21_louvain_multilevel",
       // f35: ~f layout write + a no-IO widen commit + the insert's
       // adopt + the UPDATE's one-job pinned-read rewrite (~f touched)
-      "f35_sql_widen_column")
+      "f35_sql_widen_column",
+      // f36: the count itself is metadata-only (zero data IO at any
+      // factor); the measured cost is the ~f layout write + CoW delete
+      "f36_metadata_count")
       // x18/x19 are NOT here for x12's reason (salting renames their
       // literal terms) — the salted cases below measure real phrase/
       // proximity retrieval.

@@ -853,6 +853,58 @@ class GraftDmlSpec extends AnyFunSuite {
     assert(messages(deco).exists(_.contains("not supported")), messages(deco))
   }
 
+  test("metadata COUNT(*): zero-scan answer, maintained across DML; guarded forms still scan") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cnt").toString
+    val root = s"$tmp/cat"
+    val base = (0L until 300L).map(i =>
+      (i, i % 10, if (i % 2 == 0) "a" else "b",
+        if (i % 5 == 0) null else s"v$i"))
+      .toDF("id", "k", "p", "tag")
+    base.write.format("graft").option("path", root)
+      .option("partitionBy", "p").option("clusterBy", "k")
+      .option("files", "3").mode("errorifexists").save()
+    spark.sql("DROP TABLE IF EXISTS cnt_events")
+    spark.sql(s"CREATE TABLE cnt_events USING graft OPTIONS (path '$root')")
+    // count RELATION SCANS in the optimized logical plan — the
+    // physical executedPlan hides its tree inside AdaptiveSparkPlanExec
+    // (collect would vacuously find nothing either way)
+    def scansOf(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources
+          .LogicalRelation => r
+      }.size
+    val c0 = spark.sql("SELECT count(*) FROM cnt_events")
+    assert(scansOf(c0) == 0, "count(*) must answer from the manifest")
+    assert(c0.head.getLong(0) == 300L)
+    // maintained across the whole DML lifecycle
+    spark.sql("DELETE FROM cnt_events WHERE k = 3")
+    Seq((900L, 1L, "x9", "a")).toDF("id", "k", "tag", "p")
+      .createOrReplaceTempView("cnt_src")
+    spark.sql("INSERT INTO cnt_events SELECT * FROM cnt_src")
+    spark.sql("OPTIMIZE cnt_events TARGET 1000000 ROWS")
+    val c1 = spark.sql("SELECT count(*) FROM cnt_events")
+    assert(scansOf(c1) == 0)
+    assert(c1.head.getLong(0) == 300L - 30L + 1L,
+      "manifest counts must survive DELETE + INSERT + OPTIMIZE")
+    // the guarded forms still SCAN and still answer correctly:
+    // count(col) sees NULLs, a filter restricts, grouping groups
+    val cc = spark.sql("SELECT count(tag) FROM cnt_events")
+    assert(scansOf(cc) == 1, "count(col) must not take the metadata path")
+    assert(cc.head.getLong(0) ==
+      spark.table("cnt_events").where(col("tag").isNotNull).count())
+    val cf = spark.sql("SELECT count(*) FROM cnt_events WHERE k = 1")
+    assert(scansOf(cf) == 1, "a filtered count must not take it either")
+    assert(cf.head.getLong(0) == 30L + 1L)
+    val cg = spark.sql(
+      "SELECT p, count(*) FROM cnt_events GROUP BY p ORDER BY p")
+    assert(scansOf(cg) == 1, "a grouped count must not take it either")
+    assert(cg.collect().map(_.getLong(1)).sum == 271L)
+    // time travel answers from the PINNED snapshot's manifest
+    val cv = spark.sql("SELECT count(*) FROM cnt_events VERSION AS OF 0")
+    assert(scansOf(cv) == 0 && cv.head.getLong(0) == 300L)
+  }
+
   test("DESCRIBE HISTORY distributed path == driver fold, row for row") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-hist").toString
     val root = s"$tmp/cat"
