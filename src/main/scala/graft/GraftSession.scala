@@ -19,6 +19,13 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // graft tables are FIELD-ID mapped (Iceberg-style column
+      // identity: RENAME resolves old files by id, a re-added dropped
+      // name can never match retired bytes). Matching engages only
+      // when a read's requested schema carries ids — every other
+      // parquet read keeps plain name matching, so this is inert
+      // outside graft catalogs
+      .config("spark.sql.parquet.fieldId.read.enabled", "true")
       // streaming state that spills: the default provider keeps every
       // key on-heap (executor-memory-bound); RocksDB keeps working
       // state off-heap/on-disk with incremental checkpoints — the

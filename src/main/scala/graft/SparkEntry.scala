@@ -3470,6 +3470,135 @@ object SparkEntry {
         |FROM f34_events
         |GROUP BY event_type ORDER BY event_type""".stripMargin)
     }),
+    // RENAME COLUMN on the FIELD-ID substrate (r13, f37) — names are
+    // labels, ids are identity (the Iceberg discipline): every
+    // front-door CREATE commits a field-id-mapped schema and every
+    // write embeds the ids into its parquet files, so the rename is a
+    // catalog-only commit (zero data IO) and reads resolve old files'
+    // OLD physical name by id under the NEW name. The INSERT lands
+    // new-name files, the UPDATE's CoW rewrite upgrades the old files
+    // it touches, and pre-rename time travel still reads the old name
+    // from the same bytes — one statement reads BOTH epochs. The same
+    // substrate kills the r12 drop-then-re-add resurrection: a
+    // re-added name mints a FRESH id that can never match retired
+    // bytes (spec-pinned in FieldIdSpec)
+    "f37_sql_rename_column" -> ((s, dir) => {
+      val tmp = layoutDir("f37", dir)
+      val root = s"$tmp/cat"
+      freshDir(s, root)
+      val ev = T(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      ev.where(col("user_id") < 8).write.format("graft")
+        .option("path", root).option("partitionBy", "event_type")
+        .option("clusterBy", "user_id").option("files", "4")
+        .mode("overwrite").save() // v0: column is `value`
+      s.sql("DROP TABLE IF EXISTS f37_events")
+      s.sql(s"CREATE TABLE f37_events USING graft OPTIONS (path '$root')")
+      s.sql("ALTER TABLE f37_events RENAME COLUMN value TO amount") // v1
+      ev.where(col("user_id") >= 8)
+        .select(col("event_id"), col("user_id"),
+          col("value").as("amount"), col("event_type"))
+        .createOrReplaceTempView("f37_src")
+      s.sql("INSERT INTO f37_events SELECT * FROM f37_src") // v2: new name
+      s.sql("UPDATE f37_events SET amount = amount + 1 " + // v3: upgrades
+        "WHERE user_id = 2") //     old-name files it touches, by id
+      require(FileManifest.latestVersion(s, root).contains(3L),
+        "expected create + rename + insert + update versions")
+      s.sql("""SELECT snap, event_type, n_events, total_amount, sum_ids
+        |FROM (
+        |  SELECT 'head' AS snap, event_type, count(*) AS n_events,
+        |    CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS total_amount,
+        |    sum(event_id) AS sum_ids
+        |  FROM f37_events GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'pre', event_type, count(*),
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE),
+        |    sum(event_id)
+        |  FROM f37_events VERSION AS OF 0 GROUP BY event_type)
+        |ORDER BY snap, event_type""".stripMargin)
+    }),
+    // METADATA-ONLY MIN/MAX + PARTITION-FILTERED COUNT (r13, f38) —
+    // extending the f36 answer-from-the-log surface: the manifest's
+    // footer ranges answer an unfiltered min/max of the CLUSTERING
+    // column (sound under NULLs: the builder refuses a file without a
+    // non-null value, and SQL min/max ignore NULLs), and a
+    // partition-only predicate decides whole directories EXACTLY
+    // (directory encoding makes partition pruning sufficient, not
+    // just necessary). Both snaps assert STRUCTURALLY that no file
+    // scan was planned; the oracle checks the values
+    "f38_metadata_stats" -> ((s, dir) => {
+      val tmp = layoutDir("f38", dir)
+      val root = s"$tmp/cat"
+      freshDir(s, root)
+      val ev = T(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      ev.write.format("graft")
+        .option("path", root).option("partitionBy", "event_type")
+        .option("clusterBy", "user_id").option("files", "8")
+        .mode("overwrite").save() // v0
+      s.sql("DROP TABLE IF EXISTS f38_events")
+      s.sql(s"CREATE TABLE f38_events USING graft OPTIONS (path '$root')")
+      s.sql("DELETE FROM f38_events WHERE user_id % 4 = 1") // v1: CoW
+      val head = s.sql("""SELECT count(*) AS n_rows,
+        |  min(user_id) AS min_k, max(user_id) AS max_k
+        |FROM f38_events""".stripMargin)
+        .select(lit("head").as("snap"), col("n_rows"),
+          col("min_k"), col("max_k"))
+      val part = s.sql("""SELECT count(*) AS n_rows,
+        |  min(user_id) AS min_k, max(user_id) AS max_k
+        |FROM f38_events WHERE event_type = 'click'""".stripMargin)
+        .select(lit("click").as("snap"), col("n_rows"),
+          col("min_k"), col("max_k"))
+      val df = head.unionByName(part).orderBy("snap")
+      val scans = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources
+          .LogicalRelation => r }
+      require(scans.isEmpty,
+        s"metadata MIN/MAX/COUNT must plan ZERO table scans, found " +
+          s"${scans.size}")
+      df
+    }),
+    // SQL `OPTIMIZE t TARGET n ROWS ZORDER BY (x, y)` (r13, f39) —
+    // Delta's ZORDER through the f25 maintenance seam, wiring
+    // sources/ZOrder's Morton interleave into the catalog: every live
+    // file rewrites in ONE distributed job (range exchange on
+    // (partition, z), rows never leave their directory), committed as
+    // an atomic version — pure layout, so the aggregate is the
+    // invariant the oracle checks, every prior version stays
+    // time-travelable, and file-level ranges tighten on BOTH
+    // dimensions (the pruning-power gain is spec-pinned in
+    // ZOrderOptimizeSpec)
+    "f39_sql_optimize_zorder" -> ((s, dir) => {
+      val tmp = layoutDir("f39", dir)
+      val root = s"$tmp/cat"
+      freshDir(s, root)
+      val ev = T(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      ev.write.format("graft")
+        .option("path", root).option("partitionBy", "event_type")
+        .option("clusterBy", "user_id").option("files", "8")
+        .mode("overwrite").save() // v0: 1-D layout on user_id
+      s.sql("DROP TABLE IF EXISTS f39_events")
+      s.sql(s"CREATE TABLE f39_events USING graft OPTIONS (path '$root')")
+      s.sql("OPTIMIZE f39_events TARGET 4096 ROWS " +
+        "ZORDER BY (user_id, event_id)") // v1: 2-D layout
+      require(FileManifest.latestVersion(s, root).contains(1L),
+        "expected create + zorder versions")
+      s.sql("""SELECT snap, event_type, n_events, total_value, sum_ids
+        |FROM (
+        |  SELECT 'head' AS snap, event_type, count(*) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS total_value,
+        |    sum(event_id) AS sum_ids
+        |  FROM f39_events GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'pre', event_type, count(*),
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE),
+        |    sum(event_id)
+        |  FROM f39_events VERSION AS OF 0 GROUP BY event_type)
+        |ORDER BY snap, event_type""".stripMargin)
+    }),
     // SHALLOW CLONE through the front door — `CREATE TABLE c SHALLOW
     // CLONE s VERSION AS OF n LOCATION 'p'` (the Delta statement): a
     // ZERO-COPY fork whose v0 manifest references the source's data
@@ -6283,6 +6412,60 @@ object SparkEntry {
         |    AS total_value,
         |  CAST(sum(event_id) AS BIGINT) AS sum_ids
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+    // f37: the rename is value-preserving by construction (ids resolve
+    // the same bytes), so the whole history derives from the source
+    // relation — head applies the post-rename update and the insert
+    // half, pre is the create subset under the OLD name
+    "f37_sql_rename_column" ->
+      """WITH head AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CASE WHEN user_id = 2 THEN value + 1 ELSE value END AS amount
+        |  FROM events WHERE user_id < 8
+        |  UNION ALL
+        |  SELECT event_id, user_id, event_type, value AS amount
+        |  FROM events WHERE user_id >= 8)
+        |SELECT snap, event_type, n_events, total_amount, sum_ids FROM (
+        |  SELECT 'head' AS snap, event_type,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS total_amount,
+        |    CAST(sum(event_id) AS BIGINT) AS sum_ids
+        |  FROM head GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'pre', event_type, CAST(count(*) AS BIGINT),
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE),
+        |    CAST(sum(event_id) AS BIGINT)
+        |  FROM events WHERE user_id < 8 GROUP BY event_type)
+        |ORDER BY snap, event_type""".stripMargin,
+    // f38: the manifest folds are exact (footer row counts, non-null-
+    // backed ranges, directory-encoded partition values), so both
+    // snaps derive from the post-delete relation
+    "f38_metadata_stats" ->
+      """SELECT snap, n_rows, min_k, max_k FROM (
+        |  SELECT 'head' AS snap, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(min(user_id) AS BIGINT) AS min_k,
+        |    CAST(max(user_id) AS BIGINT) AS max_k
+        |  FROM events WHERE user_id % 4 <> 1
+        |  UNION ALL
+        |  SELECT 'click', CAST(count(*) AS BIGINT),
+        |    CAST(min(user_id) AS BIGINT), CAST(max(user_id) AS BIGINT)
+        |  FROM events WHERE user_id % 4 <> 1 AND event_type = 'click')
+        |ORDER BY snap""".stripMargin,
+    // f39: ZORDER is pure layout — both snaps are the source relation
+    "f39_sql_optimize_zorder" ->
+      """SELECT snap, event_type, n_events, total_value, sum_ids FROM (
+        |  SELECT 'head' AS snap, event_type,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS total_value,
+        |    CAST(sum(event_id) AS BIGINT) AS sum_ids
+        |  FROM events GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'pre', event_type, CAST(count(*) AS BIGINT),
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE),
+        |    CAST(sum(event_id) AS BIGINT)
+        |  FROM events GROUP BY event_type)
+        |ORDER BY snap, event_type""".stripMargin,
     // f31: the restored head is the WHOLE relation again; the mistake
     // version (the delete) stays readable between them — rollback as
     // a new commit, history intact

@@ -121,7 +121,8 @@ object GraftDml extends PredicateHelper {
       .groupBy(f => new Path(f).getParent.getParent.toString)
       .toSeq.sortBy(_._1)
       .map { case (base, group) =>
-        spark.read.schema(readSchema).option("basePath", base)
+        FileManifest.pinnedReader(spark, readSchema)
+          .option("basePath", base)
           .parquet(group.sorted: _*)
       }
       .reduce(_.unionByName(_))
@@ -129,7 +130,11 @@ object GraftDml extends PredicateHelper {
     val out0 = transform(src)
     val out = if (shufflePerFk) out0.repartition(col("__fk")) else out0
     val rwTmp = s"$dataDir/_rw"
-    out.select((dataCols.map(col) :+ col("__fk")): _*)
+    // re-stamp the schema's field ids before the write: the transform
+    // (when/otherwise, casts, joins) drops column metadata, and an
+    // id-mapped table's files without ids would refuse every read
+    FileManifest.stampFieldIds(
+        out.select((dataCols.map(col) :+ col("__fk")): _*), readSchema)
       .sortWithinPartitions(col("__fk"), col(clusterCol))
       .write.mode(SaveMode.Overwrite).partitionBy("__fk").parquet(rwTmp)
     val moved: Seq[(String, String)] = fs.listStatus(new Path(rwTmp)).toSeq
@@ -235,7 +240,8 @@ object GraftDml extends PredicateHelper {
       .groupBy(f => new Path(f).getParent.getParent.toString)
       .toSeq.sortBy(_._1)
       .map { case (base, group) =>
-        spark.read.schema(readSchema).option("basePath", base)
+        FileManifest.pinnedReader(spark, readSchema)
+          .option("basePath", base)
           .parquet(group.sorted: _*)
       }
       .reduce(_.unionByName(_))
@@ -295,12 +301,24 @@ object GraftDml extends PredicateHelper {
     * the next number is tried — no rewrite IO is repeated. A head
     * missing any touched file is a TRUE conflict (the same rows were
     * concurrently rewritten/removed): refuse loudly, the statement
-    * must re-run against the new snapshot. */
+    * must re-run against the new snapshot.
+    *
+    * `basePaths` (MERGE only) strengthens the commute check to the
+    * Delta ConcurrentAppendException discipline: a MERGE's
+    * not-matched insert set was computed against its base snapshot's
+    * READ SET, so files ADDED to the head since then could hold rows
+    * matching the ON keys — retrying anyway would commit duplicate
+    * keys silently. Any head file absent from the base refuses
+    * (conservative: the added rows may not match, but proving that
+    * would re-run the join — exactly what the re-run message asks
+    * for). DELETE/UPDATE/OPTIMIZE pass None: their rewrite is a pure
+    * function of the touched files, so appends genuinely commute. */
   private[plans] def commitCowRetrying(spark: SparkSession, root: String,
       index: ManifestFileIndex, touched: Set[String],
       freshByPart: Map[String, Seq[FileManifest.FileStats]],
       meta: Map[String, String], emptyMsg: String,
-      maxAttempts: Int = 8): Long = {
+      maxAttempts: Int = 8,
+      basePaths: Option[Set[String]] = None): Long = {
     val op = meta.getOrElse("operation", "dml")
     var attempt = 0
     while (true) {
@@ -314,6 +332,15 @@ object GraftDml extends PredicateHelper {
           s"rewrote ${missing.size} of this operation's touched file(s) — " +
           "the writes do not commute; re-run the statement against the " +
           "new head")
+      basePaths.foreach { base =>
+        val added = headPaths -- base
+        require(added.isEmpty,
+          s"graft $op commit conflict: a concurrent commit ADDED " +
+            s"${added.size} file(s) since this MERGE's snapshot — the " +
+            "added rows may match the ON keys (the not-matched insert " +
+            "set would duplicate them); re-run the statement against " +
+            "the new head")
+      }
       val next = FileManifest.latestVersion(spark, root).get + 1
       val carried = head.partitions.view.mapValues(
         _.filterNot(f => touched(norm(f.path)))).toMap
@@ -526,7 +553,8 @@ object GraftDml extends PredicateHelper {
       .groupBy(f => new Path(f).getParent.getParent.toString)
       .toSeq.sortBy(_._1)
       .map { case (base, group) =>
-        spark.read.schema(readSchema).option("basePath", base)
+        FileManifest.pinnedReader(spark, readSchema)
+          .option("basePath", base)
           .parquet(group.sorted: _*)
       }
       .reduce(_.unionByName(_))
@@ -714,7 +742,9 @@ object GraftDml extends PredicateHelper {
             s"with a NULL partition value `$partCol` — a graft partition " +
             "directory cannot encode NULL")
           val insDir = s"$dataDir/_ins"
-          ins.repartition(col(partCol))
+          // re-stamp field ids (the insert cascade's casts drop them)
+          FileManifest.stampFieldIds(ins, dataSchema)
+            .repartition(col(partCol))
             .sortWithinPartitions(partCol, clusterCol)
             .write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(insDir)
           ins.unpersist()
@@ -757,7 +787,9 @@ object GraftDml extends PredicateHelper {
       meta = Map("operation" -> "merge"),
       emptyMsg = "this MERGE would remove every row — an empty graft " +
         "catalog cannot serve readers; DROP TABLE (or overwrite with a " +
-        "new batch) instead")
+        "new batch) instead",
+      basePaths = Some(pm.partitions.valuesIterator.flatten
+        .map(f => norm(f.path)).toSet))
   }
 }
 

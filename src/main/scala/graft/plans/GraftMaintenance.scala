@@ -51,9 +51,11 @@ import graft.sources.{FileManifest, ManifestFileIndex}
 object GraftMaintenance {
 
   private val OptimizeRe =
-    """(?is)^\s*OPTIMIZE\s+([\w.]+)(?:\s+TARGET\s+(\d+)\s+ROWS)?\s*;?\s*$""".r
+    ("""(?is)^\s*OPTIMIZE\s+([\w.]+)(?:\s+TARGET\s+(\d+)\s+ROWS)?""" +
+      """(?:\s+ZORDER\s+BY\s+\(\s*(\w+)\s*,\s*(\w+)\s*\))?\s*;?\s*$""").r
   private val VacuumRe =
-    """(?is)^\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""".r
+    ("""(?is)^\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?""" +
+      """(\s+FORCE)?\s*;?\s*$""").r
   private val HistoryRe =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*$""".r
   private val RestoreRe =
@@ -64,12 +66,17 @@ object GraftMaintenance {
 
   private[plans] def intercept(sqlText: String): Option[LogicalPlan] =
     sqlText match {
-      case OptimizeRe(table, target) =>
+      case OptimizeRe(table, target, zx, zy) =>
         Some(GraftOptimizeCommand(table,
-          Option(target).map(_.toLong).getOrElse(1L << 20)))
-      case VacuumRe(table, keep) =>
+          Option(target).map(_.toLong).getOrElse(1L << 20),
+          (Option(zx), Option(zy)) match {
+            case (Some(x), Some(y)) => Some((x, y))
+            case _ => None
+          }))
+      case VacuumRe(table, keep, force) =>
         Some(GraftVacuumCommand(table,
-          Option(keep).map(_.toInt).getOrElse(1)))
+          Option(keep).map(_.toInt).getOrElse(1),
+          force = Option(force).isDefined))
       case HistoryRe(table) => Some(GraftHistoryCommand(table))
       case RestoreRe(table, version) =>
         Some(GraftRestoreCommand(table, version.toLong))
@@ -164,15 +171,20 @@ object GraftMaintenance {
         if GraftTimeTravel.graftRootOf(spark,
           table.split('.').toSeq).isDefined =>
       Some(GraftWidenColumnCommand(table, colName, colType))
+    case RenameColumnRe(table, from, to)
+        if GraftTimeTravel.graftRootOf(spark,
+          table.split('.').toSeq).isDefined =>
+      Some(GraftRenameColumnCommand(table, from, to))
     case UnsupportedAlterRe(table, what)
         if GraftTimeTravel.graftRootOf(spark,
           table.split('.').toSeq).isDefined =>
       sys.error(s"graft ALTER TABLE ${what.toUpperCase.replaceAll("\\s+", " ")} " +
-        "is not supported — RENAME needs field-id (not name) mapping and " +
-        "non-widening type changes need read-time casts the catalog does " +
-        "not track; letting Spark's native ALTER take it would " +
-        "desynchronize the graft catalog silently (type WIDENING is " +
-        "supported: ALTER TABLE t ALTER COLUMN c TYPE <wider>)")
+        "is not supported in this form — supported shapes are " +
+        "`RENAME COLUMN a TO b` (plain top-level names, field-id-mapped " +
+        "tables) and `ALTER COLUMN c TYPE <wider>`; non-widening type " +
+        "changes need read-time casts the catalog does not track, and " +
+        "letting Spark's native ALTER take any of these would " +
+        "desynchronize the graft catalog silently")
     case MergeEvolutionRe(table, rest)
         if GraftTimeTravel.graftRootOf(spark,
           table.split('.').toSeq).isDefined =>
@@ -195,6 +207,13 @@ object GraftMaintenance {
   private val WidenColumnRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+ALTER\s+COLUMN\s+(\w+)\s+""" +
       """TYPE\s+([\w]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*;?\s*$""").r
+
+  // `ALTER TABLE t RENAME COLUMN a TO b` — matched BEFORE the blanket
+  // refusal; the command itself gates on field-id mapping (a rename is
+  // only safe when files resolve by id, not name)
+  private val RenameColumnRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+COLUMN\s+""" +
+      """(\w+)\s+TO\s+(\w+)\s*;?\s*$""").r
 
   // schema mutations the graft catalog cannot represent must REFUSE
   // on graft tables, not fall through to Spark's native ALTER (which
@@ -269,14 +288,19 @@ object GraftMaintenance {
       "OPTIMIZE: file-key collision across bin inputs")
     import org.apache.spark.sql.functions.{broadcast, col, input_file_name}
     val mapDf = spark.createDataFrame(binOfFk).toDF("__fk", "__bin")
-    val reader = binSchema.fold(spark.read)(spark.read.schema)
+    // field-id matched read (inert pre-ids): bins may hold files from
+    // before a RENAME, whose old physical names only the ids resolve
+    val reader = binSchema.fold(spark.read)(
+      FileManifest.pinnedReader(spark, _))
     val cmpTmp = s"$dataDir/_cmp"
     val srcDf = reader.parquet(binFiles.map(_._2).sorted: _*)
     val outCols = srcDf.columns.toSeq
-    srcDf
+    val binOut = srcDf
       .withColumn("__fk", GraftDml.fileKeyCol(input_file_name()))
       .join(broadcast(mapDf), "__fk")
       .select((outCols.map(col) :+ col("__bin")): _*)
+    // re-stamp field ids (the join/select drops column metadata)
+    binSchema.fold(binOut)(FileManifest.stampFieldIds(binOut, _))
       .repartition(col("__bin"))
       .sortWithinPartitions(col("__bin"), col(clusterCol))
       .write.mode(SaveMode.Overwrite).partitionBy("__bin").parquet(cmpTmp)
@@ -310,6 +334,127 @@ object GraftMaintenance {
     GraftDml.commitCowRetrying(spark, root, index, touched, fresh,
       meta = Map("operation" -> "optimize"),
       emptyMsg = "OPTIMIZE produced an empty table — corrupt bin plan")
+  }
+
+  /** `OPTIMIZE t ZORDER BY (x, y)` — multi-dimensional re-clustering
+    * as an atomic version (Delta's ZORDER role, wiring
+    * [[graft.sources.ZOrder]]'s Morton interleave into the catalog):
+    * EVERY live file rewrites (a layout change is the point — plain
+    * OPTIMIZE remains the incremental small-file path), rows laid out
+    * by the interleaved z-value of the two columns so file-level
+    * min/max stats stay tight on BOTH dimensions at once. Each
+    * dimension scales to 16 bits over its own global [min, max]
+    * (exact integer arithmetic — one 4-value aggregate, collect-free
+    * otherwise) so neither dimension dominates the curve. The rewrite
+    * is ONE distributed job: range-exchange on (partition, z), sort
+    * within tasks, one dynamic-partitioned write; rows never leave
+    * their partition directory. Pure layout — row count and every
+    * aggregate are invariants, every prior version stays
+    * time-travelable, and the clustering column's footer ranges merely
+    * loosen (the documented 1-D-tightness-for-2-D trade; pruning is
+    * necessary-not-sufficient, so correctness never moves). */
+  def optimizeZOrder(spark: SparkSession, index: ManifestFileIndex,
+      targetRows: Long, xCol: String, yCol: String): Long = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    require(targetRows >= 1, "OPTIMIZE target must be >= 1 row")
+    val root = index.graftCatalogRoot.getOrElse(sys.error(
+      "OPTIMIZE requires a catalog-backed graft table"))
+    require(!index.isTimeTraveled,
+      "OPTIMIZE on a time-traveled graft table is not allowed — " +
+        "maintenance lands on the LATEST snapshot only")
+    require(xCol != yCol, "ZORDER BY needs two DISTINCT columns")
+    val partCol = index.partitionColumn
+    val clusterCol = index.clusterColumn
+    Seq(xCol, yCol).foreach(c => require(c != partCol,
+      s"ZORDER BY `$c`: the partition column is constant within every " +
+        "directory — z-ordering on it is meaningless; pick data columns"))
+    index.advanceSnapshot(FileManifest.loadLatest(spark, root))
+    val pm = index.currentSnapshot
+    val dataSchema = FileManifest.schemaAt(spark, root).getOrElse(
+      sys.error("OPTIMIZE ZORDER requires a catalog-tracked schema " +
+        "(tables created through the graft front door)"))
+    val integral: Set[org.apache.spark.sql.types.DataType] = Set(
+      org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType)
+    Seq(xCol, yCol).foreach { c =>
+      val f = dataSchema.fields.find(_.name == c).getOrElse(sys.error(
+        s"ZORDER BY `$c`: no such column"))
+      require(integral(f.dataType),
+        s"ZORDER BY `$c`: only integral columns interleave exactly, " +
+          s"got ${f.dataType.sql}")
+    }
+    val readSchema = StructType(dataSchema.fields ++
+      index.partitionSchema.fields
+        .filterNot(f => dataSchema.fieldNames.contains(f.name)))
+    def readRestored(files: Seq[String]) = files
+      .groupBy(f => new Path(f).getParent.getParent.toString)
+      .toSeq.sortBy(_._1)
+      .map { case (base, group) =>
+        FileManifest.pinnedReader(spark, readSchema)
+          .option("basePath", base).parquet(group.sorted: _*)
+      }
+      .reduce(_.unionByName(_))
+    val allFiles = pm.partitions.toSeq.sortBy(_._1)
+      .flatMap(_._2.map(_.path))
+    val src = readRestored(allFiles)
+    // global per-dimension bounds: ONE tiny aggregate (metadata-light
+    // relative to the full rewrite this statement is)
+    val r = src.agg(min(col(xCol)).cast("long"), max(col(xCol)).cast("long"),
+      min(col(yCol)).cast("long"), max(col(yCol)).cast("long")).head()
+    require(!r.isNullAt(0) && !r.isNullAt(2),
+      s"ZORDER BY ($xCol, $yCol): a dimension has no non-null values")
+    def scaled(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
+      if (hi == lo) org.apache.spark.sql.functions.lit(0L)
+      else (c.cast("long") - org.apache.spark.sql.functions.lit(lo)) *
+        org.apache.spark.sql.functions.lit(1L << 16) /
+        org.apache.spark.sql.functions.lit(hi - lo + 1)
+    val z = graft.sources.ZOrder.zValue(
+      scaled(col(xCol), r.getLong(0), r.getLong(1)),
+      scaled(col(yCol), r.getLong(2), r.getLong(3)), 16)
+    val totalRows = pm.partitions.valuesIterator.flatten.map(_.rows).sum
+    val nBins = math.max(1L,
+      (totalRows + targetRows - 1) / targetRows).toInt
+    val next = FileManifest.latestVersion(spark, root).get + 1
+    val dataDir = s"$root/data/b$next-" +
+      java.util.UUID.randomUUID.toString.take(8)
+    val zTmp = s"$dataDir/_z"
+    FileManifest.stampFieldIds(
+        src.withColumn("__z", z)
+          .repartitionByRange(nBins, col(partCol), col("__z"))
+          .sortWithinPartitions(col(partCol), col("__z"))
+          .drop("__z"), dataSchema)
+      .write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(zTmp)
+    // adopt-by-move into the immutable batch dir, stat, commit with
+    // touched = every live file (the full-rewrite contract)
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val fresh: Map[String, Seq[FileManifest.FileStats]] =
+      fs.listStatus(new Path(zTmp)).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(s"$partCol="))
+        .sortBy(_.getPath.getName)
+        .map { d =>
+          val part = d.getPath.getName
+          val destDir = new Path(dataDir, part)
+          fs.mkdirs(destDir)
+          val moved = fs.listStatus(d.getPath).toSeq
+            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+            .zipWithIndex.map { case (st, k) =>
+              val dest = new Path(destDir, f"zo-$k%05d-${st.getPath.getName}")
+              require(fs.rename(st.getPath, dest),
+                s"OPTIMIZE ZORDER move failed: $dest")
+              fs.makeQualified(dest).toString
+            }
+          part -> FileManifest.append(Nil, spark, moved, clusterCol)
+            .filter(_.rows > 0)
+        }.toMap
+    fs.delete(new Path(zTmp), true)
+    val touched = allFiles.map(GraftDml.norm).toSet
+    GraftDml.commitCowRetrying(spark, root, index, touched, fresh,
+      meta = Map("operation" -> "optimize-zorder"),
+      emptyMsg = "OPTIMIZE ZORDER produced an empty table — corrupt plan")
   }
 
   /** Per-version audit rows for `DESCRIBE HISTORY t` — computed
@@ -432,36 +577,103 @@ object GraftMaintenance {
     v
   }
 
-  /** Retention + orphan sweep; returns the deleted file paths. */
+  /** CONDITIONAL schema-evolution commit with optimistic retry — the
+    * same lost-update discipline DML/append/insert/sink commits use: a
+    * commit landing between loadLatest and the marker must fail the
+    * `expected` check, not be silently clobbered (its files would
+    * vanish from the evolved head). The commute is trivial: re-load
+    * the head, re-derive the base schema from the FRESH catalog, and
+    * re-apply the evolution delta. `evolve` must re-validate per
+    * attempt (a concurrent evolution may have changed the base). */
+  private[plans] def commitSchemaEvolution(spark: SparkSession,
+      root: String,
+      fallback: StructType,
+      evolve: StructType => StructType,
+      metaOf: StructType => Map[String, String],
+      maxAttempts: Int = 8): StructType = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val base = FileManifest.schemaAt(spark, root).getOrElse(fallback)
+      val evolved = evolve(base)
+      val head = FileManifest.loadLatest(spark, root)
+      val next = FileManifest.latestVersion(spark, root).get + 1
+      try {
+        FileManifest.commitVersion(spark, head, root,
+          meta = metaOf(evolved) + ("schema" -> evolved.json),
+          expected = Some(next))
+        return evolved
+      } catch {
+        case e: FileManifest.CommitConflictException =>
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    fallback // unreachable
+  }
+
+  /** Column names dropped in the RETAINED history (the
+    * `droppedColumn` version labels) — the legacy-table guard set:
+    * on a catalog WITHOUT field ids, re-adding one of these names
+    * would resurrect pre-drop bytes from live old files. */
+  private[plans] def droppedNamesInHistory(spark: SparkSession,
+      root: String): Set[String] =
+    FileManifest.versionHistory(spark, root).map(_._1)
+      .flatMap(v => FileManifest.versionMeta(spark, root, v)
+        .get("droppedColumn"))
+      .flatMap(_.split(',')).toSet
+
+  /** Retention + orphan sweep; returns the deleted file paths.
+    * REFUSES (without `force`) when the source has recorded shallow
+    * clones: expiry + the orphan sweep can reclaim files a clone's
+    * manifest still references — Delta documents the same trade, but
+    * silently breaking the clone is worse than a loud stop. FORCE
+    * reclaims anyway (the operator owns the trade); the clone's next
+    * read then fails loudly on the missing file, never wrongly. */
   def vacuum(spark: SparkSession, index: ManifestFileIndex,
-      keepLast: Int): Seq[String] = {
+      keepLast: Int, force: Boolean = false): Seq[String] = {
     require(keepLast >= 1, "VACUUM must retain at least 1 version")
     val root = index.graftCatalogRoot.getOrElse(sys.error(
       "VACUUM requires a catalog-backed graft table"))
     require(!index.isTimeTraveled,
       "VACUUM through a time-traveled graft table is not allowed — " +
         "resolve the table at its head to run maintenance")
+    val clones = FileManifest.recordedClones(spark, root)
+    require(clones.isEmpty || force,
+      s"VACUUM refused: this table has ${clones.size} recorded shallow " +
+        s"clone(s) (${clones.mkString(", ")}) whose manifests reference " +
+        "this table's data files — expiry + the orphan sweep could " +
+        "reclaim files the clones still read; re-run with FORCE to " +
+        "reclaim anyway (clone reads of reclaimed files will fail loudly)")
     FileManifest.expireVersions(spark, root, keepLast)
     FileManifest.gcOrphans(spark, root, Seq(s"$root/data"))
   }
 }
 
-/** `OPTIMIZE t [TARGET n ROWS]` — compaction as an atomic version. */
-case class GraftOptimizeCommand(table: String, targetRows: Long)
+/** `OPTIMIZE t [TARGET n ROWS] [ZORDER BY (x, y)]` — compaction (or
+  * z-order re-layout) as an atomic version. */
+case class GraftOptimizeCommand(table: String, targetRows: Long,
+    zorderBy: Option[(String, String)] = None)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    GraftMaintenance.optimize(spark,
-      GraftMaintenance.indexOf(spark, table), targetRows)
+    val idx = GraftMaintenance.indexOf(spark, table)
+    zorderBy match {
+      case Some((x, y)) =>
+        GraftMaintenance.optimizeZOrder(spark, idx, targetRows, x, y)
+      case None =>
+        GraftMaintenance.optimize(spark, idx, targetRows)
+    }
     Nil
   }
 }
 
-/** `VACUUM t [RETAIN n VERSIONS]` — expire history, sweep orphans. */
-case class GraftVacuumCommand(table: String, keepLast: Int)
+/** `VACUUM t [RETAIN n VERSIONS] [FORCE]` — expire history, sweep
+  * orphans; FORCE overrides the recorded-clone refusal. */
+case class GraftVacuumCommand(table: String, keepLast: Int,
+    force: Boolean = false)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     GraftMaintenance.vacuum(spark,
-      GraftMaintenance.indexOf(spark, table), keepLast)
+      GraftMaintenance.indexOf(spark, table), keepLast, force)
     Nil
   }
 }
@@ -496,11 +708,14 @@ case class GraftCloneCommand(target: String, source: String,
     catch {
       case e: Throwable =>
         // back out the clone catalog so a retry starts clean (the
-        // data files are the SOURCE's — only metadata was created)
+        // data files are the SOURCE's — only metadata was created),
+        // including the source-side clone marker (a stale marker would
+        // refuse the source's VACUUM for a clone that never existed)
         val fs = new org.apache.hadoop.fs.Path(location).getFileSystem(
           spark.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(location, "commit-0"), false)
         fs.delete(new org.apache.hadoop.fs.Path(s"$location/v0"), true)
+        fs.delete(FileManifest.cloneMarkerPath(srcRoot, location), false)
         throw e
     }
     Nil
@@ -570,22 +785,49 @@ case class GraftAddColumnCommand(table: String,
     val analyzed = spark.table(table).queryExecution.analyzed
     val h = GraftDml.graftRelation(analyzed).get._1
     // ALL columns commit as ONE schema version (the multi-column
-    // ADD COLUMNS statement is one evolution, not n)
-    val evolved = columns.foldLeft(h.dataSchema) {
-      case (schema, (colName, colType)) =>
-        val dt = spark.sessionState.sqlParser.parseDataType(colType)
-        require(colName != index.partitionColumn,
-          s"`$colName` is the partition column")
-        require(!schema.fieldNames.contains(colName),
-          s"column `$colName` already exists in $table")
-        schema.add(org.apache.spark.sql.types.StructField(
-          colName, dt, nullable = true))
-    }
-    FileManifest.commitVersion(spark,
-      FileManifest.loadLatest(spark, root), root,
-      meta = Map("operation" -> "add-column",
+    // ADD COLUMNS statement is one evolution, not n), CONDITIONALLY
+    // (a racing commit re-derives the base and re-applies the delta)
+    val evolved = GraftMaintenance.commitSchemaEvolution(spark, root,
+      fallback = h.dataSchema,
+      evolve = { base =>
+        // id-mapped tables mint a FRESH id per added column, above the
+        // catalog's high-water mark: a name dropped earlier can come
+        // back safely — its new id can never match pre-drop bytes.
+        // Tables WITHOUT field ids are name-keyed: re-adding a name
+        // dropped in retained history would RESURRECT old files'
+        // values (the reader matches the stale physical column by
+        // name), so that exact shape refuses loudly.
+        val startAt = FileManifest.maxFieldIdAt(spark, root) + 1L
+        val mapped = FileManifest.hasFieldIds(base)
+        if (!mapped) {
+          val dropped = GraftMaintenance.droppedNamesInHistory(spark, root)
+          columns.map(_._1).filter(dropped).foreach(c => sys.error(
+            s"ADD COLUMN `$c`: this name was DROPPED earlier in this " +
+              "table's retained history and the table predates field-id " +
+              "mapping — old live files still physically carry the " +
+              "column, so a name-keyed re-add would resurrect their " +
+              "values; add it under a different name, or rewrite the " +
+              "table (overwrite) to mint a field-id-mapped catalog"))
+        }
+        columns.zipWithIndex.foldLeft(base) {
+          case (schema, ((colName, colType), i)) =>
+            val dt = spark.sessionState.sqlParser.parseDataType(colType)
+            require(colName != index.partitionColumn,
+              s"`$colName` is the partition column")
+            require(!schema.fieldNames.contains(colName),
+              s"column `$colName` already exists in $table")
+            val fMeta =
+              if (mapped) new org.apache.spark.sql.types.MetadataBuilder()
+                .putLong(FileManifest.FieldIdKey, startAt + i).build()
+              else org.apache.spark.sql.types.Metadata.empty
+            schema.add(org.apache.spark.sql.types.StructField(
+              colName, dt, nullable = true, fMeta))
+        }
+      },
+      metaOf = ev => Map("operation" -> "add-column",
         "addedColumn" -> columns.map(_._1).mkString(","),
-        "schema" -> evolved.json))
+        "maxFieldId" -> math.max(FileManifest.maxFieldIdAt(spark, root),
+          FileManifest.schemaMaxFieldId(ev)).toString))
     // the catalog's stored schema must follow the relation's, or the
     // next resolution would reject the mismatch (alterTableDataSchema
     // re-appends the table's partition columns itself); then drop the
@@ -605,13 +847,17 @@ case class GraftAddColumnCommand(table: String,
   * while time travel BEFORE the drop serves the wide schema epoch via
   * `schemaAt`. DML/OPTIMIZE rewrites after the drop read PINNED to
   * the narrowed schema, so the files they touch physically shed the
-  * column; untouched files keep the bytes (harmless — never read)
+  * column; untouched files keep the bytes (harmless — never matched)
   * until compaction or VACUUM-driven rewrites retire them. The
   * partition and clustering columns refuse (the layout and its
-  * footer stats are keyed on them); re-adding a dropped name later is
-  * allowed and reads as a FRESH column (old files' values stay
-  * invisible: their epoch's reads already projected them away —
-  * name-identity, the documented limit of name-keyed mapping). */
+  * footer stats are keyed on them). Re-adding a dropped name later:
+  * on a FIELD-ID-MAPPED table (every front-door CREATE) the re-add
+  * mints a fresh id, so reads serve genuine NULLs — the old files'
+  * same-named physical column has a retired id the reader can never
+  * match (spec-pinned: the r12 resurrection repro now reads all-NULL).
+  * On a pre-field-id table the re-add REFUSES loudly while the name
+  * appears in the retained history's drop labels — name-keyed
+  * matching would resurrect the old bytes. */
 case class GraftDropColumnCommand(table: String,
     columns: Seq[String]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
@@ -625,29 +871,32 @@ case class GraftDropColumnCommand(table: String,
       "ALTER TABLE on a time-traveled graft table is not allowed")
     val analyzed = spark.table(table).queryExecution.analyzed
     val h = GraftDml.graftRelation(analyzed).get._1
-    columns.foreach { c =>
-      // key-column checks FIRST: the partition column lives in the
-      // partitionSchema, not dataSchema, so the existence check would
-      // misreport it as unknown
-      require(c != index.partitionColumn,
-        s"cannot drop the partition column `$c` — the directory layout " +
-          "is keyed on it; re-partition via an explicit overwrite")
-      require(c != index.clusterColumn,
-        s"cannot drop the clustering column `$c` — footer stats and the " +
-          "file layout are keyed on it; re-cluster via an explicit " +
-          "overwrite")
-      require(h.dataSchema.fieldNames.contains(c),
-        s"column `$c` does not exist in $table")
-    }
-    val narrowed = org.apache.spark.sql.types.StructType(
-      h.dataSchema.fields.filterNot(f => columns.contains(f.name)))
-    require(narrowed.nonEmpty,
-      "DROP COLUMNS would leave the table with no data columns")
-    FileManifest.commitVersion(spark,
-      FileManifest.loadLatest(spark, root), root,
-      meta = Map("operation" -> "drop-column",
-        "droppedColumn" -> columns.mkString(","),
-        "schema" -> narrowed.json))
+    val narrowed = GraftMaintenance.commitSchemaEvolution(spark, root,
+      fallback = h.dataSchema,
+      evolve = { base =>
+        columns.foreach { c =>
+          // key-column checks FIRST: the partition column lives in the
+          // partitionSchema, not dataSchema, so the existence check
+          // would misreport it as unknown
+          require(c != index.partitionColumn,
+            s"cannot drop the partition column `$c` — the directory " +
+              "layout is keyed on it; re-partition via an explicit " +
+              "overwrite")
+          require(c != index.clusterColumn,
+            s"cannot drop the clustering column `$c` — footer stats and " +
+              "the file layout are keyed on it; re-cluster via an " +
+              "explicit overwrite")
+          require(base.fieldNames.contains(c),
+            s"column `$c` does not exist in $table")
+        }
+        val n = org.apache.spark.sql.types.StructType(
+          base.fields.filterNot(f => columns.contains(f.name)))
+        require(n.nonEmpty,
+          "DROP COLUMNS would leave the table with no data columns")
+        n
+      },
+      metaOf = _ => Map("operation" -> "drop-column",
+        "droppedColumn" -> columns.mkString(",")))
     // the session catalog's stored schema must follow the relation's;
     // alterTableDataSchema REFUSES narrowing ("we don't support
     // dropping columns yet" — it guards formats where the bytes would
@@ -745,27 +994,93 @@ case class GraftWidenColumnCommand(table: String, colName: String,
         "encoding / footer-stat manifest are keyed on its physical type")
     val analyzed = spark.table(table).queryExecution.analyzed
     val h = GraftDml.graftRelation(analyzed).get._1
-    val field = h.dataSchema.fields.find(_.name == colName).getOrElse(
-      sys.error(s"column `$colName` does not exist in $table"))
     val to = spark.sessionState.sqlParser.parseDataType(colType)
-    require(widenable((field.dataType, to)),
-      s"ALTER COLUMN `$colName` TYPE ${to.sql}: only lossless reader-" +
-        s"supported widenings are allowed (INT→BIGINT, INT→DOUBLE, " +
-        s"FLOAT→DOUBLE); ${field.dataType.sql} → ${to.sql} would need a " +
-        "value-level rewrite")
-    val widened = StructType(h.dataSchema.fields.map(f =>
-      if (f.name == colName) f.copy(dataType = to) else f))
-    FileManifest.commitVersion(spark,
-      FileManifest.loadLatest(spark, root), root,
-      meta = Map("operation" -> "widen-column",
-        "widenedColumn" -> s"$colName:${field.dataType.sql}->${to.sql}",
-        "schema" -> widened.json))
+    val widened = GraftMaintenance.commitSchemaEvolution(spark, root,
+      fallback = h.dataSchema,
+      evolve = { base =>
+        val field = base.fields.find(_.name == colName).getOrElse(
+          sys.error(s"column `$colName` does not exist in $table"))
+        require(widenable((field.dataType, to)),
+          s"ALTER COLUMN `$colName` TYPE ${to.sql}: only lossless reader-" +
+            s"supported widenings are allowed (INT→BIGINT, INT→DOUBLE, " +
+            s"FLOAT→DOUBLE); ${field.dataType.sql} → ${to.sql} would " +
+            "need a value-level rewrite")
+        StructType(base.fields.map(f =>
+          if (f.name == colName) f.copy(dataType = to) else f))
+      },
+      metaOf = _ => Map("operation" -> "widen-column",
+        "widenedColumn" -> s"$colName:->${to.sql}"))
     // full-definition catalog update (alterTableDataSchema refuses
     // type changes, same as drops)
     val ti = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val old = spark.sessionState.catalog.getTableMetadata(ti)
     val newFull = StructType(old.schema.fields.map(f =>
       if (f.name == colName) f.copy(dataType = to) else f))
+    spark.sessionState.catalog.alterTable(old.copy(schema = newFull))
+    spark.catalog.refreshTable(table)
+    Nil
+  }
+}
+
+/** `ALTER TABLE t RENAME COLUMN a TO b` — rename on the FIELD-ID
+  * substrate (the Iceberg rename contract: a name is a label, the id
+  * is the identity): the renamed schema commits as a catalog version
+  * with the SAME field id under the new name, zero data IO. Every
+  * read resolves file columns BY ID, so files written under the old
+  * name — which keep it physically forever — serve their values under
+  * the new name, and epoch time travel before the rename still reads
+  * the old name, from the same bytes, correctly. DML/OPTIMIZE
+  * rewrites after the rename carry the new physical name (same id),
+  * so old and new files coexist indefinitely. REFUSED on tables
+  * without field ids (name-keyed matching would serve NULLs from old
+  * files — silently wrong) and on the partition/clustering columns
+  * (the directory encoding and the footer-stat manifest are keyed on
+  * their names). */
+case class GraftRenameColumnCommand(table: String, from: String,
+    to: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val index = GraftMaintenance.indexOf(spark, table)
+    val root = index.graftCatalogRoot.getOrElse(sys.error(
+      "ALTER TABLE requires a catalog-backed graft table"))
+    require(!index.isTimeTraveled,
+      "ALTER TABLE on a time-traveled graft table is not allowed")
+    require(from != to, s"RENAME COLUMN `$from` TO `$to`: same name")
+    require(from != index.partitionColumn && to != index.partitionColumn,
+      s"cannot rename the partition column `$from`/`$to` — the " +
+        "directory layout is keyed on it")
+    require(from != index.clusterColumn && to != index.clusterColumn,
+      s"cannot rename the clustering column `$from`/`$to` — footer " +
+        "stats and the file layout are keyed on it")
+    val analyzed = spark.table(table).queryExecution.analyzed
+    val h = GraftDml.graftRelation(analyzed).get._1
+    val renamed = GraftMaintenance.commitSchemaEvolution(spark, root,
+      fallback = h.dataSchema,
+      evolve = { base =>
+        require(FileManifest.hasFieldIds(base),
+          s"RENAME COLUMN on `$table` requires field-id mapping — this " +
+            "table's catalog predates it (files would be matched by " +
+            "name and the renamed column would read as NULL from old " +
+            "files); rewrite the table (overwrite) to mint an id-mapped " +
+            "catalog first")
+        val f = base.fields.find(_.name == from).getOrElse(sys.error(
+          s"column `$from` does not exist in $table"))
+        require(FileManifest.fieldIdOf(f).isDefined,
+          s"RENAME COLUMN `$from`: the column carries no field id — " +
+            "only id-mapped columns can rename safely")
+        require(!base.fieldNames.contains(to),
+          s"column `$to` already exists in $table")
+        org.apache.spark.sql.types.StructType(base.fields.map(x =>
+          if (x.name == from) x.copy(name = to) else x))
+      },
+      metaOf = _ => Map("operation" -> "rename-column",
+        "renamedColumn" -> s"$from->$to"))
+    // full-definition catalog update (alterTableDataSchema refuses
+    // shape changes, same as drops), then drop the cached plan
+    val ti = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val old = spark.sessionState.catalog.getTableMetadata(ti)
+    val newFull = org.apache.spark.sql.types.StructType(
+      old.schema.fields.map(f =>
+        if (f.name == from) renamed.fields.find(_.name == to).get else f))
     spark.sessionState.catalog.alterTable(old.copy(schema = newFull))
     spark.catalog.refreshTable(table)
     Nil

@@ -38,6 +38,91 @@ object FileManifest {
     * sweep it whole under the no-concurrent-writers contract. */
   val StagingRootName = "_insert_staging"
 
+  // ---- FIELD-ID column mapping (the Iceberg identity discipline) ----
+  //
+  // Names are mutable labels; COLUMN IDENTITY must not be. Every data
+  // column of a front-door table gets a stable field id at CREATE,
+  // embedded into every parquet file's schema (Spark's native
+  // `parquet.field.id` metadata — the writer emits it, and a read
+  // whose requested schema carries ids matches file columns BY ID when
+  // `spark.sql.parquet.fieldId.read.enabled` is on, scoped per-scan via
+  // the relation options). That one substrate buys:
+  //  - RENAME COLUMN: old files keep the old physical name; the id
+  //    resolves the values anyway (and epoch time travel still reads
+  //    the old name, correctly, from the same bytes);
+  //  - DROP then re-ADD the same name: the re-add mints a FRESH id, so
+  //    pre-drop files' same-named physical column can never be matched
+  //    — the re-added column reads as NULLs, never as resurrected data
+  //    (the r12-reproduced f33 defect, fixed structurally);
+  //  - ids are NEVER reused: `maxFieldId` rides in every version's
+  //    `_meta` (inherited forward by commitVersion), so even after
+  //    retention expires the epoch that dropped a column, its id stays
+  //    retired while any old file could still carry the bytes.
+
+  /** StructField metadata key Spark's parquet writer/reader use for
+    * field ids (SPARK-38094 lineage — public Spark surface). */
+  val FieldIdKey = "parquet.field.id"
+
+  def hasFieldIds(schema: org.apache.spark.sql.types.StructType): Boolean =
+    schema.fields.exists(_.metadata.contains(FieldIdKey))
+
+  def fieldIdOf(f: org.apache.spark.sql.types.StructField): Option[Long] =
+    if (f.metadata.contains(FieldIdKey)) Some(f.metadata.getLong(FieldIdKey))
+    else None
+
+  /** Max id in a schema (0 when none assigned). */
+  def schemaMaxFieldId(
+      schema: org.apache.spark.sql.types.StructType): Long =
+    schema.fields.flatMap(fieldIdOf).foldLeft(0L)(math.max)
+
+  /** Annotate every field with a fresh id, `startAt` upward. */
+  def assignFieldIds(schema: org.apache.spark.sql.types.StructType,
+      startAt: Long = 1L): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      schema.fields.zipWithIndex.map { case (f, i) =>
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putLong(FieldIdKey, startAt + i).build())
+      })
+
+  /** Re-stamp the catalog schema's field-id metadata onto `df` by
+    * name — transforms (withColumn, aliases, casts) silently DROP
+    * column metadata, so every write path into an id-mapped table
+    * must re-stamp just before the write or the new files would lack
+    * the ids the read path matches on (which reads refuse loudly).
+    * Columns absent from `schema` (partition/helper columns) pass
+    * through untouched. */
+  def stampFieldIds(df: DataFrame,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    if (!hasFieldIds(schema)) df
+    else df.select(df.columns.toSeq.map { c =>
+      schema.fields.find(_.name == c) match {
+        case Some(f) if f.metadata.contains(FieldIdKey) =>
+          col(c).as(c, f.metadata)
+        case _ => col(c)
+      }
+    }: _*)
+
+  /** Reader pinned to the catalog schema with field-id matching ON —
+    * the ONLY correct way to open an id-mapped table's data files: a
+    * name-matched read would serve NULLs for a renamed column's old
+    * files and resurrect dropped bytes under a re-added name.
+    *
+    * The flag must ride the SESSION conf: a DataFrameReader option
+    * cannot deliver it (read options pass through CaseInsensitiveMap,
+    * which lowercases keys, and hadoop Configuration keys are
+    * case-sensitive — the lowercased flag silently never matches).
+    * GraftSession sets it at build; this re-set covers sessions that
+    * reached a graft read without the factory (e.g. a bare streaming
+    * CDC consumer). It is inert for every read whose requested schema
+    * carries no ids — non-graft parquet reads keep name matching. */
+  def pinnedReader(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrameReader = {
+    if (hasFieldIds(schema))
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    spark.read.schema(schema)
+  }
+
   /** Per-file stats for one long-valued column (covers int/bigint/
     * timestamp-micros physical types — the usual clustering keys).
     * `nulls` is the file's null count for the column — the Iceberg
@@ -516,31 +601,81 @@ object FileManifest {
       column: String, lo: Long, hi: Long, rewriteDir: String): Seq[FileStats] = {
     val (affected, untouched) = manifest.partition(f => f.max >= lo && f.min <= hi)
     if (affected.isEmpty) return manifest
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val jobs = affected.zipWithIndex.map { case (f, i) =>
-      Future {
-        val dst = f"$rewriteDir/del_$i%05d"
-        spark.read.parquet(f.path)
-          .where(!col(column).between(lo, hi) || col(column).isNull)
-          .coalesce(1)
-          .sortWithinPartitions(column)
-          .write.mode(SaveMode.Overwrite).parquet(dst)
-        dst
-      }
-    }
-    val dirs = Await.result(Future.sequence(jobs),
-      scala.concurrent.duration.Duration.Inf)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fresh = dirs.flatMap { d =>
-      val fs = new Path(d).getFileSystem(conf)
-      fs.listStatus(new Path(d)).toSeq
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-        .map(_.getPath.toString)
-    }
-    val stats = statsFor(spark, fresh, Seq(column)).map(_(column))
+    val stats = rewriteFlat(spark, affected.map(_.path), column,
+      rewriteDir, "del",
+      df => df.where(!col(column).between(lo, hi) || col(column).isNull),
+      shufflePerFk = false)
       .filter(_.rows > 0)
     (untouched ++ stats).sortBy(_.path)
+  }
+
+  /** The raw-API twin of GraftDml.distributedRewrite — ONE job over
+    * every affected file of a FLAT manifest: the files read as one
+    * scan tagged with a scheme-independent file key, `transform`
+    * rewrites uniformly (it must preserve `__fk`), and one
+    * dynamic-partitioned write lands each key's output under
+    * `_rw/__fk=<key>/`; the driver renames per-key files to flat
+    * `<prefix>_<i>-…` names in `rewriteDir` and footer-stats only
+    * them. At 10⁴–10⁵ touched files the retired mechanism — one
+    * single-task Spark job per file on a Future fan-out — made the
+    * driver's job-scheduling loop the wall clock; this is O(1) jobs
+    * and O(touched files) driver-side renames (spec-pinned flat in
+    * RawRewriteJobSpec). Shuffle-free unless `shufflePerFk`: tasks
+    * sort (key, cluster) locally and the dynamic writer splits by
+    * key, so per-file output content and footer stats match what the
+    * per-file jobs produced. */
+  /** Driver-side twin of the SQL-side `md5(substring_index(file, '/',
+    * -3))` key the one-job rewrites tag rows with: scheme-independent,
+    * 'k'-prefixed so a staged `__fk=<key>` directory never re-infers
+    * as a numeric partition column. */
+  private def flatKey(p: String): String = {
+    val tail = new Path(p).toUri.getPath
+      .split('/').takeRight(3).mkString("/")
+    "k" + java.security.MessageDigest.getInstance("MD5")
+      .digest(tail.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  private def rewriteFlat(spark: SparkSession, affected: Seq[String],
+      sortCol: String, rewriteDir: String, prefix: String,
+      transform: DataFrame => DataFrame,
+      shufflePerFk: Boolean): Seq[FileStats] = {
+    val fkIdx: Map[String, Int] =
+      affected.zipWithIndex.map { case (p, i) => flatKey(p) -> i }.toMap
+    require(fkIdx.size == affected.size,
+      "rewriteFlat: file-key collision across affected files")
+    val src0 = spark.read.parquet(affected.sorted: _*)
+    require(!src0.columns.contains("__fk"),
+      "rewriteFlat: the table must not carry a `__fk` column (reserved)")
+    val dataCols = src0.columns.toSeq
+    val src = src0.withColumn("__fk", concat(lit("k"),
+      md5(substring_index(input_file_name(), "/", -3))))
+    val out0 = transform(src)
+    val out = if (shufflePerFk) out0.repartition(col("__fk")) else out0
+    val rwTmp = s"$rewriteDir/_rw"
+    out.select((dataCols.map(col) :+ col("__fk")): _*)
+      .sortWithinPartitions(col("__fk"), col(sortCol))
+      .write.mode(SaveMode.Overwrite).partitionBy("__fk").parquet(rwTmp)
+    val fs = new Path(rewriteDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val moved = fs.listStatus(new Path(rwTmp)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__fk="))
+      .sortBy(_.getPath.getName)
+      .flatMap { d =>
+        val fk = d.getPath.getName.stripPrefix("__fk=")
+        val i = fkIdx.getOrElse(fk,
+          sys.error(s"rewriteFlat: unexpected rewrite key $fk"))
+        fs.listStatus(d.getPath).toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map { st =>
+            val dest = new Path(rewriteDir,
+              f"${prefix}_$i%05d-${st.getPath.getName}")
+            require(fs.rename(st.getPath, dest),
+              s"rewriteFlat: move failed: $dest")
+            fs.makeQualified(dest).toString
+          }
+      }
+    fs.delete(new Path(rwTmp), true)
+    statsFor(spark, moved, Seq(sortCol)).map(_(sortCol)).sortBy(_.path)
   }
 
   /** COPY-ON-WRITE UPDATE: `SET setCol = value WHERE column BETWEEN lo
@@ -560,31 +695,11 @@ object FileManifest {
         "(rewritten rows could leave their file's key range)")
     val (affected, untouched) = manifest.partition(f => f.max >= lo && f.min <= hi)
     if (affected.isEmpty) return manifest
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val jobs = affected.zipWithIndex.map { case (f, i) =>
-      Future {
-        val dst = f"$rewriteDir/upd_$i%05d"
-        val src = spark.read.parquet(f.path)
-        src
-          .withColumn(setCol,
-            when(col(column).between(lo, hi), value).otherwise(col(setCol)))
-          .coalesce(1)
-          .sortWithinPartitions(column)
-          .write.mode(SaveMode.Overwrite).parquet(dst)
-        dst
-      }
-    }
-    val dirs = Await.result(Future.sequence(jobs),
-      scala.concurrent.duration.Duration.Inf)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fresh = dirs.flatMap { d =>
-      val fs = new Path(d).getFileSystem(conf)
-      fs.listStatus(new Path(d)).toSeq
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-        .map(_.getPath.toString)
-    }
-    val stats = statsFor(spark, fresh, Seq(column)).map(_(column))
+    val stats = rewriteFlat(spark, affected.map(_.path), column,
+      rewriteDir, "upd",
+      df => df.withColumn(setCol,
+        when(col(column).between(lo, hi), value).otherwise(col(setCol))),
+      shufflePerFk = false)
     (untouched ++ stats).sortBy(_.path)
   }
 
@@ -934,28 +1049,42 @@ object FileManifest {
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("_file_idx="))
       .map(_.getPath.getName.stripPrefix("_file_idx=").toInt).sorted
     val affected = slices.filter(_ >= 0)
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val jobs = affected.map { i =>
-      Future {
-        val dst = f"$rewriteDir/mrg_$i%05d"
-        val t = spark.read.parquet(manifest(i).path).as("t")
-        val c = spark.read.parquet(s"$stage/_file_idx=$i").as("c")
-        t.join(c, col(s"t.$column") === col(s"c.$column"), "full_outer")
-          // a matched (or unmatched — no-op by landing empty) delete
-          .where(col(s"c.$column").isNull || !col(s"c.$deleteCol"))
-          .select(dataCols.map { cn =>
-            when(col(s"c.$column").isNotNull, col(s"c.$cn"))
-              .otherwise(col(s"t.$cn")).as(cn)
-          }.toSeq: _*)
-          .coalesce(1)
-          .sortWithinPartitions(column)
-          .write.mode(SaveMode.Overwrite).parquet(dst)
-        dst
+    // ONE distributed job over every touched file (the rewriteFlat
+    // shape — the retired mechanism ran one single-task full-outer
+    // join job PER touched file on a Future fan-out): every touched
+    // file's rows meet exactly their own staged slice through a
+    // (file idx, key) equi-join; shufflePerFk keeps each rewritten
+    // file one output (the join scatters a file's rows).
+    val rewrittenStats: Seq[FileStats] =
+      if (affected.isEmpty) Nil
+      else {
+        val mapDf = spark.createDataFrame(
+          affected.map(i => (flatKey(manifest(i).path), i)))
+          .toDF("__mfk", "__idx")
+        val outFk = spark.createDataFrame(
+          affected.map(i => (i, flatKey(manifest(i).path))))
+          .toDF("__ridx", "__ofk")
+        rewriteFlat(spark, affected.map(i => manifest(i).path), column,
+          rewriteDir, "mrg",
+          df => {
+            val t = df.join(broadcast(mapDf),
+              col("__fk") === col("__mfk")).drop("__mfk", "__fk")
+            val c = spark.read.parquet(stage)
+              .where(col("_file_idx") >= 0)
+            t.as("t").join(c.as("c"),
+                col("t.__idx") === col("c._file_idx") &&
+                  col(s"t.$column") === col(s"c.$column"), "full_outer")
+              // a matched (or unmatched — routed-insert) delete drops
+              .where(col(s"c.$column").isNull || !col(s"c.$deleteCol"))
+              .join(broadcast(outFk), coalesce(col("t.__idx"),
+                col("c._file_idx")) === col("__ridx"))
+              .select((dataCols.map { cn =>
+                when(col(s"c.$column").isNotNull, col(s"c.$cn"))
+                  .otherwise(col(s"t.$cn")).as(cn)
+              }.toSeq :+ col("__ofk").as("__fk")): _*)
+          },
+          shufflePerFk = true)
       }
-    }
-    val dirs = Await.result(Future.sequence(jobs),
-      scala.concurrent.duration.Duration.Inf)
     // keys outside every file's range: new clustered file(s); a new
     // file spanning a gap may overlap neighbors' ranges — pruning
     // keeps any intersecting file, so that costs tightness, never
@@ -974,13 +1103,14 @@ object FileManifest {
           Seq(s"$rewriteDir/new")
         }
       }
-    val freshFiles = (dirs ++ newDirs).flatMap { d =>
+    val freshFiles = newDirs.flatMap { d =>
       val fs = new Path(d).getFileSystem(conf)
       fs.listStatus(new Path(d)).toSeq
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
         .map(_.getPath.toString)
     }
-    val stats = statsFor(spark, freshFiles, Seq(column)).map(_(column))
+    val stats = (rewrittenStats ++
+      statsFor(spark, freshFiles, Seq(column)).map(_(column)))
       .filter(_.rows > 0)
     val untouched = manifest.zipWithIndex
       .collect { case (f, i) if !affected.contains(i) => f }
@@ -1010,13 +1140,13 @@ object FileManifest {
   }
 
   /** Small-file compaction: rewrite each planned bin as ONE file,
-    * re-sorted on the cluster column. The driver work is O(files) over
-    * the manifest; each bin is an independent shuffle-free single-task
-    * rewrite of just its own files, and the bin jobs are submitted
-    * CONCURRENTLY (Spark schedules jobs from many threads fine) so the
-    * rewrite wall-clock is bounded by the largest bin, not the bin
-    * count — at 10^4 bins sequential submission would serialize 10^4
-    * job round-trips for nothing. */
+    * re-sorted on the cluster column, in ONE distributed job (the
+    * OPTIMIZE shape — the retired mechanism submitted one single-task
+    * job per bin on a Future fan-out, whose driver scheduling loop
+    * became the wall clock at 10^4 bins): all inputs read as one scan,
+    * each row routed to its bin via a broadcast (fileKey → bin) map —
+    * manifest-sized — then one hash exchange on the bin id merges each
+    * bin into exactly one key-sorted file under `bin_<i>/`. */
   def compact(spark: SparkSession, manifest: Seq[FileStats], outDir: String,
       sortCol: String, targetRows: Long): Unit = {
     // clear the destination first: per-bin overwrite would leave stale
@@ -1024,18 +1154,38 @@ object FileManifest {
     val out = new Path(outDir)
     val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(out, true)
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val jobs = planCompaction(manifest, targetRows).zipWithIndex.map {
-      case (bin, i) => Future {
-        spark.read.parquet(bin.map(_.path): _*)
-          .coalesce(1)
-          .sortWithinPartitions(sortCol)
-          .write.mode(SaveMode.Overwrite)
-          .parquet(f"$outDir/bin_$i%05d")
-      }
+    val bins = planCompaction(manifest, targetRows)
+    if (bins.isEmpty) return
+    val binOfFk = bins.zipWithIndex.flatMap { case (bin, i) =>
+      bin.map(f => (flatKey(f.path), i))
     }
-    Await.result(Future.sequence(jobs), scala.concurrent.duration.Duration.Inf)
+    require(binOfFk.map(_._1).distinct.size == binOfFk.size,
+      "compact: file-key collision across bin inputs")
+    val mapDf = spark.createDataFrame(binOfFk).toDF("__fk", "__bin")
+    val cmpTmp = s"$outDir/_cmp"
+    spark.read.parquet(manifest.map(_.path).sorted: _*)
+      .withColumn("__fk", concat(lit("k"),
+        md5(substring_index(input_file_name(), "/", -3))))
+      .join(broadcast(mapDf), "__fk")
+      .drop("__fk")
+      .repartition(col("__bin"))
+      .sortWithinPartitions(col("__bin"), col(sortCol))
+      .write.mode(SaveMode.Overwrite).partitionBy("__bin").parquet(cmpTmp)
+    fs.listStatus(new Path(cmpTmp)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__bin="))
+      .foreach { d =>
+        val i = d.getPath.getName.stripPrefix("__bin=").toInt
+        val destDir = new Path(outDir, f"bin_$i%05d")
+        fs.mkdirs(destDir)
+        fs.listStatus(d.getPath).toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .foreach { st =>
+            val dest = new Path(destDir, st.getPath.getName)
+            require(fs.rename(st.getPath, dest),
+              s"compact: move failed: $dest")
+          }
+      }
+    fs.delete(new Path(cmpTmp), true)
   }
 
   /** Read a compacted table back (bins are subdirectories). */
@@ -1395,10 +1545,22 @@ object FileManifest {
     savePartitioned(spark, pm, s"$root/v$next")
     // version metadata (e.g. the streaming sink's batch id) rides IN
     // the version directory, so it exists before — and only becomes
-    // visible with — the atomic commit marker
-    if (meta.nonEmpty) {
+    // visible with — the atomic commit marker. The SCHEMA keys inherit
+    // from the previous version unless this commit overrides them
+    // (Iceberg's every-snapshot-references-its-schema discipline):
+    // a version is self-describing, so retention expiring the ALTER
+    // that committed an evolution can never silently revert reads to
+    // the sampled file schema, and `maxFieldId` stays monotone even
+    // across expired epochs (dropped ids must never be re-minted while
+    // old files could still carry their bytes).
+    val inherited =
+      if (next == 0L) Map.empty[String, String]
+      else versionMeta(spark, root, next - 1)
+        .view.filterKeys(k => k == "schema" || k == "maxFieldId").toMap
+    val fullMeta = inherited ++ meta
+    if (fullMeta.nonEmpty) {
       val out = fs.create(new Path(s"$root/v$next", "_meta"), true)
-      try out.write(meta.toSeq.sorted
+      try out.write(fullMeta.toSeq.sorted
         .map { case (k, v) => s"$k=$v" }.mkString("\n")
         .getBytes("UTF-8"))
       finally out.close()
@@ -1445,6 +1607,20 @@ object FileManifest {
         org.apache.spark.sql.types.DataType.fromJson(json)
           .asInstanceOf[org.apache.spark.sql.types.StructType] }
 
+  /** High-water field id at the head: the committed `maxFieldId`
+    * marker (inherited forward by every commit), falling back to the
+    * max id in the current schema for pre-marker catalogs. Fresh ids
+    * MUST mint above this — never above the current schema's max
+    * alone, or a dropped column's id could be reused while old live
+    * files still carry its bytes. */
+  def maxFieldIdAt(spark: SparkSession, root: String): Long = {
+    val marked = versionHistory(spark, root).map(_._1).lastOption
+      .flatMap(v => versionMeta(spark, root, v).get("maxFieldId"))
+      .map(_.toLong).getOrElse(0L)
+    math.max(marked, schemaAt(spark, root).map(schemaMaxFieldId)
+      .getOrElse(0L))
+  }
+
   /** SHALLOW CLONE — the Delta/Iceberg zero-copy fork: the clone's v0
     * manifest references the SOURCE's data files verbatim (no data IO
     * at all), under a fresh catalog root with its own independent
@@ -1464,9 +1640,50 @@ object FileManifest {
     }
     require(latestVersion(spark, dstRoot).isEmpty,
       s"clone target $dstRoot already has a committed catalog")
-    commitVersion(spark, pm, dstRoot,
+    // the clone's v0 must CARRY the source's schema epoch (and its
+    // field-id high-water mark): v0 has no previous version to inherit
+    // from, and falling back to a sampled file schema would forget the
+    // source's evolutions (and its field ids — reads would refuse)
+    val schemaMeta = schemaAt(spark, srcRoot, version).map(s =>
+      Map("schema" -> s.json)).getOrElse(Map.empty) ++
+      (if (maxFieldIdAt(spark, srcRoot) > 0)
+        Map("maxFieldId" -> maxFieldIdAt(spark, srcRoot).toString)
+      else Map.empty)
+    val v = commitVersion(spark, pm, dstRoot,
       meta = Map("operation" -> "clone", "clonedFrom" -> srcRoot,
-        "clonedVersion" -> version.map(_.toString).getOrElse("latest")))
+        "clonedVersion" -> version.map(_.toString).getOrElse("latest"))
+        ++ schemaMeta)
+    // record the clone on the SOURCE (sidecar, deterministic name) so
+    // a VACUUM on the source can refuse/warn instead of silently
+    // reclaiming files the clone still references
+    val fs = new Path(srcRoot).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val marker = cloneMarkerPath(srcRoot, dstRoot)
+    val out = fs.create(marker, true)
+    try out.write(dstRoot.getBytes("UTF-8")) finally out.close()
+    v
+  }
+
+  /** Deterministic per-clone marker under the source's `_clones/` dir
+    * (md5 of the clone root — recomputable for back-out). */
+  private[graft] def cloneMarkerPath(srcRoot: String,
+      dstRoot: String): Path = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dstRoot.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    new Path(s"$srcRoot/_clones", s"c-$h")
+  }
+
+  /** Clone roots recorded against `srcRoot` (empty when none). */
+  def recordedClones(spark: SparkSession, srcRoot: String): Seq[String] = {
+    val dir = new Path(s"$srcRoot/_clones")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.filter(_.isFile).map { st =>
+      val in = fs.open(st.getPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }.sorted
   }
 
   /** OPTIMISTIC-RETRY commit for APPEND-shaped writes: the manifest

@@ -114,8 +114,19 @@ final class GraftManifestSource extends RelationProvider
     // added columns and the parquet reader null-fills them
     val dataSchema = FileManifest.schemaAt(spark, catalogRoot, pinnedV)
       .getOrElse(spark.read.parquet(sample).schema)
+    // field-id matching for THIS relation's scans: the options map
+    // lands in the scan's hadoopConf (newHadoopConfWithOptions), so
+    // files are matched by the schema's committed field ids — a
+    // renamed column's old files resolve by id, and a re-added name's
+    // fresh id can never match pre-drop bytes. Inert on pre-field-id
+    // catalogs (id matching engages only for fields that carry ids).
+    // The map must be PLAIN: `parameters` is a CaseInsensitiveMap
+    // whose iteration lowercases keys, and hadoop Configuration keys
+    // are case-sensitive — a lowercased flag never matches.
+    val scanParams = Map(parameters.toSeq: _*) +
+      ("spark.sql.parquet.fieldId.read.enabled" -> "true")
     HadoopFsRelation(index, index.partitionSchema, dataSchema,
-      None, new GraftParquetFileFormat, parameters)(spark)
+      None, new GraftParquetFileFormat, scanParams)(spark)
   }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
@@ -146,14 +157,43 @@ final class GraftManifestSource extends RelationProvider
           if (existing.isEmpty) s"$root/data/b0"
           else s"$root/data/b$next-" +
             java.util.UUID.randomUUID.toString.take(8)
-        FileManifest.writePartitionedLayout(data, dataDir, partCol,
-          clusterCol, numFiles)
-        // footer-stat ONLY the new files (batch-sized metadata work)
-        val fresh = FileManifest.buildPartitioned(spark, dataDir, clusterCol)
         val op = (mode, existing) match {
           case (SaveMode.Append, Some(_)) => "append"
           case (_, Some(_)) => "overwrite"
           case _ => "create"
+        }
+        // FIELD IDS: create/overwrite mint a fresh id-mapped data
+        // schema (above the catalog's high-water mark — ids are never
+        // reused); append re-stamps the COMMITTED schema's ids so the
+        // new files match the table's identity map. The data schema
+        // excludes the directory-encoded partition column.
+        val dataFields = org.apache.spark.sql.types.StructType(
+          data.schema.fields.filterNot(_.name == partCol))
+        val idSchema: Option[StructType] = op match {
+          case "append" => FileManifest.schemaAt(spark, root)
+          case _ =>
+            val startAt =
+              if (existing.isEmpty) 1L
+              else FileManifest.maxFieldIdAt(spark, root) + 1L
+            Some(FileManifest.assignFieldIds(dataFields, startAt))
+        }
+        idSchema.filter(s => op == "append").foreach { s =>
+          require(dataFields.fieldNames.sorted.sameElements(
+            s.fieldNames.sorted),
+            s"graft append schema ${dataFields.fieldNames.mkString(",")} " +
+              s"!= table schema ${s.fieldNames.mkString(",")}")
+        }
+        val stamped = idSchema.fold(data)(
+          FileManifest.stampFieldIds(data, _))
+        FileManifest.writePartitionedLayout(stamped, dataDir, partCol,
+          clusterCol, numFiles)
+        // footer-stat ONLY the new files (batch-sized metadata work)
+        val fresh = FileManifest.buildPartitioned(spark, dataDir, clusterCol)
+        val schemaMeta: Map[String, String] = op match {
+          case "append" => Map.empty // inherited forward by commitVersion
+          case _ => idSchema.map(s => Map("schema" -> s.json,
+            "maxFieldId" -> FileManifest.schemaMaxFieldId(s).toString))
+            .getOrElse(Map.empty)
         }
         if (op == "append") {
           // append-append commutes: optimistic retry re-folds the new
@@ -185,7 +225,7 @@ final class GraftManifestSource extends RelationProvider
           // create / overwrite: only the new files — logical
           // replacement carries nothing, so no retry content to re-fold
           FileManifest.commitVersion(spark, fresh, root,
-            meta = Map("operation" -> op))
+            meta = Map("operation" -> op) ++ schemaMeta)
     }
     createRelation(sqlContext, parameters)
   }
@@ -449,7 +489,10 @@ object GraftStreamSource {
     def readRestored(fs: Seq[String]): DataFrame =
       fs.groupBy(tableRootOf).toSeq.sortBy(_._1)
         .map { case (base, group) =>
-          spark.read.schema(tableSchema).option("basePath", base)
+          // field-id matched (inert pre-ids): a change feed can cross
+          // a RENAME, where old files carry the old physical name
+          FileManifest.pinnedReader(spark, tableSchema)
+            .option("basePath", base)
             .parquet(group.sorted: _*)
         }
         .reduce(_.unionByName(_))
@@ -596,9 +639,23 @@ final class GraftStreamSink(spark: SparkSession, root: String,
       // commit even gets to fail
       val dataDir = s"$root/data/b$next-" +
         java.util.UUID.randomUUID.toString.take(8)
-      FileManifest.writePartitionedLayout(df, dataDir, partCol,
+      // field ids: the first batch mints the table's id map; later
+      // batches re-stamp the committed schema's ids onto their files
+      val sinkDataFields = org.apache.spark.sql.types.StructType(
+        df.schema.fields.filterNot(_.name == partCol))
+      val sinkIdSchema: Option[StructType] =
+        if (next == 0L) Some(FileManifest.assignFieldIds(sinkDataFields))
+        else FileManifest.schemaAt(spark, root)
+      val stamped = sinkIdSchema.fold(df)(
+        FileManifest.stampFieldIds(df, _))
+      FileManifest.writePartitionedLayout(stamped, dataDir, partCol,
         clusterCol, numFiles)
       val fresh = FileManifest.buildPartitioned(spark, dataDir, clusterCol)
+      val sinkSchemaMeta: Map[String, String] =
+        if (next == 0L) sinkIdSchema.map(s => Map("schema" -> s.json,
+          "maxFieldId" -> FileManifest.schemaMaxFieldId(s).toString))
+          .getOrElse(Map.empty)
+        else Map.empty // inherited forward by commitVersion
       val pm =
         if (next == 0L) fresh
         else {
@@ -617,7 +674,7 @@ final class GraftStreamSink(spark: SparkSession, root: String,
       FileManifest.commitVersion(spark, pm, root,
         meta = Map("operation" -> "streaming-append",
           BatchKey -> batchId.toString) ++
-          queryId.map(QueryKey -> _),
+          queryId.map(QueryKey -> _) ++ sinkSchemaMeta,
         expected = Some(next))
       maxCommitted(queryId) = batchId
     }
@@ -816,21 +873,46 @@ final class ManifestFileIndex(spark: SparkSession,
     (lo, hi)
   }
 
+  /** Bind a partition-column predicate against this index's one-column
+    * partition row (the PartitioningAwareFileIndex discipline). */
+  private def boundPartPredicate(
+      partitionFilters: Seq[Expression]): InternalRow => Boolean =
+    if (partitionFilters.isEmpty) _ => true
+    else {
+      val bound = Predicate.createInterpreted(
+        partitionFilters.reduce(org.apache.spark.sql.catalyst
+          .expressions.And).transform {
+          case a: AttributeReference if a.name == partColName =>
+            BoundReference(0, partType, nullable = true)
+        })
+      bound.eval(_)
+    }
+
+  /** METADATA-ONLY aggregate fold for [[graft.plans
+    * .GraftMetadataCountRule]]: exact row count and clustering-column
+    * [min, max] of the snapshot, optionally restricted to the
+    * partitions a partition-only predicate selects. EXACT, not
+    * conservative: partition values are directory-encoded (every row
+    * in a directory has that value), per-file rows are footer-exact,
+    * and every manifest entry's range is backed by at least one
+    * non-null value (the build-time hasNonNullValue require), so the
+    * fold equals the scan. Driver work is O(files) over the snapshot
+    * the planner already holds. */
+  private[graft] def metadataStats(
+      partPredicate: Option[Expression]): graft.plans.GraftMetadataStats = {
+    val keep = boundPartPredicate(partPredicate.toSeq)
+    val files = pmCur.partitions.toSeq
+      .filter { case (dirName, _) => keep(InternalRow(partRowValue(dirName))) }
+      .flatMap(_._2)
+    graft.plans.GraftMetadataStats(
+      rows = files.map(_.rows).sum,
+      min = if (files.isEmpty) None else Some(files.map(_.min).min),
+      max = if (files.isEmpty) None else Some(files.map(_.max).max))
+  }
+
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    // bind the partition predicate against this index's one-column
-    // partition row (the PartitioningAwareFileIndex discipline)
-    val keep: InternalRow => Boolean =
-      if (partitionFilters.isEmpty) _ => true
-      else {
-        val bound = Predicate.createInterpreted(
-          partitionFilters.reduce(org.apache.spark.sql.catalyst
-            .expressions.And).transform {
-            case a: AttributeReference if a.name == partColName =>
-              BoundReference(0, partType, nullable = true)
-          })
-        bound.eval(_)
-      }
+    val keep: InternalRow => Boolean = boundPartPredicate(partitionFilters)
     val (lo, hi) = boundsOf(dataFilters)
     pmCur.partitions.toSeq.sortBy(_._1).flatMap { case (dirName, files) =>
       val row = InternalRow(partRowValue(dirName))

@@ -75,7 +75,10 @@ object Explain {
     // the multi-level Louvain coarsening recursion
     "f33_sql_drop_column", "f34_merge_evolution",
     "g21_louvain_multilevel", "f35_sql_widen_column",
-    "f36_metadata_count")
+    "f36_metadata_count",
+    // r13: field-id rename, metadata min/max + partition count, zorder
+    "f37_sql_rename_column", "f38_metadata_stats",
+    "f39_sql_optimize_zorder")
 
   /** Cost notes rendered under a query's plan — state the structural
     * story the plan tree alone can't show. */

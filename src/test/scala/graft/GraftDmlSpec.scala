@@ -726,9 +726,14 @@ class GraftDmlSpec extends AnyFunSuite {
     val nx = intercept[Throwable] {
       spark.sql("ALTER TABLE drp_events DROP COLUMN nope") }
     assert(messages(nx).exists(_.contains("does not exist")), messages(nx))
-    val rn = intercept[Throwable] {
-      spark.sql("ALTER TABLE drp_events RENAME COLUMN event_id TO eid") }
-    assert(messages(rn).exists(_.contains("not supported")), messages(rn))
+    // RENAME is now SUPPORTED on the field-id substrate (r13, f37 —
+    // FieldIdSpec pins the epoch semantics); the still-unrepresentable
+    // mutations keep refusing
+    spark.sql("ALTER TABLE drp_events RENAME COLUMN event_id TO eid")
+    assert(spark.table("drp_events").columns.contains("eid"))
+    val rc = intercept[Throwable] {
+      spark.sql("ALTER TABLE drp_events REPLACE COLUMNS (x INT)") }
+    assert(messages(rc).exists(_.contains("not supported")), messages(rc))
   }
 
   test("MERGE WITH SCHEMA EVOLUTION: new source columns land, null-fill, type changes refuse") {
