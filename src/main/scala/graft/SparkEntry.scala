@@ -3599,6 +3599,44 @@ object SparkEntry {
         |  FROM f39_events VERSION AS OF 0 GROUP BY event_type)
         |ORDER BY snap, event_type""".stripMargin)
     }),
+    // MULTI-COLUMN PARTITIONING (r13, f40) — the (date, region)-shaped
+    // Hive-nested layout real lakehouse tables converge to: one
+    // directory LEVEL per partition column (`event_type=x/bucket=n`),
+    // catalog keys carrying the full chain, every seam generalized —
+    // the listing index binds each referenced partition column by its
+    // level ordinal (predicates on EITHER or BOTH columns prune whole
+    // leaf directories exactly), DML/OPTIMIZE route per leaf key, and
+    // the metadata-count rule answers two-column partition filters
+    // with zero scans (spec-pinned). The CoW DELETE here crosses
+    // several leaves of both levels; OPTIMIZE bin-packs per leaf
+    "f40_multi_partition" -> ((s, dir) => {
+      val tmp = layoutDir("f40", dir)
+      val root = s"$tmp/cat"
+      freshDir(s, root)
+      val ev = T(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), (col("user_id") % 3).as("bucket"))
+      ev.write.format("graft")
+        .option("path", root).option("partitionBy", "event_type,bucket")
+        .option("clusterBy", "event_id").option("files", "4")
+        .mode("overwrite").save() // v0: two-level layout
+      s.sql("DROP TABLE IF EXISTS f40_events")
+      s.sql(s"CREATE TABLE f40_events USING graft OPTIONS (path '$root')")
+      s.sql("DELETE FROM f40_events WHERE user_id = 4") // v1: CoW
+      s.sql("OPTIMIZE f40_events") // v2: per-leaf bin packing
+      require(FileManifest.latestVersion(s, root).exists(_ >= 1L),
+        "expected create + delete (+ optimize) versions")
+      s.sql("""SELECT snap, event_type, bucket, n_events, sum_ids FROM (
+        |  SELECT 'head' AS snap, event_type,
+        |    CAST(bucket AS BIGINT) AS bucket,
+        |    count(*) AS n_events, sum(event_id) AS sum_ids
+        |  FROM f40_events GROUP BY event_type, bucket
+        |  UNION ALL
+        |  SELECT 'pre', event_type, CAST(bucket AS BIGINT),
+        |    count(*), sum(event_id)
+        |  FROM f40_events VERSION AS OF 0 GROUP BY event_type, bucket)
+        |ORDER BY snap, event_type, bucket""".stripMargin)
+    }),
     // SHALLOW CLONE through the front door — `CREATE TABLE c SHALLOW
     // CLONE s VERSION AS OF n LOCATION 'p'` (the Delta statement): a
     // ZERO-COPY fork whose v0 manifest references the source's data
@@ -6466,6 +6504,21 @@ object SparkEntry {
         |    CAST(sum(event_id) AS BIGINT)
         |  FROM events GROUP BY event_type)
         |ORDER BY snap, event_type""".stripMargin,
+    // f40: the two-level layout is pure organization — head excludes
+    // the deleted user, pre is the whole relation; bucket derives in
+    // SQL exactly as the write derived it
+    "f40_multi_partition" ->
+      """SELECT snap, event_type, bucket, n_events, sum_ids FROM (
+        |  SELECT 'head' AS snap, event_type,
+        |    CAST(user_id % 3 AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(event_id) AS BIGINT) AS sum_ids
+        |  FROM events WHERE user_id <> 4 GROUP BY event_type, user_id % 3
+        |  UNION ALL
+        |  SELECT 'pre', event_type, CAST(user_id % 3 AS BIGINT),
+        |    CAST(count(*) AS BIGINT), CAST(sum(event_id) AS BIGINT)
+        |  FROM events GROUP BY event_type, user_id % 3)
+        |ORDER BY snap, event_type, bucket""".stripMargin,
     // f31: the restored head is the WHOLE relation again; the mistake
     // version (the delete) stays readable between them — rollback as
     // a new commit, history intact

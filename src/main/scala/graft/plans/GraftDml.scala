@@ -68,17 +68,27 @@ object GraftDml extends PredicateHelper {
     * `__fk=<key>` partition directory can never be re-inferred as a
     * numeric partition column (an all-digit md5 would otherwise read
     * back as DECIMAL and drop leading zeros — a silent key mismatch). */
-  private[plans] def fileKey(path: String): String = {
-    val tail = norm(path).split('/').takeRight(3).mkString("/")
+  private[plans] def fileKey(path: String, levels: Int = 1): String = {
+    val tail = norm(path).split('/').takeRight(levels + 2).mkString("/")
     "k" + java.security.MessageDigest.getInstance("MD5")
       .digest(tail.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
-  /** [[fileKey]] as a codegen'd expression over a file-name column. */
-  private[plans] def fileKeyCol(fileName: Column): Column =
+  /** [[fileKey]] as a codegen'd expression over a file-name column —
+    * `levels` (partition column count) keeps the hashed tail spanning
+    * batchDir/partition-chain/file on multi-level layouts. */
+  private[plans] def fileKeyCol(fileName: Column,
+      levels: Int = 1): Column =
     org.apache.spark.sql.functions.concat(lit("k"),
       org.apache.spark.sql.functions.md5(
-        org.apache.spark.sql.functions.substring_index(fileName, "/", -3)))
+        org.apache.spark.sql.functions.substring_index(
+          fileName, "/", -(levels + 2))))
+
+  /** Batch root `levels + 1` parents above a data file (levels =
+    * partition column count) — the basePath partition discovery needs. */
+  private[plans] def batchRootOf(file: String, levels: Int): String =
+    (0 until levels).foldLeft(new Path(file).getParent)(
+      (p, _) => p.getParent).toString
 
   /** ONE distributed rewrite job over ALL touched files — the scale
     * shape of every CoW rewrite (DELETE/UPDATE/MERGE/OPTIMIZE):
@@ -106,19 +116,20 @@ object GraftDml extends PredicateHelper {
       readSchema: org.apache.spark.sql.types.StructType,
       dataCols: Seq[String], clusterCol: String,
       touchedList: Seq[(String, String)], dataDir: String, prefix: String,
-      transform: DataFrame => DataFrame, shufflePerFk: Boolean)
+      transform: DataFrame => DataFrame, shufflePerFk: Boolean,
+      levels: Int = 1)
       : Map[String, Seq[FileManifest.FileStats]] = {
     require(!dataCols.contains("__fk"),
       "graft DML: the table must not carry a `__fk` column (reserved)")
     val fs = new Path(dataDir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val fkInfo: Map[String, (String, Int)] = touchedList.zipWithIndex.map {
-      case ((part, path), i) => fileKey(path) -> ((part, i))
+      case ((part, path), i) => fileKey(path, levels) -> ((part, i))
     }.toMap
     require(fkInfo.size == touchedList.size,
       "graft DML: file-key collision across touched files")
     val src = touchedList.map(_._2)
-      .groupBy(f => new Path(f).getParent.getParent.toString)
+      .groupBy(f => batchRootOf(f, levels))
       .toSeq.sortBy(_._1)
       .map { case (base, group) =>
         FileManifest.pinnedReader(spark, readSchema)
@@ -126,7 +137,7 @@ object GraftDml extends PredicateHelper {
           .parquet(group.sorted: _*)
       }
       .reduce(_.unionByName(_))
-      .withColumn("__fk", fileKeyCol(input_file_name()))
+      .withColumn("__fk", fileKeyCol(input_file_name(), levels))
     val out0 = transform(src)
     val out = if (shufflePerFk) out0.repartition(col("__fk")) else out0
     val rwTmp = s"$dataDir/_rw"
@@ -206,11 +217,13 @@ object GraftDml extends PredicateHelper {
       "DML on a time-traveled graft table (version/timestampAsOf) is not " +
         "allowed — writes land on the LATEST snapshot only; drop the pin " +
         "and re-create the table")
-    val partCol = index.partitionColumn
+    val partCols = index.partitionColumns
+    val levels = partCols.size
     val clusterCol = index.clusterColumn
     sets.foreach { case (name, _) =>
-      require(name != partCol && name != clusterCol,
-        s"UPDATE of the ${if (name == partCol) "partition" else "clustering"} " +
+      require(!partCols.contains(name) && name != clusterCol,
+        s"UPDATE of the ${if (partCols.contains(name)) "partition"
+          else "clustering"} " +
           s"column `$name` is not supported — rewritten rows could leave " +
           "their directory/file key range and the catalog would mis-prune; " +
           "re-cluster via df.write.format(\"graft\").mode(\"overwrite\")")
@@ -228,7 +241,8 @@ object GraftDml extends PredicateHelper {
     // conjuncts drop directories, clustering bounds drop files
     val conjuncts = splitConjunctivePredicates(cond)
     val (partFilters, dataFilters) = conjuncts.partition(c =>
-      c.references.nonEmpty && c.references.forall(_.name == partCol))
+      c.references.nonEmpty &&
+        c.references.forall(a => partCols.contains(a.name)))
     val candidates = index.listFiles(partFilters, dataFilters)
       .flatMap(_.files.map(_.getPath.toString))
     if (candidates.isEmpty) return FileManifest.latestVersion(spark, root).get
@@ -237,7 +251,7 @@ object GraftDml extends PredicateHelper {
     // one basePath cannot span versions); group and union, restoring
     // the directory-encoded partition column for the predicate
     def readRestored(files: Seq[String]) = files
-      .groupBy(f => new Path(f).getParent.getParent.toString)
+      .groupBy(f => batchRootOf(f, levels))
       .toSeq.sortBy(_._1)
       .map { case (base, group) =>
         FileManifest.pinnedReader(spark, readSchema)
@@ -278,7 +292,7 @@ object GraftDml extends PredicateHelper {
             case None => col(c)
           }
         }: _*),
-      shufflePerFk = false)
+      shufflePerFk = false, levels = levels)
 
     // 4. COMMIT: carried + rewritten as one atomic version, with
     // optimistic retry against racing disjoint-file commits
@@ -419,7 +433,8 @@ object GraftDml extends PredicateHelper {
     require(!m.withSchemaEvolution,
       "MERGE … WITH SCHEMA EVOLUTION is not supported on graft tables — " +
         "evolve the schema via an explicit overwrite, then MERGE")
-    val partCol = index.partitionColumn
+    val partCols = index.partitionColumns
+    val levels = partCols.size
     val clusterCol = index.clusterColumn
 
     val tIds = m.targetTable.output.map(_.exprId).toSet
@@ -469,12 +484,12 @@ object GraftDml extends PredicateHelper {
       * dropped; what remains on a key column refuses. */
     def updateAssignments(u: UpdateAction): Seq[(String, Expression)] =
       assignmentsOf(u).filterNot { case (name, v) =>
-        (name == partCol || name == clusterCol) && pinnedByOn(name, v)
+        (partCols.contains(name) || name == clusterCol) && pinnedByOn(name, v)
       }
     (m.matchedActions ++ m.notMatchedBySourceActions).foreach {
       case u: UpdateAction => updateAssignments(u).foreach { case (name, _) =>
-        require(name != partCol && name != clusterCol,
-          s"MERGE UPDATE of the ${if (name == partCol) "partition"
+        require(!partCols.contains(name) && name != clusterCol,
+          s"MERGE UPDATE of the ${if (partCols.contains(name)) "partition"
             else "clustering"} column `$name` is not supported — rewritten " +
             "rows could leave their directory/file key range (an ON-clause " +
             s"conjunct `t.$name = <the assigned expr>` would make it a " +
@@ -486,7 +501,7 @@ object GraftDml extends PredicateHelper {
     m.notMatchedActions.foreach {
       case i: InsertAction =>
         val assigned = assignmentsOf(i).map(_._1).toSet
-        val missing = (dataCols :+ partCol).filterNot(assigned)
+        val missing = (dataCols ++ partCols).filterNot(assigned)
         require(missing.isEmpty,
           s"MERGE INSERT must assign every target column; missing: " +
             missing.mkString(", "))
@@ -522,7 +537,7 @@ object GraftDml extends PredicateHelper {
         val staticT = conjuncts.filter(c => c.references.nonEmpty &&
           c.references.forall(a => tIds(a.exprId)))
         val (partFilters, dataFilters) = staticT.partition(
-          _.references.forall(_.name == partCol))
+          _.references.forall(a => partCols.contains(a.name)))
         // t.<clusterCol> = <source expr> → [min,max] of the source expr
         val clusterAttr = m.targetTable.output.find(_.name == clusterCol)
         val srcKey: Option[Expression] = conjuncts.collectFirst {
@@ -550,7 +565,7 @@ object GraftDml extends PredicateHelper {
       }
 
     def readRestored(files: Seq[String]): DataFrame = files
-      .groupBy(f => new Path(f).getParent.getParent.toString)
+      .groupBy(f => batchRootOf(f, levels))
       .toSeq.sortBy(_._1)
       .map { case (base, group) =>
         FileManifest.pinnedReader(spark, readSchema)
@@ -599,7 +614,7 @@ object GraftDml extends PredicateHelper {
           // distinct is safe AFTER the cardinality gate (identical
           // duplicate source rows would have tripped it)
           joined
-            .select((fileKeyCol(col("__f")).as("__fk") ::
+            .select((fileKeyCol(col("__f"), levels).as("__fk") ::
               src.columns.toList.map(c => col(s"_s.$c"))): _*)
             .distinct()
             .write.mode(SaveMode.Overwrite).partitionBy("__fk").parquet(stage)
@@ -696,7 +711,7 @@ object GraftDml extends PredicateHelper {
                 .cast(f.dataType).as(c)
             }.toSeq :+ col("_t.__fk").as("__fk"): _*)
         },
-        shufflePerFk = true)
+        shufflePerFk = true, levels = levels)
 
     // 4. INSERT — source rows with no match among the candidates
     // (exact: pruning is conservative, every possible partner survived)
@@ -725,36 +740,34 @@ object GraftDml extends PredicateHelper {
         val partType = readSchema
         val ins = unmatched.withColumn("__ia", iAct).where(col("__ia") >= 0)
           .select((targetSchema.fields.map(f => insCol(f.name, f.dataType))
-            :+ insCol(partCol,
-              partType.find(_.name == partCol).map(_.dataType)
-                .getOrElse(org.apache.spark.sql.types.StringType))).toSeq: _*)
+            ++ partCols.map(pc => insCol(pc,
+              partType.find(_.name == pc).map(_.dataType)
+                .getOrElse(org.apache.spark.sql.types.StringType)))).toSeq: _*)
           // the anti-join behind `ins` is the expensive half of an
           // insert-heavy MERGE — cache it so the emptiness/NULL guards
           // and the write are ONE computation, not three
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val guard = ins.agg(count(lit(1)).as("n"),
-          count(col(partCol)).as("nonNull")).head()
+          (partCols.map(pc => count(col(pc)).as(s"nn_$pc"))): _*).head()
         val nIns = guard.getLong(0)
         if (nIns == 0L) { ins.unpersist(); Map.empty }
         else {
-          val nNullPart = nIns - guard.getLong(1)
-          require(nNullPart == 0, s"MERGE INSERT produced $nNullPart row(s) " +
-            s"with a NULL partition value `$partCol` — a graft partition " +
-            "directory cannot encode NULL")
+          partCols.zipWithIndex.foreach { case (pc, i) =>
+            val nNullPart = nIns - guard.getLong(i + 1)
+            require(nNullPart == 0, s"MERGE INSERT produced $nNullPart " +
+              s"row(s) with a NULL partition value `$pc` — a graft " +
+              "partition directory cannot encode NULL")
+          }
           val insDir = s"$dataDir/_ins"
           // re-stamp field ids (the insert cascade's casts drop them)
           FileManifest.stampFieldIds(ins, dataSchema)
-            .repartition(col(partCol))
-            .sortWithinPartitions(partCol, clusterCol)
-            .write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(insDir)
+            .repartition(partCols.map(col): _*)
+            .sortWithinPartitions((partCols :+ clusterCol).map(col): _*)
+            .write.mode(SaveMode.Overwrite)
+            .partitionBy(partCols: _*).parquet(insDir)
           ins.unpersist()
-          val parts = fs.listStatus(new Path(insDir)).toSeq
-            .filter(st => st.isDirectory &&
-              st.getPath.getName.startsWith(s"$partCol="))
-          parts.map { pd =>
-            val part = pd.getPath.getName
-            val files = fs.listStatus(pd.getPath).toSeq
-              .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          FileManifest.listLeafPartitions(fs, new Path(insDir)).map {
+            case (part, files) =>
             val moved = files.zipWithIndex.map { case (st, k) =>
               val destDir = new Path(dataDir, part)
               fs.mkdirs(destDir)

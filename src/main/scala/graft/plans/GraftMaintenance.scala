@@ -283,7 +283,9 @@ object GraftMaintenance {
     val binFiles: Seq[(Int, String)] = work.zipWithIndex.flatMap {
       case ((_, bin), i) => bin.map(f => (i, f.path))
     }
-    val binOfFk = binFiles.map { case (i, p) => (GraftDml.fileKey(p), i) }
+    val levels = index.partitionColumns.size
+    val binOfFk = binFiles.map { case (i, p) =>
+      (GraftDml.fileKey(p, levels), i) }
     require(binOfFk.map(_._1).distinct.size == binOfFk.size,
       "OPTIMIZE: file-key collision across bin inputs")
     import org.apache.spark.sql.functions.{broadcast, col, input_file_name}
@@ -296,7 +298,7 @@ object GraftMaintenance {
     val srcDf = reader.parquet(binFiles.map(_._2).sorted: _*)
     val outCols = srcDf.columns.toSeq
     val binOut = srcDf
-      .withColumn("__fk", GraftDml.fileKeyCol(input_file_name()))
+      .withColumn("__fk", GraftDml.fileKeyCol(input_file_name(), levels))
       .join(broadcast(mapDf), "__fk")
       .select((outCols.map(col) :+ col("__bin")): _*)
     // re-stamp field ids (the join/select drops column metadata)
@@ -363,10 +365,11 @@ object GraftMaintenance {
       "OPTIMIZE on a time-traveled graft table is not allowed — " +
         "maintenance lands on the LATEST snapshot only")
     require(xCol != yCol, "ZORDER BY needs two DISTINCT columns")
-    val partCol = index.partitionColumn
+    val partCols = index.partitionColumns
+    val levels = partCols.size
     val clusterCol = index.clusterColumn
-    Seq(xCol, yCol).foreach(c => require(c != partCol,
-      s"ZORDER BY `$c`: the partition column is constant within every " +
+    Seq(xCol, yCol).foreach(c => require(!partCols.contains(c),
+      s"ZORDER BY `$c`: a partition column is constant within every " +
         "directory — z-ordering on it is meaningless; pick data columns"))
     index.advanceSnapshot(FileManifest.loadLatest(spark, root))
     val pm = index.currentSnapshot
@@ -389,7 +392,7 @@ object GraftMaintenance {
       index.partitionSchema.fields
         .filterNot(f => dataSchema.fieldNames.contains(f.name)))
     def readRestored(files: Seq[String]) = files
-      .groupBy(f => new Path(f).getParent.getParent.toString)
+      .groupBy(f => GraftDml.batchRootOf(f, levels))
       .toSeq.sortBy(_._1)
       .map { case (base, group) =>
         FileManifest.pinnedReader(spark, readSchema)
@@ -422,26 +425,22 @@ object GraftMaintenance {
     val zTmp = s"$dataDir/_z"
     FileManifest.stampFieldIds(
         src.withColumn("__z", z)
-          .repartitionByRange(nBins, col(partCol), col("__z"))
-          .sortWithinPartitions(col(partCol), col("__z"))
+          .repartitionByRange(nBins,
+            (partCols.map(col) :+ col("__z")): _*)
+          .sortWithinPartitions((partCols.map(col) :+ col("__z")): _*)
           .drop("__z"), dataSchema)
-      .write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(zTmp)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(partCols: _*).parquet(zTmp)
     // adopt-by-move into the immutable batch dir, stat, commit with
     // touched = every live file (the full-rewrite contract)
     val fs = new Path(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val fresh: Map[String, Seq[FileManifest.FileStats]] =
-      fs.listStatus(new Path(zTmp)).toSeq
-        .filter(st => st.isDirectory &&
-          st.getPath.getName.startsWith(s"$partCol="))
-        .sortBy(_.getPath.getName)
-        .map { d =>
-          val part = d.getPath.getName
+      FileManifest.listLeafPartitions(fs, new Path(zTmp))
+        .map { case (part, sts) =>
           val destDir = new Path(dataDir, part)
           fs.mkdirs(destDir)
-          val moved = fs.listStatus(d.getPath).toSeq
-            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-            .zipWithIndex.map { case (st, k) =>
+          val moved = sts.zipWithIndex.map { case (st, k) =>
               val dest = new Path(destDir, f"zo-$k%05d-${st.getPath.getName}")
               require(fs.rename(st.getPath, dest),
                 s"OPTIMIZE ZORDER move failed: $dest")
@@ -812,8 +811,8 @@ case class GraftAddColumnCommand(table: String,
         columns.zipWithIndex.foldLeft(base) {
           case (schema, ((colName, colType), i)) =>
             val dt = spark.sessionState.sqlParser.parseDataType(colType)
-            require(colName != index.partitionColumn,
-              s"`$colName` is the partition column")
+            require(!index.partitionColumns.contains(colName),
+              s"`$colName` is a partition column")
             require(!schema.fieldNames.contains(colName),
               s"column `$colName` already exists in $table")
             val fMeta =
@@ -878,7 +877,7 @@ case class GraftDropColumnCommand(table: String,
           // key-column checks FIRST: the partition column lives in the
           // partitionSchema, not dataSchema, so the existence check
           // would misreport it as unknown
-          require(c != index.partitionColumn,
+          require(!index.partitionColumns.contains(c),
             s"cannot drop the partition column `$c` — the directory " +
               "layout is keyed on it; re-partition via an explicit " +
               "overwrite")
@@ -987,9 +986,10 @@ case class GraftWidenColumnCommand(table: String, colName: String,
       "ALTER TABLE requires a catalog-backed graft table"))
     require(!index.isTimeTraveled,
       "ALTER TABLE on a time-traveled graft table is not allowed")
-    require(colName != index.partitionColumn &&
+    require(!index.partitionColumns.contains(colName) &&
       colName != index.clusterColumn,
-      s"cannot change the type of the ${if (colName == index.partitionColumn)
+      s"cannot change the type of the ${
+        if (index.partitionColumns.contains(colName))
         "partition" else "clustering"} column `$colName` — the directory " +
         "encoding / footer-stat manifest are keyed on its physical type")
     val analyzed = spark.table(table).queryExecution.analyzed
@@ -1045,7 +1045,8 @@ case class GraftRenameColumnCommand(table: String, from: String,
     require(!index.isTimeTraveled,
       "ALTER TABLE on a time-traveled graft table is not allowed")
     require(from != to, s"RENAME COLUMN `$from` TO `$to`: same name")
-    require(from != index.partitionColumn && to != index.partitionColumn,
+    require(!index.partitionColumns.contains(from) &&
+      !index.partitionColumns.contains(to),
       s"cannot rename the partition column `$from`/`$to` — the " +
         "directory layout is keyed on it")
     require(from != index.clusterColumn && to != index.clusterColumn,

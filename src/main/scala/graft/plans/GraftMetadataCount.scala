@@ -86,7 +86,8 @@ case class GraftMetadataCountRule(spark: SparkSession)
           case Some((_, idx))
               if cond.forall(c => c.deterministic &&
                 c.references.nonEmpty &&
-                c.references.forall(_.name == idx.partitionColumn)) =>
+                c.references.forall(a =>
+                  idx.partitionColumns.contains(a.name))) =>
             val classified = aggs.map(classify(_, idx.clusterColumn))
             if (classified.exists(_.isEmpty)) a
             else {

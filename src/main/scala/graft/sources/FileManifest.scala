@@ -1217,11 +1217,46 @@ object FileManifest {
     * stats stay tight on BOTH the partition and the cluster key. */
   def writePartitionedLayout(df: DataFrame, root: String, partCol: String,
       sortCol: String, numFiles: Int): Unit =
-    df.repartitionByRange(numFiles, col(partCol), col(sortCol))
-      .sortWithinPartitions(partCol, sortCol)
+    writePartitionedLayout(df, root,
+      partCol.split(',').toSeq.map(_.trim), sortCol, numFiles)
+
+  /** Multi-column form — the (date, region)-shaped Hive-nested layout
+    * real lakehouse tables converge to: one directory LEVEL per
+    * partition column (`c1=a/c2=b/…`), each leaf range-clustered on
+    * `sortCol`. Single-column callers go through the overload above. */
+  def writePartitionedLayout(df: DataFrame, root: String,
+      partCols: Seq[String], sortCol: String, numFiles: Int): Unit = {
+    require(partCols.nonEmpty && partCols.forall(_.nonEmpty),
+      s"empty partition column list: $partCols")
+    df.repartitionByRange(numFiles,
+        (partCols.map(col) :+ col(sortCol)): _*)
+      .sortWithinPartitions((partCols :+ sortCol).map(col): _*)
       .write.mode(SaveMode.Overwrite)
-      .partitionBy(partCol)
+      .partitionBy(partCols: _*)
       .parquet(root)
+  }
+
+  /** Leaf partition directories of a Hive-nested layout, as
+    * (relative `c1=a/c2=b` key, parquet file statuses) — the shared
+    * walk behind [[buildPartitioned]], [[adoptBatchAdded]], and every
+    * rewrite that adopts a `partitionBy(cols)` output tree. Committer
+    * internals (`_temporary`, `_SUCCESS`) skip at every level. */
+  private[graft] def listLeafPartitions(
+      fs: org.apache.hadoop.fs.FileSystem, root: Path)
+      : Seq[(String, Seq[org.apache.hadoop.fs.FileStatus])] = {
+    def walk(dir: Path, rel: String)
+        : Seq[(String, Seq[org.apache.hadoop.fs.FileStatus])] = {
+      val entries = fs.listStatus(dir).toSeq
+      val subDirs = entries.filter(e =>
+        e.isDirectory && !e.getPath.getName.startsWith("_"))
+      val files = entries.filter(e =>
+        e.isFile && e.getPath.getName.endsWith(".parquet"))
+      val here = if (files.nonEmpty && rel.nonEmpty) Seq(rel -> files) else Nil
+      here ++ subDirs.flatMap(d => walk(d.getPath,
+        if (rel.isEmpty) d.getPath.getName else s"$rel/${d.getPath.getName}"))
+    }
+    walk(root, "")
+  }
 
   /** Catalog a partitioned layout: list `root`'s partition directories,
     * footer-stat every partition's files in ONE distributed job (the
@@ -1231,12 +1266,11 @@ object FileManifest {
       column: String): PartitionedManifest = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = FileSystem.get(new java.net.URI(root), conf)
-    val parts = fs.listStatus(new Path(root)).toSeq
-      .filter(_.isDirectory).map(_.getPath)
-    val files = parts.flatMap { p =>
-      fs.listStatus(p).toSeq
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-        .map(f => p.getName -> f.getPath.toString)
+    // Hive-nested walk: one directory level per partition column, so a
+    // multi-column layout catalogs with `c1=a/c2=b` keys and a
+    // single-column one keeps its flat `c1=a` keys — same structure
+    val files = listLeafPartitions(fs, new Path(root)).flatMap {
+      case (rel, sts) => sts.map(st => rel -> st.getPath.toString)
     }
     val stats = statsFor(spark, files.map(_._2), Seq(column)).map(_(column))
     val byPart = files.map(_._1).zip(stats)
@@ -1322,16 +1356,13 @@ object FileManifest {
     val fs = new Path(tableRoot).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     // committer internals (`_temporary` of an in-flight job) are never
-    // partition dirs — only col=value directories are adoptable
-    val parts = fs.listStatus(new Path(batchRoot)).toSeq
-      .filter(p => p.isDirectory && !p.getPath.getName.startsWith("_"))
-    parts.flatMap { p =>
-      val part = p.getPath.getName
-      val destDir = new Path(tableRoot, part)
-      fs.mkdirs(destDir)
-      val moved = fs.listStatus(p.getPath).toSeq
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-        .map { st =>
+    // partition dirs — only col=value directory chains are adoptable;
+    // the recursive walk handles multi-level (c1=a/c2=b) layouts
+    listLeafPartitions(fs, new Path(batchRoot)).flatMap {
+      case (part, sts) =>
+        val destDir = new Path(tableRoot, part)
+        fs.mkdirs(destDir)
+        val moved = sts.map { st =>
           val dest = new Path(destDir, st.getPath.getName)
           require(!fs.exists(dest),
             s"adoptBatch: destination $dest already exists")
@@ -1342,9 +1373,9 @@ object FileManifest {
           // consumers (statFiles, version set-diffs) compare verbatim
           fs.makeQualified(dest).toString
         }
-      if (moved.isEmpty) None
-      else Some(part -> statsFor(spark, moved, Seq(column))
-        .map(_(column)).sortBy(_.path))
+        if (moved.isEmpty) None
+        else Some(part -> statsFor(spark, moved, Seq(column))
+          .map(_(column)).sortBy(_.path))
     }.toMap
   }
 

@@ -133,12 +133,19 @@ final class GraftManifestSource extends RelationProvider
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
     val spark = sqlContext.sparkSession
     val root = rootOf(parameters)
-    val partCol = parameters.getOrElse("partitionby",
+    // partitionBy accepts a comma-separated list — multi-column
+    // (date, region)-shaped Hive-nested layouts are first-class
+    val partCols = parameters.getOrElse("partitionby",
       parameters.getOrElse("partitionBy", throw new IllegalArgumentException(
-        "graft write requires OPTIONS (partitionBy '<column>')")))
+        "graft write requires OPTIONS (partitionBy '<col>[,<col2>…]')")))
+      .split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    require(partCols.nonEmpty && partCols.distinct.size == partCols.size,
+      s"graft write: bad partitionBy list $partCols")
     val clusterCol = parameters.getOrElse("clusterby",
       parameters.getOrElse("clusterBy", throw new IllegalArgumentException(
         "graft write requires OPTIONS (clusterBy '<column>')")))
+    require(!partCols.contains(clusterCol),
+      s"clusterBy '$clusterCol' cannot also be a partition column")
     val numFiles = parameters.getOrElse("files", "16").toInt
     val existing = FileManifest.latestVersion(spark, root)
     (mode, existing) match {
@@ -168,7 +175,7 @@ final class GraftManifestSource extends RelationProvider
         // new files match the table's identity map. The data schema
         // excludes the directory-encoded partition column.
         val dataFields = org.apache.spark.sql.types.StructType(
-          data.schema.fields.filterNot(_.name == partCol))
+          data.schema.fields.filterNot(f => partCols.contains(f.name)))
         val idSchema: Option[StructType] = op match {
           case "append" => FileManifest.schemaAt(spark, root)
           case _ =>
@@ -185,7 +192,7 @@ final class GraftManifestSource extends RelationProvider
         }
         val stamped = idSchema.fold(data)(
           FileManifest.stampFieldIds(data, _))
-        FileManifest.writePartitionedLayout(stamped, dataDir, partCol,
+        FileManifest.writePartitionedLayout(stamped, dataDir, partCols,
           clusterCol, numFiles)
         // footer-stat ONLY the new files (batch-sized metadata work)
         val fresh = FileManifest.buildPartitioned(spark, dataDir, clusterCol)
@@ -280,20 +287,20 @@ final class GraftManifestSource extends RelationProvider
       s"graft streaming sink supports Append output only, got $outputMode " +
         "— update/complete would have to rewrite history the version " +
         "chain exists to preserve (aggregate maintenance is c8/c13's job)")
-    require(partitionColumns.size <= 1,
-      s"graft tables are single-partition-column; .partitionBy(${
-        partitionColumns.mkString(", ")}) would silently drop every " +
-        "column after the first")
-    val partCol = partitionColumns.headOption.getOrElse(
-      parameters.getOrElse("partitionby", parameters.getOrElse("partitionBy",
-        throw new IllegalArgumentException(
-          "graft streaming sink requires OPTIONS (partitionBy '<column>') " +
-            "or .partitionBy(...)"))))
+    val partCols: Seq[String] =
+      if (partitionColumns.nonEmpty) partitionColumns
+      else parameters.getOrElse("partitionby",
+        parameters.getOrElse("partitionBy",
+          throw new IllegalArgumentException(
+            "graft streaming sink requires OPTIONS (partitionBy " +
+              "'<col>[,<col2>…]') or .partitionBy(...)")))
+        .split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    require(partCols.nonEmpty, "graft streaming sink: empty partitionBy")
     val clusterCol = parameters.getOrElse("clusterby",
       parameters.getOrElse("clusterBy", throw new IllegalArgumentException(
         "graft streaming sink requires OPTIONS (clusterBy '<column>')")))
     new GraftStreamSink(sqlContext.sparkSession, rootOf(parameters),
-      partCol, clusterCol,
+      partCols, clusterCol,
       parameters.getOrElse("files", "16").toInt)
   }
 }
@@ -412,10 +419,13 @@ final class GraftStreamSource(spark: SparkSession, root: String,
 }
 
 object GraftStreamSource {
-  /** The table root is the parent of the partition directories —
-    * every data file lives at <root>/<col>=<val>/<file>. */
-  private[sources] def tableRootOf(file: String): String =
-    new Path(file).getParent.getParent.toString
+  /** The table (batch) root above a data file's partition directory
+    * chain — every data file lives at
+    * <root>/<col>=<val>[/<col2>=<val2>…]/<file>, so the root is
+    * `levels + 1` parents up (levels = partition column count). */
+  private[sources] def tableRootOf(file: String, levels: Int = 1): String =
+    (0 until levels).foldLeft(new Path(file).getParent)(
+      (p, _) => p.getParent).toString
 
   /** Declared stream schema: the data files' columns plus the
     * directory-encoded partition column, exactly as a batch read
@@ -423,11 +433,13 @@ object GraftStreamSource {
   private[sources] def schemaOf(spark: SparkSession,
       root: String): StructType = {
     val pm = FileManifest.loadLatest(spark, root)
+    val levels = pm.partitions.keysIterator.next().split('/').length
     val sample = pm.partitions.valuesIterator.flatten
       .map(_.path).toSeq.sorted.headOption
       .getOrElse(throw new IllegalArgumentException(
         s"empty graft catalog under $root"))
-    val sampled = spark.read.option("basePath", tableRootOf(sample))
+    val sampled = spark.read
+      .option("basePath", tableRootOf(sample, levels))
       .parquet(sample).schema
     // the catalog-tracked schema (ALTER TABLE ADD COLUMN) wins over a
     // sampled pre-evolution file; the directory-encoded partition
@@ -453,6 +465,8 @@ object GraftStreamSource {
     def filesOf(v: Long): Set[String] =
       FileManifest.loadVersion(spark, root, v)
         .partitions.valuesIterator.flatten.map(_.path).toSet
+    val levels = FileManifest.loadVersion(spark, root, to)
+      .partitions.keysIterator.next().split('/').length
     var prev: Set[String] =
       if (from == 0L) Set.empty else filesOf(from - 1)
     // (version, added files, removed files) per owed version; removals
@@ -487,7 +501,7 @@ object GraftStreamSource {
     val tableSchema = StructType(outSchema.fields.filterNot(f =>
       f.name == "_graft_version" || f.name == "_change_type"))
     def readRestored(fs: Seq[String]): DataFrame =
-      fs.groupBy(tableRootOf).toSeq.sortBy(_._1)
+      fs.groupBy(tableRootOf(_, levels)).toSeq.sortBy(_._1)
         .map { case (base, group) =>
           // field-id matched (inert pre-ids): a change feed can cross
           // a RENAME, where old files carry the old physical name
@@ -595,7 +609,7 @@ object GraftStreamSource {
   * At 100 TB: per batch, IO is the batch's own rows (layout write +
   * footer stats) + one manifest save — never the table. */
 final class GraftStreamSink(spark: SparkSession, root: String,
-    partCol: String, clusterCol: String, numFiles: Int)
+    partCols: Seq[String], clusterCol: String, numFiles: Int)
     extends org.apache.spark.sql.execution.streaming.Sink {
 
   private val BatchKey = "streamingBatchId"
@@ -642,13 +656,13 @@ final class GraftStreamSink(spark: SparkSession, root: String,
       // field ids: the first batch mints the table's id map; later
       // batches re-stamp the committed schema's ids onto their files
       val sinkDataFields = org.apache.spark.sql.types.StructType(
-        df.schema.fields.filterNot(_.name == partCol))
+        df.schema.fields.filterNot(f => partCols.contains(f.name)))
       val sinkIdSchema: Option[StructType] =
         if (next == 0L) Some(FileManifest.assignFieldIds(sinkDataFields))
         else FileManifest.schemaAt(spark, root)
       val stamped = sinkIdSchema.fold(df)(
         FileManifest.stampFieldIds(df, _))
-      FileManifest.writePartitionedLayout(stamped, dataDir, partCol,
+      FileManifest.writePartitionedLayout(stamped, dataDir, partCols,
         clusterCol, numFiles)
       val fresh = FileManifest.buildPartitioned(spark, dataDir, clusterCol)
       val sinkSchemaMeta: Map[String, String] =
@@ -714,6 +728,7 @@ final class ManifestFileIndex(spark: SparkSession,
   private[graft] def isTimeTraveled: Boolean = timeTraveled
   private[graft] def clusterColumn: String = pmCur.column
   private[graft] def partitionColumn: String = partColName
+  private[graft] def partitionColumns: Seq[String] = partColNames
   private[graft] def currentSnapshot: FileManifest.PartitionedManifest = pmCur
   /** Serve a just-committed snapshot: the session's cached relation
     * reads the new version without re-resolution (the refresh()
@@ -724,31 +739,42 @@ final class ManifestFileIndex(spark: SparkSession,
     statusByPath = statFiles(pm2)
   }
 
-  // "<col>=<value>" — the dynamic-partition directory encoding the
-  // layout writer produced and the catalog recorded verbatim
-  private val partColName =
-    pm.partitions.keysIterator.next().split("=", 2)(0)
-  private def partValue(dirName: String): String =
-    dirName.split("=", 2)(1)
+  // "<col>=<value>[/<col2>=<value2>…]" — the (possibly Hive-nested)
+  // dynamic-partition directory encoding the layout writer produced
+  // and the catalog recorded verbatim; one directory LEVEL per
+  // partition column
+  private val partColNames: Seq[String] =
+    pm.partitions.keysIterator.next().split('/').toSeq
+      .map(_.split("=", 2)(0))
+  private val partColName = partColNames.head
+  private def partValues(key: String): Seq[String] = {
+    val segs = key.split('/').toSeq
+    require(segs.size == partColNames.size,
+      s"catalog key `$key` does not match the ${partColNames.size}-level " +
+        s"partitioning (${partColNames.mkString(", ")})")
+    segs.map(_.split("=", 2)(1))
+  }
 
-  // partition column TYPE, inferred from the directory-encoded values
-  // by Spark's own partition-discovery ladder (int → long → string,
-  // canonical round-trip only so "007" stays a string): a numeric
-  // partition column written through the front door surfaces with its
-  // numeric type instead of silently diverging to string
-  private val partType: org.apache.spark.sql.types.DataType = {
-    val vs = pm.partitions.keysIterator.map(partValue).toSeq
-    def canonInt(s: String) = s.toIntOption.exists(_.toString == s)
-    def canonLong(s: String) = s.toLongOption.exists(_.toString == s)
-    if (vs.forall(canonInt)) org.apache.spark.sql.types.IntegerType
-    else if (vs.forall(canonLong)) org.apache.spark.sql.types.LongType
-    else StringType
-  }
-  private def partRowValue(dirName: String): Any = partType match {
-    case org.apache.spark.sql.types.IntegerType => partValue(dirName).toInt
-    case org.apache.spark.sql.types.LongType => partValue(dirName).toLong
-    case _ => UTF8String.fromString(partValue(dirName))
-  }
+  // partition column TYPES, inferred per level from the
+  // directory-encoded values by Spark's own partition-discovery ladder
+  // (int → long → string, canonical round-trip only so "007" stays a
+  // string): a numeric partition column written through the front door
+  // surfaces with its numeric type instead of silently diverging
+  private val partTypes: Seq[org.apache.spark.sql.types.DataType] =
+    partColNames.indices.map { i =>
+      val vs = pm.partitions.keysIterator.map(k => partValues(k)(i)).toSeq
+      def canonInt(s: String) = s.toIntOption.exists(_.toString == s)
+      def canonLong(s: String) = s.toLongOption.exists(_.toString == s)
+      if (vs.forall(canonInt)) org.apache.spark.sql.types.IntegerType
+      else if (vs.forall(canonLong)) org.apache.spark.sql.types.LongType
+      else StringType
+    }
+  private def partRowValues(key: String): Seq[Any] =
+    partValues(key).zip(partTypes).map {
+      case (v, org.apache.spark.sql.types.IntegerType) => v.toInt
+      case (v, org.apache.spark.sql.types.LongType) => v.toLong
+      case (v, _) => UTF8String.fromString(v)
+    }
 
   // one listStatus per partition directory (bounded: |partitions|
   // driver calls over a side table, not a per-file RPC storm)
@@ -815,12 +841,16 @@ final class ManifestFileIndex(spark: SparkSession,
   override val rootPaths: Seq[Path] = stagingDir match {
     case Some(d) => Seq(d)
     case None =>
-      Seq(new Path(pm.partitions.valuesIterator.flatten.next().path)
-        .getParent.getParent)
+      // the batch root sits one level above the partition KEY's
+      // directory chain (levels = partition column count)
+      Seq(partColNames.indices.foldLeft(
+        new Path(pm.partitions.valuesIterator.flatten.next().path)
+          .getParent)((p, _) => p.getParent))
   }
 
   override val partitionSchema: StructType =
-    StructType(Seq(StructField(partColName, partType, nullable = true)))
+    StructType(partColNames.zip(partTypes).map { case (c, t) =>
+      StructField(c, t, nullable = true) })
 
   /** Clamp [lo, hi] bounds on the clustering column from the pushed
     * data filters. Extraction is best-effort BY DESIGN: anything not
@@ -873,8 +903,9 @@ final class ManifestFileIndex(spark: SparkSession,
     (lo, hi)
   }
 
-  /** Bind a partition-column predicate against this index's one-column
-    * partition row (the PartitioningAwareFileIndex discipline). */
+  /** Bind a partition-column predicate against this index's partition
+    * row — each referenced column by its LEVEL ordinal (the
+    * PartitioningAwareFileIndex discipline). */
   private def boundPartPredicate(
       partitionFilters: Seq[Expression]): InternalRow => Boolean =
     if (partitionFilters.isEmpty) _ => true
@@ -882,8 +913,9 @@ final class ManifestFileIndex(spark: SparkSession,
       val bound = Predicate.createInterpreted(
         partitionFilters.reduce(org.apache.spark.sql.catalyst
           .expressions.And).transform {
-          case a: AttributeReference if a.name == partColName =>
-            BoundReference(0, partType, nullable = true)
+          case a: AttributeReference if partColNames.contains(a.name) =>
+            BoundReference(partColNames.indexOf(a.name),
+              partTypes(partColNames.indexOf(a.name)), nullable = true)
         })
       bound.eval(_)
     }
@@ -902,7 +934,8 @@ final class ManifestFileIndex(spark: SparkSession,
       partPredicate: Option[Expression]): graft.plans.GraftMetadataStats = {
     val keep = boundPartPredicate(partPredicate.toSeq)
     val files = pmCur.partitions.toSeq
-      .filter { case (dirName, _) => keep(InternalRow(partRowValue(dirName))) }
+      .filter { case (key, _) =>
+        keep(InternalRow(partRowValues(key): _*)) }
       .flatMap(_._2)
     graft.plans.GraftMetadataStats(
       rows = files.map(_.rows).sum,
@@ -914,8 +947,8 @@ final class ManifestFileIndex(spark: SparkSession,
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val keep: InternalRow => Boolean = boundPartPredicate(partitionFilters)
     val (lo, hi) = boundsOf(dataFilters)
-    pmCur.partitions.toSeq.sortBy(_._1).flatMap { case (dirName, files) =>
-      val row = InternalRow(partRowValue(dirName))
+    pmCur.partitions.toSeq.sortBy(_._1).flatMap { case (key, files) =>
+      val row = InternalRow(partRowValues(key): _*)
       if (!keep(row)) None
       else {
         val survivors = FileManifest.prune(files, lo, hi)

@@ -1670,10 +1670,10 @@ class StreamingSpec extends AnyFunSuite {
     // is read back from the committed version's _meta, not memory)
     val dst2 = s"$tmp/dst2"
     val batch = Seq((7L, "a", 70L)).toDF("k", "p", "v")
-    val sink = new graft.sources.GraftStreamSink(spark, dst2, "p", "k", 2)
+    val sink = new graft.sources.GraftStreamSink(spark, dst2, Seq("p"), "k", 2)
     sink.addBatch(0L, batch)
     sink.addBatch(0L, batch) // same-instance replay
-    new graft.sources.GraftStreamSink(spark, dst2, "p", "k", 2)
+    new graft.sources.GraftStreamSink(spark, dst2, Seq("p"), "k", 2)
       .addBatch(0L, batch) // crash-recovery replay
     assert(graft.sources.FileManifest.latestVersion(spark, dst2)
       .contains(0L), "a replayed batch must commit exactly once")
@@ -1691,15 +1691,19 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(Option(bad.getMessage).exists(_.contains("Append")), bad)
 
-    // multi-column partitionBy refuses loudly instead of silently
-    // dropping every column after the first
+    // multi-column partitionBy is SUPPORTED since r13 (f40 — one
+    // directory level per column); a sink with NO partitioning at all
+    // still refuses loudly
+    new graft.sources.GraftManifestSource().createSink(
+      spark.sqlContext, Map("path" -> dst2, "clusterby" -> "k"),
+      Seq("p", "k"), org.apache.spark.sql.streaming.OutputMode.Append())
     val badPart = intercept[Throwable] {
       new graft.sources.GraftManifestSource().createSink(
         spark.sqlContext, Map("path" -> dst2, "clusterby" -> "k"),
-        Seq("p", "k"), org.apache.spark.sql.streaming.OutputMode.Append())
+        Nil, org.apache.spark.sql.streaming.OutputMode.Append())
     }
     assert(Option(badPart.getMessage)
-      .exists(_.contains("single-partition-column")), badPart)
+      .exists(_.contains("partitionBy")), badPart)
   }
 
   test("graft sink dedupe is scoped per QUERY: a fresh query's batch 0 is not a replay") {
@@ -1714,7 +1718,7 @@ class StreamingSpec extends AnyFunSuite {
       .select("k").as[Long].collect().sorted.toSeq
     try {
       spark.sparkContext.setLocalProperty(key, "query-A")
-      val sinkA = new graft.sources.GraftStreamSink(spark, dst, "p", "k", 2)
+      val sinkA = new graft.sources.GraftStreamSink(spark, dst, Seq("p"), "k", 2)
       sinkA.addBatch(0L, b0)
       sinkA.addBatch(1L, b1)
       assert(rows() == Seq(1L, 2L), "query A's two batches land")
@@ -1723,20 +1727,20 @@ class StreamingSpec extends AnyFunSuite {
       // skip it (the ADVICE data-loss scenario); (queryId, batchId)
       // scoping must let it through
       spark.sparkContext.setLocalProperty(key, "query-B")
-      val sinkB = new graft.sources.GraftStreamSink(spark, dst, "p", "k", 2)
+      val sinkB = new graft.sources.GraftStreamSink(spark, dst, Seq("p"), "k", 2)
       sinkB.addBatch(0L, Seq((3L, "b", 30L)).toDF("k", "p", "v"))
       assert(rows() == Seq(1L, 2L, 3L),
         s"a fresh query's batch 0 must land, got ${rows()}")
       // but query B's OWN replay of batch 0 — through a fresh
       // instance (crash recovery) — is still a no-op
-      new graft.sources.GraftStreamSink(spark, dst, "p", "k", 2)
+      new graft.sources.GraftStreamSink(spark, dst, Seq("p"), "k", 2)
         .addBatch(0L, Seq((9L, "b", 90L)).toDF("k", "p", "v"))
       assert(rows() == Seq(1L, 2L, 3L),
         "query B's replayed batch 0 must not land twice")
       // and query A resuming (crash recovery, fresh instance) still
       // dedupes ITS OWN batches
       spark.sparkContext.setLocalProperty(key, "query-A")
-      new graft.sources.GraftStreamSink(spark, dst, "p", "k", 2)
+      new graft.sources.GraftStreamSink(spark, dst, Seq("p"), "k", 2)
         .addBatch(1L, b1)
       assert(rows() == Seq(1L, 2L, 3L),
         "query A's replayed batch 1 must not land twice")
