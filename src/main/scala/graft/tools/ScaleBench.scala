@@ -323,7 +323,16 @@ object ScaleBench {
       "f35_sql_widen_column",
       // f36: the count itself is metadata-only (zero data IO at any
       // factor); the measured cost is the ~f layout write + CoW delete
-      "f36_metadata_count")
+      "f36_metadata_count",
+      // r13: f37 is a ~f layout write + a no-IO rename commit + the
+      // insert's adopt + the UPDATE's one-job id-matched rewrite of
+      // touched files (~f); f38's two stats are metadata-only at any
+      // factor (the cost is the write + CoW delete); f39 is the ~f
+      // write + the one-job full-table Morton re-layout (~f read+write
+      // — the honest ZORDER cost); f40 is the ~f two-level write +
+      // CoW delete + per-leaf OPTIMIZE
+      "f37_sql_rename_column", "f38_metadata_stats",
+      "f39_sql_optimize_zorder", "f40_multi_partition")
       // x18/x19 are NOT here for x12's reason (salting renames their
       // literal terms) — the salted cases below measure real phrase/
       // proximity retrieval.
