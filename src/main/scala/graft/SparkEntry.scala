@@ -3599,6 +3599,49 @@ object SparkEntry {
         |  FROM f39_events VERSION AS OF 0 GROUP BY event_type)
         |ORDER BY snap, event_type""".stripMargin)
     }),
+    // METADATA-ONLY GROUP BY PARTITION (r13, f41) — Spark's own
+    // OptimizeMetadataOnlyQuery role, which never fires on a custom
+    // FileIndex: an aggregate GROUPED BY partition columns only
+    // (`SELECT p, count(*) … GROUP BY p`, `SELECT DISTINCT p`,
+    // per-group min/max of the clustering column) answers from the
+    // manifest — the groups ARE the directory keys, per-group folds
+    // run over each key's entries, partition-only predicates decide
+    // groups exactly. Both snaps assert STRUCTURALLY that no file
+    // scan was planned; the oracle checks the values
+    "f41_metadata_partitions" -> ((s, dir) => {
+      val tmp = layoutDir("f41", dir)
+      val root = s"$tmp/cat"
+      freshDir(s, root)
+      val ev = T(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      ev.write.format("graft")
+        .option("path", root).option("partitionBy", "event_type")
+        .option("clusterBy", "user_id").option("files", "8")
+        .mode("overwrite").save() // v0
+      s.sql("DROP TABLE IF EXISTS f41_events")
+      s.sql(s"CREATE TABLE f41_events USING graft OPTIONS (path '$root')")
+      s.sql("DELETE FROM f41_events WHERE user_id % 4 = 1") // v1: CoW
+      val grouped = s.sql("""SELECT event_type, count(*) AS n_rows,
+        |  min(user_id) AS min_k, max(user_id) AS max_k
+        |FROM f41_events GROUP BY event_type""".stripMargin)
+        .select(lit("head").as("snap"), col("event_type"),
+          col("n_rows"), col("min_k"), col("max_k"))
+      val filtered = s.sql("""SELECT event_type, count(*) AS n_rows,
+        |  min(user_id) AS min_k, max(user_id) AS max_k
+        |FROM f41_events WHERE event_type IN ('click', 'view')
+        |GROUP BY event_type""".stripMargin)
+        .select(lit("flt").as("snap"), col("event_type"),
+          col("n_rows"), col("min_k"), col("max_k"))
+      val df = grouped.unionByName(filtered)
+        .orderBy("snap", "event_type")
+      val scans = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources
+          .LogicalRelation => r }
+      require(scans.isEmpty,
+        s"metadata GROUP BY partition must plan ZERO table scans, " +
+          s"found ${scans.size}")
+      df
+    }),
     // MULTI-COLUMN PARTITIONING (r13, f40) — the (date, region)-shaped
     // Hive-nested layout real lakehouse tables converge to: one
     // directory LEVEL per partition column (`event_type=x/bucket=n`),
@@ -6503,6 +6546,22 @@ object SparkEntry {
         |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE),
         |    CAST(sum(event_id) AS BIGINT)
         |  FROM events GROUP BY event_type)
+        |ORDER BY snap, event_type""".stripMargin,
+    // f41: the manifest's per-directory folds are exact, so both
+    // snaps derive from the post-delete relation grouped the same way
+    "f41_metadata_partitions" ->
+      """SELECT snap, event_type, n_rows, min_k, max_k FROM (
+        |  SELECT 'head' AS snap, event_type,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(min(user_id) AS BIGINT) AS min_k,
+        |    CAST(max(user_id) AS BIGINT) AS max_k
+        |  FROM events WHERE user_id % 4 <> 1 GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'flt', event_type, CAST(count(*) AS BIGINT),
+        |    CAST(min(user_id) AS BIGINT), CAST(max(user_id) AS BIGINT)
+        |  FROM events WHERE user_id % 4 <> 1
+        |    AND event_type IN ('click', 'view')
+        |  GROUP BY event_type)
         |ORDER BY snap, event_type""".stripMargin,
     // f40: the two-level layout is pure organization — head excludes
     // the deleted user, pre is the whole relation; bucket derives in

@@ -58,6 +58,8 @@ object GraftMaintenance {
       """(\s+FORCE)?\s*;?\s*$""").r
   private val HistoryRe =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*$""".r
+  private val DetailRe =
+    """(?is)^\s*DESCRIBE\s+DETAIL\s+([\w.]+)\s*;?\s*$""".r
   private val RestoreRe =
     """(?is)^\s*RESTORE\s+TABLE\s+([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
   private val CloneRe =
@@ -78,6 +80,7 @@ object GraftMaintenance {
           Option(keep).map(_.toInt).getOrElse(1),
           force = Option(force).isDefined))
       case HistoryRe(table) => Some(GraftHistoryCommand(table))
+      case DetailRe(table) => Some(GraftDetailCommand(table))
       case RestoreRe(table, version) =>
         Some(GraftRestoreCommand(table, version.toLong))
       case CloneRe(target, source, version, location) =>
@@ -746,6 +749,46 @@ case class GraftHistoryCommand(table: String)
       case (v, op, rows, files, ra, rr, fa, fr, app) =>
         Row(v, op, rows, files, ra, rr, fa, fr, app)
     }
+}
+
+/** `DESCRIBE DETAIL t` — the Delta statement: one row of table-level
+  * facts, ALL from committed metadata (zero data IO at any size):
+  * format, catalog root, head version, live file/row counts, total
+  * data bytes (the serving index's statFiles sizes — already loaded),
+  * partition columns, clustering column, retained version count, and
+  * whether the catalog is field-id mapped. */
+case class GraftDetailCommand(table: String)
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.{BooleanType, LongType, StringType}
+  override val output
+      : Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Seq(
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("num_rows", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("partition_columns", StringType, nullable = false)(),
+    AttributeReference("cluster_column", StringType, nullable = false)(),
+    AttributeReference("retained_versions", LongType, nullable = false)(),
+    AttributeReference("field_id_mapped", BooleanType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val index = GraftMaintenance.indexOf(spark, table)
+    val root = index.graftCatalogRoot.getOrElse(sys.error(
+      "DESCRIBE DETAIL requires a catalog-backed graft table"))
+    val pm = index.currentSnapshot
+    val files = pm.partitions.valuesIterator.flatten.toSeq
+    val version =
+      if (index.isTimeTraveled) -1L // the pinned relation's own facts
+      else FileManifest.latestVersion(spark, root).getOrElse(-1L)
+    Seq(Row("graft", root, version,
+      files.size.toLong, files.map(_.rows).sum, index.sizeInBytes,
+      index.partitionColumns.mkString(","), index.clusterColumn,
+      FileManifest.versionHistory(spark, root).size.toLong,
+      FileManifest.schemaAt(spark, root)
+        .exists(FileManifest.hasFieldIds)))
+  }
 }
 
 /** `RESTORE TABLE t TO VERSION AS OF n` — rollback as a new commit. */

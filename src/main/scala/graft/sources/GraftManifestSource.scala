@@ -921,26 +921,40 @@ final class ManifestFileIndex(spark: SparkSession,
     }
 
   /** METADATA-ONLY aggregate fold for [[graft.plans
-    * .GraftMetadataCountRule]]: exact row count and clustering-column
-    * [min, max] of the snapshot, optionally restricted to the
-    * partitions a partition-only predicate selects. EXACT, not
-    * conservative: partition values are directory-encoded (every row
-    * in a directory has that value), per-file rows are footer-exact,
-    * and every manifest entry's range is backed by at least one
-    * non-null value (the build-time hasNonNullValue require), so the
-    * fold equals the scan. Driver work is O(files) over the snapshot
-    * the planner already holds. */
-  private[graft] def metadataStats(
-      partPredicate: Option[Expression]): graft.plans.GraftMetadataStats = {
+    * .GraftMetadataCountRule]]: per GROUP (the distinct typed values
+    * of `groupCols` — partition columns, so the groups ARE directory
+    * keys; Nil = one global group), the exact row count and
+    * clustering-column [min, max] of the snapshot entries surviving a
+    * partition-only predicate. EXACT, not conservative: partition
+    * values are directory-encoded (every row in a directory has that
+    * value), per-file rows are footer-exact, and every manifest
+    * entry's range is backed by at least one non-null value (the
+    * build-time hasNonNullValue require), so the fold equals the
+    * scan; an empty survivor set returns NO groups (the SQL GROUP BY
+    * answer — the rule handles the one-row global case itself).
+    * Driver work is O(files) over the snapshot the planner already
+    * holds. Group key values use internal representations (the
+    * LocalRelation the rule emits is an internal-row relation). */
+  private[graft] def metadataGroups(partPredicate: Option[Expression],
+      groupCols: Seq[String])
+      : Seq[(Seq[Any], graft.plans.GraftMetadataStats)] = {
     val keep = boundPartPredicate(partPredicate.toSeq)
-    val files = pmCur.partitions.toSeq
-      .filter { case (key, _) =>
-        keep(InternalRow(partRowValues(key): _*)) }
-      .flatMap(_._2)
-    graft.plans.GraftMetadataStats(
-      rows = files.map(_.rows).sum,
-      min = if (files.isEmpty) None else Some(files.map(_.min).min),
-      max = if (files.isEmpty) None else Some(files.map(_.max).max))
+    val ordinals = groupCols.map(partColNames.indexOf)
+    require(ordinals.forall(_ >= 0), s"not partition columns: $groupCols")
+    val kept = pmCur.partitions.toSeq.filter { case (key, _) =>
+      keep(InternalRow(partRowValues(key): _*)) }
+    kept
+      .groupBy { case (key, _) =>
+        val vs = partRowValues(key); ordinals.map(vs(_)) }
+      .toSeq
+      .map { case (keyVals, entries) =>
+        val files = entries.flatMap(_._2)
+        (keyVals, graft.plans.GraftMetadataStats(
+          rows = files.map(_.rows).sum,
+          min = if (files.isEmpty) None else Some(files.map(_.min).min),
+          max = if (files.isEmpty) None else Some(files.map(_.max).max)))
+      }
+      .sortBy(_._1.map(String.valueOf).mkString(" "))
   }
 
   override def listFiles(partitionFilters: Seq[Expression],

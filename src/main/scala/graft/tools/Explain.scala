@@ -78,7 +78,8 @@ object Explain {
     "f36_metadata_count",
     // r13: field-id rename, metadata min/max + partition count, zorder
     "f37_sql_rename_column", "f38_metadata_stats",
-    "f39_sql_optimize_zorder", "f40_multi_partition")
+    "f39_sql_optimize_zorder", "f40_multi_partition",
+    "f41_metadata_partitions")
 
   /** Cost notes rendered under a query's plan — state the structural
     * story the plan tree alone can't show. */

@@ -332,7 +332,10 @@ object ScaleBench {
       // — the honest ZORDER cost); f40 is the ~f two-level write +
       // CoW delete + per-leaf OPTIMIZE
       "f37_sql_rename_column", "f38_metadata_stats",
-      "f39_sql_optimize_zorder", "f40_multi_partition")
+      "f39_sql_optimize_zorder", "f40_multi_partition",
+      // f41: the grouped stats are metadata-only at any factor — the
+      // measured cost is the ~f layout write + CoW delete
+      "f41_metadata_partitions")
       // x18/x19 are NOT here for x12's reason (salting renames their
       // literal terms) — the salted cases below measure real phrase/
       // proximity retrieval.

@@ -901,10 +901,17 @@ class GraftDmlSpec extends AnyFunSuite {
     val cf = spark.sql("SELECT count(*) FROM cnt_events WHERE k = 1")
     assert(scansOf(cf) == 1, "a filtered count must not take it either")
     assert(cf.head.getLong(0) == 30L + 1L)
+    // grouped by the PARTITION column: metadata-answerable since r13
+    // (f41 — the groups ARE the directory keys); grouped by a data
+    // column still scans
     val cg = spark.sql(
       "SELECT p, count(*) FROM cnt_events GROUP BY p ORDER BY p")
-    assert(scansOf(cg) == 1, "a grouped count must not take it either")
+    assert(scansOf(cg) == 0,
+      "a partition-grouped count answers from the manifest")
     assert(cg.collect().map(_.getLong(1)).sum == 271L)
+    val cgd = spark.sql(
+      "SELECT k, count(*) FROM cnt_events GROUP BY k")
+    assert(scansOf(cgd) == 1, "a data-grouped count must scan")
     // time travel answers from the PINNED snapshot's manifest
     val cv = spark.sql("SELECT count(*) FROM cnt_events VERSION AS OF 0")
     assert(scansOf(cv) == 0 && cv.head.getLong(0) == 300L)

@@ -74,12 +74,62 @@ class MetadataStatsSpec extends AnyFunSuite {
       "SELECT count(*) AS n FROM ms_t3 WHERE p = 'a' AND k > 1")) > 0)
     // min/max of a NON-cluster column has no manifest stats
     assert(scansOf(spark.sql("SELECT min(c) AS mn FROM ms_t3")) > 0)
-    // distinct must see values
+    // distinct over a DATA column must see values
     assert(scansOf(spark.sql(
       "SELECT count(DISTINCT k) AS n FROM ms_t3")) > 0)
-    // grouping must see rows
+    // grouping on a DATA column must see rows (grouping by the
+    // partition column is metadata-answerable — the GROUP BY test)
     assert(scansOf(spark.sql(
-      "SELECT p, count(*) AS n FROM ms_t3 GROUP BY p")) > 0)
+      "SELECT k, count(*) AS n FROM ms_t3 GROUP BY k")) > 0)
+  }
+
+  test("GROUP BY partition answers from directory keys: counts, min/max, DISTINCT") {
+    mkTable("ms_t5")
+    val grouped = spark.sql("SELECT p, count(*) AS n, min(k) AS mn, " +
+      "max(k) AS mx FROM ms_t5 GROUP BY p ORDER BY p")
+    assert(scansOf(grouped) == 0, "grouped-by-partition must plan zero scans")
+    val rows = grouped.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(("a", 3L, 1L, 2L), ("b", 2L, 7L, 9L)),
+      rows.mkString(","))
+    // DISTINCT of the partition column is the same shape
+    val distinctP = spark.sql("SELECT DISTINCT p FROM ms_t5 ORDER BY p")
+    assert(scansOf(distinctP) == 0, "DISTINCT partition must plan zero scans")
+    assert(distinctP.collect().map(_.getString(0)).toSeq == Seq("a", "b"))
+    // partition-filtered grouped form: groups decided exactly
+    val flt = spark.sql("SELECT p, count(*) AS n FROM ms_t5 " +
+      "WHERE p = 'b' GROUP BY p")
+    assert(scansOf(flt) == 0)
+    assert(flt.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("b", 2L)))
+    // no matching partition: ZERO rows (the SQL GROUP BY answer)
+    val none = spark.sql("SELECT p, count(*) AS n FROM ms_t5 " +
+      "WHERE p = 'zzz' GROUP BY p")
+    assert(scansOf(none) == 0 && none.collect().isEmpty)
+    // guards: grouping on a NON-partition column scans; an expression
+    // over the partition column scans; count(col) in a grouped form
+    // scans
+    assert(scansOf(spark.sql(
+      "SELECT k, count(*) AS n FROM ms_t5 GROUP BY k")) > 0)
+    assert(scansOf(spark.sql(
+      "SELECT upper(p) AS u, count(*) AS n FROM ms_t5 GROUP BY upper(p)"))
+      > 0)
+    assert(scansOf(spark.sql(
+      "SELECT p, count(k) AS n FROM ms_t5 GROUP BY p")) > 0)
+  }
+
+  test("DESCRIBE DETAIL: one metadata-only row of table facts") {
+    val root = mkTable("ms_t6")
+    spark.sql("DELETE FROM ms_t6 WHERE k = 9") // v1
+    val r = spark.sql("DESCRIBE DETAIL ms_t6").collect().head
+    assert(r.getString(0) == "graft")
+    assert(r.getString(1).stripPrefix("file:") == root)
+    assert(r.getLong(2) == 1L, s"version: $r")
+    assert(r.getLong(4) == 4L, s"num_rows: $r")
+    assert(r.getLong(3) >= 2L && r.getLong(5) > 0L)
+    assert(r.getString(6) == "p" && r.getString(7) == "k")
+    assert(r.getLong(8) == 2L, s"retained: $r")
+    assert(r.getBoolean(9), "front-door tables are field-id mapped")
   }
 
   test("stats stay exact across CoW DML and answer time-traveled snapshots") {

@@ -65,10 +65,13 @@ class ZOrderOptimizeSpec extends AnyFunSuite {
     }
     val (preKeep, preTotal) = survivors(0L)
     val (postKeep, postTotal) = survivors(1L)
-    // 1-D on k leaves e unsorted: every file's e-range spans the
-    // window (decorrelated by construction) — nothing prunes
-    assert(preKeep == preTotal,
-      s"test premise: pre-zorder nothing prunes ($preKeep/$preTotal)")
+    // 1-D on k leaves e unsorted: nearly every file's e-range spans
+    // the window (decorrelated by construction; range-partitioner
+    // SAMPLING makes boundaries nondeterministic, so allow one
+    // lucky-narrow file rather than demanding exactly zero pruning)
+    assert(preKeep >= preTotal - 1 && preTotal >= 4,
+      s"test premise: pre-zorder (almost) nothing prunes " +
+        s"($preKeep/$preTotal)")
     assert(postTotal > 1, s"need multiple post-zorder files, got $postTotal")
     assert(postKeep < postTotal,
       s"post-zorder the e-window must prune files ($postKeep/$postTotal)")
