@@ -178,6 +178,10 @@ object GraftMaintenance {
         if GraftTimeTravel.graftRootOf(spark,
           table.split('.').toSeq).isDefined =>
       Some(GraftRenameColumnCommand(table, from, to))
+    case UpgradeFieldIdsRe(table)
+        if GraftTimeTravel.graftRootOf(spark,
+          table.split('.').toSeq).isDefined =>
+      Some(GraftUpgradeFieldIdsCommand(table))
     case UnsupportedAlterRe(table, what)
         if GraftTimeTravel.graftRootOf(spark,
           table.split('.').toSeq).isDefined =>
@@ -217,6 +221,11 @@ object GraftMaintenance {
   private val RenameColumnRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+COLUMN\s+""" +
       """(\w+)\s+TO\s+(\w+)\s*;?\s*$""").r
+
+  // `ALTER TABLE t UPGRADE FIELD IDS` — the migration statement for
+  // pre-field-id catalogs (the Iceberg table-upgrade role)
+  private val UpgradeFieldIdsRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+UPGRADE\s+FIELD\s+IDS\s*;?\s*$""".r
 
   // schema mutations the graft catalog cannot represent must REFUSE
   // on graft tables, not fall through to Spark's native ALTER (which
@@ -848,8 +857,8 @@ case class GraftAddColumnCommand(table: String,
               "table's retained history and the table predates field-id " +
               "mapping — old live files still physically carry the " +
               "column, so a name-keyed re-add would resurrect their " +
-              "values; add it under a different name, or rewrite the " +
-              "table (overwrite) to mint a field-id-mapped catalog"))
+              "values; add it under a different name, or run " +
+              "`ALTER TABLE ... UPGRADE FIELD IDS` first"))
         }
         columns.zipWithIndex.foldLeft(base) {
           case (schema, ((colName, colType), i)) =>
@@ -1104,8 +1113,7 @@ case class GraftRenameColumnCommand(table: String, from: String,
           s"RENAME COLUMN on `$table` requires field-id mapping — this " +
             "table's catalog predates it (files would be matched by " +
             "name and the renamed column would read as NULL from old " +
-            "files); rewrite the table (overwrite) to mint an id-mapped " +
-            "catalog first")
+            "files); run `ALTER TABLE $table UPGRADE FIELD IDS` first")
         val f = base.fields.find(_.name == from).getOrElse(sys.error(
           s"column `$from` does not exist in $table"))
         require(FileManifest.fieldIdOf(f).isDefined,
@@ -1125,6 +1133,67 @@ case class GraftRenameColumnCommand(table: String, from: String,
     val newFull = org.apache.spark.sql.types.StructType(
       old.schema.fields.map(f =>
         if (f.name == from) renamed.fields.find(_.name == to).get else f))
+    spark.sessionState.catalog.alterTable(old.copy(schema = newFull))
+    spark.catalog.refreshTable(table)
+    Nil
+  }
+}
+
+/** `ALTER TABLE t UPGRADE FIELD IDS` — migrate a PRE-field-id catalog
+  * onto the id substrate (the Iceberg table-upgrade role), unlocking
+  * RENAME COLUMN and safe re-ADD of dropped names on tables that
+  * predate f37: mint ids for the current schema, rewrite EVERY live
+  * file in ONE distributed job stamping the ids into the parquet
+  * schemas (per-file one-to-one — the shuffle-free distributedRewrite
+  * shape, so file layout, clustering ranges, and footer stats carry),
+  * and commit adds+removes+schema as one atomic version via the
+  * optimistic CoW retry. Idempotent: an already-mapped table is a
+  * committed no-op. Prior versions stay time-travelable and read
+  * id-less exactly as before (their epoch schema carries no ids). */
+case class GraftUpgradeFieldIdsCommand(table: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val index = GraftMaintenance.indexOf(spark, table)
+    val root = index.graftCatalogRoot.getOrElse(sys.error(
+      "ALTER TABLE requires a catalog-backed graft table"))
+    require(!index.isTimeTraveled,
+      "ALTER TABLE on a time-traveled graft table is not allowed")
+    val analyzed = spark.table(table).queryExecution.analyzed
+    val h = GraftDml.graftRelation(analyzed).get._1
+    val base = FileManifest.schemaAt(spark, root).getOrElse(h.dataSchema)
+    if (FileManifest.hasFieldIds(base)) return Nil // already mapped
+    index.advanceSnapshot(FileManifest.loadLatest(spark, root))
+    val pm = index.currentSnapshot
+    val evolved = FileManifest.assignFieldIds(base)
+    val readSchema = StructType(base.fields ++
+      index.partitionSchema.fields
+        .filterNot(f => base.fieldNames.contains(f.name)))
+    val levels = index.partitionColumns.size
+    val next = FileManifest.latestVersion(spark, root).get + 1
+    val dataDir = s"$root/data/b$next-" +
+      java.util.UUID.randomUUID.toString.take(8)
+    val touchedList = pm.partitions.toSeq.sortBy(_._1).flatMap {
+      case (part, files) => files.map(f => (part, f.path))
+    }
+    // identity rewrite: the stamp inside the transform survives the
+    // final plain-attribute select (metadata is lost on alias/cast,
+    // not on column references), so the written files carry the ids
+    val fresh = GraftDml.distributedRewrite(spark, readSchema,
+      base.fieldNames.toSeq, index.clusterColumn, touchedList, dataDir,
+      "fid", transform = df => FileManifest.stampFieldIds(df, evolved),
+      shufflePerFk = false, levels = levels)
+    val touched = touchedList.map(t => GraftDml.norm(t._2)).toSet
+    GraftDml.commitCowRetrying(spark, root, index, touched, fresh,
+      meta = Map("operation" -> "upgrade-field-ids",
+        "schema" -> evolved.json,
+        "maxFieldId" -> FileManifest.schemaMaxFieldId(evolved).toString),
+      emptyMsg = "UPGRADE FIELD IDS produced an empty table")
+    // the session catalog's stored schema gains the id metadata too
+    val ti = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val old = spark.sessionState.catalog.getTableMetadata(ti)
+    val newFull = org.apache.spark.sql.types.StructType(
+      old.schema.fields.map(f =>
+        evolved.fields.find(_.name == f.name).getOrElse(f)))
     spark.sessionState.catalog.alterTable(old.copy(schema = newFull))
     spark.catalog.refreshTable(table)
     Nil

@@ -193,6 +193,45 @@ class FieldIdSpec extends AnyFunSuite {
       s"wrong refusal: ${e2.getMessage}")
   }
 
+  test("UPGRADE FIELD IDS migrates a legacy table: rename unlocks, values carry") {
+    import spark.implicits._
+    // legacy catalog: raw-API commit, no schema meta, no ids
+    val root = s"${tmp("fidup")}/cat"
+    val df = Seq((1L, 100L, "a"), (2L, 200L, "a"), (3L, 300L, "b"))
+      .toDF("k", "c", "p")
+    FileManifest.writePartitionedLayout(df, s"$root/data/b0", "p", "k", 1)
+    val pm = FileManifest.buildPartitioned(spark, s"$root/data/b0", "k")
+    FileManifest.commitVersion(spark, pm, root)
+    spark.sql("DROP TABLE IF EXISTS fid_up")
+    spark.sql(s"CREATE TABLE fid_up USING graft OPTIONS (path '$root')")
+    // premise: the legacy table refuses RENAME
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE fid_up RENAME COLUMN c TO amount") }
+    assert(e.getMessage.contains("field-id"))
+    val filesBefore = FileManifest.loadLatest(spark, root)
+      .partitions.valuesIterator.flatten.size
+    spark.sql("ALTER TABLE fid_up UPGRADE FIELD IDS") // v1: one-job CoW
+    val head = FileManifest.loadLatest(spark, root)
+    assert(FileManifest.hasFieldIds(FileManifest.schemaAt(spark, root).get))
+    assert(head.partitions.valuesIterator.flatten.size == filesBefore,
+      "identity rewrite must keep the per-file layout")
+    assert(FileManifest.latestVersion(spark, root).contains(1L))
+    // values carry bit-for-bit; v0 stays readable id-less
+    assert(spark.sql("SELECT sum(c) AS s FROM fid_up")
+      .collect().head.getLong(0) == 600L)
+    assert(spark.sql("SELECT sum(c) AS s FROM fid_up VERSION AS OF 0")
+      .collect().head.getLong(0) == 600L)
+    // the upgrade UNLOCKS rename — old (upgraded) files resolve by id
+    spark.sql("ALTER TABLE fid_up RENAME COLUMN c TO amount")
+    val got = spark.sql("SELECT k, amount FROM fid_up ORDER BY k")
+      .collect().map(_.getLong(1)).toSeq
+    assert(got == Seq(100L, 200L, 300L), s"got $got")
+    // idempotent: a second upgrade is a no-op (no new version)
+    spark.sql("ALTER TABLE fid_up UPGRADE FIELD IDS")
+    assert(FileManifest.latestVersion(spark, root).contains(2L),
+      "re-upgrade must not commit (v2 is the rename)")
+  }
+
   test("SHALLOW CLONE carries the schema epoch and the id map") {
     val root = mkTable("fid_t7")
     spark.sql("ALTER TABLE fid_t7 RENAME COLUMN c TO amount")
