@@ -3642,6 +3642,205 @@ object SparkEntry {
           s"found ${scans.size}")
       df
     }),
+    // WRITE-TIME CONSTRAINTS (r14, f45) — `ALTER TABLE t ADD
+    // CONSTRAINT n CHECK (expr)` + `ALTER COLUMN c SET NOT NULL` (the
+    // Delta statements): existing rows validate at declaration, the
+    // constraint commits into version meta (inherited by every later
+    // commit), and every batch-landing seam — INSERT adoption, writer
+    // append, UPDATE/MERGE, streaming sink — gates on ONE aggregate
+    // scan of the BATCH, refusing ATOMICALLY (files are invisible
+    // until the commit the refusal prevents). The entry proves the
+    // refusal left the table byte-identical, then lands a valid batch
+    "f45_constraints" -> ((s, dir) => {
+      val tmp = layoutDir("f45", dir)
+      val root = s"$tmp/cat"
+      freshDir(s, root)
+      val ev = T(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      ev.write.format("graft")
+        .option("path", root).option("partitionBy", "event_type")
+        .option("clusterBy", "user_id").option("files", "8")
+        .mode("overwrite").save()
+      s.sql("DROP TABLE IF EXISTS f45_events")
+      s.sql(s"CREATE TABLE f45_events USING graft OPTIONS (path '$root')")
+      s.sql("ALTER TABLE f45_events ADD CONSTRAINT val_pos " +
+        "CHECK (value >= 0)")
+      s.sql("ALTER TABLE f45_events ALTER COLUMN user_id SET NOT NULL")
+      val before = s.table("f45_events").count()
+      val refused =
+        try {
+          s.sql("INSERT INTO f45_events SELECT CAST(-1 AS BIGINT), " +
+            "CAST(7 AS BIGINT), CAST(-5.0 AS DOUBLE), 'click'")
+          false
+        } catch { case e: Exception =>
+          e.getMessage != null && e.getMessage.contains("val_pos") }
+      require(refused, "the violating INSERT must refuse, naming the " +
+        "constraint")
+      require(s.table("f45_events").count() == before,
+        "a refused batch must land NOTHING")
+      val refusedUpd =
+        try {
+          s.sql("UPDATE f45_events SET value = -1.0 WHERE user_id = 3")
+          false
+        } catch { case e: Exception =>
+          e.getMessage != null && e.getMessage.contains("val_pos") }
+      require(refusedUpd && s.table("f45_events").count() == before,
+        "the violating UPDATE must refuse atomically")
+      s.sql("INSERT INTO f45_events SELECT CAST(-1 AS BIGINT), " +
+        "CAST(7 AS BIGINT), CAST(5.0 AS DOUBLE), 'click'") // valid
+      s.sql("""SELECT event_type, count(*) AS n_events,
+        |  sum(user_id) AS sum_uid,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value
+        |FROM f45_events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)
+    }),
+    // ANALYZE TABLE / CBO STATISTICS (r14, f44) — manifest-derived
+    // CatalogStatistics: `ANALYZE TABLE t COMPUTE STATISTICS` answers
+    // row count + byte size from the snapshot with ZERO data IO (the
+    // entry pins the exact footer row count reaching Catalyst's plan
+    // stats under CBO); FOR COLUMNS pays one aggregate job for
+    // NDV/min-max/nulls, and the entry pins the planning consequence:
+    // a selective-filter join flips to BroadcastHashJoin only because
+    // the injected column stats shrink the filtered side's estimate
+    "f44_analyze_stats" -> ((s, dir) => {
+      val tmp = layoutDir("f44", dir)
+      val root = s"$tmp/cat"
+      freshDir(s, root)
+      val ev = T(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      ev.write.format("graft")
+        .option("path", root).option("partitionBy", "event_type")
+        .option("clusterBy", "user_id").option("files", "8")
+        .mode("overwrite").save()
+      s.sql("DROP TABLE IF EXISTS f44_events")
+      s.sql(s"CREATE TABLE f44_events USING graft OPTIONS (path '$root')")
+      val oldCbo = s.conf.getOption("spark.sql.cbo.enabled")
+      val oldThr = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      val oldAqe = s.conf.getOption("spark.sql.adaptive.enabled")
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "8192")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        // `big` is a FILE relation (a LocalRelation would have the
+        // inferred join filter evaluated eagerly, shrinking it with
+        // no stats at all); the filtered graft side joins against it
+        val big = s.read.parquet(s"$dir/events.parquet")
+          .select("user_id", "event_id")
+        def flip = big.join(s.table("f44_events")
+          .where(col("user_id") < 1), "user_id")
+        def isBroadcast = flip.queryExecution.sparkPlan.collect {
+          case b: org.apache.spark.sql.execution.joins
+            .BroadcastHashJoinExec => b }.nonEmpty
+        require(!isBroadcast,
+          "premise: with no statistics the filtered side estimates at " +
+            "full size and must sort-merge")
+        s.sql("ANALYZE TABLE f44_events COMPUTE STATISTICS") // zero IO
+        val st = s.table("f44_events").queryExecution.optimizedPlan.stats
+        val nRows = ev.count()
+        require(st.rowCount.contains(BigInt(nRows)),
+          s"exact manifest row count must reach Catalyst: " +
+            s"${st.rowCount} vs $nRows")
+        s.sql("ANALYZE TABLE f44_events COMPUTE STATISTICS " +
+          "FOR COLUMNS user_id, value")
+        val st2 = s.table("f44_events").queryExecution.optimizedPlan.stats
+        require(st2.attributeStats.exists(_._1.name == "user_id"),
+          "column stats must reach Catalyst")
+        require(isBroadcast,
+          "injected column stats must flip the filtered join to " +
+            "broadcast")
+      } finally {
+        def restore(k: String, v: Option[String]): Unit = v match {
+          case Some(x) => s.conf.set(k, x); case None => s.conf.unset(k)
+        }
+        restore("spark.sql.cbo.enabled", oldCbo)
+        restore("spark.sql.autoBroadcastJoinThreshold", oldThr)
+        restore("spark.sql.adaptive.enabled", oldAqe)
+      }
+      s.sql("""SELECT event_type, count(*) AS n_events,
+        |  sum(user_id) AS sum_uid,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value
+        |FROM f44_events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)
+    }),
+    // NESTED SCHEMA EVOLUTION (r14, f43) — ADD/RENAME/DROP of struct
+    // SUBFIELDS on the field-id substrate, the struct-heavy event
+    // table's everyday evolution: `ALTER TABLE t ADD COLUMN m.c
+    // BIGINT` null-fills every pre-evolution file (the id-matched
+    // reader finds no nested id), `RENAME COLUMN m.a TO uid` keeps the
+    // subfield's id so old files' bytes keep resolving under the new
+    // name, the CoW DELETE crosses the evolution re-stamping nested
+    // ids into the files it rewrites, and the INSERT carries the new
+    // subfield for real. All catalog-side: zero data IO for the ALTERs
+    "f43_nested_evolution" -> ((s, dir) => {
+      val tmp = layoutDir("f43", dir)
+      val root = s"$tmp/cat"
+      freshDir(s, root)
+      val ev = T(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          struct(col("user_id").as("a"), col("value").as("b")).as("m"))
+      ev.write.format("graft")
+        .option("path", root).option("partitionBy", "event_type")
+        .option("clusterBy", "event_id").option("files", "4")
+        .mode("overwrite").save() // v0: nested ids minted at CREATE
+      s.sql("DROP TABLE IF EXISTS f43_events")
+      s.sql(s"CREATE TABLE f43_events USING graft OPTIONS (path '$root')")
+      s.sql("ALTER TABLE f43_events ADD COLUMN m.c BIGINT") // v1
+      s.sql("ALTER TABLE f43_events RENAME COLUMN m.a TO uid") // v2
+      s.sql("DELETE FROM f43_events WHERE event_id % 7 = 3") // v3: CoW
+      s.sql("INSERT INTO f43_events SELECT CAST(-1 AS BIGINT) " +
+        "AS event_id, named_struct('uid', CAST(999 AS BIGINT), " +
+        "'b', CAST(0.0 AS DOUBLE), 'c', CAST(42 AS BIGINT)) AS m, " +
+        "'click' AS event_type") // v4: carries the added subfield
+      s.sql("""SELECT event_type, count(*) AS n_rows,
+        |  sum(m.uid) AS sum_uid, count(m.c) AS n_c
+        |FROM f43_events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)
+    }),
+    // ESCAPED PARTITION VALUES (r14, f42) — string partition values
+    // carrying Hive-escaped characters, with the timestamp-shaped
+    // `yyyy-MM-dd HH:mm:ss` day string (':' + space) as the everyday
+    // trigger: the layout writer escapes them into directory names
+    // (`day=2024-01-05 00%3A00%3A00`), the catalog keys stay in the
+    // on-disk domain, and every decode back to logical values
+    // unescapes — so the equality DELETE prunes-and-rewrites the right
+    // leaf, the UPDATE routes into it, and the partition-only GROUP BY
+    // answers from metadata (zero scans, spec-pinned here) with the
+    // values the user wrote, not the `%3A`-escaped directory spelling
+    "f42_escaped_partitions" -> ((s, dir) => {
+      val tmp = layoutDir("f42", dir)
+      val root = s"$tmp/cat"
+      freshDir(s, root)
+      val ev = T(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("ts").cast("date").cast("timestamp").cast("string")
+            .as("day"))
+      ev.write.format("graft")
+        .option("path", root).option("partitionBy", "day")
+        .option("clusterBy", "event_id").option("files", "2")
+        .mode("overwrite").save() // v0: ':'-bearing directory names
+      s.sql("DROP TABLE IF EXISTS f42_events")
+      s.sql(s"CREATE TABLE f42_events USING graft OPTIONS (path '$root')")
+      s.sql("DELETE FROM f42_events " +
+        "WHERE day = '2024-01-05 00:00:00'") // v1: CoW on escaped leaf
+      s.sql("UPDATE f42_events SET value = 0.0 " +
+        "WHERE day = '2024-01-03 00:00:00' AND user_id % 2 = 0") // v2
+      val meta = s.sql(
+        "SELECT day, count(*) AS n_rows FROM f42_events GROUP BY day")
+      require(meta.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources
+          .LogicalRelation => r }.isEmpty,
+        "partition GROUP BY must answer from metadata on escaped values")
+      require(!meta.collect().map(_.getString(0))
+          .exists(_.contains("%3A")),
+        "metadata groups must serve unescaped partition values")
+      s.sql("""SELECT day, count(*) AS n_rows,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value,
+        |  sum(event_id) AS sum_ids
+        |FROM f42_events GROUP BY day ORDER BY day""".stripMargin)
+    }),
     // MULTI-COLUMN PARTITIONING (r13, f40) — the (date, region)-shaped
     // Hive-nested layout real lakehouse tables converge to: one
     // directory LEVEL per partition column (`event_type=x/bucket=n`),
@@ -6563,6 +6762,61 @@ object SparkEntry {
         |    AND event_type IN ('click', 'view')
         |  GROUP BY event_type)
         |ORDER BY snap, event_type""".stripMargin,
+    // f45: refused batches land nothing, so the final state is the
+    // base relation plus exactly the one VALID inserted row
+    "f45_constraints" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_uid,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value
+        |FROM (
+        |  SELECT event_type, user_id, value FROM events
+        |  UNION ALL
+        |  SELECT 'click', 7, 5.0)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // f44: statistics change PLANS, never answers — the output is the
+    // plain relation aggregated (the entry's require()s pin the plan
+    // effects: exact row count under CBO + the broadcast flip)
+    "f44_analyze_stats" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_uid,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    // f43: the evolved nested shape derives relationally — base rows
+    // (minus the CoW delete) with a NULL added subfield, plus the one
+    // inserted row that carries it; the rename is pure metadata
+    "f43_nested_evolution" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(uid) AS BIGINT) AS sum_uid,
+        |  CAST(count(c) AS BIGINT) AS n_c
+        |FROM (
+        |  SELECT event_type, user_id AS uid, CAST(NULL AS BIGINT) AS c
+        |  FROM events WHERE event_id % 7 <> 3
+        |  UNION ALL
+        |  SELECT 'click', 999, 42)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // f42: the escaped layout is pure organization — the final state
+    // is the relation minus the deleted day, with the updated day's
+    // even-user values zeroed; the day string derives in SQL exactly
+    // as the write derived it (ts -> date -> timestamp -> string)
+    "f42_escaped_partitions" ->
+      """SELECT day, n_rows, total_value, sum_ids FROM (
+        |  SELECT CAST(CAST(CAST(ts AS DATE) AS TIMESTAMP) AS VARCHAR)
+        |      AS day,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CAST(CASE
+        |      WHEN CAST(CAST(CAST(ts AS DATE) AS TIMESTAMP) AS VARCHAR)
+        |          = '2024-01-03 00:00:00' AND user_id % 2 = 0
+        |      THEN 0.0 ELSE value END AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS total_value,
+        |    CAST(sum(event_id) AS BIGINT) AS sum_ids
+        |  FROM events
+        |  WHERE CAST(CAST(CAST(ts AS DATE) AS TIMESTAMP) AS VARCHAR)
+        |    <> '2024-01-05 00:00:00'
+        |  GROUP BY 1)
+        |ORDER BY day""".stripMargin,
     // f40: the two-level layout is pure organization — head excludes
     // the deleted user, pre is the whole relation; bucket derives in
     // SQL exactly as the write derived it

@@ -60,14 +60,27 @@ object GraftDml extends PredicateHelper {
 
   private[plans] def norm(s: String): String = new Path(s).toUri.getPath
 
+  /** [[norm]] for strings produced by `input_file_name()`, which
+    * renders the scan's SparkPath as a percent-ENCODED URI (a space in
+    * a partition directory — `p=2024-01-01 12%3A00%3A00` — arrives as
+    * `%20`, its literal '%' as `%25`). One strict-URI decode recovers
+    * the true on-disk path, the domain every manifest path lives in;
+    * a string that is not a parseable URI is already raw. */
+  private[plans] def normInput(s: String): String =
+    try new java.net.URI(s).getPath
+    catch { case _: java.net.URISyntaxException => norm(s) }
+
   /** Scheme-independent file key shared by the SQL side
     * (input_file_name URIs) and the driver side (manifest paths):
     * md5 of the last three path segments — batchDir/partition/file,
-    * unique within one table, no directory-name escaping to disagree
-    * on. The 'k' prefix keeps the key NON-NUMERIC so a staged
-    * `__fk=<key>` partition directory can never be re-inferred as a
-    * numeric partition column (an all-digit md5 would otherwise read
-    * back as DECIMAL and drop leading zeros — a silent key mismatch). */
+    * unique within one table. Both sides hash the DECODED (true
+    * on-disk) segment chars — [[fileKeyCol]] percent-decodes the
+    * input_file_name URI first — so Hive-escaped partition values
+    * (spaces, ':', '%') cannot make the two domains disagree. The 'k'
+    * prefix keeps the key NON-NUMERIC so a staged `__fk=<key>`
+    * partition directory can never be re-inferred as a numeric
+    * partition column (an all-digit md5 would otherwise read back as
+    * DECIMAL and drop leading zeros — a silent key mismatch). */
   private[plans] def fileKey(path: String, levels: Int = 1): String = {
     val tail = norm(path).split('/').takeRight(levels + 2).mkString("/")
     "k" + java.security.MessageDigest.getInstance("MD5")
@@ -76,13 +89,18 @@ object GraftDml extends PredicateHelper {
 
   /** [[fileKey]] as a codegen'd expression over a file-name column —
     * `levels` (partition column count) keeps the hashed tail spanning
-    * batchDir/partition-chain/file on multi-level layouts. */
+    * batchDir/partition-chain/file on multi-level layouts. The tail is
+    * split on the ENCODED string ('/' is never percent-encoded in a
+    * URI path, and an escaped value's `%2F` arrives double-encoded as
+    * `%252F`, so segment boundaries are exact), then decoded into the
+    * on-disk domain [[fileKey]] hashes. `url_decode` is form-decoding
+    * ('+' -> space), so literal '+' is pre-escaped to `%2B` first. */
   private[plans] def fileKeyCol(fileName: Column,
-      levels: Int = 1): Column =
-    org.apache.spark.sql.functions.concat(lit("k"),
-      org.apache.spark.sql.functions.md5(
-        org.apache.spark.sql.functions.substring_index(
-          fileName, "/", -(levels + 2))))
+      levels: Int = 1): Column = {
+    import org.apache.spark.sql.functions.{concat, md5, regexp_replace, substring_index, url_decode}
+    concat(lit("k"), md5(url_decode(regexp_replace(
+      substring_index(fileName, "/", -(levels + 2)), "\\+", "%2B"))))
+  }
 
   /** Batch root `levels + 1` parents above a data file (levels =
     * partition column count) — the basePath partition discovery needs. */
@@ -266,7 +284,7 @@ object GraftDml extends PredicateHelper {
     val touched = readRestored(candidates)
       .where(condCol)
       .select(input_file_name().as("f")).distinct()
-      .collect().map(r => norm(r.getString(0))).toSet
+      .collect().map(r => normInput(r.getString(0))).toSet
     val pm = index.currentSnapshot
     if (touched.isEmpty) return FileManifest.latestVersion(spark, root).get
 
@@ -293,6 +311,20 @@ object GraftDml extends PredicateHelper {
           }
         }: _*),
       shufflePerFk = false, levels = levels)
+
+    // WRITE-TIME CONSTRAINTS: an UPDATE's rewritten rows must satisfy
+    // every declared CHECK before the commit makes them visible — a
+    // violating SET refuses atomically, the fresh batch dir swept
+    // (a DELETE only removes rows; it cannot create a violation)
+    if (sets.nonEmpty && freshStats.valuesIterator.flatten.nonEmpty)
+      FileManifest.enforceConstraints(spark, root,
+        spark.read.option("basePath", dataDir).parquet(
+          freshStats.valuesIterator.flatten.map(_.path).toSeq.sorted: _*),
+        "UPDATE", cleanup = () => {
+          val dfs = new Path(dataDir).getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          dfs.delete(new Path(dataDir), true); ()
+        })
 
     // 4. COMMIT: carried + rewritten as one atomic version, with
     // optimistic retry against racing disjoint-file commits
@@ -608,7 +640,7 @@ object GraftDml extends PredicateHelper {
               s"one source row (file ${r.getString(0)}) — dedupe the source " +
               "on the merge key first")
         }
-        val t = stats.map(r => norm(r.getString(0))).toSeq.sorted
+        val t = stats.map(r => normInput(r.getString(0))).toSeq.sorted
         if (t.nonEmpty && rewriteNeeded) {
           // stage each touched file's matched source rows exactly once;
           // distinct is safe AFTER the cardinality gate (identical
@@ -796,6 +828,16 @@ object GraftDml extends PredicateHelper {
       case (acc, (part, stats)) =>
         acc.updated(part, (acc.getOrElse(part, Nil) ++ stats).sortBy(_.path))
     }
+    // WRITE-TIME CONSTRAINTS: every row this MERGE lands (rewritten
+    // updates + inserts) must satisfy the declared CHECKs before the
+    // commit — a violating changeset refuses atomically
+    if (fresh.valuesIterator.flatten.nonEmpty)
+      FileManifest.enforceConstraints(spark, root,
+        spark.read.option("basePath", dataDir).parquet(
+          fresh.valuesIterator.flatten.map(_.path).toSeq.sorted: _*),
+        "MERGE", cleanup = () => {
+          fs.delete(new Path(dataDir), true); ()
+        })
     commitCowRetrying(spark, root, index, rewriteFiles, fresh,
       meta = Map("operation" -> "merge"),
       emptyMsg = "this MERGE would remove every row — an empty graft " +
@@ -836,6 +878,23 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
             GraftMergeCommand(idx, m, h.dataSchema)
           case None => m
         }
+      // INSERT INTO a graft table must NEVER take the catalog-tracked
+      // partition path: Spark registers each inserted partition in the
+      // session catalog at `<tableLocation>/<part>` (the data tree the
+      // staging discipline exists to protect), and the NEXT insert
+      // touching that partition then sees a "custom partition
+      // location" and moves its files there DIRECTLY — bypassing
+      // staging, never adopted, a silent zero-row insert (reproduced
+      // r14: the second INSERT into any already-inserted partition
+      // lost its rows). The graft catalog IS the partition authority;
+      // dropping the tracking flag keeps Spark's generic insert on
+      // the plain staging path every time.
+      case ins: org.apache.spark.sql.execution.datasources
+          .InsertIntoHadoopFsRelationCommand
+          if ins.fileIndex.exists(_.isInstanceOf[ManifestFileIndex]) &&
+            ins.catalogTable.exists(_.tracksPartitionsInCatalog) =>
+        ins.copy(catalogTable =
+          ins.catalogTable.map(_.copy(tracksPartitionsInCatalog = false)))
     }
 }
 

@@ -124,13 +124,14 @@ object GraftMaintenance {
     }
     items += inner.substring(start)
     val ColDef =
-      """(?is)^\s*(\w+)\s+([\w]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*$""".r
+      """(?is)^\s*(\w+(?:\.\w+)*)\s+([\w]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*$""".r
     items.toSeq.map {
       case ColDef(name, tpe) => (name, tpe)
       case other => sys.error(
         s"graft ALTER TABLE ADD COLUMN: unsupported column definition " +
-          s"'${other.trim}' — only `name TYPE` is supported (no COMMENT/" +
-          "FIRST/AFTER/NOT NULL/DEFAULT/nested fields); letting Spark's " +
+          s"'${other.trim}' — only `name TYPE` (or `struct.path TYPE` " +
+          "on field-id-mapped tables) is supported (no COMMENT/" +
+          "FIRST/AFTER/NOT NULL/DEFAULT); letting Spark's " +
           "native ALTER take it would desynchronize the graft catalog")
     }
   }
@@ -146,12 +147,13 @@ object GraftMaintenance {
       if (spec.startsWith("(") && spec.endsWith(")"))
         spec.substring(1, spec.length - 1)
       else spec
-    val Name = """(?s)^\s*(\w+)\s*$""".r
+    val Name = """(?s)^\s*(\w+(?:\.\w+)*)\s*$""".r
     inner.split(',').toSeq.map {
       case Name(n) => n
       case other => sys.error(
         s"graft ALTER TABLE DROP COLUMN: unsupported column reference " +
-          s"'${other.trim}' — only plain top-level names are supported; " +
+          s"'${other.trim}' — only plain names (or `struct.path` on " +
+          "field-id-mapped tables) are supported; " +
           "letting Spark's native ALTER take it would desynchronize the " +
           "graft catalog")
     }
@@ -182,6 +184,24 @@ object GraftMaintenance {
         if GraftTimeTravel.graftRootOf(spark,
           table.split('.').toSeq).isDefined =>
       Some(GraftUpgradeFieldIdsCommand(table))
+    case AnalyzeRe(table, spec)
+        if GraftTimeTravel.graftRootOf(spark,
+          table.split('.').toSeq).isDefined =>
+      Some(GraftAnalyzeCommand(table, parseAnalyzeColumns(spec)))
+    case AddConstraintRe(table, name, check)
+        if GraftTimeTravel.graftRootOf(spark,
+          table.split('.').toSeq).isDefined =>
+      Some(GraftAddConstraintCommand(table, name, check.trim))
+    case DropConstraintRe(table, name)
+        if GraftTimeTravel.graftRootOf(spark,
+          table.split('.').toSeq).isDefined =>
+      Some(GraftDropConstraintCommand(table, name))
+    case SetNotNullRe(table, colPath)
+        if GraftTimeTravel.graftRootOf(spark,
+          table.split('.').toSeq).isDefined =>
+      Some(GraftAddConstraintCommand(table,
+        colPath.replace('.', '_') + "_not_null",
+        s"$colPath IS NOT NULL"))
     case UnsupportedAlterRe(table, what)
         if GraftTimeTravel.graftRootOf(spark,
           table.split('.').toSeq).isDefined =>
@@ -220,12 +240,89 @@ object GraftMaintenance {
   // only safe when files resolve by id, not name)
   private val RenameColumnRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+COLUMN\s+""" +
-      """(\w+)\s+TO\s+(\w+)\s*;?\s*$""").r
+      """(\w+(?:\.\w+)*)\s+TO\s+(\w+)\s*;?\s*$""").r
 
   // `ALTER TABLE t UPGRADE FIELD IDS` — the migration statement for
   // pre-field-id catalogs (the Iceberg table-upgrade role)
   private val UpgradeFieldIdsRe =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+UPGRADE\s+FIELD\s+IDS\s*;?\s*$""".r
+
+  // `ANALYZE TABLE t COMPUTE STATISTICS [NOSCAN|FOR ALL COLUMNS|FOR
+  // COLUMNS a, b]` — intercepted for graft tables so the stats come
+  // from the manifest (Spark's native command would scan, and would
+  // mis-measure the shared multi-version data tree)
+  private val AnalyzeRe =
+    ("""(?is)^\s*ANALYZE\s+TABLE\s+([\w.]+)\s+COMPUTE\s+STATISTICS""" +
+      """(\s+NOSCAN|\s+FOR\s+ALL\s+COLUMNS|\s+FOR\s+COLUMNS\s+[\w\s,]+?)?""" +
+      """\s*;?\s*$""").r
+
+  // Write-time CHECK constraints (the Delta statements): declared via
+  // ALTER, stored in version `_meta` (inherited forward), enforced at
+  // every batch-landing seam. `SET NOT NULL` is CHECK sugar.
+  private val AddConstraintRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+CONSTRAINT\s+""" +
+      """(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*$""").r
+  private val DropConstraintRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+CONSTRAINT\s+""" +
+      """(\w+)\s*;?\s*$""").r
+  private val SetNotNullRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+ALTER\s+COLUMN\s+""" +
+      """(\w+(?:\.\w+)*)\s+SET\s+NOT\s+NULL\s*;?\s*$""").r
+
+  /** Conditional-commit retry for a constraints change (the
+    * commitSchemaEvolution shape, constraint-keyed). */
+  private[plans] def commitConstraintsChange(spark: SparkSession,
+      root: String, op: String)(
+      f: Seq[(String, String)] => Seq[(String, String)]): Unit = {
+    var attempt = 0
+    while (attempt < 8) {
+      attempt += 1
+      val updated = f(FileManifest.constraintsAt(spark, root))
+      val head = FileManifest.loadLatest(spark, root)
+      val next = FileManifest.latestVersion(spark, root).get + 1
+      try {
+        FileManifest.commitVersion(spark, head, root,
+          meta = Map("operation" -> op,
+            "constraints" -> FileManifest.encodeConstraints(updated)),
+          expected = Some(next))
+        return
+      } catch {
+        case e: FileManifest.CommitConflictException =>
+          if (attempt >= 8) throw e
+      }
+    }
+  }
+
+  /** Column paths a constraint expression references (top-level name
+    * or dotted nested path) — the DROP/RENAME guard set. */
+  private[plans] def constraintRefs(spark: SparkSession,
+      root: String): Seq[(String, String)] =
+    FileManifest.constraintsAt(spark, root).flatMap { case (n, e) =>
+      spark.sessionState.sqlParser.parseExpression(e).collect {
+        case a: org.apache.spark.sql.catalyst.analysis
+          .UnresolvedAttribute => (n, a.nameParts.mkString("."))
+      }
+    }
+
+  /** Refuse dropping/renaming `colPath` while a constraint references
+    * it (or a subfield of it) — Delta's discipline: the constraint
+    * text would silently go stale or fail analysis at the next write. */
+  private[plans] def requireUnconstrained(spark: SparkSession,
+      root: String, colPath: String, action: String): Unit =
+    constraintRefs(spark, root).foreach { case (n, ref) =>
+      require(!(ref == colPath || ref.startsWith(colPath + ".") ||
+          colPath.startsWith(ref + ".")),
+        s"cannot $action column `$colPath`: constraint `$n` references " +
+          s"`$ref` — DROP CONSTRAINT `$n` first")
+    }
+
+  private[plans] def parseAnalyzeColumns(spec0: String): Seq[String] = {
+    val spec = Option(spec0).map(_.trim).getOrElse("")
+    if (spec.isEmpty || spec.equalsIgnoreCase("noscan")) Nil
+    else if (spec.matches("(?is)for\\s+all\\s+columns")) Seq("*")
+    else spec.replaceAll("(?is)^for\\s+columns\\s+", "")
+      .split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+  }
 
   // schema mutations the graft catalog cannot represent must REFUSE
   // on graft tables, not fall through to Spark's native ALTER (which
@@ -420,11 +517,30 @@ object GraftMaintenance {
       min(col(yCol)).cast("long"), max(col(yCol)).cast("long")).head()
     require(!r.isNullAt(0) && !r.isNullAt(2),
       s"ZORDER BY ($xCol, $yCol): a dimension has no non-null values")
-    def scaled(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
-      if (hi == lo) org.apache.spark.sql.functions.lit(0L)
-      else (c.cast("long") - org.apache.spark.sql.functions.lit(lo)) *
-        org.apache.spark.sql.functions.lit(1L << 16) /
-        org.apache.spark.sql.functions.lit(hi - lo + 1)
+    // Scaling into the 2^16 grid must not wrap Long: the naive
+    // (c - lo) * 65536 overflows once the global range exceeds ~2^47
+    // (epoch-micros keys), silently scrambling the layout the
+    // statement promises. Ranges up to 2^47 keep the exact
+    // multiply-first normalization ((c - lo) < 2^47, * 2^16 < 2^63 —
+    // provably wrap-free); wider ranges DIVIDE first by the range's
+    // 2^16-th, riding DECIMAL(38,0) so even a full-Long-range
+    // dimension (hi - lo itself overflowing) stays exact, clamped to
+    // the top cell (integer division can land exactly on 65536).
+    def scaled(c: org.apache.spark.sql.Column, lo: Long, hi: Long) = {
+      import org.apache.spark.sql.functions.{floor, least, lit}
+      val range = BigInt(hi) - BigInt(lo) + 1
+      if (range <= 1) lit(0L)
+      else if (range <= (BigInt(1) << 47))
+        (c.cast("long") - lit(lo)) * lit(1L << 16) / lit(range.toLong)
+      else {
+        val div = range / 65536
+        least(floor(
+          (c.cast("decimal(38,0)") -
+            lit(lo.toString).cast("decimal(38,0)")) /
+            lit(div.toString).cast("decimal(38,0)")).cast("long"),
+          lit(65535L))
+      }
+    }
     val z = graft.sources.ZOrder.zValue(
       scaled(col(xCol), r.getLong(0), r.getLong(1)),
       scaled(col(yCol), r.getLong(2), r.getLong(3)), 16)
@@ -596,6 +712,44 @@ object GraftMaintenance {
     * the head, re-derive the base schema from the FRESH catalog, and
     * re-apply the evolution delta. `evolve` must re-validate per
     * attempt (a concurrent evolution may have changed the base). */
+  /** Rebuild `schema` with the STRUCT at `path` transformed by `f` —
+    * the nested-evolution navigation seam shared by ADD/RENAME/DROP on
+    * `parent.child` paths. Every segment must name a STRUCT-typed
+    * field; paths through arrays/maps refuse loudly (their subfields
+    * carry parquet ids too, but element-level surgery has positional
+    * semantics this catalog does not model). `path` empty applies `f`
+    * to the top level itself. */
+  private[plans] def mapStructAt(schema: StructType, path: Seq[String],
+      context: String)(f: StructType => StructType): StructType =
+    if (path.isEmpty) f(schema)
+    else {
+      val seg = path.head
+      val idx = schema.fieldNames.indexOf(seg)
+      require(idx >= 0, s"$context: no field `$seg` on the path")
+      schema.fields(idx).dataType match {
+        case st: StructType =>
+          val inner = mapStructAt(st, path.tail, context)(f)
+          StructType(schema.fields.updated(idx,
+            schema.fields(idx).copy(dataType = inner)))
+        case other => sys.error(
+          s"$context: path segment `$seg` is ${other.sql}, not a " +
+            "struct — nested evolution supports struct fields only " +
+            "(array/map element surgery has positional semantics the " +
+            "catalog does not model)")
+      }
+    }
+
+  /** Gate for NESTED evolution: only field-id-mapped tables may touch
+    * struct subfields — a name-keyed nested read could resurrect
+    * dropped bytes or NULL a renamed subfield, the exact f33 defect
+    * class the id substrate exists to kill. */
+  private[plans] def requireMappedForNested(base: StructType,
+      table: String, path: String): Unit =
+    require(FileManifest.hasFieldIds(base),
+      s"nested evolution on `$path` requires field-id mapping — this " +
+        s"table's catalog predates it; run `ALTER TABLE $table UPGRADE " +
+        "FIELD IDS` first")
+
   private[plans] def commitSchemaEvolution(spark: SparkSession,
       root: String,
       fallback: StructType,
@@ -863,16 +1017,32 @@ case class GraftAddColumnCommand(table: String,
         columns.zipWithIndex.foldLeft(base) {
           case (schema, ((colName, colType), i)) =>
             val dt = spark.sessionState.sqlParser.parseDataType(colType)
-            require(!index.partitionColumns.contains(colName),
-              s"`$colName` is a partition column")
-            require(!schema.fieldNames.contains(colName),
-              s"column `$colName` already exists in $table")
             val fMeta =
               if (mapped) new org.apache.spark.sql.types.MetadataBuilder()
                 .putLong(FileManifest.FieldIdKey, startAt + i).build()
               else org.apache.spark.sql.types.Metadata.empty
-            schema.add(org.apache.spark.sql.types.StructField(
-              colName, dt, nullable = true, fMeta))
+            val segs = colName.split('.').toSeq
+            if (segs.size == 1) {
+              require(!index.partitionColumns.contains(colName),
+                s"`$colName` is a partition column")
+              require(!schema.fieldNames.contains(colName),
+                s"column `$colName` already exists in $table")
+              schema.add(org.apache.spark.sql.types.StructField(
+                colName, dt, nullable = true, fMeta))
+            } else {
+              // NESTED add: `parent.child` lands inside the struct —
+              // null-filled for every pre-evolution file (the reader
+              // finds no matching id), exactly the top-level contract
+              GraftMaintenance.requireMappedForNested(schema, table,
+                colName)
+              GraftMaintenance.mapStructAt(schema, segs.init,
+                s"ADD COLUMN `$colName`") { st =>
+                require(!st.fieldNames.contains(segs.last),
+                  s"field `$colName` already exists in $table")
+                st.add(org.apache.spark.sql.types.StructField(
+                  segs.last, dt, nullable = true, fMeta))
+              }
+            }
         }
       },
       metaOf = ev => Map("operation" -> "add-column",
@@ -920,12 +1090,15 @@ case class GraftDropColumnCommand(table: String,
       "ALTER TABLE requires a catalog-backed graft table"))
     require(!index.isTimeTraveled,
       "ALTER TABLE on a time-traveled graft table is not allowed")
+    columns.foreach(c =>
+      GraftMaintenance.requireUnconstrained(spark, root, c, "drop"))
     val analyzed = spark.table(table).queryExecution.analyzed
     val h = GraftDml.graftRelation(analyzed).get._1
     val narrowed = GraftMaintenance.commitSchemaEvolution(spark, root,
       fallback = h.dataSchema,
       evolve = { base =>
-        columns.foreach { c =>
+        val (nested, top) = columns.partition(_.contains('.'))
+        top.foreach { c =>
           // key-column checks FIRST: the partition column lives in the
           // partitionSchema, not dataSchema, so the existence check
           // would misreport it as unknown
@@ -940,11 +1113,29 @@ case class GraftDropColumnCommand(table: String,
           require(base.fieldNames.contains(c),
             s"column `$c` does not exist in $table")
         }
-        val n = org.apache.spark.sql.types.StructType(
-          base.fields.filterNot(f => columns.contains(f.name)))
-        require(n.nonEmpty,
+        val n0 = org.apache.spark.sql.types.StructType(
+          base.fields.filterNot(f => top.contains(f.name)))
+        require(n0.nonEmpty,
           "DROP COLUMNS would leave the table with no data columns")
-        n
+        // NESTED drops: lazy like top-level — the subfield leaves the
+        // catalog schema, old files keep the bytes (their id is
+        // retired, never matched again; a later re-ADD of the same
+        // name mints a fresh id, so nothing resurrects)
+        nested.foldLeft(n0) { (schema, c) =>
+          GraftMaintenance.requireMappedForNested(schema, table, c)
+          val segs = c.split('.').toSeq
+          GraftMaintenance.mapStructAt(schema, segs.init,
+            s"DROP COLUMN `$c`") { st =>
+            require(st.fieldNames.contains(segs.last),
+              s"field `$c` does not exist in $table")
+            require(st.size > 1,
+              s"DROP COLUMN `$c` would leave struct " +
+                s"`${segs.init.mkString(".")}` with no fields — drop " +
+                "the whole column instead")
+            org.apache.spark.sql.types.StructType(
+              st.fields.filterNot(_.name == segs.last))
+          }
+        }
       },
       metaOf = _ => Map("operation" -> "drop-column",
         "droppedColumn" -> columns.mkString(",")))
@@ -956,8 +1147,12 @@ case class GraftDropColumnCommand(table: String,
     // the lazily-dropped bytes are never read
     val ti = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val old = spark.sessionState.catalog.getTableMetadata(ti)
+    // the narrowed DATA schema (nested drops included) + the table's
+    // partition columns, which live outside the data schema
+    val partFields = old.schema.fields.filterNot(f =>
+      h.dataSchema.fieldNames.contains(f.name))
     val newFull = org.apache.spark.sql.types.StructType(
-      old.schema.fields.filterNot(f => columns.contains(f.name)))
+      narrowed.fields ++ partFields)
     spark.sessionState.catalog.alterTable(old.copy(schema = newFull))
     spark.catalog.refreshTable(table)
     Nil
@@ -1104,6 +1299,7 @@ case class GraftRenameColumnCommand(table: String, from: String,
     require(from != index.clusterColumn && to != index.clusterColumn,
       s"cannot rename the clustering column `$from`/`$to` — footer " +
         "stats and the file layout are keyed on it")
+    GraftMaintenance.requireUnconstrained(spark, root, from, "rename")
     val analyzed = spark.table(table).queryExecution.analyzed
     val h = GraftDml.graftRelation(analyzed).get._1
     val renamed = GraftMaintenance.commitSchemaEvolution(spark, root,
@@ -1113,27 +1309,173 @@ case class GraftRenameColumnCommand(table: String, from: String,
           s"RENAME COLUMN on `$table` requires field-id mapping — this " +
             "table's catalog predates it (files would be matched by " +
             "name and the renamed column would read as NULL from old " +
-            "files); run `ALTER TABLE $table UPGRADE FIELD IDS` first")
-        val f = base.fields.find(_.name == from).getOrElse(sys.error(
-          s"column `$from` does not exist in $table"))
-        require(FileManifest.fieldIdOf(f).isDefined,
-          s"RENAME COLUMN `$from`: the column carries no field id — " +
-            "only id-mapped columns can rename safely")
-        require(!base.fieldNames.contains(to),
-          s"column `$to` already exists in $table")
-        org.apache.spark.sql.types.StructType(base.fields.map(x =>
-          if (x.name == from) x.copy(name = to) else x))
+            s"files); run `ALTER TABLE $table UPGRADE FIELD IDS` first")
+        val segs = from.split('.').toSeq
+        if (segs.size == 1) {
+          val f = base.fields.find(_.name == from).getOrElse(sys.error(
+            s"column `$from` does not exist in $table"))
+          require(FileManifest.fieldIdOf(f).isDefined,
+            s"RENAME COLUMN `$from`: the column carries no field id — " +
+              "only id-mapped columns can rename safely")
+          require(!base.fieldNames.contains(to),
+            s"column `$to` already exists in $table")
+          org.apache.spark.sql.types.StructType(base.fields.map(x =>
+            if (x.name == from) x.copy(name = to) else x))
+        } else {
+          // NESTED rename: the subfield keeps its id, so every old
+          // file's bytes keep resolving under the new name — the
+          // target stays within the same parent struct
+          GraftMaintenance.mapStructAt(base, segs.init,
+            s"RENAME COLUMN `$from`") { st =>
+            val f = st.fields.find(_.name == segs.last).getOrElse(
+              sys.error(s"field `$from` does not exist in $table"))
+            require(FileManifest.fieldIdOf(f).isDefined,
+              s"RENAME COLUMN `$from`: the field carries no field id " +
+                "— only id-mapped fields can rename safely")
+            require(!st.fieldNames.contains(to),
+              s"field `${(segs.init :+ to).mkString(".")}` already " +
+                s"exists in $table")
+            org.apache.spark.sql.types.StructType(st.fields.map(x =>
+              if (x.name == segs.last) x.copy(name = to) else x))
+          }
+        }
       },
       metaOf = _ => Map("operation" -> "rename-column",
         "renamedColumn" -> s"$from->$to"))
     // full-definition catalog update (alterTableDataSchema refuses
-    // shape changes, same as drops), then drop the cached plan
+    // shape changes, same as drops), then drop the cached plan: the
+    // renamed DATA schema (nested renames included) + the partition
+    // columns, which live outside it
     val ti = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val old = spark.sessionState.catalog.getTableMetadata(ti)
     val newFull = org.apache.spark.sql.types.StructType(
-      old.schema.fields.map(f =>
-        if (f.name == from) renamed.fields.find(_.name == to).get else f))
+      renamed.fields ++ old.schema.fields.filterNot(f =>
+        h.dataSchema.fieldNames.contains(f.name)))
     spark.sessionState.catalog.alterTable(old.copy(schema = newFull))
+    spark.catalog.refreshTable(table)
+    Nil
+  }
+}
+
+/** `ALTER TABLE t ADD CONSTRAINT name CHECK (expr)` (and the
+  * `ALTER COLUMN c SET NOT NULL` sugar) — a WRITE-TIME invariant, the
+  * Delta contract: existing rows are validated NOW (one scan —
+  * declaring an invariant the table already breaks must refuse), the
+  * constraint commits as a version (`_meta.constraints`, inherited
+  * forward by every later commit), and from then on every batch that
+  * lands — INSERT adoption, writer append/overwrite, UPDATE/MERGE
+  * rewrite, streaming sink — is gated by ONE aggregate scan of the
+  * BATCH and refused atomically on violation (files are invisible
+  * until the commit the refusal prevents; nothing partial-lands).
+  * SQL CHECK semantics: NULL passes, only FALSE violates. */
+case class GraftAddConstraintCommand(table: String, name: String,
+    check: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    val index = GraftMaintenance.indexOf(spark, table)
+    val root = index.graftCatalogRoot.getOrElse(sys.error(
+      "ALTER TABLE requires a catalog-backed graft table"))
+    require(!index.isTimeTraveled,
+      "ALTER TABLE on a time-traveled graft table is not allowed")
+    val rel = spark.table(table)
+    // the expression must RESOLVE against the table now (typos refuse
+    // here, not at the first write), and must be deterministic — a
+    // nondeterministic gate would pass and fail the same batch
+    require(rel.select(expr(check)).queryExecution
+        .analyzed.expressions.forall(_.deterministic),
+      s"ADD CONSTRAINT `$name`: CHECK ($check) is nondeterministic")
+    val bad = rel.where(not(coalesce(expr(check), lit(true)))).count()
+    require(bad == 0L,
+      s"ADD CONSTRAINT `$name` refused: $bad existing row(s) violate " +
+        s"CHECK ($check) — fix the data first")
+    GraftMaintenance.commitConstraintsChange(spark, root,
+      "add-constraint") { cur =>
+      require(!cur.exists(_._1 == name),
+        s"constraint `$name` already exists on $table")
+      cur :+ (name -> check)
+    }
+    spark.catalog.refreshTable(table)
+    Nil
+  }
+}
+
+/** `ALTER TABLE t DROP CONSTRAINT name` — the constraint stops gating
+  * writes from the committed version on; history keeps the epochs it
+  * governed (every committed version's meta is self-describing). */
+case class GraftDropConstraintCommand(table: String, name: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val index = GraftMaintenance.indexOf(spark, table)
+    val root = index.graftCatalogRoot.getOrElse(sys.error(
+      "ALTER TABLE requires a catalog-backed graft table"))
+    require(!index.isTimeTraveled,
+      "ALTER TABLE on a time-traveled graft table is not allowed")
+    GraftMaintenance.commitConstraintsChange(spark, root,
+      "drop-constraint") { cur =>
+      require(cur.exists(_._1 == name),
+        s"constraint `$name` does not exist on $table")
+      cur.filterNot(_._1 == name)
+    }
+    spark.catalog.refreshTable(table)
+    Nil
+  }
+}
+
+/** `ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS c…|FOR ALL
+  * COLUMNS|NOSCAN]` — CBO statistics from the CATALOG wherever the
+  * manifest already knows the answer: row count (footer-exact sum over
+  * the snapshot) and total byte size (the serving index's stat'ed
+  * sizes) cost ZERO data IO at any table size — Spark's native ANALYZE
+  * would scan, and would also mis-measure a graft root (superseded
+  * versions share the tree). FOR COLUMNS pays exactly ONE distributed
+  * aggregate for NDV/min-max/null-counts (Spark's own
+  * computeColumnStats — the part no metadata can answer). The result
+  * lands in the session catalog as `CatalogStatistics`, so CBO join
+  * reordering, filter selectivity, and broadcast thresholds see real
+  * numbers — the 100 TB star-schema planning story. */
+case class GraftAnalyzeCommand(table: String, columns: Seq[String])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.types._
+    val index = GraftMaintenance.indexOf(spark, table)
+    require(!index.isTimeTraveled,
+      "ANALYZE TABLE on a time-traveled graft table is not allowed — " +
+        "statistics describe the head")
+    val pm = index.currentSnapshot
+    val rows = pm.partitions.valuesIterator.flatten.map(_.rows).sum
+    def statSupported(dt: DataType): Boolean = dt match {
+      case _: NumericType | StringType | BooleanType | DateType |
+           TimestampType | BinaryType => true
+      case _ => false
+    }
+    val colStats: Map[String,
+        org.apache.spark.sql.catalyst.catalog.CatalogColumnStat] =
+      if (columns.isEmpty) Map.empty
+      else {
+        val plan = org.apache.spark.sql.graftshim.SparkShims
+          .logicalPlan(spark.table(table))
+        val attrs =
+          if (columns == Seq("*"))
+            plan.output.filter(a => statSupported(a.dataType))
+          else columns.map { c =>
+            val a = plan.output.find(_.name == c).getOrElse(sys.error(
+              s"ANALYZE: column `$c` does not exist in $table"))
+            require(statSupported(a.dataType),
+              s"ANALYZE: column `$c` type ${a.dataType.sql} does not " +
+                "support statistics")
+            a
+          }
+        val (_, stats) = org.apache.spark.sql.graftshim.SparkShims
+          .computeColumnStats(spark, plan, attrs)
+        stats.map { case (a, cs) =>
+          a.name -> cs.toCatalogColumnStat(a.name, a.dataType) }
+      }
+    val ti = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    spark.sessionState.catalog.alterTableStats(ti,
+      Some(org.apache.spark.sql.catalyst.catalog.CatalogStatistics(
+        sizeInBytes = BigInt(index.sizeInBytes),
+        rowCount = Some(BigInt(rows)),
+        colStats = colStats)))
     spark.catalog.refreshTable(table)
     Nil
   }

@@ -25,6 +25,17 @@ object SparkShims {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Spark's own ANALYZE column-stats aggregate (ONE distributed job
+    * over the plan): (rowCount, per-attribute NDV/min/max/nulls/len)
+    * — the CommandUtils seam AnalyzeColumnCommand itself rides. */
+  def computeColumnStats(spark: SparkSession, plan: LogicalPlan,
+      attrs: Seq[org.apache.spark.sql.catalyst.expressions.Attribute])
+      : (Long, Map[org.apache.spark.sql.catalyst.expressions.Attribute,
+        org.apache.spark.sql.catalyst.plans.logical.ColumnStat]) =
+    org.apache.spark.sql.execution.command.CommandUtils.computeColumnStats(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      plan, attrs)
+
   /** Block until all queued listener events are delivered, so task
     * metrics accumulated by a SparkListener are complete for the jobs
     * that have already finished (the bus is async). */

@@ -5,6 +5,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions._
 
 import scala.jdk.CollectionConverters._
@@ -45,8 +46,11 @@ object FileManifest {
   // embedded into every parquet file's schema (Spark's native
   // `parquet.field.id` metadata — the writer emits it, and a read
   // whose requested schema carries ids matches file columns BY ID when
-  // `spark.sql.parquet.fieldId.read.enabled` is on, scoped per-scan via
-  // the relation options). That one substrate buys:
+  // `spark.sql.parquet.fieldId.read.enabled` is on — a SESSION conf
+  // (GraftSession sets it at build, [[pinnedReader]] re-sets it), and
+  // inert for any read whose requested schema carries no ids, so
+  // non-graft parquet reads keep name matching). That one substrate
+  // buys:
   //  - RENAME COLUMN: old files keep the old physical name; the id
   //    resolves the values anyway (and epoch time travel still reads
   //    the old name, correctly, from the same bytes);
@@ -70,34 +74,95 @@ object FileManifest {
     if (f.metadata.contains(FieldIdKey)) Some(f.metadata.getLong(FieldIdKey))
     else None
 
-  /** Max id in a schema (0 when none assigned). */
+  /** Max id in a schema (0 when none assigned) — NESTED fields
+    * included: struct subfields (at any depth, through arrays and
+    * maps) carry ids of their own on the id substrate. */
   def schemaMaxFieldId(
-      schema: org.apache.spark.sql.types.StructType): Long =
-    schema.fields.flatMap(fieldIdOf).foldLeft(0L)(math.max)
+      schema: org.apache.spark.sql.types.StructType): Long = {
+    import org.apache.spark.sql.types._
+    def ofType(dt: DataType): Long = dt match {
+      case st: StructType => schemaMaxFieldId(st)
+      case ArrayType(et, _) => ofType(et)
+      case MapType(kt, vt, _) => math.max(ofType(kt), ofType(vt))
+      case _ => 0L
+    }
+    schema.fields.foldLeft(0L)((m, f) => math.max(m,
+      math.max(fieldIdOf(f).getOrElse(0L), ofType(f.dataType))))
+  }
 
-  /** Annotate every field with a fresh id, `startAt` upward. */
+  /** Annotate every field with a fresh id, `startAt` upward —
+    * RECURSIVELY: struct subfields (through arrays and maps too) get
+    * their own ids, DFS order, so nested RENAME/DROP/re-ADD ride the
+    * same identity discipline as top-level columns (Spark's parquet
+    * writer emits nested `parquet.field.id` metadata, SPARK-38094). */
   def assignFieldIds(schema: org.apache.spark.sql.types.StructType,
-      startAt: Long = 1L): org.apache.spark.sql.types.StructType =
-    org.apache.spark.sql.types.StructType(
-      schema.fields.zipWithIndex.map { case (f, i) =>
-        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
-          .withMetadata(f.metadata).putLong(FieldIdKey, startAt + i).build())
-      })
+      startAt: Long = 1L): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    var next = startAt
+    def walkType(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map(walkField))
+      case ArrayType(et, n) => ArrayType(walkType(et), n)
+      case MapType(kt, vt, n) => MapType(walkType(kt), walkType(vt), n)
+      case other => other
+    }
+    def walkField(f: StructField): StructField = {
+      val id = next; next += 1
+      f.copy(
+        metadata = new MetadataBuilder()
+          .withMetadata(f.metadata).putLong(FieldIdKey, id).build(),
+        dataType = walkType(f.dataType))
+    }
+    StructType(schema.fields.map(walkField))
+  }
+
+  /** Every field nullable, recursively, metadata (field ids)
+    * preserved — the domain [[stampFieldIds]] compares and casts in. */
+  private def relaxNullability(
+      dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case st: StructType => StructType(st.fields.map(f =>
+        f.copy(dataType = relaxNullability(f.dataType), nullable = true)))
+      case ArrayType(et, _) => ArrayType(relaxNullability(et), true)
+      case MapType(kt, vt, _) =>
+        MapType(relaxNullability(kt), relaxNullability(vt), true)
+      case other => other
+    }
+  }
 
   /** Re-stamp the catalog schema's field-id metadata onto `df` by
     * name — transforms (withColumn, aliases, casts) silently DROP
-    * column metadata, so every write path into an id-mapped table
-    * must re-stamp just before the write or the new files would lack
-    * the ids the read path matches on (which reads refuse loudly).
-    * Columns absent from `schema` (partition/helper columns) pass
-    * through untouched. */
+    * top-level column metadata, so every write path into an id-mapped
+    * table must re-stamp just before the write or the new files would
+    * lack the ids the read path matches on (which reads refuse
+    * loudly). NESTED ids live in the column's DataType (StructField
+    * metadata inside the struct), which aliases preserve but struct
+    * REBUILDS (named_struct, withField) drop — a struct-typed column
+    * whose type no longer equals the catalog's re-stamps by an
+    * identity cast to the catalog type (position-matched: every graft
+    * write path reads pinned to this same schema). Columns absent
+    * from `schema` (partition/helper columns) pass through. */
   def stampFieldIds(df: DataFrame,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     if (!hasFieldIds(schema)) df
     else df.select(df.columns.toSeq.map { c =>
       schema.fields.find(_.name == c) match {
         case Some(f) if f.metadata.contains(FieldIdKey) =>
-          col(c).as(c, f.metadata)
+          // compare and cast in the all-nullable domain: the parquet
+          // reader relaxes nullability, and a cast into a non-null
+          // struct field refuses — the ids ride metadata either way
+          val target = relaxNullability(f.dataType)
+          val needsTypeStamp = f.dataType match {
+            case _: org.apache.spark.sql.types.StructType |
+                 _: org.apache.spark.sql.types.ArrayType |
+                 _: org.apache.spark.sql.types.MapType =>
+              df.schema.find(_.name == c).exists(x =>
+                relaxNullability(x.dataType) != target)
+            case _ => false
+          }
+          val base = if (needsTypeStamp) col(c).cast(target) else col(c)
+          base.as(c, f.metadata)
         case _ => col(c)
       }
     }: _*)
@@ -773,6 +838,11 @@ object FileManifest {
     * table; the superseded originals and sidecars stay on disk for
     * the caller's retention sweep (the grace discipline readers
     * holding the old snapshot need). */
+  /** Above this many distinct delete keys, the anti-filter becomes a
+    * broadcast anti-join instead of an `isin` literal: a GDPR batch of
+    * 10⁶ keys as an in-expression bloats the plan and codegen. */
+  private val MorIsinThreshold = 1000
+
   def applyDeletesMoR(spark: SparkSession, table: MorTable,
       rewriteDir: String): MorTable = {
     if (table.deleteFiles.isEmpty) return table
@@ -785,40 +855,40 @@ object FileManifest {
     // bounded: equality-delete sidecars hold deleted KEYS (a CDC/GDPR
     // batch), not table rows
     val keys = delKeys.collect().map(_.getLong(0)).sorted
+    // min/max prune by BINARY SEARCH per file (O(files · log keys)):
+    // a file is affected iff some key lands inside its [min, max]
+    def hasKeyIn(lo: Long, hi: Long): Boolean = {
+      val i = java.util.Arrays.binarySearch(keys, lo)
+      val at = if (i >= 0) i else -i - 1
+      at < keys.length && keys(at) <= hi
+    }
     val (affected, untouched) = table.data.partition(f =>
-      keys.exists(k => k >= f.min && k <= f.max))
+      hasKeyIn(f.min, f.max))
     if (affected.isEmpty) return MorTable(table.column, table.data, Nil)
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val jobs = affected.zipWithIndex.map { case (f, i) =>
-      Future {
-        val dst = f"$rewriteDir/mor_$i%05d"
-        val keep = udfFreeNotIn(spark.read.parquet(f.path), table.column, keys)
-        keep.coalesce(1)
-          .sortWithinPartitions(table.column)
-          .write.mode(SaveMode.Overwrite).parquet(dst)
-        dst
+    // ONE distributed job over every affected file (the rewriteFlat
+    // discipline every other raw rewrite rides — the per-file Future
+    // fan-out retired r13/r14); small key sets anti-filter as a
+    // codegen'd `isin` literal, large ones as a broadcast anti-join
+    // (nulls survive either way: a null key matches no equality)
+    val anti: DataFrame => DataFrame =
+      if (keys.length <= MorIsinThreshold)
+        df => df.where(col(table.column).isNull ||
+          !col(table.column).isin(keys: _*))
+      else {
+        val keyDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            keys.toIndexedSeq.map(org.apache.spark.sql.Row(_)), 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("__g_delkey",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+        df => df.join(broadcast(keyDf),
+          df(table.column) === keyDf("__g_delkey"), "left_anti")
       }
-    }
-    val dirs = Await.result(Future.sequence(jobs),
-      scala.concurrent.duration.Duration.Inf)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fresh = dirs.flatMap { d =>
-      val fs = new Path(d).getFileSystem(conf)
-      fs.listStatus(new Path(d)).toSeq
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-        .map(_.getPath.toString)
-    }
-    val stats = statsFor(spark, fresh, Seq(table.column))
-      .map(_(table.column)).filter(_.rows > 0)
+    val stats = rewriteFlat(spark, affected.map(_.path), table.column,
+      rewriteDir, "mor", anti, shufflePerFk = false)
+      .filter(_.rows > 0)
     MorTable(table.column, (untouched ++ stats).sortBy(_.path), Nil)
   }
-
-  /** `col NOT IN keys` (nulls kept) without a UDF: an `isin` under a
-    * negation keeps the filter codegen'd and pushable. */
-  private def udfFreeNotIn(df: DataFrame, column: String,
-      keys: Seq[Long]): DataFrame =
-    df.where(col(column).isNull || !col(column).isin(keys: _*))
 
   /** SCHEMA EVOLUTION at read time — zero rewrite. A column mapping
     * row is (logical name, physical candidates newest-first, default):
@@ -1313,8 +1383,12 @@ object FileManifest {
       val pcol = pm.partitions.keys.headOption
         .filter(_.contains('=')).map(_.substring(0,
           pm.partitions.keys.head.indexOf('=')))
+      // logical filter values -> on-disk directory keys: the layout
+      // writer Hive-escapes ':', '/', '%', '=' … in leaf names, so the
+      // keep-list must be built in the SAME (escaped) domain
       val keep = pcol.flatMap(c => partFilters.get(c)
-        .map(vs => vs.map(v => s"$c=$v")))
+        .map(vs => vs.map(v =>
+          s"$c=${ExternalCatalogUtils.escapePathName(v)}")))
       val base = readPrunedPartitioned(spark, pm, keep, lo, hi)
       partFilters.foldLeft(base) { case (d, (c, vs)) =>
         require(d.columns.contains(c),
@@ -1432,7 +1506,10 @@ object FileManifest {
       // Names without '=' have no column to re-derive — file-list
       // pruning already applied.
       case Some(ps) if ps.nonEmpty && ps.forall(_.contains('=')) =>
-        val vals = ps.map(p => p.substring(p.indexOf('=') + 1))
+        // keys are on-disk (Hive-escaped); the data column the filter
+        // compares against carries LOGICAL values — unescape to match
+        val vals = ps.map(p => ExternalCatalogUtils.unescapePathName(
+          p.substring(p.indexOf('=') + 1)))
         val pcol = ps.head.substring(0, ps.head.indexOf('='))
         ranged.filter(col(pcol).cast("string").isin(vals: _*))
       case _ => ranged
@@ -1587,7 +1664,8 @@ object FileManifest {
     val inherited =
       if (next == 0L) Map.empty[String, String]
       else versionMeta(spark, root, next - 1)
-        .view.filterKeys(k => k == "schema" || k == "maxFieldId").toMap
+        .view.filterKeys(k => k == "schema" || k == "maxFieldId" ||
+          k == "constraints").toMap
     val fullMeta = inherited ++ meta
     if (fullMeta.nonEmpty) {
       val out = fs.create(new Path(s"$root/v$next", "_meta"), true)
@@ -1637,6 +1715,72 @@ object FileManifest {
       .collectFirst { case Some(json) =>
         org.apache.spark.sql.types.DataType.fromJson(json)
           .asInstanceOf[org.apache.spark.sql.types.StructType] }
+
+  // ---- WRITE-TIME CHECK CONSTRAINTS (the Delta contract) -----------
+  //
+  // Declared by `ALTER TABLE t ADD CONSTRAINT n CHECK (expr)` (NOT
+  // NULL is sugar for `c IS NOT NULL`), stored in version `_meta`
+  // under `constraints` and INHERITED forward by every commit — a
+  // version is self-describing about the invariants its rows satisfy.
+  // Enforced at every batch-landing seam (INSERT adoption, writer
+  // append/overwrite, UPDATE/MERGE commit, streaming sink) by ONE
+  // aggregate scan of the BATCH (never the table): a violating batch
+  // refuses atomically — the files are invisible until the commit the
+  // refusal prevents. SQL CHECK semantics: NULL passes, only FALSE
+  // violates.
+
+  /** Newline-free `_meta` encoding: `name:urlencoded-expr;…`. */
+  private[graft] def encodeConstraints(
+      cs: Seq[(String, String)]): String =
+    cs.map { case (n, e) =>
+      n + ":" + java.net.URLEncoder.encode(e, "UTF-8") }.mkString(";")
+
+  private[graft] def decodeConstraints(s: String): Seq[(String, String)] =
+    if (s.trim.isEmpty) Nil
+    else s.split(';').toSeq.filter(_.nonEmpty).map { p =>
+      val i = p.indexOf(':')
+      (p.substring(0, i),
+        java.net.URLDecoder.decode(p.substring(i + 1), "UTF-8"))
+    }
+
+  /** CHECK constraints in force at the head (name, expression SQL). */
+  def constraintsAt(spark: SparkSession, root: String)
+      : Seq[(String, String)] =
+    latestVersion(spark, root).toSeq.flatMap(v =>
+      versionMeta(spark, root, v).get("constraints")
+        .map(decodeConstraints).getOrElse(Nil))
+
+  /** Refuse `batch` if any row violates a declared constraint — ONE
+    * aggregate job over the batch computing every constraint's
+    * violation count at once. `cleanup` runs before the throw so the
+    * refused files never land (atomic: nothing was committed yet). */
+  def enforceConstraints(spark: SparkSession, root: String,
+      batch: DataFrame, operation: String,
+      cleanup: () => Unit = () => ()): Unit = {
+    val cs = constraintsAt(spark, root)
+      // a constraint referencing a column this batch doesn't carry
+      // (pre-evolution epochs in a feed) cannot be checked here —
+      // resolution would fail loudly; restrict to resolvable ones
+      .filter { case (_, e) =>
+        try { batch.select(expr(e)); true }
+        catch { case _: org.apache.spark.sql.AnalysisException => false }
+      }
+    if (cs.isEmpty) return
+    val row = batch.select(cs.map { case (n, e) =>
+      sum(when(not(coalesce(expr(e), lit(true))), 1L)
+        .otherwise(0L)).as(n) }: _*).head()
+    val bad = cs.zipWithIndex.flatMap { case ((n, e), i) =>
+      val v = if (row.isNullAt(i)) 0L else row.getLong(i)
+      if (v > 0) Some(s"`$n` CHECK ($e): $v row(s)") else None
+    }
+    if (bad.nonEmpty) {
+      cleanup()
+      throw new IllegalStateException(
+        s"graft $operation refused: the batch violates " +
+          s"${bad.size} constraint(s) — ${bad.mkString("; ")}. " +
+          "Nothing was committed.")
+    }
+  }
 
   /** High-water field id at the head: the committed `maxFieldId`
     * marker (inherited forward by every commit), falling back to the

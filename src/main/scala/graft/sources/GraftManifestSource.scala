@@ -3,6 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BoundReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Predicate}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -194,6 +195,18 @@ final class GraftManifestSource extends RelationProvider
           FileManifest.stampFieldIds(data, _))
         FileManifest.writePartitionedLayout(stamped, dataDir, partCols,
           clusterCol, numFiles)
+        // WRITE-TIME CONSTRAINTS: the landed batch (invisible until
+        // the commit below) must satisfy every declared CHECK; a
+        // violating append/overwrite refuses atomically, the batch
+        // dir swept (create commits v0 — nothing declared yet)
+        if (existing.isDefined)
+          FileManifest.enforceConstraints(spark, root,
+            spark.read.parquet(dataDir), s"$op batch",
+            cleanup = () => {
+              val dfs = new Path(dataDir).getFileSystem(
+                spark.sparkContext.hadoopConfiguration)
+              dfs.delete(new Path(dataDir), true); ()
+            })
         // footer-stat ONLY the new files (batch-sized metadata work)
         val fresh = FileManifest.buildPartitioned(spark, dataDir, clusterCol)
         val schemaMeta: Map[String, String] = op match {
@@ -664,6 +677,19 @@ final class GraftStreamSink(spark: SparkSession, root: String,
         FileManifest.stampFieldIds(df, _))
       FileManifest.writePartitionedLayout(stamped, dataDir, partCols,
         clusterCol, numFiles)
+      // WRITE-TIME CONSTRAINTS: the micro-batch must satisfy every
+      // declared CHECK before its conditional commit — a violating
+      // batch refuses atomically and FAILS THE QUERY (never
+      // partial-lands); the operator fixes the stream and restarts,
+      // and recovery replays the batch against the same gate
+      if (next > 0L)
+        FileManifest.enforceConstraints(spark, root,
+          spark.read.parquet(dataDir), s"streaming batch $batchId",
+          cleanup = () => {
+            val dfs = new Path(dataDir).getFileSystem(
+              spark.sparkContext.hadoopConfiguration)
+            dfs.delete(new Path(dataDir), true); ()
+          })
       val fresh = FileManifest.buildPartitioned(spark, dataDir, clusterCol)
       val sinkSchemaMeta: Map[String, String] =
         if (next == 0L) sinkIdSchema.map(s => Map("schema" -> s.json,
@@ -735,6 +761,17 @@ final class ManifestFileIndex(spark: SparkSession,
     * discipline, reused by DELETE/UPDATE commands). */
   private[graft] def advanceSnapshot(
       pm2: FileManifest.PartitionedManifest): Unit = {
+    // the partition-column TYPES were inferred from the construction
+    // snapshot and are baked into this relation's resolved schema; an
+    // adopted directory whose value no longer round-trips under that
+    // ladder (e.g. `p=007` on an int-inferred level) would mis-coerce
+    // or throw deep inside listFiles — refuse HERE, loudly, instead
+    val t2 = inferPartTypes(pm2)
+    require(t2 == partTypes,
+      s"adopted partition values change the inferred partition-column " +
+        s"types (${partTypes.mkString(", ")} -> ${t2.mkString(", ")}) " +
+        s"under the resolved schema; re-resolve the table (new reader) " +
+        s"to pick up the widened types")
     pmCur = pm2
     statusByPath = statFiles(pm2)
   }
@@ -742,33 +779,42 @@ final class ManifestFileIndex(spark: SparkSession,
   // "<col>=<value>[/<col2>=<value2>…]" — the (possibly Hive-nested)
   // dynamic-partition directory encoding the layout writer produced
   // and the catalog recorded verbatim; one directory LEVEL per
-  // partition column
+  // partition column. Catalog KEYS stay in the on-disk (Hive-escaped)
+  // domain end-to-end; every decode to LOGICAL values unescapes here,
+  // so `p = '2024-01-01 12:00:00'` (written as `12%3A00%3A00` on disk)
+  // prunes, reads back, and routes DML correctly.
   private val partColNames: Seq[String] =
     pm.partitions.keysIterator.next().split('/').toSeq
-      .map(_.split("=", 2)(0))
+      .map(s => ExternalCatalogUtils.unescapePathName(s.split("=", 2)(0)))
   private val partColName = partColNames.head
   private def partValues(key: String): Seq[String] = {
     val segs = key.split('/').toSeq
     require(segs.size == partColNames.size,
       s"catalog key `$key` does not match the ${partColNames.size}-level " +
         s"partitioning (${partColNames.mkString(", ")})")
-    segs.map(_.split("=", 2)(1))
+    segs.map(s => ExternalCatalogUtils.unescapePathName(s.split("=", 2)(1)))
   }
 
   // partition column TYPES, inferred per level from the
   // directory-encoded values by Spark's own partition-discovery ladder
   // (int → long → string, canonical round-trip only so "007" stays a
   // string): a numeric partition column written through the front door
-  // surfaces with its numeric type instead of silently diverging
-  private val partTypes: Seq[org.apache.spark.sql.types.DataType] =
+  // surfaces with its numeric type instead of silently diverging.
+  // Re-validated by advanceSnapshot: an adopted INSERT directory whose
+  // value breaks the inferred ladder refuses loudly instead of
+  // mis-coercing on the cached index.
+  private def inferPartTypes(m: FileManifest.PartitionedManifest)
+      : Seq[org.apache.spark.sql.types.DataType] =
     partColNames.indices.map { i =>
-      val vs = pm.partitions.keysIterator.map(k => partValues(k)(i)).toSeq
+      val vs = m.partitions.keysIterator.map(k => partValues(k)(i)).toSeq
       def canonInt(s: String) = s.toIntOption.exists(_.toString == s)
       def canonLong(s: String) = s.toLongOption.exists(_.toString == s)
       if (vs.forall(canonInt)) org.apache.spark.sql.types.IntegerType
       else if (vs.forall(canonLong)) org.apache.spark.sql.types.LongType
       else StringType
     }
+  private val partTypes: Seq[org.apache.spark.sql.types.DataType] =
+    inferPartTypes(pm)
   private def partRowValues(key: String): Seq[Any] =
     partValues(key).zip(partTypes).map {
       case (v, org.apache.spark.sql.types.IntegerType) => v.toInt
@@ -954,7 +1000,7 @@ final class ManifestFileIndex(spark: SparkSession,
           min = if (files.isEmpty) None else Some(files.map(_.min).min),
           max = if (files.isEmpty) None else Some(files.map(_.max).max)))
       }
-      .sortBy(_._1.map(String.valueOf).mkString(" "))
+      .sortBy(_._1.map(String.valueOf).mkString("\u0000"))
   }
 
   override def listFiles(partitionFilters: Seq[Expression],
@@ -1048,6 +1094,14 @@ final class ManifestFileIndex(spark: SparkSession,
         // was told never landed — discard them and re-arm instead
         cleanStaging()
       } else {
+        // WRITE-TIME CONSTRAINTS: the staged batch must satisfy every
+        // declared CHECK before anything moves — a violating INSERT
+        // refuses atomically (rows were never visible; staging is
+        // swept and re-armed, so the table is untouched)
+        FileManifest.enforceConstraints(spark, root,
+          spark.read.option("basePath", d.toString)
+            .parquet(stagedDirs.map(_.getPath.toString).sorted: _*),
+          "INSERT INTO", cleanup = () => cleanStaging())
         // adopt-by-move into a fresh immutable batch dir (uniquely
         // suffixed — a concurrent writer computing the same version
         // number must never share a dir whose Overwrite would wipe

@@ -24,8 +24,8 @@ class CoreSpec extends AnyFunSuite {
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
     // a duplicated key in the Map literal would silently drop an entry
-    assert(q.size == 250, s"expected 250 queries, got ${q.size}: check for duplicate keys")
-    assert(o.size == 249, s"expected 249 oracle-checked queries, got ${o.size}")
+    assert(q.size == 254, s"expected 254 queries, got ${q.size}: check for duplicate keys")
+    assert(o.size == 253, s"expected 253 oracle-checked queries, got ${o.size}")
   }
 
   test("every declared query has an oracle or is rows-only, and runs") {

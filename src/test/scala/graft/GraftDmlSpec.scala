@@ -20,6 +20,35 @@ class GraftDmlSpec extends AnyFunSuite {
     if (t == null) Nil
     else Option(t.getMessage).toSeq ++ messages(t.getCause)
 
+  test("repeated INSERT INTO the same partition: every batch lands (no catalog-tracked custom-location bypass)") {
+    // r14 regression: Spark registers each inserted partition in the
+    // session catalog at <tableLocation>/<part>; the NEXT insert into
+    // that partition then saw a "custom partition location" and moved
+    // its files there directly — bypassing staging, never adopted, a
+    // SILENT zero-row insert. GraftDmlRule now drops the tracking
+    // flag from graft insert commands.
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ins2").toString + "/cat"
+    (0 until 20).map(i => (i.toLong, i.toLong, if (i % 2 == 0) "x" else "y"))
+      .toDF("k", "v", "p")
+      .write.format("graft").option("path", root)
+      .option("partitionBy", "p").option("clusterBy", "k")
+      .option("files", "2").mode("overwrite").save()
+    spark.sql("DROP TABLE IF EXISTS ins2_t")
+    spark.sql(s"CREATE TABLE ins2_t USING graft OPTIONS (path '$root')")
+    for (i <- 0 until 3) {
+      spark.sql(s"INSERT INTO ins2_t SELECT CAST(${100 + i} AS BIGINT), " +
+        s"CAST($i AS BIGINT), 'x'")
+      assert(spark.sql("SELECT count(*) AS n FROM ins2_t")
+        .collect().head.getLong(0) == 21L + i,
+        s"insert ${i + 1} into the same partition must land")
+    }
+    // and nothing leaked into the table location outside the data tree
+    assert(!new java.io.File(s"$root/p=x").exists,
+      "no insert may write directly under the table root")
+  }
+
   test("SQL DELETE/UPDATE: CoW versions, parity, time travel, refusals") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-dml").toString
     val root = s"$tmp/cat"

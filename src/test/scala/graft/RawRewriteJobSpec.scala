@@ -103,6 +103,34 @@ class RawRewriteJobSpec extends AnyFunSuite {
     assert(t.where(col("k") === N + 5).count() == 1L)
   }
 
+  test("applyDeletesMoR: job count flat; large key set rides the anti-join") {
+    import spark.implicits._
+    val (t2, m2) = mkLayout(2)
+    val (t16, m16) = mkLayout(16)
+    // 1900 keys — above the isin threshold, so the anti-filter is the
+    // broadcast anti-join path, in ONE distributed rewrite job
+    def morOf(tmp: String, m: Seq[FileManifest.FileStats]) =
+      FileManifest.deleteKeysMoR(spark,
+        FileManifest.MorTable("k", m, Nil),
+        (100L until 3900L by 2).toDF("k"), s"$tmp/del")
+    val mor2 = morOf(t2, m2)
+    val mor16 = morOf(t16, m16)
+    var r2: FileManifest.MorTable = null
+    var r16: FileManifest.MorTable = null
+    val j2 = jobsDuring {
+      r2 = FileManifest.applyDeletesMoR(spark, mor2, s"$t2/rw") }
+    val j16 = jobsDuring {
+      r16 = FileManifest.applyDeletesMoR(spark, mor16, s"$t16/rw") }
+    assert(j16 <= j2 + 2,
+      s"applyDeletesMoR must be O(1) jobs, not O(affected files): " +
+        s"2-file layout ran $j2, 16-file ran $j16")
+    val a = FileManifest.readAll(spark, r2.data).orderBy("k").collect().toSeq
+    val b = FileManifest.readAll(spark, r16.data).orderBy("k").collect().toSeq
+    assert(a == b)
+    assert(a.size == (N - 1900).toInt)
+    assert(r16.deleteFiles.isEmpty, "compaction must fold the sidecars in")
+  }
+
   test("compact: job count flat; bins read back identically") {
     val (t2, m2) = mkLayout(4)
     val (t16, m16) = mkLayout(32)
