@@ -3719,7 +3719,6 @@ object SparkEntry {
       val oldThr = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
       val oldAqe = s.conf.getOption("spark.sql.adaptive.enabled")
       s.conf.set("spark.sql.cbo.enabled", "true")
-      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "8192")
       s.conf.set("spark.sql.adaptive.enabled", "false")
       try {
         // `big` is a FILE relation (a LocalRelation would have the
@@ -3727,6 +3726,16 @@ object SparkEntry {
         // no stats at all); the filtered graft side joins against it
         val big = s.read.parquet(s"$dir/events.parquet")
           .select("user_id", "event_id")
+        // the broadcast threshold is derived from the NO-STATS
+        // estimates (half the smaller join side) so the premise —
+        // un-analyzed ⇒ both sides over threshold ⇒ sort-merge —
+        // holds at every scale factor; a fixed byte constant breaks
+        // at SFs where the whole table is smaller than it
+        val filtEst = s.table("f44_events").where(col("user_id") < 1)
+          .queryExecution.optimizedPlan.stats.sizeInBytes
+        val bigEst = big.queryExecution.optimizedPlan.stats.sizeInBytes
+        val thr = (filtEst.min(bigEst) / 2).max(BigInt(1))
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", thr.toString)
         def flip = big.join(s.table("f44_events")
           .where(col("user_id") < 1), "user_id")
         def isBroadcast = flip.queryExecution.sparkPlan.collect {
