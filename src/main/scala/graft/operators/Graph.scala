@@ -639,12 +639,19 @@ object Graph {
         .join(nc, Seq("node", "label"), "left")
         .select(col("node"), col("label"),
           coalesce(col("l_ic"), lit(0L)).as("l_ic"))
-      val cand = nc.select("node", "label", "l_ic")
-        .union(curCand).distinct()
+      // nc rows are unique per (node, label) by construction and
+      // curCand duplicates at most the node's current-community nc row
+      // VERBATIM (same l_ic) — the downstream per-node struct-max is
+      // duplicate-insensitive, so the old union().distinct()'s full
+      // exchange + dedup of the candidate set bought nothing
+      val cand = nc.select("node", "label", "l_ic").union(curCand)
+      // node-keyed joins first (one exchange serves both), the
+      // label-keyed tot join last — the old node→label→node order
+      // re-exchanged the candidate set a third time
       val gains = cand
         .join(deg, "node")
-        .join(tot, "label")
         .join(labels.select(col("node"), col("label").as("__cur")), "node")
+        .join(tot, "label")
         .select(col("node"), col("label"),
           (lit(2L * m) * col("l_ic") - col("k") *
             (col("tot") - when(col("label") === col("__cur"), col("k"))
@@ -702,12 +709,15 @@ object Graph {
         .join(nc, Seq("node", "label"), "left")
         .select(col("node"), col("label"),
           coalesce(col("l_ic"), lit(0L)).as("l_ic"))
-      val cand = nc.select("node", "label", "l_ic")
-        .union(curCand).distinct()
+      // same duplicate-insensitivity argument as [[louvain]]: the
+      // struct-max absorbs curCand's verbatim duplicate of the
+      // current-community nc row, so no distinct; node-keyed joins
+      // grouped before the label-keyed one to share one exchange
+      val cand = nc.select("node", "label", "l_ic").union(curCand)
       val gains = cand
         .join(deg, "node")
-        .join(tot, "label")
         .join(labels.select(col("node"), col("label").as("__cur")), "node")
+        .join(tot, "label")
         .select(col("node"), col("label"),
           (lit(2L * m) * col("l_ic") - col("k") *
             (col("tot") - when(col("label") === col("__cur"), col("k"))
@@ -973,6 +983,10 @@ object Graph {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
+      // referenced FOUR times below (m, ec, both deg branches):
+      // materialize once instead of re-running the normalize+distinct
+      // over the source per branch
+      .transform(ckpt)
     val l = labels.select(col("node"), col("label"))
     val m = und.agg(count(lit(1)).as("__g_m"))
     // internal-edge counts: both endpoints in the community
@@ -1316,15 +1330,35 @@ object Graph {
       .where(col("dx") < col("dy") ||
         (col("dx") === col("dy") && col("x") < col("y")))
     // close x→y: the orientation makes this the only possible closing
-    // direction, so one semi-shaped equi-join finishes the triangle
-    val tris = wedges.join(
-      eo.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+    // direction, so one semi-shaped equi-join finishes the triangle.
+    // The wedge set is Θ(Σ deg²) — BY FAR the widest relation here —
+    // while the closing side is just the edge list: broadcasting the
+    // edges keeps every wedge where it was produced (co-partitioned on
+    // u from the checkpoint) instead of hash-exchanging the whole
+    // wedge set on (x, y). Adaptive: above the row threshold (conf
+    // `spark.graft.broadcast.maxRows`, default 4M ≈ tens of MB built)
+    // the edge list stops fitting executor memory and the close join
+    // falls back to the shuffled plan — the 100 TB path.
+    val closeSide = eo.select(col("u").as("x"), col("v").as("y"))
+    val nEdges = und.count() // O(1)-ish: counts the materialized ckpt
+    val tris = (if (nEdges <= broadcastMaxRows(edges))
+        wedges.join(broadcast(closeSide), Seq("x", "y"))
+      else wedges.join(closeSide, Seq("x", "y")))
       .select(col("u"), col("x"), col("y"))
-    tris.select(col("u").as("node"))
-      .union(tris.select(col("x").as("node")))
-      .union(tris.select(col("y").as("node")))
+    // one evaluation of the wedge pipeline: exploding each triangle's
+    // three corners replaces the 3-way union of projections, which
+    // re-evaluated the whole join subtree once per branch
+    tris.select(explode(array(col("u"), col("x"), col("y"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
   }
+
+  /** Row threshold under which a relation referenced by every task is
+    * broadcast instead of shuffled against (triangle closing, etc.).
+    * Conf-overridable so a deployment can size it to executor memory;
+    * the default keeps the built hash relation in the tens of MB. */
+  private def broadcastMaxRows(df: DataFrame): Long =
+    df.sparkSession.conf.get("spark.graft.broadcast.maxRows", "4000000")
+      .toLong
 
   /** DOULION-style SAMPLED triangle counting — the 100 TB path next
     * to the exact [[triangleCounts]] (the g13 sampled-centrality
@@ -1443,8 +1477,14 @@ object Graph {
     var auth = nodes.select(col("node"), lit(scale).as("auth"))
     var hub = nodes.select(col("node"), lit(scale).as("hub"))
     for (_ <- 1 to iterations) {
-      val ain = eSrc.join(hub, eSrc("src") === hub("node"))
-        .groupBy(eSrc("dst").as("node")).agg(sum("hub").as("s"))
+      // the inflow is referenced TWICE per half-round (the max
+      // normalizer and the rank join) — without the eager checkpoint
+      // the edge⋈state join subtree is EVALUATED TWICE per half-round
+      // (profiled: duplicate concurrent |E|-join jobs), doubling the
+      // round's dominant cost; materializing the node-sized inflow
+      // once halves it
+      val ain = ckpt(eSrc.join(hub, eSrc("src") === hub("node"))
+        .groupBy(eSrc("dst").as("node")).agg(sum("hub").as("s")))
       val amax = ain.agg(
         greatest(coalesce(max(col("s")), lit(0L)), lit(1L)).as("m"))
       auth = ckpt(nodes.join(ain, Seq("node"), "left")
@@ -1452,8 +1492,8 @@ object Graph {
         .select(col("node"),
           expr(s"(coalesce(s, CAST(0 AS BIGINT)) * $scale) div m")
             .as("auth")))
-      val hin = eDst.join(auth, eDst("dst") === auth("node"))
-        .groupBy(eDst("src").as("node")).agg(sum("auth").as("s"))
+      val hin = ckpt(eDst.join(auth, eDst("dst") === auth("node"))
+        .groupBy(eDst("src").as("node")).agg(sum("auth").as("s")))
       val hmax = hin.agg(
         greatest(coalesce(max(col("s")), lit(0L)), lit(1L)).as("m"))
       hub = ckpt(nodes.join(hin, Seq("node"), "left")
