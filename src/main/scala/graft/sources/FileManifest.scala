@@ -1553,12 +1553,14 @@ object FileManifest {
     val v = latestVersion(spark, root).getOrElse(
       sys.error(s"no committed catalog under $root"))
     val vdir = s"$root/v$v"
-    val nFiles = spark.read.parquet(vdir).count()
+    // footer-metadata count on the driver: the dispatch must not pay a
+    // Spark job just to decide whether planning needs one
+    val nFiles = catalogRowCount(spark, vdir)
     if (nFiles <= planThreshold)
       readPrunedPartitioned(spark, loadVersion(spark, root, v),
         keepPartitions, lo, hi)
     else {
-      val column = spark.read.parquet(s"$vdir/_column").head.getString(0)
+      val column = readColumnSidecar(spark, s"$vdir/_column")
       val survivors = plannedSurvivors(spark, vdir, keepPartitions, lo, hi)
       val anyFile = spark.read.parquet(vdir).select("path")
         .limit(1).head.getString(0)
@@ -1580,18 +1582,113 @@ object FileManifest {
     * loading it is one bounded read. */
   def savePartitioned(spark: SparkSession, pm: PartitionedManifest,
       path: String): Unit = {
-    import spark.implicits._
-    val rows = pm.partitions.toSeq.flatMap { case (part, files) =>
-      files.map(f => (part, f.path, f.rows, f.min, f.max, f.nulls))
-    }
-    rows.toDF("partition", "path", "rows", "min", "max", "nulls")
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite)
-      .parquet(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    // Overwrite semantics of the old Spark write, without the two
+    // Spark jobs: the catalog is O(files) DRIVER-SIDE rows (a 100 TB
+    // table at 1 GB/file is 10^5 rows — a side table), so launching a
+    // distributed write for it cost two job round-trips per COMMIT and
+    // bought nothing. Same on-disk form: one standard parquet file the
+    // distributed planning path (plannedSurvivors) scans unchanged.
+    fs.delete(dir, true)
+    fs.mkdirs(dir)
+    val w = catalogWriter(conf, new Path(dir, "part-00000.parquet"),
+      CatalogSchema)
+    val gf = new org.apache.parquet.example.data.simple.SimpleGroupFactory(
+      CatalogSchema)
+    try pm.partitions.toSeq.sortBy(_._1).foreach { case (part, files) =>
+      files.foreach { f =>
+        val g = gf.newGroup()
+        g.add("partition", part); g.add("path", f.path)
+        g.add("rows", f.rows); g.add("min", f.min); g.add("max", f.max)
+        g.add("nulls", f.nulls)
+        w.write(g)
+      }
+    } finally w.close()
     // the clustering column rides in a tiny metadata sidecar so a
     // loaded catalog cannot silently prune on the wrong column
-    spark.createDataset(Seq(pm.column)).toDF("column")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/_column")
+    val cdir = new Path(dir, "_column")
+    fs.mkdirs(cdir)
+    val cw = catalogWriter(conf, new Path(cdir, "part-00000.parquet"),
+      ColumnSidecarSchema)
+    val cgf = new org.apache.parquet.example.data.simple.SimpleGroupFactory(
+      ColumnSidecarSchema)
+    try cw.write(cgf.newGroup().append("column", pm.column))
+    finally cw.close()
+  }
+
+  /** Catalog side-table schema — mirrors exactly what the old Spark
+    * write produced (same names/types; readers are interchangeable). */
+  private val CatalogSchema =
+    org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      """message catalog {
+        |  required binary partition (UTF8);
+        |  required binary path (UTF8);
+        |  required int64 rows;
+        |  required int64 min;
+        |  required int64 max;
+        |  required int64 nulls;
+        |}""".stripMargin)
+  private val ColumnSidecarSchema =
+    org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      "message column_sidecar { required binary column (UTF8); }")
+
+  private def catalogWriter(conf: Configuration, file: Path,
+      schema: org.apache.parquet.schema.MessageType) =
+    org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+        .fromPath(file, conf))
+      .withConf(conf)
+      .withType(schema)
+      .build()
+
+  /** The data files of a catalog directory (non-recursive — the
+    * `_column` sidecar is a subdirectory and skips naturally). */
+  private def catalogParquetFiles(fs: FileSystem, dir: Path): Seq[Path] =
+    fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath).sortBy(_.getName)
+
+  /** Driver-side read of every row of a catalog parquet dir (works on
+    * both the old Spark-written files and [[savePartitioned]]'s). */
+  private def readCatalogGroups(conf: Configuration, fs: FileSystem,
+      dir: Path)(each: org.apache.parquet.example.data.Group => Unit)
+      : Unit =
+    catalogParquetFiles(fs, dir).foreach { f =>
+      val r = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+          f)
+        .withConf(conf).build()
+      try {
+        var g = r.read()
+        while (g != null) { each(g); g = r.read() }
+      } finally r.close()
+    }
+
+  /** The `_column` sidecar value, read on the driver. */
+  private[sources] def readColumnSidecar(spark: SparkSession,
+      path: String): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(path)
+    var col0: String = null
+    readCatalogGroups(conf, dir.getFileSystem(conf), dir) { g =>
+      if (col0 == null) col0 = g.getString("column", 0)
+    }
+    require(col0 != null, s"empty _column sidecar under $path")
+    col0
+  }
+
+  /** Catalog row count from footer metadata only — no row reads, no
+    * Spark job (the count a pruned-read dispatch threshold needs). */
+  private[sources] def catalogRowCount(spark: SparkSession,
+      path: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(path)
+    catalogParquetFiles(dir.getFileSystem(conf), dir).map { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
   }
 
   // ---- snapshot versioning (time travel) ----------------------------
@@ -1755,16 +1852,21 @@ object FileManifest {
     * violation count at once. `cleanup` runs before the throw so the
     * refused files never land (atomic: nothing was committed yet). */
   def enforceConstraints(spark: SparkSession, root: String,
-      batch: DataFrame, operation: String,
+      batch0: => DataFrame, operation: String,
       cleanup: () => Unit = () => ()): Unit = {
-    val cs = constraintsAt(spark, root)
-      // a constraint referencing a column this batch doesn't carry
-      // (pre-evolution epochs in a feed) cannot be checked here —
-      // resolution would fail loudly; restrict to resolvable ones
-      .filter { case (_, e) =>
-        try { batch.select(expr(e)); true }
-        catch { case _: org.apache.spark.sql.AnalysisException => false }
-      }
+    val declared = constraintsAt(spark, root)
+    // `batch0` stays by-name: constructing a parquet DataFrame costs a
+    // schema-inference job, which the no-constraints fast path (the
+    // overwhelmingly common case) must not pay
+    if (declared.isEmpty) return
+    val batch = batch0
+    // a constraint referencing a column this batch doesn't carry
+    // (pre-evolution epochs in a feed) cannot be checked here —
+    // resolution would fail loudly; restrict to resolvable ones
+    val cs = declared.filter { case (_, e) =>
+      try { batch.select(expr(e)); true }
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
+    }
     if (cs.isEmpty) return
     val row = batch.select(cs.map { case (n, e) =>
       sum(when(not(coalesce(expr(e), lit(true))), 1L)
@@ -2227,19 +2329,23 @@ object FileManifest {
     v
   }
 
-  /** Load a catalog persisted by [[savePartitioned]]. */
+  /** Load a catalog persisted by [[savePartitioned]] — pure driver
+    * parquet IO (the catalog is O(files) rows by construction); the
+    * old `spark.read` form paid ~4 Spark-job round-trips per load,
+    * which dominated every DML statement's wall time. */
   def loadPartitioned(spark: SparkSession, path: String): PartitionedManifest = {
-    val column = spark.read.parquet(s"$path/_column")
-      .head.getString(0)
-    val rows = spark.read.parquet(path)
-      .select("partition", "path", "rows", "min", "max", "nulls").collect()
-    val parts = rows.toSeq
-      .map(r => (r.getString(0),
-        FileStats(r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
-          r.getLong(5))))
-      .groupBy(_._1).map { case (p, fs) =>
-        p -> fs.map(_._2).sortBy(_.path)
-      }
+    val column = readColumnSidecar(spark, s"$path/_column")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(path)
+    val rows = Seq.newBuilder[(String, FileStats)]
+    readCatalogGroups(conf, dir.getFileSystem(conf), dir) { g =>
+      rows += ((g.getString("partition", 0),
+        FileStats(g.getString("path", 0), g.getLong("rows", 0),
+          g.getLong("min", 0), g.getLong("max", 0), g.getLong("nulls", 0))))
+    }
+    val parts = rows.result().groupBy(_._1).map { case (p, fs) =>
+      p -> fs.map(_._2).sortBy(_.path)
+    }
     PartitionedManifest(column, parts)
   }
 }
