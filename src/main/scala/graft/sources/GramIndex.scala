@@ -67,18 +67,22 @@ object GramIndex {
     liveGeneration(spark, path).map(g => s"$path/gen-$g").getOrElse(path)
 
   private def meta(spark: SparkSession, path: String): Meta = {
-    val df = spark.read.parquet(s"${root(spark, path)}/stats")
-    val r = df.head()
-    val tf = if (df.columns.contains("tombFolded"))
-      r.getAs[Long]("tombFolded") else -1L
-    Meta(r.getAs[Int]("n"), r.getAs[Int]("buckets"), tf)
+    val g = DriverParquet.read(spark, s"${root(spark, path)}/stats").head
+    val tf = if (DriverParquet.has(g, "tombFolded"))
+      g.getLong("tombFolded", 0) else -1L
+    Meta(g.getInteger("n", 0), g.getInteger("buckets", 0), tf)
   }
+
+  private val StatsSchema = DriverParquet.schema(
+    "message stats { optional int32 n; optional int32 buckets; " +
+      "optional int64 tombFolded; }")
 
   private def writeStats(spark: SparkSession, dir: String, n: Int,
       buckets: Int, tombFolded: Long): Unit =
-    spark.range(1).select(lit(n).as("n"), lit(buckets).as("buckets"),
-        lit(tombFolded).as("tombFolded"))
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir)
+    DriverParquet.overwrite(spark, dir, StatsSchema) { gf =>
+      Seq(gf.newGroup().append("n", n).append("buckets", buckets)
+        .append("tombFolded", tombFolded))
+    }
 
   /** Committed tombstone batch seqs (marker exists). */
   def committedTombs(spark: SparkSession, path: String): Seq[Long] = {

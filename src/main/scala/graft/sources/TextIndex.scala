@@ -76,11 +76,10 @@ object TextIndex {
       .parquet(s"$path/postings")
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     dl.write.mode(SaveMode.Overwrite).parquet(s"$path/doclen")
-    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
-      .withColumn("buckets", lit(buckets))
-      .withColumn("folded_through", lit(-1L))
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
+    val st = dl.agg(count(lit(1)),
+      coalesce(sum(col("dl")), lit(0L))).head
+    writeStatsRow(docs.sparkSession, s"$path/stats", st.getLong(0),
+      st.getLong(1), buckets, -1L, -1L)
   }
 
   /** INCREMENTAL index maintenance: append an ingest batch's postings
@@ -111,15 +110,32 @@ object TextIndex {
     // one-row rewrite (the row is tiny; rewriting it is the whole
     // "commit"); folds into the BASE row only — streaming batch deltas
     // stay in their own side rows until compaction folds them
-    spark.range(1).select(
-        lit(base.nDocs + delta.getLong(0)).as("n_docs"),
-        lit(base.totTok + delta.getLong(1)).as("total_tokens"),
-        lit(base.buckets).as("buckets"),
-        lit(base.foldedThrough).as("folded_through"),
-        lit(base.tombFolded).as("tomb_folded"))
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$live/stats")
+    writeStatsRow(spark, s"$live/stats", base.nDocs + delta.getLong(0),
+      base.totTok + delta.getLong(1), base.buckets, base.foldedThrough,
+      base.tombFolded)
   }
+
+  private val StatsSchema = DriverParquet.schema(
+    """message stats {
+      |  optional int64 n_docs;
+      |  optional int64 total_tokens;
+      |  optional int32 buckets;
+      |  optional int64 folded_through;
+      |  optional int64 tomb_folded;
+      |}""".stripMargin)
+
+  /** Driver-side one-row stats commit — the row is a handful of
+    * scalars; a Spark write job per rewrite was pure overhead. */
+  private def writeStatsRow(spark: SparkSession, dir: String, nDocs: Long,
+      totTok: Long, buckets: Int, foldedThrough: Long,
+      tombFolded: Long): Unit =
+    DriverParquet.overwrite(spark, dir, StatsSchema) { gf =>
+      val g = gf.newGroup()
+      g.add("n_docs", nDocs); g.add("total_tokens", totTok)
+      g.add("buckets", buckets); g.add("folded_through", foldedThrough)
+      g.add("tomb_folded", tombFolded)
+      Seq(g)
+    }
 
   /** Fold the small files an [[append]] stream accumulates back into
     * ONE file per bucket, sorted by (term, doc_id, pos) — so term
@@ -197,14 +213,8 @@ object TextIndex {
     // tombstone fold the folded doclen IS the ground truth
     val st = spark.read.parquet(s"$genDir/doclen")
       .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head
-    spark.range(1).select(
-        lit(st.getLong(0)).as("n_docs"),
-        lit(st.getLong(1)).as("total_tokens"),
-        lit(base.buckets).as("buckets"),
-        lit(foldedThrough).as("folded_through"),
-        lit(tombFolded).as("tomb_folded"))
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$genDir/stats")
+    writeStatsRow(spark, s"$genDir/stats", st.getLong(0), st.getLong(1),
+      base.buckets, foldedThrough, tombFolded)
     // THE COMMIT — one atomic create; everything before this line is
     // invisible to readers, everything after is cleanup
     require(fs.createNewFile(new Path(path, s"commit-$nextGen")),
@@ -359,11 +369,12 @@ object TextIndex {
         .parquet(s"$bdir/postings")
       dl.write.mode(SaveMode.Overwrite).parquet(s"$bdir/doclen")
     }
-    spark.range(1).select(
-        lit(delta.getLong(0)).as("n_docs"),
-        lit(delta.getLong(1)).as("total_tokens"))
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$bdir/stats")
+    DriverParquet.overwrite(spark, s"$bdir/stats", DriverParquet.schema(
+      "message bstats { optional int64 n_docs; " +
+        "optional int64 total_tokens; }")) { gf =>
+      Seq(gf.newGroup().append("n_docs", delta.getLong(0))
+        .append("total_tokens", delta.getLong(1)))
+    }
     require(fs.createNewFile(marker),
       s"appendBatch: marker create failed for batch $batchId under $path")
   }
@@ -600,12 +611,11 @@ object TextIndex {
     * streaming batches. `folded_through` / `tomb_folded` tolerate
     * pre-column layouts. */
   private def baseStats(spark: SparkSession, path: String): BaseStats = {
-    val row = spark.read.parquet(s"${root(spark, path)}/stats").head
+    val g = DriverParquet.read(spark, s"${root(spark, path)}/stats").head
     def longOr(name: String, dflt: Long) =
-      if (row.schema.fieldNames.contains(name)) row.getAs[Long](name)
-      else dflt
-    BaseStats(row.getAs[Long]("n_docs"), row.getAs[Long]("total_tokens"),
-      row.getAs[Int]("buckets"), longOr("folded_through", -1L),
+      if (DriverParquet.has(g, name)) g.getLong(name, 0) else dflt
+    BaseStats(g.getLong("n_docs", 0), g.getLong("total_tokens", 0),
+      g.getInteger("buckets", 0), longOr("folded_through", -1L),
       longOr("tomb_folded", -1L))
   }
 
@@ -658,8 +668,8 @@ object TextIndex {
   private def batchStatsDeltas(spark: SparkSession, path: String,
       ids: Seq[Long]): (Long, Long) =
     ids.foldLeft((0L, 0L)) { case ((n, t), id) =>
-      val row = spark.read.parquet(s"$path/batch-$id/stats").head
-      (n + row.getAs[Long]("n_docs"), t + row.getAs[Long]("total_tokens"))
+      val g = DriverParquet.read(spark, s"$path/batch-$id/stats").head
+      (n + g.getLong("n_docs", 0), t + g.getLong("total_tokens", 0))
     }
 
   /** EFFECTIVE stats: the base row plus every committed-but-unfolded

@@ -990,8 +990,10 @@ object VectorIndex {
       cnts.coalesce(1).write.mode(SaveMode.Overwrite)
         .parquet(s"$bdir/counts")
     }
-    spark.range(1).select(lit(newN).as("n_vecs"))
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$bdir/stats")
+    DriverParquet.overwrite(spark, s"$bdir/stats",
+      DriverParquet.schema("message bstats { optional int64 n_vecs; }")) {
+      gf => Seq(gf.newGroup().append("n_vecs", newN))
+    }
     require(fs.createNewFile(marker),
       s"appendBatch: marker create failed for batch $batchId under $path")
   }
@@ -1203,8 +1205,8 @@ object VectorIndex {
   def stats(spark: SparkSession, path: String): (Long, Int, Int, Long, Int) = {
     val st = baseStats(spark, path)
     val extra = committedBatches(spark, path).filter(_ > st.foldedThrough)
-      .map(id =>
-        spark.read.parquet(s"$path/batch-$id/stats").head.getAs[Long]("n_vecs"))
+      .map(id => DriverParquet.read(spark, s"$path/batch-$id/stats")
+        .head.getLong("n_vecs", 0))
       .sum
     (st.nVecs + extra, st.clusters, st.scale, st.capacity, st.dim)
   }
@@ -1296,13 +1298,24 @@ object VectorIndex {
       .drop("__cent", "__res")
   }
 
+  private val BookSchema = DriverParquet.schema(
+    s"""message pqbook {
+       |  optional int32 cw;
+       |  ${DriverParquet.listField("c", "double")}
+       |  optional int32 subspaces;
+       |}""".stripMargin)
+
   private def writeBook(spark: SparkSession, dir: String,
-      book: Array[Array[Double]], subspaces: Int): Unit = {
-    import spark.implicits._
-    book.zipWithIndex.map { case (cw, i) => (i, cw.toSeq, subspaces) }.toSeq
-      .toDF("cw", "c", "subspaces")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir)
-  }
+      book: Array[Array[Double]], subspaces: Int): Unit =
+    DriverParquet.overwrite(spark, dir, BookSchema) { gf =>
+      book.zipWithIndex.toSeq.map { case (cw, i) =>
+        val g = gf.newGroup()
+        g.add("cw", i)
+        DriverParquet.addDoubles(g, "c", cw)
+        g.add("subspaces", subspaces)
+        g
+      }
+    }
 
   /** The shared residual book (codewords × dim, bounded) and its
     * subspace count. Fails loudly when the index was built without a
@@ -1313,10 +1326,11 @@ object VectorIndex {
       spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new Path(dir)),
       s"no PQ codebook under $path — build(pqSubspaces > 0) first")
-    val rows = spark.read.parquet(dir).collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+    val rows = DriverParquet.read(spark, dir)
+      .map(g => (g.getInteger("cw", 0), DriverParquet.getDoubles(g, "c"),
+        g.getInteger("subspaces", 0)))
       .sortBy(_._1)
-    (rows.map(_._2), rows.head._3)
+    (rows.map(_._2).toArray, rows.head._3)
   }
 
   private def hasBook(spark: SparkSession, path: String): Boolean = {
@@ -1327,43 +1341,63 @@ object VectorIndex {
   private final case class IdxStats(nVecs: Long, clusters: Int, scale: Int,
       capacity: Long, dim: Int, foldedThrough: Long, tombFolded: Long)
 
+  private val StatsSchema = DriverParquet.schema(
+    """message stats {
+      |  optional int64 n_vecs;
+      |  optional int32 clusters;
+      |  optional int32 scale;
+      |  optional int64 capacity;
+      |  optional int32 dim;
+      |  optional int64 folded_through;
+      |  optional int64 tomb_folded;
+      |}""".stripMargin)
+
   private def baseStats(spark: SparkSession, path: String): IdxStats = {
-    val df = spark.read.parquet(s"${root(spark, path)}/stats")
-    val r = df.head
+    val g = DriverParquet.read(spark,
+      s"${root(spark, path)}/stats").head
     // pre-delete layouts lack the tombstone watermark — read as -1
-    val tf = if (df.columns.contains("tomb_folded"))
-      r.getAs[Long]("tomb_folded") else -1L
-    IdxStats(r.getAs[Long]("n_vecs"), r.getAs[Int]("clusters"),
-      r.getAs[Int]("scale"), r.getAs[Long]("capacity"), r.getAs[Int]("dim"),
-      r.getAs[Long]("folded_through"), tf)
+    val tf = if (DriverParquet.has(g, "tomb_folded"))
+      g.getLong("tomb_folded", 0) else -1L
+    IdxStats(g.getLong("n_vecs", 0), g.getInteger("clusters", 0),
+      g.getInteger("scale", 0), g.getLong("capacity", 0),
+      g.getInteger("dim", 0), g.getLong("folded_through", 0), tf)
   }
 
   private def writeStats(spark: SparkSession, dir: String, n: Long,
       clusters: Int, scale: Int, capacity: Long, dim: Int,
       foldedThrough: Long, tombFolded: Long = -1L): Unit =
-    spark.range(1).select(
-        lit(n).as("n_vecs"), lit(clusters).as("clusters"),
-        lit(scale).as("scale"), lit(capacity).as("capacity"),
-        lit(dim).as("dim"), lit(foldedThrough).as("folded_through"),
-        lit(tombFolded).as("tomb_folded"))
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir)
+    DriverParquet.overwrite(spark, dir, StatsSchema) { gf =>
+      val g = gf.newGroup()
+      g.add("n_vecs", n); g.add("clusters", clusters); g.add("scale", scale)
+      g.add("capacity", capacity); g.add("dim", dim)
+      g.add("folded_through", foldedThrough); g.add("tomb_folded", tombFolded)
+      Seq(g)
+    }
+
+  private val CentroidSchema = DriverParquet.schema(
+    s"""message centroids {
+       |  optional int64 cid;
+       |  ${DriverParquet.listField("c", "int64")}
+       |}""".stripMargin)
 
   private def writeCentroids(spark: SparkSession, dir: String,
-      cents: Seq[(Long, Array[Long])]): Unit = {
-    import spark.implicits._
-    cents.map { case (cid, cv) => (cid, cv.toSeq) }
-      .toDF("cid", "c")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir)
-  }
+      cents: Seq[(Long, Array[Long])]): Unit =
+    DriverParquet.overwrite(spark, dir, CentroidSchema) { gf =>
+      cents.map { case (cid, cv) =>
+        val g = gf.newGroup()
+        g.add("cid", cid)
+        DriverParquet.addLongs(g, "c", cv)
+        g
+      }
+    }
 
   /** The coarse quantizer — `clusters` rows, a bounded driver-side
     * value by design (same cardinality contract as the trainer's own
     * collected centroids). */
   def readCentroids(spark: SparkSession, path: String): Seq[(Long, Array[Long])] =
-    spark.read.parquet(s"${root(spark, path)}/centroids")
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-      .sortBy(_._1).toSeq
+    DriverParquet.read(spark, s"${root(spark, path)}/centroids")
+      .map(g => (g.getLong("cid", 0), DriverParquet.getLongs(g, "c")))
+      .sortBy(_._1)
 
   private def root(spark: SparkSession, path: String): String =
     liveGeneration(spark, path).map(n => s"$path/gen-$n").getOrElse(path)
@@ -1392,12 +1426,14 @@ object VectorIndex {
   private def augCol(na: Column, qm2: Long): Column =
     floor(sqrt(greatest(lit(qm2) - na, lit(0L)).cast("double"))).cast("long")
 
+  private val MipsSchema =
+    DriverParquet.schema("message mipsnorm { optional int64 qm2; }")
+
   private def writeMipsNorm(spark: SparkSession, dir: String,
-      qm2: Long): Unit = {
-    import spark.implicits._
-    Seq(qm2).toDF("qm2")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir)
-  }
+      qm2: Long): Unit =
+    DriverParquet.overwrite(spark, dir, MipsSchema) { gf =>
+      Seq(gf.newGroup().append("qm2", qm2))
+    }
 
   /** The frozen max quantized squared norm M² of the MIPS tier. */
   def readMipsNorm(spark: SparkSession, path: String): Long = {
@@ -1406,7 +1442,7 @@ object VectorIndex {
       spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new Path(dir)),
       s"no MIPS norm under $path — build(mipsTier = true) first")
-    spark.read.parquet(dir).head.getLong(0)
+    DriverParquet.read(spark, dir).head.getLong("qm2", 0)
   }
 
   private def hasMipsNorm(spark: SparkSession, path: String): Boolean = {
@@ -1414,12 +1450,20 @@ object VectorIndex {
     dir.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(dir)
   }
 
+  private val SqSchema = DriverParquet.schema(
+    s"""message sqranges {
+       |  ${DriverParquet.listField("mns", "double")}
+       |  ${DriverParquet.listField("mxs", "double")}
+       |}""".stripMargin)
+
   private def writeSqRanges(spark: SparkSession, dir: String,
-      mns: Array[Double], mxs: Array[Double]): Unit = {
-    import spark.implicits._
-    Seq((mns.toSeq, mxs.toSeq)).toDF("mns", "mxs")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir)
-  }
+      mns: Array[Double], mxs: Array[Double]): Unit =
+    DriverParquet.overwrite(spark, dir, SqSchema) { gf =>
+      val g = gf.newGroup()
+      DriverParquet.addDoubles(g, "mns", mns)
+      DriverParquet.addDoubles(g, "mxs", mxs)
+      Seq(g)
+    }
 
   /** The frozen per-dim SQ ranges — appends and every SQ-tier read
     * must encode/decode against exactly these. */
@@ -1430,8 +1474,8 @@ object VectorIndex {
       spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new Path(dir)),
       s"no SQ ranges under $path — build(sqTier = true) first")
-    val r = spark.read.parquet(dir).head
-    (r.getSeq[Double](0).toArray, r.getSeq[Double](1).toArray)
+    val g = DriverParquet.read(spark, dir).head
+    (DriverParquet.getDoubles(g, "mns"), DriverParquet.getDoubles(g, "mxs"))
   }
 
   private def hasSqRanges(spark: SparkSession, path: String): Boolean = {
