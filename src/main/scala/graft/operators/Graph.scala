@@ -62,7 +62,10 @@ object Graph {
 
   private[graft] def buildRankGraph(edges: DataFrame, srcCol: String,
       dstCol: String): RankGraph = {
-    val e = normalize(edges, srcCol, dstCol)
+    // referenced four times below (both node-union branches, outdeg,
+    // the eo join): materialize the normalize+distinct once instead
+    // of re-running it per branch
+    val e = ckpt(normalize(edges, srcCol, dstCol))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       // per-round: LEFT join with inflow (hash(node)) + the dangling
@@ -536,11 +539,12 @@ object Graph {
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int, earlyExit: Boolean = false): DataFrame = {
     require(rounds >= 1)
-    val und = normalize(edges, srcCol, dstCol)
+    // both union branches read the distinct — materialize it once
+    val und = ckpt(normalize(edges, srcCol, dstCol)
       .where(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
-      .distinct()
+      .distinct())
     val ue = und.select(col("a").as("src"), col("b").as("dst"))
       .union(und.select(col("b").as("src"), col("a").as("dst")))
       // per-round neighbor-label count joins on src — pin hash(src)
@@ -1464,7 +1468,9 @@ object Graph {
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, scale: Long = 1000000L): DataFrame = {
     require(iterations >= 1 && scale >= 1)
-    val e = normalize(edges, srcCol, dstCol)
+    // eSrc, eDst and both node-union branches all read the normalized
+    // distinct — materialize it once
+    val e = ckpt(normalize(edges, srcCol, dstCol))
     val n = shuffleParts(edges)
     val eSrc = e.repartition(n, col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

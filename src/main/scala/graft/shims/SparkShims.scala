@@ -91,6 +91,14 @@ object SparkShims {
         a.executedPlan
       case p => p
     }
+    // NOTE (r14, measured): a bare LogicalRDD reports
+    // defaultSizeInBytes, so joins downstream of a checkpoint lose
+    // broadcast eligibility. Passing originStats =
+    // Some(qe.optimizedPlan.stats) here was tried and MEASURED WORSE
+    // on the iterative graph family (g2 standalone: 40.9 MB shuffle
+    // write / 3.98 s vs 34.2 MB / 3.37 s without) — the restored
+    // estimates flip per-round joins to broadcast, repaying the
+    // build-side broadcast with per-round rebuilds. Left as-is.
     org.apache.spark.sql.classic.Dataset.ofRows(spark,
       org.apache.spark.sql.execution.LogicalRDD(
         qe.analyzed.output, rdd, finalPlan.outputPartitioning,
