@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver captures a bounded stdout tail and parses the final
+// line as JSON. sbt's default LoggedOutput prefixes forked stdout with
+// "[info] " (and stderr with "[error] "), which has made the contract
+// line unparseable since r08. StdoutOutput passes the child's streams
+// through verbatim; showSuccess drops the trailing "[success] Total
+// time" line so the contract line is the stdout tail.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
