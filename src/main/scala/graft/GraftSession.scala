@@ -16,6 +16,24 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // DATA-AWARE partition sizing (r15): by default AQE coalesces
+      // only down to the default parallelism ("parallelismFirst"),
+      // so partition counts track the CORE count, not the data.
+      // Sizing post-shuffle partitions by BYTES (the advisory target)
+      // makes them track the data instead: 100 TB inputs get
+      // bytes/advisory partitions whatever the core count. The target
+      // is env-overridable for cluster deployments (128-256m is the
+      // production guidance — partitions in the 100MB-1GB range).
+      // The local default is deliberately tiny (1m): on local[32]
+      // there is no network and per-partition cost is scheduling-only,
+      // while local data is compute-dense per byte — 16m was MEASURED
+      // to serialize compute-heavy stages (d20 5.1→8.5 s, g19 ~2 s
+      // worse than at 1m); 1m merges only dust partitions and left
+      // every measured family flat-to-better.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "1m"))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -32,6 +50,14 @@ object GraftSession {
       // provider a long-running large-state stream needs
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // Changelog checkpointing (r15): commit uploads the per-batch
+      // changelog instead of a full RocksDB snapshot — the per-batch
+      // commit cost stops scaling with total state size (snapshots
+      // still happen, asynchronously in the background). Same state
+      // semantics, same provider; this is the documented production
+      // setting for frequent small commits.
+      .config("spark.sql.streaming.stateStore.rocksdb" +
+        ".changelogCheckpointing.enabled", "true")
       .config("spark.sql.extensions", classOf[graft.plans.GraftExtensions].getName)
 
   /** Local session for tests / exploration. */
