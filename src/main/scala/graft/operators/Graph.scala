@@ -624,37 +624,38 @@ object Graph {
       .union(und.select(col("b").as("src"), col("a").as("dst")))
       .repartition(shuffleParts(edges), col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val deg = ue.groupBy(col("src").as("node")).agg(count(lit(1)).as("k"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = deg.select(col("node"), col("node").as("label"))
+    // the round state CARRIES the node degree k (r15): `tot` becomes
+    // one label-keyed aggregation over the state instead of a
+    // labels⋈deg join per round, and the gains join resolves
+    // (k, current label) in ONE node-keyed join instead of two
+    var state = ue.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("k"))
+      .select(col("node"), col("node").as("label"), col("k"))
       .transform(ckpt)
     for (r <- 1 to rounds) {
       val gate = lit(r % 2)
-      val tot = labels.join(deg, "node")
-        .groupBy("label").agg(sum("k").as("tot"))
+      val tot = state.groupBy("label").agg(sum("k").as("tot"))
       // neighbor-community edge counts for the gated nodes
-      val nc = ue.join(labels, ue("src") === labels("node"))
+      val nc = ue.join(state.select(col("node"), col("label")),
+          ue("src") === col("node"))
         .where(ue("dst") % 2 === gate)
         .groupBy(ue("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("l_ic"))
-      // the node's CURRENT community is always a candidate (l_ic = 0
-      // when no neighbor shares it)
-      val curCand = labels.where(col("node") % 2 === gate)
-        .join(nc, Seq("node", "label"), "left")
-        .select(col("node"), col("label"),
-          coalesce(col("l_ic"), lit(0L)).as("l_ic"))
-      // nc rows are unique per (node, label) by construction and
-      // curCand duplicates at most the node's current-community nc row
-      // VERBATIM (same l_ic) — the downstream per-node struct-max is
-      // duplicate-insensitive, so the old union().distinct()'s full
-      // exchange + dedup of the candidate set bought nothing
-      val cand = nc.select("node", "label", "l_ic").union(curCand)
-      // node-keyed joins first (one exchange serves both), the
-      // label-keyed tot join last — the old node→label→node order
-      // re-exchanged the candidate set a third time
+      // the node's CURRENT community is always a candidate, and a
+      // ZERO-l_ic row suffices (r15 — no (node,label)-keyed join):
+      // when the node HAS same-community neighbors, nc already carries
+      // the true-l_ic row for the same label and the per-label gain is
+      // monotone in l_ic, so the struct-max sees the true gain; when
+      // it has none, zero IS the true l_ic
+      val cand = nc.select("node", "label", "l_ic").union(
+        state.where(col("node") % 2 === gate)
+          .select(col("node"), col("label"), lit(0L).as("l_ic")))
+      // node-keyed join first, the label-keyed tot join last — the
+      // old node→label→node order re-exchanged the candidate set a
+      // third time
       val gains = cand
-        .join(deg, "node")
-        .join(labels.select(col("node"), col("label").as("__cur")), "node")
+        .join(state.select(col("node"), col("label").as("__cur"),
+          col("k")), "node")
         .join(tot, "label")
         .select(col("node"), col("label"),
           (lit(2L * m) * col("l_ic") - col("k") *
@@ -663,13 +664,13 @@ object Graph {
       val best = gains.groupBy("node")
         .agg(max(struct(col("gain"), (-col("label")).as("nl"))).as("mx"))
         .select(col("node"), (-col("mx.nl")).as("blabel"))
-      labels = labels.join(best, Seq("node"), "left")
+      state = state.join(best, Seq("node"), "left")
         .select(col("node"),
-          coalesce(col("blabel"), col("label")).as("label"))
+          coalesce(col("blabel"), col("label")).as("label"), col("k"))
         .transform(ckpt)
     }
-    und.unpersist(); ue.unpersist(); deg.unpersist()
-    labels
+    und.unpersist(); ue.unpersist()
+    state.select("node", "label")
   }
 
   /** One gated weighted-local-move LEVEL over a WEIGHTED simple graph
@@ -693,34 +694,33 @@ object Graph {
     val nodes = ue.select(col("src").as("node"))
       .union(self.select(col("node"))).distinct()
     val degE = ue.groupBy(col("src").as("node")).agg(sum("w").as("__ke"))
-    val deg = nodes.join(degE, Seq("node"), "left")
+    // the round state CARRIES k (r15) — same restructure as
+    // [[louvain]]: tot needs no join, gains needs one node-keyed join
+    var state = nodes.join(degE, Seq("node"), "left")
       .join(self.select(col("node"), col("sl").as("__sl")),
         Seq("node"), "left")
-      .select(col("node"), (coalesce(col("__ke"), lit(0L)) +
-        lit(2L) * coalesce(col("__sl"), lit(0L))).as("k"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = deg.select(col("node"), col("node").as("label"))
+      .select(col("node"), col("node").as("label"),
+        (coalesce(col("__ke"), lit(0L)) +
+          lit(2L) * coalesce(col("__sl"), lit(0L))).as("k"))
       .transform(ckpt)
     for (r <- 1 to rounds) {
       val gate = lit(r % 2)
-      val tot = labels.join(deg, "node")
-        .groupBy("label").agg(sum("k").as("tot"))
-      val nc = ue.join(labels, ue("src") === labels("node"))
+      val tot = state.groupBy("label").agg(sum("k").as("tot"))
+      val nc = ue.join(state.select(col("node"), col("label")),
+          ue("src") === col("node"))
         .where(ue("dst") % 2 === gate)
         .groupBy(ue("dst").as("node"), col("label"))
         .agg(sum("w").as("l_ic"))
-      val curCand = labels.where(col("node") % 2 === gate)
-        .join(nc, Seq("node", "label"), "left")
-        .select(col("node"), col("label"),
-          coalesce(col("l_ic"), lit(0L)).as("l_ic"))
-      // same duplicate-insensitivity argument as [[louvain]]: the
-      // struct-max absorbs curCand's verbatim duplicate of the
-      // current-community nc row, so no distinct; node-keyed joins
-      // grouped before the label-keyed one to share one exchange
-      val cand = nc.select("node", "label", "l_ic").union(curCand)
+      // zero-l_ic current-community candidate — same argument as
+      // [[louvain]]: the per-label gain is monotone in l_ic and nc
+      // carries the true row when one exists, so the struct-max
+      // resolves to the true gain without a (node,label)-keyed join
+      val cand = nc.select("node", "label", "l_ic").union(
+        state.where(col("node") % 2 === gate)
+          .select(col("node"), col("label"), lit(0L).as("l_ic")))
       val gains = cand
-        .join(deg, "node")
-        .join(labels.select(col("node"), col("label").as("__cur")), "node")
+        .join(state.select(col("node"), col("label").as("__cur"),
+          col("k")), "node")
         .join(tot, "label")
         .select(col("node"), col("label"),
           (lit(2L * m) * col("l_ic") - col("k") *
@@ -729,13 +729,13 @@ object Graph {
       val best = gains.groupBy("node")
         .agg(max(struct(col("gain"), (-col("label")).as("nl"))).as("mx"))
         .select(col("node"), (-col("mx.nl")).as("blabel"))
-      labels = labels.join(best, Seq("node"), "left")
+      state = state.join(best, Seq("node"), "left")
         .select(col("node"),
-          coalesce(col("blabel"), col("label")).as("label"))
+          coalesce(col("blabel"), col("label")).as("label"), col("k"))
         .transform(ckpt)
     }
-    ue.unpersist(); deg.unpersist()
-    labels
+    ue.unpersist()
+    state.select("node", "label")
   }
 
   /** MULTI-LEVEL LOUVAIN (g21) — the coarsening recursion over the
@@ -1340,9 +1340,11 @@ object Graph {
     // edges keeps every wedge where it was produced (co-partitioned on
     // u from the checkpoint) instead of hash-exchanging the whole
     // wedge set on (x, y). Adaptive: above the row threshold (conf
-    // `spark.graft.broadcast.maxRows`, default 4M ≈ tens of MB built)
-    // the edge list stops fitting executor memory and the close join
-    // falls back to the shuffled plan — the 100 TB path.
+    // `spark.graft.broadcast.maxRows`, default 1M — a built two-long
+    // HashedRelation runs tens of bytes PER ROW once row headers and
+    // the hash map are counted, ~60-100 MB per million rows, and it is
+    // replicated per executor) the close join falls back to the
+    // shuffled plan — the 100 TB path.
     val closeSide = eo.select(col("u").as("x"), col("v").as("y"))
     val nEdges = und.count() // O(1)-ish: counts the materialized ckpt
     val tris = (if (nEdges <= broadcastMaxRows(edges))
@@ -1359,9 +1361,11 @@ object Graph {
   /** Row threshold under which a relation referenced by every task is
     * broadcast instead of shuffled against (triangle closing, etc.).
     * Conf-overridable so a deployment can size it to executor memory;
-    * the default keeps the built hash relation in the tens of MB. */
+    * the default bounds the built hash relation (tens of bytes/row
+    * with headers + map overhead, replicated per executor) to well
+    * under default executor headroom. */
   private def broadcastMaxRows(df: DataFrame): Long =
-    df.sparkSession.conf.get("spark.graft.broadcast.maxRows", "4000000")
+    df.sparkSession.conf.get("spark.graft.broadcast.maxRows", "1000000")
       .toLong
 
   /** DOULION-style SAMPLED triangle counting — the 100 TB path next
