@@ -749,7 +749,16 @@ object Dedup {
     // deletion variants only when the name is non-empty —
     // sequence(1, 0) DESCENDS and would emit a spurious
     // empty-string variant (the collocations guard discipline)
-    val variants = base.select(col("__id"), col("__nm"),
+    //
+    // r15: the candidate join shuffles (key-hash, id) ONLY — two longs
+    // per variant row instead of (variant string, id, full name)
+    // (guide §2.3/§8: shuffle keys, not payloads). Hashing the variant
+    // key can only ADD candidates (collisions) and the exact
+    // levenshtein verify removes them, so the result is unchanged;
+    // names re-attach to the deduped id pairs afterwards (ids are
+    // unique by the operator's contract — `the` id column — so the
+    // attach is 1:1).
+    val variants = base.select(col("__id"),
       explode(array_union(array(col("__nm")),
         when(length(col("__nm")) >= 1,
           transform(sequence(lit(1), length(col("__nm"))),
@@ -757,14 +766,29 @@ object Dedup {
               col("__nm").substr(i + 1,
                 length(col("__nm")) - i))))
           .otherwise(array().cast("array<string>")))).as("__key"))
-    val a = variants.select(col("__key"), col("__id").as("id_a"),
-      col("__nm").as("name_a"))
-    val b = variants.select(col("__key"), col("__id").as("id_b"),
-      col("__nm").as("name_b"))
-    a.join(b, Seq("__key"))
-      .where(col("name_a") < col("name_b"))
-      .select("id_a", "id_b", "name_a", "name_b")
+      .select(col("__id"), xxhash64(col("__key")).as("__kh"))
+    // dedupe the UNORDERED id pair (lo < hi) so each candidate enters
+    // the distinct once, then orient the emitted pair by NAME order
+    // after the attach — the output contract (name_a < name_b)
+    val cand = variants.select(col("__kh"), col("__id").as("lo"))
+      .join(variants.select(col("__kh"), col("__id").as("hi")),
+        Seq("__kh"))
+      .where(col("lo") < col("hi"))
+      .select("lo", "hi")
       .distinct()
-      .where(levenshtein(col("name_a"), col("name_b")) <= 1)
+    cand
+      .join(base.select(col("__id").as("lo"),
+        col("__nm").as("name_lo")), "lo")
+      .join(base.select(col("__id").as("hi"),
+        col("__nm").as("name_hi")), "hi")
+      .where(col("name_lo") =!= col("name_hi") &&
+        levenshtein(col("name_lo"), col("name_hi")) <= 1)
+      .select(
+        when(col("name_lo") < col("name_hi"), col("lo"))
+          .otherwise(col("hi")).as("id_a"),
+        when(col("name_lo") < col("name_hi"), col("hi"))
+          .otherwise(col("lo")).as("id_b"),
+        least(col("name_lo"), col("name_hi")).as("name_a"),
+        greatest(col("name_lo"), col("name_hi")).as("name_b"))
   }
 }
