@@ -700,7 +700,15 @@ object GraftDml extends PredicateHelper {
             if (stagedKeys.isEmpty)
               df.as("_t").withColumn("__m", lit(false))
             else {
-              val slice = spark.read.parquet(stage)
+              // the staged slice's schema is KNOWN (it was written two
+              // statements up: src columns + the __fk partition key) —
+              // passing it skips the per-MERGE footer-sampling
+              // schema-inference job spark.read would run (§6)
+              val stageSchema = org.apache.spark.sql.types.StructType(
+                src.schema.fields :+
+                  org.apache.spark.sql.types.StructField("__fk",
+                    org.apache.spark.sql.types.StringType))
+              val slice = spark.read.schema(stageSchema).parquet(stage)
                 .withColumnRenamed("__fk", "__sfk")
               df.as("_t").join(slice.as("_s"),
                   col("_t.__fk") === col("__sfk") && joinCond, "left_outer")
