@@ -2512,20 +2512,27 @@ object SparkEntry {
       val idx = s"$tmp/idx"
       freshDir(s, idx) // append+refresh mutate: rebuild per run
       val emb = T(s, dir, "embeddings")
+      def phase[A](p: String)(f: => A): A = {
+        s.sparkContext.setJobDescription(s"s33: $p")
+        try f finally s.sparkContext.setJobDescription(null)
+      }
       // capacity floors at 75 (the verify SFs keep their exact cell
       // layout) and derives from the corpus above that — with 25%
       // slack so the append phase has cell headroom — letting the
       // entry scale with replicated ScaleBench dirs; the full-probe
       // serve makes the RESULT capacity-independent either way
       val cap = math.max(75L, math.ceil(emb.count() * 1.25 / 8.0).toLong)
-      graft.sources.VectorIndex.build(emb, "vec_id", "embedding", idx,
-        clusters = 8, iterations = 2, capacity = cap, maxRounds = 6)
-      graft.sources.VectorIndex.buildKnnGraph(s, idx, k = 8, rounds = 1)
+      phase("build")(graft.sources.VectorIndex.build(emb, "vec_id",
+        "embedding", idx, clusters = 8, iterations = 2, capacity = cap,
+        maxRounds = 6))
+      phase("knng")(graft.sources.VectorIndex.buildKnnGraph(s, idx,
+        k = 8, rounds = 1))
       val shifted = emb.where(col("vec_id") < 50)
         .select((col("vec_id") + 1000000000L).as("vec_id"), col("embedding"))
-      graft.sources.VectorIndex.append(shifted, "vec_id", "embedding", idx)
-      graft.sources.VectorIndex.nnDescentAppend(s, idx,
-        shifted.select("vec_id"), k = 8, rounds = 1)
+      phase("append")(graft.sources.VectorIndex.append(
+        shifted, "vec_id", "embedding", idx))
+      phase("refresh")(graft.sources.VectorIndex.nnDescentAppend(s, idx,
+        shifted.select("vec_id"), k = 8, rounds = 1))
       val q = emb.where(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"),
           col("embedding").as("query_vec"))

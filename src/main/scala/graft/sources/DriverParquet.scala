@@ -25,20 +25,33 @@ private[graft] object DriverParquet {
 
   def schema(s: String): MessageType = MessageTypeParser.parseMessageType(s)
 
-  /** Overwrite `dir` with a single parquet file holding `rows`. */
+  /** Overwrite `dir` with a single parquet file holding `rows`.
+    * Crash-safe ordering: the new file is fully written under a
+    * tmp name readers ignore (dot-prefixed, non-`.parquet`), the old
+    * contents are deleted only after the writer closes, and the tmp
+    * renames into the final name LAST — a reader can race an
+    * in-flight overwrite and see the old file or (after a crash
+    * between delete and rename) a loudly-missing one, but never a
+    * truncated file under the final name. */
   def overwrite(spark: SparkSession, dir: String, mt: MessageType)
       (fill: SimpleGroupFactory => Seq[Group]): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val d = new Path(dir)
     val fs = d.getFileSystem(conf)
-    fs.delete(d, true)
     fs.mkdirs(d)
+    val tmp = new Path(d, ".part-00000.parquet.tmp")
+    fs.delete(tmp, false) // crashed-attempt debris
     val w = ExampleParquetWriter
-      .builder(HadoopOutputFile.fromPath(new Path(d, "part-00000.parquet"),
-        conf))
+      .builder(HadoopOutputFile.fromPath(tmp, conf))
       .withConf(conf).withType(mt).build()
     try fill(new SimpleGroupFactory(mt)).foreach(w.write)
     finally w.close()
+    fs.listStatus(d).foreach { st =>
+      if (st.isFile && st.getPath.getName != tmp.getName)
+        fs.delete(st.getPath, false)
+    }
+    require(fs.rename(tmp, new Path(d, "part-00000.parquet")),
+      s"DriverParquet: rename $tmp failed")
   }
 
   /** Every row of every parquet file directly under `dir` (sidecars
@@ -98,4 +111,14 @@ private[graft] object DriverParquet {
   def has(g: Group, field: String): Boolean =
     g.getType.containsField(field) &&
       g.getFieldRepetitionCount(field) > 0
+
+  /** An integral field as Long whatever its physical width — old
+    * Spark-written sidecars carry partition-derived columns as int32
+    * where the driver writer uses int64. */
+  def anyLong(g: Group, field: String): Long =
+    g.getType.getType(field).asPrimitiveType().getPrimitiveTypeName match {
+      case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32 =>
+        g.getInteger(field, 0).toLong
+      case _ => g.getLong(field, 0)
+    }
 }

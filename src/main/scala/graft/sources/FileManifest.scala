@@ -1598,7 +1598,12 @@ object FileManifest {
     val gf = new org.apache.parquet.example.data.simple.SimpleGroupFactory(
       CatalogSchema)
     try pm.partitions.toSeq.sortBy(_._1).foreach { case (part, files) =>
+      require(part != null, "savePartitioned: null partition key " +
+        "(catalog fields are required; map missing partitions to a " +
+        "sentinel value before committing)")
       files.foreach { f =>
+        require(f.path != null,
+          s"savePartitioned: null file path under partition '$part'")
         val g = gf.newGroup()
         g.add("partition", part); g.add("path", f.path)
         g.add("rows", f.rows); g.add("min", f.min); g.add("max", f.max)

@@ -161,11 +161,16 @@ object VectorIndex {
       .partitionBy("cluster")
       .parquet(s"$path/cells")
     writeCentroids(spark, s"$path/centroids", cents)
-    val cnts = withBq.groupBy("cluster").agg(count(lit(1)).as("n"))
-    cnts.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/counts")
-    val n = cnts.agg(coalesce(sum("n"), lit(0L))).head.getLong(0)
-    writeStats(spark, s"$path/stats", n, clusters, scale, capacity, dim,
-      foldedThrough = -1L)
+    // occupancy from the CHECKPOINTED assignment (same rows the cells
+    // hold — the base projection joins on vec_id 1:1) instead of
+    // re-evaluating the whole corpus⋈assignment chain a second time;
+    // clusters-bounded, so the sidecar writes driver-side (r14's
+    // stats/centroids discipline)
+    val cnts = assigned.groupBy("cluster").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    writeCounts(spark, s"$path/counts", cnts)
+    writeStats(spark, s"$path/stats", cnts.map(_._2).sum, clusters, scale,
+      capacity, dim, foldedThrough = -1L)
   }
 
   /** nprobe-pruned exact-integer-cosine top-k FROM the index — the
@@ -295,24 +300,38 @@ object VectorIndex {
     * Every round is deterministic, so a SQL oracle unrolls the exact
     * chain. Returns (src, rank, dst, sim) like [[knnGraph]]. */
   def nnDescentGraph(spark: SparkSession, path: String, k: Int,
-      rounds: Int, idBuckets: Int = 8): DataFrame = {
+      rounds: Int, idBuckets: Int = 8): DataFrame =
+    nnDescentGraphWithCells(spark, path, k, rounds, idBuckets)
+      .select(col("src"), col("rank"), col("dst"), col("sim"))
+
+  /** [[nnDescentGraph]] carrying each endpoint's CELL id (r15): the
+    * scoring joins already touch the cell rows, so the src/dst cluster
+    * columns the materialized layout needs ride along for free —
+    * [[buildKnnGraph]] previously re-joined the finished graph against
+    * the cells twice just to recover them (two exchanges + a cell
+    * re-scan, now gone). The scoring join also binds the DST side
+    * first so the final src-keyed join feeds the per-src rank window
+    * without a re-Exchange. */
+  private[sources] def nnDescentGraphWithCells(spark: SparkSession,
+      path: String, k: Int, rounds: Int, idBuckets: Int = 8): DataFrame = {
     require(k >= 1 && rounds >= 0 && idBuckets >= 1)
     val v = readCells(spark, path).select(col("vec_id"), col("__cq"),
       col("__cna"), col("cluster"),
       pmod(col("vec_id"), lit(idBuckets.toLong)).as("__ib"))
     val a = v.select(col("vec_id").as("src"), col("__cq").as("__qa"),
-      col("__cna").as("__na"))
+      col("__cna").as("__na"), col("cluster").as("src_cluster"))
     val b = v.select(col("vec_id").as("dst"), col("__cq").as("__qb"),
-      col("__cna").as("__nb"))
+      col("__cna").as("__nb"), col("cluster").as("dst_cluster"))
     val w = Window.partitionBy("src")
       .orderBy(col("sim").desc, col("dst").asc)
     def scoreRank(cand: DataFrame): DataFrame =
-      cand.join(a, "src").join(b, "dst")
+      cand.join(b, "dst").join(a, "src")
         .withColumn("sim", dotl(col("__qa"), col("__qb")).cast("double") /
           sqrt(col("__na").cast("double") * col("__nb")))
         .withColumn("rank", row_number().over(w))
         .where(col("rank") <= k)
-        .select(col("src"), col("rank"), col("dst"), col("sim"))
+        .select(col("src"), col("rank"), col("dst"), col("sim"),
+          col("src_cluster"), col("dst_cluster"))
     def withinPairs(groupCol: String): DataFrame =
       v.select(col(groupCol).as("__g"), col("vec_id").as("src"))
         .join(v.select(col(groupCol).as("__g"), col("vec_id").as("dst")),
@@ -343,13 +362,9 @@ object VectorIndex {
     * candidates. */
   def buildKnnGraph(spark: SparkSession, path: String, k: Int,
       rounds: Int, idBuckets: Int = 8): Unit = {
-    val cells = readCells(spark, path)
-    val sc = cells.select(col("vec_id").as("src"),
-      col("cluster").as("src_cluster"))
-    val dc = cells.select(col("vec_id").as("dst"),
-      col("cluster").as("dst_cluster"))
-    nnDescentGraph(spark, path, k, rounds, idBuckets)
-      .join(sc, "src").join(dc, "dst")
+    // the cell ids ride out of the scoring joins themselves (r15) —
+    // no post-hoc re-join against the cells to recover them
+    nnDescentGraphWithCells(spark, path, k, rounds, idBuckets)
       .repartition(col("src_cluster"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("src_cluster")
@@ -402,19 +417,25 @@ object VectorIndex {
     val fresh = broadcast(newIds
       .select(col(newIds.columns.head).cast("long").as("__new")).distinct())
     val cells = readCells(spark, path)
+    // endpoint CELL ids ride the scoring joins (r15): carried rows
+    // keep the stored layout's cluster columns and rescored rows get
+    // them from the cell join itself, so the final per-cell rewrite
+    // needs no re-join against the cells; dst bound first so the
+    // src-keyed join feeds the rank window without a re-Exchange
     val a = cells.select(col("vec_id").as("src"), col("__cq").as("__qa"),
-      col("__cna").as("__na"))
+      col("__cna").as("__na"), col("cluster").as("src_cluster"))
     val b = cells.select(col("vec_id").as("dst"), col("__cq").as("__qb"),
-      col("__cna").as("__nb"))
+      col("__cna").as("__nb"), col("cluster").as("dst_cluster"))
     val w = Window.partitionBy("src")
       .orderBy(col("sim").desc, col("dst").asc)
     def scoreRank(cand: DataFrame): DataFrame =
-      cand.join(a, "src").join(b, "dst")
+      cand.join(b, "dst").join(a, "src")
         .withColumn("sim", dotl(col("__qa"), col("__qb")).cast("double") /
           sqrt(col("__na").cast("double") * col("__nb")))
         .withColumn("rank", row_number().over(w))
         .where(col("rank") <= k)
-        .select(col("src"), col("rank"), col("dst"), col("sim"))
+        .select(col("src"), col("rank"), col("dst"), col("sim"),
+          col("src_cluster"), col("dst_cluster"))
     def refresh(g: DataFrame, cand0: DataFrame): DataFrame = {
       val cand = cand0.where(col("src") =!= col("dst")).distinct()
       val affected = cand.select("src").distinct()
@@ -449,8 +470,13 @@ object VectorIndex {
       cells.select(pmod(col("vec_id"), lit(idBuckets.toLong)).as("__ib"),
         col("vec_id")), "__ib")
     val seeds = cellArm.unionByName(bucketArm)
+    // the partition-discovered src_cluster reads back as int —
+    // normalize to long so carried rows union with rescored ones
+    // (whose clusters come from readCells, already long)
     var g = refresh(spark.read.parquet(gdir)
-      .select(col("src"), col("rank"), col("dst"), col("sim")), seeds)
+      .select(col("src"), col("rank"), col("dst"), col("sim"),
+        col("src_cluster").cast("long").as("src_cluster"),
+        col("dst_cluster").cast("long").as("dst_cluster")), seeds)
     for (_ <- 1 to rounds) {
       val fromNew = g.join(fresh, g("src") === fresh("__new"), "left_semi")
         .select(col("src"), col("dst").as("__mid"))
@@ -466,29 +492,31 @@ object VectorIndex {
     }
     // rewrite ONLY the cells whose source rows changed: the srcs that
     // gained/lost edges are the seeds' + hops' sources, all of which
-    // live in g now — diff against the stored layout per cell
-    val sc = cells.select(col("vec_id").as("src"),
-      col("cluster").as("src_cluster"))
-    val dc = cells.select(col("vec_id").as("dst"),
-      col("cluster").as("dst_cluster"))
+    // live in g now (with their cell ids) — diff against the stored
+    // layout. ONE partitioned write stages every changed cell (r15 —
+    // the old per-cluster loop re-evaluated the rewrite plan and ran
+    // a separate write job per cell), then each changed dir swaps in.
     val old = spark.read.parquet(gdir)
-    val changedSrcs = g.select("src", "rank", "dst")
-      .exceptAll(old.select("src", "rank", "dst"))
-      .select("src").distinct()
-    val changedClusters = changedSrcs.join(sc, "src")
+      .withColumn("src_cluster", col("src_cluster").cast("long"))
+    val changedClusters = g.select("src", "rank", "dst", "src_cluster")
+      .exceptAll(old.select("src", "rank", "dst", "src_cluster"))
       .select("src_cluster").distinct()
       .collect().map(_.getLong(0)).sorted // one clusters-bounded action
-    val withCells = g.join(sc, "src").join(dc, "dst")
     val fs = new Path(gdir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    changedClusters.foreach { c =>
-      val tmp = s"$live/knng.tmp-c$c"
-      withCells.where(col("src_cluster") === c)
-        .select(col("src"), col("rank"), col("dst"), col("sim"),
-          col("dst_cluster"))
-        .coalesce(1)
-        .write.mode(SaveMode.Overwrite).parquet(tmp)
-      replaceDir(spark, tmp, s"$gdir/src_cluster=$c")
+    if (changedClusters.nonEmpty) {
+      val stageDir = s"$live/knng.tmp-stage"
+      fs.delete(new Path(stageDir), true)
+      g.where(col("src_cluster").isin(changedClusters: _*))
+        .repartition(col("src_cluster")) // one file per changed cell
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("src_cluster")
+        .parquet(stageDir)
+      changedClusters.foreach { c =>
+        replaceDir(spark, s"$stageDir/src_cluster=$c",
+          s"$gdir/src_cluster=$c")
+      }
+      fs.delete(new Path(stageDir), true)
     }
   }
 
@@ -874,24 +902,28 @@ object VectorIndex {
     val spark = vectors.sparkSession
     val st = baseStats(spark, path)
     val live = root(spark, path)
-    val (codes, cnts) = assignUnderRemaining(vectors, idCol, vecCol,
+    val codes = assignUnderRemaining(vectors, idCol, vecCol,
       spark, path, st)
     codes
       .repartition(col("cluster"))
       .write.mode(SaveMode.Append)
       .partitionBy("cluster")
       .parquet(s"$live/cells")
-    val newN = codes.count()
-    // fold occupancy + stats into the BASE tables (tiny rewrites —
-    // the commit); streaming batch deltas stay in their own staging
-    // dirs until compaction folds them
-    val base = spark.read.parquet(s"$live/counts")
-    base.unionByName(cnts)
-      .groupBy("cluster").agg(sum("n").as("n"))
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$live/counts.tmp")
-    replaceDir(spark, s"$live/counts.tmp", s"$live/counts")
-    writeStats(spark, s"$live/stats", st.nVecs + newN, st.clusters,
-      st.scale, st.capacity, st.dim, st.foldedThrough, st.tombFolded)
+    // one clusters-bounded aggregation of the appended rows serves
+    // occupancy AND the new-row count (the old path evaluated the
+    // assignment chain a third time just for `count()`); the fold into
+    // the BASE occupancy + stats sidecars is a driver-side map-merge
+    // (tiny rewrites — the commit). Streaming batch deltas stay in
+    // their own staging dirs until compaction folds them.
+    val taken = codes.groupBy("cluster").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val base = DriverParquet.read(spark, s"$live/counts")
+      .map(g => (DriverParquet.anyLong(g, "cluster"), DriverParquet.anyLong(g, "n")))
+    writeCounts(spark, s"$live/counts",
+      (base ++ taken).groupMapReduce(_._1)(_._2)(_ + _).toSeq)
+    writeStats(spark, s"$live/stats", st.nVecs + taken.map(_._2).sum,
+      st.clusters, st.scale, st.capacity, st.dim, st.foldedThrough,
+      st.tombFolded)
   }
 
   /** TOMBSTONE DELETE: mark `ids` as removed from the index without
@@ -978,17 +1010,20 @@ object VectorIndex {
     if (batchId <= st.foldedThrough) return // committed AND folded
     val bdir = s"$path/batch-$batchId"
     fs.delete(new Path(bdir), true) // half-written replay debris
-    val (codes, cnts) = assignUnderRemaining(vectors, idCol, vecCol,
+    val codes = assignUnderRemaining(vectors, idCol, vecCol,
       spark, path, st)
-    val newN = codes.count()
+    // one clusters-bounded aggregation serves the emptiness gate, the
+    // batch occupancy sidecar (driver-side write), and n_vecs
+    val taken = codes.groupBy("cluster").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val newN = taken.map(_._2).sum
     if (newN > 0) {
       codes
         .repartition(col("cluster"))
         .write.mode(SaveMode.Overwrite)
         .partitionBy("cluster")
         .parquet(s"$bdir/cells")
-      cnts.coalesce(1).write.mode(SaveMode.Overwrite)
-        .parquet(s"$bdir/counts")
+      writeCounts(spark, s"$bdir/counts", taken)
     }
     DriverParquet.overwrite(spark, s"$bdir/stats",
       DriverParquet.schema("message bstats { optional int64 n_vecs; }")) {
@@ -1123,13 +1158,16 @@ object VectorIndex {
     Await.result(Future.sequence(jobs :+ centsJob),
       scala.concurrent.duration.Duration.Inf)
     // counts + stats derive from the FOLDED cells (not the carried
-    // counters): after a tombstone fold they are the ground truth
+    // counters): after a tombstone fold they are the ground truth —
+    // one clusters-bounded aggregation, sidecar written driver-side
     val cnts = (if (fs.exists(new Path(s"$genDir/cells")))
         spark.read.parquet(s"$genDir/cells")
-      else spark.range(0).select(col("id").as("cluster"), col("id")))
-      .groupBy("cluster").agg(count(lit(1)).as("n"))
-    cnts.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$genDir/counts")
-    val n = cnts.agg(coalesce(sum("n"), lit(0L))).head.getLong(0)
+          .groupBy(col("cluster").cast("long").as("cluster"))
+          .agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      else Seq.empty[(Long, Long)])
+    writeCounts(spark, s"$genDir/counts", cnts)
+    val n = cnts.map(_._2).sum
     writeStats(spark, s"$genDir/stats", n, st.clusters,
       st.scale, st.capacity, st.dim, foldedThrough, tombFolded)
     require(fs.createNewFile(new Path(path, s"commit-$nextGen")),
@@ -1192,13 +1230,35 @@ object VectorIndex {
     s"${root(spark, path)}/cells"
 
   /** EFFECTIVE per-cell occupancy (base + committed-unfolded batches)
-    * — clusters rows; the planner's probe-cost input. */
+    * — clusters rows; the planner's probe-cost input. Driver-side IO
+    * (r15): the counts sidecars are clusters-bounded by contract, so
+    * the fold is a driver map-merge instead of a Spark job chain. */
   def cellCounts(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    cellCountsDriver(spark, path).toSeq.sorted
+      .toDF("cluster", "n")
+  }
+
+  /** [[cellCounts]] as a driver-side map. */
+  private def cellCountsDriver(spark: SparkSession,
+      path: String): Map[Long, Long] = {
     val dirs = s"${root(spark, path)}/counts" +:
       unfoldedBatchDirs(spark, path, "counts")
-    dirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
-      .groupBy("cluster").agg(sum("n").as("n"))
+    dirs.flatMap(d => DriverParquet.read(spark, d))
+      .map(g => (DriverParquet.anyLong(g, "cluster"),
+        DriverParquet.anyLong(g, "n")))
+      .groupMapReduce(_._1)(_._2)(_ + _)
   }
+
+  /** Write a clusters-bounded occupancy sidecar driver-side — same
+    * on-disk columns as the old Spark write (standard parquet). */
+  private def writeCounts(spark: SparkSession, dir: String,
+      rows: Seq[(Long, Long)]): Unit =
+    DriverParquet.overwrite(spark, dir, DriverParquet.schema(
+      "message counts { optional int64 cluster; optional int64 n; }")) {
+      f => rows.sortBy(_._1).map { case (c, n) =>
+        val g = f.newGroup(); g.add("cluster", c); g.add("n", n); g }
+    }
 
   /** (n_vecs, clusters, scale, capacity, dim) including committed
     * unfolded batches. */
@@ -1533,10 +1593,9 @@ object VectorIndex {
     * the batch). */
   private def assignUnderRemaining(vectors: DataFrame, idCol: String,
       vecCol: String, spark: SparkSession, path: String, st: IdxStats)
-      : (DataFrame, DataFrame) = {
+      : DataFrame = {
     val cents = readCentroids(spark, path)
-    val occupancy = cellCounts(spark, path)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val occupancy = cellCountsDriver(spark, path)
     val remaining = cents.map { case (cid, _) =>
       cid -> (st.capacity - occupancy.getOrElse(cid, 0L)) }.toMap
     val e = vectors.select(col(idCol).cast("long").as("vec_id"),
@@ -1588,11 +1647,9 @@ object VectorIndex {
         augCol(col("na"), readMipsNorm(spark, path)))
     // BQ tier: bits derive from q alone — appends carry them without
     // any frozen state
-    val codes =
-      if (!hasBq(spark, path)) withMips2
-      else withMips2.withColumn("bqhi", bqHalf(col("q"), 0, 31))
-        .withColumn("bqlo", bqHalf(col("q"), 32, 63))
-    (codes, codes.groupBy("cluster").agg(count(lit(1)).as("n")))
+    if (!hasBq(spark, path)) withMips2
+    else withMips2.withColumn("bqhi", bqHalf(col("q"), 0, 31))
+      .withColumn("bqlo", bqHalf(col("q"), 32, 63))
   }
 
   private def writeRunId(fs: org.apache.hadoop.fs.FileSystem,
