@@ -16,24 +16,25 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // DATA-AWARE partition sizing (r15): by default AQE coalesces
-      // only down to the default parallelism ("parallelismFirst"),
-      // so partition counts track the CORE count, not the data.
-      // Sizing post-shuffle partitions by BYTES (the advisory target)
-      // makes them track the data instead: 100 TB inputs get
-      // bytes/advisory partitions whatever the core count. The target
-      // is env-overridable for cluster deployments (128-256m is the
-      // production guidance — partitions in the 100MB-1GB range).
-      // The local default is deliberately tiny (1m): on local[32]
-      // there is no network and per-partition cost is scheduling-only,
-      // while local data is compute-dense per byte — 16m was MEASURED
-      // to serialize compute-heavy stages (d20 5.1→8.5 s, g19 ~2 s
-      // worse than at 1m); 1m merges only dust partitions and left
-      // every measured family flat-to-better.
+      // DATA-AWARE partition sizing knobs (r15): on a cluster, set
+      // SPARK_GRAFT_PARALLELISM_FIRST=false and
+      // SPARK_GRAFT_ADVISORY_PARTITION_BYTES=128-256m so post-shuffle
+      // partition counts track BYTES (guide §2.2: 100 MB-1 GB
+      // partitions) instead of the core count. The LOCAL default
+      // keeps Spark's parallelism-first coalescing, for a measured
+      // reason: with bytes-based sizing on at sf0.1, per-round state
+      // checkpoints coalesce below the iterative operators' pinned
+      // edge partitioning and every round's join re-Exchanges the big
+      // side — the driver-metered shuffle bytes rose 15-40% across
+      // the whole rank family (g2/g7/g8/g11/g12/g17, s33, t6) with
+      // advisory=1m, and 16m additionally serialized compute-dense
+      // stages (d20 5.1→8.5 s). Bytes-based sizing is the right
+      // at-scale policy exactly when the advisory target exceeds the
+      // per-round state size, which 128m+ does.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-        "false")
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "1m"))
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "64m"))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
