@@ -36,6 +36,15 @@ object GraftSession {
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "64m"))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // AQE sort-merge→shuffled-hash rewrite: when every post-shuffle
+      // partition's build side is under this RUNTIME-measured size,
+      // the sorts are skipped (guide §3.1 — often faster when one
+      // side is moderately small per partition; the runtime check
+      // bounds the build-side memory, unlike the estimate-based
+      // preferSortMergeJoin=false). Default off upstream; measured
+      // here (see OPTIMIZATION_r15.md).
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCALMAP_BYTES", "0"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // graft tables are FIELD-ID mapped (Iceberg-style column
